@@ -1,0 +1,170 @@
+package graft.store
+
+import graft.SparkTestSession
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterEach
+
+/** Append / expected-version / idempotency semantics, ported from
+  * `tests/SqlStreamStore.AcceptanceTests/AcceptanceTests.AppendStream.cs`.
+  * Deterministic message ids follow the reference fixture convention
+  * (`AcceptanceTests.cs:73-95`). */
+class AppendSpec extends AnyFunSuite with BeforeAndAfterEach {
+  private val spark = SparkTestSession.spark
+  private var store: SparkStreamStore = _
+
+  override def beforeEach(): Unit =
+    store = new SparkStreamStore(spark, SparkTestSession.tempDir("graft-append"))
+  override def afterEach(): Unit = store.close()
+
+  private def mid(n: Int): String = f"00000000-0000-0000-0000-$n%012d"
+  private def msgs(ns: Int*): Seq[NewStreamMessage] =
+    ns.map(n => NewStreamMessage(mid(n), "type", s"""{"data":$n}""", """{"meta":"m"}"""))
+
+  test("append NoStream creates stream with contiguous versions and positions") {
+    val r = store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2, 3))
+    assert(r === AppendResult(2, 2))
+    val page = store.readStreamForwards("s1")
+    assert(page.messages.map(_.streamVersion) === Seq(0, 1, 2))
+    assert(page.messages.map(_.position) === Seq(0L, 1L, 2L))
+    assert(page.messages.map(_.messageId) === Seq(mid(1), mid(2), mid(3)))
+  }
+
+  test("append NoStream to existing stream with same messages is idempotent") {
+    store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2, 3))
+    val r = store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2, 3))
+    assert(r === AppendResult(2, 2))
+    assert(store.readStreamForwards("s1").messages.size === 3)
+  }
+
+  test("append NoStream prefix subset is idempotent") {
+    store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2, 3))
+    val r = store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2))
+    assert(r.currentVersion === 2)
+  }
+
+  test("append NoStream with additional messages throws") {
+    store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2))
+    intercept[WrongExpectedVersionException] {
+      store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2, 3))
+    }
+  }
+
+  test("append NoStream with different messages throws") {
+    store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2, 3))
+    intercept[WrongExpectedVersionException] {
+      store.appendToStream("s1", ExpectedVersion.NoStream, msgs(2, 3))
+    }
+  }
+
+  test("append Any creates and appends") {
+    val r1 = store.appendToStream("s1", ExpectedVersion.Any, msgs(1, 2))
+    val r2 = store.appendToStream("s1", ExpectedVersion.Any, msgs(3, 4))
+    assert(r1 === AppendResult(1, 1))
+    assert(r2 === AppendResult(3, 3))
+  }
+
+  test("append Any with exact replay of earlier batch is idempotent") {
+    store.appendToStream("s1", ExpectedVersion.Any, msgs(1, 2, 3, 4))
+    val r = store.appendToStream("s1", ExpectedVersion.Any, msgs(2, 3))
+    assert(r === AppendResult(3, 3))
+    assert(store.readStreamForwards("s1").messages.size === 4)
+  }
+
+  test("append Any with partial overlap throws") {
+    store.appendToStream("s1", ExpectedVersion.Any, msgs(1, 2, 3))
+    intercept[WrongExpectedVersionException] {
+      store.appendToStream("s1", ExpectedVersion.Any, msgs(3, 4))
+    }
+  }
+
+  test("append Any with reordered overlap throws") {
+    store.appendToStream("s1", ExpectedVersion.Any, msgs(1, 2, 3))
+    intercept[WrongExpectedVersionException] {
+      store.appendToStream("s1", ExpectedVersion.Any, msgs(2, 1))
+    }
+  }
+
+  test("append exact version appends at head") {
+    store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2, 3))
+    val r = store.appendToStream("s1", 2, msgs(4, 5))
+    assert(r === AppendResult(4, 4))
+  }
+
+  test("append exact version greater than head throws") {
+    store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1))
+    intercept[WrongExpectedVersionException] { store.appendToStream("s1", 5, msgs(2)) }
+  }
+
+  test("append exact version to nonexistent stream throws") {
+    intercept[WrongExpectedVersionException] { store.appendToStream("nope", 0, msgs(1)) }
+  }
+
+  test("append exact version below head replays idempotently at exact offsets") {
+    store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2, 3, 4))
+    // expected 1 ⇒ batch must be the messages at versions 2,3
+    val r = store.appendToStream("s1", 1, msgs(3, 4))
+    assert(r === AppendResult(3, 3))
+    intercept[WrongExpectedVersionException] { store.appendToStream("s1", 1, msgs(4)) }
+    intercept[WrongExpectedVersionException] { store.appendToStream("s1", 0, msgs(3, 4)) }
+  }
+
+  test("append exact version at head with duplicate id throws") {
+    store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2))
+    intercept[WrongExpectedVersionException] { store.appendToStream("s1", 1, msgs(1)) }
+  }
+
+  test("append EmptyStream requires existing stream") {
+    intercept[WrongExpectedVersionException] {
+      store.appendToStream("nope", ExpectedVersion.EmptyStream, msgs(1))
+    }
+  }
+
+  test("append EmptyStream to created-empty stream works") {
+    store.appendToStream("s1", ExpectedVersion.NoStream, Nil) // creates empty stream
+    val r = store.appendToStream("s1", ExpectedVersion.EmptyStream, msgs(1, 2))
+    assert(r === AppendResult(1, 1))
+  }
+
+  test("append EmptyStream full replay is idempotent") {
+    store.appendToStream("s1", ExpectedVersion.NoStream, Nil)
+    store.appendToStream("s1", ExpectedVersion.EmptyStream, msgs(1, 2))
+    val r = store.appendToStream("s1", ExpectedVersion.EmptyStream, msgs(1, 2))
+    assert(r === AppendResult(1, 1))
+  }
+
+  test("empty batch with concrete expected version is a no-op returning head") {
+    store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2))
+    val r = store.appendToStream("s1", 1, Nil)
+    assert(r.currentVersion === 1)
+    assert(r.currentPosition === 1)
+  }
+
+  test("positions are globally dense across streams") {
+    store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2))
+    store.appendToStream("b", ExpectedVersion.NoStream, msgs(3))
+    store.appendToStream("a", ExpectedVersion.Any, msgs(4))
+    val all = store.readAllForwards()
+    assert(all.messages.map(_.position) === Seq(0L, 1L, 2L, 3L))
+    assert(all.messages.map(_.streamId) === Seq("a", "a", "b", "a"))
+  }
+
+  test("system stream ids are rejected") {
+    intercept[IllegalArgumentException] {
+      store.appendToStream("$sys", ExpectedVersion.Any, msgs(1))
+    }
+  }
+
+  test("stream ids with whitespace are rejected") {
+    intercept[IllegalArgumentException] {
+      store.appendToStream("a b", ExpectedVersion.Any, msgs(1))
+    }
+  }
+
+  test("url-encodable stream ids are accepted") {
+    Seq("stream/id", "stream%id", "stream?id=a").foreach { id =>
+      store.appendToStream(id, ExpectedVersion.Any, msgs(1))
+      assert(store.readStreamForwards(id).messages.size === 1)
+    }
+  }
+}
