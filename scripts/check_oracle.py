@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 scripts/check_oracle.py <verify_out_dir> <sf_dir>
+
+Loads each <out>/<name>/ parquet (the Spark result), runs the matching
+oracle SQL from <out>/oracle_sql.json in DuckDB over the sf tables, and
+compares: row count, column names (sorted), and exact values (rows sorted
+by all columns, like a hash compare would see them).
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+def values_equal(a, b):
+    if a is b:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b  # exact: queries are designed to be bit-deterministic
+    return a == b
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = n_noracle = 0
+    for name in names:
+        mine = con.execute(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+        if name not in oracle:
+            print(f"  ?? {name}: no oracle (rows={len(mine)})")
+            n_noracle += 1
+            continue
+        try:
+            theirs = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"  !! {name}: oracle SQL failed: {e}")
+            n_fail += 1
+            continue
+        a, b = norm(mine), norm(theirs)
+        if list(a.columns) != list(b.columns):
+            print(f"  FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            n_fail += 1
+            continue
+        if len(a) != len(b):
+            print(f"  FAIL {name}: rows {len(a)} vs {len(b)}")
+            n_fail += 1
+            continue
+        bad = None
+        for col in a.columns:
+            av, bv = a[col].tolist(), b[col].tolist()
+            for i, (x, y) in enumerate(zip(av, bv)):
+                ok = values_equal(x, y)
+                if not ok:
+                    # pandas may deliver numpy types; retry via repr-ish compare
+                    try:
+                        ok = float(x) == float(y)
+                    except (TypeError, ValueError):
+                        ok = str(x) == str(y)
+                if not ok:
+                    bad = (col, i, x, y)
+                    break
+            if bad:
+                break
+        if bad:
+            col, i, x, y = bad
+            print(f"  FAIL {name}: value mismatch col={col} row={i}: {x!r} vs {y!r}")
+            n_fail += 1
+        else:
+            print(f"  PASS {name} ({len(a)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

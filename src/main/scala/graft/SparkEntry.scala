@@ -1,13 +1,415 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — one `queries` entry per operator from SURVEY.md §2
+  * (the reference's operator inventory), each re-expressed as an idiomatic
+  * Spark pipeline over the driver's parquet tables (TESTDATA.md), with an
+  * equivalent DuckDB `oracleSql` for the hash-compare correctness gate.
+  *
+  * The `events` table plays the role of the store's message log
+  * (stream id ≅ user_id, global position ≅ event_id), so each read-path
+  * operator of the store (SURVEY §2.1-2.5) has a faithful relational
+  * counterpart that DuckDB can check.
+  *
+  * Determinism rules used throughout (the driver hash-compares values):
+  * - every query ends in a total ORDER BY on unique keys;
+  * - double aggregates go through exact DECIMAL sums and only then cast
+  *   to double, so Spark's partial-aggregation order can't flip low bits
+  *   vs DuckDB;
+  * - aggregate/computed columns are aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact double-deterministic sum: sum(cast(x as decimal)) cast back. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(30,6)")).cast("double")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * TPC-H Q1-shaped pricing summary over lineitem. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  // ==================================================================
+  // Store-operator family (SURVEY §2.1-2.6) over the events table
+  // ==================================================================
+
+  /** #1 ReadAllForwards: position-range scan, ordered, limit n
+    * (ref: ReadAll.sql:1-47). */
+  private def readAllForwards(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_id") >= 100)
+      .select("event_id", "user_id", "event_type", "value", "props")
+      .orderBy("event_id")
+      .limit(500)
+
+  /** #2 ReadAllBackwards (ref: ReadAll.sql:36-40). */
+  private def readAllBackwards(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_id") <= 800)
+      .select("event_id", "user_id", "event_type")
+      .orderBy(col("event_id").desc)
+      .limit(500)
+
+  /** #3 ReadStreamForwards: one stream's messages with per-stream versions
+    * (ref: Read.sql:1-53); version = dense 0-based order within stream. */
+  private def readStreamForwards(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    t(s, dir, "events")
+      .filter(col("user_id") === 7)
+      .withColumn("stream_version", (row_number().over(w) - 1).cast("long"))
+      .select("user_id", "stream_version", "event_id", "event_type")
+      .orderBy("event_id")
+  }
+
+  /** #4 ReadStreamBackwards (ref: Read.sql:42-47). */
+  private def readStreamBackwards(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("user_id") === 7)
+      .select("event_id", "event_type", "value")
+      .orderBy(col("event_id").desc)
+      .limit(20)
+
+  /** #10 ReadHeadPosition: global max position (ref: ReadHeadPosition.sql). */
+  private def readHeadPosition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").agg(max("event_id").as("head_position"))
+
+  /** #11+#23 per-stream heads (ref: denormalized streams table,
+    * AppendToStream.sql:153-163). */
+  private def streamHeads(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        max("event_id").as("head_position"),
+        (count(lit(1)) - 1).as("head_version"))
+      .orderBy("user_id")
+
+  /** #9+#29 ListStreams with keyset pagination (ref: ListStreams.sql:10-16). */
+  private def listStreamsKeyset(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select("user_id").distinct()
+      .filter(col("user_id") > 50)
+      .orderBy("user_id")
+      .limit(20)
+
+  /** #17+#35 MaxAge TTL read-filter (ref: ReadonlyStreamStoreBase.cs:394-490):
+    * keep messages younger than a cutoff. */
+  private def ttlFilter(s: SparkSession, dir: String): DataFrame =
+    // events.ts is parquet TIMESTAMP(NANOS) — read as nanos-since-epoch long
+    // (spark.sql.legacy.parquet.nanosAsLong); 2024-01-03T00:00:00Z in nanos.
+    t(s, dir, "events")
+      .filter(col("ts") >= lit(1704240000000000000L))
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+      .limit(1000)
+
+  /** #20+#27+#34 MaxCount scavenge: newest K per stream via window top-k
+    * (ref: Scavenge.sql:23-30). */
+  private def scavengeTopK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("user_id", "event_id")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** #8+#21 DeleteMessage bulk anti-filter, `id = ANY(...)` shape
+    * (ref: DeleteStreamMessages.sql:26-28). */
+  private def deleteMessageAnti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("user_id") === 7 && !col("event_id").isin(213L, 1213L, 3213L, 5213L))
+      .select("event_id", "event_type")
+      .orderBy("event_id")
+
+  /** #7 DeleteStream anti-filter rewrite (ref: DeleteStream.sql). */
+  private def deleteStreamFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("user_id") =!= 7 && col("user_id") =!= 11)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** #19 messages ⋈ streams broadcast equi-join (ref: ReadAll.sql:33-34):
+    * fact joined to small per-stream dim ⇒ broadcast hash join. */
+  private def joinStreamsDim(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val dim = events.groupBy("user_id").agg(max("event_id").as("head_position"))
+    events
+      .join(broadcast(dim), Seq("user_id"))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "head_position")
+      .orderBy("event_id")
+      .limit(1000)
+  }
+
+  /** #25 idempotency id-chain: in-order message-id list per stream
+    * (ref: EnforceIdempotentAppend.sql:12-39). */
+  private def idempotencyChains(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("user_id") <= 20)
+      .groupBy("user_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(col("event_id"))), x => x.cast("string")),
+        ",").as("id_chain"))
+      .orderBy("user_id")
+
+  /** #42 gap detection over the position sequence
+    * (ref: ReadonlyStreamStoreBase.cs:65-92). */
+  private def gapDetection(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("event_id")
+    t(s, dir, "events")
+      .select(col("event_id"))
+      .withColumn("d", col("event_id") - lag("event_id", 1).over(w))
+      .agg(
+        count(when(col("d") > 1, 1)).as("gaps"),
+        count(lit(1)).as("n"))
+  }
+
+  /** §2.9 JSON payload field extraction (ref: AppendToStream.sql:27
+    * `json_data::JSON->>'MaxAge'`). */
+  private def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_id") < 200)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  /** §2.9 stream-id hashing (ref: PostgresqlStreamId.cs:14-27; SHA-256
+    * here since the oracle lacks sha1 — same shape) and
+    * prefix/suffix matching (ref: ListStreamsStartingWith.sql). */
+  private def streamIdHashing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        sha2(col("source"), 256).as("id_hash"),
+        col("source").startsWith("src1").as("starts_src1"),
+        col("source").endsWith("1").as("ends_1"))
+      .orderBy("doc_id")
+      .limit(200)
+
+  // ==================================================================
+  // Analytics family over the TPC-H-ish tables (bench headliners)
+  // ==================================================================
+
+  /** TPC-H Q1-shaped pricing summary: the canonical wide aggregation.
+    * Decimal sums keep doubles bit-deterministic vs the oracle. */
+  private def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-shaped: join customer⨝orders⨝lineitem, top-10 revenue. */
+  private def q3TopRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped: revenue by nation through a 5-way join. */
+  private def q5NationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(s, dir, "nation")
+    val customer = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Window top-k: 3 priciest parts per brand. */
+  private def topPartsPerBrand(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
+    t(s, dir, "part")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3L)
+      .select("p_brand", "rnk", "p_partkey", "p_retailprice")
+      .orderBy("p_brand", "rnk")
+  }
+
+  /** Time-bucketed aggregation over order dates. */
+  private def ordersMonthly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"))
+      .orderBy("y", "m")
+
+  /** Exact distinct + grouped distinct (the exact counterpart the oracle
+    * can check; approx_count_distinct is exposed in Bench only). */
+  private def distinctCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("parts"),
+        countDistinct(col("l_suppkey")).as("supps"))
+      .orderBy("l_returnflag")
+
+  // ==================================================================
+  // Registry
+  // ==================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "read_all_forwards" -> readAllForwards _,
+    "read_all_backwards" -> readAllBackwards _,
+    "read_stream_forwards" -> readStreamForwards _,
+    "read_stream_backwards" -> readStreamBackwards _,
+    "read_head_position" -> readHeadPosition _,
+    "stream_heads" -> streamHeads _,
+    "list_streams_keyset" -> listStreamsKeyset _,
+    "ttl_filter" -> ttlFilter _,
+    "scavenge_topk" -> scavengeTopK _,
+    "delete_message_anti" -> deleteMessageAnti _,
+    "delete_stream_filter" -> deleteStreamFilter _,
+    "join_streams_dim" -> joinStreamsDim _,
+    "idempotency_chains" -> idempotencyChains _,
+    "gap_detection" -> gapDetection _,
+    "json_extract" -> jsonExtract _,
+    "stream_id_hashing" -> streamIdHashing _,
+    "q1_pricing_summary" -> q1PricingSummary _,
+    "q3_top_revenue" -> q3TopRevenue _,
+    "q5_nation_revenue" -> q5NationRevenue _,
+    "top_parts_per_brand" -> topPartsPerBrand _,
+    "orders_monthly" -> ordersMonthly _,
+    "distinct_counts" -> distinctCounts _,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "read_all_forwards" ->
+      """SELECT event_id, user_id, event_type, value, props FROM events
+         WHERE event_id >= 100 ORDER BY event_id LIMIT 500""",
+    "read_all_backwards" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE event_id <= 800 ORDER BY event_id DESC LIMIT 500""",
+    "read_stream_forwards" ->
+      """SELECT user_id, row_number() OVER (ORDER BY event_id) - 1 AS stream_version,
+                event_id, event_type
+         FROM events WHERE user_id = 7 ORDER BY event_id""",
+    "read_stream_backwards" ->
+      """SELECT event_id, event_type, value FROM events
+         WHERE user_id = 7 ORDER BY event_id DESC LIMIT 20""",
+    "read_head_position" ->
+      "SELECT max(event_id) AS head_position FROM events",
+    "stream_heads" ->
+      """SELECT user_id, max(event_id) AS head_position,
+                count(*) - 1 AS head_version
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "list_streams_keyset" ->
+      """SELECT DISTINCT user_id FROM events WHERE user_id > 50
+         ORDER BY user_id LIMIT 20""",
+    "ttl_filter" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+         ORDER BY event_id LIMIT 1000""",
+    "scavenge_topk" ->
+      """SELECT user_id, event_id FROM (
+           SELECT user_id, event_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           FROM events) WHERE rn <= 5
+         ORDER BY user_id, event_id""",
+    "delete_message_anti" ->
+      """SELECT event_id, event_type FROM events
+         WHERE user_id = 7 AND event_id NOT IN (213, 1213, 3213, 5213)
+         ORDER BY event_id""",
+    "delete_stream_filter" ->
+      """SELECT event_type, count(*) AS n FROM events
+         WHERE user_id <> 7 AND user_id <> 11
+         GROUP BY event_type ORDER BY event_type""",
+    "join_streams_dim" ->
+      """SELECT e.event_id, e.user_id, h.head_position
+         FROM events e
+         JOIN (SELECT user_id, max(event_id) AS head_position
+               FROM events GROUP BY user_id) h USING (user_id)
+         WHERE e.event_type = 'purchase'
+         ORDER BY e.event_id LIMIT 1000""",
+    "idempotency_chains" ->
+      """SELECT user_id,
+                string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS id_chain
+         FROM events WHERE user_id <= 20
+         GROUP BY user_id ORDER BY user_id""",
+    "gap_detection" ->
+      """SELECT count(*) FILTER (WHERE d > 1) AS gaps, count(*) AS n FROM (
+           SELECT event_id - lag(event_id) OVER (ORDER BY event_id) AS d
+           FROM events)""",
+    "json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events WHERE event_id < 200 ORDER BY event_id""",
+    "stream_id_hashing" ->
+      """SELECT doc_id, sha256(source) AS id_hash,
+                starts_with(source, 'src1') AS starts_src1,
+                suffix(source, '1') AS ends_1
+         FROM documents ORDER BY doc_id LIMIT 200""",
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+                count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q3_top_revenue" ->
+      """SELECT l_orderkey,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY l_orderkey
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY n_name""",
+    "top_parts_per_brand" ->
+      """SELECT p_brand, rnk, p_partkey, p_retailprice FROM (
+           SELECT p_brand, p_partkey, p_retailprice,
+                  row_number() OVER (PARTITION BY p_brand
+                                     ORDER BY p_retailprice DESC, p_partkey) AS rnk
+           FROM part) WHERE rnk <= 3
+         ORDER BY p_brand, rnk""",
+    "orders_monthly" ->
+      """SELECT EXTRACT(year FROM o_orderdate) AS y,
+                EXTRACT(month FROM o_orderdate) AS m,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+         FROM orders GROUP BY y, m ORDER BY y, m""",
+    "distinct_counts" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_partkey) AS parts,
+                count(DISTINCT l_suppkey) AS supps
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+  )
 }
