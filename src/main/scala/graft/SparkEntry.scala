@@ -272,6 +272,138 @@ object SparkEntry {
       .orderBy("l_returnflag")
 
   // ==================================================================
+  // LLM-data-pipeline extension operators (graft.operators)
+  // ==================================================================
+
+  import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
+
+  /** Documents with synthetic duplicates/near-duplicates mixed in (the
+    * base table is all-distinct): a full copy of doc_id<100 (exact dups)
+    * and a prefix-truncated copy of doc_id<40 (near dups), with shifted
+    * ids. SQL-expressible so oracles can build the same corpus. */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    d.unionAll(
+        d.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionAll(
+        d.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            col("text").substr(lit(11), lit(100000)).as("text")))
+  }
+
+  private val docsWithDupsSql =
+    """(SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
+        UNION ALL SELECT doc_id + 20000, substr(text, 11) FROM documents WHERE doc_id < 40)"""
+
+  /** Exact dedup groups by content hash (Dedup.exactGroups). */
+  private def dedupExactGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docsWithDups(s, dir), "text", "doc_id")
+      .orderBy("content_hash")
+
+  /** Surviving ids after exact dedup (Dedup.exactDedup). */
+  private def dedupExactSurvivors(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(docsWithDups(s, dir), "text", "doc_id")
+      .select("doc_id")
+      .orderBy("doc_id")
+
+  /** Token counting (TextAnalysis.tokenCount). */
+  private def textTokenCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality-scoring ratios (TextAnalysis alpha/punct/stopword ratios). */
+  private def textQualityRatios(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.meanTokenLen(col("text")).as("mean_token_len"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic (TextAnalysis.languageId) vs the labeled lang. */
+  private def langId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.languageId(col("text")).as("lang_id"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: md5 of the sorted distinct token set. */
+  private def docFingerprints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenSetFingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** MinHash+LSH near-dup pipeline (Dedup.nearDupPairs) over the corpus
+    * with constructed near-dups. No oracle: MinHash permutations are
+    * engine hashes; correctness asserted structurally in OperatorsSpec. */
+  private def minhashNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairs(docsWithDups(s, dir), "text", "doc_id", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs (Dedup.simHashNearDups). No oracle (hash). */
+  private def simhashNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDups(docsWithDups(s, dir), "text", "doc_id", maxDist = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Exact n-gram Jaccard pairs on a small block (brute-force
+    * verification path of the near-dup pipeline) — oracle-checkable. */
+  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithDups(s, dir).filter(col("doc_id") % 10000 < 40)
+    val l = docs.select(col("doc_id").as("id_a"), col("text").as("txt_a"))
+    val r = docs.select(col("doc_id").as("id_b"), col("text").as("txt_b"))
+    l.join(r, col("id_a") < col("id_b"))
+      .withColumn("jaccard", Dedup.jaccard(col("txt_a"), col("txt_b"), 3))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Brute-force dot-product top-k neighbors (Similarity.bruteForceTopK
+    * with dot metric) — the ANN baseline, oracle-checkable. */
+  private def knnDotTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 10), k = 10,
+        metric = Similarity.dot)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding L2 norms (Similarity.l2Norm) — oracle-checkable. */
+  private def embeddingNorms(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(
+        col("vec_id"), col("label").cast("long").as("label"),
+        Similarity.l2Norm(col("embedding")).as("l2_norm"))
+      .orderBy("vec_id")
+
+  /** LSH-bucketed cosine ANN (Similarity.lshTopK) — the 100 TB scale
+    * path; no oracle (bucketing is engine-defined), rows-only. */
+  private def annLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50), k = 5, bits = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Multimodal plumbing: synthetic binary payloads → batched feature
+    * extraction via mapPartitions (decode step stubbed deterministically;
+    * see Multimodal.FakeCodec). Rows-only check. */
+  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val items = Multimodal.syntheticMedia(s, 200)
+    Multimodal.extractFeatures(items, dim = 16).toDF()
+      .select(
+        col("mediaId"), col("kind"), col("featureDim"), col("ok"),
+        md5(concat_ws(",", col("features"))).as("feature_digest"))
+      .orderBy("mediaId")
+  }
+
+  // ==================================================================
   // Registry
   // ==================================================================
 
@@ -292,6 +424,19 @@ object SparkEntry {
     "gap_detection" -> gapDetection _,
     "json_extract" -> jsonExtract _,
     "stream_id_hashing" -> streamIdHashing _,
+    "dedup_exact_groups" -> dedupExactGroups _,
+    "dedup_exact_survivors" -> dedupExactSurvivors _,
+    "text_token_counts" -> textTokenCounts _,
+    "text_quality_ratios" -> textQualityRatios _,
+    "lang_id" -> langId _,
+    "doc_fingerprints" -> docFingerprints _,
+    "minhash_near_dups" -> minhashNearDups _,
+    "simhash_near_dups" -> simhashNearDups _,
+    "ngram_jaccard_pairs" -> ngramJaccardPairs _,
+    "knn_dot_topk" -> knnDotTopK _,
+    "embedding_norms" -> embeddingNorms _,
+    "ann_lsh_topk" -> annLshTopK _,
+    "multimodal_features" -> multimodalFeatures _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_top_revenue" -> q3TopRevenue _,
     "q5_nation_revenue" -> q5NationRevenue _,
@@ -365,6 +510,74 @@ object SparkEntry {
                 starts_with(source, 'src1') AS starts_src1,
                 suffix(source, '1') AS ends_1
          FROM documents ORDER BY doc_id LIMIT 200""",
+    "dedup_exact_groups" ->
+      s"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+          FROM $docsWithDupsSql GROUP BY 1 ORDER BY content_hash""",
+    "dedup_exact_survivors" ->
+      s"""SELECT doc_id FROM $docsWithDupsSql
+          WHERE doc_id IN (SELECT min(doc_id) FROM $docsWithDupsSql GROUP BY md5(text))
+          ORDER BY doc_id""",
+    "text_token_counts" ->
+      """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "text_quality_ratios" ->
+      """SELECT doc_id,
+                length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)::DOUBLE AS alpha_ratio,
+                length(regexp_replace(text, '[^.!?]', '', 'g'))::DOUBLE / length(text)::DOUBLE AS punct_ratio,
+                len(list_filter(string_split_regex(trim(text), '\s+'),
+                    t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                               'that','for','on','with','as','was','at','by','be','this')))::DOUBLE
+                  / len(string_split_regex(trim(text), '\s+'))::DOUBLE AS stopword_ratio,
+                list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t)))::DOUBLE
+                  / len(string_split_regex(trim(text), '\s+'))::DOUBLE AS mean_token_len
+         FROM documents ORDER BY doc_id""",
+    "lang_id" ->
+      """SELECT doc_id, lang, CASE
+           WHEN greatest(e, d, f, sp) = 0 THEN 'unknown'
+           WHEN sp > greatest(e, d, f) THEN 'es'
+           WHEN f > greatest(e, d) THEN 'fr'
+           WHEN d > e THEN 'de'
+           ELSE 'en' END AS lang_id
+         FROM (SELECT doc_id, lang,
+                 len(list_filter(ts, t -> t IN ('the','and','of','to','in','is','that','it','for','was'))) AS e,
+                 len(list_filter(ts, t -> t IN ('der','die','das','und','ist','nicht','mit','ein','zu','von'))) AS d,
+                 len(list_filter(ts, t -> t IN ('le','la','les','et','est','pas','pour','que','une','dans'))) AS f,
+                 len(list_filter(ts, t -> t IN ('el','la','los','y','es','no','por','que','una','para'))) AS sp
+               FROM (SELECT doc_id, lang,
+                       string_split_regex(trim(lower(text)), '\s+') AS ts
+                     FROM documents))
+         ORDER BY doc_id""",
+    "doc_fingerprints" ->
+      """SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(
+                    string_split_regex(trim(text), '\s+'))), ' ')) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+    "ngram_jaccard_pairs" ->
+      s"""WITH docs AS (SELECT doc_id, trim(text) AS text
+                        FROM $docsWithDupsSql dd WHERE doc_id % 10000 < 40),
+          sh AS (SELECT doc_id,
+                   list_distinct([substr(text, i, 3) FOR i IN range(1, greatest(length(text)-2, 1)+1)]) AS s
+                 FROM docs)
+          SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    "knn_dot_topk" ->
+      """SELECT query_id, neighbor_id, score,
+                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, len(q.embedding)+1),
+                   i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) AS score
+               FROM embeddings q, embeddings c
+               WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         QUALIFY rank <= 10 ORDER BY query_id, rank""",
+    "embedding_norms" ->
+      """SELECT vec_id, CAST(label AS BIGINT) AS label,
+                sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS l2_norm
+         FROM embeddings ORDER BY vec_id""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks for the LLM-pipeline operators (the paths the DuckDB
+  * oracle can't express: engine-hash MinHash/SimHash/LSH, multimodal). */
+class OperatorsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def embeddings = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup keeps min-id per duplicate group") {
+    val dup = docs.select("doc_id", "text").unionAll(
+      docs.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+    val out = Dedup.exactDedup(dup, "text", "doc_id")
+    assert(out.count() === docs.count())
+    assert(out.agg(max("doc_id")).head().getLong(0) < 1000)
+  }
+
+  test("minhash signatures: identical texts identical, length k") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+                 (2L, "the quick brown fox jumps over the lazy dog"),
+                 (3L, "completely different content with other words entirely"))
+      .toDF("doc_id", "text")
+      .withColumn("sig", Dedup.minHashSignature(col("text"), k = 16))
+    val rows = df.select("doc_id", "sig").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(1L) === rows(2L))
+    assert(rows(1L) !== rows(3L))
+    assert(rows(1L).length === 16)
+  }
+
+  test("minhash-LSH near-dup pipeline finds planted near-duplicates") {
+    val base = docs.select("doc_id", "text").limit(50)
+    val planted = base.select((col("doc_id") + 10000).as("doc_id"),
+      col("text").substr(lit(9), lit(1000000)).as("text"))
+    val pairs = Dedup.nearDupPairs(base.unionAll(planted), "text", "doc_id",
+      threshold = 0.5, k = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // most planted pairs (x, x+10000) must be recovered
+    val recovered = (0L until 50L).count(i => pairs.contains((i, i + 10000)))
+    assert(recovered >= 40, s"recovered only $recovered/50 planted near-dups")
+    // and no wildly-false positives between unrelated docs dominate
+    assert(pairs.size <= 200)
+  }
+
+  test("simhash: identical texts collide, near texts are close, distance works") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+                 (2L, "alpha beta gamma delta epsilon zeta"),
+                 (3L, "alpha beta gamma delta epsilon eta"),
+                 (4L, "one two three four five six seven"))
+      .toDF("id", "text").withColumn("code", Dedup.simHash(col("text")))
+    val codes = df.select("id", "code").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(codes(1L) === codes(2L))
+    assert(ham(codes(1L), codes(3L)) < ham(codes(1L), codes(4L)))
+  }
+
+  test("brute-force cosine top-k: planted duplicate vector ranks first") {
+    val emb = embeddings.select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 9999).as("vec_id"), col("embedding"))
+    val corpus = emb.unionAll(planted)
+    val top = Similarity.bruteForceTopK(corpus, emb.filter(col("vec_id") === 0), k = 3)
+      .filter(col("rank") === 1).head()
+    assert(top.getLong(1) === 9999L) // the exact copy is rank 1
+    assert(math.abs(top.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("lsh top-k returns subset consistent with brute force buckets") {
+    val emb = embeddings.select("vec_id", "embedding")
+    val res = Similarity.lshTopK(emb, emb.limit(20), k = 5, bits = 4)
+    assert(res.count() > 0)
+    // every (query, neighbor) pair must share the sign-LSH bucket
+    val withBuckets = res.join(
+        emb.select(col("vec_id").as("query_id"), Similarity.signBits(col("embedding"), 4).as("qb")), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), Similarity.signBits(col("embedding"), 4).as("nb")), "neighbor_id")
+    assert(withBuckets.filter(col("qb") =!= col("nb")).count() === 0)
+  }
+
+  test("multimodal: features deterministic, frames sampled per duration") {
+    val items = Multimodal.syntheticMedia(spark, 30)
+    val f1 = Multimodal.extractFeatures(items, dim = 8).collect().sortBy(_.mediaId)
+    val f2 = Multimodal.extractFeatures(items, dim = 8).collect().sortBy(_.mediaId)
+    assert(f1.map(_.features.toSeq).toSeq === f2.map(_.features.toSeq).toSeq)
+    assert(f1.forall(_.features.length === 8))
+    val frames = Multimodal.sampleFrames(items, everyMs = 5000)
+    assert(frames.count() > 0)
+    val perVideo = frames.groupByKey(_.mediaId).count().collect().toMap
+    val durations = items.filter(_.kind == "video").collect().map(m => m.mediaId -> m.durationMs).toMap
+    durations.foreach { case (id, d) =>
+      assert(perVideo(id) === math.max(1, (d / 5000).toInt))
+    }
+  }
+
+  test("text analysis projection has sane values") {
+    val out = TextAnalysis.analyze(docs).collect()
+    assert(out.forall(r => r.getAs[Long]("n_tokens") > 0))
+    assert(out.forall { r =>
+      val q = r.getAs[Double]("quality"); q >= 0.0 && q <= 1.0
+    })
+    val langs = out.map(_.getAs[String]("lang_id")).toSet
+    assert(langs.contains("en"))
+  }
+}
