@@ -1,25 +1,105 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * $SPARK_GRAFT_SF_DIR (default sf0.1) plus stream-store scenarios
+  * mirroring the reference's LoadTests (read-all scan, append throughput,
+  * subscription catch-up — BASELINE.md), and prints ONE JSON line.
+  *
+  * Queries execute via the `noop` sink so the full plan runs (a bare
+  * count() would let Spark skip projections). Each query runs twice;
+  * the second (warm) time is reported — the driver compares engine
+  * efficiency, not JVM warmup.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    // warmup: touch every table once so OS cache/codec init is off the clock
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      def once(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try { once(); results(name) = time(once()) }
+      catch { case _: Throwable => results(name) = -1.0 }
+    }
+
+    results ++= storeScenarios(spark)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Stream-store scenarios mirroring the reference LoadTests
+    * (src/LoadTests: ReadAllForwards, AppendExpectedVersionAnyParallel,
+    * StreamSubscription). */
+  private def storeScenarios(spark: SparkSession): Seq[(String, Double)] = {
+    import graft.core._
+    import graft.store.SparkStreamStore
+    import graft.streaming.Subscriptions
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val store = new SparkStreamStore(spark, dir)
+    def mid(n: Int) = f"00000000-0000-0000-0000-$n%012d"
+    val payload = """{"data":"""" + "x" * 256 + """"}"""
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val nBatches = 20
+    val batch = 100
+    val appendSec = time {
+      (0 until nBatches).foreach { b =>
+        val msgs = (0 until batch).map(i => NewStreamMessage(mid(b * batch + i), "t", payload))
+        store.appendToStream(s"stream-${b % 8}", ExpectedVersion.Any, msgs)
+      }
+    }
+
+    val readAllSec = time {
+      var page = store.readAllForwards(Position.Start, maxCount = 1000)
+      var n = page.messages.size
+      while (!page.isEnd) { page = page.readNext(); n += page.messages.size }
+      require(n == nBatches * batch, s"scan saw $n messages")
+    }
+
+    val catchupSec = time {
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val seen = new java.util.concurrent.atomic.AtomicLong
+      val sub = Subscriptions.subscribeToAll(store, None,
+        _ => seen.incrementAndGet(),
+        caughtUp => if (caughtUp && seen.get() >= nBatches * batch) latch.countDown(),
+        pageSize = 1000)
+      latch.await(120, java.util.concurrent.TimeUnit.SECONDS)
+      sub.close()
+    }
+
+    store.close()
+    Seq(
+      "store_append_2k_msgs" -> appendSec,
+      "store_read_all_scan" -> readAllSec,
+      "store_subscription_catchup" -> catchupSec)
   }
 }

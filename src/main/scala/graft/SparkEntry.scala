@@ -159,15 +159,17 @@ object SparkEntry {
       .orderBy("user_id")
 
   /** #42 gap detection over the position sequence
-    * (ref: ReadonlyStreamStoreBase.cs:65-92). */
+    * (ref: ReadonlyStreamStoreBase.cs:65-92). Positions are distinct, so
+    * `x` starts a run iff `x-1` is absent; adjacent-gap count = run
+    * starts − 1. Expressed as a hash-partitioned anti self-join rather
+    * than `lag` over an unpartitioned window (which would sort the whole
+    * log in one partition — a non-starter at 100 TB). */
   private def gapDetection(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("event_id")
-    t(s, dir, "events")
-      .select(col("event_id"))
-      .withColumn("d", col("event_id") - lag("event_id", 1).over(w))
-      .agg(
-        count(when(col("d") > 1, 1)).as("gaps"),
-        count(lit(1)).as("n"))
+    val ids = t(s, dir, "events").select(col("event_id"))
+    val pred = ids.select((col("event_id") + 1).as("event_id"))
+    val gaps = ids.join(pred, Seq("event_id"), "left_anti")
+      .agg((count(lit(1)) - 1).as("gaps"))
+    gaps.crossJoin(ids.agg(count(lit(1)).as("n")))
   }
 
   /** §2.9 JSON payload field extraction (ref: AppendToStream.sql:27
@@ -314,6 +316,12 @@ object SparkEntry {
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       .orderBy("doc_id")
 
+  /** BPE-ish subword token estimate (TextAnalysis.bpeTokenEstimate). */
+  private def textBpeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.bpeTokenEstimate(col("text")).as("n_bpe"))
+      .orderBy("doc_id")
+
   /** Quality-scoring ratios (TextAnalysis alpha/punct/stopword ratios). */
   private def textQualityRatios(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -391,6 +399,14 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-dup pairs, sign-LSH bucketed
+    * (Similarity.cosineNearDupPairs) — oracle-checkable: the bucket code
+    * is deterministic (signs of the first 8 dims) and cosine is exact
+    * left-to-right double math on both sides. */
+  private def cosineNearDups(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)
+      .orderBy("id_a", "id_b")
+
   /** Multimodal plumbing: synthetic binary payloads → batched feature
     * extraction via mapPartitions (decode step stubbed deterministically;
     * see Multimodal.FakeCodec). Rows-only check. */
@@ -427,6 +443,7 @@ object SparkEntry {
     "dedup_exact_groups" -> dedupExactGroups _,
     "dedup_exact_survivors" -> dedupExactSurvivors _,
     "text_token_counts" -> textTokenCounts _,
+    "text_bpe_tokens" -> textBpeTokens _,
     "text_quality_ratios" -> textQualityRatios _,
     "lang_id" -> langId _,
     "doc_fingerprints" -> docFingerprints _,
@@ -436,6 +453,7 @@ object SparkEntry {
     "knn_dot_topk" -> knnDotTopK _,
     "embedding_norms" -> embeddingNorms _,
     "ann_lsh_topk" -> annLshTopK _,
+    "cosine_near_dups" -> cosineNearDups _,
     "multimodal_features" -> multimodalFeatures _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_top_revenue" -> q3TopRevenue _,
@@ -520,6 +538,13 @@ object SparkEntry {
     "text_token_counts" ->
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
          FROM documents ORDER BY doc_id""",
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+                list_sum(list_transform(
+                  regexp_extract_all(trim(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+                  p -> 1 + CASE WHEN regexp_matches(p, '^[A-Za-z]+$')
+                                THEN (length(p) - 1) // 6 ELSE 0 END)) AS n_bpe
+         FROM documents ORDER BY doc_id""",
     "text_quality_ratios" ->
       """SELECT doc_id,
                 length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)::DOUBLE AS alpha_ratio,
@@ -573,6 +598,21 @@ object SparkEntry {
                FROM embeddings q, embeddings c
                WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
          QUALIFY rank <= 10 ORDER BY query_id, rank""",
+    "cosine_near_dups" ->
+      """WITH v AS (SELECT vec_id AS id, embedding AS vec,
+                      list_sum(list_transform(range(1, 9),
+                        i -> CASE WHEN embedding[i] > 0 THEN 1 << (i-1) ELSE 0 END)) AS bucket
+                    FROM embeddings)
+         SELECT id_a, id_b, score FROM (
+           SELECT l.id AS id_a, r.id AS id_b,
+                  list_sum(list_transform(range(1, len(l.vec)+1),
+                    i -> CAST(l.vec[i] AS DOUBLE) * CAST(r.vec[i] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(range(1, len(l.vec)+1),
+                       i -> CAST(l.vec[i] AS DOUBLE) * CAST(l.vec[i] AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(range(1, len(r.vec)+1),
+                       i -> CAST(r.vec[i] AS DOUBLE) * CAST(r.vec[i] AS DOUBLE))))) AS score
+           FROM v l JOIN v r ON l.bucket = r.bucket AND l.id < r.id)
+         WHERE score >= 0.35 ORDER BY id_a, id_b""",
     "embedding_norms" ->
       """SELECT vec_id, CAST(label AS BIGINT) AS label,
                 sqrt(list_sum(list_transform(range(1, len(embedding)+1),

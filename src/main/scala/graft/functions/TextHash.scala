@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnGlue
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-hashing hot path.
+  *
+  * The same computations are expressible with built-in higher-order
+  * functions (`transform`/`aggregate`/`zip_with` — see git history of
+  * [[graft.operators.Dedup]]), but HOF lambdas are interpreted per array
+  * element: a MinHash signature is k×|shingles| ≈ 10^4 lambda invocations
+  * per document, which dominated the whole-pipeline runtime. These
+  * expressions run the identical math as one tight JIT'd loop per row and
+  * stay inside whole-stage codegen (`doGenCode` emits a static call), per
+  * the custom-operator preference order (Expression with doGenCode over
+  * UDF).
+  *
+  * Hash compatibility: bit-identical to the HOF formulation —
+  * `xxhash64(s)` = XXH64(bytes, seed=42) and `xxhash64(h, j)` =
+  * hashLong(j, hashLong(h, 42)) — asserted by NativeFunctionsSpec.
+  */
+object TextHash {
+
+  /** MinHash signature of `text`'s character `shingleSize`-shingles:
+    * array of k minima over seed-mixed shingle hashes. */
+  def minHashSignature(text: Column, k: Int, shingleSize: Int): Column =
+    ColumnGlue.column(MinHashSig(ColumnGlue.expression(text), k, shingleSize))
+
+  /** 64-bit SimHash over whitespace tokens: each token's hash votes ±1
+    * per bit position; positive votes set the bit. */
+  def simHash64(text: Column): Column =
+    ColumnGlue.column(SimHash64(ColumnGlue.expression(text)))
+
+  private val Seed = 42L // xxhash64's fixed seed
+
+  /** = xxhash64(string): XXH64 over the UTF-8 bytes, seed 42. */
+  def hashString(s: String): Long = {
+    val b = UTF8String.fromString(s)
+    XXH64.hashUnsafeBytes(b.getBaseObject, b.getBaseOffset, b.numBytes(), Seed)
+  }
+
+  /** = xxhash64(h, j) with long h and int j: fold the running hash
+    * through both values (int seeds hash via hashInt, as the built-in
+    * does for IntegerType inputs). */
+  def mix(h: Long, j: Int): Long = XXH64.hashInt(j, XXH64.hashLong(h, Seed))
+
+  /** Imperative core of [[MinHashSig]] (called from generated code). */
+  def minHashEval(input: UTF8String, k: Int, shingleSize: Int): ArrayData = {
+    val s = input.trim().toString
+    val len = s.length
+    // distinct shingle hashes (identical shingles hash identically, so
+    // distinct-by-hash ≡ array_distinct on the shingle strings)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val last = math.max(len - shingleSize, 0)
+    var i = 0
+    while (i <= last) {
+      seen.add(hashString(s.substring(i, math.min(i + shingleSize, len))))
+      i += 1
+    }
+    val hashes = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { hashes(i) = it.next(); i += 1 }
+    val sig = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      var min = Long.MaxValue
+      var x = 0
+      while (x < hashes.length) {
+        val m = mix(hashes(x), j)
+        if (m < min) min = m
+        x += 1
+      }
+      sig(j) = min
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Imperative core of [[SimHash64]] (called from generated code). */
+  def simHashEval(input: UTF8String): Long = {
+    val tokens = input.trim().toString.split("\\s+", -1)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < tokens.length) {
+      val h = hashString(tokens(t))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var code = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) code |= (1L << b)
+      b += 1
+    }
+    code
+  }
+}
+
+/** `minhash_sig(text)`: ArrayType(LongType) MinHash signature. */
+case class MinHashSig(child: Expression, k: Int, shingleSize: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minHashEval(input.asInstanceOf[UTF8String], k, shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minHashEval($c, $k, $shingleSize)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `simhash64(text)`: LongType SimHash code. */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simHashEval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simHashEval($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

@@ -44,16 +44,14 @@ object Dedup {
     transform(array_distinct(TextAnalysis.charShingles(text, shingleSize)), s => xxhash64(s))
 
   /** MinHash signature: array of k minima over seed-mixed shingle hashes
-    * (hash family j = xxhash64(shingleHash, j); re-hashing beats affine
-    * mixing under ANSI arithmetic — no overflow semantics to dodge).
-    * Pure column expression — computed in the scan projection, zero
-    * shuffle. */
-  def minHashSignature(text: Column, k: Int = 32, shingleSize: Int = 5): Column = {
-    val hashes = shingleHashes(text, shingleSize)
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(hashes, h => xxhash64(h, j))))
-  }
+    * (hash family j = xxhash64(shingleHash, j)). A native Catalyst
+    * expression ([[graft.functions.MinHashSig]]): the identical math is
+    * expressible with `transform`/`array_min` HOFs, but those interpret
+    * one lambda per (seed × shingle) — ~10^4 invocations per document —
+    * while the native expression is one JIT'd loop per row inside
+    * whole-stage codegen. Computed in the scan projection, zero shuffle. */
+  def minHashSignature(text: Column, k: Int = 32, shingleSize: Int = 5): Column =
+    graft.functions.TextHash.minHashSignature(text, k, shingleSize)
 
   /** LSH band hashes: the signature split into `bands` groups of
     * `k/bands` values, each group hashed to one bucket key. */
@@ -115,23 +113,10 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** 64-bit SimHash of the token set: each token's hash votes ±1 per bit;
-    * the sign vector is packed into one long. One pass, no shuffle. */
-  def simHash(text: Column): Column = {
-    val ts = TextAnalysis.tokens(text)
-    val votes = aggregate(
-      ts,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, i) => a + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
-      lit(0L),
-      (acc, bit) => acc.bitwiseOR(bit))
-  }
+    * the sign vector is packed into one long. Native Catalyst expression
+    * ([[graft.functions.SimHash64]]) — one JIT'd pass per row instead of
+    * 64 interpreted lambda evaluations per token. No shuffle. */
+  def simHash(text: Column): Column = graft.functions.TextHash.simHash64(text)
 
   /** Hamming distance between two 64-bit SimHash codes. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -18,11 +18,11 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   /** Dot product of two float-array columns, accumulated in double in
-    * element order (deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    * element order (deterministic). Native Catalyst expression
+    * ([[graft.functions.DotProductF]]) — same left-to-right math as the
+    * `zip_with`+`aggregate` HOF form (bit-identical results) but one
+    * JIT'd loop per pair instead of per-element interpreted lambdas. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -17,6 +17,19 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-ish subword token estimate: counts matches of a GPT-2-style
+    * pre-tokenizer pattern (letter runs, digit runs, single punctuation),
+    * then charges one extra token per 6 letters of long words — the usual
+    * cheap proxy for byte-pair-encoded token counts when the real
+    * tokenizer can't run in the engine. Pure regexp, codegen'd. */
+  def bpeTokenEstimate(text: Column): Column = {
+    val pieces = regexp_extract_all(trim(text), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+    aggregate(
+      pieces, lit(0L),
+      (acc, p) => acc + lit(1L) +
+        when(p.rlike("^[A-Za-z]+$"), floor((length(p) - 1) / 6.0)).otherwise(lit(0L)))
+  }
+
   /** Character n-gram shingles (sliding window, step 1). */
   def charShingles(text: Column, n: Int): Column = {
     val t = trim(text)

@@ -1,0 +1,43 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Prints the formatted physical plan of selected (or all) gate queries,
+  * plus quick scan health checks: filter pushdown reaching the parquet
+  * scan, pruned read schemas, broadcast joins on small dims, and
+  * whole-stage codegen coverage.
+  *
+  * Run: `sbt "runMain graft.tools.ExplainAudit [sfDir] [query ...]"`.
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        println(s"\n===== $name =====")
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString()
+        df.explain("formatted")
+        // quick health summary
+        val pushed = "PushedFilters: \\[[^\\]]*[A-Za-z][^\\]]*\\]".r.findAllIn(plan).size
+        val bhj = plan.split('\n').count(_.contains("BroadcastHashJoin"))
+        val smj = plan.split('\n').count(_.contains("SortMergeJoin"))
+        val wsc = plan.split('\n').count(_.contains("WholeStageCodegen"))
+        println(s"[audit] $name pushedFilterScans=$pushed broadcastJoins=$bhj sortMergeJoins=$smj codegenSpans=$wsc")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,93 @@
+package graft.functions
+
+import graft.SparkTestSession
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The native Catalyst expressions must be bit-identical to the built-in
+  * HOF formulations they replaced (the HOF forms are kept here as the
+  * executable reference). */
+class NativeFunctionsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumped over the lazy dog",
+    "completely different content here with other words",
+    "short",
+    "  padded   with   whitespace  ",
+    "")
+
+  // --- HOF reference implementations (the replaced formulations) ---
+
+  private def hofMinHash(text: Column, k: Int, shingleSize: Int): Column = {
+    val hashes = transform(
+      array_distinct(TextAnalysis.charShingles(text, shingleSize)), s => xxhash64(s))
+    transform(sequence(lit(0), lit(k - 1)), j => array_min(transform(hashes, h => xxhash64(h, j))))
+  }
+
+  private def hofSimHash(text: Column): Column = {
+    val ts = TextAnalysis.tokens(text)
+    val votes = aggregate(
+      ts, array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, i) => a + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  private def hofDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("MinHashSig matches the HOF formulation bit-for-bit") {
+    val df = texts.toDF("text")
+    val rows = df.select(
+      TextHash.minHashSignature(col("text"), 16, 5).as("native"),
+      hofMinHash(col("text"), 16, 5).as("hof")).collect()
+    rows.foreach { r =>
+      r.getSeq[Long](0) shouldBe r.getSeq[Long](1)
+    }
+  }
+
+  test("SimHash64 matches the HOF formulation bit-for-bit") {
+    val df = texts.toDF("text")
+    val rows = df.select(
+      TextHash.simHash64(col("text")).as("native"),
+      hofSimHash(col("text")).as("hof")).collect()
+    rows.foreach(r => r.getLong(0) shouldBe r.getLong(1))
+  }
+
+  test("DotProductF matches the HOF formulation bit-for-bit") {
+    val vecs = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.1f, -0.2f, 0.3f), Array(-0.4f, 0.5f, -0.6f)),
+      (Array.fill(64)(0.37f), Array.fill(64)(-1.21f)))
+    val df = vecs.toDF("a", "b")
+    val rows = df.select(
+      VectorOps.dot(col("a"), col("b")).as("native"),
+      hofDot(col("a"), col("b")).as("hof")).collect()
+    rows.foreach(r => r.getDouble(0) shouldBe r.getDouble(1))
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    // repartition so the projection sits over an exchange rather than a
+    // LocalTableScan (which is evaluated without codegen)
+    val df = texts.toDF("text").repartition(2).select(
+      TextHash.minHashSignature(col("text"), 8, 5).as("sig"),
+      TextHash.simHash64(col("text")).as("code"))
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString()
+    // `*(n)` prefixes mark operators inside a WholeStageCodegen stage
+    plan should include("*(1) Project [minhash_sig")
+  }
+}
