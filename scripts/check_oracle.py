@@ -58,6 +58,15 @@ def main():
             print(f"  FAIL {name}: rows {len(a)} vs {len(b)}")
             n_fail += 1
             continue
+        # dtype kinds must agree (int vs float hashes differently in the
+        # driver's compare even when values are numerically equal)
+        kind_bad = [(c, a[c].dtype, b[c].dtype) for c in a.columns
+                    if a[c].dtype.kind != b[c].dtype.kind]
+        if kind_bad:
+            c, ka, kb = kind_bad[0]
+            print(f"  FAIL {name}: dtype mismatch col={c}: {ka} vs {kb}")
+            n_fail += 1
+            continue
         bad = None
         for col in a.columns:
             av, bv = a[col].tolist(), b[col].tolist()

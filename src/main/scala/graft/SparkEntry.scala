@@ -351,7 +351,8 @@ object SparkEntry {
     * with constructed near-dups. No oracle: MinHash permutations are
     * engine hashes; correctness asserted structurally in OperatorsSpec. */
   private def minhashNearDups(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupPairs(docsWithDups(s, dir), "text", "doc_id", threshold = 0.5)
+    Dedup.nearDupPairs(docsWithDups(s, dir), "text", "doc_id", threshold = 0.5,
+        maxBucketSize = 10000)
       .orderBy("id_a", "id_b")
 
   /** SimHash near-dup pairs (Dedup.simHashNearDups). No oracle (hash). */
@@ -360,13 +361,17 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
 
   /** Exact n-gram Jaccard pairs on a small block (brute-force
-    * verification path of the near-dup pipeline) — oracle-checkable. */
+    * verification path of the near-dup pipeline) — oracle-checkable.
+    * Each side is shingle-hashed ONCE before the pair join; the per-pair
+    * work is an intersect of long arrays (the DuckDB oracle intersects
+    * the string shingle sets — numerically identical). */
   private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = docsWithDups(s, dir).filter(col("doc_id") % 10000 < 40)
-    val l = docs.select(col("doc_id").as("id_a"), col("text").as("txt_a"))
-    val r = docs.select(col("doc_id").as("id_b"), col("text").as("txt_b"))
+      .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
+    val l = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val r = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     l.join(r, col("id_a") < col("id_b"))
-      .withColumn("jaccard", Dedup.jaccard(col("txt_a"), col("txt_b"), 3))
+      .withColumn("jaccard", Dedup.jaccardFromHashSets(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
@@ -539,11 +544,15 @@ object SparkEntry {
       """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
          FROM documents ORDER BY doc_id""",
     "text_bpe_tokens" ->
+      // CAST AS BIGINT: DuckDB's list_sum yields HUGEINT, which pandas
+      // renders as float64 ("6.0") — the driver's hash compare then
+      // diverges from Spark's int64 even though values are equal (the
+      // round-1 red row). BIGINT makes both sides int64.
       """SELECT doc_id,
-                list_sum(list_transform(
+                CAST(list_sum(list_transform(
                   regexp_extract_all(trim(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
                   p -> 1 + CASE WHEN regexp_matches(p, '^[A-Za-z]+$')
-                                THEN (length(p) - 1) // 6 ELSE 0 END)) AS n_bpe
+                                THEN (length(p) - 1) // 6 ELSE 0 END)) AS BIGINT) AS n_bpe
          FROM documents ORDER BY doc_id""",
     "text_quality_ratios" ->
       """SELECT doc_id,

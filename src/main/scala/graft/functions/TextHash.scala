@@ -31,6 +31,21 @@ object TextHash {
   def minHashSignature(text: Column, k: Int, shingleSize: Int): Column =
     ColumnGlue.column(MinHashSig(ColumnGlue.expression(text), k, shingleSize))
 
+  /** Sorted distinct 64-bit hashes of `text`'s character shingles —
+    * the per-document set representation that the near-dup verify stage
+    * intersects. Computed ONCE per document in the scan projection (vs
+    * re-shingling per candidate pair, which made verification O(pairs ×
+    * doc-length) and dominated the round-1 bench). */
+  def shingleHashes(text: Column, shingleSize: Int): Column =
+    ColumnGlue.column(ShingleHashes(ColumnGlue.expression(text), shingleSize))
+
+  /** MinHash signature from a precomputed shingle-hash array. Guarantee
+    * (asserted by NativeFunctionsSpec): minHashFromHashes(shingleHashes(t,
+    * n), k) is bit-identical to minHashSignature(t, k, n), so pipelines can
+    * share one shingling pass between signature and verify stages. */
+  def minHashFromHashes(hashes: Column, k: Int): Column =
+    ColumnGlue.column(MinHashFromHashes(ColumnGlue.expression(hashes), k))
+
   /** 64-bit SimHash over whitespace tokens: each token's hash votes ±1
     * per bit position; positive votes set the bit. */
   def simHash64(text: Column): Column =
@@ -49,12 +64,12 @@ object TextHash {
     * does for IntegerType inputs). */
   def mix(h: Long, j: Int): Long = XXH64.hashInt(j, XXH64.hashLong(h, Seed))
 
-  /** Imperative core of [[MinHashSig]] (called from generated code). */
-  def minHashEval(input: UTF8String, k: Int, shingleSize: Int): ArrayData = {
+  /** Distinct shingle hashes of trimmed text (identical shingles hash
+    * identically, so distinct-by-hash ≡ array_distinct on the shingle
+    * strings). */
+  private def distinctShingleHashes(input: UTF8String, shingleSize: Int): Array[Long] = {
     val s = input.trim().toString
     val len = s.length
-    // distinct shingle hashes (identical shingles hash identically, so
-    // distinct-by-hash ≡ array_distinct on the shingle strings)
     val seen = new java.util.HashSet[java.lang.Long]()
     val last = math.max(len - shingleSize, 0)
     var i = 0
@@ -66,6 +81,11 @@ object TextHash {
     val it = seen.iterator()
     i = 0
     while (it.hasNext) { hashes(i) = it.next(); i += 1 }
+    hashes
+  }
+
+  /** Signature = k minima over seed-mixed shingle hashes. */
+  private def signatureOf(hashes: Array[Long], k: Int): ArrayData = {
     val sig = new Array[Long](k)
     var j = 0
     while (j < k) {
@@ -81,6 +101,21 @@ object TextHash {
     }
     new GenericArrayData(sig)
   }
+
+  /** Imperative core of [[MinHashSig]] (called from generated code). */
+  def minHashEval(input: UTF8String, k: Int, shingleSize: Int): ArrayData =
+    signatureOf(distinctShingleHashes(input, shingleSize), k)
+
+  /** Imperative core of [[ShingleHashes]] (called from generated code). */
+  def shingleHashEval(input: UTF8String, shingleSize: Int): ArrayData = {
+    val hashes = distinctShingleHashes(input, shingleSize)
+    java.util.Arrays.sort(hashes)
+    new GenericArrayData(hashes)
+  }
+
+  /** Imperative core of [[MinHashFromHashes]] (called from generated code). */
+  def minHashFromHashesEval(input: ArrayData, k: Int): ArrayData =
+    signatureOf(input.toLongArray(), k)
 
   /** Imperative core of [[SimHash64]] (called from generated code). */
   def simHashEval(input: UTF8String): Long = {
@@ -121,6 +156,44 @@ case class MinHashSig(child: Expression, k: Int, shingleSize: Int)
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minHashEval($c, $k, $shingleSize)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `shingle_hashes(text)`: sorted distinct ArrayType(LongType) shingle
+  * hashes — the document's set representation for Jaccard verification. */
+case class ShingleHashes(child: Expression, shingleSize: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.shingleHashEval(input.asInstanceOf[UTF8String], shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.shingleHashEval($c, $shingleSize)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `minhash_from_hashes(hashes)`: signature from a precomputed shingle-hash
+  * array; bit-identical to [[MinHashSig]] over the originating text. */
+case class MinHashFromHashes(child: Expression, k: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_from_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minHashFromHashesEval(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minHashFromHashesEval($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromHashes =
     copy(child = newChild)
 }
 

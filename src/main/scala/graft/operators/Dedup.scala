@@ -39,9 +39,14 @@ object Dedup {
   // MinHash + LSH
   // ------------------------------------------------------------------
 
-  /** 64-bit hashes of character shingles. */
+  /** Sorted distinct 64-bit hashes of character shingles — one native
+    * expression pass per document ([[graft.functions.ShingleHashes]]);
+    * equals array_sort(transform(array_distinct(charShingles(text)),
+    * xxhash64)). This array is the document's set representation: the
+    * signature derives from it AND the verify stage intersects it, so
+    * shingling runs once per doc, never per candidate pair. */
   def shingleHashes(text: Column, shingleSize: Int): Column =
-    transform(array_distinct(TextAnalysis.charShingles(text, shingleSize)), s => xxhash64(s))
+    graft.functions.TextHash.shingleHashes(text, shingleSize)
 
   /** MinHash signature: array of k minima over seed-mixed shingle hashes
     * (hash family j = xxhash64(shingleHash, j)). A native Catalyst
@@ -62,27 +67,47 @@ object Dedup {
       b => xxhash64(concat_ws("|", slice(signature, b * rows + 1, lit(rows)))))
   }
 
-  /** Candidate near-duplicate pairs via LSH: docs sharing any band bucket.
-    * Only (band, bucket, id) tuples shuffle — never the text. */
-  def lshCandidatePairs(
-      df: DataFrame, textCol: String, idCol: String,
-      k: Int = 32, bands: Int = 8, shingleSize: Int = 5): DataFrame = {
-    val sig = df.select(
-      col(idCol).as("id"),
-      posexplode(lshBandHashes(minHashSignature(col(textCol), k, shingleSize), bands, k))
+  /** All C(n,2) ordered pairs from a sorted id array (id_a < id_b). */
+  private def pairCombos(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+
+  /** Candidate pairs from a (id, sh) frame of precomputed shingle-hash
+    * arrays: docs sharing any band bucket. One signature pass; only
+    * (band, bucket, id) tuples shuffle — never text or hash arrays —
+    * then pairs are expanded inside each bucket group (no self-join, so
+    * the signature projection is executed once, not once per join side).
+    * Buckets larger than `maxBucketSize` are skipped: a mega-bucket is
+    * exact-dup- or boilerplate-shaped (C(n,2) candidate blow-up at scale)
+    * and belongs to [[exactDedup]]; the cap bounds per-bucket work. */
+  def lshCandidatePairsFromHashes(
+      withSh: DataFrame, k: Int, bands: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val sig = withSh.select(
+      col("id"),
+      posexplode(lshBandHashes(graft.functions.TextHash.minHashFromHashes(col("sh"), k), bands, k))
         .as(Seq("band", "bucket")))
-    val l = sig.as("l")
-    val r = sig.as("r")
-    l.join(r,
-        col("l.band") === col("r.band") &&
-        col("l.bucket") === col("r.bucket") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    sig.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
 
+  /** Candidate near-duplicate pairs via LSH over raw text columns. */
+  def lshCandidatePairs(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 32, bands: Int = 8, shingleSize: Int = 5): DataFrame =
+    lshCandidatePairsFromHashes(
+      df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("sh")),
+      k, bands)
+
   /** Exact n-gram Jaccard similarity between two texts' distinct shingle
-    * sets. */
+    * sets — the string-set reference formulation. The scale path is
+    * [[jaccardFromHashSets]] over precomputed arrays; values are equal
+    * (64-bit shingle hashing is collision-free at any realistic corpus). */
   def jaccard(textA: Column, textB: Column, shingleSize: Int): Column = {
     val sa = array_distinct(TextAnalysis.charShingles(textA, shingleSize))
     val sb = array_distinct(TextAnalysis.charShingles(textB, shingleSize))
@@ -90,20 +115,46 @@ object Dedup {
       size(array_union(sa, sb)).cast("double")
   }
 
+  /** Jaccard similarity of two precomputed distinct shingle-hash arrays:
+    * |∩| / (|A| + |B| − |∩|). Intersects longs, never re-shingles text. */
+  def jaccardFromHashSets(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    inter / (size(sa).cast("double") + size(sb).cast("double") - inter)
+  }
+
   /** Full MinHash-LSH near-dup pipeline: candidates from LSH buckets,
-    * verified with exact shingle Jaccard ≥ threshold. Returns
-    * (id_a, id_b, jaccard). The join back to text touches only candidate
-    * ids (broadcast when candidate set is small). */
+    * verified with exact shingle-set Jaccard ≥ threshold. Returns
+    * (id_a, id_b, jaccard).
+    *
+    * Scale shape: each doc is shingle-hashed ONCE in the scan projection;
+    * the signature derives from that array and the verify stage joins
+    * candidates back to the same arrays and intersects longs
+    * ([[jaccardFromHashSets]]) — round 1 re-shingled text per candidate
+    * pair, which was 60% of the whole bench. */
   def nearDupPairs(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
-      shingleSize: Int = 5): DataFrame = {
-    val cands = lshCandidatePairs(df, textCol, idCol, k, bands, shingleSize)
+      shingleSize: Int = 5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val docs = df.select(col(idCol).as("id"), col(textCol).as("txt"))
-    cands
-      .join(docs.withColumnRenamed("id", "id_a").withColumnRenamed("txt", "txt_a"), "id_a")
-      .join(docs.withColumnRenamed("id", "id_b").withColumnRenamed("txt", "txt_b"), "id_b")
-      .withColumn("jaccard", jaccard(col("txt_a"), col("txt_b"), shingleSize))
+    // The whole pipeline is ONE linear DAG: Spark re-executes subplans
+    // referenced from several branches, so candidate generation runs one
+    // full-corpus signature pass, and verification joins the candidate
+    // ids (broadcast — tiny) back to the corpus, shingling only matched
+    // rows after the join, then groups each pair's two arrays together.
+    // Full-corpus shingle arrays are never materialized or shuffled; the
+    // only array shuffle is candidate docs, bounded by the bucket cap.
+    val withSh = docs.select(col("id"), shingleHashes(col("txt"), shingleSize).as("sh"))
+    val cands = lshCandidatePairsFromHashes(withSh, k, bands, maxBucketSize)
+    val sides = cands.select(
+      col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as("id"))
+    docs.join(broadcast(sides), Seq("id"))
+      .select(col("id_a"), col("id_b"), shingleHashes(col("txt"), shingleSize).as("sh"))
+      .groupBy("id_a", "id_b")
+      .agg(collect_list(col("sh")).as("shs"))
+      // exactly two rows per pair (ids unique; pairs distinct); jaccard is
+      // symmetric, so collect_list order does not matter
+      .withColumn("jaccard", jaccardFromHashSets(element_at(col("shs"), 1), element_at(col("shs"), 2)))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

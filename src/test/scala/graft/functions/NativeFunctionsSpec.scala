@@ -59,6 +59,24 @@ class NativeFunctionsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("ShingleHashes matches the HOF formulation bit-for-bit") {
+    val df = texts.toDF("text")
+    val hof = array_sort(transform(
+      array_distinct(TextAnalysis.charShingles(col("text"), 5)), s => xxhash64(s)))
+    val rows = df.select(
+      TextHash.shingleHashes(col("text"), 5).as("native"),
+      hof.as("hof")).collect()
+    rows.foreach(r => r.getSeq[Long](0) shouldBe r.getSeq[Long](1))
+  }
+
+  test("MinHashFromHashes over ShingleHashes equals MinHashSig") {
+    val df = texts.toDF("text")
+    val rows = df.select(
+      TextHash.minHashFromHashes(TextHash.shingleHashes(col("text"), 5), 16).as("from_hashes"),
+      TextHash.minHashSignature(col("text"), 16, 5).as("direct")).collect()
+    rows.foreach(r => r.getSeq[Long](0) shouldBe r.getSeq[Long](1))
+  }
+
   test("SimHash64 matches the HOF formulation bit-for-bit") {
     val df = texts.toDF("text")
     val rows = df.select(
