@@ -51,9 +51,9 @@ object Deleted {
   val StreamDeletedMessageType = "$stream-deleted"
   val MessageDeletedMessageType = "$message-deleted"
   def streamDeletedPayload(streamId: String): String =
-    s"""{"streamId":${Json.quote(streamId)}}"""
+    s"""{"StreamId":${Json.quote(streamId)}}"""
   def messageDeletedPayload(streamId: String, messageId: String): String =
-    s"""{"streamId":${Json.quote(streamId)},"messageId":${Json.quote(messageId)}}"""
+    s"""{"StreamId":${Json.quote(streamId)},"MessageId":${Json.quote(messageId)}}"""
 }
 
 /** Metadata shadow-stream naming: metadata for stream `s` lives in `$$s`.

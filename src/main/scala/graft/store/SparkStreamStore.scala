@@ -2,38 +2,61 @@ package graft.store
 
 import graft.core._
 
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import java.sql.Timestamp
+import java.nio.charset.StandardCharsets
 import java.util.UUID
 import java.util.concurrent.Executors
+import java.util.concurrent.locks.ReentrantReadWriteLock
 import scala.collection.mutable
 
 /** Spark-native stream store over an append-only parquet log.
   *
-  * Architecture (SURVEY.md §7): the `messages` parquet directory is the
-  * single source of truth; per-stream heads, the global position
-  * high-water mark, and retention settings are driver-side state rebuilt
-  * on open by one Spark aggregation (`groupBy(streamId).agg(max…)`), which
-  * is the recovery path the reference gets for free from its RDBMS.
+  * Architecture (SURVEY.md §7): the `messages/` parquet directory is the
+  * source of truth for message payloads; `heads/` holds an append-only
+  * head-state journal (the reference's denormalized `streams` table,
+  * `Tables.sql:4-15`, as an LSM-style log); `tombstones/` holds logical
+  * deletes applied as filters at read time and merged physically by
+  * [[compact]].
   *
-  * Concurrency model: all mutation is serialized through this object
-  * (single logical writer) — the consistency/transaction boundary the
-  * reference obtains from DB transactions ("the stream as the consistency
-  * and transaction boundary", reference README.md:25). Reads are pure
-  * DataFrame pipelines and can run concurrently.
+  * Write path: appends are written directly from the single-writer driver
+  * with a parquet file writer — no Spark job per append, mirroring the
+  * reference's one-round-trip batch insert (`AppendToStream.sql:100-113`).
+  * One sorted file per batch; parquet min/max stats give position-range
+  * skipping on the read side.
   *
-  * Scale design (100 TB): the log is written one compact parquet file per
-  * append batch, sorted by `position`, so parquet min/max stats give the
-  * optimizer position-range skipping; reads are single-table index-shaped
-  * scans (filter → orderBy → limit ⇒ `TakeOrderedAndProject`, no shuffle).
-  * Per-stream reads push an equality filter on `streamId` to the scan. A
-  * size-tiered [[compact]] job bounds file count; at cluster scale the
-  * same layout would be bucketed by `streamId` and the driver-side heads
-  * map becomes a small broadcast table.
+  * Delete path: `deleteStream` / `deleteMessage` / MaxCount scavenge /
+  * MaxAge purge write small tombstone records (logical deletes) instead of
+  * rewriting the log — the rewrite happens once, in [[compact]]. Stream
+  * tombstones and scavenge cutoffs are position-scoped so a stream
+  * re-created after deletion is unaffected by older tombstones.
+  *
+  * Concurrency model: all mutation is serialized through `this` (single
+  * logical writer) — the consistency boundary the reference obtains from
+  * DB transactions ("the stream as the consistency and transaction
+  * boundary", reference README.md:25). Reads snapshot driver state under
+  * the lock but run their Spark jobs outside it, so subscription polling
+  * does not contend with appends; only [[compact]] (which swaps files)
+  * excludes readers, via a read-write structure lock.
+  *
+  * Durability: the heads journal is written on every rare mutation
+  * (delete, metadata, empty-stream creation), every `journalEvery`
+  * appends, and on [[close]]. Recovery = journal replay + a tail scan of
+  * the log above the journal's position watermark, so reopening after a
+  * clean close is O(journal), not O(log). Heads never regress: deleting a
+  * stream's newest message keeps the stream's version/position, as the
+  * reference's `streams` table does.
   *
   * Semantics ported from the reference (file:line cites on each member).
   */
@@ -42,26 +65,58 @@ final class SparkStreamStore(
     rootDir: String,
     clock: Clock = Clock.System,
     trackDeletes: Boolean = true,
-    scavengeSynchronously: Boolean = true)
+    scavengeSynchronously: Boolean = true, // retained for API compatibility; scavenge is now always a cheap synchronous tombstone write
+    journalEvery: Int = 64,
+    maxCachedChain: Int = 100000)
   extends StreamStore {
 
   import SparkStreamStore._
+  import spark.implicits._
 
-  private val messagesDir = rootDir.stripSuffix("/") + "/messages"
-  private val fs = FileSystem.get(new java.net.URI(messagesDir), spark.sparkContext.hadoopConfiguration)
+  private val root = rootDir.stripSuffix("/")
+  private val messagesDir = root + "/messages"
+  private val journalDir = root + "/heads"
+  private val tombstonesDir = root + "/tombstones"
+  private val hadoopConf = spark.sparkContext.hadoopConfiguration
+  private val fs = FileSystem.get(new java.net.URI(messagesDir), hadoopConf)
 
   /** Driver-side head state per stream (ref: denormalized `streams` table,
     * `SqlStreamStore.Postgres/PgSqlScripts/Tables.sql:4-15`). */
-  private final case class Head(
-      idInternal: Long,
-      var version: Int,
-      var position: Long,
-      var maxAge: Option[Int],
-      var maxCount: Option[Int])
+  private final class Head(
+      val idInternal: Long,
+      @volatile var version: Int,
+      @volatile var position: Long,
+      @volatile var maxAge: Option[Int],
+      @volatile var maxCount: Option[Int])
 
   private val heads = mutable.LinkedHashMap.empty[String, Head]
   private var nextPosition: Long = Position.Start
   private var nextIdInternal: Long = 0L
+
+  // logical-delete state, mirrored in tombstones/ (merged by compact):
+  // streamId -> all rows with position <= asOf are deleted
+  private val streamTombs = mutable.Map.empty[String, Long]
+  // exact positions of individually deleted messages
+  private val msgTombs = mutable.Set.empty[Long]
+  // streamId -> (version ceiling, asOf position): scavenged prefix
+  private val cutoffs = mutable.Map.empty[String, (Int, Long)]
+
+  /** Per-stream in-order (version, messageId) chains backing the
+    * idempotency replay checks — lazily loaded, maintained incrementally
+    * on append (VERDICT r1: replaces the per-append full-stream collect).
+    * Bounded by `maxCachedChain` per stream; evicted chains fall back to
+    * a log query. */
+  private val idChains = mutable.Map.empty[String, IndexedSeq[(Int, String)]]
+
+  private val dirtyStreams = mutable.LinkedHashSet.empty[String]
+  private var appendsSinceJournal = 0
+  private var journalSeq = 0L
+  private var tombSeq = 0L
+
+  /** Readers hold the read side while a Spark job runs; [[compact]] (the
+    * only file-swapping operation) holds the write side. Ordering: the
+    * structure lock is always acquired BEFORE `this`. */
+  private val structureLock = new ReentrantReadWriteLock()
 
   /** Background purge of TTL-expired rows, mirroring the reference's
     * `TaskQueue` (`src/SqlStreamStore/Infrastructure/TaskQueue.cs`). */
@@ -110,7 +165,7 @@ final class SparkStreamStore(
     val (maxAge, maxCount) =
       if (StreamId.isSystem(streamId)) (None, None)
       else latestMetadata(streamId).map(m => (m.maxAge, m.maxCount)).getOrElse((None, None))
-    val h = Head(nextIdInternal, StreamVersion.End, Position.End, maxAge, maxCount)
+    val h = new Head(nextIdInternal, StreamVersion.End, Position.End, maxAge, maxCount)
     nextIdInternal += 1
     h
   }
@@ -180,66 +235,132 @@ final class SparkStreamStore(
     }
   }
 
-  /** Physical append: assign dense versions/positions, one parquet file per
-    * batch sorted by position (ref versions: AppendToStream.sql:109-111;
-    * dense global positions replace the RDBMS sequence — no gaps by
+  /** Physical append: assign dense versions/positions and write ONE parquet
+    * file directly from the driver (no Spark job — the single-writer twin
+    * of the reference's one-round-trip batch insert, AppendToStream.sql:
+    * 100-113). Dense positions replace the RDBMS sequence — no gaps by
     * construction, so the reference's gap-heal (ReadonlyStreamStoreBase
-    * .cs:65-92) is unnecessary). */
+    * .cs:65-92) is unnecessary. */
   private def appendEvents(streamId: String, head: Head, messages: Seq[NewStreamMessage]): AppendResult = {
     if (messages.nonEmpty) {
-      val now = Timestamp.from(clock.nowUtc)
-      val rows = messages.zipWithIndex.map { case (m, i) =>
-        Row(streamId, m.messageId, head.version + 1 + i, nextPosition + i, now, m.`type`, m.jsonData, m.jsonMetadata)
+      val nowMicros = {
+        val i = clock.nowUtc
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
       }
-      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), MessageSchema)
-      df.write.mode("append").parquet(messagesDir)
+      val base = nextPosition
+      val rows = messages.zipWithIndex.map { case (m, i) =>
+        MessageRow(streamId, m.messageId, head.version + 1 + i, base + i, nowMicros, m.`type`, m.jsonData, m.jsonMetadata)
+      }
+      DirectParquet.write(hadoopConf, new HPath(messagesDir, f"part-$base%020d-${UUID.randomUUID().toString.take(8)}.parquet"), rows)
+      val newPairs = messages.zipWithIndex.map { case (m, i) => (head.version + 1 + i, m.messageId) }
+      idChains.get(streamId) match {
+        case Some(c) => cacheChain(streamId, c ++ newPairs)
+        case None => if (head.version == StreamVersion.End) cacheChain(streamId, newPairs.toIndexedSeq)
+      }
       head.version += messages.length
-      head.position = nextPosition + messages.length - 1
-      nextPosition += messages.length
+      head.position = base + messages.length - 1
+      nextPosition = base + messages.length
+      dirtyStreams += streamId
       if (streamId.startsWith("$$")) applyMetadataToTarget(streamId.drop(2))
       head.maxCount.foreach(mc => scavenge(streamId, head, mc))
+      appendsSinceJournal += 1
+      if (appendsSinceJournal >= journalEvery) writeJournal(dirtyStreams.toSeq, Nil)
+    } else if (head.version == StreamVersion.End) {
+      // empty-stream creation: journal immediately so it survives restart
+      // (no log row exists to recover it from)
+      dirtyStreams += streamId
+      writeJournal(dirtyStreams.toSeq, Nil)
     }
     AppendResult(head.version, head.position)
   }
 
-  /** MaxCount retention: keep the newest `maxCount` messages by version
-    * (ref: Scavenge.sql:23-30, triggered post-append
+  private def cacheChain(streamId: String, chain: IndexedSeq[(Int, String)]): Unit =
+    if (chain.length <= maxCachedChain) idChains(streamId) = chain
+    else idChains.remove(streamId)
+
+  /** MaxCount retention: keep the newest `maxCount` messages by version.
+    * A scavenge is now a cutoff tombstone (version ceiling scoped to the
+    * current position watermark) — no log rewrite on the append path
+    * (ref semantics: Scavenge.sql:23-30, triggered post-append
     * PostgresStreamStore.Append.cs:69-77). */
   private def scavenge(streamId: String, head: Head, maxCount: Int): Unit = {
     val cutoff = head.version - maxCount // keep versions > cutoff
-    if (cutoff >= 0) {
-      val job: Runnable = () =>
-        rewriteLog(not(col("streamId") === streamId && col("streamVersion") <= cutoff))
-      if (scavengeSynchronously) job.run() else purgeExecutor.submit(job)
+    if (cutoff >= 0 && cutoffs.get(streamId).forall(_._1 < cutoff)) {
+      val asOf = nextPosition - 1
+      cutoffs(streamId) = (cutoff, asOf)
+      writeTombstones(Seq(Tomb("cutoff", streamId, -1L, cutoff, asOf)))
+      idChains.get(streamId).foreach(c => idChains(streamId) = c.filter(_._1 > cutoff))
     }
   }
 
   /** In-order (version, messageId) pairs currently stored for a stream —
-    * backs the idempotency replay checks. */
+    * backs the idempotency replay checks. Cached per stream and maintained
+    * incrementally; a cache miss (first touch after recovery, or an
+    * evicted over-long chain) falls back to one log query. */
   private def existingIds(streamId: String): IndexedSeq[(Int, String)] =
-    messagesDF
-      .filter(col("streamId") === streamId)
-      .select("streamVersion", "messageId")
-      .orderBy("streamVersion")
-      .collect()
-      .map(r => (r.getInt(0), r.getString(1)))
-      .toIndexedSeq
+    idChains.get(streamId) match {
+      case Some(c) => c
+      case None =>
+        val chain = messagesDF
+          .filter(col("streamId") === streamId)
+          .select("streamVersion", "messageId")
+          .orderBy("streamVersion")
+          .collect()
+          .map(r => (r.getInt(0), r.getString(1)))
+          .toIndexedSeq
+        cacheChain(streamId, chain)
+        chain
+    }
 
   // ------------------------------------------------------------------
   // Reads (ref: ReadAll.sql, Read.sql, ReadonlyStreamStoreBase.cs)
   // ------------------------------------------------------------------
 
-  private def messagesDF: DataFrame =
+  private def rawMessagesDF: DataFrame =
     if (fs.exists(new HPath(messagesDir))) spark.read.schema(MessageSchema).parquet(messagesDir)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], MessageSchema)
 
-  /** The all-stream as a DataFrame — the Spark-native query surface. */
-  def allMessages: DataFrame = messagesDF
+  /** The logical message log: the raw parquet log with tombstones applied
+    * as filters (broadcast joins over the small driver-held delete state).
+    * Callers must hold `this`. */
+  private def messagesDF: DataFrame = {
+    var df = rawMessagesDF
+    if (streamTombs.nonEmpty) {
+      val st = streamTombs.toSeq.toDF("streamId", "_tombPos")
+      df = df.join(broadcast(st), Seq("streamId"), "left_outer")
+        .filter(col("_tombPos").isNull || col("position") > col("_tombPos"))
+        .drop("_tombPos")
+    }
+    if (cutoffs.nonEmpty) {
+      val cf = cutoffs.toSeq.map { case (s, (c, a)) => (s, c, a) }.toDF("streamId", "_ceil", "_asOf")
+      df = df.join(broadcast(cf), Seq("streamId"), "left_outer")
+        .filter(col("_ceil").isNull || col("streamVersion") > col("_ceil") || col("position") > col("_asOf"))
+        .drop("_ceil", "_asOf")
+    }
+    if (msgTombs.nonEmpty) {
+      if (msgTombs.size <= 1000) df = df.filter(!col("position").isin(msgTombs.toSeq: _*))
+      else df = df.join(broadcast(msgTombs.toSeq.toDF("position")), Seq("position"), "left_anti")
+    }
+    df
+  }
+
+  /** The all-stream as a DataFrame — the Spark-native query surface
+    * (tombstone-filtered, consistent with the paged read API). */
+  def allMessages: DataFrame = withReadLock(synchronized(messagesDF))
 
   /** The all-stream as a Structured Streaming source (file source over the
-    * append-only log); new appends become new micro-batches. */
+    * append-only log); new appends become new micro-batches. Reads the
+    * PHYSICAL log: deletions are logical (tombstones) and appear here —
+    * this surface is the append-only firehose; use the paged read API or
+    * [[allMessages]] for delete-aware views. */
   def allMessagesStream: DataFrame =
     spark.readStream.schema(MessageSchema).parquet(messagesDir)
+
+  private def withReadLock[T](f: => T): T = {
+    val l = structureLock.readLock()
+    l.lock()
+    try f finally l.unlock()
+  }
 
   private def toMessages(rows: Array[Row], prefetch: Boolean): Seq[StreamMessage] =
     rows.iterator.map { r =>
@@ -253,27 +374,50 @@ final class SparkStreamStore(
 
   /** TTL filter, applied post-read on the driver exactly like the reference
     * (`ReadonlyStreamStoreBase.cs:394-490`): expired messages are dropped
-    * from the page and queued for background purge; `$` streams exempt. */
+    * from the page and queued for one BATCHED background purge; `$` streams
+    * exempt. */
   private def filterExpired(msgs: Seq[StreamMessage]): Seq[StreamMessage] = {
     val now = clock.nowUtc
     val (keep, expired) = msgs.partition { m =>
       if (StreamId.isSystem(m.streamId)) true
-      else heads.get(m.streamId).flatMap(_.maxAge) match {
+      else synchronized(heads.get(m.streamId).flatMap(_.maxAge)) match {
         case Some(maxAge) => m.createdUtc.toInstant.plusSeconds(maxAge.toLong).isAfter(now)
         case None => true
       }
     }
     if (expired.nonEmpty) purgeExecutor.submit(new Runnable {
-      def run(): Unit = expired.foreach(m =>
-        try deleteMessage(m.streamId, m.messageId) catch { case _: Throwable => () })
+      def run(): Unit = try purgeExpired(expired) catch { case _: Throwable => () }
     })
     keep
   }
 
-  override def readAllForwards(from: Long, maxCount: Int, prefetch: Boolean): ReadAllPage = synchronized {
+  /** Batched TTL purge: one tombstone write + one `$message-deleted` batch
+    * for the whole expired set (VERDICT r1: was one full-log rewrite per
+    * expired message). */
+  private def purgeExpired(msgs: Seq[StreamMessage]): Unit = synchronized {
+    val fresh = msgs.filter(m =>
+      !msgTombs.contains(m.position) &&
+        streamTombs.get(m.streamId).forall(_ < m.position))
+    if (fresh.isEmpty) return
+    writeTombstones(fresh.map(m => Tomb("message", null, m.position, -1, -1L)))
+    msgTombs ++= fresh.map(_.position)
+    fresh.groupBy(_.streamId).foreach { case (sid, ms) =>
+      val ids = ms.map(_.messageId).toSet
+      idChains.get(sid).foreach(c => idChains(sid) = c.filterNot(p => ids.contains(p._2)))
+    }
+    if (trackDeletes) {
+      val tombs = fresh.filterNot(m => StreamId.isSystem(m.streamId)).map(m =>
+        NewStreamMessage(UUID.randomUUID().toString, Deleted.MessageDeletedMessageType,
+          Deleted.messageDeletedPayload(m.streamId, m.messageId)))
+      if (tombs.nonEmpty) appendInternal(Deleted.DeletedStreamId, ExpectedVersion.Any, tombs)
+    }
+  }
+
+  override def readAllForwards(from: Long, maxCount: Int, prefetch: Boolean): ReadAllPage = withReadLock {
     require(maxCount > 0)
     val fromPos = if (from == Position.End) Long.MaxValue else from
-    val rows = messagesDF
+    val df = synchronized(messagesDF)
+    val rows = df
       .filter(col("position") >= fromPos)
       .orderBy(col("position"))
       .limit(maxCount + 1)
@@ -289,12 +433,13 @@ final class SparkStreamStore(
       () => readAllForwards(nextPos, maxCount, prefetch))
   }
 
-  override def readAllBackwards(from: Long, maxCount: Int, prefetch: Boolean): ReadAllPage = synchronized {
+  override def readAllBackwards(from: Long, maxCount: Int, prefetch: Boolean): ReadAllPage = withReadLock {
     require(maxCount > 0)
     // End sentinel => start from the largest position (ref:
     // PostgresStreamStore.ReadAll.cs:94 uses long.MaxValue)
     val fromPos = if (from == Position.End) Long.MaxValue else from
-    val rows = messagesDF
+    val df = synchronized(messagesDF)
+    val rows = df
       .filter(col("position") <= fromPos)
       .orderBy(col("position").desc)
       .limit(maxCount + 1)
@@ -309,16 +454,17 @@ final class SparkStreamStore(
       () => readAllBackwards(nextPos, maxCount, prefetch))
   }
 
-  override def readStreamForwards(streamId: String, fromVersion: Int, maxCount: Int, prefetch: Boolean): ReadStreamPage = synchronized {
+  override def readStreamForwards(streamId: String, fromVersion: Int, maxCount: Int, prefetch: Boolean): ReadStreamPage = withReadLock {
     require(maxCount > 0)
-    heads.get(streamId) match {
+    val snap = synchronized(heads.get(streamId).map(h => (h.version, h.position, messagesDF)))
+    snap match {
       case None =>
         ReadStreamPage(streamId, PageReadStatus.StreamNotFound, fromVersion, StreamVersion.End,
           StreamVersion.End, Position.End, ReadDirection.Forward, isEnd = true, Nil,
           () => readStreamForwards(streamId, fromVersion, maxCount, prefetch))
-      case Some(head) =>
+      case Some((headVersion, headPosition, df)) =>
         val fromV = math.max(fromVersion, 0)
-        val rows = messagesDF
+        val rows = df
           .filter(col("streamId") === streamId && col("streamVersion") >= fromV)
           .orderBy(col("streamVersion"))
           .limit(maxCount + 1)
@@ -327,24 +473,25 @@ final class SparkStreamStore(
         val page = toMessages(rows.take(maxCount), prefetch)
         val nextV =
           if (!isEnd) rows(maxCount).getInt(2)
-          else head.version + 1
+          else headVersion + 1
         val kept = filterExpired(page)
-        ReadStreamPage(streamId, PageReadStatus.Success, fromVersion, nextV, head.version,
-          head.position, ReadDirection.Forward, isEnd, kept,
+        ReadStreamPage(streamId, PageReadStatus.Success, fromVersion, nextV, headVersion,
+          headPosition, ReadDirection.Forward, isEnd, kept,
           () => readStreamForwards(streamId, nextV, maxCount, prefetch))
     }
   }
 
-  override def readStreamBackwards(streamId: String, fromVersion: Int, maxCount: Int, prefetch: Boolean): ReadStreamPage = synchronized {
+  override def readStreamBackwards(streamId: String, fromVersion: Int, maxCount: Int, prefetch: Boolean): ReadStreamPage = withReadLock {
     require(maxCount > 0)
-    heads.get(streamId) match {
+    val snap = synchronized(heads.get(streamId).map(h => (h.version, h.position, messagesDF)))
+    snap match {
       case None =>
         ReadStreamPage(streamId, PageReadStatus.StreamNotFound, fromVersion, StreamVersion.End,
           StreamVersion.End, Position.End, ReadDirection.Backward, isEnd = true, Nil,
           () => readStreamBackwards(streamId, fromVersion, maxCount, prefetch))
-      case Some(head) =>
+      case Some((headVersion, headPosition, df)) =>
         val fromV = if (fromVersion == StreamVersion.End) Int.MaxValue else fromVersion
-        val rows = messagesDF
+        val rows = df
           .filter(col("streamId") === streamId && col("streamVersion") <= fromV)
           .orderBy(col("streamVersion").desc)
           .limit(maxCount + 1)
@@ -355,8 +502,8 @@ final class SparkStreamStore(
           if (!isEnd) rows(maxCount).getInt(2)
           else StreamVersion.End
         val kept = filterExpired(page)
-        ReadStreamPage(streamId, PageReadStatus.Success, fromVersion, nextV, head.version,
-          head.position, ReadDirection.Backward, isEnd, kept,
+        ReadStreamPage(streamId, PageReadStatus.Success, fromVersion, nextV, headVersion,
+          headPosition, ReadDirection.Backward, isEnd, kept,
           () => readStreamBackwards(streamId, nextV, maxCount, prefetch))
     }
   }
@@ -369,8 +516,8 @@ final class SparkStreamStore(
   override def readStreamHeadVersion(streamId: String): Int =
     synchronized { heads.get(streamId).map(_.version).getOrElse(StreamVersion.End) }
 
-  override def readMessageData(streamId: String, streamVersion: Int): Option[String] = synchronized {
-    messagesDF
+  override def readMessageData(streamId: String, streamVersion: Int): Option[String] = withReadLock {
+    synchronized(messagesDF)
       .filter(col("streamId") === streamId && col("streamVersion") === streamVersion)
       .select("jsonData")
       .collect()
@@ -389,68 +536,90 @@ final class SparkStreamStore(
 
   private def deleteStreamInternal(streamId: String, expectedVersion: Int): Unit = {
     val head = heads.get(streamId)
-    expectedVersion match {
-      case ExpectedVersion.Any => ()
-      case v =>
-        val h = head.getOrElse(throw WrongExpectedVersionException(streamId, v))
-        if (v >= 0 && h.version != v) throw WrongExpectedVersionException(streamId, v)
+    if (head.isEmpty) {
+      // Missing stream: only a concrete expected version is a conflict
+      // (ref: DeleteStream.sql expectedVersion >= 0 guard; deleting a
+      // nonexistent stream with Any/EmptyStream is a no-op).
+      if (expectedVersion >= 0) throw WrongExpectedVersionException(streamId, expectedVersion)
+      return
     }
-    if (head.isEmpty) return // no-op, no tombstone (ref: DeleteStream.sql returns early)
+    if (expectedVersion >= 0 && head.get.version != expectedVersion)
+      throw WrongExpectedVersionException(streamId, expectedVersion)
+
     val metaId = MetadataStream.of(streamId)
-    rewriteLog(not(col("streamId").isin(streamId, metaId)))
-    heads.remove(streamId)
-    heads.remove(metaId)
+    val hadMeta = heads.contains(metaId)
+    val asOf = nextPosition - 1
+    val tombs = Seq(Tomb("stream", streamId, -1L, -1, asOf)) ++
+      (if (hadMeta) Seq(Tomb("stream", metaId, -1L, -1, asOf)) else Nil)
+    writeTombstones(tombs)
+    streamTombs(streamId) = math.max(streamTombs.getOrElse(streamId, -1L), asOf)
+    if (hadMeta) streamTombs(metaId) = math.max(streamTombs.getOrElse(metaId, -1L), asOf)
+    writeJournal(Nil, Seq(streamId) ++ (if (hadMeta) Seq(metaId) else Nil))
+    Seq(streamId, metaId).foreach { id =>
+      heads.remove(id); cutoffs.remove(id); idChains.remove(id); dirtyStreams -= id
+    }
     if (trackDeletes) {
-      val tomb = NewStreamMessage(
+      // one tombstone per deleted stream, metadata stream included
+      // (ref: InMemoryStreamStore.cs:262 appends a second tombstone)
+      val events = Seq(NewStreamMessage(
         UUID.randomUUID().toString, Deleted.StreamDeletedMessageType,
-        s"""{"StreamId":${Json.quote(streamId)}}""")
-      appendInternal(Deleted.DeletedStreamId, ExpectedVersion.Any, Seq(tomb))
+        Deleted.streamDeletedPayload(streamId))) ++
+        (if (hadMeta) Seq(NewStreamMessage(
+          UUID.randomUUID().toString, Deleted.StreamDeletedMessageType,
+          Deleted.streamDeletedPayload(metaId))) else Nil)
+      appendInternal(Deleted.DeletedStreamId, ExpectedVersion.Any, events)
     }
   }
 
   override def deleteMessage(streamId: String, messageId: String): Unit = synchronized {
-    val exists = messagesDF
+    val hit = messagesDF
       .filter(col("streamId") === streamId && col("messageId") === messageId)
-      .limit(1).count() > 0
-    if (!exists) return // no-op (ref: DeleteStreamMessages.sql deletes 0 rows)
-    rewriteLog(not(col("streamId") === streamId && col("messageId") === messageId))
-    if (trackDeletes && !StreamId.isSystem(streamId)) {
-      val tomb = NewStreamMessage(
-        UUID.randomUUID().toString, Deleted.MessageDeletedMessageType,
-        s"""{"StreamId":${Json.quote(streamId)},"MessageId":${Json.quote(messageId)}}""")
-      appendInternal(Deleted.DeletedStreamId, ExpectedVersion.Any, Seq(tomb))
+      .select("position")
+      .limit(1)
+      .collect()
+      .headOption
+    hit match {
+      case None => () // no-op (ref: DeleteStreamMessages.sql deletes 0 rows)
+      case Some(r) =>
+        val pos = r.getLong(0)
+        writeTombstones(Seq(Tomb("message", null, pos, -1, -1L)))
+        msgTombs += pos
+        idChains.get(streamId).foreach(c => idChains(streamId) = c.filterNot(_._2 == messageId))
+        if (trackDeletes && !StreamId.isSystem(streamId)) {
+          val tomb = NewStreamMessage(
+            UUID.randomUUID().toString, Deleted.MessageDeletedMessageType,
+            Deleted.messageDeletedPayload(streamId, messageId))
+          appendInternal(Deleted.DeletedStreamId, ExpectedVersion.Any, Seq(tomb))
+        }
     }
   }
 
-  /** Rewrite-and-swap of the log keeping rows matching `keep`. At 100 TB
-    * this becomes tombstone-file + compaction; rewrite is correct and
-    * simple at library scale, and deletes are rare (the reference rewrites
-    * via DELETE inside the RDBMS just the same). Preserves dense positions
-    * of surviving rows (positions are never reassigned, as in the ref). */
-  private def rewriteLog(keep: org.apache.spark.sql.Column): Unit = {
-    if (!fs.exists(new HPath(messagesDir))) return
-    val tmp = new HPath(messagesDir + ".tmp")
-    val dst = new HPath(messagesDir)
-    messagesDF.filter(keep)
-      .sortWithinPartitions("position")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(dst, true)
-    fs.rename(tmp, dst)
-  }
-
-  /** Size-tiered compaction of the append log: many per-batch files → a few
-    * position-sorted files. Run out-of-band; never concurrently with
-    * scavenge (both are serialized through this store's lock). */
-  def compact(targetFiles: Int = spark.sparkContext.defaultParallelism): Unit = synchronized {
-    if (!fs.exists(new HPath(messagesDir))) return
-    val tmp = new HPath(messagesDir + ".tmp")
-    val dst = new HPath(messagesDir)
-    messagesDF.repartitionByRange(targetFiles, col("position"))
-      .sortWithinPartitions("position")
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(dst, true)
-    fs.rename(tmp, dst)
+  /** Merge tombstones into the log and squash the journal: rewrite the
+    * filtered log as `targetFiles` position-sorted files, swap crash-safely
+    * (backup rename — a crash at any point is recovered by [[recover]]),
+    * then clear tombstones and write a fresh journal snapshot. The only
+    * operation that excludes concurrent readers (structure write lock). */
+  def compact(targetFiles: Int = spark.sparkContext.defaultParallelism): Unit = {
+    val wl = structureLock.writeLock()
+    wl.lock()
+    try synchronized {
+      if (!fs.exists(new HPath(messagesDir))) return
+      val dst = new HPath(messagesDir)
+      val tmp = new HPath(messagesDir + ".tmp")
+      val bak = new HPath(messagesDir + ".bak")
+      messagesDF.repartitionByRange(targetFiles, col("position"))
+        .sortWithinPartitions("position")
+        .write.mode("overwrite").parquet(tmp.toString)
+      // crash-safe swap: tmp complete -> dst moves aside -> tmp in -> drop bak
+      fs.rename(dst, bak)
+      fs.rename(tmp, dst)
+      fs.delete(bak, true)
+      // tombstones are merged; clearing them after the swap is safe because
+      // re-applying a tombstone to the compacted log matches nothing
+      fs.delete(new HPath(tombstonesDir), true)
+      streamTombs.clear(); msgTombs.clear(); cutoffs.clear()
+      writeJournal(heads.keys.toSeq, Nil, pruneBelow = true)
+    } finally wl.unlock()
   }
 
   // ------------------------------------------------------------------
@@ -480,8 +649,13 @@ final class SparkStreamStore(
       MetadataStream.MetadataMessageType, payload)
     appendInternal(MetadataStream.of(streamId), expectedStreamMetadataVersion, Seq(msg))
     // applyMetadataToTarget ran inside appendEvents; scavenge the target if
-    // maxCount shrank (ref: CheckStreamMaxCount after SetStreamMetadata)
-    heads.get(streamId).foreach(h => h.maxCount.foreach(mc => scavenge(streamId, h, mc)))
+    // maxCount shrank (ref: CheckStreamMaxCount after SetStreamMetadata),
+    // and journal the target's changed retention settings
+    heads.get(streamId).foreach { h =>
+      dirtyStreams += streamId
+      h.maxCount.foreach(mc => scavenge(streamId, h, mc))
+    }
+    writeJournal(dirtyStreams.toSeq, Nil)
   }
 
   /** Propagate the latest `$$s` metadata to stream `s`'s head retention
@@ -491,6 +665,7 @@ final class SparkStreamStore(
       heads.get(targetStreamId).foreach { h =>
         h.maxAge = m.maxAge
         h.maxCount = m.maxCount
+        dirtyStreams += targetStreamId
       }
     }
 
@@ -532,42 +707,227 @@ final class SparkStreamStore(
   }
 
   // ------------------------------------------------------------------
-  // Recovery: rebuild driver state from the log (replaces RDBMS durability)
+  // Journal + tombstone persistence
+  // ------------------------------------------------------------------
+
+  private def writeTombstones(tombs: Seq[Tomb]): Unit = {
+    if (tombs.isEmpty) return
+    val first = tombSeq
+    val sb = new StringBuilder
+    tombs.foreach { t =>
+      val node = Mapper.createObjectNode()
+      node.put("seq", tombSeq); tombSeq += 1
+      node.put("kind", t.kind)
+      if (t.streamId != null) node.put("streamId", t.streamId)
+      t.kind match {
+        case "message" => node.put("position", t.position)
+        case "stream" => node.put("asOf", t.asOf)
+        case "cutoff" => node.put("ceiling", t.ceiling); node.put("asOf", t.asOf)
+      }
+      sb.append(Mapper.writeValueAsString(node)).append('\n')
+    }
+    writeTextFile(new HPath(tombstonesDir, f"tomb-$first%020d.json"), sb.toString)
+  }
+
+  /** Journal head rows for `ids` (current state) and `deletedIds`
+    * (removal markers). Every line carries the position watermark so
+    * recovery can tail-scan only the log above it. */
+  private def writeJournal(ids: Seq[String], deletedIds: Seq[String], pruneBelow: Boolean = false): Unit = {
+    val rows = ids.flatMap(id => heads.get(id).map(h => (id, Some(h)))) ++
+      deletedIds.map(id => (id, None))
+    if (rows.isEmpty && !pruneBelow) { appendsSinceJournal = 0; return }
+    val first = journalSeq
+    val sb = new StringBuilder
+    rows.foreach { case (id, headOpt) =>
+      val node = Mapper.createObjectNode()
+      node.put("seq", journalSeq); journalSeq += 1
+      node.put("streamId", id)
+      node.put("nextPosition", nextPosition)
+      headOpt match {
+        case Some(h) =>
+          node.put("idInternal", h.idInternal)
+          node.put("version", h.version)
+          node.put("position", h.position)
+          h.maxAge.foreach(node.put("maxAge", _))
+          h.maxCount.foreach(node.put("maxCount", _))
+          node.put("deleted", false)
+        case None =>
+          node.put("deleted", true)
+      }
+      sb.append(Mapper.writeValueAsString(node)).append('\n')
+    }
+    val path = new HPath(journalDir, f"journal-$first%020d.json")
+    writeTextFile(path, sb.toString)
+    if (pruneBelow && fs.exists(new HPath(journalDir))) {
+      fs.listStatus(new HPath(journalDir)).foreach { st =>
+        if (st.getPath.getName < path.getName) fs.delete(st.getPath, false)
+      }
+    }
+    appendsSinceJournal = 0
+    dirtyStreams --= ids
+  }
+
+  private def writeTextFile(path: HPath, content: String): Unit = {
+    val out = fs.create(path, false)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  // ------------------------------------------------------------------
+  // Recovery: journal replay + tail scan (replaces RDBMS durability)
   // ------------------------------------------------------------------
 
   private def recover(): Unit = {
-    if (!fs.exists(new HPath(messagesDir))) return
-    val agg = messagesDF
-      .groupBy("streamId")
-      .agg(max("streamVersion").as("v"), max("position").as("p"), min("position").as("first"))
-      .orderBy("first")
-      .collect()
-    agg.foreach { r =>
-      heads.put(r.getString(0), Head(nextIdInternal, r.getInt(1), r.getLong(2), None, None))
-      nextIdInternal += 1
-      nextPosition = math.max(nextPosition, r.getLong(2) + 1)
+    finishInterruptedSwap()
+    loadTombstones()
+    loadJournal()
+    reconcileTail()
+  }
+
+  /** Complete a [[compact]] swap interrupted by a crash: the backup dir
+    * only exists mid-swap; tmp is always complete before any rename. */
+  private def finishInterruptedSwap(): Unit = {
+    val dst = new HPath(messagesDir)
+    val tmp = new HPath(messagesDir + ".tmp")
+    val bak = new HPath(messagesDir + ".bak")
+    if (!fs.exists(dst) && fs.exists(bak)) {
+      if (fs.exists(tmp)) fs.rename(tmp, dst) else fs.rename(bak, dst)
     }
-    // retention settings from latest metadata message of each $$ stream
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("streamId").orderBy(col("streamVersion").desc)
-    messagesDF
-      .filter(col("streamId").startsWith("$$"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("streamId", "jsonData")
-      .collect()
-      .foreach { r =>
-        val target = r.getString(0).drop(2)
-        val m = MetadataJson.read(r.getString(1))
-        heads.get(target).foreach { h => h.maxAge = m.maxAge; h.maxCount = m.maxCount }
+    if (fs.exists(bak) && fs.exists(dst)) fs.delete(bak, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  private def listJsonLines(dir: HPath): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).sortBy(_.getPath.getName).toSeq.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val text = try {
+        val bytes = new Array[Byte](st.getLen.toInt)
+        in.readFully(0, bytes)
+        new String(bytes, StandardCharsets.UTF_8)
+      } finally in.close()
+      text.split('\n').iterator.filter(_.nonEmpty).flatMap { line =>
+        try Some(Mapper.readTree(line)) catch { case _: Throwable => None } // tolerate a torn tail line
+      }
+    }
+  }
+
+  private def loadTombstones(): Unit =
+    listJsonLines(new HPath(tombstonesDir)).sortBy(_.get("seq").asLong).foreach { n =>
+      tombSeq = math.max(tombSeq, n.get("seq").asLong + 1)
+      n.get("kind").asText match {
+        case "message" => msgTombs += n.get("position").asLong
+        case "stream" =>
+          val id = n.get("streamId").asText
+          streamTombs(id) = math.max(streamTombs.getOrElse(id, -1L), n.get("asOf").asLong)
+        case "cutoff" =>
+          val id = n.get("streamId").asText
+          val c = n.get("ceiling").asInt
+          if (cutoffs.get(id).forall(_._1 < c)) cutoffs(id) = (c, n.get("asOf").asLong)
+        case _ => ()
+      }
+    }
+
+  private def loadJournal(): Unit = {
+    val lines = listJsonLines(new HPath(journalDir)).sortBy(_.get("seq").asLong)
+    if (lines.isEmpty) return
+    val last = mutable.Map.empty[String, com.fasterxml.jackson.databind.JsonNode]
+    lines.foreach { n =>
+      journalSeq = math.max(journalSeq, n.get("seq").asLong + 1)
+      nextPosition = math.max(nextPosition, n.get("nextPosition").asLong)
+      val idi = n.get("idInternal")
+      if (idi != null) nextIdInternal = math.max(nextIdInternal, idi.asLong + 1)
+      last(n.get("streamId").asText) = n
+    }
+    last.toSeq
+      .filterNot(_._2.get("deleted").asBoolean)
+      .sortBy(_._2.get("idInternal").asLong)
+      .foreach { case (id, n) =>
+        def optInt(f: String) = Option(n.get(f)).filterNot(_.isNull).map(_.asInt)
+        heads.put(id, new Head(n.get("idInternal").asLong, n.get("version").asInt,
+          n.get("position").asLong, optInt("maxAge"), optInt("maxCount")))
       }
   }
 
-  override def close(): Unit = purgeExecutor.shutdown()
+  /** Fold log rows above the journal watermark into the head state: heads
+    * journaled on every rare mutation + every `journalEvery` appends, so
+    * the tail is bounded; with no journal at all this degrades to the
+    * full-log scan (the round-1 recovery path). Heads never move backward
+    * (deleted tail messages keep their stream's version/position, like the
+    * reference's `streams` table), but the position watermark advances
+    * over deleted rows so positions are never reused. */
+  private def reconcileTail(): Unit = {
+    if (!fs.exists(new HPath(messagesDir))) return
+    val watermark = nextPosition
+    var tail = rawMessagesDF
+    if (watermark > 0) tail = tail.filter(col("position") >= watermark)
+    // a stream deleted after the last journal write journals its removal
+    // immediately, so any tail rows it left behind must not resurrect it
+    val alive: org.apache.spark.sql.Column =
+      if (streamTombs.isEmpty) lit(true)
+      else { // join the small tomb map; rows below the stream's asOf are dead
+        col("_tombPos").isNull || col("position") > col("_tombPos")
+      }
+    val joined =
+      if (streamTombs.isEmpty) tail.withColumn("_alive", lit(true))
+      else tail
+        .join(broadcast(streamTombs.toSeq.toDF("streamId", "_tombPos")), Seq("streamId"), "left_outer")
+        .withColumn("_alive", alive)
+    // columns: 0=streamId, 1=rawMax, 2=v, 3=p, 4=first
+    val agg = joined.groupBy("streamId")
+      .agg(
+        max(col("position")).as("rawMax"),
+        max(when(col("_alive"), col("streamVersion"))).as("v"),
+        max(when(col("_alive"), col("position"))).as("p"),
+        min(when(col("_alive"), col("position"))).as("first"))
+      .collect()
+    if (agg.isEmpty) return
+    val created = mutable.ListBuffer.empty[String]
+    agg.sortBy(r => if (r.isNullAt(4)) Long.MaxValue else r.getLong(4)).foreach { r =>
+      val id = r.getString(0)
+      nextPosition = math.max(nextPosition, r.getLong(1) + 1)
+      if (!r.isNullAt(2)) {
+        val v = r.getInt(2)
+        val p = r.getLong(3)
+        heads.get(id) match {
+          case Some(h) =>
+            h.version = math.max(h.version, v)
+            h.position = math.max(h.position, p)
+          case None =>
+            heads.put(id, new Head(nextIdInternal, v, p, None, None))
+            nextIdInternal += 1
+            created += id
+        }
+      }
+    }
+    // retention settings for streams first seen in the tail: latest $$
+    // metadata message wins (ref: streams.max_age/max_count denormalized)
+    val targets = created.filterNot(StreamId.isSystem).filter(id => heads.contains(MetadataStream.of(id)))
+    if (targets.nonEmpty) {
+      import org.apache.spark.sql.expressions.Window
+      val metaIds = targets.map(MetadataStream.of)
+      val w = Window.partitionBy("streamId").orderBy(col("streamVersion").desc)
+      messagesDF
+        .filter(col("streamId").isin(metaIds.toSeq: _*))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("streamId", "jsonData")
+        .collect()
+        .foreach { r =>
+          val target = r.getString(0).drop(2)
+          val m = MetadataJson.read(r.getString(1))
+          heads.get(target).foreach { h => h.maxAge = m.maxAge; h.maxCount = m.maxCount }
+        }
+    }
+  }
+
+  override def close(): Unit = synchronized {
+    writeJournal(dirtyStreams.toSeq, Nil)
+    purgeExecutor.shutdown()
+  }
 }
 
 object SparkStreamStore {
-  /** Stable physical schema of the messages log (FIXTURES.md §A.1). */
+  /** Stable logical schema of the messages log (FIXTURES.md §A.1). */
   val MessageSchema: StructType = StructType(Seq(
     StructField("streamId", StringType, nullable = false),
     StructField("messageId", StringType, nullable = false),
@@ -577,4 +937,53 @@ object SparkStreamStore {
     StructField("type", StringType, nullable = false),
     StructField("jsonData", StringType, nullable = true),
     StructField("jsonMetadata", StringType, nullable = true)))
+
+  private val Mapper = new ObjectMapper()
+
+  private final case class Tomb(kind: String, streamId: String, position: Long, ceiling: Int, asOf: Long)
+
+  private final case class MessageRow(
+      streamId: String, messageId: String, streamVersion: Int, position: Long,
+      createdMicros: Long, `type`: String, jsonData: String, jsonMetadata: String)
+
+  /** Driver-local parquet writer for append batches: one small sorted file
+    * per append, written without a Spark job (appends are driver-serialized
+    * anyway; a job per 100-row batch would pay ~100ms scheduling for ~1ms
+    * of IO). The physical schema matches what Spark's parquet reader maps
+    * to [[MessageSchema]] (INT64 TIMESTAMP(MICROS, UTC) for createdUtc). */
+  private object DirectParquet {
+    import org.apache.parquet.schema.Types.{buildMessage => newSchema}
+
+    val Schema: MessageType = newSchema()
+      .required(PrimitiveTypeName.BINARY).as(LogicalTypeAnnotation.stringType()).named("streamId")
+      .required(PrimitiveTypeName.BINARY).as(LogicalTypeAnnotation.stringType()).named("messageId")
+      .required(PrimitiveTypeName.INT32).named("streamVersion")
+      .required(PrimitiveTypeName.INT64).named("position")
+      .required(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(true, LogicalTypeAnnotation.TimeUnit.MICROS)).named("createdUtc")
+      .required(PrimitiveTypeName.BINARY).as(LogicalTypeAnnotation.stringType()).named("type")
+      .optional(PrimitiveTypeName.BINARY).as(LogicalTypeAnnotation.stringType()).named("jsonData")
+      .optional(PrimitiveTypeName.BINARY).as(LogicalTypeAnnotation.stringType()).named("jsonMetadata")
+      .named("graft_messages")
+
+    def write(conf: Configuration, path: HPath, rows: Seq[MessageRow]): Unit = {
+      val writer = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(path, conf))
+        .withType(Schema)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+      val factory = new SimpleGroupFactory(Schema)
+      try rows.foreach { r =>
+        val g = factory.newGroup()
+        g.append("streamId", r.streamId)
+        g.append("messageId", r.messageId)
+        g.append("streamVersion", r.streamVersion)
+        g.append("position", r.position)
+        g.append("createdUtc", r.createdMicros)
+        g.append("type", r.`type`)
+        if (r.jsonData != null) g.append("jsonData", r.jsonData)
+        if (r.jsonMetadata != null) g.append("jsonMetadata", r.jsonMetadata)
+        writer.write(g)
+      } finally writer.close()
+    }
+  }
 }
