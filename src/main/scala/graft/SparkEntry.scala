@@ -348,17 +348,32 @@ object SparkEntry {
       .orderBy("doc_id")
 
   /** MinHash+LSH near-dup pipeline (Dedup.nearDupPairs) over the corpus
-    * with constructed near-dups. No oracle: MinHash permutations are
-    * engine hashes; correctness asserted structurally in OperatorsSpec. */
+    * with constructed near-dups. Oracled with brute-force exact Jaccard:
+    * the pipeline's exact-verify stage makes its output a SUBSET of the
+    * exact pairs, and measured recall on this corpus is 1.0 (asserted in
+    * OperatorsSpec, recorded in SCALING.md), so output = exact pairs —
+    * deterministically, since MinHash is deterministic. */
   private def minhashNearDups(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupPairs(docsWithDups(s, dir), "text", "doc_id", threshold = 0.5,
         maxBucketSize = 10000)
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dup pairs (Dedup.simHashNearDups). No oracle (hash). */
-  private def simhashNearDups(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashNearDups(docsWithDups(s, dir), "text", "doc_id", maxDist = 3)
+  /** SimHash exact-collision dedup: pairs whose 64-bit SimHash codes are
+    * identical, verified by text equality (hash-blocked exact dedup — the
+    * dist=0 probe of the near-dup scheme). Oracle-checkable: identical
+    * text always collides, and the equality verify removes hash-only
+    * collisions, so output = identical-text pairs. The dist 1..3 near-dup
+    * path (Dedup.simHashNearDups) is engine-hash-dependent and is covered
+    * by OperatorsSpec's measured-recall gate instead. */
+  private def simhashExactDups(s: SparkSession, dir: String): DataFrame = {
+    val codes = docsWithDups(s, dir)
+      .select(col("doc_id").as("id"), col("text"), Dedup.simHash(col("text")).as("code"))
+    val l = codes.as("l"); val r = codes.as("r")
+    l.join(r, col("l.code") === col("r.code") && col("l.id") < col("r.id"))
+      .filter(col("l.text") === col("r.text"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .orderBy("id_a", "id_b")
+  }
 
   /** Exact n-gram Jaccard pairs on a small block (brute-force
     * verification path of the near-dup pipeline) — oracle-checkable.
@@ -397,7 +412,9 @@ object SparkEntry {
       .orderBy("vec_id")
 
   /** LSH-bucketed cosine ANN (Similarity.lshTopK) — the 100 TB scale
-    * path; no oracle (bucketing is engine-defined), rows-only. */
+    * path. Oracle-checkable: the sign-LSH bucket code is deterministic
+    * (signs of the first 4 dims) and cosine is exact left-to-right double
+    * math on both sides. */
   private def annLshTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50), k = 5, bits = 4)
@@ -453,7 +470,7 @@ object SparkEntry {
     "lang_id" -> langId _,
     "doc_fingerprints" -> docFingerprints _,
     "minhash_near_dups" -> minhashNearDups _,
-    "simhash_near_dups" -> simhashNearDups _,
+    "simhash_exact_dups" -> simhashExactDups _,
     "ngram_jaccard_pairs" -> ngramJaccardPairs _,
     "knn_dot_topk" -> knnDotTopK _,
     "embedding_norms" -> embeddingNorms _,
@@ -586,6 +603,43 @@ object SparkEntry {
                 md5(array_to_string(list_sort(list_distinct(
                     string_split_regex(trim(text), '\s+'))), ' ')) AS fingerprint
          FROM documents ORDER BY doc_id""",
+    "minhash_near_dups" ->
+      // brute-force exact 5-shingle Jaccard: equals the LSH pipeline's
+      // output because the pipeline exact-verifies candidates (subset of
+      // exact pairs) and its measured recall on this corpus is 1.0
+      s"""WITH docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
+          sh AS (SELECT doc_id,
+                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
+                 FROM docs)
+          SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    "simhash_exact_dups" ->
+      // identical text <=> identical SimHash code + text-equality verify
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM $docsWithDupsSql a JOIN $docsWithDupsSql b
+            ON a.doc_id < b.doc_id AND a.text = b.text
+          ORDER BY id_a, id_b""",
+    "ann_lsh_topk" ->
+      """WITH v AS (SELECT vec_id, embedding,
+                      list_sum(list_transform(range(1, 5),
+                        i -> CASE WHEN embedding[i] > 0 THEN 1 << (i-1) ELSE 0 END)) AS bucket
+                    FROM embeddings)
+         SELECT query_id, neighbor_id, score,
+                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, len(q.embedding)+1),
+                   i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
+                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+                      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) AS score
+               FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+               WHERE q.vec_id < 50)
+         QUALIFY rank <= 5 ORDER BY query_id, rank""",
     "ngram_jaccard_pairs" ->
       s"""WITH docs AS (SELECT doc_id, trim(text) AS text
                         FROM $docsWithDupsSql dd WHERE doc_id % 10000 < 40),

@@ -48,6 +48,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.size <= 200)
   }
 
+  test("minhash-LSH measured recall vs exact Jaccard is >= 0.9 on the dup corpus") {
+    // the constructed gate corpus: exact copies (j=1.0) + prefix-truncated
+    // near-dups (j ~ 0.9) — the pipeline's designed operating range
+    val d = docs.select("doc_id", "text")
+    val dd = d
+      .unionAll(d.filter(col("doc_id") < 100).select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionAll(d.filter(col("doc_id") < 40).select((col("doc_id") + 20000).as("doc_id"),
+        col("text").substr(lit(11), lit(100000)).as("text")))
+    val found = Dedup.nearDupPairs(dd, "text", "doc_id", threshold = 0.5, maxBucketSize = 10000)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = dd.select(col("doc_id").as("id"), Dedup.shingleHashes(col("text"), 5).as("sh"))
+    val exact = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), col("id_a") < col("id_b"))
+      .withColumn("j", Dedup.jaccardFromHashSets(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (exact.isEmpty) 1.0 else (exact & found).size.toDouble / exact.size
+    info(f"minhash-LSH recall@j>=0.5 = $recall%.3f (${(exact & found).size}/${exact.size})")
+    assert(recall >= 0.9, f"recall $recall%.3f below the 0.9 gate")
+    // found pairs are exact-verified, so they are a subset of the exact set
+    assert((found -- exact).isEmpty, "verified output must not contain false positives")
+  }
+
+  test("simhash blocking finds every exact duplicate (recall 1.0 at dist 0)") {
+    val d = docs.select("doc_id", "text")
+    val dd = d.unionAll(
+      d.filter(col("doc_id") < 100).select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val found = Dedup.simHashNearDups(dd, "text", "doc_id", maxDist = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nCopies = d.filter(col("doc_id") < 100).count()
+    val exactPairs = (0L until 100L).map(i => (i, i + 10000)).filter(p => p._1 < nCopies).toSet
+    val recall = exactPairs.count(found.contains).toDouble / exactPairs.size
+    info(f"simhash exact-dup recall = $recall%.3f (${exactPairs.count(found.contains)}/${exactPairs.size})")
+    assert(recall === 1.0, "identical texts must always collide at Hamming distance 0")
+  }
+
   test("simhash: identical texts collide, near texts are close, distance works") {
     val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
                  (2L, "alpha beta gamma delta epsilon zeta"),
