@@ -1,0 +1,310 @@
+package graft.store
+
+import graft.SparkTestSession
+import graft.core._
+import graft.streaming.{Subscriptions, SubscriptionDroppedReason}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Round-2 ports of reference acceptance behaviors the round-1 suite
+  * missed (VERDICT item 6): deletion-tracking toggle
+  * (`AcceptanceTests.DeletionTracking.cs`), prefetch/deleted-payload reads
+  * (`AcceptanceTests.ReadAll.cs`, contract `StreamMessage.cs:59-72`),
+  * read-past-end / empty-stream / deleted-stream reads
+  * (`AcceptanceTests.ReadStream.cs`, `ReadHeadCheckpoint.cs`), metadata
+  * idempotency (`AcceptanceTests.StreamMetadata.cs`), and subscription
+  * caught-up / continue-after edge cases
+  * (`AcceptanceTests.Subscriptions.cs:241-359,652-781,856-886`).
+  * Each test is named after its reference twin. */
+class AcceptanceParitySpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  private def mid(n: Int): String = f"00000000-0000-0000-0000-$n%012d"
+  private def msgs(ns: Int*): Seq[NewStreamMessage] =
+    ns.map(n => NewStreamMessage(mid(n), "type", s"""{"data":$n}"""))
+
+  private def withStore[T](name: String, trackDeletes: Boolean = true)(f: SparkStreamStore => T): T = {
+    val store = new SparkStreamStore(spark, SparkTestSession.tempDir(name), trackDeletes = trackDeletes)
+    try f(store) finally store.close()
+  }
+
+  // --- DeletionTracking.cs ---
+
+  test("When_deletion_tracking_is_disabled_deleted_message_should_not_be_tracked") {
+    withStore("graft-ap", trackDeletes = false) { store =>
+      store.appendToStream("stream", ExpectedVersion.NoStream, msgs(1))
+      store.deleteMessage("stream", mid(1))
+      val page = store.readStreamBackwards(Deleted.DeletedStreamId, StreamVersion.End, 1)
+      assert(page.messages.isEmpty)
+    }
+  }
+
+  test("When_deletion_tracking_is_disabled_deleted_stream_should_not_be_tracked") {
+    withStore("graft-ap", trackDeletes = false) { store =>
+      store.appendToStream("stream", ExpectedVersion.NoStream, msgs(1))
+      store.deleteStream("stream")
+      val page = store.readStreamBackwards(Deleted.DeletedStreamId, StreamVersion.End, 1)
+      assert(page.messages.isEmpty)
+    }
+  }
+
+  // --- ReadAll.cs: prefetch / deleted payload (StreamMessage.cs:59-72) ---
+
+  test("When_read_without_prefetch_and_stream_is_deleted_then_GetJsonData_should_return_null") {
+    withStore("graft-ap") { store =>
+      store.appendToStream("stream-1", ExpectedVersion.NoStream, msgs(1, 2, 3))
+      val page = store.readAllForwards(Position.Start, 4, prefetch = false)
+      assert(page.messages.forall(_.jsonData == null))
+      store.deleteStream("stream-1")
+      // the lazy payload lookup of an already-read page now yields nothing
+      page.messages.foreach { m =>
+        assert(store.readMessageData(m.streamId, m.streamVersion) === None)
+      }
+    }
+  }
+
+  test("Can_read_all_forwards_without_prefetch_then_fetch_payload_lazily") {
+    withStore("graft-ap") { store =>
+      store.appendToStream("stream-1", ExpectedVersion.NoStream, msgs(1, 2, 3))
+      val page = store.readAllForwards(Position.Start, 4, prefetch = false)
+      page.messages.foreach { m =>
+        val data = store.readMessageData(m.streamId, m.streamVersion)
+        assert(data.exists(_.nonEmpty))
+      }
+    }
+  }
+
+  // --- ReadStream.cs ---
+
+  test("Can_read_next_page_past_end_of_stream") {
+    withStore("graft-ap") { store =>
+      store.appendToStream("s", ExpectedVersion.NoStream, msgs(1, 2, 3))
+      val p1 = store.readStreamForwards("s", 0, 10)
+      assert(p1.isEnd)
+      val p2 = p1.readNext()
+      assert(p2.messages.isEmpty && p2.isEnd)
+      assert(p2.nextStreamVersion === 3)
+    }
+  }
+
+  test("Can_read_empty_stream_forwards_and_backwards") {
+    withStore("graft-ap") { store =>
+      store.appendToStream("s", ExpectedVersion.NoStream, Nil)
+      val fwd = store.readStreamForwards("s")
+      assert(fwd.status === PageReadStatus.Success && fwd.messages.isEmpty && fwd.isEnd)
+      assert(fwd.lastStreamVersion === -1)
+      val bwd = store.readStreamBackwards("s")
+      assert(bwd.status === PageReadStatus.Success && bwd.messages.isEmpty && bwd.isEnd)
+    }
+  }
+
+  test("When_read_deleted_stream_forwards_then_should_get_StreamNotFound") {
+    withStore("graft-ap") { store =>
+      store.appendToStream("s", ExpectedVersion.NoStream, msgs(1, 2))
+      store.deleteStream("s")
+      assert(store.readStreamForwards("s").status === PageReadStatus.StreamNotFound)
+      assert(store.readStreamBackwards("s").status === PageReadStatus.StreamNotFound)
+    }
+  }
+
+  test("Can_read_stream_backwards_starting_past_end_of_stream") {
+    withStore("graft-ap") { store =>
+      store.appendToStream("s", ExpectedVersion.NoStream, msgs(1, 2, 3))
+      val p = store.readStreamBackwards("s", 10, 10)
+      assert(p.messages.map(_.streamVersion) === Seq(2, 1, 0))
+      assert(p.isEnd)
+    }
+  }
+
+  // --- ReadHeadCheckpoint.cs ---
+
+  test("Given_store_with_empty_stream_when_get_head_position_Then_should_be_minus_one") {
+    withStore("graft-ap") { store =>
+      store.appendToStream("s", ExpectedVersion.NoStream, Nil)
+      assert(store.readHeadPosition() === -1L)
+      assert(store.readStreamHeadPosition("s") === -1L)
+      assert(store.readStreamHeadVersion("s") === -1)
+    }
+  }
+
+  // --- StreamMetadata.cs ---
+
+  test("Can_set_and_get_stream_metadata_for_non_existent_stream") {
+    withStore("graft-ap") { store =>
+      store.setStreamMetadata("nonexistent", maxAge = Some(2), maxCount = Some(3),
+        metadataJson = Some("""{"key":"value"}"""))
+      val m = store.getStreamMetadata("nonexistent")
+      assert(m.metadataStreamVersion === 0)
+      assert(m.maxAge === Some(2) && m.maxCount === Some(3))
+    }
+  }
+
+  test("Can_set_stream_metadata_for_non_existent_stream_and_append_with_expected_version_any") {
+    withStore("graft-ap") { store =>
+      store.setStreamMetadata("s", maxCount = Some(2))
+      store.appendToStream("s", ExpectedVersion.Any, msgs(1, 2, 3, 4))
+      assert(store.readStreamForwards("s").messages.map(_.streamVersion) === Seq(2, 3))
+    }
+  }
+
+  test("When_set_metadata_with_same_data_then_should_handle_idempotently") {
+    withStore("graft-ap") { store =>
+      store.setStreamMetadata("s", maxAge = Some(30), metadataJson = Some("""{"k":1}"""))
+      // identical payload mints the same deterministic message id => replay no-op
+      store.setStreamMetadata("s", maxAge = Some(30), metadataJson = Some("""{"k":1}"""))
+      assert(store.getStreamMetadata("s").metadataStreamVersion === 0)
+    }
+  }
+
+  test("Can_set_deleted_stream_metadata") {
+    withStore("graft-ap") { store =>
+      store.appendToStream("s", ExpectedVersion.NoStream, msgs(1))
+      store.deleteStream("s") // creates $deleted
+      store.setStreamMetadata(Deleted.DeletedStreamId, maxCount = Some(100))
+      assert(store.getStreamMetadata(Deleted.DeletedStreamId).maxCount === Some(100))
+    }
+  }
+
+  // --- Subscriptions.cs: continue-after / caught-up edges ---
+
+  test("Can_subscribe_to_a_stream_from_a_specific_version") {
+    withStore("graft-ap") { store =>
+      store.appendToStream("s", ExpectedVersion.NoStream, msgs(1 to 10: _*))
+      val seen = new ConcurrentLinkedQueue[Int]()
+      val latch = new CountDownLatch(1)
+      val sub = Subscriptions.subscribeToStream(store, "s", continueAfterVersion = Some(2),
+        m => { seen.add(m.streamVersion); if (m.streamVersion == 9) latch.countDown() })
+      try {
+        assert(latch.await(30, TimeUnit.SECONDS))
+        assert(seen.toArray.toSeq === (3 to 9))
+      } finally sub.close()
+    }
+  }
+
+  test("Given_empty_streamstore_can_subscribe_to_all_stream_from_end") {
+    withStore("graft-ap") { store =>
+      val seen = new ConcurrentLinkedQueue[Long]()
+      val latch = new CountDownLatch(1)
+      val sub = Subscriptions.subscribeToAll(store, Some(Position.End),
+        m => { seen.add(m.position); latch.countDown() })
+      try {
+        store.appendToStream("s", ExpectedVersion.NoStream, msgs(1))
+        assert(latch.await(30, TimeUnit.SECONDS))
+        assert(seen.toArray.toSeq === Seq(0L))
+      } finally sub.close()
+    }
+  }
+
+  test("Given_non_empty_streamstore_can_subscribe_to_all_stream_from_end") {
+    withStore("graft-ap") { store =>
+      store.appendToStream("s", ExpectedVersion.NoStream, msgs(1, 2, 3))
+      val seen = new ConcurrentLinkedQueue[Long]()
+      val latch = new CountDownLatch(1)
+      val sub = Subscriptions.subscribeToAll(store, Some(Position.End),
+        m => { seen.add(m.position); latch.countDown() })
+      try {
+        store.appendToStream("s", ExpectedVersion.Any, msgs(4))
+        assert(latch.await(30, TimeUnit.SECONDS))
+        // only the message appended after subscribing, none of the first 3
+        assert(seen.toArray.toSeq === Seq(3L))
+      } finally sub.close()
+    }
+  }
+
+  test("When_subscribe_to_all_with_empty_store_should_raise_has_caught_up") {
+    withStore("graft-ap") { store =>
+      val latch = new CountDownLatch(1)
+      val sub = Subscriptions.subscribeToAll(store, None, _ => (),
+        caughtUp => if (caughtUp) latch.countDown())
+      try assert(latch.await(30, TimeUnit.SECONDS)) finally sub.close()
+    }
+  }
+
+  test("When_subscribe_to_stream_with_empty_store_should_raise_has_caught_up") {
+    withStore("graft-ap") { store =>
+      val latch = new CountDownLatch(1)
+      val sub = Subscriptions.subscribeToStream(store, "nonexistent", None, _ => (),
+        caughtUp => if (caughtUp) latch.countDown())
+      try assert(latch.await(30, TimeUnit.SECONDS)) finally sub.close()
+    }
+  }
+
+  test("When_caught_up_to_all_then_then_should_notify_only_twice") {
+    withStore("graft-ap") { store =>
+      store.appendToStream("s", ExpectedVersion.NoStream, msgs(1 to 30: _*))
+      val trueRaises = new AtomicInteger(0)
+      val first = new CountDownLatch(1)
+      val sub = Subscriptions.subscribeToAll(store, None, _ => (),
+        caughtUp => if (caughtUp) { trueRaises.incrementAndGet(); first.countDown() },
+        pageSize = 10)
+      try {
+        assert(first.await(30, TimeUnit.SECONDS))
+        Thread.sleep(500) // stays caught up: no repeated raise while idle
+        assert(trueRaises.get() <= 2, s"caught-up raised ${trueRaises.get()} times")
+      } finally sub.close()
+    }
+  }
+
+  test("When_falls_behind_on_all_then_then_should_notify") {
+    withStore("graft-ap") { store =>
+      store.appendToStream("s", ExpectedVersion.NoStream, msgs(1 to 30: _*))
+      val transitions = new ConcurrentLinkedQueue[Boolean]()
+      val caughtTwice = new CountDownLatch(2)
+      val sub = Subscriptions.subscribeToAll(store, None, _ => (),
+        b => { transitions.add(b); if (b) caughtTwice.countDown() },
+        pageSize = 10)
+      try {
+        // wait until first caught-up, then outpace the subscription
+        val deadline = System.currentTimeMillis() + 30000
+        while (!transitions.contains(true) && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        store.appendToStream("s", ExpectedVersion.Any, msgs(31 to 60: _*))
+        assert(caughtTwice.await(30, TimeUnit.SECONDS))
+        // fell behind (false) between the two caught-up (true) raises
+        assert(transitions.toArray.map(_.asInstanceOf[Boolean]).toSeq.count(_ == false) >= 1)
+      } finally sub.close()
+    }
+  }
+
+  test("Can_have_multiple_subscriptions_to_all") {
+    withStore("graft-ap") { store =>
+      store.appendToStream("s", ExpectedVersion.NoStream, msgs(1, 2, 3))
+      val counts = Seq.fill(3)(new AtomicInteger(0))
+      val latches = Seq.fill(3)(new CountDownLatch(3))
+      val subs = (0 until 3).map { i =>
+        Subscriptions.subscribeToAll(store, None,
+          _ => { counts(i).incrementAndGet(); latches(i).countDown() })
+      }
+      try {
+        latches.foreach(l => assert(l.await(30, TimeUnit.SECONDS)))
+        assert(counts.forall(_.get() === 3))
+      } finally subs.foreach(_.close())
+    }
+  }
+
+  test("Can_dispose_stream_subscription_multiple_times") {
+    withStore("graft-ap") { store =>
+      store.appendToStream("s", ExpectedVersion.NoStream, msgs(1))
+      val dropped = new AtomicInteger(0)
+      val sub = Subscriptions.subscribeToStream(store, "s", None, _ => (),
+        onDropped = (r, _) => if (r == SubscriptionDroppedReason.Disposed) dropped.incrementAndGet())
+      sub.close()
+      sub.close() // second dispose must be a safe no-op
+      assert(dropped.get() <= 1)
+      assert(!sub.isRunning)
+    }
+  }
+
+  test("When_subscribe_to_stream_and_append_messages_then_should_receive_message") {
+    withStore("graft-ap") { store =>
+      val latch = new CountDownLatch(1)
+      val sub = Subscriptions.subscribeToStream(store, "s", None,
+        m => if (m.streamVersion == 0) latch.countDown())
+      try {
+        store.appendToStream("s", ExpectedVersion.NoStream, msgs(1))
+        assert(latch.await(30, TimeUnit.SECONDS))
+      } finally sub.close()
+    }
+  }
+}
