@@ -1,0 +1,146 @@
+package graft.http
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import graft.core._
+
+import scala.jdk.CollectionConverters._
+
+/** JSON wire format of the HTTP surface.
+  *
+  * Shapes follow the reference's HAL server/client pair
+  * (`src/SqlStreamStore.HAL/`, `src/SqlStreamStore.Http/`): messages
+  * serialize with the `StreamMessage` field names, append bodies are
+  * arrays of `NewStreamMessage`, pages carry HAL-style `_links`
+  * (self/next) plus the page fields the client needs. Divergence from the
+  * reference is documented in README §HTTP: this is pragmatic HAL (the
+  * link relations exist; curies/docs/browser resources are out of scope).
+  */
+object HalJson {
+  val Mapper = new ObjectMapper()
+
+  // --- messages ---
+
+  def messageNode(m: StreamMessage, embed: Boolean): ObjectNode = {
+    val n = Mapper.createObjectNode()
+    n.put("messageId", m.messageId)
+    n.put("createdUtc", m.createdUtc.toInstant.toString)
+    n.put("position", m.position)
+    n.put("streamId", m.streamId)
+    n.put("streamVersion", m.streamVersion)
+    n.put("type", m.`type`)
+    if (embed && m.jsonData != null) n.put("jsonData", m.jsonData) else n.putNull("jsonData")
+    if (m.jsonMetadata != null) n.put("jsonMetadata", m.jsonMetadata) else n.putNull("jsonMetadata")
+    n
+  }
+
+  def readMessage(n: JsonNode): StreamMessage =
+    StreamMessage(
+      streamId = n.get("streamId").asText,
+      messageId = n.get("messageId").asText,
+      streamVersion = n.get("streamVersion").asInt,
+      position = n.get("position").asLong,
+      createdUtc = java.sql.Timestamp.from(java.time.Instant.parse(n.get("createdUtc").asText)),
+      `type` = n.get("type").asText,
+      jsonData = optText(n, "jsonData").orNull,
+      jsonMetadata = optText(n, "jsonMetadata").orNull)
+
+  // --- append bodies ---
+
+  def newMessagesJson(messages: Seq[NewStreamMessage]): String = {
+    val arr = Mapper.createArrayNode()
+    messages.foreach { m =>
+      val n = arr.addObject()
+      n.put("messageId", m.messageId)
+      n.put("type", m.`type`)
+      if (m.jsonData != null) n.put("jsonData", m.jsonData) else n.putNull("jsonData")
+      if (m.jsonMetadata != null) n.put("jsonMetadata", m.jsonMetadata) else n.putNull("jsonMetadata")
+    }
+    Mapper.writeValueAsString(arr)
+  }
+
+  def readNewMessages(body: String): Seq[NewStreamMessage] =
+    Mapper.readTree(body).asInstanceOf[ArrayNode].elements().asScala.map { n =>
+      NewStreamMessage(
+        messageId = n.get("messageId").asText,
+        `type` = n.get("type").asText,
+        jsonData = optText(n, "jsonData").orNull,
+        jsonMetadata = optText(n, "jsonMetadata").orNull)
+    }.toSeq
+
+  // --- pages ---
+
+  def allPageJson(page: ReadAllPage, embed: Boolean, basePath: String): String = {
+    val n = Mapper.createObjectNode()
+    n.put("fromPosition", page.fromPosition)
+    n.put("nextPosition", page.nextPosition)
+    n.put("isEnd", page.isEnd)
+    n.put("direction", if (page.direction == ReadDirection.Forward) 1 else -1)
+    val arr = n.putArray("messages")
+    page.messages.foreach(m => arr.add(messageNode(m, embed)))
+    val d = if (page.direction == ReadDirection.Forward) "f" else "b"
+    links(n,
+      "self" -> s"$basePath?d=$d&p=${page.fromPosition}",
+      "next" -> s"$basePath?d=$d&p=${page.nextPosition}")
+    Mapper.writeValueAsString(n)
+  }
+
+  def streamPageJson(page: ReadStreamPage, embed: Boolean, basePath: String): String = {
+    val n = Mapper.createObjectNode()
+    n.put("streamId", page.streamId)
+    n.put("status", page.status.toString)
+    n.put("fromStreamVersion", page.fromStreamVersion)
+    n.put("nextStreamVersion", page.nextStreamVersion)
+    n.put("lastStreamVersion", page.lastStreamVersion)
+    n.put("lastStreamPosition", page.lastStreamPosition)
+    n.put("isEnd", page.isEnd)
+    n.put("direction", if (page.direction == ReadDirection.Forward) 1 else -1)
+    val arr = n.putArray("messages")
+    page.messages.foreach(m => arr.add(messageNode(m, embed)))
+    val d = if (page.direction == ReadDirection.Forward) "f" else "b"
+    links(n,
+      "self" -> s"$basePath?d=$d&p=${page.fromStreamVersion}",
+      "next" -> s"$basePath?d=$d&p=${page.nextStreamVersion}")
+    Mapper.writeValueAsString(n)
+  }
+
+  def listStreamsJson(page: ListStreamsPage): String = {
+    val n = Mapper.createObjectNode()
+    val arr = n.putArray("streamIds")
+    page.streamIds.foreach(arr.add)
+    n.put("continuationToken", page.continuationToken)
+    Mapper.writeValueAsString(n)
+  }
+
+  def metadataJson(m: StreamMetadataResult): String = {
+    val n = Mapper.createObjectNode()
+    n.put("streamId", m.streamId)
+    n.put("metadataStreamVersion", m.metadataStreamVersion)
+    m.maxAge.fold(n.putNull("maxAge"))(v => n.put("maxAge", v))
+    m.maxCount.fold(n.putNull("maxCount"))(v => n.put("maxCount", v))
+    if (m.metadataJson != null) n.put("metadataJson", m.metadataJson) else n.putNull("metadataJson")
+    Mapper.writeValueAsString(n)
+  }
+
+  def appendResultJson(r: AppendResult): String = {
+    val n = Mapper.createObjectNode()
+    n.put("currentVersion", r.currentVersion)
+    n.put("currentPosition", r.currentPosition)
+    Mapper.writeValueAsString(n)
+  }
+
+  def optText(n: JsonNode, field: String): Option[String] = {
+    val v = n.get(field)
+    if (v == null || v.isNull) None else Some(v.asText)
+  }
+
+  def optInt(n: JsonNode, field: String): Option[Int] = {
+    val v = n.get(field)
+    if (v == null || v.isNull) None else Some(v.asInt)
+  }
+
+  private def links(n: ObjectNode, rels: (String, String)*): Unit = {
+    val l = n.putObject("_links")
+    rels.foreach { case (rel, href) => l.putObject(rel).put("href", href) }
+  }
+}

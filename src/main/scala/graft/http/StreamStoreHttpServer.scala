@@ -1,0 +1,203 @@
+package graft.http
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.core._
+import graft.store.StreamStore
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+
+/** HTTP server exposing a [[StreamStore]] — the reference's HAL surface
+  * (`src/SqlStreamStore.HAL/SqlStreamStoreHalMiddleware.cs:83-111`)
+  * re-expressed over the JDK's built-in server (zero dependencies).
+  *
+  * Routes (ref paths `Constants.Paths`, query params `d`irection /
+  * `p`osition / `m`axCount / `e`mbed, `ReadAllStreamOperation.cs:19-45`):
+  *
+  *   GET    /                         index
+  *   GET    /stream                   read all (d=f|b, p, m, e=1)
+  *   GET    /stream/{position}        one message by global position
+  *   GET    /streams                  list streams (t=s|e + p=pattern, m, c=token)
+  *   GET    /streams/{id}             read stream (d, p, m, e)
+  *   POST   /streams/{id}             append; SSS-ExpectedVersion header
+  *   DELETE /streams/{id}             delete stream; SSS-ExpectedVersion
+  *   GET    /streams/{id}/metadata    get metadata
+  *   POST   /streams/{id}/metadata    set metadata; SSS-ExpectedVersion
+  *   GET    /streams/{id}/{version}   one message
+  *   DELETE /streams/{id}/{version}   delete message at version
+  *
+  * Expected version rides the `SSS-ExpectedVersion` header and every
+  * response carries `SSS-HeadPosition`
+  * (`src/SqlStreamStore.Http.Common/Constants.cs:28-29`); a wrong
+  * expected version maps to 409 Conflict, missing resources to 404.
+  */
+final class StreamStoreHttpServer(store: StreamStore, port: Int = 0) extends AutoCloseable {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(Executors.newFixedThreadPool(4, r => {
+    val t = new Thread(r, "graft-http"); t.setDaemon(true); t
+  }))
+  server.createContext("/", handle _)
+  server.start()
+
+  /** Bound port (useful with port=0). */
+  def boundPort: Int = server.getAddress.getPort
+  def baseUrl: String = s"http://127.0.0.1:$boundPort"
+
+  override def close(): Unit = server.stop(0)
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val segments = ex.getRequestURI.getRawPath.split("/").filter(_.nonEmpty)
+        .map(s => URLDecoder.decode(s, StandardCharsets.UTF_8)).toList
+      val q = query(ex)
+      (ex.getRequestMethod, segments) match {
+        case ("GET", Nil) => index(ex)
+        case ("GET", "stream" :: Nil) => readAll(ex, q)
+        case ("GET", "stream" :: pos :: Nil) => allMessage(ex, pos.toLong)
+        case ("GET", "streams" :: Nil) => listStreams(ex, q)
+        case ("GET", "streams" :: id :: Nil) => readStream(ex, id, q)
+        case ("POST", "streams" :: id :: Nil) => append(ex, id)
+        case ("DELETE", "streams" :: id :: Nil) => deleteStream(ex, id)
+        case ("GET", "streams" :: id :: "metadata" :: Nil) => getMetadata(ex, id)
+        case ("POST", "streams" :: id :: "metadata" :: Nil) => setMetadata(ex, id)
+        case ("GET", "streams" :: id :: v :: Nil) => streamMessage(ex, id, v.toInt)
+        case ("DELETE", "streams" :: id :: v :: Nil) => deleteMessage(ex, id, v.toInt)
+        case _ => respond(ex, 404, """{"error":"not found"}""")
+      }
+    } catch {
+      case e: WrongExpectedVersionException =>
+        respond(ex, 409, s"""{"error":${Json.quote(e.getMessage)}}""")
+      case e: IllegalArgumentException =>
+        respond(ex, 400, s"""{"error":${Json.quote(String.valueOf(e.getMessage))}}""")
+      case e: Throwable =>
+        respond(ex, 500, s"""{"error":${Json.quote(String.valueOf(e.getMessage))}}""")
+    } finally ex.close()
+
+  // --- handlers ---
+
+  private def index(ex: HttpExchange): Unit =
+    respond(ex, 200,
+      """{"_links":{"self":{"href":"/"},"streamStore:feed":{"href":"/stream"},"streamStore:feed-browser":{"href":"/streams"}}}""")
+
+  private def readAll(ex: HttpExchange, q: Map[String, String]): Unit = {
+    val forwards = q.get("d").exists(d => d == "f" || d == "F")
+    val from = q.get("p").flatMap(p => p.toLongOption)
+      .getOrElse(if (forwards) Position.Start else Position.End)
+    val m = q.get("m").flatMap(_.toIntOption).filter(_ > 0).getOrElse(DefaultPageSize)
+    val embed = q.get("e").contains("1")
+    val page =
+      if (forwards) store.readAllForwards(from, m, prefetchJsonData = embed)
+      else store.readAllBackwards(from, m, prefetchJsonData = embed)
+    respond(ex, 200, HalJson.allPageJson(page, embed, "/stream"))
+  }
+
+  private def allMessage(ex: HttpExchange, position: Long): Unit = {
+    val page = store.readAllForwards(position, 1, prefetchJsonData = true)
+    page.messages.find(_.position == position) match {
+      case Some(msg) => respond(ex, 200, HalJson.Mapper.writeValueAsString(HalJson.messageNode(msg, embed = true)))
+      case None => respond(ex, 404, """{"error":"message not found"}""")
+    }
+  }
+
+  private def listStreams(ex: HttpExchange, q: Map[String, String]): Unit = {
+    val pattern = (q.get("t"), q.get("p")) match {
+      case (Some("s"), Some(p)) => Pattern.StartsWith(p)
+      case (Some("e"), Some(p)) => Pattern.EndsWith(p)
+      case _ => Pattern.Anything
+    }
+    val m = q.get("m").flatMap(_.toIntOption).filter(_ > 0).getOrElse(100)
+    val page = store.listStreams(pattern, m, q.get("c"))
+    respond(ex, 200, HalJson.listStreamsJson(page))
+  }
+
+  private def readStream(ex: HttpExchange, id: String, q: Map[String, String]): Unit = {
+    val forwards = !q.get("d").exists(d => d == "b" || d == "B") // stream reads default forwards
+    val from = q.get("p").flatMap(_.toIntOption)
+      .getOrElse(if (forwards) StreamVersion.Start else StreamVersion.End)
+    val m = q.get("m").flatMap(_.toIntOption).filter(_ > 0).getOrElse(DefaultPageSize)
+    val embed = q.get("e").contains("1")
+    val page =
+      if (forwards) store.readStreamForwards(id, from, m, prefetchJsonData = embed)
+      else store.readStreamBackwards(id, from, m, prefetchJsonData = embed)
+    if (page.status == PageReadStatus.StreamNotFound)
+      respond(ex, 404, HalJson.streamPageJson(page, embed, s"/streams/$id"))
+    else
+      respond(ex, 200, HalJson.streamPageJson(page, embed, s"/streams/$id"))
+  }
+
+  private def append(ex: HttpExchange, id: String): Unit = {
+    val expected = expectedVersion(ex)
+    val messages = HalJson.readNewMessages(body(ex))
+    val result = store.appendToStream(id, expected, messages)
+    respond(ex, 201, HalJson.appendResultJson(result))
+  }
+
+  private def deleteStream(ex: HttpExchange, id: String): Unit = {
+    store.deleteStream(id, expectedVersion(ex))
+    respond(ex, 204, "")
+  }
+
+  private def getMetadata(ex: HttpExchange, id: String): Unit =
+    respond(ex, 200, HalJson.metadataJson(store.getStreamMetadata(id)))
+
+  private def setMetadata(ex: HttpExchange, id: String): Unit = {
+    val n = HalJson.Mapper.readTree(body(ex))
+    store.setStreamMetadata(id, expectedVersion(ex),
+      maxAge = HalJson.optInt(n, "maxAge"),
+      maxCount = HalJson.optInt(n, "maxCount"),
+      metadataJson = HalJson.optText(n, "metadataJson"))
+    respond(ex, 200, "{}")
+  }
+
+  private def streamMessage(ex: HttpExchange, id: String, version: Int): Unit = {
+    val page = store.readStreamForwards(id, version, 1, prefetchJsonData = true)
+    page.messages.find(_.streamVersion == version) match {
+      case Some(msg) => respond(ex, 200, HalJson.Mapper.writeValueAsString(HalJson.messageNode(msg, embed = true)))
+      case None => respond(ex, 404, """{"error":"message not found"}""")
+    }
+  }
+
+  private def deleteMessage(ex: HttpExchange, id: String, version: Int): Unit = {
+    val page = store.readStreamForwards(id, version, 1, prefetchJsonData = false)
+    page.messages.find(_.streamVersion == version).foreach(m => store.deleteMessage(id, m.messageId))
+    respond(ex, 204, "")
+  }
+
+  // --- plumbing ---
+
+  private val DefaultPageSize = 20 // ref: Constants.cs:80
+
+  private def expectedVersion(ex: HttpExchange): Int =
+    Option(ex.getRequestHeaders.getFirst("SSS-ExpectedVersion"))
+      .flatMap(_.toIntOption).getOrElse(ExpectedVersion.Any)
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq).getOrElse(Nil)
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(URLDecoder.decode(k, StandardCharsets.UTF_8) ->
+            URLDecoder.decode(v, StandardCharsets.UTF_8))
+          case Array(k) => Some(URLDecoder.decode(k, StandardCharsets.UTF_8) -> "")
+          case _ => None
+        }
+      }.toMap
+
+  private def respond(ex: HttpExchange, status: Int, content: String): Unit = {
+    val bytes = content.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/hal+json")
+    // every response surfaces the head position (ref: Constants.cs:29)
+    ex.getResponseHeaders.set("SSS-HeadPosition", store.readHeadPosition().toString)
+    if (status == 204 || bytes.isEmpty && status != 200) {
+      ex.sendResponseHeaders(status, -1)
+    } else {
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      val out = ex.getResponseBody
+      try out.write(bytes) finally out.close()
+    }
+  }
+}

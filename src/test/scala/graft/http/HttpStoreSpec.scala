@@ -1,0 +1,159 @@
+package graft.http
+
+import graft.SparkTestSession
+import graft.core._
+import graft.store.SparkStreamStore
+import graft.streaming.Subscriptions
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterEach
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+/** The HTTP surface run against the real store: server + client pair
+  * exercising the same contract as the direct API, mirroring the
+  * reference's HTTP acceptance wiring (the HAL server hosts a store, the
+  * HTTP client implements IStreamStore against it, and the shared
+  * acceptance suite runs over that fixture —
+  * `tests/SqlStreamStore.HttpTests/`). */
+class HttpStoreSpec extends AnyFunSuite with BeforeAndAfterEach {
+  private val spark = SparkTestSession.spark
+  private var backing: SparkStreamStore = _
+  private var server: StreamStoreHttpServer = _
+  private var store: HttpStreamStore = _ // the system under test
+
+  override def beforeEach(): Unit = {
+    backing = new SparkStreamStore(spark, SparkTestSession.tempDir("graft-http"))
+    server = new StreamStoreHttpServer(backing)
+    store = new HttpStreamStore(server.baseUrl)
+  }
+
+  override def afterEach(): Unit = {
+    server.close()
+    backing.close()
+  }
+
+  private def mid(n: Int): String = f"00000000-0000-0000-0000-$n%012d"
+  private def msgs(ns: Int*): Seq[NewStreamMessage] =
+    ns.map(n => NewStreamMessage(mid(n), "type", s"""{"data":$n}""", """{"meta":1}"""))
+
+  test("append over HTTP creates stream; read returns messages in order") {
+    val r = store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2, 3))
+    assert(r === AppendResult(2, 2))
+    val page = store.readStreamForwards("s1")
+    assert(page.status === PageReadStatus.Success)
+    assert(page.messages.map(_.streamVersion) === Seq(0, 1, 2))
+    assert(page.messages.map(_.messageId) === Seq(mid(1), mid(2), mid(3)))
+    assert(page.messages.head.jsonData === """{"data":1}""")
+    assert(page.messages.head.jsonMetadata === """{"meta":1}""")
+  }
+
+  test("idempotent replay and wrong-expected-version map across the wire") {
+    store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2))
+    val replay = store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2))
+    assert(replay === AppendResult(1, 1))
+    intercept[WrongExpectedVersionException] {
+      store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2, 3))
+    }
+    intercept[WrongExpectedVersionException] {
+      store.appendToStream("s1", 5, msgs(9))
+    }
+  }
+
+  test("read all forwards and backwards with paging") {
+    store.appendToStream("a", ExpectedVersion.NoStream, msgs(1 to 10: _*))
+    val p1 = store.readAllForwards(Position.Start, 4)
+    assert(p1.messages.map(_.position) === Seq(0L, 1L, 2L, 3L))
+    assert(!p1.isEnd)
+    val p2 = p1.readNext()
+    assert(p2.messages.map(_.position) === Seq(4L, 5L, 6L, 7L))
+    val back = store.readAllBackwards(Position.End, 3)
+    assert(back.messages.map(_.position) === Seq(9L, 8L, 7L))
+  }
+
+  test("read nonexistent stream returns StreamNotFound through 404") {
+    assert(store.readStreamForwards("nope").status === PageReadStatus.StreamNotFound)
+    assert(store.readStreamBackwards("nope").status === PageReadStatus.StreamNotFound)
+  }
+
+  test("head positions over HTTP") {
+    assert(store.readHeadPosition() === -1L)
+    store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2))
+    assert(store.readHeadPosition() === 1L)
+    assert(store.readStreamHeadVersion("a") === 1)
+    assert(store.readStreamHeadPosition("a") === 1L)
+    assert(store.readStreamHeadVersion("nope") === -1)
+  }
+
+  test("delete stream over HTTP with expected-version semantics") {
+    store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2))
+    intercept[WrongExpectedVersionException] { store.deleteStream("a", 0) }
+    store.deleteStream("a", 1)
+    assert(store.readStreamForwards("a").status === PageReadStatus.StreamNotFound)
+  }
+
+  test("delete message over HTTP removes a single message") {
+    store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2, 3))
+    store.deleteMessage("a", mid(2))
+    assert(store.readStreamForwards("a").messages.map(_.messageId) === Seq(mid(1), mid(3)))
+  }
+
+  test("metadata round-trips and drives retention over HTTP") {
+    store.setStreamMetadata("a", maxAge = Some(60), maxCount = Some(2),
+      metadataJson = Some("""{"k":"v"}"""))
+    val m = store.getStreamMetadata("a")
+    assert(m.metadataStreamVersion === 0)
+    assert(m.maxAge === Some(60) && m.maxCount === Some(2))
+    assert(m.metadataJson === """{"k":"v"}""")
+    store.appendToStream("a", ExpectedVersion.Any, msgs(1, 2, 3, 4))
+    assert(store.readStreamForwards("a").messages.map(_.streamVersion) === Seq(2, 3))
+  }
+
+  test("list streams with patterns and keyset pagination over HTTP") {
+    Seq("order-1", "order-2", "invoice-1").foreach(id =>
+      store.appendToStream(id, ExpectedVersion.NoStream, msgs(1)))
+    assert(store.listStreams().streamIds === Seq("order-1", "order-2", "invoice-1"))
+    assert(store.listStreams(Pattern.StartsWith("order-")).streamIds === Seq("order-1", "order-2"))
+    assert(store.listStreams(Pattern.EndsWith("-1")).streamIds === Seq("order-1", "invoice-1"))
+    val p1 = store.listStreams(Pattern.Anything, maxCount = 2)
+    assert(p1.streamIds.size === 2)
+    assert(p1.readNext().streamIds === Seq("invoice-1"))
+  }
+
+  test("prefetch=false omits payload; lazy lookup fetches; null after delete") {
+    store.appendToStream("a", ExpectedVersion.NoStream, msgs(1))
+    val page = store.readStreamForwards("a", 0, 10, prefetchJsonData = false)
+    assert(page.messages.head.jsonData === null)
+    assert(store.readMessageData("a", 0) === Some("""{"data":1}"""))
+    store.deleteStream("a")
+    assert(store.readMessageData("a", 0) === None)
+  }
+
+  test("url-encodable stream ids work over HTTP") {
+    Seq("stream/id", "stream%id", "stream?id=a").foreach { id =>
+      store.appendToStream(id, ExpectedVersion.Any, msgs(1))
+      assert(store.readStreamForwards(id).messages.size === 1)
+    }
+  }
+
+  test("subscriptions run unchanged over the HTTP client (reference client parity)") {
+    store.appendToStream("s", ExpectedVersion.NoStream, msgs(1, 2, 3))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val caught = new CountDownLatch(1)
+    val gotNew = new CountDownLatch(4)
+    val sub = Subscriptions.subscribeToAll(store, None,
+      m => { seen.add(m.position); gotNew.countDown() },
+      b => if (b) caught.countDown())
+    try {
+      assert(caught.await(30, TimeUnit.SECONDS))
+      store.appendToStream("s", ExpectedVersion.Any, msgs(4))
+      assert(gotNew.await(30, TimeUnit.SECONDS))
+      assert(seen.toArray.toSeq === Seq(0L, 1L, 2L, 3L))
+    } finally sub.close()
+  }
+
+  test("single message and head-position header endpoints") {
+    store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2))
+    assert(store.readMessageData("a", 1) === Some("""{"data":2}"""))
+    assert(store.readMessageData("a", 99) === None)
+  }
+}
