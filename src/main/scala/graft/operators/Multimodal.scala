@@ -3,6 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
 /** Multimodal-column plumbing: images/audio/video ride through the engine
   * as opaque `binary` columns with typed metadata, and the expensive
   * per-item work (decode, feature extraction, resize, frame sampling)
@@ -10,11 +13,14 @@ import org.apache.spark.sql.functions._
   * Pandas-UDF/`mapInPandas` stage: executors stream row batches through
   * a codec without ever collecting to the driver.
   *
-  * The actual codecs are STUBBED (no image/audio libraries in this
-  * environment): [[FakeCodec]] produces deterministic bytes-derived
-  * outputs with the real shapes, so the Spark-side plumbing — schema,
-  * partitioning, batch iteration, output schema — is real and tested,
-  * and swapping in a JNI/JavaCV codec is a one-function change.
+  * The codecs are REAL for the formats a JVM can parse without native
+  * libraries — binary PPM (P6) images, 16-bit PCM WAV audio, and a
+  * simple concatenated-frame video container — decode, resize, feature
+  * extraction, and frame sampling all operate on actual pixel/sample
+  * data. Formats that need native decoders (JPEG/MP4/...) would slot in
+  * behind the same [[Codecs]] functions; a payload that fails to parse
+  * flows through the `ok = false` failure path instead of killing the
+  * task — the behavior a 100 TB ingest needs for corrupt inputs.
   */
 object Multimodal {
 
@@ -35,72 +41,336 @@ object Multimodal {
       features: Array[Float],
       ok: Boolean)
 
-  /** A sampled video frame (decode stub keeps shapes honest). */
+  /** A sampled, decoded video frame (RGB bytes of a real frame). */
   final case class Frame(mediaId: Long, frameIndex: Int, ptsMs: Long, pixels: Array[Byte])
 
-  /** STUB codec — deterministic fakes derived from the payload bytes.
-    * Replace `decodeFeatures`/`decodeFrame` with a real codec binding in
-    * production; everything around them is the real pipeline. */
-  object FakeCodec {
-    /** ??? in spirit: a real build links an image/audio decoder here. */
-    def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
-      var h = 0xcbf29ce484222325L
-      val out = new Array[Float](dim)
-      var i = 0
-      while (i < bytes.length) { h = (h ^ bytes(i)) * 0x100000001b3L; i += 1 }
-      i = 0
-      while (i < dim) {
-        h = h * 6364136223846793005L + 1442695040888963407L
-        out(i) = ((h >>> 40).toInt & 0xffff).toFloat / 65536.0f
-        i += 1
+  // ------------------------------------------------------------------
+  // Codecs (pure JVM)
+  // ------------------------------------------------------------------
+
+  object Codecs {
+
+    // --- PPM (P6): "P6\n<w> <h>\n255\n" + w*h*3 RGB bytes ---
+
+    def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != ${w * h * 3}")
+      val header = s"P6\n$w $h\n255\n".getBytes(StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + rgb.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(rgb, 0, out, header.length, rgb.length)
+      out
+    }
+
+    /** Decode P6 PPM to (width, height, rgb). None on malformed input. */
+    def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      try {
+        if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+        var i = 2
+        val fields = new Array[Int](3) // w, h, maxval
+        var f = 0
+        while (f < 3) {
+          while (i < bytes.length && bytes(i).toChar.isWhitespace) i += 1
+          if (i < bytes.length && bytes(i) == '#') { // comment line
+            while (i < bytes.length && bytes(i) != '\n') i += 1
+          } else {
+            var v = 0
+            val start = i
+            while (i < bytes.length && bytes(i).toChar.isDigit) { v = v * 10 + (bytes(i) - '0'); i += 1 }
+            if (i == start) return None
+            fields(f) = v
+            f += 1
+          }
+        }
+        i += 1 // single whitespace after maxval
+        val (w, h, maxval) = (fields(0), fields(1), fields(2))
+        if (w <= 0 || h <= 0 || maxval != 255 || bytes.length - i < w * h * 3) return None
+        Some((w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3)))
+      } catch { case _: Throwable => None }
+    }
+
+    /** Nearest-neighbor resize of packed RGB. */
+    def resizeNearest(w: Int, h: Int, rgb: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+      val out = new Array[Byte](tw * th * 3)
+      var y = 0
+      while (y < th) {
+        val sy = y * h / th
+        var x = 0
+        while (x < tw) {
+          val sx = x * w / tw
+          val s = (sy * w + sx) * 3
+          val d = (y * tw + x) * 3
+          out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+          x += 1
+        }
+        y += 1
       }
       out
     }
-    def decodeFrame(bytes: Array[Byte], frameIndex: Int): Array[Byte] = {
-      val out = new Array[Byte](16) // 4x4 thumbnail stand-in
+
+    /** Image features: per-channel means, grayscale std, 8-bin grayscale
+      * histogram (normalized) = 12 values. */
+    def imageFeatures(w: Int, h: Int, rgb: Array[Byte]): Array[Float] = {
+      val n = w * h
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var sumGray = 0.0; var sumGray2 = 0.0
+      val hist = new Array[Int](8)
       var i = 0
-      while (i < out.length) {
-        out(i) = (bytes((frameIndex * 7 + i) % math.max(bytes.length, 1)) ^ frameIndex).toByte
+      while (i < n) {
+        val r = rgb(i * 3) & 0xff
+        val g = rgb(i * 3 + 1) & 0xff
+        val b = rgb(i * 3 + 2) & 0xff
+        sr += r; sg += g; sb += b
+        val gray = 0.299 * r + 0.587 * g + 0.114 * b
+        sumGray += gray; sumGray2 += gray * gray
+        hist((gray / 32.0).toInt.min(7)) += 1
         i += 1
       }
-      out
+      val meanGray = sumGray / n
+      val varGray = math.max(sumGray2 / n - meanGray * meanGray, 0.0)
+      Array(
+        (sr.toDouble / n / 255.0).toFloat,
+        (sg.toDouble / n / 255.0).toFloat,
+        (sb.toDouble / n / 255.0).toFloat,
+        (math.sqrt(varGray) / 255.0).toFloat) ++
+        hist.map(c => c.toFloat / n)
     }
+
+    // --- WAV: RIFF/WAVE, PCM 16-bit mono ---
+
+    def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + dataLen)
+      buf.put("WAVE".getBytes(StandardCharsets.US_ASCII))
+      buf.put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+      buf.putShort(1).putShort(1) // PCM, mono
+      buf.putInt(sampleRate).putInt(sampleRate * 2)
+      buf.putShort(2).putShort(16) // block align, bits
+      buf.put("data".getBytes(StandardCharsets.US_ASCII)).putInt(dataLen)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+
+    /** Decode PCM-16 mono WAV to (sampleRate, samples). None if malformed. */
+    def decodeWavPcm16(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+      try {
+        if (bytes.length < 44) return None
+        val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val riff = new Array[Byte](4); buf.get(riff)
+        if (new String(riff, StandardCharsets.US_ASCII) != "RIFF") return None
+        buf.getInt // chunk size
+        val wave = new Array[Byte](4); buf.get(wave)
+        if (new String(wave, StandardCharsets.US_ASCII) != "WAVE") return None
+        var sampleRate = 0
+        var samples: Array[Short] = null
+        while (buf.remaining() >= 8 && samples == null) {
+          val id = new Array[Byte](4); buf.get(id)
+          val size = buf.getInt
+          new String(id, StandardCharsets.US_ASCII) match {
+            case "fmt " =>
+              val fmt = buf.getShort; val channels = buf.getShort
+              sampleRate = buf.getInt
+              buf.getInt; buf.getShort
+              val bits = buf.getShort
+              if (fmt != 1 || channels != 1 || bits != 16) return None
+              buf.position(buf.position() + (size - 16))
+            case "data" =>
+              val n = size / 2
+              if (buf.remaining() < size) return None
+              val out = new Array[Short](n)
+              var i = 0
+              while (i < n) { out(i) = buf.getShort; i += 1 }
+              samples = out
+            case _ => buf.position(buf.position() + size)
+          }
+        }
+        if (sampleRate == 0 || samples == null) None else Some((sampleRate, samples))
+      } catch { case _: Throwable => None }
+    }
+
+    /** Audio features: RMS, zero-crossing rate, and 4 Goertzel band
+      * energies (250/500/1000/2000 Hz), normalized = 6 values. */
+    def audioFeatures(sampleRate: Int, samples: Array[Short]): Array[Float] = {
+      val n = samples.length
+      if (n == 0) return new Array[Float](6)
+      var sum2 = 0.0
+      var crossings = 0
+      var i = 0
+      while (i < n) {
+        val s = samples(i) / 32768.0
+        sum2 += s * s
+        if (i > 0 && (samples(i) >= 0) != (samples(i - 1) >= 0)) crossings += 1
+        i += 1
+      }
+      val rms = math.sqrt(sum2 / n)
+      val zcr = crossings.toDouble / n
+      val bands = Array(250.0, 500.0, 1000.0, 2000.0).map { f =>
+        // Goertzel power at frequency f
+        val k = 2.0 * math.Pi * f / sampleRate
+        val coeff = 2.0 * math.cos(k)
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+        var j = 0
+        while (j < n) {
+          s0 = samples(j) / 32768.0 + coeff * s1 - s2
+          s2 = s1; s1 = s0
+          j += 1
+        }
+        val power = s1 * s1 + s2 * s2 - coeff * s1 * s2
+        (math.sqrt(math.max(power, 0.0)) / n).toFloat
+      }
+      Array(rms.toFloat, zcr.toFloat) ++ bands
+    }
+
+    // --- video: "GVID" container = magic + frameCount + w + h + PPM-less
+    //     packed RGB frames (a stand-in for a real container; the frame
+    //     payloads and sampling math are real) ---
+
+    def encodeVideo(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val frameLen = w * h * 3
+      require(frames.forall(_.length == frameLen))
+      val buf = ByteBuffer.allocate(16 + frames.length * frameLen).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("GVID".getBytes(StandardCharsets.US_ASCII))
+      buf.putInt(frames.length).putInt(w).putInt(h)
+      frames.foreach(buf.put)
+      buf.array()
+    }
+
+    def decodeVideoHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (bytes.length < 16) return None
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val magic = new Array[Byte](4); buf.get(magic)
+      if (new String(magic, StandardCharsets.US_ASCII) != "GVID") return None
+      val (n, w, h) = (buf.getInt, buf.getInt, buf.getInt)
+      if (n <= 0 || w <= 0 || h <= 0 || bytes.length < 16 + n.toLong * w * h * 3) None
+      else Some((n, w, h))
+    }
+
+    def decodeVideoFrame(bytes: Array[Byte], frameIndex: Int): Option[(Int, Int, Array[Byte])] =
+      decodeVideoHeader(bytes).flatMap { case (n, w, h) =>
+        if (frameIndex < 0 || frameIndex >= n) None
+        else {
+          val frameLen = w * h * 3
+          val off = 16 + frameIndex * frameLen
+          Some((w, h, java.util.Arrays.copyOfRange(bytes, off, off + frameLen)))
+        }
+      }
   }
 
-  /** Deterministic synthetic media table (payload = seeded bytes), used
-    * by tests in lieu of real files. */
+  // ------------------------------------------------------------------
+  // Synthetic corpus (real encoded payloads)
+  // ------------------------------------------------------------------
+
+  /** Deterministic synthetic media table with REAL payloads: PPM images
+    * (gradient + seeded noise), PCM WAV audio (sine + noise), and GVID
+    * video (moving gradient frames, 1 frame/second). */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaItem] = {
     import spark.implicits._
     spark.range(n).map { i =>
       val rnd = new scala.util.Random(i)
       val kind = Seq("image", "audio", "video")(i.toInt % 3)
-      val bytes = new Array[Byte](256 + (i % 128).toInt)
-      rnd.nextBytes(bytes)
-      MediaItem(i, kind, bytes, 64 + (i % 64).toInt, 64, 1000L * (1 + i % 30))
-    }
-  }
-
-  /** Batched decode + feature extraction: one codec instance per
-    * partition, rows streamed through it (the mapInPandas shape). */
-  def extractFeatures(items: Dataset[MediaItem], dim: Int = 64): Dataset[MediaFeatures] = {
-    import items.sparkSession.implicits._
-    items.mapPartitions { it =>
-      // per-partition codec init would go here (expensive at real scale)
-      it.map { m =>
-        val feats = FakeCodec.decodeFeatures(m.bytes, dim)
-        MediaFeatures(m.mediaId, m.kind, dim, feats, ok = m.bytes.nonEmpty)
+      val w = 16 + (i % 4).toInt * 4
+      val h = 16
+      kind match {
+        case "image" =>
+          MediaItem(i, kind, Codecs.encodePpm(w, h, syntheticRgb(w, h, rnd, 0)), w, h, 0L)
+        case "audio" =>
+          val sr = 8000
+          val seconds = 1 + (i % 3).toInt
+          val freq = 200.0 + (i % 10) * 100.0
+          val samples = Array.tabulate(sr * seconds) { t =>
+            val v = 0.5 * math.sin(2 * math.Pi * freq * t / sr) + 0.05 * rnd.nextGaussian()
+            (v * 32767).max(-32768).min(32767).toShort
+          }
+          MediaItem(i, kind, Codecs.encodeWavPcm16(sr, samples), 0, 0, seconds * 1000L)
+        case _ =>
+          val frames = (1 + i % 30).toInt
+          val payload = Codecs.encodeVideo(w, h, (0 until frames).map(f => syntheticRgb(w, h, rnd, f)))
+          MediaItem(i, kind, payload, w, h, frames * 1000L)
       }
     }
   }
 
-  /** Frame sampling for video rows: every `everyMs` milliseconds,
-    * exploded to one row per frame. */
+  private def syntheticRgb(w: Int, h: Int, rnd: scala.util.Random, phase: Int): Array[Byte] = {
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        rgb(p) = (((x + phase) * 255 / w) & 0xff).toByte
+        rgb(p + 1) = ((y * 255 / h) & 0xff).toByte
+        rgb(p + 2) = (rnd.nextInt(256) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
+  // ------------------------------------------------------------------
+  // Batched operators (the mapInPandas shape)
+  // ------------------------------------------------------------------
+
+  /** Batched decode + feature extraction: rows stream through the codec
+    * per partition; decode failures flow to `ok = false` rows. Features
+    * are padded/truncated to `dim`. */
+  def extractFeatures(items: Dataset[MediaItem], dim: Int = 64): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        val decoded: Option[Array[Float]] = m.kind match {
+          case "image" =>
+            Codecs.decodePpm(m.bytes).map { case (w, h, rgb) => Codecs.imageFeatures(w, h, rgb) }
+          case "audio" =>
+            Codecs.decodeWavPcm16(m.bytes).map { case (sr, s) => Codecs.audioFeatures(sr, s) }
+          case "video" =>
+            Codecs.decodeVideoFrame(m.bytes, 0).map { case (w, h, rgb) =>
+              Codecs.imageFeatures(w, h, rgb) :+ (m.durationMs / 1000.0f)
+            }
+          case _ => None
+        }
+        decoded match {
+          case Some(f) => MediaFeatures(m.mediaId, m.kind, dim, java.util.Arrays.copyOf(f, dim), ok = true)
+          case None => MediaFeatures(m.mediaId, m.kind, dim, new Array[Float](dim), ok = false)
+        }
+      }
+    }
+  }
+
+  /** Resize image payloads to `tw`x`th` (nearest neighbor), re-encoded as
+    * PPM; non-images and undecodable payloads pass through unchanged. */
+  def resizeImages(items: Dataset[MediaItem], tw: Int, th: Int): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map {
+        case m if m.kind == "image" =>
+          Codecs.decodePpm(m.bytes) match {
+            case Some((w, h, rgb)) =>
+              m.copy(bytes = Codecs.encodePpm(tw, th, Codecs.resizeNearest(w, h, rgb, tw, th)),
+                width = tw, height = th)
+            case None => m
+          }
+        case m => m
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: decode the frame nearest each
+    * `everyMs` timestamp, one output row per sampled frame. */
   def sampleFrames(items: Dataset[MediaItem], everyMs: Long = 5000L): Dataset[Frame] = {
     import items.sparkSession.implicits._
     items.filter(_.kind == "video").flatMap { m =>
-      val n = math.max(1, (m.durationMs / everyMs).toInt)
-      (0 until n).iterator.map { f =>
-        Frame(m.mediaId, f, f * everyMs, FakeCodec.decodeFrame(m.bytes, f))
+      Codecs.decodeVideoHeader(m.bytes) match {
+        case None => Iterator.empty
+        case Some((frameCount, _, _)) =>
+          val n = math.max(1, (m.durationMs / everyMs).toInt)
+          (0 until n).iterator.flatMap { s =>
+            val ptsMs = s * everyMs
+            val idx = math.min(((ptsMs.toDouble / m.durationMs) * frameCount).toInt, frameCount - 1)
+            Codecs.decodeVideoFrame(m.bytes, idx).map { case (_, _, rgb) =>
+              Frame(m.mediaId, idx, ptsMs, rgb)
+            }
+          }
       }
     }
   }

@@ -133,6 +133,60 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ppm codec round-trips and resize preserves format") {
+    import Multimodal.Codecs
+    val rgb = Array.tabulate(8 * 4 * 3)(i => (i * 7 % 256).toByte)
+    val encoded = Codecs.encodePpm(8, 4, rgb)
+    val Some((w, h, decoded)) = Codecs.decodePpm(encoded)
+    assert((w, h) === (8, 4))
+    assert(decoded.toSeq === rgb.toSeq)
+    val resized = Codecs.resizeNearest(8, 4, rgb, 4, 2)
+    assert(resized.length === 4 * 2 * 3)
+    assert(Codecs.decodePpm(Codecs.encodePpm(4, 2, resized)).isDefined)
+    assert(Codecs.decodePpm("not a ppm".getBytes) === None)
+  }
+
+  test("wav codec round-trips and audio features are physical") {
+    import Multimodal.Codecs
+    val sr = 8000
+    val sine = Array.tabulate(sr)(t => (0.5 * math.sin(2 * math.Pi * 500 * t / sr) * 32767).toShort)
+    val Some((rate, decoded)) = Codecs.decodeWavPcm16(Codecs.encodeWavPcm16(sr, sine))
+    assert(rate === sr)
+    assert(decoded.toSeq === sine.toSeq)
+    val f = Codecs.audioFeatures(sr, sine)
+    // RMS of a 0.5-amplitude sine is 0.5/sqrt(2) ~ 0.354
+    assert(math.abs(f(0) - 0.354) < 0.01, s"rms = ${f(0)}")
+    // the 500 Hz Goertzel band must dominate the other bands
+    val bands = f.drop(2)
+    assert(bands(1) === bands.max, s"bands = ${bands.toSeq}")
+    assert(Codecs.decodeWavPcm16(Array.fill[Byte](50)(1)) === None)
+  }
+
+  test("corrupt media payloads flow to ok=false instead of failing the job") {
+    import spark.implicits._
+    val bad = Seq(
+      Multimodal.MediaItem(1L, "image", Array[Byte](1, 2, 3), 8, 8, 0L),
+      Multimodal.MediaItem(2L, "audio", Array[Byte](9, 9), 0, 0, 1000L)).toDS()
+    val out = Multimodal.extractFeatures(bad, dim = 4).collect().sortBy(_.mediaId)
+    assert(out.forall(!_.ok))
+    assert(out.forall(_.features.forall(_ == 0.0f)))
+  }
+
+  test("video frame sampling decodes real frames at sampled timestamps") {
+    import Multimodal.Codecs
+    val items = Multimodal.syntheticMedia(spark, 30)
+    val frames = Multimodal.sampleFrames(items, everyMs = 5000).collect()
+    assert(frames.nonEmpty)
+    // each sampled frame is a real decode of the container's frame bytes
+    val byId = items.filter(_.kind == "video").collect().map(m => m.mediaId -> m).toMap
+    frames.take(10).foreach { f =>
+      val m = byId(f.mediaId)
+      val Some((w, h, expected)) = Codecs.decodeVideoFrame(m.bytes, f.frameIndex)
+      assert(f.pixels.toSeq === expected.toSeq)
+      assert(f.pixels.length === w * h * 3)
+    }
+  }
+
   test("text analysis projection has sane values") {
     val out = TextAnalysis.analyze(docs).collect()
     assert(out.forall(r => r.getAs[Long]("n_tokens") > 0))
