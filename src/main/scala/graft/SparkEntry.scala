@@ -322,15 +322,18 @@ object SparkEntry {
       .select(col("doc_id"), TextAnalysis.bpeTokenEstimate(col("text")).as("n_bpe"))
       .orderBy("doc_id")
 
-  /** Quality-scoring ratios (TextAnalysis alpha/punct/stopword ratios). */
+  /** Quality-scoring ratios — one native single-pass stats expression
+    * ([[graft.functions.TextStats]]), bit-identical to the per-metric HOF
+    * formulations in TextAnalysis. */
   private def textQualityRatios(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      .withColumn("_st", graft.functions.TextStats.textStats(col("text")))
       .select(
         col("doc_id"),
-        TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"),
-        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
-        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
-        TextAnalysis.meanTokenLen(col("text")).as("mean_token_len"))
+        col("_st.alpha_ratio").as("alpha_ratio"),
+        col("_st.punct_ratio").as("punct_ratio"),
+        col("_st.stopword_ratio").as("stopword_ratio"),
+        col("_st.mean_token_len").as("mean_token_len"))
       .orderBy("doc_id")
 
   /** Language-ID heuristic (TextAnalysis.languageId) vs the labeled lang. */

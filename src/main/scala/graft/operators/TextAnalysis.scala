@@ -107,8 +107,14 @@ object TextAnalysis {
   /** N-gram/stopword-heuristic language ID: picks the language whose
     * function words hit the most tokens; CJK detected by codepoint class.
     * Lightweight stand-in for fastText-style LID over 100 TB of text —
-    * one pass, no shuffle. */
-  def languageId(text: Column): Column = {
+    * one pass, no shuffle. Native single-pass Catalyst expression
+    * ([[graft.functions.LangId]]); the HOF formulation below is the
+    * executable reference (one interpreted lambda per token × language —
+    * it dominated this operator's round-1 bench time). */
+  def languageId(text: Column): Column = graft.functions.LangId.languageId(text)
+
+  /** The replaced HOF formulation, kept for the bit-parity spec. */
+  private[graft] def languageIdHof(text: Column): Column = {
     val ts = tokens(lower(text))
     val hits: Seq[(String, Column)] = LangStopwords.map { case (lang, words) =>
       lang -> size(filter(ts, t => array_contains(typedlit(words), t)))

@@ -97,6 +97,47 @@ class NativeFunctionsSpec extends AnyFunSuite with Matchers {
     rows.foreach(r => r.getDouble(0) shouldBe r.getDouble(1))
   }
 
+  test("LangIdExpr matches the HOF formulation on multilingual and edge inputs") {
+    val samples = Seq(
+      "the quick brown fox is in the yard and it was fine",
+      "der hund ist nicht mit der katze und das ist gut",
+      "le chat est dans la maison pour que les choses aillent",
+      "el perro no es para los gatos y una cosa por otra",
+      "中文文本 with some english the and of",
+      "la la la", // shared fr/es stopword: tie resolved in lang order
+      "no stopwords here whatsoever xyzzy",
+      "  padded   WITH   Whitespace the of and ",
+      "")
+    val df = samples.toDF("text")
+    val rows = df.select(
+      TextAnalysis.languageId(col("text")).as("native"),
+      TextAnalysis.languageIdHof(col("text")).as("hof")).collect()
+    rows.zip(samples).foreach { case (r, s) =>
+      assert(r.getString(0) === r.getString(1), s"diverged on: '$s'")
+    }
+  }
+
+  test("TextStatsExpr matches the per-metric HOF formulations bit-for-bit") {
+    val samples = texts ++ Seq(
+      "The fox. It was a fox! Or was it?",
+      "\ttab-led   and of the  ",
+      "punctuation!!! everywhere... ???")
+    val df = samples.toDF("text")
+    val rows = df.select(
+      TextStats.textStats(col("text")).as("native"),
+      TextAnalysis.alphaRatio(col("text")).as("alpha"),
+      TextAnalysis.punctRatio(col("text")).as("punct"),
+      TextAnalysis.stopwordRatio(col("text")).as("stop"),
+      TextAnalysis.meanTokenLen(col("text")).as("mean")).collect()
+    rows.foreach { r =>
+      val st = r.getStruct(0)
+      st.getDouble(0) shouldBe r.getDouble(1)
+      st.getDouble(1) shouldBe r.getDouble(2)
+      st.getDouble(2) shouldBe r.getDouble(3)
+      st.getDouble(3) shouldBe r.getDouble(4)
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // repartition so the projection sits over an exchange rather than a
     // LocalTableScan (which is evaluated without codegen)
