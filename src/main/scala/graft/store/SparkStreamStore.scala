@@ -67,7 +67,8 @@ final class SparkStreamStore(
     trackDeletes: Boolean = true,
     scavengeSynchronously: Boolean = true, // retained for API compatibility; scavenge is now always a cheap synchronous tombstone write
     journalEvery: Int = 64,
-    maxCachedChain: Int = 100000)
+    maxCachedChain: Int = 100000,
+    autoCompactEvery: Int = 0) // >0: background-compact after that many appended log files
   extends StreamStore {
 
   import SparkStreamStore._
@@ -112,6 +113,8 @@ final class SparkStreamStore(
   private var appendsSinceJournal = 0
   private var journalSeq = 0L
   private var tombSeq = 0L
+  private var filesSinceCompact = 0
+  private val compactPending = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Readers hold the read side while a Spark job runs; [[compact]] (the
     * only file-swapping operation) holds the write side. Ordering: the
@@ -265,6 +268,17 @@ final class SparkStreamStore(
       head.maxCount.foreach(mc => scavenge(streamId, head, mc))
       appendsSinceJournal += 1
       if (appendsSinceJournal >= journalEvery) writeJournal(dirtyStreams.toSeq, Nil)
+      filesSinceCompact += 1
+      // size-tiered maintenance off the append critical path: one pending
+      // background compaction at a time (ref: async scavenge shape,
+      // PostgresStreamStore.Append.cs:69-77)
+      if (autoCompactEvery > 0 && filesSinceCompact >= autoCompactEvery &&
+          compactPending.compareAndSet(false, true)) {
+        purgeExecutor.submit(new Runnable {
+          def run(): Unit =
+            try compact() catch { case _: Throwable => () } finally compactPending.set(false)
+        })
+      }
     } else if (head.version == StreamVersion.End) {
       // empty-stream creation: journal immediately so it survives restart
       // (no log row exists to recover it from)
@@ -618,6 +632,7 @@ final class SparkStreamStore(
       // re-applying a tombstone to the compacted log matches nothing
       fs.delete(new HPath(tombstonesDir), true)
       streamTombs.clear(); msgTombs.clear(); cutoffs.clear()
+      filesSinceCompact = 0
       writeJournal(heads.keys.toSeq, Nil, pruneBelow = true)
     } finally wl.unlock()
   }

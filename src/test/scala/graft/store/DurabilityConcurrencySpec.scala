@@ -169,6 +169,24 @@ class DurabilityConcurrencySpec extends AnyFunSuite {
     } finally store.close()
   }
 
+  test("auto-compaction bounds log file count in the background") {
+    val dir = SparkTestSession.tempDir("graft-autocompact")
+    val store = new SparkStreamStore(spark, dir, autoCompactEvery = 8)
+    try {
+      (1 to 24).foreach(n => store.appendToStream("a", ExpectedVersion.Any, msgs(n)))
+      val deadline = System.currentTimeMillis() + 60000
+      var compacted = false
+      while (!compacted && System.currentTimeMillis() < deadline) {
+        compacted = logFiles(dir).size < 24
+        if (!compacted) Thread.sleep(200)
+      }
+      assert(compacted, s"expected background compaction; ${logFiles(dir).size} files remain")
+      // data survives compaction intact
+      val page = store.readStreamForwards("a", 0, 100)
+      assert(page.messages.map(_.streamVersion) === (0 until 24))
+    } finally store.close()
+  }
+
   test("ttl purge is batched and tombstones expired rows") {
     val dir = SparkTestSession.tempDir("graft-ttlbatch")
     val clock = new Clock.Manual(java.time.Instant.parse("2026-01-01T00:00:00Z"))
