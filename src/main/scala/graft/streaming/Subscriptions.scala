@@ -1,7 +1,11 @@
 package graft.streaming
 
 import graft.core._
-import graft.store.StreamStore
+import graft.store.{SparkStreamStore, StreamStore}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import java.util.concurrent.atomic.AtomicBoolean
 
@@ -107,6 +111,42 @@ object Subscriptions {
       protected def caughtUp(b: Boolean): Unit = onCaughtUp(b)
       protected def dropped(r: SubscriptionDroppedReason, t: Option[Throwable]): Unit = onDropped(r, t)
     }
+
+  /** Structured Streaming variant of SubscribeToAll: a streaming query
+    * over the append-only log directory (file source — new append files
+    * become micro-batches; the checkpointed file offset plays the role of
+    * the continuation position). Messages are delivered in position order
+    * within each micro-batch on the driver, mirroring the reference's
+    * strictly-sequential push (`AllStreamSubscription.cs:207-232`).
+    *
+    * This surface reads the PHYSICAL log: it is the append-only firehose
+    * (logically-deleted rows still appear; position order across
+    * micro-batches follows file-discovery order, which matches append
+    * order for a single writer). For exact reference semantics including
+    * tombstone-filtered reads, use [[subscribeToAll]].
+    */
+  def structuredSubscribeToAll(
+      store: SparkStreamStore,
+      fromPositionExclusive: Option[Long],
+      onMessage: StreamMessage => Unit,
+      checkpointDir: Option[String] = None,
+      triggerMs: Long = 200L): StreamingQuery = {
+    val base = store.allMessagesStream
+    val filtered = fromPositionExclusive.fold(base)(p => base.filter(col("position") > p))
+    var writer = filtered.writeStream
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.orderBy("position").collect().foreach { r: Row =>
+          onMessage(StreamMessage(
+            streamId = r.getString(0), messageId = r.getString(1),
+            streamVersion = r.getInt(2), position = r.getLong(3),
+            createdUtc = r.getTimestamp(4), `type` = r.getString(5),
+            jsonData = r.getString(6), jsonMetadata = r.getString(7)))
+        }
+      }
+    checkpointDir.foreach(d => writer = writer.option("checkpointLocation", d))
+    writer.start()
+  }
 
   /** The pull-loop skeleton: page until IsEnd, signal caught-up on
     * transitions, poll for new appends, notify drop exactly once. */

@@ -108,4 +108,27 @@ class SubscriptionSpec extends AnyFunSuite with BeforeAndAfterEach with Eventual
       assert(ordered === Array(0L, 1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("structuredSubscribeToAll delivers messages per batch in position order") {
+    store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2, 3))
+    val seen = new ConcurrentLinkedQueue[Long]()
+    val q = Subscriptions.structuredSubscribeToAll(store, None, m => seen.add(m.position))
+    try {
+      q.processAllAvailable()
+      assert(seen.asScala.toSeq === Seq(0L, 1L, 2L))
+      store.appendToStream("a", 2, msgs(4, 5))
+      q.processAllAvailable()
+      assert(seen.asScala.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
+  test("structuredSubscribeToAll skips positions at or before the continuation") {
+    store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2, 3))
+    val seen = new ConcurrentLinkedQueue[Long]()
+    val q = Subscriptions.structuredSubscribeToAll(store, Some(1L), m => seen.add(m.position))
+    try {
+      q.processAllAvailable()
+      assert(seen.asScala.toSeq === Seq(2L))
+    } finally q.stop()
+  }
 }
