@@ -28,14 +28,20 @@ object ExplainAudit {
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n===== $name =====")
         val df = fn(spark, sfDir)
+        // collect() finalizes THIS DataFrame's adaptive plan (a noop write
+        // would execute a separate QueryExecution and leave df's unfinal)
+        df.collect()
         val plan = df.queryExecution.executedPlan.toString()
         df.explain("formatted")
-        // quick health summary
+        // quick health summary over the FINAL adaptive plan; codegen
+        // stages appear as `*(n)` operator prefixes
         val pushed = "PushedFilters: \\[[^\\]]*[A-Za-z][^\\]]*\\]".r.findAllIn(plan).size
         val bhj = plan.split('\n').count(_.contains("BroadcastHashJoin"))
+        val bnl = plan.split('\n').count(_.contains("BroadcastNestedLoopJoin"))
         val smj = plan.split('\n').count(_.contains("SortMergeJoin"))
-        val wsc = plan.split('\n').count(_.contains("WholeStageCodegen"))
-        println(s"[audit] $name pushedFilterScans=$pushed broadcastJoins=$bhj sortMergeJoins=$smj codegenSpans=$wsc")
+        val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
+        println(s"[audit] $name pushedFilterScans=$pushed broadcastJoins=$bhj " +
+          s"broadcastNestedLoop=$bnl sortMergeJoins=$smj codegenSpans=$wsc")
       }
     }
     spark.stop()
