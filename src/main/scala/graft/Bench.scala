@@ -96,10 +96,38 @@ object Bench {
       sub.close()
     }
 
-    store.close()
+    // appends to a MaxCount-capped stream: every append past the cap
+    // scavenges (round 1 rewrote the whole log per append here; now a
+    // cutoff tombstone) — ref: LoadTests/AppendStreamWithMaxCount.cs
+    val scavengeSec = time {
+      store.setStreamMetadata("capped", maxCount = Some(50))
+      (0 until 200).foreach { i =>
+        store.appendToStream("capped", ExpectedVersion.Any,
+          Seq(NewStreamMessage(mid(100000 + i), "t", payload)))
+      }
+    }
+
+    // single-message deletes (tombstone + $message-deleted event each)
+    val deleteSec = time {
+      (0 until 20).foreach { i =>
+        store.deleteMessage(s"stream-${i % 8}", mid(i))
+      }
+    }
+
+    // reopen: journal replay + tail scan, not a full-log aggregate
+    val reopenSec = time {
+      store.close()
+      val reopened = new SparkStreamStore(spark, dir)
+      require(reopened.readHeadPosition() >= nBatches * batch - 1)
+      reopened.close()
+    }
+
     Seq(
       "store_append_2k_msgs" -> appendSec,
       "store_read_all_scan" -> readAllSec,
-      "store_subscription_catchup" -> catchupSec)
+      "store_subscription_catchup" -> catchupSec,
+      "store_scavenge_200_appends" -> scavengeSec,
+      "store_delete_20_msgs" -> deleteSec,
+      "store_reopen_recovery" -> reopenSec)
   }
 }

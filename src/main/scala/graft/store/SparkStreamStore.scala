@@ -81,6 +81,21 @@ final class SparkStreamStore(
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
   private val fs = FileSystem.get(new java.net.URI(messagesDir), hadoopConf)
 
+  /** Conf for the driver's own small-file writes (append batches, journal,
+    * tombstones): on local filesystems, bypass the checksum layer — the
+    * .crc sidecar costs ~16ms per tiny file and parquet footers already
+    * carry column-level checksums. Non-local schemes keep the default. */
+  private val writeConf: Configuration = {
+    val uri = new java.net.URI(messagesDir)
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      val c = new Configuration(hadoopConf)
+      c.set("fs.file.impl", classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
+      c.setBoolean("fs.file.impl.disable.cache", true)
+      c
+    } else hadoopConf
+  }
+  private val writeFs = FileSystem.newInstance(new java.net.URI(messagesDir), writeConf)
+
   /** Driver-side head state per stream (ref: denormalized `streams` table,
     * `SqlStreamStore.Postgres/PgSqlScripts/Tables.sql:4-15`). */
   private final class Head(
@@ -102,12 +117,12 @@ final class SparkStreamStore(
   // streamId -> (version ceiling, asOf position): scavenged prefix
   private val cutoffs = mutable.Map.empty[String, (Int, Long)]
 
-  /** Per-stream in-order (version, messageId) chains backing the
-    * idempotency replay checks — lazily loaded, maintained incrementally
-    * on append (VERDICT r1: replaces the per-append full-stream collect).
-    * Bounded by `maxCachedChain` per stream; evicted chains fall back to
-    * a log query. */
-  private val idChains = mutable.Map.empty[String, IndexedSeq[(Int, String)]]
+  /** Per-stream in-order (version, messageId, position) chains backing
+    * the idempotency replay checks and message-id -> position resolution
+    * for deletes — lazily loaded, maintained incrementally on append
+    * (VERDICT r1: replaces the per-append full-stream collect). Bounded by
+    * `maxCachedChain` per stream; evicted chains fall back to a log query. */
+  private val idChains = mutable.Map.empty[String, IndexedSeq[(Int, String, Long)]]
 
   private val dirtyStreams = mutable.LinkedHashSet.empty[String]
   private var appendsSinceJournal = 0
@@ -115,6 +130,13 @@ final class SparkStreamStore(
   private var tombSeq = 0L
   private var filesSinceCompact = 0
   private val compactPending = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Scavenge cutoffs awaiting persistence (latest per stream): driver
+    * state is updated immediately (reads honor the cutoff right away) but
+    * the tombstone record rides the next journal-cadence flush — a crash
+    * loses at most `journalEvery` appends' worth, and the next append to
+    * the capped stream re-scavenges past the lost cutoff. */
+  private val pendingCutoffs = mutable.Map.empty[String, Tomb]
 
   /** Readers hold the read side while a Spark job runs; [[compact]] (the
     * only file-swapping operation) holds the write side. Ordering: the
@@ -188,7 +210,7 @@ final class SparkStreamStore(
   private def appendAny(streamId: String, head: Head, messages: Seq[NewStreamMessage]): AppendResult = {
     if (messages.nonEmpty && head.version >= 0) {
       val existing = existingIds(streamId)
-      val byId = existing.iterator.zipWithIndex.map { case ((_, id), idx) => id -> idx }.toMap
+      val byId = existing.iterator.zipWithIndex.map { case (t, idx) => t._2 -> idx }.toMap
       byId.get(messages.head.messageId) match {
         case Some(i) =>
           if (i + messages.length > existing.length) throw WrongExpectedVersionException(streamId, ExpectedVersion.Any)
@@ -218,7 +240,7 @@ final class SparkStreamStore(
       // Idempotency: incoming batch must replay at exactly versions
       // expectedVersion+1 .. expectedVersion+len
       val existing = existingIds(streamId)
-      val byVersion = existing.toMap
+      val byVersion = existing.iterator.map(t => t._1 -> t._2).toMap
       messages.indices.foreach { i =>
         val v = expectedVersion + i + 1
         byVersion.get(v) match {
@@ -254,8 +276,8 @@ final class SparkStreamStore(
       val rows = messages.zipWithIndex.map { case (m, i) =>
         MessageRow(streamId, m.messageId, head.version + 1 + i, base + i, nowMicros, m.`type`, m.jsonData, m.jsonMetadata)
       }
-      DirectParquet.write(hadoopConf, new HPath(messagesDir, f"part-$base%020d-${UUID.randomUUID().toString.take(8)}.parquet"), rows)
-      val newPairs = messages.zipWithIndex.map { case (m, i) => (head.version + 1 + i, m.messageId) }
+      DirectParquet.write(writeConf, new HPath(messagesDir, f"part-$base%020d-${UUID.randomUUID().toString.take(8)}.parquet"), rows)
+      val newPairs = messages.zipWithIndex.map { case (m, i) => (head.version + 1 + i, m.messageId, base + i) }
       idChains.get(streamId) match {
         case Some(c) => cacheChain(streamId, c ++ newPairs)
         case None => if (head.version == StreamVersion.End) cacheChain(streamId, newPairs.toIndexedSeq)
@@ -288,7 +310,7 @@ final class SparkStreamStore(
     AppendResult(head.version, head.position)
   }
 
-  private def cacheChain(streamId: String, chain: IndexedSeq[(Int, String)]): Unit =
+  private def cacheChain(streamId: String, chain: IndexedSeq[(Int, String, Long)]): Unit =
     if (chain.length <= maxCachedChain) idChains(streamId) = chain
     else idChains.remove(streamId)
 
@@ -302,25 +324,31 @@ final class SparkStreamStore(
     if (cutoff >= 0 && cutoffs.get(streamId).forall(_._1 < cutoff)) {
       val asOf = nextPosition - 1
       cutoffs(streamId) = (cutoff, asOf)
-      writeTombstones(Seq(Tomb("cutoff", streamId, -1L, cutoff, asOf)))
+      pendingCutoffs(streamId) = Tomb("cutoff", streamId, -1L, cutoff, asOf)
       idChains.get(streamId).foreach(c => idChains(streamId) = c.filter(_._1 > cutoff))
     }
   }
+
+  private def flushPendingCutoffs(): Unit =
+    if (pendingCutoffs.nonEmpty) {
+      writeTombstones(pendingCutoffs.values.toSeq)
+      pendingCutoffs.clear()
+    }
 
   /** In-order (version, messageId) pairs currently stored for a stream —
     * backs the idempotency replay checks. Cached per stream and maintained
     * incrementally; a cache miss (first touch after recovery, or an
     * evicted over-long chain) falls back to one log query. */
-  private def existingIds(streamId: String): IndexedSeq[(Int, String)] =
+  private def existingIds(streamId: String): IndexedSeq[(Int, String, Long)] =
     idChains.get(streamId) match {
       case Some(c) => c
       case None =>
         val chain = messagesDF
           .filter(col("streamId") === streamId)
-          .select("streamVersion", "messageId")
+          .select("streamVersion", "messageId", "position")
           .orderBy("streamVersion")
           .collect()
-          .map(r => (r.getInt(0), r.getString(1)))
+          .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
           .toIndexedSeq
         cacheChain(streamId, chain)
         chain
@@ -570,7 +598,8 @@ final class SparkStreamStore(
     if (hadMeta) streamTombs(metaId) = math.max(streamTombs.getOrElse(metaId, -1L), asOf)
     writeJournal(Nil, Seq(streamId) ++ (if (hadMeta) Seq(metaId) else Nil))
     Seq(streamId, metaId).foreach { id =>
-      heads.remove(id); cutoffs.remove(id); idChains.remove(id); dirtyStreams -= id
+      heads.remove(id); cutoffs.remove(id); pendingCutoffs.remove(id)
+      idChains.remove(id); dirtyStreams -= id
     }
     if (trackDeletes) {
       // one tombstone per deleted stream, metadata stream included
@@ -586,16 +615,15 @@ final class SparkStreamStore(
   }
 
   override def deleteMessage(streamId: String, messageId: String): Unit = synchronized {
-    val hit = messagesDF
-      .filter(col("streamId") === streamId && col("messageId") === messageId)
-      .select("position")
-      .limit(1)
-      .collect()
-      .headOption
+    // resolve the row's position from the id chain when the stream exists
+    // (cached after any append/idempotency touch — no Spark job); missing
+    // streams resolve to None without a query
+    val hit =
+      if (!heads.contains(streamId)) None
+      else existingIds(streamId).find(_._2 == messageId).map(_._3)
     hit match {
       case None => () // no-op (ref: DeleteStreamMessages.sql deletes 0 rows)
-      case Some(r) =>
-        val pos = r.getLong(0)
+      case Some(pos) =>
         writeTombstones(Seq(Tomb("message", null, pos, -1, -1L)))
         msgTombs += pos
         idChains.get(streamId).foreach(c => idChains(streamId) = c.filterNot(_._2 == messageId))
@@ -631,7 +659,7 @@ final class SparkStreamStore(
       // tombstones are merged; clearing them after the swap is safe because
       // re-applying a tombstone to the compacted log matches nothing
       fs.delete(new HPath(tombstonesDir), true)
-      streamTombs.clear(); msgTombs.clear(); cutoffs.clear()
+      streamTombs.clear(); msgTombs.clear(); cutoffs.clear(); pendingCutoffs.clear()
       filesSinceCompact = 0
       writeJournal(heads.keys.toSeq, Nil, pruneBelow = true)
     } finally wl.unlock()
@@ -748,6 +776,7 @@ final class SparkStreamStore(
     * (removal markers). Every line carries the position watermark so
     * recovery can tail-scan only the log above it. */
   private def writeJournal(ids: Seq[String], deletedIds: Seq[String], pruneBelow: Boolean = false): Unit = {
+    flushPendingCutoffs() // persistence rides the journal cadence
     val rows = ids.flatMap(id => heads.get(id).map(h => (id, Some(h)))) ++
       deletedIds.map(id => (id, None))
     if (rows.isEmpty && !pruneBelow) { appendsSinceJournal = 0; return }
@@ -783,7 +812,7 @@ final class SparkStreamStore(
   }
 
   private def writeTextFile(path: HPath, content: String): Unit = {
-    val out = fs.create(path, false)
+    val out = writeFs.create(path, false)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
@@ -936,8 +965,9 @@ final class SparkStreamStore(
   }
 
   override def close(): Unit = synchronized {
-    writeJournal(dirtyStreams.toSeq, Nil)
+    writeJournal(dirtyStreams.toSeq, Nil) // also flushes pending cutoffs
     purgeExecutor.shutdown()
+    writeFs.close()
   }
 }
 

@@ -75,6 +75,17 @@ object Demo {
     println("== all-stream as DataFrame (Spark-native surface) ==")
     store.allMessages.orderBy("position").show(20, truncate = false)
 
+    println("== HTTP surface (server + client over the same store) ==")
+    val server = new graft.http.StreamStoreHttpServer(store)
+    val httpStore = new graft.http.HttpStreamStore(server.baseUrl)
+    val httpAppend = httpStore.appendToStream("http-stream", ExpectedVersion.NoStream,
+      Seq(NewStreamMessage(mid(10), "via-http", """{"transport":"http"}""")))
+    val httpRead = httpStore.readStreamForwards("http-stream")
+    println(s"  appended over HTTP at position ${httpAppend.currentPosition}; " +
+      s"read back ${httpRead.messages.size} message(s), head=${httpStore.readHeadPosition()}")
+    require(httpRead.messages.head.jsonData == """{"transport":"http"}""")
+    server.close()
+
     store.close()
     spark.stop()
     println("DEMO OK")
