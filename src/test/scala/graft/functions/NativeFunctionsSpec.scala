@@ -138,6 +138,34 @@ class NativeFunctionsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("SQL registration exposes the native functions with identical results") {
+    GraftFunctions.register(spark)
+    texts.toDF("text").createOrReplaceTempView("nf_texts")
+    val viaSql = spark.sql(
+      """SELECT minhash_sig(text, 16, 5) AS sig, shingle_hashes(text, 5) AS sh,
+                minhash_from_hashes(shingle_hashes(text, 5), 16) AS sig2,
+                simhash64(text) AS code, lang_id(text) AS lang,
+                text_stats(text).alpha_ratio AS alpha
+         FROM nf_texts""").collect()
+    val viaApi = texts.toDF("text").select(
+      TextHash.minHashSignature(col("text"), 16, 5).as("sig"),
+      TextHash.shingleHashes(col("text"), 5).as("sh"),
+      TextHash.simHash64(col("text")).as("code"),
+      graft.functions.LangId.languageId(col("text")).as("lang"),
+      TextStats.textStats(col("text")).getField("alpha_ratio").as("alpha")).collect()
+    viaSql.zip(viaApi).foreach { case (s, a) =>
+      s.getSeq[Long](0) shouldBe a.getSeq[Long](0)
+      s.getSeq[Long](1) shouldBe a.getSeq[Long](1)
+      s.getSeq[Long](2) shouldBe a.getSeq[Long](0) // sig from hashes == direct sig
+      s.getLong(3) shouldBe a.getLong(2)
+      s.getString(4) shouldBe a.getString(3)
+      s.getDouble(5) shouldBe a.getDouble(4)
+    }
+    val dotRow = spark.sql(
+      "SELECT dot_f(array(cast(1.0 as float), cast(2.0 as float)), array(cast(3.0 as float), cast(4.0 as float))) AS d").head()
+    dotRow.getDouble(0) shouldBe 11.0
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // repartition so the projection sits over an exchange rather than a
     // LocalTableScan (which is evaluated without codegen)
