@@ -149,6 +149,51 @@ class AppendSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(all.messages.map(_.streamId) === Seq("a", "a", "b", "a"))
   }
 
+  test("append empty collection with Any creates an empty stream") {
+    // ref: When_append_to_non_existent_stream_with_empty_collection_of_messages
+    //      (AppendStream.cs:617-633, Theory over NoStream and Any)
+    store.appendToStream("s1", ExpectedVersion.Any, Nil)
+    val page = store.readStreamForwards("s1")
+    assert(page.status === PageReadStatus.Success)
+    assert(page.messages.isEmpty)
+    assert(store.readStreamHeadVersion("s1") === -1)
+  }
+
+  test("concurrent appends of the same batch with NoStream: one wins, rest replay idempotently") {
+    // ref: When_append_stream_concurrently_with_no_stream_expected_and_same_messages
+    //      (AppendStream.cs:716-733)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, AppendResult]]()
+    val threads = (1 to 4).map { _ =>
+      val t = new Thread(() =>
+        results.add(
+          try Right(store.appendToStream("c1", ExpectedVersion.NoStream, msgs(1, 2, 3)))
+          catch { case e: Throwable => Left(e) }))
+      t.start(); t
+    }
+    threads.foreach(_.join(30000))
+    // all four must succeed with the same result (idempotent replay)
+    assert(results.size === 4)
+    results.forEach {
+      case Right(r) => assert(r === AppendResult(2, 2))
+      case Left(e) => fail(s"concurrent idempotent append threw: $e")
+    }
+    assert(store.readStreamForwards("c1").messages.size === 3)
+  }
+
+  test("concurrent appends to different streams each commit with dense positions") {
+    // ref: When_append_to_different_streams_concurrently... (AppendStream.cs:735+)
+    val threads = (0 until 4).map { i =>
+      val t = new Thread(() =>
+        store.appendToStream(s"c-$i", ExpectedVersion.NoStream, msgs(10 + i)))
+      t.start(); t
+    }
+    threads.foreach(_.join(30000))
+    val all = store.readAllForwards(maxCount = 100)
+    assert(all.messages.size === 4)
+    assert(all.messages.map(_.position) === Seq(0L, 1L, 2L, 3L))
+    (0 until 4).foreach(i => assert(store.readStreamHeadVersion(s"c-$i") === 0))
+  }
+
   test("system stream ids are rejected") {
     intercept[IllegalArgumentException] {
       store.appendToStream("$sys", ExpectedVersion.Any, msgs(1))
