@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -77,6 +77,98 @@ object Similarity {
       col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       signBits(col(vecCol), bits).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the learned-partition scale path
+  // ------------------------------------------------------------------
+
+  /** A trained coarse quantizer: k centroids in the embedding space. */
+  final case class IvfModel(centroids: Array[Array[Float]]) {
+    def k: Int = centroids.length
+  }
+
+  /** Nearest-centroid ids for one vector (by cosine), top `n`. */
+  private def nearestCentroids(model: IvfModel, vec: Seq[Float], n: Int): Seq[Int] = {
+    def cos(c: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < c.length && i < vec.length) {
+        dot += c(i).toDouble * vec(i); na += c(i).toDouble * c(i); nb += vec(i).toDouble * vec(i)
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    model.centroids.indices.sortBy(i => -cos(model.centroids(i))).take(n)
+  }
+
+  /** Train an IVF coarse quantizer with Lloyd iterations, Spark-side:
+    * deterministic seeding (k lowest-id vectors), assignment in a typed
+    * map over broadcast centroids, centroid update as an element-wise
+    * mean via posexplode + groupBy — all distributed; only the k×dim
+    * centroid matrix ever reaches the driver. */
+  def trainIvf(
+      corpus: DataFrame, k: Int, iterations: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var centroids = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    (1 to iterations).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(IvfModel(centroids))
+      val assigned = corpus
+        .select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .as[(Long, Array[Float])]
+        .map { case (_, vec) => (nearestCentroids(bc.value, vec.toSeq, 1).head, vec) }
+        .toDF("cluster", "vec")
+      val means = assigned
+        .select(col("cluster"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(avg(col("v")).as("m"))
+        .groupBy("cluster")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ms"))
+        .collect()
+      means.foreach { r =>
+        val cluster = r.getInt(0)
+        val ms = r.getSeq[Row](1).map(_.getDouble(1).toFloat).toArray
+        if (ms.nonEmpty) centroids(cluster) = ms
+      }
+      bc.destroy()
+    }
+    IvfModel(centroids)
+  }
+
+  /** IVF ANN top-k: corpus rows are assigned to their nearest centroid
+    * once; each query probes its `nprobe` nearest centroids and scores
+    * only those partitions' vectors — the learned-partition counterpart
+    * of [[lshTopK]] (better recall per candidate at the cost of
+    * training). Output: (query_id, neighbor_id, score, rank). */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, model: IvfModel, k: Int,
+      nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, vec) => (nearestCentroids(bc.value, vec.toSeq, 1).head, id, vec) }
+      .toDF("cluster", "neighbor_id", "c_vec")
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, vec) =>
+        nearestCentroids(bc.value, vec.toSeq, nprobe).map(c => (c, id, vec))
+      }
+      .toDF("cluster", "query_id", "q_vec")
+    val scored = assigned.join(broadcast(probed), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))

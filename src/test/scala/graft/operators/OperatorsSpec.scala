@@ -118,6 +118,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(withBuckets.filter(col("qb") =!= col("nb")).count() === 0)
   }
 
+  test("ivf ann: trained quantizer, measured recall@10 vs brute force") {
+    val emb = embeddings.select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 20)
+    val model = Similarity.trainIvf(emb, k = 16, iterations = 3)
+    assert(model.centroids.length === 16)
+    assert(model.centroids.forall(_.length === 64))
+    val ivf = Similarity.ivfTopK(emb, queries, model, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"IVF recall@10 (k=16, nprobe=4) = $recall%.3f")
+    assert(recall >= 0.5, f"IVF recall $recall%.3f below floor")
+    // probing ALL partitions must reproduce brute force exactly
+    val full = Similarity.ivfTopK(emb, queries, model, k = 10, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact, "nprobe = k must equal brute force")
+  }
+
   test("multimodal: features deterministic, frames sampled per duration") {
     val items = Multimodal.syntheticMedia(spark, 30)
     val f1 = Multimodal.extractFeatures(items, dim = 8).collect().sortBy(_.mediaId)
