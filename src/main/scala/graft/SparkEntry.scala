@@ -252,6 +252,18 @@ object SparkEntry {
       .orderBy("p_brand", "rnk")
   }
 
+  /** Top suppliers by account balance per nation: broadcast dim join +
+    * window top-k over the supplier table. */
+  private def topSuppliersPerNation(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("n_name").orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3L)
+      .select("n_name", "rnk", "s_suppkey", "s_acctbal")
+      .orderBy("n_name", "rnk")
+  }
+
   /** Time-bucketed aggregation over order dates. */
   private def ordersMonthly(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -484,6 +496,7 @@ object SparkEntry {
     "q3_top_revenue" -> q3TopRevenue _,
     "q5_nation_revenue" -> q5NationRevenue _,
     "top_parts_per_brand" -> topPartsPerBrand _,
+    "top_suppliers_per_nation" -> topSuppliersPerNation _,
     "orders_monthly" -> ordersMonthly _,
     "distinct_counts" -> distinctCounts _,
   )
@@ -719,6 +732,13 @@ object SparkEntry {
                                      ORDER BY p_retailprice DESC, p_partkey) AS rnk
            FROM part) WHERE rnk <= 3
          ORDER BY p_brand, rnk""",
+    "top_suppliers_per_nation" ->
+      """SELECT n_name, rnk, s_suppkey, s_acctbal FROM (
+           SELECT n_name, s_suppkey, s_acctbal,
+                  row_number() OVER (PARTITION BY n_name
+                                     ORDER BY s_acctbal DESC, s_suppkey) AS rnk
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey) WHERE rnk <= 3
+         ORDER BY n_name, rnk""",
     "orders_monthly" ->
       """SELECT EXTRACT(year FROM o_orderdate) AS y,
                 EXTRACT(month FROM o_orderdate) AS m,
