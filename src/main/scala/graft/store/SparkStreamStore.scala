@@ -591,6 +591,11 @@ final class SparkStreamStore(
     val metaId = MetadataStream.of(streamId)
     val hadMeta = heads.contains(metaId)
     val asOf = nextPosition - 1
+    // Tombstone BEFORE journal: a crash between the two leaves the stream
+    // visible as existing-but-empty (head journaled alive, rows filtered)
+    // rather than resurrecting its messages in the all-stream — the safer
+    // side of the non-atomic window the reference closes with a DB
+    // transaction; the next deleteStream or compact converges it.
     val tombs = Seq(Tomb("stream", streamId, -1L, -1, asOf)) ++
       (if (hadMeta) Seq(Tomb("stream", metaId, -1L, -1, asOf)) else Nil)
     writeTombstones(tombs)
