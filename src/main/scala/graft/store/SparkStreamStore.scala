@@ -486,13 +486,22 @@ final class SparkStreamStore(
       .orderBy(col("position").desc)
       .limit(maxCount + 1)
       .collect()
+    if (rows.isEmpty)
+      // nothing at or below `from`: next is Start regardless of input
+      // (ref: ReadAll.cs:109-119)
+      return ReadAllPage(Position.Start, Position.Start, isEnd = true,
+        ReadDirection.Backward, Nil,
+        () => readAllBackwards(Position.Start, maxCount, prefetch))
     val isEnd = rows.length <= maxCount
     val page = toMessages(rows.take(maxCount), prefetch)
     val nextPos =
       if (!isEnd) rows(maxCount).getLong(3)
-      else Position.Start // exhausted (ref: ReadAll.cs:109-119)
+      else Position.Start // exhausted
     val kept = filterExpired(page)
-    ReadAllPage(from, nextPos, isEnd, ReadDirection.Backward, kept,
+    // the page reports the RESOLVED start: its first message's position
+    // (ref: ReadAll.cs:146 `fromPositionExclusive = filteredMessages[0].Position`)
+    val resolvedFrom = kept.headOption.map(_.position).getOrElse(0L)
+    ReadAllPage(resolvedFrom, nextPos, isEnd, ReadDirection.Backward, kept,
       () => readAllBackwards(nextPos, maxCount, prefetch))
   }
 

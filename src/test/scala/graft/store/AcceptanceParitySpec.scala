@@ -76,6 +76,81 @@ class AcceptanceParitySpec extends AnyFunSuite {
     }
   }
 
+  // --- ReadAll.cs position theories (:177-236) ---
+
+  test("When_read_all_forwards theory: counts, from, and next positions") {
+    // (seed, from, max, expCount, expFrom, expNext)
+    val cases = Seq(
+      (3, 0L, 3, 3, 0L, 3L), // read entire store
+      (3, 0L, 4, 3, 0L, 3L),
+      (3, 0L, 2, 2, 0L, 2L),
+      (3, 1L, 2, 2, 1L, 3L),
+      (3, 2L, 1, 1, 2L, 3L),
+      (3, 3L, 1, 0, 3L, 3L)) // past end
+    cases.foreach { case (seed, from, max, expCount, expFrom, expNext) =>
+      withStore("graft-rafwd") { store =>
+        store.appendToStream("stream-1", ExpectedVersion.NoStream, msgs(1 to seed: _*))
+        val page = store.readAllForwards(from, max)
+        assert(page.messages.size === expCount, s"count for $from/$max")
+        assert(page.fromPosition === expFrom, s"fromPosition for $from/$max")
+        assert(page.nextPosition === expNext, s"nextPosition for $from/$max")
+      }
+    }
+  }
+
+  test("When_read_all_backwards theory: counts, resolved from, and next positions") {
+    // (seed, from, max, expCount, expFrom, expNext); from = -1 is End
+    val cases = Seq(
+      (3, -1L, 1, 1, 2L, 1L),
+      (3, 2L, 1, 1, 2L, 1L),
+      (3, 1L, 1, 1, 1L, 0L),
+      (3, 0L, 1, 1, 0L, 0L),
+      (3, -1L, 3, 3, 2L, 0L), // read entire store
+      (3, -1L, 4, 3, 2L, 0L),
+      (0, -1L, 1, 0, 0L, 0L)) // empty store
+    cases.foreach { case (seed, from, max, expCount, expFrom, expNext) =>
+      withStore("graft-rabwd") { store =>
+        if (seed > 0) store.appendToStream("stream-1", ExpectedVersion.NoStream, msgs(1 to seed: _*))
+        val page = store.readAllBackwards(from, max)
+        assert(page.messages.size === expCount, s"count for $from/$max")
+        assert(page.fromPosition === expFrom, s"fromPosition for $from/$max")
+        assert(page.nextPosition === expNext, s"nextPosition for $from/$max")
+      }
+    }
+  }
+
+  // --- ReadStream.cs theories (:376-426) ---
+
+  test("Can_read_streams_forwards_and_backwards theories: page fields") {
+    withStore("graft-rstheory") { store =>
+      store.appendToStream("stream-1", ExpectedVersion.NoStream, msgs(1, 2, 3))
+      store.appendToStream("stream-2", ExpectedVersion.NoStream, msgs(4, 5, 6))
+
+      val f1 = store.readStreamForwards("stream-1", StreamVersion.Start, 2)
+      assert((f1.fromStreamVersion, f1.nextStreamVersion, f1.lastStreamVersion, f1.isEnd) === ((0, 2, 2, false)))
+      assert(f1.messages.map(_.messageId) === Seq(mid(1), mid(2)))
+
+      val f2 = store.readStreamForwards("not-exist", 1, 2)
+      assert(f2.status === PageReadStatus.StreamNotFound)
+      assert((f2.fromStreamVersion, f2.nextStreamVersion, f2.lastStreamVersion, f2.isEnd) === ((1, -1, -1, true)))
+
+      val f3 = store.readStreamForwards("stream-2", 1, 2)
+      assert((f3.fromStreamVersion, f3.nextStreamVersion, f3.lastStreamVersion, f3.isEnd) === ((1, 3, 2, true)))
+      assert(f3.messages.map(_.messageId) === Seq(mid(5), mid(6)))
+
+      val b1 = store.readStreamBackwards("stream-1", StreamVersion.End, 1)
+      assert((b1.fromStreamVersion, b1.nextStreamVersion, b1.lastStreamVersion, b1.isEnd) === ((-1, 1, 2, false)))
+      assert(b1.messages.map(_.messageId) === Seq(mid(3)))
+
+      val b2 = store.readStreamBackwards("stream-1", StreamVersion.End, 2)
+      assert((b2.fromStreamVersion, b2.nextStreamVersion, b2.lastStreamVersion, b2.isEnd) === ((-1, 0, 2, false)))
+
+      val b3 = store.readStreamBackwards("stream-1", StreamVersion.End, 4)
+      assert((b3.fromStreamVersion, b3.nextStreamVersion, b3.lastStreamVersion, b3.isEnd) === ((-1, -1, 2, true)))
+      assert(b3.messages.map(_.messageId) === Seq(mid(3), mid(2), mid(1)))
+    }
+  }
+
   // --- ReadStream.cs ---
 
   test("Can_read_next_page_past_end_of_stream") {
