@@ -242,6 +242,58 @@ class AcceptanceParitySpec extends AnyFunSuite {
     }
   }
 
+  // --- DeleteEvent.cs / StreamLimits.cs / ListStreams.cs remainders ---
+
+  test("When_delete_all_messages_from_stream_with_multiple_messages_then_can_read_all_forwards") {
+    withStore("graft-ap") { store =>
+      store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2, 3))
+      store.appendToStream("b", ExpectedVersion.NoStream, msgs(4))
+      Seq(1, 2, 3).foreach(n => store.deleteMessage("a", mid(n)))
+      val all = store.readAllForwards()
+      // b's message + three $message-deleted tombstone events survive
+      assert(all.messages.count(_.streamId == "a") === 0)
+      assert(all.messages.count(_.streamId == "b") === 1)
+      val aPage = store.readStreamForwards("a")
+      assert(aPage.status === PageReadStatus.Success && aPage.messages.isEmpty)
+      assert(store.readStreamHeadVersion("a") === 2) // head does not regress
+    }
+  }
+
+  test("When_stream_has_expired_messages_and_read_backward_then_should_not_get_expired_messages") {
+    val clock = new Clock.Manual(java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    val store = new SparkStreamStore(spark, SparkTestSession.tempDir("graft-ap-ttl"), clock)
+    try {
+      store.setStreamMetadata("a", maxAge = Some(60))
+      store.appendToStream("a", ExpectedVersion.NoStream, msgs(1))
+      clock.advanceSeconds(30)
+      store.appendToStream("a", 0, msgs(2))
+      clock.advanceSeconds(40) // msg1 expired, msg2 live
+      assert(store.readStreamBackwards("a").messages.map(_.messageId) === Seq(mid(2)))
+      assert(store.readAllBackwards().messages
+        .filter(_.streamId == "a").map(_.messageId) === Seq(mid(2)))
+    } finally store.close()
+  }
+
+  test("When_list_streams_after_deletion_empty_results_should_not_be_returned") {
+    withStore("graft-ap") { store =>
+      Seq("keep-1", "gone-1", "keep-2").foreach(id =>
+        store.appendToStream(id, ExpectedVersion.NoStream, msgs(1)))
+      store.deleteStream("gone-1")
+      val listed = store.listStreams().streamIds.filterNot(StreamId.isSystem)
+      assert(listed === Seq("keep-1", "keep-2"))
+    }
+  }
+
+  test("When_delete_stream_message_with_url_encodable_characters_then_should_not_throw") {
+    withStore("graft-ap") { store =>
+      Seq("stream/id", "stream%id").foreach { id =>
+        store.appendToStream(id, ExpectedVersion.NoStream, msgs(1, 2))
+        store.deleteMessage(id, mid(1))
+        assert(store.readStreamForwards(id).messages.map(_.messageId) === Seq(mid(2)))
+      }
+    }
+  }
+
   // --- Subscriptions.cs: continue-after / caught-up edges ---
 
   test("Can_subscribe_to_a_stream_from_a_specific_version") {
