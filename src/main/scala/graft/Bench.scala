@@ -44,6 +44,21 @@ object Bench {
       catch { case _: Throwable => results(name) = -1.0 }
     }
 
+    // HLL approximate distinct (bench-only: sketch estimates are
+    // engine-specific, so there is no cross-engine oracle; the exact
+    // counterpart is the oracled distinct_counts gate query)
+    {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      def approx(): Unit = li
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("parts"),
+          approx_count_distinct(col("l_suppkey")).as("supps"))
+        .write.format("noop").mode("overwrite").save()
+      approx(); results("approx_distinct_counts") = time(approx())
+    }
+
     results ++= storeScenarios(spark)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -275,8 +275,9 @@ object SparkEntry {
         dsum(col("o_totalprice")).as("total"))
       .orderBy("y", "m")
 
-  /** Exact distinct + grouped distinct (the exact counterpart the oracle
-    * can check; approx_count_distinct is exposed in Bench only). */
+  /** Exact distinct + grouped distinct — the oracle-checkable counterpart
+    * of Bench's approx_distinct_counts (HLL sketches are engine-specific,
+    * so the approximate variant has no cross-engine oracle). */
   private def distinctCounts(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
