@@ -55,15 +55,15 @@ final class StreamStoreHttpServer(store: StreamStore, port: Int = 0) extends Aut
       (ex.getRequestMethod, segments) match {
         case ("GET", Nil) => index(ex)
         case ("GET", "stream" :: Nil) => readAll(ex, q)
-        case ("GET", "stream" :: pos :: Nil) => allMessage(ex, pos.toLong)
+        case ("GET", "stream" :: Num(pos) :: Nil) => allMessage(ex, pos)
         case ("GET", "streams" :: Nil) => listStreams(ex, q)
         case ("GET", "streams" :: id :: Nil) => readStream(ex, id, q)
         case ("POST", "streams" :: id :: Nil) => append(ex, id)
         case ("DELETE", "streams" :: id :: Nil) => deleteStream(ex, id)
         case ("GET", "streams" :: id :: "metadata" :: Nil) => getMetadata(ex, id)
         case ("POST", "streams" :: id :: "metadata" :: Nil) => setMetadata(ex, id)
-        case ("GET", "streams" :: id :: v :: Nil) => streamMessage(ex, id, v.toInt)
-        case ("DELETE", "streams" :: id :: v :: Nil) => deleteMessage(ex, id, v.toInt)
+        case ("GET", "streams" :: id :: IntNum(v) :: Nil) => streamMessage(ex, id, v)
+        case ("DELETE", "streams" :: id :: IntNum(v) :: Nil) => deleteMessage(ex, id, v)
         case _ => respond(ex, 404, """{"error":"not found"}""")
       }
     } catch {
@@ -168,6 +168,16 @@ final class StreamStoreHttpServer(store: StreamStore, port: Int = 0) extends Aut
   // --- plumbing ---
 
   private val DefaultPageSize = 20 // ref: Constants.cs:80
+
+  /** Numeric path-segment extractors: a malformed segment (e.g.
+    * GET /stream/abc) falls through to the 404 route instead of
+    * surfacing a NumberFormatException as a 500. */
+  private object Num {
+    def unapply(s: String): Option[Long] = s.toLongOption
+  }
+  private object IntNum {
+    def unapply(s: String): Option[Int] = s.toIntOption
+  }
 
   private def expectedVersion(ex: HttpExchange): Int =
     Option(ex.getRequestHeaders.getFirst("SSS-ExpectedVersion"))

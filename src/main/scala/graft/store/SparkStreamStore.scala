@@ -143,6 +143,8 @@ final class SparkStreamStore(
     * structure lock is always acquired BEFORE `this`. */
   private val structureLock = new ReentrantReadWriteLock()
 
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[SparkStreamStore])
+
   /** Background purge of TTL-expired rows, mirroring the reference's
     * `TaskQueue` (`src/SqlStreamStore/Infrastructure/TaskQueue.cs`). */
   private val purgeExecutor = Executors.newSingleThreadExecutor(r => {
@@ -296,9 +298,11 @@ final class SparkStreamStore(
       // PostgresStreamStore.Append.cs:69-77)
       if (autoCompactEvery > 0 && filesSinceCompact >= autoCompactEvery &&
           compactPending.compareAndSet(false, true)) {
-        purgeExecutor.submit(new Runnable {
+        submitBackground("auto-compact", new Runnable {
           def run(): Unit =
-            try compact() catch { case _: Throwable => () } finally compactPending.set(false)
+            try compact()
+            catch { case e: Throwable => log.warn("graft: background auto-compaction failed", e) }
+            finally compactPending.set(false)
         })
       }
     } else if (head.version == StreamVersion.End) {
@@ -398,6 +402,14 @@ final class SparkStreamStore(
   def allMessagesStream: DataFrame =
     spark.readStream.schema(MessageSchema).parquet(messagesDir)
 
+  /** Submit to the background executor, tolerating a concurrent close()
+    * (the task's effect is either already covered by close's final
+    * journal flush or re-derivable on the next open). */
+  private def submitBackground(what: String, r: Runnable): Unit =
+    try purgeExecutor.submit(r)
+    catch { case _: java.util.concurrent.RejectedExecutionException =>
+      log.debug(s"graft: $what skipped — store closing") }
+
   private def withReadLock[T](f: => T): T = {
     val l = structureLock.readLock()
     l.lock()
@@ -427,8 +439,9 @@ final class SparkStreamStore(
         case None => true
       }
     }
-    if (expired.nonEmpty) purgeExecutor.submit(new Runnable {
-      def run(): Unit = try purgeExpired(expired) catch { case _: Throwable => () }
+    if (expired.nonEmpty) submitBackground("ttl-purge", new Runnable {
+      def run(): Unit = try purgeExpired(expired)
+        catch { case e: Throwable => log.warn("graft: background TTL purge failed", e) }
     })
     keep
   }
@@ -978,10 +991,21 @@ final class SparkStreamStore(
     }
   }
 
-  override def close(): Unit = synchronized {
-    writeJournal(dirtyStreams.toSeq, Nil) // also flushes pending cutoffs
+  override def close(): Unit = {
+    // Drain background work BEFORE closing the filesystem: an in-flight
+    // TTL purge or auto-compaction otherwise runs against a closed
+    // FileSystem and its writes are silently lost. Shutdown happens
+    // outside `this` so a queued purge task (which synchronizes) can
+    // finish; the final journal write follows once the queue is empty.
     purgeExecutor.shutdown()
-    writeFs.close()
+    try {
+      if (!purgeExecutor.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+        log.warn("graft: background purge/compaction did not finish within 60s of close()")
+    } catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+    synchronized {
+      writeJournal(dirtyStreams.toSeq, Nil) // also flushes pending cutoffs
+      writeFs.close()
+    }
   }
 }
 
