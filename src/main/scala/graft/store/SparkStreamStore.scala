@@ -30,11 +30,18 @@ import scala.collection.mutable
   * deletes applied as filters at read time and merged physically by
   * [[compact]].
   *
-  * Write path: appends are written directly from the single-writer driver
-  * with a parquet file writer — no Spark job per append, mirroring the
-  * reference's one-round-trip batch insert (`AppendToStream.sql:100-113`).
-  * One sorted file per batch; parquet min/max stats give position-range
-  * skipping on the read side.
+  * Write path (group commit): each append is made durable by a single
+  * buffered write + flush to an open WAL file (`wal/`, JSON lines) and
+  * buffered in a driver-side memtable that reads union into their scan —
+  * the single-writer twin of the reference's one-round-trip batch insert
+  * (`AppendToStream.sql:100-113`), with the RDBMS's WAL group commit
+  * standing in for its transaction log. The memtable is flushed to ONE
+  * sorted parquet segment per window (`flushEveryRows`/`flushEveryBytes`,
+  * [[flush]], [[compact]], [[close]]), which amortizes the parquet
+  * writer+footer cost (~27 ms/file) across the window; parquet min/max
+  * stats give position-range skipping on the read side. Recovery replays
+  * WAL rows above the last flushed segment, so durability is per-append,
+  * not per-flush.
   *
   * Delete path: `deleteStream` / `deleteMessage` / MaxCount scavenge /
   * MaxAge purge write small tombstone records (logical deletes) instead of
@@ -50,11 +57,14 @@ import scala.collection.mutable
   * does not contend with appends; only [[compact]] (which swaps files)
   * excludes readers, via a read-write structure lock.
   *
-  * Durability: the heads journal is written on every rare mutation
-  * (delete, metadata, empty-stream creation), every `journalEvery`
-  * appends, and on [[close]]. Recovery = journal replay + a tail scan of
-  * the log above the journal's position watermark, so reopening after a
-  * clean close is O(journal), not O(log). Heads never regress: deleting a
+  * Durability: every append is in the WAL before the call returns; the
+  * heads journal is written on every rare mutation (delete, metadata,
+  * empty-stream creation), every `journalEvery` appends, and on [[close]].
+  * Recovery = WAL replay (rows above the last flushed segment) + journal
+  * replay + a tail scan of the log above the journal's position
+  * watermark, so reopening after a clean close is O(journal), not O(log).
+  * MaxCount cutoffs are re-derived from the recovered heads, so scavenged
+  * messages never resurrect after a crash. Heads never regress: deleting a
   * stream's newest message keeps the stream's version/position, as the
   * reference's `streams` table does.
   *
@@ -68,25 +78,38 @@ final class SparkStreamStore(
     scavengeSynchronously: Boolean = true, // retained for API compatibility; scavenge is now always a cheap synchronous tombstone write
     journalEvery: Int = 64,
     maxCachedChain: Int = 100000,
-    autoCompactEvery: Int = 0) // >0: background-compact after that many appended log files
+    autoCompactEvery: Int = 0, // >0: background-compact after that many flushed log segments
+    flushEveryRows: Int = 4096, // group-commit window: flush the memtable to a parquet segment after this many buffered rows...
+    flushEveryBytes: Long = 32L << 20) // ...or this many buffered payload bytes, whichever comes first
   extends StreamStore {
 
   import SparkStreamStore._
   import spark.implicits._
 
   private val root = rootDir.stripSuffix("/")
-  private val messagesDir = root + "/messages"
   private val journalDir = root + "/heads"
   private val tombstonesDir = root + "/tombstones"
+  private val walDir = root + "/wal"
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
-  private val fs = FileSystem.get(new java.net.URI(messagesDir), hadoopConf)
+  private val fs = FileSystem.get(new java.net.URI(root), hadoopConf)
+
+  /** The live messages generation. [[compact]] writes the merged log into a
+    * NEW generation directory and flips the `CURRENT` pointer (LevelDB
+    * style), leaving the previous generation on disk until the NEXT compact
+    * — so a lazy [[allMessages]] DataFrame keeps scanning valid files for a
+    * full compact cycle instead of failing mid-scan on a directory swap. */
+  private var gen: Long = 0L
+  private def messagesDir: String = genDirName(gen)
+  private def genDirName(g: Long): String =
+    if (g == 0L) root + "/messages" else root + s"/messages-g$g"
+  private val currentPath = new HPath(root + "/CURRENT")
 
   /** Conf for the driver's own small-file writes (append batches, journal,
     * tombstones): on local filesystems, bypass the checksum layer — the
     * .crc sidecar costs ~16ms per tiny file and parquet footers already
     * carry column-level checksums. Non-local schemes keep the default. */
   private val writeConf: Configuration = {
-    val uri = new java.net.URI(messagesDir)
+    val uri = new java.net.URI(root)
     if (uri.getScheme == null || uri.getScheme == "file") {
       val c = new Configuration(hadoopConf)
       c.set("fs.file.impl", classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
@@ -94,7 +117,14 @@ final class SparkStreamStore(
       c
     } else hadoopConf
   }
-  private val writeFs = FileSystem.newInstance(new java.net.URI(messagesDir), writeConf)
+  private val writeFs = FileSystem.newInstance(new java.net.URI(root), writeConf)
+
+  /** Group-commit state: rows durable in the WAL but not yet flushed to a
+    * parquet segment. Reads union the memtable into their scan, so buffered
+    * rows are immediately visible through every read surface. */
+  private val memtable = mutable.ArrayBuffer.empty[MessageRow]
+  private var memtableBytes = 0L
+  private var walOut: Option[org.apache.hadoop.fs.FSDataOutputStream] = None
 
   /** Driver-side head state per stream (ref: denormalized `streams` table,
     * `SqlStreamStore.Postgres/PgSqlScripts/Tables.sql:4-15`). */
@@ -262,12 +292,15 @@ final class SparkStreamStore(
     }
   }
 
-  /** Physical append: assign dense versions/positions and write ONE parquet
-    * file directly from the driver (no Spark job — the single-writer twin
-    * of the reference's one-round-trip batch insert, AppendToStream.sql:
-    * 100-113). Dense positions replace the RDBMS sequence — no gaps by
-    * construction, so the reference's gap-heal (ReadonlyStreamStoreBase
-    * .cs:65-92) is unnecessary. */
+  /** Physical append (group commit): assign dense versions/positions, make
+    * the batch durable with ONE buffered write + flush to the open WAL file,
+    * and buffer it in the memtable — the single-writer twin of the
+    * reference's one-round-trip batch insert (AppendToStream.sql:100-113).
+    * No parquet writer churn on the hot path: the memtable is flushed to
+    * one sorted segment per window by [[flushMemtable]]. Dense positions
+    * replace the RDBMS sequence — no gaps by construction, so the
+    * reference's gap-heal (ReadonlyStreamStoreBase.cs:65-92) is
+    * unnecessary. */
   private def appendEvents(streamId: String, head: Head, messages: Seq[NewStreamMessage]): AppendResult = {
     if (messages.nonEmpty) {
       val nowMicros = {
@@ -278,7 +311,9 @@ final class SparkStreamStore(
       val rows = messages.zipWithIndex.map { case (m, i) =>
         MessageRow(streamId, m.messageId, head.version + 1 + i, base + i, nowMicros, m.`type`, m.jsonData, m.jsonMetadata)
       }
-      DirectParquet.write(writeConf, new HPath(messagesDir, f"part-$base%020d-${UUID.randomUUID().toString.take(8)}.parquet"), rows)
+      appendToWal(rows)
+      memtable ++= rows
+      memtableBytes += rows.iterator.map(estimatedBytes).sum
       val newPairs = messages.zipWithIndex.map { case (m, i) => (head.version + 1 + i, m.messageId, base + i) }
       idChains.get(streamId) match {
         case Some(c) => cacheChain(streamId, c ++ newPairs)
@@ -292,19 +327,7 @@ final class SparkStreamStore(
       head.maxCount.foreach(mc => scavenge(streamId, head, mc))
       appendsSinceJournal += 1
       if (appendsSinceJournal >= journalEvery) writeJournal(dirtyStreams.toSeq, Nil)
-      filesSinceCompact += 1
-      // size-tiered maintenance off the append critical path: one pending
-      // background compaction at a time (ref: async scavenge shape,
-      // PostgresStreamStore.Append.cs:69-77)
-      if (autoCompactEvery > 0 && filesSinceCompact >= autoCompactEvery &&
-          compactPending.compareAndSet(false, true)) {
-        submitBackground("auto-compact", new Runnable {
-          def run(): Unit =
-            try compact()
-            catch { case e: Throwable => log.warn("graft: background auto-compaction failed", e) }
-            finally compactPending.set(false)
-        })
-      }
+      if (memtable.length >= flushEveryRows || memtableBytes >= flushEveryBytes) flushMemtable()
     } else if (head.version == StreamVersion.End) {
       // empty-stream creation: journal immediately so it survives restart
       // (no log row exists to recover it from)
@@ -317,6 +340,72 @@ final class SparkStreamStore(
   private def cacheChain(streamId: String, chain: IndexedSeq[(Int, String, Long)]): Unit =
     if (chain.length <= maxCachedChain) idChains(streamId) = chain
     else idChains.remove(streamId)
+
+  private def estimatedBytes(r: MessageRow): Long =
+    64L + r.streamId.length + r.messageId.length + r.`type`.length +
+      (if (r.jsonData == null) 0 else r.jsonData.length) +
+      (if (r.jsonMetadata == null) 0 else r.jsonMetadata.length)
+
+  /** Durability write: serialize the batch as JSON lines into the open WAL
+    * file and flush once. The stream stays open across appends — the whole
+    * point of group commit is that an append costs one buffered write +
+    * flush, not a file create + parquet footer. Callers hold `this`. */
+  private def appendToWal(rows: Seq[MessageRow]): Unit = {
+    val out = walOut.getOrElse {
+      val o = writeFs.create(new HPath(walDir, f"wal-${rows.head.position}%020d.jsonl"), false)
+      walOut = Some(o)
+      o
+    }
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val node = Mapper.createObjectNode()
+      node.put("streamId", r.streamId)
+      node.put("messageId", r.messageId)
+      node.put("streamVersion", r.streamVersion)
+      node.put("position", r.position)
+      node.put("createdMicros", r.createdMicros)
+      node.put("type", r.`type`)
+      if (r.jsonData != null) node.put("jsonData", r.jsonData)
+      if (r.jsonMetadata != null) node.put("jsonMetadata", r.jsonMetadata)
+      sb.append(Mapper.writeValueAsString(node)).append('\n')
+    }
+    out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    out.hflush()
+  }
+
+  /** Group-commit flush: write the buffered window as ONE sorted parquet
+    * segment, then retire the WAL that made it durable (segment first, WAL
+    * delete second — a crash between the two is deduped by position at
+    * recovery). Callers hold `this`. */
+  private def flushMemtable(): Unit = if (memtable.nonEmpty) {
+    DirectParquet.write(writeConf,
+      new HPath(messagesDir, f"part-${memtable.head.position}%020d-${UUID.randomUUID().toString.take(8)}.parquet"),
+      memtable.toSeq)
+    memtable.clear()
+    memtableBytes = 0L
+    walOut.foreach(_.close())
+    walOut = None
+    writeFs.delete(new HPath(walDir), true)
+    filesSinceCompact += 1
+    // size-tiered maintenance off the append critical path: one pending
+    // background compaction at a time (ref: async scavenge shape,
+    // PostgresStreamStore.Append.cs:69-77)
+    if (autoCompactEvery > 0 && filesSinceCompact >= autoCompactEvery &&
+        compactPending.compareAndSet(false, true)) {
+      submitBackground("auto-compact", new Runnable {
+        def run(): Unit =
+          try compact()
+          catch { case e: Throwable => log.warn("graft: background auto-compaction failed", e) }
+          finally compactPending.set(false)
+      })
+    }
+  }
+
+  /** Force the open group-commit window onto disk as a parquet segment.
+    * Appends are durable (WAL) and readable (memtable) without this; flush
+    * makes them visible to surfaces that read the PHYSICAL parquet log —
+    * [[allMessagesStream]] micro-batches and external parquet readers. */
+  def flush(): Unit = synchronized(flushMemtable())
 
   /** MaxCount retention: keep the newest `maxCount` messages by version.
     * A scavenge is now a cutoff tombstone (version ceiling scoped to the
@@ -362,9 +451,28 @@ final class SparkStreamStore(
   // Reads (ref: ReadAll.sql, Read.sql, ReadonlyStreamStoreBase.cs)
   // ------------------------------------------------------------------
 
-  private def rawMessagesDF: DataFrame =
-    if (fs.exists(new HPath(messagesDir))) spark.read.schema(MessageSchema).parquet(messagesDir)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], MessageSchema)
+  /** The physical log: flushed parquet segments ∪ the in-memory group-commit
+    * window (a LocalRelation of at most `flushEveryRows` rows — filters on
+    * the parquet side still push down; the memtable side is filtered
+    * in-memory). Callers must hold `this` (the memtable snapshot and the
+    * segment listing must be consistent). */
+  private def rawMessagesDF: DataFrame = {
+    val base =
+      if (fs.exists(new HPath(messagesDir))) spark.read.schema(MessageSchema).parquet(messagesDir)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], MessageSchema)
+    if (memtable.isEmpty) base
+    else base.union(spark.createDataFrame(memtableRows(), MessageSchema))
+  }
+
+  private def memtableRows(): java.util.List[Row] = {
+    val out = new java.util.ArrayList[Row](memtable.length)
+    memtable.foreach { r =>
+      val ts = new java.sql.Timestamp(Math.floorDiv(r.createdMicros, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(r.createdMicros, 1000000L) * 1000L).toInt)
+      out.add(Row(r.streamId, r.messageId, r.streamVersion, r.position, ts, r.`type`, r.jsonData, r.jsonMetadata))
+    }
+    out
+  }
 
   /** The logical message log: the raw parquet log with tombstones applied
     * as filters (broadcast joins over the small driver-held delete state).
@@ -395,12 +503,17 @@ final class SparkStreamStore(
   def allMessages: DataFrame = withReadLock(synchronized(messagesDF))
 
   /** The all-stream as a Structured Streaming source (file source over the
-    * append-only log); new appends become new micro-batches. Reads the
+    * append-only log); flushed appends become new micro-batches. Reads the
     * PHYSICAL log: deletions are logical (tombstones) and appear here —
     * this surface is the append-only firehose; use the paged read API or
-    * [[allMessages]] for delete-aware views. */
-  def allMessagesStream: DataFrame =
+    * [[allMessages]] for delete-aware views. Granularity is the
+    * group-commit window: rows enter the stream when their segment is
+    * flushed ([[flush]] forces the open window; this method flushes it on
+    * call so pre-existing rows are visible from the first micro-batch). */
+  def allMessagesStream: DataFrame = {
+    flush()
     spark.readStream.schema(MessageSchema).parquet(messagesDir)
+  }
 
   /** Submit to the background executor, tolerating a concurrent close()
     * (the task's effect is either already covered by close's final
@@ -664,32 +777,42 @@ final class SparkStreamStore(
   }
 
   /** Merge tombstones into the log and squash the journal: rewrite the
-    * filtered log as `targetFiles` position-sorted files, swap crash-safely
-    * (backup rename — a crash at any point is recovered by [[recover]]),
-    * then clear tombstones and write a fresh journal snapshot. The only
-    * operation that excludes concurrent readers (structure write lock). */
+    * filtered log as `targetFiles` position-sorted files into a NEW
+    * generation directory, then flip the `CURRENT` pointer. The replaced
+    * generation stays on disk until the NEXT compact, so lazy DataFrames
+    * handed out by [[allMessages]] before this call keep scanning valid
+    * files (one-compact-cycle grace); only the generation two behind is
+    * deleted. Crash-safe without renames: a crash before the pointer flip
+    * leaves an orphan directory that [[recover]] removes; a crash after it
+    * leaves a stale one, ditto. */
   def compact(targetFiles: Int = spark.sparkContext.defaultParallelism): Unit = {
     val wl = structureLock.writeLock()
     wl.lock()
     try synchronized {
+      flushMemtable()
       if (!fs.exists(new HPath(messagesDir))) return
-      val dst = new HPath(messagesDir)
-      val tmp = new HPath(messagesDir + ".tmp")
-      val bak = new HPath(messagesDir + ".bak")
+      val newGen = gen + 1
+      val dst = new HPath(genDirName(newGen))
+      fs.delete(dst, true) // orphan of a previously crashed attempt
       messagesDF.repartitionByRange(targetFiles, col("position"))
         .sortWithinPartitions("position")
-        .write.mode("overwrite").parquet(tmp.toString)
-      // crash-safe swap: tmp complete -> dst moves aside -> tmp in -> drop bak
-      fs.rename(dst, bak)
-      fs.rename(tmp, dst)
-      fs.delete(bak, true)
-      // tombstones are merged; clearing them after the swap is safe because
+        .write.mode("overwrite").parquet(dst.toString)
+      writeCurrent(newGen)
+      val oldGen = gen
+      gen = newGen
+      if (oldGen >= 1) fs.delete(new HPath(genDirName(oldGen - 1)), true)
+      // tombstones are merged; clearing them after the flip is safe because
       // re-applying a tombstone to the compacted log matches nothing
       fs.delete(new HPath(tombstonesDir), true)
       streamTombs.clear(); msgTombs.clear(); cutoffs.clear(); pendingCutoffs.clear()
       filesSinceCompact = 0
       writeJournal(heads.keys.toSeq, Nil, pruneBelow = true)
     } finally wl.unlock()
+  }
+
+  private def writeCurrent(g: Long): Unit = {
+    val out = writeFs.create(currentPath, true)
+    try out.write(g.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
   // ------------------------------------------------------------------
@@ -848,24 +971,99 @@ final class SparkStreamStore(
   // ------------------------------------------------------------------
 
   private def recover(): Unit = {
-    finishInterruptedSwap()
+    loadGeneration()
+    recoverWal()
     loadTombstones()
     loadJournal()
     reconcileTail()
+    reapplyCutoffs()
   }
 
-  /** Complete a [[compact]] swap interrupted by a crash: the backup dir
-    * only exists mid-swap; tmp is always complete before any rename. */
-  private def finishInterruptedSwap(): Unit = {
-    val dst = new HPath(messagesDir)
-    val tmp = new HPath(messagesDir + ".tmp")
-    val bak = new HPath(messagesDir + ".bak")
-    if (!fs.exists(dst) && fs.exists(bak)) {
-      if (fs.exists(tmp)) fs.rename(tmp, dst) else fs.rename(bak, dst)
+  /** Resolve the live messages generation: `CURRENT` names it; if absent or
+    * corrupt, fall back to the highest COMPLETE generation (Spark leaves a
+    * `_SUCCESS` marker; compact never flips the pointer before the write
+    * finishes), else the plain `messages/` dir. Startup has no in-flight
+    * readers, so every other generation — orphans of a crashed compact and
+    * stale grace copies alike — is deleted here. */
+  private def loadGeneration(): Unit = {
+    val fromCurrent: Option[Long] =
+      if (!fs.exists(currentPath)) None
+      else {
+        val in = fs.open(currentPath)
+        val text = try {
+          val bytes = new Array[Byte](fs.getFileStatus(currentPath).getLen.toInt)
+          in.readFully(0, bytes)
+          new String(bytes, StandardCharsets.UTF_8).trim
+        } finally in.close()
+        text.toLongOption
+      }
+    val gens = listGenDirs()
+    gen = fromCurrent.getOrElse {
+      gens.filter { case (g, p) => g == 0L || fs.exists(new HPath(p, "_SUCCESS")) }
+        .map(_._1).maxOption.getOrElse(0L)
     }
-    if (fs.exists(bak) && fs.exists(dst)) fs.delete(bak, true)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    gens.foreach { case (g, p) => if (g != gen) fs.delete(new HPath(p), true) }
   }
+
+  private def listGenDirs(): Seq[(Long, String)] = {
+    val rootPath = new HPath(root)
+    if (!fs.exists(rootPath)) return Nil
+    fs.listStatus(rootPath).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n == "messages") Some(0L -> st.getPath.toString)
+      else if (n.startsWith("messages-g"))
+        n.drop("messages-g".length).toLongOption.map(_ -> st.getPath.toString)
+      else None
+    }
+  }
+
+  /** Replay WAL rows that never made it into a flushed segment (a crash
+    * without [[close]]). Rows already covered by a segment — a crash
+    * between the segment write and the WAL retire — are deduped by
+    * position. A torn final line is an append that never acknowledged;
+    * dropping it is correct. */
+  private def recoverWal(): Unit = {
+    val dir = new HPath(walDir)
+    if (!fs.exists(dir)) return
+    val rows = listJsonLines(dir).flatMap { n =>
+      try Some(MessageRow(
+        n.get("streamId").asText, n.get("messageId").asText,
+        n.get("streamVersion").asInt, n.get("position").asLong,
+        n.get("createdMicros").asLong, n.get("type").asText,
+        Option(n.get("jsonData")).map(_.asText).orNull,
+        Option(n.get("jsonMetadata")).map(_.asText).orNull))
+      catch { case _: Throwable => None }
+    }.sortBy(_.position)
+    if (rows.nonEmpty) {
+      val maxFlushed: Long =
+        if (!fs.exists(new HPath(messagesDir))) -1L
+        else spark.read.schema(MessageSchema).parquet(messagesDir)
+          .agg(max(col("position"))).collect().headOption
+          .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+          .getOrElse(-1L)
+      val fresh = rows.filter(_.position > maxFlushed)
+      if (fresh.nonEmpty)
+        DirectParquet.write(writeConf,
+          new HPath(messagesDir, f"part-${fresh.head.position}%020d-recovered.parquet"), fresh)
+    }
+    fs.delete(dir, true)
+  }
+
+  /** Re-derive MaxCount scavenge state from the recovered heads: a cutoff
+    * applied in-memory but lost before its journal-cadence persistence
+    * would otherwise resurrect scavenged messages until the next append to
+    * that stream. Pure driver state; persisted with the next journal
+    * flush like any other pending cutoff. */
+  private def reapplyCutoffs(): Unit =
+    heads.foreach { case (id, h) =>
+      h.maxCount.foreach { mc =>
+        val cutoff = h.version - mc
+        if (cutoff >= 0 && cutoffs.get(id).forall(_._1 < cutoff)) {
+          cutoffs(id) = (cutoff, nextPosition - 1)
+          pendingCutoffs(id) = Tomb("cutoff", id, -1L, cutoff, nextPosition - 1)
+        }
+      }
+    }
 
   private def listJsonLines(dir: HPath): Seq[com.fasterxml.jackson.databind.JsonNode] = {
     if (!fs.exists(dir)) return Nil
@@ -1003,7 +1201,10 @@ final class SparkStreamStore(
         log.warn("graft: background purge/compaction did not finish within 60s of close()")
     } catch { case _: InterruptedException => Thread.currentThread().interrupt() }
     synchronized {
+      flushMemtable() // closes + retires the WAL
       writeJournal(dirtyStreams.toSeq, Nil) // also flushes pending cutoffs
+      walOut.foreach(_.close())
+      walOut = None
       writeFs.close()
     }
   }

@@ -19,16 +19,31 @@ class DurabilityConcurrencySpec extends AnyFunSuite {
   private def fs(dir: String): FileSystem =
     FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
 
+  /** The live messages generation dir (compact flips the CURRENT pointer). */
+  private def messagesDirOf(dir: String): String = {
+    val f = fs(dir)
+    val cur = new HPath(dir + "/CURRENT")
+    val g =
+      if (!f.exists(cur)) 0L
+      else {
+        val in = f.open(cur)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong finally in.close()
+      }
+    if (g == 0L) dir + "/messages" else dir + s"/messages-g$g"
+  }
+
   private def logFiles(dir: String): Seq[String] = {
-    val p = new HPath(dir + "/messages")
+    val p = new HPath(messagesDirOf(dir))
     val f = fs(dir)
     if (!f.exists(p)) Nil
     else f.listStatus(p).map(_.getPath.getName).filter(_.endsWith(".parquet")).toSeq.sorted
   }
 
-  test("maxCount scavenge does not rewrite the log (append files are preserved)") {
+  test("maxCount scavenge does not rewrite the log (flushed segments are preserved)") {
     val dir = SparkTestSession.tempDir("graft-norewrite")
-    val store = new SparkStreamStore(spark, dir)
+    // flushEveryRows=1: every append flushes its own segment, so file
+    // counts observe the scavenge behavior directly
+    val store = new SparkStreamStore(spark, dir, flushEveryRows = 1)
     try {
       store.setStreamMetadata("a", maxCount = Some(2))
       store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2, 3))
@@ -114,26 +129,51 @@ class DurabilityConcurrencySpec extends AnyFunSuite {
     } finally store.close()
   }
 
-  test("a crash between compaction renames is recovered on reopen") {
-    val dir = SparkTestSession.tempDir("graft-crashswap")
+  test("a crash during compaction (orphan next generation) is recovered on reopen") {
+    val dir = SparkTestSession.tempDir("graft-crashgen")
     val s1 = new SparkStreamStore(spark, dir)
     s1.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2, 3))
     s1.close()
-    // simulate: compact wrote tmp, renamed messages -> bak, then crashed
+    // simulate: compact wrote part of messages-g1, crashed BEFORE flipping
+    // CURRENT (no _SUCCESS marker, no pointer) — g1 is an orphan
     val f = fs(dir)
-    val dst = new HPath(dir + "/messages")
-    val tmp = new HPath(dir + "/messages.tmp")
-    val bak = new HPath(dir + "/messages.bak")
-    // tmp is a complete copy of the log (what compact's write produced)
-    org.apache.hadoop.fs.FileUtil.copy(f, dst, f, tmp, false, spark.sparkContext.hadoopConfiguration)
-    assert(f.rename(dst, bak))
-    assert(!f.exists(dst) && f.exists(bak) && f.exists(tmp))
-
+    val orphan = new HPath(dir + "/messages-g1")
+    org.apache.hadoop.fs.FileUtil.copy(f, new HPath(dir + "/messages"), f, orphan, false,
+      spark.sparkContext.hadoopConfiguration)
     val s2 = new SparkStreamStore(spark, dir)
     try {
       assert(s2.readStreamForwards("a").messages.size === 3)
-      assert(!f.exists(bak) && !f.exists(tmp))
+      assert(!f.exists(orphan), "orphan generation must be cleaned at recovery")
     } finally s2.close()
+  }
+
+  test("a crash after the compaction pointer flip (stale old generation) is recovered on reopen") {
+    val dir = SparkTestSession.tempDir("graft-staleGen")
+    val s1 = new SparkStreamStore(spark, dir)
+    s1.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2, 3))
+    s1.compact() // flips to messages-g1; messages/ stays as the grace copy
+    s1.appendToStream("a", 2, msgs(4)) // post-compact append lands in g1
+    s1.close()
+    val f = fs(dir)
+    assert(f.exists(new HPath(dir + "/messages")), "grace copy of the old generation is retained")
+    val s2 = new SparkStreamStore(spark, dir)
+    try {
+      assert(s2.readStreamForwards("a").messages.map(_.streamVersion) === Seq(0, 1, 2, 3))
+      assert(!f.exists(new HPath(dir + "/messages")), "stale generation must be cleaned at recovery")
+    } finally s2.close()
+  }
+
+  test("a lazy allMessages DataFrame keeps working across a concurrent compact") {
+    val dir = SparkTestSession.tempDir("graft-lazycompact")
+    val store = new SparkStreamStore(spark, dir)
+    try {
+      store.appendToStream("a", ExpectedVersion.NoStream, msgs(1 to 10: _*))
+      store.flush()
+      val lazyDf = store.allMessages // plan captured against the current generation
+      store.compact() // flips generation; old dir must survive one cycle
+      assert(lazyDf.count() === 10L, "pre-compact plan must still scan valid files")
+      assert(store.allMessages.count() === 10L)
+    } finally store.close()
   }
 
   test("reads run concurrently with appends and see consistent pages") {
@@ -171,7 +211,7 @@ class DurabilityConcurrencySpec extends AnyFunSuite {
 
   test("auto-compaction bounds log file count in the background") {
     val dir = SparkTestSession.tempDir("graft-autocompact")
-    val store = new SparkStreamStore(spark, dir, autoCompactEvery = 8)
+    val store = new SparkStreamStore(spark, dir, autoCompactEvery = 8, flushEveryRows = 1)
     try {
       (1 to 24).foreach(n => store.appendToStream("a", ExpectedVersion.Any, msgs(n)))
       val deadline = System.currentTimeMillis() + 60000

@@ -102,6 +102,7 @@ class SubscriptionSpec extends AnyFunSuite with BeforeAndAfterEach with Eventual
       q.processAllAvailable()
       assert(spark.sql("select count(*) from all_msgs").head().getLong(0) === 3L)
       store.appendToStream("a", 2, msgs(4))
+      store.flush() // streaming surface has group-commit granularity
       q.processAllAvailable()
       assert(spark.sql("select count(*) from all_msgs").head().getLong(0) === 4L)
       val ordered = spark.sql("select position from all_msgs order by position").collect().map(_.getLong(0))
@@ -117,6 +118,7 @@ class SubscriptionSpec extends AnyFunSuite with BeforeAndAfterEach with Eventual
       q.processAllAvailable()
       assert(seen.asScala.toSeq === Seq(0L, 1L, 2L))
       store.appendToStream("a", 2, msgs(4, 5))
+      store.flush() // streaming surface has group-commit granularity
       q.processAllAvailable()
       assert(seen.asScala.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
     } finally q.stop()
