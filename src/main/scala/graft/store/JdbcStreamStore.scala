@@ -1,0 +1,696 @@
+package graft.store
+
+import graft.core._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.sql.{Connection, DriverManager, PreparedStatement, ResultSet, SQLException}
+import java.util.UUID
+
+/** RDBMS-backed stream store: the same [[StreamStore]] contract as
+  * [[SparkStreamStore]], persisted in relational tables via JDBC — the
+  * Spark-side twin of the reference's SQL backends
+  * (`reference/src/SqlStreamStore.Postgres/PostgresStreamStore.cs`,
+  * `PgSqlScripts/Tables.sql:4-47`).
+  *
+  * Schema mirrors the reference's two-table star: a `streams` dimension
+  * row per stream carrying the denormalized head (`version`, `position`)
+  * plus retention settings (`Tables.sql:4-15`), and a `messages` fact/log
+  * table keyed by the store-wide position, referencing streams by a
+  * surrogate `id_internal` (`Tables.sql:33-47`). A one-row-per-key
+  * `counters` table persists the dense position / id allocators so heads
+  * never regress across reopen, even after physical deletes.
+  *
+  * Write path: one JDBC transaction per operation, with the message batch
+  * inserted in a single round trip (`PreparedStatement.addBatch` /
+  * `executeBatch`) — the shape of the reference's one-round-trip batch
+  * insert (`PgSqlScripts/AppendToStream.sql:100-113`). The 5-way
+  * expected-version and idempotency semantics are identical to
+  * [[SparkStreamStore]] (both port `InMemoryStream.cs:38-163` /
+  * `EnforceIdempotentAppend.sql:12-39`); here deletes and MaxCount
+  * scavenges are physical row deletes inside the transaction, as in the
+  * reference (`DeleteStreamMessages.sql:1-47`, `Scavenge.sql:23-30`),
+  * rather than tombstones — the RDBMS makes in-place deletes cheap.
+  *
+  * Read path: paged reads are driver point-queries over the indexed
+  * tables (the page contract is inherently driver-side); the Spark-facing
+  * surface is [[allMessages]], a position-partitioned `spark.read.jdbc`
+  * scan that parallelizes across executors, so analytical queries and
+  * Structured-Streaming-style subscriptions (via
+  * `graft.streaming.Subscriptions`, which runs over the trait) operate on
+  * the same tables. MaxAge expiry is filtered from pages post-read and
+  * purged in-line (`ReadonlyStreamStoreBase.cs:394-490` semantics, with
+  * the purge synchronous instead of task-queued).
+  *
+  * Concurrency: single logical writer per database, serialized through
+  * `this` — embedded Derby is in-process, matching the single-JVM driver
+  * model; the consistency boundary is the per-operation transaction, as
+  * in the reference ("the stream as the … transaction boundary",
+  * reference README.md:25).
+  */
+final class JdbcStreamStore(
+    val spark: SparkSession,
+    jdbcUrl: String,
+    clock: Clock = Clock.System,
+    trackDeletes: Boolean = true)
+  extends StreamStore {
+
+  import JdbcStreamStore._
+
+  private val conn: Connection = {
+    JdbcStreamStore.ensureDerbyHome()
+    val c = DriverManager.getConnection(jdbcUrl)
+    c.setAutoCommit(false)
+    c
+  }
+
+  createSchema()
+  private var nextPosition: Long = readCounter("next_position", Position.Start)
+  private var nextIdInternal: Long = readCounter("next_id_internal", 0L)
+
+  // ------------------------------------------------------------------
+  // Append (ref: AppendToStream.sql:1-177; InMemoryStream.cs:38-163)
+  // ------------------------------------------------------------------
+
+  override def appendToStream(
+      streamId: String,
+      expectedVersion: Int,
+      messages: Seq[NewStreamMessage]): AppendResult = synchronized {
+    StreamId.validate(streamId)
+    require(!StreamId.isSystem(streamId), s"stream id must not start with '$$': $streamId")
+    inTx(appendInternal(streamId, expectedVersion, messages))
+  }
+
+  private def appendInternal(
+      streamId: String,
+      expectedVersion: Int,
+      messages: Seq[NewStreamMessage]): AppendResult = {
+    if (messages.isEmpty && expectedVersion >= 0)
+      return AppendResult(expectedVersion, nextPosition - 1)
+
+    expectedVersion match {
+      case ExpectedVersion.Any | ExpectedVersion.NoStream =>
+        val head = selectHead(streamId).getOrElse(insertHead(streamId))
+        if (expectedVersion == ExpectedVersion.NoStream) appendNoStream(streamId, head, messages)
+        else appendAny(streamId, head, messages)
+      case _ => // EmptyStream (-1) or exact version >= 0: stream must exist
+        val head = selectHead(streamId).getOrElse(throw WrongExpectedVersionException(streamId, expectedVersion))
+        appendExpectedVersion(streamId, head, expectedVersion, messages)
+    }
+  }
+
+  /** Ref: InMemoryStream.AppendToStreamExpectedVersionNoStream (:139-163). */
+  private def appendNoStream(streamId: String, head: HeadRow, messages: Seq[NewStreamMessage]): AppendResult = {
+    if (head.version >= 0) {
+      val existing = existingIds(head)
+      if (messages.length > existing.length) throw WrongExpectedVersionException(streamId, ExpectedVersion.NoStream)
+      if (messages.indices.exists(i => existing(i)._2 != messages(i).messageId))
+        throw WrongExpectedVersionException(streamId, ExpectedVersion.NoStream)
+      AppendResult(head.version, head.position) // full-prefix replay: idempotent no-op
+    } else appendEvents(streamId, head, messages)
+  }
+
+  /** Ref: InMemoryStream.AppendToStreamExpectedVersionAny (:105-137). */
+  private def appendAny(streamId: String, head: HeadRow, messages: Seq[NewStreamMessage]): AppendResult = {
+    if (messages.nonEmpty && head.version >= 0) {
+      val existing = existingIds(head)
+      val byId = existing.iterator.zipWithIndex.map { case (t, idx) => t._2 -> idx }.toMap
+      byId.get(messages.head.messageId) match {
+        case Some(i) =>
+          if (i + messages.length > existing.length) throw WrongExpectedVersionException(streamId, ExpectedVersion.Any)
+          var n = 1
+          while (n < messages.length) {
+            if (messages(n).messageId != existing(i + n)._2)
+              throw WrongExpectedVersionException(streamId, ExpectedVersion.Any)
+            n += 1
+          }
+          return AppendResult(head.version, head.position) // exact-suffix replay
+        case None =>
+          // SQL backends raise WrongExpectedVersion on partial overlap
+          // (EnforceIdempotentAppend.sql:12-39)
+          if (messages.exists(m => byId.contains(m.messageId)))
+            throw WrongExpectedVersionException(streamId, ExpectedVersion.Any)
+      }
+    }
+    appendEvents(streamId, head, messages)
+  }
+
+  /** Ref: InMemoryStream.AppendToStreamExpectedVersion (:56-103). */
+  private def appendExpectedVersion(
+      streamId: String, head: HeadRow, expectedVersion: Int, messages: Seq[NewStreamMessage]): AppendResult = {
+    if (expectedVersion > head.version) throw WrongExpectedVersionException(streamId, expectedVersion)
+    if (head.version >= 0 && expectedVersion < head.version) {
+      val existing = existingIds(head)
+      val byVersion = existing.iterator.map(t => t._1 -> t._2).toMap
+      messages.indices.foreach { i =>
+        val v = expectedVersion + i + 1
+        byVersion.get(v) match {
+          case Some(id) if id == messages(i).messageId => ()
+          case _ => throw WrongExpectedVersionException(streamId, expectedVersion)
+        }
+      }
+      AppendResult(head.version, head.position)
+    } else {
+      if (head.version >= 0 && messages.nonEmpty) {
+        val ids = existingIds(head).map(_._2).toSet
+        if (messages.exists(m => ids.contains(m.messageId)))
+          throw WrongExpectedVersionException(streamId, expectedVersion)
+      }
+      appendEvents(streamId, head, messages)
+    }
+  }
+
+  /** Physical append: batch-insert the messages in one round trip, bump
+    * the denormalized head row and the persistent position counter in the
+    * same transaction (ref: AppendToStream.sql:100-125). */
+  private def appendEvents(streamId: String, head: HeadRow, messages: Seq[NewStreamMessage]): AppendResult = {
+    if (messages.isEmpty) return AppendResult(head.version, head.position)
+    val nowMicros = {
+      val i = clock.nowUtc
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val base = nextPosition
+    val ins = conn.prepareStatement(
+      s"INSERT INTO $MessagesTable (position, stream_id_internal, stream_version, message_id, created_micros, msg_type, json_data, json_metadata) VALUES (?,?,?,?,?,?,?,?)")
+    try {
+      messages.zipWithIndex.foreach { case (m, i) =>
+        ins.setLong(1, base + i)
+        ins.setLong(2, head.idInternal)
+        ins.setInt(3, head.version + 1 + i)
+        ins.setString(4, m.messageId)
+        ins.setLong(5, nowMicros)
+        ins.setString(6, m.`type`)
+        ins.setString(7, m.jsonData)
+        ins.setString(8, m.jsonMetadata)
+        ins.addBatch()
+      }
+      ins.executeBatch()
+    } finally ins.close()
+
+    val newVersion = head.version + messages.length
+    val newPosition = base + messages.length - 1
+    update(s"UPDATE $StreamsTable SET version=?, position=? WHERE id_internal=?") { ps =>
+      ps.setInt(1, newVersion); ps.setLong(2, newPosition); ps.setLong(3, head.idInternal)
+    }
+    nextPosition = base + messages.length
+    writeCounter("next_position", nextPosition)
+
+    if (streamId.startsWith("$$")) applyMetadataToTarget(streamId.drop(2))
+    val after = head.copy(version = newVersion, position = newPosition)
+    after.maxCount.foreach(mc => scavenge(after, mc))
+    AppendResult(newVersion, newPosition)
+  }
+
+  /** New stream row inherits MaxAge/MaxCount from a pre-existing metadata
+    * stream (ref: AppendToStream.sql:27-37). */
+  private def insertHead(streamId: String): HeadRow = {
+    val (maxAge, maxCount) =
+      if (StreamId.isSystem(streamId)) (None, None)
+      else latestMetadata(streamId).map(m => (m.maxAge, m.maxCount)).getOrElse((None, None))
+    val idInternal = nextIdInternal
+    nextIdInternal += 1
+    writeCounter("next_id_internal", nextIdInternal)
+    update(s"INSERT INTO $StreamsTable (id, id_internal, version, position, max_age, max_count) VALUES (?,?,?,?,?,?)") { ps =>
+      ps.setString(1, streamId)
+      ps.setLong(2, idInternal)
+      ps.setInt(3, StreamVersion.End)
+      ps.setLong(4, Position.End)
+      setOptInt(ps, 5, maxAge)
+      setOptInt(ps, 6, maxCount)
+    }
+    HeadRow(streamId, idInternal, StreamVersion.End, Position.End, maxAge, maxCount)
+  }
+
+  /** MaxCount retention: physically delete rows below the version cutoff,
+    * as the reference does post-append (ref: Scavenge.sql:23-30,
+    * PostgresStreamStore.Append.cs:69-77). */
+  private def scavenge(head: HeadRow, maxCount: Int): Unit = {
+    val cutoff = head.version - maxCount // keep versions > cutoff
+    if (cutoff >= 0)
+      update(s"DELETE FROM $MessagesTable WHERE stream_id_internal=? AND stream_version<=?") { ps =>
+        ps.setLong(1, head.idInternal); ps.setInt(2, cutoff)
+      }
+  }
+
+  /** In-order (version, messageId) pairs stored for a stream — backs the
+    * idempotency replay checks (ref: EnforceIdempotentAppend.sql). */
+  private def existingIds(head: HeadRow): IndexedSeq[(Int, String)] =
+    query(s"SELECT stream_version, message_id FROM $MessagesTable WHERE stream_id_internal=? ORDER BY stream_version") {
+      ps => ps.setLong(1, head.idInternal)
+    } { rs => (rs.getInt(1), rs.getString(2)) }
+
+  // ------------------------------------------------------------------
+  // Reads (ref: ReadAll.sql, Read.sql, ReadonlyStreamStoreBase.cs)
+  // ------------------------------------------------------------------
+
+  private def selectSql(prefetch: Boolean): String = {
+    val dataCol = if (prefetch) "m.json_data" else "CAST(NULL AS CLOB)"
+    s"SELECT s.id, m.message_id, m.stream_version, m.position, m.created_micros, m.msg_type, $dataCol, m.json_metadata, s.max_age " +
+      s"FROM $MessagesTable m JOIN $StreamsTable s ON s.id_internal = m.stream_id_internal"
+  }
+
+  private def readMsg(rs: ResultSet): (StreamMessage, Option[Int]) = {
+    val micros = rs.getLong(5)
+    val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+    val maxAge = { val v = rs.getInt(9); if (rs.wasNull()) None else Some(v) }
+    (StreamMessage(rs.getString(1), rs.getString(2), rs.getInt(3), rs.getLong(4), ts,
+      rs.getString(6), rs.getString(7), rs.getString(8)), maxAge)
+  }
+
+  /** TTL filter, applied post-read like the reference
+    * (`ReadonlyStreamStoreBase.cs:394-490`): expired messages are dropped
+    * from the page and purged; `$` streams exempt (their head rows never
+    * carry max_age). Purge is synchronous here — one DELETE batch plus one
+    * tracking append, inside the reading operation's transaction. */
+  private def filterExpired(msgs: Seq[(StreamMessage, Option[Int])]): Seq[StreamMessage] = {
+    val now = clock.nowUtc
+    val (keep, expired) = msgs.partition { case (m, maxAge) =>
+      maxAge.forall(a => m.createdUtc.toInstant.plusSeconds(a.toLong).isAfter(now))
+    }
+    if (expired.nonEmpty) {
+      expired.foreach { case (m, _) =>
+        update(s"DELETE FROM $MessagesTable WHERE position=?")(_.setLong(1, m.position))
+      }
+      if (trackDeletes) {
+        val tombs = expired.map(_._1).filterNot(m => StreamId.isSystem(m.streamId)).map(m =>
+          NewStreamMessage(UUID.randomUUID().toString, Deleted.MessageDeletedMessageType,
+            Deleted.messageDeletedPayload(m.streamId, m.messageId)))
+        if (tombs.nonEmpty) appendInternal(Deleted.DeletedStreamId, ExpectedVersion.Any, tombs)
+      }
+    }
+    keep.map(_._1)
+  }
+
+  override def readAllForwards(from: Long, maxCount: Int, prefetch: Boolean): ReadAllPage = synchronized {
+    require(maxCount > 0)
+    val fromPos = if (from == Position.End) Long.MaxValue else from
+    val rows = inTx(query(selectSql(prefetch) + s" WHERE m.position >= ? ORDER BY m.position FETCH FIRST ${maxCount + 1} ROWS ONLY") {
+      ps => ps.setLong(1, fromPos)
+    }(readMsg))
+    val isEnd = rows.length <= maxCount
+    val page = rows.take(maxCount)
+    val nextPos =
+      if (!isEnd) rows(maxCount)._1.position
+      else if (page.nonEmpty) page.last._1.position + 1
+      else fromPos
+    val kept = inTx(filterExpired(page))
+    ReadAllPage(from, nextPos, isEnd, ReadDirection.Forward, kept,
+      () => readAllForwards(nextPos, maxCount, prefetch))
+  }
+
+  override def readAllBackwards(from: Long, maxCount: Int, prefetch: Boolean): ReadAllPage = synchronized {
+    require(maxCount > 0)
+    val fromPos = if (from == Position.End) Long.MaxValue else from
+    val rows = inTx(query(selectSql(prefetch) + s" WHERE m.position <= ? ORDER BY m.position DESC FETCH FIRST ${maxCount + 1} ROWS ONLY") {
+      ps => ps.setLong(1, fromPos)
+    }(readMsg))
+    if (rows.isEmpty)
+      return ReadAllPage(Position.Start, Position.Start, isEnd = true,
+        ReadDirection.Backward, Nil,
+        () => readAllBackwards(Position.Start, maxCount, prefetch))
+    val isEnd = rows.length <= maxCount
+    val page = rows.take(maxCount)
+    val nextPos = if (!isEnd) rows(maxCount)._1.position else Position.Start
+    val kept = inTx(filterExpired(page))
+    val resolvedFrom = kept.headOption.map(_.position).getOrElse(0L)
+    ReadAllPage(resolvedFrom, nextPos, isEnd, ReadDirection.Backward, kept,
+      () => readAllBackwards(nextPos, maxCount, prefetch))
+  }
+
+  override def readStreamForwards(streamId: String, fromVersion: Int, maxCount: Int, prefetch: Boolean): ReadStreamPage = synchronized {
+    require(maxCount > 0)
+    inTx(selectHead(streamId)) match {
+      case None =>
+        ReadStreamPage(streamId, PageReadStatus.StreamNotFound, fromVersion, StreamVersion.End,
+          StreamVersion.End, Position.End, ReadDirection.Forward, isEnd = true, Nil,
+          () => readStreamForwards(streamId, fromVersion, maxCount, prefetch))
+      case Some(head) =>
+        val fromV = math.max(fromVersion, 0)
+        val rows = inTx(query(selectSql(prefetch) + s" WHERE m.stream_id_internal = ? AND m.stream_version >= ? ORDER BY m.stream_version FETCH FIRST ${maxCount + 1} ROWS ONLY") {
+          ps => ps.setLong(1, head.idInternal); ps.setInt(2, fromV)
+        }(readMsg))
+        val isEnd = rows.length <= maxCount
+        val page = rows.take(maxCount)
+        val nextV = if (!isEnd) rows(maxCount)._1.streamVersion else head.version + 1
+        val kept = inTx(filterExpired(page))
+        ReadStreamPage(streamId, PageReadStatus.Success, fromVersion, nextV, head.version,
+          head.position, ReadDirection.Forward, isEnd, kept,
+          () => readStreamForwards(streamId, nextV, maxCount, prefetch))
+    }
+  }
+
+  override def readStreamBackwards(streamId: String, fromVersion: Int, maxCount: Int, prefetch: Boolean): ReadStreamPage = synchronized {
+    require(maxCount > 0)
+    inTx(selectHead(streamId)) match {
+      case None =>
+        ReadStreamPage(streamId, PageReadStatus.StreamNotFound, fromVersion, StreamVersion.End,
+          StreamVersion.End, Position.End, ReadDirection.Backward, isEnd = true, Nil,
+          () => readStreamBackwards(streamId, fromVersion, maxCount, prefetch))
+      case Some(head) =>
+        val fromV = if (fromVersion == StreamVersion.End) Int.MaxValue else fromVersion
+        val rows = inTx(query(selectSql(prefetch) + s" WHERE m.stream_id_internal = ? AND m.stream_version <= ? ORDER BY m.stream_version DESC FETCH FIRST ${maxCount + 1} ROWS ONLY") {
+          ps => ps.setLong(1, head.idInternal); ps.setInt(2, fromV)
+        }(readMsg))
+        val isEnd = rows.length <= maxCount
+        val page = rows.take(maxCount)
+        val nextV = if (!isEnd) rows(maxCount)._1.streamVersion else StreamVersion.End
+        val kept = inTx(filterExpired(page))
+        ReadStreamPage(streamId, PageReadStatus.Success, fromVersion, nextV, head.version,
+          head.position, ReadDirection.Backward, isEnd, kept,
+          () => readStreamBackwards(streamId, nextV, maxCount, prefetch))
+    }
+  }
+
+  override def readHeadPosition(): Long = synchronized { nextPosition - 1 }
+
+  override def readStreamHeadPosition(streamId: String): Long =
+    synchronized { inTx(selectHead(streamId)).map(_.position).getOrElse(Position.End) }
+
+  override def readStreamHeadVersion(streamId: String): Int =
+    synchronized { inTx(selectHead(streamId)).map(_.version).getOrElse(StreamVersion.End) }
+
+  override def readMessageData(streamId: String, streamVersion: Int): Option[String] = synchronized {
+    inTx(query(
+      s"SELECT m.json_data FROM $MessagesTable m JOIN $StreamsTable s ON s.id_internal = m.stream_id_internal WHERE s.id=? AND m.stream_version=?") {
+      ps => ps.setString(1, streamId); ps.setInt(2, streamVersion)
+    }(_.getString(1)).headOption)
+  }
+
+  // ------------------------------------------------------------------
+  // Deletes (ref: DeleteStream.sql:1-74, DeleteStreamMessages.sql:1-47)
+  // ------------------------------------------------------------------
+
+  override def deleteStream(streamId: String, expectedVersion: Int): Unit = synchronized {
+    require(!StreamId.isSystem(streamId), s"stream id must not start with '$$': $streamId")
+    inTx {
+      val head = selectHead(streamId)
+      if (head.isEmpty) {
+        if (expectedVersion >= 0) throw WrongExpectedVersionException(streamId, expectedVersion)
+      } else {
+        if (expectedVersion >= 0 && head.get.version != expectedVersion)
+          throw WrongExpectedVersionException(streamId, expectedVersion)
+        val metaId = MetadataStream.of(streamId)
+        val metaHead = selectHead(metaId)
+        dropStream(head.get)
+        metaHead.foreach(dropStream)
+        if (trackDeletes) {
+          val events = Seq(NewStreamMessage(
+            UUID.randomUUID().toString, Deleted.StreamDeletedMessageType,
+            Deleted.streamDeletedPayload(streamId))) ++
+            metaHead.map(_ => NewStreamMessage(
+              UUID.randomUUID().toString, Deleted.StreamDeletedMessageType,
+              Deleted.streamDeletedPayload(metaId)))
+          appendInternal(Deleted.DeletedStreamId, ExpectedVersion.Any, events)
+        }
+      }
+    }
+  }
+
+  private def dropStream(head: HeadRow): Unit = {
+    update(s"DELETE FROM $MessagesTable WHERE stream_id_internal=?")(_.setLong(1, head.idInternal))
+    update(s"DELETE FROM $StreamsTable WHERE id_internal=?")(_.setLong(1, head.idInternal))
+  }
+
+  override def deleteMessage(streamId: String, messageId: String): Unit = synchronized {
+    inTx {
+      selectHead(streamId).foreach { head =>
+        val n = updateCount(s"DELETE FROM $MessagesTable WHERE stream_id_internal=? AND message_id=?") {
+          ps => ps.setLong(1, head.idInternal); ps.setString(2, messageId)
+        }
+        if (n > 0 && trackDeletes && !StreamId.isSystem(streamId)) {
+          val tomb = NewStreamMessage(
+            UUID.randomUUID().toString, Deleted.MessageDeletedMessageType,
+            Deleted.messageDeletedPayload(streamId, messageId))
+          appendInternal(Deleted.DeletedStreamId, ExpectedVersion.Any, Seq(tomb))
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Metadata (ref: PostgresStreamStore.Metadata.cs:25-52, SetStreamMetadata.sql)
+  // ------------------------------------------------------------------
+
+  override def getStreamMetadata(streamId: String): StreamMetadataResult = synchronized {
+    inTx(latestMetadataMessage(streamId)) match {
+      case None => StreamMetadataResult(streamId, StreamVersion.End, None, None, null)
+      case Some((version, json)) =>
+        val m = MetadataJson.read(json)
+        StreamMetadataResult(streamId, version, m.maxAge, m.maxCount, m.metaJson.orNull)
+    }
+  }
+
+  override def setStreamMetadata(
+      streamId: String,
+      expectedStreamMetadataVersion: Int,
+      maxAge: Option[Int],
+      maxCount: Option[Int],
+      metadataJson: Option[String]): Unit = synchronized {
+    require(!StreamId.isSystem(streamId) || streamId == Deleted.DeletedStreamId,
+      s"stream id must not start with '$$': $streamId") // ref: StreamStoreBase.cs:115-118
+    val payload = MetadataJson.write(MetadataMessage(streamId, maxAge, maxCount, metadataJson))
+    val msg = NewStreamMessage(
+      DeterministicUuid.forMetadata(streamId, payload).toString,
+      MetadataStream.MetadataMessageType, payload)
+    inTx {
+      appendInternal(MetadataStream.of(streamId), expectedStreamMetadataVersion, Seq(msg))
+      // applyMetadataToTarget ran inside appendEvents; scavenge the target
+      // if maxCount shrank (ref: CheckStreamMaxCount after SetStreamMetadata)
+      selectHead(streamId).foreach(h => h.maxCount.foreach(mc => scavenge(h, mc)))
+    }
+  }
+
+  /** Propagate the latest `$$s` metadata to stream `s`'s head retention
+    * settings (ref: SetStreamMetadata.sql:20-37). */
+  private def applyMetadataToTarget(targetStreamId: String): Unit =
+    latestMetadata(targetStreamId).foreach { m =>
+      selectHead(targetStreamId).foreach { h =>
+        update(s"UPDATE $StreamsTable SET max_age=?, max_count=? WHERE id_internal=?") { ps =>
+          setOptInt(ps, 1, m.maxAge); setOptInt(ps, 2, m.maxCount); ps.setLong(3, h.idInternal)
+        }
+      }
+    }
+
+  private def latestMetadata(streamId: String): Option[MetadataMessage] =
+    latestMetadataMessage(streamId).map { case (_, json) => MetadataJson.read(json) }
+
+  private def latestMetadataMessage(streamId: String): Option[(Int, String)] =
+    selectHead(MetadataStream.of(streamId)).flatMap { h =>
+      query(s"SELECT stream_version, json_data FROM $MessagesTable WHERE stream_id_internal=? ORDER BY stream_version DESC FETCH FIRST 1 ROWS ONLY") {
+        ps => ps.setLong(1, h.idInternal)
+      } { rs => (rs.getInt(1), rs.getString(2)) }.headOption
+    }
+
+  // ------------------------------------------------------------------
+  // ListStreams (ref: ListStreams.sql:10-16, Pattern.cs:7-37)
+  // ------------------------------------------------------------------
+
+  /** Keyset-paged stream listing pushed to the database as an indexed
+    * range scan — O(page), not O(streams), per call (ref:
+    * ListStreams.sql:10-16 pages on id_internal the same way). */
+  override def listStreams(pattern: Pattern, maxCount: Int, continuationToken: Option[String]): ListStreamsPage = synchronized {
+    val afterId = continuationToken.map(_.toLong).getOrElse(-1L)
+    val (patternSql, patternArg) = pattern match {
+      case Pattern.Anything => ("", None)
+      case Pattern.StartsWith(p) => (" AND id LIKE ? ESCAPE '!'", Some(escapeLike(p) + "%"))
+      case Pattern.EndsWith(p) => (" AND id LIKE ? ESCAPE '!'", Some("%" + escapeLike(p)))
+    }
+    val rows = inTx(query(
+      s"SELECT id, id_internal FROM $StreamsTable WHERE id_internal > ?$patternSql ORDER BY id_internal FETCH FIRST $maxCount ROWS ONLY") { ps =>
+      ps.setLong(1, afterId)
+      patternArg.foreach(ps.setString(2, _))
+    } { rs => (rs.getString(1), rs.getLong(2)) })
+    val token = rows.lastOption.map(_._2).getOrElse(afterId).toString
+    ListStreamsPage(rows.map(_._1), token,
+      () => listStreams(pattern, maxCount, Some(token)))
+  }
+
+  private def escapeLike(s: String): String =
+    s.flatMap {
+      case c @ ('%' | '_' | '!') => s"!$c"
+      case c => c.toString
+    }
+
+  // ------------------------------------------------------------------
+  // Spark surface
+  // ------------------------------------------------------------------
+
+  /** The all-stream as a DataFrame: a position-partitioned parallel JDBC
+    * scan (`spark.read.jdbc` with `partitionColumn` — each executor reads
+    * a position range), schema-aligned with
+    * [[SparkStreamStore.allMessages]] so analytical queries are
+    * backend-agnostic. Filters on `position` prune partitions at the
+    * database via the generated range predicates. */
+  def allMessages(numPartitions: Int = spark.sparkContext.defaultParallelism): DataFrame = {
+    val bounds = synchronized(inTx(query(
+      s"SELECT MIN(position), MAX(position) FROM $MessagesTable")(_ => ()) { rs =>
+      (rs.getLong(1), rs.wasNull(), rs.getLong(2))
+    }.headOption))
+    val view =
+      s"""(SELECT s.id AS stream_id, m.message_id, m.stream_version, m.position,
+         |  m.created_micros, m.msg_type, m.json_data, m.json_metadata
+         |  FROM $MessagesTable m JOIN $StreamsTable s ON s.id_internal = m.stream_id_internal) v""".stripMargin
+    bounds match {
+      case Some((lo, false, hi)) =>
+        val props = new java.util.Properties()
+        spark.read.jdbc(jdbcUrl, view, "POSITION", lo, hi + 1,
+          math.max(1, math.min(numPartitions, (hi - lo + 1).toInt)), props)
+          .select(
+            col("STREAM_ID").as("streamId"),
+            col("MESSAGE_ID").as("messageId"),
+            col("STREAM_VERSION").as("streamVersion"),
+            col("POSITION").as("position"),
+            expr("timestamp_micros(CREATED_MICROS)").as("createdUtc"),
+            col("MSG_TYPE").as("type"),
+            col("JSON_DATA").as("jsonData"),
+            col("JSON_METADATA").as("jsonMetadata"))
+      case _ =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], JdbcMessageSchema)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Plumbing
+  // ------------------------------------------------------------------
+
+  private def selectHead(streamId: String): Option[HeadRow] =
+    query(s"SELECT id_internal, version, position, max_age, max_count FROM $StreamsTable WHERE id=?") {
+      ps => ps.setString(1, streamId)
+    } { rs =>
+      val maxAge = { val v = rs.getInt(4); if (rs.wasNull()) None else Some(v) }
+      val maxCount = { val v = rs.getInt(5); if (rs.wasNull()) None else Some(v) }
+      HeadRow(streamId, rs.getLong(1), rs.getInt(2), rs.getLong(3), maxAge, maxCount)
+    }.headOption
+
+  /** Run `f` in the connection's transaction: commit on success, roll back
+    * on failure. Re-entrant (inner calls piggyback on the outer tx) so
+    * deletes/purges can append tracking events atomically. */
+  private var txDepth = 0
+  private def inTx[T](f: => T): T = {
+    txDepth += 1
+    try {
+      val r = f
+      txDepth -= 1
+      if (txDepth == 0) conn.commit()
+      r
+    } catch {
+      case e: Throwable =>
+        txDepth -= 1
+        if (txDepth == 0) try conn.rollback() catch { case _: SQLException => () }
+        throw e
+    }
+  }
+
+  private def query[T](sql: String)(bind: PreparedStatement => Unit)(read: ResultSet => T): IndexedSeq[T] = {
+    val ps = conn.prepareStatement(sql)
+    try {
+      bind(ps)
+      val rs = ps.executeQuery()
+      try {
+        val buf = Vector.newBuilder[T]
+        while (rs.next()) buf += read(rs)
+        buf.result()
+      } finally rs.close()
+    } finally ps.close()
+  }
+
+  private def update(sql: String)(bind: PreparedStatement => Unit): Unit = { updateCount(sql)(bind); () }
+
+  private def updateCount(sql: String)(bind: PreparedStatement => Unit): Int = {
+    val ps = conn.prepareStatement(sql)
+    try { bind(ps); ps.executeUpdate() } finally ps.close()
+  }
+
+  private def setOptInt(ps: PreparedStatement, idx: Int, v: Option[Int]): Unit =
+    v match {
+      case Some(x) => ps.setInt(idx, x)
+      case None => ps.setNull(idx, java.sql.Types.INTEGER)
+    }
+
+  private def readCounter(key: String, default: Long): Long =
+    inTx(query(s"SELECT v FROM $CountersTable WHERE k=?")(_.setString(1, key))(_.getLong(1)).headOption.getOrElse(default))
+
+  private def writeCounter(key: String, v: Long): Unit = {
+    val n = updateCount(s"UPDATE $CountersTable SET v=? WHERE k=?") { ps => ps.setLong(1, v); ps.setString(2, key) }
+    if (n == 0) update(s"INSERT INTO $CountersTable (k, v) VALUES (?,?)") { ps => ps.setString(1, key); ps.setLong(2, v) }
+  }
+
+  private def createSchema(): Unit = synchronized {
+    def ddl(sql: String): Unit = {
+      val st = conn.createStatement()
+      try st.executeUpdate(sql)
+      catch { case e: SQLException if e.getSQLState == "X0Y32" => () } // already exists
+      finally st.close()
+    }
+    // Two-table star + counters (ref: Tables.sql:4-47); id_internal is the
+    // surrogate FK keeping message-index keys fixed-width.
+    ddl(s"""CREATE TABLE $StreamsTable (
+           |  id VARCHAR(512) NOT NULL PRIMARY KEY,
+           |  id_internal BIGINT NOT NULL,
+           |  version INT NOT NULL,
+           |  position BIGINT NOT NULL,
+           |  max_age INT,
+           |  max_count INT)""".stripMargin)
+    ddl(s"CREATE UNIQUE INDEX ${StreamsTable}_internal ON $StreamsTable(id_internal)")
+    ddl(s"""CREATE TABLE $MessagesTable (
+           |  position BIGINT NOT NULL PRIMARY KEY,
+           |  stream_id_internal BIGINT NOT NULL,
+           |  stream_version INT NOT NULL,
+           |  message_id VARCHAR(64) NOT NULL,
+           |  created_micros BIGINT NOT NULL,
+           |  msg_type VARCHAR(1000),
+           |  json_data CLOB,
+           |  json_metadata CLOB)""".stripMargin)
+    ddl(s"CREATE UNIQUE INDEX ${MessagesTable}_sv ON $MessagesTable(stream_id_internal, stream_version)")
+    ddl(s"CREATE INDEX ${MessagesTable}_mid ON $MessagesTable(stream_id_internal, message_id)")
+    ddl(s"""CREATE TABLE $CountersTable (
+           |  k VARCHAR(64) NOT NULL PRIMARY KEY,
+           |  v BIGINT NOT NULL)""".stripMargin)
+    conn.commit()
+  }
+
+  override def close(): Unit = synchronized {
+    try conn.close() catch { case _: SQLException => () }
+    // Embedded Derby: shut down this database to release its file locks.
+    // A successful per-database shutdown SIGNALS via SQLState 08006.
+    if (jdbcUrl.startsWith("jdbc:derby:"))
+      try DriverManager.getConnection(jdbcUrl.takeWhile(_ != ';') + ";shutdown=true")
+      catch { case e: SQLException if e.getSQLState == "08006" => () case _: SQLException => () }
+  }
+}
+
+object JdbcStreamStore {
+  private val StreamsTable = "graft_streams"
+  private val MessagesTable = "graft_messages"
+  private val CountersTable = "graft_counters"
+
+  private final case class HeadRow(
+      streamId: String,
+      idInternal: Long,
+      version: Int,
+      position: Long,
+      maxAge: Option[Int],
+      maxCount: Option[Int])
+
+  /** Schema of [[JdbcStreamStore.allMessages]] — identical to
+    * `SparkStreamStore`'s message schema so queries are backend-agnostic. */
+  val JdbcMessageSchema: StructType = StructType(Seq(
+    StructField("streamId", StringType),
+    StructField("messageId", StringType),
+    StructField("streamVersion", IntegerType),
+    StructField("position", LongType),
+    StructField("createdUtc", TimestampType),
+    StructField("type", StringType),
+    StructField("jsonData", StringType),
+    StructField("jsonMetadata", StringType)))
+
+  /** Derby writes `derby.log` into `derby.system.home`; default it to the
+    * JVM temp dir so embedded databases never litter the working tree.
+    * Called before the first connection is opened. */
+  private def ensureDerbyHome(): Unit =
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+}

@@ -1,0 +1,259 @@
+package graft.store
+
+import graft.SparkTestSession
+import graft.core._
+import graft.streaming.Subscriptions
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterEach
+
+import java.time.Instant
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+/** The JDBC-backed store run through the same contract as the parquet
+  * store, mirroring the reference's per-backend acceptance wiring (the
+  * shared acceptance suite runs over each `IStreamStore` fixture —
+  * `tests/SqlStreamStore.AcceptanceTests/StreamStoreAcceptanceTests.cs`).
+  * Backend here is embedded Derby, which ships with Spark. */
+class JdbcStoreSpec extends AnyFunSuite with BeforeAndAfterEach {
+  private val spark = SparkTestSession.spark
+  private var dbDir: String = _
+  private var clock: Clock.Manual = _
+  private var store: JdbcStreamStore = _
+
+  private def url(dir: String) = s"jdbc:derby:$dir/db;create=true"
+
+  override def beforeEach(): Unit = {
+    dbDir = SparkTestSession.tempDir("graft-jdbc")
+    clock = new Clock.Manual(Instant.parse("2026-01-01T00:00:00Z"))
+    store = new JdbcStreamStore(spark, url(dbDir), clock)
+  }
+
+  override def afterEach(): Unit = store.close()
+
+  private def mid(n: Int): String = f"00000000-0000-0000-0000-$n%012d"
+  private def msgs(ns: Int*): Seq[NewStreamMessage] =
+    ns.map(n => NewStreamMessage(mid(n), "type", s"""{"data":$n}""", """{"meta":1}"""))
+
+  test("append creates stream; read returns messages in order") {
+    val r = store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2, 3))
+    assert(r === AppendResult(2, 2))
+    val page = store.readStreamForwards("s1")
+    assert(page.status === PageReadStatus.Success)
+    assert(page.messages.map(_.streamVersion) === Seq(0, 1, 2))
+    assert(page.messages.map(_.messageId) === Seq(mid(1), mid(2), mid(3)))
+    assert(page.messages.head.jsonData === """{"data":1}""")
+    assert(page.messages.head.jsonMetadata === """{"meta":1}""")
+  }
+
+  test("five-way expected-version semantics") {
+    // NoStream on existing: full replay idempotent, extension throws
+    store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2))
+    assert(store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2)) === AppendResult(1, 1))
+    intercept[WrongExpectedVersionException] {
+      store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2, 3))
+    }
+    // exact version appends and idempotent replays
+    assert(store.appendToStream("s1", 1, msgs(3)) === AppendResult(2, 2))
+    assert(store.appendToStream("s1", 1, msgs(3)) === AppendResult(2, 2)) // replay at 1
+    intercept[WrongExpectedVersionException] { store.appendToStream("s1", 1, msgs(4)) }
+    intercept[WrongExpectedVersionException] { store.appendToStream("s1", 5, msgs(9)) }
+    // Any: exact-suffix replay idempotent, partial overlap throws
+    assert(store.appendToStream("s1", ExpectedVersion.Any, msgs(2, 3)) === AppendResult(2, 2))
+    intercept[WrongExpectedVersionException] {
+      store.appendToStream("s1", ExpectedVersion.Any, msgs(3, 4))
+    }
+    // EmptyStream on a non-empty stream throws
+    intercept[WrongExpectedVersionException] {
+      store.appendToStream("s1", ExpectedVersion.EmptyStream, msgs(7))
+    }
+  }
+
+  test("empty-batch append creates an empty stream") {
+    assert(store.appendToStream("e", ExpectedVersion.NoStream, Nil) === AppendResult(-1, -1))
+    assert(store.readStreamHeadVersion("e") === -1)
+    assert(store.readStreamForwards("e").status === PageReadStatus.Success)
+    assert(store.listStreams().streamIds === Seq("e"))
+  }
+
+  test("read all forwards and backwards with paging") {
+    store.appendToStream("a", ExpectedVersion.NoStream, msgs(1 to 10: _*))
+    val p1 = store.readAllForwards(Position.Start, 4)
+    assert(p1.messages.map(_.position) === Seq(0L, 1L, 2L, 3L))
+    assert(!p1.isEnd)
+    val p2 = p1.readNext()
+    assert(p2.messages.map(_.position) === Seq(4L, 5L, 6L, 7L))
+    val p3 = p2.readNext()
+    assert(p3.messages.map(_.position) === Seq(8L, 9L))
+    assert(p3.isEnd)
+    val back = store.readAllBackwards(Position.End, 3)
+    assert(back.messages.map(_.position) === Seq(9L, 8L, 7L))
+    assert(back.readNext().messages.map(_.position) === Seq(6L, 5L, 4L))
+  }
+
+  test("read stream backwards from End and from a version") {
+    store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2, 3, 4))
+    val b = store.readStreamBackwards("a")
+    assert(b.messages.map(_.streamVersion) === Seq(3, 2, 1, 0))
+    val from1 = store.readStreamBackwards("a", 1, 10)
+    assert(from1.messages.map(_.streamVersion) === Seq(1, 0))
+  }
+
+  test("read nonexistent stream returns StreamNotFound") {
+    assert(store.readStreamForwards("nope").status === PageReadStatus.StreamNotFound)
+    assert(store.readStreamBackwards("nope").status === PageReadStatus.StreamNotFound)
+  }
+
+  test("head positions") {
+    assert(store.readHeadPosition() === -1L)
+    store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2))
+    assert(store.readHeadPosition() === 1L)
+    assert(store.readStreamHeadVersion("a") === 1)
+    assert(store.readStreamHeadPosition("a") === 1L)
+    assert(store.readStreamHeadVersion("nope") === -1)
+  }
+
+  test("delete stream with expected-version semantics and $deleted tracking") {
+    store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2))
+    intercept[WrongExpectedVersionException] { store.deleteStream("a", 0) }
+    store.deleteStream("a", 1)
+    assert(store.readStreamForwards("a").status === PageReadStatus.StreamNotFound)
+    val tracked = store.readStreamForwards(Deleted.DeletedStreamId)
+    assert(tracked.messages.map(_.`type`) === Seq(Deleted.StreamDeletedMessageType))
+    // deleting a nonexistent stream: no-op unless a concrete version is expected
+    store.deleteStream("ghost")
+    intercept[WrongExpectedVersionException] { store.deleteStream("ghost", 3) }
+  }
+
+  test("delete message removes a single row and tracks it") {
+    store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2, 3))
+    store.deleteMessage("a", mid(2))
+    assert(store.readStreamForwards("a").messages.map(_.messageId) === Seq(mid(1), mid(3)))
+    // head does not regress when the newest message is deleted
+    store.deleteMessage("a", mid(3))
+    assert(store.readStreamHeadVersion("a") === 2)
+    assert(store.readStreamHeadPosition("a") === 2L)
+    val types = store.readStreamForwards(Deleted.DeletedStreamId).messages.map(_.`type`)
+    assert(types === Seq(Deleted.MessageDeletedMessageType, Deleted.MessageDeletedMessageType))
+    store.deleteMessage("a", mid(9)) // unknown id: no-op
+    assert(store.readStreamForwards("a").messages.map(_.messageId) === Seq(mid(1)))
+  }
+
+  test("metadata round-trips, applies retention, and inherits on create") {
+    store.setStreamMetadata("a", maxAge = Some(60), maxCount = Some(2),
+      metadataJson = Some("""{"k":"v"}"""))
+    val m = store.getStreamMetadata("a")
+    assert(m.metadataStreamVersion === 0)
+    assert(m.maxAge === Some(60) && m.maxCount === Some(2))
+    assert(m.metadataJson === """{"k":"v"}""")
+    // stream created AFTER metadata inherits maxCount: keeps newest 2
+    store.appendToStream("a", ExpectedVersion.Any, msgs(1, 2, 3, 4))
+    assert(store.readStreamForwards("a").messages.map(_.streamVersion) === Seq(2, 3))
+  }
+
+  test("shrinking maxCount re-scavenges an existing stream") {
+    store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2, 3, 4, 5))
+    store.setStreamMetadata("a", maxCount = Some(2))
+    assert(store.readStreamForwards("a").messages.map(_.streamVersion) === Seq(3, 4))
+  }
+
+  test("maxAge expires messages from reads and purges them") {
+    store.setStreamMetadata("a", maxAge = Some(100))
+    store.appendToStream("a", ExpectedVersion.Any, msgs(1, 2))
+    clock.advanceSeconds(50)
+    store.appendToStream("a", ExpectedVersion.Any, msgs(3))
+    clock.advanceSeconds(60) // first two now older than 100s
+    assert(store.readStreamForwards("a").messages.map(_.messageId) === Seq(mid(3)))
+    assert(store.readAllForwards().messages.filter(_.streamId == "a").map(_.messageId) === Seq(mid(3)))
+    // purge tracked the deletions
+    val tracked = store.readStreamForwards(Deleted.DeletedStreamId).messages.map(_.`type`)
+    assert(tracked.count(_ == Deleted.MessageDeletedMessageType) === 2)
+  }
+
+  test("list streams with patterns and keyset pagination") {
+    Seq("order-1", "order-2", "invoice-1").foreach(id =>
+      store.appendToStream(id, ExpectedVersion.NoStream, msgs(1)))
+    assert(store.listStreams().streamIds === Seq("order-1", "order-2", "invoice-1"))
+    assert(store.listStreams(Pattern.StartsWith("order-")).streamIds === Seq("order-1", "order-2"))
+    assert(store.listStreams(Pattern.EndsWith("-1")).streamIds === Seq("order-1", "invoice-1"))
+    val p1 = store.listStreams(Pattern.Anything, maxCount = 2)
+    assert(p1.streamIds.size === 2)
+    assert(p1.readNext().streamIds === Seq("invoice-1"))
+    store.deleteStream("order-2")
+    assert(store.listStreams(Pattern.StartsWith("order-")).streamIds === Seq("order-1"))
+  }
+
+  test("prefetch=false omits payload; lazy lookup fetches; None after delete") {
+    store.appendToStream("a", ExpectedVersion.NoStream, msgs(1))
+    val page = store.readStreamForwards("a", 0, 10, prefetch = false)
+    assert(page.messages.head.jsonData === null)
+    assert(store.readMessageData("a", 0) === Some("""{"data":1}"""))
+    store.deleteStream("a")
+    assert(store.readMessageData("a", 0) === None)
+  }
+
+  test("reopen recovers heads, positions, and retention from the database") {
+    store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2))
+    store.setStreamMetadata("a", maxCount = Some(10))
+    store.appendToStream("b", ExpectedVersion.NoStream, msgs(3))
+    store.close()
+    store = new JdbcStreamStore(spark, url(dbDir), clock)
+    assert(store.readHeadPosition() === 3L) // metadata message took position 2
+    assert(store.readStreamHeadVersion("a") === 1)
+    assert(store.readStreamForwards("a").messages.map(_.messageId) === Seq(mid(1), mid(2)))
+    assert(store.getStreamMetadata("a").maxCount === Some(10))
+    // appends continue with dense positions after reopen
+    assert(store.appendToStream("b", 0, msgs(4)) === AppendResult(1, 4))
+  }
+
+  test("position counter does not regress after deleting the newest rows") {
+    store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2))
+    store.deleteStream("a", 1)
+    store.close()
+    store = new JdbcStreamStore(spark, url(dbDir), clock)
+    // positions 0-1 deleted, but the allocator moved past the tracking row
+    val r = store.appendToStream("b", ExpectedVersion.NoStream, msgs(3))
+    assert(r.currentPosition > 1L)
+  }
+
+  test("allMessages exposes the log as a position-partitioned DataFrame") {
+    store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2, 3))
+    store.appendToStream("b", ExpectedVersion.NoStream, msgs(4))
+    val df = store.allMessages(numPartitions = 2)
+    assert(df.columns.toSeq === Seq("streamId", "messageId", "streamVersion", "position",
+      "createdUtc", "type", "jsonData", "jsonMetadata"))
+    val rows = df.orderBy("position").collect()
+    assert(rows.map(_.getLong(3)).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(rows.map(_.getString(0)).toSeq === Seq("a", "a", "a", "b"))
+    assert(rows.head.getString(6) === """{"data":1}""")
+    // filter pushes into the JDBC scan (position range predicate)
+    assert(df.filter("position >= 2").count() === 2)
+    // empty store yields an empty frame with the same schema
+    val empty = new JdbcStreamStore(spark, url(SparkTestSession.tempDir("graft-jdbc-e")), clock)
+    try assert(empty.allMessages().count() === 0)
+    finally empty.close()
+  }
+
+  test("subscriptions run unchanged over the JDBC store (trait parity)") {
+    store.appendToStream("s", ExpectedVersion.NoStream, msgs(1, 2, 3))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val caught = new CountDownLatch(1)
+    val gotNew = new CountDownLatch(4)
+    val sub = Subscriptions.subscribeToAll(store, None,
+      m => { seen.add(m.position); gotNew.countDown() },
+      b => if (b) caught.countDown())
+    try {
+      assert(caught.await(30, TimeUnit.SECONDS))
+      store.appendToStream("s", ExpectedVersion.Any, msgs(4))
+      assert(gotNew.await(30, TimeUnit.SECONDS))
+      assert(seen.toArray.toSeq === Seq(0L, 1L, 2L, 3L))
+    } finally sub.close()
+  }
+
+  test("system stream ids are rejected at the write surface") {
+    intercept[IllegalArgumentException] {
+      store.appendToStream("$sys", ExpectedVersion.Any, msgs(1))
+    }
+    intercept[IllegalArgumentException] { store.deleteStream("$sys") }
+    intercept[IllegalArgumentException] { store.setStreamMetadata("$sys", maxAge = Some(1)) }
+  }
+}
