@@ -68,7 +68,7 @@ object Dedup {
   }
 
   /** All C(n,2) ordered pairs from a sorted id array (id_a < id_b). */
-  private def pairCombos(ids: Column): Column =
+  def pairCombos(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
         y => struct(x.as("id_a"), y.as("id_b")))))
@@ -83,7 +83,7 @@ object Dedup {
     * and belongs to [[exactDedup]]; the cap bounds per-bucket work. */
   def lshCandidatePairsFromHashes(
       withSh: DataFrame, k: Int, bands: Int,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sig = withSh.select(
       col("id"),
       posexplode(lshBandHashes(graft.functions.TextHash.minHashFromHashes(col("sh"), k), bands, k))
@@ -122,34 +122,60 @@ object Dedup {
     inter / (size(sa).cast("double") + size(sb).cast("double") - inter)
   }
 
+  /** Skip LSH buckets above this size by default: a mega-bucket is
+    * exact-dup- or boilerplate-shaped (C(n,2) candidate blow-up) and
+    * belongs to [[exactDedup]]. Finite by default so an adversarial corpus
+    * cannot explode the candidate set ([[nearDupPairs]] additionally
+    * gates its broadcast on the measured candidate count). */
+  val DefaultMaxBucketSize: Int = 4096
+
+  /** Candidate pairs above this count skip the broadcast-hash verify join
+    * in favor of a shuffled join: ~3 longs/row, so 2M pairs ≈ 50 MB —
+    * comfortably under broadcast limits; beyond it the corpus-side
+    * shuffle is the safer plan. */
+  val MaxBroadcastCandidates: Long = 2000000L
+
   /** Full MinHash-LSH near-dup pipeline: candidates from LSH buckets,
     * verified with exact shingle-set Jaccard ≥ threshold. Returns
     * (id_a, id_b, jaccard).
     *
-    * Scale shape: each doc is shingle-hashed ONCE in the scan projection;
-    * the signature derives from that array and the verify stage joins
-    * candidates back to the same arrays and intersects longs
+    * Scale shape: each doc is shingle-hashed ONCE — the (id, hashes)
+    * frame is materialized via `localCheckpoint` (executor
+    * memory-and-disk blocks, reclaimed when the plan is GC'd), because
+    * three downstream consumers read it (signature pass, both verify
+    * sides); without materialization Spark re-executes the scan+hash
+    * per consumer, which measured 1.7× slower at sf0.1 and re-reads the
+    * corpus 3× at scale. Candidates are also materialized (they are
+    * small — bucket-capped pair ids) so their count can gate the verify
+    * join: candidate ids broadcast only when the measured count is under
+    * [[MaxBroadcastCandidates]], else the join falls back to a shuffle
+    * (the round-2 advice: never unconditionally broadcast a candidate
+    * set whose size an adversarial corpus controls). Verification then
+    * touches only candidate rows and intersects long arrays
     * ([[jaccardFromHashSets]]) — round 1 re-shingled text per candidate
-    * pair, which was 60% of the whole bench. */
+    * pair, which was 60% of the whole bench.
+    *
+    * `materialize = false` gives the fully-lazy plan (no checkpoint, no
+    * count job, broadcast decided by the bucket cap): use it when the
+    * corpus is too large to spill its shingle arrays to executor disk. */
   def nearDupPairs(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
-      shingleSize: Int = 5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      shingleSize: Int = 5, maxBucketSize: Int = DefaultMaxBucketSize,
+      materialize: Boolean = true): DataFrame = {
     val docs = df.select(col(idCol).as("id"), col(textCol).as("txt"))
-    // The whole pipeline is ONE linear DAG: Spark re-executes subplans
-    // referenced from several branches, so candidate generation runs one
-    // full-corpus signature pass, and verification joins the candidate
-    // ids (broadcast — tiny) back to the corpus, shingling only matched
-    // rows after the join, then groups each pair's two arrays together.
-    // Full-corpus shingle arrays are never materialized or shuffled; the
-    // only array shuffle is candidate docs, bounded by the bucket cap.
-    val withSh = docs.select(col("id"), shingleHashes(col("txt"), shingleSize).as("sh"))
-    val cands = lshCandidatePairsFromHashes(withSh, k, bands, maxBucketSize)
+    val withSh0 = docs.select(col("id"), shingleHashes(col("txt"), shingleSize).as("sh"))
+    val withSh = if (materialize) withSh0.localCheckpoint() else withSh0
+    val cands0 = lshCandidatePairsFromHashes(withSh, k, bands, maxBucketSize)
+    val (cands, broadcastOk) =
+      if (materialize) {
+        val c = cands0.localCheckpoint()
+        (c, c.count() <= MaxBroadcastCandidates)
+      } else (cands0, true) // lazy mode: the bucket cap is the only bound
     val sides = cands.select(
       col("id_a"), col("id_b"),
       explode(array(col("id_a"), col("id_b"))).as("id"))
-    docs.join(broadcast(sides), Seq("id"))
-      .select(col("id_a"), col("id_b"), shingleHashes(col("txt"), shingleSize).as("sh"))
+    withSh.join(if (broadcastOk) broadcast(sides) else sides, Seq("id"))
       .groupBy("id_a", "id_b")
       .agg(collect_list(col("sh")).as("shs"))
       // exactly two rows per pair (ids unique; pairs distinct); jaccard is
