@@ -136,6 +136,16 @@ final class SparkStreamStore(
       @volatile var maxCount: Option[Int])
 
   private val heads = mutable.LinkedHashMap.empty[String, Head]
+  /** Creation-order index (idInternal -> streamId) for keyset-paged
+    * listing: [[listStreams]] seeks the continuation token in O(log n)
+    * and scans forward one page, instead of materializing + sorting every
+    * head per call. Driver head state is O(streams) memory (~100 B each;
+    * 100M streams ≈ 10 GB — the single-writer driver is the streams-table
+    * owner, as the RDBMS was in the reference); beyond that, the heads
+    * journal already persists every row, so a spill-to-journal cache is
+    * the named extension point, and [[streamsDF]] is the unbounded-scale
+    * listing surface. */
+  private val headsIndex = mutable.TreeMap.empty[Long, String]
   private var nextPosition: Long = Position.Start
   private var nextIdInternal: Long = 0L
 
@@ -207,7 +217,12 @@ final class SparkStreamStore(
 
     expectedVersion match {
       case ExpectedVersion.Any | ExpectedVersion.NoStream =>
-        val head = heads.getOrElseUpdate(streamId, createHead(streamId))
+        val head = heads.getOrElse(streamId, {
+          val h = createHead(streamId)
+          heads.put(streamId, h)
+          headsIndex.put(h.idInternal, streamId)
+          h
+        })
         if (expectedVersion == ExpectedVersion.NoStream) appendNoStream(streamId, head, messages)
         else appendAny(streamId, head, messages)
       case _ => // EmptyStream (-1) or exact version >= 0: stream must exist
@@ -738,7 +753,8 @@ final class SparkStreamStore(
     if (hadMeta) streamTombs(metaId) = math.max(streamTombs.getOrElse(metaId, -1L), asOf)
     writeJournal(Nil, Seq(streamId) ++ (if (hadMeta) Seq(metaId) else Nil))
     Seq(streamId, metaId).foreach { id =>
-      heads.remove(id); cutoffs.remove(id); pendingCutoffs.remove(id)
+      heads.remove(id).foreach(h => headsIndex.remove(h.idInternal))
+      cutoffs.remove(id); pendingCutoffs.remove(id)
       idChains.remove(id); dirtyStreams -= id
     }
     if (trackDeletes) {
@@ -882,21 +898,49 @@ final class SparkStreamStore(
   // ListStreams (ref: ListStreams.sql, Pattern.cs:7-37)
   // ------------------------------------------------------------------
 
+  /** Keyset-paged listing: seek the continuation token in the
+    * creation-order index (O(log n)) and scan forward one page — never a
+    * full materialize+sort of all heads (the round-2 O(streams)-per-call
+    * debt). Pattern misses are skipped in-scan, the same cost shape as
+    * the reference's indexed `LIKE` scan (`ListStreams.sql:10-16`). */
   override def listStreams(pattern: Pattern, maxCount: Int, continuationToken: Option[String]): ListStreamsPage = synchronized {
     val afterId = continuationToken.map(_.toLong).getOrElse(-1L)
-    val matching = heads.iterator
-      .filter { case (id, h) =>
-        h.idInternal > afterId && (pattern match {
-          case Pattern.Anything => true
-          case Pattern.StartsWith(p) => id.startsWith(p)
-          case Pattern.EndsWith(p) => id.endsWith(p)
-        })
-      }
-      .toSeq.sortBy(_._2.idInternal)
+    val matches = pattern match {
+      case Pattern.Anything => (_: String) => true
+      case Pattern.StartsWith(p) => (id: String) => id.startsWith(p)
+      case Pattern.EndsWith(p) => (id: String) => id.endsWith(p)
+    }
+    val matching = headsIndex.iteratorFrom(afterId + 1)
+      .filter { case (_, id) => matches(id) }
       .take(maxCount)
-    val token = matching.lastOption.map(_._2.idInternal).getOrElse(afterId).toString
-    ListStreamsPage(matching.map(_._1), token,
+      .toSeq
+    val token = matching.lastOption.map(_._1).getOrElse(afterId).toString
+    ListStreamsPage(matching.map(_._2), token,
       () => listStreams(pattern, maxCount, Some(token)))
+  }
+
+  /** The stream dimension as a DataFrame — the distributed listing
+    * surface for stream cardinalities beyond what a paged driver API
+    * should walk (the reference's `streams` table as a relation). Built
+    * from the heads journal (brought current first — every live head is
+    * either journaled or dirty, and [[writeJournal]] clears the dirty
+    * set), last-writer-wins per stream, tombstoned rows dropped. Pattern
+    * filtering/aggregation compose as ordinary Catalyst ops and scale
+    * with the cluster, not the driver. */
+  def streamsDF: DataFrame = withReadLock {
+    synchronized(writeJournal(dirtyStreams.toSeq, Nil))
+    if (!fs.exists(new HPath(journalDir)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StreamsSchema)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("streamId").orderBy(col("seq").desc)
+      spark.read.schema(JournalSchema).json(journalDir)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1 && !col("deleted"))
+        .select(
+          col("streamId"), col("idInternal"), col("version"), col("position"),
+          col("maxAge"), col("maxCount"))
+    }
   }
 
   // ------------------------------------------------------------------
@@ -1114,6 +1158,7 @@ final class SparkStreamStore(
         def optInt(f: String) = Option(n.get(f)).filterNot(_.isNull).map(_.asInt)
         heads.put(id, new Head(n.get("idInternal").asLong, n.get("version").asInt,
           n.get("position").asLong, optInt("maxAge"), optInt("maxCount")))
+        headsIndex.put(n.get("idInternal").asLong, id)
       }
   }
 
@@ -1161,10 +1206,13 @@ final class SparkStreamStore(
           case Some(h) =>
             h.version = math.max(h.version, v)
             h.position = math.max(h.position, p)
+            dirtyStreams += id // journal is stale for this head until re-written
           case None =>
             heads.put(id, new Head(nextIdInternal, v, p, None, None))
+            headsIndex.put(nextIdInternal, id)
             nextIdInternal += 1
             created += id
+            dirtyStreams += id // never journaled; keep the journal-completeness invariant
         }
       }
     }
@@ -1221,6 +1269,28 @@ object SparkStreamStore {
     StructField("type", StringType, nullable = false),
     StructField("jsonData", StringType, nullable = true),
     StructField("jsonMetadata", StringType, nullable = true)))
+
+  /** Physical schema of heads-journal JSON lines (writeJournal). */
+  val JournalSchema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("streamId", StringType, nullable = false),
+    StructField("nextPosition", LongType, nullable = false),
+    StructField("idInternal", LongType, nullable = true),
+    StructField("version", IntegerType, nullable = true),
+    StructField("position", LongType, nullable = true),
+    StructField("maxAge", IntegerType, nullable = true),
+    StructField("maxCount", IntegerType, nullable = true),
+    StructField("deleted", BooleanType, nullable = false)))
+
+  /** Logical schema of [[SparkStreamStore.streamsDF]] — the reference's
+    * `streams` dimension (`Tables.sql:4-15`) as a relation. */
+  val StreamsSchema: StructType = StructType(Seq(
+    StructField("streamId", StringType, nullable = false),
+    StructField("idInternal", LongType, nullable = true),
+    StructField("version", IntegerType, nullable = true),
+    StructField("position", LongType, nullable = true),
+    StructField("maxAge", IntegerType, nullable = true),
+    StructField("maxCount", IntegerType, nullable = true)))
 
   private val Mapper = new ObjectMapper()
 
