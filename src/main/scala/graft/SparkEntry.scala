@@ -445,6 +445,21 @@ object SparkEntry {
     Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)
       .orderBy("id_a", "id_b")
 
+  /** IVF ANN assignment + probe (Similarity.ivfTopK) with the FIXED
+    * untrained quantizer (iterations = 0 ⇒ centroids are exactly the 8
+    * lowest-id embeddings — deterministic and SQL-replicable), so the
+    * whole inverted-file path — nearest-centroid assignment, nprobe
+    * probing, per-partition scoring, top-k — is oracle-checked. The
+    * TRAINED quantizer (Lloyd iterations) keeps its measured-recall spec
+    * in OperatorsSpec instead: an iterative learned model has no
+    * closed-form SQL twin. */
+  private def ivfTopKQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = Similarity.trainIvf(emb, k = 8, iterations = 0)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 50), model, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** Multimodal plumbing: synthetic binary payloads → batched feature
     * extraction via mapPartitions (decode step stubbed deterministically;
     * see Multimodal.FakeCodec). Rows-only check. */
@@ -491,6 +506,7 @@ object SparkEntry {
     "knn_dot_topk" -> knnDotTopK _,
     "embedding_norms" -> embeddingNorms _,
     "ann_lsh_topk" -> annLshTopK _,
+    "ivf_topk" -> ivfTopKQuery _,
     "cosine_near_dups" -> cosineNearDups _,
     "multimodal_features" -> multimodalFeatures _,
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -657,6 +673,39 @@ object SparkEntry {
                FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
                WHERE q.vec_id < 50)
          QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "ivf_topk" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+                       FROM embeddings ORDER BY vec_id LIMIT 8),
+          cs AS (SELECT e.vec_id, c.cid,
+                   list_sum(list_transform(range(1, len(e.embedding)+1),
+                     i -> CAST(c.cvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                        i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cscore
+                 FROM embeddings e CROSS JOIN cent c),
+          assigned AS (SELECT vec_id AS neighbor_id, cid AS cluster FROM
+                       (SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
+                        FROM cs) WHERE rn = 1),
+          probes AS (SELECT vec_id AS query_id, cid AS cluster FROM
+                     (SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
+                      FROM cs WHERE vec_id < 50) WHERE rn <= 2)
+          SELECT query_id, neighbor_id, score,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM (SELECT p.query_id, a.neighbor_id,
+                  list_sum(list_transform(range(1, len(q.embedding)+1),
+                    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
+                       i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(range(1, len(n.embedding)+1),
+                       i -> CAST(n.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))))) AS score
+                FROM probes p
+                JOIN assigned a ON a.cluster = p.cluster AND a.neighbor_id <> p.query_id
+                JOIN embeddings q ON q.vec_id = p.query_id
+                JOIN embeddings n ON n.vec_id = a.neighbor_id)
+          QUALIFY rank <= 5 ORDER BY query_id, rank""",
     "ngram_jaccard_pairs" ->
       s"""WITH docs AS (SELECT doc_id, trim(text) AS text
                         FROM $docsWithDupsSql dd WHERE doc_id % 10000 < 40),

@@ -84,6 +84,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall === 1.0, "identical texts must always collide at Hamming distance 0")
   }
 
+  test("simhash near-dup recall at dist 1-3 is >= 0.9 vs exact Hamming pairs") {
+    // Constructed near-dups: append one rare token to each source doc —
+    // the token-set simhash flips only the bits where the new token's
+    // hash outvotes the rest, landing most pairs at Hamming distance 1-3.
+    // Ground truth = ALL pairs with exact Hamming distance in [1, 3]
+    // (brute force over the collected codes). The 4×16-bit band blocking
+    // guarantees recall 1.0 at dist <= 3 by pigeonhole (a pair differing
+    // in <= 3 bits leaves at least one band untouched).
+    val d = docs.select("doc_id", "text").filter(col("doc_id") < 300)
+    val dd = d.unionAll(
+      d.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" zzqx")).as("text")))
+    val found = Dedup.simHashNearDups(dd, "text", "doc_id", maxDist = 3)
+      .filter(col("dist") >= 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val codes = dd.select(col("doc_id"), Dedup.simHash(col("text")).as("code"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val exact = (for {
+      (ia, ca) <- codes.iterator
+      (ib, cb) <- codes.iterator
+      if ia < ib
+      dist = java.lang.Long.bitCount(ca ^ cb)
+      if dist >= 1 && dist <= 3
+    } yield (ia, ib)).toSet
+    assert(exact.nonEmpty, "constructed corpus must contain dist 1-3 pairs")
+    val recall = (exact & found).size.toDouble / exact.size
+    info(f"simhash dist 1-3 recall = $recall%.3f (${(exact & found).size}/${exact.size})")
+    assert(recall === 1.0, f"recall $recall%.3f — band blocking guarantees 1.0 at dist <= 3")
+    // found dist>=1 pairs are Hamming-verified, so no false positives
+    assert((found -- exact).isEmpty)
+  }
+
   test("simhash: identical texts collide, near texts are close, distance works") {
     val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
                  (2L, "alpha beta gamma delta epsilon zeta"),
