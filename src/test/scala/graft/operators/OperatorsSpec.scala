@@ -184,6 +184,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: gate-query digests match the committed golden values") {
+    // The driver's correctness gate can't cross-check multimodal features
+    // (no second engine implements these codecs), so the value check lives
+    // here: the exact gate-query output — per-item md5 of the feature
+    // vector — is pinned against a committed golden file generated from
+    // the deterministic synthetic corpus. Any codec or feature-math drift
+    // fails this spec even though the gate column stays rows-only.
+    val golden = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/multimodal_golden.csv"))
+      .getLines().drop(1).map { line =>
+        val Array(id, kind, dim, ok, digest) = line.split(",")
+        id.toLong -> ((kind, dim.toInt, ok.toBoolean, digest))
+      }.toMap
+    val items = Multimodal.syntheticMedia(spark, 200)
+    val actual = Multimodal.extractFeatures(items, dim = 16).toDF()
+      .select(col("mediaId"), col("kind"), col("featureDim"), col("ok"),
+        md5(concat_ws(",", col("features"))).as("feature_digest"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getBoolean(3), r.getString(4))))
+      .toMap
+    assert(actual.size === golden.size)
+    val mismatches = golden.collect { case (id, g) if actual(id) != g => id -> (g, actual(id)) }
+    assert(mismatches.isEmpty, s"digest drift on mediaIds: ${mismatches.take(5)}")
+  }
+
   test("ppm codec round-trips and resize preserves format") {
     import Multimodal.Codecs
     val rgb = Array.tabulate(8 * 4 * 3)(i => (i * 7 % 256).toByte)
