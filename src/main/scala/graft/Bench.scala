@@ -143,6 +143,48 @@ object Bench {
       "store_subscription_catchup" -> catchupSec,
       "store_scavenge_200_appends" -> scavengeSec,
       "store_delete_20_msgs" -> deleteSec,
-      "store_reopen_recovery" -> reopenSec)
+      "store_reopen_recovery" -> reopenSec) ++ jdbcScenarios(spark)
+  }
+
+  /** The same append/scan shape against the JDBC backend (embedded
+    * Derby), so backend throughput is directly comparable in one run. */
+  private def jdbcScenarios(spark: SparkSession): Seq[(String, Double)] = {
+    import graft.core._
+    import graft.store.JdbcStreamStore
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-jdbc").toString
+    val store = new JdbcStreamStore(spark, s"jdbc:derby:$dir/db;create=true")
+    def mid(n: Int) = f"00000000-0000-0000-0000-$n%012d"
+    val payload = """{"data":"""" + "x" * 256 + """"}"""
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val nBatches = 20
+    val batch = 100
+    val appendSec = time {
+      (0 until nBatches).foreach { b =>
+        val msgs = (0 until batch).map(i => NewStreamMessage(mid(b * batch + i), "t", payload))
+        store.appendToStream(s"stream-${b % 8}", ExpectedVersion.Any, msgs)
+      }
+    }
+
+    val readAllSec = time {
+      var page = store.readAllForwards(Position.Start, maxCount = 1000)
+      var n = page.messages.size
+      while (!page.isEnd) { page = page.readNext(); n += page.messages.size }
+      require(n == nBatches * batch, s"jdbc scan saw $n messages")
+    }
+
+    val sparkReadSec = time {
+      require(store.allMessages().count() == nBatches * batch)
+    }
+
+    store.close()
+    Seq(
+      "jdbc_append_2k_msgs" -> appendSec,
+      "jdbc_read_all_scan" -> readAllSec,
+      "jdbc_spark_partitioned_read" -> sparkReadSec)
   }
 }

@@ -178,11 +178,16 @@ object Subscriptions {
         notifyDropped(SubscriptionDroppedReason.Disposed, None)
       } catch {
         case e: SubscriberException =>
-          notifyDropped(SubscriptionDroppedReason.SubscriberError, Option(e.getCause))
+          // a handler aborted by close()'s interrupt is co-operative
+          // cancellation, not a subscriber fault (ref: dispose during
+          // handling drops Disposed, AcceptanceTests.Subscriptions.cs:516-541)
+          if (!running) notifyDropped(SubscriptionDroppedReason.Disposed, None)
+          else notifyDropped(SubscriptionDroppedReason.SubscriberError, Option(e.getCause))
         case _: InterruptedException =>
           notifyDropped(SubscriptionDroppedReason.Disposed, None)
         case t: Throwable =>
-          notifyDropped(SubscriptionDroppedReason.StreamStoreError, Some(t))
+          if (!running) notifyDropped(SubscriptionDroppedReason.Disposed, None)
+          else notifyDropped(SubscriptionDroppedReason.StreamStoreError, Some(t))
       }
     }, "graft-subscription")
     thread.setDaemon(true)

@@ -87,6 +87,17 @@ object Demo {
     server.close()
 
     store.close()
+
+    println("== JDBC backend (embedded Derby, same StreamStore contract) ==")
+    val jdbcDir = java.nio.file.Files.createTempDirectory("graft-demo-jdbc").toString
+    val jdbc = new graft.store.JdbcStreamStore(spark, s"jdbc:derby:$jdbcDir/db;create=true")
+    val jr = jdbc.appendToStream("jdbc-stream", ExpectedVersion.NoStream,
+      Seq(NewStreamMessage(mid(20), "via-jdbc", """{"backend":"derby"}""")))
+    println(s"  appended via JDBC at position ${jr.currentPosition}; " +
+      s"partitioned Spark read sees ${jdbc.allMessages().count()} row(s)")
+    require(jdbc.readStreamForwards("jdbc-stream").messages.head.jsonData == """{"backend":"derby"}""")
+    jdbc.close()
+
     spark.stop()
     println("DEMO OK")
   }

@@ -94,6 +94,58 @@ class SubscriptionSpec extends AnyFunSuite with BeforeAndAfterEach with Eventual
     eventually { assert(drops.asScala.toSeq === Seq(SubscriptionDroppedReason.Disposed)) }
   }
 
+  test("stream subscriber exception drops that subscription with SubscriberError") {
+    // ref: Subscriptions.cs:453-476 (stream-scoped twin of the all-stream drop)
+    store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1))
+    val drops = new ConcurrentLinkedQueue[SubscriptionDroppedReason]()
+    val sub = Subscriptions.subscribeToStream(store, "s1", None,
+      _ => throw new RuntimeException("boom"),
+      onDropped = (r, _) => drops.add(r))
+    try {
+      eventually { assert(drops.asScala.toSeq === Seq(SubscriptionDroppedReason.SubscriberError)) }
+      eventually { assert(!sub.isRunning) }
+    } finally sub.close()
+    assert(drops.size === 1)
+  }
+
+  test("stream subscription close drops with Disposed") {
+    // ref: Subscriptions.cs:478-494
+    val drops = new ConcurrentLinkedQueue[SubscriptionDroppedReason]()
+    val sub = Subscriptions.subscribeToStream(store, "s1", None, _ => (),
+      onDropped = (r, _) => drops.add(r))
+    Thread.sleep(300)
+    sub.close()
+    eventually { assert(drops.asScala.toSeq === Seq(SubscriptionDroppedReason.Disposed)) }
+  }
+
+  test("close while the subscriber is handling a message drops with Disposed, not an error") {
+    // ref: Subscriptions.cs:516-541 (dispose during handling is a clean
+    // Disposed, never SubscriberError from the interrupted handler)
+    store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2))
+    val drops = new ConcurrentLinkedQueue[SubscriptionDroppedReason]()
+    val handling = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val sub = Subscriptions.subscribeToStream(store, "s1", None,
+      _ => { handling.countDown(); release.await(10, TimeUnit.SECONDS); () },
+      onDropped = (r, _) => drops.add(r))
+    assert(handling.await(30, TimeUnit.SECONDS))
+    sub.close() // close while the first message is still being handled
+    release.countDown()
+    eventually { assert(drops.asScala.toSeq === Seq(SubscriptionDroppedReason.Disposed)) }
+    assert(drops.size === 1)
+  }
+
+  test("subscriptions can be closed multiple times (idempotent dispose)") {
+    // ref: Subscriptions.cs:543-555 + the all-stream twin at :720-731
+    store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2))
+    val streamSub = Subscriptions.subscribeToStream(store, "s1", None, _ => ())
+    val allSub = Subscriptions.subscribeToAll(store, None, _ => ())
+    Thread.sleep(200)
+    streamSub.close(); streamSub.close()
+    allSub.close(); allSub.close()
+    assert(!streamSub.isRunning && !allSub.isRunning)
+  }
+
   test("structured streaming surface delivers appended messages as micro-batches") {
     store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2, 3))
     val q = store.allMessagesStream
