@@ -17,18 +17,21 @@ import java.util.concurrent.atomic.AtomicInteger
   * idempotency (`AcceptanceTests.StreamMetadata.cs`), and subscription
   * caught-up / continue-after edge cases
   * (`AcceptanceTests.Subscriptions.cs:241-359,652-781,856-886`).
-  * Each test is named after its reference twin. */
-class AcceptanceParitySpec extends AnyFunSuite {
-  private val spark = SparkTestSession.spark
+  * Each test is named after its reference twin.
+  *
+  * The suite is backend-agnostic (mirroring the reference, where one
+  * acceptance suite runs over every `IStreamStore` fixture): concrete
+  * classes at the bottom bind it to the parquet store and the JDBC
+  * store. */
+trait StoreAcceptanceBehaviors extends AnyFunSuite {
+
+  /** Construct a fresh store of the backend under test. */
+  protected def withStore[T](name: String, trackDeletes: Boolean = true,
+      clock: Clock = Clock.System)(f: StreamStore => T): T
 
   private def mid(n: Int): String = f"00000000-0000-0000-0000-$n%012d"
   private def msgs(ns: Int*): Seq[NewStreamMessage] =
     ns.map(n => NewStreamMessage(mid(n), "type", s"""{"data":$n}"""))
-
-  private def withStore[T](name: String, trackDeletes: Boolean = true)(f: SparkStreamStore => T): T = {
-    val store = new SparkStreamStore(spark, SparkTestSession.tempDir(name), trackDeletes = trackDeletes)
-    try f(store) finally store.close()
-  }
 
   // --- DeletionTracking.cs ---
 
@@ -55,7 +58,7 @@ class AcceptanceParitySpec extends AnyFunSuite {
   test("When_read_without_prefetch_and_stream_is_deleted_then_GetJsonData_should_return_null") {
     withStore("graft-ap") { store =>
       store.appendToStream("stream-1", ExpectedVersion.NoStream, msgs(1, 2, 3))
-      val page = store.readAllForwards(Position.Start, 4, prefetch = false)
+      val page = store.readAllForwards(Position.Start, 4, prefetchJsonData = false)
       assert(page.messages.forall(_.jsonData == null))
       store.deleteStream("stream-1")
       // the lazy payload lookup of an already-read page now yields nothing
@@ -68,7 +71,7 @@ class AcceptanceParitySpec extends AnyFunSuite {
   test("Can_read_all_forwards_without_prefetch_then_fetch_payload_lazily") {
     withStore("graft-ap") { store =>
       store.appendToStream("stream-1", ExpectedVersion.NoStream, msgs(1, 2, 3))
-      val page = store.readAllForwards(Position.Start, 4, prefetch = false)
+      val page = store.readAllForwards(Position.Start, 4, prefetchJsonData = false)
       page.messages.foreach { m =>
         val data = store.readMessageData(m.streamId, m.streamVersion)
         assert(data.exists(_.nonEmpty))
@@ -261,8 +264,7 @@ class AcceptanceParitySpec extends AnyFunSuite {
 
   test("When_stream_has_expired_messages_and_read_backward_then_should_not_get_expired_messages") {
     val clock = new Clock.Manual(java.time.Instant.parse("2026-01-01T00:00:00Z"))
-    val store = new SparkStreamStore(spark, SparkTestSession.tempDir("graft-ap-ttl"), clock)
-    try {
+    withStore("graft-ap-ttl", clock = clock) { store =>
       store.setStreamMetadata("a", maxAge = Some(60))
       store.appendToStream("a", ExpectedVersion.NoStream, msgs(1))
       clock.advanceSeconds(30)
@@ -271,7 +273,7 @@ class AcceptanceParitySpec extends AnyFunSuite {
       assert(store.readStreamBackwards("a").messages.map(_.messageId) === Seq(mid(2)))
       assert(store.readAllBackwards().messages
         .filter(_.streamId == "a").map(_.messageId) === Seq(mid(2)))
-    } finally store.close()
+    }
   }
 
   test("When_list_streams_after_deletion_empty_results_should_not_be_returned") {
@@ -433,5 +435,27 @@ class AcceptanceParitySpec extends AnyFunSuite {
         assert(latch.await(30, TimeUnit.SECONDS))
       } finally sub.close()
     }
+  }
+}
+
+/** The acceptance behaviors over the parquet-native store. */
+class AcceptanceParitySpec extends StoreAcceptanceBehaviors {
+  protected def withStore[T](name: String, trackDeletes: Boolean = true,
+      clock: Clock = Clock.System)(f: StreamStore => T): T = {
+    val store = new SparkStreamStore(SparkTestSession.spark,
+      SparkTestSession.tempDir(name), clock, trackDeletes = trackDeletes)
+    try f(store) finally store.close()
+  }
+}
+
+/** The same acceptance behaviors over the JDBC store (embedded Derby) —
+  * the reference runs one suite per SQL backend the same way. */
+class JdbcAcceptanceParitySpec extends StoreAcceptanceBehaviors {
+  protected def withStore[T](name: String, trackDeletes: Boolean = true,
+      clock: Clock = Clock.System)(f: StreamStore => T): T = {
+    val dir = SparkTestSession.tempDir(name)
+    val store = new JdbcStreamStore(SparkTestSession.spark,
+      s"jdbc:derby:$dir/db;create=true", clock, trackDeletes)
+    try f(store) finally store.close()
   }
 }
