@@ -9,12 +9,12 @@ import org.scalatest.BeforeAndAfterEach
   * `tests/SqlStreamStore.AcceptanceTests/AcceptanceTests.AppendStream.cs`.
   * Deterministic message ids follow the reference fixture convention
   * (`AcceptanceTests.cs:73-95`). */
-class AppendSpec extends AnyFunSuite with BeforeAndAfterEach {
-  private val spark = SparkTestSession.spark
-  private var store: SparkStreamStore = _
+trait AppendBehaviors extends AnyFunSuite with BeforeAndAfterEach {
+  protected def makeStore(name: String, trackDeletes: Boolean = true,
+      clock: graft.core.Clock = graft.core.Clock.System): StreamStore
+  protected var store: StreamStore = _
 
-  override def beforeEach(): Unit =
-    store = new SparkStreamStore(spark, SparkTestSession.tempDir("graft-append"))
+  override def beforeEach(): Unit = store = makeStore("graft-append")
   override def afterEach(): Unit = store.close()
 
   private def mid(n: Int): String = f"00000000-0000-0000-0000-$n%012d"
@@ -213,3 +213,6 @@ class AppendSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 }
+
+class AppendSpec extends AppendBehaviors with ParquetBackend
+class JdbcAppendSpec extends AppendBehaviors with DerbyBackend

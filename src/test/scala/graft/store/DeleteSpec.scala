@@ -7,12 +7,12 @@ import org.scalatest.BeforeAndAfterEach
 
 /** Deletes + tombstones, ported from `AcceptanceTests.DeleteStream.cs`,
   * `DeleteEvent.cs`, `DeletionTracking.cs`. */
-class DeleteSpec extends AnyFunSuite with BeforeAndAfterEach {
-  private val spark = SparkTestSession.spark
-  private var store: SparkStreamStore = _
+trait DeleteBehaviors extends AnyFunSuite with BeforeAndAfterEach {
+  protected def makeStore(name: String, trackDeletes: Boolean = true,
+      clock: graft.core.Clock = graft.core.Clock.System): StreamStore
+  protected var store: StreamStore = _
 
-  override def beforeEach(): Unit =
-    store = new SparkStreamStore(spark, SparkTestSession.tempDir("graft-del"))
+  override def beforeEach(): Unit = store = makeStore("graft-del")
   override def afterEach(): Unit = store.close()
 
   private def mid(n: Int): String = f"00000000-0000-0000-0000-$n%012d"
@@ -76,7 +76,7 @@ class DeleteSpec extends AnyFunSuite with BeforeAndAfterEach {
   }
 
   test("deletion tracking can be disabled") {
-    val s2 = new SparkStreamStore(spark, SparkTestSession.tempDir("graft-del2"), trackDeletes = false)
+    val s2 = makeStore("graft-del2", trackDeletes = false)
     try {
       s2.appendToStream("a", ExpectedVersion.NoStream, msgs(1))
       s2.deleteStream("a")
@@ -93,3 +93,6 @@ class DeleteSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(all.messages.map(m => (m.streamId, m.position)).contains(("b", 2L)))
   }
 }
+
+class DeleteSpec extends DeleteBehaviors with ParquetBackend
+class JdbcDeleteSpec extends DeleteBehaviors with DerbyBackend

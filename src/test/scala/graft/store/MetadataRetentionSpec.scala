@@ -8,14 +8,15 @@ import java.time.Instant
 
 /** Metadata + retention, ported from `AcceptanceTests.StreamMetadata.cs`
   * and `StreamLimits.cs` (MaxCount scavenge, MaxAge TTL with manual clock). */
-class MetadataRetentionSpec extends AnyFunSuite with BeforeAndAfterEach {
-  private val spark = SparkTestSession.spark
-  private var clock: Clock.Manual = _
-  private var store: SparkStreamStore = _
+trait MetadataRetentionBehaviors extends AnyFunSuite with BeforeAndAfterEach {
+  protected def makeStore(name: String, trackDeletes: Boolean = true,
+      clock: Clock = Clock.System): StreamStore
+  protected var clock: Clock.Manual = _
+  protected var store: StreamStore = _
 
   override def beforeEach(): Unit = {
     clock = new Clock.Manual(Instant.parse("2026-01-01T00:00:00Z"))
-    store = new SparkStreamStore(spark, SparkTestSession.tempDir("graft-meta"), clock)
+    store = makeStore("graft-meta", clock = clock)
   }
   override def afterEach(): Unit = store.close()
 
@@ -97,3 +98,6 @@ class MetadataRetentionSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(store.readStreamForwards(Deleted.DeletedStreamId).messages.size === 1)
   }
 }
+
+class MetadataRetentionSpec extends MetadataRetentionBehaviors with ParquetBackend
+class JdbcMetadataRetentionSpec extends MetadataRetentionBehaviors with DerbyBackend

@@ -7,12 +7,12 @@ import org.scalatest.BeforeAndAfterEach
 
 /** Paged reads, ported from `AcceptanceTests.ReadStream.cs`, `ReadAll.cs`,
   * `ReadHeadCheckpoint.cs`. */
-class ReadSpec extends AnyFunSuite with BeforeAndAfterEach {
-  private val spark = SparkTestSession.spark
-  private var store: SparkStreamStore = _
+trait ReadBehaviors extends AnyFunSuite with BeforeAndAfterEach {
+  protected def makeStore(name: String, trackDeletes: Boolean = true,
+      clock: graft.core.Clock = graft.core.Clock.System): StreamStore
+  protected var store: StreamStore = _
 
-  override def beforeEach(): Unit =
-    store = new SparkStreamStore(spark, SparkTestSession.tempDir("graft-read"))
+  override def beforeEach(): Unit = store = makeStore("graft-read")
   override def afterEach(): Unit = store.close()
 
   private def mid(n: Int): String = f"00000000-0000-0000-0000-$n%012d"
@@ -98,7 +98,7 @@ class ReadSpec extends AnyFunSuite with BeforeAndAfterEach {
 
   test("prefetch=false omits payload; readMessageData fetches it lazily") {
     store.appendToStream("a", ExpectedVersion.NoStream, msgs(1))
-    val p = store.readStreamForwards("a", 0, 1000, prefetch = false)
+    val p = store.readStreamForwards("a", 0, 1000, prefetchJsonData = false)
     assert(p.messages.head.jsonData === null)
     assert(store.readMessageData("a", 0) === Some("""{"data":1}"""))
     assert(store.readMessageData("a", 99) === None)
@@ -114,3 +114,6 @@ class ReadSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(store.readStreamHeadVersion("b") === 0)
   }
 }
+
+class ReadSpec extends ReadBehaviors with ParquetBackend
+class JdbcReadSpec extends ReadBehaviors with DerbyBackend
