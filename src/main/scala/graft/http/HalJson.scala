@@ -12,9 +12,11 @@ import scala.jdk.CollectionConverters._
   * (`src/SqlStreamStore.HAL/`, `src/SqlStreamStore.Http/`): messages
   * serialize with the `StreamMessage` field names, append bodies are
   * arrays of `NewStreamMessage`, pages carry HAL-style `_links`
-  * (self/next) plus the page fields the client needs. Divergence from the
-  * reference is documented in README §HTTP: this is pragmatic HAL (the
-  * link relations exist; curies/docs/browser resources are out of scope).
+  * (self/next) plus the page fields the client needs, every `_links`
+  * block carries the `streamStore` curies template resolving to the
+  * server's `/docs/streamStore:{rel}` markdown resources (ref:
+  * `Links.cs:77-85`, `Docs/DocsResource.cs`); only the interactive HAL
+  * browser UI is out of scope, documented in README §HTTP.
   */
 object HalJson {
   val Mapper = new ObjectMapper()
@@ -142,5 +144,13 @@ object HalJson {
   private def links(n: ObjectNode, rels: (String, String)*): Unit = {
     val l = n.putObject("_links")
     rels.foreach { case (rel, href) => l.putObject(rel).put("href", href) }
+    // HAL curie: `streamStore:` link relations resolve to /docs/{rel}
+    // (ref: Links.cs:77-85 appends the curies link to every response)
+    val curie = l.putArray("curies").addObject()
+    curie.put("name", "streamStore")
+    curie.put("href", "/docs/streamStore:{rel}")
+    curie.put("templated", true)
+    curie.put("type", "text/markdown")
+    curie.put("title", "Documentation")
   }
 }

@@ -54,6 +54,7 @@ final class StreamStoreHttpServer(store: StreamStore, port: Int = 0) extends Aut
       val q = query(ex)
       (ex.getRequestMethod, segments) match {
         case ("GET", Nil) => index(ex)
+        case ("GET", "docs" :: rel :: Nil) => docs(ex, rel)
         case ("GET", "stream" :: Nil) => readAll(ex, q)
         case ("GET", "stream" :: Num(pos) :: Nil) => allMessage(ex, pos)
         case ("GET", "streams" :: Nil) => listStreams(ex, q)
@@ -79,7 +80,62 @@ final class StreamStoreHttpServer(store: StreamStore, port: Int = 0) extends Aut
 
   private def index(ex: HttpExchange): Unit =
     respond(ex, 200,
-      """{"_links":{"self":{"href":"/"},"streamStore:feed":{"href":"/stream"},"streamStore:feed-browser":{"href":"/streams"}}}""")
+      """{"_links":{"self":{"href":"/"},"streamStore:feed":{"href":"/stream"},"streamStore:feed-browser":{"href":"/streams"},""" +
+        """"curies":[{"name":"streamStore","href":"/docs/streamStore:{rel}","templated":true,"type":"text/markdown","title":"Documentation"}]}}""")
+
+  /** Markdown documentation per link relation, resolved by the `curies`
+    * template (ref: `SqlStreamStore.HAL/Docs/DocsResource.cs` serves
+    * embedded markdown per rel; this is the same surface with the docs
+    * inline). Unknown rels 404. */
+  private def docs(ex: HttpExchange, rel: String): Unit =
+    DocsByRel.get(rel.stripPrefix("streamStore:")) match {
+      case Some(md) =>
+        val bytes = md.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/markdown; charset=utf-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+      case None => respond(ex, 404, """{"error":"no documentation for that rel"}""")
+    }
+
+  private val DocsByRel: Map[String, String] = Map(
+    "feed" ->
+      """# All-stream feed
+        |`GET /stream?d={f|b}&p={position}&m={maxCount}&e={0|1}` — page of the
+        |global all-stream. `d` direction, `p` from-position (`-1` = End),
+        |`m` page size, `e` embed payloads. Response carries `_links`
+        |(self/first/next/last) and `_embedded.streamStore:message`.
+        |""".stripMargin,
+    "feed-browser" ->
+      """# Stream browser
+        |`GET /streams?t={s|e}&p={pattern}&m={maxCount}&c={token}` — page of
+        |stream ids. `t`+`p` filter by prefix (`s`) or suffix (`e`);
+        |`c` is the keyset continuation token from the previous page.
+        |""".stripMargin,
+    "message" ->
+      """# Message
+        |`GET /stream/{position}` — one all-stream message by position.
+        |`GET /streams/{streamId}/{version}` — one message by stream version.
+        |`DELETE /streams/{streamId}/{version}` — delete that message.
+        |""".stripMargin,
+    "appendToStream" ->
+      """# Append
+        |`POST /streams/{streamId}` with header `SSS-ExpectedVersion`
+        |(`-1` empty, `-2` any, `-3` no-stream, or an exact version) and a
+        |JSON array of `{messageId, type, jsonData, jsonMetadata}`.
+        |Returns `{currentVersion, currentPosition}`; conflicts are 409.
+        |""".stripMargin,
+    "deleteStream" ->
+      """# Delete stream
+        |`DELETE /streams/{streamId}` with optional `SSS-ExpectedVersion`
+        |header; a mismatch is 409.
+        |""".stripMargin,
+    "metadata" ->
+      """# Stream metadata
+        |`GET /streams/{streamId}/metadata` — `{metadataStreamVersion,
+        |maxAge, maxCount, metadataJson}`.
+        |`POST /streams/{streamId}/metadata` — set the same fields; drives
+        |MaxAge TTL and MaxCount retention.
+        |""".stripMargin)
 
   private def readAll(ex: HttpExchange, q: Map[String, String]): Unit = {
     val forwards = q.get("d").exists(d => d == "f" || d == "F")

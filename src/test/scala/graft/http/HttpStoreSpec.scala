@@ -151,6 +151,35 @@ class HttpStoreSpec extends AnyFunSuite with BeforeAndAfterEach {
     } finally sub.close()
   }
 
+  test("curies template resolves to markdown docs per link relation") {
+    // ref: Links.cs:77-85 (curies on every response), Docs/DocsResource.cs
+    val http = java.net.http.HttpClient.newHttpClient()
+    def get(path: String): java.net.http.HttpResponse[String] =
+      http.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(server.baseUrl + path)).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+
+    val idx = get("/")
+    assert(idx.statusCode() === 200)
+    val curies = HalJson.Mapper.readTree(idx.body()).get("_links").get("curies")
+    assert(curies.get(0).get("name").asText() === "streamStore")
+    assert(curies.get(0).get("templated").asBoolean())
+    val tmpl = curies.get(0).get("href").asText()
+    assert(tmpl === "/docs/streamStore:{rel}")
+
+    Seq("feed", "feed-browser", "message", "appendToStream", "deleteStream", "metadata").foreach { rel =>
+      val doc = get(s"/docs/streamStore:$rel")
+      assert(doc.statusCode() === 200, s"docs for $rel")
+      assert(doc.headers().firstValue("Content-Type").orElse("").startsWith("text/markdown"))
+      assert(doc.body().startsWith("#"))
+    }
+    assert(get("/docs/streamStore:nope").statusCode() === 404)
+    // paged responses carry the curie too
+    store.appendToStream("a", ExpectedVersion.Any, msgs(1))
+    val feed = get("/stream?d=f&p=0&m=10")
+    assert(HalJson.Mapper.readTree(feed.body()).get("_links").has("curies"))
+  }
+
   test("single message and head-position header endpoints") {
     store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2))
     assert(store.readMessageData("a", 1) === Some("""{"data":2}"""))
