@@ -15,8 +15,9 @@ import scala.collection.mutable
   * empty-batch fast path `StreamStoreBase.cs:59-66`); success/conflict
   * must agree op-for-op and the final log must equal the model's.
   */
-class AppendStateMachineSpec extends AnyFunSuite {
-  private val spark = SparkTestSession.spark
+trait AppendStateMachineBehaviors extends AnyFunSuite {
+  protected def makeStore(name: String, trackDeletes: Boolean = true,
+      clock: Clock = Clock.System): StreamStore
 
   /** The executable contract: a minimal single-stream model. */
   private final class ModelStream {
@@ -85,7 +86,7 @@ class AppendStateMachineSpec extends AnyFunSuite {
   test("random append sequences agree with the reference model, op for op") {
     (0 until 10).foreach { seed =>
       val ops = genOps.pureApply(Gen.Parameters.default, Seed(seed.toLong))
-      val store = new SparkStreamStore(spark, SparkTestSession.tempDir("graft-prop"))
+      val store = makeStore("graft-prop")
       try {
         val model = new ModelStream
         ops.foreach { case (sel, nums) =>
@@ -119,3 +120,6 @@ class AppendStateMachineSpec extends AnyFunSuite {
     }
   }
 }
+
+class AppendStateMachineSpec extends AppendStateMachineBehaviors with ParquetBackend
+class JdbcAppendStateMachineSpec extends AppendStateMachineBehaviors with DerbyBackend
