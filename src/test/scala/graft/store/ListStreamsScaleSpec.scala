@@ -30,7 +30,10 @@ class ListStreamsScaleSpec extends AnyFunSuite {
         assert(store.listStreams(Pattern.Anything, 10, tok).streamIds.size === 10)
       }
       val deepPagesSec = (System.nanoTime() - t0) / 1e9
-      assert(deepPagesSec < 2.0, s"1000 deep pages took ${deepPagesSec}s — listing is not seek-shaped")
+      // generous bound for loaded CI: the seek path does ~10k index
+      // visits total (measured ~0.1s); the old full-iteration path did
+      // ~100M (tens of seconds)
+      assert(deepPagesSec < 10.0, s"1000 deep pages took ${deepPagesSec}s — listing is not seek-shaped")
       // pattern listing pages correctly mid-keyspace
       val pat = store.listStreams(Pattern.StartsWith("s-0999"), 100)
       assert(pat.streamIds.size === 100)
