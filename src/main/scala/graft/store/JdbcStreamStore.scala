@@ -552,6 +552,20 @@ final class JdbcStreamStore(
     }
   }
 
+  /** The all-stream as a Structured Streaming source (the DSv2
+    * micro-batch source over this database: offsets = log positions,
+    * batches read as parallel position ranges) — the streaming twin of
+    * [[SparkStreamStore.allMessagesStream]], so both backends expose the
+    * same batch + streaming surfaces. */
+  def allMessagesStream(numPartitions: Int = spark.sparkContext.defaultParallelism,
+      fromPositionExclusive: Long = -1L): DataFrame =
+    spark.readStream
+      .format("graft.sources.JdbcLogSource")
+      .option("url", jdbcUrl)
+      .option("numPartitions", numPartitions.toString)
+      .option("fromPosition", fromPositionExclusive.toString)
+      .load()
+
   // ------------------------------------------------------------------
   // Plumbing
   // ------------------------------------------------------------------

@@ -47,6 +47,20 @@ class JdbcLogSourceSpec extends AnyFunSuite {
     } finally store.close()
   }
 
+  test("store.allMessagesStream exposes the same source from the store handle") {
+    val dir = SparkTestSession.tempDir("graft-jdbc-src-store")
+    val store = new JdbcStreamStore(spark, url(dir))
+    try {
+      store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2))
+      val q = store.allMessagesStream(numPartitions = 2)
+        .writeStream.format("memory").queryName("jdbc_log_store").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.sql("SELECT count(*) FROM jdbc_log_store").head().getLong(0) === 2L)
+      } finally q.stop()
+    } finally store.close()
+  }
+
   test("fromPosition starts the stream after the given position") {
     val dir = SparkTestSession.tempDir("graft-jdbc-src-from")
     val store = new JdbcStreamStore(spark, url(dir))
