@@ -65,7 +65,7 @@ object JdbcLogSource {
     StructField("jsonMetadata", StringType)))
 
   private[sources] val RowsSql =
-    """SELECT s.id, m.message_id, m.stream_version, m.position, m.created_micros,
+    """SELECT s.id_original, m.message_id, m.stream_version, m.position, m.created_micros,
       |  m.msg_type, m.json_data, m.json_metadata
       |FROM graft_messages m JOIN graft_streams s ON s.id_internal = m.stream_id_internal
       |WHERE m.position > ? AND m.position <= ? ORDER BY m.position""".stripMargin

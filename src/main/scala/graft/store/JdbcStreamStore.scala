@@ -212,13 +212,14 @@ final class JdbcStreamStore(
     val idInternal = nextIdInternal
     nextIdInternal += 1
     writeCounter("next_id_internal", nextIdInternal)
-    update(s"INSERT INTO $StreamsTable (id, id_internal, version, position, max_age, max_count) VALUES (?,?,?,?,?,?)") { ps =>
-      ps.setString(1, streamId)
-      ps.setLong(2, idInternal)
-      ps.setInt(3, StreamVersion.End)
-      ps.setLong(4, Position.End)
-      setOptInt(ps, 5, maxAge)
-      setOptInt(ps, 6, maxCount)
+    update(s"INSERT INTO $StreamsTable (id, id_original, id_internal, version, position, max_age, max_count) VALUES (?,?,?,?,?,?,?)") { ps =>
+      ps.setString(1, dbId(streamId))
+      ps.setString(2, streamId)
+      ps.setLong(3, idInternal)
+      ps.setInt(4, StreamVersion.End)
+      ps.setLong(5, Position.End)
+      setOptInt(ps, 6, maxAge)
+      setOptInt(ps, 7, maxCount)
     }
     HeadRow(streamId, idInternal, StreamVersion.End, Position.End, maxAge, maxCount)
   }
@@ -247,7 +248,7 @@ final class JdbcStreamStore(
 
   private def selectSql(prefetch: Boolean): String = {
     val dataCol = if (prefetch) "m.json_data" else "CAST(NULL AS CLOB)"
-    s"SELECT s.id, m.message_id, m.stream_version, m.position, m.created_micros, m.msg_type, $dataCol, m.json_metadata, s.max_age " +
+    s"SELECT s.id_original, m.message_id, m.stream_version, m.position, m.created_micros, m.msg_type, $dataCol, m.json_metadata, s.max_age " +
       s"FROM $MessagesTable m JOIN $StreamsTable s ON s.id_internal = m.stream_id_internal"
   }
 
@@ -375,7 +376,7 @@ final class JdbcStreamStore(
   override def readMessageData(streamId: String, streamVersion: Int): Option[String] = synchronized {
     inTx(query(
       s"SELECT m.json_data FROM $MessagesTable m JOIN $StreamsTable s ON s.id_internal = m.stream_id_internal WHERE s.id=? AND m.stream_version=?") {
-      ps => ps.setString(1, streamId); ps.setInt(2, streamVersion)
+      ps => ps.setString(1, dbId(streamId)); ps.setInt(2, streamVersion)
     }(_.getString(1)).headOption)
   }
 
@@ -495,11 +496,11 @@ final class JdbcStreamStore(
     val afterId = continuationToken.map(_.toLong).getOrElse(-1L)
     val (patternSql, patternArg) = pattern match {
       case Pattern.Anything => ("", None)
-      case Pattern.StartsWith(p) => (" AND id LIKE ? ESCAPE '!'", Some(escapeLike(p) + "%"))
-      case Pattern.EndsWith(p) => (" AND id LIKE ? ESCAPE '!'", Some("%" + escapeLike(p)))
+      case Pattern.StartsWith(p) => (" AND id_original LIKE ? ESCAPE '!'", Some(escapeLike(p) + "%"))
+      case Pattern.EndsWith(p) => (" AND id_original LIKE ? ESCAPE '!'", Some("%" + escapeLike(p)))
     }
     val rows = inTx(query(
-      s"SELECT id, id_internal FROM $StreamsTable WHERE id_internal > ?$patternSql ORDER BY id_internal FETCH FIRST $maxCount ROWS ONLY") { ps =>
+      s"SELECT id_original, id_internal FROM $StreamsTable WHERE id_internal > ?$patternSql ORDER BY id_internal FETCH FIRST $maxCount ROWS ONLY") { ps =>
       ps.setLong(1, afterId)
       patternArg.foreach(ps.setString(2, _))
     } { rs => (rs.getString(1), rs.getLong(2)) })
@@ -530,7 +531,7 @@ final class JdbcStreamStore(
       (rs.getLong(1), rs.wasNull(), rs.getLong(2))
     }.headOption))
     val view =
-      s"""(SELECT s.id AS stream_id, m.message_id, m.stream_version, m.position,
+      s"""(SELECT s.id_original AS stream_id, m.message_id, m.stream_version, m.position,
          |  m.created_micros, m.msg_type, m.json_data, m.json_metadata
          |  FROM $MessagesTable m JOIN $StreamsTable s ON s.id_internal = m.stream_id_internal) v""".stripMargin
     bounds match {
@@ -570,9 +571,17 @@ final class JdbcStreamStore(
   // Plumbing
   // ------------------------------------------------------------------
 
+  /** Fixed-width database key for a stream id (ref:
+    * `PostgresqlStreamId.cs:14-27` — sha over the original). */
+  private def dbId(streamId: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.digest(streamId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+  }
+
   private def selectHead(streamId: String): Option[HeadRow] =
     query(s"SELECT id_internal, version, position, max_age, max_count FROM $StreamsTable WHERE id=?") {
-      ps => ps.setString(1, streamId)
+      ps => ps.setString(1, dbId(streamId))
     } { rs =>
       val maxAge = { val v = rs.getInt(4); if (rs.wasNull()) None else Some(v) }
       val maxCount = { val v = rs.getInt(5); if (rs.wasNull()) None else Some(v) }
@@ -640,9 +649,14 @@ final class JdbcStreamStore(
       finally st.close()
     }
     // Two-table star + counters (ref: Tables.sql:4-47); id_internal is the
-    // surrogate FK keeping message-index keys fixed-width.
+    // surrogate FK keeping message-index keys fixed-width, and `id` is the
+    // fixed-width hash of `id_original` (ref: CHAR(42) sha1 id +
+    // VARCHAR(1000) original, PostgresqlStreamId.cs:14-27 — here sha-256,
+    // the divergence SURVEY §2 row 32 documents), so arbitrarily-shaped
+    // stream ids never overflow the primary-key index.
     ddl(s"""CREATE TABLE $StreamsTable (
-           |  id VARCHAR(512) NOT NULL PRIMARY KEY,
+           |  id VARCHAR(64) NOT NULL PRIMARY KEY,
+           |  id_original VARCHAR(1000) NOT NULL,
            |  id_internal BIGINT NOT NULL,
            |  version INT NOT NULL,
            |  position BIGINT NOT NULL,

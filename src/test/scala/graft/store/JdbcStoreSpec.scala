@@ -249,6 +249,18 @@ class JdbcStoreSpec extends AnyFunSuite with BeforeAndAfterEach {
     } finally sub.close()
   }
 
+  test("long stream ids work via the fixed-width hashed primary key") {
+    // ref shape: id = hash of id_original, so id length never overflows
+    // the PK index (PostgresqlStreamId.cs:14-27)
+    val longId = "long-" + ("x" * 600)
+    store.appendToStream(longId, ExpectedVersion.NoStream, msgs(1, 2))
+    assert(store.readStreamForwards(longId).messages.size === 2)
+    assert(store.listStreams(Pattern.StartsWith("long-")).streamIds === Seq(longId))
+    assert(store.readMessageData(longId, 0) === Some("""{"data":1}"""))
+    store.deleteStream(longId)
+    assert(store.readStreamForwards(longId).status === PageReadStatus.StreamNotFound)
+  }
+
   test("system stream ids are rejected at the write surface") {
     intercept[IllegalArgumentException] {
       store.appendToStream("$sys", ExpectedVersion.Any, msgs(1))
