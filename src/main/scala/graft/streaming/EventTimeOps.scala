@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over the events/message-log shape, batch AND
+  * streaming from the same plan: the reference's only streaming operators
+  * are catch-up subscriptions (SURVEY §2.8), so everything beyond replay —
+  * rates, sessions, late-data policy — is left to the consumer. On Spark
+  * these are first-class: `window()` / `session_window()` aggregations that
+  * run identically over a static DataFrame and a Structured Streaming
+  * source, with `withWatermark` bounding state when the input is a stream.
+  *
+  * Timestamp discipline: the test tables carry parquet TIMESTAMP(NANOS),
+  * which the session reads as nanos-since-epoch longs
+  * (`spark.sql.legacy.parquet.nanosAsLong`). Conversions here use integer
+  * `div` arithmetic (never doubles — 2^53 ulp loss at 2024-era nanos), so
+  * every boundary is bit-exact and DuckDB-reproducible via `epoch_ns`.
+  *
+  * All aggregates are exact: counts, and value sums carried as
+  * decimal-cast sums (`dsum`) or integer micros — deterministic under any
+  * partial-aggregation order.
+  */
+object EventTimeOps {
+
+  /** nanos-since-epoch long → TimestampType (micros), exact integer floor
+    * division; matches DuckDB `epoch_ns(ts) // 1000`. */
+  def eventTimeFromNanos(tsCol: String): Column =
+    timestamp_micros(expr(s"$tsCol div 1000"))
+
+  /** Exact double-deterministic sum (same rule as SparkEntry). */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(30,6)")).cast("double")
+
+  /** Apply a watermark only when the frame is streaming: the same plan
+    * serves the batch twin (where a watermark is meaningless) and the
+    * streaming deployment (where it bounds window state). */
+  private def watermarked(df: DataFrame, eventTimeCol: String, delay: String): DataFrame =
+    if (df.isStreaming) df.withWatermark(eventTimeCol, delay) else df
+
+  /** Tumbling (or, with `slide`, sliding) event-time window aggregation:
+    * (window_start_s, key, n_events, sum_value). Streaming: watermarked,
+    * so state for a window is dropped `watermarkDelay` past its end.
+    * Output window start as epoch seconds — window() aligns to the epoch,
+    * so this is exact for whole-second window durations. */
+  def windowedStats(
+      events: DataFrame, tsNanosCol: String, keyCol: String, valueCol: String,
+      windowDuration: String, slide: Option[String] = None,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val withTime = events.withColumn("event_time", eventTimeFromNanos(tsNanosCol))
+    val win = slide match {
+      case Some(s) => window(col("event_time"), windowDuration, s)
+      case None    => window(col("event_time"), windowDuration)
+    }
+    watermarked(withTime, "event_time", watermarkDelay)
+      .groupBy(win.as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), dsum(col(valueCol)).as("sum_value"))
+      .select(
+        (unix_micros(col("w.start")) / 1000000L).cast("long").as("window_start_s"),
+        col(keyCol), col("n_events"), col("sum_value"))
+  }
+
+  /** Session-window aggregation via Spark's built-in `session_window`
+    * (gap-based dynamic windows): (key, session_start_us, session_end_us,
+    * n_events, sum_value_micros). `session_window.end` is last-event + gap
+    * by definition; emitted here as exact micros. Value sums are integer
+    * micros (`value` cast through decimal(30,6) then scaled) so the result
+    * is bit-exact under any aggregation order. */
+  def sessionStats(
+      events: DataFrame, tsNanosCol: String, keyCol: String, valueCol: String,
+      gap: String, watermarkDelay: String = "1 hour"): DataFrame = {
+    val withTime = events
+      .withColumn("event_time", eventTimeFromNanos(tsNanosCol))
+      .withColumn("value_micros", valueMicros(col(valueCol)))
+    watermarked(withTime, "event_time", watermarkDelay)
+      .groupBy(session_window(col("event_time"), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value_micros")).as("sum_value_micros"))
+      .select(
+        col(keyCol),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"), col("sum_value_micros"))
+  }
+
+  /** double → exact long micros via Spark cast semantics (HALF_UP at
+    * scale 6), reproducible in DuckDB as
+    * `CAST(CAST(v AS DECIMAL(30,6)) * 1000000 AS BIGINT)`. */
+  def valueMicros(c: Column): Column =
+    (c.cast("decimal(30,6)") * lit(1000000)).cast("long")
+
+  /** Batch sessionization at scale: the lag/gap/cumulative-sum
+    * formulation over raw nanos longs (exact; no timestamp conversion in
+    * the gap logic). One shuffle on the key; the running session id is a
+    * per-key window cumsum — the classic warehouse shape, and the oracle
+    * twin for both [[sessionStats]] and
+    * [[StatefulOps.sessionizeWithState]].
+    * Returns (key, session_start_ns, session_end_ns, n_events,
+    * sum_value_micros). */
+  def sessionizeBatch(
+      events: DataFrame, tsNanosCol: String, keyCol: String, valueCol: String,
+      gapNanos: Long): DataFrame = {
+    val byTime = Window.partitionBy(keyCol).orderBy(tsNanosCol)
+    events
+      .withColumn("prev_ts", lag(col(tsNanosCol), 1).over(byTime))
+      .withColumn("new_session",
+        (col("prev_ts").isNull || col(tsNanosCol) - col("prev_ts") > gapNanos).cast("long"))
+      .withColumn("session_seq", sum(col("new_session")).over(byTime))
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(
+        min(col(tsNanosCol)).as("session_start_ns"),
+        max(col(tsNanosCol)).as("session_end_ns"),
+        count(lit(1)).as("n_events"),
+        sum(valueMicros(col(valueCol))).as("sum_value_micros"))
+      .drop("session_seq")
+  }
+
+  /** Streaming exact-dedup on id columns with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps each key's state only until the
+    * watermark passes it (the 100 TB answer to "dedup an infinite
+    * stream" — state is O(keys per watermark window), not O(all history)).
+    * Batch twin: plain dropDuplicates. */
+  def dedupWithinWatermark(
+      events: DataFrame, tsNanosCol: String, idCols: Seq[String],
+      watermarkDelay: String): DataFrame = {
+    val withTime = events.withColumn("event_time", eventTimeFromNanos(tsNanosCol))
+    if (withTime.isStreaming)
+      withTime.withWatermark("event_time", watermarkDelay)
+        .dropDuplicatesWithinWatermark(idCols)
+    else withTime.dropDuplicates(idCols)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed log-event row for stateful operators: `valueMicros` is the
+  * event's value already passed through Spark's double→decimal(30,6) cast
+  * and scaled to integer micros ([[EventTimeOps.valueMicros]]), so every
+  * downstream accumulation is exact long arithmetic — commutative,
+  * deterministic, oracle-reproducible. */
+case class LogEvent(userId: Long, tsNanos: Long, eventType: String, valueMicros: Long)
+
+/** A closed user session: start/end in event-time micros (start = first
+  * event, end = last event — [[EventTimeOps.sessionStats]]'s
+  * `session_window.end` is last + gap by Spark's definition; this typed
+  * surface reports the raw last-event time and leaves gap padding to the
+  * caller). */
+case class UserSession(userId: Long, startUs: Long, endUs: Long, nEvents: Long, sumValueMicros: Long)
+
+/** Running per-user totals (update-mode output). */
+case class UserTotal(userId: Long, nEvents: Long, sumValueMicros: Long)
+
+/** Open-session accumulator carried in [[GroupState]]. */
+case class SessionAcc(startUs: Long, lastUs: Long, n: Long, sumMicros: Long)
+
+/** Custom-state streaming operators via `mapGroupsWithState` /
+  * `flatMapGroupsWithState` — the escape hatch for semantics that
+  * windowed aggregation can't express: sessions that must close by
+  * event-time timeout (emitting exactly once, incrementally, across
+  * micro-batches), and monotone running aggregates pushed per batch.
+  *
+  * Scale shape: state is per-key and bounded (one [[SessionAcc]] or
+  * [[UserTotal]] per active key), checkpointed by the streaming engine;
+  * no driver-side state. Both operators also run in batch mode (Spark
+  * invokes the function once per group with empty state), which is what
+  * the DuckDB oracle checks; the incremental multi-batch behavior is
+  * asserted in StatefulStreamingSpec against the batch twin.
+  */
+object StatefulOps {
+
+  /** DataFrame (events-table shape: user_id, ts, event_type, value — ts as
+    * nanos long) → typed Dataset[LogEvent]. */
+  def typedEvents(events: DataFrame): Dataset[LogEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(
+      col("user_id").cast("long").as("userId"),
+      col("ts").cast("long").as("tsNanos"),
+      col("event_type").as("eventType"),
+      EventTimeOps.valueMicros(col("value")).as("valueMicros"))
+      .as[LogEvent]
+  }
+
+  /** Incremental sessionization with event-time timeout:
+    * `flatMapGroupsWithState` in Append mode. A session closes — and is
+    * emitted, exactly once — either when a later event for the same user
+    * arrives more than `gap` after it, or when the event-time watermark
+    * passes `last + gap` (the timeout path, so a user who goes quiet
+    * still gets their final session without waiting for more input).
+    *
+    * Batch mode: the function runs once per user with empty state; all
+    * gap-closed sessions are emitted and the trailing open session is
+    * ALSO emitted (batch has no "later micro-batch" to close it — state
+    * written in batch mode is discarded by definition of the API).
+    *
+    * Within a micro-batch events are sorted by time in-memory: per-key
+    * per-batch volumes are micro-batch-sized, and cross-batch order is
+    * the watermark's job.
+    */
+  def sessionizeWithState(
+      events: Dataset[LogEvent], gapMicros: Long,
+      watermarkDelay: String = "1 hour"): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val isStreaming = events.isStreaming
+    val withTime = events
+      .withColumn("event_time", timestamp_micros(expr("tsNanos div 1000")))
+    val wm = if (isStreaming) withTime.withWatermark("event_time", watermarkDelay) else withTime
+    val gapMs = gapMicros / 1000L
+
+    def fn(userId: Long, it: Iterator[LogEvent], state: GroupState[SessionAcc]): Iterator[UserSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(UserSession(userId, s.startUs, s.lastUs, s.n, s.sumMicros))
+      } else {
+        val evs = it.toArray.sortBy(_.tsNanos)
+        val closed = Vector.newBuilder[UserSession]
+        var acc = state.getOption.orNull
+        evs.foreach { e =>
+          val us = e.tsNanos / 1000L
+          if (acc == null) acc = SessionAcc(us, us, 1L, e.valueMicros)
+          else if (us - acc.lastUs > gapMicros) {
+            closed += UserSession(userId, acc.startUs, acc.lastUs, acc.n, acc.sumMicros)
+            acc = SessionAcc(us, us, 1L, e.valueMicros)
+          } else {
+            acc = SessionAcc(acc.startUs, math.max(acc.lastUs, us), acc.n + 1L, acc.sumMicros + e.valueMicros)
+          }
+        }
+        if (acc != null) {
+          if (isStreaming) {
+            state.update(acc)
+            // close by watermark: fire once no event can precede last+gap.
+            // Timeout timestamps must sit above the current watermark.
+            val timeoutMs = math.max(acc.lastUs / 1000L + gapMs,
+              state.getCurrentWatermarkMs() + 1L)
+            state.setTimeoutTimestamp(timeoutMs)
+          } else {
+            closed += UserSession(userId, acc.startUs, acc.lastUs, acc.n, acc.sumMicros)
+          }
+        }
+        closed.result().iterator
+      }
+    }
+
+    wm.as[LogEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Running per-user totals via `mapGroupsWithState`: each micro-batch
+    * emits the user's updated cumulative (count, exact-micros sum).
+    * Update-mode output; state is one [[UserTotal]] per user. In batch
+    * mode this degenerates to a plain groupBy aggregate (empty state,
+    * one invocation per user) — the oracled gate twin. */
+  def runningUserTotals(events: Dataset[LogEvent]): Dataset[UserTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.userId)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[LogEvent], state: GroupState[UserTotal]) =>
+          var n = 0L; var s = 0L
+          state.getOption.foreach { t => n = t.nEvents; s = t.sumValueMicros }
+          it.foreach { e => n += 1L; s += e.valueMicros }
+          val t = UserTotal(userId, n, s)
+          state.update(t)
+          t
+      }
+  }
+}

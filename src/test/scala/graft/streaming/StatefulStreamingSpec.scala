@@ -1,0 +1,227 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stateful Structured Streaming semantics: watermarked windowed
+  * aggregation (late-data drop, append-mode finalization), bounded-state
+  * streaming dedup, flatMapGroupsWithState sessionization with event-time
+  * timeouts, and mapGroupsWithState running totals — each checked across
+  * MULTIPLE micro-batches (the incremental behavior batch mode can't
+  * show), and where a batch twin exists, against it. */
+class StatefulStreamingSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val H = 3600L * 1000000000L // one hour in nanos
+
+  /** (userId, hourOffset-as-double, eventType, value) → LogEvent at
+    * epoch + offset hours; valueMicros = value * 1e6 exactly (test values
+    * are integral). */
+  private def ev(u: Long, hours: Double, typ: String = "t", value: Long = 1): LogEvent =
+    LogEvent(u, (hours * H).toLong, typ, value * 1000000L)
+
+  private def processAll(q: StreamingQuery): Unit = { q.processAllAvailable() }
+
+  private def memSink(df: DataFrame, name: String, mode: String): StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+  // ------------------------------------------------------------------
+  // Watermarked tumbling windows
+  // ------------------------------------------------------------------
+
+  test("windowed aggregation finalizes windows in append mode and drops late data past the watermark") {
+    val in = MemoryStream[LogEvent](spark)
+    val df = in.toDF()
+      .select(col("userId").as("user_id"), col("tsNanos").as("ts"),
+        col("eventType").as("event_type"), (col("valueMicros") / 1000000L).cast("double").as("value"))
+    val agg = EventTimeOps.windowedStats(df, "ts", "event_type", "value",
+      windowDuration = "1 hour", watermarkDelay = "30 minutes")
+    val q = memSink(agg, "win_agg", "append")
+    try {
+      // batch 1: two events in hour-0, one in hour-1
+      in.addData(ev(1, 0.10), ev(2, 0.50), ev(1, 1.10))
+      processAll(q)
+      // nothing final yet: watermark = 1.1h - 30m = 0.6h < hour-0 end
+      assert(spark.table("win_agg").count() === 0)
+
+      // batch 2: event at 2.0h → watermark 1.5h → hour-0 window finalizes
+      in.addData(ev(3, 2.0))
+      processAll(q)
+      val afterB2 = spark.table("win_agg").select("window_start_s", "n_events").as[(Long, Long)].collect().toSet
+      assert(afterB2 === Set((0L, 2L)))
+
+      // batch 3: a LATE event for hour-0 (watermark already at 1.5h) is
+      // dropped — the finalized window is never revised; then advance far
+      // enough to flush the rest
+      in.addData(ev(9, 0.2))
+      in.addData(ev(3, 5.0))
+      processAll(q)
+      val all = spark.table("win_agg").select("window_start_s", "n_events").as[(Long, Long)].collect().toSet
+      assert(all === Set((0L, 2L), (3600L, 1L), (7200L, 1L)))
+    } finally q.stop()
+  }
+
+  test("windowedStats batch twin computes the same finalized windows") {
+    val batch = Seq(ev(1, 0.10), ev(2, 0.50), ev(1, 1.10), ev(3, 2.0), ev(3, 5.0))
+      .toDF().select(col("userId").as("user_id"), col("tsNanos").as("ts"),
+        col("eventType").as("event_type"), (col("valueMicros") / 1000000L).cast("double").as("value"))
+    val rows = EventTimeOps.windowedStats(batch, "ts", "event_type", "value", "1 hour")
+      .select("window_start_s", "n_events").as[(Long, Long)].collect().toSet
+    assert(rows === Set((0L, 2L), (3600L, 1L), (7200L, 1L), (18000L, 1L)))
+  }
+
+  // ------------------------------------------------------------------
+  // Bounded-state streaming dedup
+  // ------------------------------------------------------------------
+
+  test("dedupWithinWatermark drops duplicate ids across micro-batches within the watermark") {
+    val in = MemoryStream[(Long, Long, String)](spark)
+    val df = in.toDF().toDF("event_id", "ts", "event_type")
+    val deduped = EventTimeOps.dedupWithinWatermark(df, "ts", Seq("event_id"), "2 hours")
+    val q = memSink(deduped, "dedup_out", "append")
+    try {
+      in.addData((10L, (0.1 * H).toLong, "a"), (11L, (0.2 * H).toLong, "b"))
+      processAll(q)
+      // same ids again in a later batch, still inside the watermark window
+      in.addData((10L, (0.3 * H).toLong, "a-dup"), (12L, (0.4 * H).toLong, "c"))
+      processAll(q)
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+      assert(ids === Array(10L, 11L, 12L))
+    } finally q.stop()
+  }
+
+  // ------------------------------------------------------------------
+  // flatMapGroupsWithState sessionization
+  // ------------------------------------------------------------------
+
+  test("sessionizeWithState closes sessions by gap and by event-time timeout, exactly once") {
+    // minute-granular events, offset well past epoch: an event AT the
+    // initial watermark (epoch 0) is dropped as late by the stateful
+    // operator, which is correct semantics but not what we're testing.
+    def evm(u: Long, minutes: Long): LogEvent =
+      LogEvent(u, minutes * 60000000000L, "t", 1000000L)
+    val us = 60000000L // one minute in micros
+
+    val in = MemoryStream[LogEvent](spark)
+    val sessions = StatefulOps.sessionizeWithState(
+      in.toDS(), gapMicros = 3600L * 1000000L, watermarkDelay = "10 minutes")
+    val q = memSink(sessions.toDF(), "sess_out", "append")
+    try {
+      // user 1: two events 30min apart (one session); user 2: one event
+      in.addData(evm(1, 1440), evm(1, 1470), evm(2, 1452))
+      processAll(q)
+      assert(spark.table("sess_out").count() === 0) // all sessions still open
+
+      // user 1 again at minute 1620 (gap 2.5h > 1h) → first session closes
+      // inline; the same batch's no-data follow-up advances the watermark
+      // to 1620m - 10m, past user 2's last+gap (1512m), so user 2's
+      // session ALSO closes, via event-time timeout.
+      in.addData(evm(1, 1620))
+      processAll(q)
+      val closed1 = spark.table("sess_out").as[UserSession].collect()
+      assert(closed1.map(s => (s.userId, s.startUs, s.endUs, s.nEvents)).toSet ===
+        Set((1L, 1440 * us, 1470 * us, 2L), (2L, 1452 * us, 1452 * us, 1L)))
+
+      // advance the watermark far past everyone's last+gap → the
+      // remaining open sessions close via EventTimeTimeout
+      in.addData(evm(7, 1980))
+      processAll(q)
+      in.addData(evm(7, 2160)) // push watermark again so the timeout batch runs
+      processAll(q)
+      val all = spark.table("sess_out").as[UserSession].collect()
+      val expected = Set(
+        (1L, 1440 * us, 1470 * us, 2L), // gap-closed
+        (2L, 1452 * us, 1452 * us, 1L), // timeout-closed
+        (1L, 1620 * us, 1620 * us, 1L), // second session, timeout-closed
+        (7L, 1980 * us, 1980 * us, 1L)) // gap-closed by the 2160 event
+      assert(all.map(s => (s.userId, s.startUs, s.endUs, s.nEvents)).toSet === expected)
+      // exactly once: no session emitted twice
+      assert(all.length === all.distinct.length)
+    } finally q.stop()
+  }
+
+  test("sessionizeWithState batch mode matches the sessionizeBatch window-function twin") {
+    val events = Seq(
+      ev(1, 0.0, value = 2), ev(1, 0.5, value = 3), ev(1, 3.0),
+      ev(2, 1.0), ev(2, 1.2), ev(2, 1.4),
+      ev(3, 6.0))
+    val df = events.toDF().select(col("userId").as("user_id"), col("tsNanos").as("ts"),
+      lit("t").as("event_type"), (col("valueMicros") / 1000000L).cast("double").as("value"))
+
+    val typed = StatefulOps.sessionizeWithState(
+      events.toDS(), gapMicros = 3600L * 1000000L)
+      .collect().map(s => (s.userId, s.startUs * 1000L, s.endUs * 1000L, s.nEvents, s.sumValueMicros)).toSet
+
+    val batch = EventTimeOps.sessionizeBatch(df, "ts", "user_id", "value", gapNanos = H)
+      .select(col("user_id"), col("session_start_ns"), col("session_end_ns"),
+        col("n_events"), col("sum_value_micros"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+    assert(typed === batch)
+    assert(batch.size === 4) // u1: 2 sessions, u2: 1, u3: 1
+  }
+
+  test("session_window sessionStats agrees with sessionizeBatch boundaries plus gap padding") {
+    val events = Seq(ev(1, 0.0), ev(1, 0.5), ev(1, 3.0), ev(2, 1.0))
+    val df = events.toDF().select(col("userId").as("user_id"), col("tsNanos").as("ts"),
+      lit("t").as("event_type"), (col("valueMicros") / 1000000L).cast("double").as("value"))
+
+    val viaSessionWindow = EventTimeOps.sessionStats(df, "ts", "user_id", "value", gap = "1 hour")
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaBatch = EventTimeOps.sessionizeBatch(df, "ts", "user_id", "value", gapNanos = H)
+      .select(col("user_id"), (col("session_start_ns") / 1000L).cast("long"),
+        // session_window.end = last event + gap
+        (col("session_end_ns") / 1000L).cast("long") + 3600L * 1000000L,
+        col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaSessionWindow === viaBatch)
+  }
+
+  // ------------------------------------------------------------------
+  // mapGroupsWithState running totals
+  // ------------------------------------------------------------------
+
+  test("runningUserTotals accumulates across micro-batches in update mode") {
+    val in = MemoryStream[LogEvent](spark)
+    val totals = StatefulOps.runningUserTotals(in.toDS())
+    val q = totals.toDF().writeStream.format("memory").queryName("totals_out")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(ev(1, 0.0, value = 10), ev(1, 0.1, value = 5), ev(2, 0.2, value = 7))
+      processAll(q)
+      in.addData(ev(1, 0.3, value = 1))
+      processAll(q)
+      // memory sink in update mode appends updated rows; the LAST row per
+      // user is the current total
+      val last = spark.table("totals_out").as[UserTotal].collect()
+        .groupBy(_.userId).map { case (u, rows) => (u, rows.maxBy(_.nEvents)) }
+      assert(last(1L).nEvents === 3L && last(1L).sumValueMicros === 16000000L)
+      assert(last(2L).nEvents === 1L && last(2L).sumValueMicros === 7000000L)
+    } finally q.stop()
+  }
+
+  test("runningUserTotals batch mode equals a plain groupBy aggregate") {
+    val events = Seq(ev(1, 0.0, value = 10), ev(1, 0.1, value = 5), ev(2, 0.2, value = 7))
+    val typed = StatefulOps.runningUserTotals(events.toDS())
+      .collect().map(t => (t.userId, t.nEvents, t.sumValueMicros)).toSet
+    assert(typed === Set((1L, 2L, 15000000L), (2L, 1L, 7000000L)))
+  }
+
+  // ------------------------------------------------------------------
+  // typedEvents mapping over the real table shape
+  // ------------------------------------------------------------------
+
+  test("typedEvents maps the events table into exact-micros LogEvents") {
+    val df = Seq((5L, 1704067207179575175L, "click", 1.25))
+      .toDF("user_id", "ts", "event_type", "value")
+    val e = StatefulOps.typedEvents(df).collect().head
+    assert(e === LogEvent(5L, 1704067207179575175L, "click", 1250000L))
+  }
+}
