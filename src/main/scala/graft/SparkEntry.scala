@@ -473,6 +473,76 @@ object SparkEntry {
   }
 
   // ==================================================================
+  // Event-time / stateful streaming family (graft.streaming): the
+  // BATCH mode of each streaming operator — same plan, no watermark —
+  // gate-checked in the MICROS domain (DuckDB reads parquet
+  // TIMESTAMP(NANOS) truncated to micros, so `ts` is pre-floored with
+  // EventTimeOps.floorDivMicros where the operator is nanos-native;
+  // nanos-exact semantics are covered by StatefulStreamingSpec).
+  // ==================================================================
+
+  import graft.streaming.{EventTimeOps, StatefulOps}
+
+  private val SessionGapUs = 12L * 3600L * 1000000L // 12 hours in micros
+
+  /** Watermark-bounded tumbling-window aggregation
+    * (EventTimeOps.windowedStats), batch mode of the streaming plan. */
+  private def windowedStatsQuery(s: SparkSession, dir: String): DataFrame =
+    EventTimeOps.windowedStats(t(s, dir, "events"), "ts", "event_type", "value", "6 hours")
+      .orderBy("window_start_s", "event_type")
+
+  /** Batch sessionization (EventTimeOps.sessionizeBatch): lag/gap/cumsum,
+    * one shuffle on the key. The gap column is unit-agnostic longs — here
+    * micros (pre-floored), so the DuckDB twin sees identical values. */
+  private def sessionBatch(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", EventTimeOps.floorDivMicros(col("ts")))
+    EventTimeOps.sessionizeBatch(ev, "ts_us", "user_id", "value", gapNanos = SessionGapUs)
+      .select(
+        col("user_id"),
+        col("session_start_ns").as("session_start_us"),
+        col("session_end_ns").as("session_end_us"),
+        col("n_events"), col("sum_value_micros"))
+      .orderBy("user_id", "session_start_us")
+  }
+
+  /** Built-in session_window aggregation (EventTimeOps.sessionStats),
+    * batch mode. session_window merges on STRICT overlap (diff < gap)
+    * and its end is last-event + gap — the oracle mirrors both. */
+  private def sessionWindowStats(s: SparkSession, dir: String): DataFrame =
+    EventTimeOps.sessionStats(t(s, dir, "events"), "ts", "user_id", "value", gap = "12 hours")
+      .orderBy("user_id", "session_start_us")
+
+  /** Streaming dedup's batch twin (EventTimeOps.dedupWithinWatermark).
+    * Projected to the key set itself: which SURVIVOR row dropDuplicates
+    * keeps is nondeterministic, but the deduped key set is exact. */
+  private def streamingDedup(s: SparkSession, dir: String): DataFrame =
+    EventTimeOps.dedupWithinWatermark(t(s, dir, "events"), "ts",
+        Seq("user_id", "event_type"), "1 hour")
+      .select("user_id", "event_type")
+      .orderBy("user_id", "event_type")
+
+  /** flatMapGroupsWithState running totals (StatefulOps.runningUserTotals),
+    * batch mode: one invocation per user with empty state = the plain
+    * grouped aggregate the oracle computes. */
+  private def runningTotals(s: SparkSession, dir: String): DataFrame =
+    StatefulOps.runningUserTotals(StatefulOps.typedEvents(t(s, dir, "events")))
+      .toDF("user_id", "n_events", "sum_value_micros")
+      .orderBy("user_id")
+
+  /** flatMapGroupsWithState sessionization (StatefulOps.sessionizeWithState),
+    * batch mode. Input ts is pre-floored to micro precision (×1000 back
+    * to nanos) so the operator's nanos-exact gap compare sees exactly
+    * what the micros-domain oracle sees. */
+  private def sessionStateBatch(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts", EventTimeOps.floorDivMicros(col("ts")) * lit(1000L))
+    StatefulOps.sessionizeWithState(StatefulOps.typedEvents(ev), gapMicros = SessionGapUs)
+      .toDF("user_id", "session_start_us", "session_end_us", "n_events", "sum_value_micros")
+      .orderBy("user_id", "session_start_us")
+  }
+
+  // ==================================================================
   // Registry
   // ==================================================================
 
@@ -509,6 +579,12 @@ object SparkEntry {
     "ivf_topk" -> ivfTopKQuery _,
     "cosine_near_dups" -> cosineNearDups _,
     "multimodal_features" -> multimodalFeatures _,
+    "windowed_stats" -> windowedStatsQuery _,
+    "session_batch" -> sessionBatch _,
+    "session_window_stats" -> sessionWindowStats _,
+    "streaming_dedup" -> streamingDedup _,
+    "running_totals" -> runningTotals _,
+    "session_state_batch" -> sessionStateBatch _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_top_revenue" -> q3TopRevenue _,
     "q5_nation_revenue" -> q5NationRevenue _,
@@ -800,5 +876,77 @@ object SparkEntry {
                 count(DISTINCT l_partkey) AS parts,
                 count(DISTINCT l_suppkey) AS supps
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "windowed_stats" ->
+      // Spark window('6 hours') aligns to the epoch; DuckDB's TIMESTAMP
+      // read of the nanos parquet column is already floored to micros,
+      // matching eventTimeFromNanos' floor division
+      """SELECT (epoch_us(ts) // 21600000000) * 21600 AS window_start_s,
+                event_type, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "session_batch" ->
+      // sessionizeBatch splits when diff > gap (12h in micros)
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+                           CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT) AS vm
+                    FROM events),
+          m AS (SELECT user_id, us, vm,
+                       CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                                 > 43200000000 THEN 1
+                            WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL THEN 1
+                            ELSE 0 END AS new_s
+                FROM e),
+          s AS (SELECT user_id, us, vm,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sid
+                FROM m)
+          SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
+                 count(*) AS n_events, CAST(sum(vm) AS BIGINT) AS sum_value_micros
+          FROM s GROUP BY user_id, sid
+          ORDER BY user_id, session_start_us""",
+    "session_window_stats" ->
+      // session_window merges on STRICT overlap (diff < gap) and pads
+      // the end with the gap (end = last event + gap)
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+                           CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT) AS vm
+                    FROM events),
+          m AS (SELECT user_id, us, vm,
+                       CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                                 < 43200000000 THEN 0
+                            ELSE 1 END AS new_s
+                FROM e),
+          s AS (SELECT user_id, us, vm,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sid
+                FROM m)
+          SELECT user_id, min(us) AS session_start_us,
+                 max(us) + 43200000000 AS session_end_us,
+                 count(*) AS n_events, CAST(sum(vm) AS BIGINT) AS sum_value_micros
+          FROM s GROUP BY user_id, sid
+          ORDER BY user_id, session_start_us""",
+    "streaming_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+    "running_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+                CAST(sum(CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT)) AS BIGINT)
+                  AS sum_value_micros
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "session_state_batch" ->
+      // batch-mode flatMapGroupsWithState = sessionizeBatch's sessions
+      // (identical micros-domain input and > gap split rule)
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+                           CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT) AS vm
+                    FROM events),
+          m AS (SELECT user_id, us, vm,
+                       CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                                 > 43200000000 THEN 1
+                            WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL THEN 1
+                            ELSE 0 END AS new_s
+                FROM e),
+          s AS (SELECT user_id, us, vm,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sid
+                FROM m)
+          SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
+                 count(*) AS n_events, CAST(sum(vm) AS BIGINT) AS sum_value_micros
+          FROM s GROUP BY user_id, sid
+          ORDER BY user_id, session_start_us""",
   )
 }

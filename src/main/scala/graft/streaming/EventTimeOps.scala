@@ -24,10 +24,22 @@ import org.apache.spark.sql.functions._
   */
 object EventTimeOps {
 
+  /** Exact floor division of a nanos long column by 1000 — pure Column
+    * ops (no string interpolation, so odd column names are fine) and no
+    * doubles (2^53 ulp loss at 2024-era nanos). Subtracting the
+    * non-negative `pmod` remainder makes the value exactly divisible, so
+    * the decimal division is exact and the long cast drops only zeros;
+    * unlike SQL `div` (truncate toward zero) this FLOORS, matching DuckDB
+    * `epoch_ns(ts) // 1000` for pre-epoch (negative) timestamps too. */
+  def floorDivMicros(nanos: Column): Column =
+    ((nanos - pmod(nanos, lit(1000L))).cast("decimal(38,0)") / lit(1000)).cast("long")
+
   /** nanos-since-epoch long → TimestampType (micros), exact integer floor
     * division; matches DuckDB `epoch_ns(ts) // 1000`. */
-  def eventTimeFromNanos(tsCol: String): Column =
-    timestamp_micros(expr(s"$tsCol div 1000"))
+  def eventTimeFromNanos(ts: Column): Column =
+    timestamp_micros(floorDivMicros(ts))
+
+  def eventTimeFromNanos(tsCol: String): Column = eventTimeFromNanos(col(tsCol))
 
   /** Exact double-deterministic sum (same rule as SparkEntry). */
   private def dsum(c: Column): Column = sum(c.cast("decimal(30,6)")).cast("double")

@@ -21,8 +21,11 @@ case class UserSession(userId: Long, startUs: Long, endUs: Long, nEvents: Long, 
 /** Running per-user totals (update-mode output). */
 case class UserTotal(userId: Long, nEvents: Long, sumValueMicros: Long)
 
-/** Open-session accumulator carried in [[GroupState]]. */
-case class SessionAcc(startUs: Long, lastUs: Long, n: Long, sumMicros: Long)
+/** Open-session accumulator carried in [[GroupState]]. Boundaries are
+  * raw event-time NANOS so the gap comparison is exact — identical to
+  * [[EventTimeOps.sessionizeBatch]]'s `> gapNanos` test; micros appear
+  * only at emission ([[UserSession]]). */
+case class SessionAcc(startNs: Long, lastNs: Long, n: Long, sumMicros: Long)
 
 /** Custom-state streaming operators via `mapGroupsWithState` /
   * `flatMapGroupsWithState` — the escape hatch for semantics that
@@ -64,9 +67,24 @@ object StatefulOps {
     * ALSO emitted (batch has no "later micro-batch" to close it — state
     * written in batch mode is discarded by definition of the API).
     *
-    * Within a micro-batch events are sorted by time in-memory: per-key
-    * per-batch volumes are micro-batch-sized, and cross-batch order is
-    * the watermark's job.
+    * Gap semantics are exact nanos (`tsNanos` carried end-to-end; the
+    * `> gapMicros*1000` test is the same comparison sessionizeBatch
+    * makes), so the twins agree at sub-microsecond boundaries; micros
+    * appear only in the emitted [[UserSession]] (floor of nanos).
+    *
+    * Late events (in-watermark, arriving in a later micro-batch): one
+    * that lands within the gap of the open session — before OR after its
+    * current span — merges, extending the span in either direction; one
+    * more than a gap BEFORE the open session's start is emitted
+    * immediately as its own single-event session (it can never merge
+    * forward, and an event bridging two already-split sessions is
+    * inherently unmergeable — the split was emitted exactly-once in a
+    * previous batch).
+    *
+    * Within a micro-batch events are sorted by time in-memory — per-key
+    * per-batch volume must fit executor memory (micro-batch-sized by
+    * construction; bound the trigger interval / maxOffsetsPerTrigger for
+    * hot keys) — and cross-batch order is the watermark's job.
     */
   def sessionizeWithState(
       events: Dataset[LogEvent], gapMicros: Long,
@@ -76,39 +94,51 @@ object StatefulOps {
 
     val isStreaming = events.isStreaming
     val withTime = events
-      .withColumn("event_time", timestamp_micros(expr("tsNanos div 1000")))
+      .withColumn("event_time", EventTimeOps.eventTimeFromNanos(col("tsNanos")))
     val wm = if (isStreaming) withTime.withWatermark("event_time", watermarkDelay) else withTime
-    val gapMs = gapMicros / 1000L
+    val gapNanos = math.multiplyExact(gapMicros, 1000L)
+
+    def us(ns: Long): Long = Math.floorDiv(ns, 1000L)
+    def emit(userId: Long, a: SessionAcc): UserSession =
+      UserSession(userId, us(a.startNs), us(a.lastNs), a.n, a.sumMicros)
 
     def fn(userId: Long, it: Iterator[LogEvent], state: GroupState[SessionAcc]): Iterator[UserSession] = {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        Iterator.single(UserSession(userId, s.startUs, s.lastUs, s.n, s.sumMicros))
+        Iterator.single(emit(userId, s))
       } else {
         val evs = it.toArray.sortBy(_.tsNanos)
         val closed = Vector.newBuilder[UserSession]
         var acc = state.getOption.orNull
         evs.foreach { e =>
-          val us = e.tsNanos / 1000L
-          if (acc == null) acc = SessionAcc(us, us, 1L, e.valueMicros)
-          else if (us - acc.lastUs > gapMicros) {
-            closed += UserSession(userId, acc.startUs, acc.lastUs, acc.n, acc.sumMicros)
-            acc = SessionAcc(us, us, 1L, e.valueMicros)
+          val ns = e.tsNanos
+          if (acc == null) acc = SessionAcc(ns, ns, 1L, e.valueMicros)
+          else if (ns - acc.lastNs > gapNanos) {
+            closed += emit(userId, acc)
+            acc = SessionAcc(ns, ns, 1L, e.valueMicros)
+          } else if (acc.startNs - ns > gapNanos) {
+            // in-watermark late event more than a gap before the open
+            // session: unmergeable — its own session, emitted inline
+            closed += UserSession(userId, us(ns), us(ns), 1L, e.valueMicros)
           } else {
-            acc = SessionAcc(acc.startUs, math.max(acc.lastUs, us), acc.n + 1L, acc.sumMicros + e.valueMicros)
+            acc = SessionAcc(math.min(acc.startNs, ns), math.max(acc.lastNs, ns),
+              acc.n + 1L, acc.sumMicros + e.valueMicros)
           }
         }
         if (acc != null) {
           if (isStreaming) {
             state.update(acc)
             // close by watermark: fire once no event can precede last+gap.
-            // Timeout timestamps must sit above the current watermark.
-            val timeoutMs = math.max(acc.lastUs / 1000L + gapMs,
+            // Round the ns→ms conversion UP so the timeout never fires
+            // early (splitting a session an in-gap event would extend);
+            // timeout timestamps must also sit above the current watermark.
+            val timeoutMs = math.max(
+              Math.floorDiv(acc.lastNs + gapNanos + 999999L, 1000000L),
               state.getCurrentWatermarkMs() + 1L)
             state.setTimeoutTimestamp(timeoutMs)
           } else {
-            closed += UserSession(userId, acc.startUs, acc.lastUs, acc.n, acc.sumMicros)
+            closed += emit(userId, acc)
           }
         }
         closed.result().iterator
@@ -120,23 +150,41 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
-  /** Running per-user totals via `mapGroupsWithState`: each micro-batch
-    * emits the user's updated cumulative (count, exact-micros sum).
-    * Update-mode output; state is one [[UserTotal]] per user. In batch
-    * mode this degenerates to a plain groupBy aggregate (empty state,
-    * one invocation per user) — the oracled gate twin. */
-  def runningUserTotals(events: Dataset[LogEvent]): Dataset[UserTotal] = {
+  /** Running per-user totals: each micro-batch emits the user's updated
+    * cumulative (count, exact-micros sum). Update-mode output; state is
+    * one [[UserTotal]] per user. In batch mode this degenerates to a
+    * plain groupBy aggregate (empty state, one invocation per user) —
+    * the oracled gate twin (`running_totals`).
+    *
+    * State lifetime: running totals are inherently O(distinct keys). By
+    * default (`idleTimeout = None`) state is kept forever — correct, but
+    * unbounded over an infinite key space. Pass an `idleTimeout` (e.g.
+    * "30 days") to evict keys idle longer than that via
+    * ProcessingTimeTimeout; an evicted key that reappears restarts from
+    * zero — the standard TTL trade. */
+  def runningUserTotals(
+      events: Dataset[LogEvent],
+      idleTimeout: Option[String] = None): Dataset[UserTotal] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.userId)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf) {
         (userId: Long, it: Iterator[LogEvent], state: GroupState[UserTotal]) =>
-          var n = 0L; var s = 0L
-          state.getOption.foreach { t => n = t.nEvents; s = t.sumValueMicros }
-          it.foreach { e => n += 1L; s += e.valueMicros }
-          val t = UserTotal(userId, n, s)
-          state.update(t)
-          t
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var n = 0L; var s = 0L
+            state.getOption.foreach { t => n = t.nEvents; s = t.sumValueMicros }
+            it.foreach { e => n += 1L; s += e.valueMicros }
+            val t = UserTotal(userId, n, s)
+            state.update(t)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator.single(t)
+          }
       }
   }
 }

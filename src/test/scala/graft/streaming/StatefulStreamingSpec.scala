@@ -146,6 +146,67 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeWithState merges an in-gap late event arriving out of order across batches, extending the session start backwards") {
+    def evm(u: Long, minutes: Long): LogEvent =
+      LogEvent(u, minutes * 60000000000L, "t", 1000000L)
+    val us = 60000000L
+
+    val in = MemoryStream[LogEvent](spark)
+    val sessions = StatefulOps.sessionizeWithState(
+      in.toDS(), gapMicros = 3600L * 1000000L, watermarkDelay = "10 hours")
+    val q = memSink(sessions.toDF(), "sess_late", "append")
+    try {
+      // batch 1 opens a session [1500, 1530] for user 1
+      in.addData(evm(1, 1500), evm(1, 1530))
+      processAll(q)
+      // batch 2: a LATE in-gap event BEFORE the open session's start
+      // (1450: 50min gap to 1500 < 1h) must merge and extend the start;
+      // a late event a full gap before the span (1320: 130min before
+      // 1450) is unmergeable — emitted as its own single-event session
+      in.addData(evm(1, 1450), evm(1, 1320))
+      processAll(q)
+      // close everything via gap
+      in.addData(evm(1, 4000))
+      processAll(q)
+      val got = spark.table("sess_late").as[UserSession].collect()
+        .map(s => (s.userId, s.startUs, s.endUs, s.nEvents)).toSet
+      assert(got.contains((1L, 1450 * us, 1530 * us, 3L))) // start extended back
+      assert(got.contains((1L, 1320 * us, 1320 * us, 1L))) // unmergeable singleton
+    } finally q.stop()
+  }
+
+  test("sessionizeWithState gap compare is exact nanos, agreeing with the batch twin at sub-microsecond boundaries") {
+    // two events whose true gap exceeds 1h by exactly 1 NANOsecond: the
+    // micros-truncated compare used to merge them; the batch twin splits.
+    val gapNs = 3600L * 1000000000L
+    val base = 1000L * gapNs
+    val events = Seq(
+      LogEvent(1L, base, "t", 1000000L),
+      LogEvent(1L, base + gapNs + 1L, "t", 1000000L))
+    val typed = StatefulOps.sessionizeWithState(events.toDS(), gapMicros = 3600L * 1000000L)
+      .collect()
+    assert(typed.length === 2) // split, as sessionizeBatch's > gapNanos does
+  }
+
+  test("runningUserTotals with an idle TTL still accumulates while active") {
+    // ProcessingTimeTimeout makes shouldRunAnotherBatch always true, so
+    // the query never quiesces (processAllAvailable would hang and
+    // AvailableNow never terminates) — poll the sink instead.
+    val in = MemoryStream[LogEvent](spark)
+    in.addData(ev(1, 0.0, value = 10), ev(1, 0.1, value = 5), ev(2, 0.2, value = 7))
+    val totals = StatefulOps.runningUserTotals(in.toDS(), idleTimeout = Some("1 hour"))
+    val q = totals.toDF().writeStream.format("memory").queryName("totals_ttl")
+      .outputMode("update").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      def rows() = spark.table("totals_ttl").as[UserTotal].collect()
+      while (rows().length < 2 && System.nanoTime() < deadline) Thread.sleep(200)
+      val got = rows().groupBy(_.userId).map { case (u, rs) => (u, rs.maxBy(_.nEvents)) }
+      assert(got(1L) === UserTotal(1L, 2L, 15000000L))
+      assert(got(2L) === UserTotal(2L, 1L, 7000000L))
+    } finally q.stop()
+  }
+
   test("sessionizeWithState batch mode matches the sessionizeBatch window-function twin") {
     val events = Seq(
       ev(1, 0.0, value = 2), ev(1, 0.5, value = 3), ev(1, 3.0),
