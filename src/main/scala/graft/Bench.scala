@@ -8,9 +8,11 @@ import org.apache.spark.sql.SparkSession
   * subscription catch-up — BASELINE.md), and prints ONE JSON line.
   *
   * Queries execute via the `noop` sink so the full plan runs (a bare
-  * count() would let Spark skip projections). Each query runs twice;
-  * the second (warm) time is reported — the driver compares engine
-  * efficiency, not JVM warmup.
+  * count() would let Spark skip projections). Each query runs once for
+  * warm-up, then three timed runs; the MEDIAN is reported — single-run
+  * numbers showed ±40% run-to-run variance (round-4 minhash), which made
+  * real regressions indistinguishable from noise. Stateful store
+  * scenarios stay single-run (their state accumulates across runs).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,6 +32,10 @@ object Bench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    def median3(f: => Unit): Double = {
+      val ts = IndexedSeq(time(f), time(f), time(f)).sorted
+      ts(1)
+    }
 
     // warmup: touch every table once so OS cache/codec init is off the clock
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -40,7 +46,7 @@ object Bench {
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       def once(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      try { once(); results(name) = time(once()) }
+      try { once(); results(name) = median3(once()) }
       catch { case _: Throwable => results(name) = -1.0 }
     }
 
@@ -56,7 +62,7 @@ object Bench {
           approx_count_distinct(col("l_partkey")).as("parts"),
           approx_count_distinct(col("l_suppkey")).as("supps"))
         .write.format("noop").mode("overwrite").save()
-      approx(); results("approx_distinct_counts") = time(approx())
+      approx(); results("approx_distinct_counts") = median3(approx())
     }
 
     results ++= storeScenarios(spark)

@@ -31,6 +31,15 @@ import java.util.concurrent.Executors
   * response carries `SSS-HeadPosition`
   * (`src/SqlStreamStore.Http.Common/Constants.cs:28-29`); a wrong
   * expected version maps to 409 Conflict, missing resources to 404.
+  *
+  * Conditional requests (ref `SqlStreamStore.HAL/ETag.cs`,
+  * `CacheControl.cs`, `PageExtensions.cs`, `HttpContextExtensions.cs:23-55`):
+  * pages whose content is pinned by their request (the head page, or a
+  * fully-read `IsEnd` page) carry an `ETag` — position-based for the
+  * all-stream, version-based for a stream — and a matching
+  * `If-None-Match` gets `304 Not Modified` with no body. Head pages are
+  * `no-cache, must-revalidate` (they change as writes land); interior
+  * pages and single messages are immutable, so `max-age=31536000`.
   */
 final class StreamStoreHttpServer(store: StreamStore, port: Int = 0) extends AutoCloseable {
 
@@ -146,13 +155,26 @@ final class StreamStoreHttpServer(store: StreamStore, port: Int = 0) extends Aut
     val page =
       if (forwards) store.readAllForwards(from, m, prefetchJsonData = embed)
       else store.readAllBackwards(from, m, prefetchJsonData = embed)
-    respond(ex, 200, HalJson.allPageJson(page, embed, "/stream"))
+    // ref: PageExtensions.TryGetETag(ReadAllPage) + AllStreamResource.cs:86-93
+    val etag =
+      if (!forwards && from == Position.End)
+        Some(etagOf(page.messages.headOption.map(_.position).getOrElse(Position.End)))
+      else if (page.isEnd && forwards)
+        Some(etagOf(page.messages.lastOption.map(_.position).getOrElse(Position.End)))
+      else if (page.isEnd)
+        Some(etagOf(page.messages.headOption.map(_.position).getOrElse(Position.End)))
+      else None
+    val cache = if (etag.isDefined) CacheNoCache else CacheOneYear
+    respond(ex, 200, HalJson.allPageJson(page, embed, "/stream"), etag, Some(cache))
   }
 
   private def allMessage(ex: HttpExchange, position: Long): Unit = {
     val page = store.readAllForwards(position, 1, prefetchJsonData = true)
     page.messages.find(_.position == position) match {
-      case Some(msg) => respond(ex, 200, HalJson.Mapper.writeValueAsString(HalJson.messageNode(msg, embed = true)))
+      case Some(msg) =>
+        // a message at a fixed position is immutable (ref: StreamMessageResource.cs:58,70)
+        respond(ex, 200, HalJson.Mapper.writeValueAsString(HalJson.messageNode(msg, embed = true)),
+          Some(etagOf(position)), Some(CacheOneYear))
       case None => respond(ex, 404, """{"error":"message not found"}""")
     }
   }
@@ -177,10 +199,15 @@ final class StreamStoreHttpServer(store: StreamStore, port: Int = 0) extends Aut
     val page =
       if (forwards) store.readStreamForwards(id, from, m, prefetchJsonData = embed)
       else store.readStreamBackwards(id, from, m, prefetchJsonData = embed)
+    // ref: PageExtensions.TryGetETag(ReadStreamPage) + StreamResource.cs:130-133
+    val etag =
+      if (page.isEnd || (!forwards && from == StreamVersion.End))
+        Some(etagOf(page.lastStreamVersion.toLong))
+      else None
     if (page.status == PageReadStatus.StreamNotFound)
-      respond(ex, 404, HalJson.streamPageJson(page, embed, s"/streams/$id"))
+      respond(ex, 404, HalJson.streamPageJson(page, embed, s"/streams/$id"), etag)
     else
-      respond(ex, 200, HalJson.streamPageJson(page, embed, s"/streams/$id"))
+      respond(ex, 200, HalJson.streamPageJson(page, embed, s"/streams/$id"), etag)
   }
 
   private def append(ex: HttpExchange, id: String): Unit = {
@@ -195,8 +222,12 @@ final class StreamStoreHttpServer(store: StreamStore, port: Int = 0) extends Aut
     respond(ex, 204, "")
   }
 
-  private def getMetadata(ex: HttpExchange, id: String): Unit =
-    respond(ex, 200, HalJson.metadataJson(store.getStreamMetadata(id)))
+  private def getMetadata(ex: HttpExchange, id: String): Unit = {
+    val result = store.getStreamMetadata(id)
+    // ref: StreamMetadataResource.cs:54 — version-based ETag
+    respond(ex, 200, HalJson.metadataJson(result),
+      Some(etagOf(result.metadataStreamVersion.toLong)))
+  }
 
   private def setMetadata(ex: HttpExchange, id: String): Unit = {
     val n = HalJson.Mapper.readTree(body(ex))
@@ -210,7 +241,9 @@ final class StreamStoreHttpServer(store: StreamStore, port: Int = 0) extends Aut
   private def streamMessage(ex: HttpExchange, id: String, version: Int): Unit = {
     val page = store.readStreamForwards(id, version, 1, prefetchJsonData = true)
     page.messages.find(_.streamVersion == version) match {
-      case Some(msg) => respond(ex, 200, HalJson.Mapper.writeValueAsString(HalJson.messageNode(msg, embed = true)))
+      case Some(msg) =>
+        respond(ex, 200, HalJson.Mapper.writeValueAsString(HalJson.messageNode(msg, embed = true)),
+          Some(etagOf(version.toLong)), Some(CacheOneYear))
       case None => respond(ex, 404, """{"error":"message not found"}""")
     }
   }
@@ -253,7 +286,29 @@ final class StreamStoreHttpServer(store: StreamStore, port: Int = 0) extends Aut
         }
       }.toMap
 
-  private def respond(ex: HttpExchange, status: Int, content: String): Unit = {
+  // ref: CacheControl.NoCache / CacheControl.OneYear (CacheControl.cs:13-18)
+  private val CacheNoCache = "max-age=0, no-cache, must-revalidate"
+  private val CacheOneYear = "max-age=31536000"
+
+  /** Quoted entity tag from a position or version (ref: ETag.cs:11-12). */
+  private def etagOf(v: Long): String = "\"" + v + "\""
+
+  private def respond(
+      ex: HttpExchange,
+      status: Int,
+      content: String,
+      etag: Option[String] = None,
+      cacheControl: Option[String] = None): Unit = {
+    etag.foreach(ex.getResponseHeaders.set("ETag", _))
+    cacheControl.foreach(ex.getResponseHeaders.set("Cache-Control", _))
+    // If-None-Match hit → 304 carrying only the validator headers
+    // (ref: HttpContextExtensions.cs:27-55)
+    val ifNoneMatch = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+      .toSeq.flatMap(_.split(",")).map(_.trim)
+    if (status == 200 && etag.exists(ifNoneMatch.contains)) {
+      ex.sendResponseHeaders(304, -1)
+      return
+    }
     val bytes = content.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/hal+json")
     // every response surfaces the head position (ref: Constants.cs:29)

@@ -104,7 +104,7 @@ final class JdbcStreamStore(
   /** Ref: InMemoryStream.AppendToStreamExpectedVersionNoStream (:139-163). */
   private def appendNoStream(streamId: String, head: HeadRow, messages: Seq[NewStreamMessage]): AppendResult = {
     if (head.version >= 0) {
-      val existing = existingIds(head)
+      val existing = firstIds(head, messages.length)
       if (messages.length > existing.length) throw WrongExpectedVersionException(streamId, ExpectedVersion.NoStream)
       if (messages.indices.exists(i => existing(i)._2 != messages(i).messageId))
         throw WrongExpectedVersionException(streamId, ExpectedVersion.NoStream)
@@ -115,14 +115,14 @@ final class JdbcStreamStore(
   /** Ref: InMemoryStream.AppendToStreamExpectedVersionAny (:105-137). */
   private def appendAny(streamId: String, head: HeadRow, messages: Seq[NewStreamMessage]): AppendResult = {
     if (messages.nonEmpty && head.version >= 0) {
-      val existing = existingIds(head)
-      val byId = existing.iterator.zipWithIndex.map { case (t, idx) => t._2 -> idx }.toMap
-      byId.get(messages.head.messageId) match {
-        case Some(i) =>
-          if (i + messages.length > existing.length) throw WrongExpectedVersionException(streamId, ExpectedVersion.Any)
+      val stored = storedVersions(head, messages.map(_.messageId))
+      stored.get(messages.head.messageId) match {
+        case Some(v0) =>
+          val slice = sliceFrom(head, v0, messages.length)
+          if (slice.length < messages.length) throw WrongExpectedVersionException(streamId, ExpectedVersion.Any)
           var n = 1
           while (n < messages.length) {
-            if (messages(n).messageId != existing(i + n)._2)
+            if (messages(n).messageId != slice(n)._2)
               throw WrongExpectedVersionException(streamId, ExpectedVersion.Any)
             n += 1
           }
@@ -130,7 +130,7 @@ final class JdbcStreamStore(
         case None =>
           // SQL backends raise WrongExpectedVersion on partial overlap
           // (EnforceIdempotentAppend.sql:12-39)
-          if (messages.exists(m => byId.contains(m.messageId)))
+          if (stored.nonEmpty)
             throw WrongExpectedVersionException(streamId, ExpectedVersion.Any)
       }
     }
@@ -142,8 +142,7 @@ final class JdbcStreamStore(
       streamId: String, head: HeadRow, expectedVersion: Int, messages: Seq[NewStreamMessage]): AppendResult = {
     if (expectedVersion > head.version) throw WrongExpectedVersionException(streamId, expectedVersion)
     if (head.version >= 0 && expectedVersion < head.version) {
-      val existing = existingIds(head)
-      val byVersion = existing.iterator.map(t => t._1 -> t._2).toMap
+      val byVersion = versionRange(head, expectedVersion + 1, expectedVersion + messages.length)
       messages.indices.foreach { i =>
         val v = expectedVersion + i + 1
         byVersion.get(v) match {
@@ -153,11 +152,9 @@ final class JdbcStreamStore(
       }
       AppendResult(head.version, head.position)
     } else {
-      if (head.version >= 0 && messages.nonEmpty) {
-        val ids = existingIds(head).map(_._2).toSet
-        if (messages.exists(m => ids.contains(m.messageId)))
-          throw WrongExpectedVersionException(streamId, expectedVersion)
-      }
+      if (head.version >= 0 && messages.nonEmpty &&
+          storedVersions(head, messages.map(_.messageId)).nonEmpty)
+        throw WrongExpectedVersionException(streamId, expectedVersion)
       appendEvents(streamId, head, messages)
     }
   }
@@ -235,12 +232,48 @@ final class JdbcStreamStore(
       }
   }
 
-  /** In-order (version, messageId) pairs stored for a stream — backs the
-    * idempotency replay checks (ref: EnforceIdempotentAppend.sql). */
-  private def existingIds(head: HeadRow): IndexedSeq[(Int, String)] =
-    query(s"SELECT stream_version, message_id FROM $MessagesTable WHERE stream_id_internal=? ORDER BY stream_version") {
+  // Idempotency replay checks (ref: EnforceIdempotentAppend.sql:12-39).
+  // All three lookups are bounded by the INCOMING batch size — O(batch)
+  // index probes, never an O(stream-length) replay of the full message
+  // list, so appending to a 10M-message stream costs the same as to a
+  // 10-message one (the reference gets the same property by inserting
+  // first and only replaying ids on constraint violation,
+  // AppendToStream.sql:100-151).
+
+  /** First `limit` (version, messageId) pairs in version order. */
+  private def firstIds(head: HeadRow, limit: Int): IndexedSeq[(Int, String)] =
+    if (limit <= 0) Vector.empty
+    else query(s"SELECT stream_version, message_id FROM $MessagesTable WHERE stream_id_internal=? ORDER BY stream_version FETCH FIRST $limit ROWS ONLY") {
       ps => ps.setLong(1, head.idInternal)
     } { rs => (rs.getInt(1), rs.getString(2)) }
+
+  /** `limit` (version, messageId) pairs starting at `fromVersion`, in
+    * version order — the stored run an exact-suffix replay must match. */
+  private def sliceFrom(head: HeadRow, fromVersion: Int, limit: Int): IndexedSeq[(Int, String)] =
+    if (limit <= 0) Vector.empty
+    else query(s"SELECT stream_version, message_id FROM $MessagesTable WHERE stream_id_internal=? AND stream_version >= ? ORDER BY stream_version FETCH FIRST $limit ROWS ONLY") {
+      ps => ps.setLong(1, head.idInternal); ps.setInt(2, fromVersion)
+    } { rs => (rs.getInt(1), rs.getString(2)) }
+
+  /** version -> messageId for stored versions in [lo, hi]. */
+  private def versionRange(head: HeadRow, lo: Int, hi: Int): Map[Int, String] =
+    if (hi < lo) Map.empty
+    else query(s"SELECT stream_version, message_id FROM $MessagesTable WHERE stream_id_internal=? AND stream_version BETWEEN ? AND ?") {
+      ps => ps.setLong(1, head.idInternal); ps.setInt(2, lo); ps.setInt(3, hi)
+    } { rs => rs.getInt(1) -> rs.getString(2) }.toMap
+
+  /** Which of `ids` are already stored in the stream → messageId ->
+    * stored version; point probes of the unique
+    * (stream_id_internal, message_id) index, IN-chunked so huge batches
+    * never overflow a statement. */
+  private def storedVersions(head: HeadRow, ids: Seq[String]): Map[String, Int] =
+    ids.distinct.grouped(IdProbeChunk).flatMap { chunk =>
+      val placeholders = Seq.fill(chunk.length)("?").mkString(",")
+      query(s"SELECT message_id, stream_version FROM $MessagesTable WHERE stream_id_internal=? AND message_id IN ($placeholders)") { ps =>
+        ps.setLong(1, head.idInternal)
+        chunk.zipWithIndex.foreach { case (id, i) => ps.setString(i + 2, id) }
+      } { rs => rs.getString(1) -> rs.getInt(2) }
+    }.toMap
 
   // ------------------------------------------------------------------
   // Reads (ref: ReadAll.sql, Read.sql, ReadonlyStreamStoreBase.cs)
@@ -641,11 +674,22 @@ final class JdbcStreamStore(
     if (n == 0) update(s"INSERT INTO $CountersTable (k, v) VALUES (?,?)") { ps => ps.setString(1, key); ps.setLong(2, v) }
   }
 
+  /** Schema version check (ref: `PostgresStreamStore.cs:127-137`,
+    * `CheckSchemaResult.cs`): the version stamped when this database's
+    * schema was created vs the version this code expects. Databases
+    * created before versioning report 0 — the stamp is written only at
+    * schema creation, never retro-stamped on reopen, so a mismatch
+    * faithfully means "migrate before using". */
+  def checkSchema(): CheckSchemaResult = synchronized {
+    CheckSchemaResult(readCounter(SchemaVersionKey, 0L).toInt, CurrentSchemaVersion)
+  }
+
   private def createSchema(): Unit = synchronized {
-    def ddl(sql: String): Unit = {
+    // returns true when this call created the object (vs already existed)
+    def ddl(sql: String): Boolean = {
       val st = conn.createStatement()
-      try st.executeUpdate(sql)
-      catch { case e: SQLException if e.getSQLState == "X0Y32" => () } // already exists
+      try { st.executeUpdate(sql); true }
+      catch { case e: SQLException if e.getSQLState == "X0Y32" => false } // already exists
       finally st.close()
     }
     // Two-table star + counters (ref: Tables.sql:4-47); id_internal is the
@@ -654,7 +698,7 @@ final class JdbcStreamStore(
     // VARCHAR(1000) original, PostgresqlStreamId.cs:14-27 — here sha-256,
     // the divergence SURVEY §2 row 32 documents), so arbitrarily-shaped
     // stream ids never overflow the primary-key index.
-    ddl(s"""CREATE TABLE $StreamsTable (
+    val fresh = ddl(s"""CREATE TABLE $StreamsTable (
            |  id VARCHAR(64) NOT NULL PRIMARY KEY,
            |  id_original VARCHAR(1000) NOT NULL,
            |  id_internal BIGINT NOT NULL,
@@ -673,10 +717,13 @@ final class JdbcStreamStore(
            |  json_data CLOB,
            |  json_metadata CLOB)""".stripMargin)
     ddl(s"CREATE UNIQUE INDEX ${MessagesTable}_sv ON $MessagesTable(stream_id_internal, stream_version)")
-    ddl(s"CREATE INDEX ${MessagesTable}_mid ON $MessagesTable(stream_id_internal, message_id)")
+    // unique, as the reference's uq_stream_id_internal_and_message_id
+    // (Tables.sql:45) — backs the O(batch) idempotency probes
+    ddl(s"CREATE UNIQUE INDEX ${MessagesTable}_mid ON $MessagesTable(stream_id_internal, message_id)")
     ddl(s"""CREATE TABLE $CountersTable (
            |  k VARCHAR(64) NOT NULL PRIMARY KEY,
            |  v BIGINT NOT NULL)""".stripMargin)
+    if (fresh) writeCounter(SchemaVersionKey, CurrentSchemaVersion.toLong)
     conn.commit()
   }
 
@@ -694,6 +741,20 @@ object JdbcStreamStore {
   private val StreamsTable = "graft_streams"
   private val MessagesTable = "graft_messages"
   private val CountersTable = "graft_counters"
+
+  /** Max ids per IN-list when probing stored message ids. */
+  private val IdProbeChunk = 256
+
+  /** Version this code writes when it creates a schema; bump on any DDL
+    * change (ref: `MsSqlStreamStoreV3` `CurrentVersion`). */
+  val CurrentSchemaVersion = 1
+  private val SchemaVersionKey = "schema_version"
+
+  /** Result of [[JdbcStreamStore.checkSchema]] (ref:
+    * `SqlStreamStore.Postgres/CheckSchemaResult.cs:5-16`). */
+  final case class CheckSchemaResult(currentVersion: Int, expectedVersion: Int) {
+    def isMatch: Boolean = currentVersion == expectedVersion
+  }
 
   private final case class HeadRow(
       streamId: String,

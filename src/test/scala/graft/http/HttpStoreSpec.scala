@@ -185,4 +185,58 @@ class HttpStoreSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(store.readMessageData("a", 1) === Some("""{"data":2}"""))
     assert(store.readMessageData("a", 99) === None)
   }
+
+  test("ETag + If-None-Match: conditional GET returns 304; caching headers match the HAL server") {
+    // ref: SqlStreamStore.HAL ETag.cs / CacheControl.cs / PageExtensions.cs
+    val http = java.net.http.HttpClient.newHttpClient()
+    def get(path: String, inm: Option[String] = None): java.net.http.HttpResponse[String] = {
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(server.baseUrl + path)).GET()
+      inm.foreach(b.header("If-None-Match", _))
+      http.send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+    }
+    def etagOf(r: java.net.http.HttpResponse[String]): String =
+      r.headers().firstValue("ETag").orElse("")
+
+    store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2, 3))
+
+    // head page of the all-stream: ETag = last position, no-cache
+    val feed = get("/stream?d=f&p=0&m=10")
+    assert(feed.statusCode() === 200)
+    assert(etagOf(feed) === "\"2\"")
+    assert(feed.headers().firstValue("Cache-Control").orElse("") === "max-age=0, no-cache, must-revalidate")
+    // replay with the validator → 304, no body
+    val cached = get("/stream?d=f&p=0&m=10", inm = Some(etagOf(feed)))
+    assert(cached.statusCode() === 304)
+    assert(cached.body() === "")
+    // a write invalidates: same request now has a new ETag and a body
+    store.appendToStream("a", ExpectedVersion.Any, msgs(4))
+    val refreshed = get("/stream?d=f&p=0&m=10", inm = Some(etagOf(feed)))
+    assert(refreshed.statusCode() === 200)
+    assert(etagOf(refreshed) === "\"3\"")
+
+    // interior (non-end) page: immutable → no ETag, cacheable for a year
+    val interior = get("/stream?d=f&p=0&m=2")
+    assert(etagOf(interior) === "")
+    assert(interior.headers().firstValue("Cache-Control").orElse("") === "max-age=31536000")
+
+    // stream page: version-based ETag
+    val sp = get("/streams/a?d=f&p=0&m=10")
+    assert(etagOf(sp) === "\"3\"")
+    assert(get("/streams/a?d=f&p=0&m=10", inm = Some("\"3\"")).statusCode() === 304)
+
+    // single message by version: immutable, one-year cache
+    val one = get("/streams/a/1")
+    assert(etagOf(one) === "\"1\"")
+    assert(one.headers().firstValue("Cache-Control").orElse("") === "max-age=31536000")
+    assert(get("/streams/a/1", inm = Some("\"1\"")).statusCode() === 304)
+
+    // metadata: ETag from the metadata stream version
+    store.setStreamMetadata("a", maxCount = Some(100))
+    val meta = get("/streams/a/metadata")
+    assert(etagOf(meta) === "\"0\"")
+    assert(get("/streams/a/metadata", inm = Some("\"0\"")).statusCode() === 304)
+
+    // a non-matching validator is ignored
+    assert(get("/streams/a/1", inm = Some("\"99\"")).statusCode() === 200)
+  }
 }

@@ -261,6 +261,69 @@ class JdbcStoreSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(store.readStreamForwards(longId).status === PageReadStatus.StreamNotFound)
   }
 
+  test("checkSchema stamps the version at creation and never restamps on reopen") {
+    assert(store.checkSchema() ===
+      JdbcStreamStore.CheckSchemaResult(JdbcStreamStore.CurrentSchemaVersion, JdbcStreamStore.CurrentSchemaVersion))
+    assert(store.checkSchema().isMatch)
+    store.appendToStream("s1", ExpectedVersion.NoStream, msgs(1))
+    store.close()
+
+    // simulate an older database: rewrite the stamped version out-of-band
+    val raw = java.sql.DriverManager.getConnection(url(dbDir))
+    try {
+      val st = raw.createStatement()
+      try st.executeUpdate("UPDATE graft_counters SET v=0 WHERE k='schema_version'")
+      finally st.close()
+    } finally raw.close()
+
+    store = new JdbcStreamStore(spark, url(dbDir), clock)
+    val r = store.checkSchema()
+    assert(r === JdbcStreamStore.CheckSchemaResult(0, JdbcStreamStore.CurrentSchemaVersion))
+    assert(!r.isMatch, "reopen must report, not silently restamp, an old schema")
+  }
+
+  test("per-append cost is flat in stream length (no O(stream) idempotency scan)") {
+    // Grow one stream to 50k messages, measuring the median single-append
+    // latency at ~1k and again at ~50k. The idempotency checks must be
+    // O(batch) index probes, so the two medians stay comparable; the old
+    // full-stream replay made every append at 50k a 50k-row scan.
+    var next = 0
+    def batch(n: Int): Seq[NewStreamMessage] = {
+      val b = (next until next + n).map(i =>
+        NewStreamMessage(mid(i), "t", s"""{"i":$i}"""))
+      next += n
+      b
+    }
+    def grow(target: Int): Unit =
+      while (next < target) store.appendToStream("big", ExpectedVersion.Any, batch(2000))
+    def medianAppendMs(n: Int): Double = {
+      val times = (0 until n).map { _ =>
+        val b = batch(1)
+        val t0 = System.nanoTime()
+        store.appendToStream("big", ExpectedVersion.Any, b)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      times(n / 2)
+    }
+    grow(1000)
+    val early = medianAppendMs(60)
+    grow(50000)
+    val late = medianAppendMs(60)
+    assert(store.readStreamHeadVersion("big") === next - 1)
+    // generous: pre-fix this ratio is ~50x (scan grows 50x), post-fix ~1x
+    assert(late < early * 10 + 1.0,
+      s"append latency grew with stream length: ${early}ms at 1k vs ${late}ms at 50k")
+    // idempotent replay of an interior run is still detected at 50k
+    val r = store.appendToStream("big", ExpectedVersion.Any,
+      (25000 until 25003).map(i => NewStreamMessage(mid(i), "t", s"""{"i":$i}""")))
+    assert(r.currentVersion === next - 1)
+    // and partial overlap still conflicts
+    intercept[WrongExpectedVersionException] {
+      store.appendToStream("big", ExpectedVersion.Any,
+        Seq(NewStreamMessage(mid(30000), "t", "{}"), NewStreamMessage(mid(next + 5), "t", "{}")))
+    }
+  }
+
   test("system stream ids are rejected at the write surface") {
     intercept[IllegalArgumentException] {
       store.appendToStream("$sys", ExpectedVersion.Any, msgs(1))
