@@ -1,0 +1,281 @@
+package graft.store
+
+import java.sql.{Connection, DriverManager, PreparedStatement, ResultSet, SQLException}
+
+/** Driver-side head state of one stream (the reference's denormalized
+  * `streams` row, `SqlStreamStore.Postgres/PgSqlScripts/Tables.sql:4-15`).
+  * Fields are mutated in place on append/metadata; every mutation site
+  * follows with [[HeadStore.persist]] so spilling stores stay current. */
+private[store] final class Head(
+    val idInternal: Long,
+    @volatile var version: Int,
+    @volatile var position: Long,
+    @volatile var maxAge: Option[Int],
+    @volatile var maxCount: Option[Int])
+
+/** Storage of the per-stream head index: streamId -> [[Head]] plus the
+  * creation-order (idInternal) index that keyset-paged listing seeks.
+  *
+  * Two implementations: [[InMemoryHeadStore]] (the default — O(streams)
+  * driver memory, honest ceiling ~10 GB at 100M streams) and
+  * [[DerbyHeadStore]] (bounded: a write-through LRU over an embedded
+  * Derby table, so driver memory is O(cache) + Derby's own page cache
+  * regardless of stream cardinality — the reference's architecture,
+  * where the RDBMS owned the `streams` table). Durability is NOT this
+  * layer's job: the heads journal remains the recovery source; a spilled
+  * store is rebuilt from it on open.
+  *
+  * All calls happen under the owning store's lock — implementations need
+  * no internal synchronization. */
+private[store] trait HeadStore extends AutoCloseable {
+  def get(id: String): Option[Head]
+  def contains(id: String): Boolean = get(id).isDefined
+
+  /** Insert a NEW stream's head (also indexes its idInternal). */
+  def putNew(id: String, h: Head): Unit
+
+  /** Insert-or-replace (recovery replay: last writer wins). */
+  def upsert(id: String, h: Head): Unit
+
+  /** Write through after in-place field mutation of a [[Head]] obtained
+    * from [[get]]. No-op for the in-memory store. */
+  def persist(id: String, h: Head): Unit
+
+  def remove(id: String): Option[Head]
+
+  /** (idInternal, streamId) pairs with idInternal strictly greater than
+    * `afterIdInternal`, ascending — the keyset-listing seek. */
+  def iteratorFrom(afterIdInternal: Long): Iterator[(Long, String)]
+
+  /** Every (streamId, head), no particular order; must be memory-bounded
+    * for spilling implementations (streamed, not materialized). */
+  def iterator: Iterator[(String, Head)]
+
+  def size: Long
+  def close(): Unit
+}
+
+/** The default head store: two in-memory maps, exactly the pre-round-5
+  * driver state (~100 B per stream). */
+private[store] final class InMemoryHeadStore extends HeadStore {
+  private val heads = scala.collection.mutable.HashMap.empty[String, Head]
+  private val index = scala.collection.mutable.TreeMap.empty[Long, String]
+
+  override def get(id: String): Option[Head] = heads.get(id)
+  override def putNew(id: String, h: Head): Unit = { heads.put(id, h); index.put(h.idInternal, id) }
+  override def upsert(id: String, h: Head): Unit = {
+    heads.put(id, h).foreach(old => if (old.idInternal != h.idInternal) index.remove(old.idInternal))
+    index.put(h.idInternal, id)
+  }
+  override def persist(id: String, h: Head): Unit = ()
+  override def remove(id: String): Option[Head] = {
+    val old = heads.remove(id)
+    old.foreach(h => index.remove(h.idInternal))
+    old
+  }
+  override def iteratorFrom(afterIdInternal: Long): Iterator[(Long, String)] =
+    index.iteratorFrom(afterIdInternal + 1)
+  override def iterator: Iterator[(String, Head)] = heads.iterator
+  override def size: Long = heads.size.toLong
+  override def close(): Unit = ()
+}
+
+/** Bounded head store: all heads live in an embedded Derby table (point
+  * lookups and idInternal-ordered scans via its indexes); a write-through
+  * LRU of `cacheCapacity` hot entries absorbs repeated lookups. Driver
+  * memory no longer grows with stream count — the round-4 verdict's last
+  * O(streams) structural limit.
+  *
+  * The database is scratch state (rebuilt by journal recovery on every
+  * open), so writes batch-commit every [[DerbyHeadStore.CommitEvery]]
+  * mutations instead of per-operation — reads on the same connection see
+  * uncommitted writes, and a crash simply discards the scratch db. */
+private[store] final class DerbyHeadStore(dbDir: String, cacheCapacity: Int) extends HeadStore {
+  import DerbyHeadStore._
+  require(cacheCapacity > 0, "cacheCapacity must be positive")
+
+  private val jdbcUrl = s"jdbc:derby:$dbDir/headsdb;create=true"
+  private val conn: Connection = {
+    JdbcStreamStore.ensureDerbyHome()
+    val c = DriverManager.getConnection(jdbcUrl)
+    c.setAutoCommit(false)
+    c
+  }
+  createSchema()
+  private var mutationsSinceCommit = 0
+  private var count = 0L
+
+  /** Access-ordered LRU; entries are clean (write-through), so eviction
+    * is a plain drop. */
+  private val cache = new java.util.LinkedHashMap[String, Head](cacheCapacity, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, Head]): Boolean =
+      this.size() > cacheCapacity
+  }
+
+  /** Hot entries currently resident (test/diagnostic surface). */
+  def cachedEntries: Int = cache.size()
+
+  override def get(id: String): Option[Head] = {
+    val hit = cache.get(id)
+    if (hit != null) return Some(hit)
+    val loaded = query(s"SELECT id_internal, version, position, max_age, max_count FROM $Table WHERE id=?") {
+      _.setString(1, id)
+    } { rs =>
+      new Head(rs.getLong(1), rs.getInt(2), rs.getLong(3), optInt(rs, 4), optInt(rs, 5))
+    }.headOption
+    loaded.foreach(cache.put(id, _))
+    loaded
+  }
+
+  override def putNew(id: String, h: Head): Unit = {
+    update(s"INSERT INTO $Table (id, id_internal, version, position, max_age, max_count) VALUES (?,?,?,?,?,?)") { ps =>
+      bind(ps, id, h)
+    }
+    count += 1
+    cache.put(id, h)
+    maybeCommit()
+  }
+
+  override def upsert(id: String, h: Head): Unit = {
+    val deleted = update(s"DELETE FROM $Table WHERE id=?")(_.setString(1, id))
+    if (deleted == 0) count += 1
+    update(s"INSERT INTO $Table (id, id_internal, version, position, max_age, max_count) VALUES (?,?,?,?,?,?)") { ps =>
+      bind(ps, id, h)
+    }
+    cache.put(id, h)
+    maybeCommit()
+  }
+
+  override def persist(id: String, h: Head): Unit = {
+    update(s"UPDATE $Table SET version=?, position=?, max_age=?, max_count=? WHERE id=?") { ps =>
+      ps.setInt(1, h.version); ps.setLong(2, h.position)
+      setOptInt(ps, 3, h.maxAge); setOptInt(ps, 4, h.maxCount)
+      ps.setString(5, id)
+    }
+    maybeCommit()
+  }
+
+  override def remove(id: String): Option[Head] = {
+    val old = get(id)
+    if (old.isDefined) {
+      update(s"DELETE FROM $Table WHERE id=?")(_.setString(1, id))
+      count -= 1
+      cache.remove(id)
+      maybeCommit()
+    }
+    old
+  }
+
+  /** Lazily-paged index scan: one FETCH FIRST query per [[PageSize]]
+    * consumed rows, so deep listing never materializes the table. */
+  override def iteratorFrom(afterIdInternal: Long): Iterator[(Long, String)] =
+    new Iterator[(Long, String)] {
+      private var after = afterIdInternal
+      private var page: IndexedSeq[(Long, String)] = fetch()
+      private var i = 0
+      private def fetch(): IndexedSeq[(Long, String)] =
+        query(s"SELECT id_internal, id FROM $Table WHERE id_internal > ? ORDER BY id_internal FETCH FIRST $PageSize ROWS ONLY") {
+          _.setLong(1, after)
+        } { rs => (rs.getLong(1), rs.getString(2)) }
+      override def hasNext: Boolean = {
+        if (i < page.length) return true
+        if (page.length < PageSize) return false // short page = exhausted
+        after = page.last._1
+        page = fetch(); i = 0
+        page.nonEmpty
+      }
+      override def next(): (Long, String) = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = page(i); i += 1; r
+      }
+    }
+
+  override def iterator: Iterator[(String, Head)] =
+    iteratorFrom(-1L).map { case (_, id) =>
+      // per-row point lookup through the cache keeps memory flat; the
+      // (id) probe is index-backed
+      id -> get(id).getOrElse(throw new IllegalStateException(s"head vanished mid-scan: $id"))
+    }
+
+  override def size: Long = count
+
+  override def close(): Unit = {
+    try { conn.commit(); conn.close() } catch { case _: SQLException => () }
+    try DriverManager.getConnection(jdbcUrl.takeWhile(_ != ';') + ";shutdown=true")
+    catch { case e: SQLException if e.getSQLState == "08006" => () case _: SQLException => () }
+    // scratch state: recovery rebuilds it from the journal, so reclaim disk
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(dbDir))
+  }
+
+  // --- plumbing (same shapes as JdbcStreamStore's helpers) ---
+
+  private def maybeCommit(): Unit = {
+    mutationsSinceCommit += 1
+    if (mutationsSinceCommit >= CommitEvery) {
+      conn.commit()
+      mutationsSinceCommit = 0
+    }
+  }
+
+  private def bind(ps: PreparedStatement, id: String, h: Head): Unit = {
+    ps.setString(1, id); ps.setLong(2, h.idInternal); ps.setInt(3, h.version)
+    ps.setLong(4, h.position); setOptInt(ps, 5, h.maxAge); setOptInt(ps, 6, h.maxCount)
+  }
+
+  private def optInt(rs: ResultSet, idx: Int): Option[Int] = {
+    val v = rs.getInt(idx); if (rs.wasNull()) None else Some(v)
+  }
+
+  private def setOptInt(ps: PreparedStatement, idx: Int, v: Option[Int]): Unit =
+    v match {
+      case Some(x) => ps.setInt(idx, x)
+      case None => ps.setNull(idx, java.sql.Types.INTEGER)
+    }
+
+  private def query[T](sql: String)(bindArgs: PreparedStatement => Unit)(read: ResultSet => T): IndexedSeq[T] = {
+    val ps = conn.prepareStatement(sql)
+    try {
+      bindArgs(ps)
+      val rs = ps.executeQuery()
+      try {
+        val buf = Vector.newBuilder[T]
+        while (rs.next()) buf += read(rs)
+        buf.result()
+      } finally rs.close()
+    } finally ps.close()
+  }
+
+  private def update(sql: String)(bindArgs: PreparedStatement => Unit): Int = {
+    val ps = conn.prepareStatement(sql)
+    try { bindArgs(ps); ps.executeUpdate() } finally ps.close()
+  }
+
+  private def createSchema(): Unit = {
+    def ddl(sql: String): Unit = {
+      val st = conn.createStatement()
+      try st.executeUpdate(sql)
+      catch { case e: SQLException if e.getSQLState == "X0Y32" => () }
+      finally st.close()
+    }
+    ddl(s"""CREATE TABLE $Table (
+           |  id VARCHAR(1000) NOT NULL PRIMARY KEY,
+           |  id_internal BIGINT NOT NULL,
+           |  version INT NOT NULL,
+           |  position BIGINT NOT NULL,
+           |  max_age INT,
+           |  max_count INT)""".stripMargin)
+    ddl(s"CREATE UNIQUE INDEX ${Table}_internal ON $Table(id_internal)")
+    conn.commit()
+    count = query(s"SELECT COUNT(*) FROM $Table")(_ => ())(_.getLong(1)).head
+  }
+}
+
+private[store] object DerbyHeadStore {
+  private val Table = "graft_heads"
+  private val PageSize = 1024
+  private val CommitEvery = 1024
+}

@@ -779,7 +779,7 @@ object JdbcStreamStore {
   /** Derby writes `derby.log` into `derby.system.home`; default it to the
     * JVM temp dir so embedded databases never litter the working tree.
     * Called before the first connection is opened. */
-  private def ensureDerbyHome(): Unit =
+  private[store] def ensureDerbyHome(): Unit =
     if (System.getProperty("derby.system.home") == null)
       System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
 }

@@ -80,7 +80,8 @@ final class SparkStreamStore(
     maxCachedChain: Int = 100000,
     autoCompactEvery: Int = 0, // >0: background-compact after that many flushed log segments
     flushEveryRows: Int = 4096, // group-commit window: flush the memtable to a parquet segment after this many buffered rows...
-    flushEveryBytes: Long = 32L << 20) // ...or this many buffered payload bytes, whichever comes first
+    flushEveryBytes: Long = 32L << 20, // ...or this many buffered payload bytes, whichever comes first
+    headCacheCapacity: Int = 0) // >0: bound driver head memory to an LRU of this many hot heads over an embedded Derby spill (0 = all heads in memory)
   extends StreamStore {
 
   import SparkStreamStore._
@@ -126,26 +127,23 @@ final class SparkStreamStore(
   private var memtableBytes = 0L
   private var walOut: Option[org.apache.hadoop.fs.FSDataOutputStream] = None
 
-  /** Driver-side head state per stream (ref: denormalized `streams` table,
-    * `SqlStreamStore.Postgres/PgSqlScripts/Tables.sql:4-15`). */
-  private final class Head(
-      val idInternal: Long,
-      @volatile var version: Int,
-      @volatile var position: Long,
-      @volatile var maxAge: Option[Int],
-      @volatile var maxCount: Option[Int])
-
-  private val heads = mutable.LinkedHashMap.empty[String, Head]
-  /** Creation-order index (idInternal -> streamId) for keyset-paged
-    * listing: [[listStreams]] seeks the continuation token in O(log n)
-    * and scans forward one page, instead of materializing + sorting every
-    * head per call. Driver head state is O(streams) memory (~100 B each;
-    * 100M streams ≈ 10 GB — the single-writer driver is the streams-table
-    * owner, as the RDBMS was in the reference); beyond that, the heads
-    * journal already persists every row, so a spill-to-journal cache is
-    * the named extension point, and [[streamsDF]] is the unbounded-scale
-    * listing surface. */
-  private val headsIndex = mutable.TreeMap.empty[Long, String]
+  /** Driver-side head state per stream ([[Head]] — ref: denormalized
+    * `streams` table, `SqlStreamStore.Postgres/PgSqlScripts/Tables.sql:4-15`)
+    * behind the [[HeadStore]] interface, which also carries the
+    * creation-order (idInternal) index that [[listStreams]] seeks in
+    * O(log n) per page. Default is all-in-memory (~100 B each; 100M
+    * streams ≈ 10 GB — the single-writer driver is the streams-table
+    * owner, as the RDBMS was in the reference). With
+    * `headCacheCapacity > 0` heads spill to an embedded Derby table with
+    * an LRU of hot entries, so driver memory is flat in stream
+    * cardinality; the heads journal stays the durability story either way
+    * (the spill db is scratch, rebuilt by recovery), and [[streamsDF]] is
+    * the distributed listing surface. */
+  private val heads: HeadStore =
+    if (headCacheCapacity > 0)
+      new DerbyHeadStore(
+        java.nio.file.Files.createTempDirectory("graft-heads").toString, headCacheCapacity)
+    else new InMemoryHeadStore
   private var nextPosition: Long = Position.Start
   private var nextIdInternal: Long = 0L
 
@@ -217,16 +215,15 @@ final class SparkStreamStore(
 
     expectedVersion match {
       case ExpectedVersion.Any | ExpectedVersion.NoStream =>
-        val head = heads.getOrElse(streamId, {
+        val head = heads.get(streamId).getOrElse {
           val h = createHead(streamId)
-          heads.put(streamId, h)
-          headsIndex.put(h.idInternal, streamId)
+          heads.putNew(streamId, h)
           h
-        })
+        }
         if (expectedVersion == ExpectedVersion.NoStream) appendNoStream(streamId, head, messages)
         else appendAny(streamId, head, messages)
       case _ => // EmptyStream (-1) or exact version >= 0: stream must exist
-        val head = heads.getOrElse(streamId, throw WrongExpectedVersionException(streamId, expectedVersion))
+        val head = heads.get(streamId).getOrElse(throw WrongExpectedVersionException(streamId, expectedVersion))
         appendExpectedVersion(streamId, head, expectedVersion, messages)
     }
   }
@@ -336,6 +333,7 @@ final class SparkStreamStore(
       }
       head.version += messages.length
       head.position = base + messages.length - 1
+      heads.persist(streamId, head)
       nextPosition = base + messages.length
       dirtyStreams += streamId
       if (streamId.startsWith("$$")) applyMetadataToTarget(streamId.drop(2))
@@ -753,7 +751,7 @@ final class SparkStreamStore(
     if (hadMeta) streamTombs(metaId) = math.max(streamTombs.getOrElse(metaId, -1L), asOf)
     writeJournal(Nil, Seq(streamId) ++ (if (hadMeta) Seq(metaId) else Nil))
     Seq(streamId, metaId).foreach { id =>
-      heads.remove(id).foreach(h => headsIndex.remove(h.idInternal))
+      heads.remove(id)
       cutoffs.remove(id); pendingCutoffs.remove(id)
       idChains.remove(id); dirtyStreams -= id
     }
@@ -822,7 +820,7 @@ final class SparkStreamStore(
       fs.delete(new HPath(tombstonesDir), true)
       streamTombs.clear(); msgTombs.clear(); cutoffs.clear(); pendingCutoffs.clear()
       filesSinceCompact = 0
-      writeJournal(heads.keys.toSeq, Nil, pruneBelow = true)
+      writeJournalSquash()
     } finally wl.unlock()
   }
 
@@ -874,6 +872,7 @@ final class SparkStreamStore(
       heads.get(targetStreamId).foreach { h =>
         h.maxAge = m.maxAge
         h.maxCount = m.maxCount
+        heads.persist(targetStreamId, h)
         dirtyStreams += targetStreamId
       }
     }
@@ -910,7 +909,7 @@ final class SparkStreamStore(
       case Pattern.StartsWith(p) => (id: String) => id.startsWith(p)
       case Pattern.EndsWith(p) => (id: String) => id.endsWith(p)
     }
-    val matching = headsIndex.iteratorFrom(afterId + 1)
+    val matching = heads.iteratorFrom(afterId)
       .filter { case (_, id) => matches(id) }
       .take(maxCount)
       .toSeq
@@ -969,40 +968,56 @@ final class SparkStreamStore(
   /** Journal head rows for `ids` (current state) and `deletedIds`
     * (removal markers). Every line carries the position watermark so
     * recovery can tail-scan only the log above it. */
-  private def writeJournal(ids: Seq[String], deletedIds: Seq[String], pruneBelow: Boolean = false): Unit = {
+  private def writeJournal(ids: Seq[String], deletedIds: Seq[String]): Unit = {
+    val rows = ids.iterator.flatMap(id => heads.get(id).map(h => (id, Some(h)))) ++
+      deletedIds.iterator.map(id => (id, Option.empty[Head]))
+    writeJournalRows(rows, pruneBelow = false)
+    dirtyStreams --= ids
+  }
+
+  /** Full-journal squash (compact): stream EVERY live head into one new
+    * journal file and prune older files — O(1) driver memory via the
+    * [[HeadStore]] iterator, never a materialized all-heads list. */
+  private def writeJournalSquash(): Unit = {
+    writeJournalRows(heads.iterator.map { case (id, h) => (id, Some(h)) }, pruneBelow = true)
+    dirtyStreams.clear()
+  }
+
+  private def writeJournalRows(rows: Iterator[(String, Option[Head])], pruneBelow: Boolean): Unit = {
     flushPendingCutoffs() // persistence rides the journal cadence
-    val rows = ids.flatMap(id => heads.get(id).map(h => (id, Some(h)))) ++
-      deletedIds.map(id => (id, None))
     if (rows.isEmpty && !pruneBelow) { appendsSinceJournal = 0; return }
     val first = journalSeq
-    val sb = new StringBuilder
-    rows.foreach { case (id, headOpt) =>
-      val node = Mapper.createObjectNode()
-      node.put("seq", journalSeq); journalSeq += 1
-      node.put("streamId", id)
-      node.put("nextPosition", nextPosition)
-      headOpt match {
-        case Some(h) =>
-          node.put("idInternal", h.idInternal)
-          node.put("version", h.version)
-          node.put("position", h.position)
-          h.maxAge.foreach(node.put("maxAge", _))
-          h.maxCount.foreach(node.put("maxCount", _))
-          node.put("deleted", false)
-        case None =>
-          node.put("deleted", true)
-      }
-      sb.append(Mapper.writeValueAsString(node)).append('\n')
-    }
     val path = new HPath(journalDir, f"journal-$first%020d.json")
-    writeTextFile(path, sb.toString)
+    val out = writeFs.create(path, false)
+    try {
+      val buffered = new java.io.BufferedOutputStream(out, 1 << 16)
+      rows.foreach { case (id, headOpt) =>
+        val node = Mapper.createObjectNode()
+        node.put("seq", journalSeq); journalSeq += 1
+        node.put("streamId", id)
+        node.put("nextPosition", nextPosition)
+        headOpt match {
+          case Some(h) =>
+            node.put("idInternal", h.idInternal)
+            node.put("version", h.version)
+            node.put("position", h.position)
+            h.maxAge.foreach(node.put("maxAge", _))
+            h.maxCount.foreach(node.put("maxCount", _))
+            node.put("deleted", false)
+          case None =>
+            node.put("deleted", true)
+        }
+        buffered.write(Mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
+        buffered.write('\n')
+      }
+      buffered.flush()
+    } finally out.close()
     if (pruneBelow && fs.exists(new HPath(journalDir))) {
       fs.listStatus(new HPath(journalDir)).foreach { st =>
         if (st.getPath.getName < path.getName) fs.delete(st.getPath, false)
       }
     }
     appendsSinceJournal = 0
-    dirtyStreams --= ids
   }
 
   private def writeTextFile(path: HPath, content: String): Unit = {
@@ -1099,7 +1114,7 @@ final class SparkStreamStore(
     * that stream. Pure driver state; persisted with the next journal
     * flush like any other pending cutoff. */
   private def reapplyCutoffs(): Unit =
-    heads.foreach { case (id, h) =>
+    heads.iterator.foreach { case (id, h) =>
       h.maxCount.foreach { mc =>
         val cutoff = h.version - mc
         if (cutoff >= 0 && cutoffs.get(id).forall(_._1 < cutoff)) {
@@ -1108,6 +1123,30 @@ final class SparkStreamStore(
         }
       }
     }
+
+  /** Streamed per-line visit of a JSON-lines directory in file-name order
+    * (bounded memory — the journal can be as big as the stream count). */
+  private def foreachJsonLine(dir: HPath)(f: com.fasterxml.jackson.databind.JsonNode => Unit): Unit = {
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).sortBy(_.getPath.getName).foreach { st =>
+      val in = fs.open(st.getPath)
+      try {
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+        var line = reader.readLine()
+        while (line != null) {
+          if (line.nonEmpty) {
+            // tolerate a torn tail line, but never swallow f's own errors
+            val node =
+              try Some(Mapper.readTree(line))
+              catch { case _: Throwable => None }
+            node.foreach(f)
+          }
+          line = reader.readLine()
+        }
+      } finally in.close()
+    }
+  }
 
   private def listJsonLines(dir: HPath): Seq[com.fasterxml.jackson.databind.JsonNode] = {
     if (!fs.exists(dir)) return Nil
@@ -1140,27 +1179,24 @@ final class SparkStreamStore(
       }
     }
 
-  private def loadJournal(): Unit = {
-    val lines = listJsonLines(new HPath(journalDir)).sortBy(_.get("seq").asLong)
-    if (lines.isEmpty) return
-    val last = mutable.Map.empty[String, com.fasterxml.jackson.databind.JsonNode]
-    lines.foreach { n =>
+  private def loadJournal(): Unit =
+    // Stream the journal in seq order (file names sort by first-seq, lines
+    // within a file are seq-ordered), upserting as we go: last writer wins
+    // per stream without materializing a map of the whole journal — keeps
+    // recovery memory flat when heads are spilled.
+    foreachJsonLine(new HPath(journalDir)) { n =>
       journalSeq = math.max(journalSeq, n.get("seq").asLong + 1)
       nextPosition = math.max(nextPosition, n.get("nextPosition").asLong)
       val idi = n.get("idInternal")
       if (idi != null) nextIdInternal = math.max(nextIdInternal, idi.asLong + 1)
-      last(n.get("streamId").asText) = n
-    }
-    last.toSeq
-      .filterNot(_._2.get("deleted").asBoolean)
-      .sortBy(_._2.get("idInternal").asLong)
-      .foreach { case (id, n) =>
+      val id = n.get("streamId").asText
+      if (n.get("deleted").asBoolean) { heads.remove(id); () }
+      else {
         def optInt(f: String) = Option(n.get(f)).filterNot(_.isNull).map(_.asInt)
-        heads.put(id, new Head(n.get("idInternal").asLong, n.get("version").asInt,
+        heads.upsert(id, new Head(idi.asLong, n.get("version").asInt,
           n.get("position").asLong, optInt("maxAge"), optInt("maxCount")))
-        headsIndex.put(n.get("idInternal").asLong, id)
       }
-  }
+    }
 
   /** Fold log rows above the journal watermark into the head state: heads
     * journaled on every rare mutation + every `journalEvery` appends, so
@@ -1206,10 +1242,10 @@ final class SparkStreamStore(
           case Some(h) =>
             h.version = math.max(h.version, v)
             h.position = math.max(h.position, p)
+            heads.persist(id, h)
             dirtyStreams += id // journal is stale for this head until re-written
           case None =>
-            heads.put(id, new Head(nextIdInternal, v, p, None, None))
-            headsIndex.put(nextIdInternal, id)
+            heads.putNew(id, new Head(nextIdInternal, v, p, None, None))
             nextIdInternal += 1
             created += id
             dirtyStreams += id // never journaled; keep the journal-completeness invariant
@@ -1232,7 +1268,10 @@ final class SparkStreamStore(
         .foreach { r =>
           val target = r.getString(0).drop(2)
           val m = MetadataJson.read(r.getString(1))
-          heads.get(target).foreach { h => h.maxAge = m.maxAge; h.maxCount = m.maxCount }
+          heads.get(target).foreach { h =>
+            h.maxAge = m.maxAge; h.maxCount = m.maxCount
+            heads.persist(target, h)
+          }
         }
     }
   }
@@ -1253,6 +1292,7 @@ final class SparkStreamStore(
       writeJournal(dirtyStreams.toSeq, Nil) // also flushes pending cutoffs
       walOut.foreach(_.close())
       walOut = None
+      heads.close() // drops the Derby spill scratch db, if any
       writeFs.close()
     }
   }
