@@ -543,6 +543,59 @@ object SparkEntry {
   }
 
   // ==================================================================
+  // Training-pipeline operators (round 5): as-of join, deterministic
+  // sampling, sequence packing — all integer/hash arithmetic or exact
+  // value carry, so every gate has a closed-form DuckDB twin (as-of
+  // uses DuckDB's native ASOF JOIN as the oracle).
+  // ==================================================================
+
+  import graft.operators.{AsOfJoin, Packing, Sampling}
+
+  /** As-of join (AsOfJoin.asOf): each event annotated with the user's
+    * most recent purchase value at or before the event. Timestamps are
+    * pre-floored to micros on the Spark side so the comparison domain
+    * matches DuckDB's micros read of the nanos parquet column; the right
+    * side is pre-aggregated to one row per (user, ts) as the operator
+    * requires. Nulls are coalesced to -1 for a stable compare. */
+  private def asofJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", EventTimeOps.floorDivMicros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts_us").agg(max("value").as("pvalue"))
+    AsOfJoin.asOf(
+        ev.select("event_id", "user_id", "ts_us"), purchases,
+        keys = Seq("user_id"), leftTs = "ts_us", rightTs = "ts_us",
+        payload = Seq("pvalue"))
+      .select(
+        col("event_id"), col("user_id"),
+        coalesce(col("asof_pvalue"), lit(-1.0)).as("last_purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** Deterministic split assignment (Sampling.deterministicSplit):
+    * per-language row counts of the 80/10/10 md5-bucket split. */
+  private def sampleSplitCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        Sampling.deterministicSplit(col("doc_id"), "v1", trainPct = 80, valPct = 10).as("split"))
+      .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split")
+
+  /** Stratified quota sample (Sampling.stratifiedSample): exactly 50
+    * docs per language, chosen by salted-md5 order. */
+  private def stratifiedSampleQuery(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", perStratum = 50)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  /** Sequence packing (Packing.binStats): 4096-char bins over chunks of
+    * 100 consecutive doc ids, reported as per-bin utilization. */
+  private def packSequences(s: SparkSession, dir: String): DataFrame =
+    Packing.binStats(t(s, dir, "documents"), "doc_id", "n_chars",
+        budget = 4096L, chunkSize = 100L)
+      .orderBy("bin")
+
+  // ==================================================================
   // Registry
   // ==================================================================
 
@@ -585,6 +638,10 @@ object SparkEntry {
     "streaming_dedup" -> streamingDedup _,
     "running_totals" -> runningTotals _,
     "session_state_batch" -> sessionStateBatch _,
+    "asof_join" -> asofJoinQuery _,
+    "sample_split_counts" -> sampleSplitCounts _,
+    "stratified_sample" -> stratifiedSampleQuery _,
+    "pack_sequences" -> packSequences _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_top_revenue" -> q3TopRevenue _,
     "q5_nation_revenue" -> q5NationRevenue _,
@@ -948,5 +1005,48 @@ object SparkEntry {
                  count(*) AS n_events, CAST(sum(vm) AS BIGINT) AS sum_value_micros
           FROM s GROUP BY user_id, sid
           ORDER BY user_id, session_start_us""",
+    "asof_join" ->
+      // DuckDB's native ASOF JOIN is the oracle for AsOfJoin.asOf; both
+      // sides compare in the micros domain, right side deduped per
+      // (user, ts) with max(value) exactly as the Spark query does
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS tus, max(value) AS pvalue
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id,
+                coalesce(p.pvalue, -1.0) AS last_purchase_value
+         FROM events e ASOF LEFT JOIN p
+           ON e.user_id = p.user_id AND epoch_us(e.ts) >= p.tus
+         ORDER BY e.event_id""",
+    "sample_split_counts" ->
+      // the same salted-md5 bucket arithmetic as Sampling.hashBucket
+      """WITH b AS (SELECT lang,
+                           ('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 100 AS bucket
+                    FROM documents)
+         SELECT lang,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*) AS n
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stratified_sample" ->
+      """WITH ranked AS (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         SELECT doc_id, lang FROM ranked WHERE rn <= 50 ORDER BY doc_id""",
+    "pack_sequences" ->
+      // Packing.assignBins: chunked cumulative fill, bin of each row's
+      // END; bin id = chunk * 2^32 + binInChunk
+      """WITH c AS (
+           SELECT doc_id, n_chars, doc_id // 100 AS chunk,
+                  sum(n_chars) OVER (PARTITION BY doc_id // 100 ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+           FROM documents)
+         SELECT CAST(chunk * 4294967296 + (cum - 1) // 4096 AS BIGINT) AS bin,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_cost,
+                min(doc_id) AS first_id, max(doc_id) AS last_id
+         FROM c GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines: train/val/test
+  * splits and per-stratum quota sampling that are (a) reproducible
+  * across runs and engines — the hash is md5 over the row's own id, so
+  * any engine computes the same assignment — and (b) fully distributed:
+  * split assignment is a stateless projection (codegen'd, no shuffle);
+  * stratified sampling is one shuffle on the stratum key.
+  *
+  * Random `sample()`/`rand()` would be none of that: not reproducible
+  * across engines, not stable under repartitioning, and un-oracle-able.
+  * Salted md5 keeps assignments independent across salts (changing the
+  * salt redraws every split) while each salt's assignment is a pure
+  * function of the id — the standard trick for holdout splits that must
+  * never leak when the corpus is re-sharded or appended to.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the salted md5 of `id` — the
+    * first 8 hex chars as an integer. Stateless and codegen'd; identical
+    * in any engine with md5 (DuckDB: `('0x' || substr(md5(..),1,8))::BIGINT`). */
+  def hashBucket(id: Column, salt: String, buckets: Int = 100): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Split label ("train" / "val" / "test") for an id, with the given
+    * percentages (test takes the remainder). A projection — no shuffle,
+    * no state; appending new rows never reassigns existing ids. */
+  def deterministicSplit(
+      id: Column, salt: String,
+      trainPct: Int = 90, valPct: Int = 5): Column = {
+    require(trainPct + valPct <= 100, "train + val must leave room for test")
+    val b = hashBucket(id, salt)
+    when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test")
+  }
+
+  /** Exactly `perStratum` rows per stratum (fewer if the stratum is
+    * smaller), chosen by hash order so the choice is deterministic and
+    * unbiased. One shuffle on the stratum key; the window never holds
+    * more than a partition's sort run — at 100 TB this is the same cost
+    * shape as any per-key top-k (and a skewed stratum can be pre-split
+    * by hash range, since hash order is arbitrary). */
+  def stratifiedSample(
+      df: DataFrame, strataCol: String, idCol: String,
+      perStratum: Int, salt: String = "strat"): DataFrame = {
+    val w = Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))).asc, col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= perStratum)
+      .drop("_rn")
+  }
+}

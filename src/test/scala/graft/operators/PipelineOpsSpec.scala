@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks for the round-5 training-pipeline operators: as-of
+  * join (tie/null/multi-key semantics the gate's aggregate view can't
+  * isolate), deterministic sampling (partitioning-invariance — the
+  * property that justifies hash order over rand()), and sequence packing
+  * (boundary and oversized-row cases). */
+class PipelineOpsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // --- AsOfJoin ---
+
+  test("asOf attaches the latest right row at or before each left time") {
+    val left = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 5L), (4L, "b", 10L))
+      .toDF("id", "k", "ts")
+    val right = Seq(("a", 10L, 1.0), ("a", 15L, 2.0), ("b", 11L, 9.0))
+      .toDF("k", "rts", "v")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts", Seq("v"))
+      .select("id", "asof_v").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) === Some(1.0)) // tie: right at exactly ts IS visible
+    assert(out(2L) === Some(2.0)) // latest of the two earlier rows
+    assert(out(3L) === None)      // nothing at or before ts=5
+    assert(out(4L) === None)      // per-key isolation: b's purchase is later
+  }
+
+  test("asOf carries multiple payload columns and composite keys") {
+    val left = Seq((1L, "a", 1, 100L), (2L, "a", 2, 100L)).toDF("id", "k1", "k2", "ts")
+    val right = Seq(("a", 1, 50L, "x", 7L)).toDF("k1", "k2", "rts", "tag", "n")
+    val out = AsOfJoin.asOf(left, right, Seq("k1", "k2"), "ts", "rts", Seq("tag", "n"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("asof_tag") === "x")
+    assert(out(0).getAs[Long]("asof_n") === 7L)
+    assert(out(1).isNullAt(out(1).fieldIndex("asof_tag"))) // (a,2) never matched
+  }
+
+  // --- Sampling ---
+
+  test("deterministic split is stable under repartitioning and append") {
+    val ids = spark.range(0, 2000).toDF("id")
+    def assign(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), Sampling.deterministicSplit(col("id"), "s1", 80, 10).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val once = assign(ids)
+    val again = assign(ids.repartition(17))
+    assert(once === again, "split must be a pure function of the id")
+    // appending rows never reassigns the originals
+    val more = assign(spark.range(0, 3000).toDF("id"))
+    assert(once.forall { case (id, s) => more(id) == s })
+    // and the buckets are roughly proportional
+    val counts = once.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 1400 && counts("train") < 1800)
+    assert(counts("val") > 100 && counts("val") < 300)
+    assert(counts("test") > 100 && counts("test") < 300)
+  }
+
+  test("stratified sample returns the exact quota per stratum, deterministically") {
+    val df = spark.range(0, 1000)
+      .select(col("id"), (col("id") % 4).cast("string").as("g"))
+    val s1 = Sampling.stratifiedSample(df, "g", "id", perStratum = 25)
+    assert(s1.groupBy("g").count().collect().forall(_.getLong(1) === 25L))
+    val ids1 = s1.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratifiedSample(df.repartition(13), "g", "id", perStratum = 25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2, "sample choice must not depend on partitioning")
+    // a stratum smaller than the quota returns all of it
+    val tiny = Sampling.stratifiedSample(df.filter(col("id") < 2), "g", "id", perStratum = 25)
+    assert(tiny.count() === 2L)
+  }
+
+  // --- Packing ---
+
+  test("packing fills bins to the budget and isolates oversized rows") {
+    // chunk 0: costs 3,3,3 into budget 5 → cum 3,6,9 → bins 0,1,1
+    val df = Seq((0L, 3L), (1L, 3L), (2L, 3L), (100L, 12L), (101L, 1L))
+      .toDF("id", "cost")
+    val bins = Packing.assignBins(df, "id", "cost", budget = 5L, chunkSize = 100L)
+      .select("id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bins(0L) === 0L)
+    assert(bins(1L) === 1L) // cum 6 crosses the budget → next bin
+    assert(bins(2L) === 1L) // cum 9: still inside bin 1's [5,10) end-range
+    // chunk 1 (ids 100+): oversized row lands alone in its own bins
+    assert(bins(100L) === Packing.BinStride * 1L + 2L) // cum 12 → (12-1)/5 = 2
+    assert(bins(101L) === Packing.BinStride * 1L + 2L) // cum 13 → same end bin
+    val stats = Packing.binStats(df, "id", "cost", budget = 5L, chunkSize = 100L)
+      .orderBy("bin").collect()
+    assert(stats.map(_.getAs[Long]("n_docs")).toSeq === Seq(1L, 2L, 2L))
+    assert(stats.map(_.getAs[Long]("total_cost")).toSeq === Seq(3L, 6L, 13L))
+  }
+}
