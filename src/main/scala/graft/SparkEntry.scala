@@ -588,6 +588,17 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Weighted mixture downsampling (Sampling.weightedMixture): three
+    * source families at 100% / 50% / 10% keep rates, reported per
+    * source. Rows from unlisted sources drop. */
+  private def weightedMixtureCounts(s: SparkSession, dir: String): DataFrame = {
+    val weights = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1,
+      "src3" -> 1.0, "src4" -> 0.5, "src5" -> 0.1)
+    Sampling.weightedMixture(t(s, dir, "documents"), "source", "doc_id", weights)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .orderBy("source")
+  }
+
   /** Sequence packing (Packing.binStats): 4096-char bins over chunks of
     * 100 consecutive doc ids, reported as per-bin utilization. */
   private def packSequences(s: SparkSession, dir: String): DataFrame =
@@ -641,6 +652,7 @@ object SparkEntry {
     "asof_join" -> asofJoinQuery _,
     "sample_split_counts" -> sampleSplitCounts _,
     "stratified_sample" -> stratifiedSampleQuery _,
+    "weighted_mixture" -> weightedMixtureCounts _,
     "pack_sequences" -> packSequences _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_top_revenue" -> q3TopRevenue _,
@@ -1035,6 +1047,21 @@ object SparkEntry {
                     ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
            FROM documents)
          SELECT doc_id, lang FROM ranked WHERE rn <= 50 ORDER BY doc_id""",
+    "weighted_mixture" ->
+      // per-source keep fractions over the same md5 bucket space as
+      // Sampling.sampleFraction (1e6 buckets)
+      """WITH b AS (SELECT source,
+                           ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 1000000 AS bucket
+                    FROM documents
+                    WHERE source IN ('src0','src1','src2','src3','src4','src5'))
+         SELECT source, count(*) AS n
+         FROM b
+         WHERE bucket < CASE source
+                          WHEN 'src0' THEN 1000000 WHEN 'src3' THEN 1000000
+                          WHEN 'src1' THEN 500000  WHEN 'src4' THEN 500000
+                          ELSE 100000 END
+         GROUP BY 1 ORDER BY 1""",
     "pack_sequences" ->
       // Packing.assignBins: chunked cumulative fill, bin of each row's
       // END; bin id = chunk * 2^32 + binInChunk

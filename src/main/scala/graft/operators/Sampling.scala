@@ -38,6 +38,32 @@ object Sampling {
     when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test")
   }
 
+  /** Keep approximately `fraction` of rows, deterministically: true iff
+    * the id's salted hash falls below the fraction of a fixed bucket
+    * space. Stateless (no shuffle) and stable under re-sharding, unlike
+    * `df.sample`. */
+  def sampleFraction(id: Column, salt: String, fraction: Double): Column = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
+    hashBucket(id, salt, SampleSpace) < (fraction * SampleSpace).toLong
+  }
+
+  /** Weighted mixture downsampling: each row survives with its source's
+    * keep fraction — how a training mix reweights corpora (e.g. keep 100%
+    * of books, 10% of crawl). A pure filter projection: no shuffle, no
+    * counting pass, deterministic per id, so re-running or appending data
+    * never changes earlier decisions. Sources absent from `weights` are
+    * dropped (weight 0). */
+  def weightedMixture(
+      df: DataFrame, sourceCol: String, idCol: String,
+      weights: Map[String, Double], salt: String = "mix"): DataFrame = {
+    val keep = weights.foldLeft(lit(false)) { case (acc, (src, w)) =>
+      acc || (col(sourceCol) === src && sampleFraction(col(idCol), salt, w))
+    }
+    df.filter(keep)
+  }
+
+  private val SampleSpace = 1000000
+
   /** Exactly `perStratum` rows per stratum (fewer if the stratum is
     * smaller), chosen by hash order so the choice is deterministic and
     * unbiased. One shuffle on the stratum key; the window never holds

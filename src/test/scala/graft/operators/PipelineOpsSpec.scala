@@ -72,6 +72,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tiny.count() === 2L)
   }
 
+  test("weighted mixture keeps sources at their fractions and drops unlisted ones") {
+    val df = spark.range(0, 3000)
+      .select(col("id"), concat(lit("s"), (col("id") % 3).cast("string")).as("src"))
+    val out = Sampling.weightedMixture(df, "src", "id", Map("s0" -> 1.0, "s1" -> 0.2))
+    val counts = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("s0") === 1000L)                      // weight 1.0 keeps everything
+    assert(counts("s1") > 100L && counts("s1") < 320L)  // ~20% of 1000
+    assert(!counts.contains("s2"))                      // unlisted → dropped
+    // decisions are per-id deterministic: a rerun selects the same rows
+    val ids1 = out.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.weightedMixture(df.repartition(7), "src", "id", Map("s0" -> 1.0, "s1" -> 0.2))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+  }
+
   // --- Packing ---
 
   test("packing fills bins to the budget and isolates oversized rows") {
