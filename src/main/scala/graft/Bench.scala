@@ -191,6 +191,60 @@ object Bench {
     Seq(
       "jdbc_append_2k_msgs" -> appendSec,
       "jdbc_read_all_scan" -> readAllSec,
-      "jdbc_spark_partitioned_read" -> sparkReadSec)
+      "jdbc_spark_partitioned_read" -> sparkReadSec) ++ streamingScenarios(spark)
+  }
+
+  /** Structured Streaming micro-batch throughput: the stateful operators
+    * replay the events table through a MemoryStream in 6 event-time-
+    * ordered micro-batches. The batch twins in `queries` measure the
+    * PLAN; these measure the incremental machinery — state store
+    * get/put, watermark advance, checkpointing — that batch mode never
+    * touches. Per-micro-batch checkpoint commit (~0.5-0.7 s on local
+    * disk) dominates at bench scale; data volume is secondary. */
+  private def streamingScenarios(spark: SparkSession): Seq[(String, Double)] = {
+    import graft.streaming.{EventTimeOps, StatefulOps}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val events = StatefulOps.typedEvents(spark.read.parquet(s"$sfDir/events.parquet"))
+      .collect().sortBy(_.tsNanos)
+    val batches = {
+      val n = math.max(1, events.length / 6)
+      events.grouped(n).toSeq
+    }
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def checkpoint(): String =
+      java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
+
+    val sessionSec = time {
+      val in = MemoryStream[graft.streaming.LogEvent](spark)
+      val q = StatefulOps.sessionizeWithState(in.toDS(), gapMicros = 12L * 3600L * 1000000L)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", checkpoint()).start()
+      try batches.foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
+      finally q.stop()
+    }
+
+    val windowSec = time {
+      val in = MemoryStream[graft.streaming.LogEvent](spark)
+      val df = in.toDF().select(
+        col("userId").as("user_id"), col("tsNanos").as("ts"),
+        col("eventType").as("event_type"),
+        (col("valueMicros") / 1000000L).cast("double").as("value"))
+      val q = EventTimeOps.windowedStats(df, "ts", "event_type", "value",
+          windowDuration = "6 hours", watermarkDelay = "1 hour")
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", checkpoint()).start()
+      try batches.foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
+      finally q.stop()
+    }
+
+    Seq(
+      "streaming_session_replay" -> sessionSec,
+      "streaming_window_replay" -> windowSec)
   }
 }

@@ -190,11 +190,32 @@ private[store] final class DerbyHeadStore(dbDir: String, cacheCapacity: Int) ext
       }
     }
 
+  /** Full scan as one lazily-paged keyset iterator over the id_internal
+    * index — PageSize full rows per query, so a journal squash over
+    * millions of spilled heads is O(rows / PageSize) queries and O(page)
+    * memory, never per-row lookups. */
   override def iterator: Iterator[(String, Head)] =
-    iteratorFrom(-1L).map { case (_, id) =>
-      // per-row point lookup through the cache keeps memory flat; the
-      // (id) probe is index-backed
-      id -> get(id).getOrElse(throw new IllegalStateException(s"head vanished mid-scan: $id"))
+    new Iterator[(String, Head)] {
+      private var after = -1L
+      private var page: IndexedSeq[(String, Head)] = fetch()
+      private var i = 0
+      private def fetch(): IndexedSeq[(String, Head)] =
+        query(s"SELECT id, id_internal, version, position, max_age, max_count FROM $Table WHERE id_internal > ? ORDER BY id_internal FETCH FIRST $PageSize ROWS ONLY") {
+          _.setLong(1, after)
+        } { rs =>
+          rs.getString(1) -> new Head(rs.getLong(2), rs.getInt(3), rs.getLong(4), optInt(rs, 5), optInt(rs, 6))
+        }
+      override def hasNext: Boolean = {
+        if (i < page.length) return true
+        if (page.length < PageSize) return false
+        after = page.last._2.idInternal
+        page = fetch(); i = 0
+        page.nonEmpty
+      }
+      override def next(): (String, Head) = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = page(i); i += 1; r
+      }
     }
 
   override def size: Long = count
