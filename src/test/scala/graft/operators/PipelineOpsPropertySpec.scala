@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Randomized cross-checks of the round-5 operators against brute-force
+  * in-memory reference models (deterministic seeds, like
+  * AppendStateMachineSpec): the DuckDB gate pins ONE dataset; these pin
+  * the semantics over many random shapes — duplicate timestamps, empty
+  * keys, single-row chunks, oversized costs. */
+class PipelineOpsPropertySpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("asOf matches the brute-force nearest-earlier model on random inputs") {
+    (0 until 5).foreach { seed =>
+      val rnd = new Random(seed)
+      val nKeys = 1 + rnd.nextInt(5)
+      val left = (0 until 200).map { i =>
+        (i.toLong, rnd.nextInt(nKeys).toString, rnd.nextInt(50).toLong)
+      } // (id, key, ts)
+      // right: unique per (key, ts) as the operator requires
+      val right = rnd.shuffle(
+        (for (k <- 0 until nKeys; t <- 0 until 50) yield (k.toString, t.toLong))
+          .toVector).take(60)
+        .map { case (k, t) => (k, t, rnd.nextInt(1000).toLong) } // (key, rts, v)
+
+      val expected: Map[Long, Option[Long]] = left.map { case (id, k, ts) =>
+        val candidates = right.filter(r => r._1 == k && r._2 <= ts)
+        id -> (if (candidates.isEmpty) None
+               else Some(candidates.maxBy(_._2)._3))
+      }.toMap
+
+      val out = AsOfJoin.asOf(
+          left.toDF("id", "k", "ts"), right.toDF("k", "rts", "v"),
+          Seq("k"), "ts", "rts", Seq("v"))
+        .select("id", "asof_v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(out === expected, s"[seed $seed]")
+    }
+  }
+
+  test("assignBins matches the sequential packing model on random costs") {
+    (0 until 5).foreach { seed =>
+      val rnd = new Random(100 + seed)
+      val budget = 10L + rnd.nextInt(40)
+      val chunkSize = 1L + rnd.nextInt(30)
+      // sparse, shuffled ids: chunks of varying fill, some singleton
+      val rows = rnd.shuffle(
+        (0 until 300).filter(_ => rnd.nextBoolean()).toVector)
+        .map(i => (i.toLong, 1L + rnd.nextInt((2 * budget).toInt)))
+
+      val expected: Map[Long, Long] = rows.sortBy(_._1)
+        .groupBy { case (id, _) => id / chunkSize }
+        .flatMap { case (chunk, inChunk) =>
+          var cum = 0L
+          inChunk.sortBy(_._1).map { case (id, cost) =>
+            cum += cost
+            id -> (chunk * Packing.BinStride + (cum - 1) / budget)
+          }
+        }
+
+      val out = Packing.assignBins(
+          rows.toDF("id", "cost").repartition(7), "id", "cost", budget, chunkSize)
+        .select("id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === expected, s"[seed $seed, budget $budget, chunk $chunkSize]")
+    }
+  }
+
+  test("stratifiedSample equals the hash-order model and never exceeds quotas") {
+    (0 until 3).foreach { seed =>
+      val rnd = new Random(200 + seed)
+      val rows = (0 until 400).map(i => (i.toLong, rnd.nextInt(6).toString))
+      val quota = 1 + rnd.nextInt(30)
+
+      def hashOf(id: Long): String = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+        d.digest(s"strat:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      }
+      val expected = rows.groupBy(_._2).flatMap { case (_, group) =>
+        group.sortBy { case (id, _) => (hashOf(id), id) }.take(quota)
+      }.map(_._1).toSet
+
+      val out = Sampling.stratifiedSample(
+          rows.toDF("id", "g").repartition(5), "g", "id", quota)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(out === expected, s"[seed $seed, quota $quota]")
+    }
+  }
+}
