@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan invariants of the gate queries, asserted as tests so a
+  * plan regression (a lost broadcast hint, a filter that stops pushing,
+  * an accidental cartesian) fails the suite instead of waiting for a
+  * human to read ExplainAudit. Runs at sf0.001 — plan SHAPE, not speed.
+  *
+  * AQE is left on (as in Bench/Verify): `collect()` finalizes the
+  * adaptive plan before inspection. */
+class PlanShapeSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize AQE
+    // AdaptiveSparkPlan.toString prints "== Final Plan ==" followed by
+    // "== Initial Plan ==" — keep only the final section, or operator
+    // counts double
+    val full = df.queryExecution.executedPlan.toString()
+    val cut = full.indexOf("== Initial Plan ==")
+    if (cut >= 0) full.substring(0, cut) else full
+  }
+
+  private def count(plan: String, op: String): Int =
+    plan.split('\n').count(_.contains(op))
+
+  test("dimension joins broadcast; nothing falls back to sort-merge or nested-loop") {
+    Seq("q3_top_revenue", "q5_nation_revenue", "top_suppliers_per_nation").foreach { q =>
+      val p = finalPlan(q)
+      assert(count(p, "BroadcastHashJoin") >= 1, s"$q lost its broadcast join")
+      assert(count(p, "SortMergeJoin") === 0, s"$q fell back to sort-merge")
+      assert(count(p, "BroadcastNestedLoopJoin") === 0, s"$q has a nested-loop join")
+      assert(count(p, "CartesianProduct") === 0, s"$q has a cartesian product")
+    }
+  }
+
+  test("scan-level filters push into the parquet scan") {
+    Seq("q1_pricing_summary", "q3_top_revenue").foreach { q =>
+      val p = finalPlan(q)
+      val pushed = "PushedFilters: \\[[^\\]]*[A-Za-z][^\\]]*\\]".r.findAllIn(p).size
+      assert(pushed >= 1, s"$q pushes no filters to its scans")
+    }
+  }
+
+  test("as-of join is a single keyed shuffle, never a range/nested-loop join") {
+    val p = finalPlan("asof_join")
+    assert(count(p, "Window") >= 1, "asof lost its window formulation")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, "asof degenerated to a range join")
+    assert(count(p, "CartesianProduct") === 0)
+    assert(count(p, "SortMergeJoin") === 0)
+  }
+
+  test("deterministic split/mixture are pure projections: no shuffle before the aggregate") {
+    // one Exchange for the groupBy count, one for the final sort — the
+    // sampling itself must not add any
+    Seq("sample_split_counts", "weighted_mixture").foreach { q =>
+      val p = finalPlan(q)
+      assert(count(p, "Exchange") <= 2, s"$q shuffles more than aggregate+sort:\n$p")
+    }
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    Seq("q1_pricing_summary", "distinct_counts").foreach { q =>
+      val p = finalPlan(q)
+      assert(count(p, "HashAggregate") >= 2, s"$q is missing partial aggregation")
+    }
+  }
+
+  test("whole-stage codegen covers the hot paths (no interpreted gaps in scans)") {
+    Seq("q1_pricing_summary", "text_token_counts", "doc_fingerprints").foreach { q =>
+      val p = finalPlan(q)
+      val spans = "\\*\\((\\d+)\\)".r.findAllMatchIn(p).map(_.group(1)).toSet.size
+      assert(spans >= 1, s"$q runs fully interpreted")
+    }
+  }
+}
