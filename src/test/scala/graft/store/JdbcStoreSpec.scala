@@ -324,6 +324,27 @@ class JdbcStoreSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("in-memory database URL gives the reference's InMemoryStreamStore parity") {
+    // ref: src/SqlStreamStore/InMemory/InMemoryStreamStore.cs — an
+    // ephemeral, zero-file backend; here Derby's memory: subprotocol
+    // behind the same JdbcStreamStore contract
+    val mem = new JdbcStreamStore(spark, "jdbc:derby:memory:graft-mem;create=true", clock)
+    try {
+      val r = mem.appendToStream("s1", ExpectedVersion.NoStream, msgs(1, 2))
+      assert(r === AppendResult(1, 1))
+      assert(mem.readStreamForwards("s1").messages.map(_.messageId) === Seq(mid(1), mid(2)))
+      assert(mem.readAllForwards(Position.Start, 10).messages.size === 2)
+      assert(mem.allMessages().count() === 2L)
+      intercept[WrongExpectedVersionException] {
+        mem.appendToStream("s1", 5, msgs(9))
+      }
+    } finally mem.close()
+    // ephemeral: a NEW in-memory database under the same name is empty
+    val fresh = new JdbcStreamStore(spark, "jdbc:derby:memory:graft-mem2;create=true", clock)
+    try assert(fresh.readHeadPosition() === Position.End)
+    finally fresh.close()
+  }
+
   test("system stream ids are rejected at the write surface") {
     intercept[IllegalArgumentException] {
       store.appendToStream("$sys", ExpectedVersion.Any, msgs(1))
