@@ -588,6 +588,18 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Benchmark-contamination check (Dedup.contamination): the planted
+    * exact and prefix-truncated copies in the dup corpus flagged against
+    * the doc_id<40 originals standing in as the eval set. Distinct docs
+    * share far fewer than 30 distinct 8-gram shingles, so the flags are
+    * exactly the planted copies. */
+  private def contaminationFlags(s: SparkSession, dir: String): DataFrame = {
+    val bench = t(s, dir, "documents").select("doc_id", "text").filter(col("doc_id") < 40)
+    val corpus = docsWithDups(s, dir).filter(col("doc_id") >= 10000)
+    Dedup.contamination(corpus, bench, "text", "doc_id", shingleSize = 8, minOverlap = 30)
+      .orderBy("corpus_id", "bench_id")
+  }
+
   /** Weighted mixture downsampling (Sampling.weightedMixture): three
     * source families at 100% / 50% / 10% keep rates, reported per
     * source. Rows from unlisted sources drop. */
@@ -653,6 +665,7 @@ object SparkEntry {
     "sample_split_counts" -> sampleSplitCounts _,
     "stratified_sample" -> stratifiedSampleQuery _,
     "weighted_mixture" -> weightedMixtureCounts _,
+    "contamination_flags" -> contaminationFlags _,
     "pack_sequences" -> packSequences _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_top_revenue" -> q3TopRevenue _,
@@ -1062,6 +1075,26 @@ object SparkEntry {
                           WHEN 'src1' THEN 500000  WHEN 'src4' THEN 500000
                           ELSE 100000 END
          GROUP BY 1 ORDER BY 1""",
+    "contamination_flags" ->
+      // distinct 8-gram shingle intersection counts, exactly as the
+      // hashed-shingle join counts them (shingleHashes is distinct)
+      """WITH bench AS (
+           SELECT doc_id AS bench_id,
+                  list_distinct([substr(trim(text), i, 8)
+                    FOR i IN range(1, greatest(length(trim(text))-7, 1)+1)]) AS s
+           FROM documents WHERE doc_id < 40),
+          corpus AS (
+           SELECT doc_id AS corpus_id,
+                  list_distinct([substr(trim(text), i, 8)
+                    FOR i IN range(1, greatest(length(trim(text))-7, 1)+1)]) AS s
+           FROM (SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 100
+                 UNION ALL
+                 SELECT doc_id + 20000, substr(text, 11) FROM documents WHERE doc_id < 40))
+         SELECT corpus_id, bench_id, overlap FROM (
+           SELECT c.corpus_id, b.bench_id,
+                  CAST(len(list_intersect(c.s, b.s)) AS BIGINT) AS overlap
+           FROM corpus c CROSS JOIN bench b)
+         WHERE overlap >= 30 ORDER BY corpus_id, bench_id""",
     "pack_sequences" ->
       // Packing.assignBins: chunked cumulative fill, bin of each row's
       // END; bin id = chunk * 2^32 + binInChunk

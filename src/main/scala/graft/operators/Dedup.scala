@@ -223,4 +223,37 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
+
+  // ------------------------------------------------------------------
+  // Benchmark contamination (decontamination pass)
+  // ------------------------------------------------------------------
+
+  /** Corpus documents sharing at least `minOverlap` distinct character
+    * n-gram shingles with a benchmark document — the decontamination
+    * check a training pipeline runs against its eval sets before
+    * training. Output: (corpus_id, bench_id, overlap).
+    *
+    * Scale shape: eval sets are small by nature, so the benchmark side
+    * shingles once and BROADCASTS (an explicit hint); the corpus side is
+    * one shingle pass in the scan projection and a broadcast hash join —
+    * the 100 TB corpus never shuffles. Overlap counting groups on
+    * (corpus_id, bench_id), bounded by matched shingles only. A
+    * benchmark too large to broadcast splits into broadcast-sized slices
+    * unioned afterwards — overlap counts are per (corpus, bench) pair,
+    * so slicing never changes results. */
+  def contamination(
+      corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String,
+      shingleSize: Int = 8, minOverlap: Int = 10): DataFrame = {
+    // shingleHashes is DISTINCT per document, so the join-match count per
+    // (corpus_id, bench_id) IS the distinct-shingle intersection size
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      explode(shingleHashes(col(textCol), shingleSize)).as("h"))
+    val b = bench.select(col(idCol).as("bench_id"),
+      explode(shingleHashes(col(textCol), shingleSize)).as("h"))
+    c.join(broadcast(b), "h")
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
 }

@@ -88,6 +88,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ids1 === ids2)
   }
 
+  test("contamination flags planted copies against the benchmark, not distinct docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") < 10)
+    // corpus: exact copies of the bench docs (ids+1000) and genuinely
+    // distinct docs (ids 100-199)
+    val corpus = bench.select((col("doc_id") + 1000).as("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id").between(100, 199)))
+    val flags = Dedup.contamination(corpus, bench, "text", "doc_id",
+        shingleSize = 8, minOverlap = 30)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // every copy is flagged against its source, and that pair's overlap
+    // beats any boilerplate overlap the copy has with OTHER bench docs
+    // (the synthetic corpus shares stock phrasing across documents)
+    (0 until 10).foreach { i =>
+      val self = flags.getOrElse((i + 1000L, i.toLong),
+        fail(s"copy of $i not flagged against its source"))
+      val others = flags.collect { case ((c, b), ov) if c == i + 1000L && b != i => ov }
+      assert(others.forall(_ < self), s"copy of $i: source overlap $self must dominate")
+    }
+  }
+
   // --- Packing ---
 
   test("packing fills bins to the budget and isolates oversized rows") {
