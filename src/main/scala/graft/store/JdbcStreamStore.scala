@@ -684,6 +684,11 @@ final class JdbcStreamStore(
     CheckSchemaResult(readCounter(SchemaVersionKey, 0L).toInt, CurrentSchemaVersion)
   }
 
+  /** The DDL this store executes at open, for DBA-managed deployments
+    * (ref: `SchemaCreationScriptTool/Program.cs`,
+    * `PostgresStreamStore.cs:258` `GetSchemaCreationScript`). */
+  def schemaCreationScript: String = JdbcStreamStore.schemaCreationScript
+
   private def createSchema(): Unit = synchronized {
     // returns true when this call created the object (vs already existed)
     def ddl(sql: String): Boolean = {
@@ -692,37 +697,8 @@ final class JdbcStreamStore(
       catch { case e: SQLException if e.getSQLState == "X0Y32" => false } // already exists
       finally st.close()
     }
-    // Two-table star + counters (ref: Tables.sql:4-47); id_internal is the
-    // surrogate FK keeping message-index keys fixed-width, and `id` is the
-    // fixed-width hash of `id_original` (ref: CHAR(42) sha1 id +
-    // VARCHAR(1000) original, PostgresqlStreamId.cs:14-27 — here sha-256,
-    // the divergence SURVEY §2 row 32 documents), so arbitrarily-shaped
-    // stream ids never overflow the primary-key index.
-    val fresh = ddl(s"""CREATE TABLE $StreamsTable (
-           |  id VARCHAR(64) NOT NULL PRIMARY KEY,
-           |  id_original VARCHAR(1000) NOT NULL,
-           |  id_internal BIGINT NOT NULL,
-           |  version INT NOT NULL,
-           |  position BIGINT NOT NULL,
-           |  max_age INT,
-           |  max_count INT)""".stripMargin)
-    ddl(s"CREATE UNIQUE INDEX ${StreamsTable}_internal ON $StreamsTable(id_internal)")
-    ddl(s"""CREATE TABLE $MessagesTable (
-           |  position BIGINT NOT NULL PRIMARY KEY,
-           |  stream_id_internal BIGINT NOT NULL,
-           |  stream_version INT NOT NULL,
-           |  message_id VARCHAR(64) NOT NULL,
-           |  created_micros BIGINT NOT NULL,
-           |  msg_type VARCHAR(1000),
-           |  json_data CLOB,
-           |  json_metadata CLOB)""".stripMargin)
-    ddl(s"CREATE UNIQUE INDEX ${MessagesTable}_sv ON $MessagesTable(stream_id_internal, stream_version)")
-    // unique, as the reference's uq_stream_id_internal_and_message_id
-    // (Tables.sql:45) — backs the O(batch) idempotency probes
-    ddl(s"CREATE UNIQUE INDEX ${MessagesTable}_mid ON $MessagesTable(stream_id_internal, message_id)")
-    ddl(s"""CREATE TABLE $CountersTable (
-           |  k VARCHAR(64) NOT NULL PRIMARY KEY,
-           |  v BIGINT NOT NULL)""".stripMargin)
+    val fresh = ddl(CreationDdl.head)
+    CreationDdl.tail.foreach(ddl)
     if (fresh) writeCounter(SchemaVersionKey, CurrentSchemaVersion.toLong)
     conn.commit()
   }
@@ -749,6 +725,43 @@ object JdbcStreamStore {
     * change (ref: `MsSqlStreamStoreV3` `CurrentVersion`). */
   val CurrentSchemaVersion = 1
   private val SchemaVersionKey = "schema_version"
+
+  /** Two-table star + counters (ref: Tables.sql:4-47); id_internal is the
+    * surrogate FK keeping message-index keys fixed-width, and `id` is the
+    * fixed-width hash of `id_original` (ref: CHAR(42) sha1 id +
+    * VARCHAR(1000) original, PostgresqlStreamId.cs:14-27 — here sha-256,
+    * the divergence SURVEY §2 row 32 documents), so arbitrarily-shaped
+    * stream ids never overflow the primary-key index. The messages
+    * (stream, message_id) index is unique, as the reference's
+    * uq_stream_id_internal_and_message_id (Tables.sql:45) — it backs the
+    * O(batch) idempotency probes. */
+  private val CreationDdl: Seq[String] = Seq(
+    s"""CREATE TABLE $StreamsTable (
+       |  id VARCHAR(64) NOT NULL PRIMARY KEY,
+       |  id_original VARCHAR(1000) NOT NULL,
+       |  id_internal BIGINT NOT NULL,
+       |  version INT NOT NULL,
+       |  position BIGINT NOT NULL,
+       |  max_age INT,
+       |  max_count INT)""".stripMargin,
+    s"CREATE UNIQUE INDEX ${StreamsTable}_internal ON $StreamsTable(id_internal)",
+    s"""CREATE TABLE $MessagesTable (
+       |  position BIGINT NOT NULL PRIMARY KEY,
+       |  stream_id_internal BIGINT NOT NULL,
+       |  stream_version INT NOT NULL,
+       |  message_id VARCHAR(64) NOT NULL,
+       |  created_micros BIGINT NOT NULL,
+       |  msg_type VARCHAR(1000),
+       |  json_data CLOB,
+       |  json_metadata CLOB)""".stripMargin,
+    s"CREATE UNIQUE INDEX ${MessagesTable}_sv ON $MessagesTable(stream_id_internal, stream_version)",
+    s"CREATE UNIQUE INDEX ${MessagesTable}_mid ON $MessagesTable(stream_id_internal, message_id)",
+    s"""CREATE TABLE $CountersTable (
+       |  k VARCHAR(64) NOT NULL PRIMARY KEY,
+       |  v BIGINT NOT NULL)""".stripMargin)
+
+  /** The creation DDL as one script (ref: `SchemaCreationScriptTool`). */
+  def schemaCreationScript: String = CreationDdl.mkString(";\n\n") + ";\n"
 
   /** Result of [[JdbcStreamStore.checkSchema]] (ref:
     * `SqlStreamStore.Postgres/CheckSchemaResult.cs:5-16`). */

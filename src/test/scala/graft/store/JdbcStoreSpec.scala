@@ -324,6 +324,32 @@ class JdbcStoreSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("schemaCreationScript is the DDL the store executes, runnable standalone") {
+    // ref: SchemaCreationScriptTool — the script must stand on its own so
+    // a DBA can create the schema ahead of deployment
+    val script = JdbcStreamStore.schemaCreationScript
+    assert(script === store.schemaCreationScript)
+    Seq("graft_streams", "graft_messages", "graft_counters").foreach { t =>
+      assert(script.contains(s"CREATE TABLE $t"), s"script must create $t")
+    }
+    val dir = SparkTestSession.tempDir("graft-ddl")
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$dir/db;create=true")
+    try {
+      script.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
+        val st = conn.createStatement(); try st.executeUpdate(stmt) finally st.close()
+      }
+    } finally conn.close()
+    // a store opening over the pre-created schema works and reports it
+    // as pre-versioning (version 0: the stamp is written only when the
+    // STORE creates the schema)
+    val pre = new JdbcStreamStore(spark, s"jdbc:derby:$dir/db", clock)
+    try {
+      assert(pre.checkSchema().currentVersion === 0)
+      pre.appendToStream("s1", ExpectedVersion.NoStream, msgs(1))
+      assert(pre.readStreamForwards("s1").messages.size === 1)
+    } finally pre.close()
+  }
+
   test("in-memory database URL gives the reference's InMemoryStreamStore parity") {
     // ref: src/SqlStreamStore/InMemory/InMemoryStreamStore.cs — an
     // ephemeral, zero-file backend; here Derby's memory: subprotocol
