@@ -1103,10 +1103,14 @@ object SparkEntry {
                   sum(n_chars) OVER (PARTITION BY doc_id // 100 ORDER BY doc_id
                                      ROWS UNBOUNDED PRECEDING) AS cum
            FROM documents)
-         SELECT CAST(chunk * 4294967296 + (cum - 1) // 4096 AS BIGINT) AS bin,
-                count(*) AS n_docs,
-                CAST(sum(n_chars) AS BIGINT) AS total_cost,
-                min(doc_id) AS first_id, max(doc_id) AS last_id
-         FROM c GROUP BY 1 ORDER BY 1""",
+         SELECT bin, n_docs, total_cost, first_id, last_id,
+                total_cost / 4096.0 AS fill_ratio
+         FROM (
+           SELECT CAST(chunk * 4294967296 + (cum - 1) // 4096 AS BIGINT) AS bin,
+                  count(*) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS total_cost,
+                  min(doc_id) AS first_id, max(doc_id) AS last_id
+           FROM c GROUP BY 1)
+         ORDER BY bin""",
   )
 }

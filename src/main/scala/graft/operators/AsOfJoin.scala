@@ -51,26 +51,36 @@ object AsOfJoin {
     val prefixed = payload.map(prefix + _)
     require(!prefixed.exists(left.columns.contains),
       s"prefixed payload collides with left columns: ${prefixed.mkString(",")}")
+    require(!left.columns.exists(_.startsWith("_asof_")),
+      "left columns must not use the reserved _asof_ prefix")
 
     val l = left
       .withColumn("_asof_ts", col(leftTs))
       .withColumn("_asof_side", lit(1))
+    // the whole right payload rides ONE struct: a right row's struct is
+    // never null (even when every field inside is), so the running
+    // last(ignoreNulls) picks the latest right ROW atomically — a null
+    // field is carried as null instead of falling through to an older
+    // row, and multi-column payloads can never stitch together values
+    // from different right rows
     val r = right.select(
       keys.map(col) ++
-        Seq(col(rightTs).as("_asof_ts"), lit(0).as("_asof_side")) ++
-        payload.zip(prefixed).map { case (c, p) => col(c).as(p) }: _*)
+        Seq(col(rightTs).as("_asof_ts"), lit(0).as("_asof_side"),
+          struct(payload.map(col): _*).as("_asof_payload")): _*)
 
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("_asof_ts").asc, col("_asof_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    prefixed
-      .foldLeft(l.unionByName(r, allowMissingColumns = true)) { (df, p) =>
-        df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-      }
+    val filled = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_asof_payload", last(col("_asof_payload"), ignoreNulls = true).over(w))
       .filter(col("_asof_side") === 1)
-      .drop("_asof_ts", "_asof_side")
+    payload.zip(prefixed)
+      .foldLeft(filled) { case (df, (c, p)) =>
+        df.withColumn(p, col("_asof_payload").getField(c))
+      }
+      .drop("_asof_ts", "_asof_side", "_asof_payload")
   }
 
   /** Convenience: latest value of `valueCol` from `right` at or before

@@ -28,6 +28,12 @@ object Packing {
     * sane chunkSize/budget), and chunk ids stay below 2^31. */
   val BinStride: Long = 1L << 32
 
+  /** Exact floor division on longs: pure Column ops (odd column names
+    * are fine) and no doubles; FLOORS for negative values, matching
+    * DuckDB `//` (same construction as EventTimeOps.floorDivMicros). */
+  private def floorDiv(c: Column, divisor: Long): Column =
+    ((c - pmod(c, lit(divisor))).cast("decimal(38,0)") / lit(divisor)).cast("long")
+
   /** Adds a `bin` column: the bin (budget-capped) that each row's END
     * lands in, packing rows in ascending `idCol` order within chunks of
     * `chunkSize` consecutive ids. A row larger than `budget` occupies
@@ -36,11 +42,11 @@ object Packing {
   def assignBins(
       df: DataFrame, idCol: String, costCol: String,
       budget: Long, chunkSize: Long = 2000L): DataFrame = {
-    val chunk = expr(s"CAST($idCol AS BIGINT) div $chunkSize")
+    val chunk = floorDiv(col(idCol).cast("long"), chunkSize)
     val w = Window.partitionBy(chunk).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_cum", sum(col(costCol).cast("long")).over(w))
-      .withColumn("bin", chunk * BinStride + expr(s"(_cum - 1) div $budget"))
+      .withColumn("bin", chunk * BinStride + floorDiv(col("_cum") - lit(1L), budget))
       .drop("_cum")
   }
 
@@ -55,4 +61,5 @@ object Packing {
         sum(col(costCol).cast("long")).as("total_cost"),
         min(col(idCol)).as("first_id"),
         max(col(idCol)).as("last_id"))
+      .withColumn("fill_ratio", col("total_cost").cast("double") / lit(budget.toDouble))
 }

@@ -39,12 +39,14 @@ object Sampling {
   }
 
   /** Keep approximately `fraction` of rows, deterministically: true iff
-    * the id's salted hash falls below the fraction of a fixed bucket
-    * space. Stateless (no shuffle) and stable under re-sharding, unlike
-    * `df.sample`. */
+    * the id's salted hash falls below `round(fraction * 1e6)` of the
+    * fixed bucket space — ROUNDED, not truncated, so a fraction like 0.3
+    * (binary 0.29999…) keeps exactly the 300000 buckets an oracle's
+    * integer threshold keeps. Stateless (no shuffle) and stable under
+    * re-sharding, unlike `df.sample`. */
   def sampleFraction(id: Column, salt: String, fraction: Double): Column = {
     require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
-    hashBucket(id, salt, SampleSpace) < (fraction * SampleSpace).toLong
+    hashBucket(id, salt, SampleSpace) < math.round(fraction * SampleSpace)
   }
 
   /** Weighted mixture downsampling: each row survives with its source's

@@ -74,7 +74,11 @@ private[store] final class InMemoryHeadStore extends HeadStore {
     old
   }
   override def iteratorFrom(afterIdInternal: Long): Iterator[(Long, String)] =
-    index.iteratorFrom(afterIdInternal + 1)
+    // guard the +1 overflow: a Long.MaxValue continuation token means
+    // "after everything", not "wrap to the beginning" (the Derby
+    // implementation's `id_internal > ?` agrees)
+    if (afterIdInternal == Long.MaxValue) Iterator.empty
+    else index.iteratorFrom(afterIdInternal + 1)
   override def iterator: Iterator[(String, Head)] = heads.iterator
   override def size: Long = heads.size.toLong
   override def close(): Unit = ()

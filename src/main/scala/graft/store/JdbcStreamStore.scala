@@ -80,6 +80,10 @@ final class JdbcStreamStore(
       messages: Seq[NewStreamMessage]): AppendResult = synchronized {
     StreamId.validate(streamId)
     require(!StreamId.isSystem(streamId), s"stream id must not start with '$$': $streamId")
+    // reject up front (both backends, identically) rather than letting
+    // the unique (stream, message_id) index surface a raw SQLException
+    require(messages.iterator.map(_.messageId).toSet.size == messages.length,
+      s"duplicate message ids within one append batch: $streamId")
     inTx(appendInternal(streamId, expectedVersion, messages))
   }
 

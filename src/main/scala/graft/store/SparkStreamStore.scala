@@ -214,6 +214,10 @@ final class SparkStreamStore(
       messages: Seq[NewStreamMessage]): AppendResult = synchronized {
     StreamId.validate(streamId)
     require(!StreamId.isSystem(streamId), s"stream id must not start with '$$': $streamId")
+    // same up-front rejection as the JDBC backend (where the unique
+    // (stream, message_id) index would otherwise raise a raw SQLException)
+    require(messages.iterator.map(_.messageId).toSet.size == messages.length,
+      s"duplicate message ids within one append batch: $streamId")
     appendInternal(streamId, expectedVersion, messages)
   }
 
@@ -1037,6 +1041,16 @@ final class SparkStreamStore(
       }
       buffered.flush()
     } finally out.close()
+    if (journalSeq == first) {
+      // zero rows (e.g. a squash after every stream was deleted): keep
+      // nothing — leaving an empty journal-<first> file would collide
+      // with the NEXT write of seq `first` (create(overwrite=false)
+      // throws), and skipping the prune keeps the old files' deletion
+      // markers and position watermark intact
+      fs.delete(path, false)
+      appendsSinceJournal = 0
+      return
+    }
     if (pruneBelow && fs.exists(new HPath(journalDir))) {
       fs.listStatus(new HPath(journalDir)).foreach { st =>
         if (st.getPath.getName < path.getName) fs.delete(st.getPath, false)

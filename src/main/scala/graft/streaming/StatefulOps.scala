@@ -74,12 +74,13 @@ object StatefulOps {
     *
     * Late events (in-watermark, arriving in a later micro-batch): one
     * that lands within the gap of the open session — before OR after its
-    * current span — merges, extending the span in either direction; one
-    * more than a gap BEFORE the open session's start is emitted
-    * immediately as its own single-event session (it can never merge
-    * forward, and an event bridging two already-split sessions is
-    * inherently unmergeable — the split was emitted exactly-once in a
-    * previous batch).
+    * current span — merges, extending the span in either direction. Ones
+    * more than a gap BEFORE the open session's start merge with each
+    * other (mutually in-gap late events form one session, as the batch
+    * twin would) and emit when closed by the next run; they can never
+    * merge forward into a FUTURE batch, and an event bridging two
+    * already-split sessions is inherently unmergeable — the split was
+    * emitted exactly-once in a previous batch.
     *
     * Within a micro-batch events are sorted by time in-memory — per-key
     * per-batch volume must fit executor memory (micro-batch-sized by
@@ -108,22 +109,29 @@ object StatefulOps {
         state.remove()
         Iterator.single(emit(userId, s))
       } else {
-        val evs = it.toArray.sortBy(_.tsNanos)
+        // Interval sweep: every event is a one-point run and the open
+        // session from state is a run too; sorted by start, adjacent
+        // runs merge when the next begins within the gap of the
+        // current's end. In-watermark late events that are mutually
+        // in-gap but unmergeable with the open session therefore merge
+        // with EACH OTHER exactly as the batch twin would — not as
+        // one-event fragments. Runs closed by a later run emit inline
+        // (exactly-once: a late run can never merge with a FUTURE
+        // batch's events, its close already emitted).
+        val runs = state.getOption.toVector ++
+          it.map(e => SessionAcc(e.tsNanos, e.tsNanos, 1L, e.valueMicros))
+        val sorted = runs.sortBy(r => (r.startNs, r.lastNs))
         val closed = Vector.newBuilder[UserSession]
-        var acc = state.getOption.orNull
-        evs.foreach { e =>
-          val ns = e.tsNanos
-          if (acc == null) acc = SessionAcc(ns, ns, 1L, e.valueMicros)
-          else if (ns - acc.lastNs > gapNanos) {
+        var acc: SessionAcc = null
+        sorted.foreach { r =>
+          if (acc == null) acc = r
+          else if (r.startNs - acc.lastNs > gapNanos) {
             closed += emit(userId, acc)
-            acc = SessionAcc(ns, ns, 1L, e.valueMicros)
-          } else if (acc.startNs - ns > gapNanos) {
-            // in-watermark late event more than a gap before the open
-            // session: unmergeable — its own session, emitted inline
-            closed += UserSession(userId, us(ns), us(ns), 1L, e.valueMicros)
+            acc = r
           } else {
-            acc = SessionAcc(math.min(acc.startNs, ns), math.max(acc.lastNs, ns),
-              acc.n + 1L, acc.sumMicros + e.valueMicros)
+            acc = SessionAcc(math.min(acc.startNs, r.startNs),
+              math.max(acc.lastNs, r.lastNs),
+              acc.n + r.n, acc.sumMicros + r.sumMicros)
           }
         }
         if (acc != null) {

@@ -28,6 +28,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(4L) === None)      // per-key isolation: b's purchase is later
   }
 
+  test("asOf carries a matched null payload as null and never stitches rows") {
+    val left = Seq((1L, "a", 12L)).toDF("id", "k", "ts")
+    val right = Seq(
+      ("a", 5L, Option(7L), Option("x")),
+      ("a", 10L, Option.empty[Long], Option("y"))) // latest row: v is null
+      .toDF("k", "rts", "v", "tag")
+    val row = AsOfJoin.asOf(left, right, Seq("k"), "ts", "rts", Seq("v", "tag")).collect().head
+    // the t=10 row matches: its null v must NOT fall through to t=5's 7,
+    // and both payload columns must come from the SAME right row
+    assert(row.isNullAt(row.fieldIndex("asof_v")))
+    assert(row.getAs[String]("asof_tag") === "y")
+  }
+
   test("asOf carries multiple payload columns and composite keys") {
     val left = Seq((1L, "a", 1, 100L), (2L, "a", 2, 100L)).toDF("id", "k1", "k2", "ts")
     val right = Seq(("a", 1, 50L, "x", 7L)).toDF("k1", "k2", "rts", "tag", "n")
@@ -128,5 +141,17 @@ class PipelineOpsSpec extends AnyFunSuite {
       .orderBy("bin").collect()
     assert(stats.map(_.getAs[Long]("n_docs")).toSeq === Seq(1L, 2L, 2L))
     assert(stats.map(_.getAs[Long]("total_cost")).toSeq === Seq(3L, 6L, 13L))
+    assert(stats.map(_.getAs[Double]("fill_ratio")).toSeq === Seq(0.6, 1.2, 2.6))
+  }
+
+  test("packing floors negative ids (DuckDB // semantics) and takes odd column names") {
+    val df = Seq((-5L, 3L), (-1L, 3L), (0L, 3L)).toDF("doc id", "char count")
+    val bins = Packing.assignBins(df, "doc id", "char count", budget = 5L, chunkSize = 100L)
+      .select(col("doc id"), col("bin")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // floor(-5/100) = -1, not 0: negative ids chunk as DuckDB's `//` does
+    assert(bins(-5L) === -Packing.BinStride)      // chunk -1, cum 3 → binInChunk 0
+    assert(bins(-1L) === -Packing.BinStride + 1L) // cum 6 → binInChunk 1
+    assert(bins(0L) === 0L)                       // chunk 0 restarts
   }
 }

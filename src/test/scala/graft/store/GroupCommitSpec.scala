@@ -135,4 +135,36 @@ class GroupCommitSpec extends AnyFunSuite {
         .filterNot(m => StreamId.isSystem(m.streamId)).isEmpty)
     } finally store.close()
   }
+
+  test("compacting a store with zero live heads stays appendable and keeps the watermark") {
+    // A squash with no rows must not leave an empty journal file whose
+    // name collides with the next journal write, and positions must not
+    // regress to reuse after the (skipped) prune.
+    val dir = SparkTestSession.tempDir("graft-gc-empty-squash")
+    val store = new SparkStreamStore(spark, dir, trackDeletes = false)
+    try {
+      store.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2, 3))
+      store.deleteStream("a")
+      store.compact() // zero live heads
+      val r = store.appendToStream("b", ExpectedVersion.NoStream, msgs(4))
+      assert(r.currentPosition >= 3L, "positions must not be reused after the empty squash")
+    } finally store.close()
+    val reopened = new SparkStreamStore(spark, dir, trackDeletes = false)
+    try {
+      assert(reopened.readStreamForwards("b").messages.map(_.messageId) === Seq(mid(4)))
+      assert(reopened.readStreamForwards("a").status === PageReadStatus.StreamNotFound)
+    } finally reopened.close()
+  }
+
+  test("a batch with duplicate message ids is rejected up front") {
+    val dir = SparkTestSession.tempDir("graft-gc-dupbatch")
+    val store = new SparkStreamStore(spark, dir)
+    try {
+      intercept[IllegalArgumentException] {
+        store.appendToStream("a", ExpectedVersion.Any, msgs(1, 1))
+      }
+      // nothing was appended
+      assert(store.readStreamForwards("a").status === PageReadStatus.StreamNotFound)
+    } finally store.close()
+  }
 }

@@ -371,6 +371,13 @@ class JdbcStoreSpec extends AnyFunSuite with BeforeAndAfterEach {
     finally fresh.close()
   }
 
+  test("a batch with duplicate message ids is rejected before touching the database") {
+    intercept[IllegalArgumentException] {
+      store.appendToStream("s1", ExpectedVersion.Any, msgs(1) ++ msgs(1))
+    }
+    assert(store.readStreamForwards("s1").status === PageReadStatus.StreamNotFound)
+  }
+
   test("system stream ids are rejected at the write surface") {
     intercept[IllegalArgumentException] {
       store.appendToStream("$sys", ExpectedVersion.Any, msgs(1))

@@ -175,6 +175,32 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeWithState merges mutually in-gap late events from one batch into one session") {
+    def evm(u: Long, minutes: Long): LogEvent =
+      LogEvent(u, minutes * 60000000000L, "t", 1000000L)
+    val us = 60000000L
+
+    val in = MemoryStream[LogEvent](spark)
+    val sessions = StatefulOps.sessionizeWithState(
+      in.toDS(), gapMicros = 3600L * 1000000L, watermarkDelay = "10 hours")
+    val q = memSink(sessions.toDF(), "sess_latepair", "append")
+    try {
+      // batch 1 opens [1500, 1530] for user 1
+      in.addData(evm(1, 1500), evm(1, 1530))
+      processAll(q)
+      // batch 2: TWO late events, both more than a gap before the open
+      // session (1320 and 1330, 10min apart) — mutually in-gap, so the
+      // batch twin makes them ONE session; the sweep must too, closing
+      // it inline when the open session follows
+      in.addData(evm(1, 1320), evm(1, 1330))
+      processAll(q)
+      val afterB2 = spark.table("sess_latepair").as[UserSession].collect()
+        .map(s => (s.userId, s.startUs, s.endUs, s.nEvents)).toSet
+      assert(afterB2 === Set((1L, 1320 * us, 1330 * us, 2L)),
+        "late pair must merge into one closed session, not two fragments")
+    } finally q.stop()
+  }
+
   test("sessionizeWithState gap compare is exact nanos, agreeing with the batch twin at sub-microsecond boundaries") {
     // two events whose true gap exceeds 1h by exactly 1 NANOsecond: the
     // micros-truncated compare used to merge them; the batch twin splits.
