@@ -94,12 +94,13 @@ private[store] final class InMemoryHeadStore extends HeadStore {
   * open), so writes batch-commit every [[DerbyHeadStore.CommitEvery]]
   * mutations instead of per-operation — reads on the same connection see
   * uncommitted writes, and a crash simply discards the scratch db. */
-private[store] final class DerbyHeadStore(dbDir: String, cacheCapacity: Int) extends HeadStore {
+private[store] final class DerbyHeadStore(dbDir: String, cacheCapacity: Int)
+  extends HeadStore with JdbcPlumbing {
   import DerbyHeadStore._
   require(cacheCapacity > 0, "cacheCapacity must be positive")
 
   private val jdbcUrl = s"jdbc:derby:$dbDir/headsdb;create=true"
-  private val conn: Connection = {
+  protected val conn: Connection = {
     JdbcStreamStore.ensureDerbyHome()
     val c = DriverManager.getConnection(jdbcUrl)
     c.setAutoCommit(false)
@@ -141,7 +142,7 @@ private[store] final class DerbyHeadStore(dbDir: String, cacheCapacity: Int) ext
   }
 
   override def upsert(id: String, h: Head): Unit = {
-    val deleted = update(s"DELETE FROM $Table WHERE id=?")(_.setString(1, id))
+    val deleted = updateCount(s"DELETE FROM $Table WHERE id=?")(_.setString(1, id))
     if (deleted == 0) count += 1
     update(s"INSERT INTO $Table (id, id_internal, version, position, max_age, max_count) VALUES (?,?,?,?,?,?)") { ps =>
       bind(ps, id, h)
@@ -226,8 +227,7 @@ private[store] final class DerbyHeadStore(dbDir: String, cacheCapacity: Int) ext
 
   override def close(): Unit = {
     try { conn.commit(); conn.close() } catch { case _: SQLException => () }
-    try DriverManager.getConnection(jdbcUrl.takeWhile(_ != ';') + ";shutdown=true")
-    catch { case e: SQLException if e.getSQLState == "08006" => () case _: SQLException => () }
+    derbyShutdown(jdbcUrl)
     // scratch state: recovery rebuilds it from the journal, so reclaim disk
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm))
@@ -236,7 +236,7 @@ private[store] final class DerbyHeadStore(dbDir: String, cacheCapacity: Int) ext
     rm(new java.io.File(dbDir))
   }
 
-  // --- plumbing (same shapes as JdbcStreamStore's helpers) ---
+  // --- plumbing beyond the shared JdbcPlumbing ---
 
   private def maybeCommit(): Unit = {
     mutationsSinceCommit += 1
@@ -251,41 +251,7 @@ private[store] final class DerbyHeadStore(dbDir: String, cacheCapacity: Int) ext
     ps.setLong(4, h.position); setOptInt(ps, 5, h.maxAge); setOptInt(ps, 6, h.maxCount)
   }
 
-  private def optInt(rs: ResultSet, idx: Int): Option[Int] = {
-    val v = rs.getInt(idx); if (rs.wasNull()) None else Some(v)
-  }
-
-  private def setOptInt(ps: PreparedStatement, idx: Int, v: Option[Int]): Unit =
-    v match {
-      case Some(x) => ps.setInt(idx, x)
-      case None => ps.setNull(idx, java.sql.Types.INTEGER)
-    }
-
-  private def query[T](sql: String)(bindArgs: PreparedStatement => Unit)(read: ResultSet => T): IndexedSeq[T] = {
-    val ps = conn.prepareStatement(sql)
-    try {
-      bindArgs(ps)
-      val rs = ps.executeQuery()
-      try {
-        val buf = Vector.newBuilder[T]
-        while (rs.next()) buf += read(rs)
-        buf.result()
-      } finally rs.close()
-    } finally ps.close()
-  }
-
-  private def update(sql: String)(bindArgs: PreparedStatement => Unit): Int = {
-    val ps = conn.prepareStatement(sql)
-    try { bindArgs(ps); ps.executeUpdate() } finally ps.close()
-  }
-
   private def createSchema(): Unit = {
-    def ddl(sql: String): Unit = {
-      val st = conn.createStatement()
-      try st.executeUpdate(sql)
-      catch { case e: SQLException if e.getSQLState == "X0Y32" => () }
-      finally st.close()
-    }
     ddl(s"""CREATE TABLE $Table (
            |  id VARCHAR(1000) NOT NULL PRIMARY KEY,
            |  id_internal BIGINT NOT NULL,

@@ -55,11 +55,11 @@ final class JdbcStreamStore(
     jdbcUrl: String,
     clock: Clock = Clock.System,
     trackDeletes: Boolean = true)
-  extends StreamStore {
+  extends StreamStore with JdbcPlumbing {
 
   import JdbcStreamStore._
 
-  private val conn: Connection = {
+  protected val conn: Connection = {
     JdbcStreamStore.ensureDerbyHome()
     val c = DriverManager.getConnection(jdbcUrl)
     c.setAutoCommit(false)
@@ -644,32 +644,6 @@ final class JdbcStreamStore(
     }
   }
 
-  private def query[T](sql: String)(bind: PreparedStatement => Unit)(read: ResultSet => T): IndexedSeq[T] = {
-    val ps = conn.prepareStatement(sql)
-    try {
-      bind(ps)
-      val rs = ps.executeQuery()
-      try {
-        val buf = Vector.newBuilder[T]
-        while (rs.next()) buf += read(rs)
-        buf.result()
-      } finally rs.close()
-    } finally ps.close()
-  }
-
-  private def update(sql: String)(bind: PreparedStatement => Unit): Unit = { updateCount(sql)(bind); () }
-
-  private def updateCount(sql: String)(bind: PreparedStatement => Unit): Int = {
-    val ps = conn.prepareStatement(sql)
-    try { bind(ps); ps.executeUpdate() } finally ps.close()
-  }
-
-  private def setOptInt(ps: PreparedStatement, idx: Int, v: Option[Int]): Unit =
-    v match {
-      case Some(x) => ps.setInt(idx, x)
-      case None => ps.setNull(idx, java.sql.Types.INTEGER)
-    }
-
   private def readCounter(key: String, default: Long): Long =
     inTx(query(s"SELECT v FROM $CountersTable WHERE k=?")(_.setString(1, key))(_.getLong(1)).headOption.getOrElse(default))
 
@@ -694,13 +668,6 @@ final class JdbcStreamStore(
   def schemaCreationScript: String = JdbcStreamStore.schemaCreationScript
 
   private def createSchema(): Unit = synchronized {
-    // returns true when this call created the object (vs already existed)
-    def ddl(sql: String): Boolean = {
-      val st = conn.createStatement()
-      try { st.executeUpdate(sql); true }
-      catch { case e: SQLException if e.getSQLState == "X0Y32" => false } // already exists
-      finally st.close()
-    }
     val fresh = ddl(CreationDdl.head)
     CreationDdl.tail.foreach(ddl)
     if (fresh) writeCounter(SchemaVersionKey, CurrentSchemaVersion.toLong)
@@ -709,11 +676,7 @@ final class JdbcStreamStore(
 
   override def close(): Unit = synchronized {
     try conn.close() catch { case _: SQLException => () }
-    // Embedded Derby: shut down this database to release its file locks.
-    // A successful per-database shutdown SIGNALS via SQLState 08006.
-    if (jdbcUrl.startsWith("jdbc:derby:"))
-      try DriverManager.getConnection(jdbcUrl.takeWhile(_ != ';') + ";shutdown=true")
-      catch { case e: SQLException if e.getSQLState == "08006" => () case _: SQLException => () }
+    derbyShutdown(jdbcUrl) // release embedded Derby's file locks
   }
 }
 
