@@ -11,8 +11,16 @@ import org.apache.spark.sql.SparkSession
   * count() would let Spark skip projections). Each query runs once for
   * warm-up, then three timed runs; the MEDIAN is reported — single-run
   * numbers showed ±40% run-to-run variance (round-4 minhash), which made
-  * real regressions indistinguishable from noise. Stateful store
-  * scenarios stay single-run (their state accumulates across runs).
+  * real regressions indistinguishable from noise. Store/JDBC scenarios
+  * get the same median treatment by running the WHOLE scenario sequence
+  * three times against a fresh store in a fresh temp dir per repetition
+  * (state never accumulates across reps). Streaming-replay scenarios
+  * stay single-run: they cost ~15 s each and their dominant term
+  * (per-micro-batch checkpoint fsync) is stable run-to-run.
+  *
+  * The result JSON is printed as ONE stdout line AND written whole to
+  * `target/bench.json` — the driver captures a bounded log tail, which
+  * truncated the round-5 artifact mid-JSON; the file is the durable copy.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -65,18 +73,49 @@ object Bench {
       approx(); results("approx_distinct_counts") = median3(approx())
     }
 
-    results ++= storeScenarios(spark)
+    results ++= medianScenarios(3)(() => storeScenarioRep(spark))
+    results ++= medianScenarios(3)(() => jdbcScenarioRep(spark))
+    results ++= streamingScenarios(spark)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // durable copy: the driver's bounded log tail truncated round 5's JSON
+    val outPath = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.write(outPath, (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+  }
+
+  /** Run the whole scenario sequence `reps` times (fresh state per rep —
+    * the rep function must build and tear down its own store) and report
+    * the per-scenario median, preserving the first run's ordering. */
+  private def medianScenarios(reps: Int)(rep: () => Seq[(String, Double)]): Seq[(String, Double)] = {
+    val runs = IndexedSeq.fill(reps)(rep())
+    runs.head.map(_._1).map { k =>
+      val ts = runs.map(_.toMap.apply(k)).sorted
+      k -> ts(ts.length / 2)
+    }
+  }
+
+  private def deleteRecursively(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 
   /** Stream-store scenarios mirroring the reference LoadTests
     * (src/LoadTests: ReadAllForwards, AppendExpectedVersionAnyParallel,
-    * StreamSubscription). */
-  private def storeScenarios(spark: SparkSession): Seq[(String, Double)] = {
+    * StreamSubscription). ONE repetition: fresh temp dir + store, the
+    * full scenario sequence, then teardown — so [[medianScenarios]] reps
+    * are independent and the medians are honest. */
+  private def storeScenarioRep(spark: SparkSession): Seq[(String, Double)] = {
     import graft.core._
     import graft.store.SparkStreamStore
     import graft.streaming.Subscriptions
@@ -142,6 +181,7 @@ object Bench {
       require(reopened.readHeadPosition() >= nBatches * batch - 1)
       reopened.close()
     }
+    deleteRecursively(dir)
 
     Seq(
       "store_append_2k_msgs" -> appendSec,
@@ -149,12 +189,13 @@ object Bench {
       "store_subscription_catchup" -> catchupSec,
       "store_scavenge_200_appends" -> scavengeSec,
       "store_delete_20_msgs" -> deleteSec,
-      "store_reopen_recovery" -> reopenSec) ++ jdbcScenarios(spark)
+      "store_reopen_recovery" -> reopenSec)
   }
 
   /** The same append/scan shape against the JDBC backend (embedded
-    * Derby), so backend throughput is directly comparable in one run. */
-  private def jdbcScenarios(spark: SparkSession): Seq[(String, Double)] = {
+    * Derby), so backend throughput is directly comparable in one run.
+    * One repetition (see [[storeScenarioRep]]). */
+  private def jdbcScenarioRep(spark: SparkSession): Seq[(String, Double)] = {
     import graft.core._
     import graft.store.JdbcStreamStore
 
@@ -188,10 +229,11 @@ object Bench {
     }
 
     store.close()
+    deleteRecursively(dir)
     Seq(
       "jdbc_append_2k_msgs" -> appendSec,
       "jdbc_read_all_scan" -> readAllSec,
-      "jdbc_spark_partitioned_read" -> sparkReadSec) ++ streamingScenarios(spark)
+      "jdbc_spark_partitioned_read" -> sparkReadSec)
   }
 
   /** Structured Streaming micro-batch throughput: the stateful operators
@@ -217,8 +259,12 @@ object Bench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def checkpoint(): String =
-      java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
+    val checkpoints = scala.collection.mutable.Buffer.empty[String]
+    def checkpoint(): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
+      checkpoints += d
+      d
+    }
 
     val sessionSec = time {
       val in = MemoryStream[graft.streaming.LogEvent](spark)
@@ -243,6 +289,7 @@ object Bench {
       finally q.stop()
     }
 
+    checkpoints.foreach(deleteRecursively)
     Seq(
       "streaming_session_replay" -> sessionSec,
       "streaming_window_replay" -> windowSec)

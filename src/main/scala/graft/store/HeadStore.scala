@@ -226,14 +226,17 @@ private[store] final class DerbyHeadStore(dbDir: String, cacheCapacity: Int)
   override def size: Long = count
 
   override def close(): Unit = {
+    closeCachedStatements()
     try { conn.commit(); conn.close() } catch { case _: SQLException => () }
     derbyShutdown(jdbcUrl)
-    // scratch state: recovery rebuilds it from the journal, so reclaim disk
+    // scratch state: recovery rebuilds it from the journal, so reclaim
+    // disk — but ONLY the headsdb database this store created, never the
+    // caller-supplied dbDir itself (it may hold unrelated files)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(); ()
     }
-    rm(new java.io.File(dbDir))
+    rm(new java.io.File(dbDir, "headsdb"))
   }
 
   // --- plumbing beyond the shared JdbcPlumbing ---

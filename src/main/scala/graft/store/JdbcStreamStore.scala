@@ -173,7 +173,7 @@ final class JdbcStreamStore(
       i.getEpochSecond * 1000000L + i.getNano / 1000L
     }
     val base = nextPosition
-    val ins = conn.prepareStatement(
+    val ins = cachedStatement(
       s"INSERT INTO $MessagesTable (position, stream_id_internal, stream_version, message_id, created_micros, msg_type, json_data, json_metadata) VALUES (?,?,?,?,?,?,?,?)")
     try {
       messages.zipWithIndex.foreach { case (m, i) =>
@@ -188,7 +188,7 @@ final class JdbcStreamStore(
         ins.addBatch()
       }
       ins.executeBatch()
-    } finally ins.close()
+    } catch { case e: Throwable => try ins.clearBatch() catch { case _: SQLException => () }; throw e }
 
     val newVersion = head.version + messages.length
     val newPosition = base + messages.length - 1
@@ -269,13 +269,19 @@ final class JdbcStreamStore(
   /** Which of `ids` are already stored in the stream → messageId ->
     * stored version; point probes of the unique
     * (stream_id_internal, message_id) index, IN-chunked so huge batches
-    * never overflow a statement. */
+    * never overflow a statement. The placeholder count is ROUNDED UP to
+    * the next power of two (extras re-bind the last id — duplicates in an
+    * IN list are harmless), so the whole range of batch sizes maps to
+    * ~9 distinct SQL texts and the statement cache actually hits instead
+    * of Derby re-compiling a fresh N-placeholder plan per append. */
   private def storedVersions(head: HeadRow, ids: Seq[String]): Map[String, Int] =
     ids.distinct.grouped(IdProbeChunk).flatMap { chunk =>
-      val placeholders = Seq.fill(chunk.length)("?").mkString(",")
+      val n = Integer.highestOneBit(math.max(1, chunk.length * 2 - 1))
+      val placeholders = Seq.fill(n)("?").mkString(",")
       query(s"SELECT message_id, stream_version FROM $MessagesTable WHERE stream_id_internal=? AND message_id IN ($placeholders)") { ps =>
         ps.setLong(1, head.idInternal)
         chunk.zipWithIndex.foreach { case (id, i) => ps.setString(i + 2, id) }
+        (chunk.length until n).foreach(i => ps.setString(i + 2, chunk.last))
       } { rs => rs.getString(1) -> rs.getInt(2) }
     }.toMap
 
@@ -667,14 +673,49 @@ final class JdbcStreamStore(
     * `PostgresStreamStore.cs:258` `GetSchemaCreationScript`). */
   def schemaCreationScript: String = JdbcStreamStore.schemaCreationScript
 
+  /** Bring this database's schema to [[CurrentSchemaVersion]], one
+    * versioned step at a time (ref: `MigrateProgress.cs`,
+    * `PostgresStreamStore.Migration.cs` — the reference ships migration
+    * tooling beside `CheckSchema`). The 0→1 step covers both databases
+    * created before versioning (the v1 DDL is identical — only the stamp
+    * is missing) and schemas left partial by a crash during creation: the
+    * existence-tolerant DDL completes any missing objects, then the
+    * version is stamped. A database stamped NEWER than this code refuses
+    * to migrate (downgrade). Returns the version migrated to. */
+  def migrate(): Int = synchronized {
+    var v = checkSchema().currentVersion
+    require(v <= CurrentSchemaVersion,
+      s"database schema version $v is newer than this code's $CurrentSchemaVersion — refusing to downgrade")
+    while (v < CurrentSchemaVersion) {
+      migrationStep(v)
+      v += 1
+      writeCounter(SchemaVersionKey, v.toLong)
+      conn.commit()
+    }
+    v
+  }
+
+  private def migrationStep(from: Int): Unit = from match {
+    // v0 (pre-versioning / partial creation) → v1: object set is identical;
+    // complete whatever is missing, tolerate whatever exists
+    case 0 => CreationDdl.foreach(ddl)
+    case v => throw new IllegalStateException(s"no migration defined from schema version $v")
+  }
+
+  /** Stamp the version only for a FULLY fresh creation: every object was
+    * created by this call AND no version row exists. A partially-created
+    * schema (crash mid-DDL) or a pre-versioning database keeps reporting
+    * version 0 from [[checkSchema]], and [[migrate]] is the defined way
+    * forward — never a silent retro-stamp on reopen. */
   private def createSchema(): Unit = synchronized {
-    val fresh = ddl(CreationDdl.head)
-    CreationDdl.tail.foreach(ddl)
-    if (fresh) writeCounter(SchemaVersionKey, CurrentSchemaVersion.toLong)
+    val created = CreationDdl.map(ddl)
+    if (created.forall(identity) && readCounter(SchemaVersionKey, 0L) == 0L)
+      writeCounter(SchemaVersionKey, CurrentSchemaVersion.toLong)
     conn.commit()
   }
 
   override def close(): Unit = synchronized {
+    closeCachedStatements()
     try conn.close() catch { case _: SQLException => () }
     derbyShutdown(jdbcUrl) // release embedded Derby's file locks
   }

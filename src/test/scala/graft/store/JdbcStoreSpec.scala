@@ -280,6 +280,46 @@ class JdbcStoreSpec extends AnyFunSuite with BeforeAndAfterEach {
     val r = store.checkSchema()
     assert(r === JdbcStreamStore.CheckSchemaResult(0, JdbcStreamStore.CurrentSchemaVersion))
     assert(!r.isMatch, "reopen must report, not silently restamp, an old schema")
+
+    // migrate() is the defined way forward: the 0→1 ladder step stamps a
+    // pre-versioning database (identical object set) and data survives
+    // (ref: MigrateProgress.cs, PostgresStreamStore.Migration.cs)
+    assert(store.migrate() === JdbcStreamStore.CurrentSchemaVersion)
+    assert(store.checkSchema().isMatch)
+    assert(store.readStreamForwards("s1").messages.size === 1)
+  }
+
+  test("migrate completes a partially-created schema and refuses downgrades") {
+    // simulate a crash mid-creation: only the first DDL object exists
+    val dir = SparkTestSession.tempDir("graft-partial")
+    val raw = java.sql.DriverManager.getConnection(s"jdbc:derby:$dir/db;create=true")
+    try {
+      val first = JdbcStreamStore.schemaCreationScript.split(";").map(_.trim).filter(_.nonEmpty).head
+      val st = raw.createStatement(); try st.executeUpdate(first) finally st.close()
+    } finally raw.close()
+
+    // open completes the missing objects but must NOT stamp (partial ≠ fresh)
+    val partial = new JdbcStreamStore(spark, s"jdbc:derby:$dir/db", clock)
+    try {
+      assert(partial.checkSchema().currentVersion === 0,
+        "a partially-created schema must not be silently stamped current")
+      assert(partial.migrate() === JdbcStreamStore.CurrentSchemaVersion)
+      assert(partial.checkSchema().isMatch)
+      partial.appendToStream("s1", ExpectedVersion.NoStream, msgs(1))
+      assert(partial.readStreamForwards("s1").messages.size === 1)
+    } finally partial.close()
+
+    // a database stamped newer than this code refuses to migrate down
+    val raw2 = java.sql.DriverManager.getConnection(s"jdbc:derby:$dir/db")
+    try {
+      val st = raw2.createStatement()
+      try st.executeUpdate(
+        s"UPDATE graft_counters SET v=${JdbcStreamStore.CurrentSchemaVersion + 1} WHERE k='schema_version'")
+      finally st.close()
+    } finally raw2.close()
+    val newer = new JdbcStreamStore(spark, s"jdbc:derby:$dir/db", clock)
+    try intercept[IllegalArgumentException](newer.migrate())
+    finally newer.close()
   }
 
   test("per-append cost is flat in stream length (no O(stream) idempotency scan)") {
