@@ -61,14 +61,46 @@ object HalJson {
     Mapper.writeValueAsString(arr)
   }
 
-  def readNewMessages(body: String): Seq[NewStreamMessage] =
-    Mapper.readTree(body).asInstanceOf[ArrayNode].elements().asScala.map { n =>
+  /** Parse + validate an append body up front, with the reference's
+    * request schema (ref: `SqlStreamStore.HAL/Streams/AppendStreamOperation.cs:26-82`,
+    * whose embedded JSON schemas `SchemaSet.cs` serves): the body must be
+    * a JSON array of messages (or one message object — appended as a
+    * one-element batch); each message needs a well-formed, non-empty UUID
+    * `messageId` and a `type`. Violations throw [[InvalidRequestException]]
+    * → a structured 400, never a raw parse error surfacing as a 500. */
+  def readNewMessages(body: String): Seq[NewStreamMessage] = {
+    val root = parseOr400(body)
+    val elems: Seq[JsonNode] = root match {
+      case a: ArrayNode => a.elements().asScala.toSeq
+      case o: ObjectNode => Seq(o)
+      case _ => throw new InvalidRequestException("Invalid json detected.")
+    }
+    elems.zipWithIndex.map { case (n, index) =>
+      val midText = optText(n, "messageId").getOrElse(
+        throw new InvalidRequestException(s"'messageId' at index $index was improperly formatted."))
+      val mid =
+        try java.util.UUID.fromString(midText)
+        catch { case _: IllegalArgumentException =>
+          throw new InvalidRequestException(s"'messageId' at index $index was improperly formatted.")
+        }
+      if (mid == new java.util.UUID(0L, 0L))
+        throw new InvalidRequestException(s"'messageId' at index $index was empty.")
       NewStreamMessage(
-        messageId = n.get("messageId").asText,
-        `type` = n.get("type").asText,
-        jsonData = optText(n, "jsonData").orNull,
-        jsonMetadata = optText(n, "jsonMetadata").orNull)
-    }.toSeq
+        messageId = midText,
+        `type` = optText(n, "type").getOrElse(
+          throw new InvalidRequestException(s"'type' at index $index was not set.")),
+        jsonData = optJsonText(n, "jsonData").orNull,
+        jsonMetadata = optJsonText(n, "jsonMetadata").orNull)
+    }
+  }
+
+  /** readTree that maps malformed JSON to the 400 path (ref:
+    * `ExceptionHandlingMiddleware.cs:34-38` maps JsonException → 400). */
+  def parseOr400(body: String): JsonNode =
+    try Mapper.readTree(body)
+    catch { case _: com.fasterxml.jackson.core.JacksonException =>
+      throw new InvalidRequestException("Invalid json detected.")
+    }
 
   // --- pages ---
 
@@ -136,6 +168,18 @@ object HalJson {
     if (v == null || v.isNull) None else Some(v.asText)
   }
 
+  /** Like [[optText]], but a JSON object/array value serializes to its
+    * JSON text instead of `asText`'s empty string — the reference accepts
+    * `jsonData` as an embedded object (`AppendStreamOperation.cs:79`,
+    * `Value<JObject>`), so both `"jsonData": "{\"a\":1}"` and
+    * `"jsonData": {"a":1}` carry the same payload. */
+  def optJsonText(n: JsonNode, field: String): Option[String] = {
+    val v = n.get(field)
+    if (v == null || v.isNull) None
+    else if (v.isContainerNode) Some(Mapper.writeValueAsString(v))
+    else Some(v.asText)
+  }
+
   def optInt(n: JsonNode, field: String): Option[Int] = {
     val v = n.get(field)
     if (v == null || v.isNull) None else Some(v.asInt)
@@ -154,3 +198,9 @@ object HalJson {
     curie.put("title", "Documentation")
   }
 }
+
+/** A request body that fails the HTTP surface's up-front schema
+  * validation (ref: `SqlStreamStore.HAL/InvalidAppendRequestException.cs`;
+  * the server maps it to a structured 400 "Bad format." payload, as
+  * `ExceptionHandlingMiddleware.cs:39-44` does). */
+final class InvalidRequestException(message: String) extends RuntimeException(message)

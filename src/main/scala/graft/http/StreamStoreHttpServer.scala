@@ -77,13 +77,21 @@ final class StreamStoreHttpServer(store: StreamStore, port: Int = 0) extends Aut
         case _ => respond(ex, 404, """{"error":"not found"}""")
       }
     } catch {
+      // structured problem payloads, the reference's shape
+      // (ref: ExceptionHandlingMiddleware.cs:25-45 — {type, title, detail})
       case e: WrongExpectedVersionException =>
-        respond(ex, 409, s"""{"error":${Json.quote(e.getMessage)}}""")
+        respond(ex, 409, problemJson(e, "Wrong expected version."))
+      case e: InvalidRequestException =>
+        respond(ex, 400, problemJson(e, "Bad format."))
       case e: IllegalArgumentException =>
-        respond(ex, 400, s"""{"error":${Json.quote(String.valueOf(e.getMessage))}}""")
+        respond(ex, 400, problemJson(e, "Bad format."))
       case e: Throwable =>
-        respond(ex, 500, s"""{"error":${Json.quote(String.valueOf(e.getMessage))}}""")
+        respond(ex, 500, problemJson(e, "Internal server error."))
     } finally ex.close()
+
+  private def problemJson(e: Throwable, title: String): String =
+    s"""{"type":${Json.quote(e.getClass.getSimpleName)},"title":${Json.quote(title)},""" +
+      s""""detail":${Json.quote(String.valueOf(e.getMessage))},"error":${Json.quote(String.valueOf(e.getMessage))}}"""
 
   // --- handlers ---
 
@@ -230,11 +238,20 @@ final class StreamStoreHttpServer(store: StreamStore, port: Int = 0) extends Aut
   }
 
   private def setMetadata(ex: HttpExchange, id: String): Unit = {
-    val n = HalJson.Mapper.readTree(body(ex))
+    // validate the body shape up front (ref: SetStreamMetadataOperation.cs
+    // expects a JSON object with int? maxAge/maxCount; the HAL server's
+    // embedded schema set rejects anything else as 400)
+    val n = HalJson.parseOr400(body(ex))
+    if (!n.isObject) throw new InvalidRequestException("Invalid json detected.")
+    Seq("maxAge", "maxCount").foreach { f =>
+      val v = n.get(f)
+      if (v != null && !v.isNull && !v.canConvertToInt)
+        throw new InvalidRequestException(s"'$f' must be an integer.")
+    }
     store.setStreamMetadata(id, expectedVersion(ex),
       maxAge = HalJson.optInt(n, "maxAge"),
       maxCount = HalJson.optInt(n, "maxCount"),
-      metadataJson = HalJson.optText(n, "metadataJson"))
+      metadataJson = HalJson.optJsonText(n, "metadataJson"))
     respond(ex, 200, "{}")
   }
 
@@ -302,10 +319,15 @@ final class StreamStoreHttpServer(store: StreamStore, port: Int = 0) extends Aut
     etag.foreach(ex.getResponseHeaders.set("ETag", _))
     cacheControl.foreach(ex.getResponseHeaders.set("Cache-Control", _))
     // If-None-Match hit → 304 carrying only the validator headers
-    // (ref: HttpContextExtensions.cs:27-55)
+    // (ref: HttpContextExtensions.cs:27-55). Per RFC 9110 §13.1.2: `*`
+    // matches any current representation, and comparison is WEAK — a
+    // leading W/ on a candidate is stripped before comparing.
     val ifNoneMatch = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
       .toSeq.flatMap(_.split(",")).map(_.trim)
-    if (status == 200 && etag.exists(ifNoneMatch.contains)) {
+    val etagMatches = etag.isDefined &&
+      (ifNoneMatch.contains("*") ||
+        etag.exists(t => ifNoneMatch.map(_.stripPrefix("W/")).contains(t)))
+    if (status == 200 && etagMatches) {
       ex.sendResponseHeaders(304, -1)
       return
     }

@@ -238,5 +238,57 @@ class HttpStoreSpec extends AnyFunSuite with BeforeAndAfterEach {
 
     // a non-matching validator is ignored
     assert(get("/streams/a/1", inm = Some("\"99\"")).statusCode() === 200)
+
+    // RFC 9110 §13.1.2: `*` matches any representation; weak validators
+    // compare with the W/ prefix stripped
+    assert(get("/streams/a/1", inm = Some("*")).statusCode() === 304)
+    assert(get("/streams/a/1", inm = Some("W/\"1\"")).statusCode() === 304)
+    assert(get("/streams/a/1", inm = Some("W/\"99\", W/\"1\"")).statusCode() === 304)
+  }
+
+  test("malformed POST bodies return structured 400s, not 500s") {
+    // ref: AppendStreamOperation.cs:26-82 + ExceptionHandlingMiddleware.cs
+    // ({type, title, detail} at 400), backed by the HAL schema set
+    val http = java.net.http.HttpClient.newHttpClient()
+    def post(path: String, body: String): java.net.http.HttpResponse[String] =
+      http.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(server.baseUrl + path))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+    def problem(r: java.net.http.HttpResponse[String]): (Int, String, String) = {
+      val n = HalJson.Mapper.readTree(r.body)
+      (r.statusCode(), n.get("title").asText, n.get("detail").asText)
+    }
+
+    // invalid JSON
+    assert(problem(post("/streams/s1", "{not json")) === (400, "Bad format.", "Invalid json detected."))
+    // not an array or object
+    assert(problem(post("/streams/s1", "42")) === (400, "Bad format.", "Invalid json detected."))
+    // malformed messageId
+    val (s1, t1, d1) = problem(post("/streams/s1", """[{"messageId":"nope","type":"t"}]"""))
+    assert((s1, t1) === (400, "Bad format.") && d1 === "'messageId' at index 0 was improperly formatted.")
+    // empty (all-zero) messageId
+    val (s2, _, d2) = problem(post("/streams/s1",
+      s"""[{"messageId":"00000000-0000-0000-0000-000000000000","type":"t"}]"""))
+    assert(s2 === 400 && d2 === "'messageId' at index 0 was empty.")
+    // missing type, reported at the right index
+    val (s3, _, d3) = problem(post("/streams/s1",
+      s"""[{"messageId":"${mid(1)}","type":"t"},{"messageId":"${mid(2)}"}]"""))
+    assert(s3 === 400 && d3 === "'type' at index 1 was not set.")
+    // nothing was appended by any of the rejected bodies
+    assert(store.readStreamForwards("s1").status === PageReadStatus.StreamNotFound)
+
+    // a single message OBJECT appends as a one-element batch, with an
+    // embedded jsonData object serialized to its JSON text (ref:
+    // AppendStreamOperation.cs:50-52, 79)
+    val ok = post("/streams/s1", s"""{"messageId":"${mid(1)}","type":"t","jsonData":{"a":1}}""")
+    assert(ok.statusCode() === 201)
+    assert(store.readStreamForwards("s1").messages.head.jsonData === """{"a":1}""")
+
+    // metadata: non-object body and non-integer maxAge are 400s
+    assert(problem(post("/streams/s1/metadata", "[1,2]")) === (400, "Bad format.", "Invalid json detected."))
+    val (s4, _, d4) = problem(post("/streams/s1/metadata", """{"maxAge":"soon"}"""))
+    assert(s4 === 400 && d4 === "'maxAge' must be an integer.")
   }
 }
