@@ -84,6 +84,41 @@ private[store] final class InMemoryHeadStore extends HeadStore {
   override def close(): Unit = ()
 }
 
+/** Starts in memory and MIGRATES to a [[DerbyHeadStore]] the moment the
+  * head count crosses `spillThreshold` — so the 100M-stream driver-memory
+  * safety is the default, not an opt-in: small stores never pay Derby's
+  * lookup cost, and a store that grows past the bound spills once
+  * (O(threshold) one-time migration, paged by the in-memory iterator)
+  * instead of growing the driver heap without limit. */
+private[store] final class AutoSpillHeadStore(
+    spillDirFactory: () => String,
+    spillThreshold: Long,
+    cacheCapacity: Int) extends HeadStore {
+  private var inner: HeadStore = new InMemoryHeadStore
+
+  /** Whether the spill transition has happened (test/diagnostic surface). */
+  def isSpilled: Boolean = inner.isInstanceOf[DerbyHeadStore]
+
+  private def maybeSpill(): Unit =
+    if (!isSpilled && inner.size >= spillThreshold) {
+      val derby = new DerbyHeadStore(spillDirFactory(), cacheCapacity)
+      inner.iterator.foreach { case (id, h) => derby.upsert(id, h) }
+      inner.close()
+      inner = derby
+    }
+
+  override def get(id: String): Option[Head] = inner.get(id)
+  override def putNew(id: String, h: Head): Unit = { inner.putNew(id, h); maybeSpill() }
+  override def upsert(id: String, h: Head): Unit = { inner.upsert(id, h); maybeSpill() }
+  override def persist(id: String, h: Head): Unit = inner.persist(id, h)
+  override def remove(id: String): Option[Head] = inner.remove(id)
+  override def iteratorFrom(afterIdInternal: Long): Iterator[(Long, String)] =
+    inner.iteratorFrom(afterIdInternal)
+  override def iterator: Iterator[(String, Head)] = inner.iterator
+  override def size: Long = inner.size
+  override def close(): Unit = inner.close()
+}
+
 /** Bounded head store: all heads live in an embedded Derby table (point
   * lookups and idInternal-ordered scans via its indexes); a write-through
   * LRU of `cacheCapacity` hot entries absorbs repeated lookups. Driver

@@ -461,6 +461,19 @@ class BoundedHeadsAcceptanceSpec extends StoreAcceptanceBehaviors {
   }
 }
 
+/** The same acceptance behaviors with auto-spill forced LOW (threshold 4)
+  * — every suite crosses the in-memory → Derby migration mid-behavior, so
+  * the spill transition itself is proven invisible to the contract. */
+class AutoSpillAcceptanceSpec extends StoreAcceptanceBehaviors {
+  protected def withStore[T](name: String, trackDeletes: Boolean = true,
+      clock: Clock = Clock.System)(f: StreamStore => T): T = {
+    val store = new SparkStreamStore(SparkTestSession.spark,
+      SparkTestSession.tempDir(name), clock, trackDeletes = trackDeletes,
+      autoSpillHeads = 4)
+    try f(store) finally store.close()
+  }
+}
+
 /** The same acceptance behaviors over the JDBC store (embedded Derby) —
   * the reference runs one suite per SQL backend the same way. */
 class JdbcAcceptanceParitySpec extends StoreAcceptanceBehaviors {

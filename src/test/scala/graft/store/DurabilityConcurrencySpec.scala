@@ -89,6 +89,36 @@ class DurabilityConcurrencySpec extends AnyFunSuite {
     } finally s2.close()
   }
 
+  test("recovery tolerates a torn journal tail line but fails loudly on interior corruption") {
+    val dir = SparkTestSession.tempDir("graft-tornjournal")
+    val s1 = new SparkStreamStore(spark, dir)
+    (1 to 5).foreach(i => s1.appendToStream(s"s$i", ExpectedVersion.NoStream, msgs(i)))
+    s1.deleteStream("s5") // journals immediately: multi-line journal state
+    s1.close()
+
+    val heads = new java.io.File(dir, "heads")
+    val latest = heads.listFiles().sortBy(_.getName).last
+
+    // a torn TAIL line (crash mid-write) is dropped; everything else recovers
+    val lines = java.nio.file.Files.readAllLines(latest.toPath)
+    java.nio.file.Files.writeString(latest.toPath,
+      (lines.toArray.toSeq :+ """{"seq":999,"streamId":"torn""").mkString("\n"))
+    val s2 = new SparkStreamStore(spark, dir)
+    try assert(s2.readStreamForwards("s1").messages.size === 1)
+    finally s2.close()
+
+    // an INTERIOR corrupt line is real state loss → recovery must throw,
+    // not silently skip (s2.close() rewrote dirty heads, so re-read)
+    val latest2 = heads.listFiles().sortBy(_.getName).last
+    val lines2 = java.nio.file.Files.readAllLines(latest2.toPath).toArray.toSeq
+    if (lines2.size >= 2) {
+      java.nio.file.Files.writeString(latest2.toPath,
+        ("{corrupt" +: lines2.tail :+ "").mkString("\n"))
+      val e = intercept[java.io.IOException](new SparkStreamStore(spark, dir))
+      assert(e.getMessage.contains("corrupt interior line"))
+    }
+  }
+
   test("deleted stream stays deleted across restart; id can be recreated") {
     val dir = SparkTestSession.tempDir("graft-delrestart")
     val s1 = new SparkStreamStore(spark, dir)

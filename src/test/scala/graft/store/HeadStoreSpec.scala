@@ -69,6 +69,36 @@ class HeadStoreSpec extends AnyFunSuite {
     } finally hs.close()
   }
 
+  test("auto-spill store migrates to Derby at the threshold with no visible seam") {
+    val hs = new AutoSpillHeadStore(
+      () => SparkTestSession.tempDir("graft-autospill"), spillThreshold = 10, cacheCapacity = 4)
+    try {
+      (0 until 9).foreach(i => hs.putNew(s"s-$i", new Head(i.toLong, i, i.toLong, None, Some(i))))
+      assert(!hs.isSpilled)
+      // in-place mutation before the spill must survive the migration
+      // (pre-spill persist is a no-op; migration copies the live object)
+      val h3 = hs.get("s-3").get
+      h3.version = 77
+      hs.persist("s-3", h3)
+
+      hs.putNew("s-9", new Head(9L, 9, 9L, None, None)) // crosses the threshold
+      assert(hs.isSpilled)
+      assert(hs.size === 10L)
+      (0 until 10).foreach(i => assert(hs.get(s"s-$i").isDefined, s"lost s-$i in migration"))
+      assert(hs.get("s-3").get.version === 77)
+      assert(hs.get("s-5").get.maxCount === Some(5))
+
+      // post-spill behavior is the Derby store's: write-through + keyset seek
+      val h7 = hs.get("s-7").get
+      h7.position = 700L
+      hs.persist("s-7", h7)
+      assert(hs.get("s-7").get.position === 700L)
+      assert(hs.iteratorFrom(7L).map(_._2).toSeq === Seq("s-8", "s-9"))
+      assert(hs.iterator.size === 10)
+      assert(hs.remove("s-0").isDefined && hs.size === 9L)
+    } finally hs.close()
+  }
+
   test("bounded store: full behavior round-trip with an 8-entry hot cache, surviving reopen") {
     val spark = SparkTestSession.spark
     val dir = SparkTestSession.tempDir("graft-bounded")
