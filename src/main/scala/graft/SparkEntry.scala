@@ -290,7 +290,7 @@ object SparkEntry {
   // LLM-data-pipeline extension operators (graft.operators)
   // ==================================================================
 
-  import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
+  import graft.operators.{Dedup, Similarity, TextAnalysis, TextCorpus, Multimodal}
 
   /** Documents with synthetic duplicates/near-duplicates mixed in (the
     * base table is all-distinct): a full copy of doc_id<100 (exact dups)
@@ -361,6 +361,44 @@ object SparkEntry {
   private def docFingerprints(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.tokenSetFingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Canonicalization before dedup (TextCorpus.normalizeDocs). */
+  private def textNormalize(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.normalizeDocs(t(s, dir, "documents")).orderBy("doc_id")
+
+  /** Gopher-style repetition counters (TextCorpus.repetitionStats). */
+  private def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.repetitionStats(t(s, dir, "documents")).orderBy("doc_id")
+
+  /** Corpus-wide top-20 bigrams (TextCorpus.topNgrams). */
+  private def topNgramsQuery(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.topNgrams(t(s, dir, "documents"), n = 2, k = 20)
+
+  /** Cross-source exact-overlap matrix (TextCorpus.sourceOverlap) over
+    * the documents plus a 'mirror' source that copies doc_id<100 — the
+    * base table is all-distinct, so the mirror is what makes overlap
+    * observable (same construction idea as [[docsWithDups]]). */
+  private def sourceOverlapQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.select(col("text"), col("source")).unionAll(
+      d.filter(col("doc_id") < 100).select(col("text"), lit("mirror").as("source")))
+    TextCorpus.sourceOverlap(corpus).orderBy("source_a", "source_b")
+  }
+
+  /** Deterministic sharded shuffle (TextCorpus.shardedShuffle). */
+  private def corpusShuffle(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.shardedShuffle(t(s, dir, "documents"), shards = 8, salt = "epoch-0")
+      .orderBy("doc_id")
+
+  /** Near-dup GROUPS: LSH pairs → connected components
+    * (Dedup.nearDupGroups). Oracled because pair recall on this corpus is
+    * 1.0 (see minhash_near_dups), so components over the pipeline's pairs
+    * equal components over brute-force exact-Jaccard pairs, which DuckDB
+    * computes via a recursive CTE. */
+  private def nearDupGroupsQuery(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupGroups(docsWithDups(s, dir), "text", "doc_id", threshold = 0.5,
+      k = 32, bands = 8, shingleSize = 5)
       .orderBy("doc_id")
 
   /** MinHash+LSH near-dup pipeline (Dedup.nearDupPairs) over the corpus
@@ -646,7 +684,13 @@ object SparkEntry {
     "text_quality_ratios" -> textQualityRatios _,
     "lang_id" -> langId _,
     "doc_fingerprints" -> docFingerprints _,
+    "text_normalize" -> textNormalize _,
+    "repetition_stats" -> repetitionStats _,
+    "top_ngrams" -> topNgramsQuery _,
+    "source_overlap" -> sourceOverlapQuery _,
+    "corpus_shuffle" -> corpusShuffle _,
     "minhash_near_dups" -> minhashNearDups _,
+    "near_dup_groups" -> nearDupGroupsQuery _,
     "simhash_exact_dups" -> simhashExactDups _,
     "ngram_jaccard_pairs" -> ngramJaccardPairs _,
     "knn_dot_topk" -> knnDotTopK _,
@@ -794,6 +838,48 @@ object SparkEntry {
                 md5(array_to_string(list_sort(list_distinct(
                     string_split_regex(trim(text), '\s+'))), ' ')) AS fingerprint
          FROM documents ORDER BY doc_id""",
+    "text_normalize" ->
+      """SELECT doc_id,
+                md5(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS norm_digest,
+                CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_words
+         FROM documents ORDER BY doc_id""",
+    "repetition_stats" ->
+      """WITH w AS (SELECT doc_id,
+                      unnest(string_split_regex(trim(text), '\s+')) AS word
+                    FROM documents),
+              c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2)
+         SELECT doc_id,
+                CAST(sum(cnt) AS BIGINT) AS total_words,
+                CAST(count(*) AS BIGINT) AS distinct_words,
+                CAST(max(cnt) AS BIGINT) AS top_word_count
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "top_ngrams" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+              g AS (SELECT unnest(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i + 1])) AS gram
+                    FROM t WHERE len(ws) >= 2)
+         SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+         FROM g GROUP BY gram
+         ORDER BY n_occurrences DESC, gram LIMIT 20""",
+    "source_overlap" ->
+      """WITH corpus AS (SELECT text, source FROM documents
+                         UNION ALL
+                         SELECT text, 'mirror' FROM documents WHERE doc_id < 100),
+              h AS (SELECT DISTINCT md5(text) AS digest, source FROM corpus)
+         SELECT a.source AS source_a, b.source AS source_b,
+                CAST(count(*) AS BIGINT) AS shared_texts
+         FROM h a JOIN h b ON a.digest = b.digest AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "corpus_shuffle" ->
+      """WITH s AS (SELECT doc_id,
+                      ('0x' || substr(md5('epoch-0' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+                      md5('epoch-0#' || CAST(doc_id AS VARCHAR)) AS ok
+                    FROM documents)
+         SELECT doc_id, shard,
+                CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS BIGINT) AS pos
+         FROM s ORDER BY doc_id""",
     "minhash_near_dups" ->
       // brute-force exact 5-shingle Jaccard: equals the LSH pipeline's
       // output because the pipeline exact-verifies candidates (subset of
@@ -814,6 +900,28 @@ object SparkEntry {
           FROM $docsWithDupsSql a JOIN $docsWithDupsSql b
             ON a.doc_id < b.doc_id AND a.text = b.text
           ORDER BY id_a, id_b""",
+    "near_dup_groups" ->
+      // components of the exact-Jaccard pair graph (= the pipeline's pair
+      // graph at recall 1.0), via recursive reachability: comp = min
+      // reachable doc_id
+      s"""WITH RECURSIVE docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
+          sh AS (SELECT doc_id,
+                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
+                 FROM docs),
+          pairs AS (SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.5),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(id, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
+          SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS group_id
+          FROM reach GROUP BY id ORDER BY doc_id""",
     "ann_lsh_topk" ->
       """WITH v AS (SELECT vec_id, embedding,
                       list_sum(list_transform(range(1, 5),
@@ -905,6 +1013,18 @@ object SparkEntry {
                 sqrt(list_sum(list_transform(range(1, len(embedding)+1),
                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS l2_norm
          FROM embeddings ORDER BY vec_id""",
+    // No second engine implements the PPM/WAV/GVID codecs, so the oracle
+    // is the COMMITTED GOLDEN FILE (pinned by OperatorsSpec against the
+    // deterministic synthetic corpus): the gate compares the live gate
+    // query's digests against it row-for-row — a real pass/fail bit
+    // instead of the previous rows-only check.
+    "multimodal_features" ->
+      """SELECT mediaId, kind, featureDim, ok, feature_digest
+         FROM read_csv('/root/repo/src/test/resources/multimodal_golden.csv',
+           header=true,
+           columns={'mediaId':'BIGINT','kind':'VARCHAR','featureDim':'INTEGER',
+                    'ok':'BOOLEAN','feature_digest':'VARCHAR'})
+         ORDER BY mediaId""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,

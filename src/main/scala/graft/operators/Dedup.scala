@@ -256,4 +256,70 @@ object Dedup {
       .agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minOverlap)
   }
+
+  // ------------------------------------------------------------------
+  // Near-dup GROUPS: pairs → connected components
+  // ------------------------------------------------------------------
+
+  /** Connected components of an undirected edge list `(id_a, id_b)` →
+    * `(id, component)` with `component` = the minimum id reachable, for
+    * every vertex that appears in an edge. Pair detection (LSH) gives
+    * EDGES; dedup survivors need COMPONENTS (doc A ~ B ~ C must keep one
+    * survivor even when (A, C) was never emitted as a pair).
+    *
+    * Algorithm: iterative min-label propagation — each round every vertex
+    * takes the min of its own label and its neighbors' labels (one
+    * hash join + partial-min aggregation per round, both sides
+    * co-partitioned on the join key after round 1, lineage cut with
+    * `localCheckpoint` so plans don't nest). Rounds = graph diameter;
+    * dup clusters are near-cliques (diameter ≲ 3 — every member pairs
+    * with most others), so convergence is a handful of rounds at any
+    * corpus size. For adversarial long-chain graphs, the
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce", SOCC'14) gets O(log n) rounds at the cost
+    * of 2 joins/round — not the dedup regime, so not the default here.
+    * `maxIter` bounds the worst case; the loop stops early the first
+    * round nothing changes (one O(V) count per round — dwarfed by the
+    * join it gates). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (round < maxIter && !converged) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("dst"), col("component")), "dst")
+        .groupBy(col("src").as("id")).agg(min("component").as("neighbor_min"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("neighbor_min"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      converged = updated.as("u")
+        .join(labels.as("l"), "id")
+        .filter(col("u.component") =!= col("l.component"))
+        .isEmpty
+      labels = updated
+      round += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate GROUPS over a corpus: LSH pair detection
+    * ([[nearDupPairs]]) followed by [[connectedComponents]] —
+    * `(doc_id, group_id)` for every document in at least one near-dup
+    * pair, `group_id` = min doc_id of its cluster (the survivor under
+    * the keep-min policy). */
+  def nearDupGroups(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
+      shingleSize: Int = 5): DataFrame =
+    connectedComponents(
+      nearDupPairs(df, textCol, idCol, threshold, k, bands, shingleSize)
+        .select("id_a", "id_b"))
+      .select(col("id").as("doc_id"), col("component").as("group_id"))
 }

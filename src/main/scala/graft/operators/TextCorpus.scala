@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text operators for training-data pipelines — the stages
+  * that look at word statistics and cross-document structure rather than
+  * one document at a time ([[TextAnalysis]] covers those):
+  *
+  *  - repetition stats (the Gopher/MassiveText-style quality signals:
+  *    duplicate-word and top-word coverage, emitted as INTEGER counts so
+  *    gates hash exactly and consumers derive whatever ratios they want),
+  *  - corpus-wide top n-grams (the classic distributed word-count),
+  *  - cross-source exact-overlap matrix (which sources copy each other),
+  *  - deterministic sharded shuffle (reproducible training order without
+  *    a global sort), and
+  *  - text normalization (canonicalization before dedup).
+  *
+  * Everything is `org.apache.spark.sql.functions` + one explode/groupBy
+  * tree per operator — partial aggregation does the heavy lifting, no
+  * UDFs, no driver loops. Ref for the data model being served:
+  * the reference's message log has no text ops at all; this family is the
+  * pipeline layer SURVEY §2 marks "beyond the reference".
+  */
+object TextCorpus {
+
+  /** Canonical form for dedup: lowercase, strip non-alphanumerics to
+    * spaces, collapse space runs, trim. Identical regex semantics in
+    * Spark and DuckDB (`[^a-z0-9 ]+` / `' +'` are dialect-neutral). */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]+", " "), " +", " "))
+
+  /** (doc_id, norm_digest, n_words): the canonicalized-text digest that
+    * exact dedup should group on (so `Foo, bar!` and `foo bar` collide),
+    * plus the post-normalization word count. Pure projection — one pass
+    * over the scan, no shuffle, codegen'd at any scale. */
+  def normalizeDocs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = normalized(col(textCol))
+    docs.select(
+      col("doc_id"),
+      md5(norm).as("norm_digest"),
+      size(split(norm, " ")).cast("long").as("n_words"))
+  }
+
+  /** Per-document word-repetition counters (Gopher rules §A1.3 use the
+    * derived fractions): total words, distinct words, and the count of
+    * the most frequent word. One explode + two-level aggregation — the
+    * (doc_id, word) partial aggregate combines map-side, and the second
+    * shuffle is on the already-partitioned doc_id, so at 100 TB this is
+    * the word-count shape with its usual linear scaling. Counts, not
+    * ratios, so the gate hash is exact (`dup_word_frac = 1 -
+    * distinct/total`, `top_word_frac = top/total` downstream). */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("total_words"),
+        count(lit(1)).as("distinct_words"),
+        max("cnt").as("top_word_count"))
+
+  /** Word n-grams that are EMPTY below n words (unlike
+    * [[TextAnalysis.wordNgrams]], which floors at one truncated gram —
+    * fine for shingling, wrong for counting). */
+  private def strictWordNgrams(text: Column, n: Int): Column = {
+    val ts = TextAnalysis.tokens(text)
+    when(size(ts) >= n,
+      transform(
+        sequence(lit(0), size(ts) - n),
+        i => array_join(slice(ts, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus-wide top-k word n-grams with occurrence counts, ties broken
+    * by gram text so the result is deterministic. explode → partial-agg
+    * count → global top-k (Spark turns the orderBy+limit into a
+    * TakeOrderedAndProject — only k rows ever reach the driver side of
+    * the final exchange). */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(strictWordNgrams(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+      .limit(k)
+
+  /** Which sources share byte-identical texts: (source_a, source_b,
+    * shared_texts) for source pairs that contain at least one common
+    * text digest — the provenance view of exact dedup (who copies
+    * whom), and the cheap first look at benchmark cross-contamination
+    * between corpus slices. Shuffles only DISTINCT 16-byte digests per
+    * source; the self-join is digest-co-partitioned; output is at most
+    * |sources|² rows. */
+  def sourceOverlap(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val h = docs.select(md5(col(textCol)).as("digest"), col("source")).distinct()
+    h.as("a").join(h.as("b"),
+        col("a.digest") === col("b.digest") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_texts"))
+  }
+
+  /** Deterministic sharded shuffle: a reproducible training order
+    * WITHOUT a global sort. Each doc gets a shard from a salted hash and
+    * a position within its shard from a second salted hash — consumers
+    * read shards in any order and rows within a shard by `pos`. The
+    * window partitions by shard (corpus/shards rows each, bounded by
+    * choosing `shards` ∝ corpus size), never by the whole corpus, so no
+    * single-partition global row_number — the thing that serializes
+    * naive shuffle implementations at 100 TB. Salting the hash re-deals
+    * the whole corpus per epoch (`salt = s"epoch-$i"`). md5-based so the
+    * assignment is engine-portable and stable across re-sharding of the
+    * input files. */
+  def shardedShuffle(docs: DataFrame, shards: Int, salt: String): DataFrame = {
+    require(shards > 0)
+    // first 8 md5 hex chars → BIGINT in [0, 2^32): non-negative, so % is
+    // floor-division-consistent across engines
+    val shard = (conv(substring(md5(concat(lit(salt), col("doc_id"))), 1, 8), 16, 10)
+      .cast("long") % shards).as("shard")
+    val orderKey = md5(concat(lit(salt), lit("#"), col("doc_id")))
+    docs.select(col("doc_id"), shard, orderKey.as("ok"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy(col("shard")).orderBy(col("ok"), col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+}

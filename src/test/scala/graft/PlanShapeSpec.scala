@@ -69,6 +69,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus shuffle windows per shard, never over one global partition") {
+    val p = finalPlan("corpus_shuffle")
+    assert(count(p, "Window") >= 1)
+    // a global row_number would plan Exchange SinglePartition before the
+    // Window — the serialization this operator exists to avoid
+    val windowAt = p.split('\n').indexWhere(_.contains("Window"))
+    val single = p.split('\n').zipWithIndex
+      .exists { case (l, i) => i > windowAt && l.contains("SinglePartition") }
+    assert(!single, s"corpus_shuffle degenerated to a single-partition window:\n$p")
+  }
+
+  test("source overlap joins on digests, never cartesian") {
+    val p = finalPlan("source_overlap")
+    assert(count(p, "CartesianProduct") === 0)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0)
+  }
+
+  test("repetition stats aggregate partially before both shuffles") {
+    val p = finalPlan("repetition_stats")
+    assert(count(p, "HashAggregate") >= 3, s"repetition_stats lost partial aggregation:\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted gaps in scans)") {
     Seq("q1_pricing_summary", "text_token_counts", "doc_fingerprints").foreach { q =>
       val p = finalPlan(q)

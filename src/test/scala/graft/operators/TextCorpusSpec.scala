@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The corpus-level text operators against hand-computed fixtures (the
+  * DuckDB oracle re-checks them at sf0.01; these pin the semantics with
+  * inputs small enough to verify by eye). */
+class TextCorpusSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("normalization canonicalizes case, punctuation, and whitespace") {
+    val df = Seq(
+      (1L, "Foo, bar!"),
+      (2L, "foo bar"),
+      (3L, "FOO   BAR"),
+      (4L, "unrelated")).toDF("doc_id", "text")
+    val out = TextCorpus.normalizeDocs(df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // the three spellings collide post-normalization
+    assert(out(1L) === out(2L))
+    assert(out(2L) === out(3L))
+    assert(out(1L) !== out(4L))
+    assert(out(1L)._2 === 2L) // "foo bar" → 2 words
+  }
+
+  test("repetition stats count total, distinct, and top word") {
+    val df = Seq(
+      (1L, "a a a b c"), // 5 words, 3 distinct, top 'a' ×3
+      (2L, "x y z"), // no repetition
+      (3L, "w w")).toDF("doc_id", "text")
+    val out = TextCorpus.repetitionStats(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((5L, 3L, 3L)))
+    assert(out(2L) === ((3L, 3L, 1L)))
+    assert(out(3L) === ((2L, 1L, 2L)))
+  }
+
+  test("top n-grams count across documents with deterministic ties") {
+    val df = Seq(
+      (1L, "a b a b"), // "a b"×2, "b a"×1
+      (2L, "a b c"), // "a b", "b c"
+      (3L, "solo")).toDF("doc_id", "text") // <2 words: no grams
+    val out = TextCorpus.topNgrams(df, n = 2, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.head === (("a b", 3L)))
+    assert(out.toMap === Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+    // ties sort by gram text
+    assert(out.map(_._1).toSeq === Seq("a b", "b a", "b c"))
+  }
+
+  test("source overlap counts shared exact texts per source pair") {
+    val df = Seq(
+      ("same text", "s1"), ("same text", "s2"), ("same text", "s3"),
+      ("other", "s1"), ("other", "s2"),
+      ("only in s1", "s1"),
+      ("same text", "s1") // duplicate within s1: distinct() collapses it
+    ).toDF("text", "source")
+    val out = TextCorpus.sourceOverlap(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("s1", "s2") -> 2L, // same text + other
+      ("s1", "s3") -> 1L,
+      ("s2", "s3") -> 1L))
+  }
+
+  test("connected components: min label propagates across chains and merges clusters") {
+    // 1-2-3-4 chain (pairs only adjacent), {10,11,12} clique, isolated pair {20,21}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("near-dup groups: pairs become transitive clusters with min-id survivors") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(30)
+    // x, exact copy x+1000, truncated near-copy x+2000: 3-clusters
+    val corpus = docs
+      .unionAll(docs.select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      .unionAll(docs.select((col("doc_id") + 2000).as("doc_id"),
+        col("text").substr(lit(9), lit(1000000)).as("text")))
+    val groups = Dedup.nearDupGroups(corpus, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // base docs can near-dup EACH OTHER at 0.5 (synthetic word soup), so
+    // assert cluster co-membership, not exact survivor ids: each family
+    // {x, x+1000, x+2000} shares one group whose id is a base doc ≤ x
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { x =>
+      assert(groups.contains(x), s"base doc $x must appear (its copy pairs with it)")
+      assert(groups(x + 1000) === groups(x), s"exact copy of $x must join $x's group")
+      assert(groups(x + 2000) === groups(x), s"near copy of $x must join $x's group")
+      assert(groups(x) <= x, "group id must be the min reachable id")
+    }
+  }
+
+  test("sharded shuffle: deterministic, dense per-shard positions, salt re-deals") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextCorpus.shardedShuffle(docs, shards = 4, salt = "e0").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = TextCorpus.shardedShuffle(docs, shards = 4, salt = "e0").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sorted.toSeq === b.sorted.toSeq, "same salt must be bit-deterministic")
+
+    val n = docs.count()
+    assert(a.length === n)
+    assert(a.forall { case (_, s, _) => s >= 0 && s < 4 })
+    // positions are dense 1..|shard| within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length.toLong))
+    }
+    // a different salt re-deals the order (at least one doc moves)
+    val c = TextCorpus.shardedShuffle(docs, shards = 4, salt = "e1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sorted.toSeq !== c.sorted.toSeq)
+  }
+}
