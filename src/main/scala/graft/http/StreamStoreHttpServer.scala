@@ -305,6 +305,13 @@ final class StreamStoreHttpServer(store: StreamStore, port: Int = 0) extends Aut
 
   // ref: CacheControl.NoCache / CacheControl.OneYear (CacheControl.cs:13-18)
   private val CacheNoCache = "max-age=0, no-cache, must-revalidate"
+  /** Interior pages and single messages are served as immutable — but
+    * deleteMessage/deleteStream CAN mutate history, so a shared cache may
+    * serve deleted payloads until expiry. The reference HAL server makes
+    * the same trade (StreamMessageResource.cs:58-70 caches single
+    * messages for a year); deployments where delete-after-read must be
+    * promptly visible should front this server with a cache they can
+    * purge, or shorten this constant. */
   private val CacheOneYear = "max-age=31536000"
 
   /** Quoted entity tag from a position or version (ref: ETag.cs:11-12). */

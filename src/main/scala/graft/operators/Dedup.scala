@@ -267,21 +267,23 @@ object Dedup {
     * EDGES; dedup survivors need COMPONENTS (doc A ~ B ~ C must keep one
     * survivor even when (A, C) was never emitted as a pair).
     *
-    * Algorithm: iterative min-label propagation — each round every vertex
-    * takes the min of its own label and its neighbors' labels (one
-    * hash join + partial-min aggregation per round, both sides
-    * co-partitioned on the join key after round 1, lineage cut with
-    * `localCheckpoint` so plans don't nest). Rounds = graph diameter;
-    * dup clusters are near-cliques (diameter ≲ 3 — every member pairs
-    * with most others), so convergence is a handful of rounds at any
-    * corpus size. For adversarial long-chain graphs, the
-    * large-star/small-star contraction (Kiveris et al., "Connected
-    * Components in MapReduce", SOCC'14) gets O(log n) rounds at the cost
-    * of 2 joins/round — not the dedup regime, so not the default here.
-    * `maxIter` bounds the worst case; the loop stops early the first
-    * round nothing changes (one O(V) count per round — dwarfed by the
-    * join it gates). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * Algorithm: per round, (1) min-label propagation — every vertex takes
+    * the min of its own and its neighbors' labels (one hash join +
+    * partial-min aggregation, both sides co-partitioned on the join key
+    * after round 1) — then (2) POINTER JUMPING: each vertex re-reads its
+    * label's own label (`component(component(v))`, one self-join; every
+    * label is a vertex id, so the lookup always resolves). Jumping halves
+    * the distance to the component minimum each round, so convergence is
+    * O(log diameter) — ~20 rounds covers a million-hop chain — while dup
+    * clusters (near-cliques, diameter ≲ 3) converge in 2-3. Equivalent
+    * round complexity to large-star/small-star contraction (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SOCC'14) with
+    * the same 2-joins-per-round cost. Lineage is cut per round with
+    * `localCheckpoint`; the loop stops the first round nothing changes
+    * (one O(V) existence check per round, dwarfed by the joins it gates)
+    * and FAILS rather than returning half-merged labels if `maxIter`
+    * rounds weren't enough. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = sym.select(col("src").as("id")).distinct()
@@ -293,19 +295,26 @@ object Dedup {
       val neighborMin = sym
         .join(labels.select(col("id").as("dst"), col("component")), "dst")
         .groupBy(col("src").as("id")).agg(min("component").as("neighbor_min"))
-      val updated = labels
+      val propagated = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("neighbor_min"), col("component")))
             .as("component"))
+      val jumped = propagated.as("x")
+        .join(propagated.select(col("id").as("cid"), col("component").as("ccomp")),
+          col("x.component") === col("cid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("ccomp"), col("x.component")).as("component"))
         .localCheckpoint()
-      converged = updated.as("u")
+      converged = jumped.as("u")
         .join(labels.as("l"), "id")
         .filter(col("u.component") =!= col("l.component"))
         .isEmpty
-      labels = updated
+      labels = jumped
       round += 1
     }
+    require(converged,
+      s"connected components did not converge in $maxIter rounds — raise maxIter")
     labels
   }
 

@@ -90,4 +90,43 @@ class PipelineOpsPropertySpec extends AnyFunSuite {
       assert(out === expected, s"[seed $seed, quota $quota]")
     }
   }
+
+  test("connected components match brute-force union-find on random graphs") {
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // component = min vertex id; only vertices that appear in edges
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      touched.map(v => v -> {
+        var r = find(v.toInt); r.toLong
+      }).toMap
+    }
+    (0 until 5).foreach { seed =>
+      val rnd = new Random(seed)
+      val n = 10 + rnd.nextInt(40)
+      val m = 5 + rnd.nextInt(3 * n)
+      val edges = (0 until m).map { _ =>
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        if (a == b) (a.toLong, ((b + 1) % n).toLong) else (a.toLong, b.toLong)
+      }
+      val expected = unionFind(n, edges)
+      val out = Dedup.connectedComponents(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === expected, s"[seed $seed, n=$n, m=$m]")
+    }
+  }
+
+  test("connected components converge on a long chain (pointer-jumping depth)") {
+    // a 150-hop path: plain neighbor-min needs ~150 rounds; the jump step
+    // must bring it inside the default round budget
+    val chain = (0L until 150L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 151)
+    assert(out.values.forall(_ === 0L), "every chain vertex must reach component 0")
+  }
 }
