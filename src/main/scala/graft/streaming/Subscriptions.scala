@@ -78,7 +78,7 @@ object Subscriptions {
       }
       protected def caughtUp(b: Boolean): Unit = onCaughtUp(b)
       protected def dropped(r: SubscriptionDroppedReason, t: Option[Throwable]): Unit = onDropped(r, t)
-    }
+    }.started()
 
   /** Subscribe to a single stream (versions instead of positions).
     * Ref: `Subscriptions/StreamSubscription.cs`. */
@@ -110,7 +110,7 @@ object Subscriptions {
       }
       protected def caughtUp(b: Boolean): Unit = onCaughtUp(b)
       protected def dropped(r: SubscriptionDroppedReason, t: Option[Throwable]): Unit = onDropped(r, t)
-    }
+    }.started()
 
   /** Structured Streaming variant of SubscribeToAll: a streaming query
     * over the append-only log directory (file source — new append files
@@ -166,6 +166,16 @@ object Subscriptions {
     protected def deliver(f: StreamMessage => Unit, m: StreamMessage): Unit =
       try f(m) catch { case t: Throwable => throw new SubscriberException(t) }
 
+    /** Start the pull loop AFTER subclass construction: the loop calls
+      * the virtual `pullPush()`, which reads subclass state (the `next`
+      * cursor, itself resolved via a store read for from-End
+      * subscriptions) — starting the thread from this constructor let it
+      * observe `next` before initialization, replaying from 0. In-process
+      * stores won that race by nanoseconds; the HTTP fixture lost it
+      * every time (the head read is a network round trip). Factories
+      * call `.started()` on the fully-built instance. */
+    def started(): this.type = { thread.start(); this }
+
     private val thread = new Thread(() => {
       try {
         while (running) {
@@ -191,7 +201,6 @@ object Subscriptions {
       }
     }, "graft-subscription")
     thread.setDaemon(true)
-    thread.start()
 
     private def notifyDropped(r: SubscriptionDroppedReason, t: Option[Throwable]): Unit =
       if (droppedOnce.compareAndSet(false, true)) dropped(r, t)

@@ -485,3 +485,21 @@ class JdbcAcceptanceParitySpec extends StoreAcceptanceBehaviors {
     try f(store) finally store.close()
   }
 }
+
+/** The same acceptance behaviors THROUGH THE WIRE: an HTTP server over a
+  * parquet store, exercised via the [[graft.http.HttpStreamStore]]
+  * client — the reference's HttpTests wiring, where the shared
+  * acceptance suite runs over the HAL server + HTTP client fixture
+  * (`tests/SqlStreamStore.HttpTests/`). Every semantic (expected-version
+  * conflicts, deletion tracking, TTL with an injected clock, metadata
+  * inheritance, subscriptions) must survive serialization. */
+class HttpAcceptanceParitySpec extends StoreAcceptanceBehaviors {
+  protected def withStore[T](name: String, trackDeletes: Boolean = true,
+      clock: Clock = Clock.System)(f: StreamStore => T): T = {
+    val backing = new SparkStreamStore(SparkTestSession.spark,
+      SparkTestSession.tempDir(name), clock, trackDeletes = trackDeletes)
+    val server = new graft.http.StreamStoreHttpServer(backing)
+    try f(new graft.http.HttpStreamStore(server.baseUrl))
+    finally { server.close(); backing.close() }
+  }
+}
