@@ -529,6 +529,20 @@ object SparkEntry {
     EventTimeOps.windowedStats(t(s, dir, "events"), "ts", "event_type", "value", "6 hours")
       .orderBy("window_start_s", "event_type")
 
+  /** Event-time interval join (EventTimeOps.intervalJoin), batch mode of
+    * the stream-stream joinable plan: per user, events followed by
+    * another event within 10 minutes. Timestamps pre-floored to micros
+    * (the unit-agnostic long column, like the session gates) so DuckDB's
+    * micros-truncated TIMESTAMP read sees identical values. */
+  private def intervalJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", EventTimeOps.floorDivMicros(col("ts")))
+    EventTimeOps.intervalJoin(ev, ev, "user_id", "ts_us", "event_id",
+        withinNanos = 600L * 1000000L) // micros: the column's unit
+      .select(col("user_id"), col("id_a"), col("id_b"), col("gap_ns").as("gap_us"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Batch sessionization (EventTimeOps.sessionizeBatch): lag/gap/cumsum,
     * one shuffle on the key. The gap column is unit-agnostic longs — here
     * micros (pre-floored), so the DuckDB twin sees identical values. */
@@ -700,6 +714,7 @@ object SparkEntry {
     "cosine_near_dups" -> cosineNearDups _,
     "multimodal_features" -> multimodalFeatures _,
     "windowed_stats" -> windowedStatsQuery _,
+    "interval_join" -> intervalJoinQuery _,
     "session_batch" -> sessionBatch _,
     "session_window_stats" -> sessionWindowStats _,
     "streaming_dedup" -> streamingDedup _,
@@ -1086,6 +1101,13 @@ object SparkEntry {
                 event_type, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+         SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+                b.us - a.us AS gap_us
+         FROM e a JOIN e b
+           ON a.user_id = b.user_id AND b.us > a.us AND b.us - a.us <= 600000000
+         ORDER BY id_a, id_b""",
     "session_batch" ->
       // sessionizeBatch splits when diff > gap (12h in micros)
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us,

@@ -15,7 +15,7 @@ import scala.jdk.CollectionConverters._
   * (`HttpClientSqlStreamStore.Subscriptions.cs:9-52`) — as does this one:
   * pass an `HttpStreamStore` to [[graft.streaming.Subscriptions]].
   */
-final class HttpStreamStore(baseUrl: String) extends StreamStore {
+final class HttpStreamStore(baseUrl: String, onClose: () => Unit = () => ()) extends StreamStore {
 
   private val client = HttpClient.newHttpClient()
   private val base = baseUrl.stripSuffix("/")
@@ -169,7 +169,10 @@ final class HttpStreamStore(baseUrl: String) extends StreamStore {
     else HalJson.optText(HalJson.Mapper.readTree(resp.body), "jsonData")
   }
 
-  override def close(): Unit = ()
+  /** The client holds no resources itself; `onClose` lets an owning
+    * fixture tear down a server+store pair it constructed with the
+    * client (see the HttpBackend test fixture). */
+  override def close(): Unit = onClose()
 
   // --- plumbing ---
 
@@ -182,12 +185,20 @@ final class HttpStreamStore(baseUrl: String) extends StreamStore {
   private def sendRaw(b: HttpRequest.Builder): HttpResponse[String] =
     client.send(b.build(), HttpResponse.BodyHandlers.ofString())
 
-  /** Send + map protocol errors back to the store's exception types
-    * (409 -> WrongExpectedVersionException, as the reference client does). */
+  /** Send + map protocol errors back to the store's exception types, as
+    * the reference client does: 409 → WrongExpectedVersionException, 400
+    * (the server's structured "Bad format." problem payload) →
+    * IllegalArgumentException carrying the payload's detail — so client
+    * callers see the same exception surface as direct-store callers. */
   private def send(b: HttpRequest.Builder, streamId: String, expectedVersion: Int): HttpResponse[String] = {
     val resp = sendRaw(b)
     resp.statusCode match {
       case 409 => throw WrongExpectedVersionException(streamId, expectedVersion)
+      case 400 =>
+        val detail =
+          try HalJson.optText(HalJson.Mapper.readTree(resp.body), "detail")
+          catch { case _: Exception => None }
+        throw new IllegalArgumentException(detail.getOrElse(s"HTTP 400: ${resp.body}"))
       case s if s >= 400 => throw new RuntimeException(s"HTTP $s: ${resp.body}")
       case _ => resp
     }

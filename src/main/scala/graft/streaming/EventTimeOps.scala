@@ -126,6 +126,53 @@ object EventTimeOps {
       .drop("session_seq")
   }
 
+  /** Event-time INTERVAL JOIN: for every left event, the right events of
+    * the same key with `0 < right.ts - left.ts <= withinNanos` — the
+    * "what followed within N minutes" primitive (attribution, causality
+    * windows, next-event features). Batch AND streaming from one plan:
+    *
+    *  - the exact predicate compares raw NANOS (bit-exact, DuckDB-
+    *    reproducible via `epoch_ns`);
+    *  - a coarse micros-floored event-time range rides along so Spark's
+    *    stream-stream join machinery can bound state: both sides
+    *    watermarked, and the `[t_a, t_a + within]` constraint lets the
+    *    right side's state be evicted `within + watermarkDelay` past the
+    *    watermark — O(events per window per key), never O(history). The
+    *    +1ms slack keeps the coarse bound a superset of the exact one
+    *    (micros flooring), so it only gates STATE, never the result.
+    *
+    * One shuffle per side on the key; per-key pair expansion is bounded
+    * by events-per-key-per-window, the operator's inherent output size.
+    * Returns (key, id_a, id_b, gap_ns).
+    *
+    * `tsNanosCol` may carry any fixed integer time unit (the exact
+    * predicate and `gap_ns` are in that unit — the driver gate passes
+    * pre-floored micros so DuckDB sees identical values); the coarse
+    * event-time bound stays a superset under any unit because both sides
+    * compress identically. Pass true nanos in streaming deployments so
+    * the watermark scale is real. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsNanosCol: String, idCol: String,
+      withinNanos: Long, watermarkDelay: String = "1 hour"): DataFrame = {
+    require(withinNanos > 0)
+    val l = watermarked(
+        left.withColumn("t_a", eventTimeFromNanos(tsNanosCol)), "t_a", watermarkDelay)
+      .select(col(keyCol).as("k_a"), col(idCol).as("id_a"),
+        col(tsNanosCol).as("ts_a"), col("t_a"))
+    val r = watermarked(
+        right.withColumn("t_b", eventTimeFromNanos(tsNanosCol)), "t_b", watermarkDelay)
+      .select(col(keyCol).as("k_b"), col(idCol).as("id_b"),
+        col(tsNanosCol).as("ts_b"), col("t_b"))
+    val coarseUpper = col("t_a") + expr(s"INTERVAL ${withinNanos / 1000L + 1000L} MICROSECOND")
+    l.join(r,
+        col("k_a") === col("k_b") &&
+          col("ts_b") > col("ts_a") && col("ts_b") - col("ts_a") <= withinNanos &&
+          col("t_b") >= col("t_a") && col("t_b") <= coarseUpper)
+      .select(col("k_a").as(keyCol), col("id_a"), col("id_b"),
+        (col("ts_b") - col("ts_a")).as("gap_ns"))
+  }
+
   /** Streaming exact-dedup on id columns with bounded state:
     * `dropDuplicatesWithinWatermark` keeps each key's state only until the
     * watermark passes it (the 100 TB answer to "dedup an infinite

@@ -216,3 +216,4 @@ trait AppendBehaviors extends AnyFunSuite with BeforeAndAfterEach {
 
 class AppendSpec extends AppendBehaviors with ParquetBackend
 class JdbcAppendSpec extends AppendBehaviors with DerbyBackend
+class HttpAppendSpec extends AppendBehaviors with HttpBackend

@@ -117,3 +117,4 @@ trait ReadBehaviors extends AnyFunSuite with BeforeAndAfterEach {
 
 class ReadSpec extends ReadBehaviors with ParquetBackend
 class JdbcReadSpec extends ReadBehaviors with DerbyBackend
+class HttpReadSpec extends ReadBehaviors with HttpBackend

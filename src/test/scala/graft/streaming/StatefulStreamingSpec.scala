@@ -67,6 +67,50 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("interval join: streaming across micro-batches matches the batch twin") {
+    // events: user 1 at +0.00h/+0.05h/+0.30h, user 2 at +0.02h — 10-minute
+    // window ⇒ only the (+0.00, +0.05) pair; +0.30 is outside 10m of both.
+    // Times sit a day past the epoch: the initial stream watermark is 0,
+    // and the join's late-row filter drops input at/below the watermark,
+    // so an event at exactly t=0 would be dropped as late on arrival.
+    val base = 24.0 // hours
+    val events = Seq(
+      (1L, ((base + 0.00) * H).toLong, 100L), (1L, ((base + 0.05) * H).toLong, 101L),
+      (1L, ((base + 0.30) * H).toLong, 102L), (2L, ((base + 0.02) * H).toLong, 200L))
+    val within = 600L * 1000000000L // 10 minutes in nanos
+
+    val batch = {
+      val df = events.toDF("user_id", "ts", "event_id")
+      EventTimeOps.intervalJoin(df, df, "user_id", "ts", "event_id", within)
+        .select("id_a", "id_b", "gap_ns").as[(Long, Long, Long)].collect().toSet
+    }
+    assert(batch === Set((100L, 101L, (0.05 * H).toLong)))
+
+    // streaming: the same rows on two independent streams (the real
+    // deployment shape — two sources), split across micro-batches,
+    // joined stream-to-stream with watermarked state
+    val inL = MemoryStream[(Long, Long, Long)](spark)
+    val inR = MemoryStream[(Long, Long, Long)](spark)
+    val dfL = inL.toDF().toDF("user_id", "ts", "event_id")
+    val dfR = inR.toDF().toDF("user_id", "ts", "event_id")
+    // delay must exceed the test data's event-time span: the two sides'
+    // addData calls can land in separate micro-batches, and a watermark
+    // that advances past an earlier row between them drops it as late
+    // (that IS the streaming contract — watermark bounds out-of-order
+    // tolerance across sides too)
+    val joined = EventTimeOps.intervalJoin(dfL, dfR, "user_id", "ts", "event_id",
+      within, watermarkDelay = "2 hours")
+    val q = memSink(joined.select("id_a", "id_b", "gap_ns"), "ij_stream", "append")
+    try {
+      inL.addData(events.take(2)); inR.addData(events.take(2))
+      processAll(q)
+      inL.addData(events.drop(2)); inR.addData(events.drop(2))
+      processAll(q)
+      val streamed = spark.table("ij_stream").as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch, "stream-stream interval join must equal the batch twin")
+    } finally q.stop()
+  }
+
   test("windowedStats batch twin computes the same finalized windows") {
     val batch = Seq(ev(1, 0.10), ev(2, 0.50), ev(1, 1.10), ev(3, 2.0), ev(3, 5.0))
       .toDF().select(col("userId").as("user_id"), col("tsNanos").as("ts"),
