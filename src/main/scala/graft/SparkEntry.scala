@@ -391,6 +391,11 @@ object SparkEntry {
     TextCorpus.shardedShuffle(t(s, dir, "documents"), shards = 8, salt = "epoch-0")
       .orderBy("doc_id")
 
+  /** End-to-end corpus quality filter (TextCorpus.qualityFlags):
+    * language + quality-score + repetition verdict per doc. */
+  private def qualityFilter(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.qualityFlags(t(s, dir, "documents")).orderBy("doc_id")
+
   /** Near-dup GROUPS: LSH pairs → connected components
     * (Dedup.nearDupGroups). Oracled because pair recall on this corpus is
     * 1.0 (see minhash_near_dups), so components over the pipeline's pairs
@@ -703,6 +708,7 @@ object SparkEntry {
     "top_ngrams" -> topNgramsQuery _,
     "source_overlap" -> sourceOverlapQuery _,
     "corpus_shuffle" -> corpusShuffle _,
+    "quality_filter" -> qualityFilter _,
     "minhash_near_dups" -> minhashNearDups _,
     "near_dup_groups" -> nearDupGroupsQuery _,
     "simhash_exact_dups" -> simhashExactDups _,
@@ -887,6 +893,55 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS shared_texts
          FROM h a JOIN h b ON a.digest = b.digest AND a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "quality_filter" ->
+      // the lang CASE and ratio pieces are the proven lang_id /
+      // text_quality_ratios oracle fragments; quality = the same
+      // left-associated double expression as TextAnalysis.qualityScore,
+      // and the repetition threshold is integer cross-multiplication
+      """WITH w AS (SELECT doc_id,
+                      unnest(string_split_regex(trim(text), '\s+')) AS word
+                    FROM documents),
+              c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+              rep AS (SELECT doc_id, sum(cnt) AS total_words,
+                             max(cnt) AS top_word_count
+                      FROM c GROUP BY doc_id),
+              base AS (SELECT doc_id, text,
+                         string_split_regex(trim(text), '\s+') AS ts,
+                         string_split_regex(trim(lower(text)), '\s+') AS lts
+                       FROM documents),
+              sc AS (SELECT doc_id,
+                       CASE
+                         WHEN greatest(e, d, f, sp) = 0 THEN 'unknown'
+                         WHEN sp > greatest(e, d, f) THEN 'es'
+                         WHEN f > greatest(e, d) THEN 'fr'
+                         WHEN d > e THEN 'de'
+                         ELSE 'en' END AS lang_id,
+                       alpha * 0.4 + stopw * 0.3
+                         + least(punct * 20.0, 1.0) * 0.1 + lenscore * 0.2 AS quality
+                     FROM (SELECT doc_id,
+                             len(list_filter(lts, t -> t IN ('the','and','of','to','in','is','that','it','for','was'))) AS e,
+                             len(list_filter(lts, t -> t IN ('der','die','das','und','ist','nicht','mit','ein','zu','von'))) AS d,
+                             len(list_filter(lts, t -> t IN ('le','la','les','et','est','pas','pour','que','une','dans'))) AS f,
+                             len(list_filter(lts, t -> t IN ('el','la','los','y','es','no','por','que','una','para'))) AS sp,
+                             CASE WHEN length(text) = 0 THEN 0.0
+                                  ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)::DOUBLE END AS alpha,
+                             CASE WHEN length(text) = 0 THEN 0.0
+                                  ELSE length(regexp_replace(text, '[^.!?]', '', 'g'))::DOUBLE / length(text)::DOUBLE END AS punct,
+                             CASE WHEN len(ts) = 0 THEN 0.0
+                                  ELSE len(list_filter(ts, t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                                         'that','for','on','with','as','was','at','by','be','this')))::DOUBLE
+                                       / len(ts)::DOUBLE END AS stopw,
+                             least(length(text)::DOUBLE / 500.0, 1.0) AS lenscore
+                           FROM base))
+         SELECT sc.doc_id,
+                (CASE WHEN lang_id IN ('en','de','fr','es','zh') THEN 0 ELSE 1 END
+                 + CASE WHEN quality >= 0.25 THEN 0 ELSE 2 END
+                 + CASE WHEN top_word_count * 100 <= total_words * 12 THEN 0 ELSE 4 END) AS flags,
+                (CASE WHEN lang_id IN ('en','de','fr','es','zh') THEN 0 ELSE 1 END
+                 + CASE WHEN quality >= 0.25 THEN 0 ELSE 2 END
+                 + CASE WHEN top_word_count * 100 <= total_words * 12 THEN 0 ELSE 4 END) = 0 AS keep
+         FROM sc JOIN rep ON sc.doc_id = rep.doc_id
+         ORDER BY sc.doc_id""",
     "corpus_shuffle" ->
       """WITH s AS (SELECT doc_id,
                       ('0x' || substr(md5('epoch-0' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,

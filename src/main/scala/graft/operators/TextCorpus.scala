@@ -99,6 +99,40 @@ object TextCorpus {
       .agg(count(lit(1)).as("shared_texts"))
   }
 
+  /** End-to-end corpus quality filter: the cheap-pass verdict that
+    * training pipelines run before expensive model-based scoring,
+    * composing [[TextAnalysis.languageId]], [[TextAnalysis.qualityScore]]
+    * and the [[repetitionStats]] repetition signal into per-doc flag bits
+    * (1 = language not allowed, 2 = quality below threshold,
+    * 4 = top-word coverage above threshold; keep ⇔ flags = 0).
+    *
+    * The repetition threshold compares with integer cross-multiplication
+    * (`top_word_count * 100 > total_words * maxTopWordPct`) — no float
+    * division, so the verdict is bit-exact across engines. The scalar
+    * signals are one projection over the scan; repetition adds the
+    * word-count aggregation tree and a doc_id join (both sides already
+    * partitioned by doc_id after the aggregate). */
+  def qualityFlags(
+      docs: DataFrame,
+      allowedLangs: Seq[String] = Seq("en", "de", "fr", "es", "zh"),
+      minQuality: Double = 0.25,
+      maxTopWordPct: Int = 12,
+      textCol: String = "text"): DataFrame = {
+    val rep = repetitionStats(docs, textCol)
+    val scalar = docs.select(
+      col("doc_id"),
+      TextAnalysis.languageId(col(textCol)).as("lang_id"),
+      TextAnalysis.qualityScore(col(textCol)).as("quality"))
+    scalar.join(rep, "doc_id")
+      .select(
+        col("doc_id"),
+        (when(col("lang_id").isin(allowedLangs: _*), 0).otherwise(1) +
+          when(col("quality") >= minQuality, 0).otherwise(2) +
+          when(col("top_word_count") * 100 <= col("total_words") * maxTopWordPct, 0)
+            .otherwise(4)).as("flags"))
+      .withColumn("keep", col("flags") === 0)
+  }
+
   /** Deterministic sharded shuffle: a reproducible training order
     * WITHOUT a global sort. Each doc gets a shard from a salted hash and
     * a position within its shard from a second salted hash — consumers

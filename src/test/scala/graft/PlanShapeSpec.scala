@@ -91,6 +91,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "HashAggregate") >= 3, s"repetition_stats lost partial aggregation:\n$p")
   }
 
+  test("interval join stays an equi-join with range filters, never nested-loop") {
+    val p = finalPlan("interval_join")
+    assert(count(p, "CartesianProduct") === 0)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, s"interval join degenerated:\n$p")
+  }
+
+  test("quality filter aggregates partially and joins on doc_id without cartesian") {
+    val p = finalPlan("quality_filter")
+    assert(count(p, "HashAggregate") >= 3)
+    assert(count(p, "CartesianProduct") === 0)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0)
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted gaps in scans)") {
     Seq("q1_pricing_summary", "text_token_counts", "doc_fingerprints").foreach { q =>
       val p = finalPlan(q)

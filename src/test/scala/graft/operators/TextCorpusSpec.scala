@@ -66,6 +66,33 @@ class TextCorpusSpec extends AnyFunSuite {
       ("s2", "s3") -> 1L))
   }
 
+  test("quality filter flags language, quality, and repetition independently") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val flags = TextCorpus.qualityFlags(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(flags.size === docs.count())
+    // keep ⇔ flags == 0, always
+    flags.values.foreach { case (f, keep) => assert(keep === (f == 0)) }
+    // the synthetic corpus is in-language and non-degenerate: most keeps
+    assert(flags.values.count(_._2) > flags.size / 2)
+
+    // a degenerate doc (one word repeated) must flag repetition (bit 4)
+    val bad = Seq((9001L, ("spam " * 50).trim, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val badFlags = TextCorpus.qualityFlags(bad).collect().head
+    assert((badFlags.getInt(1) & 4) === 4, s"repetition not flagged: $badFlags")
+  }
+
+  test("normalization is idempotent (property)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val once = TextCorpus.normalizeDocs(docs)
+    val twice = TextCorpus.normalizeDocs(
+      docs.select(col("doc_id"), TextCorpus.normalized(col("text")).as("text")))
+    assert(once.collect().toSeq.sortBy(_.getLong(0)) ===
+      twice.collect().toSeq.sortBy(_.getLong(0)))
+  }
+
   test("connected components: min label propagates across chains and merges clusters") {
     // 1-2-3-4 chain (pairs only adjacent), {10,11,12} clique, isolated pair {20,21}
     val pairs = Seq(
