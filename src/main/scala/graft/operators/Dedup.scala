@@ -306,7 +306,10 @@ object Dedup {
         .select(col("x.id").as("id"),
           coalesce(col("ccomp"), col("x.component")).as("component"))
         .localCheckpoint()
-      converged = jumped.as("u")
+      // round 0 always changes labels when edges exist (every component
+      // has ≥2 vertices, so every non-minimum vertex updates) — skip the
+      // O(V) convergence join there
+      converged = round > 0 && jumped.as("u")
         .join(labels.as("l"), "id")
         .filter(col("u.component") =!= col("l.component"))
         .isEmpty
