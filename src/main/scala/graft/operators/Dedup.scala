@@ -284,8 +284,13 @@ object Dedup {
     * and FAILS rather than returning half-merged labels if `maxIter`
     * rounds weren't enough. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // materialize the edge list ONCE: `sym` is scanned every round, and
+    // without the checkpoint each round would re-execute the whole
+    // upstream pipeline that produced the pairs (for nearDupGroups, the
+    // full LSH candidate generation — rounds × that cost)
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint()
