@@ -391,6 +391,22 @@ object SparkEntry {
     TextCorpus.shardedShuffle(t(s, dir, "documents"), shards = 8, salt = "epoch-0")
       .orderBy("doc_id")
 
+  /** Split-leakage audit: near-dup pairs that CROSS a train/val/test
+    * boundary — the check a pipeline must run after splitting, since a
+    * near-duplicate of a training document inside the eval split
+    * invalidates the eval. Pure composition of two oracled operators
+    * (Dedup.nearDupPairs × Sampling.deterministicSplit). */
+  private def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Dedup.nearDupPairs(docsWithDups(s, dir), "text", "doc_id", threshold = 0.5,
+        k = 32, bands = 8, shingleSize = 5)
+      .select(col("id_a"), col("id_b"),
+        Sampling.deterministicSplit(col("id_a"), "v1", trainPct = 80, valPct = 10).as("split_a"),
+        Sampling.deterministicSplit(col("id_b"), "v1", trainPct = 80, valPct = 10).as("split_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** End-to-end corpus quality filter (TextCorpus.qualityFlags):
     * language + quality-score + repetition verdict per doc. */
   private def qualityFilter(s: SparkSession, dir: String): DataFrame =
@@ -711,6 +727,7 @@ object SparkEntry {
     "quality_filter" -> qualityFilter _,
     "minhash_near_dups" -> minhashNearDups _,
     "near_dup_groups" -> nearDupGroupsQuery _,
+    "split_leakage" -> splitLeakage _,
     "simhash_exact_dups" -> simhashExactDups _,
     "ngram_jaccard_pairs" -> ngramJaccardPairs _,
     "knn_dot_topk" -> knnDotTopK _,
@@ -970,6 +987,30 @@ object SparkEntry {
           FROM $docsWithDupsSql a JOIN $docsWithDupsSql b
             ON a.doc_id < b.doc_id AND a.text = b.text
           ORDER BY id_a, id_b""",
+    "split_leakage" ->
+      // exact-Jaccard pairs (= the pipeline's pairs at recall 1.0)
+      // annotated with the salted-md5 split of each side; leakage = the
+      // pairs whose sides land in different splits
+      s"""WITH docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
+          sh AS (SELECT doc_id,
+                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
+                 FROM docs),
+          pairs AS (SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.5),
+          sp AS (SELECT id_a, id_b,
+                   CASE WHEN ('0x' || substr(md5('v1:' || CAST(id_a AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                        WHEN ('0x' || substr(md5('v1:' || CAST(id_a AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split_a,
+                   CASE WHEN ('0x' || substr(md5('v1:' || CAST(id_b AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                        WHEN ('0x' || substr(md5('v1:' || CAST(id_b AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split_b
+                 FROM pairs)
+          SELECT id_a, id_b, split_a, split_b FROM sp
+          WHERE split_a <> split_b ORDER BY id_a, id_b""",
     "near_dup_groups" ->
       // components of the exact-Jaccard pair graph (= the pipeline's pair
       // graph at recall 1.0), via recursive reachability: comp = min
