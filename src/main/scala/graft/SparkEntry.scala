@@ -412,6 +412,25 @@ object SparkEntry {
   private def qualityFilter(s: SparkSession, dir: String): DataFrame =
     TextCorpus.qualityFlags(t(s, dir, "documents")).orderBy("doc_id")
 
+  /** Exact-substring span dedup (TextCorpus.dedupSpans) over the corpus
+    * with constructed duplicates: exact copies lose their whole text to
+    * the owner, truncated near-dups lose exactly the shared word spans. */
+  private def spanDedup(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.dedupSpans(docsWithDups(s, dir), n = 8, minDocs = 2).orderBy("doc_id")
+
+  /** Token-budget mixture plan (Sampling.mixturePlan): per-source quota
+    * + keep rate for a 100k-token budget, with weights derived from the
+    * source's numeric suffix so the oracle can rebuild the same weights
+    * table inline. */
+  private def mixturePlanQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = t(s, dir, "documents")
+    val weights = docs.select(col("source")).distinct()
+      .select(col("source"),
+        (substring(col("source"), 4, 10).cast("int") % 4 + 1).as("weight"))
+    Sampling.mixturePlan(docs, weights, budgetTokens = 100000L).orderBy("source")
+  }
+
   /** Near-dup GROUPS: LSH pairs → connected components
     * (Dedup.nearDupGroups). Oracled because pair recall on this corpus is
     * 1.0 (see minhash_near_dups), so components over the pipeline's pairs
@@ -725,6 +744,8 @@ object SparkEntry {
     "source_overlap" -> sourceOverlapQuery _,
     "corpus_shuffle" -> corpusShuffle _,
     "quality_filter" -> qualityFilter _,
+    "span_dedup" -> spanDedup _,
+    "mixture_plan" -> mixturePlanQuery _,
     "minhash_near_dups" -> minhashNearDups _,
     "near_dup_groups" -> nearDupGroupsQuery _,
     "split_leakage" -> splitLeakage _,
@@ -959,6 +980,58 @@ object SparkEntry {
                  + CASE WHEN top_word_count * 100 <= total_words * 12 THEN 0 ELSE 4 END) = 0 AS keep
          FROM sc JOIN rep ON sc.doc_id = rep.doc_id
          ORDER BY sc.doc_id""",
+    "span_dedup" ->
+      // same algorithm over the string spans DuckDB can group directly
+      // (Spark groups 8-byte xxhash64 of the span — same equivalence
+      // classes barring a 64-bit collision)
+      s"""WITH base AS (SELECT doc_id,
+                          string_split_regex(trim(text), '\\s+') AS ws
+                        FROM $docsWithDupsSql dd),
+              occ AS (SELECT doc_id, ws,
+                        unnest(range(1, len(ws) - 8 + 2)) AS i
+                      FROM base WHERE len(ws) >= 8),
+              spans AS (SELECT doc_id, i - 1 AS pos,
+                          array_to_string(ws[i:i+7], ' ') AS span
+                        FROM occ),
+              stats AS (SELECT span, min(doc_id) AS owner FROM spans
+                        GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+              flagged AS (SELECT s.doc_id, s.pos
+                          FROM spans s JOIN stats t USING (span)
+                          WHERE s.doc_id <> t.owner),
+              perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS removed_spans
+                         FROM flagged GROUP BY doc_id),
+              cov AS (SELECT DISTINCT f.doc_id, f.pos + o.o AS p
+                      FROM flagged f, (SELECT unnest(range(0, 8)) AS o) o),
+              cps AS (SELECT doc_id, list(p) AS cps, CAST(count(*) AS BIGINT) AS n_cov
+                      FROM cov GROUP BY doc_id)
+         SELECT b.doc_id,
+                -- array_to_string of an empty list is NULL in DuckDB;
+                -- Spark's array_join gives '' — coalesce to match
+                COALESCE(array_to_string(CASE WHEN c.doc_id IS NULL THEN b.ws
+                  ELSE list_filter(b.ws, (w, i) -> NOT list_contains(c.cps, i - 1))
+                  END, ' '), '') AS kept_text,
+                COALESCE(c.n_cov, 0) AS removed_words,
+                COALESCE(p.removed_spans, 0) AS removed_spans
+         FROM base b
+         LEFT JOIN cps c ON b.doc_id = c.doc_id
+         LEFT JOIN perdoc p ON b.doc_id = p.doc_id
+         ORDER BY b.doc_id""",
+    "mixture_plan" ->
+      """WITH agg AS (SELECT source,
+                        CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                          AS available_tokens
+                      FROM documents GROUP BY source),
+              w AS (SELECT source,
+                      CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS BIGINT) AS weight
+                    FROM (SELECT DISTINCT source FROM documents)),
+              t AS (SELECT CAST(sum(weight) AS BIGINT) AS total_w FROM w)
+         SELECT a.source, a.n_docs, a.available_tokens, w.weight,
+                CAST((100000 * w.weight) // t.total_w AS BIGINT) AS target_tokens,
+                CAST(((100000 * w.weight) // t.total_w) * 1000000 // a.available_tokens
+                  AS BIGINT) AS rate_ppm
+         FROM agg a JOIN w ON a.source = w.source, t
+         ORDER BY a.source""",
     "corpus_shuffle" ->
       """WITH s AS (SELECT doc_id,
                       ('0x' || substr(md5('epoch-0' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,

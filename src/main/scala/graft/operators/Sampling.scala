@@ -66,6 +66,43 @@ object Sampling {
 
   private val SampleSpace = 1000000
 
+  /** Token-budget mixture planning: the step BEFORE [[weightedMixture]].
+    * Given per-source integer mixture weights and a total token budget,
+    * compute for each source what it can supply and what the mix asks of
+    * it: `target_tokens = budget * weight / Σweights` and the keep rate
+    * `rate_ppm = target_tokens * 1e6 / available_tokens` (parts per
+    * million; > 1e6 means the source must be repeated — epochs — to hit
+    * its quota). `rate_ppm / 1e6` feeds straight into
+    * [[weightedMixture]]'s per-source fractions.
+    *
+    * All arithmetic is integer floor-division on non-negative operands,
+    * so the plan is bit-exact across engines and runs. Cost shape: one
+    * token-count projection + one groupBy(source) — partial aggregation
+    * does the work, and |sources| rows ever reach the weights join
+    * (broadcast) and the total-weight aggregate. Counting the corpus is
+    * the only full pass; at 100 TB it is the same scan any mixture job
+    * must make at least once. */
+  def mixturePlan(
+      docs: DataFrame, weights: DataFrame, budgetTokens: Long,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0, "token budget must be non-negative")
+    val perSource = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol))).as("available_tokens"))
+    val joined = perSource.join(broadcast(weights), "source")
+    val total = weights.agg(sum(col("weight")).cast("long").as("total_weight"))
+    joined.crossJoin(broadcast(total))
+      .select(
+        col("source"), col("n_docs"), col("available_tokens"),
+        col("weight").cast("long").as("weight"),
+        expr(s"CAST(($budgetTokens * CAST(weight AS BIGINT)) div total_weight AS BIGINT)")
+          .as("target_tokens"))
+      .withColumn("rate_ppm",
+        expr("CAST((target_tokens * 1000000) div available_tokens AS BIGINT)"))
+  }
+
   /** Exactly `perStratum` rows per stratum (fewer if the stratum is
     * smaller), chosen by hash order so the choice is deterministic and
     * unbiased. One shuffle on the stratum key; the window never holds

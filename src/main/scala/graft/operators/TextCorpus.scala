@@ -133,6 +133,70 @@ object TextCorpus {
       .withColumn("keep", col("flags") === 0)
   }
 
+  /** Exact-substring (span) dedup — the cross-document "deduplicating
+    * training data" pass (Lee et al. 2021's ExactSubstr, re-expressed
+    * relationally): any word n-gram span that occurs in `minDocs` or
+    * more DISTINCT documents is duplicated content; the document with
+    * the smallest id keeps its copy (the canonical occurrence, same
+    * keep-min rule as [[Dedup.exactSurvivors]]) and every other
+    * document has the covered words stripped. Catches the
+    * copied-paragraph / shared-boilerplate duplication that
+    * document-level dedup (exact or MinHash) misses when the rest of
+    * the document differs.
+    *
+    * Output per input document: `doc_id`, `kept_text` (the surviving
+    * words, space-joined — empty when the whole doc was duplicated
+    * elsewhere-owned content), `removed_words`, `removed_spans`.
+    *
+    * Shape at 100 TB: the span explode is L−n+1 rows per L-word doc but
+    * shuffles only (doc_id, pos, 8-byte span hash); the span-stats
+    * aggregation partial-aggregates map-side, and the flagged-occurrence
+    * join probes with the SAME hash key the aggregation just partitioned
+    * by, so Catalyst reuses the exchange. Everything after is keyed by
+    * doc_id: two co-partitioned aggregations and a left join back to the
+    * token arrays. A pathologically hot span (site-wide boilerplate)
+    * skews the probe side only — AQE's skew-join split handles it, and
+    * the stats side stays one row per span. No driver state, no UDFs —
+    * the strip itself is a codegen'd higher-order `filter` over the
+    * token array. */
+  def dedupSpans(
+      docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2, "span length must be at least 2 words")
+    require(minDocs >= 2, "a span needs at least 2 documents to be a duplicate")
+    val base = docs.select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("ws"))
+    val spans = when(size(col("ws")) >= n,
+      transform(
+        sequence(lit(0), size(col("ws")) - n),
+        i => array_join(slice(col("ws"), i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    // (doc_id, 0-based start pos, span hash) — one row per span occurrence
+    val occ = base
+      .select(col("doc_id"), posexplode(spans))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
+    val dupStats = occ
+      .groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("n_docs"), min("doc_id").as("owner"))
+      .filter(col("n_docs") >= minDocs)
+    // occurrences of duplicated spans OUTSIDE their owner document
+    val flagged = occ.join(dupStats, "h")
+      .filter(col("doc_id") =!= col("owner"))
+      .select("doc_id", "pos")
+    val perDoc = flagged.groupBy("doc_id").agg(count(lit(1)).as("removed_spans"))
+    // the distinct word positions covered by any flagged span
+    val covered = flagged
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .groupBy("doc_id").agg(collect_set("p").as("cps"))
+    val kept = when(col("cps").isNull, col("ws"))
+      .otherwise(filter(col("ws"), (_, i) => !array_contains(col("cps"), i)))
+    base.join(covered, Seq("doc_id"), "left").join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        array_join(kept, " ").as("kept_text"),
+        coalesce(size(col("cps")).cast("long"), lit(0L)).as("removed_words"),
+        coalesce(col("removed_spans"), lit(0L)).as("removed_spans"))
+  }
+
   /** Deterministic sharded shuffle: a reproducible training order
     * WITHOUT a global sort. Each doc gets a shard from a salted hash and
     * a position within its shard from a second salted hash — consumers

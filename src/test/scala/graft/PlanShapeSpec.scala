@@ -104,6 +104,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "BroadcastNestedLoopJoin") === 0)
   }
 
+  test("span dedup joins on span hashes with partial aggregation, never cartesian") {
+    val p = finalPlan("span_dedup")
+    // span stats + two doc_id aggregations all partial-aggregate
+    assert(count(p, "HashAggregate") + count(p, "ObjectHashAggregate") >= 4,
+      s"span dedup lost its partial aggregation:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0)
+  }
+
+  test("mixture plan broadcasts the weights and total, never shuffling them") {
+    val p = finalPlan("mixture_plan")
+    assert(count(p, "BroadcastHashJoin") >= 1, s"weights join lost its broadcast:\n$p")
+    assert(count(p, "SortMergeJoin") === 0)
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted gaps in scans)") {
     Seq("q1_pricing_summary", "text_token_counts", "doc_fingerprints").foreach { q =>
       val p = finalPlan(q)

@@ -154,4 +154,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bins(-1L) === -Packing.BinStride + 1L) // cum 6 → binInChunk 1
     assert(bins(0L) === 0L)                       // chunk 0 restarts
   }
+
+  test("mixture plan computes integer quotas and keep rates from a token budget") {
+    val docs = Seq(
+      (1L, "A", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "A", "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10"),
+      (3L, "B", "u1 u2 u3 u4 u5"),
+      (4L, "C", "unweighted source")).toDF("doc_id", "source", "text")
+    val weights = Seq(("A", 3), ("B", 1)).toDF("source", "weight")
+    val plan = Sampling.mixturePlan(docs, weights, budgetTokens = 100L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // A: 20 tokens available, weight 3/4 of budget 100 → 75 target,
+    // 75e6/20 = 3.75e6 ppm (3.75 epochs); B: 5 avail, 25 target, 5e6 ppm
+    assert(plan("A") === ((2L, 20L, 3L, 75L, 3750000L)))
+    assert(plan("B") === ((1L, 5L, 1L, 25L, 5000000L)))
+    assert(!plan.contains("C"), "sources without a weight row are dropped")
+  }
+
+  test("mixture plan floors like the oracle and survives a zero target") {
+    val docs = Seq(
+      (1L, "A", "a b c"), (2L, "B", "d e f g")).toDF("doc_id", "source", "text")
+    val weights = Seq(("A", 2), ("B", 0)).toDF("source", "weight")
+    val plan = Sampling.mixturePlan(docs, weights, budgetTokens = 7L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(plan("A") === ((7L, 2333333L))) // 7*2/2=7 target; 7e6/3 floors
+    assert(plan("B") === ((0L, 0L))) // zero weight → zero quota, kept in plan
+  }
 }

@@ -148,4 +148,33 @@ class TextCorpusSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(a.sorted.toSeq !== c.sorted.toSeq)
   }
+
+  test("span dedup strips duplicated spans everywhere but the owner doc") {
+    val df = Seq(
+      (1L, "a b c d e"), // owner of every duplicated span
+      (2L, "x y a b c d q"), // shares "a b c" and "b c d" mid-document
+      (3L, "a b c d e"), // exact copy: loses everything
+      (4L, "p q") // shorter than n: untouched
+    ).toDF("doc_id", "text")
+    val out = TextCorpus.dedupSpans(df, n = 3, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("a b c d e", 0L, 0L)), "min-id owner keeps its copy")
+    // doc 2: spans "a b c"@2 and "b c d"@3 are duplicated → positions
+    // {2,3,4,5} covered ONCE despite the overlap; "x y … q" survives
+    assert(out(2L) === (("x y q", 4L, 2L)))
+    assert(out(3L) === (("", 5L, 3L)), "whole-doc duplicate strips to empty")
+    assert(out(4L) === (("p q", 0L, 0L)), "docs below n words have no spans")
+  }
+
+  test("span dedup ignores spans repeated only within one document") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"), // internal repetition only
+      (2L, "u v w x y z")
+    ).toDF("doc_id", "text")
+    val out = TextCorpus.dedupSpans(df, n = 3, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a b c a b c a b c",
+      "minDocs counts DISTINCT documents, not occurrences")
+    assert(out(2L) === "u v w x y z")
+  }
 }
