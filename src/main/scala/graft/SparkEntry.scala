@@ -418,6 +418,20 @@ object SparkEntry {
   private def spanDedup(s: SparkSession, dir: String): DataFrame =
     TextCorpus.dedupSpans(docsWithDups(s, dir), n = 8, minDocs = 2).orderBy("doc_id")
 
+  /** Vocabulary fit + transform (TextCorpus.buildVocab/encodeDocs):
+    * top-20 word vocab, documents encoded as id sequences (OOV → -1). */
+  private def vocabEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextCorpus.encodeDocs(docs, TextCorpus.buildVocab(docs, vocabSize = 20))
+      .orderBy("doc_id")
+  }
+
+  /** Symmetric int8 embedding quantization with per-vector integer
+    * code sums and micro-unit reconstruction error
+    * (Similarity.quantizeInt8Stats). */
+  private def quantizeEmbeddings(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8Stats(t(s, dir, "embeddings")).orderBy("vec_id")
+
   /** Token-budget mixture plan (Sampling.mixturePlan): per-source quota
     * + keep rate for a 100k-token budget, with weights derived from the
     * source's numeric suffix so the oracle can rebuild the same weights
@@ -746,6 +760,8 @@ object SparkEntry {
     "quality_filter" -> qualityFilter _,
     "span_dedup" -> spanDedup _,
     "mixture_plan" -> mixturePlanQuery _,
+    "vocab_encode" -> vocabEncode _,
+    "quantize_embeddings" -> quantizeEmbeddings _,
     "minhash_near_dups" -> minhashNearDups _,
     "near_dup_groups" -> nearDupGroupsQuery _,
     "split_leakage" -> splitLeakage _,
@@ -1016,6 +1032,44 @@ object SparkEntry {
          LEFT JOIN cps c ON b.doc_id = c.doc_id
          LEFT JOIN perdoc p ON b.doc_id = p.doc_id
          ORDER BY b.doc_id""",
+    "vocab_encode" ->
+      """WITH w AS (SELECT doc_id,
+                      unnest(string_split_regex(trim(text), '\s+')) AS word,
+                      generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+                    FROM documents),
+              cnt AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+              vocab AS (SELECT word,
+                          row_number() OVER (ORDER BY n DESC, word) - 1 AS token_id
+                        FROM cnt ORDER BY n DESC, word LIMIT 20)
+         SELECT w.doc_id,
+                CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_oov,
+                string_agg(CAST(COALESCE(v.token_id, -1) AS VARCHAR), ' '
+                  ORDER BY w.pos) AS ids_text
+         FROM w LEFT JOIN vocab v ON w.word = v.word
+         GROUP BY w.doc_id ORDER BY w.doc_id""",
+    "quantize_embeddings" ->
+      // double arithmetic with Spark's exact evaluation order
+      // ((x*127)/scale; (q*scale)/127 − x) and per-element integer
+      // rounding BEFORE the sums, so both engines hash identically
+      """WITH s AS (SELECT vec_id, embedding,
+                      list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+                    FROM embeddings),
+              q AS (SELECT vec_id, embedding, scale,
+                      CASE WHEN scale = 0
+                        THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(embedding,
+                          x -> CAST(round(x::DOUBLE * 127 / scale) AS BIGINT))
+                      END AS qs
+                    FROM s)
+         SELECT vec_id, scale,
+                CAST(list_sum(qs) AS BIGINT) AS q_sum,
+                CAST(list_sum(list_transform(qs, e -> abs(e))) AS BIGINT) AS q_abs_sum,
+                CAST(list_sum(list_transform(qs, (e, i) ->
+                  CAST(round(abs(e::DOUBLE * scale / 127 - embedding[i]::DOUBLE)
+                    * 1000000) AS BIGINT))) AS BIGINT) AS err_micro_sum
+         FROM q ORDER BY vec_id""",
     "mixture_plan" ->
       """WITH agg AS (SELECT source,
                         CAST(count(*) AS BIGINT) AS n_docs,

@@ -193,4 +193,48 @@ object Similarity {
       .filter(col("score") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("score"))
   }
+
+  /** Symmetric int8 quantization of an embedding column — the 4×
+    * storage/bandwidth reduction a 100 TB vector corpus takes before
+    * ANN serving: per vector, `scale = max|x_i|` and
+    * `q_i = round(127 · x_i / scale)` (zero vectors quantize to zeros).
+    * Returns (id, scale, q) with `q` as `array<tinyint>`-ranged longs in
+    * an int array — a stateless codegen'd projection, no shuffle.
+    *
+    * Determinism note (why this is oracle-able): every arithmetic step
+    * is IEEE-754 double with a fixed evaluation order (`(x·127)/scale`),
+    * `max` is order-independent, and round-half-up on doubles agrees
+    * with DuckDB's round-half-away for non-negative ties (and both round
+    * away from zero on negative ties). */
+  def quantizeInt8(
+      df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    quantized(df, idCol, vecCol).select("vec_id", "scale", "q")
+
+  /** (vec_id, vec, scale, q) — the shared quantization projection. */
+  private def quantized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val scale = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val q = when(col("scale") === 0d, transform(col("vec"), _ => lit(0L)))
+      .otherwise(transform(col("vec"),
+        x => round(x.cast("double") * 127d / col("scale")).cast("long")))
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("vec"), scale.as("scale"))
+      .withColumn("q", q)
+  }
+
+  /** Quantization quality summary per vector, in engine-exact integer
+    * space: the int8 code sums plus the reconstruction error
+    * `Σ round(|q_i·scale/127 − x_i| · 1e6)` (micro-units) — the
+    * dequantization residual, order-independent because each term is
+    * rounded to an integer BEFORE summing. One projection, no shuffle. */
+  def quantizeInt8Stats(
+      df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sumLong = (a: Column) => aggregate(a, lit(0L), (acc, e) => acc + e)
+    val err = zip_with(col("q"), col("vec"), (qi, xi) =>
+      round(abs(qi.cast("double") * col("scale") / 127d - xi.cast("double")) * 1000000d)
+        .cast("long"))
+    quantized(df, idCol, vecCol).select(
+      col("vec_id"), col("scale"),
+      sumLong(col("q")).as("q_sum"),
+      sumLong(transform(col("q"), e => abs(e))).as("q_abs_sum"),
+      sumLong(err).as("err_micro_sum"))
+  }
 }

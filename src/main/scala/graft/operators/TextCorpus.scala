@@ -197,6 +197,51 @@ object TextCorpus {
         coalesce(col("removed_spans"), lit(0L)).as("removed_spans"))
   }
 
+  /** Frequency vocabulary: the top-`vocabSize` words by corpus count,
+    * with dense ids in (count desc, word asc) order — the deterministic
+    * "tokenizer fit" step. The word count partial-aggregates map-side
+    * and the top-k is a TakeOrderedAndProject (k rows cross the final
+    * exchange, never the full word table); the id-assigning window runs
+    * over those k rows only — bounded by construction, like the IVF
+    * centroid matrix. */
+  def buildVocab(docs: DataFrame, vocabSize: Int, textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0)
+    val byFreq = Seq(col("n_occurrences").desc, col("word").asc)
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(byFreq: _*)
+      .limit(vocabSize)
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy(byFreq: _*)) - 1).cast("long"))
+      .select("token_id", "word", "n_occurrences")
+  }
+
+  /** Encode documents against a [[buildVocab]] vocabulary — the
+    * "tokenizer transform" step: each document becomes its id sequence
+    * (out-of-vocabulary → -1), plus token/OOV counts. The vocabulary is
+    * broadcast (it is small by construction) so the probe is a map-side
+    * hash lookup; the only shuffle is the doc_id re-assembly, and the
+    * id sequence is rebuilt in word order with an `array_sort` over
+    * (pos, id) structs — per-document bounded, no global sort. */
+  def encodeDocs(
+      docs: DataFrame, vocab: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("doc_id"), posexplode(TextAnalysis.tokens(col(textCol))))
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
+    words.join(broadcast(vocab.select("word", "token_id")), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"),
+              coalesce(col("token_id"), lit(-1L)).as("id")))),
+            x => x.getField("id").cast("string")),
+          " ").as("ids_text"))
+  }
+
   /** Deterministic sharded shuffle: a reproducible training order
     * WITHOUT a global sort. Each doc gets a shard from a salted hash and
     * a position within its shard from a second salted hash — consumers

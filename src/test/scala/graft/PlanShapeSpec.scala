@@ -120,6 +120,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "CartesianProduct") === 0)
   }
 
+  test("vocab encode broadcasts the vocabulary to the word probe") {
+    val p = finalPlan("vocab_encode")
+    assert(count(p, "BroadcastHashJoin") >= 1, s"vocab join lost its broadcast:\n$p")
+    assert(count(p, "SortMergeJoin") === 0)
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
+  test("embedding quantization is a pure projection: no exchange before the sort") {
+    val p = finalPlan("quantize_embeddings")
+    assert(count(p, "Exchange") <= 1, // only the final orderBy
+      s"quantization added a shuffle:\n$p")
+    assert(count(p, "Join") === 0, s"quantization should not join:\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted gaps in scans)") {
     Seq("q1_pricing_summary", "text_token_counts", "doc_fingerprints").foreach { q =>
       val p = finalPlan(q)

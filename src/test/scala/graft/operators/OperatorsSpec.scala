@@ -272,4 +272,35 @@ class OperatorsSpec extends AnyFunSuite {
     val langs = out.map(_.getAs[String]("lang_id")).toSet
     assert(langs.contains("en"))
   }
+
+  test("int8 quantization: hand-checked codes, sums, and micro-unit error") {
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f)) // zero vector must not divide by zero
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Long](2)))).toMap
+    assert(q(1L)._1 === 1.0)
+    // round(-63.5) is away from zero (both engines): -64, not -63
+    assert(q(1L)._2 === Seq(127L, -64L, 32L, 0L))
+    assert(q(2L) === ((0.0, Seq(0L, 0L))))
+
+    val st = Similarity.quantizeInt8Stats(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(st(1L)._1 === 95L) // 127 - 64 + 32 + 0
+    assert(st(1L)._2 === 223L)
+    // err: 0 + round(|−64/127 + 0.5|·1e6) + round(|32/127 − 0.25|·1e6) + 0
+    assert(st(1L)._3 === 3937L + 1969L)
+    assert(st(2L) === ((0L, 0L, 0L)))
+  }
+
+  test("int8 quantization: reconstruction error bounded by scale/254 on real vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bad = Similarity.quantizeInt8Stats(emb)
+      .join(emb.select(col("vec_id"), size(col("embedding")).as("dim")), "vec_id")
+      // per-element error ≤ scale/254 (+1 micro-unit rounding slack each)
+      .filter(col("err_micro_sum") >
+        col("scale") / 254d * 1000000d * col("dim") + col("dim"))
+    assert(bad.count() === 0L)
+  }
 }

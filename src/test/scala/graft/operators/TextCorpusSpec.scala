@@ -166,6 +166,23 @@ class TextCorpusSpec extends AnyFunSuite {
     assert(out(4L) === (("p q", 0L, 0L)), "docs below n words have no spans")
   }
 
+  test("vocabulary fit assigns dense ids by frequency with alphabetic ties") {
+    val df = Seq((1L, "a a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val vocab = TextCorpus.buildVocab(df, vocabSize = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // a×3 → 0, b×2 → 1, then the c/d tie breaks alphabetically: c → 2
+    assert(vocab.toSeq === Seq((0L, "a", 3L), (1L, "b", 2L), (2L, "c", 1L)))
+  }
+
+  test("encoding maps words to vocab ids in document order, OOV to -1") {
+    val df = Seq((1L, "a a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val vocab = TextCorpus.buildVocab(df, vocabSize = 3)
+    val out = TextCorpus.encodeDocs(df, vocab).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((4L, 0L, "0 0 1 2")))
+    assert(out(2L) === ((3L, 1L, "0 1 -1"))) // d is out of vocabulary
+  }
+
   test("span dedup ignores spans repeated only within one document") {
     val df = Seq(
       (1L, "a b c a b c a b c"), // internal repetition only
