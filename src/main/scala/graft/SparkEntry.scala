@@ -418,6 +418,37 @@ object SparkEntry {
   private def spanDedup(s: SparkSession, dir: String): DataFrame =
     TextCorpus.dedupSpans(docsWithDups(s, dir), n = 8, minDocs = 2).orderBy("doc_id")
 
+  /** A SQL-expressible "daily increment" for incremental dedup: exact
+    * copies of old docs, truncated near-copies, genuinely novel docs
+    * (reversed text — a shingle-level bijection away from anything in
+    * the corpus), and re-copies that also duplicate the batch itself. */
+  private def incrementalBatch(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    d.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 50000).as("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+        .select((col("doc_id") + 60000).as("doc_id"),
+          col("text").substr(lit(11), lit(100000)).as("text")))
+      .unionAll(d.filter(col("doc_id") >= 200 && col("doc_id") < 210)
+        .select((col("doc_id") + 70000).as("doc_id"), reverse(col("text")).as("text")))
+      .unionAll(d.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 80000).as("doc_id"), col("text")))
+  }
+
+  /** Incremental near-dup dedup (Dedup.incrementalNearDupPairs): a new
+    * batch probes the standing corpus' LSH index — corpus never
+    * recomputed or shuffled. Oracled like minhash_near_dups: output =
+    * exact-Jaccard pairs at measured recall 1.0, restricted to pairs
+    * whose larger id is in the batch. */
+  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val (buckets, shingles) =
+      Dedup.nearDupIndex(t(s, dir, "documents"), "text", "doc_id",
+        k = 32, bands = 8, shingleSize = 5)
+    Dedup.incrementalNearDupPairs(incrementalBatch(s, dir), buckets, shingles,
+        "text", "doc_id", threshold = 0.5, k = 32, bands = 8, shingleSize = 5)
+      .orderBy("new_id", "match_id")
+  }
+
   /** Vocabulary fit + transform (TextCorpus.buildVocab/encodeDocs):
     * top-20 word vocab, documents encoded as id sequences (OOV → -1). */
   private def vocabEncode(s: SparkSession, dir: String): DataFrame = {
@@ -762,6 +793,7 @@ object SparkEntry {
     "mixture_plan" -> mixturePlanQuery _,
     "vocab_encode" -> vocabEncode _,
     "quantize_embeddings" -> quantizeEmbeddings _,
+    "incremental_dedup" -> incrementalDedup _,
     "minhash_near_dups" -> minhashNearDups _,
     "near_dup_groups" -> nearDupGroupsQuery _,
     "split_leakage" -> splitLeakage _,
@@ -1108,6 +1140,40 @@ object SparkEntry {
                      / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
           WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    "incremental_dedup" ->
+      // brute-force exact 5-shingle Jaccard over corpus ∪ batch,
+      // restricted to pairs whose LARGER id is in the batch (old ids are
+      // all < 50000, so "match_id < new_id" covers both new-vs-old and
+      // the batch's keep-min convention); equals the incremental
+      // pipeline's output by the same recall-1.0 + exact-verify argument
+      // as minhash_near_dups
+      """WITH oldd AS (SELECT doc_id, trim(text) AS text FROM documents),
+              newd AS (SELECT doc_id + 50000 AS doc_id, trim(text) AS text
+                       FROM documents WHERE doc_id < 30
+                       UNION ALL
+                       SELECT doc_id + 60000, trim(substr(text, 11))
+                       FROM documents WHERE doc_id >= 100 AND doc_id < 120
+                       UNION ALL
+                       SELECT doc_id + 70000, trim(reverse(text))
+                       FROM documents WHERE doc_id >= 200 AND doc_id < 210
+                       UNION ALL
+                       SELECT doc_id + 80000, trim(text)
+                       FROM documents WHERE doc_id < 10),
+              alld AS (SELECT * FROM oldd UNION ALL SELECT * FROM newd),
+              shn AS (SELECT doc_id,
+                        list_distinct([substr(text, i, 5)
+                          FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
+                      FROM newd),
+              sha AS (SELECT doc_id,
+                        list_distinct([substr(text, i, 5)
+                          FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
+                      FROM alld)
+         SELECT new_id, match_id, jaccard FROM (
+           SELECT n.doc_id AS new_id, m.doc_id AS match_id,
+                  len(list_intersect(n.s, m.s))::DOUBLE
+                    / len(list_distinct(list_concat(n.s, m.s)))::DOUBLE AS jaccard
+           FROM shn n JOIN sha m ON m.doc_id < n.doc_id)
+         WHERE jaccard >= 0.5 ORDER BY new_id, match_id""",
     "simhash_exact_dups" ->
       // identical text <=> identical SimHash code + text-equality verify
       s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b

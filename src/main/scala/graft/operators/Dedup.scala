@@ -186,6 +186,95 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Incremental near-dup (corpus growth without recompute)
+  // ------------------------------------------------------------------
+
+  /** The persistable LSH index of a corpus, for [[incrementalNearDupPairs]]:
+    * `buckets` (band, bucket, id) — the exploded band hashes — and
+    * `shingles` (id, sh) — each document's distinct shingle-hash set for
+    * the verify stage. In production both land in parquet (buckets
+    * partitioned by band, or bucketed on (band, bucket)) and a daily
+    * increment appends its own rows after deduping: the 100 TB corpus is
+    * indexed ONCE and never re-shingled. */
+  def nearDupIndex(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 32, bands: Int = 8, shingleSize: Int = 5): (DataFrame, DataFrame) = {
+    val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("sh"))
+    val buckets = sh.select(
+      col("id"),
+      posexplode(lshBandHashes(graft.functions.TextHash.minHashFromHashes(col("sh"), k), bands, k))
+        .as(Seq("band", "bucket")))
+      .select("band", "bucket", "id")
+    (buckets, sh)
+  }
+
+  /** Near-dup pairs of a NEW batch against an indexed corpus plus
+    * itself — the operational shape of dedup at 100 TB: a daily crawl
+    * increment dedups against the standing corpus without recomputing
+    * it. Returns (new_id, match_id, jaccard) where `match_id` is an
+    * indexed id or a smaller id from the same batch.
+    *
+    * Scale shape: the increment is small relative to the corpus, so its
+    * bucket rows BROADCAST and the index is probed with a map-side hash
+    * join — the corpus never shuffles and only index rows in buckets the
+    * batch actually hits are touched. Matched buckets are capped at
+    * `maxBucketSize` old rows (same mega-bucket reasoning as
+    * [[lshCandidatePairsFromHashes]]; the count window runs over matched
+    * rows only). Verification intersects precomputed shingle-hash arrays:
+    * the match-side arrays are fetched by streaming the shingle index
+    * through a broadcast semi-probe of the candidate ids — again no
+    * corpus shuffle. */
+  def incrementalNearDupPairs(
+      newDocs: DataFrame, buckets: DataFrame, shingles: DataFrame,
+      textCol: String, idCol: String,
+      threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
+      shingleSize: Int = 5, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val (nb, nsh0) = nearDupIndex(newDocs, textCol, idCol, k, bands, shingleSize)
+    val nsh = nsh0.localCheckpoint() // read by bucketing, both verify sides
+    // new-vs-old: stream the index past the broadcast batch buckets
+    val matched = buckets
+      .join(broadcast(nb.withColumnRenamed("id", "new_id")), Seq("band", "bucket"))
+      .filter(col("id") =!= col("new_id"))
+    val bsz = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val newVsOld = matched
+      .withColumn("bsz", count(lit(1)).over(bsz))
+      .filter(col("bsz") <= maxBucketSize)
+      .select(col("new_id"), col("id").as("match_id"))
+      .distinct()
+    // new-vs-new within the batch: the batch pipeline, smaller id wins
+    val newVsNew = lshCandidatePairsFromHashes(nsh, k, bands, maxBucketSize)
+      .select(col("id_b").as("new_id"), col("id_a").as("match_id"))
+    val cands = newVsOld.unionAll(newVsNew).localCheckpoint()
+    // verify: match-side sh from the union of index + batch (streamed
+    // past the broadcast candidate ids), new-side sh from the batch
+    val matchSh = shingles.select("id", "sh").unionAll(nsh)
+      .join(broadcast(cands), col("id") === col("match_id"))
+      .select(col("new_id"), col("match_id"), col("sh").as("match_sh"))
+    matchSh
+      .join(broadcast(nsh.select(col("id").as("new_id"), col("sh").as("new_sh"))), "new_id")
+      .withColumn("jaccard", jaccardFromHashSets(col("new_sh"), col("match_sh")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "match_id", "jaccard")
+  }
+
+  /** The rows of a new batch that SURVIVE incremental dedup: documents
+    * near-duplicating neither the indexed corpus nor a smaller-id batch
+    * row (the standing corpus is canonical; within the batch the keep-min
+    * policy applies, matching [[nearDupGroups]]' survivor rule). The
+    * anti-join keys on [[incrementalNearDupPairs]]' `new_id` — by its
+    * convention every pair's new_id is the non-survivor. */
+  def incrementalSurvivors(
+      newDocs: DataFrame, buckets: DataFrame, shingles: DataFrame,
+      textCol: String, idCol: String,
+      threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
+      shingleSize: Int = 5): DataFrame = {
+    val dups = incrementalNearDupPairs(newDocs, buckets, shingles,
+      textCol, idCol, threshold, k, bands, shingleSize)
+      .select(col("new_id").as(idCol)).distinct()
+    newDocs.join(dups, Seq(idCol), "left_anti")
+  }
+
+  // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------
 

@@ -134,6 +134,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Join") === 0, s"quantization should not join:\n$p")
   }
 
+  test("incremental dedup probes the index by broadcast; the corpus never sort-merges") {
+    val p = finalPlan("incremental_dedup")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"index probe or verify fetch lost its broadcast:\n$p")
+    assert(count(p, "SortMergeJoin") === 0, s"corpus-side shuffle crept in:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted gaps in scans)") {
     Seq("q1_pricing_summary", "text_token_counts", "doc_fingerprints").foreach { q =>
       val p = finalPlan(q)

@@ -71,6 +71,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert((found -- exact).isEmpty, "verified output must not contain false positives")
   }
 
+  test("incremental dedup: batch vs index matches the full-recompute pipeline") {
+    val d = docs.select("doc_id", "text")
+    val batch = d.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 50000).as("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") >= 20 && col("doc_id") < 30)
+        .select((col("doc_id") + 60000).as("doc_id"), reverse(col("text")).as("text")))
+    val (buckets, shingles) = Dedup.nearDupIndex(d, "text", "doc_id")
+    val inc = Dedup.incrementalNearDupPairs(batch, buckets, shingles,
+        "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+    // ground truth: the batch pipeline over corpus ∪ batch, restricted to
+    // pairs whose larger id is new — identical values, since both verify
+    // with jaccardFromHashSets over the same shingle arrays
+    val full = Dedup.nearDupPairs(d.unionAll(batch), "text", "doc_id", threshold = 0.5)
+      .filter(col("id_b") >= 50000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty, "the planted copies must be found")
+  }
+
+  test("incremental survivors: novel and first-copy batch docs survive, dups drop") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy sleeping dog"),
+      (2L, "completely different prose regarding distributed query engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy sleeping dog"), // dup of 1
+      (11L, "a genuinely novel document about columnar storage layouts"),
+      (12L, "a genuinely novel document about columnar storage layouts"), // dup of 11
+      (13L, "another unique piece mentioning watermark based eviction")
+    ).toDF("doc_id", "text")
+    val (buckets, shingles) = Dedup.nearDupIndex(corpus, "text", "doc_id")
+    val survivors = Dedup.incrementalSurvivors(batch, buckets, shingles,
+        "text", "doc_id", threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(11L, 13L),
+      "10 duplicates the corpus; 12 duplicates smaller batch id 11")
+  }
+
   test("simhash blocking finds every exact duplicate (recall 1.0 at dist 0)") {
     val d = docs.select("doc_id", "text")
     val dd = d.unionAll(
