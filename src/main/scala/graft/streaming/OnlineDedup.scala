@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Streaming corpus ingestion with ONLINE near-dup dedup: a
+  * `foreachBatch` sink that dedups every micro-batch against the corpus
+  * accumulated so far — [[Dedup.incrementalSurvivors]] per batch, with
+  * the LSH index ([[Dedup.nearDupIndex]]) growing by exactly the
+  * survivors' rows. The 100 TB story: each arriving batch broadcasts its
+  * bucket rows and probes the standing index map-side; nothing ever
+  * recomputes or reshuffles the corpus, so ingest cost stays O(batch)
+  * per batch forever.
+  *
+  * Replay safety (foreachBatch is at-least-once): every batch writes to
+  * batch-keyed partition directories (`.../batch=<batchId>`) with
+  * OVERWRITE, so a replayed micro-batch rewrites the same files instead
+  * of double-appending — idempotent without a transaction log, the same
+  * `partitionBy + overwrite` recipe Spark's own docs give for
+  * foreachBatch parquet sinks. The one wrinkle: a replay dedups against
+  * an index that may already contain the batch's own survivors, so the
+  * batch's own rows are EXCLUDED from the index frames before probing
+  * (filter on the batch partition), making the decision identical on
+  * first delivery and on every replay.
+  *
+  * Layout under `rootDir`: `docs/` (surviving documents),
+  * `index-buckets/` (band, bucket, id), `index-shingles/` (id, sh) —
+  * all plain parquet, partitioned by `batch`.
+  */
+final class OnlineDedup(
+    rootDir: String,
+    threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
+    shingleSize: Int = 5,
+    idCol: String = "doc_id", textCol: String = "text") {
+
+  private val docsDir = s"$rootDir/docs"
+  private val bucketsDir = s"$rootDir/index-buckets"
+  private val shinglesDir = s"$rootDir/index-shingles"
+
+  /** The foreachBatch hook:
+    * `stream.writeStream.foreachBatch(online.processBatch _)`. */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    // empty frames with the exact index schemas, for the first batch
+    val (b0, s0) = Dedup.nearDupIndex(batch.limit(0), textCol, idCol, k, bands, shingleSize)
+    def readIndex(dir: String, empty: DataFrame): DataFrame = {
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new Path(dir)))
+        // a replayed batch must not probe its own survivors
+        spark.read.parquet(dir).filter(col("batch") =!= batchId).drop("batch")
+      else empty
+    }
+    val survivors = Dedup.incrementalSurvivors(
+      batch, readIndex(bucketsDir, b0), readIndex(shinglesDir, s0),
+      textCol, idCol, threshold, k, bands, shingleSize)
+      .localCheckpoint() // three writers below; decide once
+    val (nb, nsh) = Dedup.nearDupIndex(survivors, textCol, idCol, k, bands, shingleSize)
+    Seq((survivors, docsDir), (nb, bucketsDir), (nsh, shinglesDir)).foreach {
+      case (df, dir) => df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+    }
+  }
+
+  /** The corpus of survivors accumulated so far. */
+  def corpus(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val fs = new Path(docsDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(docsDir))) spark.read.parquet(docsDir).drop("batch")
+    else spark.emptyDataFrame
+  }
+}
