@@ -149,19 +149,25 @@ object TextCorpus {
     * elsewhere-owned content), `removed_words`, `removed_spans`.
     *
     * Shape at 100 TB: the span explode is L−n+1 rows per L-word doc but
-    * shuffles only (doc_id, pos, 8-byte span hash); the span-stats
-    * aggregation partial-aggregates map-side, and the flagged-occurrence
-    * join probes with the SAME hash key the aggregation just partitioned
-    * by, so Catalyst reuses the exchange. Everything after is keyed by
-    * doc_id: two co-partitioned aggregations and a left join back to the
-    * token arrays. A pathologically hot span (site-wide boilerplate)
-    * skews the probe side only — AQE's skew-join split handles it, and
-    * the stats side stays one row per span. No driver state, no UDFs —
-    * the strip itself is a codegen'd higher-order `filter` over the
-    * token array. */
+    * shuffles only (doc_id, pos, 8-byte span hash), and it is
+    * materialized ONCE (`localCheckpoint`, the [[Dedup.nearDupPairs]]
+    * pattern): both consumers — the span-stats aggregation and the
+    * flagged-occurrence probe — read the executor-cached occurrence
+    * blocks instead of re-running the explode scan (AQE's broadcast
+    * conversions defeat ReuseExchange here, so without materialization
+    * the corpus would be scanned once per consumer). Everything after is
+    * keyed by doc_id: two co-partitioned aggregations and a left join
+    * back to the token arrays (one further corpus scan). A
+    * pathologically hot span (site-wide boilerplate) skews the probe
+    * side only — AQE's skew-join split handles it, and the stats side
+    * stays one row per span. No driver state, no UDFs — the strip itself
+    * is a codegen'd higher-order `filter` over the token array.
+    * `materialize = false` gives the fully-lazy plan for corpora too
+    * large to spill their occurrence rows to executor disk. */
   def dedupSpans(
       docs: DataFrame, n: Int = 8, minDocs: Int = 2,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      materialize: Boolean = true): DataFrame = {
     require(n >= 2, "span length must be at least 2 words")
     require(minDocs >= 2, "a span needs at least 2 documents to be a duplicate")
     val base = docs.select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("ws"))
@@ -171,9 +177,10 @@ object TextCorpus {
         i => array_join(slice(col("ws"), i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
     // (doc_id, 0-based start pos, span hash) — one row per span occurrence
-    val occ = base
+    val occ0 = base
       .select(col("doc_id"), posexplode(spans))
       .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
+    val occ = if (materialize) occ0.localCheckpoint() else occ0
     val dupStats = occ
       .groupBy("h")
       .agg(count_distinct(col("doc_id")).as("n_docs"), min("doc_id").as("owner"))
