@@ -129,4 +129,48 @@ class PipelineOpsPropertySpec extends AnyFunSuite {
     assert(out.size === 151)
     assert(out.values.forall(_ === 0L), "every chain vertex must reach component 0")
   }
+
+  test("dedupSpans matches the brute-force span-coverage model on random corpora") {
+    (0 until 5).foreach { seed =>
+      val rnd = new Random(300 + seed)
+      val n = 2 + rnd.nextInt(3) // span length 2-4
+      val vocab = Vector("a", "b", "c", "d") // tiny vocab forces collisions
+      val docs = (0 until 30).map { id =>
+        val len = 1 + rnd.nextInt(12)
+        (id.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+
+      // model: spans → (owner, docs containing); covered positions in
+      // non-owner docs; kept = words at uncovered positions
+      val spansOf = docs.map { case (id, t) =>
+        val ws = t.split(" ")
+        id -> ws.sliding(n).zipWithIndex.collect {
+          case (s, i) if s.length == n => (s.mkString(" "), i)
+        }.toVector
+      }.toMap
+      val bySpan = spansOf.toVector
+        .flatMap { case (id, ss) => ss.map { case (s, _) => (s, id) } }
+        .groupBy(_._1).map { case (s, rows) =>
+          s -> (rows.map(_._2).distinct.sorted, rows.map(_._2).min)
+        }
+      val expected = docs.map { case (id, t) =>
+        val ws = t.split(" ")
+        val flagged = spansOf(id).filter { case (s, _) =>
+          val (docIds, owner) = bySpan(s); docIds.size >= 2 && owner != id
+        }
+        val covered = flagged.flatMap { case (_, i) => i until (i + n) }.toSet
+        val keptText = ws.zipWithIndex.collect {
+          case (w, i) if !covered.contains(i) => w
+        }.mkString(" ")
+        id -> ((keptText, covered.size.toLong, flagged.size.toLong))
+      }.toMap
+
+      val out = TextCorpus.dedupSpans(
+          docs.toDF("doc_id", "text").repartition(5), n = n, minDocs = 2)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(out === expected, s"[seed $seed, n $n]")
+    }
+  }
 }
