@@ -333,6 +333,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(st(2L) === ((0L, 0L, 0L)))
   }
 
+  test("quantized cosine top-k: measured recall@10 vs exact on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.orderBy("vec_id").limit(5)
+    def topSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topSet(Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id"))
+    val quant = topSet(Similarity.quantizedCosineTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id"))
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 cosine recall@10 was $recall")
+  }
+
   test("int8 quantization: reconstruction error bounded by scale/254 on real vectors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val bad = Similarity.quantizeInt8Stats(emb)
