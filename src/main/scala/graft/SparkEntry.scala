@@ -542,6 +542,16 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Quantized ANN serving path (Similarity.quantizedCosineTopK):
+    * cosine ranking over int8 codes — scale cancels; the products are
+    * exact doubles (|q| ≤ 127), so both engines rank identically. */
+  private def quantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.quantizedCosineTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding L2 norms (Similarity.l2Norm) — oracle-checkable. */
   private def embeddingNorms(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
@@ -800,6 +810,7 @@ object SparkEntry {
     "simhash_exact_dups" -> simhashExactDups _,
     "ngram_jaccard_pairs" -> ngramJaccardPairs _,
     "knn_dot_topk" -> knnDotTopK _,
+    "quantized_topk" -> quantizedTopK _,
     "embedding_norms" -> embeddingNorms _,
     "ann_lsh_topk" -> annLshTopK _,
     "ivf_topk" -> ivfTopKQuery _,
@@ -1296,6 +1307,32 @@ object SparkEntry {
                    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) AS score
                FROM embeddings q, embeddings c
                WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         QUALIFY rank <= 10 ORDER BY query_id, rank""",
+    "quantized_topk" ->
+      // int8 codes are exact doubles (|q| <= 127), so products, sums,
+      // and the cosine ratio evaluate identically in both engines
+      """WITH s AS (SELECT vec_id, embedding,
+                      list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+                    FROM embeddings),
+              q AS (SELECT vec_id,
+                      CASE WHEN scale = 0
+                        THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(embedding,
+                          x -> CAST(round(x::DOUBLE * 127 / scale) AS BIGINT))
+                      END AS qv
+                    FROM s)
+         SELECT query_id, neighbor_id, score,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS rank
+         FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, len(a.qv)+1),
+                   i -> CAST(a.qv[i] AS DOUBLE) * CAST(b.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, len(a.qv)+1),
+                      i -> CAST(a.qv[i] AS DOUBLE) * CAST(a.qv[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(range(1, len(b.qv)+1),
+                        i -> CAST(b.qv[i] AS DOUBLE) * CAST(b.qv[i] AS DOUBLE)))))
+                   AS score
+               FROM q a, q b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
          QUALIFY rank <= 10 ORDER BY query_id, rank""",
     "cosine_near_dups" ->
       """WITH v AS (SELECT vec_id AS id, embedding AS vec,
