@@ -223,7 +223,8 @@ object Dedup {
     * rows only). Verification intersects precomputed shingle-hash arrays:
     * the match-side arrays are fetched by streaming the shingle index
     * through a broadcast semi-probe of the candidate ids — again no
-    * corpus shuffle. */
+    * corpus shuffle. Contract: ids are unique across index ∪ batch (the
+    * id-inequality guard assumes an id never denotes two documents). */
   def incrementalNearDupPairs(
       newDocs: DataFrame, buckets: DataFrame, shingles: DataFrame,
       textCol: String, idCol: String,

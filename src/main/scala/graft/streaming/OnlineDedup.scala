@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions.col
   * Layout under `rootDir`: `docs/` (surviving documents),
   * `index-buckets/` (band, bucket, id), `index-shingles/` (id, sh) —
   * all plain parquet, partitioned by `batch`.
+  *
+  * Contract: `rootDir` belongs to ONE streaming query lineage — batch
+  * ids are the idempotence key, so restarting with a FRESH checkpoint
+  * (batch ids restart at 0) against an existing rootDir would overwrite
+  * history; resume from the original checkpoint, or start a new rootDir.
+  * Document ids must be unique across the corpus and all batches.
   */
 final class OnlineDedup(
     rootDir: String,
