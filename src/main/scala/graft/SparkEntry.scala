@@ -552,6 +552,15 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-source document-length quantiles by exact sort rank
+    * (Stats.groupedQuantiles) — min/median/p95/max of n_chars. */
+  private def lengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    Stats.groupedQuantiles(t(s, dir, "documents"), "source", "n_chars",
+        ps = Seq(0.0, 0.5, 0.95, 1.0))
+      .orderBy("source", "p")
+  }
+
   /** Embedding L2 norms (Similarity.l2Norm) — oracle-checkable. */
   private def embeddingNorms(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
@@ -811,6 +820,7 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> ngramJaccardPairs _,
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
+    "length_quantiles" -> lengthQuantiles _,
     "embedding_norms" -> embeddingNorms _,
     "ann_lsh_topk" -> annLshTopK _,
     "ivf_topk" -> ivfTopKQuery _,
@@ -1308,6 +1318,25 @@ object SparkEntry {
                FROM embeddings q, embeddings c
                WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
          QUALIFY rank <= 10 ORDER BY query_id, rank""",
+    "length_quantiles" ->
+      // lower discrete quantile by sort rank: the element at
+      // floor(p*(n-1))+1 — ps cast to DOUBLE (DuckDB parses 0.95 as
+      // DECIMAL by default, which would change the floor arithmetic)
+      """WITH v AS (SELECT source, n_chars FROM documents),
+              ranked AS (SELECT source, n_chars,
+                           CAST(row_number() OVER (PARTITION BY source
+                             ORDER BY n_chars) AS BIGINT) AS rn
+                         FROM v),
+              counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+                         FROM v GROUP BY source),
+              targets AS (SELECT source, n_rows, p.p AS p,
+                            CAST(floor(p.p * (n_rows - 1)) + 1 AS BIGINT) AS rn
+                          FROM counts,
+                            (SELECT unnest([CAST(0.0 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                               CAST(0.95 AS DOUBLE), CAST(1.0 AS DOUBLE)]) AS p) p)
+         SELECT r.source, t.p, t.n_rows, r.n_chars AS value
+         FROM ranked r JOIN targets t ON r.source = t.source AND r.rn = t.rn
+         ORDER BY r.source, t.p""",
     "quantized_topk" ->
       // int8 codes are exact doubles (|q| <= 127), so products, sums,
       // and the cosine ratio evaluate identically in both engines
