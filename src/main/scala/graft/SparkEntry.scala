@@ -418,6 +418,50 @@ object SparkEntry {
   private def spanDedup(s: SparkSession, dir: String): DataFrame =
     TextCorpus.dedupSpans(docsWithDups(s, dir), n = 8, minDocs = 2).orderBy("doc_id")
 
+  /** Documents with synthetic PII planted deterministically from doc_id
+    * (the base corpus is digit-free word soup, so every detector match
+    * is a planted one): an email on doc_id%7, an IPv4 on %5, an
+    * international phone on %11, a 12-digit id on %13. SQL-expressible
+    * so the oracle builds the identical corpus. */
+  private def piiDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(""),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 200).cast("string"),
+            lit(".0."), (col("doc_id") % 250).cast("string")))
+          .otherwise(""),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +491"),
+            lpad((col("doc_id") * 37 % 1000000).cast("string"), 6, "0")))
+          .otherwise(""),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" id "),
+            lpad((col("doc_id") * 13 % 100000).cast("string"), 12, "0")))
+          .otherwise("")).as("text"))
+
+  private val piiDocsSql =
+    """(SELECT doc_id,
+          text
+          || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+          || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+          || CASE WHEN doc_id % 11 = 0 THEN ' call +491' || lpad(CAST(doc_id * 37 % 1000000 AS VARCHAR), 6, '0') ELSE '' END
+          || CASE WHEN doc_id % 13 = 0 THEN ' id ' || lpad(CAST(doc_id * 13 % 100000 AS VARCHAR), 12, '0') ELSE '' END
+          AS text
+        FROM documents)"""
+
+  /** PII scrub (Pii.piiStats) over the planted corpus: per-doc counts of
+    * each PII class plus the digest of the fully-redacted text. */
+  private def piiScrub(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pii.piiStats(piiDocs(s, dir))
+      .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
+        col("n_idnums"), md5(col("redacted")).as("redacted_digest"))
+      .orderBy("doc_id")
+
   /** A SQL-expressible "daily increment" for incremental dedup: exact
     * copies of old docs, truncated near-copies, genuinely novel docs
     * (reversed text — a shingle-level bijection away from anything in
@@ -756,6 +800,19 @@ object SparkEntry {
       .orderBy("corpus_id", "bench_id")
   }
 
+  /** Bloom-filter decontamination (Dedup.bloomContamination): the same
+    * planted-copy corpus and thresholds as [[contaminationFlags]], but
+    * through the no-broadcast scale path — Bloom prefilter map-side,
+    * shuffle join for the exact verify. Bloom filters have no false
+    * negatives and the join is exact, so the output (and oracle) are
+    * identical to the broadcast path's. */
+  private def bloomContaminationFlags(s: SparkSession, dir: String): DataFrame = {
+    val bench = t(s, dir, "documents").select("doc_id", "text").filter(col("doc_id") < 40)
+    val corpus = docsWithDups(s, dir).filter(col("doc_id") >= 10000)
+    Dedup.bloomContamination(corpus, bench, "text", "doc_id", shingleSize = 8, minOverlap = 30)
+      .orderBy("corpus_id", "bench_id")
+  }
+
   /** Weighted mixture downsampling (Sampling.weightedMixture): three
     * source families at 100% / 50% / 10% keep rates, reported per
     * source. Rows from unlisted sources drop. */
@@ -808,6 +865,7 @@ object SparkEntry {
     "source_overlap" -> sourceOverlapQuery _,
     "corpus_shuffle" -> corpusShuffle _,
     "quality_filter" -> qualityFilter _,
+    "pii_scrub" -> piiScrub _,
     "span_dedup" -> spanDedup _,
     "mixture_plan" -> mixturePlanQuery _,
     "vocab_encode" -> vocabEncode _,
@@ -838,6 +896,7 @@ object SparkEntry {
     "stratified_sample" -> stratifiedSampleQuery _,
     "weighted_mixture" -> weightedMixtureCounts _,
     "contamination_flags" -> contaminationFlags _,
+    "bloom_contamination" -> bloomContaminationFlags _,
     "pack_sequences" -> packSequences _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_top_revenue" -> q3TopRevenue _,
@@ -1049,6 +1108,24 @@ object SparkEntry {
                  + CASE WHEN top_word_count * 100 <= total_words * 12 THEN 0 ELSE 4 END) = 0 AS keep
          FROM sc JOIN rep ON sc.doc_id = rep.doc_id
          ORDER BY sc.doc_id""",
+    "pii_scrub" ->
+      // identical regex text on both engines (Java-regex ∩ RE2 subset);
+      // DuckDB needs the explicit 'g' flag Spark implies, and each count
+      // runs on the previous stage's redacted text, like Pii.piiStats
+      s"""WITH p AS (SELECT doc_id, text FROM $piiDocsSql pd),
+              s1 AS (SELECT doc_id, text,
+                       regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,6}', '<EMAIL>', 'g') AS t1
+                     FROM p),
+              s2 AS (SELECT *, regexp_replace(t1, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS t2 FROM s1),
+              s3 AS (SELECT *, regexp_replace(t2, '\\+[0-9]{7,12}', '<PHONE>', 'g') AS t3 FROM s2),
+              s4 AS (SELECT *, regexp_replace(t3, '[0-9]{9,}', '<ID>', 'g') AS t4 FROM s3)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,6}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(t1, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+                CAST(len(regexp_extract_all(t2, '\\+[0-9]{7,12}')) AS BIGINT) AS n_phones,
+                CAST(len(regexp_extract_all(t3, '[0-9]{9,}')) AS BIGINT) AS n_idnums,
+                md5(t4) AS redacted_digest
+         FROM s4 ORDER BY doc_id""",
     "span_dedup" ->
       // same algorithm over the string spans DuckDB can group directly
       // (Spark groups 8-byte xxhash64 of the span — same equivalence

@@ -347,6 +347,36 @@ object Dedup {
       .filter(col("overlap") >= minOverlap)
   }
 
+  /** [[contamination]]'s scale path for eval sets too large to broadcast
+    * even sliced: identical output (same minOverlap semantics), different
+    * plan. The benchmark's distinct shingle hashes are folded into a
+    * Bloom filter (a distributed treeAggregate — the driver holds only
+    * the final bitmap, ~1.2 GB at 10^9 shingles / 1% fpp, vs ~10+ GB for
+    * the exact hash set), the corpus side probes it MAP-SIDE with a
+    * codegen'd expression ([[graft.functions.BloomProbe]]) dropping
+    * ~(1-fpp) of its shingle rows before any exchange, and only the
+    * survivors take the shuffle hash join against the benchmark shingles
+    * — deliberately NOT broadcast here. Bloom filters have no false
+    * negatives, so the join sees every true match and the exact join
+    * erases the false positives: output ≡ [[contamination]], which is
+    * how the gate checks it (same oracle). */
+  def bloomContamination(
+      corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String,
+      shingleSize: Int = 8, minOverlap: Int = 10, fpp: Double = 0.01): DataFrame = {
+    val b = bench.select(col(idCol).as("bench_id"),
+      explode(shingleHashes(col(textCol), shingleSize)).as("h"))
+    val bh = b.select("h").distinct()
+    val filter = bh.stat.bloomFilter("h", math.max(bh.count(), 1L), fpp)
+    val c = corpus.select(col(idCol).as("corpus_id"),
+        explode(shingleHashes(col(textCol), shingleSize)).as("h"))
+      .filter(graft.functions.BloomProbe.mightContainLong(filter, col("h")))
+    c.join(b, "h")
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   // ------------------------------------------------------------------
   // Near-dup GROUPS: pairs → connected components
   // ------------------------------------------------------------------

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction — the scrubbing pass a training-data
+  * pipeline runs before anything leaves the raw corpus (emails, IP
+  * addresses, phone numbers, long id-like digit runs). The reference's
+  * message log has no text ops; this belongs to the "beyond the
+  * reference" pipeline family of SURVEY §2.12.
+  *
+  * Everything here is `regexp_count`/`regexp_replace` over dialect-
+  * neutral patterns (the Java-regex ∩ RE2 subset: character classes,
+  * bounded quantifiers, no lookaround, no backreferences), so the same
+  * pattern text drives Spark and the DuckDB oracle, and the whole
+  * operator is a codegen'd projection in the scan — zero shuffle, which
+  * is exactly what a 100 TB scrub pass must be. Redaction is staged
+  * (email → IPv4 → phone → digit-run) and each count is taken on the
+  * PREVIOUS stage's output, so a phone's digits are never double-counted
+  * as an id run; placeholders are letters-only so later stages can't
+  * re-match inside them.
+  *
+  * Patterns expect lower-cased text (run [[TextCorpus.normalized]]-style
+  * lowercasing upstream if the corpus is mixed-case); they are detectors
+  * tuned for recall on machine-formatted PII, not validators (an IPv4
+  * octet of 999 still redacts — wrong as a parser, right as a scrubber).
+  */
+object Pii {
+
+  /** `user.name+tag@host.example` — local part, host labels, 2-6 letter TLD. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,6}"
+
+  /** Four dot-separated 1-3 digit octets (recall-tuned, not range-checked). */
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** International-format number: `+` followed by 7-12 digits. */
+  val PhonePattern = "\\+[0-9]{7,12}"
+
+  /** Bare digit runs of 9+ (account / national-id shaped). Counted after
+    * phone redaction so a phone body is not re-counted. */
+  val IdNumPattern = "[0-9]{9,}"
+
+  val EmailTag = "<EMAIL>"
+  val IpTag = "<IP>"
+  val PhoneTag = "<PHONE>"
+  val IdTag = "<ID>"
+
+  /** Redaction stages in application order: later patterns run on the
+    * output of earlier ones. */
+  private val Stages: Seq[(String, String)] = Seq(
+    EmailPattern -> EmailTag,
+    Ipv4Pattern -> IpTag,
+    PhonePattern -> PhoneTag,
+    IdNumPattern -> IdTag)
+
+  /** The fully-redacted text: one chained `regexp_replace` projection. */
+  def redact(text: Column): Column =
+    Stages.foldLeft(text) { case (c, (pat, tag)) => regexp_replace(c, pat, tag) }
+
+  /** Per-document PII counts and the redacted text:
+    * `(id, n_emails, n_ipv4, n_phones, n_idnums, redacted)`. Counts are
+    * per-stage (each on the previous stage's redacted output) so a
+    * document's PII budget sums exactly: the four counts equal the
+    * number of tags in `redacted`. Pure stateless projection — the plan
+    * is a single whole-stage-codegen map over the scan, no shuffle, no
+    * UDFs; at 100 TB it is bounded by scan bandwidth alone. */
+  def piiStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), EmailPattern, EmailTag)
+    val afterIp = regexp_replace(afterEmail, Ipv4Pattern, IpTag)
+    val afterPhone = regexp_replace(afterIp, PhonePattern, PhoneTag)
+    val afterId = regexp_replace(afterPhone, IdNumPattern, IdTag)
+    docs.select(
+      col(idCol),
+      regexp_count(col(textCol), lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(afterEmail, lit(Ipv4Pattern)).cast("long").as("n_ipv4"),
+      regexp_count(afterIp, lit(PhonePattern)).cast("long").as("n_phones"),
+      regexp_count(afterPhone, lit(IdNumPattern)).cast("long").as("n_idnums"),
+      afterId.as("redacted"))
+  }
+
+  /** Documents whose PII count crosses `maxPii` — the quarantine set a
+    * pipeline routes to manual review instead of training. Same single
+    * projection plus a codegen'd filter. */
+  def quarantine(docs: DataFrame, maxPii: Long = 0L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    piiStats(docs, idCol, textCol)
+      .withColumn("n_pii",
+        col("n_emails") + col("n_ipv4") + col("n_phones") + col("n_idnums"))
+      .filter(col("n_pii") > maxPii)
+}
