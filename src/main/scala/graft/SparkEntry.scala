@@ -363,6 +363,15 @@ object SparkEntry {
       .select(col("doc_id"), TextAnalysis.tokenSetFingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Compression-ratio quality signal (TextAnalysis.compressionStats):
+    * UTF-8 bytes vs deflated bytes per document. No second engine
+    * implements deflate, so the oracle pins the committed golden CSV
+    * (generated from this query at sf0.01 — the gate's scale); the
+    * golden's self-consistency with the live zlib is re-proven by
+    * CompressSpec on every test run. */
+  private def compressionSignal(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.compressionStats(t(s, dir, "documents")).orderBy("doc_id")
+
   /** Canonicalization before dedup (TextCorpus.normalizeDocs). */
   private def textNormalize(s: SparkSession, dir: String): DataFrame =
     TextCorpus.normalizeDocs(t(s, dir, "documents")).orderBy("doc_id")
@@ -453,6 +462,30 @@ object SparkEntry {
           || CASE WHEN doc_id % 13 = 0 THEN ' id ' || lpad(CAST(doc_id * 13 % 100000 AS VARCHAR), 12, '0') ELSE '' END
           AS text
         FROM documents)"""
+
+  /** Distinct 8-gram shingle intersection counts, exactly as the
+    * hashed-shingle join counts them (shingleHashes is distinct) —
+    * shared by the broadcast (`contamination_flags`) and Bloom-prefilter
+    * (`bloom_contamination`) gates, whose outputs are identical by
+    * construction. */
+  private val contaminationOracleSql =
+    """WITH bench AS (
+           SELECT doc_id AS bench_id,
+                  list_distinct([substr(trim(text), i, 8)
+                    FOR i IN range(1, greatest(length(trim(text))-7, 1)+1)]) AS s
+           FROM documents WHERE doc_id < 40),
+          corpus AS (
+           SELECT doc_id AS corpus_id,
+                  list_distinct([substr(trim(text), i, 8)
+                    FOR i IN range(1, greatest(length(trim(text))-7, 1)+1)]) AS s
+           FROM (SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 100
+                 UNION ALL
+                 SELECT doc_id + 20000, substr(text, 11) FROM documents WHERE doc_id < 40))
+         SELECT corpus_id, bench_id, overlap FROM (
+           SELECT c.corpus_id, b.bench_id,
+                  CAST(len(list_intersect(c.s, b.s)) AS BIGINT) AS overlap
+           FROM corpus c CROSS JOIN bench b)
+         WHERE overlap >= 30 ORDER BY corpus_id, bench_id"""
 
   /** PII scrub (Pii.piiStats) over the planted corpus: per-doc counts of
     * each PII class plus the digest of the fully-redacted text. */
@@ -860,6 +893,7 @@ object SparkEntry {
     "lang_id" -> langId _,
     "doc_fingerprints" -> docFingerprints _,
     "text_normalize" -> textNormalize _,
+    "compression_signal" -> compressionSignal _,
     "repetition_stats" -> repetitionStats _,
     "top_ngrams" -> topNgramsQuery _,
     "source_overlap" -> sourceOverlapQuery _,
@@ -1108,6 +1142,15 @@ object SparkEntry {
                  + CASE WHEN top_word_count * 100 <= total_words * 12 THEN 0 ELSE 4 END) = 0 AS keep
          FROM sc JOIN rep ON sc.doc_id = rep.doc_id
          ORDER BY sc.doc_id""",
+    "compression_signal" ->
+      // zlib has no DuckDB twin: the oracle is the committed golden
+      // (multimodal pattern); CompressSpec re-derives it from the live
+      // zlib each test run
+      """SELECT doc_id, n_bytes, deflate_len
+         FROM read_csv('/root/repo/src/test/resources/compression_golden.csv',
+           header=true,
+           columns={'doc_id':'BIGINT','n_bytes':'BIGINT','deflate_len':'BIGINT'})
+         ORDER BY doc_id""",
     "pii_scrub" ->
       // identical regex text on both engines (Java-regex ∩ RE2 subset);
       // DuckDB needs the explicit 'g' flag Spark implies, and each count
@@ -1649,26 +1692,12 @@ object SparkEntry {
                           WHEN 'src1' THEN 500000  WHEN 'src4' THEN 500000
                           ELSE 100000 END
          GROUP BY 1 ORDER BY 1""",
-    "contamination_flags" ->
-      // distinct 8-gram shingle intersection counts, exactly as the
-      // hashed-shingle join counts them (shingleHashes is distinct)
-      """WITH bench AS (
-           SELECT doc_id AS bench_id,
-                  list_distinct([substr(trim(text), i, 8)
-                    FOR i IN range(1, greatest(length(trim(text))-7, 1)+1)]) AS s
-           FROM documents WHERE doc_id < 40),
-          corpus AS (
-           SELECT doc_id AS corpus_id,
-                  list_distinct([substr(trim(text), i, 8)
-                    FOR i IN range(1, greatest(length(trim(text))-7, 1)+1)]) AS s
-           FROM (SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 100
-                 UNION ALL
-                 SELECT doc_id + 20000, substr(text, 11) FROM documents WHERE doc_id < 40))
-         SELECT corpus_id, bench_id, overlap FROM (
-           SELECT c.corpus_id, b.bench_id,
-                  CAST(len(list_intersect(c.s, b.s)) AS BIGINT) AS overlap
-           FROM corpus c CROSS JOIN bench b)
-         WHERE overlap >= 30 ORDER BY corpus_id, bench_id""",
+    "contamination_flags" -> contaminationOracleSql,
+    "bloom_contamination" ->
+      // Bloom prefilter + exact shuffle join ≡ the broadcast exact path
+      // (no false negatives; the join erases false positives), so the
+      // scale-path gate shares the exact oracle verbatim
+      contaminationOracleSql,
     "pack_sequences" ->
       // Packing.assignBins: chunked cumulative fill, bin of each row's
       // END; bin id = chunk * 2^32 + binInChunk

@@ -139,6 +139,25 @@ object TextAnalysis {
   def minShingleFingerprint(text: Column, n: Int = 8): Column =
     array_min(transform(charShingles(text, n), s => xxhash64(s)))
 
+  // --- compression signal ---
+
+  /** Per-document compression signal: `(id, n_bytes, deflate_len)` —
+    * UTF-8 byte count and its zlib-deflated size at a pinned level
+    * ([[graft.functions.Compress]]). The CCNet-style repetitiveness/
+    * quality measure: templated or looping text compresses far below
+    * prose, random noise barely compresses; pipelines threshold the
+    * `deflate_len/n_bytes` ratio from both sides. Counts, not the ratio,
+    * so consumers pick the cutoff and gates hash integers. Pure
+    * stateless projection — one codegen'd Deflater pass per row in the
+    * scan, no shuffle; at 100 TB cost is scan + O(bytes) CPU per row,
+    * trivially partition-parallel. */
+  def compressionStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(
+      col(idCol),
+      octet_length(col(textCol)).cast("long").as("n_bytes"),
+      graft.functions.Compress.deflateLen(col(textCol)).as("deflate_len"))
+
   /** Convenience: full text-analysis projection over a documents frame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)
