@@ -395,6 +395,12 @@ object SparkEntry {
     TextCorpus.sourceOverlap(corpus).orderBy("source_a", "source_b")
   }
 
+  /** Per-source distinctive terms (TextCorpus.distinctiveTerms): top-10
+    * integer-ranked signature words per source. */
+  private def distinctiveTermsQuery(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.distinctiveTerms(t(s, dir, "documents"), k = 10)
+      .orderBy("source", "rank")
+
   /** Deterministic sharded shuffle (TextCorpus.shardedShuffle). */
   private def corpusShuffle(s: SparkSession, dir: String): DataFrame =
     TextCorpus.shardedShuffle(t(s, dir, "documents"), shards = 8, salt = "epoch-0")
@@ -857,6 +863,18 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Deterministic negative sampling (Sampling.negativeSample): 5
+    * negatives per query from the query's hash bucket, positives (the
+    * query doc itself here) excluded. Pure md5 arithmetic — exact
+    * DuckDB twin. */
+  private def negativeSamples(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val queries = d.filter(col("doc_id") < 25)
+      .select(col("doc_id").as("query_id"), col("doc_id").as("positive_id"))
+    Sampling.negativeSample(queries, d, k = 5, buckets = 4, salt = "neg")
+      .orderBy("query_id", "rank")
+  }
+
   /** Sequence packing (Packing.binStats): 4096-char bins over chunks of
     * 100 consecutive doc ids, reported as per-bin utilization. */
   private def packSequences(s: SparkSession, dir: String): DataFrame =
@@ -897,6 +915,7 @@ object SparkEntry {
     "repetition_stats" -> repetitionStats _,
     "top_ngrams" -> topNgramsQuery _,
     "source_overlap" -> sourceOverlapQuery _,
+    "distinctive_terms" -> distinctiveTermsQuery _,
     "corpus_shuffle" -> corpusShuffle _,
     "quality_filter" -> qualityFilter _,
     "pii_scrub" -> piiScrub _,
@@ -929,6 +948,7 @@ object SparkEntry {
     "sample_split_counts" -> sampleSplitCounts _,
     "stratified_sample" -> stratifiedSampleQuery _,
     "weighted_mixture" -> weightedMixtureCounts _,
+    "negative_samples" -> negativeSamples _,
     "contamination_flags" -> contaminationFlags _,
     "bloom_contamination" -> bloomContaminationFlags _,
     "pack_sequences" -> packSequences _,
@@ -1093,6 +1113,24 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS shared_texts
          FROM h a JOIN h b ON a.digest = b.digest AND a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "distinctive_terms" ->
+      // integer ordering (cnt DESC, doc_freq ASC, word ASC): no float
+      // score, so the top-k selection is deterministic on both engines
+      """WITH sw AS (SELECT source, doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS word
+                     FROM documents),
+              sc AS (SELECT word, source, count(*) AS cnt,
+                       count(DISTINCT doc_id) AS docs_in_source
+                     FROM sw GROUP BY 1, 2),
+              dfq AS (SELECT word, sum(docs_in_source) AS doc_freq
+                      FROM sc GROUP BY 1),
+              r AS (SELECT source, word, cnt, doc_freq,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY cnt DESC, doc_freq ASC, word ASC) AS rank
+                    FROM sc JOIN dfq USING (word))
+         SELECT source, word, CAST(cnt AS BIGINT) AS cnt,
+                CAST(doc_freq AS BIGINT) AS doc_freq, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 10 ORDER BY source, rank""",
     "quality_filter" ->
       // the lang CASE and ratio pieces are the proven lang_id /
       // text_quality_ratios oracle fragments; quality = the same
@@ -1692,6 +1730,22 @@ object SparkEntry {
                           WHEN 'src1' THEN 500000  WHEN 'src4' THEN 500000
                           ELSE 100000 END
          GROUP BY 1 ORDER BY 1""",
+    "negative_samples" ->
+      // same salted-md5 bucket assignment and (query, doc) rank hash as
+      // Sampling.negativeSample; ties broken by neg_id on both engines
+      """WITH q AS (SELECT doc_id AS query_id, doc_id AS positive_id,
+                           ('0x' || substr(md5('neg:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS b
+                    FROM documents WHERE doc_id < 25),
+              c AS (SELECT doc_id AS neg_id,
+                           ('0x' || substr(md5('neg:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS b
+                    FROM documents),
+              j AS (SELECT q.query_id, c.neg_id,
+                           row_number() OVER (PARTITION BY q.query_id
+                             ORDER BY md5('neg#' || CAST(q.query_id AS VARCHAR) || '#' || CAST(c.neg_id AS VARCHAR)),
+                                      c.neg_id) AS rank
+                    FROM q JOIN c ON q.b = c.b AND c.neg_id <> q.positive_id)
+         SELECT query_id, neg_id, CAST(rank AS BIGINT) AS rank
+         FROM j WHERE rank <= 5 ORDER BY query_id, rank""",
     "contamination_flags" -> contaminationOracleSql,
     "bloom_contamination" ->
       // Bloom prefilter + exact shuffle join ≡ the broadcast exact path

@@ -103,6 +103,53 @@ object Sampling {
         expr("CAST((target_tokens * 1000000) div available_tokens AS BIGINT)"))
   }
 
+  /** Deterministic negative sampling for contrastive training: for each
+    * query row, `k` pseudo-random corpus documents that are NOT its
+    * positive — the in-batch-negatives alternative that works when
+    * negatives must be reproducible (resumable training, cross-engine
+    * audits) and corpus-wide rather than batch-local.
+    *
+    * Mechanics: corpus docs and queries each hash (salted md5) into one
+    * of `buckets` buckets; a query draws its negatives only from its own
+    * bucket, ranked by a second salted hash of the (query, doc) pair, so
+    * every engine picks the same k docs in the same order. Changing the
+    * salt redraws all assignments.
+    *
+    * Scale shape: NO cross join — one equi-join on the bucket key, so a
+    * query's candidate pool is |corpus|/buckets rows and the per-query
+    * rank window is bounded by pool size. Size `buckets` ∝ |corpus| (a
+    * 10^10-doc corpus at buckets=10^6 gives 10^4-doc pools: thousands of
+    * times more than any realistic k, joined and ranked fully in
+    * parallel). Both join sides project only (id, bucket) — text and
+    * embeddings never move. Requires pool > k by construction; a query
+    * yields fewer than k rows only if its whole bucket is smaller than k.
+    *
+    * Output: (query_id, neg_id, rank) with rank in [1, k]. */
+  def negativeSample(
+      queries: DataFrame, corpus: DataFrame, k: Int, buckets: Int,
+      salt: String = "neg",
+      queryIdCol: String = "query_id", positiveIdCol: String = "positive_id",
+      corpusIdCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "need at least one negative per query")
+    require(buckets > 0, "need at least one bucket")
+    val q = queries.select(
+      col(queryIdCol).as("query_id"),
+      col(positiveIdCol).as("positive_id"),
+      hashBucket(col(queryIdCol), salt, buckets).as("b"))
+    val c = corpus.select(
+      col(corpusIdCol).as("neg_id"),
+      hashBucket(col(corpusIdCol), salt, buckets).as("b"))
+    val w = Window.partitionBy(col("query_id")).orderBy(
+      md5(concat(lit(salt), lit("#"), col("query_id").cast("string"),
+        lit("#"), col("neg_id").cast("string"))).asc,
+      col("neg_id").asc)
+    q.join(c, "b")
+      .filter(col("neg_id") =!= col("positive_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neg_id", "rank")
+  }
+
   /** Exactly `perStratum` rows per stratum (fewer if the stratum is
     * smaller), chosen by hash order so the choice is deterministic and
     * unbiased. One shuffle on the stratum key; the window never holds

@@ -204,6 +204,41 @@ object TextCorpus {
         coalesce(col("removed_spans"), lit(0L)).as("removed_spans"))
   }
 
+  /** Per-source distinctive terms: the top-`k` words of each source
+    * ranked by (count in source DESC, corpus document-frequency ASC,
+    * word ASC) — "frequent here, rare everywhere" as a pure INTEGER
+    * ordering, the tf-idf idea without the float logarithm whose
+    * cross-engine ulp differences would make top-k selection
+    * nondeterministic. Output: (source, word, cnt, doc_freq, rank).
+    *
+    * One corpus scan: the (word, source) aggregate counts occurrences
+    * AND distinct documents; since each document has exactly one source,
+    * corpus document-frequency is the SUM of per-source distinct-doc
+    * counts — recovered from the first aggregate's (tiny,
+    * |vocab|×|sources|-bounded) output instead of a second corpus pass.
+    * The rank window partitions by source over its vocabulary — the
+    * per-key top-k sort-run shape, same argument as
+    * [[Sampling.stratifiedSample]]. */
+  def distinctiveTerms(
+      docs: DataFrame, k: Int,
+      sourceCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0)
+    val perSource = docs
+      .select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy("word", "source")
+      .agg(count(lit(1)).as("cnt"), count_distinct(col("doc_id")).as("docs_in_source"))
+    val docFreq = perSource.groupBy("word")
+      .agg(sum("docs_in_source").as("doc_freq"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("doc_freq").asc, col("word").asc)
+    perSource.join(docFreq, "word")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("source", "word", "cnt", "doc_freq", "rank")
+  }
+
   /** Frequency vocabulary: the top-`vocabSize` words by corpus count,
     * with dense ids in (count desc, word asc) order — the deterministic
     * "tokenizer fit" step. The word count partial-aggregates map-side

@@ -181,4 +181,57 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(plan("A") === ((7L, 2333333L))) // 7*2/2=7 target; 7e6/3 floors
     assert(plan("B") === ((0L, 0L))) // zero weight → zero quota, kept in plan
   }
+
+  // --- negativeSample ---
+
+  private def negCorpus = spark.range(0, 400).select(col("id").as("doc_id"))
+  private def negQueries = spark.range(0, 10)
+    .select(col("id").as("query_id"), col("id").as("positive_id"))
+
+  test("negativeSample yields k ranked negatives per query, never the positive") {
+    val out = Sampling.negativeSample(negQueries, negCorpus, k = 5, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 50) // 10 queries × 5: pools (~100) dwarf k
+    for ((q, neg, _) <- out) assert(neg !== q, s"query $q drew its positive")
+    val byQuery = out.groupBy(_._1)
+    for ((q, rows) <- byQuery)
+      assert(rows.map(_._3).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L),
+        s"query $q ranks not contiguous")
+  }
+
+  test("negativeSample draws only from the query's hash bucket") {
+    val out = Sampling.negativeSample(negQueries, negCorpus, k = 5, buckets = 4)
+    val withBuckets = out
+      .withColumn("qb", Sampling.hashBucket(col("query_id"), "neg", 4))
+      .withColumn("nb", Sampling.hashBucket(col("neg_id"), "neg", 4))
+      .filter(col("qb") =!= col("nb")).count()
+    assert(withBuckets === 0)
+  }
+
+  test("negativeSample is invariant under corpus repartitioning") {
+    val a = Sampling.negativeSample(negQueries, negCorpus, k = 3, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(identity).toSeq
+    val b = Sampling.negativeSample(
+        negQueries, negCorpus.repartition(7), k = 3, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(identity).toSeq
+    assert(a === b)
+  }
+
+  test("changing the salt redraws the negatives") {
+    val a = Sampling.negativeSample(negQueries, negCorpus, k = 5, buckets = 4, salt = "neg")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Sampling.negativeSample(negQueries, negCorpus, k = 5, buckets = 4, salt = "neg2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a !== b)
+  }
+
+  test("a bucket smaller than k yields the whole pool, ranked") {
+    val tiny = spark.range(0, 6).select(col("id").as("doc_id"))
+    val q = spark.range(0, 3).select(col("id").as("query_id"), lit(-1L).as("positive_id"))
+    val out = Sampling.negativeSample(q, tiny, k = 100, buckets = 2)
+      .groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every query still gets SOME negatives, bounded by its bucket size
+    assert(out.values.forall(n => n > 0 && n <= 6))
+  }
 }

@@ -194,4 +194,40 @@ class TextCorpusSpec extends AnyFunSuite {
       "minDocs counts DISTINCT documents, not occurrences")
     assert(out(2L) === "u v w x y z")
   }
+
+  // --- distinctiveTerms ---
+
+  test("distinctive terms rank frequent-here-rare-elsewhere first") {
+    val docs = Seq(
+      (1L, "A", "jargon jargon jargon common common"),
+      (2L, "A", "jargon filler common"),
+      (3L, "B", "common common filler"),
+      (4L, "B", "common slang slang slang slang")).toDF("doc_id", "source", "text")
+    val out = TextCorpus.distinctiveTerms(docs, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(4)) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // A: jargon 4× in A, in 2 docs corpus-wide; common 3× but in 4 docs
+    assert(out(("A", 1L)) === (("jargon", 4L, 2L)))
+    assert(out(("A", 2L)) === (("common", 3L, 4L)))
+    // B: slang 4× beats common 3× (and slang's doc_freq is 1)
+    assert(out(("B", 1L)) === (("slang", 4L, 1L)))
+    assert(out(("B", 2L)) === (("common", 3L, 4L)))
+  }
+
+  test("distinctive terms: doc_freq counts distinct documents corpus-wide") {
+    val docs = Seq(
+      (1L, "A", "w w w"), // w appears 3 times in ONE doc
+      (2L, "B", "w x")).toDF("doc_id", "source", "text")
+    val out = TextCorpus.distinctiveTerms(docs, k = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(out(("A", "w")) === 2L) // 2 distinct docs despite 4 occurrences
+    assert(out(("B", "x")) === 1L)
+  }
+
+  test("distinctive terms break count-and-frequency ties by word") {
+    val docs = Seq((1L, "A", "zeta alpha")).toDF("doc_id", "source", "text")
+    val out = TextCorpus.distinctiveTerms(docs, k = 2).collect()
+      .sortBy(_.getLong(4)).map(_.getString(1)).toSeq
+    assert(out === Seq("alpha", "zeta"))
+  }
 }
