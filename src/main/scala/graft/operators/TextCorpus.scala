@@ -224,11 +224,16 @@ object TextCorpus {
       sourceCol: String = "source", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(k > 0)
+    // materialized ONCE: both the doc-frequency roll-up and the final
+    // join consume it, and without the checkpoint AQE re-runs the whole
+    // corpus explode+aggregate per consumer (the [[dedupSpans]] lesson);
+    // the frame is |vocab|×|sources| rows — executor-cache-sized
     val perSource = docs
       .select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .groupBy("word", "source")
       .agg(count(lit(1)).as("cnt"), count_distinct(col("doc_id")).as("docs_in_source"))
+      .localCheckpoint()
     val docFreq = perSource.groupBy("word")
       .agg(sum("docs_in_source").as("doc_freq"))
     val w = Window.partitionBy(col("source"))
