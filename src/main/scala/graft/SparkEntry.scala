@@ -395,6 +395,20 @@ object SparkEntry {
     TextCorpus.sourceOverlap(corpus).orderBy("source_a", "source_b")
   }
 
+  /** Intra-document paragraph dedup (TextCorpus.dedupParagraphs) over
+    * documents assembled from slices of the base text, with the first
+    * slice repeated on doc_id%3 — SQL-expressible so the oracle builds
+    * the identical corpus. */
+  private def paraDedup(s: SparkSession, dir: String): DataFrame = {
+    val p1 = col("text").substr(1, 60)
+    val p2 = col("text").substr(31, 60)
+    val assembled = t(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat_ws("@@", p1, p2, p1, p1))
+        .otherwise(concat_ws("@@", p1, p2)).as("text"))
+    TextCorpus.dedupParagraphs(assembled, sep = "@@").orderBy("doc_id")
+  }
+
   /** Per-source distinctive terms (TextCorpus.distinctiveTerms): top-10
     * integer-ranked signature words per source. */
   private def distinctiveTermsQuery(s: SparkSession, dir: String): DataFrame =
@@ -916,6 +930,7 @@ object SparkEntry {
     "top_ngrams" -> topNgramsQuery _,
     "source_overlap" -> sourceOverlapQuery _,
     "distinctive_terms" -> distinctiveTermsQuery _,
+    "para_dedup" -> paraDedup _,
     "corpus_shuffle" -> corpusShuffle _,
     "quality_filter" -> qualityFilter _,
     "pii_scrub" -> piiScrub _,
@@ -1113,6 +1128,22 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS shared_texts
          FROM h a JOIN h b ON a.digest = b.digest AND a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "para_dedup" ->
+      // keep-first-occurrence over the split array: DuckDB list lambdas
+      // are 1-based (ps[1:i-1] = the elements BEFORE i), Spark's filter
+      // index is 0-based (slice(ps, 1, i) likewise); list_position and
+      // array_position both return 0 for "absent"
+      """WITH d AS (SELECT doc_id,
+                      CASE WHEN doc_id % 3 = 0
+                        THEN substr(text, 1, 60) || '@@' || substr(text, 31, 60)
+                             || '@@' || substr(text, 1, 60) || '@@' || substr(text, 1, 60)
+                        ELSE substr(text, 1, 60) || '@@' || substr(text, 31, 60) END AS text
+                    FROM documents),
+              s AS (SELECT doc_id, string_split(text, '@@') AS ps FROM d)
+         SELECT doc_id,
+                array_to_string(list_filter(ps, (x, i) -> list_position(ps[1:i-1], x) = 0), '@@') AS kept_text,
+                CAST(len(ps) - len(list_filter(ps, (x, i) -> list_position(ps[1:i-1], x) = 0)) AS BIGINT) AS removed_paras
+         FROM s ORDER BY doc_id""",
     "distinctive_terms" ->
       // integer ordering (cnt DESC, doc_freq ASC, word ASC): no float
       // score, so the top-k selection is deterministic on both engines

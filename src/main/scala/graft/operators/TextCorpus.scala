@@ -204,6 +204,32 @@ object TextCorpus {
         coalesce(col("removed_spans"), lit(0L)).as("removed_spans"))
   }
 
+  /** Intra-document paragraph dedup — the CCNet-style cleaning pass
+    * that removes REPEATED paragraphs within one document (navigation
+    * boilerplate, duplicated footers, scraper stutter) while keeping
+    * the first occurrence in order. Cross-document duplication is
+    * [[dedupSpans]]' job; this one never looks outside the row.
+    *
+    * Pure projection: split on the literal separator, keep elements
+    * whose first occurrence is their own position (a codegen'd
+    * higher-order `filter` — quadratic in paragraphs-per-doc, which is
+    * dozens, not thousands), re-join. ZERO shuffle at any corpus size —
+    * the whole operator rides the scan, unlike a groupBy(doc, para)
+    * formulation that would shuffle every paragraph of 100 TB twice.
+    * Output: (id, kept_text, removed_paras). */
+  def dedupParagraphs(
+      docs: DataFrame, sep: String = "\n",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    val ps = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    def firstOccurrences(c: Column): Column =
+      filter(c, (x, i) => array_position(slice(c, lit(1), i), x) === 0)
+    docs.select(
+      col(idCol),
+      array_join(firstOccurrences(ps), sep).as("kept_text"),
+      (size(ps) - size(firstOccurrences(ps))).cast("long").as("removed_paras"))
+  }
+
   /** Per-source distinctive terms: the top-`k` words of each source
     * ranked by (count in source DESC, corpus document-frequency ASC,
     * word ASC) — "frequent here, rare everywhere" as a pure INTEGER

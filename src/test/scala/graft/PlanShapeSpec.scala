@@ -142,6 +142,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "CartesianProduct") === 0)
   }
 
+  test("PII scrub and compression signal are single-scan pure projections") {
+    Seq("pii_scrub", "compression_signal").foreach { q =>
+      val p = finalPlan(q)
+      assert(count(p, "Scan parquet") === 1, s"$q re-scans the corpus:\n$p")
+      assert(count(p, "Join") === 0, s"$q should not join:\n$p")
+      assert(count(p, "HashAggregate") === 0, s"$q should not aggregate:\n$p")
+      assert(count(p, "Exchange") <= 1, s"$q shuffles beyond the gate orderBy:\n$p")
+    }
+  }
+
+  test("bloom contamination probes map-side and never goes cartesian") {
+    val p = finalPlan("bloom_contamination")
+    assert(p.contains("bloom_might_contain_long"),
+      s"the Bloom prefilter fell out of the plan:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0)
+  }
+
+  test("negative sampling joins on the bucket key, never cartesian") {
+    val p = finalPlan("negative_samples")
+    assert(count(p, "CartesianProduct") === 0, s"negative sampling went cartesian:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0)
+    assert(count(p, "SortMergeJoin") === 0)
+  }
+
+  test("distinctive terms scan the corpus once; both consumers reuse the aggregate") {
+    val p = finalPlan("distinctive_terms")
+    assert(count(p, "Scan parquet") === 0,
+      s"a consumer re-ran the corpus explode instead of reading the checkpoint:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted gaps in scans)") {
     Seq("q1_pricing_summary", "text_token_counts", "doc_fingerprints").foreach { q =>
       val p = finalPlan(q)

@@ -195,6 +195,41 @@ class TextCorpusSpec extends AnyFunSuite {
     assert(out(2L) === "u v w x y z")
   }
 
+  // --- dedupParagraphs ---
+
+  test("paragraph dedup keeps the first occurrence in order") {
+    val docs = Seq((1L, "a\nb\na\nc\nb\na")).toDF("doc_id", "text")
+    val r = TextCorpus.dedupParagraphs(docs).collect().head
+    assert(r.getString(1) === "a\nb\nc")
+    assert(r.getLong(2) === 3L)
+  }
+
+  test("paragraph dedup passes unique-paragraph and separator-free docs through") {
+    val docs = Seq(
+      (1L, "x\ny\nz"),
+      (2L, "no separators here")).toDF("doc_id", "text")
+    val out = TextCorpus.dedupParagraphs(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("x\ny\nz", 0L)))
+    assert(out(2L) === (("no separators here", 0L)))
+  }
+
+  test("paragraph dedup never mixes content across documents") {
+    val docs = Seq((1L, "shared\nown1"), (2L, "shared\nown2")).toDF("doc_id", "text")
+    val out = TextCorpus.dedupParagraphs(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'shared' appears in both docs but each keeps its own copy
+    assert(out(1L) === "shared\nown1")
+    assert(out(2L) === "shared\nown2")
+  }
+
+  test("paragraph dedup treats regex metacharacters in the separator literally") {
+    val docs = Seq((1L, "a||b||a")).toDF("doc_id", "text")
+    val r = TextCorpus.dedupParagraphs(docs, sep = "||").collect().head
+    assert(r.getString(1) === "a||b")
+    assert(r.getLong(2) === 1L)
+  }
+
   // --- distinctiveTerms ---
 
   test("distinctive terms rank frequent-here-rare-elsewhere first") {
