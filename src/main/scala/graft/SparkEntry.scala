@@ -409,6 +409,12 @@ object SparkEntry {
     TextCorpus.dedupParagraphs(assembled, sep = "@@").orderBy("doc_id")
   }
 
+  /** Context-window chunking (TextCorpus.chunkWindows): 32-token
+    * windows advancing by 16 — overlapping pretraining contexts. */
+  private def chunkWindowsQuery(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.chunkWindows(t(s, dir, "documents"), windowSize = 32, stride = 16)
+      .orderBy("doc_id", "chunk_idx")
+
   /** Per-source distinctive terms (TextCorpus.distinctiveTerms): top-10
     * integer-ranked signature words per source. */
   private def distinctiveTermsQuery(s: SparkSession, dir: String): DataFrame =
@@ -931,6 +937,7 @@ object SparkEntry {
     "source_overlap" -> sourceOverlapQuery _,
     "distinctive_terms" -> distinctiveTermsQuery _,
     "para_dedup" -> paraDedup _,
+    "chunk_windows" -> chunkWindowsQuery _,
     "corpus_shuffle" -> corpusShuffle _,
     "quality_filter" -> qualityFilter _,
     "pii_scrub" -> piiScrub _,
@@ -1144,6 +1151,22 @@ object SparkEntry {
                 array_to_string(list_filter(ps, (x, i) -> list_position(ps[1:i-1], x) = 0), '@@') AS kept_text,
                 CAST(len(ps) - len(list_filter(ps, (x, i) -> list_position(ps[1:i-1], x) = 0)) AS BIGINT) AS removed_paras
          FROM s ORDER BY doc_id""",
+    "chunk_windows" ->
+      // chunk count is pure non-negative integer arithmetic (DuckDB //
+      // floors, Spark div truncates — identical for non-negatives);
+      // list slicing ws[a:b] is 1-based inclusive and clamps at len,
+      // matching Spark's slice(ws, a, w)
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents),
+              c AS (SELECT doc_id, ws,
+                      CASE WHEN len(ws) <= 32 THEN 1
+                           ELSE (len(ws) - 32 + 16 - 1) // 16 + 1 END AS nc
+                    FROM t),
+              e AS (SELECT doc_id, ws, unnest(range(nc)) AS chunk_idx FROM c)
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                array_to_string(ws[chunk_idx*16+1 : chunk_idx*16+32], ' ') AS chunk_text,
+                CAST(len(ws[chunk_idx*16+1 : chunk_idx*16+32]) AS BIGINT) AS n_tokens
+         FROM e ORDER BY doc_id, chunk_idx""",
     "distinctive_terms" ->
       // integer ordering (cnt DESC, doc_freq ASC, word ASC): no float
       // score, so the top-k selection is deterministic on both engines

@@ -230,6 +230,42 @@ object TextCorpus {
       (size(ps) - size(firstOccurrences(ps))).cast("long").as("removed_paras"))
   }
 
+  /** Context-window chunking — the pretraining-example constructor: each
+    * document's whitespace tokens are cut into windows of `windowSize`
+    * tokens advancing by `stride` (overlapping when `stride <
+    * windowSize`, the standard sliding-context recipe; also the RAG
+    * chunker). Documents at or under `windowSize` tokens yield exactly
+    * one chunk; otherwise the last window may be short but always starts
+    * within the document, so no token is dropped.
+    *
+    * One `explode` over a computed chunk count, then `slice` on the
+    * already-split token array — ZERO shuffle; the ~windowSize/stride
+    * output amplification is the operator's inherent output size, and it
+    * is produced partition-local, so at 100 TB this scales exactly like
+    * the write of its own result. Chunk count is pure integer
+    * arithmetic (`ceil((n-w)/s)+1` as a non-negative `div`), so the
+    * cross-engine gate hashes exactly.
+    * Output: (id, chunk_idx, chunk_text, n_tokens). */
+  def chunkWindows(
+      docs: DataFrame, windowSize: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(windowSize > 0, "windowSize must be positive")
+    require(stride > 0 && stride <= windowSize, "stride must be in [1, windowSize]")
+    val chunk = slice(col("ws"), col("chunk_idx") * stride + 1, lit(windowSize))
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("ws"))
+      .withColumn("n_chunks",
+        when(size(col("ws")) <= windowSize, lit(1)).otherwise(
+          expr(s"((size(ws) - $windowSize + $stride - 1) div $stride) + 1").cast("int")))
+      .select(col(idCol), col("ws"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(chunk, " ").as("chunk_text"),
+        size(chunk).cast("long").as("n_tokens"))
+  }
+
   /** Per-source distinctive terms: the top-`k` words of each source
     * ranked by (count in source DESC, corpus document-frequency ASC,
     * word ASC) — "frequent here, rare everywhere" as a pure INTEGER

@@ -174,6 +174,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "CartesianProduct") === 0)
   }
 
+  test("chunk windows ride the scan: one pass, no join, no aggregate") {
+    val p = finalPlan("chunk_windows")
+    assert(count(p, "Scan parquet") === 1, s"chunk_windows re-scans the corpus:\n$p")
+    assert(count(p, "Join") === 0)
+    assert(count(p, "HashAggregate") === 0)
+    assert(count(p, "Exchange") <= 1, s"chunk_windows shuffles beyond the gate orderBy:\n$p")
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted gaps in scans)") {
     Seq("q1_pricing_summary", "text_token_counts", "doc_fingerprints").foreach { q =>
       val p = finalPlan(q)

@@ -230,6 +230,45 @@ class TextCorpusSpec extends AnyFunSuite {
     assert(r.getLong(2) === 1L)
   }
 
+  // --- chunkWindows ---
+
+  test("chunk windows advance by stride and overlap") {
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextCorpus.chunkWindows(docs, windowSize = 4, stride = 2)
+      .orderBy("chunk_idx").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(out.head.getString(2) === "w1 w2 w3 w4")
+    assert(out(1).getString(2) === "w3 w4 w5 w6")
+    assert(out.last.getString(2) === "w7 w8 w9 w10")
+    assert(out.forall(_.getLong(3) === 4L))
+  }
+
+  test("chunk windows cover every token with a short tail when needed") {
+    val docs = Seq((1L, (1 to 7).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextCorpus.chunkWindows(docs, windowSize = 4, stride = 4)
+      .orderBy("chunk_idx").collect()
+    assert(out.length === 2)
+    assert(out.last.getString(2) === "w5 w6 w7")
+    assert(out.last.getLong(3) === 3L)
+  }
+
+  test("short documents yield exactly one chunk") {
+    val docs = Seq((1L, "a b c"), (2L, "only")).toDF("doc_id", "text")
+    val out = TextCorpus.chunkWindows(docs, windowSize = 8, stride = 4).collect()
+    assert(out.length === 2)
+    assert(out.forall(_.getLong(1) === 0L))
+    assert(out.map(r => r.getLong(0) -> r.getString(2)).toMap ===
+      Map(1L -> "a b c", 2L -> "only"))
+  }
+
+  test("non-overlapping chunking partitions the tokens exactly") {
+    val docs = Seq((1L, (1 to 12).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextCorpus.chunkWindows(docs, windowSize = 3, stride = 3)
+      .orderBy("chunk_idx").collect()
+    assert(out.length === 4)
+    assert(out.flatMap(_.getString(2).split(" ")).toSeq === (1 to 12).map(i => s"w$i"))
+  }
+
   // --- distinctiveTerms ---
 
   test("distinctive terms rank frequent-here-rare-elsewhere first") {
