@@ -705,6 +705,15 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** SemDeDup semantic dedup (Similarity.semanticDedup) with the FIXED
+    * untrained quantizer (iterations = 0 ⇒ SQL-replicable centroids),
+    * at the same 0.35 threshold as cosine_near_dups. */
+  private def semanticDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = Similarity.trainIvf(emb, k = 8, iterations = 0)
+    Similarity.semanticDedup(emb, model, threshold = 0.35).orderBy("vec_id")
+  }
+
   /** Multimodal plumbing: synthetic binary payloads → batched feature
     * extraction via mapPartitions (decode step stubbed deterministically;
     * see Multimodal.FakeCodec). Rows-only check. */
@@ -957,6 +966,7 @@ object SparkEntry {
     "embedding_norms" -> embeddingNorms _,
     "ann_lsh_topk" -> annLshTopK _,
     "ivf_topk" -> ivfTopKQuery _,
+    "semantic_dedup" -> semanticDedupQuery _,
     "cosine_near_dups" -> cosineNearDups _,
     "multimodal_features" -> multimodalFeatures _,
     "windowed_stats" -> windowedStatsQuery _,
@@ -1509,6 +1519,41 @@ object SparkEntry {
                 JOIN embeddings q ON q.vec_id = p.query_id
                 JOIN embeddings n ON n.vec_id = a.neighbor_id)
           QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "semantic_dedup" ->
+      // same fixed-centroid assignment CTE as ivf_topk (stable-sort tie
+      // break == ORDER BY cscore DESC, cid); cluster label surfaced as
+      // min(vec_id) per cluster, which is engine-portable where the
+      // centroid ARRAY index is not
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+                       FROM embeddings ORDER BY vec_id LIMIT 8),
+          cs AS (SELECT e.vec_id, c.cid,
+                   list_sum(list_transform(range(1, len(e.embedding)+1),
+                     i -> CAST(c.cvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                        i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cscore
+                 FROM embeddings e CROSS JOIN cent c),
+          assigned AS (SELECT vec_id, cid AS cluster FROM
+                       (SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
+                        FROM cs) WHERE rn = 1),
+          pairs AS (SELECT b.vec_id AS id_b,
+                      list_sum(list_transform(range(1, len(ea.embedding)+1),
+                        i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(range(1, len(ea.embedding)+1),
+                           i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(range(1, len(eb.embedding)+1),
+                           i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))))) AS score
+                    FROM assigned a JOIN assigned b
+                      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                    JOIN embeddings ea ON ea.vec_id = a.vec_id
+                    JOIN embeddings eb ON eb.vec_id = b.vec_id),
+          dropped AS (SELECT DISTINCT id_b FROM pairs WHERE score >= 0.35)
+         SELECT a.vec_id,
+                min(a.vec_id) OVER (PARTITION BY a.cluster) AS cluster_rep,
+                a.vec_id NOT IN (SELECT id_b FROM dropped) AS kept
+         FROM assigned a ORDER BY a.vec_id""",
     "ngram_jaccard_pairs" ->
       s"""WITH docs AS (SELECT doc_id, trim(text) AS text
                         FROM $docsWithDupsSql dd WHERE doc_id % 10000 < 40),

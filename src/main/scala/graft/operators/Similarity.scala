@@ -194,6 +194,51 @@ object Similarity {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("score"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest centroid,
+    * then WITHIN each cluster greedily drop any vector whose cosine to a
+    * lower-id cluster-mate is at or above `threshold` — the first
+    * occurrence survives, exactly like the text dedup family.
+    *
+    * This is the scale answer to [[cosineNearDupPairs]]' random sign
+    * buckets when a trained partition exists: the corpus shuffles ONCE
+    * on the cluster id (the model rides a broadcast, k×dim floats), and
+    * the quadratic compare is confined to one cluster's rows — the
+    * cluster count grows with the corpus, holding per-cluster cost
+    * bounded, which is the published algorithm's own cost model. No
+    * all-pairs, no cross-cluster traffic; skew in one hot cluster is an
+    * AQE-splittable self-join, not a driver problem.
+    *
+    * Output: (id, cluster_rep, kept) where `cluster_rep` is the lowest
+    * id in the vector's cluster — an engine-portable cluster label
+    * (centroid ARRAY indices are not). */
+  def semanticDedup(
+      df: DataFrame, model: IvfModel, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val assigned = df
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, vec) => (nearestCentroids(bc.value, vec.toSeq, 1).head, id, vec) }
+      .toDF("cluster", "id", "vec")
+    val l = assigned.select(col("cluster"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = assigned.select(col("cluster"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val dropped = l
+      .join(r, Seq("cluster"))
+      .filter(col("id_a") < col("id_b") && cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("hit", lit(1))
+    assigned
+      .withColumn("cluster_rep", min("id").over(Window.partitionBy("cluster")))
+      .join(dropped, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("cluster_rep"),
+        col("hit").isNull.as("kept"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the 4×
     * storage/bandwidth reduction a 100 TB vector corpus takes before
     * ANN serving: per vector, `scale = max|x_i|` and

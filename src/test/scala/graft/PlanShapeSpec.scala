@@ -174,6 +174,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "CartesianProduct") === 0)
   }
 
+  test("semantic dedup joins on the cluster key, never cartesian") {
+    val p = finalPlan("semantic_dedup")
+    assert(count(p, "CartesianProduct") === 0, s"semantic_dedup went cartesian:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0)
+  }
+
   test("chunk windows ride the scan: one pass, no join, no aggregate") {
     val p = finalPlan("chunk_windows")
     assert(count(p, "Scan parquet") === 1, s"chunk_windows re-scans the corpus:\n$p")

@@ -208,6 +208,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full === exact, "nprobe = k must equal brute force")
   }
 
+  test("semantic dedup: exact duplicate vectors drop, keeping the lowest id") {
+    val dup = embeddings.select("vec_id", "embedding").unionAll(
+      embeddings.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val model = Similarity.trainIvf(dup, k = 8, iterations = 0)
+    val out = Similarity.semanticDedup(dup, model, threshold = 0.999999)
+    assert(out.count() === dup.count(), "every input row gets a verdict")
+    // every planted copy (vec_id >= 10000) has an identical lower-id twin
+    // in the same cluster (identical vectors always co-assign) => dropped
+    val copies = out.filter(col("vec_id") >= 10000)
+    assert(copies.filter(col("kept")).count() === 0)
+    // originals are pairwise distinct at this threshold => all kept
+    assert(out.filter(col("vec_id") < 10000 && !col("kept")).count() === 0)
+  }
+
+  test("semantic dedup: cluster_rep is the lowest id of the member's cluster") {
+    val model = Similarity.trainIvf(embeddings, k = 4, iterations = 0)
+    val out = Similarity.semanticDedup(embeddings, model, threshold = 0.35)
+    assert(out.filter(col("cluster_rep") > col("vec_id")).count() === 0)
+    // reps are members of their own cluster and self-labelled
+    val reps = out.filter(col("cluster_rep") === col("vec_id")).count()
+    assert(reps >= 1 && reps <= 4)
+  }
+
   test("multimodal: features deterministic, frames sampled per duration") {
     val items = Multimodal.syntheticMedia(spark, 30)
     val f1 = Multimodal.extractFeatures(items, dim = 8).collect().sortBy(_.mediaId)
