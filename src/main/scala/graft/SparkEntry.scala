@@ -442,6 +442,18 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Leakage-safe cluster split (Sampling.clusterSplit): near-dup groups
+    * decide the split key, so no near-dup pair straddles a boundary —
+    * the prevention counterpart of split_leakage's audit. */
+  private def clusterSplitQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val corpus = docsWithDups(s, dir)
+    val groups = Dedup.nearDupGroups(corpus, "text", "doc_id", threshold = 0.5,
+      k = 32, bands = 8, shingleSize = 5)
+    Sampling.clusterSplit(corpus, groups, salt = "v1", trainPct = 80, valPct = 10)
+      .orderBy("doc_id")
+  }
+
   /** End-to-end corpus quality filter (TextCorpus.qualityFlags):
     * language + quality-score + repetition verdict per doc. */
   private def qualityFilter(s: SparkSession, dir: String): DataFrame =
@@ -958,6 +970,7 @@ object SparkEntry {
     "minhash_near_dups" -> minhashNearDups _,
     "near_dup_groups" -> nearDupGroupsQuery _,
     "split_leakage" -> splitLeakage _,
+    "cluster_split" -> clusterSplitQuery _,
     "simhash_exact_dups" -> simhashExactDups _,
     "ngram_jaccard_pairs" -> ngramJaccardPairs _,
     "knn_dot_topk" -> knnDotTopK _,
@@ -1469,6 +1482,35 @@ object SparkEntry {
             SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
           SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS group_id
           FROM reach GROUP BY id ORDER BY doc_id""",
+    "cluster_split" ->
+      // the near_dup_groups reachability CTE supplies the cluster key;
+      // singleton docs fall back to their own id; then the same
+      // salted-md5 bucket arithmetic as Sampling.hashBucket
+      s"""WITH RECURSIVE docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
+          sh AS (SELECT doc_id,
+                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
+                 FROM docs),
+          pairs AS (SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.5),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(id, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+          groups AS (SELECT id AS doc_id, min(comp) AS group_id FROM reach GROUP BY id),
+          keyed AS (SELECT d.doc_id,
+                           CAST(coalesce(g.group_id, d.doc_id) AS BIGINT) AS split_key
+                    FROM docs d LEFT JOIN groups g ON g.doc_id = d.doc_id)
+         SELECT doc_id, split_key,
+                CASE WHEN ('0x' || substr(md5('v1:' || CAST(split_key AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                     WHEN ('0x' || substr(md5('v1:' || CAST(split_key AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM keyed ORDER BY doc_id""",
     "ann_lsh_topk" ->
       """WITH v AS (SELECT vec_id, embedding,
                       list_sum(list_transform(range(1, 5),

@@ -64,6 +64,31 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Leakage-safe train/val/test split: the split is decided at the
+    * DEDUP-CLUSTER level, so near-duplicate documents can never straddle
+    * a boundary — the *prevention* counterpart of the `split_leakage`
+    * audit (which detects exactly the pairs this construction makes
+    * impossible). `groups` is a `(idCol, group_id)` frame as produced by
+    * [[graft.operators.Dedup.nearDupGroups]] — only documents in some
+    * near-dup pair need appear; everything else is its own singleton
+    * cluster and splits exactly like [[deterministicSplit]] on its id.
+    *
+    * One equi-join of the corpus against the (small — dup members only)
+    * group table on the id; the split itself stays a stateless salted-md5
+    * projection of the cluster key, so appends and re-shards never move
+    * existing documents. Output: (id, split_key, split). */
+  def clusterSplit(
+      docs: DataFrame, groups: DataFrame, salt: String,
+      trainPct: Int = 90, valPct: Int = 5,
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol))
+      .join(groups.select(col(idCol), col("group_id")), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("group_id"), col(idCol)).as("split_key"),
+        deterministicSplit(coalesce(col("group_id"), col(idCol)), salt, trainPct, valPct)
+          .as("split"))
+
   private val SampleSpace = 1000000
 
   /** Token-budget mixture planning: the step BEFORE [[weightedMixture]].

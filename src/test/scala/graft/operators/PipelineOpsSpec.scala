@@ -71,6 +71,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(counts("test") > 100 && counts("test") < 300)
   }
 
+  test("cluster split keeps every group member in one split") {
+    val docs = spark.range(0, 500).toDF("doc_id")
+    // groups: {0,1,2} -> 0, {10,450} -> 10; everything else singleton
+    val groups = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (450L, 10L))
+      .toDF("doc_id", "group_id")
+    val out = Sampling.clusterSplit(docs, groups, salt = "s1", trainPct = 80, valPct = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.size === 500, "every document gets a verdict")
+    assert(Seq(0L, 1L, 2L).map(out(_)).distinct.size === 1, "group 0 splits together")
+    assert(out(10L) === out(450L), "group 10 splits together")
+    // singletons split exactly like deterministicSplit on their own id
+    val solo = docs.filter(col("doc_id") === 99L)
+      .select(Sampling.deterministicSplit(col("doc_id"), "s1", 80, 10)).head().getString(0)
+    assert(out(99L) === ((99L, solo)))
+  }
+
+  test("cluster split never lets a grouped pair straddle a boundary, any salt") {
+    val docs = spark.range(0, 200).toDF("doc_id")
+    val groups = (0L until 200L by 2).map(i => Seq((i, i), (i + 1, i))).flatten
+      .toDF("doc_id", "group_id")
+    Seq("a", "b", "c").foreach { salt =>
+      val out = Sampling.clusterSplit(docs, groups, salt)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      (0L until 200L by 2).foreach { i =>
+        assert(out(i) === out(i + 1), s"pair ($i, ${i + 1}) split apart under salt $salt")
+      }
+    }
+  }
+
   test("stratified sample returns the exact quota per stratum, deterministically") {
     val df = spark.range(0, 1000)
       .select(col("id"), (col("id") % 4).cast("string").as("g"))
