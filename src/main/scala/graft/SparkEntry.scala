@@ -717,6 +717,14 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Nearest-class-mean classify (Similarity.classMeans +
+    * nearestClassMean): fit label prototypes on the embeddings table,
+    * classify the same table — the model-based filtering pattern. */
+  private def ncmClassifyQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.nearestClassMean(emb, Similarity.classMeans(emb)).orderBy("vec_id")
+  }
+
   /** SemDeDup semantic dedup (Similarity.semanticDedup) with the FIXED
     * untrained quantizer (iterations = 0 ⇒ SQL-replicable centroids),
     * at the same 0.35 threshold as cosine_near_dups. */
@@ -980,6 +988,7 @@ object SparkEntry {
     "ann_lsh_topk" -> annLshTopK _,
     "ivf_topk" -> ivfTopKQuery _,
     "semantic_dedup" -> semanticDedupQuery _,
+    "ncm_classify" -> ncmClassifyQuery _,
     "cosine_near_dups" -> cosineNearDups _,
     "multimodal_features" -> multimodalFeatures _,
     "windowed_stats" -> windowedStatsQuery _,
@@ -1561,6 +1570,28 @@ object SparkEntry {
                 JOIN embeddings q ON q.vec_id = p.query_id
                 JOIN embeddings n ON n.vec_id = a.neighbor_id)
           QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "ncm_classify" ->
+      // per-dimension class means via exact DECIMAL(30,6) sums (the dsum
+      // pattern — order-independent, so both engines produce identical
+      // doubles after the single division); scoring is the in-order
+      // list_sum dot; argmax tie breaks to the lowest label
+      """WITH s AS (SELECT label, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS pos
+                    FROM embeddings),
+          m AS (SELECT label, pos,
+                  CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE)
+                    / count(*) AS mval
+                FROM s GROUP BY label, pos),
+          ms AS (SELECT label, list(mval ORDER BY pos) AS mean_vec FROM m GROUP BY label),
+          scored AS (SELECT e.vec_id, c.label,
+                       list_sum(list_transform(range(1, len(e.embedding)+1),
+                         i -> CAST(e.embedding[i] AS DOUBLE) * c.mean_vec[i])) AS score
+                     FROM embeddings e CROSS JOIN ms c)
+         SELECT vec_id, CAST(label AS INT) AS pred_label, score
+         FROM (SELECT vec_id, label, score,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, label) AS rn
+               FROM scored)
+         WHERE rn = 1 ORDER BY vec_id""",
     "semantic_dedup" ->
       // same fixed-centroid assignment CTE as ivf_topk (stable-sort tie
       // break == ORDER BY cscore DESC, cid); cluster label surfaced as

@@ -194,6 +194,55 @@ object Similarity {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("score"))
   }
 
+  /** Per-label mean embedding — the "class prototype" fit step of the
+    * nearest-class-mean classifier. Dimensions explode once and
+    * partial-aggregate map-side; per-dimension sums run in
+    * `decimal(30,6)` (exact, order-independent — a double sum would make
+    * the means nondeterministic under Spark's partition order and
+    * un-oracle-able), divided once at the end. Output: (label,
+    * mean_vec: array<double>). Only k×dim values ever leave the
+    * aggregate, whatever the corpus size. */
+  def classMeans(
+      df: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(labelCol).cast("int").as("label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg((sum(col("v").cast("double").cast("decimal(30,6)")).cast("double")
+        / count(lit(1))).as("m"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), transform(col("pm"), _.getField("m")).as("mean_vec"))
+
+  /** Nearest-class-mean classification — the fastText-style model-based
+    * scorer (quality/domain/topic filtering) served Spark-side: every
+    * vector gets the label of the prototype with the highest dot score
+    * (ties break to the lowest label). The k×dim prototype table packs
+    * into ONE broadcast row, so classification is a pure map — ZERO
+    * shuffle over the corpus; the per-row argmax is a codegen'd
+    * `array_max` over a struct whose ordering (score DESC, label ASC via
+    * negation) encodes the tie rule. Output: (id, pred_label, score). */
+  def nearestClassMean(
+      df: DataFrame, means: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val packed = means.agg(
+      sort_array(collect_list(struct(col("label"), col("mean_vec")))).as("classes"))
+    // float corpus vector × double prototype: widen once and take the
+    // zip_with+aggregate dot (same left-to-right math as dot_f)
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a.cast("array<double>"), b, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(packed))
+      .withColumn("best", array_max(transform(col("classes"), c =>
+        struct(
+          dotD(col(vecCol), c.getField("mean_vec")).as("score"),
+          (-c.getField("label")).as("neg_label")))))
+      .select(
+        col(idCol),
+        (-col("best.neg_label")).as("pred_label"),
+        col("best.score").as("score"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): assign every vector to its nearest centroid,
     * then WITHIN each cluster greedily drop any vector whose cosine to a

@@ -174,6 +174,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "CartesianProduct") === 0)
   }
 
+  test("ncm classify broadcasts one packed prototype row; corpus never sort-merges") {
+    val p = finalPlan("ncm_classify")
+    assert(count(p, "SortMergeJoin") === 0, s"ncm_classify shuffle-joined:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
   test("semantic dedup joins on the cluster key, never cartesian") {
     val p = finalPlan("semantic_dedup")
     assert(count(p, "CartesianProduct") === 0, s"semantic_dedup went cartesian:\n$p")

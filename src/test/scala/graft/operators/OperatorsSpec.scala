@@ -208,6 +208,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full === exact, "nprobe = k must equal brute force")
   }
 
+  test("nearest-class-mean: recovers the class structure of separable data") {
+    val train = Seq(
+      (1L, Array(1.0f, 0.1f, 0.0f), 0), (2L, Array(0.9f, 0.0f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f, 0.1f), 1), (4L, Array(0.1f, 0.9f, 0.0f), 1),
+      (5L, Array(0.0f, 0.1f, 1.0f), 2), (6L, Array(0.1f, 0.0f, 0.9f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val means = Similarity.classMeans(train)
+    assert(means.count() === 3)
+    val out = Similarity.nearestClassMean(train, means)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 2, 6L -> 2))
+  }
+
+  test("nearest-class-mean: means and predictions invariant under repartitioning") {
+    val emb = embeddings
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.nearestClassMean(emb, Similarity.classMeans(df))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(run(emb) === run(emb.repartition(13)),
+      "decimal-summed means must not depend on partition order")
+  }
+
+  test("nearest-class-mean: score ties break to the lowest label") {
+    val train = Seq(
+      (1L, Array(1.0f, 0.0f), 7), (2L, Array(1.0f, 0.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    // identical prototypes for labels 3 and 7 => every score ties => label 3
+    val out = Similarity.nearestClassMean(train, Similarity.classMeans(train))
+      .collect().map(_.getInt(1)).distinct.toSeq
+    assert(out === Seq(3))
+  }
+
   test("semantic dedup: exact duplicate vectors drop, keeping the lowest id") {
     val dup = embeddings.select("vec_id", "embedding").unionAll(
       embeddings.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
