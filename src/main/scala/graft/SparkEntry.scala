@@ -454,6 +454,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Per-source corpus datacard (TextCorpus.corpusReport) over the
+    * documents table with 100 planted cross-source copies, so the
+    * dup-membership column is exercised. */
+  private def corpusReportQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+    val corpus = d.unionByName(
+      d.filter(col("doc_id") < 100).select(
+        (col("doc_id") + 10000).as("doc_id"), col("text"), col("lang"), col("source")))
+    TextCorpus.corpusReport(corpus).orderBy("source")
+  }
+
   /** End-to-end corpus quality filter (TextCorpus.qualityFlags):
     * language + quality-score + repetition verdict per doc. */
   private def qualityFilter(s: SparkSession, dir: String): DataFrame =
@@ -979,6 +990,7 @@ object SparkEntry {
     "near_dup_groups" -> nearDupGroupsQuery _,
     "split_leakage" -> splitLeakage _,
     "cluster_split" -> clusterSplitQuery _,
+    "corpus_report" -> corpusReportQuery _,
     "simhash_exact_dups" -> simhashExactDups _,
     "ngram_jaccard_pairs" -> ngramJaccardPairs _,
     "knn_dot_topk" -> knnDotTopK _,
@@ -1491,6 +1503,41 @@ object SparkEntry {
             SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
           SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS group_id
           FROM reach GROUP BY id ORDER BY doc_id""",
+    "corpus_report" ->
+      // dup membership is corpus-wide (copies counted per md5 digest
+      // across sources); language mode ties break to the first lang
+      """WITH corpus AS (SELECT doc_id, text, lang, source FROM documents
+                         UNION ALL
+                         SELECT doc_id + 10000, text, lang, source
+                         FROM documents WHERE doc_id < 100),
+          base AS (SELECT source, lang,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     md5(text) AS digest
+                   FROM corpus),
+          volumes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                        CAST(sum(n_chars) AS BIGINT) AS total_chars
+                      FROM base GROUP BY source),
+          dup AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dup_docs
+                  FROM (SELECT source,
+                          count(*) OVER (PARTITION BY digest) AS copies
+                        FROM base)
+                  WHERE copies > 1 GROUP BY source),
+          langs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+                      max(CASE WHEN rn = 1 THEN lang END) AS top_lang
+                    FROM (SELECT source, lang,
+                            row_number() OVER (PARTITION BY source
+                              ORDER BY cnt DESC, lang) AS rn
+                          FROM (SELECT source, lang, count(*) AS cnt
+                                FROM base GROUP BY source, lang))
+                    GROUP BY source)
+         SELECT v.source, v.n_docs, v.total_tokens, v.total_chars,
+                coalesce(d.n_dup_docs, 0) AS n_dup_docs,
+                l.n_langs, l.top_lang
+         FROM volumes v LEFT JOIN dup d ON d.source = v.source
+         JOIN langs l ON l.source = v.source
+         ORDER BY v.source""",
     "cluster_split" ->
       // the near_dup_groups reachability CTE supplies the cluster key;
       // singleton docs fall back to their own id; then the same

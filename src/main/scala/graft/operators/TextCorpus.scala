@@ -230,6 +230,53 @@ object TextCorpus {
       (size(ps) - size(firstOccurrences(ps))).cast("long").as("removed_paras"))
   }
 
+  /** Per-source corpus datacard — the summary a pipeline publishes with a
+    * training mix: document/token/char volumes, how many documents share
+    * their exact text with ANY other document corpus-wide (the
+    * cross-source copying signal `sourceOverlap` details), language
+    * spread, and the dominant language (ties to the lexicographically
+    * first). All counts INTEGER and the mode string-ordered, so the gate
+    * hashes exactly.
+    *
+    * Three aggregation trees, each over the one corpus scan: volumes
+    * partial-aggregate straight to |sources| rows; the dup count is the
+    * exact-dedup shape (shuffle on the 16-byte digest, then on source);
+    * the language mode shuffles (source, lang) pairs. The per-source
+    * frames that meet at the end are |sources|-sized, so the final joins
+    * are broadcasts at any corpus size. */
+  def corpusReport(
+      docs: DataFrame, sourceCol: String = "source", langCol: String = "lang",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(
+      col(sourceCol).as("source"), col(langCol).as("lang"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      md5(col(textCol)).as("digest"))
+    val volumes = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("total_tokens"),
+      sum("n_chars").as("total_chars"))
+    val dupDocs = base
+      .select(col("source"), col("digest"))
+      .withColumn("copies", count(lit(1)).over(Window.partitionBy("digest")))
+      .filter(col("copies") > 1)
+      .groupBy("source").agg(count(lit(1)).as("n_dup_docs"))
+    val langRank = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("lang").asc)
+    val langs = base.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(langRank))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_langs"),
+        max(when(col("rn") === 1, col("lang"))).as("top_lang"))
+    volumes
+      .join(dupDocs, Seq("source"), "left")
+      .join(langs, Seq("source"))
+      .select(
+        col("source"), col("n_docs"), col("total_tokens"), col("total_chars"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        col("n_langs"), col("top_lang"))
+  }
+
   /** Context-window chunking — the pretraining-example constructor: each
     * document's whitespace tokens are cut into windows of `windowSize`
     * tokens advancing by `stride` (overlapping when `stride <

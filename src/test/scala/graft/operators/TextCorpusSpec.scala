@@ -230,6 +230,39 @@ class TextCorpusSpec extends AnyFunSuite {
     assert(r.getLong(2) === 1L)
   }
 
+  // --- corpusReport ---
+
+  test("corpus report aggregates volumes, dups, and language mode per source") {
+    val docs = Seq(
+      (1L, "a b c", "en", "web"),
+      (2L, "d e", "en", "web"),
+      (3L, "a b c", "de", "web"),   // corpus-wide dup of doc 1
+      (4L, "x y z w", "fr", "books"),
+      (5L, "a b c", "fr", "books")) // dup of docs 1 and 3, other source
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextCorpus.corpusReport(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val web = out("web")
+    assert(web.getLong(1) === 3L)           // n_docs
+    assert(web.getLong(2) === 8L)           // total_tokens 3+2+3
+    assert(web.getLong(4) === 2L)           // docs 1 and 3 are dup members
+    assert(web.getLong(5) === 2L)           // en, de
+    assert(web.getString(6) === "en")       // mode: en has 2
+    val books = out("books")
+    assert(books.getLong(4) === 1L)         // doc 5 duplicates a web text
+    assert(books.getString(6) === "fr")
+  }
+
+  test("corpus report language-mode ties break to the first lang; no dups is zero") {
+    val docs = Seq(
+      (1L, "unique one", "en", "s"),
+      (2L, "unique two", "de", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextCorpus.corpusReport(docs).collect().head
+    assert(r.getLong(4) === 0L)
+    assert(r.getString(6) === "de")
+  }
+
   // --- chunkWindows ---
 
   test("chunk windows advance by stride and overlap") {
