@@ -454,6 +454,12 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Content-defined chunking (TextCorpus.cdcChunks): md5-gram cut
+    * points at the default 8-gram / 64-char-average geometry. */
+  private def cdcChunksQuery(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.cdcChunks(t(s, dir, "documents"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Per-source corpus datacard (TextCorpus.corpusReport) over the
     * documents table with 100 planted cross-source copies, so the
     * dup-membership column is exercised. */
@@ -991,6 +997,7 @@ object SparkEntry {
     "split_leakage" -> splitLeakage _,
     "cluster_split" -> clusterSplitQuery _,
     "corpus_report" -> corpusReportQuery _,
+    "cdc_chunks" -> cdcChunksQuery _,
     "simhash_exact_dups" -> simhashExactDups _,
     "ngram_jaccard_pairs" -> ngramJaccardPairs _,
     "knn_dot_topk" -> knnDotTopK _,
@@ -1503,6 +1510,22 @@ object SparkEntry {
             SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
           SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS group_id
           FROM reach GROUP BY id ORDER BY doc_id""",
+    "cdc_chunks" ->
+      // cut points: positions (after 1) whose 8-gram md5-buckets to
+      // 0 mod 64 — the same '0x'||substr(md5..) arithmetic as the
+      // sampling oracles; chunk ends at the next start
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+          st AS (SELECT doc_id, text, n,
+                   list_concat([1], list_filter(range(2, greatest(n - 8 + 1, 1) + 1),
+                     i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT % 64 = 0)) AS starts
+                 FROM t),
+          e AS (SELECT doc_id, text, n, starts,
+                  unnest(range(1, len(starts) + 1)) AS k
+                FROM st)
+         SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
+                CAST(starts[k] AS BIGINT) AS chunk_start,
+                substr(text, starts[k], coalesce(starts[k+1], n + 1) - starts[k]) AS chunk_text
+         FROM e ORDER BY doc_id, chunk_idx""",
     "corpus_report" ->
       // dup membership is corpus-wide (copies counted per md5 digest
       // across sources); language mode ties break to the first lang

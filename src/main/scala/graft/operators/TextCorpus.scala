@@ -313,6 +313,49 @@ object TextCorpus {
         size(chunk).cast("long").as("n_tokens"))
   }
 
+  /** Content-defined chunking (the FastCDC/rsync idea relationally): a
+    * cut point opens wherever the `gramSize`-char gram STARTING there
+    * hashes into bucket 0 of `avgChunk` — a pure function of local
+    * content, so inserting or deleting text shifts only the chunks
+    * around the edit while every later boundary re-aligns. Chunk-level
+    * exact dedup over this output catches shifted/patched duplication
+    * that whole-document hashing misses and that fixed-offset shingles
+    * pay a 10× blowup to find.
+    *
+    * The gram hash is the salted-md5 bucket arithmetic every sampling
+    * operator here uses (engine-portable); expected chunk length is
+    * `avgChunk` chars. Whole pipeline is array HOFs over the row — ZERO
+    * shuffle at any corpus size; the row's own `substr` calls are the
+    * only cost (O(len·gramSize) hashing per doc, the same constant CDC
+    * storage systems pay). Documents shorter than `gramSize` are one
+    * chunk. Output: (id, chunk_idx, chunk_start, chunk_text). */
+  def cdcChunks(
+      docs: DataFrame, gramSize: Int = 8, avgChunk: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(gramSize > 0 && avgChunk > 1, "gramSize and avgChunk must be positive")
+    val text = col(textCol)
+    val n = length(text)
+    val positions = when(n >= gramSize, sequence(lit(1), n - gramSize + 1))
+      .otherwise(array().cast("array<int>"))
+    def isCut(i: Column): Column =
+      conv(substring(md5(text.substr(i, lit(gramSize))), 1, 8), 16, 10)
+        .cast("long") % avgChunk === 0
+    // position 1 is always a start; later cut points follow in order
+    val starts = concat(array(lit(1)), filter(positions, i => i > 1 && isCut(i)))
+    val chunks = transform(col("starts"), (s, j) =>
+      struct(
+        s.as("start"),
+        text.substr(s, coalesce(try_element_at(col("starts"), j + 2), n + 1) - s).as("chunk")))
+    docs
+      .select(col(idCol), text, starts.as("starts"))
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.start").cast("long").as("chunk_start"),
+        col("c.chunk").as("chunk_text"))
+  }
+
   /** Per-source distinctive terms: the top-`k` words of each source
     * ranked by (count in source DESC, corpus document-frequency ASC,
     * word ASC) — "frequent here, rare everywhere" as a pure INTEGER

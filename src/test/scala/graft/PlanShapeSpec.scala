@@ -186,12 +186,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "BroadcastNestedLoopJoin") === 0)
   }
 
-  test("chunk windows ride the scan: one pass, no join, no aggregate") {
-    val p = finalPlan("chunk_windows")
-    assert(count(p, "Scan parquet") === 1, s"chunk_windows re-scans the corpus:\n$p")
-    assert(count(p, "Join") === 0)
-    assert(count(p, "HashAggregate") === 0)
-    assert(count(p, "Exchange") <= 1, s"chunk_windows shuffles beyond the gate orderBy:\n$p")
+  test("chunk windows and cdc chunks ride the scan: one pass, no join, no aggregate") {
+    Seq("chunk_windows", "cdc_chunks").foreach { q =>
+      val p = finalPlan(q)
+      assert(count(p, "Scan parquet") === 1, s"$q re-scans the corpus:\n$p")
+      assert(count(p, "Join") === 0, s"$q should not join:\n$p")
+      assert(count(p, "HashAggregate") === 0, s"$q should not aggregate:\n$p")
+      assert(count(p, "Exchange") <= 1, s"$q shuffles beyond the gate orderBy:\n$p")
+    }
   }
 
   test("whole-stage codegen covers the hot paths (no interpreted gaps in scans)") {

@@ -230,6 +230,44 @@ class TextCorpusSpec extends AnyFunSuite {
     assert(r.getLong(2) === 1L)
   }
 
+  // --- cdcChunks ---
+
+  test("cdc chunks concatenate back to the document, in order") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    val rebuilt = TextCorpus.cdcChunks(docs)
+      .orderBy("doc_id", "chunk_idx")
+      .groupBy("doc_id").agg(concat_ws("", collect_list("chunk_text")).as("joined"))
+    val bad = rebuilt.join(docs, "doc_id")
+      .filter(col("joined") =!= col("text")).count()
+    assert(bad === 0L, "chunking must partition the text exactly")
+  }
+
+  test("cdc chunk boundaries re-align after an insertion (shift resistance)") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .orderBy("doc_id").limit(20).collect().map(_.getString(1)).mkString(" ")
+    val docs = Seq((1L, base), (2L, "an inserted prefix that shifts every offset " + base))
+      .toDF("doc_id", "text")
+    val chunks = TextCorpus.cdcChunks(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(3)).toSet).toMap
+    val shared = chunks(1L).intersect(chunks(2L))
+    assert(chunks(1L).size > 3, s"expected several chunks, got ${chunks(1L).size}")
+    assert(shared.size >= chunks(1L).size / 2,
+      s"boundaries did not re-align: only ${shared.size} of ${chunks(1L).size} chunks shared")
+    // a fixed-width chunker shares nothing after the shift — prove the contrast
+    val fixedA = base.grouped(64).toSet
+    val fixedB = ("an inserted prefix that shifts every offset " + base).grouped(64).toSet
+    assert(fixedA.intersect(fixedB).size < shared.size)
+  }
+
+  test("cdc chunks: short and sub-gram documents are a single whole-text chunk") {
+    val docs = Seq((1L, "tiny"), (2L, "")).toDF("doc_id", "text")
+    val out = TextCorpus.cdcChunks(docs).collect()
+    assert(out.length === 2)
+    assert(out.forall(r => r.getLong(1) === 0L && r.getLong(2) === 1L))
+    assert(out.map(r => r.getLong(0) -> r.getString(3)).toMap === Map(1L -> "tiny", 2L -> ""))
+  }
+
   // --- corpusReport ---
 
   test("corpus report aggregates volumes, dups, and language mode per source") {
