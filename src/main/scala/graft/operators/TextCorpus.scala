@@ -238,12 +238,13 @@ object TextCorpus {
     * first). All counts INTEGER and the mode string-ordered, so the gate
     * hashes exactly.
     *
-    * Three aggregation trees, each over the one corpus scan: volumes
-    * partial-aggregate straight to |sources| rows; the dup count is the
-    * exact-dedup shape (shuffle on the 16-byte digest, then on source);
-    * the language mode shuffles (source, lang) pairs. The per-source
-    * frames that meet at the end are |sources|-sized, so the final joins
-    * are broadcasts at any corpus size. */
+    * TWO corpus scans, not one per column family: volumes and the
+    * language mode share a single (source, lang) aggregation tree
+    * (partial-aggregated map-side, re-grouped to |sources| rows); only
+    * the dup count needs its own pass, because its shuffle key is the
+    * 16-byte content digest. The per-source frames that meet at the end
+    * are |sources|-sized, so the final joins are broadcasts at any
+    * corpus size. */
   def corpusReport(
       docs: DataFrame, sourceCol: String = "source", langCol: String = "lang",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -252,25 +253,27 @@ object TextCorpus {
       TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
       length(col(textCol)).cast("long").as("n_chars"),
       md5(col(textCol)).as("digest"))
-    val volumes = base.groupBy("source").agg(
-      count(lit(1)).as("n_docs"),
-      sum("n_tokens").as("total_tokens"),
-      sum("n_chars").as("total_chars"))
+    val langRank = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("lang").asc)
+    val volumesAndLangs = base
+      .groupBy("source", "lang").agg(
+        count(lit(1)).as("cnt"),
+        sum("n_tokens").as("lang_tokens"),
+        sum("n_chars").as("lang_chars"))
+      .withColumn("rn", row_number().over(langRank))
+      .groupBy("source").agg(
+        sum("cnt").as("n_docs"),
+        sum("lang_tokens").as("total_tokens"),
+        sum("lang_chars").as("total_chars"),
+        count(lit(1)).as("n_langs"),
+        max(when(col("rn") === 1, col("lang"))).as("top_lang"))
     val dupDocs = base
       .select(col("source"), col("digest"))
       .withColumn("copies", count(lit(1)).over(Window.partitionBy("digest")))
       .filter(col("copies") > 1)
       .groupBy("source").agg(count(lit(1)).as("n_dup_docs"))
-    val langRank = Window.partitionBy("source")
-      .orderBy(col("cnt").desc, col("lang").asc)
-    val langs = base.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(langRank))
-      .groupBy("source").agg(
-        count(lit(1)).as("n_langs"),
-        max(when(col("rn") === 1, col("lang"))).as("top_lang"))
-    volumes
+    volumesAndLangs
       .join(dupDocs, Seq("source"), "left")
-      .join(langs, Seq("source"))
       .select(
         col("source"), col("n_docs"), col("total_tokens"), col("total_chars"),
         coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),

@@ -174,6 +174,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "CartesianProduct") === 0)
   }
 
+  test("corpus report makes exactly two corpus passes (volumes+langs share a tree)") {
+    val p = finalPlan("corpus_report")
+    assert(count(p, "Scan parquet") <= 4, // union doubles each logical pass
+      s"corpus_report re-scans beyond the volumes+langs / digest trees:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
   test("ncm classify broadcasts one packed prototype row; corpus never sort-merges") {
     val p = finalPlan("ncm_classify")
     assert(count(p, "SortMergeJoin") === 0, s"ncm_classify shuffle-joined:\n$p")
