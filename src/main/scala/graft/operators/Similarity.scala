@@ -267,11 +267,16 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
+    // three consumers (both self-join sides + the verdict join): pin the
+    // assignment pass once — AQE's broadcast conversions defeat
+    // ReuseExchange, which would otherwise re-run the centroid map per
+    // consumer (the same reason the LSH shingle frames checkpoint)
     val assigned = df
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .map { case (id, vec) => (nearestCentroids(bc.value, vec.toSeq, 1).head, id, vec) }
       .toDF("cluster", "id", "vec")
+      .localCheckpoint()
     val l = assigned.select(col("cluster"), col("id").as("id_a"), col("vec").as("vec_a"))
     val r = assigned.select(col("cluster"), col("id").as("id_b"), col("vec").as("vec_b"))
     val dropped = l
