@@ -290,7 +290,7 @@ object SparkEntry {
   // LLM-data-pipeline extension operators (graft.operators)
   // ==================================================================
 
-  import graft.operators.{Dedup, Similarity, TextAnalysis, TextCorpus, Multimodal}
+  import graft.operators.{Dedup, Lexical, Similarity, TextAnalysis, TextCorpus, Multimodal}
 
   /** Documents with synthetic duplicates/near-duplicates mixed in (the
     * base table is all-distinct): a full copy of doc_id<100 (exact dups)
@@ -420,6 +420,26 @@ object SparkEntry {
   private def distinctiveTermsQuery(s: SparkSession, dir: String): DataFrame =
     TextCorpus.distinctiveTerms(t(s, dir, "documents"), k = 10)
       .orderBy("source", "rank")
+
+  /** BM25 lexical top-k ([[operators.Lexical.bm25TopK]]): three queries
+    * drawn deterministically from the corpus itself (first 6 tokens of
+    * docs 7/123/456), top-10 docs each, fixed-point integer scores. */
+  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val qs = docs.filter(col("doc_id").isin(7L, 123L, 456L))
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 6), " ")
+          .as("query_text"))
+    Lexical.bm25TopK(docs, qs, k = 10).orderBy("query_id", "rank")
+  }
+
+  /** Bigram LM quality score ([[operators.Lexical.bigramLmScore]]):
+    * fit on the corpus, score the corpus — the perplexity-filter
+    * analog in engine-exact fixed point. */
+  private def lmBigramScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Lexical.bigramLmScore(docs, docs).orderBy("doc_id")
+  }
 
   /** Deterministic sharded shuffle (TextCorpus.shardedShuffle). */
   private def corpusShuffle(s: SparkSession, dir: String): DataFrame =
@@ -982,6 +1002,8 @@ object SparkEntry {
     "top_ngrams" -> topNgramsQuery _,
     "source_overlap" -> sourceOverlapQuery _,
     "distinctive_terms" -> distinctiveTermsQuery _,
+    "bm25_topk" -> bm25TopK _,
+    "lm_bigram_score" -> lmBigramScore _,
     "para_dedup" -> paraDedup _,
     "chunk_windows" -> chunkWindowsQuery _,
     "corpus_shuffle" -> corpusShuffle _,
@@ -1236,6 +1258,70 @@ object SparkEntry {
          SELECT source, word, CAST(cnt AS BIGINT) AS cnt,
                 CAST(doc_freq AS BIGINT) AS doc_freq, CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 10 ORDER BY source, rank""",
+    "bm25_topk" ->
+      // fixed-point BM25 (k1=6/5, b=3/4 folded into integer rationals);
+      // // == Spark's div on the all-non-negative operands, so scores
+      // hash-match bit-exactly — see Lexical.bm25TopK
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents),
+              stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(len(ws)) AS BIGINT) AS total_len
+                        FROM d),
+              q AS (SELECT doc_id AS query_id, unnest(list_distinct(ws[1:6])) AS word
+                    FROM d WHERE doc_id IN (7, 123, 456)),
+              post AS (SELECT doc_id, len, word, CAST(count(*) AS BIGINT) AS tf
+                       FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len,
+                               unnest(ws) AS word FROM d)
+                       GROUP BY doc_id, len, word),
+              m AS (SELECT p.* FROM post p
+                    WHERE word IN (SELECT DISTINCT word FROM q)),
+              dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+                      FROM m GROUP BY word),
+              sc AS (SELECT q.query_id, m.doc_id,
+                       CAST(sum(
+                         ((1000000 * 44 * m.tf * s.total_len)
+                            // (20 * m.tf * s.total_len + 6 * s.total_len
+                               + 18 * m.len * s.n_docs))
+                         * ((1000000 * (2 * s.n_docs - 2 * f.df + 1))
+                            // (2 * f.df + 1))
+                         // 1000000) AS BIGINT) AS score_fp
+                     FROM m JOIN dfq f USING (word) JOIN q USING (word), stats s
+                     GROUP BY q.query_id, m.doc_id),
+              r AS (SELECT query_id, doc_id, score_fp,
+                      CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rank
+                    FROM sc)
+         SELECT query_id, rank, doc_id, score_fp
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "lm_bigram_score" ->
+      // stupid-backoff bigram LM in fixed point; paired unnests of the
+      // two shifted slices zip positionally into (w1, w2) transitions
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents),
+              uni AS (SELECT word, CAST(count(*) AS BIGINT) AS c1
+                      FROM (SELECT unnest(ws) AS word FROM d) GROUP BY word),
+              tot AS (SELECT CAST(sum(c1) AS BIGINT) AS u_total FROM uni),
+              p AS (SELECT doc_id,
+                      unnest(ws[1:len(ws)-1]) AS w1,
+                      unnest(ws[2:len(ws)]) AS w2
+                    FROM d WHERE len(ws) >= 2),
+              bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+                     FROM p GROUP BY w1, w2),
+              sc AS (SELECT p.doc_id,
+                       CASE WHEN b.c2 IS NOT NULL
+                         THEN (1000000 * b.c2) // u1.c1
+                         ELSE (2 * 1000000 * COALESCE(u2.c1, 0)) // (5 * t.u_total)
+                       END AS p_fp,
+                       CASE WHEN b.c2 IS NOT NULL THEN 1 ELSE 0 END AS hit
+                     FROM p
+                     LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+                     LEFT JOIN uni u1 ON p.w1 = u1.word
+                     LEFT JOIN uni u2 ON p.w2 = u2.word, tot t)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum(hit) AS BIGINT) AS hit_bigrams,
+                CAST(sum(p_fp) AS BIGINT) AS lm_sum_fp,
+                CAST(sum(p_fp) // count(*) AS BIGINT) AS lm_avg_fp
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "quality_filter" ->
       // the lang CASE and ratio pieces are the proven lang_id /
       // text_quality_ratios oracle fragments; quality = the same
