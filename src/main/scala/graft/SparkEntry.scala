@@ -290,7 +290,7 @@ object SparkEntry {
   // LLM-data-pipeline extension operators (graft.operators)
   // ==================================================================
 
-  import graft.operators.{Dedup, Lexical, Similarity, TextAnalysis, TextCorpus, Multimodal}
+  import graft.operators.{Dedup, Graph, Lexical, Similarity, TextAnalysis, TextCorpus, Multimodal}
 
   /** Documents with synthetic duplicates/near-duplicates mixed in (the
     * base table is all-distinct): a full copy of doc_id<100 (exact dups)
@@ -439,6 +439,35 @@ object SparkEntry {
   private def lmBigramScore(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     Lexical.bigramLmScore(docs, docs).orderBy("doc_id")
+  }
+
+  /** Corpus snapshot diff (TextCorpus.corpusDiff): old = documents, new
+    * = documents with deterministic mutations (doc_id%97 removed,
+    * doc_id%13 edited, copies of doc_id<25 added at +10000) — the gate
+    * exercises all three delta classes. */
+  private def corpusDiffQuery(s: SparkSession, dir: String): DataFrame = {
+    val old = t(s, dir, "documents").select("doc_id", "text")
+    val nw = old.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" zz")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(old.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    TextCorpus.corpusDiff(old, nw).orderBy("doc_id")
+  }
+
+  /** Fixed-point PageRank ([[operators.Graph.pageRank]], 5 iterations)
+    * over the symmetrized customer↔supplier purchase graph from
+    * orders⋈lineitem — iterative join+aggregate over the two largest
+    * tables. */
+  private def purchasePagerank(s: SparkSession, dir: String): DataFrame = {
+    val cs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    val edges = cs.unionAll(cs.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.pageRank(edges, iters = 5).orderBy("node")
   }
 
   /** Deterministic sharded shuffle (TextCorpus.shardedShuffle). */
@@ -1004,6 +1033,8 @@ object SparkEntry {
     "distinctive_terms" -> distinctiveTermsQuery _,
     "bm25_topk" -> bm25TopK _,
     "lm_bigram_score" -> lmBigramScore _,
+    "corpus_diff" -> corpusDiffQuery _,
+    "purchase_pagerank" -> purchasePagerank _,
     "para_dedup" -> paraDedup _,
     "chunk_windows" -> chunkWindowsQuery _,
     "corpus_shuffle" -> corpusShuffle _,
@@ -1055,6 +1086,33 @@ object SparkEntry {
     "orders_monthly" -> ordersMonthly _,
     "distinct_counts" -> distinctCounts _,
   )
+
+  /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
+    * CTEs (no engine-specific recursion needed for a fixed horizon):
+    * identical integer fixed-point arithmetic to the Spark loop, so the
+    * ranks hash-match bit-exactly. Inner sums come back HUGEINT in
+    * DuckDB — cast at the rank expression. */
+  private val pagerankOracle: String = {
+    val base =
+      """WITH e0 AS (SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                       's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+                     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+              eb AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+              deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                      FROM eb GROUP BY src),
+              e AS (SELECT eb.src, eb.dst, deg.outdeg FROM eb JOIN deg USING (src)),
+              n AS (SELECT src AS node FROM eb UNION SELECT dst FROM eb),
+              r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_fp FROM n)"""
+    val steps = (1 to 5).map { i =>
+      s"""s$i AS (SELECT e.dst, sum(r.rank_fp // e.outdeg) AS inmass
+                  FROM e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst),
+          r$i AS (SELECT n.node,
+                    CAST((15 * 1000000 + 85 * COALESCE(s$i.inmass, 0)) // 100
+                      AS BIGINT) AS rank_fp
+                  FROM n LEFT JOIN s$i ON n.node = s$i.dst)"""
+    }.mkString(",\n")
+    s"$base,\n$steps\nSELECT node, rank_fp FROM r5 ORDER BY node"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "read_all_forwards" ->
@@ -1322,6 +1380,26 @@ object SparkEntry {
                 CAST(sum(p_fp) AS BIGINT) AS lm_sum_fp,
                 CAST(sum(p_fp) // count(*) AS BIGINT) AS lm_avg_fp
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents),
+              n AS (SELECT doc_id,
+                      CASE WHEN doc_id % 13 = 0 THEN text || ' zz' ELSE text END AS text
+                    FROM o WHERE doc_id % 97 <> 0
+                    UNION ALL
+                    SELECT doc_id + 10000, text FROM o WHERE doc_id < 25),
+              j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                      md5(o.text) AS old_hash, md5(n.text) AS new_hash
+                    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
+              st AS (SELECT doc_id,
+                       CASE WHEN old_hash IS NULL THEN 'added'
+                            WHEN new_hash IS NULL THEN 'removed'
+                            WHEN old_hash <> new_hash THEN 'changed'
+                            ELSE 'unchanged' END AS status,
+                       old_hash, new_hash
+                     FROM j)
+         SELECT doc_id, status, old_hash, new_hash
+         FROM st WHERE status <> 'unchanged' ORDER BY doc_id""",
+    "purchase_pagerank" -> pagerankOracle,
     "quality_filter" ->
       // the lang CASE and ratio pieces are the proven lang_id /
       // text_quality_ratios oracle fragments; quality = the same

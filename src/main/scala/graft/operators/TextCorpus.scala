@@ -468,4 +468,30 @@ object TextCorpus {
           .cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
   }
+
+  /** Snapshot delta between two corpus versions — the dataset-versioning
+    * primitive: which documents were `added`, `removed`, or `changed`
+    * from `oldDocs` to `newDocs`. Change detection is by md5 content
+    * hash (engine-portable, and at 100 TB the hashes can be precomputed
+    * and stored with each snapshot so the diff never re-reads text).
+    *
+    * 100 TB shape: ONE full-outer join co-partitioned on doc_id over
+    * hash-only projections (16-byte digests, never the text), and only
+    * the delta is emitted — output is |changes|, not |corpus|, so
+    * downstream incremental reprocessing (e.g. [[graft.streaming.OnlineDedup]]
+    * on the `added`+`changed` slice) touches changed data only. */
+  def corpusDiff(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("old_hash"))
+    val n = newDocs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("new_hash"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select("doc_id", "status", "old_hash", "new_hash")
+  }
 }

@@ -203,6 +203,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("lexical scoring joins stay broadcast: the corpus never shuffles for a join") {
+    Seq("bm25_topk", "lm_bigram_score").foreach { q =>
+      val p = finalPlan(q)
+      assert(count(p, "BroadcastHashJoin") >= 1, s"$q lost its broadcast probes:\n$p")
+      assert(count(p, "SortMergeJoin") === 0, s"$q shuffle-joined the corpus:\n$p")
+      assert(count(p, "CartesianProduct") === 0)
+    }
+  }
+
+  test("corpus diff is one co-partitioned full-outer join on hash projections") {
+    val p = finalPlan("corpus_diff")
+    assert(count(p, "FullOuter") >= 1, s"corpus_diff lost its full-outer join:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0)
+  }
+
+  test("pagerank iterations never broadcast ranks or go cartesian") {
+    val p = finalPlan("purchase_pagerank")
+    assert(count(p, "CartesianProduct") === 0, s"pagerank went cartesian:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0)
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted gaps in scans)") {
     Seq("q1_pricing_summary", "text_token_counts", "doc_fingerprints").foreach { q =>
       val p = finalPlan(q)

@@ -26,6 +26,14 @@ class TextCorpusSpec extends AnyFunSuite {
     assert(out(1L)._2 === 2L) // "foo bar" → 2 words
   }
 
+  test("corpus diff classifies added, removed, and changed; drops unchanged") {
+    val old = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val nw = Seq((2L, "y"), (3L, "zz"), (4L, "w")).toDF("doc_id", "text")
+    val out = TextCorpus.corpusDiff(old, nw).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
   test("repetition stats count total, distinct, and top word") {
     val df = Seq(
       (1L, "a a a b c"), // 5 words, 3 distinct, top 'a' ×3
