@@ -290,7 +290,7 @@ object SparkEntry {
   // LLM-data-pipeline extension operators (graft.operators)
   // ==================================================================
 
-  import graft.operators.{Dedup, Graph, Lexical, Similarity, TextAnalysis, TextCorpus, Multimodal}
+  import graft.operators.{Dedup, Graph, Lexical, Similarity, SkewJoin, TextAnalysis, TextCorpus, Multimodal}
 
   /** Documents with synthetic duplicates/near-duplicates mixed in (the
     * base table is all-distinct): a full copy of doc_id<100 (exact dups)
@@ -469,6 +469,23 @@ object SparkEntry {
     val edges = cs.unionAll(cs.select(col("dst").as("src"), col("src").as("dst")))
     Graph.pageRank(edges, iters = 5).orderBy("node")
   }
+
+  /** Feature-hashing TF vectors ([[operators.Lexical.hashedTfVectors]],
+    * dim 64): vocabulary-free signed sparse vectors, md5-bucketed. */
+  private def hashedTf(s: SparkSession, dir: String): DataFrame =
+    Lexical.hashedTfVectors(t(s, dir, "documents"), dim = 64)
+      .orderBy("doc_id", "bucket")
+
+  /** Salted skew join ([[operators.SkewJoin.saltedJoin]], 8 salts) of
+    * lineitem against orders — semantics are EXACTLY the plain join
+    * (the oracle), the salt only re-shapes the shuffle. */
+  private def saltedJoinQuery(s: SparkSession, dir: String): DataFrame =
+    SkewJoin.saltedJoin(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority"),
+        factKey = "l_orderkey", otherKey = "o_orderkey",
+        salts = 8, factUniqueCol = "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
 
   /** Deterministic sharded shuffle (TextCorpus.shardedShuffle). */
   private def corpusShuffle(s: SparkSession, dir: String): DataFrame =
@@ -1035,6 +1052,8 @@ object SparkEntry {
     "lm_bigram_score" -> lmBigramScore _,
     "corpus_diff" -> corpusDiffQuery _,
     "purchase_pagerank" -> purchasePagerank _,
+    "hashed_tf" -> hashedTf _,
+    "salted_join" -> saltedJoinQuery _,
     "para_dedup" -> paraDedup _,
     "chunk_windows" -> chunkWindowsQuery _,
     "corpus_shuffle" -> corpusShuffle _,
@@ -1400,6 +1419,26 @@ object SparkEntry {
          SELECT doc_id, status, old_hash, new_hash
          FROM st WHERE status <> 'unchanged' ORDER BY doc_id""",
     "purchase_pagerank" -> pagerankOracle,
+    "hashed_tf" ->
+      // the same md5 bucket/sign arithmetic as Spark: '0x'||hex → BIGINT
+      // is non-negative, so % matches div-consistent on both engines
+      """WITH w AS (SELECT doc_id,
+                      unnest(string_split_regex(trim(text), '\s+')) AS word
+                    FROM documents),
+              h AS (SELECT doc_id,
+                      ('0x' || substr(md5(word), 1, 8))::BIGINT % 64 AS bucket,
+                      CASE WHEN ('0x' || substr(md5(word), 9, 1))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END AS sign
+                    FROM w)
+         SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS tf_signed
+         FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
+    "salted_join" ->
+      // the whole point: salting must not change the answer — the
+      // oracle is the PLAIN join
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+                o.o_custkey, o.o_orderpriority
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         ORDER BY l.l_orderkey, l.l_linenumber""",
     "quality_filter" ->
       // the lang CASE and ratio pieces are the proven lang_id /
       // text_quality_ratios oracle fragments; quality = the same

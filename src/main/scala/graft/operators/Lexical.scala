@@ -162,6 +162,36 @@ object Lexical {
       .withColumn("lm_avg_fp", expr("lm_sum_fp div n_bigrams"))
   }
 
+  /** Feature-hashing (hashing trick, Weinberger et al. ICML'09) sparse
+    * TF vectors: each token hashes to one of `dim` buckets with a ±1
+    * sign from an independent hash bit, and the per-(doc, bucket) signed
+    * counts form the sparse vector — the vocabulary-free bridge from
+    * text to the [[Similarity]] operators (no vocab fit, no broadcast
+    * dictionary, fixed dimensionality at any corpus size).
+    *
+    * Both hashes are md5-derived (the [[TextCorpus.shardedShuffle]]
+    * trick: first 8 hex chars → non-negative BIGINT, so `%` is
+    * floor-consistent across engines) — the gate hash-matches exactly.
+    * Sparse (doc_id, bucket, tf_signed) rows, not assembled arrays:
+    * downstream dot products join on bucket, and 100 TB of vectors
+    * never materialize |dim|-wide dense rows for mostly-empty buckets.
+    * One explode + one aggregate — the only shuffle is the count's. */
+  def hashedTfVectors(
+      docs: DataFrame, dim: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val h = md5(col("word"))
+    docs
+      .select(col(idCol).as("doc_id"), explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .withColumn("bucket",
+        conv(substring(h, 1, 8), 16, 10).cast("long") % dim)
+      .withColumn("sign",
+        when(conv(substring(h, 9, 1), 16, 10).cast("long") % 2 === 0, 1L)
+          .otherwise(-1L))
+      .groupBy("doc_id", "bucket")
+      .agg(sum("sign").as("tf_signed"))
+  }
+
   /** Adjacent token transitions of each document: (doc_id, w1, w2), one
     * row per position — from the token array, so the only shuffle a
     * caller pays is its own aggregation. */

@@ -71,6 +71,27 @@ class LexicalSpec extends AnyFunSuite {
     assert(ids === Set(3L))
   }
 
+  test("hashed tf: same word always lands in one bucket with one sign") {
+    val df = Seq((1L, "apple apple banana"), (2L, "apple")).toDF("doc_id", "text")
+    val out = Lexical.hashedTfVectors(df, dim = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val appleBuckets = out.keys.filter(_._1 == 2L).map(_._2).toSeq
+    assert(appleBuckets.size === 1)
+    val b = appleBuckets.head
+    val sign = out((2L, b))
+    assert(math.abs(sign) === 1L)
+    // doc 1 has apple twice: same bucket, 2× the sign (unless banana
+    // collides into the same bucket, which this fixture avoids)
+    if (!out.keys.exists(k => k._1 == 1L && k._2 != b))
+      fail("fixture degenerate: banana collided with apple")
+    assert(out((1L, b)) === 2L * sign)
+  }
+
+  test("hashed tf buckets stay inside [0, dim)") {
+    val out = Lexical.hashedTfVectors(docs, dim = 8).collect()
+    assert(out.forall(r => r.getLong(1) >= 0L && r.getLong(1) < 8L))
+  }
+
   test("scores are invariant under input repartitioning") {
     val qs = Seq((1L, "apple banana")).toDF("query_id", "query_text")
     val a = Lexical.bm25TopK(docs, qs, k = 10).collect().toSeq

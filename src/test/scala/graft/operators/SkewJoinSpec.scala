@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Salted join: identical answers to the plain join, salts actually
+  * spread the hot key, deterministic across runs. */
+class SkewJoinSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 90% of fact rows share key 0 — the shape that serializes a plain
+  // shuffle join on one partition
+  private val fact = (0L until 1000L)
+    .map(i => (if (i % 10 != 0) 0L else i, i, s"f$i"))
+    .toDF("k", "row_id", "fv")
+  private val dim = Seq((0L, "hot"), (10L, "d10"), (20L, "d20"), (999L, "unmatched"))
+    .toDF("dk", "dv")
+
+  test("salted join equals the plain join exactly") {
+    val salted = SkewJoin.saltedJoin(fact, dim, "k", "dk", salts = 8,
+        factUniqueCol = "row_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    val plain = fact.join(dim, col("k") === col("dk")).drop("dk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(salted === plain)
+    // hot key fully matched, once each: 900 rows with i%10!=0 plus i=0
+    assert(salted.count(_._1 == 0L) === 901)
+  }
+
+  test("the hot key really spreads across salts") {
+    val f = fact.withColumn("salt",
+      conv(substring(md5(col("row_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 8)
+    val hotSalts = f.filter(col("k") === 0L).select("salt").distinct().count()
+    assert(hotSalts === 8L, "hot-key rows should hit every salt partition")
+  }
+
+  test("each dim row replicates once per salt and no more") {
+    val salted = SkewJoin.saltedJoin(fact, dim, "k", "dk", salts = 4,
+      factUniqueCol = "row_id")
+    // row_id is unique in fact, so output multiplicity per row_id must be 1
+    val maxDup = salted.groupBy("row_id").count().agg(max("count")).head().getLong(0)
+    assert(maxDup === 1L)
+  }
+}
