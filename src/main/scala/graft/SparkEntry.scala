@@ -286,6 +286,85 @@ object SparkEntry {
         countDistinct(col("l_suppkey")).as("supps"))
       .orderBy("l_returnflag")
 
+  /** Hierarchical ROLLUP report: revenue at (region, nation), region
+    * subtotal, and grand-total levels in ONE aggregation — Spark's
+    * `rollup` expands grouping sets inside a single partial-agg tree, so
+    * the detail level is aggregated once and the coarser levels reduce
+    * from tiny intermediate frames (no re-scan per level, unlike a UNION
+    * of three GROUP BYs). `lvl` is `grouping_id()` (bit i set = column i
+    * rolled up), identical to DuckDB `GROUPING(r_name, n_name)`. Dims
+    * broadcast; the orders→customer join shuffles once on custkey. */
+  private def rollupReport(s: SparkSession, dir: String): DataFrame =
+    // SQL rather than Dataset `.rollup`: rollup's Expand reuses the
+    // grouping attrs' exprIds, and with keys sourced from two joined
+    // Datasets the DetectAmbiguousSelfJoin rule false-positives on the
+    // expanded duplicates; the SQL path carries no per-Dataset ids.
+    // `grouping_id()` = DuckDB `GROUPING(r_name, n_name)` bit-for-bit.
+    s.sql(
+      s"""SELECT /*+ BROADCAST(n, r) */
+                 r_name AS region_name, n_name AS nation_name,
+                 CAST(grouping_id() AS BIGINT) AS lvl,
+                 count(*) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+          FROM parquet.`$dir/orders.parquet` o
+          JOIN parquet.`$dir/customer.parquet` c ON o_custkey = c_custkey
+          JOIN parquet.`$dir/nation.parquet` n ON c_nationkey = n_nationkey
+          JOIN parquet.`$dir/region.parquet` r ON n_regionkey = r_regionkey
+          GROUP BY ROLLUP(r_name, n_name)
+          ORDER BY lvl, coalesce(region_name, ''), coalesce(nation_name, '')""")
+
+  /** Ordered conversion funnel over the event log
+    * ([[graft.operators.Behavioral.funnel]]). */
+  private def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", graft.streaming.EventTimeOps.floorDivMicros(col("ts")))
+    graft.operators.Behavioral.funnel(ev, "user_id", "event_type", "ts_us",
+        Seq("signup", "view", "click", "purchase"))
+      .orderBy("step")
+  }
+
+  /** Weekly cohort retention grid
+    * ([[graft.operators.Behavioral.cohortRetention]]). */
+  private def cohortRetentionQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", graft.streaming.EventTimeOps.floorDivMicros(col("ts")))
+    graft.operators.Behavioral.cohortRetention(ev, "user_id", "ts_us")
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Per-source length deciles via `ntile` — the binning step before
+    * stratified filtering (keep the middle deciles, drop the tails).
+    * The (n_chars, doc_id) sort key is total, so tile assignment is
+    * deterministic and engine-identical. One shuffle on source; sort
+    * runs are bounded by source size (same shape as stratifiedSample). */
+  private def lengthDeciles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .select("source", "doc_id", "n_chars", "decile")
+      .orderBy("source", "doc_id")
+  }
+
+  /** Exact frequent tokens via the Misra–Gries sketch-then-recount plan
+    * ([[graft.operators.HeavyHitters.frequentTokens]]): tokens with
+    * count ≥ ceil(N/200), k = 511 counters (divisor < k+1 ⇒ provably
+    * exact — the oracle is the naive global GROUP BY). */
+  private def frequentTokensQuery(s: SparkSession, dir: String): DataFrame = {
+    val tokens = t(s, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+    graft.operators.HeavyHitters.frequentTokens(tokens, "word", k = 511, divisor = 200L)
+      .orderBy("word")
+  }
+
+  /** DSIR importance scores ([[graft.operators.Dsir.importanceWeights]]):
+    * hashed-unigram likelihood-ratio of the src18 slice vs the whole
+    * corpus, in fixed-point integer arithmetic. */
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.importanceWeights(
+        t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("source") === "src18", buckets = 4096)
+      .orderBy("doc_id")
+
   // ==================================================================
   // LLM-data-pipeline extension operators (graft.operators)
   // ==================================================================
@@ -1104,6 +1183,12 @@ object SparkEntry {
     "top_suppliers_per_nation" -> topSuppliersPerNation _,
     "orders_monthly" -> ordersMonthly _,
     "distinct_counts" -> distinctCounts _,
+    "rollup_report" -> rollupReport _,
+    "funnel_steps" -> funnelSteps _,
+    "cohort_retention" -> cohortRetentionQuery _,
+    "length_deciles" -> lengthDeciles _,
+    "frequent_tokens" -> frequentTokensQuery _,
+    "dsir_weights" -> dsirWeights _,
   )
 
   /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
@@ -1998,6 +2083,78 @@ object SparkEntry {
            columns={'mediaId':'BIGINT','kind':'VARCHAR','featureDim':'INTEGER',
                     'ok':'BOOLEAN','feature_digest':'VARCHAR'})
          ORDER BY mediaId""",
+    "rollup_report" ->
+      """SELECT r_name AS region_name, n_name AS nation_name,
+                CAST(GROUPING(r_name, n_name) AS BIGINT) AS lvl,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY lvl, coalesce(r_name, ''), coalesce(n_name, '')""",
+    "frequent_tokens" ->
+      // the naive global GROUP BY the sketch-then-recount plan provably
+      // equals (threshold ceil(N/200) > N/(k+1) with k = 511)
+      """WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+                    FROM documents),
+              tot AS (SELECT count(*) AS n FROM w)
+         SELECT word, count(*) AS cnt FROM w, tot
+         GROUP BY word, tot.n
+         HAVING count(*) >= (tot.n + 199) // 200
+         ORDER BY word""",
+    "dsir_weights" ->
+      // same md5 bucket arithmetic as hashed_tf; same fixed-point
+      // (scale·(n_t+1)) // (n_r+1) term, summed as BIGINT
+      """WITH w AS (SELECT doc_id, source = 'src18' AS is_target,
+                      unnest(string_split_regex(trim(text), '\s+')) AS word
+                    FROM documents),
+              b AS (SELECT doc_id, is_target,
+                      ('0x' || substr(md5(word), 1, 8))::BIGINT % 4096 AS bucket
+                    FROM w),
+              dist AS (SELECT bucket,
+                         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_target,
+                         count(*) AS n_raw
+                       FROM b GROUP BY bucket)
+         SELECT b.doc_id,
+                CAST(sum((1000000 * (dist.n_target + 1)) // (dist.n_raw + 1))
+                     AS BIGINT) AS dsir_score
+         FROM b JOIN dist ON b.bucket = dist.bucket
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+              f1 AS (SELECT user_id, min(us) AS t FROM e
+                     WHERE event_type = 'signup' GROUP BY user_id),
+              f2 AS (SELECT e.user_id, min(us) AS t FROM e
+                     JOIN f1 ON e.user_id = f1.user_id
+                     WHERE event_type = 'view' AND us > f1.t GROUP BY e.user_id),
+              f3 AS (SELECT e.user_id, min(us) AS t FROM e
+                     JOIN f2 ON e.user_id = f2.user_id
+                     WHERE event_type = 'click' AND us > f2.t GROUP BY e.user_id),
+              f4 AS (SELECT e.user_id, min(us) AS t FROM e
+                     JOIN f3 ON e.user_id = f3.user_id
+                     WHERE event_type = 'purchase' AND us > f3.t GROUP BY e.user_id)
+         SELECT * FROM (
+           SELECT 1 AS step, 'signup' AS event_type, count(*) AS entities FROM f1
+           UNION ALL SELECT 2, 'view', count(*) FROM f2
+           UNION ALL SELECT 3, 'click', count(*) FROM f3
+           UNION ALL SELECT 4, 'purchase', count(*) FROM f4)
+         ORDER BY step""",
+    "cohort_retention" ->
+      """WITH iw AS (SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS week FROM events),
+              c AS (SELECT user_id, min(week) AS cohort_week
+                    FROM iw GROUP BY user_id)
+         SELECT c.cohort_week, iw.week - c.cohort_week AS week_offset,
+                count(DISTINCT iw.user_id) AS active_entities
+         FROM iw JOIN c ON iw.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "length_deciles" ->
+      """SELECT source, doc_id, n_chars,
+                CAST(ntile(10) OVER (PARTITION BY source
+                  ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+         FROM documents ORDER BY source, doc_id""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,

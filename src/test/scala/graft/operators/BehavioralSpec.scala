@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Funnel / cohort semantics on hand-built event logs (the DuckDB
+  * oracle re-checks both over the events table at sf0.01). */
+class BehavioralSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def funnelMap(rows: Seq[(Long, String, Long)], steps: Seq[String]) =
+    Behavioral.funnel(
+        rows.toDF("user_id", "event_type", "ts_us"),
+        "user_id", "event_type", "ts_us", steps)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+
+  test("steps must occur in order: out-of-order completion doesn't count") {
+    val rows = Seq(
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 30L), // full funnel
+      (2L, "b", 10L), (2L, "a", 20L),                 // b BEFORE a: stops at a
+      (3L, "a", 10L), (3L, "c", 20L))                 // skips b: stops at a
+    assert(funnelMap(rows, Seq("a", "b", "c")) === Map(1 -> 3L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("step i anchors at the EARLIEST occurrence of step i-1") {
+    // first-touch: user 1's anchor for 'a' is ts=10, so the b@15 counts
+    // even though a ALSO occurs at 20 after it
+    val rows = Seq((1L, "a", 10L), (1L, "b", 15L), (1L, "a", 20L))
+    assert(funnelMap(rows, Seq("a", "b")) === Map(1 -> 1L, 2 -> 1L))
+  }
+
+  test("same-timestamp step is NOT strictly after: excluded") {
+    val rows = Seq((1L, "a", 10L), (1L, "b", 10L))
+    assert(funnelMap(rows, Seq("a", "b")) === Map(1 -> 1L, 2 -> 0L))
+  }
+
+  test("entities that never do step 1 are invisible to every step") {
+    val rows = Seq((1L, "b", 10L), (1L, "c", 20L))
+    assert(funnelMap(rows, Seq("a", "b", "c")) === Map(1 -> 0L, 2 -> 0L, 3 -> 0L))
+  }
+
+  test("cohort retention counts distinct entities per (cohort, offset)") {
+    val wk = 7L * 86400L * 1000000L
+    // users 1,2 start week 0 (1 retained into week 1); user 3 starts week 1
+    val rows = Seq(
+      (1L, 0L), (1L, wk + 5L),       // week 0 cohort, active weeks {0, 1}
+      (2L, 100L), (2L, 200L),        // week 0 cohort, active week {0} only
+      (3L, wk + 1L))                 // week 1 cohort
+      .toDF("user_id", "ts_us")
+    val out = Behavioral.cohortRetention(rows, "user_id", "ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (1L, 0L) -> 1L))
+  }
+
+  test("funnel is invariant under input repartitioning") {
+    val rows = (1L to 40L).flatMap { u =>
+      Seq((u, "a", u), (u, "b", u + 100L), (u, "c", u + 50L))
+    }
+    val df = rows.toDF("user_id", "event_type", "ts_us")
+    val a = Behavioral.funnel(df, "user_id", "event_type", "ts_us", Seq("a", "b", "c"))
+      .orderBy("step").collect().toSeq
+    val b = Behavioral.funnel(df.repartition(7), "user_id", "event_type", "ts_us",
+      Seq("a", "b", "c")).orderBy("step").collect().toSeq
+    assert(a === b)
+  }
+}
