@@ -365,6 +365,26 @@ object SparkEntry {
         isTarget = col("source") === "src18", buckets = 4096)
       .orderBy("doc_id")
 
+  /** Per-source length-distribution drift vs the rest of the corpus
+    * ([[graft.operators.Stats.ksDrift]]): exact two-sample KS statistic
+    * as an integer fraction — no floating point anywhere. */
+  private def ksDriftQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.ksDrift(t(s, dir, "documents"), "source", "n_chars")
+      .orderBy("source")
+
+  /** Triangle counts on the co-supplier graph (suppliers sharing an
+    * order, from a lineitem self-join bounded by order size —
+    * [[graft.operators.Graph.triangleCounts]], degree-ordered wedge
+    * enumeration; the oracle is the naive u<v triple join it provably
+    * equals). */
+  private def triangleCountsQuery(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+    graft.operators.Graph.triangleCounts(e).orderBy("node")
+  }
+
   // ==================================================================
   // LLM-data-pipeline extension operators (graft.operators)
   // ==================================================================
@@ -808,6 +828,16 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Exact set-similarity self-join via rare-first prefix filtering
+    * ([[Dedup.prefixFilterPairs]], threshold 7/10) over the FULL dup
+    * fixture — no mod-sample, no blocking key: the prefix filter is the
+    * scale device. The oracle is the brute-force all-pairs Jaccard it
+    * provably equals. */
+  private def prefixJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilterPairs(docsWithDups(s, dir), "text", "doc_id",
+        tNum = 7, tDen = 10, shingleSize = 3)
+      .orderBy("id_a", "id_b")
+
   /** Brute-force dot-product top-k neighbors (Similarity.bruteForceTopK
     * with dot metric) — the ANN baseline, oracle-checkable. */
   private def knnDotTopK(s: SparkSession, dir: String): DataFrame = {
@@ -1151,6 +1181,7 @@ object SparkEntry {
     "cdc_chunks" -> cdcChunksQuery _,
     "simhash_exact_dups" -> simhashExactDups _,
     "ngram_jaccard_pairs" -> ngramJaccardPairs _,
+    "prefix_jaccard_pairs" -> prefixJaccardPairs _,
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
     "length_quantiles" -> lengthQuantiles _,
@@ -1189,6 +1220,8 @@ object SparkEntry {
     "length_deciles" -> lengthDeciles _,
     "frequent_tokens" -> frequentTokensQuery _,
     "dsir_weights" -> dsirWeights _,
+    "ks_drift" -> ksDriftQuery _,
+    "triangle_counts" -> triangleCountsQuery _,
   )
 
   /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
@@ -1997,6 +2030,20 @@ object SparkEntry {
                      / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
           WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    "prefix_jaccard_pairs" ->
+      // brute-force all-pairs 3-shingle Jaccard over the FULL dup
+      // fixture — the prefix filter is sound (lossless), so the filtered
+      // plan equals the quadratic one exactly
+      s"""WITH docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
+          sh AS (SELECT doc_id,
+                   list_distinct([substr(text, i, 3) FOR i IN range(1, greatest(length(text)-2, 1)+1)]) AS s
+                 FROM docs)
+          SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          WHERE jaccard >= 0.7 ORDER BY id_a, id_b""",
     "knn_dot_topk" ->
       """SELECT query_id, neighbor_id, score,
                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
@@ -2122,6 +2169,59 @@ object SparkEntry {
                      AS BIGINT) AS dsir_score
          FROM b JOIN dist ON b.bucket = dist.bucket
          GROUP BY b.doc_id ORDER BY b.doc_id""",
+    "ks_drift" ->
+      // same exact-integer KS construction: per-(source, value) counts,
+      // group + corpus ECDFs at every corpus-distinct value, cross-
+      // multiplied to the common denominator n_g·n_rest
+      """WITH c AS (SELECT source AS grp, n_chars AS v, count(*) AS cnt
+                    FROM documents GROUP BY 1, 2),
+              grps AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_grp
+                       FROM c GROUP BY grp),
+              vt AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS v_cnt
+                     FROM c GROUP BY v),
+              tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM c),
+              grid AS (SELECT g.grp, g.n_grp, vt.v,
+                         CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+                       FROM grps g CROSS JOIN vt
+                       LEFT JOIN c ON c.grp = g.grp AND c.v = vt.v),
+              cg AS (SELECT grp, n_grp, v,
+                       CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY v)
+                            AS BIGINT) AS cum_grp
+                     FROM grid),
+              ca AS (SELECT v, CAST(sum(v_cnt) OVER (ORDER BY v) AS BIGINT)
+                       AS cum_all FROM vt)
+         SELECT cg.grp AS source, cg.n_grp AS n_group,
+                tot.n_all - cg.n_grp AS n_rest,
+                CAST(max(abs(cum_grp * (tot.n_all - cg.n_grp)
+                             - (cum_all - cum_grp) * cg.n_grp)) AS BIGINT)
+                  AS ks_num,
+                cg.n_grp * (tot.n_all - cg.n_grp) AS ks_den,
+                CAST(max(abs(cum_grp * (tot.n_all - cg.n_grp)
+                             - (cum_all - cum_grp) * cg.n_grp)) * 1000000
+                     // (cg.n_grp * (tot.n_all - cg.n_grp)) AS BIGINT)
+                  AS ks_fp
+         FROM cg JOIN ca ON cg.v = ca.v CROSS JOIN tot
+         GROUP BY cg.grp, cg.n_grp, tot.n_all
+         ORDER BY source""",
+    "triangle_counts" ->
+      // the naive canonical u<v triple join the degree-ordered wedge
+      // plan provably equals; nodes = every edge endpoint
+      """WITH e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+                    FROM lineitem a JOIN lineitem b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_suppkey < b.l_suppkey),
+              tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                      FROM e e1
+                      JOIN e e2 ON e2.u = e1.v
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+              n AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+              pn AS (SELECT x AS node FROM tri
+                     UNION ALL SELECT y FROM tri
+                     UNION ALL SELECT z FROM tri),
+              tc AS (SELECT node, count(*) AS t FROM pn GROUP BY node)
+         SELECT n.node, CAST(coalesce(tc.t, 0) AS BIGINT) AS n_triangles
+         FROM n LEFT JOIN tc ON n.node = tc.node
+         ORDER BY n.node""",
     "funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
               f1 AS (SELECT user_id, min(us) AS t FROM e

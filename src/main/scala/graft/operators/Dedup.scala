@@ -104,6 +104,67 @@ object Dedup {
       df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("sh")),
       k, bands)
 
+  /** EXACT all-pairs Jaccard self-join via rare-first prefix filtering
+    * (AllPairs, Bayardo et al. WWW'07; PPJoin, Xiao et al. 2008) — the
+    * third design point beside the LSH candidates (probabilistic recall)
+    * and the bounded-block exact join (needs a blocking key): every pair
+    * with J ≥ tNum/tDen is emitted, deterministically, with no blocking
+    * assumption.
+    *
+    * Each doc's distinct shingle hashes are ordered by ascending GLOBAL
+    * document frequency (ties by hash value) — one shared total order.
+    * If J(x,y) ≥ t then |x∩y| ≥ ⌈t·max(|x|,|y|)⌉ =: α, and the FIRST
+    * common token under the shared order has at most α−1 common tokens
+    * after it in EACH doc, so it sits inside both prefixes of length
+    * |·| − α + 1 ≤ |·| − ⌈t·|·|⌉ + 1. Only docs sharing a PREFIX token
+    * are candidates; the rare-first order makes prefix buckets the
+    * smallest possible (frequent boilerplate tokens sink to suffixes and
+    * never generate candidates). Prefix lengths use integer ceil
+    * ((tNum·sz + tDen − 1) div tDen) so soundness never rests on float
+    * rounding; the final jaccard is the same double division the oracle
+    * computes. The size filter tDen·|y| ≥ tNum·|x| (both ways) prunes
+    * before pairing — also exact-integer.
+    *
+    * 100 TB shape: three data shuffles (token df count, per-doc
+    * sort-agg, candidate join on prefix tokens) plus two id-keyed hash
+    * joins for the verify — nothing broadcast, nothing quadratic in the
+    * corpus. Candidate volume is Σ_tok C(prefix-df(tok), 2), exactly the
+    * quantity the rare-first order minimizes; the per-pair verify is a
+    * sorted-long-array intersect, the same kernel as [[nearDupPairs]].
+    */
+  def prefixFilterPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      tNum: Int = 7, tDen: Int = 10, shingleSize: Int = 3): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, s"need 0 < $tNum/$tDen <= 1")
+    val withSh = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("sh"))
+      .localCheckpoint() // feeds df-count, prefix agg, and both verify sides
+    val toks = withSh.select(col("id"), explode(col("sh")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("dfreq"))
+    val prefixes = toks.join(dfreq, Seq("tok"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("dfreq"), col("tok")))).as("ord"))
+      .select(col("id"),
+        transform(col("ord"), _.getField("tok")).as("toks"),
+        size(col("ord")).cast("long").as("sz"))
+      .withColumn("plen",
+        (col("sz") - expr(s"(${tNum}L * sz + ${tDen - 1}L) div ${tDen}L") + 1L)
+          .cast("int"))
+      .select(col("id"), col("sz"), explode(slice(col("toks"), lit(1), col("plen"))).as("tok"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          lit(tDen.toLong) * col("b.sz") >= lit(tNum.toLong) * col("a.sz") &&
+          lit(tDen.toLong) * col("a.sz") >= lit(tNum.toLong) * col("b.sz"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccardFromHashSets(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= lit(tNum.toDouble / tDen))
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Exact n-gram Jaccard similarity between two texts' distinct shingle
     * sets — the string-set reference formulation. The scale path is
     * [[jaccardFromHashSets]] over precomputed arrays; values are equal

@@ -66,4 +66,63 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact per-node triangle counts on an undirected simple graph, via
+    * the DEGREE-ORDERED wedge enumeration (the node-iterator of Suri &
+    * Vassilvitskii, WWW'11 "Counting triangles and the curse of the last
+    * reducer") — triadic closure is the clustering signal a curation
+    * pipeline reads off its near-dup or co-occurrence graph: a dup pair
+    * inside many triangles is a dense template cluster, not a chance
+    * collision.
+    *
+    * Every undirected edge is directed from its LOWER-ranked endpoint to
+    * its higher, ranking nodes by (degree, id). Each triangle {a,b,c}
+    * then materializes as exactly ONE wedge b←a→c with rank(b)<rank(c)
+    * plus the closing directed edge b→c — no triangle is double-counted
+    * and none is missed, so this equals the naive triple-join (the
+    * oracle, and TriangleCountSpec pins the equality on random graphs).
+    *
+    * Why this survives 100 TB where the naive u<v triple join dies:
+    * wedges are generated per directed out-neighborhood, and directing
+    * by degree bounds every out-degree by O(√m) — the star node that
+    * makes id-ordered enumeration quadratic (the "last reducer") emits
+    * nothing, because all its edges point INTO it. Three hash shuffles
+    * total (degree agg, wedge self-join on the pivot, closure join on
+    * the wedge endpoints); nothing is broadcast or collected. The edge
+    * frame is pinned (`localCheckpoint`) because it feeds the degree
+    * pass, both wedge sides, and the closure probe.
+    */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint() // feeds degrees, both wedge sides, closure
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // rank = (deg, node): struct comparison gives the total order
+    val ranked = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        struct(col("du").as("d"), col("u").as("n")).as("ru"), col("u"),
+        struct(col("dv").as("d"), col("v").as("n")).as("rv"), col("v"))
+    val dirE = ranked.select(
+      when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("a"),
+      when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("rb"),
+      when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("b"))
+    val wedges = dirE.as("e1").join(dirE.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.rb") < col("e2.rb"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tris = wedges.join(dirE.select(col("a").as("y"), col("b").as("z")),
+      Seq("y", "z"), "left_semi")
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .join(deg.select("node"), Seq("node"), "right")
+      .na.fill(0L, Seq("n_triangles"))
+  }
 }

@@ -44,4 +44,59 @@ class GraphSpec extends AnyFunSuite {
       .sortBy(_.getString(0))
     assert(r1 === r2)
   }
+
+  test("triangle counts on known figures: K4, a square, a star") {
+    // K4: every node sits in C(3,2)=3 triangles
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    val tk4 = Graph.triangleCounts(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tk4 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // 4-cycle: no triangles, but all nodes still reported with 0
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val tsq = Graph.triangleCounts(sq).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tsq === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    // star + one closing edge: exactly one triangle {0,1,2}
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L))
+      .toDF("src", "dst")
+    val ts = Graph.triangleCounts(star).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ts === Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("degree-ordered enumeration equals the naive triple join on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 24
+      val edges = (for {
+        a <- 0 until n; b <- 0 until n
+        if a != b && rnd.nextInt(100) < 18
+      } yield (a.toLong, b.toLong)).toDF("src", "dst") // directed noise in
+      val fast = Graph.triangleCounts(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // naive: canonical u<v edge set, triple join, explode to nodes
+      val canon = edges.collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1))))
+        .filter(e => e._1 != e._2).distinct.toSet
+      val naiveTris = for {
+        (u, v) <- canon.toSeq; (v2, w) <- canon.toSeq
+        if v2 == v && canon.contains((u, w))
+      } yield (u, v, w)
+      val naive = naiveTris.flatMap(t => Seq(t._1, t._2, t._3))
+        .groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+      val nodes = canon.flatMap(e => Seq(e._1, e._2))
+      val expected = nodes.map(x => x -> naive.getOrElse(x, 0L)).toMap
+      assert(fast === expected, s"trial $trial")
+    }
+  }
+
+  test("triangle counts are invariant to edge direction and duplication") {
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val messy = (base ++ base.map(_.swap) ++ base).toDF("src", "dst")
+    val out = Graph.triangleCounts(messy.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
 }

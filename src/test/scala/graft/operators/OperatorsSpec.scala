@@ -71,6 +71,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert((found -- exact).isEmpty, "verified output must not contain false positives")
   }
 
+  test("prefix-filter pairs equal the brute-force all-pairs join exactly") {
+    val d = docs.select("doc_id", "text")
+    val dd = d
+      .unionAll(d.filter(col("doc_id") < 60).select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionAll(d.filter(col("doc_id") < 25).select((col("doc_id") + 20000).as("doc_id"),
+        col("text").substr(lit(11), lit(100000)).as("text")))
+    val fast = Dedup.prefixFilterPairs(dd, "text", "doc_id", tNum = 7, tDen = 10, shingleSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sh = dd.select(col("doc_id").as("id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
+    val brute = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), col("id_a") < col("id_b"))
+      .withColumn("j", Dedup.jaccardFromHashSets(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= 0.7)
+      .select("id_a", "id_b", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast === brute) // the filter is lossless: same pairs, same values
+    assert(fast.nonEmpty, "the planted copies must be found")
+  }
+
+  test("prefix-filter pairs: lossless on adversarial tiny sets and thresholds") {
+    // short strings → tiny shingle sets, where ceil-rounding of the
+    // prefix length is most fragile; threshold 1/2 and 9/10 both ways
+    val rows = Seq(
+      (1L, "abcabc"), (2L, "abcabd"), (3L, "abcabc"), (4L, "zzzzzz"),
+      (5L, "abcab"), (6L, "qabcabcq"), (7L, "zzzzz"), (8L, "ab"), (9L, "ab")
+    ).toDF("doc_id", "text")
+    for ((tn, td) <- Seq((1, 2), (7, 10), (9, 10))) {
+      val fast = Dedup.prefixFilterPairs(rows, "text", "doc_id", tn, td, shingleSize = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sh = rows.select(col("doc_id").as("id"), Dedup.shingleHashes(col("text"), 2).as("sh"))
+      val brute = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), col("id_a") < col("id_b"))
+        .withColumn("j", Dedup.jaccardFromHashSets(col("sh_a"), col("sh_b")))
+        .filter(col("j") >= lit(tn.toDouble / td))
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast === brute, s"threshold $tn/$td")
+    }
+  }
+
   test("incremental dedup: batch vs index matches the full-recompute pipeline") {
     val d = docs.select("doc_id", "text")
     val batch = d.filter(col("doc_id") < 20)

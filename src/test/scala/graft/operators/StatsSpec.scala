@@ -29,4 +29,39 @@ class StatsSpec extends AnyFunSuite {
       .collect()
     assert(out.length === 1 && out.head.getLong(3) === 5L)
   }
+
+  test("ksDrift matches a hand-computed two-sample KS on a tiny fixture") {
+    // a: {1,2,3}  rest(b): {3,4,5}; ECDF gap peaks at v=2 and v=3:
+    // |2*3 - 0*3| = 6 at v=2, |3*3 - 1*3| = 6 at v=3 → ks = 6/9
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 3L), ("b", 4L), ("b", 5L)).toDF("src", "v")
+    val out = Stats.ksDrift(df, "src", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out("a") === ((3L, 3L, 6L, 9L, 666666L)))
+    assert(out("b") === ((3L, 3L, 6L, 9L, 666666L))) // symmetric: 2 groups
+  }
+
+  test("ksDrift of an identical-distribution group is zero, disjoint is max") {
+    val same = Seq.tabulate(40)(i => (if (i % 2 == 0) "x" else "y", (i / 2).toLong))
+    val sOut = Stats.ksDrift(same.toDF("g", "v"), "g", "v").collect()
+    assert(sOut.forall(_.getLong(3) == 0L)) // ks_num = 0
+    val disjoint = (Seq.tabulate(5)(i => ("lo", i.toLong)) ++
+      Seq.tabulate(7)(i => ("hi", 100L + i))).toDF("g", "v")
+    val dOut = Stats.ksDrift(disjoint, "g", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(dOut("lo") === ((35L, 35L))) // full separation: ks = 1 exactly
+    assert(dOut("hi") === ((35L, 35L)))
+  }
+
+  test("ksDrift is invariant to input partitioning") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(300)(i =>
+      (s"s${i % 3}", (rnd.nextInt(30) + (i % 3) * 5).toLong))
+    val a = Stats.ksDrift(rows.toDF("g", "v"), "g", "v")
+      .orderBy("g").collect().toSeq
+    val b = Stats.ksDrift(rows.toDF("g", "v").repartition(13), "g", "v")
+      .orderBy("g").collect().toSeq
+    assert(a === b)
+  }
 }
