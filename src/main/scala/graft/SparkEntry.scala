@@ -365,6 +365,14 @@ object SparkEntry {
         isTarget = col("source") === "src18", buckets = 4096)
       .orderBy("doc_id")
 
+  /** Robust per-source length outliers by exact median-absolute-deviation
+    * ([[graft.operators.Stats.madOutliers]], k = 3): the documents whose
+    * length sits more than 3 MADs from their source's median. */
+  private def madOutliersQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.madOutliers(
+        t(s, dir, "documents"), "source", "doc_id", "n_chars")
+      .orderBy("doc_id")
+
   /** Per-source length-distribution drift vs the rest of the corpus
     * ([[graft.operators.Stats.ksDrift]]): exact two-sample KS statistic
     * as an integer fraction — no floating point anywhere. */
@@ -372,13 +380,22 @@ object SparkEntry {
     graft.operators.Stats.ksDrift(t(s, dir, "documents"), "source", "n_chars")
       .orderBy("source")
 
-  /** Triangle counts on the co-supplier graph (suppliers sharing an
-    * order, from a lineitem self-join bounded by order size —
-    * [[graft.operators.Graph.triangleCounts]], degree-ordered wedge
-    * enumeration; the oracle is the naive u<v triple join it provably
-    * equals). */
+  /** Triangle counts on the MONTH-SLICED co-supplier graph (suppliers
+    * sharing a March-1995 order; the slice is what keeps the graph
+    * co-occurrence-shaped — the all-time graph converges on a complete
+    * graph as orders accumulate, which no triangle algorithm outruns,
+    * and real co-occurrence analyses window for exactly this reason).
+    * Edge generation is a lineitem self-join bounded by order size;
+    * counting is [[graft.operators.Graph.triangleCounts]]'s
+    * degree-ordered wedge enumeration, oracled against the naive u<v
+    * triple join it provably equals. */
   private def triangleCountsQuery(s: SparkSession, dir: String): DataFrame = {
+    val march = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-03-01") &&
+        col("o_orderdate") < lit("1995-04-01"))
+      .select(col("o_orderkey").as("ok"))
     val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .join(march, Seq("ok"))
     val e = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
       .select(col("a.sk").as("src"), col("b.sk").as("dst"))
@@ -834,8 +851,13 @@ object SparkEntry {
     * scale device. The oracle is the brute-force all-pairs Jaccard it
     * provably equals. */
   private def prefixJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    // 5-gram shingles, not 3: prefix filtering lives on token rarity, and
+    // the ~26^3 trigram universe is so dense that every "rare" trigram
+    // still bucket-joins half the corpus (measured 121 s at sf0.1);
+    // 5-grams make unrelated docs token-disjoint (1.6 s, same answer
+    // shape as the minhash family which picked 5 for the same reason)
     Dedup.prefixFilterPairs(docsWithDups(s, dir), "text", "doc_id",
-        tNum = 7, tDen = 10, shingleSize = 3)
+        tNum = 7, tDen = 10, shingleSize = 5)
       .orderBy("id_a", "id_b")
 
   /** Brute-force dot-product top-k neighbors (Similarity.bruteForceTopK
@@ -966,6 +988,20 @@ object SparkEntry {
     val ev = t(s, dir, "events")
       .withColumn("ts_us", EventTimeOps.floorDivMicros(col("ts")))
     EventTimeOps.intervalJoin(ev, ev, "user_id", "ts_us", "event_id",
+        withinNanos = 600L * 1000000L) // micros: the column's unit
+      .select(col("user_id"), col("id_a"), col("id_b"), col("gap_ns").as("gap_us"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Left-outer event-time interval join
+    * ([[graft.streaming.EventTimeOps.leftOuterIntervalJoin]], batch mode
+    * of the watermarked OUTER stream-stream join): every event plus its
+    * follow-ups within 10 minutes, or one sentinel row (−1) if none —
+    * the funnel drop-off detector as one operator. */
+  private def intervalJoinOuterQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", EventTimeOps.floorDivMicros(col("ts")))
+    EventTimeOps.leftOuterIntervalJoin(ev, ev, "user_id", "ts_us", "event_id",
         withinNanos = 600L * 1000000L) // micros: the column's unit
       .select(col("user_id"), col("id_a"), col("id_b"), col("gap_ns").as("gap_us"))
       .orderBy("id_a", "id_b")
@@ -1194,6 +1230,7 @@ object SparkEntry {
     "multimodal_features" -> multimodalFeatures _,
     "windowed_stats" -> windowedStatsQuery _,
     "interval_join" -> intervalJoinQuery _,
+    "interval_join_outer" -> intervalJoinOuterQuery _,
     "session_batch" -> sessionBatch _,
     "session_window_stats" -> sessionWindowStats _,
     "streaming_dedup" -> streamingDedup _,
@@ -1222,6 +1259,7 @@ object SparkEntry {
     "dsir_weights" -> dsirWeights _,
     "ks_drift" -> ksDriftQuery _,
     "triangle_counts" -> triangleCountsQuery _,
+    "mad_outliers" -> madOutliersQuery _,
   )
 
   /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
@@ -2031,12 +2069,12 @@ object SparkEntry {
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
           WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
     "prefix_jaccard_pairs" ->
-      // brute-force all-pairs 3-shingle Jaccard over the FULL dup
+      // brute-force all-pairs 5-shingle Jaccard over the FULL dup
       // fixture — the prefix filter is sound (lossless), so the filtered
       // plan equals the quadratic one exactly
       s"""WITH docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
           sh AS (SELECT doc_id,
-                   list_distinct([substr(text, i, 3) FOR i IN range(1, greatest(length(text)-2, 1)+1)]) AS s
+                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
                  FROM docs)
           SELECT id_a, id_b, jaccard FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -2203,13 +2241,44 @@ object SparkEntry {
          FROM cg JOIN ca ON cg.v = ca.v CROSS JOIN tot
          GROUP BY cg.grp, cg.n_grp, tot.n_all
          ORDER BY source""",
+    "mad_outliers" ->
+      // same exact construction: lower discrete median at rank
+      // (n+1)//2, integer deviations, strict dev > 3*mad flag
+      """WITH v AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+                    FROM documents),
+              r1 AS (SELECT source, doc_id, n_chars,
+                       CAST(row_number() OVER (PARTITION BY source
+                         ORDER BY n_chars) AS BIGINT) AS rn FROM v),
+              cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                      FROM v GROUP BY source),
+              med AS (SELECT r1.source, r1.n_chars AS med FROM r1
+                      JOIN cnt ON r1.source = cnt.source
+                       AND r1.rn = (cnt.n + 1) // 2),
+              d AS (SELECT v.source, v.doc_id, v.n_chars, med.med,
+                      abs(v.n_chars - med.med) AS dev
+                    FROM v JOIN med ON v.source = med.source),
+              r2 AS (SELECT source, dev,
+                       CAST(row_number() OVER (PARTITION BY source
+                         ORDER BY dev) AS BIGINT) AS rn FROM d),
+              mad AS (SELECT r2.source, r2.dev AS mad FROM r2
+                      JOIN cnt ON r2.source = cnt.source
+                       AND r2.rn = (cnt.n + 1) // 2)
+         SELECT d.source, d.doc_id, d.n_chars, d.med,
+                CAST(mad.mad AS BIGINT) AS mad
+         FROM d JOIN mad ON d.source = mad.source
+         WHERE d.dev > 3 * mad.mad
+         ORDER BY d.doc_id""",
     "triangle_counts" ->
       // the naive canonical u<v triple join the degree-ordered wedge
       // plan provably equals; nodes = every edge endpoint
-      """WITH e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      """WITH o AS (SELECT o_orderkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+                      AND o_orderdate < TIMESTAMP '1995-04-01'),
+              e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
                     FROM lineitem a JOIN lineitem b
                       ON a.l_orderkey = b.l_orderkey
-                     AND a.l_suppkey < b.l_suppkey),
+                     AND a.l_suppkey < b.l_suppkey
+                    JOIN o ON a.l_orderkey = o.o_orderkey),
               tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
                       FROM e e1
                       JOIN e e2 ON e2.u = e1.v
@@ -2321,6 +2390,16 @@ object SparkEntry {
          SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
                 b.us - a.us AS gap_us
          FROM e a JOIN e b
+           ON a.user_id = b.user_id AND b.us > a.us AND b.us - a.us <= 600000000
+         ORDER BY id_a, id_b""",
+    "interval_join_outer" ->
+      // LEFT JOIN twin of the watermarked outer stream-stream join;
+      // orphans carry the same -1 sentinels the operator emits
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+         SELECT a.user_id, a.event_id AS id_a,
+                CAST(coalesce(b.event_id, -1) AS BIGINT) AS id_b,
+                CAST(coalesce(b.us - a.us, -1) AS BIGINT) AS gap_us
+         FROM e a LEFT JOIN e b
            ON a.user_id = b.user_id AND b.us > a.us AND b.us - a.us <= 600000000
          ORDER BY id_a, id_b""",
     "session_batch" ->

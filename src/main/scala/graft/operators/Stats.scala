@@ -65,6 +65,44 @@ object Stats {
     * `n_g·n_r`, so below ~3·10^9 rows per side this is exact; beyond
     * that, swap the two products to DECIMAL(38,0).
     */
+  /** Robust per-group outlier detection by MEDIAN ABSOLUTE DEVIATION in
+    * exact arithmetic — the filter a pipeline runs to drop pathological
+    * documents (truncated crawls, concatenation blowups) without letting
+    * the outliers themselves move the threshold, which is exactly what a
+    * mean/stddev rule does. Medians are the LOWER discrete median (the
+    * element at rank `(n+1) div 2`, an actual data value — no
+    * interpolation, no engine-variant quantile algorithm), deviations
+    * are integer, and the flag `dev > kNum·mad div kDen` is exact —
+    * bit-identical across engines.
+    *
+    * Cost shape: two ranking windows partitioned by group (sort runs
+    * bounded by group size, never corpus-wide) and two tiny per-group
+    * (med, mad) frames broadcast back — the corpus shuffles twice on
+    * the group key, nothing else moves. */
+  def madOutliers(
+      df: DataFrame, groupCol: String, idCol: String, valueCol: String,
+      kNum: Long = 3L, kDen: Long = 1L): DataFrame = {
+    require(kNum > 0 && kDen > 0, "need a positive outlier factor")
+    val v = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      col(valueCol).cast("long").as("v"))
+    val byGrp = Window.partitionBy("grp")
+    def lowerMedian(in: DataFrame, c: String, out: String): DataFrame = {
+      val ranked = in
+        .withColumn("rn", row_number().over(byGrp.orderBy(col(c))).cast("long"))
+        .withColumn("n", count(lit(1)).over(byGrp))
+      ranked.filter(col("rn") === expr("(n + 1L) div 2L"))
+        .select(col("grp"), col(c).as(out))
+    }
+    val med = lowerMedian(v, "v", "med")
+    val dev = v.join(broadcast(med), Seq("grp"))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = lowerMedian(dev.select("grp", "dev"), "dev", "mad")
+    dev.join(broadcast(mad), Seq("grp"))
+      .filter(col("dev") * kDen > col("mad") * kNum)
+      .select(col("grp").as(groupCol), col("id").as(idCol),
+        col("v").as(valueCol), col("med"), col("mad"))
+  }
+
   def ksDrift(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val counts = df.groupBy(col(groupCol).as("grp"), col(valueCol).as("v"))
       .agg(count(lit(1)).as("cnt")) // the one big-data pass

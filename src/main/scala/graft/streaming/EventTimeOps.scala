@@ -154,7 +154,40 @@ object EventTimeOps {
   def intervalJoin(
       left: DataFrame, right: DataFrame,
       keyCol: String, tsNanosCol: String, idCol: String,
-      withinNanos: Long, watermarkDelay: String = "1 hour"): DataFrame = {
+      withinNanos: Long, watermarkDelay: String = "1 hour"): DataFrame =
+    intervalJoined(left, right, keyCol, tsNanosCol, idCol, withinNanos,
+        watermarkDelay, "inner")
+      .select(col(keyCol), col("id_a"), col("id_b"), col("gap_ns"))
+
+  /** LEFT-OUTER event-time interval join: every left event, paired with
+    * each follow-up within the window OR emitted once with sentinel −1s
+    * if none arrived — the funnel drop-off detector ("views that never
+    * got a click within 10 minutes") as ONE operator instead of a join
+    * plus an anti-join re-scan.
+    *
+    * In streaming mode this is Spark's watermarked outer stream-stream
+    * join: the event-time bound in the join condition lets the state
+    * store CLOSE a left row once the watermark passes its window, and
+    * only then emit the unmatched row — exactly-once orphan emission
+    * with O(window) state, the 100 TB shape. Batch mode is the plain
+    * left-outer join with the identical predicate, which is what the
+    * DuckDB gate replays. Unmatched rows surface as `id_b = −1`,
+    * `gap_ns = −1` (sentinels, not NULLs, so hash gates and downstream
+    * aggregations never meet an engine-specific NULL ordering). */
+  def leftOuterIntervalJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsNanosCol: String, idCol: String,
+      withinNanos: Long, watermarkDelay: String = "1 hour"): DataFrame =
+    intervalJoined(left, right, keyCol, tsNanosCol, idCol, withinNanos,
+        watermarkDelay, "left_outer")
+      .select(col(keyCol), col("id_a"),
+        coalesce(col("id_b"), lit(-1L)).as("id_b"),
+        coalesce(col("gap_ns"), lit(-1L)).as("gap_ns"))
+
+  private def intervalJoined(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsNanosCol: String, idCol: String,
+      withinNanos: Long, watermarkDelay: String, joinType: String): DataFrame = {
     require(withinNanos > 0)
     val l = watermarked(
         left.withColumn("t_a", eventTimeFromNanos(tsNanosCol)), "t_a", watermarkDelay)
@@ -168,7 +201,8 @@ object EventTimeOps {
     l.join(r,
         col("k_a") === col("k_b") &&
           col("ts_b") > col("ts_a") && col("ts_b") - col("ts_a") <= withinNanos &&
-          col("t_b") >= col("t_a") && col("t_b") <= coarseUpper)
+          col("t_b") >= col("t_a") && col("t_b") <= coarseUpper,
+        joinType)
       .select(col("k_a").as(keyCol), col("id_a"), col("id_b"),
         (col("ts_b") - col("ts_a")).as("gap_ns"))
   }

@@ -54,6 +54,25 @@ class StatsSpec extends AnyFunSuite {
     assert(dOut("hi") === ((35L, 35L)))
   }
 
+  test("madOutliers flags exactly the values beyond k MADs of the lower median") {
+    // odd n: med=14, devs sorted 0,2,2,4,86 → mad=2, flag dev>6 → only 100
+    val odd = Seq((1L, 10L), (2L, 12L), (3L, 14L), (4L, 16L), (5L, 100L))
+      .map { case (i, v) => ("g", i, v) }.toDF("src", "id", "v")
+    val oOut = Stats.madOutliers(odd, "src", "id", "v").collect()
+    assert(oOut.map(_.getLong(1)).toSet === Set(5L))
+    assert(oOut.head.getLong(3) === 14L && oOut.head.getLong(4) === 2L)
+    // even n: lower median at rank (n+1) div 2 = 2 → med=2, mad=1, flag 98
+    val even = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 100L))
+      .map { case (i, v) => ("g", i, v) }.toDF("src", "id", "v")
+    assert(Stats.madOutliers(even, "src", "id", "v")
+      .collect().map(_.getLong(1)).toSet === Set(4L))
+    // mad = 0 (over half identical): ANY deviation flags
+    val flat = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 9L))
+      .map { case (i, v) => ("g", i, v) }.toDF("src", "id", "v")
+    assert(Stats.madOutliers(flat, "src", "id", "v")
+      .collect().map(_.getLong(1)).toSet === Set(4L))
+  }
+
   test("ksDrift is invariant to input partitioning") {
     val rnd = new scala.util.Random(7)
     val rows = Seq.tabulate(300)(i =>

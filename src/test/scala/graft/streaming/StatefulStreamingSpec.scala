@@ -111,6 +111,47 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join: orphans emit once the watermark closes their window") {
+    val base = 24.0 // hours past epoch, same reasoning as the inner test
+    val events = Seq(
+      (1L, ((base + 0.00) * H).toLong, 100L), (1L, ((base + 0.05) * H).toLong, 101L),
+      (1L, ((base + 0.30) * H).toLong, 102L), (2L, ((base + 0.02) * H).toLong, 200L))
+    val within = 600L * 1000000000L // 10 minutes
+
+    val batch = {
+      val df = events.toDF("user_id", "ts", "event_id")
+      EventTimeOps.leftOuterIntervalJoin(df, df, "user_id", "ts", "event_id", within)
+        .select("id_a", "id_b", "gap_ns").as[(Long, Long, Long)].collect().toSet
+    }
+    // one real pair; every event without a follow-up inside 10m orphans
+    assert(batch === Set(
+      (100L, 101L, (0.05 * H).toLong),
+      (101L, -1L, -1L), (102L, -1L, -1L), (200L, -1L, -1L)))
+
+    val inL = MemoryStream[(Long, Long, Long)](spark)
+    val inR = MemoryStream[(Long, Long, Long)](spark)
+    val dfL = inL.toDF().toDF("user_id", "ts", "event_id")
+    val dfR = inR.toDF().toDF("user_id", "ts", "event_id")
+    val joined = EventTimeOps.leftOuterIntervalJoin(dfL, dfR, "user_id", "ts",
+      "event_id", within, watermarkDelay = "2 hours")
+    val q = memSink(joined.select("id_a", "id_b", "gap_ns"), "loij_stream", "append")
+    try {
+      inL.addData(events.take(2)); inR.addData(events.take(2))
+      processAll(q)
+      inL.addData(events.drop(2)); inR.addData(events.drop(2))
+      processAll(q)
+      // orphan rows only emit when the watermark passes their window:
+      // push it with a far-future row on both sides (whose own orphan
+      // stays open — the streaming contract, so it's not in the batch set)
+      val pusher = Seq((9L, ((base + 10.0) * H).toLong, 900L))
+      inL.addData(pusher); inR.addData(pusher)
+      processAll(q); processAll(q)
+      val streamed = spark.table("loij_stream").as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        "outer stream-stream join must equal the batch twin once windows close")
+    } finally q.stop()
+  }
+
   test("windowedStats batch twin computes the same finalized windows") {
     val batch = Seq(ev(1, 0.10), ev(2, 0.50), ev(1, 1.10), ev(3, 2.0), ev(3, 5.0))
       .toDF().select(col("userId").as("user_id"), col("tsNanos").as("ts"),
