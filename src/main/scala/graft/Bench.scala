@@ -73,9 +73,34 @@ object Bench {
       approx(); results("approx_distinct_counts") = median3(approx())
     }
 
-    results ++= medianScenarios(3)(() => storeScenarioRep(spark))
-    results ++= medianScenarios(3)(() => jdbcScenarioRep(spark))
-    results ++= streamingScenarios(spark)
+    // A scenario failure must not zero the whole artifact (round 7 lost
+    // every number to one uncaught analysis error): record -1 for the
+    // family, print the stack for the round log, keep going.
+    def guarded(names: Seq[String])(f: => Seq[(String, Double)]): Seq[(String, Double)] =
+      try f
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] scenario family ${names.head}… failed: $e")
+          e.printStackTrace()
+          names.map(_ -> -1.0)
+      }
+
+    results ++= guarded(Seq("store_append_2k_msgs", "store_read_all_scan",
+        "store_subscription_catchup", "store_scavenge_200_appends",
+        "store_delete_20_msgs", "store_reopen_recovery")) {
+      medianScenarios(3)(() => storeScenarioRep(spark))
+    }
+    results ++= guarded(Seq("jdbc_append_2k_msgs", "jdbc_read_all_scan",
+        "jdbc_spark_partitioned_read")) {
+      medianScenarios(3)(() => jdbcScenarioRep(spark))
+    }
+    results ++= guarded(Seq("streaming_session_replay", "streaming_window_replay",
+        "streaming_interval_replay")) {
+      streamingScenarios(spark)
+    }
+    results ++= guarded(Seq("http_read_all_scan")) {
+      httpScenarios(spark)
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
@@ -289,9 +314,70 @@ object Bench {
       finally q.stop()
     }
 
+    // stream-stream interval join over the same replay: BOTH sides fed
+    // from the events table, watermark-closed state (O(window) per key,
+    // never O(history)) — the measured number the O(window) state claim
+    // was missing (round-6 verdict #5)
+    val intervalSec = time {
+      val inL = MemoryStream[graft.streaming.LogEvent](spark)
+      val inR = MemoryStream[graft.streaming.LogEvent](spark)
+      def shape(ds: org.apache.spark.sql.Dataset[graft.streaming.LogEvent]) =
+        ds.toDF().select(
+          col("userId").as("user_id"), col("tsNanos").as("ts_ns"),
+          col("tsNanos").as("eid"))
+      val joined = EventTimeOps.intervalJoin(
+        shape(inL.toDS()), shape(inR.toDS()),
+        "user_id", "ts_ns", "eid", withinNanos = 600L * 1000000000L)
+      val q = joined.writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", checkpoint()).start()
+      try batches.foreach { b =>
+        inL.addData(b.toIndexedSeq); inR.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+
     checkpoints.foreach(deleteRecursively)
     Seq(
       "streaming_session_replay" -> sessionSec,
-      "streaming_window_replay" -> windowSec)
+      "streaming_window_replay" -> windowSec,
+      "streaming_interval_replay" -> intervalSec)
+  }
+
+  /** End-to-end HTTP surface throughput (ref: `src/LoadTests/` exercises
+    * the HTTP client the same way): a parquet-backed store behind
+    * [[graft.http.StreamStoreHttpServer]], scanned page-by-page through
+    * [[graft.http.HttpStreamStore]] — server JSON encode + client decode
+    * + pagination, the last unmeasured surface. Appends go straight to
+    * the backing store (append cost is store_append_2k_msgs' number);
+    * the scenario times the wire read. */
+  private def httpScenarios(spark: SparkSession): Seq[(String, Double)] = {
+    import graft.core._
+    import graft.store.SparkStreamStore
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-http").toString
+    val store = new SparkStreamStore(spark, dir)
+    def mid(n: Int) = f"00000000-0000-0000-0000-$n%012d"
+    val payload = """{"data":"""" + "x" * 256 + """"}"""
+    val nMsgs = 2000
+    (0 until nMsgs / 100).foreach { b =>
+      store.appendToStream(s"stream-${b % 8}", ExpectedVersion.Any,
+        (0 until 100).map(i => NewStreamMessage(mid(b * 100 + i), "t", payload)))
+    }
+    val server = new graft.http.StreamStoreHttpServer(store)
+    val client = new graft.http.HttpStreamStore(server.baseUrl)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def scan(): Unit = {
+      var page = client.readAllForwards(Position.Start, maxCount = 200)
+      var n = page.messages.size
+      while (!page.isEnd) { page = page.readNext(); n += page.messages.size }
+      require(n == nMsgs, s"http scan saw $n messages")
+    }
+    scan() // warm
+    val ts = IndexedSeq(time(scan()), time(scan()), time(scan())).sorted
+    client.close(); server.close(); store.close()
+    deleteRecursively(dir)
+    Seq("http_read_all_scan" -> ts(1))
   }
 }

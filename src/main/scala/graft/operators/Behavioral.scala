@@ -39,24 +39,32 @@ object Behavioral {
       events: DataFrame, idCol: String, typeCol: String, tsCol: String,
       steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val ev = events.select(col(idCol), col(typeCol), col(tsCol))
+    funnelFrontiers(events, idCol, typeCol, tsCol, steps)
+      .zip(steps).zipWithIndex.map { case ((f, step), i) =>
+        f.agg(count(lit(1)).as("entities"))
+          .select(lit(i + 1).cast("int").as("step"),
+            lit(step).as("event_type"), col("entities"))
+      }.reduce(_.unionAll(_))
+  }
 
-    // frontier(i): one row per entity that completed steps 0..i, with the
-    // earliest completion time of step i given the step i-1 anchor
+  /** The funnel's per-step frontier frames — frontier(i) has one row per
+    * entity that completed steps 0..i, with the earliest completion time
+    * of step i given the step i−1 anchor. Exposed so the exchange-free
+    * claim over a bucketed-by-id layout is a pinned plan-shape test
+    * (PlanShapeSpec), not a doc-comment assertion. */
+  def funnelFrontiers(
+      events: DataFrame, idCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String]): Seq[DataFrame] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col(idCol), col(typeCol), col(tsCol))
     val first = ev.filter(col(typeCol) === steps.head)
       .groupBy(idCol).agg(min(tsCol).as("t"))
-    val frontiers = steps.tail.scanLeft(first) { (prev, step) =>
+    steps.tail.scanLeft(first) { (prev, step) =>
       ev.filter(col(typeCol) === step)
         .join(prev.select(col(idCol), col("t").as("prev_t")), idCol)
         .filter(col(tsCol) > col("prev_t"))
         .groupBy(idCol).agg(min(tsCol).as("t"))
     }
-
-    frontiers.zip(steps).zipWithIndex.map { case ((f, step), i) =>
-      f.agg(count(lit(1)).as("entities"))
-        .select(lit(i + 1).cast("int").as("step"),
-          lit(step).as("event_type"), col("entities"))
-    }.reduce(_.unionAll(_))
   }
 
   /** Cohort retention: entities are cohorted by the epoch-week of their

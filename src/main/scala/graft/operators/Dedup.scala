@@ -177,9 +177,15 @@ object Dedup {
   }
 
   /** Jaccard similarity of two precomputed distinct shingle-hash arrays:
-    * |∩| / (|A| + |B| − |∩|). Intersects longs, never re-shingles text. */
+    * |∩| / (|A| + |B| − |∩|). Arrays must be SORTED — [[shingleHashes]]
+    * sorts at construction, so every caller holds the invariant — which
+    * lets the intersect run as a native linear merge
+    * ([[graft.functions.TextHash.sortedIntersectCount]]) instead of
+    * `array_intersect`'s per-row hash set: at millions of verify pairs
+    * (prefix_jaccard_pairs' 13M on the dense bench fixture) the hash-set
+    * allocation was the dominant term. */
   def jaccardFromHashSets(sa: Column, sb: Column): Column = {
-    val inter = size(array_intersect(sa, sb)).cast("double")
+    val inter = graft.functions.TextHash.sortedIntersectCount(sa, sb).cast("double")
     inter / (size(sa).cast("double") + size(sb).cast("double") - inter)
   }
 

@@ -1,6 +1,6 @@
 package graft.store
 
-import java.sql.{Connection, DriverManager, PreparedStatement, ResultSet, SQLException}
+import java.sql.{Connection, PreparedStatement, ResultSet, SQLException}
 
 /** Statement plumbing shared by the embedded-Derby stores
   * ([[JdbcStreamStore]], [[DerbyHeadStore]]): prepared-statement
@@ -19,6 +19,10 @@ import java.sql.{Connection, DriverManager, PreparedStatement, ResultSet, SQLExc
   */
 private[store] trait JdbcPlumbing {
   protected def conn: Connection
+
+  /** Engine dialect: classifies "already exists" for [[ddl]] and owns
+    * any embedded-shutdown behavior. Derby unless overridden. */
+  protected def sqlDialect: SqlDialect = SqlDialect.Derby
 
   private val stmtCache =
     new java.util.LinkedHashMap[String, PreparedStatement](32, 0.75f, true) {
@@ -80,21 +84,19 @@ private[store] trait JdbcPlumbing {
     val v = rs.getInt(idx); if (rs.wasNull()) None else Some(v)
   }
 
-  /** Execute DDL, tolerating "already exists" (Derby SQLState X0Y32).
-    * Returns true when this call created the object. */
+  /** Execute DDL, tolerating "already exists" (as [[sqlDialect]]
+    * classifies it). Returns true when this call created the object. */
   protected final def ddl(sql: String): Boolean = {
     val st = conn.createStatement()
     try { st.executeUpdate(sql); true }
-    catch { case e: SQLException if e.getSQLState == "X0Y32" => false }
+    catch { case e: SQLException if sqlDialect.isAlreadyExists(e) => false }
     finally st.close()
   }
 
-  /** Shut down one embedded Derby database so its file locks release; a
-    * SUCCESSFUL shutdown signals via SQLState 08006. */
+  /** Shut down one embedded database so its file locks release —
+    * delegates to the dialect (no-op for client/server engines). */
   protected final def derbyShutdown(jdbcUrl: String): Unit =
-    if (jdbcUrl.startsWith("jdbc:derby:"))
-      try DriverManager.getConnection(jdbcUrl.takeWhile(_ != ';') + ";shutdown=true")
-      catch { case e: SQLException if e.getSQLState == "08006" => () case _: SQLException => () }
+    sqlDialect.shutdown(jdbcUrl)
 }
 
 private[store] object JdbcPlumbing {

@@ -54,10 +54,16 @@ final class JdbcStreamStore(
     val spark: SparkSession,
     jdbcUrl: String,
     clock: Clock = Clock.System,
-    trackDeletes: Boolean = true)
+    trackDeletes: Boolean = true,
+    dialect: Option[SqlDialect] = None)
   extends StreamStore with JdbcPlumbing {
 
   import JdbcStreamStore._
+
+  /** Engine dialect — resolved from the URL unless injected (the seam
+    * that carries every engine-variant construct; see [[SqlDialect]]). */
+  override protected val sqlDialect: SqlDialect =
+    dialect.getOrElse(SqlDialect.forUrl(jdbcUrl))
 
   protected val conn: Connection = {
     JdbcStreamStore.ensureDerbyHome()
@@ -213,14 +219,15 @@ final class JdbcStreamStore(
     val idInternal = nextIdInternal
     nextIdInternal += 1
     writeCounter("next_id_internal", nextIdInternal)
-    update(s"INSERT INTO $StreamsTable (id, id_original, id_internal, version, position, max_age, max_count) VALUES (?,?,?,?,?,?,?)") { ps =>
+    update(s"INSERT INTO $StreamsTable (id, id_original, id_original_reversed, id_internal, version, position, max_age, max_count) VALUES (?,?,?,?,?,?,?,?)") { ps =>
       ps.setString(1, dbId(streamId))
       ps.setString(2, streamId)
-      ps.setLong(3, idInternal)
-      ps.setInt(4, StreamVersion.End)
-      ps.setLong(5, Position.End)
-      setOptInt(ps, 6, maxAge)
-      setOptInt(ps, 7, maxCount)
+      ps.setString(3, reversed(streamId))
+      ps.setLong(4, idInternal)
+      ps.setInt(5, StreamVersion.End)
+      ps.setLong(6, Position.End)
+      setOptInt(ps, 7, maxAge)
+      setOptInt(ps, 8, maxCount)
     }
     HeadRow(streamId, idInternal, StreamVersion.End, Position.End, maxAge, maxCount)
   }
@@ -247,7 +254,7 @@ final class JdbcStreamStore(
   /** First `limit` (version, messageId) pairs in version order. */
   private def firstIds(head: HeadRow, limit: Int): IndexedSeq[(Int, String)] =
     if (limit <= 0) Vector.empty
-    else query(s"SELECT stream_version, message_id FROM $MessagesTable WHERE stream_id_internal=? ORDER BY stream_version FETCH FIRST $limit ROWS ONLY") {
+    else query(s"SELECT stream_version, message_id FROM $MessagesTable WHERE stream_id_internal=? ORDER BY stream_version ${sqlDialect.limitClause(limit)}") {
       ps => ps.setLong(1, head.idInternal)
     } { rs => (rs.getInt(1), rs.getString(2)) }
 
@@ -255,7 +262,7 @@ final class JdbcStreamStore(
     * version order — the stored run an exact-suffix replay must match. */
   private def sliceFrom(head: HeadRow, fromVersion: Int, limit: Int): IndexedSeq[(Int, String)] =
     if (limit <= 0) Vector.empty
-    else query(s"SELECT stream_version, message_id FROM $MessagesTable WHERE stream_id_internal=? AND stream_version >= ? ORDER BY stream_version FETCH FIRST $limit ROWS ONLY") {
+    else query(s"SELECT stream_version, message_id FROM $MessagesTable WHERE stream_id_internal=? AND stream_version >= ? ORDER BY stream_version ${sqlDialect.limitClause(limit)}") {
       ps => ps.setLong(1, head.idInternal); ps.setInt(2, fromVersion)
     } { rs => (rs.getInt(1), rs.getString(2)) }
 
@@ -290,7 +297,7 @@ final class JdbcStreamStore(
   // ------------------------------------------------------------------
 
   private def selectSql(prefetch: Boolean): String = {
-    val dataCol = if (prefetch) "m.json_data" else "CAST(NULL AS CLOB)"
+    val dataCol = if (prefetch) "m.json_data" else sqlDialect.nullText
     s"SELECT s.id_original, m.message_id, m.stream_version, m.position, m.created_micros, m.msg_type, $dataCol, m.json_metadata, s.max_age " +
       s"FROM $MessagesTable m JOIN $StreamsTable s ON s.id_internal = m.stream_id_internal"
   }
@@ -331,7 +338,7 @@ final class JdbcStreamStore(
   override def readAllForwards(from: Long, maxCount: Int, prefetch: Boolean): ReadAllPage = synchronized {
     require(maxCount > 0)
     val fromPos = if (from == Position.End) Long.MaxValue else from
-    val rows = inTx(query(selectSql(prefetch) + s" WHERE m.position >= ? ORDER BY m.position FETCH FIRST ${maxCount + 1} ROWS ONLY") {
+    val rows = inTx(query(selectSql(prefetch) + s" WHERE m.position >= ? ORDER BY m.position ${sqlDialect.limitClause(maxCount + 1)}") {
       ps => ps.setLong(1, fromPos)
     }(readMsg))
     val isEnd = rows.length <= maxCount
@@ -348,7 +355,7 @@ final class JdbcStreamStore(
   override def readAllBackwards(from: Long, maxCount: Int, prefetch: Boolean): ReadAllPage = synchronized {
     require(maxCount > 0)
     val fromPos = if (from == Position.End) Long.MaxValue else from
-    val rows = inTx(query(selectSql(prefetch) + s" WHERE m.position <= ? ORDER BY m.position DESC FETCH FIRST ${maxCount + 1} ROWS ONLY") {
+    val rows = inTx(query(selectSql(prefetch) + s" WHERE m.position <= ? ORDER BY m.position DESC ${sqlDialect.limitClause(maxCount + 1)}") {
       ps => ps.setLong(1, fromPos)
     }(readMsg))
     if (rows.isEmpty)
@@ -373,7 +380,7 @@ final class JdbcStreamStore(
           () => readStreamForwards(streamId, fromVersion, maxCount, prefetch))
       case Some(head) =>
         val fromV = math.max(fromVersion, 0)
-        val rows = inTx(query(selectSql(prefetch) + s" WHERE m.stream_id_internal = ? AND m.stream_version >= ? ORDER BY m.stream_version FETCH FIRST ${maxCount + 1} ROWS ONLY") {
+        val rows = inTx(query(selectSql(prefetch) + s" WHERE m.stream_id_internal = ? AND m.stream_version >= ? ORDER BY m.stream_version ${sqlDialect.limitClause(maxCount + 1)}") {
           ps => ps.setLong(1, head.idInternal); ps.setInt(2, fromV)
         }(readMsg))
         val isEnd = rows.length <= maxCount
@@ -395,7 +402,7 @@ final class JdbcStreamStore(
           () => readStreamBackwards(streamId, fromVersion, maxCount, prefetch))
       case Some(head) =>
         val fromV = if (fromVersion == StreamVersion.End) Int.MaxValue else fromVersion
-        val rows = inTx(query(selectSql(prefetch) + s" WHERE m.stream_id_internal = ? AND m.stream_version <= ? ORDER BY m.stream_version DESC FETCH FIRST ${maxCount + 1} ROWS ONLY") {
+        val rows = inTx(query(selectSql(prefetch) + s" WHERE m.stream_id_internal = ? AND m.stream_version <= ? ORDER BY m.stream_version DESC ${sqlDialect.limitClause(maxCount + 1)}") {
           ps => ps.setLong(1, head.idInternal); ps.setInt(2, fromV)
         }(readMsg))
         val isEnd = rows.length <= maxCount
@@ -523,7 +530,7 @@ final class JdbcStreamStore(
 
   private def latestMetadataMessage(streamId: String): Option[(Int, String)] =
     selectHead(MetadataStream.of(streamId)).flatMap { h =>
-      query(s"SELECT stream_version, json_data FROM $MessagesTable WHERE stream_id_internal=? ORDER BY stream_version DESC FETCH FIRST 1 ROWS ONLY") {
+      query(s"SELECT stream_version, json_data FROM $MessagesTable WHERE stream_id_internal=? ORDER BY stream_version DESC ${sqlDialect.limitClause(1)}") {
         ps => ps.setLong(1, h.idInternal)
       } { rs => (rs.getInt(1), rs.getString(2)) }.headOption
     }
@@ -540,10 +547,14 @@ final class JdbcStreamStore(
     val (patternSql, patternArg) = pattern match {
       case Pattern.Anything => ("", None)
       case Pattern.StartsWith(p) => (" AND id_original LIKE ? ESCAPE '!'", Some(escapeLike(p) + "%"))
-      case Pattern.EndsWith(p) => (" AND id_original LIKE ? ESCAPE '!'", Some("%" + escapeLike(p)))
+      // suffix match = indexed PREFIX scan on the reversed column (v2;
+      // ref MsSql V3's IdOriginalReversed, ScriptsV3/CreateSchema.sql:50-64):
+      // a leading-wildcard LIKE can never use an index, the reversed form can
+      case Pattern.EndsWith(p) =>
+        (" AND id_original_reversed LIKE ? ESCAPE '!'", Some(escapeLike(reversed(p)) + "%"))
     }
     val rows = inTx(query(
-      s"SELECT id_original, id_internal FROM $StreamsTable WHERE id_internal > ?$patternSql ORDER BY id_internal FETCH FIRST $maxCount ROWS ONLY") { ps =>
+      s"SELECT id_original, id_internal FROM $StreamsTable WHERE id_internal > ?$patternSql ORDER BY id_internal ${sqlDialect.limitClause(maxCount)}") { ps =>
       ps.setLong(1, afterId)
       patternArg.foreach(ps.setString(2, _))
     } { rs => (rs.getString(1), rs.getLong(2)) })
@@ -671,7 +682,7 @@ final class JdbcStreamStore(
   /** The DDL this store executes at open, for DBA-managed deployments
     * (ref: `SchemaCreationScriptTool/Program.cs`,
     * `PostgresStreamStore.cs:258` `GetSchemaCreationScript`). */
-  def schemaCreationScript: String = JdbcStreamStore.schemaCreationScript
+  def schemaCreationScript: String = JdbcStreamStore.schemaCreationScript(sqlDialect)
 
   /** Bring this database's schema to [[CurrentSchemaVersion]], one
     * versioned step at a time (ref: `MigrateProgress.cs`,
@@ -696,21 +707,73 @@ final class JdbcStreamStore(
   }
 
   private def migrationStep(from: Int): Unit = from match {
-    // v0 (pre-versioning / partial creation) → v1: object set is identical;
-    // complete whatever is missing, tolerate whatever exists
-    case 0 => CreationDdl.foreach(ddl)
+    // v0 (pre-versioning / partial creation) → v1: complete whatever v1
+    // objects are missing, tolerate whatever exists
+    case 0 => creationDdlV1(sqlDialect).foreach(ddl)
+    // v1 → v2: add the reversed-id column, BACKFILL it from id_original
+    // (real data movement — keyset-paged so memory stays bounded at any
+    // stream count, the shape of the reference's `MigrateProgress.cs`
+    // batch loop), then index it for suffix-listing pushdown
+    case 1 =>
+      if (!columnExists(StreamsTable, "id_original_reversed"))
+        ddl(s"ALTER TABLE $StreamsTable ADD COLUMN id_original_reversed VARCHAR(1000)")
+      var after = -1L
+      var page = backfillPage(after)
+      while (page.nonEmpty) {
+        val upd = cachedStatement(
+          s"UPDATE $StreamsTable SET id_original_reversed=? WHERE id_internal=?")
+        page.foreach { case (idInternal, idOriginal) =>
+          upd.setString(1, reversed(idOriginal)); upd.setLong(2, idInternal); upd.addBatch()
+        }
+        upd.executeBatch()
+        after = page.last._1
+        page = backfillPage(after)
+      }
+      ddl(s"CREATE INDEX ${StreamsTable}_rev ON $StreamsTable(id_original_reversed)")
     case v => throw new IllegalStateException(s"no migration defined from schema version $v")
   }
 
-  /** Stamp the version only for a FULLY fresh creation: every object was
-    * created by this call AND no version row exists. A partially-created
-    * schema (crash mid-DDL) or a pre-versioning database keeps reporting
-    * version 0 from [[checkSchema]], and [[migrate]] is the defined way
-    * forward — never a silent retro-stamp on reopen. */
+  private def backfillPage(after: Long): IndexedSeq[(Long, String)] =
+    query(s"SELECT id_internal, id_original FROM $StreamsTable WHERE id_internal > ? AND id_original_reversed IS NULL ORDER BY id_internal ${sqlDialect.limitClause(MigrateBatch)}") {
+      ps => ps.setLong(1, after)
+    } { rs => (rs.getLong(1), rs.getString(2)) }
+
+  private def tableExists(table: String): Boolean = {
+    val md = conn.getMetaData
+    Seq(table.toUpperCase, table.toLowerCase, table).distinct.exists { t =>
+      val rs = md.getTables(null, null, t, null)
+      try rs.next() finally rs.close()
+    }
+  }
+
+  private def columnExists(table: String, column: String): Boolean = {
+    val md = conn.getMetaData
+    (for {
+      t <- Seq(table.toUpperCase, table.toLowerCase, table).distinct
+      c <- Seq(column.toUpperCase, column.toLowerCase, column).distinct
+    } yield (t, c)).exists { case (t, c) =>
+      val rs = md.getColumns(null, null, t, c)
+      try rs.next() finally rs.close()
+    }
+  }
+
+  /** Fresh database (no streams table): create the CURRENT schema and
+    * stamp it — but only when every object was created by this call AND
+    * no version row exists (a crash mid-DDL keeps reporting version 0,
+    * and [[migrate]] is the defined way forward — never a silent
+    * retro-stamp on reopen). An EXISTING database is left untouched: its
+    * stamp tells [[checkSchema]] the story, and an old-version database
+    * must [[migrate]] before writes (the reference's documented
+    * contract) — only the counters table is completed so the version
+    * check itself can run on crash-partial databases. */
   private def createSchema(): Unit = synchronized {
-    val created = CreationDdl.map(ddl)
-    if (created.forall(identity) && readCounter(SchemaVersionKey, 0L) == 0L)
-      writeCounter(SchemaVersionKey, CurrentSchemaVersion.toLong)
+    if (!tableExists(StreamsTable)) {
+      val created = creationDdl(sqlDialect).map(ddl)
+      if (created.forall(identity) && readCounter(SchemaVersionKey, 0L) == 0L)
+        writeCounter(SchemaVersionKey, CurrentSchemaVersion.toLong)
+    } else {
+      creationDdlV1(sqlDialect).filter(_.contains(CountersTable)).foreach(ddl)
+    }
     conn.commit()
   }
 
@@ -729,10 +792,22 @@ object JdbcStreamStore {
   /** Max ids per IN-list when probing stored message ids. */
   private val IdProbeChunk = 256
 
+  /** Rows per keyset page during the v1→v2 backfill. */
+  private val MigrateBatch = 1000
+
   /** Version this code writes when it creates a schema; bump on any DDL
-    * change (ref: `MsSqlStreamStoreV3` `CurrentVersion`). */
-  val CurrentSchemaVersion = 1
+    * change (ref: `MsSqlStreamStoreV3` `CurrentVersion`). v2 added
+    * `id_original_reversed` + its index (suffix ListStreams pushdown —
+    * the reference's MsSql V3 made the same move with its computed
+    * `IdOriginalReversed` column, `ScriptsV3/CreateSchema.sql:50-64`). */
+  val CurrentSchemaVersion = 2
   private val SchemaVersionKey = "schema_version"
+
+  /** Surrogate-pair-aware string reversal — the ONE definition used both
+    * to fill `id_original_reversed` and to reverse EndsWith patterns, so
+    * the prefix match can never disagree with the stored form. */
+  private[store] def reversed(s: String): String =
+    new java.lang.StringBuilder(s).reverse.toString
 
   /** Two-table star + counters (ref: Tables.sql:4-47); id_internal is the
     * surrogate FK keeping message-index keys fixed-width, and `id` is the
@@ -743,7 +818,10 @@ object JdbcStreamStore {
     * (stream, message_id) index is unique, as the reference's
     * uq_stream_id_internal_and_message_id (Tables.sql:45) — it backs the
     * O(batch) idempotency probes. */
-  private val CreationDdl: Seq[String] = Seq(
+  /** The v1 object set — what a pre-v2 database contains; kept as the
+    * 0→1 migration step's target and as the test fixture for real v1→v2
+    * upgrades. Text columns use the dialect's unbounded type. */
+  private[store] def creationDdlV1(d: SqlDialect): Seq[String] = Seq(
     s"""CREATE TABLE $StreamsTable (
        |  id VARCHAR(64) NOT NULL PRIMARY KEY,
        |  id_original VARCHAR(1000) NOT NULL,
@@ -760,16 +838,34 @@ object JdbcStreamStore {
        |  message_id VARCHAR(64) NOT NULL,
        |  created_micros BIGINT NOT NULL,
        |  msg_type VARCHAR(1000),
-       |  json_data CLOB,
-       |  json_metadata CLOB)""".stripMargin,
+       |  json_data ${d.textType},
+       |  json_metadata ${d.textType})""".stripMargin,
     s"CREATE UNIQUE INDEX ${MessagesTable}_sv ON $MessagesTable(stream_id_internal, stream_version)",
     s"CREATE UNIQUE INDEX ${MessagesTable}_mid ON $MessagesTable(stream_id_internal, message_id)",
     s"""CREATE TABLE $CountersTable (
        |  k VARCHAR(64) NOT NULL PRIMARY KEY,
        |  v BIGINT NOT NULL)""".stripMargin)
 
+  /** v2 additions: the reversed-id column + its index, which turn
+    * `ListStreams(EndsWith)` from a full suffix scan into an indexed
+    * prefix range scan on the reversed form. */
+  private[store] def additionDdlV2: Seq[String] = Seq(
+    s"ALTER TABLE $StreamsTable ADD COLUMN id_original_reversed VARCHAR(1000)",
+    s"CREATE INDEX ${StreamsTable}_rev ON $StreamsTable(id_original_reversed)")
+
+  /** Current-version creation DDL (fresh databases are born at v2: the
+    * column rides the CREATE TABLE, then the index). */
+  private[store] def creationDdl(d: SqlDialect): Seq[String] =
+    creationDdlV1(d).map {
+      case t if t.startsWith(s"CREATE TABLE $StreamsTable") =>
+        t.replace("  max_count INT)", "  max_count INT,\n  id_original_reversed VARCHAR(1000))")
+      case t => t
+    } :+ s"CREATE INDEX ${StreamsTable}_rev ON $StreamsTable(id_original_reversed)"
+
   /** The creation DDL as one script (ref: `SchemaCreationScriptTool`). */
-  def schemaCreationScript: String = CreationDdl.mkString(";\n\n") + ";\n"
+  def schemaCreationScript: String = schemaCreationScript(SqlDialect.Derby)
+  def schemaCreationScript(d: SqlDialect): String =
+    creationDdl(d).mkString(";\n\n") + ";\n"
 
   /** Result of [[JdbcStreamStore.checkSchema]] (ref:
     * `SqlStreamStore.Postgres/CheckSchemaResult.cs:5-16`). */

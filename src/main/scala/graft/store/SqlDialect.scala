@@ -1,0 +1,109 @@
+package graft.store
+
+import java.sql.SQLException
+
+/** The complete list of syntax points where [[JdbcStreamStore]]'s
+  * otherwise-ANSI SQL varies across engines — the seam that substantiates
+  * the "any JDBC database" claim (SURVEY §1.4) without forking the store
+  * per engine the way the reference ships five parallel providers
+  * (`reference/src/SqlStreamStore.MsSql/ScriptsV3/CreateSchema.sql:11-80`,
+  * `SqlStreamStore.MySql/`, `SqlStreamStore.Postgres/`…). Everything
+  * else the store emits — joins, keyset predicates, `LIKE … ESCAPE`,
+  * batch inserts, the two-table star DDL shape — is ANSI that all target
+  * engines parse identically; an audit of the store's SQL text found
+  * exactly these four divergence points:
+  *
+  *   1. the row-limit suffix (`FETCH FIRST n ROWS ONLY` vs `LIMIT n`),
+  *   2. the unbounded-text column type (`CLOB` / `TEXT` / `LONGTEXT`),
+  *   3. how "object already exists" surfaces from DDL (SQLState or
+  *      vendor code — needed for existence-tolerant schema creation),
+  *   4. embedded-engine shutdown (Derby's per-database handshake).
+  *
+  * [[JdbcStreamStore]] resolves the dialect from the JDBC URL by default
+  * ([[SqlDialect.forUrl]]) and accepts an explicit one for engines not
+  * listed here. Only Derby ships in this zero-egress image, so the
+  * acceptance matrix runs the full shared suite through the seam on
+  * Derby, while the Postgres/MySQL dialects are pinned at the SQL-text
+  * level by JdbcDialectSpec (limit clause, DDL types, error
+  * classification) — the store never emits any other engine-variant
+  * construct, so that is the entire per-engine surface.
+  */
+trait SqlDialect {
+  def name: String
+
+  /** Row-limit suffix appended after ORDER BY; `n` is an inline literal
+    * (page sizes come from a small fixed set, so statement-cache texts
+    * stay bounded). */
+  def limitClause(n: String): String
+  final def limitClause(n: Int): String = limitClause(n.toString)
+
+  /** Unbounded text type for DDL (message payloads/metadata). */
+  def textType: String
+
+  /** A NULL typed as [[textType]], for the no-prefetch SELECT alias. */
+  def nullText: String = s"CAST(NULL AS $textType)"
+
+  /** Whether a DDL failure means "object already exists" (the store's
+    * schema creation is existence-tolerant, re-runnable after a crash). */
+  def isAlreadyExists(e: SQLException): Boolean
+
+  /** Per-database shutdown for embedded engines (releases file locks);
+    * no-op for client/server engines. */
+  def shutdown(jdbcUrl: String): Unit = ()
+}
+
+object SqlDialect {
+
+  /** Embedded Apache Derby — the dialect the full acceptance suite runs
+    * against in this image. */
+  object Derby extends SqlDialect {
+    val name = "derby"
+    def limitClause(n: String): String = s"FETCH FIRST $n ROWS ONLY"
+    val textType = "CLOB"
+    def isAlreadyExists(e: SQLException): Boolean = e.getSQLState == "X0Y32"
+    override def shutdown(jdbcUrl: String): Unit =
+      if (jdbcUrl.startsWith("jdbc:derby:"))
+        try java.sql.DriverManager.getConnection(
+          jdbcUrl.takeWhile(_ != ';') + ";shutdown=true")
+        catch {
+          // a SUCCESSFUL single-database shutdown signals via 08006
+          case e: SQLException if e.getSQLState == "08006" => ()
+          case _: SQLException => ()
+        }
+  }
+
+  /** PostgreSQL (SQLStates per the engine's documented error-code
+    * appendix: 42P07 duplicate_table, 42710 duplicate_object). */
+  object Postgres extends SqlDialect {
+    val name = "postgresql"
+    def limitClause(n: String): String = s"LIMIT $n"
+    val textType = "TEXT"
+    def isAlreadyExists(e: SQLException): Boolean =
+      e.getSQLState == "42P07" || e.getSQLState == "42710"
+  }
+
+  /** MySQL / MariaDB (SQLState 42S01 = table already exists; LONGTEXT is
+    * the unbounded string type — TEXT caps at 64 KiB there). */
+  object MySql extends SqlDialect {
+    val name = "mysql"
+    def limitClause(n: String): String = s"LIMIT $n"
+    val textType = "LONGTEXT"
+    def isAlreadyExists(e: SQLException): Boolean = e.getSQLState == "42S01"
+  }
+
+  /** Dialect for a JDBC URL; unknown engines get Derby's ANSI forms
+    * (FETCH FIRST and CLOB are the standard spellings) minus its
+    * embedded-shutdown behavior. */
+  object Ansi extends SqlDialect {
+    val name = "ansi"
+    def limitClause(n: String): String = s"FETCH FIRST $n ROWS ONLY"
+    val textType = "CLOB"
+    def isAlreadyExists(e: SQLException): Boolean = false
+  }
+
+  def forUrl(jdbcUrl: String): SqlDialect =
+    if (jdbcUrl.startsWith("jdbc:derby:")) Derby
+    else if (jdbcUrl.startsWith("jdbc:postgresql:")) Postgres
+    else if (jdbcUrl.startsWith("jdbc:mysql:") || jdbcUrl.startsWith("jdbc:mariadb:")) MySql
+    else Ansi
+}

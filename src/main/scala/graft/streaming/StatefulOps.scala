@@ -42,14 +42,21 @@ case class SessionAcc(startNs: Long, lastNs: Long, n: Long, sumMicros: Long)
   */
 object StatefulOps {
 
-  /** DataFrame (events-table shape: user_id, ts, event_type, value — ts as
-    * nanos long) → typed Dataset[LogEvent]. */
+  /** DataFrame (events-table shape: user_id, ts, event_type, value) →
+    * typed Dataset[LogEvent]. `ts` may be a nanos-since-epoch long OR a
+    * timestamp column (the driver's testdata switched to timestamp[us]
+    * in round 7) — a timestamp is converted to nanos via its exact
+    * micros (UTC sessions make the NTZ cast lossless). */
   def typedEvents(events: DataFrame): Dataset[LogEvent] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val tsNanos = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+    }
     events.select(
       col("user_id").cast("long").as("userId"),
-      col("ts").cast("long").as("tsNanos"),
+      tsNanos.cast("long").as("tsNanos"),
       col("event_type").as("eventType"),
       EventTimeOps.valueMicros(col("value")).as("valueMicros"))
       .as[LogEvent]

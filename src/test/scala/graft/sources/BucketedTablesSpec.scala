@@ -66,6 +66,36 @@ class BucketedTablesSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel over a bucketed-by-id layout runs its frontier passes exchange-free") {
+    // the doc-comment claim on Behavioral.funnel, pinned: every frontier
+    // join/agg keys on the entity id, so a bucketed-by-id events table
+    // feeds all k passes with ZERO exchanges — vs the plain-parquet
+    // control, which shuffles every pass
+    val dir = SparkTestSession.tempDir("bucketed-funnel")
+    val events = (0L until 3000L).map { i =>
+      (i % 100, Seq("view", "cart", "buy")((i % 3).toInt), i)
+    }.toDF("user_id", "event_type", "ts")
+    BucketedTables.writeBucketed(events, "bt_funnel", "user_id", 8, s"$dir/t")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val steps = Seq("view", "cart", "buy")
+      val bucketed = graft.operators.Behavioral.funnelFrontiers(
+        BucketedTables.readBucketed(spark, "bt_funnel"),
+        "user_id", "event_type", "ts", steps).last
+      val p = finalPlan(bucketed)
+      assert(exchanges(p) === 0, s"bucketed funnel frontier still shuffles:\n$p")
+
+      val plain = graft.operators.Behavioral.funnelFrontiers(
+        spark.read.parquet(s"$dir/t"),
+        "user_id", "event_type", "ts", steps).last
+      val pPlain = finalPlan(plain)
+      assert(exchanges(pPlain) >= 1, s"control funnel should shuffle:\n$pPlain")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bt_funnel")
+    }
+  }
+
   test("bucketed round-trip preserves the rows exactly") {
     val dir = SparkTestSession.tempDir("bucketed-rt")
     BucketedTables.writeBucketed(left, "bt_rt", "id", 4, s"$dir/t")

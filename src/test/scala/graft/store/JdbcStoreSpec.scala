@@ -322,6 +322,68 @@ class JdbcStoreSpec extends AnyFunSuite with BeforeAndAfterEach {
     finally newer.close()
   }
 
+  test("migrate upgrades a real v1 database to v2: backfill + suffix listing") {
+    // Build a genuine v1 database with raw JDBC — the schema an older
+    // deployment left behind: v1 object set (no id_original_reversed),
+    // data in place, version stamped 1.
+    val dir = SparkTestSession.tempDir("graft-v1db")
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    def dbId(s: String) =
+      sha.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val raw = java.sql.DriverManager.getConnection(s"jdbc:derby:$dir/db;create=true")
+    try {
+      val st = raw.createStatement()
+      try {
+        JdbcStreamStore.creationDdlV1(SqlDialect.Derby).foreach(st.executeUpdate)
+        Seq("orders-42" -> 0L, "audit-42" -> 1L).foreach { case (id, internal) =>
+          st.executeUpdate(
+            s"INSERT INTO graft_streams (id, id_original, id_internal, version, position, max_age, max_count) " +
+              s"VALUES ('${dbId(id)}', '$id', $internal, 1, ${internal * 2 + 1}, NULL, NULL)")
+          (0 to 1).foreach { v =>
+            st.executeUpdate(
+              s"INSERT INTO graft_messages (position, stream_id_internal, stream_version, message_id, created_micros, msg_type, json_data, json_metadata) " +
+                s"VALUES (${internal * 2 + v}, $internal, $v, '${mid((internal * 2 + v).toInt + 1)}', 0, 't', '{}', NULL)")
+          }
+        }
+        st.executeUpdate("INSERT INTO graft_counters (k, v) VALUES ('next_position', 4)")
+        st.executeUpdate("INSERT INTO graft_counters (k, v) VALUES ('next_id_internal', 2)")
+        st.executeUpdate("INSERT INTO graft_counters (k, v) VALUES ('schema_version', 1)")
+      } finally st.close()
+    } finally raw.close()
+
+    // New code opens it: reports v1 vs v2, does NOT silently touch it
+    val s2 = new JdbcStreamStore(spark, s"jdbc:derby:$dir/db", clock)
+    try {
+      assert(s2.checkSchema() ===
+        JdbcStreamStore.CheckSchemaResult(1, JdbcStreamStore.CurrentSchemaVersion))
+
+      // the ladder: 1→2 adds the column, BACKFILLS it, builds the index
+      assert(s2.migrate() === JdbcStreamStore.CurrentSchemaVersion)
+      assert(s2.checkSchema().isMatch)
+
+      // backfill moved real data: reversed ids are queryable and indexed
+      assert(s2.listStreams(Pattern.EndsWith("-42")).streamIds.sorted ===
+        Seq("audit-42", "orders-42"))
+      // pre-migration data still reads
+      assert(s2.readStreamForwards("orders-42").messages.map(_.streamVersion) === Seq(0, 1))
+      assert(s2.readAllForwards(Position.Start).messages.size === 4)
+      // post-migration writes land with the v2 column populated
+      s2.appendToStream("fresh-42", ExpectedVersion.NoStream, msgs(9))
+      assert(s2.listStreams(Pattern.EndsWith("-42")).streamIds.size === 3)
+    } finally s2.close()
+
+    // and the backfilled value really sits in the column (not recomputed)
+    val check = java.sql.DriverManager.getConnection(s"jdbc:derby:$dir/db")
+    try {
+      val st = check.createStatement()
+      try {
+        val rs = st.executeQuery(
+          "SELECT id_original_reversed FROM graft_streams WHERE id_original='orders-42'")
+        assert(rs.next() && rs.getString(1) === "24-sredro")
+      } finally st.close()
+    } finally check.close()
+  }
+
   test("per-append cost is flat in stream length (no O(stream) idempotency scan)") {
     // Grow one stream to 50k messages, measuring the median single-append
     // latency at ~1k and again at ~50k. The idempotency checks must be

@@ -1,0 +1,81 @@
+package graft.store
+
+import graft.SparkTestSession
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.SQLException
+import java.time.Instant
+
+/** The dialect seam ([[SqlDialect]]): URL resolution, the per-engine SQL
+  * forms, and the store running through an EXPLICITLY injected dialect.
+  * Only Derby ships in this zero-egress image, so Derby carries the full
+  * acceptance matrix (every Jdbc*Spec runs through the seam now) while
+  * Postgres/MySQL are pinned at the SQL-text level — the four divergence
+  * points in [[SqlDialect]]'s doc are the store's entire engine-variant
+  * surface, so these texts plus the shared-suite run on Derby cover the
+  * portability claim as far as an offline image can. */
+class SqlDialectSpec extends AnyFunSuite {
+
+  private def sqlEx(state: String) = new SQLException("x", state)
+
+  test("forUrl resolves engines by URL prefix") {
+    assert(SqlDialect.forUrl("jdbc:derby:/tmp/db;create=true") eq SqlDialect.Derby)
+    assert(SqlDialect.forUrl("jdbc:postgresql://h/db") eq SqlDialect.Postgres)
+    assert(SqlDialect.forUrl("jdbc:mysql://h/db") eq SqlDialect.MySql)
+    assert(SqlDialect.forUrl("jdbc:mariadb://h/db") eq SqlDialect.MySql)
+    assert(SqlDialect.forUrl("jdbc:h2:mem:x") eq SqlDialect.Ansi)
+  }
+
+  test("limit clauses per engine") {
+    assert(SqlDialect.Derby.limitClause(10) === "FETCH FIRST 10 ROWS ONLY")
+    assert(SqlDialect.Postgres.limitClause(10) === "LIMIT 10")
+    assert(SqlDialect.MySql.limitClause(10) === "LIMIT 10")
+    assert(SqlDialect.Ansi.limitClause(10) === "FETCH FIRST 10 ROWS ONLY")
+  }
+
+  test("text types and typed NULLs per engine") {
+    assert(SqlDialect.Derby.textType === "CLOB")
+    assert(SqlDialect.Derby.nullText === "CAST(NULL AS CLOB)")
+    assert(SqlDialect.Postgres.textType === "TEXT")
+    assert(SqlDialect.Postgres.nullText === "CAST(NULL AS TEXT)")
+    assert(SqlDialect.MySql.textType === "LONGTEXT")
+  }
+
+  test("already-exists classification per engine") {
+    assert(SqlDialect.Derby.isAlreadyExists(sqlEx("X0Y32")))
+    assert(!SqlDialect.Derby.isAlreadyExists(sqlEx("42X05")))
+    assert(SqlDialect.Postgres.isAlreadyExists(sqlEx("42P07")))
+    assert(SqlDialect.Postgres.isAlreadyExists(sqlEx("42710")))
+    assert(!SqlDialect.Postgres.isAlreadyExists(sqlEx("X0Y32")))
+    assert(SqlDialect.MySql.isAlreadyExists(sqlEx("42S01")))
+  }
+
+  test("creation DDL carries the dialect's text type") {
+    val derby = JdbcStreamStore.schemaCreationScript(SqlDialect.Derby)
+    val pg = JdbcStreamStore.schemaCreationScript(SqlDialect.Postgres)
+    val my = JdbcStreamStore.schemaCreationScript(SqlDialect.MySql)
+    assert(derby.contains("json_data CLOB"))
+    assert(pg.contains("json_data TEXT"))
+    assert(!pg.contains("CLOB"))
+    assert(my.contains("json_data LONGTEXT"))
+    // v2 objects present in every dialect's creation script
+    Seq(derby, pg, my).foreach { s =>
+      assert(s.contains("id_original_reversed"))
+      assert(s.contains("graft_streams_rev"))
+    }
+  }
+
+  test("store runs end-to-end through an explicitly injected dialect") {
+    val dir = SparkTestSession.tempDir("graft-dialect")
+    val store = new JdbcStreamStore(SparkTestSession.spark, s"jdbc:derby:$dir/db;create=true",
+      new Clock.Manual(Instant.parse("2026-01-01T00:00:00Z")),
+      trackDeletes = true, dialect = Some(SqlDialect.Derby))
+    try {
+      store.appendToStream("a-stream", ExpectedVersion.NoStream,
+        Seq(NewStreamMessage("00000000-0000-0000-0000-000000000001", "t", "{}")))
+      assert(store.readStreamForwards("a-stream").messages.size === 1)
+      assert(store.listStreams(Pattern.EndsWith("stream")).streamIds === Seq("a-stream"))
+    } finally store.close()
+  }
+}
