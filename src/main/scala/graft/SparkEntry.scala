@@ -563,6 +563,29 @@ object SparkEntry {
     Lexical.bm25TopK(docs, qs, k = 10).orderBy("query_id", "rank")
   }
 
+  /** Hybrid retrieval ([[operators.Retrieval.rrfFuse]]): BM25 lexical
+    * top-10 fused with brute-force dot-product vector top-10 by
+    * integer-fixed-point Reciprocal Rank Fusion — the RAG-stack merge
+    * step. Query ids 7/123/456 on BOTH sides (documents and embeddings
+    * share the id space), so the oracle is the two existing retriever
+    * oracles' CTEs plus exact integer fusion arithmetic. */
+  private def hybridRrfTopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val qs = docs.filter(col("doc_id").isin(7L, 123L, 456L))
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 6), " ")
+          .as("query_text"))
+    val lex = Lexical.bm25TopK(docs, qs, k = 10)
+      .select("query_id", "doc_id", "rank")
+    val emb = t(s, dir, "embeddings")
+    val vec = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id").isin(7L, 123L, 456L)), k = 10,
+        metric = Similarity.dot)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    graft.operators.Retrieval.rrfFuse(Seq(lex, vec), rrfK = 60, topK = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** Bigram LM quality score ([[operators.Lexical.bigramLmScore]]):
     * fit on the corpus, score the corpus — the perplexity-filter
     * analog in engine-exact fixed point. */
@@ -896,7 +919,8 @@ object SparkEntry {
     // output-bound cost on THIS corpus (round 6 measured 47 s; the old
     // "1.6 s" note was a sub-sf measurement — wrong, removed). The round-8
     // mitigation attacks the verify constant: jaccardFromHashSets now
-    // intersects by native sorted merge instead of per-row hash sets. On
+    // intersects by native sorted merge instead of per-row hash sets —
+    // measured 10.6 s at sf0.1 (4.5× off the r6 number; BENCH_r08). On
     // a real corpus the shingle universe is power-law and rare-first
     // prefixes keep buckets tiny — the 100 TB story is unchanged.
     Dedup.prefixFilterPairs(docsWithDups(s, dir), "text", "doc_id",
@@ -1237,6 +1261,7 @@ object SparkEntry {
     "source_overlap" -> sourceOverlapQuery _,
     "distinctive_terms" -> distinctiveTermsQuery _,
     "bm25_topk" -> bm25TopK _,
+    "hybrid_rrf_topk" -> hybridRrfTopK _,
     "lm_bigram_score" -> lmBigramScore _,
     "corpus_diff" -> corpusDiffQuery _,
     "purchase_pagerank" -> purchasePagerank _,
@@ -1569,6 +1594,58 @@ object SparkEntry {
                     FROM sc)
          SELECT query_id, rank, doc_id, score_fp
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "hybrid_rrf_topk" ->
+      // RRF fusion of the two retriever oracles above (bm25_topk /
+      // knn_dot_topk CTEs verbatim, query ids aligned); fusion is exact
+      // integer arithmetic: floor(1e12/(60+rank)) summed as BIGINT
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents),
+              stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(len(ws)) AS BIGINT) AS total_len
+                        FROM d),
+              q AS (SELECT doc_id AS query_id, unnest(list_distinct(ws[1:6])) AS word
+                    FROM d WHERE doc_id IN (7, 123, 456)),
+              post AS (SELECT doc_id, len, word, CAST(count(*) AS BIGINT) AS tf
+                       FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len,
+                               unnest(ws) AS word FROM d)
+                       GROUP BY doc_id, len, word),
+              m AS (SELECT p.* FROM post p
+                    WHERE word IN (SELECT DISTINCT word FROM q)),
+              dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+                      FROM m GROUP BY word),
+              sc AS (SELECT q.query_id, m.doc_id,
+                       CAST(sum(
+                         ((1000000 * 44 * m.tf * s.total_len)
+                            // (20 * m.tf * s.total_len + 6 * s.total_len
+                               + 18 * m.len * s.n_docs))
+                         * ((1000000 * (2 * s.n_docs - 2 * f.df + 1))
+                            // (2 * f.df + 1))
+                         // 1000000) AS BIGINT) AS score_fp
+                     FROM m JOIN dfq f USING (word) JOIN q USING (word), stats s
+                     GROUP BY q.query_id, m.doc_id),
+              lex AS (SELECT query_id, doc_id,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rank
+                      FROM sc QUALIFY rank <= 10),
+              vec AS (SELECT query_id, neighbor_id AS doc_id,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+                      FROM (SELECT qv.vec_id AS query_id, c.vec_id AS neighbor_id,
+                              list_sum(list_transform(range(1, len(qv.embedding)+1),
+                                i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) AS score
+                            FROM embeddings qv, embeddings c
+                            WHERE qv.vec_id IN (7, 123, 456) AND c.vec_id <> qv.vec_id)
+                      QUALIFY rank <= 10),
+              u AS (SELECT * FROM lex UNION ALL SELECT * FROM vec),
+              f AS (SELECT query_id, doc_id,
+                      CAST(sum(1000000000000 // (60 + rank)) AS BIGINT) AS rrf_fp
+                    FROM u GROUP BY query_id, doc_id),
+              rr AS (SELECT query_id, doc_id, rrf_fp,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rank
+                     FROM f)
+         SELECT query_id, rank, doc_id, rrf_fp
+         FROM rr WHERE rank <= 10 ORDER BY query_id, rank""",
     "lm_bigram_score" ->
       // stupid-backoff bigram LM in fixed point; paired unnests of the
       // two shifted slices zip positionally into (w1, w2) transitions

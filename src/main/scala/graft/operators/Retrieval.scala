@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid-retrieval fusion — the step a RAG / search stack runs after
+  * its per-modality retrievers: merge the lexical top-k
+  * ([[Lexical.bm25TopK]]) and the vector top-k ([[Similarity]]'s ANN
+  * family) into one ranking per query. Reciprocal Rank Fusion
+  * (Cormack, Clarke & Büttcher, SIGIR'09): each list contributes
+  * 1/(K + rank) per document; K=60 per the paper. Rank-based fusion
+  * needs no score calibration between modalities — BM25 fixed-point
+  * scores and float dot products fuse without any comparable scale,
+  * which is exactly why RRF is the default in production hybrid search.
+  *
+  * Scores are computed in integer fixed point — `floor(10^12 / (K +
+  * rank))` summed as longs — so fusion is bit-exact and
+  * oracle-checkable in any engine (the float formulation differs only
+  * below the 12th decimal digit and can't flip a rank that fixed point
+  * preserves; ties break on doc id).
+  *
+  * 100 TB shape: inputs are ALREADY query-bounded candidate lists (k
+  * rows per query per retriever — the corpus never reaches this
+  * operator), so the union + one aggregation on (query, doc) + one
+  * per-query window run on |queries| × Σk rows total. The heavy lifting
+  * stays in the upstream retrievers, which carry their own scale
+  * arguments (query-vocab-pruned postings, LSH/IVF bucketing).
+  */
+object Retrieval {
+
+  /** Fixed-point scale for 1/(K+rank): 10^12 keeps 1/(60+1000) to ~9
+    * significant digits — far beyond any realistic k. */
+  val RrfScale: Long = 1000000000000L
+
+  /** Fuse per-query rankings into one RRF-ordered top-k. Each input
+    * frame must carry (`query_id`, `doc_id`, `rank`) with rank ≥ 1;
+    * documents absent from a list simply contribute nothing (the
+    * SIGIR'09 formulation). Output: (query_id, rank, doc_id, rrf_fp)
+    * with rank reassigned by descending fused score, ties on doc_id. */
+  def rrfFuse(rankings: Seq[DataFrame], rrfK: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    require(rrfK >= 0 && topK > 0)
+    val u = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_.unionAll(_))
+    val fused = u
+      .groupBy("query_id", "doc_id")
+      .agg(sum(expr(s"${RrfScale}L div (${rrfK}L + rank)")).as("rrf_fp"))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf_fp").desc, col("doc_id"))
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "doc_id", "rrf_fp")
+  }
+}

@@ -166,6 +166,27 @@ class NativeFunctionsSpec extends AnyFunSuite with Matchers {
     dotRow.getDouble(0) shouldBe 11.0
   }
 
+  test("SortedIntersectCount matches array_intersect size on sorted shingle arrays") {
+    // the verify kernel must equal the built-in set intersect on every
+    // pair of ShingleHashes outputs (sorted distinct by construction)
+    val docs = texts.filter(_.nonEmpty).toDF("text")
+      .select(TextHash.shingleHashes(col("text"), 5).as("sh"))
+    val pairs = docs.as("a").crossJoin(docs.as("b"))
+      .select(
+        TextHash.sortedIntersectCount(col("a.sh"), col("b.sh")).as("merge_n"),
+        org.apache.spark.sql.functions.size(
+          array_intersect(col("a.sh"), col("b.sh"))).as("hash_n"))
+      .collect()
+    pairs.length shouldBe 25
+    pairs.foreach(r => r.getInt(0) shouldBe r.getInt(1))
+    // edge cases: empty vs non-empty, identical arrays
+    val edge = Seq((Array.empty[Long], Array(1L, 2L)), (Array(1L, 2L), Array(1L, 2L)))
+      .toDF("a", "b")
+      .select(TextHash.sortedIntersectCount(col("a"), col("b")).as("n"))
+      .collect().map(_.getInt(0))
+    edge.toSeq shouldBe Seq(0, 2)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // repartition so the projection sits over an exchange rather than a
     // LocalTableScan (which is evaluated without codegen)

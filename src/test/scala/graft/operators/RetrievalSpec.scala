@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** RRF fusion semantics ([[Retrieval.rrfFuse]]): the SIGIR'09 formula in
+  * integer fixed point — contribution floor(10^12/(K+rank)) per list,
+  * absent documents contribute nothing, ties break on doc id. */
+class RetrievalSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fp(rank: Long, k: Long = 60L): Long = Retrieval.RrfScale / (k + rank)
+
+  test("fuses two lists with the fixed-point RRF formula") {
+    val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 20L, 1L), (1L, 40L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(lex, vec), rrfK = 60, topK = 10)
+      .orderBy("rank")
+      .as[(Long, Long, Long, Long)].collect()
+
+    // doc 20 appears in both lists (ranks 2 and 1) and must win; then
+    // 10 (fp(1)), then 40 (fp(2)) above 30 (fp(3))
+    out.map(_._3).toSeq shouldBe Seq(20L, 10L, 40L, 30L)
+    val byDoc = out.map(r => r._3 -> r._4).toMap
+    byDoc(20L) shouldBe fp(2) + fp(1)
+    byDoc(10L) shouldBe fp(1)
+    byDoc(30L) shouldBe fp(3)
+    byDoc(40L) shouldBe fp(2)
+    out.map(_._2).toSeq shouldBe Seq(1L, 2L, 3L, 4L)
+  }
+
+  test("equal fused scores tie-break on doc id; topK truncates") {
+    // two docs each rank 1 in exactly one list ⇒ identical scores
+    val a = Seq((9L, 5L, 1L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((9L, 3L, 1L)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), topK = 1)
+      .as[(Long, Long, Long, Long)].collect()
+    out.length shouldBe 1
+    out.head._3 shouldBe 3L // lower doc id wins the tie at rank 1
+  }
+
+  test("queries fuse independently") {
+    val lists = Seq(
+      Seq((1L, 10L, 1L), (2L, 99L, 1L)).toDF("query_id", "doc_id", "rank"))
+    val out = Retrieval.rrfFuse(lists, topK = 5)
+      .orderBy("query_id").as[(Long, Long, Long, Long)].collect()
+    out.map(r => (r._1, r._2, r._3)).toSeq shouldBe Seq((1L, 1L, 10L), (2L, 1L, 99L))
+  }
+}
