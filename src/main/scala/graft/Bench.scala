@@ -314,19 +314,25 @@ object Bench {
       finally q.stop()
     }
 
-    // stream-stream interval join over the same replay: BOTH sides fed
-    // from the events table, watermark-closed state (O(window) per key,
-    // never O(history)) — the measured number the O(window) state claim
-    // was missing (round-6 verdict #5)
+    // stream-stream interval join over the same replay — the funnel
+    // drop-off shape ("views followed by a purchase within the window"):
+    // left = view events, right = purchase events, watermark-closed
+    // state (O(window) per key, never O(history)) — the measured number
+    // the O(window) state claim was missing (round-6 verdict #5).
+    // Cost is ~fixed machinery, not data: ~30 s at sf0.001 AND sf0.1 —
+    // the symmetric hash join commits FOUR state stores (two per side)
+    // across 32 partitions per micro-batch, ~4x the session replay's
+    // single store, all local-disk checkpoint fsync (same adjudication
+    // as the other replay scenarios; data volume is secondary).
+    // NOTE: each micro-batch logs a WARN from StreamingJoinHelper
+    // ("Cannot evaluate expression: ts_a/ts_b") — Spark cannot derive a
+    // state watermark from the exact RAW-LONG range predicate, which is
+    // expected and benign: state eviction comes from the coarse
+    // EVENT-TIME bound intervalJoined adds for precisely this purpose
+    // (t_b in [t_a, t_a + within + slack]), so state stays O(window).
     val intervalSec = time {
       val inL = MemoryStream[graft.streaming.LogEvent](spark)
       val inR = MemoryStream[graft.streaming.LogEvent](spark)
-      // NOTE: each micro-batch logs a WARN from StreamingJoinHelper
-      // ("Cannot evaluate expression: ts_a/ts_b") — Spark cannot derive a
-      // state watermark from the exact RAW-LONG range predicate, which is
-      // expected and benign: state eviction comes from the coarse
-      // EVENT-TIME bound intervalJoined adds for precisely this purpose
-      // (t_b in [t_a, t_a + within + slack]), so state stays O(window).
       def shape(ds: org.apache.spark.sql.Dataset[graft.streaming.LogEvent]) =
         ds.toDF().select(
           col("userId").as("user_id"), col("tsNanos").as("ts_ns"),
@@ -337,7 +343,8 @@ object Bench {
       val q = joined.writeStream.format("noop").outputMode("append")
         .option("checkpointLocation", checkpoint()).start()
       try batches.foreach { b =>
-        inL.addData(b.toIndexedSeq); inR.addData(b.toIndexedSeq)
+        inL.addData(b.filter(_.eventType == "view").toIndexedSeq)
+        inR.addData(b.filter(_.eventType == "purchase").toIndexedSeq)
         q.processAllAvailable()
       } finally q.stop()
     }
