@@ -56,6 +56,17 @@ object TextHash {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnGlue.column(SortedIntersectCount(ColumnGlue.expression(a), ColumnGlue.expression(b)))
 
+  /** Content-defined-chunking cut starts (1-based; position 1 always
+    * included): positions i ≥ 2 where the md5 of the `gramSize`-char
+    * window starting at i satisfies `first-4-bytes % avgChunk == 0` —
+    * bit-identical to the HOF formulation
+    * `conv(substring(md5(substr(text,i,g)),1,8),16,10) % avg == 0` the
+    * DuckDB oracle replays, but one JIT'd loop per row instead of |text|
+    * interpreted lambda evaluations (each with its own md5/conv/substring
+    * expression tree — the whole cdc_chunks gate cost). */
+  def cdcCutStarts(text: Column, gramSize: Int, avgChunk: Int): Column =
+    ColumnGlue.column(CdcCutStarts(ColumnGlue.expression(text), gramSize, avgChunk))
+
   private val Seed = 42L // xxhash64's fixed seed
 
   /** = xxhash64(string): XXH64 over the UTF-8 bytes, seed 42. */
@@ -137,6 +148,30 @@ object TextHash {
       else j += 1
     }
     n
+  }
+
+  /** Imperative core of [[CdcCutStarts]] (called from generated code).
+    * The md5-window math mirrors the SQL formulation exactly: the window
+    * is a CHARACTER substring (UTF8String.substringSQL — code-point
+    * semantics, like SQL substr), hashed over its UTF-8 bytes (md5 of a
+    * string IS md5 of its UTF-8 encoding), and the first 8 hex digits of
+    * the digest are the first 4 bytes read big-endian unsigned. */
+  def cdcCutStartsEval(input: UTF8String, gramSize: Int, avgChunk: Int): ArrayData = {
+    val len = input.numChars()
+    val last = len - gramSize + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new scala.collection.mutable.ArrayBuffer[Any](8)
+    buf += 1
+    var i = 2
+    while (i <= last) {
+      md.reset()
+      val d = md.digest(input.substringSQL(i, gramSize).getBytes)
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      if (v % avgChunk == 0) buf += i
+      i += 1
+    }
+    new GenericArrayData(buf.toArray)
   }
 
   /** Imperative core of [[SimHash64]] (called from generated code). */
@@ -240,6 +275,25 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** `cdc_cut_starts(text)`: ArrayType(IntegerType) chunk start positions
+  * for content-defined chunking ([[graft.operators.TextCorpus.cdcChunks]]). */
+case class CdcCutStarts(child: Expression, gramSize: Int, avgChunk: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_cut_starts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.cdcCutStartsEval(input.asInstanceOf[UTF8String], gramSize, avgChunk)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.cdcCutStartsEval($c, $gramSize, $avgChunk)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcCutStarts =
+    copy(child = newChild)
 }
 
 /** `simhash64(text)`: LongType SimHash code. */

@@ -338,13 +338,13 @@ object TextCorpus {
     require(gramSize > 0 && avgChunk > 1, "gramSize and avgChunk must be positive")
     val text = col(textCol)
     val n = length(text)
-    val positions = when(n >= gramSize, sequence(lit(1), n - gramSize + 1))
-      .otherwise(array().cast("array<int>"))
-    def isCut(i: Column): Column =
-      conv(substring(md5(text.substr(i, lit(gramSize))), 1, 8), 16, 10)
-        .cast("long") % avgChunk === 0
-    // position 1 is always a start; later cut points follow in order
-    val starts = concat(array(lit(1)), filter(positions, i => i > 1 && isCut(i)))
+    // position 1 is always a start; later cut points follow in order.
+    // Cut detection is the native one-loop-per-row expression
+    // (graft.functions.TextHash.cdcCutStarts) — bit-identical to the HOF
+    // filter(sequence(...), i -> conv(substring(md5(substr(text,i,g)),
+    // 1,8),16,10) % avg == 0) the oracle replays (pinned by
+    // TextCorpusSpec), which evaluated |text| interpreted lambdas per doc
+    val starts = graft.functions.TextHash.cdcCutStarts(text, gramSize, avgChunk)
     val chunks = transform(col("starts"), (s, j) =>
       struct(
         s.as("start"),

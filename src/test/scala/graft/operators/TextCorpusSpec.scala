@@ -268,6 +268,29 @@ class TextCorpusSpec extends AnyFunSuite {
     assert(fixedA.intersect(fixedB).size < shared.size)
   }
 
+  test("cdc native cut starts are bit-identical to the HOF/oracle formulation") {
+    // the replaced formulation, kept as the executable reference (this is
+    // also exactly what the DuckDB oracle computes)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(200)
+      .unionAll(Seq((90001L, "tiny"), (90002L, ""), (90003L, "exactly8"),
+        (90004L, "uniécode café text with some length to it padded out"))
+        .toDF("doc_id", "text"))
+    val text = col("text")
+    val n = length(text)
+    val positions = when(n >= 8, sequence(lit(1), n - 8 + 1))
+      .otherwise(array().cast("array<int>"))
+    def isCut(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(text.substr(i, lit(8))), 1, 8), 16, 10)
+        .cast("long") % 64 === 0
+    val hof = concat(array(lit(1)), filter(positions, i => i > 1 && isCut(i)))
+    val bad = docs.select(
+        graft.functions.TextHash.cdcCutStarts(text, 8, 64).as("native"),
+        hof.as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(bad === 0L, "native cut starts must equal the HOF formulation")
+  }
+
   test("cdc chunks: short and sub-gram documents are a single whole-text chunk") {
     val docs = Seq((1L, "tiny"), (2L, "")).toDF("doc_id", "text")
     val out = TextCorpus.cdcChunks(docs).collect()
