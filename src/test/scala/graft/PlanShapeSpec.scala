@@ -225,6 +225,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "BroadcastNestedLoopJoin") === 0)
   }
 
+  test("hybrid RRF fuses query-bounded lists: broadcasts only, no sort-merge") {
+    // the corpus-sized side of each retriever never shuffles for a join —
+    // BM25 probes broadcast query vocab, the vector side broadcasts the
+    // query vectors (the =!= condition makes that side nested-loop over
+    // the BROADCAST queries, which is the designed plan, not a fallback);
+    // fusion itself runs on |queries|×Σk rows
+    val p = finalPlan("hybrid_rrf_topk")
+    assert(count(p, "BroadcastHashJoin") >= 2, s"retrievers lost their broadcasts:\n$p")
+    assert(count(p, "SortMergeJoin") === 0, s"hybrid fell back to sort-merge:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted gaps in scans)") {
     Seq("q1_pricing_summary", "text_token_counts", "doc_fingerprints").foreach { q =>
       val p = finalPlan(q)
