@@ -948,6 +948,17 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Generic one-scan table profile ([[graft.operators.Stats.profile]])
+    * over lineitem's integer/string columns — the ingest-sanity data
+    * card. Floats excluded: min/max render via engine-specific float
+    * formatting; integer and string renderings are identical. */
+  private def tableProfile(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    Stats.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"))
+      .orderBy("column")
+  }
+
   /** Per-source document-length quantiles by exact sort rank
     * (Stats.groupedQuantiles) — min/median/p95/max of n_chars. */
   private def lengthQuantiles(s: SparkSession, dir: String): DataFrame = {
@@ -1289,6 +1300,7 @@ object SparkEntry {
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
     "length_quantiles" -> lengthQuantiles _,
+    "table_profile" -> tableProfile _,
     "embedding_norms" -> embeddingNorms _,
     "ann_lsh_topk" -> annLshTopK _,
     "ivf_topk" -> ivfTopKQuery _,
@@ -2211,6 +2223,35 @@ object SparkEntry {
                FROM embeddings q, embeddings c
                WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
          QUALIFY rank <= 10 ORDER BY query_id, rank""",
+    "table_profile" ->
+      // one block per profiled column; counts are BIGINT and min/max are
+      // VARCHAR renderings of integer/string values, identical across
+      // engines (floats deliberately excluded from the gate)
+      """SELECT * FROM (
+           SELECT 'l_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_nulls,
+                  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+                  CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+                  CAST(max(l_orderkey) AS VARCHAR) AS max_value FROM lineitem
+           UNION ALL
+           SELECT 'l_suppkey', CAST(count(*) AS BIGINT),
+                  CAST(count(*) - count(l_suppkey) AS BIGINT),
+                  CAST(count(DISTINCT l_suppkey) AS BIGINT),
+                  CAST(min(l_suppkey) AS VARCHAR),
+                  CAST(max(l_suppkey) AS VARCHAR) FROM lineitem
+           UNION ALL
+           SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+                  CAST(count(*) - count(l_returnflag) AS BIGINT),
+                  CAST(count(DISTINCT l_returnflag) AS BIGINT),
+                  CAST(min(l_returnflag) AS VARCHAR),
+                  CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
+           UNION ALL
+           SELECT 'l_linestatus', CAST(count(*) AS BIGINT),
+                  CAST(count(*) - count(l_linestatus) AS BIGINT),
+                  CAST(count(DISTINCT l_linestatus) AS BIGINT),
+                  CAST(min(l_linestatus) AS VARCHAR),
+                  CAST(max(l_linestatus) AS VARCHAR) FROM lineitem
+         ) ORDER BY "column"""",
     "length_quantiles" ->
       // lower discrete quantile by sort rank: the element at
       // floor(p*(n-1))+1 — ps cast to DOUBLE (DuckDB parses 0.95 as

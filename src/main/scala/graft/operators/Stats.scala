@@ -132,4 +132,38 @@ object Stats {
         first(col("n_grp") * col("n_rest")).as("ks_den"))
       .withColumn("ks_fp", expr("ks_num * 1000000L div ks_den"))
   }
+
+  /** Generic table profile — per-column (rows, nulls, distinct, min,
+    * max) in ONE scan, the data-card / ingest-sanity report a pipeline
+    * runs on every new drop before anything else touches it.
+    *
+    * Shape: a single aggregate computes every metric for every column;
+    * the multi-`count(distinct)` plans via Spark's Expand (one duplicated
+    * row-stream per distinct column — the textbook cost any engine pays
+    * for k exact distincts in one pass; swap in `approx_count_distinct`
+    * when ±2% is acceptable and the Expand disappears). The wide 1-row
+    * result is then unpivoted driver-side into one row per column —
+    * |cols| rows, nothing data-sized. Min/max are rendered as strings so
+    * heterogeneous column types share one schema; integer and string
+    * columns render identically in any engine (the gate profiles only
+    * those — float formatting is engine-specific). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nonnull"),
+        count_distinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val row = df.agg(count(lit(1)).as("__rows"), aggs: _*).collect().head
+    val n = row.getAs[Long]("__rows")
+    cols.map { c =>
+      (c, n, n - row.getAs[Long](s"${c}__nonnull"),
+        row.getAs[Long](s"${c}__distinct"),
+        row.getAs[String](s"${c}__min"), row.getAs[String](s"${c}__max"))
+    }.toDF("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+  }
 }

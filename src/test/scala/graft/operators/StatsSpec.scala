@@ -73,6 +73,19 @@ class StatsSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSet === Set(4L))
   }
 
+  test("profile counts rows, nulls, distincts, and renders min/max per column") {
+    val df = Seq(
+      (Some(3L), Some("b")), (Some(1L), None), (None, Some("a")),
+      (Some(3L), Some("c")), (None, None))
+      .toDF("num", "str")
+    val out = Stats.profile(df, Seq("num", "str")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(out("num") === ((5L, 2L, 2L, "1", "3")))
+    assert(out("str") === ((5L, 2L, 3L, "a", "c")))
+  }
+
   test("ksDrift is invariant to input partitioning") {
     val rnd = new scala.util.Random(7)
     val rows = Seq.tabulate(300)(i =>
