@@ -94,11 +94,12 @@ object Bench {
         "jdbc_spark_partitioned_read")) {
       medianScenarios(3)(() => jdbcScenarioRep(spark))
     }
-    results ++= guarded(Seq("streaming_session_replay", "streaming_window_replay",
+    results ++= guarded(Seq("streaming_session_replay",
+        "streaming_session_replay_rocksdb", "streaming_window_replay",
         "streaming_interval_replay")) {
       streamingScenarios(spark)
     }
-    results ++= guarded(Seq("http_read_all_scan")) {
+    results ++= guarded(Seq("http_read_all_scan", "http_append_1k_msgs")) {
       httpScenarios(spark)
     }
 
@@ -300,6 +301,24 @@ object Bench {
       finally q.stop()
     }
 
+    // the same sessionization replay on the RocksDB state store — the
+    // production provider once state outgrows executor heaps (the 100 TB
+    // configuration); kept as a SEPARATE scenario so the HDFS-provider
+    // numbers stay comparable across rounds. StatefulStreamingSpec pins
+    // result parity between the two providers.
+    val sessionRocksSec = time {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = MemoryStream[graft.streaming.LogEvent](spark)
+        val q = StatefulOps.sessionizeWithState(in.toDS(), gapMicros = 12L * 3600L * 1000000L)
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", checkpoint()).start()
+        try batches.foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
+        finally q.stop()
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
     val windowSec = time {
       val in = MemoryStream[graft.streaming.LogEvent](spark)
       val df = in.toDF().select(
@@ -352,6 +371,7 @@ object Bench {
     checkpoints.foreach(deleteRecursively)
     Seq(
       "streaming_session_replay" -> sessionSec,
+      "streaming_session_replay_rocksdb" -> sessionRocksSec,
       "streaming_window_replay" -> windowSec,
       "streaming_interval_replay" -> intervalSec)
   }
@@ -389,8 +409,22 @@ object Bench {
     }
     scan() // warm
     val ts = IndexedSeq(time(scan()), time(scan()), time(scan())).sorted
+
+    // append through the wire (ref: LoadTests/AppendExpectedVersionAnyParallel):
+    // JSON encode + POST + expected-version header round trip per batch
+    var appendBase = 100000
+    def appendRun(): Unit = {
+      (0 until 10).foreach { b =>
+        client.appendToStream(s"http-w-${b % 4}", ExpectedVersion.Any,
+          (0 until 100).map(i => NewStreamMessage(mid(appendBase + b * 100 + i), "t", payload)))
+      }
+      appendBase += 1000
+    }
+    appendRun() // warm
+    val ats = IndexedSeq(time(appendRun()), time(appendRun()), time(appendRun())).sorted
+
     client.close(); server.close(); store.close()
     deleteRecursively(dir)
-    Seq("http_read_all_scan" -> ts(1))
+    Seq("http_read_all_scan" -> ts(1), "http_append_1k_msgs" -> ats(1))
   }
 }

@@ -231,6 +231,38 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeWithState results are provider-independent (RocksDB == default HDFS store)") {
+    // the bench's streaming_session_replay_rocksdb scenario runs the
+    // production state store; pin that the provider changes WHERE state
+    // lives, never WHAT is emitted
+    def evm(u: Long, minutes: Long): LogEvent =
+      LogEvent(u, minutes * 60000000000L, "t", 1000000L)
+    def run(sinkName: String): Set[(Long, Long, Long, Long)] = {
+      val in = MemoryStream[LogEvent](spark)
+      val sessions = StatefulOps.sessionizeWithState(
+        in.toDS(), gapMicros = 3600L * 1000000L, watermarkDelay = "10 minutes")
+      val q = memSink(sessions.toDF(), sinkName, "append")
+      try {
+        in.addData(evm(1, 1440), evm(1, 1470), evm(2, 1452))
+        processAll(q)
+        in.addData(evm(1, 1620))
+        processAll(q)
+        in.addData(evm(7, 1980))
+        processAll(q)
+        spark.table(sinkName).as[UserSession].collect()
+          .map(s => (s.userId, s.startUs, s.endUs, s.nEvents)).toSet
+      } finally q.stop()
+    }
+    val hdfs = run("prov_hdfs")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rocks =
+      try run("prov_rocks")
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert(rocks === hdfs, "state-store provider must not change emitted sessions")
+    assert(hdfs.nonEmpty)
+  }
+
   test("sessionizeWithState merges an in-gap late event arriving out of order across batches, extending the session start backwards") {
     def evm(u: Long, minutes: Long): LogEvent =
       LogEvent(u, minutes * 60000000000L, "t", 1000000L)
