@@ -90,6 +90,13 @@ def main():
         else:
             print(f"  PASS {name} ({len(a)} rows)")
             n_pass += 1
+    # queries that ERRORED in Verify write no result dir, so they would
+    # silently vanish from this report (round 7 lost 12 gates that way);
+    # treat an oracle entry with no result as a failure
+    missing = sorted(set(oracle) - set(names))
+    for name in missing:
+        print(f"  FAIL {name}: no result written (query errored in Verify?)")
+    n_fail += len(missing)
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
     sys.exit(1 if n_fail else 0)
 
