@@ -771,7 +771,11 @@ final class JdbcStreamStore(
       val created = creationDdl(sqlDialect).map(ddl)
       if (created.forall(identity) && readCounter(SchemaVersionKey, 0L) == 0L)
         writeCounter(SchemaVersionKey, CurrentSchemaVersion.toLong)
-    } else {
+    } else if (!tableExists(CountersTable)) {
+      // crash-partial database: complete just the counters table so the
+      // version check itself can run (metadata-guarded rather than
+      // relying on already-exists tolerance, which an unknown dialect
+      // cannot classify)
       creationDdlV1(sqlDialect).filter(_.contains(CountersTable)).foreach(ddl)
     }
     conn.commit()
