@@ -87,7 +87,7 @@ object Bench {
 
     results ++= guarded(Seq("store_append_2k_msgs", "store_read_all_scan",
         "store_subscription_catchup", "store_scavenge_200_appends",
-        "store_delete_20_msgs", "store_reopen_recovery")) {
+        "store_delete_20_msgs", "store_compact_merge", "store_reopen_recovery")) {
       medianScenarios(3)(() => storeScenarioRep(spark))
     }
     results ++= guarded(Seq("jdbc_append_2k_msgs", "jdbc_read_all_scan",
@@ -200,6 +200,20 @@ object Bench {
       }
     }
 
+    // maintenance: merge tombstones physically + re-tier the log into
+    // position-range files (the background job autoCompactEvery schedules
+    // off the append path) — the one store surface the bench didn't time
+    val compactSec = time {
+      store.compact()
+      // post-compact scan sanity: the log still reads end to end (the
+      // deleted/scavenged rows are physically gone; tombstone-tracking
+      // events in $deleted remain, so assert readability, not a count)
+      var page = store.readAllForwards(Position.Start, maxCount = 10000)
+      var n = page.messages.size
+      while (!page.isEnd) { page = page.readNext(); n += page.messages.size }
+      require(n > 0, "post-compaction scan returned nothing")
+    }
+
     // reopen: journal replay + tail scan, not a full-log aggregate
     val reopenSec = time {
       store.close()
@@ -215,6 +229,7 @@ object Bench {
       "store_subscription_catchup" -> catchupSec,
       "store_scavenge_200_appends" -> scavengeSec,
       "store_delete_20_msgs" -> deleteSec,
+      "store_compact_merge" -> compactSec,
       "store_reopen_recovery" -> reopenSec)
   }
 
