@@ -39,32 +39,6 @@ object Stats {
       .select(col(groupCol), col("p"), col("n_rows"), col(valueCol).as("value"))
   }
 
-  /** Two-sample Kolmogorov–Smirnov drift of each group against the REST
-    * of the corpus, in EXACT integer arithmetic — the detector a pipeline
-    * runs when a new crawl lands ("did src18's length distribution move
-    * away from everything else?") before re-fitting filter thresholds.
-    *
-    * The KS statistic `max_x |F_g(x) − F_rest(x)|` is a ratio of
-    * integers: with group size `n_g`, rest size `n_r`, and cumulative
-    * counts `c_g(x)`, `c_r(x)`, the supremum over the data points equals
-    * `max_x |c_g(x)·n_r − c_r(x)·n_g| / (n_g·n_r)` — and the maximum of
-    * an ECDF difference is always attained at a data point, so scanning
-    * the corpus's distinct values is exhaustive, not approximate. The
-    * result is reported as the exact pair (`ks_num`, `ks_den`) plus a
-    * fixed-point `ks_fp = ks_num·10^6 div ks_den` — every operation
-    * integer, bit-identical across engines.
-    *
-    * 100 TB shape: ONE data-sized shuffle — the (group, value) count
-    * aggregation with map-side partial combine. Everything after runs on
-    * the reduced frame of |groups|·|distinct values| rows: the per-group
-    * cumulative windows partition by group, and the single global window
-    * over value totals orders |distinct values| rows (value columns fed
-    * here are discrete — lengths, scores, bucketed floats — so that
-    * frame is thousands of rows, not data-sized; bin continuous values
-    * first). Counts stay in BIGINT: the cross products are bounded by
-    * `n_g·n_r`, so below ~3·10^9 rows per side this is exact; beyond
-    * that, swap the two products to DECIMAL(38,0).
-    */
   /** Robust per-group outlier detection by MEDIAN ABSOLUTE DEVIATION in
     * exact arithmetic — the filter a pipeline runs to drop pathological
     * documents (truncated crawls, concatenation blowups) without letting
@@ -103,6 +77,32 @@ object Stats {
         col("v").as(valueCol), col("med"), col("mad"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift of each group against the REST
+    * of the corpus, in EXACT integer arithmetic — the detector a pipeline
+    * runs when a new crawl lands ("did src18's length distribution move
+    * away from everything else?") before re-fitting filter thresholds.
+    *
+    * The KS statistic `max_x |F_g(x) − F_rest(x)|` is a ratio of
+    * integers: with group size `n_g`, rest size `n_r`, and cumulative
+    * counts `c_g(x)`, `c_r(x)`, the supremum over the data points equals
+    * `max_x |c_g(x)·n_r − c_r(x)·n_g| / (n_g·n_r)` — and the maximum of
+    * an ECDF difference is always attained at a data point, so scanning
+    * the corpus's distinct values is exhaustive, not approximate. The
+    * result is reported as the exact pair (`ks_num`, `ks_den`) plus a
+    * fixed-point `ks_fp = ks_num·10^6 div ks_den` — every operation
+    * integer, bit-identical across engines.
+    *
+    * 100 TB shape: ONE data-sized shuffle — the (group, value) count
+    * aggregation with map-side partial combine. Everything after runs on
+    * the reduced frame of |groups|·|distinct values| rows: the per-group
+    * cumulative windows partition by group, and the single global window
+    * over value totals orders |distinct values| rows (value columns fed
+    * here are discrete — lengths, scores, bucketed floats — so that
+    * frame is thousands of rows, not data-sized; bin continuous values
+    * first). Counts stay in BIGINT: the cross products are bounded by
+    * `n_g·n_r`, so below ~3·10^9 rows per side this is exact; beyond
+    * that, swap the two products to DECIMAL(38,0).
+    */
   def ksDrift(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val counts = df.groupBy(col(groupCol).as("grp"), col(valueCol).as("v"))
       .agg(count(lit(1)).as("cnt")) // the one big-data pass
