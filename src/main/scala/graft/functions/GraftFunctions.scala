@@ -16,6 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   dot_f(a, b)
   *   lang_id(text)
   *   text_stats(text)
+  *   sorted_intersect_count(a, b)
+  *   cdc_cut_starts(text, gramSize, avgChunk)
   *
   * Two entry points: [[GraftExtensions]] for
   * `spark.sql.extensions=graft.functions.GraftExtensions` at session
@@ -58,6 +60,15 @@ object GraftFunctions {
     "text_stats" -> {
       case Seq(text) => TextStatsExpr(text)
       case args => throw new IllegalArgumentException(s"text_stats expects 1 arg, got ${args.length}")
+    },
+    "sorted_intersect_count" -> {
+      case Seq(a, b) => SortedIntersectCount(a, b)
+      case args => throw new IllegalArgumentException(s"sorted_intersect_count expects 2 args, got ${args.length}")
+    },
+    "cdc_cut_starts" -> {
+      case Seq(text, g, avg) =>
+        CdcCutStarts(text, intArg(g, "cdc_cut_starts", 2), intArg(avg, "cdc_cut_starts", 3))
+      case args => throw new IllegalArgumentException(s"cdc_cut_starts expects 3 args, got ${args.length}")
     })
 
   private def info(name: String): ExpressionInfo =

@@ -164,6 +164,12 @@ class NativeFunctionsSpec extends AnyFunSuite with Matchers {
     val dotRow = spark.sql(
       "SELECT dot_f(array(cast(1.0 as float), cast(2.0 as float)), array(cast(3.0 as float), cast(4.0 as float))) AS d").head()
     dotRow.getDouble(0) shouldBe 11.0
+    val interRow = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 7L), array(3L, 7L, 9L)) AS n").head()
+    interRow.getInt(0) shouldBe 2
+    val cutRow = spark.sql(
+      "SELECT cdc_cut_starts('tiny', 8, 64) AS starts").head()
+    cutRow.getSeq[Int](0) shouldBe Seq(1)
   }
 
   test("SortedIntersectCount matches array_intersect size on sorted shingle arrays") {
