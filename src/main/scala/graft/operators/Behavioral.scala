@@ -94,4 +94,69 @@ object Behavioral {
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
       .agg(countDistinct(col(idCol)).as("active_entities"))
   }
+
+  /** SCD2 validity intervals from an update log: per entity, collapse
+    * CONSECUTIVE equal attribute values into one interval and stamp each
+    * interval with [valid_from, valid_to) in the log's own position
+    * domain (`ordCol`, unique per entity) — the slowly-changing-dimension
+    * type-2 build a warehouse runs over a CDC/event stream (the
+    * reference's per-stream version order, `ReadonlyStreamStoreBase.cs`,
+    * is exactly this order). The OPEN current interval has `valid_to`
+    * NULL and `is_current` 1.
+    *
+    * Gaps-and-islands via the standard two-window construction: a lag
+    * change flag, a running sum turning flags into run ids, then one
+    * group-by per run. All three windows and the aggregate partition by
+    * the SAME entity key, so at 100 TB the entity's history sorts within
+    * its partition (bounded by per-entity event count, never corpus-wide)
+    * and the whole operator is ONE shuffle on `idCol` — Spark plans the
+    * three windows + agg into a single sort over a single exchange.
+    * Pure integer/string comparisons ⇒ bit-exact vs the oracle. */
+  def scd2Intervals(
+      log: DataFrame, idCol: String, ordCol: String, attrCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byIdOrd = Window.partitionBy(idCol).orderBy(ordCol)
+    val runs = log
+      .select(col(idCol), col(ordCol), col(attrCol))
+      .withColumn("chg",
+        when(lag(col(attrCol), 1).over(byIdOrd).isNull ||
+             lag(col(attrCol), 1).over(byIdOrd) =!= col(attrCol), 1L).otherwise(0L))
+      .withColumn("run_id", sum("chg").over(byIdOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("run_id"))
+      .agg(min(col(ordCol)).as("valid_from"), max(col(ordCol)).as("last_seen"),
+        first(col(attrCol)).as(attrCol), count(lit(1)).as("n_rows"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(Window.partitionBy(idCol).orderBy("valid_from")))
+      .withColumn("is_current", when(col("valid_to").isNull, 1L).otherwise(0L))
+      .select(col(idCol), col(attrCol), col("valid_from"), col("valid_to"),
+        col("n_rows"), col("is_current"))
+  }
+
+  /** First-order Markov transition counts over the event log: for each
+    * entity's position-ordered sequence, count (from_type → to_type)
+    * transitions corpus-wide and attach the conditional probability in
+    * integer parts-per-million (`ppm = cnt·10⁶ div Σ_to cnt`) — the
+    * "what happens next" model behind next-event prediction, anomaly
+    * scoring and session-flow Sankey reports. Integer ppm (not a float
+    * ratio) keeps the gate hashable bit-for-bit.
+    *
+    * Shape: ONE shuffle on the entity key for the lag window (per-entity
+    * sort, bounded by entity history), then a partial aggregation that
+    * collapses the corpus to |types|² rows before the final exchange —
+    * map-side combine does the heavy lifting, and the ppm window runs on
+    * that tiny frame. At 100 TB nothing but (from, to, partial count)
+    * crosses the second shuffle. */
+  def transitionCounts(
+      events: DataFrame, idCol: String, ordCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byIdOrd = Window.partitionBy(idCol).orderBy(ordCol)
+    val pairs = events
+      .select(col(idCol), col(ordCol), col(typeCol))
+      .withColumn("from_type", lag(col(typeCol), 1).over(byIdOrd))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("transitions"))
+    pairs.withColumn("prob_ppm",
+      expr("transitions * 1000000L div sum(transitions) over (partition by from_type)"))
+  }
 }

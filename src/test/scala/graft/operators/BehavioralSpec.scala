@@ -65,4 +65,52 @@ class BehavioralSpec extends AnyFunSuite {
       Seq("a", "b", "c")).orderBy("step").collect().toSeq
     assert(a === b)
   }
+
+  test("scd2Intervals collapses consecutive runs and leaves the last interval open") {
+    val log = Seq(
+      (1L, 1L, "A"), (1L, 2L, "A"), (1L, 3L, "B"), (1L, 5L, "A"),
+      (2L, 10L, "X")
+    ).toDF("user_id", "event_id", "event_type")
+    val out = Behavioral.scd2Intervals(log, "user_id", "event_id", "event_type")
+      .orderBy("user_id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (1L, "A", 1L, 3L, 2L, 0L),   // A covers positions [1, 3), 2 rows
+      (1L, "B", 3L, 5L, 1L, 0L),
+      (1L, "A", 5L, -1L, 1L, 1L),  // re-appearing A is a NEW interval (open)
+      (2L, "X", 10L, -1L, 1L, 1L)))
+  }
+
+  test("scd2Intervals is invariant under input repartitioning") {
+    val log = (1L to 200L).map(i => (i % 5, i, s"v${(i / 7) % 3}"))
+      .toDF("user_id", "event_id", "event_type")
+    val a = Behavioral.scd2Intervals(log, "user_id", "event_id", "event_type")
+      .orderBy("user_id", "valid_from").collect().toSeq
+    val b = Behavioral.scd2Intervals(log.repartition(11), "user_id", "event_id", "event_type")
+      .orderBy("user_id", "valid_from").collect().toSeq
+    assert(a === b)
+  }
+
+  test("transitionCounts counts per-entity adjacent pairs with integer-ppm conditionals") {
+    val log = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "B"), (1L, 4L, "C"),
+      (2L, 1L, "A"), (2L, 2L, "B")
+    ).toDF("user_id", "event_id", "event_type")
+    val out = Behavioral.transitionCounts(log, "user_id", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      ("A", "B") -> ((2L, 1000000L)),   // A always goes to B
+      ("B", "B") -> ((1L, 500000L)),
+      ("B", "C") -> ((1L, 500000L))))
+  }
+
+  test("transitionCounts never pairs across entities") {
+    // user 1 ends with Z, user 2 starts with Q: no Z->Q transition
+    val log = Seq((1L, 1L, "Z"), (2L, 2L, "Q"), (2L, 3L, "R"))
+      .toDF("user_id", "event_id", "event_type")
+    val out = Behavioral.transitionCounts(log, "user_id", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("Q", "R")))
+  }
 }
