@@ -96,7 +96,7 @@ object Bench {
     }
     results ++= guarded(Seq("streaming_session_replay",
         "streaming_session_replay_rocksdb", "streaming_window_replay",
-        "streaming_interval_replay")) {
+        "streaming_interval_replay", "streaming_scd2_replay")) {
       streamingScenarios(spark)
     }
     results ++= guarded(Seq("http_read_all_scan", "http_append_1k_msgs")) {
@@ -383,12 +383,26 @@ object Bench {
       } finally q.stop()
     }
 
+    // incremental SCD2 maintenance over the same replay — the CDC-log →
+    // type-2 dimension projection (closed intervals emit per batch, one
+    // open run per user in state). Single state store, so the cost sits
+    // near streaming_session_replay's checkpoint-commit floor.
+    val scd2Sec = time {
+      val in = MemoryStream[graft.streaming.LogEvent](spark)
+      val q = StatefulOps.scd2WithState(in.toDS())
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", checkpoint()).start()
+      try batches.foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
+      finally q.stop()
+    }
+
     checkpoints.foreach(deleteRecursively)
     Seq(
       "streaming_session_replay" -> sessionSec,
       "streaming_session_replay_rocksdb" -> sessionRocksSec,
       "streaming_window_replay" -> windowSec,
-      "streaming_interval_replay" -> intervalSec)
+      "streaming_interval_replay" -> intervalSec,
+      "streaming_scd2_replay" -> scd2Sec)
   }
 
   /** End-to-end HTTP surface throughput (ref: `src/LoadTests/` exercises

@@ -21,6 +21,17 @@ case class UserSession(userId: Long, startUs: Long, endUs: Long, nEvents: Long, 
 /** Running per-user totals (update-mode output). */
 case class UserTotal(userId: Long, nEvents: Long, sumValueMicros: Long)
 
+/** One SCD2 validity interval over a user's attribute history:
+  * [validFromUs, validToUs) in event-time micros; `validToUs` None ⇔
+  * the interval is still open (batch mode only — a stream never emits
+  * its open tail). */
+case class Scd2Interval(
+    userId: Long, value: String, validFromUs: Long, validToUs: Option[Long], nRows: Long)
+
+/** Open SCD2 run carried in [[GroupState]]: current attribute value,
+  * interval start, last observed position, rows folded so far. */
+case class Scd2Open(value: String, validFromNs: Long, lastNs: Long, n: Long)
+
 /** Open-session accumulator carried in [[GroupState]]. Boundaries are
   * raw event-time NANOS so the gap comparison is exact — identical to
   * [[EventTimeOps.sessionizeBatch]]'s `> gapNanos` test; micros appear
@@ -163,6 +174,74 @@ object StatefulOps {
     wm.as[LogEvent]
       .groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Incremental SCD2 maintenance: the streaming twin of
+    * [[graft.operators.Behavioral.scd2Intervals]] — consecutive equal
+    * attribute values per user collapse into validity intervals, and an
+    * interval EMITS (exactly once, Append mode) the moment a different
+    * value closes it; the open run lives in per-key [[GroupState]]. This
+    * is the CDC-log → warehouse-dimension projection running
+    * continuously — the reference's subscription → read-model pattern
+    * (`reference/src/SqlStreamStore/Subscriptions`) applied to a
+    * type-2 dimension.
+    *
+    * Batch mode: one invocation per user with empty state; gap-closed
+    * intervals emit AND the trailing open interval emits with
+    * `validToUs = None` — exactly [[graft.operators.Behavioral
+    * .scd2Intervals]] over (userId, tsNanos, value), which the parity
+    * spec pins.
+    *
+    * Ordering: within a micro-batch events sort by time in memory;
+    * across batches the watermark bounds disorder. A cross-batch late
+    * event older than the open run's last observed position folds into
+    * the open run if it carries the same value (count + possible
+    * backward start-extension when it predates validFrom) and otherwise
+    * starts/closes runs at its sorted position in the CURRENT batch —
+    * an already-emitted interval is never revised (the exactly-once
+    * trade every append-mode stateful operator makes).
+    *
+    * State is ONE [[Scd2Open]] per user — bounded by the key space, not
+    * the log; no timeout: an open run has no natural close except the
+    * next change, and batch mode needs none. */
+  def scd2WithState(
+      events: Dataset[LogEvent],
+      watermarkDelay: String = "1 hour"): Dataset[Scd2Interval] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val isStreaming = events.isStreaming
+    val withTime = events
+      .withColumn("event_time", EventTimeOps.eventTimeFromNanos(col("tsNanos")))
+    val wm = if (isStreaming) withTime.withWatermark("event_time", watermarkDelay) else withTime
+
+    def us(ns: Long): Long = Math.floorDiv(ns, 1000L)
+
+    def fn(userId: Long, it: Iterator[LogEvent], state: GroupState[Scd2Open]): Iterator[Scd2Interval] = {
+      val sorted = it.toVector.sortBy(e => (e.tsNanos, e.eventType))
+      val closed = Vector.newBuilder[Scd2Interval]
+      var acc: Scd2Open = state.getOption.orNull
+      sorted.foreach { e =>
+        if (acc == null)
+          acc = Scd2Open(e.eventType, e.tsNanos, e.tsNanos, 1L)
+        else if (acc.value == e.eventType)
+          acc = Scd2Open(acc.value, math.min(acc.validFromNs, e.tsNanos),
+            math.max(acc.lastNs, e.tsNanos), acc.n + 1L)
+        else {
+          closed += Scd2Interval(userId, acc.value, us(acc.validFromNs),
+            Some(us(e.tsNanos)), acc.n)
+          acc = Scd2Open(e.eventType, e.tsNanos, e.tsNanos, 1L)
+        }
+      }
+      if (acc != null) {
+        if (isStreaming) state.update(acc)
+        else closed += Scd2Interval(userId, acc.value, us(acc.validFromNs), None, acc.n)
+      }
+      closed.result().iterator
+    }
+
+    wm.as[LogEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Running per-user totals: each micro-batch emits the user's updated

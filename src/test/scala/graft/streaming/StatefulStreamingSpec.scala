@@ -419,6 +419,80 @@ class StatefulStreamingSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // scd2WithState: incremental SCD2 maintenance
+  // ------------------------------------------------------------------
+
+  test("scd2WithState emits an interval exactly once when a new value closes it") {
+    val in = MemoryStream[LogEvent](spark)
+    val out = StatefulOps.scd2WithState(in.toDS())
+    val q = memSink(out.toDF(), "scd2_out", "append")
+    try {
+      in.addData(ev(1, 1.0, "A"), ev(1, 2.0, "A"), ev(2, 1.0, "X"))
+      processAll(q)
+      assert(spark.table("scd2_out").count() === 0) // both runs still open
+
+      in.addData(ev(1, 3.0, "B")) // closes user 1's A-run
+      processAll(q)
+      val first = spark.table("scd2_out").as[Scd2Interval].collect()
+      val hUs = 3600L * 1000000L
+      assert(first.map(i => (i.userId, i.value, i.validFromUs, i.validToUs, i.nRows)).toSet ===
+        Set((1L, "A", 1 * hUs, Some(3 * hUs), 2L)))
+
+      in.addData(ev(1, 4.0, "A"), ev(2, 5.0, "Y")) // closes B and X
+      processAll(q)
+      val all = spark.table("scd2_out").as[Scd2Interval].collect()
+      assert(all.map(i => (i.userId, i.value, i.validFromUs, i.validToUs, i.nRows)).toSet ===
+        Set(
+          (1L, "A", 1 * hUs, Some(3 * hUs), 2L),
+          (1L, "B", 3 * hUs, Some(4 * hUs), 1L),
+          (2L, "X", 1 * hUs, Some(5 * hUs), 1L)))
+      assert(all.length === all.distinct.length) // exactly once
+    } finally q.stop()
+  }
+
+  test("scd2WithState same-value events keep extending the open run across batches") {
+    val in = MemoryStream[LogEvent](spark)
+    val out = StatefulOps.scd2WithState(in.toDS())
+    val q = memSink(out.toDF(), "scd2_ext", "append")
+    try {
+      in.addData(ev(1, 1.0, "A"))
+      processAll(q)
+      in.addData(ev(1, 2.0, "A"))
+      processAll(q)
+      in.addData(ev(1, 3.0, "A"))
+      processAll(q)
+      assert(spark.table("scd2_ext").count() === 0)
+      in.addData(ev(1, 9.0, "Z"))
+      processAll(q)
+      val rows = spark.table("scd2_ext").as[Scd2Interval].collect()
+      val hUs = 3600L * 1000000L
+      // the whole three-batch A-run closes as ONE interval of 3 rows
+      assert(rows.map(i => (i.value, i.validFromUs, i.validToUs, i.nRows)).toSet ===
+        Set(("A", 1 * hUs, Some(9 * hUs), 3L)))
+    } finally q.stop()
+  }
+
+  test("scd2WithState batch mode equals the relational scd2Intervals twin") {
+    val rnd = new scala.util.Random(11)
+    val events = (1L to 300L).map { i =>
+      ev(i % 7, i.toDouble, s"v${rnd.nextInt(3)}")
+    }
+    val typed = StatefulOps.scd2WithState(events.toDS())
+      .collect()
+      .map(i => (i.userId, i.value, i.validFromUs, i.validToUs.getOrElse(-1L), i.nRows))
+      .toSet
+    val relational = graft.operators.Behavioral.scd2Intervals(
+        events.toDS().toDF(), "userId", "tsNanos", "eventType")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Math.floorDiv(r.getLong(2), 1000L),
+        if (r.isNullAt(3)) -1L else Math.floorDiv(r.getLong(3), 1000L),
+        r.getLong(4)))
+      .toSet
+    assert(typed === relational)
+  }
+
+  // ------------------------------------------------------------------
   // typedEvents mapping over the real table shape
   // ------------------------------------------------------------------
 
