@@ -1136,6 +1136,20 @@ object SparkEntry {
       .orderBy("user_id", "session_start_us")
   }
 
+  /** Incremental SCD2 maintenance ([[graft.streaming.StatefulOps
+    * .scd2WithState]]) in BATCH mode — same plan as the streaming CDC →
+    * type-2 dimension projection, no watermark: gap-closed intervals
+    * plus the open tail (valid_to_us NULL), micros domain. The
+    * relational twin is the `scd2_intervals` gate; multi-batch
+    * incremental behavior is pinned in StatefulStreamingSpec. */
+  private def scd2StateBatch(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsNs(s, dir)
+      .withColumn("ts", EventTimeOps.floorDivMicros(col("ts")) * lit(1000L))
+    StatefulOps.scd2WithState(StatefulOps.typedEvents(ev))
+      .toDF("user_id", "attr_value", "valid_from_us", "valid_to_us", "n_rows")
+      .orderBy("user_id", "valid_from_us")
+  }
+
   // ==================================================================
   // Training-pipeline operators (round 5): as-of join, deterministic
   // sampling, sequence packing — all integer/hash arithmetic or exact
@@ -1238,6 +1252,66 @@ object SparkEntry {
       .orderBy("bin")
 
   // ==================================================================
+  // Round-8 additions: warehouse/CDC analytics, entity resolution,
+  // exact feature statistics, weighted sampling
+  // ==================================================================
+
+  import graft.operators.{Behavioral, FuzzyJoin}
+
+  /** SCD2 validity intervals ([[graft.operators.Behavioral.scd2Intervals]])
+    * over the events log: per user, consecutive equal event_type runs
+    * collapsed to [valid_from, valid_to) in event_id order. */
+  private def scd2Intervals(s: SparkSession, dir: String): DataFrame =
+    Behavioral.scd2Intervals(t(s, dir, "events"), "user_id", "event_id", "event_type")
+      .orderBy("user_id", "valid_from")
+
+  /** First-order Markov transition counts + integer-ppm conditional
+    * probabilities ([[graft.operators.Behavioral.transitionCounts]]). */
+  private def eventTransitions(s: SparkSession, dir: String): DataFrame =
+    Behavioral.transitionCounts(t(s, dir, "events"), "user_id", "event_id", "event_type")
+      .orderBy("from_type", "to_type")
+
+  /** Blocked fuzzy entity matching ([[graft.operators.FuzzyJoin
+    * .editDistancePairs]]): part-name pairs within 2 Levenshtein edits,
+    * blocked on the noun (second token) so the quadratic compare never
+    * leaves a block. */
+  private def fuzzyNamePairs(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    FuzzyJoin.editDistancePairs(part, "p_partkey", "p_name",
+        blockKey = split(col("p_name"), " ").getItem(1), maxDist = 2)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Deterministic weighted sample ([[graft.operators.Sampling
+    * .weightedSample]]): 500 documents drawn ∝ n_chars by salted
+    * hash-priority — sampling ∝ length for a training mix. */
+  private def weightedSampleQuery(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars", k = 500)
+      .orderBy("priority", "doc_id")
+
+  /** Exact-moment Pearson correlation matrix
+    * ([[graft.operators.Stats.corrMatrix]]) over lineitem's numeric
+    * measures — integer moments, pair-wise common downscale, one fixed
+    * IEEE op sequence; see the operator doc for the cross-engine
+    * determinism argument. */
+  private def corrMatrixQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    Stats.corrMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("col_a", "col_b")
+  }
+
+  /** Per-source winsorization of document lengths
+    * ([[graft.operators.Stats.winsorize]]): clip n_chars into the
+    * [p05, p95] rank-quantile band of its own source. */
+  private def winsorizedValues(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    Stats.winsorize(t(s, dir, "documents"), "source", "doc_id", "n_chars",
+        pLo = 0.05, pHi = 0.95)
+      .orderBy("source", "doc_id")
+  }
+
+  // ==================================================================
   // Registry
   // ==================================================================
 
@@ -1301,6 +1375,12 @@ object SparkEntry {
     "quantized_topk" -> quantizedTopK _,
     "length_quantiles" -> lengthQuantiles _,
     "table_profile" -> tableProfile _,
+    "scd2_intervals" -> scd2Intervals _,
+    "event_transitions" -> eventTransitions _,
+    "fuzzy_name_pairs" -> fuzzyNamePairs _,
+    "weighted_sample" -> weightedSampleQuery _,
+    "corr_matrix" -> corrMatrixQuery _,
+    "winsorized_values" -> winsorizedValues _,
     "embedding_norms" -> embeddingNorms _,
     "ann_lsh_topk" -> annLshTopK _,
     "ivf_topk" -> ivfTopKQuery _,
@@ -1316,6 +1396,7 @@ object SparkEntry {
     "streaming_dedup" -> streamingDedup _,
     "running_totals" -> runningTotals _,
     "session_state_batch" -> sessionStateBatch _,
+    "scd2_state_batch" -> scd2StateBatch _,
     "asof_join" -> asofJoinQuery _,
     "sample_split_counts" -> sampleSplitCounts _,
     "stratified_sample" -> stratifiedSampleQuery _,
@@ -2252,6 +2333,128 @@ object SparkEntry {
                   CAST(min(l_linestatus) AS VARCHAR),
                   CAST(max(l_linestatus) AS VARCHAR) FROM lineitem
          ) ORDER BY "column"""",
+    "scd2_intervals" ->
+      // gaps-and-islands: lag change flag -> running-sum run id -> one
+      // row per run; the open interval has valid_to NULL / is_current 1
+      """WITH lagged AS (SELECT user_id, event_id, event_type,
+                CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+              FROM events),
+            runs AS (SELECT user_id, event_id, event_type,
+                sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+              FROM lagged),
+            grp AS (SELECT user_id, run_id, min(event_type) AS event_type,
+                CAST(min(event_id) AS BIGINT) AS valid_from,
+                CAST(count(*) AS BIGINT) AS n_rows
+              FROM runs GROUP BY user_id, run_id)
+         SELECT user_id, event_type, valid_from,
+                lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+                n_rows,
+                CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+                       IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         FROM grp ORDER BY user_id, valid_from""",
+    "event_transitions" ->
+      // first-order Markov transitions; conditional probability as
+      // integer ppm (truncating // on exact counts, as Spark's div)
+      """WITH pairs AS (SELECT
+                lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS from_type,
+                event_type AS to_type
+              FROM events),
+            cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS transitions
+              FROM pairs WHERE from_type IS NOT NULL GROUP BY from_type, to_type)
+         SELECT from_type, to_type, transitions,
+                CAST(transitions * 1000000 // sum(transitions)
+                  OVER (PARTITION BY from_type) AS BIGINT) AS prob_ppm
+         FROM cnt ORDER BY from_type, to_type""",
+    "fuzzy_name_pairs" ->
+      // blocked on the noun (second token); the length-band filter is a
+      // necessary condition for edit distance, so it only prunes;
+      // DuckDB's levenshtein == Spark's (unit-cost DP edit distance)
+      """WITH p AS (SELECT p_partkey AS id, p_name AS nm,
+                split_part(p_name, ' ', 2) AS blk FROM part)
+         SELECT a.id AS id_a, b.id AS id_b, a.nm AS name_a, b.nm AS name_b,
+                CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+         FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+         WHERE abs(length(a.nm) - length(b.nm)) <= 2
+           AND levenshtein(a.nm, b.nm) <= 2
+         ORDER BY id_a, id_b""",
+    "weighted_sample" ->
+      // hash-priority weighted sampling: 60-bit salted-md5 uniform
+      // floor-divided by the weight, k smallest win (ties by id)
+      """SELECT doc_id, n_chars,
+                CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  // CAST(n_chars AS BIGINT) AS priority
+         FROM documents WHERE n_chars > 0
+         ORDER BY priority, doc_id LIMIT 500""",
+    "corr_matrix" ->
+      // exact integer moments in centi-units (sum(BIGINT) is HUGEINT in
+      // DuckDB = exact int128, Spark's decimal(38,0)); each pair's
+      // (cov, vx, vy) divides by one common power of ten until the
+      // largest fits 15 digits (< 2^53), because HUGEINT->DOUBLE casts
+      // round differently across engines past 2^53 while BIGINT->DOUBLE
+      // is exact on both; the divisor is string-built ('1' || zeros) —
+      // power(10, 23) is itself not an exact double
+      """WITH m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                CAST(sum(CAST(round(l_quantity  * 100) AS BIGINT)) AS HUGEINT) AS s_q,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS s_e,
+                CAST(sum(CAST(round(l_discount  * 100) AS BIGINT)) AS HUGEINT) AS s_d,
+                CAST(sum(CAST(round(l_tax       * 100) AS BIGINT)) AS HUGEINT) AS s_t,
+                CAST(sum(CAST(round(l_quantity  * 100) AS BIGINT) * CAST(round(l_quantity  * 100) AS BIGINT)) AS HUGEINT) AS p_qq,
+                CAST(sum(CAST(round(l_quantity  * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS p_qe,
+                CAST(sum(CAST(round(l_quantity  * 100) AS BIGINT) * CAST(round(l_discount  * 100) AS BIGINT)) AS HUGEINT) AS p_qd,
+                CAST(sum(CAST(round(l_quantity  * 100) AS BIGINT) * CAST(round(l_tax       * 100) AS BIGINT)) AS HUGEINT) AS p_qt,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS p_ee,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount  * 100) AS BIGINT)) AS HUGEINT) AS p_ed,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_tax       * 100) AS BIGINT)) AS HUGEINT) AS p_et,
+                CAST(sum(CAST(round(l_discount  * 100) AS BIGINT) * CAST(round(l_discount  * 100) AS BIGINT)) AS HUGEINT) AS p_dd,
+                CAST(sum(CAST(round(l_discount  * 100) AS BIGINT) * CAST(round(l_tax       * 100) AS BIGINT)) AS HUGEINT) AS p_dt,
+                CAST(sum(CAST(round(l_tax       * 100) AS BIGINT) * CAST(round(l_tax       * 100) AS BIGINT)) AS HUGEINT) AS p_tt
+              FROM lineitem),
+            tri AS (
+              -- pair orientation follows the Spark cols order
+              -- (quantity, extendedprice, discount, tax), col_a = earlier
+              SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                     n*p_qe - s_q*s_e AS cov, n*p_qq - s_q*s_q AS vx, n*p_ee - s_e*s_e AS vy FROM m
+              UNION ALL SELECT 'l_quantity', 'l_discount',
+                     n*p_qd - s_q*s_d, n*p_qq - s_q*s_q, n*p_dd - s_d*s_d FROM m
+              UNION ALL SELECT 'l_quantity', 'l_tax',
+                     n*p_qt - s_q*s_t, n*p_qq - s_q*s_q, n*p_tt - s_t*s_t FROM m
+              UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                     n*p_ed - s_e*s_d, n*p_ee - s_e*s_e, n*p_dd - s_d*s_d FROM m
+              UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                     n*p_et - s_e*s_t, n*p_ee - s_e*s_e, n*p_tt - s_t*s_t FROM m
+              UNION ALL SELECT 'l_discount', 'l_tax',
+                     n*p_dt - s_d*s_t, n*p_dd - s_d*s_d, n*p_tt - s_t*s_t FROM m),
+            sc AS (SELECT col_a, col_b, cov, vx, vy,
+                CAST('1' || repeat('0', greatest(0,
+                  length(CAST(greatest(abs(cov), vx, vy) AS VARCHAR)) - 15)) AS HUGEINT) AS down
+              FROM tri)
+         SELECT col_a, col_b,
+                CAST(CAST(cov // down AS BIGINT) AS DOUBLE)
+                  / (sqrt(CAST(CAST(vx // down AS BIGINT) AS DOUBLE))
+                     * sqrt(CAST(CAST(vy // down AS BIGINT) AS DOUBLE))) AS corr
+         FROM sc ORDER BY col_a, col_b""",
+    "winsorized_values" ->
+      // per-source [p05, p95] rank-quantile clip; bounds are actual data
+      // elements by the length_quantiles rank rule
+      """WITH v AS (SELECT source, doc_id, n_chars FROM documents),
+            ranked AS (SELECT source, n_chars,
+                CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS rn
+              FROM v),
+            counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY source),
+            bounds AS (SELECT c.source,
+                max(CASE WHEN r.rn = CAST(floor(CAST(0.05 AS DOUBLE) * (c.n - 1)) + 1 AS BIGINT)
+                      THEN r.n_chars END) AS lo,
+                max(CASE WHEN r.rn = CAST(floor(CAST(0.95 AS DOUBLE) * (c.n - 1)) + 1 AS BIGINT)
+                      THEN r.n_chars END) AS hi
+              FROM counts c JOIN ranked r ON r.source = c.source GROUP BY c.source)
+         SELECT v.source, v.doc_id, v.n_chars, b.lo, b.hi,
+                CASE WHEN v.n_chars < b.lo THEN b.lo
+                     WHEN v.n_chars > b.hi THEN b.hi
+                     ELSE v.n_chars END AS clipped
+         FROM v JOIN bounds b ON v.source = b.source
+         ORDER BY v.source, v.doc_id""",
     "length_quantiles" ->
       // lower discrete quantile by sort rank: the element at
       // floor(p*(n-1))+1 — ps cast to DOUBLE (DuckDB parses 0.95 as
@@ -2627,6 +2830,26 @@ object SparkEntry {
                  count(*) AS n_events, CAST(sum(vm) AS BIGINT) AS sum_value_micros
           FROM s GROUP BY user_id, sid
           ORDER BY user_id, session_start_us""",
+    "scd2_state_batch" ->
+      // batch-mode scd2WithState = the scd2_intervals gaps-and-islands
+      // over the micros domain; the open tail's valid_to_us is NULL
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+            lagged AS (SELECT user_id, us, event_type,
+                CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY us)
+                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+              FROM e),
+            runs AS (SELECT user_id, us, event_type,
+                sum(chg) OVER (PARTITION BY user_id ORDER BY us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+              FROM lagged),
+            grp AS (SELECT user_id, run_id, min(event_type) AS attr_value,
+                CAST(min(us) AS BIGINT) AS valid_from_us,
+                CAST(count(*) AS BIGINT) AS n_rows
+              FROM runs GROUP BY user_id, run_id)
+         SELECT user_id, attr_value, valid_from_us,
+                lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+                n_rows
+         FROM grp ORDER BY user_id, valid_from_us""",
     "asof_join" ->
       // DuckDB's native ASOF JOIN is the oracle for AsOfJoin.asOf; both
       // sides compare in the micros domain, right side deduped per

@@ -191,4 +191,33 @@ object Sampling {
       .filter(col("_rn") <= perStratum)
       .drop("_rn")
   }
+
+  /** Deterministic weighted sample of `k` rows: each row draws the
+    * integer priority `floor(hash₆₀(id) / w)` — a fixed 60-bit salted-md5
+    * uniform divided by the row's positive integer weight — and the k
+    * SMALLEST priorities win (ties broken by id). Heavier rows shrink
+    * their priority proportionally, so inclusion odds grow with weight
+    * (the integer-arithmetic analogue of Efraimidis–Spirakis A-Res
+    * hash-priority sampling, reproducible across engines — a float
+    * `u^(1/w)` key would hash-diverge in the last ulp); sampling
+    * documents ∝ length/quality score for a training mix is the use.
+    *
+    * Shape: priority is a stateless codegen'd projection (zero shuffle)
+    * and the global top-k plans as TakeOrderedAndProject — per-partition
+    * k-heaps, only |partitions|·k rows reach the driver-side merge; no
+    * global sort at any corpus size. */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      salt: String = "wsamp"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val hash60 = conv(substring(
+      md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    df.filter(col(weightCol) > 0)
+      .withColumn("priority", hash60)
+      .withColumn("priority", expr(s"priority div cast($weightCol as bigint)"))
+      .orderBy(col("priority").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col(weightCol), col("priority"))
+  }
 }

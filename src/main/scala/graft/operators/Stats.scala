@@ -166,4 +166,85 @@ object Stats {
         row.getAs[String](s"${c}__min"), row.getAs[String](s"${c}__max"))
     }.toDF("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
   }
+
+  /** Exact-moment Pearson correlation matrix over k numeric columns in
+    * ONE scan — the feature-redundancy screen before training (drop one
+    * of a ±0.95-correlated pair). `corr()`/`covar_samp()` built-ins
+    * accumulate FLOAT moments whose partial-merge order varies run to
+    * run; here every moment (Σx, Σx², Σxy, n) is an EXACT INTEGER sum
+    * over centi-unit values (`round(x·100)` — corr is scale-invariant),
+    * order-independent and bit-identical across engines. The closed-form
+    * numerators `cov = nΣxy − ΣxΣy`, `var = nΣx² − (Σx)²` stay exact
+    * integers too; each pair's (cov, vx, vy) triple is then
+    * truncating-divided by the SAME power of ten — the smallest that
+    * brings the largest of the three under 16 decimal digits, i.e.
+    * inside double's 2^53 exact-integer range — BEFORE any int→double
+    * conversion (a decimal/int128 → double cast is off by an ulp
+    * between engines beyond 2^53 — measured; int64→double is exact on
+    * both). corr is invariant under common rescaling of (cov, vx, vy),
+    * so the final `r = cov/(√vx·√vy)` is a fixed IEEE op sequence on
+    * identical inputs with ~10⁻¹² absolute precision, deterministically
+    * the same on both sides (the oracle replays shift = `greatest(0,
+    * length(varchar(greatest(|cov|, vx, vy))) − 15)` and the divisor as
+    * `'1' || repeat('0', shift)` — string-built, since 10²³ is not an
+    * exact double).
+    *
+    * Shape: one aggregate with k + k(k+1)/2 decimal sums — map-side
+    * partial aggregation collapses the corpus before the single-row
+    * exchange, and the k² pair expansion runs on the 1-row result. At
+    * 100 TB nothing but one row of moments moves. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // centi-units: exact integers for 2-decimal source data; decimal(38,0)
+    // is Spark's int128 stand-in, so products and sums never round
+    def u(c: String) = round(col(c) * 100).cast("decimal(38,0)")
+    val pairs = for { i <- cols.indices; j <- i until cols.size } yield (i, j)
+    val aggs =
+      cols.map(c => sum(u(c)).as(s"s__$c")) ++
+      pairs.map { case (i, j) => sum(u(cols(i)) * u(cols(j))).as(s"p__${i}_$j") }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*).collect().head
+    val n = BigInt(row.getAs[Long]("__n"))
+    def s(c: String) = BigInt(row.getAs[java.math.BigDecimal](s"s__$c").toBigInteger)
+    def p(i: Int, j: Int) =
+      BigInt(row.getAs[java.math.BigDecimal](s"p__${math.min(i, j)}_${math.max(i, j)}").toBigInteger)
+    (for { i <- cols.indices; j <- (i + 1) until cols.size } yield {
+      val cov = n * p(i, j) - s(cols(i)) * s(cols(j))
+      val vx = n * p(i, i) - s(cols(i)) * s(cols(i))
+      val vy = n * p(j, j) - s(cols(j)) * s(cols(j))
+      val shift = math.max(0, cov.abs.max(vx).max(vy).toString.length - 15)
+      val down = BigInt(10).pow(shift)
+      // BigInt `/` truncates toward zero — same as DuckDB's `//`
+      val (covD, vxD, vyD) = ((cov / down).toDouble, (vx / down).toDouble, (vy / down).toDouble)
+      (cols(i), cols(j), covD / (math.sqrt(vxD) * math.sqrt(vyD)))
+    }).toDF("col_a", "col_b", "corr")
+  }
+
+  /** Per-group winsorization: clip `valueCol` into the [pLo, pHi]
+    * rank-quantile band of its OWN group — taming heavy tails before
+    * mean-based statistics (the robust alternative to dropping rows).
+    * Bounds are actual data elements selected by the [[groupedQuantiles]]
+    * rank rule (`floor(p·(n−1))+1`), so clipping is pure integer
+    * comparison — bit-exact vs the oracle.
+    *
+    * Shape: the bounds frame collapses to |groups|·2 rows and BROADCASTS
+    * back onto the corpus — the corpus itself shuffles once (the ranking
+    * window inside groupedQuantiles); the clip is a codegen'd projection. */
+  def winsorize(
+      df: DataFrame, groupCol: String, idCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo < pHi, "need pLo < pHi")
+    val bounds = groupedQuantiles(df, groupCol, valueCol, Seq(pLo, pHi))
+      .groupBy(groupCol)
+      .agg(min(when(col("p") === pLo, col("value"))).as("lo"),
+        max(when(col("p") === pHi, col("value"))).as("hi"))
+    df.select(col(groupCol), col(idCol), col(valueCol))
+      .join(broadcast(bounds), Seq(groupCol))
+      .withColumn("clipped",
+        when(col(valueCol) < col("lo"), col("lo"))
+          .when(col(valueCol) > col("hi"), col("hi"))
+          .otherwise(col(valueCol)))
+      .select(col(groupCol), col(idCol), col(valueCol), col("lo"), col("hi"), col("clipped"))
+  }
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Blocked edit-distance matching semantics on hand-built fixtures (the
+  * DuckDB oracle re-checks the operator over the part table at sf0.01). */
+class FuzzyJoinSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def pairs(rows: Seq[(Long, String)], maxDist: Int) =
+    FuzzyJoin.editDistancePairs(
+        rows.toDF("id", "name"), "id", "name",
+        blockKey = split(col("name"), " ").getItem(1), maxDist = maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+
+  test("pairs within a block under the distance bound, each emitted once with id_a < id_b") {
+    val rows = Seq(
+      (1L, "red bolt"), (2L, "old bolt"), (3L, "red bolt"), (4L, "golden bolt"))
+    // red~old = 2, red~red = 0; golden is 4+ edits from both
+    assert(pairs(rows, 2) === Set((1L, 2L, 2L), (1L, 3L, 0L), (2L, 3L, 2L)))
+  }
+
+  test("cross-block pairs are never compared, even at distance 1 (the blocking trade)") {
+    val rows = Seq((1L, "red bolt"), (2L, "red bolts"))
+    assert(pairs(rows, 3) === Set.empty)
+  }
+
+  test("distance equals Levenshtein and respects the bound exactly") {
+    val rows = Seq((1L, "small gear"), (2L, "smell gear"), (3L, "tall gear"))
+    // small~smell = 1, small~tall = 2 (sub s→t, del m), smell~tall = 3
+    assert(pairs(rows, 1) === Set((1L, 2L, 1L)))
+    assert(pairs(rows, 3) === Set((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 3L)))
+  }
+
+  test("result is invariant under input repartitioning") {
+    val rows = (1L to 120L).map(i => (i, s"w${i % 11} n${i % 7}"))
+    val df = rows.toDF("id", "name")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      FuzzyJoin.editDistancePairs(d, "id", "name",
+          blockKey = split(col("name"), " ").getItem(1), maxDist = 2)
+        .orderBy("id_a", "id_b").collect().toSeq
+    assert(run(df) === run(df.repartition(13)))
+  }
+}

@@ -263,4 +263,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     // every query still gets SOME negatives, bounded by its bucket size
     assert(out.values.forall(n => n > 0 && n <= 6))
   }
+
+  test("weightedSample favors heavy rows and ranks by floor(hash/w) with id ties") {
+    val df = (1L to 400L).map(i => (i, if (i <= 200) 1000L else 1L))
+      .toDF("id", "w")
+    val picked = Sampling.weightedSample(df, "id", "w", k = 50)
+      .collect().map(_.getLong(0))
+    assert(picked.length === 50)
+    // 1000x weight dominates: the light half should almost never appear
+    assert(picked.count(_ <= 200L) >= 45)
+    // priorities really are hash div weight: recompute one row by hand
+    val row = Sampling.weightedSample(df, "id", "w", k = 400)
+      .filter(col("id") === 7L).collect().head
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("wsamp:7".getBytes("UTF-8"))
+      .take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL)) >>> 4
+    assert(row.getAs[Long]("priority") === h / 1000L)
+  }
+
+  test("weightedSample is deterministic and drops non-positive weights") {
+    val df = Seq((1L, 5L), (2L, 0L), (3L, -2L), (4L, 7L)).toDF("id", "w")
+    val out = Sampling.weightedSample(df, "id", "w", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 4L))
+    val again = Sampling.weightedSample(df, "id", "w", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === out)
+  }
 }

@@ -96,4 +96,50 @@ class StatsSpec extends AnyFunSuite {
       .orderBy("g").collect().toSeq
     assert(a === b)
   }
+
+  test("corrMatrix: exact ±1 on linearly dependent columns, 0 on constant-free orthogonal") {
+    val df = Seq(
+      (1.0, 2.0, 3.0),
+      (2.0, 4.0, 2.0),
+      (3.0, 6.0, 1.0)
+    ).toDF("x", "y2x", "zneg")
+    val out = Stats.corrMatrix(df, Seq("x", "y2x", "zneg"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(out(("x", "y2x")) - 1.0) < 1e-9)
+    assert(math.abs(out(("x", "zneg")) + 1.0) < 1e-9)
+    assert(math.abs(out(("y2x", "zneg")) + 1.0) < 1e-9)
+  }
+
+  test("corrMatrix matches a hand-computed Pearson r on an uncorrelated-ish fixture") {
+    // x = (1,2,3,4), w = (1,3,2,4): r = 0.8 exactly
+    val df = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 4.0)).toDF("x", "w")
+    val r = Stats.corrMatrix(df, Seq("x", "w")).collect().head.getDouble(2)
+    assert(math.abs(r - 0.8) < 1e-9)
+  }
+
+  test("corrMatrix survives moment magnitudes past 2^53 via the common downscale") {
+    // values ~1e6 over 4k rows: Σx² in centi-units ~ 4e3·1e16 = 4e19 ≫ 2^53
+    val rows = Seq.tabulate(4000)(i => (i * 997.25, i * 1994.5 + 3.0))
+    val r = Stats.corrMatrix(rows.toDF("big", "affine"), Seq("big", "affine"))
+      .collect().head.getDouble(2)
+    assert(math.abs(r - 1.0) < 1e-6)
+  }
+
+  test("winsorize clips into the [pLo, pHi] rank-band of the row's own group") {
+    val df = Seq(
+      ("a", 1L, 0L), ("a", 2L, 10L), ("a", 3L, 20L), ("a", 4L, 30L),
+      ("a", 5L, 40L), ("a", 6L, 50L), ("a", 7L, 60L), ("a", 8L, 70L),
+      ("a", 9L, 80L), ("a", 10L, 90L), ("a", 11L, 1000L),
+      ("b", 12L, 5L)
+    ).toDF("g", "id", "v")
+    // group a: n=11, p10 rank = floor(0.1*10)+1 = 2 -> 10; p90 rank =
+    // floor(0.9*10)+1 = 10 -> 90: 0 clips up to 10, 1000 clips down to 90
+    val out = Stats.winsorize(df, "g", "id", "v", 0.1, 0.9)
+      .collect().map(r => r.getLong(1) -> r.getLong(5)).toMap
+    assert(out(1L) === 10L)
+    assert(out(11L) === 90L)
+    assert(out(5L) === 40L)
+    // single-row group: lo = hi = the value; nothing moves
+    assert(out(12L) === 5L)
+  }
 }
