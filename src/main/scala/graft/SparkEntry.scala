@@ -1009,6 +1009,19 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Product-quantization ADC top-k ([[graft.operators.Similarity
+    * .pqCodebook]]/[[graft.operators.Similarity.pqTopK]]) with the
+    * SEEDED codebook (centroid (j,t) = subspace j of the t-th lowest-id
+    * vector — deterministic, so encode + lookup-table scoring is fully
+    * SQL-replicable; the ivf_topk iterations=0 idiom). m=8 subspaces ×
+    * k=8 centroids over the 64-dim embeddings. */
+  private def pqTopKQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = Similarity.pqCodebook(emb, m = 8, k = 8)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), model, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** Nearest-class-mean classify (Similarity.classMeans +
     * nearestClassMean): fit label prototypes on the embeddings table,
     * classify the same table — the model-based filtering pattern. */
@@ -1265,6 +1278,23 @@ object SparkEntry {
     Behavioral.scd2Intervals(t(s, dir, "events"), "user_id", "event_id", "event_type")
       .orderBy("user_id", "valid_from")
 
+  /** Point-in-time SCD2 lookup ([[graft.operators.Behavioral
+    * .pointInTime]]): each purchase annotated with the user's state —
+    * the current interval of the SCD2 dimension built from their
+    * NON-purchase activity — at the purchase's position. Contiguous
+    * intervals reduce the range membership to an as-of rule, so the
+    * oracle is DuckDB's native ASOF JOIN over the same dimension CTE. */
+  private def scd2PointLookup(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val dim = Behavioral.scd2Intervals(
+      ev.filter(col("event_type") =!= "purchase"), "user_id", "event_id", "event_type")
+    val facts = ev.filter(col("event_type") === "purchase").select("event_id", "user_id")
+    Behavioral.pointInTime(facts, dim, "user_id", "event_id", "event_type")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("dim_event_type"), lit("none")).as("state_at_purchase"))
+      .orderBy("event_id")
+  }
+
   /** First-order Markov transition counts + integer-ppm conditional
     * probabilities ([[graft.operators.Behavioral.transitionCounts]]). */
   private def eventTransitions(s: SparkSession, dir: String): DataFrame =
@@ -1376,6 +1406,7 @@ object SparkEntry {
     "length_quantiles" -> lengthQuantiles _,
     "table_profile" -> tableProfile _,
     "scd2_intervals" -> scd2Intervals _,
+    "scd2_point_lookup" -> scd2PointLookup _,
     "event_transitions" -> eventTransitions _,
     "fuzzy_name_pairs" -> fuzzyNamePairs _,
     "weighted_sample" -> weightedSampleQuery _,
@@ -1384,6 +1415,7 @@ object SparkEntry {
     "embedding_norms" -> embeddingNorms _,
     "ann_lsh_topk" -> annLshTopK _,
     "ivf_topk" -> ivfTopKQuery _,
+    "pq_topk" -> pqTopKQuery _,
     "semantic_dedup" -> semanticDedupQuery _,
     "ncm_classify" -> ncmClassifyQuery _,
     "cosine_near_dups" -> cosineNearDups _,
@@ -2179,6 +2211,40 @@ object SparkEntry {
                FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
                WHERE q.vec_id < 50)
          QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "pq_topk" ->
+      // seeded codebook = subspaces of the 8 lowest-id vectors; encode =
+      // per-(vector, subspace) argmin over centroids (ties -> lowest t,
+      // the struct-min rule); ADC score = the query's LUT entries summed
+      // in subspace order (list(d ORDER BY j) keeps the fold order
+      // identical to Spark's aggregate over ascending j)
+      """WITH emb AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            js AS (SELECT unnest(range(0, 8)) AS j),
+            cb AS (SELECT s.vec_id AS t, js.j,
+                list_transform(range(1, 9), i -> s.v[js.j*8 + i]) AS c
+              FROM emb s, js WHERE s.vec_id < 8),
+            enc AS (SELECT e.vec_id, c.j, c.t,
+                list_sum(list_transform(range(1, 9),
+                  i -> (e.v[c.j*8+i] - c.c[i]) * (e.v[c.j*8+i] - c.c[i]))) AS dist
+              FROM emb e, cb c),
+            codes AS (SELECT vec_id, j, t FROM (
+                SELECT vec_id, j, t,
+                       row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, t) AS rn
+                FROM enc) WHERE rn = 1),
+            lut AS (SELECT q.vec_id AS query_id, c.j, c.t,
+                list_sum(list_transform(range(1, 9),
+                  i -> (q.v[c.j*8+i] - c.c[i]) * (q.v[c.j*8+i] - c.c[i]))) AS d
+              FROM emb q, cb c WHERE q.vec_id < 10),
+            scored AS (SELECT l.query_id, x.vec_id AS neighbor_id,
+                list_sum(list(l.d ORDER BY l.j)) AS score
+              FROM codes x JOIN lut l ON l.j = x.j AND l.t = x.t
+              WHERE x.vec_id <> l.query_id
+              GROUP BY 1, 2)
+         SELECT query_id, neighbor_id, score,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score ASC, neighbor_id) AS rank
+         FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""",
     "ivf_topk" ->
       """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
                        FROM embeddings ORDER BY vec_id LIMIT 8),
@@ -2354,6 +2420,29 @@ object SparkEntry {
                 CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
                        IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
          FROM grp ORDER BY user_id, valid_from""",
+    "scd2_point_lookup" ->
+      // the dimension CTE is the scd2_intervals construction over
+      // non-purchase events; contiguous intervals make the range lookup
+      // an ASOF join, which DuckDB ships natively
+      """WITH e AS (SELECT user_id, event_id, event_type FROM events
+                    WHERE event_type <> 'purchase'),
+            lagged AS (SELECT user_id, event_id, event_type,
+                CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+              FROM e),
+            runs AS (SELECT user_id, event_id, event_type,
+                sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+              FROM lagged),
+            dim AS (SELECT user_id, min(event_id) AS valid_from,
+                min(event_type) AS event_type
+              FROM runs GROUP BY user_id, run_id),
+            f AS (SELECT event_id, user_id FROM events WHERE event_type = 'purchase')
+         SELECT f.event_id, f.user_id,
+                coalesce(d.event_type, 'none') AS state_at_purchase
+         FROM f ASOF LEFT JOIN dim d
+           ON f.user_id = d.user_id AND f.event_id >= d.valid_from
+         ORDER BY f.event_id""",
     "event_transitions" ->
       // first-order Markov transitions; conditional probability as
       // integer ppm (truncating // on exact counts, as Spark's div)

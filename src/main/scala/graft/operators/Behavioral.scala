@@ -132,6 +132,28 @@ object Behavioral {
         col("n_rows"), col("is_current"))
   }
 
+  /** Point-in-time SCD2 lookup: annotate each fact row with the
+    * dimension attribute that was CURRENT at the fact's own position —
+    * the query every SCD2 table exists to answer ("what was the user's
+    * plan when this order was placed"). `dim` is a
+    * [[scd2Intervals]]-shaped frame (idCol, attrCol, valid_from …);
+    * facts positioned before an entity's first interval get null.
+    *
+    * Because [[scd2Intervals]] emits CONTIGUOUS intervals per entity
+    * (each `valid_to` equals the next `valid_from`, the last is open),
+    * membership `t ∈ [valid_from, valid_to)` reduces to the as-of rule
+    * "latest valid_from ≤ t" — so the lookup rides
+    * [[AsOfJoin.asOf]]'s tagged-union running-window plan: ONE shuffle
+    * on the entity key, per-partition sort, no range-join row blowup,
+    * no broadcast requirement on either side. Output: facts + the
+    * interval's attribute as `dim_<attrCol>`. */
+  def pointInTime(
+      facts: DataFrame, dim: DataFrame, idCol: String, factOrdCol: String,
+      attrCol: String): DataFrame =
+    AsOfJoin.asOf(facts, dim.select(col(idCol), col("valid_from"), col(attrCol)),
+      keys = Seq(idCol), leftTs = factOrdCol, rightTs = "valid_from",
+      payload = Seq(attrCol), prefix = "dim_")
+
   /** First-order Markov transition counts over the event log: for each
     * entity's position-ordered sequence, count (from_type → to_type)
     * transitions corpus-wide and attach the conditional probability in

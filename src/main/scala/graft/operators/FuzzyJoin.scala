@@ -52,7 +52,14 @@ object FuzzyJoin {
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
       .filter(col("dist") >= 0) // thresholded kernel returns -1 when over the bound
-    side.select(col("id").as("id_a"), col("name").as("name_a"), col("blk"))
+    // the record expansion is output-bound (every matching record pair
+    // is emitted); spread it across the cluster by hash-repartitioning
+    // the probe side — matched name pairs and the build side broadcast
+    // under AQE, so the expansion's parallelism must come from the probe
+    // partitioning, not the (possibly single) input split of a small
+    // dimension file. One O(records) shuffle, noise next to the output.
+    side.repartition(col("id"))
+      .select(col("id").as("id_a"), col("name").as("name_a"), col("blk"))
       .join(namePairs, Seq("blk", "name_a"))
       .join(side.select(col("id").as("id_b"), col("name").as("name_b"), col("blk")),
         Seq("blk", "name_b"))

@@ -352,4 +352,113 @@ object Similarity {
       sumLong(transform(col("q"), e => abs(e))).as("q_abs_sum"),
       sumLong(err).as("err_micro_sum"))
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid, TPAMI 2011) — the
+  // standard billion-scale ANN compression: m sub-quantizers of k
+  // centroids turn a dim-float vector into m small codes (here m bytes),
+  // and queries score candidates via an m-lookup table sum (asymmetric
+  // distance, ADC) instead of dim multiplies.
+  // ------------------------------------------------------------------
+
+  /** A PQ codebook: `m` subspaces of `subDim` dims, `k` centroids each;
+    * `codebook` is flattened as `[(j·k + t)·subDim + i]`. */
+  final case class PqModel(m: Int, k: Int, subDim: Int, codebook: Array[Double]) {
+    require(codebook.length == m * k * subDim, "codebook shape mismatch")
+  }
+
+  /** Seeded (untrained) PQ codebook: centroid (j, t) is subspace j of
+    * the t-th lowest-id vector — deterministic and SQL-replicable, the
+    * `ivf_topk` iterations=0 idiom, so the whole encode/ADC path can be
+    * oracle-checked. (Lloyd refinement per subspace — the `trainIvf`
+    * loop applied m times — yields real codebooks but has no closed-form
+    * SQL twin; the gate pins the machinery, not the training.) Only
+    * k·dim doubles ever reach the driver. */
+  def pqCodebook(
+      corpus: DataFrame, m: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): PqModel = {
+    val seeds = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seeds.length == k, s"corpus has fewer than k=$k vectors")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val cb = new Array[Double](m * k * subDim)
+    for (j <- 0 until m; t <- 0 until k; i <- 0 until subDim)
+      cb((j * k + t) * subDim + i) = seeds(t)(j * subDim + i)
+    PqModel(m, k, subDim, cb)
+  }
+
+  /** PQ codes for a materialized double-array column `xd`: for each
+    * subspace, the centroid minimizing squared L2 distance (ties → the
+    * lowest centroid id, via the (dist, t) struct-min idiom). Distances
+    * accumulate left-to-right in double — deterministic, and exactly
+    * DuckDB's `list_sum(list_transform(...))` order. Everything is
+    * native HOF expressions over a broadcast-literal codebook: a
+    * codegen'd projection, zero shuffle at any corpus size. */
+  private def pqCodesExpr(xd: Column, model: PqModel): Column = {
+    val cb = lit(model.codebook)
+    transform(sequence(lit(0), lit(model.m - 1)), j =>
+      array_min(transform(sequence(lit(0), lit(model.k - 1)), t =>
+        struct(
+          aggregate(sequence(lit(0), lit(model.subDim - 1)), lit(0d), (acc, i) => {
+            val d = element_at(xd, j * lit(model.subDim) + i + 1) -
+              element_at(cb, (j * lit(model.k) + t) * lit(model.subDim) + i + 1)
+            acc + d * d
+          }).as("dist"),
+          t.as("t")))).getField("t"))
+  }
+
+  /** Encode the corpus to PQ codes: (vec_id, codes array<int>) — the
+    * 4·dim-byte float vector becomes m small ints (dim/m·32× smaller
+    * with byte packing), which is what a 100 TB ANN index actually
+    * stores. Pure projection. */
+  def pqEncode(
+      df: DataFrame, model: PqModel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("_xd"))
+      .withColumn("codes", pqCodesExpr(col("_xd"), model))
+      .select("vec_id", "codes")
+
+  /** ADC top-k: each query precomputes its m×k lookup table (squared L2
+    * to every centroid, flattened [j·k + t]); a candidate's approximate
+    * distance is then m array lookups summed in subspace order — no
+    * per-pair vector math at all. The tiny (queries × m·k) LUT frame
+    * BROADCASTS; the corpus side reads only the codes column. Top-k by
+    * (score asc, neighbor_id) per query — same window shape as
+    * [[bruteForceTopK]]. Recall vs exact is the PQ trade (measured in
+    * OperatorsSpec); raise k (re-rank the top candidates with true
+    * distances) when it matters. */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, model: PqModel, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = lit(model.codebook)
+    val luts = queries
+      .select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("_qd"))
+      .withColumn("lut", flatten(
+        transform(sequence(lit(0), lit(model.m - 1)), j =>
+          transform(sequence(lit(0), lit(model.k - 1)), t =>
+            aggregate(sequence(lit(0), lit(model.subDim - 1)), lit(0d), (acc, i) => {
+              val d = element_at(col("_qd"), j * lit(model.subDim) + i + 1) -
+                element_at(cb, (j * lit(model.k) + t) * lit(model.subDim) + i + 1)
+              acc + d * d
+            })))))
+      .select("query_id", "lut")
+    val codes = pqEncode(corpus, model, idCol, vecCol)
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    val scored = codes.crossJoin(broadcast(luts))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score",
+        aggregate(sequence(lit(0), lit(model.m - 1)), lit(0d), (acc, j) =>
+          acc + element_at(col("lut"),
+            j * lit(model.k) + element_at(col("codes"), j + 1) + 1)))
+    val w = Window.partitionBy("query_id").orderBy(col("score").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
 }

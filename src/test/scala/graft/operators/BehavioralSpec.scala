@@ -105,6 +105,24 @@ class BehavioralSpec extends AnyFunSuite {
       ("B", "C") -> ((1L, 500000L))))
   }
 
+  test("pointInTime resolves each fact to the interval containing its position") {
+    val dimLog = Seq(
+      (1L, 10L, "bronze"), (1L, 30L, "silver"), (1L, 50L, "gold"))
+      .toDF("user_id", "event_id", "event_type")
+    val dim = Behavioral.scd2Intervals(dimLog, "user_id", "event_id", "event_type")
+    val facts = Seq((100L, 1L, 5L), (101L, 1L, 30L), (102L, 1L, 49L),
+      (103L, 1L, 99L), (104L, 2L, 40L))
+      .toDF("fact_id", "user_id", "event_id")
+    val out = Behavioral.pointInTime(facts, dim, "user_id", "event_id", "event_type")
+      .collect().map(r => r.getAs[Long]("fact_id") -> r.getAs[String]("dim_event_type")).toMap
+    assert(out === Map(
+      100L -> null,      // before the first interval
+      101L -> "silver",  // boundary: valid_from is inclusive
+      102L -> "silver",  // inside [30, 50)
+      103L -> "gold",    // open current interval
+      104L -> null))     // unknown entity
+  }
+
   test("transitionCounts never pairs across entities") {
     // user 1 ends with Z, user 2 starts with Q: no Z->Q transition
     val log = Seq((1L, 1L, "Z"), (2L, 2L, "Q"), (2L, 3L, "R"))

@@ -228,6 +228,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(withBuckets.filter(col("qb") =!= col("nb")).count() === 0)
   }
 
+  test("pq codes: hand-checked argmin on a tiny fixture, ties to the lowest centroid") {
+    // dim 4, m 2 (subDim 2), k 2. Seeds (ids 0, 1) define the codebook:
+    //   subspace 0 centroids: (0,0) and (10,10); subspace 1: (0,0), (10,10)
+    val vecs = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)),
+      (1L, Seq(10f, 10f, 10f, 10f)),
+      (2L, Seq(1f, 1f, 9f, 9f)),   // sub0 -> centroid 0, sub1 -> centroid 1
+      (3L, Seq(5f, 5f, 5f, 5f))    // equidistant: ties break to centroid 0
+    ).toDF("vec_id", "embedding")
+    val model = Similarity.pqCodebook(vecs, m = 2, k = 2)
+    val codes = Similarity.pqEncode(vecs, model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(0L) === Seq(0, 0)) // a seed encodes to itself
+    assert(codes(1L) === Seq(1, 1))
+    assert(codes(2L) === Seq(0, 1))
+    assert(codes(3L) === Seq(0, 0)) // tie -> lowest t
+  }
+
+  test("pq adc top-k: score is the query's LUT sum over the candidate's codes") {
+    val vecs = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)),
+      (1L, Seq(10f, 10f, 10f, 10f)),
+      (2L, Seq(1f, 1f, 9f, 9f))
+    ).toDF("vec_id", "embedding")
+    val model = Similarity.pqCodebook(vecs, m = 2, k = 2)
+    val q = vecs.filter(col("vec_id") === 2)
+    val out = Similarity.pqTopK(vecs, q, model, k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // query (1,1,9,9): LUT sub0 = {c0: 1+1=2, c1: 81+81=162},
+    //                  LUT sub1 = {c0: 81+81=162, c1: 1+1=2}
+    // candidate 0 codes (0,0) -> 2 + 162 = 164; candidate 1 codes (1,1)
+    // -> 162 + 2 = 164: equal scores, tie -> lower neighbor_id first
+    assert(out.toSeq === Seq((0L, 164.0, 1L), (1L, 164.0, 2L)))
+  }
+
+  test("pq adc on real embeddings: a planted duplicate attains the minimum ADC score") {
+    val emb = embeddings.select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") === 3)
+      .select((col("vec_id") + 9999).as("vec_id"), col("embedding"))
+    val model = Similarity.pqCodebook(emb, m = 8, k = 8)
+    val n = emb.count().toInt + 1
+    val all = Similarity.pqTopK(emb.unionAll(planted), emb.filter(col("vec_id") === 3),
+        model, k = n)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // the exact copy has the query's own codes, so its ADC distance is
+    // the query's quantization residual — no candidate can score lower
+    assert(all(3L + 9999L) === all.values.min)
+  }
+
   test("ivf ann: trained quantizer, measured recall@10 vs brute force") {
     val emb = embeddings.select("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") < 20)
