@@ -623,6 +623,19 @@ object SparkEntry {
     Graph.pageRank(edges, iters = 5).orderBy("node")
   }
 
+  /** Label-propagation communities ([[graft.operators.Graph
+    * .labelPropagation]]) over the same customer–supplier purchase
+    * graph as `purchase_pagerank`, 3 synchronous rounds with the
+    * deterministic (count desc, label asc) mode rule. */
+  private def labelCommunities(s: SparkSession, dir: String): DataFrame = {
+    val cs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    Graph.labelPropagation(cs, iters = 3).orderBy("node")
+  }
+
   /** Feature-hashing TF vectors ([[operators.Lexical.hashedTfVectors]],
     * dim 64): vocabulary-free signed sparse vectors, md5-bucketed. */
   private def hashedTf(s: SparkSession, dir: String): DataFrame =
@@ -1022,6 +1035,17 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Two-stage PQ retrieval ([[graft.operators.Similarity
+    * .pqRerankTopK]]): ADC shortlist of 50, exact squared-L2 re-rank to
+    * 10 — the standard compressed-index serving pattern. */
+  private def pqRerankQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = Similarity.pqCodebook(emb, m = 8, k = 8)
+    Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") < 10), model,
+        k = 10, shortlist = 50)
+      .orderBy("query_id", "rank")
+  }
+
   /** Nearest-class-mean classify (Similarity.classMeans +
     * nearestClassMean): fit label prototypes on the embeddings table,
     * classify the same table — the model-based filtering pattern. */
@@ -1304,7 +1328,15 @@ object SparkEntry {
   /** Blocked fuzzy entity matching ([[graft.operators.FuzzyJoin
     * .editDistancePairs]]): part-name pairs within 2 Levenshtein edits,
     * blocked on the noun (second token) so the quadratic compare never
-    * leaves a block. */
+    * leaves a block.
+    *
+    * Bench note (sf0.1, measured): the DP itself is 112 distinct name
+    * pairs (~nothing); ~3.2 s computes the 5.5M matching record pairs
+    * (64 heavily-repeated names — ~170k same-name pairs per name pair)
+    * and the rest of the ~11 s scenario is the gate's determinism
+    * `orderBy` globally sorting those 5.5M output rows. The cost is the
+    * operator's own output size, not a plan defect — the plan is
+    * all-broadcast (PlanShapeSpec pins it). */
   private def fuzzyNamePairs(s: SparkSession, dir: String): DataFrame = {
     val part = t(s, dir, "part")
     FuzzyJoin.editDistancePairs(part, "p_partkey", "p_name",
@@ -1380,6 +1412,7 @@ object SparkEntry {
     "lm_bigram_score" -> lmBigramScore _,
     "corpus_diff" -> corpusDiffQuery _,
     "purchase_pagerank" -> purchasePagerank _,
+    "label_communities" -> labelCommunities _,
     "hashed_tf" -> hashedTf _,
     "salted_join" -> saltedJoinQuery _,
     "para_dedup" -> paraDedup _,
@@ -1416,6 +1449,7 @@ object SparkEntry {
     "ann_lsh_topk" -> annLshTopK _,
     "ivf_topk" -> ivfTopKQuery _,
     "pq_topk" -> pqTopKQuery _,
+    "pq_rerank_topk" -> pqRerankQuery _,
     "semantic_dedup" -> semanticDedupQuery _,
     "ncm_classify" -> ncmClassifyQuery _,
     "cosine_near_dups" -> cosineNearDups _,
@@ -1480,6 +1514,62 @@ object SparkEntry {
                   FROM n LEFT JOIN s$i ON n.node = s$i.dst)"""
     }.mkString(",\n")
     s"$base,\n$steps\nSELECT node, rank_fp FROM r5 ORDER BY node"
+  }
+
+  /** Shared CTE chain for the PQ gates: double-cast embeddings, the
+    * seeded codebook (subspaces of the 8 lowest-id vectors), encode by
+    * per-(vector, subspace) argmin, the per-query LUT, and ADC `scored`
+    * for queries vec_id < 10. */
+  private val pqOracleBase: String =
+    """WITH emb AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            js AS (SELECT unnest(range(0, 8)) AS j),
+            cb AS (SELECT s.vec_id AS t, js.j,
+                list_transform(range(1, 9), i -> s.v[js.j*8 + i]) AS c
+              FROM emb s, js WHERE s.vec_id < 8),
+            enc AS (SELECT e.vec_id, c.j, c.t,
+                list_sum(list_transform(range(1, 9),
+                  i -> (e.v[c.j*8+i] - c.c[i]) * (e.v[c.j*8+i] - c.c[i]))) AS dist
+              FROM emb e, cb c),
+            codes AS (SELECT vec_id, j, t FROM (
+                SELECT vec_id, j, t,
+                       row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, t) AS rn
+                FROM enc) WHERE rn = 1),
+            lut AS (SELECT q.vec_id AS query_id, c.j, c.t,
+                list_sum(list_transform(range(1, 9),
+                  i -> (q.v[c.j*8+i] - c.c[i]) * (q.v[c.j*8+i] - c.c[i]))) AS d
+              FROM emb q, cb c WHERE q.vec_id < 10),
+            scored AS (SELECT l.query_id, x.vec_id AS neighbor_id,
+                list_sum(list(l.d ORDER BY l.j)) AS score
+              FROM codes x JOIN lut l ON l.j = x.j AND l.t = x.t
+              WHERE x.vec_id <> l.query_id
+              GROUP BY 1, 2)"""
+
+  /** [[operators.Graph.labelPropagation]]'s recurrence unrolled to 3
+    * chained CTEs: neighbor-label counts → deterministic mode (count
+    * desc, label asc) → next labels, isolated nodes keeping their own.
+    * All-integer counts and a total tie order ⇒ bit-exact. */
+  private val lpaOracle: String = {
+    val base =
+      """WITH e0 AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS u,
+                       's' || CAST(l.l_suppkey AS VARCHAR) AS v
+                     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+              e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+              n AS (SELECT DISTINCT u AS node FROM e),
+              l0 AS (SELECT node, node AS label FROM n)"""
+    val steps = (1 to 3).map { i =>
+      s"""nl$i AS (SELECT e.u, l.label, count(*) AS cnt
+                   FROM e JOIN l${i - 1} l ON e.v = l.node GROUP BY e.u, l.label),
+          w$i AS (SELECT u, label FROM (
+                    SELECT u, label,
+                           row_number() OVER (PARTITION BY u
+                             ORDER BY cnt DESC, label) AS rn
+                    FROM nl$i) WHERE rn = 1),
+          l$i AS (SELECT n.node, COALESCE(w$i.label, n.node) AS label
+                  FROM n LEFT JOIN w$i ON n.node = w$i.u)"""
+    }.mkString(",\n")
+    s"$base,\n$steps\nSELECT node, label FROM l3 ORDER BY node"
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1820,6 +1910,7 @@ object SparkEntry {
          SELECT doc_id, status, old_hash, new_hash
          FROM st WHERE status <> 'unchanged' ORDER BY doc_id""",
     "purchase_pagerank" -> pagerankOracle,
+    "label_communities" -> lpaOracle,
     "hashed_tf" ->
       // the same md5 bucket/sign arithmetic as Spark: '0x'||hex → BIGINT
       // is non-negative, so % matches div-consistent on both engines
@@ -2217,34 +2308,30 @@ object SparkEntry {
       // the struct-min rule); ADC score = the query's LUT entries summed
       // in subspace order (list(d ORDER BY j) keeps the fold order
       // identical to Spark's aggregate over ascending j)
-      """WITH emb AS (SELECT vec_id,
-                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-              FROM embeddings),
-            js AS (SELECT unnest(range(0, 8)) AS j),
-            cb AS (SELECT s.vec_id AS t, js.j,
-                list_transform(range(1, 9), i -> s.v[js.j*8 + i]) AS c
-              FROM emb s, js WHERE s.vec_id < 8),
-            enc AS (SELECT e.vec_id, c.j, c.t,
-                list_sum(list_transform(range(1, 9),
-                  i -> (e.v[c.j*8+i] - c.c[i]) * (e.v[c.j*8+i] - c.c[i]))) AS dist
-              FROM emb e, cb c),
-            codes AS (SELECT vec_id, j, t FROM (
-                SELECT vec_id, j, t,
-                       row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, t) AS rn
-                FROM enc) WHERE rn = 1),
-            lut AS (SELECT q.vec_id AS query_id, c.j, c.t,
-                list_sum(list_transform(range(1, 9),
-                  i -> (q.v[c.j*8+i] - c.c[i]) * (q.v[c.j*8+i] - c.c[i]))) AS d
-              FROM emb q, cb c WHERE q.vec_id < 10),
-            scored AS (SELECT l.query_id, x.vec_id AS neighbor_id,
-                list_sum(list(l.d ORDER BY l.j)) AS score
-              FROM codes x JOIN lut l ON l.j = x.j AND l.t = x.t
-              WHERE x.vec_id <> l.query_id
-              GROUP BY 1, 2)
+      s"""$pqOracleBase
          SELECT query_id, neighbor_id, score,
                 row_number() OVER (PARTITION BY query_id
                   ORDER BY score ASC, neighbor_id) AS rank
          FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""",
+    "pq_rerank_topk" ->
+      // two-stage: the same ADC pipeline shortlists 50, exact squared-L2
+      // re-ranks to 10 (zip_with order = list_transform range order)
+      s"""$pqOracleBase,
+            short AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY score ASC, neighbor_id) AS rn
+                FROM scored) WHERE rn <= 50),
+            ex AS (SELECT s.query_id, s.neighbor_id,
+                list_sum(list_transform(range(1, 65),
+                  i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS score
+              FROM short s
+              JOIN emb q ON q.vec_id = s.query_id
+              JOIN emb c ON c.vec_id = s.neighbor_id)
+         SELECT query_id, neighbor_id, score,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score ASC, neighbor_id) AS rank
+         FROM ex QUALIFY rank <= 10 ORDER BY query_id, rank""",
     "ivf_topk" ->
       """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
                        FROM embeddings ORDER BY vec_id LIMIT 8),

@@ -125,4 +125,53 @@ object Graph {
       .join(deg.select("node"), Seq("node"), "right")
       .na.fill(0L, Seq("n_triangles"))
   }
+
+  /** Label-propagation communities (Raghavan et al. 2007) with a FIXED
+    * iteration count and a DETERMINISTIC mode rule: each node adopts the
+    * most frequent label among its neighbors, ties broken by the
+    * smallest label (count desc, label asc — the same integer ordering
+    * trick every top-k gate uses), isolated nodes keep their own.
+    * Community detection groups the link graph into topical/host
+    * clusters for corpus curation (sample per community, cap dominant
+    * ones) — coarser than [[Dedup.connectedComponents]] (which finds
+    * exact reachability), denser than [[pageRank]] (which scores, not
+    * groups).
+    *
+    * Deterministic by construction (integer counts, total tie order), so
+    * the oracle unrolls the same recurrence as chained CTEs. Fixed
+    * horizon, not convergence: LPA on synchronous updates can
+    * oscillate; a fixed count keeps the gate exact, and callers compare
+    * successive frames if they want a stopping rule.
+    *
+    * 100 TB shape: per iteration one join of the (pinned) undirected
+    * edge list against current labels on the neighbor key and one
+    * two-level aggregate collapsing to (node, label) counts — both hash
+    * exchanges on graph keys, nothing broadcast or collected;
+    * `localCheckpoint` per round cuts the doubling lineage exactly as
+    * [[pageRank]] does. */
+  def labelPropagation(
+      edges: DataFrame, iters: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v")).distinct()
+    val und = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint() // re-read every iteration
+    val nodes = und.select(col("u").as("node")).distinct().localCheckpoint()
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val neighborLabels = und
+        .join(labels, col("v") === col("node"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy(col("cnt").desc, col("label").asc)
+      val winner = neighborLabels
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("u").as("node"), col("label"))
+      labels = nodes.join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

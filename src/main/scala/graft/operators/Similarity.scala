@@ -461,4 +461,35 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "score", "rank")
   }
+
+  /** Two-stage retrieval — the standard PQ serving pattern: the
+    * compressed index shortlists `shortlist` candidates per query by
+    * ADC ([[pqTopK]]), then EXACT squared-L2 re-ranks just those to the
+    * final k. Recall is the shortlist's, precision of the final order
+    * is exact — the knob that buys back PQ's quantization error for a
+    * |q|·shortlist-sized cost instead of a corpus-sized one.
+    *
+    * Shape: the shortlist frame is tiny and BROADCASTS into the corpus
+    * to fetch the surviving full vectors (the corpus streams, only
+    * |q|·shortlist vectors come out); queries broadcast for the exact
+    * distance; the final window ranks |q|·shortlist rows. Exact
+    * left-to-right double math end to end, so the gate hash-matches. */
+  def pqRerankTopK(
+      corpus: DataFrame, queries: DataFrame, model: PqModel, k: Int, shortlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val cands = pqTopK(corpus, queries, model, shortlist, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"))
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))),
+        Seq("query_id"))
+      .withColumn("score", l2DistanceSq(col("_qv"), col("_nv")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").asc, col("neighbor_id").asc)
+    exact
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
 }

@@ -237,6 +237,65 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "CartesianProduct") === 0)
   }
 
+  test("pq encode is a pure projection; ADC scoring broadcasts the query LUTs") {
+    // the corpus side never shuffles: encode is a HOF projection over a
+    // literal codebook, and the scoring join is the queries BROADCAST
+    // against the codes (the cross-with-filter plans as nested-loop over
+    // the broadcast, which is the designed shape for a tiny query set)
+    val p = finalPlan("pq_topk")
+    assert(count(p, "SortMergeJoin") === 0, s"pq fell back to sort-merge:\n$p")
+    assert(count(p, "CartesianProduct") === 0, s"pq went cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"pq lost the query-LUT broadcast:\n$p")
+  }
+
+  test("fuzzy matching: the DP runs per distinct name pair, records join by broadcast") {
+    // both expansion joins build on small sides (name pairs, record dim)
+    // — broadcast hash joins, never a record-pair sort-merge or cartesian
+    val p = finalPlan("fuzzy_name_pairs")
+    assert(count(p, "BroadcastHashJoin") >= 2, s"fuzzy expansion lost its broadcasts:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0)
+  }
+
+  test("scd2 intervals plan over ONE exchange: all windows share the entity key") {
+    // the operator itself (no output sort): the change-flag window, the
+    // running-sum window, the per-run aggregate, and the lead window all
+    // cluster by user_id, so one hash exchange serves the whole plan
+    val df = graft.operators.Behavioral.scd2Intervals(
+      spark.read.parquet(s"$sf/events.parquet"), "user_id", "event_id", "event_type")
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString()
+    val cut = full.indexOf("== Initial Plan ==")
+    val p = if (cut >= 0) full.substring(0, cut) else full
+    assert(count(p, "Exchange") === 1, s"scd2 shuffled more than once:\n$p")
+  }
+
+  test("point-in-time lookup is the as-of shape: one keyed shuffle, no range join") {
+    val p = finalPlan("scd2_point_lookup")
+    assert(count(p, "CartesianProduct") === 0, s"point-in-time went cartesian:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, s"range-join fallback:\n$p")
+  }
+
+  test("corr matrix is one partial-aggregated scan collapsing to a single row") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+    val agg = graft.operators.Stats.corrMatrix(df,
+      Seq("l_quantity", "l_extendedprice"))
+    // the result frame is driver-built from ONE collected row; the scan
+    // side shows up when the agg re-runs: assert the moment aggregation
+    // partial-aggregates (HashAggregate x2) with a single exchange
+    val plan = {
+      def u(c: String) = col(c).cast("decimal(38,0)")
+      val q = df.agg(org.apache.spark.sql.functions.count(col("l_quantity")),
+        org.apache.spark.sql.functions.sum(u("l_quantity") * u("l_extendedprice")))
+      q.collect()
+      q.queryExecution.executedPlan.toString()
+    }
+    assert(count(plan, "HashAggregate") >= 2, s"moments not partial-aggregated:\n$plan")
+    assert(agg.collect().length === 1)
+  }
+
   test("whole-stage codegen covers the hot paths (no interpreted gaps in scans)") {
     Seq("q1_pricing_summary", "text_token_counts", "doc_fingerprints").foreach { q =>
       val p = finalPlan(q)

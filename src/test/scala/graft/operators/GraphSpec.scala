@@ -99,4 +99,39 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
+
+  test("label propagation follows the deterministic mode rule, hand-unrolled") {
+    // path a—b—c, one synchronous round:
+    //   a's neighbors {b} -> b; b's neighbors {a, c} tie -> min = a;
+    //   c's neighbors {b} -> b
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val l1 = Graph.labelPropagation(edges, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(l1 === Map("a" -> "b", "b" -> "a", "c" -> "b"))
+  }
+
+  test("label propagation converges to the min label inside each clique") {
+    val cliqueA = for { i <- 1 to 4; j <- (i + 1) to 4 } yield (s"a$i", s"a$j")
+    val cliqueB = for { i <- 1 to 3; j <- (i + 1) to 3 } yield (s"b$i", s"b$j")
+    val edges = (cliqueA ++ cliqueB).toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, iters = 4).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // within a clique everyone sees everyone: the min label dominates
+    // after round 2 and stays; the two cliques never mix
+    assert(out.filter(_._1.startsWith("a")).values.toSet.subsetOf(Set("a1", "a2")))
+    assert(out.filter(_._1.startsWith("b")).values.toSet.subsetOf(Set("b1", "b2")))
+    assert(out.keys.filter(_.startsWith("a")).forall(k => out(k).startsWith("a")))
+  }
+
+  test("label propagation is invariant under input repartitioning") {
+    val rnd = new scala.util.Random(5)
+    val edges = Seq.tabulate(150)(_ => (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}"))
+      .filter(e => e._1 != e._2)
+    val df = edges.toDF("src", "dst")
+    val a = Graph.labelPropagation(df, iters = 3)
+      .orderBy("node").collect().toSeq
+    val b = Graph.labelPropagation(df.repartition(13), iters = 3)
+      .orderBy("node").collect().toSeq
+    assert(a === b)
+  }
 }

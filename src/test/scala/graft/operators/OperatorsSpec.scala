@@ -277,6 +277,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all(3L + 9999L) === all.values.min)
   }
 
+  test("pq rerank: exact re-ranking puts a planted duplicate at rank 1 with score 0") {
+    val emb = embeddings.select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") === 5)
+      .select((col("vec_id") + 9999).as("vec_id"), col("embedding"))
+    val model = Similarity.pqCodebook(emb, m = 8, k = 8)
+    val top = Similarity.pqRerankTopK(emb.unionAll(planted),
+        emb.filter(col("vec_id") === 5), model, k = 5, shortlist = 60)
+      .filter(col("rank") === 1).head()
+    // ADC alone can tie the copy with same-coded vectors; the exact
+    // re-rank stage resolves it: true L2 distance 0, rank 1
+    assert(top.getLong(1) === 5L + 9999L)
+    assert(top.getDouble(2) === 0.0)
+  }
+
   test("ivf ann: trained quantizer, measured recall@10 vs brute force") {
     val emb = embeddings.select("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") < 20)
