@@ -300,6 +300,17 @@ object Bench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // one transient streaming failure (checkpoint fs races show up rarely
+    // under parallel load) must not zero the whole five-scenario family:
+    // each scenario builds a fresh MemoryStream + checkpoint, so a single
+    // retry is safe; a second failure still propagates to `guarded`
+    def retrying(label: String)(f: => Double): Double =
+      try f
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $label failed once ($e); retrying")
+          f
+      }
     val checkpoints = scala.collection.mutable.Buffer.empty[String]
     def checkpoint(): String = {
       val d = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
@@ -307,21 +318,21 @@ object Bench {
       d
     }
 
-    val sessionSec = time {
+    val sessionSec = retrying("streaming_session_replay")(time {
       val in = MemoryStream[graft.streaming.LogEvent](spark)
       val q = StatefulOps.sessionizeWithState(in.toDS(), gapMicros = 12L * 3600L * 1000000L)
         .writeStream.format("noop").outputMode("append")
         .option("checkpointLocation", checkpoint()).start()
       try batches.foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
       finally q.stop()
-    }
+    })
 
     // the same sessionization replay on the RocksDB state store — the
     // production provider once state outgrows executor heaps (the 100 TB
     // configuration); kept as a SEPARATE scenario so the HDFS-provider
     // numbers stay comparable across rounds. StatefulStreamingSpec pins
     // result parity between the two providers.
-    val sessionRocksSec = time {
+    val sessionRocksSec = retrying("streaming_session_replay_rocksdb")(time {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
@@ -332,9 +343,9 @@ object Bench {
         try batches.foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
         finally q.stop()
       } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
+    })
 
-    val windowSec = time {
+    val windowSec = retrying("streaming_window_replay")(time {
       val in = MemoryStream[graft.streaming.LogEvent](spark)
       val df = in.toDF().select(
         col("userId").as("user_id"), col("tsNanos").as("ts"),
@@ -346,7 +357,7 @@ object Bench {
         .option("checkpointLocation", checkpoint()).start()
       try batches.foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
       finally q.stop()
-    }
+    })
 
     // stream-stream interval join over the same replay — the funnel
     // drop-off shape ("views followed by a purchase within the window"):
@@ -364,7 +375,7 @@ object Bench {
     // expected and benign: state eviction comes from the coarse
     // EVENT-TIME bound intervalJoined adds for precisely this purpose
     // (t_b in [t_a, t_a + within + slack]), so state stays O(window).
-    val intervalSec = time {
+    val intervalSec = retrying("streaming_interval_replay")(time {
       val inL = MemoryStream[graft.streaming.LogEvent](spark)
       val inR = MemoryStream[graft.streaming.LogEvent](spark)
       def shape(ds: org.apache.spark.sql.Dataset[graft.streaming.LogEvent]) =
@@ -381,20 +392,20 @@ object Bench {
         inR.addData(b.filter(_.eventType == "purchase").toIndexedSeq)
         q.processAllAvailable()
       } finally q.stop()
-    }
+    })
 
     // incremental SCD2 maintenance over the same replay — the CDC-log →
     // type-2 dimension projection (closed intervals emit per batch, one
     // open run per user in state). Single state store, so the cost sits
     // near streaming_session_replay's checkpoint-commit floor.
-    val scd2Sec = time {
+    val scd2Sec = retrying("streaming_scd2_replay")(time {
       val in = MemoryStream[graft.streaming.LogEvent](spark)
       val q = StatefulOps.scd2WithState(in.toDS())
         .writeStream.format("noop").outputMode("append")
         .option("checkpointLocation", checkpoint()).start()
       try batches.foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
       finally q.stop()
-    }
+    })
 
     checkpoints.foreach(deleteRecursively)
     Seq(

@@ -123,6 +123,31 @@ class GraphSpec extends AnyFunSuite {
     assert(out.keys.filter(_.startsWith("a")).forall(k => out(k).startsWith("a")))
   }
 
+  test("label propagation matches the synchronous reference model on random graphs") {
+    (0 until 4).foreach { seed =>
+      val rnd = new scala.util.Random(700 + seed)
+      val edges = Seq.tabulate(120)(_ => (s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}"))
+        .filter(e => e._1 != e._2).distinct
+      val adj: Map[String, Seq[String]] = {
+        val und = (edges ++ edges.map(_.swap)).distinct
+        und.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+      }
+      val nodes = adj.keySet
+      var labels: Map[String, String] = nodes.map(n => n -> n).toMap
+      (1 to 3).foreach { _ =>
+        labels = nodes.map { n =>
+          val counts = adj(n).map(labels).groupBy(identity)
+            .map { case (l, xs) => (l, xs.size) }
+          // mode: count desc, label asc
+          n -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        }.toMap
+      }
+      val out = Graph.labelPropagation(edges.toDF("src", "dst").repartition(7), iters = 3)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(out === labels, s"[seed $seed]")
+    }
+  }
+
   test("label propagation is invariant under input repartitioning") {
     val rnd = new scala.util.Random(5)
     val edges = Seq.tabulate(150)(_ => (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}"))

@@ -173,4 +173,82 @@ class PipelineOpsPropertySpec extends AnyFunSuite {
       assert(out === expected, s"[seed $seed, n $n]")
     }
   }
+
+  test("scd2Intervals matches the sequential run-collapse model on random logs") {
+    (0 until 5).foreach { seed =>
+      val rnd = new Random(300 + seed)
+      val nUsers = 1 + rnd.nextInt(6)
+      val log = (0 until 250).map { i =>
+        (rnd.nextInt(nUsers).toLong, i.toLong, s"v${rnd.nextInt(4)}")
+      }
+      // reference model: per user, ordered scan collapsing equal runs
+      val expected = log.groupBy(_._1).flatMap { case (u, rows) =>
+        val ordered = rows.sortBy(_._2)
+        val runs = scala.collection.mutable.Buffer.empty[(String, Long, Long)] // (v, from, n)
+        ordered.foreach { case (_, ord, v) =>
+          if (runs.nonEmpty && runs.last._1 == v)
+            runs(runs.length - 1) = (v, runs.last._2, runs.last._3 + 1)
+          else runs += ((v, ord, 1L))
+        }
+        runs.zipWithIndex.map { case ((v, from, n), i) =>
+          val to = if (i + 1 < runs.length) Some(runs(i + 1)._2) else None
+          (u, v, from, to, n, if (to.isEmpty) 1L else 0L)
+        }
+      }.toSet
+
+      val out = Behavioral.scd2Intervals(
+          log.toDF("user_id", "event_id", "event_type").repartition(7),
+          "user_id", "event_id", "event_type")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4), r.getLong(5)))
+        .toSet
+      assert(out === expected, s"[seed $seed]")
+      // intervals tile the log: per-user row counts sum to the log size
+      assert(out.toSeq.map(_._5).sum === 250L, s"[seed $seed] rows lost or duplicated")
+    }
+  }
+
+  test("transitionCounts matches the sequential pair model on random logs") {
+    (0 until 5).foreach { seed =>
+      val rnd = new Random(400 + seed)
+      val nUsers = 1 + rnd.nextInt(5)
+      val log = (0 until 200).map { i =>
+        (rnd.nextInt(nUsers).toLong, i.toLong, s"t${rnd.nextInt(3)}")
+      }
+      val pairs = log.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        val o = rows.sortBy(_._2).map(_._3)
+        o.zip(o.drop(1))
+      }
+      val counts = pairs.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      val fromTotals = pairs.groupBy(_._1).map { case (f, xs) => f -> xs.size.toLong }
+      val expected = counts.map { case ((f, t), c) =>
+        (f, t) -> ((c, c * 1000000L / fromTotals(f)))
+      }
+
+      val out = Behavioral.transitionCounts(
+          log.toDF("user_id", "event_id", "event_type").repartition(9),
+          "user_id", "event_id", "event_type")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+      assert(out === expected, s"[seed $seed]")
+    }
+  }
+
+  test("weightedSample equals the k smallest hash-div-weight priorities on random weights") {
+    (0 until 5).foreach { seed =>
+      val rnd = new Random(500 + seed)
+      val rows = (0 until 150).map(i => (i.toLong, 1L + rnd.nextInt(1000)))
+      val k = 1 + rnd.nextInt(60)
+      def hash60(id: Long): Long = {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"wsamp:$id".getBytes("UTF-8"))
+        (h.take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))) >>> 4
+      }
+      val expected = rows.map { case (id, w) => (hash60(id) / w, id) }
+        .sorted.take(k).map(_._2).toSet
+      val out = Sampling.weightedSample(rows.toDF("id", "w").repartition(6), "id", "w", k)
+        .collect().map(_.getLong(0)).toSet
+      assert(out === expected, s"[seed $seed, k $k]")
+    }
+  }
 }
