@@ -1373,6 +1373,17 @@ object SparkEntry {
       .orderBy("source", "doc_id")
   }
 
+  /** Z-order codes ([[graft.sources.ZOrder.mortonCode]]) over
+    * lineitem's (part, supplier) keys — the multi-dimensional
+    * data-skipping sort key ([[graft.sources.ZOrder.writeZOrdered]]
+    * lays files out along it; ZOrderSpec proves the per-file
+    * bounding-box property). Pure integer bit arithmetic ⇒ exact. */
+  private def zorderCodes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        graft.sources.ZOrder.mortonCode(col("l_partkey"), col("l_suppkey")).as("zcode"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -1445,6 +1456,7 @@ object SparkEntry {
     "weighted_sample" -> weightedSampleQuery _,
     "corr_matrix" -> corrMatrixQuery _,
     "winsorized_values" -> winsorizedValues _,
+    "zorder_codes" -> zorderCodes _,
     "embedding_norms" -> embeddingNorms _,
     "ann_lsh_topk" -> annLshTopK _,
     "ivf_topk" -> ivfTopKQuery _,
@@ -2611,6 +2623,14 @@ object SparkEntry {
                   / (sqrt(CAST(CAST(vx // down AS BIGINT) AS DOUBLE))
                      * sqrt(CAST(CAST(vy // down AS BIGINT) AS DOUBLE))) AS corr
          FROM sc ORDER BY col_a, col_b""",
+    "zorder_codes" ->
+      // Morton interleave: bit i of l_partkey at position 2i, of
+      // l_suppkey at 2i+1 — integer shifts/masks, exact on both engines
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                CAST(list_sum(list_transform(range(0, 21),
+                  i -> (((l_partkey >> i) & 1) << (2*i))
+                     + (((l_suppkey >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zcode
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "winsorized_values" ->
       // per-source [p05, p95] rank-quantile clip; bounds are actual data
       // elements by the length_quantiles rank rule
