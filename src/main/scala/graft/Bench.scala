@@ -407,7 +407,19 @@ object Bench {
       finally q.stop()
     })
 
-    checkpoints.foreach(deleteRecursively)
+    // best-effort: state-store MAINTENANCE threads keep flushing snapshot
+    // files briefly after q.stop(), so a walk-then-delete can race a
+    // concurrent create (DirectoryNotEmptyException — this voided two
+    // whole measured runs before). One short-delay retry, then give up:
+    // these are /tmp dirs, and a leaked dir must never void the numbers.
+    checkpoints.foreach { d =>
+      try deleteRecursively(d)
+      catch {
+        case _: java.io.IOException =>
+          Thread.sleep(500)
+          try deleteRecursively(d) catch { case _: java.io.IOException => () }
+      }
+    }
     Seq(
       "streaming_session_replay" -> sessionSec,
       "streaming_session_replay_rocksdb" -> sessionRocksSec,

@@ -1325,6 +1325,23 @@ object SparkEntry {
     Behavioral.transitionCounts(t(s, dir, "events"), "user_id", "event_id", "event_type")
       .orderBy("from_type", "to_type")
 
+  /** Streaming transition extraction ([[graft.streaming.StatefulOps
+    * .transitionPairsWithState]]) in BATCH mode, grouped to the Markov
+    * matrix — same output as `event_transitions` (per-user ts order
+    * equals event_id order in this data), so the gate shares that
+    * oracle; the cross-batch incremental behavior is pinned in
+    * StatefulStreamingSpec. */
+  private def transitionStateBatch(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StatefulOps
+    val pairs = StatefulOps.transitionPairsWithState(
+      StatefulOps.typedEvents(eventsNs(s, dir)))
+    pairs.toDF("user_id", "from_type", "to_type")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("transitions"))
+      .withColumn("prob_ppm",
+        expr("transitions * 1000000L div sum(transitions) over (partition by from_type)"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Blocked fuzzy entity matching ([[graft.operators.FuzzyJoin
     * .editDistancePairs]]): part-name pairs within 2 Levenshtein edits,
     * blocked on the noun (second token) so the quadratic compare never
@@ -1452,6 +1469,7 @@ object SparkEntry {
     "scd2_intervals" -> scd2Intervals _,
     "scd2_point_lookup" -> scd2PointLookup _,
     "event_transitions" -> eventTransitions _,
+    "transition_state_batch" -> transitionStateBatch _,
     "fuzzy_name_pairs" -> fuzzyNamePairs _,
     "weighted_sample" -> weightedSampleQuery _,
     "corr_matrix" -> corrMatrixQuery _,
@@ -2545,6 +2563,20 @@ object SparkEntry {
     "event_transitions" ->
       // first-order Markov transitions; conditional probability as
       // integer ppm (truncating // on exact counts, as Spark's div)
+      """WITH pairs AS (SELECT
+                lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS from_type,
+                event_type AS to_type
+              FROM events),
+            cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS transitions
+              FROM pairs WHERE from_type IS NOT NULL GROUP BY from_type, to_type)
+         SELECT from_type, to_type, transitions,
+                CAST(transitions * 1000000 // sum(transitions)
+                  OVER (PARTITION BY from_type) AS BIGINT) AS prob_ppm
+         FROM cnt ORDER BY from_type, to_type""",
+    "transition_state_batch" ->
+      // batch-mode transitionPairsWithState + group = the relational
+      // transition matrix (per-user ts order == event_id order here),
+      // so the gate shares the event_transitions oracle verbatim
       """WITH pairs AS (SELECT
                 lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS from_type,
                 event_type AS to_type

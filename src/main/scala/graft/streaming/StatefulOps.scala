@@ -32,6 +32,13 @@ case class Scd2Interval(
   * interval start, last observed position, rows folded so far. */
 case class Scd2Open(value: String, validFromNs: Long, lastNs: Long, n: Long)
 
+/** One (from → to) event-type transition of an entity. */
+case class TransitionPair(userId: Long, fromType: String, toType: String)
+
+/** Last observed event carried in [[GroupState]] for transition
+  * extraction across micro-batches. */
+case class LastEvent(tsNanos: Long, eventType: String)
+
 /** Open-session accumulator carried in [[GroupState]]. Boundaries are
   * raw event-time NANOS so the gap comparison is exact — identical to
   * [[EventTimeOps.sessionizeBatch]]'s `> gapNanos` test; micros appear
@@ -237,6 +244,49 @@ object StatefulOps {
         else closed += Scd2Interval(userId, acc.value, us(acc.validFromNs), None, acc.n)
       }
       closed.result().iterator
+    }
+
+    wm.as[LogEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Per-entity transition extraction across micro-batches: emits one
+    * [[TransitionPair]] per adjacent event pair in each user's
+    * time-ordered sequence, bridging batch boundaries through a
+    * one-[[LastEvent]]-per-key state — the incremental front half of
+    * [[graft.operators.Behavioral.transitionCounts]] (group the emitted
+    * pairs downstream, e.g. a counts-in-update-mode aggregation, to
+    * maintain the Markov matrix continuously).
+    *
+    * Batch mode: empty state, one invocation per user ⇒ exactly the
+    * relational lag model (the `transition_state_batch` gate pins it
+    * against the `event_transitions` oracle). Ordering: in-batch events
+    * sort in memory; across batches the watermarked stream bounds
+    * disorder, and a late event older than the stored last event pairs
+    * at its sorted position in the CURRENT batch (emitted pairs are
+    * never revised — the append-mode exactly-once trade). State is one
+    * (ts, type) per key. */
+  def transitionPairsWithState(
+      events: Dataset[LogEvent],
+      watermarkDelay: String = "1 hour"): Dataset[TransitionPair] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val isStreaming = events.isStreaming
+    val withTime = events
+      .withColumn("event_time", EventTimeOps.eventTimeFromNanos(col("tsNanos")))
+    val wm = if (isStreaming) withTime.withWatermark("event_time", watermarkDelay) else withTime
+
+    def fn(userId: Long, it: Iterator[LogEvent], state: GroupState[LastEvent]): Iterator[TransitionPair] = {
+      val sorted = it.toVector.sortBy(e => (e.tsNanos, e.eventType))
+      val out = Vector.newBuilder[TransitionPair]
+      var last: LastEvent = state.getOption.orNull
+      sorted.foreach { e =>
+        if (last != null) out += TransitionPair(userId, last.eventType, e.eventType)
+        last = LastEvent(e.tsNanos, e.eventType)
+      }
+      if (last != null && isStreaming) state.update(last)
+      out.result().iterator
     }
 
     wm.as[LogEvent]

@@ -493,6 +493,45 @@ class StatefulStreamingSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // transitionPairsWithState: incremental Markov-pair extraction
+  // ------------------------------------------------------------------
+
+  test("transitionPairsWithState bridges batch boundaries through per-key state") {
+    val in = MemoryStream[LogEvent](spark)
+    val out = StatefulOps.transitionPairsWithState(in.toDS())
+    val q = memSink(out.toDF(), "trans_out", "append")
+    try {
+      in.addData(ev(1, 1.0, "A"), ev(1, 2.0, "B"), ev(2, 1.0, "X"))
+      processAll(q)
+      val first = spark.table("trans_out").as[TransitionPair].collect()
+      assert(first.map(p => (p.userId, p.fromType, p.toType)).toSet ===
+        Set((1L, "A", "B"))) // user 2 has no pair yet
+
+      // next batch: user 1's B->C crosses the batch boundary via state;
+      // user 2's X->Y likewise
+      in.addData(ev(1, 3.0, "C"), ev(2, 5.0, "Y"))
+      processAll(q)
+      val all = spark.table("trans_out").as[TransitionPair].collect()
+      assert(all.map(p => (p.userId, p.fromType, p.toType)).toSet ===
+        Set((1L, "A", "B"), (1L, "B", "C"), (2L, "X", "Y")))
+      assert(all.length === all.distinct.length) // each pair exactly once
+    } finally q.stop()
+  }
+
+  test("transitionPairsWithState batch mode equals the relational lag model") {
+    val rnd = new scala.util.Random(17)
+    val events = (1L to 200L).map(i => ev(i % 5, i.toDouble, s"t${rnd.nextInt(3)}"))
+    val typed = StatefulOps.transitionPairsWithState(events.toDS())
+      .collect().map(p => (p.userId, p.fromType, p.toType))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val expected = events.groupBy(_.userId).toSeq.flatMap { case (u, es) =>
+      val o = es.sortBy(_.tsNanos).map(_.eventType)
+      o.zip(o.drop(1)).map { case (f, t) => (u, f, t) }
+    }.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(typed === expected)
+  }
+
+  // ------------------------------------------------------------------
   // typedEvents mapping over the real table shape
   // ------------------------------------------------------------------
 
