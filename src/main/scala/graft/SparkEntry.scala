@@ -1401,6 +1401,64 @@ object SparkEntry {
         graft.sources.ZOrder.mortonCode(col("l_partkey"), col("l_suppkey")).as("zcode"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Two-round deterministic Lloyd k-means
+    * ([[graft.operators.Clustering.kmeansTwoRounds]]) over the
+    * embeddings table, k=4 seeded by the four lowest vec_ids; emits both
+    * rounds' assignments per vector. */
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering
+      .kmeansTwoRounds(t(s, dir, "embeddings"), "vec_id", "embedding", k = 4)
+      .orderBy("vec_id")
+
+  /** 20-bin equi-width price histogram
+    * ([[graft.operators.Stats.equiWidthHistogram]]) over lineitem. */
+  private def priceHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats
+      .equiWidthHistogram(t(s, dir, "lineitem").select("l_extendedprice"),
+        "l_extendedprice", bins = 20)
+      .orderBy("bin")
+
+  /** Per-user EWMA of the last 8 event values
+    * ([[graft.operators.Stats.ewmaLastN]]; α = ½ so every weight is an
+    * exact binary power). */
+  private def ewmaUserValue(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats
+      .ewmaLastN(t(s, dir, "events"), "user_id", "ts", "event_id", "value", nMax = 8)
+      .orderBy("user_id")
+
+  /** Per-source Pareto frontier ([[graft.operators.Skyline
+    * .paretoFrontier]]) on (token count, distinct-token count) — the
+    * "keep the best length/richness trade-offs" selection. */
+  private def paretoDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("x"),
+      size(filter(array_distinct(split(lower(trim(col("text"))), "[^a-z0-9]+")),
+        tk => tk =!= "")).cast("long").as("y"))
+    graft.operators.Skyline.paretoFrontier(d, "source", "doc_id", "x", "y")
+      .orderBy("source", "doc_id")
+  }
+
+  /** Top-30 BPE merge candidates ([[graft.operators.TextCorpus
+    * .bpePairCounts]]): adjacent character pairs weighted by word
+    * frequency — the corpus-scale inner step of tokenizer training. */
+  private def bpePairCountsQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextCorpus.bpePairCounts(t(s, dir, "documents"), "text", topN = 30)
+
+  /** Character Simpson diversity
+    * ([[graft.functions.CharDiversity]]): per-doc letter counts and the
+    * 1 − Σc²/n² diversity index — the no-logarithm entropy cousin, exact
+    * in one double division. */
+  private def charDiversityQuery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.CharDiversity.charDiversity(col("text")).as("cd"))
+      .select(col("doc_id"),
+        col("cd.n_alpha").as("n_alpha"),
+        col("cd.c2_sum").as("c2_sum"),
+        (lit(1.0) - col("cd.c2_sum").cast("double")
+          / (col("cd.n_alpha") * col("cd.n_alpha")).cast("double")).as("simpson"))
+      .orderBy("doc_id")
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -1517,6 +1575,12 @@ object SparkEntry {
     "ks_drift" -> ksDriftQuery _,
     "triangle_counts" -> triangleCountsQuery _,
     "mad_outliers" -> madOutliersQuery _,
+    "kmeans_assign" -> kmeansAssign _,
+    "price_histogram" -> priceHistogram _,
+    "ewma_user_value" -> ewmaUserValue _,
+    "pareto_docs" -> paretoDocs _,
+    "bpe_pair_counts" -> bpePairCountsQuery _,
+    "char_diversity" -> charDiversityQuery _,
   )
 
   /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
@@ -3162,5 +3226,97 @@ object SparkEntry {
                   min(doc_id) AS first_id, max(doc_id) AS last_id
            FROM c GROUP BY 1)
          ORDER BY bin""",
+    "kmeans_assign" ->
+      // Clustering.kmeansTwoRounds unrolled: decimal-sum distances make
+      // the argmin order-independent; round-2 compares the n-scaled form
+      // Σ(n·x − s)²/n². DECIMAL(30,6) on the round-2 terms keeps the
+      // unscaled sum < 2^53 so the final CAST AS DOUBLE is one
+      // correctly-rounded conversion in both engines.
+      """WITH e AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                  unnest(embedding)::DOUBLE AS x
+           FROM embeddings),
+         cent1 AS (SELECT vec_id AS cid, d, x AS c FROM e WHERE vec_id < 4),
+         d1 AS (SELECT e.vec_id, c.cid,
+                       SUM(CAST((e.x - c.c)*(e.x - c.c) AS DECIMAL(30,10))) AS dist
+                FROM e JOIN cent1 c USING (d) GROUP BY 1, 2),
+         a1 AS (SELECT vec_id, cid AS c1 FROM (
+                  SELECT vec_id, cid,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM d1) WHERE rn = 1),
+         s2 AS (SELECT a1.c1 AS cid, e.d,
+                       SUM(CAST(e.x AS DECIMAL(30,10))) AS s, COUNT(*) AS n
+                FROM e JOIN a1 USING (vec_id) GROUP BY 1, 2),
+         d2 AS (SELECT e.vec_id, s2.cid, s2.n,
+                       SUM(CAST((CAST(s2.n AS DOUBLE)*e.x - CAST(s2.s AS DOUBLE))
+                              * (CAST(s2.n AS DOUBLE)*e.x - CAST(s2.s AS DOUBLE))
+                              AS DECIMAL(30,6))) AS num
+                FROM e JOIN s2 USING (d) GROUP BY 1, 2, 3),
+         a2 AS (SELECT vec_id, cid AS c2 FROM (
+                  SELECT vec_id, cid,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY CAST(num AS DOUBLE) / CAST(n*n AS DOUBLE), cid) AS rn
+                  FROM d2) WHERE rn = 1)
+         SELECT a1.vec_id, a1.c1, a2.c2
+         FROM a1 JOIN a2 USING (vec_id) ORDER BY vec_id""",
+    "price_histogram" ->
+      // Stats.equiWidthHistogram: multiply before divide, stated in the
+      // same order as the Spark expression so bucket edges are
+      // bit-identical
+      """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+                    FROM lineitem)
+         SELECT LEAST(19, FLOOR((l_extendedprice - lo) * 20 / (hi - lo)))::BIGINT AS bin,
+                count(*) AS n, min(l_extendedprice) AS lo_v, max(l_extendedprice) AS hi_v
+         FROM lineitem, b GROUP BY 1 ORDER BY 1""",
+    "ewma_user_value" ->
+      // Stats.ewmaLastN: α = ½ weights are exact binary powers, the
+      // weighted sum is decimal (order-independent), the normalizer
+      // 1 − 2⁻ⁿ is exact in double
+      """SELECT user_id, count(*) AS n_used,
+                CAST(SUM(CAST(value * POWER(0.5, rn) AS DECIMAL(30,12))) AS DOUBLE)
+                  / (1.0 - POWER(0.5, count(*))) AS ewma
+         FROM (SELECT user_id, value,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) WHERE rn <= 8
+         GROUP BY user_id ORDER BY user_id""",
+    "pareto_docs" ->
+      // Skyline.paretoFrontier semantics stated directly as the NOT
+      // EXISTS dominance test (the window formulation is the
+      // implementation; SkylineSpec proves them equivalent)
+      """WITH t AS (SELECT doc_id, source,
+                           len(string_split_regex(trim(text), '\s+'))::BIGINT AS x,
+                           len(list_filter(list_distinct(
+                             string_split_regex(lower(trim(text)), '[^a-z0-9]+')),
+                             tk -> tk <> ''))::BIGINT AS y
+                    FROM documents)
+         SELECT source, doc_id, x, y FROM t a
+         WHERE NOT EXISTS (SELECT 1 FROM t b WHERE b.source = a.source
+                           AND b.x >= a.x AND b.y >= a.y
+                           AND (b.x > a.x OR b.y > a.y))
+         ORDER BY source, doc_id""",
+    "bpe_pair_counts" ->
+      // TextCorpus.bpePairCounts; CAST AS BIGINT for the HUGEINT sum
+      // (the text_bpe_tokens lesson)
+      """SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+           SELECT word, count(*) AS cnt FROM (
+             SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+             FROM documents) w
+           WHERE length(word) >= 2 GROUP BY word) wf,
+           unnest(list_transform(range(1, length(word)), i -> word[i:i+1])) AS u(pair)
+         GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 30""",
+    "char_diversity" ->
+      // CharDiversityExpr: integer letter counts; the Simpson index is
+      // the only double and it is one exact division
+      """SELECT doc_id, n_alpha, c2_sum,
+                1.0 - CAST(c2_sum AS DOUBLE) / CAST(n_alpha*n_alpha AS DOUBLE) AS simpson
+         FROM (
+           SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_alpha,
+                  CAST(SUM(cnt*cnt) AS BIGINT) AS c2_sum FROM (
+             SELECT doc_id, ch, count(*)::BIGINT AS cnt
+             FROM (SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+                   FROM documents)
+             WHERE ch BETWEEN 'a' AND 'z' GROUP BY doc_id, ch) GROUP BY doc_id)
+         ORDER BY doc_id""",
   )
 }

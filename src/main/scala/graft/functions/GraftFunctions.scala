@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   text_stats(text)
   *   sorted_intersect_count(a, b)
   *   cdc_cut_starts(text, gramSize, avgChunk)
+  *   char_diversity(text)
   *
   * Two entry points: [[GraftExtensions]] for
   * `spark.sql.extensions=graft.functions.GraftExtensions` at session
@@ -69,6 +70,10 @@ object GraftFunctions {
       case Seq(text, g, avg) =>
         CdcCutStarts(text, intArg(g, "cdc_cut_starts", 2), intArg(avg, "cdc_cut_starts", 3))
       case args => throw new IllegalArgumentException(s"cdc_cut_starts expects 3 args, got ${args.length}")
+    },
+    "char_diversity" -> {
+      case Seq(text) => CharDiversityExpr(text)
+      case args => throw new IllegalArgumentException(s"char_diversity expects 1 arg, got ${args.length}")
     })
 
   private def info(name: String): ExpressionInfo =

@@ -247,4 +247,54 @@ object Stats {
           .otherwise(col(valueCol)))
       .select(col(groupCol), col(idCol), col(valueCol), col("lo"), col("hi"), col("clipped"))
   }
+
+  /** Equi-width histogram over one numeric column: `bins` buckets between
+    * the column's min and max (the last bucket closed above, so max lands
+    * in bin bins−1), each with its count and observed value range — the
+    * one-line distribution profile read before choosing filter cutoffs,
+    * complementing [[profile]]'s scalar summary and
+    * [[groupedQuantiles]]'s rank picks.
+    *
+    * The bucket index is `least(bins−1, floor((x−lo)·bins/(hi−lo)))` with
+    * the multiply BEFORE the divide — one IEEE evaluation order, stated
+    * identically in the oracle, so bucket edges are bit-deterministic.
+    *
+    * Shape: bounds pass reduces to ONE row and broadcasts back; bucket +
+    * count is a codegen'd projection into a ≤|bins|-row partial-agg
+    * shuffle. Two column scans, nothing corpus-sized moves. */
+  def equiWidthHistogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 1, "need at least one bin")
+    val v = col(valueCol)
+    val bounds = df.agg(min(v).as("lo"), max(v).as("hi"))
+    df.select(v).join(broadcast(bounds))
+      .withColumn("bin",
+        least(lit(bins - 1L), floor((v - col("lo")) * bins / (col("hi") - col("lo")))))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min(v).as("lo_v"), max(v).as("hi_v"))
+  }
+
+  /** Exponentially-weighted moving average of each key's last `nMax`
+    * values (most recent first, weight 0.5^rank, normalized) — the decay
+    * smoothing a feature pipeline applies to per-user activity before
+    * thresholding. α = ½ is deliberate: every weight is an exact binary
+    * power, so value·weight is ONE IEEE rounding, the decimal cast makes
+    * the weighted sum order-independent, and the normalizer 1−2⁻ⁿ is
+    * exact — the whole statistic is bit-deterministic across engines.
+    *
+    * Shape: one shuffle on the key for the ranking window (sort runs
+    * bounded by per-key history), then a per-key partial agg — the
+    * [[madOutliers]] shape minus the broadcast-back. */
+  def ewmaLastN(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, nMax: Int = 8): DataFrame = {
+    require(nMax >= 1 && nMax <= 32, "nMax out of range")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).desc, col(tieCol).desc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nMax)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_used"),
+        sum((col(valueCol) * pow(lit(0.5), col("rn"))).cast("decimal(30,12)")).as("num"))
+      .select(col(keyCol), col("n_used"),
+        (col("num").cast("double") / (lit(1.0) - pow(lit(0.5), col("n_used")))).as("ewma"))
+  }
 }

@@ -494,4 +494,32 @@ object TextCorpus {
       .filter(col("status") =!= "unchanged")
       .select("doc_id", "status", "old_hash", "new_hash")
   }
+
+  /** The first merge round of BPE tokenizer training: count every
+    * adjacent character pair inside alphabetic words, weighted by word
+    * frequency, and emit the top `topN` merge candidates. A tokenizer
+    * trained on the corpus starts by folding the corpus to its word
+    * frequency table (tiny relative to the text) and then iterating
+    * exactly this pair count — this operator is that inner step, the one
+    * that touches data at corpus scale.
+    *
+    * 100 TB shape: the text collapses to the word-frequency table in one
+    * explode + partial-agg shuffle (|vocab| rows, ~10⁶ regardless of
+    * corpus size — the Heaps'-law plateau); pair expansion then runs on
+    * the VOCAB, not the corpus, so subsequent BPE merge rounds on the
+    * same table are corpus-free. Top-N is TakeOrderedAndProject with a
+    * total order (count desc, pair asc) — no ties at the cut. */
+  def bpePairCounts(docs: DataFrame, textCol: String = "text",
+      topN: Int = 30): DataFrame = {
+    val wordFreq = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    wordFreq
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("cnt").as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(topN)
+  }
 }

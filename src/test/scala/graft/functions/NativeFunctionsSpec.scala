@@ -170,6 +170,26 @@ class NativeFunctionsSpec extends AnyFunSuite with Matchers {
     val cutRow = spark.sql(
       "SELECT cdc_cut_starts('tiny', 8, 64) AS starts").head()
     cutRow.getSeq[Int](0) shouldBe Seq(1)
+    val divRow = spark.sql(
+      "SELECT char_diversity('Aab!') AS cd").head().getStruct(0)
+    divRow.getLong(0) shouldBe 3L // a, a, b
+    divRow.getLong(1) shouldBe 5L // 2² + 1²
+  }
+
+  test("CharDiversityExpr matches a per-character Scala fold on varied inputs") {
+    def naive(s: String): (Long, Long) = {
+      val counts = s.toLowerCase.filter(c => c >= 'a' && c <= 'z')
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      (counts.values.sum, counts.values.map(c => c * c).sum)
+    }
+    val inputs = texts ++ Seq("zzzzz", "AbCdE fGh!", "1234 !?", "")
+    val out = inputs.toDF("text")
+      .select(CharDiversity.charDiversity(col("text")).as("cd"))
+      .collect().map(r => (r.getStruct(0).getLong(0), r.getStruct(0).getLong(1)))
+    out.toSeq shouldBe inputs.map(naive)
+    // a single repeated letter has zero diversity: c2 = n²
+    val (n, c2) = naive("zzzzz")
+    c2 shouldBe n * n
   }
 
   test("SortedIntersectCount matches array_intersect size on sorted shingle arrays") {

@@ -142,4 +142,36 @@ class StatsSpec extends AnyFunSuite {
     // single-row group: lo = hi = the value; nothing moves
     assert(out(12L) === 5L)
   }
+
+  test("equiWidthHistogram buckets cover the range; counts sum to the input") {
+    val df = (0 until 100).map(_.toDouble).toDF("v")
+    val out = Stats.equiWidthHistogram(df, "v", bins = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.keySet === (0L until 10L).toSet)
+    assert(out.values.map(_._1).sum === 100L)
+    assert(out(0L) === ((10L, 0.0, 9.0)))
+    // the max value lands in the LAST bin, not a phantom bins-th bucket
+    assert(out(9L)._3 === 99.0)
+  }
+
+  test("ewmaLastN weights the most recent value 1/2, next 1/4, normalized") {
+    // one user, three events newest-first values 8, 4, 2:
+    // ewma = (8/2 + 4/4 + 2/8) / (1 - 1/8) = 5.25 / 0.875 = 6.0
+    val df = Seq((1L, 30L, 103L, 8.0), (1L, 20L, 102L, 4.0), (1L, 10L, 101L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = Stats.ewmaLastN(df, "user_id", "ts", "event_id", "value", nMax = 8)
+      .collect().head
+    assert(out.getLong(1) === 3L)
+    assert(out.getDouble(2) === 6.0)
+  }
+
+  test("ewmaLastN looks at only the last nMax events, ties broken by tieCol") {
+    val df = ((1 to 10).map(i => (1L, i.toLong, i.toLong, 0.0)) :+
+      (1L, 11L, 11L, 1.0)).toDF("user_id", "ts", "event_id", "value")
+    val out = Stats.ewmaLastN(df, "user_id", "ts", "event_id", "value", nMax = 2)
+      .collect().head
+    // last two: values 1.0 (w=1/2) and 0.0 (w=1/4) → 0.5 / 0.75 = 2/3
+    assert(out.getLong(1) === 2L)
+    assert(math.abs(out.getDouble(2) - 2.0 / 3.0) < 1e-15)
+  }
 }

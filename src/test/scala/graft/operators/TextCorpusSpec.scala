@@ -406,4 +406,22 @@ class TextCorpusSpec extends AnyFunSuite {
       .sortBy(_.getLong(4)).map(_.getString(1)).toSeq
     assert(out === Seq("alpha", "zeta"))
   }
+
+  test("bpePairCounts weights pairs by word frequency, not occurrence") {
+    // "abab" ×2 docs → word freq 2; pairs per occurrence of "abab":
+    // ab, ba, ab → ab gets 2·2 = 4, ba gets 1·2 = 2; "cd" ×1 → cd = 1;
+    // single-letter "e" and non-alpha are ignored
+    val docs = Seq((1L, "abab e 7!"), (2L, "abab cd")).toDF("doc_id", "text")
+    val out = TextCorpus.bpePairCounts(docs, "text", topN = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(out === Seq("ab" -> 4L, "ba" -> 2L, "cd" -> 1L))
+  }
+
+  test("bpePairCounts top-N cut uses the (count desc, pair asc) total order") {
+    val docs = Seq((1L, "xy za za")).toDF("doc_id", "text")
+    // za freq 1 (distinct word counted once per occurrence set: "za" twice
+    // → freq 2) vs xy freq 1 → za=2, xy=1; topN=1 keeps za
+    val out = TextCorpus.bpePairCounts(docs, "text", topN = 1).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq("za" -> 2L))
+  }
 }
