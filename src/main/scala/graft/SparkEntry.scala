@@ -1459,6 +1459,19 @@ object SparkEntry {
           / (col("cd.n_alpha") * col("cd.n_alpha")).cast("double")).as("simpson"))
       .orderBy("doc_id")
 
+  /** Per-user × event-type running counts via Spark 4's arbitrary-state
+    * API ([[graft.streaming.TransformWithStateOps.typeCountsWithState]]
+    * — MapState, delta-proportional state I/O). Batch mode runs the
+    * processor over empty state, so the result is exactly the grouped
+    * count the oracle states; the incremental Update-mode behavior is
+    * pinned by TransformWithStateSpec. */
+  private def twsTypeCounts(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.TransformWithStateOps
+      .typeCountsWithState(graft.streaming.StatefulOps.typedEvents(t(s, dir, "events")))
+      .toDF()
+      .select(col("userId").as("user_id"), col("eventType").as("event_type"), col("n"))
+      .orderBy("user_id", "event_type")
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -1581,6 +1594,7 @@ object SparkEntry {
     "pareto_docs" -> paretoDocs _,
     "bpe_pair_counts" -> bpePairCountsQuery _,
     "char_diversity" -> charDiversityQuery _,
+    "tws_type_counts" -> twsTypeCounts _,
   )
 
   /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
@@ -3318,5 +3332,9 @@ object SparkEntry {
                    FROM documents)
              WHERE ch BETWEEN 'a' AND 'z' GROUP BY doc_id, ch) GROUP BY doc_id)
          ORDER BY doc_id""",
+    "tws_type_counts" ->
+      // batch transformWithState over empty state ≡ the grouped count
+      """SELECT user_id, event_type, count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }
