@@ -79,18 +79,25 @@ object GraftFunctions {
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo("graft.functions", name)
 
-  /** Register into an existing session's function registry. */
+  /** Register into an existing session: SQL functions plus the
+    * [[graft.plans.RewriteSortedIntersect]] optimizer rule (via
+    * `experimental.extraOptimizations`, the post-session-build seam). */
   def register(spark: SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
     definitions.foreach { case (name, builder) =>
       registry.registerFunction(FunctionIdentifier(name), info(name), builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteSortedIntersect))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteSortedIntersect
   }
 
-  private[functions] def inject(ext: SparkSessionExtensions): Unit =
+  private[functions] def inject(ext: SparkSessionExtensions): Unit = {
     definitions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.RewriteSortedIntersect)
+  }
 }
 
 /** `spark.sql.extensions` hook: injects the graft SQL functions at
