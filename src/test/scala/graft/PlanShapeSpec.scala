@@ -303,4 +303,40 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(spans >= 1, s"$q runs fully interpreted")
     }
   }
+
+  test("k-means assignment is join-free: centroids ride as literals, no corpus join") {
+    // the whole two-round pipeline may exchange for the final orderBy and
+    // the (cluster, dim) update agg, but assignment must never join or
+    // broadcast the corpus against a centroid table
+    val p = finalPlan("kmeans_assign")
+    assert(count(p, "Join") === 0, s"kmeans assignment joins:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
+  test("pareto skyline shuffles once on the group key; both windows share it") {
+    val p = finalPlan("pareto_docs")
+    // one exchange for the grouped windows + the gate's presentation sort
+    assert(count(p, "Exchange") <= 2, s"skyline re-shuffles:\n$p")
+    assert(count(p, "Join") === 0)
+  }
+
+  test("histogram broadcasts the one-row bounds and partial-aggregates the buckets") {
+    val p = finalPlan("price_histogram")
+    assert(count(p, "BroadcastNestedLoopJoin") + count(p, "BroadcastHashJoin") >= 1,
+      s"bounds not broadcast:\n$p")
+    assert(count(p, "SortMergeJoin") === 0)
+    assert(count(p, "HashAggregate") >= 2, s"bucket agg not partial:\n$p")
+  }
+
+  test("bpe pair counts partial-aggregate both levels (word freq, pair sum)") {
+    val p = finalPlan("bpe_pair_counts")
+    assert(count(p, "HashAggregate") >= 4, s"missing map-side combine:\n$p")
+    assert(count(p, "TakeOrderedAndProject") === 1, s"top-N not TakeOrdered:\n$p")
+  }
+
+  test("char diversity rides the scan: no join, no exchange before the sort") {
+    val p = finalPlan("char_diversity")
+    assert(count(p, "Join") === 0)
+    assert(count(p, "HashAggregate") === 0, s"char_diversity aggregates:\n$p")
+  }
 }
