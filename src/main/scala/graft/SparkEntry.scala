@@ -1472,6 +1472,39 @@ object SparkEntry {
       .select(col("userId").as("user_id"), col("eventType").as("event_type"), col("n"))
       .orderBy("user_id", "event_type")
 
+  /** 12-core of the March-1995 co-supply graph
+    * ([[graft.operators.Graph.kCore]], 3 peel rounds — the graph
+    * stabilizes by round 3): surviving nodes with their final degrees. */
+  private def kcoreNodes(s: SparkSession, dir: String): DataFrame = {
+    val march = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-03-01") &&
+        col("o_orderdate") < lit("1995-04-01"))
+      .select(col("o_orderkey").as("ok"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .join(march, Seq("ok"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("src"), col("b.sk").as("dst"))
+    graft.operators.Graph.kCore(e, k = 12, rounds = 3).orderBy("node")
+  }
+
+  /** Per-event-type inter-arrival gap quantiles (lag diff in exact
+    * micros, then [[graft.operators.Stats.groupedQuantiles]]'s rank
+    * rule) — the cadence profile behind trigger-interval and watermark
+    * tuning. */
+  private def interarrivalStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val gaps = eventsNs(s, dir)
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), expr("(ts - prev) div 1000").as("gap_us"))
+    graft.operators.Stats.groupedQuantiles(gaps, "event_type", "gap_us",
+        ps = Seq(0.5, 0.9))
+      .orderBy("event_type", "p")
+  }
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -1595,6 +1628,8 @@ object SparkEntry {
     "bpe_pair_counts" -> bpePairCountsQuery _,
     "char_diversity" -> charDiversityQuery _,
     "tws_type_counts" -> twsTypeCounts _,
+    "kcore_nodes" -> kcoreNodes _,
+    "interarrival_stats" -> interarrivalStats _,
   )
 
   /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
@@ -3336,5 +3371,50 @@ object SparkEntry {
       // batch transformWithState over empty state ≡ the grouped count
       """SELECT user_id, event_type, count(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "kcore_nodes" ->
+      // Graph.kCore unrolled to 3 peel rounds over the symmetrized
+      // distinct co-supply edges
+      """WITH march AS (SELECT o_orderkey AS ok FROM orders
+                        WHERE o_orderdate >= '1995-03-01' AND o_orderdate < '1995-04-01'),
+         li AS (SELECT l_orderkey AS ok, l_suppkey AS sk
+                FROM lineitem JOIN march ON l_orderkey = march.ok),
+         pairs AS (SELECT a.sk AS src, b.sk AS dst
+                   FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+         e0 AS (SELECT DISTINCT src, dst FROM
+                 (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs)),
+         k1 AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e0 GROUP BY src)
+                WHERE deg >= 12),
+         e1 AS (SELECT e.src, e.dst FROM e0 e
+                JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+         k2 AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e1 GROUP BY src)
+                WHERE deg >= 12),
+         e2 AS (SELECT e.src, e.dst FROM e1 e
+                JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src),
+         k3 AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e2 GROUP BY src)
+                WHERE deg >= 12),
+         e3 AS (SELECT e.src, e.dst FROM e2 e
+                JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src)
+         SELECT src AS node, count(*) AS deg FROM e3 GROUP BY src ORDER BY node""",
+    "interarrival_stats" ->
+      // lag gap in exact micros, then the floor(p*(n-1))+1 rank rule
+      // (the length_quantiles oracle shape)
+      """WITH g AS (SELECT event_type,
+                           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                             PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+                    FROM events),
+         v AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL),
+         ranked AS (SELECT event_type, gap_us,
+                      CAST(row_number() OVER (PARTITION BY event_type
+                        ORDER BY gap_us) AS BIGINT) AS rn
+                    FROM v),
+         counts AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+                    FROM v GROUP BY event_type),
+         targets AS (SELECT event_type, n_rows, p.p AS p,
+                       CAST(floor(p.p * (n_rows - 1)) + 1 AS BIGINT) AS rn
+                     FROM counts,
+                       (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p) p)
+         SELECT r.event_type, t.p, t.n_rows, r.gap_us AS value
+         FROM ranked r JOIN targets t ON r.event_type = t.event_type AND r.rn = t.rn
+         ORDER BY r.event_type, t.p""",
   )
 }

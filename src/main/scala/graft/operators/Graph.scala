@@ -174,4 +174,42 @@ object Graph {
     }
     labels
   }
+
+  /** k-core peeling with a FIXED round count: each round drops every
+    * node whose current degree is below `k` together with its incident
+    * edges, then emits the survivors' degrees — the dense-subgraph
+    * filter link-graph curation runs to separate well-embedded hosts
+    * from stragglers (Seidman 1983's k-core; Batagelj–Zaveršnik gives
+    * the sequential O(m) peel, this is the synchronous distributed
+    * form). A fixed horizon rather than convergence detection keeps the
+    * gate deterministic and the cost exactly R·(agg + two semi-joins) —
+    * the [[pageRank]]/[[labelPropagation]] idiom; most graphs stabilize
+    * in a few rounds (the gate's co-supply graph by round 3), and
+    * callers wanting the true fixpoint iterate until the edge count
+    * stops changing.
+    *
+    * Input edges are treated as UNDIRECTED: both orientations are added
+    * and deduped, so degree = out-degree in the symmetrized frame.
+    *
+    * 100 TB shape: per round ONE partial-aggregated degree count and
+    * two co-partitioned LEFT SEMI joins of the edge list against the
+    * ≤|nodes| survivor frame — all hash exchanges on graph keys,
+    * nothing broadcast-unbounded, nothing collected; `localCheckpoint`
+    * per round cuts the doubling lineage. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need positive k and rounds")
+    var e = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      e = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint()
+    }
+    e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+  }
 }

@@ -159,4 +159,28 @@ class GraphSpec extends AnyFunSuite {
       .orderBy("node").collect().toSeq
     assert(a === b)
   }
+
+  test("kCore peels round by round: pendant chain drops before its anchor") {
+    // 4-clique {1,2,3,4} + chain 1—5—6. k=2:
+    // round 1 drops 6 (deg 1); round 2 drops 5 (deg fell to 1)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (5L, 6L)).toDF("src", "dst")
+    val r1 = Graph.kCore(edges, k = 2, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(1L -> 4L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L))
+    val r2 = Graph.kCore(edges, k = 2, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // stable by round 2: a third round changes nothing
+    val r3 = Graph.kCore(edges, k = 2, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 === r2)
+  }
+
+  test("kCore treats edges as undirected and dedups repeated pairs") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.kCore(edges, k = 1, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
 }
