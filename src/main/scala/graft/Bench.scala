@@ -96,7 +96,8 @@ object Bench {
     }
     results ++= guarded(Seq("streaming_session_replay",
         "streaming_session_replay_rocksdb", "streaming_window_replay",
-        "streaming_interval_replay", "streaming_scd2_replay")) {
+        "streaming_interval_replay", "streaming_scd2_replay",
+        "streaming_tws_replay")) {
       streamingScenarios(spark)
     }
     results ++= guarded(Seq("http_read_all_scan", "http_append_1k_msgs")) {
@@ -407,6 +408,23 @@ object Bench {
       finally q.stop()
     })
 
+    // the arbitrary-state API replay (transformWithState + MapState) on
+    // RocksDB — one state ENTRY per (user, type): measures the
+    // delta-proportional update path next to the blob-state operators
+    // above, same checkpoint-commit-dominated cost model
+    val twsSec = retrying("streaming_tws_replay")(time {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = MemoryStream[graft.streaming.LogEvent](spark)
+        val q = graft.streaming.TransformWithStateOps.typeCountsWithState(in.toDS())
+          .writeStream.format("noop").outputMode("update")
+          .option("checkpointLocation", checkpoint()).start()
+        try batches.foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
+        finally q.stop()
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    })
+
     // best-effort: state-store MAINTENANCE threads keep flushing snapshot
     // files briefly after q.stop(), so a walk-then-delete can race a
     // concurrent create (DirectoryNotEmptyException — this voided two
@@ -425,7 +443,8 @@ object Bench {
       "streaming_session_replay_rocksdb" -> sessionRocksSec,
       "streaming_window_replay" -> windowSec,
       "streaming_interval_replay" -> intervalSec,
-      "streaming_scd2_replay" -> scd2Sec)
+      "streaming_scd2_replay" -> scd2Sec,
+      "streaming_tws_replay" -> twsSec)
   }
 
   /** End-to-end HTTP surface throughput (ref: `src/LoadTests/` exercises

@@ -1505,6 +1505,33 @@ object SparkEntry {
       .orderBy("event_type", "p")
   }
 
+  /** 24-hour trailing rolling sum of each user's event values
+    * ([[graft.operators.Stats.rollingSumByTime]]) — continuous sliding
+    * semantics at every event, vs `windowed_stats`' tumbling buckets. */
+  private def rollingUserValue(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.rollingSumByTime(
+        eventsNs(s, dir).select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("value")),
+        "user_id", "event_id", "ts_us", "value",
+        windowMicros = 86400L * 1000000L)
+      .orderBy("user_id", "ts_us", "event_id")
+
+  /** Per-source rank normalization: each doc's length mapped to its
+    * source-relative rank fraction (r−1)/(n−1) — the quantile-uniform
+    * feature transform; ranks are integers (ties broken by doc_id) and
+    * the one division is exact IEEE. */
+  private def rankNormalize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        ((col("r") - 1).cast("double") / (col("n") - 1).cast("double")).as("pct"))
+      .orderBy("source", "doc_id")
+  }
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -1630,6 +1657,8 @@ object SparkEntry {
     "tws_type_counts" -> twsTypeCounts _,
     "kcore_nodes" -> kcoreNodes _,
     "interarrival_stats" -> interarrivalStats _,
+    "rolling_user_value" -> rollingUserValue _,
+    "rank_normalize" -> rankNormalize _,
   )
 
   /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
@@ -3416,5 +3445,29 @@ object SparkEntry {
          SELECT r.event_type, t.p, t.n_rows, r.gap_us AS value
          FROM ranked r JOIN targets t ON r.event_type = t.event_type AND r.rn = t.rn
          ORDER BY r.event_type, t.p""",
+    "rolling_user_value" ->
+      // Stats.rollingSumByTime: decimal(30,6) window sum (scale keeps
+      // the unscaled sum < 2^53 → the double cast is one correctly
+      // rounded conversion in both engines); time ties are RANGE peers
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+                CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS rolling_sum,
+                COUNT(*) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+                  AS n_in_window
+         FROM events ORDER BY user_id, ts_us, event_id""",
+    "rank_normalize" ->
+      // integer ranks (ties by doc_id), one exact IEEE division
+      """SELECT source, doc_id, n_chars,
+                CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS pct
+         FROM (SELECT source, doc_id, n_chars,
+                      CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+                      CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+               FROM documents)
+         ORDER BY source, doc_id""",
   )
 }

@@ -273,6 +273,31 @@ object Stats {
       .agg(count(lit(1)).as("n"), min(v).as("lo_v"), max(v).as("hi_v"))
   }
 
+  /** Per-key trailing-window rolling sum over event time: for every row,
+    * the exact sum (and count) of the key's values in the last
+    * `windowMicros` of event time INCLUDING the row — the feature a
+    * pipeline derives for "activity in the last 24 h at each event"
+    * (continuous sliding semantics, unlike the tumbling `windowedStats`
+    * buckets). Values sum as decimals (order-independent; scale 6 keeps
+    * the unscaled window sum far inside 2^53, so the final double cast
+    * is ONE correctly-rounded conversion in both engines); time ties are
+    * RANGE-frame peers, so the result is independent of tie order.
+    *
+    * Shape: one shuffle on the key; the range-frame window runs inside
+    * each key's sorted run (bounded by per-key history, the
+    * [[ewmaLastN]] shape) with Spark's sliding-frame aggregation doing
+    * O(1) amortized work per row — no self-join, no per-row rescans. */
+  def rollingSumByTime(
+      df: DataFrame, keyCol: String, idCol: String, tsMicrosCol: String,
+      valueCol: String, windowMicros: Long): DataFrame = {
+    require(windowMicros > 0, "need a positive window")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsMicrosCol).asc)
+      .rangeBetween(-windowMicros, 0L)
+    df.select(col(keyCol), col(idCol), col(tsMicrosCol), col(valueCol),
+        sum(col(valueCol).cast("decimal(30,6)")).over(w).cast("double").as("rolling_sum"),
+        count(lit(1)).over(w).as("n_in_window"))
+  }
+
   /** Exponentially-weighted moving average of each key's last `nMax`
     * values (most recent first, weight 0.5^rank, normalized) — the decay
     * smoothing a feature pipeline applies to per-user activity before

@@ -165,6 +165,23 @@ class StatsSpec extends AnyFunSuite {
     assert(out.getDouble(2) === 6.0)
   }
 
+  test("rollingSumByTime sums the trailing window inclusive; ties are frame peers") {
+    val df = Seq(
+      (1L, 10L, 0L, 1.0), (1L, 11L, 50L, 2.0), (1L, 12L, 100L, 4.0),
+      (1L, 13L, 100L, 8.0), // tie with id 12: both see both
+      (1L, 14L, 200L, 16.0), // [100, 200] window: the two ties + itself
+      (2L, 20L, 0L, 32.0))
+      .toDF("k", "id", "ts", "v")
+    val out = Stats.rollingSumByTime(df, "k", "id", "ts", "v", windowMicros = 100L)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(4), r.getLong(5))).toMap
+    assert(out(10L) === ((1.0, 1L)))
+    assert(out(11L) === ((3.0, 2L)))
+    assert(out(12L) === ((15.0, 4L))) // 0,50,100,100 all within 100
+    assert(out(13L) === ((15.0, 4L))) // tie peer: identical frame
+    assert(out(14L) === ((28.0, 3L))) // [100, 200] → the two ties + itself
+    assert(out(20L) === ((32.0, 1L))) // other key isolated
+  }
+
   test("ewmaLastN looks at only the last nMax events, ties broken by tieCol") {
     val df = ((1 to 10).map(i => (1L, i.toLong, i.toLong, 0.0)) :+
       (1L, 11L, 11L, 1.0)).toDF("user_id", "ts", "event_id", "value")
