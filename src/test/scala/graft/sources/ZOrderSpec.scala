@@ -77,4 +77,26 @@ class ZOrderSpec extends AnyFunSuite {
     assert(boxes.count { case (dx, dy) => dx > 900 && dy > 900 } < boxes.length,
       "z-order produced no locality at all")
   }
+
+  test("writeSizeTargeted adapts file count to the size estimate and clamps") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val df = (0 until 10000).map(i => (i.toLong, s"row-$i-${"x" * 50}")).toDF("id", "s")
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+    // target a quarter of the estimate → expect ~4 files
+    val dir1 = java.nio.file.Files.createTempDirectory("szt1").toString
+    ZOrder.writeSizeTargeted(df, dir1, targetBytes = (est / 4).toLong.max(1L))
+    val files1 = new java.io.File(dir1).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files1 >= 3 && files1 <= 5, s"expected ~4 files, got $files1")
+    assert(spark.read.parquet(dir1).count() === 10000L)
+
+    // huge target → exactly one file; tiny target + cap → clamped
+    val dir2 = java.nio.file.Files.createTempDirectory("szt2").toString
+    ZOrder.writeSizeTargeted(df, dir2, targetBytes = Long.MaxValue)
+    assert(new java.io.File(dir2).listFiles().count(_.getName.endsWith(".parquet")) === 1)
+    val dir3 = java.nio.file.Files.createTempDirectory("szt3").toString
+    ZOrder.writeSizeTargeted(df, dir3, targetBytes = 1L, maxFiles = 7)
+    assert(new java.io.File(dir3).listFiles().count(_.getName.endsWith(".parquet")) === 7)
+  }
 }
