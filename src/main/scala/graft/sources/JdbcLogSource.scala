@@ -11,7 +11,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import java.sql.DriverManager
 import java.util.{Map => JMap}
-import scala.collection.JavaConverters._
+import scala.jdk.CollectionConverters._
 
 /** Structured Streaming SOURCE over the JDBC-backed stream-store log —
   * the "Structured Streaming over JDBC source" the project brief names
