@@ -1532,6 +1532,24 @@ object SparkEntry {
       .orderBy("source", "doc_id")
   }
 
+  /** Quality-argmax survivor selection per near-dup cluster: instead of
+    * the keep-min-id policy (`dedup_exact_survivors`), keep each
+    * cluster's LONGEST member (ties → min id) — the policy a pipeline
+    * wants when near-dups include truncated copies. Rides the SAME
+    * group table as `cluster_split` ([[sharedNearDupGroups]]) — one
+    * dedup pass feeds all consumers. */
+  private def dedupBestSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val lens = docsWithDups(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    sharedNearDupGroups(s, dir).join(lens, Seq("doc_id"))
+      .groupBy("group_id")
+      .agg(max(struct(col("len").as("len"), (-col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("group_id"), (-col("best.nid")).as("keep_id"),
+        col("best.len").as("keep_len"), col("n_members"))
+      .orderBy("group_id")
+  }
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -1659,6 +1677,7 @@ object SparkEntry {
     "interarrival_stats" -> interarrivalStats _,
     "rolling_user_value" -> rollingUserValue _,
     "rank_normalize" -> rankNormalize _,
+    "dedup_best_survivors" -> dedupBestSurvivors _,
   )
 
   /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
@@ -3469,5 +3488,35 @@ object SparkEntry {
                       CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
                FROM documents)
          ORDER BY source, doc_id""",
+    "dedup_best_survivors" ->
+      // the near_dup_groups reachability CTE + per-cluster argmax on raw
+      // text length (ties -> min doc_id)
+      s"""WITH RECURSIVE docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
+          sh AS (SELECT doc_id,
+                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
+                 FROM docs),
+          pairs AS (SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.5),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(id, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+          grp AS (SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS group_id
+                  FROM reach GROUP BY id),
+          lens AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len
+                   FROM $docsWithDupsSql d2),
+          ranked AS (SELECT g.group_id, g.doc_id, l.len,
+                       row_number() OVER (PARTITION BY g.group_id
+                         ORDER BY l.len DESC, g.doc_id ASC) AS rn,
+                       CAST(count(*) OVER (PARTITION BY g.group_id) AS BIGINT) AS n_members
+                     FROM grp g JOIN lens l ON g.doc_id = l.doc_id)
+         SELECT group_id, doc_id AS keep_id, len AS keep_len, n_members
+         FROM ranked WHERE rn = 1 ORDER BY group_id""",
   )
 }
