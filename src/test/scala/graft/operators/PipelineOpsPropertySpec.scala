@@ -251,4 +251,64 @@ class PipelineOpsPropertySpec extends AnyFunSuite {
       assert(out === expected, s"[seed $seed, k $k]")
     }
   }
+
+  test("rollingSumByTime matches the brute-force trailing-window model on random events") {
+    (0 until 5).foreach { seed =>
+      val rnd = new Random(300 + seed)
+      val window = 1L + rnd.nextInt(30)
+      val rows = (0 until 200).map { i =>
+        (rnd.nextInt(4).toLong, i.toLong, rnd.nextInt(60).toLong, // dup ts likely
+          (rnd.nextInt(2000) - 1000).toDouble / 4.0) // negative + exact quarters
+      } // (k, id, ts, v)
+      val expected: Map[Long, (Double, Long)] = rows.map { case (k, id, ts, _) =>
+        val in = rows.filter(r => r._1 == k && r._3 >= ts - window && r._3 <= ts)
+        // quarters sum exactly in double, so the reference sum is exact
+        id -> (in.map(_._4).sum, in.size.toLong)
+      }.toMap
+      val out = Stats.rollingSumByTime(
+          rows.toDF("k", "id", "ts", "v").repartition(7), "k", "id", "ts", "v", window)
+        .collect().map(r => r.getLong(1) -> (r.getDouble(4), r.getLong(5))).toMap
+      assert(out === expected, s"[seed $seed, window $window]")
+    }
+  }
+
+  test("kCore peeled to stability equals the sequential peel fixpoint on random graphs") {
+    (0 until 5).foreach { seed =>
+      val rnd = new Random(400 + seed)
+      val k = 2 + rnd.nextInt(3)
+      val edges = (0 until 120).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter(e => e._1 != e._2).distinct
+      // sequential reference: peel until no change (the true k-core)
+      var adj = edges.flatMap(e => Seq(e, e.swap)).distinct
+      var changed = true
+      while (changed) {
+        val deg = adj.groupBy(_._1).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = adj.filter(e => keep(e._1) && keep(e._2))
+        changed = next.size != adj.size
+        adj = next
+      }
+      val expected = adj.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      // enough synchronous rounds always reach the fixpoint
+      val out = Graph.kCore(edges.toDF("src", "dst").repartition(5), k, rounds = 25)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === expected, s"[seed $seed, k $k]")
+    }
+  }
+
+  test("paretoFrontier matches brute-force dominance on duplicate-heavy random sets") {
+    (0 until 5).foreach { seed =>
+      val rnd = new Random(500 + seed)
+      val rows = (0 until 150).map(i =>
+        ("g" + rnd.nextInt(3), i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(8).toLong))
+      val expected = rows.filter { case (g, _, x, y) =>
+        !rows.exists { case (g2, _, x2, y2) =>
+          g2 == g && x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+      }.map(_._2).toSet
+      val out = Skyline.paretoFrontier(
+          rows.toDF("g", "id", "x", "y").repartition(4), "g", "id", "x", "y")
+        .collect().map(_.getLong(1)).toSet
+      assert(out === expected, s"[seed $seed]")
+    }
+  }
 }
