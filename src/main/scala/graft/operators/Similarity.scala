@@ -96,7 +96,7 @@ object Similarity {
   }
 
   /** Nearest-centroid ids for one vector (by cosine), top `n`. */
-  private def nearestCentroids(model: IvfModel, vec: Seq[Float], n: Int): Seq[Int] = {
+  private[graft] def nearestCentroids(model: IvfModel, vec: Seq[Float], n: Int): Seq[Int] = {
     def cos(c: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
@@ -145,22 +145,33 @@ object Similarity {
     IvfModel(centroids)
   }
 
-  /** IVF ANN top-k: corpus rows are assigned to their nearest centroid
-    * once; each query probes its `nprobe` nearest centroids and scores
-    * only those partitions' vectors — the learned-partition counterpart
-    * of [[lshTopK]] (better recall per candidate at the cost of
-    * training). Output: (query_id, neighbor_id, score, rank). */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, model: IvfModel, k: Int,
-      nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Assign every row to its nearest centroid cell:
+    * (cluster, neighbor_id, c_vec) — the index side of [[ivfTopK]],
+    * exposed so an INCREMENTAL index ([[graft.streaming.OnlineAnn]]) can
+    * persist assignments batch by batch instead of re-assigning the
+    * corpus per probe. */
+  def assignCells(
+      corpus: DataFrame, model: IvfModel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    val assigned = corpus
+    corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .as[(Long, Array[Float])]
       .map { case (id, vec) => (nearestCentroids(bc.value, vec.toSeq, 1).head, id, vec) }
       .toDF("cluster", "neighbor_id", "c_vec")
+  }
+
+  /** Score queries against an already-assigned cell table
+    * ([[assignCells]] output): each query probes its `nprobe` nearest
+    * cells; only those cells' vectors are scored. */
+  def probeCells(
+      cells: DataFrame, queries: DataFrame, model: IvfModel, k: Int,
+      nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
     val probed = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .as[(Long, Array[Float])]
@@ -168,7 +179,7 @@ object Similarity {
         nearestCentroids(bc.value, vec.toSeq, nprobe).map(c => (c, id, vec))
       }
       .toDF("cluster", "query_id", "q_vec")
-    val scored = assigned.join(broadcast(probed), Seq("cluster"))
+    val scored = cells.join(broadcast(probed), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
@@ -177,6 +188,17 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "score", "rank")
   }
+
+  /** IVF ANN top-k: corpus rows are assigned to their nearest centroid
+    * once; each query probes its `nprobe` nearest centroids and scores
+    * only those partitions' vectors — the learned-partition counterpart
+    * of [[lshTopK]] (better recall per candidate at the cost of
+    * training). Output: (query_id, neighbor_id, score, rank). */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, model: IvfModel, k: Int,
+      nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    probeCells(assignCells(corpus, model, idCol, vecCol), queries, model, k,
+      nprobe, idCol, vecCol)
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * LSH-bucketed so only same-bucket pairs are compared. */
