@@ -653,6 +653,19 @@ object SparkEntry {
         salts = 8, factUniqueCol = "l_linenumber")
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Hot-key hybrid join ([[operators.SkewJoin.hotKeyHybridJoin]]):
+    * lineitem keys with ≥4 rows take the broadcast path, the rest the
+    * ordinary shuffle join — semantics are EXACTLY the plain join (the
+    * oracle); the split only re-routes the heavy keys around the hash
+    * exchange. */
+  private def hybridJoinQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewJoin.hotKeyHybridJoin(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority"),
+        factKey = "l_orderkey", otherKey = "o_orderkey",
+        hotThreshold = 4L)
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** Deterministic sharded shuffle (TextCorpus.shardedShuffle). */
   private def corpusShuffle(s: SparkSession, dir: String): DataFrame =
     TextCorpus.shardedShuffle(t(s, dir, "documents"), shards = 8, salt = "epoch-0")
@@ -1678,6 +1691,7 @@ object SparkEntry {
     "rolling_user_value" -> rollingUserValue _,
     "rank_normalize" -> rankNormalize _,
     "dedup_best_survivors" -> dedupBestSurvivors _,
+    "hybrid_join" -> hybridJoinQuery _,
   )
 
   /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
@@ -2118,6 +2132,13 @@ object SparkEntry {
     "salted_join" ->
       // the whole point: salting must not change the answer — the
       // oracle is the PLAIN join
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+                o.o_custkey, o.o_orderpriority
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         ORDER BY l.l_orderkey, l.l_linenumber""",
+    "hybrid_join" ->
+      // same contract as salted_join: the hot/cold split must not
+      // change the answer — the oracle is the PLAIN join
       """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
                 o.o_custkey, o.o_orderpriority
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -48,4 +48,41 @@ object SkewJoin {
     f.join(o, f(factKey) === o(otherKey) && f("graft_salt") === o("graft_salt"))
       .drop("graft_salt").drop(otherKey)
   }
+
+  /** The "salt only the hot keys" form the [[saltedJoin]] Scaladoc
+    * promises, as ONE operator: fact keys whose row count reaches
+    * `hotThreshold` take the BROADCAST path (their matching `other` rows
+    * are by construction few enough to ship — a hot key on the fact side
+    * is exactly the key you cannot let a hash exchange serialize), and
+    * the cold remainder takes the ordinary shuffle join. Semantics are
+    * EXACTLY the plain inner equi-join (each fact row is in precisely
+    * one slice; the gate's oracle is the plain SQL join).
+    *
+    * 100 TB shape: hot-key detection is one partial-aggregated count
+    * (≤|distinct keys| rows cross the exchange) reduced to a tiny
+    * driver-broadcastable hot-key frame; the hot slice never shuffles —
+    * its dimension rows broadcast — and the cold slice's hash exchange
+    * is skew-free BECAUSE the heavy keys were carved out. Versus
+    * full salting, no `salts`× replication of the other side; versus
+    * AQE skew-join, it works in deterministic/bucketed plans AQE won't
+    * touch and on the map side before any exchange exists. */
+  def hotKeyHybridJoin(
+      fact: DataFrame, other: DataFrame,
+      factKey: String, otherKey: String,
+      hotThreshold: Long): DataFrame = {
+    require(hotThreshold > 0, "hotThreshold must be positive")
+    require(factKey != otherKey,
+      "key columns must be named differently (drop() would strip both)")
+    val hot = fact.groupBy(col(factKey).as("graft_hk"))
+      .agg(count(lit(1)).as("graft_cnt"))
+      .filter(col("graft_cnt") >= hotThreshold)
+      .select("graft_hk")
+    val factHot = fact.join(broadcast(hot), col(factKey) === col("graft_hk"), "left_semi")
+    val factCold = fact.join(broadcast(hot), col(factKey) === col("graft_hk"), "left_anti")
+    val otherHot = other.join(broadcast(hot), col(otherKey) === col("graft_hk"), "left_semi")
+    factHot.join(broadcast(otherHot), factHot(factKey) === otherHot(otherKey))
+      .drop(otherKey)
+      .unionByName(
+        factCold.join(other, factCold(factKey) === other(otherKey)).drop(otherKey))
+  }
 }

@@ -339,4 +339,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Join") === 0)
     assert(count(p, "HashAggregate") === 0, s"char_diversity aggregates:\n$p")
   }
+
+  test("hybrid join broadcasts the hot slice; nothing goes cartesian") {
+    val p = finalPlan("hybrid_join")
+    assert(count(p, "BroadcastHashJoin") >= 2, // hot-key routing + hot-slice join
+      s"hybrid join lost its broadcasts:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0)
+  }
 }

@@ -46,4 +46,32 @@ class SkewJoinSpec extends AnyFunSuite {
     val maxDup = salted.groupBy("row_id").count().agg(max("count")).head().getLong(0)
     assert(maxDup === 1L)
   }
+
+  test("hot-key hybrid join equals the plain join exactly") {
+    val hybrid = SkewJoin.hotKeyHybridJoin(fact, dim, "k", "dk", hotThreshold = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    val plain = fact.join(dim, col("k") === col("dk")).drop("dk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(hybrid === plain)
+  }
+
+  test("hybrid join routes exactly the over-threshold keys to the hot slice") {
+    // threshold 100 → only key 0 (901 rows) is hot; every key hot →
+    // cold slice empty; threshold above max → degenerates to plain join
+    val allHot = SkewJoin.hotKeyHybridJoin(fact, dim, "k", "dk", hotThreshold = 1L)
+      .count()
+    val noneHot = SkewJoin.hotKeyHybridJoin(fact, dim, "k", "dk", hotThreshold = 100000L)
+      .count()
+    val plain = fact.join(dim, col("k") === col("dk")).count()
+    assert(allHot === plain)
+    assert(noneHot === plain)
+  }
+
+  test("hybrid join output carries no helper columns") {
+    val cols = SkewJoin.hotKeyHybridJoin(fact, dim, "k", "dk", hotThreshold = 100L)
+      .columns.toSeq
+    assert(cols === Seq("k", "row_id", "fv", "dv"))
+  }
 }
