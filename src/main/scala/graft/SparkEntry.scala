@@ -1563,6 +1563,33 @@ object SparkEntry {
       .orderBy("group_id")
   }
 
+  /** Image near-duplicate pairs by 64-bit perceptual average-hash
+    * ([[graft.operators.Multimodal.imageNearDups]], 4×16 banding, exact
+    * popcount verify): the deterministic synthetic images plus
+    * pixel-perturbed copies (id + 10000). Like `multimodal_features`,
+    * no second engine implements the codec, so the gate pins against a
+    * committed golden CSV and OperatorsSpec recomputes it. */
+  private def imageNearDupsGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Multimodal.syntheticMedia(s, 200)
+    val perturbed = items.filter(_.kind == "image").map { m =>
+      Multimodal.Codecs.decodePpm(m.bytes) match {
+        case Some((w, h, rgb)) =>
+          val out = rgb.clone()
+          var i = 0
+          while (i < out.length) {
+            if (i % 97 == 0) out(i) = ((out(i) & 0xff) ^ 0x03).toByte
+            i += 1
+          }
+          m.copy(mediaId = m.mediaId + 10000,
+            bytes = Multimodal.Codecs.encodePpm(w, h, out))
+        case None => m.copy(mediaId = m.mediaId + 10000)
+      }
+    }
+    Multimodal.imageNearDups(items.union(perturbed), maxHamming = 2)
+      .orderBy("id_a", "id_b")
+  }
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -1692,6 +1719,7 @@ object SparkEntry {
     "rank_normalize" -> rankNormalize _,
     "dedup_best_survivors" -> dedupBestSurvivors _,
     "hybrid_join" -> hybridJoinQuery _,
+    "image_near_dups" -> imageNearDupsGate _,
   )
 
   /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
@@ -2136,6 +2164,17 @@ object SparkEntry {
                 o.o_custkey, o.o_orderpriority
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          ORDER BY l.l_orderkey, l.l_linenumber""",
+    "image_near_dups" ->
+      // no second engine implements the PPM codec/aHash — golden CSV
+      // (committed, regenerated+pinned by OperatorsSpec). The synthetic
+      // corpus' images share a gradient structure, so many TRUE
+      // low-Hamming pairs exist beyond the planted id+10000 copies;
+      // the golden records them all.
+      """SELECT id_a, id_b, hamming
+         FROM read_csv('/root/repo/src/test/resources/image_neardup_golden.csv',
+           header=true,
+           columns={'id_a':'BIGINT','id_b':'BIGINT','hamming':'BIGINT'})
+         ORDER BY id_a, id_b""",
     "hybrid_join" ->
       // same contract as salted_join: the hot/cold split must not
       // change the answer — the oracle is the PLAIN join

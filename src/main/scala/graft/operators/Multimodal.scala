@@ -135,6 +135,35 @@ object Multimodal {
         hist.map(c => c.toFloat / n)
     }
 
+    /** 64-bit average hash (aHash): nearest-resize to 8×8, integer luma
+      * per cell, bit i set iff cell i's luma exceeds the floor-mean —
+      * the standard perceptual fingerprint (same family as pHash/dHash)
+      * in ALL-INTEGER arithmetic, so bit-stable across platforms.
+      * Near-duplicate images differ in a few bits; unrelated images in
+      * ~32. */
+    def averageHash64(w: Int, h: Int, rgb: Array[Byte]): Long = {
+      val small = resizeNearest(w, h, rgb, 8, 8)
+      val luma = new Array[Long](64)
+      var sum = 0L
+      var i = 0
+      while (i < 64) {
+        val r = small(i * 3) & 0xff
+        val g = small(i * 3 + 1) & 0xff
+        val b = small(i * 3 + 2) & 0xff
+        luma(i) = (299L * r + 587L * g + 114L * b) / 1000L
+        sum += luma(i)
+        i += 1
+      }
+      val mean = sum / 64L
+      var hash = 0L
+      i = 0
+      while (i < 64) {
+        if (luma(i) > mean) hash |= (1L << i)
+        i += 1
+      }
+      hash
+    }
+
     // --- WAV: RIFF/WAVE, PCM 16-bit mono ---
 
     def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
@@ -373,6 +402,49 @@ object Multimodal {
           }
       }
     }
+  }
+
+  /** Per-image perceptual hash rows (mediaId, ahash) — undecodable or
+    * non-image rows are dropped. One decode pass in the scan stage. */
+  def imageAHash(items: Dataset[MediaItem]): DataFrame = {
+    import items.sparkSession.implicits._
+    items.filter(_.kind == "image").flatMap { m =>
+      Codecs.decodePpm(m.bytes).map { case (w, h, rgb) =>
+        (m.mediaId, Codecs.averageHash64(w, h, rgb))
+      }
+    }.toDF("id", "ahash")
+  }
+
+  /** Image near-duplicate pairs by perceptual hash: Hamming(aHash) ≤
+    * `maxHamming` — the image-modality member of the dedup family
+    * (exact → MinHash text → SimHash → embedding-cosine → THIS).
+    *
+    * Scale path is the SimHash banding argument verbatim: the 64-bit
+    * hash splits into 4 × 16-bit bands; ≤ 3 differing bits cannot touch
+    * all 4 bands (pigeonhole), so same-band-value candidates have
+    * perfect recall at maxHamming ≤ 3, and the verify is one codegen'd
+    * `bit_count(a ^ b)`. No all-pairs compare anywhere: candidates come
+    * from 4 band-key equi-joins (one shuffle of 4×|images| 10-byte
+    * rows), duplicates collapsed before the popcount. */
+  def imageNearDups(items: Dataset[MediaItem], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x16 banding guarantees recall only up to Hamming 3")
+    val hashes = imageAHash(items)
+    val banded = hashes.select(col("id"), col("ahash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("ahash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 
   /** Metadata-only projection (never deserializes payloads — column

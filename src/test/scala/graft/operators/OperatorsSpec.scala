@@ -405,6 +405,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mismatches.isEmpty, s"digest drift on mediaIds: ${mismatches.take(5)}")
   }
 
+  test("image near-dups: aHash is stable, planted copies are found, golden matches") {
+    import Multimodal.Codecs
+    // aHash determinism + sensitivity: identical bytes → identical hash;
+    // an inverted image → large Hamming distance
+    val rgb = Array.tabulate(16 * 16 * 3)(i => ((i * 13) % 256).toByte)
+    val h1 = Codecs.averageHash64(16, 16, rgb)
+    val h2 = Codecs.averageHash64(16, 16, rgb.clone())
+    assert(h1 === h2)
+    val inv = rgb.map(b => (~b).toByte)
+    val hInv = Codecs.averageHash64(16, 16, inv)
+    assert(java.lang.Long.bitCount(h1 ^ hInv) > 20)
+
+    // the gate query: every planted perturbed copy (id+10000) must pair
+    // with its original, and the full output must equal the golden CSV
+    val out = graft.SparkEntry.queries("image_near_dups")(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = out.count { case (a, b, _) => b == a + 10000 }
+    assert(planted === 67, s"expected all 67 planted pairs, got $planted")
+    val golden = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/image_neardup_golden.csv"))
+      .getLines().drop(1).map { line =>
+        val Array(a, b, h) = line.split(",")
+        (a.toLong, b.toLong, h.toLong)
+      }.toSeq
+    assert(out.toSeq === golden, "aHash near-dup drift vs committed golden")
+  }
+
   test("ppm codec round-trips and resize preserves format") {
     import Multimodal.Codecs
     val rgb = Array.tabulate(8 * 4 * 3)(i => (i * 7 % 256).toByte)
