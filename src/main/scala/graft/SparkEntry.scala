@@ -1590,6 +1590,49 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Audio + video near-duplicate pairs by 64-bit perceptual
+    * fingerprints ([[graft.operators.Multimodal.audioNearDups]]
+    * delta-sign energy fingerprint; [[graft.operators.Multimodal
+    * .videoThumbDups]] first-frame aHash — both through the shared
+    * 4×16-band + popcount engine). Planted perturbed copies (id +
+    * 10000): audio samples nudged ±3, video frame bytes xor'd slightly.
+    * Golden-CSV gated like the other codec-backed gates. */
+  private def mediaFingerprintDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal.Codecs
+    val items = Multimodal.syntheticMedia(s, 200)
+    val perturbed = items.filter(m => m.kind == "audio" || m.kind == "video").map { m =>
+      m.kind match {
+        case "audio" =>
+          Codecs.decodeWavPcm16(m.bytes) match {
+            case Some((sr, samples)) =>
+              val out = samples.clone()
+              var i = 0
+              while (i < out.length) {
+                if (i % 13 == 0) out(i) = (out(i) + ((i % 7) - 3)).toShort
+                i += 1
+              }
+              m.copy(mediaId = m.mediaId + 10000, bytes = Codecs.encodeWavPcm16(sr, out))
+            case None => m.copy(mediaId = m.mediaId + 10000)
+          }
+        case _ =>
+          val out = m.bytes.clone()
+          var i = 16 // past the GVID header
+          while (i < out.length) {
+            if (i % 101 == 0) out(i) = ((out(i) & 0xff) ^ 0x02).toByte
+            i += 1
+          }
+          m.copy(mediaId = m.mediaId + 10000, bytes = out)
+      }
+    }
+    val all = items.union(perturbed)
+    Multimodal.audioNearDups(all, maxHamming = 2)
+      .withColumn("modality", lit("audio"))
+      .unionByName(Multimodal.videoThumbDups(all, maxHamming = 2)
+        .withColumn("modality", lit("video")))
+      .orderBy("modality", "id_a", "id_b")
+  }
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -1720,6 +1763,7 @@ object SparkEntry {
     "dedup_best_survivors" -> dedupBestSurvivors _,
     "hybrid_join" -> hybridJoinQuery _,
     "image_near_dups" -> imageNearDupsGate _,
+    "media_fingerprint_dups" -> mediaFingerprintDups _,
   )
 
   /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
@@ -2175,6 +2219,15 @@ object SparkEntry {
            header=true,
            columns={'id_a':'BIGINT','id_b':'BIGINT','hamming':'BIGINT'})
          ORDER BY id_a, id_b""",
+    "media_fingerprint_dups" ->
+      // golden CSV like image_near_dups; audio's delta-sign fingerprint
+      // is fully discriminative on this corpus (exactly the 67 planted
+      // pairs), video thumbnails share gradient structure like images
+      """SELECT id_a, id_b, hamming, modality
+         FROM read_csv('/root/repo/src/test/resources/media_fingerprint_golden.csv',
+           header=true,
+           columns={'id_a':'BIGINT','id_b':'BIGINT','hamming':'BIGINT','modality':'VARCHAR'})
+         ORDER BY modality, id_a, id_b""",
     "hybrid_join" ->
       // same contract as salted_join: the hot/cold split must not
       // change the answer — the oracle is the PLAIN join

@@ -250,6 +250,35 @@ object Multimodal {
       Array(rms.toFloat, zcr.toFloat) ++ bands
     }
 
+    /** 64-bit audio fingerprint: 65 equal time windows, integer energy
+      * Σ|s| per window, bit i set iff window i+1's energy exceeds window
+      * i's — the delta-sign scheme (the shape of Shazam/Chromaprint
+      * fingerprints, reduced to one word). ALL-INTEGER, so bit-stable
+      * across platforms; robust to small amplitude noise (energy deltas
+      * dominate), flipped by re-ordering or different audio. */
+    def audioFingerprint64(samples: Array[Short]): Long = {
+      val n = samples.length
+      if (n < 65) return 0L
+      val energy = new Array[Long](65)
+      var w = 0
+      while (w < 65) {
+        val from = (w.toLong * n / 65).toInt
+        val until = ((w + 1).toLong * n / 65).toInt
+        var e = 0L
+        var i = from
+        while (i < until) { e += math.abs(samples(i).toLong); i += 1 }
+        energy(w) = e
+        w += 1
+      }
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        if (energy(b + 1) > energy(b)) hash |= (1L << b)
+        b += 1
+      }
+      hash
+    }
+
     // --- video: "GVID" container = magic + frameCount + w + h + PPM-less
     //     packed RGB frames (a stand-in for a real container; the frame
     //     payloads and sampling math are real) ---
@@ -415,21 +444,37 @@ object Multimodal {
     }.toDF("id", "ahash")
   }
 
-  /** Image near-duplicate pairs by perceptual hash: Hamming(aHash) ≤
-    * `maxHamming` — the image-modality member of the dedup family
-    * (exact → MinHash text → SimHash → embedding-cosine → THIS).
-    *
-    * Scale path is the SimHash banding argument verbatim: the 64-bit
-    * hash splits into 4 × 16-bit bands; ≤ 3 differing bits cannot touch
-    * all 4 bands (pigeonhole), so same-band-value candidates have
-    * perfect recall at maxHamming ≤ 3, and the verify is one codegen'd
-    * `bit_count(a ^ b)`. No all-pairs compare anywhere: candidates come
-    * from 4 band-key equi-joins (one shuffle of 4×|images| 10-byte
-    * rows), duplicates collapsed before the popcount. */
-  def imageNearDups(items: Dataset[MediaItem], maxHamming: Int = 3): DataFrame = {
+  /** Per-audio fingerprint rows ([[Codecs.audioFingerprint64]]). */
+  def audioFingerprint(items: Dataset[MediaItem]): DataFrame = {
+    import items.sparkSession.implicits._
+    items.filter(_.kind == "audio").flatMap { m =>
+      Codecs.decodeWavPcm16(m.bytes).map { case (_, samples) =>
+        (m.mediaId, Codecs.audioFingerprint64(samples))
+      }
+    }.toDF("id", "ahash")
+  }
+
+  /** Per-video thumbnail hash: aHash of frame 0 — the cheap "same clip,
+    * different container" screen. */
+  def videoThumbHash(items: Dataset[MediaItem]): DataFrame = {
+    import items.sparkSession.implicits._
+    items.filter(_.kind == "video").flatMap { m =>
+      Codecs.decodeVideoFrame(m.bytes, 0).map { case (w, h, rgb) =>
+        (m.mediaId, Codecs.averageHash64(w, h, rgb))
+      }
+    }.toDF("id", "ahash")
+  }
+
+  /** Banded Hamming candidate pairs + exact popcount verify over ANY
+    * (id, ahash) fingerprint table — the shared engine behind
+    * [[imageNearDups]] / [[audioNearDups]] / [[videoThumbDups]] (the
+    * SimHash banding math reused across modalities). 4 × 16-bit bands:
+    * Hamming ≤ 3 cannot touch all four (pigeonhole) → perfect recall up
+    * to maxHamming 3; candidates are 4 equi-joins over 10-byte rows,
+    * never an all-pairs compare. */
+  def bandedHammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4x16 banding guarantees recall only up to Hamming 3")
-    val hashes = imageAHash(items)
     val banded = hashes.select(col("id"), col("ahash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -446,6 +491,28 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Audio near-duplicate pairs by delta-sign fingerprint Hamming. */
+  def audioNearDups(items: Dataset[MediaItem], maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(audioFingerprint(items), maxHamming)
+
+  /** Video near-duplicate pairs by thumbnail aHash Hamming. */
+  def videoThumbDups(items: Dataset[MediaItem], maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(videoThumbHash(items), maxHamming)
+
+  /** Image near-duplicate pairs by perceptual hash: Hamming(aHash) ≤
+    * `maxHamming` — the image-modality member of the dedup family
+    * (exact → MinHash text → SimHash → embedding-cosine → THIS).
+    *
+    * Scale path is the SimHash banding argument verbatim: the 64-bit
+    * hash splits into 4 × 16-bit bands; ≤ 3 differing bits cannot touch
+    * all 4 bands (pigeonhole), so same-band-value candidates have
+    * perfect recall at maxHamming ≤ 3, and the verify is one codegen'd
+    * `bit_count(a ^ b)`. No all-pairs compare anywhere: candidates come
+    * from 4 band-key equi-joins (one shuffle of 4×|images| 10-byte
+    * rows), duplicates collapsed before the popcount. */
+  def imageNearDups(items: Dataset[MediaItem], maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(imageAHash(items), maxHamming)
 
   /** Metadata-only projection (never deserializes payloads — column
     * pruning keeps the binary out of the scan entirely). */

@@ -432,6 +432,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq === golden, "aHash near-dup drift vs committed golden")
   }
 
+  test("audio/video fingerprints: planted copies found, golden matches") {
+    import Multimodal.Codecs
+    // delta-sign fingerprint: deterministic; robust to tiny amplitude
+    // nudges; changed by re-ordering the energy envelope
+    val samples = Array.tabulate[Short](8000)(i =>
+      ((math.sin(i / 30.0) * 8000) + (i % 800) * 4).toShort)
+    val f1 = Codecs.audioFingerprint64(samples)
+    assert(f1 === Codecs.audioFingerprint64(samples.clone()))
+    val nudged = samples.zipWithIndex.map { case (s, i) =>
+      if (i % 13 == 0) (s + 2).toShort else s }
+    assert(java.lang.Long.bitCount(f1 ^ Codecs.audioFingerprint64(nudged)) <= 2)
+    assert(java.lang.Long.bitCount(f1 ^ Codecs.audioFingerprint64(samples.reverse)) > 10)
+
+    val out = graft.SparkEntry.queries("media_fingerprint_dups")(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val plantedAudio = out.count { case (a, b, _, m) => m == "audio" && b == a + 10000 }
+    val plantedVideo = out.count { case (a, b, _, m) => m == "video" && b == a + 10000 }
+    assert(plantedAudio === 67 && plantedVideo === 66,
+      s"planted pairs: audio $plantedAudio/67, video $plantedVideo/66")
+    val golden = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/media_fingerprint_golden.csv"))
+      .getLines().drop(1).map { line =>
+        val Array(a, b, h, m) = line.split(",")
+        (a.toLong, b.toLong, h.toLong, m)
+      }.toSeq
+    assert(out.toSeq === golden, "fingerprint drift vs committed golden")
+  }
+
   test("ppm codec round-trips and resize preserves format") {
     import Multimodal.Codecs
     val rgb = Array.tabulate(8 * 4 * 3)(i => (i * 7 % 256).toByte)
