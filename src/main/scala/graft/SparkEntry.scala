@@ -1633,6 +1633,30 @@ object SparkEntry {
       .orderBy("modality", "id_a", "id_b")
   }
 
+  /** Trim-robust video dedup ([[graft.operators.Multimodal
+    * .videoContentDups]]): originals vs TRIMMED copies (id + 20000,
+    * first frame dropped) — the copies the thumbnail screen
+    * (`media_fingerprint_dups`) cannot see, found by sampled-frame-set
+    * overlap. Golden-CSV gated. */
+  private def videoContentDupsGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal.Codecs
+    val items = Multimodal.syntheticMedia(s, 200)
+    val trimmed = items.filter(_.kind == "video").flatMap { m =>
+      Codecs.decodeVideoHeader(m.bytes) match {
+        case Some((frameCount, w, h)) if frameCount >= 2 =>
+          val frames = (1 until frameCount).flatMap(i =>
+            Codecs.decodeVideoFrame(m.bytes, i).map(_._3))
+          Some(m.copy(mediaId = m.mediaId + 20000,
+            bytes = Codecs.encodeVideo(w, h, frames),
+            durationMs = m.durationMs - 1000L))
+        case _ => None
+      }
+    }
+    Multimodal.videoContentDups(items.union(trimmed), everyMs = 1000L, minShared = 1)
+      .orderBy("id_a", "id_b")
+  }
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -1764,6 +1788,7 @@ object SparkEntry {
     "hybrid_join" -> hybridJoinQuery _,
     "image_near_dups" -> imageNearDupsGate _,
     "media_fingerprint_dups" -> mediaFingerprintDups _,
+    "video_content_dups" -> videoContentDupsGate _,
   )
 
   /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
@@ -2228,6 +2253,15 @@ object SparkEntry {
            header=true,
            columns={'id_a':'BIGINT','id_b':'BIGINT','hamming':'BIGINT','modality':'VARCHAR'})
          ORDER BY modality, id_a, id_b""",
+    "video_content_dups" ->
+      // golden CSV (codec-backed); cross-video pairs are real — the
+      // synthetic frames share gradient structure, so exact frame-hash
+      // collisions across clips are common and the golden records them
+      """SELECT id_a, id_b, shared_frames
+         FROM read_csv('/root/repo/src/test/resources/video_content_golden.csv',
+           header=true,
+           columns={'id_a':'BIGINT','id_b':'BIGINT','shared_frames':'BIGINT'})
+         ORDER BY id_a, id_b""",
     "hybrid_join" ->
       // same contract as salted_join: the hot/cold split must not
       // change the answer — the oracle is the PLAIN join

@@ -500,6 +500,49 @@ object Multimodal {
   def videoThumbDups(items: Dataset[MediaItem], maxHamming: Int = 3): DataFrame =
     bandedHammingPairs(videoThumbHash(items), maxHamming)
 
+  /** Per-video sampled-frame perceptual hash set: one (id, fhash) row
+    * per distinct aHash among frames sampled every `everyMs` — the
+    * content signature [[videoContentDups]] compares. One decode pass;
+    * at 100 TB the corpus reduces to |videos|·(duration/everyMs) 16-byte
+    * rows and the pixels never shuffle. */
+  def videoFrameHashes(items: Dataset[MediaItem], everyMs: Long = 1000L): DataFrame = {
+    import items.sparkSession.implicits._
+    items.filter(_.kind == "video").flatMap { m =>
+      Codecs.decodeVideoHeader(m.bytes) match {
+        case None => Iterator.empty
+        case Some((frameCount, _, _)) =>
+          val n = math.max(1, (m.durationMs / everyMs).toInt)
+          (0 until n).iterator.flatMap { s =>
+            val ptsMs = s * everyMs
+            val idx = math.min(((ptsMs.toDouble / m.durationMs) * frameCount).toInt,
+              frameCount - 1)
+            Codecs.decodeVideoFrame(m.bytes, idx).map { case (fw, fh, rgb) =>
+              (m.mediaId, Codecs.averageHash64(fw, fh, rgb))
+            }
+          }
+      }
+    }.toDF("id", "fhash").distinct()
+  }
+
+  /** Content-based video near-dup: pairs sharing at least `minShared`
+    * sampled-frame hashes — catches the TRIMMED/re-cut copy the
+    * thumbnail screen misses (a clip missing its first frames has a
+    * different frame 0 but nearly the same frame SET). Set overlap on
+    * exact 64-bit frame hashes: one equi-join on fhash (never pixels),
+    * count per pair — the `sourceOverlap` digest-join shape applied to
+    * frames, so cost is driven by hash collisions (≈ true shared
+    * content), not by |videos|². */
+  def videoContentDups(items: Dataset[MediaItem], everyMs: Long = 1000L,
+      minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, "minShared must be positive")
+    val fh = videoFrameHashes(items, everyMs)
+    fh.as("a").join(fh.as("b"),
+        col("a.fhash") === col("b.fhash") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+  }
+
   /** Image near-duplicate pairs by perceptual hash: Hamming(aHash) ≤
     * `maxHamming` — the image-modality member of the dedup family
     * (exact → MinHash text → SimHash → embedding-cosine → THIS).

@@ -460,6 +460,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq === golden, "fingerprint drift vs committed golden")
   }
 
+  test("video content dedup finds every trimmed copy the thumbnail screen misses") {
+    val out = graft.SparkEntry.queries("video_content_dups")(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // all 66 trimmed (first-frame-dropped) copies pair with their original
+    val planted = out.filter { case (a, b, _) => b == a + 20000 }
+    assert(planted.length === 66)
+    // and the thumbnail screen CANNOT see them: frame 0 differs
+    import spark.implicits._
+    val items = Multimodal.syntheticMedia(spark, 12).filter(_.kind == "video")
+    val trimmedOne = items.collect().collectFirst {
+      case m if Multimodal.Codecs.decodeVideoHeader(m.bytes).exists(_._1 >= 2) =>
+        val Some((fc, w, h)) = Multimodal.Codecs.decodeVideoHeader(m.bytes)
+        val frames = (1 until fc).flatMap(i =>
+          Multimodal.Codecs.decodeVideoFrame(m.bytes, i).map(_._3))
+        Seq(m, m.copy(mediaId = m.mediaId + 20000,
+          bytes = Multimodal.Codecs.encodeVideo(w, h, frames),
+          durationMs = m.durationMs - 1000L))
+    }.get
+    val thumbs = Multimodal.videoThumbHash(spark.createDataset(trimmedOne)).collect()
+      .map(_.getLong(1))
+    assert(thumbs.length === 2 && thumbs(0) != thumbs(1),
+      "fixture defect: trimming should change the thumbnail hash")
+    val golden = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/video_content_golden.csv"))
+      .getLines().drop(1).map { line =>
+        val Array(a, b, s) = line.split(",")
+        (a.toLong, b.toLong, s.toLong)
+      }.toSeq
+    assert(out.toSeq === golden, "frame-set drift vs committed golden")
+  }
+
   test("ppm codec round-trips and resize preserves format") {
     import Multimodal.Codecs
     val rgb = Array.tabulate(8 * 4 * 3)(i => (i * 7 % 256).toByte)
