@@ -1657,6 +1657,15 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Four REAL BPE training rounds ([[graft.operators.TextCorpus
+    * .bpeTrainMerges]]): the learned merge table, with rounds 2+
+    * counting pairs over the REBUILT symbol sequences — the oracle
+    * unrolls the same greedy-leftmost merge via run-parity windows, so
+    * any drift in merge application diverges the next round's counts. */
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextCorpus.bpeTrainMerges(t(s, dir, "documents"), "text", nMerges = 4)
+      .orderBy("rank")
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -1789,6 +1798,7 @@ object SparkEntry {
     "image_near_dups" -> imageNearDupsGate _,
     "media_fingerprint_dups" -> mediaFingerprintDups _,
     "video_content_dups" -> videoContentDupsGate _,
+    "bpe_merges" -> bpeMerges _,
   )
 
   /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
@@ -1796,6 +1806,61 @@ object SparkEntry {
     * identical integer fixed-point arithmetic to the Spark loop, so the
     * ranks hash-match bit-exactly. Inner sums come back HUGEINT in
     * DuckDB — cast at the rank expression. */
+  /** [[graft.operators.TextCorpus.bpeTrainMerges]] unrolled: per round,
+    * pair counts → top pick → greedy-leftmost merge application via
+    * run-parity windows (within each run of consecutive flagged
+    * positions, merge where the offset from the run start is even —
+    * exactly the fold's "a merged symbol never re-matches as `a`"
+    * left-to-right scan, so "aaaa" → [aa, aa] in both engines). */
+  private val bpeMergesOracle: String = {
+    def round(r: Int): String = {
+      val p = r - 1
+      s"""pc$r AS (SELECT s1.w, s1.i, s1.s AS a2, s2.s AS b2, v$p.cnt
+               FROM sym$p s1 JOIN sym$p s2 ON s1.w = s2.w AND s2.i = s1.i + 1
+               JOIN v$p ON v$p.w = s1.w),
+          top$r AS (SELECT a2 AS a, b2 AS b, CAST(SUM(cnt) AS BIGINT) AS c
+                    FROM pc$r GROUP BY 1, 2 ORDER BY c DESC, a, b LIMIT 1),
+          flag$r AS (SELECT s.w, s.i, s.s,
+                       CASE WHEN s.s = t.a
+                                 AND lead(s.s) OVER (PARTITION BY s.w ORDER BY s.i) = t.b
+                            THEN 1 ELSE 0 END AS f
+                     FROM sym$p s CROSS JOIN top$r t),
+          runs$r AS (SELECT w, i, s, f,
+                       i - CAST(row_number() OVER (PARTITION BY w, f ORDER BY i) AS BIGINT) AS grp
+                     FROM flag$r),
+          mflag$r AS (SELECT w, i, s, f,
+                        CASE WHEN f = 1
+                                  AND (i - min(i) OVER (PARTITION BY w, grp, f)) % 2 = 0
+                             THEN 1 ELSE 0 END AS m
+                      FROM runs$r),
+          out$r AS (SELECT mf.w, mf.i,
+                      CASE WHEN mf.m = 1
+                           THEN mf.s || lead(mf.s) OVER (PARTITION BY mf.w ORDER BY mf.i)
+                           ELSE mf.s END AS s,
+                      CASE WHEN lag(mf.m) OVER (PARTITION BY mf.w ORDER BY mf.i) = 1
+                           THEN 1 ELSE 0 END AS skip
+                    FROM mflag$r mf),
+          sym$r AS (SELECT w, CAST(row_number() OVER (PARTITION BY w ORDER BY i) AS BIGINT) AS i, s
+                    FROM out$r WHERE skip = 0),
+          v$r AS (SELECT w, cnt FROM v$p)"""
+    }
+    val rounds = (1 to 4).map(round).mkString(",\n")
+    s"""WITH wf AS (SELECT word, count(*) AS cnt FROM (
+                  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+                  FROM documents) q WHERE length(word) >= 2 GROUP BY word),
+        v0 AS (SELECT word AS w, cnt FROM wf),
+        sym0 AS (SELECT word AS w,
+                        generate_subscripts(string_split(word, ''), 1)::BIGINT AS i,
+                        unnest(string_split(word, '')) AS s
+                 FROM wf),
+        $rounds
+        SELECT CAST(1 AS BIGINT) AS rank, a AS sym_a, b AS sym_b, a || b AS merged, c AS pair_count FROM top1
+        UNION ALL SELECT 2, a, b, a || b, c FROM top2
+        UNION ALL SELECT 3, a, b, a || b, c FROM top3
+        UNION ALL SELECT 4, a, b, a || b, c FROM top4
+        ORDER BY rank"""
+  }
+
   private val pagerankOracle: String = {
     val base =
       """WITH e0 AS (SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
@@ -2253,6 +2318,7 @@ object SparkEntry {
            header=true,
            columns={'id_a':'BIGINT','id_b':'BIGINT','hamming':'BIGINT','modality':'VARCHAR'})
          ORDER BY modality, id_a, id_b""",
+    "bpe_merges" -> bpeMergesOracle,
     "video_content_dups" ->
       // golden CSV (codec-backed); cross-video pairs are real — the
       // synthetic frames share gradient structure, so exact frame-hash

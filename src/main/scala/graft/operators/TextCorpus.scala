@@ -522,4 +522,78 @@ object TextCorpus {
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(topN)
   }
+
+  /** REAL BPE merge training, `nMerges` rounds (Sennrich et al. 2016):
+    * collapse the corpus to the word-frequency table once, then per
+    * round (a) count adjacent SYMBOL pairs weighted by word frequency,
+    * (b) pick the most frequent (ties → lexicographic), (c) apply the
+    * merge to every word with the standard greedy LEFTMOST-first,
+    * non-overlapping scan — "aaaa" under merge (a,a) becomes
+    * ["aa","aa"], not ["aa","a","a"]. Returns the learned merge table
+    * (rank, sym_a, sym_b, merged, pair_count) — rounds 2+ count pairs
+    * over the REBUILT symbol sequences, so any drift in merge
+    * application shows up in the next round's counts (which is what the
+    * cross-engine oracle leans on).
+    *
+    * The merge application is one `aggregate` HOF fold per word
+    * (accumulator = built prefix + pending symbol), evaluated on the
+    * VOCAB table — after the one corpus collapse, every round is
+    * corpus-free: an aggregation over |vocab| rows plus a projection,
+    * with `localCheckpoint` pinning the rebuilt vocab between rounds
+    * (the [[graft.operators.Graph.pageRank]] iteration discipline).
+    * Driver state per round is ONE (pair, count) row. */
+  def bpeTrainMerges(docs: DataFrame, textCol: String = "text",
+      nMerges: Int = 3): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64, "nMerges out of range")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(expr("filter(split(word, ''), s -> s <> '')").as("syms"), col("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      // filter before the pair expansion: sequence(1, 0) DESCENDS in
+      // Spark, so a single-symbol word would fabricate junk pairs
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+             i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"""))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        val c = top(0).getLong(2)
+        val ab = a + b
+        merges += ((r.toLong, a, b, ab, c))
+        // Greedy leftmost fold (symbols are [a-z]+, safe to inline):
+        // append each symbol, but when the last built symbol is `a` and
+        // the incoming one is `b`, replace the last with the merged
+        // symbol. Equivalent to the textbook scan: a merged symbol can
+        // never re-match as `a` of the same pair (merged = a+b ≠ a),
+        // so runs resolve leftmost-first — "aaaa" → [aa, aa].
+        vocab = vocab.select(expr(
+          s"""aggregate(syms,
+                named_struct('res', cast(array() as array<string>)),
+                (acc, x) -> CASE
+                  WHEN size(acc.res) > 0 AND element_at(acc.res, -1) = '$a' AND x = '$b'
+                    THEN named_struct('res',
+                      concat(slice(acc.res, 1, size(acc.res) - 1), array('$ab')))
+                  ELSE named_struct('res', concat(acc.res, array(x))) END,
+                acc -> acc.res)""").as("syms"), col("cnt"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.result().toDF("rank", "sym_a", "sym_b", "merged", "pair_count")
+  }
 }

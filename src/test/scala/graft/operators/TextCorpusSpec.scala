@@ -417,6 +417,27 @@ class TextCorpusSpec extends AnyFunSuite {
     assert(out === Seq("ab" -> 4L, "ba" -> 2L, "cd" -> 1L))
   }
 
+  test("bpeTrainMerges: rounds recount over REBUILT symbols; runs merge leftmost") {
+    // round 1: (a,b)=4 wins; round 2: (a,a)=3 — and "aaaa" must become
+    // [aa, aa] (greedy leftmost), so round 3 sees (ab,ab)=2 beating
+    // (aa,aa)=1 on the lexicographic tie with (d,d)=2
+    val docs = Seq((1L, "aaaa abab"), (2L, "abab cddd")).toDF("doc_id", "text")
+    val m = TextCorpus.bpeTrainMerges(docs, "text", nMerges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(m.toSeq === Seq(
+      (1L, "a", "b", "ab", 4L),
+      (2L, "a", "a", "aa", 3L),
+      (3L, "ab", "ab", "abab", 2L)))
+  }
+
+  test("bpeTrainMerges stops early when no pairs remain") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m = TextCorpus.bpeTrainMerges(docs, "text", nMerges = 5).collect()
+    // after merging (a,b) every word is a single symbol — no more pairs
+    assert(m.length === 1)
+    assert(m.head.getString(3) === "ab")
+  }
+
   test("bpePairCounts top-N cut uses the (count desc, pair asc) total order") {
     val docs = Seq((1L, "xy za za")).toDF("doc_id", "text")
     // za freq 1 (distinct word counted once per occurrence set: "za" twice
