@@ -347,4 +347,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "CartesianProduct") === 0)
     assert(count(p, "BroadcastNestedLoopJoin") === 0)
   }
+
+  test("rolling sums and rank normalize share one key partitioning; no joins") {
+    Seq("rolling_user_value", "rank_normalize").foreach { q =>
+      val p = finalPlan(q)
+      assert(count(p, "Join") === 0, s"$q joins:\n$p")
+      // the key-partitioned window + the gate's presentation sort
+      assert(count(p, "Exchange") <= 3, s"$q re-shuffles:\n$p")
+    }
+  }
+
+  test("media fingerprint dedup joins on band keys, never cartesian") {
+    Seq("image_near_dups", "media_fingerprint_dups", "video_content_dups").foreach { q =>
+      val p = finalPlan(q)
+      assert(count(p, "CartesianProduct") === 0, s"$q went cartesian:\n$p")
+      assert(count(p, "BroadcastNestedLoopJoin") === 0, s"$q nested-loops:\n$p")
+    }
+  }
 }
