@@ -256,6 +256,132 @@ object SparkEntry {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q6-shaped forecast-revenue: the canonical pure scan-filter
+    * aggregate — every predicate pushes to the parquet scan (row-group
+    * min/max skipping does the work at 100 TB; no shuffle at all, the
+    * single-row aggregate merges partials). */
+  private def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(
+        dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q7-shaped bilateral volume shipping: revenue between a nation
+    * PAIR by ship year, both directions. The disjunctive pair predicate
+    * ((A,B) or (B,A)) cannot be pushed through the joins by Catalyst, so
+    * the necessary condition — supplier AND customer each belong to
+    * {A, B} — is applied manually at the DIM side: suppliers/customers
+    * join their (broadcast, 2-row-filtered) nation first, which prunes
+    * lineitem by supplier nation BEFORE the orders shuffle (at 100 TB
+    * that cuts the fact shuffle to ~2/|nations| of the log; the OR
+    * itself then filters a tiny joined frame). */
+  private def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_18", "NATION_19")
+    val nations = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    t(s, dir, "lineitem")
+      .join(broadcast(sup), Seq("l_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(
+        (col("supp_nation") === pair.head && col("cust_nation") === pair(1)) ||
+        (col("supp_nation") === pair(1) && col("cust_nation") === pair.head))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q10-shaped returned-item reporting: customers ranked by the
+    * revenue they returned in one quarter. Facts (lineitem⋈orders)
+    * shuffle on orderkey with BOTH filters pushed to the scans; the
+    * customer join shuffles on custkey (customer is fact-sized at scale
+    * — NOT broadcast); nation broadcasts. Top-20 plans as
+    * TakeOrderedAndProject, never a global sort. */
+  private def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q13-shaped customer order-count distribution: orders per
+    * customer (LEFT join keeps the zero-order tail), then the histogram
+    * of those counts. Two aggregations, each collapsing map-side —
+    * the second one's input is |customers| rows and its output |distinct
+    * counts|, so only the first exchange ever sees data volume. */
+  private def q13OrderDistribution(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q18-shaped large-volume customers: orders whose total
+    * quantity crosses a threshold, with their customer. The HAVING
+    * aggregation reduces lineitem to qualifying orderkeys FIRST (one
+    * partial-agg shuffle on the join key itself), so the subsequent
+    * orders/customer joins run on the small qualifying set — the
+    * aggregate-before-join shape that at 100 TB turns a three-way fact
+    * join into one fact aggregation plus two slim joins. */
+  private def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150.0)
+    big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q22-shaped idle-rich customers: above-average balance, no
+    * recent order, grouped by nation. The global average rides the plan
+    * as a 1-row broadcast crossJoin (the [[gapDetection]] idiom); the
+    * comparison is exact decimal cross-multiplication
+    * (acctbal·n > Σacctbal) so no engine ever divides — averages of
+    * doubles are order-dependent, products of decimals are not. The
+    * recent-order probe is a LEFT ANTI join on custkey: nothing moves
+    * but custkeys, and the anti side prunes at the exchange. */
+  private def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val stats = cust.filter(col("c_acctbal") > 0.0)
+      .agg(
+        sum(col("c_acctbal").cast("decimal(30,6)")).as("sum_pos"),
+        count(lit(1)).as("n_pos"))
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(stats))
+      .filter(col("c_acctbal").cast("decimal(30,6)") * col("n_pos") > col("sum_pos"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_custs"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy("c_nationkey")
+  }
+
   /** Window top-k: 3 priciest parts per brand. */
   private def topPartsPerBrand(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
@@ -326,6 +452,23 @@ object SparkEntry {
           JOIN parquet.`$dir/region.parquet` r ON n_regionkey = r_regionkey
           GROUP BY ROLLUP(r_name, n_name)
           ORDER BY lvl, coalesce(region_name, ''), coalesce(nation_name, '')""")
+
+  /** CUBE report over (mktsegment, orderpriority): all four grouping
+    * sets — detail, each single-dimension margin, grand total — in ONE
+    * Expand + aggregation pass over orders (same single-scan argument as
+    * [[rollupReport]]; CUBE's extra sets multiply the Expand's row
+    * factor, not the scan count). Pure single-table, so no join
+    * ambiguity and the Dataset `.cube` API applies directly. */
+  private def cubeReport(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("long").as("lvl"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("lvl"),
+        coalesce(col("o_orderstatus"), lit("")),
+        coalesce(col("o_orderpriority"), lit("")))
 
   /** Ordered conversion funnel over the event log
     * ([[graft.operators.Behavioral.funnel]]). */
@@ -641,6 +784,54 @@ object SparkEntry {
   private def hashedTf(s: SparkSession, dir: String): DataFrame =
     Lexical.hashedTfVectors(t(s, dir, "documents"), dim = 64)
       .orderBy("doc_id", "bucket")
+
+  /** Linear quality-classifier inference over hashed-TF features
+    * ([[operators.Lexical.hashedLinearLogit]]) — model scoring as a pure
+    * scan-side projection + one per-doc aggregation. */
+  private def qualityLrLogit(s: SparkSession, dir: String): DataFrame =
+    Lexical.hashedLinearLogit(t(s, dir, "documents"), dim = 64)
+      .orderBy("doc_id")
+
+  /** The documents table with deterministic planted footers (doc_id
+    * multiples of 3 and 5 get shared trailing lines) — the observable
+    * fixture for the cross-document line-boilerplate family, same
+    * construction idea as [[docsWithDups]]. */
+  private def docsWithFooters(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit("\nall rights reserved footer"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("\nsubscribe to the newsletter"))
+          .otherwise(lit(""))).as("text"))
+
+  private val docsWithFootersSql =
+    """(SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                   THEN chr(10) || 'all rights reserved footer' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                   THEN chr(10) || 'subscribe to the newsletter' ELSE '' END AS text
+       FROM documents)"""
+
+  /** C4/CCNet-style cross-document line boilerplate audit
+    * ([[operators.TextCorpus.boilerplateStats]]): per-doc distinct-line
+    * and boilerplate-line counts at document frequency ≥ 2. */
+  private def lineBoilerplate(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.boilerplateStats(docsWithFooters(s, dir), minDocs = 2L)
+      .orderBy("doc_id")
+
+  /** The removal twin ([[operators.TextCorpus.stripBoilerplate]]): the
+    * rewritten corpus with df ≥ 2 lines stripped, order preserved. */
+  private def lineStrip(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.stripBoilerplate(docsWithFooters(s, dir), minDocs = 2L)
+      .orderBy("doc_id")
+
+  /** k-anonymity audit ([[operators.Pii.kAnonymityClasses]]) over the
+    * customer release with (nation, market segment) as quasi-identifiers
+    * at k = 12: equivalence-class sizes + the suppression verdict. */
+  private def kAnonymityQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pii.kAnonymityClasses(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 12L)
+      .orderBy("c_nationkey", "c_mktsegment")
 
   /** Salted skew join ([[operators.SkewJoin.saltedJoin]], 8 salts) of
     * lineitem against orders — semantics are EXACTLY the plain join
@@ -1769,11 +1960,22 @@ object SparkEntry {
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_top_revenue" -> q3TopRevenue _,
     "q5_nation_revenue" -> q5NationRevenue _,
+    "q6_forecast_revenue" -> q6ForecastRevenue _,
+    "q7_volume_shipping" -> q7VolumeShipping _,
+    "q10_returned_items" -> q10ReturnedItems _,
+    "q13_order_distribution" -> q13OrderDistribution _,
+    "q18_large_orders" -> q18LargeOrders _,
+    "q22_idle_customers" -> q22IdleCustomers _,
     "top_parts_per_brand" -> topPartsPerBrand _,
     "top_suppliers_per_nation" -> topSuppliersPerNation _,
     "orders_monthly" -> ordersMonthly _,
     "distinct_counts" -> distinctCounts _,
     "rollup_report" -> rollupReport _,
+    "cube_report" -> cubeReport _,
+    "quality_lr_logit" -> qualityLrLogit _,
+    "line_boilerplate" -> lineBoilerplate _,
+    "line_strip" -> lineStrip _,
+    "k_anonymity" -> kAnonymityQuery _,
     "funnel_steps" -> funnelSteps _,
     "cohort_retention" -> cohortRetentionQuery _,
     "length_deciles" -> lengthDeciles _,
@@ -3145,6 +3347,67 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP(r_name, n_name)
          ORDER BY lvl, coalesce(r_name, ''), coalesce(n_name, '')""",
+    "cube_report" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS lvl,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+         FROM orders
+         GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY lvl, coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""",
+    "quality_lr_logit" ->
+      // same md5 bucket/sign arithmetic as hashed_tf, with the bucket-
+      // derived integer weight folded per token — engine-exact
+      """WITH w AS (SELECT doc_id,
+                      unnest(string_split_regex(trim(text), '\s+')) AS word
+                    FROM documents),
+              h AS (SELECT doc_id,
+                      ('0x' || substr(md5(word), 1, 8))::BIGINT % 64 AS bucket,
+                      CASE WHEN ('0x' || substr(md5(word), 9, 1))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END AS sign
+                    FROM w)
+         SELECT doc_id,
+                CAST(sum(sign * ((bucket * 2654435761) % 17 - 8)) AS BIGINT) AS logit,
+                sum(sign * ((bucket * 2654435761) % 17 - 8)) > 0 AS keep
+         FROM h GROUP BY doc_id ORDER BY doc_id""",
+    "line_boilerplate" ->
+      s"""WITH d AS (SELECT * FROM $docsWithFootersSql dwf),
+              l AS (SELECT DISTINCT doc_id, md5(trim(ln)) AS line_hash
+                    FROM (SELECT doc_id,
+                            unnest(string_split(text, chr(10))) AS ln
+                          FROM d)
+                    WHERE length(trim(ln)) > 0),
+              f AS (SELECT line_hash, count(*) AS line_df FROM l GROUP BY 1)
+         SELECT doc_id, count(*) AS n_lines,
+                CAST(sum(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_boilerplate
+         FROM l JOIN f USING (line_hash)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "line_strip" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS lns
+                     FROM $docsWithFootersSql dwf),
+              x AS (SELECT doc_id, unnest(lns) AS ln,
+                           generate_subscripts(lns, 1) AS pos
+                    FROM d),
+              f AS (SELECT md5(trim(ln)) AS line_hash,
+                           count(DISTINCT doc_id) AS line_df
+                    FROM x WHERE length(trim(ln)) > 0 GROUP BY 1),
+              m AS (SELECT doc_id, ln, pos,
+                      (length(trim(ln)) > 0 AND coalesce(line_df, 0) >= 2)
+                        AS dropped
+                    FROM x LEFT JOIN f ON md5(trim(x.ln)) = f.line_hash)
+         SELECT doc_id,
+                coalesce(string_agg(CASE WHEN NOT dropped THEN ln END,
+                                    chr(10) ORDER BY pos), '') AS kept_text,
+                CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                  AS removed_lines
+         FROM m GROUP BY doc_id ORDER BY doc_id""",
+    "k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+                count(*) AS class_size, count(*) < 12 AS suppressed
+         FROM customer
+         GROUP BY c_nationkey, c_mktsegment
+         ORDER BY c_nationkey, c_mktsegment""",
     "frequent_tokens" ->
       // the naive global GROUP BY the sketch-then-recount plan provably
       // equals (threshold ceil(N/200) > N/(k+1) with k = 511)
@@ -3318,6 +3581,70 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA'
          GROUP BY n_name ORDER BY n_name""",
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24.0""",
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                EXTRACT(year FROM l_shipdate) AS l_year,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+            OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q18_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) > 150.0)
+         SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+         FROM big
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q22_idle_customers" ->
+      """WITH stats AS (
+           SELECT sum(CAST(c_acctbal AS DECIMAL(30,6))) AS sum_pos,
+                  count(*) AS n_pos
+           FROM customer WHERE c_acctbal > 0.0),
+              recent AS (
+           SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+         SELECT c_nationkey, count(*) AS n_custs,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_acctbal
+         FROM customer, stats
+         WHERE CAST(c_acctbal AS DECIMAL(30,6)) * n_pos > sum_pos
+           AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "top_parts_per_brand" ->
       """SELECT p_brand, rnk, p_partkey, p_retailprice FROM (
            SELECT p_brand, p_partkey, p_retailprice,

@@ -192,6 +192,43 @@ object Lexical {
       .agg(sum("sign").as("tf_signed"))
   }
 
+  /** Linear-classifier inference over hashed-TF features — the
+    * fastText-style quality/topic filter every LLM corpus build runs at
+    * full scale (Joulin et al. 2017; the CCNet/RedPajama quality-model
+    * pass): `logit(d) = Σ_b tf_signed(d, b) · w_b` over the same
+    * `dim`-bucket signed feature hashing as [[hashedTfVectors]], with
+    * `keep = logit > 0`. Weights here are derived deterministically from
+    * the bucket id (Knuth multiplicative hash mod 17, centered on 0) so
+    * the gate is engine-exact; a TRAINED model substitutes its integer-
+    * quantized weight vector as a `dim`-entry literal map — same plan.
+    *
+    * 100 TB shape: inference is a pure per-row computation — the weight
+    * lives in the expression (a real model's vector broadcasts as
+    * literals, k·1 values, the IVF/PQ idiom), so the ONLY shuffle is the
+    * per-doc partial-aggregated sum, and nothing about the model adds
+    * data movement. This is why linear-over-hashed-features is the only
+    * classifier family that runs over a whole crawl: scoring cost ≡ one
+    * scan. Per-token contribution `sign·w_bucket` folds at explode time,
+    * so the (doc, bucket) intermediate never materializes. */
+  def hashedLinearLogit(
+      docs: DataFrame, dim: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val h = md5(col("word"))
+    val bucket = conv(substring(h, 1, 8), 16, 10).cast("long") % dim
+    val sign =
+      when(conv(substring(h, 9, 1), 16, 10).cast("long") % 2 === 0, 1L)
+        .otherwise(-1L)
+    val weight = (bucket * lit(2654435761L)) % 17L - 8L
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .select(col("doc_id"), (sign * weight).as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("logit"))
+      .withColumn("keep", col("logit") > 0L)
+  }
+
   /** Adjacent token transitions of each document: (doc_id, w1, w2), one
     * row per position — from the token array, so the only shuffle a
     * caller pays is its own aggregation. */

@@ -87,4 +87,34 @@ object Pii {
       .withColumn("n_pii",
         col("n_emails") + col("n_ipv4") + col("n_phones") + col("n_idnums"))
       .filter(col("n_pii") > maxPii)
+
+  /** k-anonymity audit over quasi-identifier columns (Sweeney 2002): the
+    * equivalence classes of `qiCols` with their sizes and whether each
+    * class falls below `k` — a release containing a sub-k class lets its
+    * rows be singled out by the QI combination alone, so those classes
+    * must be suppressed or generalized before the data ships. Output:
+    * the QI columns + `(class_size, suppressed)`.
+    *
+    * ONE groupBy shuffle on the QI tuple, collapsed map-side to
+    * |classes| rows by partial aggregation — at 100 TB the exchange
+    * moves class counts, not rows, and the audit costs the same as any
+    * distinct-count over the release. */
+  def kAnonymityClasses(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("suppressed", col("class_size") < k)
+  }
+
+  /** The enforcement twin: rows whose QI class has ≥ `k` members (the
+    * k-anonymous release); sub-k classes drop entirely. The class-size
+    * frame re-joins on the QI key — same hash partitioning as the audit
+    * aggregation, so the planner reuses one exchange per side and
+    * nothing broadcasts corpus-sized state. */
+  def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame =
+    df.join(
+      kAnonymityClasses(df, qiCols, k).filter(!col("suppressed"))
+        .select(qiCols.map(col): _*),
+      qiCols)
 }

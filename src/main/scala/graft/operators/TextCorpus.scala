@@ -596,4 +596,99 @@ object TextCorpus {
     }
     merges.result().toDF("rank", "sym_a", "sym_b", "merged", "pair_count")
   }
+
+  /** Distinct (doc, line) pairs with an md5 line digest — the shared
+    * front of the boilerplate pass. Lines are trimmed; empty lines are
+    * structure, not content, and never count. The digest (not the line
+    * text) is the shuffle key everywhere downstream, so the bytes moved
+    * per line are 32 hex chars regardless of line length. */
+  private def docLines(
+      docs: DataFrame, sep: String, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("line"))
+      .select(col("doc_id"), trim(col("line")).as("line"))
+      .filter(length(col("line")) > 0)
+      .select(col("doc_id"), md5(col("line")).as("line_hash"))
+      .distinct()
+
+  /** Cross-document line-level boilerplate detection — the C4-style
+    * cleaning rule (Raffel et al. 2020 §2.2 deduplicate any three-
+    * sentence span appearing more than once; CCNet per-line hashing,
+    * Wenzek et al. 2020): a LINE whose exact text appears in ≥ `minDocs`
+    * DISTINCT documents is navigation chrome / footers / cookie banners,
+    * not content. Returns per-document
+    * `(doc_id, n_lines, n_boilerplate)` where `n_lines` counts distinct
+    * non-empty trimmed lines and `n_boilerplate` the subset that crossed
+    * the document-frequency bar corpus-wide.
+    *
+    * 100 TB shape: two shuffles of digest-sized rows — one to count each
+    * line's document frequency (partial aggregation collapses per-map
+    * duplicates first), one equi-join of the distinct (doc, digest) frame
+    * against the df table on the digest. The df table is NOT broadcast:
+    * boilerplate candidates are few, but the full df frame is
+    * corpus-sized and the join runs digest-co-partitioned either way.
+    * The line TEXT never crosses an exchange — only 16-byte digests do
+    * (the [[Dedup.exactGroups]] argument). Intra-document repeats are
+    * [[dedupParagraphs]]' job; this operator counts each (doc, line)
+    * once, so a footer stuttered 50× in one page still contributes one
+    * df unit — df is "how many documents", the C4 rule's unit. */
+  def boilerplateStats(
+      docs: DataFrame, minDocs: Long = 2L, sep: String = "\n",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docLines(docs, sep, idCol, textCol)
+    val df = lines.groupBy("line_hash")
+      .agg(count(lit(1)).as("line_df"))
+    lines.join(df, Seq("line_hash"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("line_df") >= minDocs, 1L).otherwise(0L)).as("n_boilerplate"))
+  }
+
+  /** The removal twin of [[boilerplateStats]]: each document with its
+    * boilerplate lines (df ≥ `minDocs` corpus-wide) stripped, remaining
+    * lines re-joined IN ORIGINAL ORDER. Output
+    * `(doc_id, kept_text, removed_lines)`; removed_lines counts removed
+    * POSITIONS (a footer repeated twice in one doc removes two lines —
+    * unlike the stats frame, position identity matters here).
+    *
+    * Cost: the corpus pays one posexplode + digest-join + re-aggregation
+    * — i.e. the text itself crosses the line-df join and the rebuild
+    * shuffle, unavoidable for a rewrite (vs the stats pass, which moves
+    * only digests). The rebuild groups by doc and sorts each doc's
+    * surviving (pos, line) structs with `array_sort` AFTER collect —
+    * per-doc memory, no corpus-wide sort. At 100 TB run the stats pass
+    * first and rewrite only documents with n_boilerplate > 0 (the join
+    * prunes the rebuild to touched docs); clean docs stream through
+    * untouched via the left join's null branch. */
+  def stripBoilerplate(
+      docs: DataFrame, minDocs: Long = 2L, sep: String = "\n",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val bad = docLines(docs, sep, idCol, textCol)
+      .groupBy("line_hash")
+      .agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") >= minDocs)
+      .select("line_hash")
+    val positioned = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .withColumnRenamed("col", "line")
+      .withColumn("line_hash", md5(trim(col("line"))))
+    positioned
+      .join(bad.withColumn("is_bad", lit(true)), Seq("line_hash"), "left")
+      .withColumn("drop",
+        coalesce(col("is_bad"), lit(false)) && length(trim(col("line"))) > 0)
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("drop"), struct(col("pos"), col("line"))))),
+            x => x("line")),
+          sep).as("kept_text"),
+        sum(when(col("drop"), 1L).otherwise(0L)).as("removed_lines"))
+  }
 }

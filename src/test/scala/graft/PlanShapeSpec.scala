@@ -364,4 +364,55 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(count(p, "BroadcastNestedLoopJoin") === 0, s"$q nested-loops:\n$p")
     }
   }
+
+  test("q7/q10 warehouse joins: dims broadcast, facts never nested-loop") {
+    Seq("q7_volume_shipping", "q10_returned_items").foreach { q =>
+      val p = finalPlan(q)
+      assert(count(p, "BroadcastHashJoin") >= 1, s"$q lost its dim broadcast:\n$p")
+      assert(count(p, "CartesianProduct") === 0, s"$q went cartesian:\n$p")
+      assert(count(p, "BroadcastNestedLoopJoin") === 0, s"$q nested-loops:\n$p")
+    }
+  }
+
+  test("q18 aggregates lineitem BEFORE its joins (aggregate-then-join shape)") {
+    val p = finalPlan("q18_large_orders")
+    // partial + final agg on l_orderkey, then the joins; top-100 is
+    // TakeOrdered, never a global sort
+    assert(count(p, "HashAggregate") >= 2, s"q18 lost map-side combine:\n$p")
+    assert(count(p, "TakeOrderedAndProject") === 1, s"q18 sorts globally:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
+  test("q22 broadcasts the 1-row stats; the anti-join stays hash-keyed") {
+    val p = finalPlan("q22_idle_customers")
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, // the 1-row stats crossJoin only
+      s"q22 nested-loops beyond the scalar broadcast:\n$p")
+    assert(count(p, "LeftAnti") >= 1, s"q22 lost its anti-join:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
+  test("cube report is ONE Expand + one aggregation pass, no join") {
+    val p = finalPlan("cube_report")
+    assert(count(p, "Expand") === 1, s"cube re-scans per grouping set:\n$p")
+    assert(count(p, "Join") === 0)
+  }
+
+  test("line boilerplate joins on digests with partial aggregation, no broadcast of the df table") {
+    val p = finalPlan("line_boilerplate")
+    assert(count(p, "CartesianProduct") === 0)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0)
+    assert(count(p, "HashAggregate") >= 2, s"line df count not partial:\n$p")
+  }
+
+  test("linear logit inference adds no join: weights fold into the projection") {
+    val p = finalPlan("quality_lr_logit")
+    assert(count(p, "Join") === 0, s"logit inference joins:\n$p")
+    assert(count(p, "HashAggregate") >= 2, s"logit agg not partial:\n$p")
+  }
+
+  test("k-anonymity is one partial-aggregated groupBy") {
+    val p = finalPlan("k_anonymity")
+    assert(count(p, "Join") === 0)
+    assert(count(p, "HashAggregate") >= 2, s"class count not partial:\n$p")
+  }
 }

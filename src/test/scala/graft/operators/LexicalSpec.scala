@@ -98,4 +98,27 @@ class LexicalSpec extends AnyFunSuite {
     val b = Lexical.bm25TopK(docs.repartition(7), qs, k = 10).collect().toSeq
     assert(a === b)
   }
+
+  test("hashedLinearLogit equals the weight-dot-product of hashedTfVectors") {
+    val dim = 16
+    def w(b: Long): Long = (b * 2654435761L) % 17L - 8L
+    val expected = Lexical.hashedTfVectors(docs, dim).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.map(r => r.getLong(2) * w(r.getLong(1))).sum
+      }
+    val got = Lexical.hashedLinearLogit(docs, dim).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, logit) =>
+      assert(got(id)._1 === logit, s"doc $id")
+      assert(got(id)._2 === (logit > 0L), s"doc $id keep bit")
+    }
+  }
+
+  test("hashedLinearLogit is invariant under repartitioning") {
+    val a = Lexical.hashedLinearLogit(docs, 16).orderBy("doc_id").collect().toSeq
+    val b = Lexical.hashedLinearLogit(docs.repartition(5), 16).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
 }

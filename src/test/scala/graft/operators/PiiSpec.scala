@@ -73,6 +73,29 @@ class PiiSpec extends AnyFunSuite {
     assert(q1.toSeq === Seq(3L))
   }
 
+  test("kAnonymityClasses: class sizes and the sub-k verdict") {
+    val rel = Seq(
+      (1L, 10, "A"), (2L, 10, "A"), (3L, 10, "A"),
+      (4L, 10, "B"), (5L, 20, "A")).toDF("id", "zip", "seg")
+    val classes = Pii.kAnonymityClasses(rel, Seq("zip", "seg"), k = 2)
+      .orderBy("zip", "seg")
+      .select("zip", "seg", "class_size", "suppressed")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(classes.toSeq === Seq(
+      (10, "A", 3L, false), (10, "B", 1L, true), (20, "A", 1L, true)))
+  }
+
+  test("kAnonymize drops exactly the rows of sub-k classes") {
+    val rel = Seq(
+      (1L, 10, "A"), (2L, 10, "A"), (3L, 10, "A"),
+      (4L, 10, "B"), (5L, 20, "A")).toDF("id", "zip", "seg")
+    val kept = Pii.kAnonymize(rel, Seq("zip", "seg"), k = 2)
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 2L, 3L))
+    // k above every class size suppresses everything
+    assert(Pii.kAnonymize(rel, Seq("zip", "seg"), k = 10).count() === 0L)
+  }
+
   test("redact equals the piiStats redacted column") {
     val docs = Seq((1L, "mail a@b.co ip 1.2.3.4 tel +7654321 id 987654321")).toDF("doc_id", "text")
     val viaRedact = docs.select(Pii.redact(col("text"))).as[String].collect().head

@@ -445,4 +445,50 @@ class TextCorpusSpec extends AnyFunSuite {
     val out = TextCorpus.bpePairCounts(docs, "text", topN = 1).collect()
     assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq("za" -> 2L))
   }
+
+  private val footerDocs = Seq(
+    (1L, "unique alpha\nshared footer line\n\n  body one  "),
+    (2L, "unique beta\nshared footer line"),
+    (3L, "unique gamma\nanother page\nshared footer line"),
+    (4L, "lonely page with nothing shared")).toDF("doc_id", "text")
+
+  test("boilerplateStats: df counts distinct docs, empty lines never count") {
+    val out = TextCorpus.boilerplateStats(footerDocs, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: lines {unique alpha, shared footer line, body one} — the
+    // blank line is dropped; only the footer crosses df >= 2
+    assert(out.toSeq === Seq(
+      (1L, 3L, 1L), (2L, 2L, 1L), (3L, 3L, 1L), (4L, 1L, 0L)))
+  }
+
+  test("boilerplateStats: intra-doc stutter adds no document frequency") {
+    val docs = Seq(
+      (1L, "footer\nfooter\nfooter\nreal text"),
+      (2L, "other content")).toDF("doc_id", "text")
+    // footer appears 3x in ONE doc → df 1 → not boilerplate at minDocs 2
+    val out = TextCorpus.boilerplateStats(docs, minDocs = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 0L), (2L, 0L)))
+  }
+
+  test("stripBoilerplate removes shared lines, keeps order, counts positions") {
+    val out = TextCorpus.stripBoilerplate(footerDocs, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) === ((1L, "unique alpha\n\n  body one  ", 1L)))
+    assert(out(1) === ((2L, "unique beta", 1L)))
+    assert(out(2) === ((3L, "unique gamma\nanother page", 1L)))
+    assert(out(3) === ((4L, "lonely page with nothing shared", 0L)))
+  }
+
+  test("stripBoilerplate counts repeated in-doc positions individually") {
+    val docs = Seq(
+      (1L, "shared\nbody\nshared"),
+      (2L, "shared\nother")).toDF("doc_id", "text")
+    val out = TextCorpus.stripBoilerplate(docs, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, "body", 2L), (2L, "other", 1L)))
+  }
 }
