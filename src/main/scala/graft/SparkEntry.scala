@@ -833,6 +833,26 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), k = 12L)
       .orderBy("c_nationkey", "c_mktsegment")
 
+  /** Price-bracket containment lookup
+    * ([[operators.RangeJoin.bucketedRangeJoin]]): overlapping `[lo, hi)`
+    * brackets against lineitem prices — the point-in-interval theta join
+    * (naively a nested loop) re-expressed as a broadcast equi-join on
+    * width-500 buckets plus the exact residual. */
+  private def rangeBracketJoin(s: SparkSession, dir: String): DataFrame = {
+    val brackets = s.range(10).select(
+      col("id").as("bracket_id"),
+      (col("id") * 900).cast("double").as("lo"),
+      (col("id") * 900 + 1000).cast("double").as("hi"))
+    graft.operators.RangeJoin.bucketedRangeJoin(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        brackets, "l_extendedprice", "lo", "hi", bucketWidth = 500L)
+      .groupBy("bracket_id")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("price_sum"))
+      .orderBy("bracket_id")
+  }
+
   /** Salted skew join ([[operators.SkewJoin.saltedJoin]], 8 salts) of
     * lineitem against orders — semantics are EXACTLY the plain join
     * (the oracle), the salt only re-shapes the shuffle. */
@@ -1559,9 +1579,17 @@ object SparkEntry {
     * operator's own output size, not a plan defect — the plan is
     * all-broadcast (PlanShapeSpec pins it). */
   private def fuzzyNamePairs(s: SparkSession, dir: String): DataFrame = {
+    // minDist = 1: identical names are exact-dedup's find (at sf0.1 they
+    // alone expand to ~3.1M record pairs), so the gate measures the
+    // near-match band the operator exists for. The gate stays OUTPUT-
+    // bound even so: the synthetic fixture's 64 names are mutually near
+    // (dist ∈ [1,2] expands to ~2.4M record pairs), so the ~6 s at sf0.1
+    // is materialization + presentation sort of the answer itself —
+    // DuckDB needs ~10 s for the identical query. Real name columns are
+    // sparser; candidate volume, not the DP, is the knob that matters.
     val part = t(s, dir, "part")
     FuzzyJoin.editDistancePairs(part, "p_partkey", "p_name",
-        blockKey = split(col("p_name"), " ").getItem(1), maxDist = 2)
+        blockKey = split(col("p_name"), " ").getItem(1), maxDist = 2, minDist = 1)
       .orderBy("id_a", "id_b")
   }
 
@@ -1899,6 +1927,7 @@ object SparkEntry {
     "label_communities" -> labelCommunities _,
     "hashed_tf" -> hashedTf _,
     "salted_join" -> saltedJoinQuery _,
+    "range_bracket_join" -> rangeBracketJoin _,
     "para_dedup" -> paraDedup _,
     "chunk_windows" -> chunkWindowsQuery _,
     "corpus_shuffle" -> corpusShuffle _,
@@ -2493,6 +2522,18 @@ object SparkEntry {
                     FROM w)
          SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS tf_signed
          FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
+    "range_bracket_join" ->
+      // the whole point: bucketization must not change the answer — the
+      // oracle is the PLAIN theta join
+      """WITH brackets AS (
+           SELECT i AS bracket_id, CAST(i * 900 AS DOUBLE) AS lo,
+                  CAST(i * 900 + 1000 AS DOUBLE) AS hi
+           FROM range(10) t(i))
+         SELECT bracket_id, count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS price_sum
+         FROM lineitem JOIN brackets
+           ON l_extendedprice >= lo AND l_extendedprice < hi
+         GROUP BY bracket_id ORDER BY bracket_id""",
     "salted_join" ->
       // the whole point: salting must not change the answer — the
       // oracle is the PLAIN join
@@ -3173,7 +3214,7 @@ object SparkEntry {
                 CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
          FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
          WHERE abs(length(a.nm) - length(b.nm)) <= 2
-           AND levenshtein(a.nm, b.nm) <= 2
+           AND levenshtein(a.nm, b.nm) BETWEEN 1 AND 2
          ORDER BY id_a, id_b""",
     "weighted_sample" ->
       // hash-priority weighted sampling: 60-bit salted-md5 uniform

@@ -23,10 +23,13 @@ object FuzzyJoin {
     *
     * Cost shape at 100 TB: the distance kernel runs on DISTINCT (name,
     * block) pairs, not record pairs — real-world name columns repeat
-    * heavily (measured here: 52.6 → 1.9 s at sf0.1, where ~200 distinct
-    * names cover 20k parts: 20M record-pair DP calls collapse to ~40k
-    * distinct-pair calls, and the record expansion back is two equi-joins
-    * producing exactly the output rows). So the per-block quadratic is
+    * heavily (at sf0.1, 64 distinct names cover 20k parts: ~25M
+    * record-pair DP calls collapse to 224 distinct-pair calls, and the
+    * record expansion back is two equi-joins producing exactly the
+    * output rows). The expansion is therefore OUTPUT-bound, and at
+    * `minDist` 0 the dist-0 class dominates it: Σ C(name-freq, 2)
+    * identical-name record pairs (~3.1M at sf0.1 — the whole gate cost
+    * was this materialization, not the DP). So the per-block quadratic is
     * |distinct names in block|², with block-key selectivity the capacity
     * knob (the LSH-band role; a skewed block can be split further by a
     * second key, e.g. a length band). Before the DP runs, the codegen'd
@@ -38,10 +41,17 @@ object FuzzyJoin {
     * the true Levenshtein value — identical to DuckDB's `levenshtein`,
     * so the gate hashes exactly. The `id_a < id_b` triangle predicate
     * keeps each unordered record pair once. */
+  /** `minDist` floors the match band: 0 (default) includes identical
+    * strings — every record pair of a repeated name, an OUTPUT-bound
+    * cost that explodes with name frequency (Σ C(freq, 2) dist-0 pairs)
+    * and that exact hash dedup already finds for free; 1 restricts to
+    * the properly-fuzzy band, pruning equal-name pairs BEFORE the
+    * record expansion, so the output tracks true near-matches. */
   def editDistancePairs(
       df: DataFrame, idCol: String, nameCol: String, blockKey: org.apache.spark.sql.Column,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, minDist: Int = 0): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
+    require(minDist >= 0 && minDist <= maxDist, "need 0 <= minDist <= maxDist")
     val side = df.select(col(idCol).as("id"), col(nameCol).as("name"), blockKey.as("blk"))
     // distance once per distinct ORDERED name pair (both orientations kept
     // so the id-ordered record join below never has to swap labels;
@@ -52,6 +62,7 @@ object FuzzyJoin {
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
       .filter(col("dist") >= 0) // thresholded kernel returns -1 when over the bound
+      .filter(col("dist") >= minDist)
     // the record expansion is output-bound (every matching record pair
     // is emitted); spread it across the cluster by hash-repartitioning
     // the probe side — matched name pairs and the build side broadcast

@@ -415,4 +415,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Join") === 0)
     assert(count(p, "HashAggregate") >= 2, s"class count not partial:\n$p")
   }
+
+  test("range bracket join is a broadcast equi-join, never a nested loop") {
+    val p = finalPlan("range_bracket_join")
+    assert(count(p, "BroadcastHashJoin") >= 1, s"range join lost its broadcast:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, s"range join nested-loops:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+  }
 }

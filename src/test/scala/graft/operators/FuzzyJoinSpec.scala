@@ -35,6 +35,18 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(pairs(rows, 3) === Set((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 3L)))
   }
 
+  test("minDist floors the band: 1 drops identical-name record pairs only") {
+    val rows = Seq((1L, "small gear"), (2L, "small gear"), (3L, "smell gear"))
+    val all = FuzzyJoin.editDistancePairs(rows.toDF("id", "name"), "id", "name",
+        blockKey = split(col("name"), " ").getItem(1), maxDist = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    val fuzzy = FuzzyJoin.editDistancePairs(rows.toDF("id", "name"), "id", "name",
+        blockKey = split(col("name"), " ").getItem(1), maxDist = 2, minDist = 1)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(all === Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    assert(fuzzy === Set((1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
   test("result is invariant under input repartitioning") {
     val rows = (1L to 120L).map(i => (i, s"w${i % 11} n${i % 7}"))
     val df = rows.toDF("id", "name")
