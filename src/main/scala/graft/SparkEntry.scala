@@ -271,6 +271,43 @@ object SparkEntry {
         dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** TPC-H Q4-shaped late-shipment priority count: orders with at least
+    * one line shipped > 60 days after the order date, counted by
+    * priority. The EXISTS is a LEFT SEMI join on the natural shuffle key
+    * (orderkey) — each order emits at most once no matter how many lines
+    * qualify, and the non-equi part (shipdate vs orderdate + 60d) rides
+    * INSIDE the semi-join condition, so no post-join dedup and no
+    * nested loop. */
+  private def q4LateOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > date_add(o("o_orderdate"), 60),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q14-shaped promo revenue share: both terms of the ratio as
+    * exact decimal sums in ONE conditional-aggregation pass (the ratio
+    * itself is left to the consumer — engine float division would break
+    * hash-exactness, and the two sums carry strictly more information).
+    * Part is the dimension: broadcast. */
+  private def q14PromoShare(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0))).as("promo_revenue"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"),
+        count(lit(1)).as("n_items"))
+
   /** TPC-H Q7-shaped bilateral volume shipping: revenue between a nation
     * PAIR by ship year, both directions. The disjunctive pair predicate
     * ((A,B) or (B,A)) cannot be pushed through the joins by Catalyst, so
@@ -1989,7 +2026,9 @@ object SparkEntry {
     "q1_pricing_summary" -> q1PricingSummary _,
     "q3_top_revenue" -> q3TopRevenue _,
     "q5_nation_revenue" -> q5NationRevenue _,
+    "q4_late_orders" -> q4LateOrders _,
     "q6_forecast_revenue" -> q6ForecastRevenue _,
+    "q14_promo_share" -> q14PromoShare _,
     "q7_volume_shipping" -> q7VolumeShipping _,
     "q10_returned_items" -> q10ReturnedItems _,
     "q13_order_distribution" -> q13OrderDistribution _,
@@ -3622,6 +3661,23 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA'
          GROUP BY n_name ORDER BY n_name""",
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q14_promo_share" ->
+      """SELECT CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                  AS DECIMAL(30,6))) AS DOUBLE) AS promo_revenue,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue,
+                count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'""",
     "q6_forecast_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
                 count(*) AS n_items

@@ -416,6 +416,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "HashAggregate") >= 2, s"class count not partial:\n$p")
   }
 
+  test("q4 EXISTS plans a semi join keyed on orderkey, never a nested loop") {
+    val p = finalPlan("q4_late_orders")
+    assert(count(p, "LeftSemi") >= 1, s"q4 lost its semi join:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, s"q4 nested-loops:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
   test("range bracket join is a broadcast equi-join, never a nested loop") {
     val p = finalPlan("range_bracket_join")
     assert(count(p, "BroadcastHashJoin") >= 1, s"range join lost its broadcast:\n$p")

@@ -61,6 +61,27 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("random intervals/points match the theta join across widths (property)") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val ps = (1L to 200L).map(i => (i, rnd.nextDouble() * 1000.0 - 100.0))
+        .toDF("pid", "v")
+      val ivs = (1L to 30L).map { i =>
+        val lo = rnd.nextDouble() * 900.0 - 100.0
+        (i, lo, lo + rnd.nextDouble() * 300.0)
+      }.toDF("bid", "lo", "hi")
+      val want = ps.crossJoin(ivs)
+        .filter(col("v") >= col("lo") && col("v") < col("hi"))
+        .select("pid", "bid").as[(Long, Long)].collect().toSet
+      for (w <- Seq(13L, 250L)) {
+        val got = RangeJoin.bucketedRangeJoin(ps, ivs, "v", "lo", "hi", w)
+          .select("pid", "bid").as[(Long, Long)].collect()
+        assert(got.toSet === want, s"seed $seed width $w")
+        assert(got.length === got.toSet.size, s"seed $seed width $w dup matches")
+      }
+    }
+  }
+
   test("shuffle variant (broadcastDim = false) gives the same answer") {
     val got = RangeJoin.bucketedRangeJoin(points, intervals, "v", "lo", "hi",
         50L, broadcastDim = false)
