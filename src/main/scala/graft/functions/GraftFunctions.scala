@@ -90,6 +90,9 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteSortedIntersect))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteSortedIntersect
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteRangeJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteRangeJoin
   }
 
   private[functions] def inject(ext: SparkSessionExtensions): Unit = {
@@ -97,6 +100,7 @@ object GraftFunctions {
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.RewriteSortedIntersect)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRangeJoin)
   }
 }
 
