@@ -507,6 +507,20 @@ object SparkEntry {
         coalesce(col("o_orderstatus"), lit("")),
         coalesce(col("o_orderpriority"), lit("")))
 
+  /** PIVOT: per-user event-type count matrix — the long→wide reshape of
+    * §2.4's aggregation family. The explicit value list keeps the output
+    * schema static (no discovery pass over the data, which at 100 TB
+    * would cost an extra distinct scan); the pivot itself compiles to
+    * ONE conditional aggregation over a single shuffle on the group key,
+    * identical to the CASE-WHEN formulation the oracle spells out. */
+  private def eventTypePivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
   /** Ordered conversion funnel over the event log
     * ([[graft.operators.Behavioral.funnel]]). */
   private def funnelSteps(s: SparkSession, dir: String): DataFrame = {
@@ -2040,6 +2054,7 @@ object SparkEntry {
     "distinct_counts" -> distinctCounts _,
     "rollup_report" -> rollupReport _,
     "cube_report" -> cubeReport _,
+    "event_type_pivot" -> eventTypePivot _,
     "quality_lr_logit" -> qualityLrLogit _,
     "line_boilerplate" -> lineBoilerplate _,
     "line_strip" -> lineStrip _,
@@ -3435,6 +3450,16 @@ object SparkEntry {
          FROM orders
          GROUP BY CUBE(o_orderstatus, o_orderpriority)
          ORDER BY lvl, coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""",
+    "event_type_pivot" ->
+      // PIVOT ≡ one conditional aggregation; count over the filtered
+      // class, 0 when the user never produced the type
+      """SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "quality_lr_logit" ->
       // same md5 bucket/sign arithmetic as hashed_tf, with the bucket-
       // derived integer weight folded per token — engine-exact

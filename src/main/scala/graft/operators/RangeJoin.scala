@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * NESTED-LOOP join — |facts| × |intervals| comparisons, the classic
   * accidental quadratic at 100 TB. This operator rewrites it to an
   * EQUI-join through bucketization (the standard range-join
-  * optimization databricks/engines apply under `RANGE_JOIN` hints,
+  * optimization several SQL engines apply under range-join hints,
   * re-expressed with plain DataFrame ops):
   *
   *  - each interval explodes to the width-`w` buckets it overlaps
