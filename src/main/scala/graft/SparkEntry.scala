@@ -1477,6 +1477,31 @@ object SparkEntry {
     * matches DuckDB's micros read of the nanos parquet column; the right
     * side is pre-aggregated to one row per (user, ts) as the operator
     * requires. Nulls are coalesced to -1 for a stable compare. */
+  /** As-of join with a TOLERANCE: the carried value only counts when the
+    * matched right row is within the window (here 1 day) — the staleness
+    * bound every feature-store lookup needs ("last price, but not if
+    * it's a week old"). Same single-shuffle union+window plan as
+    * [[asofJoinQuery]]; the matched right timestamp rides the payload
+    * struct and the bound is a codegen'd post-filter, so tolerance costs
+    * nothing extra. */
+  private def asofToleranceQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsNs(s, dir)
+      .withColumn("ts_us", EventTimeOps.floorDivMicros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts_us").agg(max("value").as("pvalue"))
+      .withColumn("p_ts_us", col("ts_us"))
+    AsOfJoin.asOf(
+        ev.select("event_id", "user_id", "ts_us"), purchases,
+        keys = Seq("user_id"), leftTs = "ts_us", rightTs = "ts_us",
+        payload = Seq("pvalue", "p_ts_us"))
+      .select(
+        col("event_id"), col("user_id"),
+        when(col("ts_us") - col("asof_p_ts_us") <= 86400000000L,
+          col("asof_pvalue")).otherwise(lit(-1.0))
+          .as("recent_purchase_value"))
+      .orderBy("event_id")
+  }
+
   private def asofJoinQuery(s: SparkSession, dir: String): DataFrame = {
     val ev = eventsNs(s, dir)
       .withColumn("ts_us", EventTimeOps.floorDivMicros(col("ts")))
@@ -2030,6 +2055,7 @@ object SparkEntry {
     "session_state_batch" -> sessionStateBatch _,
     "scd2_state_batch" -> scd2StateBatch _,
     "asof_join" -> asofJoinQuery _,
+    "asof_tolerance" -> asofToleranceQuery _,
     "sample_split_counts" -> sampleSplitCounts _,
     "stratified_sample" -> stratifiedSampleQuery _,
     "weighted_mixture" -> weightedMixtureCounts _,
@@ -3909,6 +3935,17 @@ object SparkEntry {
                     FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
          SELECT e.event_id, e.user_id,
                 coalesce(p.pvalue, -1.0) AS last_purchase_value
+         FROM events e ASOF LEFT JOIN p
+           ON e.user_id = p.user_id AND epoch_us(e.ts) >= p.tus
+         ORDER BY e.event_id""",
+    "asof_tolerance" ->
+      // the same native ASOF oracle with the staleness bound as a CASE:
+      // a match older than the window (or no match: NULL tus) falls to -1
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS tus, max(value) AS pvalue
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id,
+                CASE WHEN epoch_us(e.ts) - p.tus <= 86400000000
+                  THEN p.pvalue ELSE -1.0 END AS recent_purchase_value
          FROM events e ASOF LEFT JOIN p
            ON e.user_id = p.user_id AND epoch_us(e.ts) >= p.tus
          ORDER BY e.event_id""",
