@@ -1247,6 +1247,17 @@ object SparkEntry {
       .orderBy("column")
   }
 
+  /** EXACT corpus-wide event-time quantiles WITHOUT a global sort
+    * ([[operators.Stats.exactQuantilesBisect]]): distributed selection
+    * by histogram bisection — a few bounded aggregation scans instead of
+    * the corpus-wide orderBy every naive exact-quantile query plans. */
+  private def globalQuantilesTs(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsNs(s, dir)
+      .select(graft.streaming.EventTimeOps.floorDivMicros(col("ts")).as("ts_us"))
+    graft.operators.Stats.exactQuantilesBisect(ev, "ts_us", Seq(0.5, 0.9, 0.99))
+      .orderBy("p_ppm")
+  }
+
   /** Per-source document-length quantiles by exact sort rank
     * (Stats.groupedQuantiles) — min/median/p95/max of n_chars. */
   private def lengthQuantiles(s: SparkSession, dir: String): DataFrame = {
@@ -2026,6 +2037,7 @@ object SparkEntry {
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
     "length_quantiles" -> lengthQuantiles _,
+    "global_quantiles_ts" -> globalQuantilesTs _,
     "table_profile" -> tableProfile _,
     "scd2_intervals" -> scd2Intervals _,
     "scd2_point_lookup" -> scd2PointLookup _,
@@ -3380,6 +3392,23 @@ object SparkEntry {
                      ELSE v.n_chars END AS clipped
          FROM v JOIN bounds b ON v.source = b.source
          ORDER BY v.source, v.doc_id""",
+    "global_quantiles_ts" ->
+      // percentile_disc ≡ the bisection's rank rule: smallest value whose
+      // cumulative count reaches ceil(p·n)
+      """WITH v AS (SELECT epoch_us(ts) AS x FROM events),
+              n AS (SELECT count(*) AS c FROM v)
+         SELECT CAST(500000 AS BIGINT) AS p_ppm,
+                percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS value,
+                (SELECT c FROM n) AS n_rows FROM v
+         UNION ALL
+         SELECT CAST(900000 AS BIGINT),
+                percentile_disc(0.9) WITHIN GROUP (ORDER BY x),
+                (SELECT c FROM n) FROM v
+         UNION ALL
+         SELECT CAST(990000 AS BIGINT),
+                percentile_disc(0.99) WITHIN GROUP (ORDER BY x),
+                (SELECT c FROM n) FROM v
+         ORDER BY p_ppm""",
     "length_quantiles" ->
       // lower discrete quantile by sort rank: the element at
       // floor(p*(n-1))+1 — ps cast to DOUBLE (DuckDB parses 0.95 as

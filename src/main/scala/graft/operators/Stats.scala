@@ -322,4 +322,84 @@ object Stats {
       .select(col(keyCol), col("n_used"),
         (col("num").cast("double") / (lit(1.0) - pow(lit(0.5), col("n_used")))).as("ewma"))
   }
+
+  /** EXACT corpus-wide quantiles of an integral column WITHOUT a global
+    * sort — distributed selection by histogram bisection. Per quantile:
+    * bucket the candidate value range into ≤ 2^`bitsPerRound` equi-width
+    * bins, count each bin (ONE partial-aggregated scan, ≤ 65 536 rows to
+    * the driver), walk the cumulative counts to the bin holding the
+    * target rank, recurse into that bin's sub-range; when the range fits
+    * a single round, group by the value itself and pick the ranked one.
+    * A span of 2^64 resolves in ⌈64/16⌉ = 4 rounds, and real domains
+    * (timestamps, ids, sizes) in 2-3 — so the exact p99 of 100 TB costs
+    * a few aggregation scans with O(2^bits) driver memory, where a
+    * global `orderBy` would shuffle the corpus and a single-partition
+    * window would break outright. This is the corpus-WIDE counterpart of
+    * [[groupedQuantiles]] (whose per-group sort is bounded by group
+    * size); `percentile_approx` remains the one-pass answer when ±ε
+    * rank error is acceptable.
+    *
+    * Quantile semantics match `percentile_disc`: the smallest value
+    * whose cumulative count reaches ⌈p·n⌉ (p ∈ (0, 1]). Multiple `ps`
+    * run the bisection independently (rounds are cheap relative to a
+    * scan; cache the input when the scan itself dominates). Returns one
+    * row per quantile: `(p_ppm, value, n_rows)` — p as exact integer
+    * ppm so the gate hashes. */
+  def exactQuantilesBisect(
+      df: DataFrame, valueCol: String, ps: Seq[Double],
+      bitsPerRound: Int = 16): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0), "ps must be in (0, 1]")
+    require(bitsPerRound >= 8 && bitsPerRound <= 20, "bitsPerRound out of range")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast("long").as("v")).where(col("v").isNotNull)
+    val bins = 1L << bitsPerRound
+    val bounds = vals.agg(min("v"), max("v"), count(lit(1))).head()
+    val n = bounds.getLong(2)
+    require(n > 0, "exactQuantilesBisect needs at least one non-null row")
+    val (vMin, vMax) = (bounds.getLong(0), bounds.getLong(1))
+
+    def widthOf(lo: Long, hi: Long): Long = {
+      // ceil(span / bins) without overflow: span may exceed Long.Max/2
+      val span = math.subtractExact(hi, lo) // callers keep hi - lo < 2^63
+      span / bins + (if (span % bins == 0L) 0L else 1L)
+    }
+
+    // one round: counts per bin over [lo, hi], narrowed bin + rank within
+    @annotation.tailrec
+    def select(lo: Long, hi: Long, rank: Long): Long = {
+      if (lo == hi) lo
+      else if (math.subtractExact(hi, lo) < bins) {
+        // terminal: exact per-value counts, walk to the rank
+        val counts = vals.where(col("v") >= lo && col("v") <= hi)
+          .groupBy("v").agg(count(lit(1)).as("c"))
+          .orderBy("v").as[(Long, Long)].collect()
+        var remaining = rank
+        var i = 0
+        while (remaining > counts(i)._2) { remaining -= counts(i)._2; i += 1 }
+        counts(i)._1
+      } else {
+        val w = widthOf(lo, hi)
+        // integer `div` (v - lo ≥ 0, w > 0 ⇒ div ≡ floor): a double `/`
+        // could misbucket at the extremes of the long range
+        val binned = vals.where(col("v") >= lo && col("v") <= hi)
+          .groupBy(expr(s"(v - ${lo}L) div ${w}L").as("bin"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy("bin").as[(Long, Long)].collect()
+        var remaining = rank
+        var i = 0
+        while (remaining > binned(i)._2) { remaining -= binned(i)._2; i += 1 }
+        val b = binned(i)._1
+        val newLo = lo + b * w
+        val newHi = math.min(hi, newLo + w - 1)
+        select(newLo, newHi, remaining)
+      }
+    }
+
+    val rows = ps.map { p =>
+      val rank = math.ceil(p * n).toLong
+      (math.round(p * 1000000L), select(vMin, vMax, rank), n)
+    }
+    rows.toDF("p_ppm", "value", "n_rows")
+  }
 }

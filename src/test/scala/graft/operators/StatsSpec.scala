@@ -182,6 +182,36 @@ class StatsSpec extends AnyFunSuite {
     assert(out(20L) === ((32.0, 1L))) // other key isolated
   }
 
+  test("exactQuantilesBisect matches sorted-rank selection on random longs") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      // negatives, duplicates, wide spread — and a tight-range case
+      val data =
+        if (seed == 3) Seq.fill(500)(rnd.nextInt(20).toLong - 10L)
+        else Seq.fill(500)(rnd.nextLong() % 1000000007L)
+      val df = data.toDF("x")
+      val ps = Seq(0.01, 0.5, 0.9, 1.0)
+      // bitsPerRound = 8 forces several bisection rounds even on the
+      // tight range
+      val got = Stats.exactQuantilesBisect(df, "x", ps, bitsPerRound = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sorted = data.sorted
+      ps.foreach { p =>
+        val rank = math.ceil(p * data.length).toLong
+        val want = sorted(rank.toInt - 1)
+        assert(got(math.round(p * 1000000L)) === want, s"seed $seed p $p")
+      }
+      assert(got.size === ps.length)
+    }
+  }
+
+  test("exactQuantilesBisect handles a single value and all-equal columns") {
+    assert(Stats.exactQuantilesBisect(Seq(42L).toDF("x"), "x", Seq(0.5))
+      .collect().head.getLong(1) === 42L)
+    assert(Stats.exactQuantilesBisect(Seq.fill(100)(7L).toDF("x"), "x", Seq(0.01, 0.99))
+      .collect().forall(_.getLong(1) === 7L))
+  }
+
   test("ewmaLastN looks at only the last nMax events, ties broken by tieCol") {
     val df = ((1 to 10).map(i => (1L, i.toLong, i.toLong, 0.0)) :+
       (1L, 11L, 11L, 1.0)).toDF("user_id", "ts", "event_id", "value")
