@@ -209,6 +209,43 @@ object SparkEntry {
       .orderBy("doc_id")
       .limit(200)
 
+  /** Fixture cache for [[logSegmentScan]]: the store log is built ONCE
+    * per (JVM, sfDir) — the gate then measures the DSv2 SCAN, not
+    * fixture construction (Bench re-invokes gate fns per timed run). */
+  private val logStoreFixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Batch DSv2 scan of a store segment log
+    * ([[graft.sources.LogSegmentSource]]) with position-range pushdown:
+    * the first 2000 events (by event_id) are appended through the real
+    * write path as messages (streamId = user, payload = props), then the
+    * log is read back as a Spark table with a position filter that PRUNES
+    * segments at plan time (8 segments on disk; the [500, 1500) window
+    * plans 4). Positions are the append order = the event_id rank, which
+    * is what the oracle reconstructs with row_number(). The driver-side
+    * collect is fixture construction through the single-writer append
+    * API (the store's contract), not a distributed operator. */
+  private def logSegmentScan(s: SparkSession, dir: String): DataFrame = {
+    val root = logStoreFixture.computeIfAbsent(dir, _ => {
+      val rows = t(s, dir, "events").filter(col("event_id") < 2000)
+        .select("event_id", "user_id", "event_type", "props")
+        .orderBy("event_id").collect()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-logseg").toString
+      val store = new graft.store.SparkStreamStore(s, tmp, flushEveryRows = 250)
+      try rows.foreach { r =>
+        store.appendToStream("u" + r.getLong(1), graft.core.ExpectedVersion.Any,
+          Seq(graft.core.NewStreamMessage("m-" + r.getLong(0), r.getString(2), r.getString(3))))
+      } finally store.close()
+      tmp
+    })
+    s.read.format("graft.sources.LogSegmentSource").option("path", root).load()
+      .filter(col("position") >= 500 && col("position") < 1500)
+      .select(
+        col("streamId").as("stream_id"),
+        col("position"),
+        col("type").as("event_type"),
+        col("jsonData").as("props"))
+  }
+
   // ==================================================================
   // Analytics family over the TPC-H-ish tables (bench headliners)
   // ==================================================================
@@ -417,6 +454,277 @@ object SparkEntry {
         count(lit(1)).as("n_custs"),
         dsum(col("c_acctbal")).as("total_acctbal"))
       .orderBy("c_nationkey")
+  }
+
+  /** TPC-H Q2-shaped minimum-cost supplier. No `partsupp` table exists in
+    * this schema, so the supply relation is DERIVED: per (part, supplier),
+    * the minimum observed unit price over lineitem (min of a per-row IEEE
+    * division — deterministic in any engine; `min` is order-independent,
+    * unlike sums of doubles). The correlated `cost = (SELECT min ...)`
+    * subquery decorrelates to a per-part min + an equality join back —
+    * the classic magic-set rewrite, and the plan that survives 100 TB:
+    * two shuffles on `partkey`, dims broadcast, no nested loop. */
+  private def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val supply = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val eligible = supply
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(t(s, dir, "part").filter(col("p_size") === 25)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey").as("p_partkey"), col("l_suppkey").as("s_suppkey"),
+        col("s_name"), col("n_name"), col("unit_cost"))
+    val mins = eligible.groupBy("p_partkey")
+      .agg(min("unit_cost").as("min_cost"))
+    eligible.join(mins, Seq("p_partkey"))
+      .filter(col("unit_cost") === col("min_cost"))
+      .select("p_partkey", "s_suppkey", "s_name", "n_name", "unit_cost")
+      .orderBy("p_partkey", "s_suppkey")
+      .limit(100)
+  }
+
+  /** TPC-H Q8-shaped national market share: both terms of the share
+    * ratio (one nation's revenue, all-nation revenue) per order year as
+    * exact decimal sums in one conditional pass — the [[q14PromoShare]]
+    * idiom applied to Q8's two-level aggregate. Customer region and part
+    * type prune the fact early through broadcast dims. */
+  private def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val sup = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("l_suppkey"), col("n_name").as("supp_nation"))
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(sup), Seq("l_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        dsum(when(col("supp_nation") === "NATION_5",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0))).as("nation_revenue"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9-shaped product-type profit by (supplier nation, order
+    * year). No `partsupp.ps_supplycost` exists, so cost is adapted to
+    * `p_retailprice · l_quantity · 0.1` — per-row IEEE arithmetic both
+    * engines compute identically; the SUM is decimal-exact. The p_name
+    * LIKE filter prunes part first (broadcast), the orders join carries
+    * only qualifying lines. */
+  private def q9ProfitByNation(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").filter(col("p_name").contains("red"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(dsum(
+        col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity") * lit(0.1)).as("sum_profit"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** TPC-H Q11-shaped important stock: per-part supply value for one
+    * nation's suppliers, kept when value exceeds a fixed fraction of the
+    * nation's total — the HAVING-over-scalar-subquery shape. The total
+    * rides as a 1-row broadcast crossJoin and the threshold test is
+    * decimal cross-multiplication (`value·10000 > total`), never a
+    * division ([[q22IdleCustomers]] idiom). Two aggregations over ONE
+    * scan of the nation's lines; everything after the first groupBy is
+    * |parts|-sized. */
+  private def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val natSup = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val values = t(s, dir, "lineitem")
+      .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey")
+      .agg(sum((col("l_quantity") * col("p_retailprice")).cast("decimal(30,6)")).as("value_dec"))
+    val total = values.agg(sum(col("value_dec")).as("total_dec"))
+    values.crossJoin(broadcast(total))
+      .filter(col("value_dec") * 10000 > col("total_dec"))
+      .select(col("p_partkey"), col("value_dec").cast("double").as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12-shaped priority split (no `l_shipmode` column exists;
+    * `l_returnflag` stands in as the category): high- vs low-priority
+    * line counts per flag for a one-year ship window — the conditional
+    * two-count aggregate over a fact⨝fact equi-join on orderkey. */
+  private def q12PriorityByFlag(s: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q15-shaped top supplier(s): quarterly revenue per supplier,
+    * return those achieving the maximum. Revenue stays DECIMAL through
+    * the max-equality join (exact tie semantics; doubles would make
+    * "equals the max" engine-dependent), cast to double only on output.
+    * The max is a 1-row broadcast — the view+subquery of the original
+    * decorrelated to agg → crossJoin → filter. */
+  private def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val revenue = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(30,6)")).as("rev_dec"))
+    val top = revenue.agg(max(col("rev_dec")).as("max_rev"))
+    revenue.crossJoin(broadcast(top))
+      .filter(col("rev_dec") === col("max_rev"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q16-shaped supplier counts per part attribute. The supply
+    * relation is the DISTINCT (part, supplier) pairs observed in
+    * lineitem (no partsupp table); the complaints exclusion is adapted
+    * to a deterministic name predicate. COUNT(DISTINCT) shuffles only
+    * the already-distinct pair frame; part attributes ride a broadcast. */
+  private def q16SupplierCounts(s: SparkSession, dir: String): DataFrame = {
+    val badSup = t(s, dir, "supplier")
+      .filter(col("s_name").endsWith("7")).select("s_suppkey")
+    val parts = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
+    t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+      .join(badSup, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      .limit(100)
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: lines of one brand+type
+    * whose quantity is below 20% of the part's average quantity. The
+    * correlated AVG decorrelates to a per-part (sum, count) + join-back,
+    * and the `qty < 0.2·avg` test is exact integer/decimal
+    * cross-multiplication `qty·5·cnt < sum` — no engine divides, so no
+    * float threshold can disagree at the boundary. */
+  private def q17SmallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val brandParts = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#23" && col("p_type") === "SMALL")
+      .select("p_partkey")
+    val stats = li
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum(col("l_quantity").cast("decimal(30,6)")).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .withColumnRenamed("l_partkey", "p_partkey")
+    li.join(broadcast(stats), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_quantity").cast("decimal(30,6)") * 5 * col("cnt") < col("sum_qty"))
+      .agg(dsum(col("l_extendedprice")).as("total_extprice"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q19-shaped disjunctive revenue: OR of three (brand,
+    * size-range, quantity-range) conjunct groups. Catalyst extracts the
+    * common `l_quantity` bounds and the part-side disjuncts as pushable
+    * conjuncts (OR-of-ANDs factoring), so both scans prune before the
+    * broadcast join evaluates the residual OR exactly. */
+  private def q19DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q20-shaped excess suppliers: suppliers in one nation whose
+    * 1997 shipped quantity of matching parts exceeds a threshold — the
+    * nested IN-chain (supplier IN ... partsupp IN ... part) decorrelated
+    * to agg → HAVING → LEFT SEMI into the supplier dim. Threshold test
+    * on the decimal sum; only suppkeys cross the final exchange. */
+  private def q20ExcessSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val redParts = t(s, dir, "part")
+      .filter(col("p_name").contains("red")).select("p_partkey")
+    val shipped = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_quantity").cast("decimal(30,6)")).as("qty"))
+      .filter(col("qty") > lit(50).cast("decimal(30,6)"))
+      .select("l_suppkey")
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q21-shaped waiting-inducing suppliers. The schema has no
+    * commit/receipt dates, so "kept the order waiting" is adapted to
+    * ship-time semantics with the SAME exists/not-exists shape: in a
+    * finished multi-supplier order, the supplier whose latest line
+    * shipped STRICTLY after every other supplier's (the unique latest
+    * shipper). Both correlated EXISTS decorrelate to per-order counts:
+    * (order, supplier) max-shipdate → per-order max + achiever count —
+    * two co-partitioned aggregations on orderkey, no self-join blowup,
+    * ties excluded exactly (timestamp equality, no float). */
+  private def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val finished = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val perPair = t(s, dir, "lineitem")
+      .join(finished, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("l_shipdate")).as("last_ship"))
+    val perOrder = perPair.groupBy("l_orderkey")
+      .agg(max(col("last_ship")).as("order_last"), count(lit(1)).as("n_supp"))
+    val achievers = perPair.join(perOrder, Seq("l_orderkey"))
+      .filter(col("last_ship") === col("order_last") && col("n_supp") > 1)
+    val unique = achievers.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_ach")).filter(col("n_ach") === 1)
+    achievers.join(unique, Seq("l_orderkey"), "left_semi")
+      .join(broadcast(t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_11")),
+            col("s_nationkey") === col("n_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
   }
 
   /** Window top-k: 3 priciest parts per brand. */
@@ -1993,6 +2301,7 @@ object SparkEntry {
     "gap_detection" -> gapDetection _,
     "json_extract" -> jsonExtract _,
     "stream_id_hashing" -> streamIdHashing _,
+    "log_segment_scan" -> logSegmentScan _,
     "dedup_exact_groups" -> dedupExactGroups _,
     "dedup_exact_survivors" -> dedupExactSurvivors _,
     "text_token_counts" -> textTokenCounts _,
@@ -2086,6 +2395,17 @@ object SparkEntry {
     "q13_order_distribution" -> q13OrderDistribution _,
     "q18_large_orders" -> q18LargeOrders _,
     "q22_idle_customers" -> q22IdleCustomers _,
+    "q2_min_cost_supplier" -> q2MinCostSupplier _,
+    "q8_market_share" -> q8MarketShare _,
+    "q9_profit_by_nation" -> q9ProfitByNation _,
+    "q11_important_parts" -> q11ImportantParts _,
+    "q12_priority_by_flag" -> q12PriorityByFlag _,
+    "q15_top_supplier" -> q15TopSupplier _,
+    "q16_supplier_counts" -> q16SupplierCounts _,
+    "q17_small_quantity_revenue" -> q17SmallQuantityRevenue _,
+    "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
+    "q20_excess_suppliers" -> q20ExcessSuppliers _,
+    "q21_waiting_suppliers" -> q21WaitingSuppliers _,
     "top_parts_per_brand" -> topPartsPerBrand _,
     "top_suppliers_per_nation" -> topSuppliersPerNation _,
     "orders_monthly" -> ordersMonthly _,
@@ -2327,6 +2647,14 @@ object SparkEntry {
                 starts_with(source, 'src1') AS starts_src1,
                 suffix(source, '1') AS ends_1
          FROM documents ORDER BY doc_id LIMIT 200""",
+    "log_segment_scan" ->
+      """WITH log AS (
+           SELECT 'u' || CAST(user_id AS VARCHAR) AS stream_id,
+                  row_number() OVER (ORDER BY event_id) - 1 AS position,
+                  event_type, props
+           FROM events WHERE event_id < 2000)
+         SELECT stream_id, position, event_type, props
+         FROM log WHERE position >= 500 AND position < 1500""",
     "dedup_exact_groups" ->
       s"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
           FROM $docsWithDupsSql GROUP BY 1 ORDER BY content_hash""",
@@ -3822,6 +4150,172 @@ object SparkEntry {
          WHERE CAST(c_acctbal AS DECIMAL(30,6)) * n_pos > sum_pos
            AND c_custkey NOT IN (SELECT o_custkey FROM recent)
          GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q2_min_cost_supplier" ->
+      """WITH supply AS (
+           SELECT l_partkey, l_suppkey,
+                  min(l_extendedprice / l_quantity) AS unit_cost
+           FROM lineitem GROUP BY l_partkey, l_suppkey),
+              eligible AS (
+           SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                  s_name, n_name, unit_cost
+           FROM supply
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation ON n_nationkey = s_nationkey
+           JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+           JOIN part ON p_partkey = l_partkey AND p_size = 25),
+              mins AS (
+           SELECT p_partkey, min(unit_cost) AS min_cost
+           FROM eligible GROUP BY p_partkey)
+         SELECT e.p_partkey, e.s_suppkey, e.s_name, e.n_name, e.unit_cost
+         FROM eligible e JOIN mins m
+           ON e.p_partkey = m.p_partkey AND e.unit_cost = m.min_cost
+         ORDER BY e.p_partkey, e.s_suppkey LIMIT 100""",
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+                CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_5'
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                  AS DECIMAL(30,6))) AS DOUBLE) AS nation_revenue,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+         JOIN orders ON o_orderkey = l_orderkey
+           AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation n2 ON n2.n_nationkey = s_nationkey
+         WHERE o_custkey IN (
+           SELECT c_custkey FROM customer
+           JOIN nation n1 ON n1.n_nationkey = c_nationkey
+           JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'AMERICA')
+         GROUP BY year(o_orderdate) ORDER BY o_year""",
+    "q9_profit_by_nation" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  - p_retailprice * l_quantity * 0.1
+                  AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON n_nationkey = s_nationkey
+         JOIN orders ON o_orderkey = l_orderkey
+         GROUP BY n_name, year(o_orderdate)
+         ORDER BY nation, o_year DESC""",
+    "q11_important_parts" ->
+      """WITH vals AS (
+           SELECT p_partkey,
+                  sum(CAST(l_quantity * p_retailprice AS DECIMAL(30,6))) AS value_dec
+           FROM lineitem
+           JOIN part ON p_partkey = l_partkey
+           WHERE l_suppkey IN (
+             SELECT s_suppkey FROM supplier
+             JOIN nation ON n_nationkey = s_nationkey
+             WHERE n_name = 'NATION_7')
+           GROUP BY p_partkey),
+              tot AS (SELECT sum(value_dec) AS total_dec FROM vals)
+         SELECT p_partkey, CAST(value_dec AS DOUBLE) AS value
+         FROM vals, tot WHERE value_dec * 10000 > total_dec
+         ORDER BY value DESC, p_partkey""",
+    "q12_priority_by_flag" ->
+      """SELECT l_returnflag,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+           SELECT l_suppkey,
+                  sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(30,6))) AS rev_dec
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+         FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+         WHERE rev_dec = (SELECT max(rev_dec) FROM revenue)
+         ORDER BY s_suppkey""",
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+                count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sup
+         JOIN part ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+           AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+           AND l_suppkey NOT IN (
+             SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100""",
+    "q17_small_quantity_revenue" ->
+      """WITH stats AS (
+           SELECT l_partkey AS p_partkey,
+                  sum(CAST(l_quantity AS DECIMAL(30,6))) AS sum_qty,
+                  count(*) AS cnt
+           FROM lineitem
+           WHERE l_partkey IN (
+             SELECT p_partkey FROM part
+             WHERE p_brand = 'Brand#23' AND p_type = 'SMALL')
+           GROUP BY l_partkey)
+         SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+                  AS total_extprice,
+                count(*) AS n_items
+         FROM lineitem JOIN stats ON p_partkey = l_partkey
+         WHERE CAST(l_quantity AS DECIMAL(30,6)) * 5 * cnt < sum_qty""",
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""",
+    "q20_excess_suppliers" ->
+      """SELECT s_suppkey, s_name
+         FROM supplier
+         JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+         WHERE s_suppkey IN (
+           SELECT l_suppkey FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             AND l_partkey IN (
+               SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+           GROUP BY l_suppkey
+           HAVING sum(CAST(l_quantity AS DECIMAL(30,6))) > 50)
+         ORDER BY s_suppkey""",
+    "q21_waiting_suppliers" ->
+      """WITH per_pair AS (
+           SELECT l_orderkey, l_suppkey, max(l_shipdate) AS last_ship
+           FROM lineitem
+           WHERE l_orderkey IN (
+             SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+           GROUP BY l_orderkey, l_suppkey),
+              per_order AS (
+           SELECT l_orderkey, max(last_ship) AS order_last,
+                  count(*) AS n_supp
+           FROM per_pair GROUP BY l_orderkey),
+              achievers AS (
+           SELECT p.l_orderkey, p.l_suppkey
+           FROM per_pair p JOIN per_order o ON p.l_orderkey = o.l_orderkey
+           WHERE p.last_ship = o.order_last AND o.n_supp > 1),
+              uniq AS (
+           SELECT l_orderkey FROM achievers
+           GROUP BY l_orderkey HAVING count(*) = 1)
+         SELECT s_name, count(*) AS numwait
+         FROM achievers
+         JOIN uniq ON achievers.l_orderkey = uniq.l_orderkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_11'
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name LIMIT 20""",
     "top_parts_per_brand" ->
       """SELECT p_brand, rnk, p_partkey, p_retailprice FROM (
            SELECT p_brand, p_partkey, p_retailprice,
