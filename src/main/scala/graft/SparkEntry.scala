@@ -246,6 +246,39 @@ object SparkEntry {
         col("jsonData").as("props"))
   }
 
+  /** Distributed bulk load into a store log ([[graft.store.BulkImport]])
+    * read back through the DSv2 segment table: the first 3000 events (by
+    * event_id) become the message log in ONE cluster-parallel job — no
+    * driver loop, no per-append round trip — with dense positions in
+    * event_id order and dense per-user versions; the gate then scans a
+    * position window via [[graft.sources.LogSegmentSource]] (pruned
+    * segments) and hash-matches the oracle's two-row_number
+    * reconstruction. Import shape: one streamId shuffle (versions) + one
+    * range shuffle (positions) — the 100 TB initial-migration path. */
+  private def bulkImportScan(s: SparkSession, dir: String): DataFrame = {
+    val root = logStoreFixture.computeIfAbsent(dir + "#bulk", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bulk").toString
+      graft.store.BulkImport.importMessages(
+        s,
+        t(s, dir, "events").filter(col("event_id") < 3000)
+          .select(
+            concat(lit("u"), col("user_id")).as("sid"),
+            concat(lit("m-"), col("event_id")).as("mid"),
+            col("event_type"), col("props"), col("event_id")),
+        tmp,
+        orderCol = "event_id", streamIdCol = "sid", messageIdCol = "mid",
+        typeCol = "event_type", dataCol = "props", targetSegments = 6)
+      tmp
+    })
+    s.read.format("graft.sources.LogSegmentSource").option("path", root).load()
+      .filter(col("position") >= 1000 && col("position") < 2000)
+      .select(
+        col("streamId").as("stream_id"),
+        col("position"),
+        col("streamVersion").cast("long").as("version"),
+        col("type").as("event_type"))
+  }
+
   // ==================================================================
   // Analytics family over the TPC-H-ish tables (bench headliners)
   // ==================================================================
@@ -2132,6 +2165,19 @@ object SparkEntry {
       .orderBy("event_type", "p")
   }
 
+  /** Hourly LOCF grid of each user's value ([[graft.operators.Resample
+    * .locfGrid]]): the irregular event log resampled to a dense per-user
+    * hourly series with gaps carried forward — every exchange keyed,
+    * per-key bounded sort, grid-sized (output-bound) explode. The
+    * oracle rebuilds the grid with unnest(generate_series) and DuckDB's
+    * IGNORE NULLS window. */
+  private def resampleLocf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Resample.locfGrid(
+        eventsNs(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        "user_id", "ts", "value", "event_id",
+        step = 3600L * 1000000000L)
+      .orderBy("user_id", "bucket")
+
   /** 24-hour trailing rolling sum of each user's event values
     * ([[graft.operators.Stats.rollingSumByTime]]) — continuous sliding
     * semantics at every event, vs `windowed_stats`' tumbling buckets. */
@@ -2302,6 +2348,7 @@ object SparkEntry {
     "json_extract" -> jsonExtract _,
     "stream_id_hashing" -> streamIdHashing _,
     "log_segment_scan" -> logSegmentScan _,
+    "bulk_import_scan" -> bulkImportScan _,
     "dedup_exact_groups" -> dedupExactGroups _,
     "dedup_exact_survivors" -> dedupExactSurvivors _,
     "text_token_counts" -> textTokenCounts _,
@@ -2435,6 +2482,7 @@ object SparkEntry {
     "kcore_nodes" -> kcoreNodes _,
     "interarrival_stats" -> interarrivalStats _,
     "rolling_user_value" -> rollingUserValue _,
+    "resample_locf" -> resampleLocf _,
     "rank_normalize" -> rankNormalize _,
     "dedup_best_survivors" -> dedupBestSurvivors _,
     "hybrid_join" -> hybridJoinQuery _,
@@ -2655,6 +2703,16 @@ object SparkEntry {
            FROM events WHERE event_id < 2000)
          SELECT stream_id, position, event_type, props
          FROM log WHERE position >= 500 AND position < 1500""",
+    "bulk_import_scan" ->
+      """WITH log AS (
+           SELECT 'u' || CAST(user_id AS VARCHAR) AS stream_id,
+                  row_number() OVER (ORDER BY event_id) - 1 AS position,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+                    AS version,
+                  event_type
+           FROM events WHERE event_id < 3000)
+         SELECT stream_id, position, version, event_type
+         FROM log WHERE position >= 1000 AND position < 2000""",
     "dedup_exact_groups" ->
       s"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
           FROM $docsWithDupsSql GROUP BY 1 ORDER BY content_hash""",
@@ -4700,6 +4758,31 @@ object SparkEntry {
                   RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
                   AS n_in_window
          FROM events ORDER BY user_id, ts_us, event_id""",
+    "resample_locf" ->
+      // Resample.locfGrid: hourly bucket = integer div (us here, ns on
+      // the Spark side — identical quotients since ns = us·1000); last
+      // obs per bucket picked by a total (ts, event_id) order
+      """WITH obs AS (
+           SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+                  epoch_us(ts) AS us, event_id, value
+           FROM events),
+              lastb AS (
+           SELECT user_id, bucket, value FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY user_id, bucket
+               ORDER BY us DESC, event_id DESC) AS rn
+             FROM obs) WHERE rn = 1),
+              grid AS (
+           SELECT user_id, unnest(generate_series(lo, hi)) AS bucket
+           FROM (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+                 FROM obs GROUP BY user_id))
+         SELECT g.user_id, g.bucket,
+                last_value(l.value IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+         FROM grid g LEFT JOIN lastb l
+           ON g.user_id = l.user_id AND g.bucket = l.bucket
+         ORDER BY g.user_id, g.bucket""",
     "rank_normalize" ->
       // integer ranks (ties by doc_id), one exact IEEE division
       """SELECT source, doc_id, n_chars,
