@@ -8,7 +8,8 @@ import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -154,6 +155,24 @@ object LogSegmentSource {
     case _ => false
   }
 
+  /** The output schema of an aggregation answerable from footer stats
+    * alone: ungrouped max/min(position) and count(*), in any mix. None
+    * when any aggregate (or a grouping) needs real rows. */
+  private[sources] def footerAggSchema(agg: Aggregation): Option[StructType] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    def isPosition(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
+      case n: NamedReference => n.fieldNames.sameElements(Array("position"))
+      case _ => false
+    }
+    val fields = agg.aggregateExpressions.map {
+      case m: Max if isPosition(m.column) => StructField("max(position)", LongType)
+      case m: Min if isPosition(m.column) => StructField("min(position)", LongType)
+      case _: CountStar => StructField("count(*)", LongType, nullable = false)
+      case _ => return None
+    }
+    Some(StructType(fields.toIndexedSeq))
+  }
+
   /** Parquet projection for the pruned columns, built from the FILE's own
     * schema so field repetition matches exactly (the store's direct
     * writer marks required fields `required`; Spark-written compacted
@@ -184,11 +203,20 @@ private class LogSegmentScanBuilder(root: String)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit
+  with SupportsPushDownAggregates {
 
   private var required: StructType = LogSegmentSource.Schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var aggSchema: Option[StructType] = None
+
+  // one metadata pass per query planning, shared with the scan
+  private lazy val allSegments: Seq[LogSegmentSource.Segment] = {
+    val conf = new Configuration()
+    val fs = new HPath(root).getFileSystem(conf)
+    LogSegmentSource.listSegments(conf, LogSegmentSource.resolveMessagesDir(fs, root))
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(LogSegmentSource.isPositionRangeFilter)
@@ -203,30 +231,53 @@ private class LogSegmentScanBuilder(root: String)
 
   override def pushLimit(l: Int): Boolean = { limit = l; false } // partial: per-reader cap only
 
-  override def build(): Scan = new LogSegmentScan(root, required, pushed, limit)
-}
+  /** max/min(position) and count(*) answered ENTIRELY from the segment
+    * footers already read for the zone map — the head-of-log probe
+    * (`ReadHeadPosition`, SURVEY §2.4 #22, ref `ReadHeadPosition.sql`)
+    * becomes a metadata-only plan: no task ever opens a row group.
+    * Complete pushdown only, ungrouped only, and only when every
+    * segment carried real position stats; Spark offers aggregates here
+    * only when no residual filters exist, which matches: the footer
+    * totals describe the whole (physical) log. */
+  private def canPushAgg(agg: Aggregation): Boolean =
+    LogSegmentSource.footerAggSchema(agg).isDefined && pushed.isEmpty &&
+      allSegments.forall(_.minPos != Long.MinValue) // every footer had real stats
 
-private class LogSegmentScan(root: String, required: StructType, pushed: Array[Filter], limit: Int)
-  extends Scan with Batch with SupportsReportStatistics {
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPushAgg(agg)
 
-  // resolved once at planning, on the driver
-  private lazy val segments: Seq[LogSegmentSource.Segment] = {
-    val conf = new Configuration()
-    val fs = new HPath(root).getFileSystem(conf)
-    val dir = LogSegmentSource.resolveMessagesDir(fs, root)
-    val all = LogSegmentSource.listSegments(conf, dir)
-    val (lo, hi) = LogSegmentSource.positionBounds(pushed.toSeq)
-    all.filter(s => s.maxPos >= lo && s.minPos <= hi)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!canPushAgg(agg)) return false
+    aggSchema = LogSegmentSource.footerAggSchema(agg)
+    true
   }
 
-  override def readSchema(): StructType = required
+  override def build(): Scan =
+    new LogSegmentScan(root, allSegments, required, pushed, limit, aggSchema)
+}
+
+private class LogSegmentScan(
+    root: String,
+    allSegments: Seq[LogSegmentSource.Segment],
+    required: StructType,
+    pushed: Array[Filter],
+    limit: Int,
+    aggSchema: Option[StructType])
+  extends Scan with Batch with SupportsReportStatistics {
+
+  private lazy val segments: Seq[LogSegmentSource.Segment] = {
+    val (lo, hi) = LogSegmentSource.positionBounds(pushed.toSeq)
+    allSegments.filter(s => s.maxPos >= lo && s.minPos <= hi)
+  }
+
+  override def readSchema(): StructType = aggSchema.getOrElse(required)
   override def toBatch: Batch = this
 
   override def description(): String = {
-    val cols = required.fieldNames.mkString(",")
+    val cols = readSchema().fieldNames.mkString(",")
     val fs = pushed.map(_.toString).mkString(", ")
     s"graft-log root=$root ReadSchema=[$cols] PushedFilters=[$fs]" +
-      (if (limit >= 0) s" PushedLimit=$limit" else "")
+      (if (limit >= 0) s" PushedLimit=$limit" else "") +
+      (if (aggSchema.isDefined) " PushedAggregates=footer-stats" else "")
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -234,8 +285,21 @@ private class LogSegmentScan(root: String, required: StructType, pushed: Array[F
     override def numRows(): OptionalLong = OptionalLong.of(segments.map(_.rows).sum)
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    segments.map(s => LogSegmentPartition(s.path, required.fieldNames, limit): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = aggSchema match {
+    case Some(s) =>
+      // one synthetic partition carrying the footer-derived answer
+      // (canPushAgg already refused degenerate-stats segments); an empty
+      // log yields one (null, null, 0) row — Spark's ungrouped-
+      // aggregate-on-empty semantics
+      val rows = segments.map(_.rows).sum
+      val minPos: java.lang.Long =
+        if (segments.isEmpty) null else java.lang.Long.valueOf(segments.map(_.minPos).min)
+      val maxPos: java.lang.Long =
+        if (segments.isEmpty) null else java.lang.Long.valueOf(segments.map(_.maxPos).max)
+      Array(LogFooterAggPartition(s.fieldNames, minPos, maxPos, rows))
+    case None =>
+      segments.map(s => LogSegmentPartition(s.path, required.fieldNames, limit): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = new LogSegmentReaderFactory
 }
@@ -243,9 +307,29 @@ private class LogSegmentScan(root: String, required: StructType, pushed: Array[F
 private case class LogSegmentPartition(path: String, columns: Array[String], limit: Int)
   extends InputPartition
 
+/** The footer-derived answer to a fully-pushed aggregation: one row,
+  * no file opened at execution time. */
+private case class LogFooterAggPartition(
+    fields: Array[String], minPos: java.lang.Long, maxPos: java.lang.Long, rows: Long)
+  extends InputPartition
+
 private class LogSegmentReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[LogSegmentPartition]
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
+    case a: LogFooterAggPartition => new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = InternalRow.fromSeq(
+        a.fields.toIndexedSeq.map {
+          case "max(position)" => if (a.maxPos == null) null else a.maxPos.longValue()
+          case "min(position)" => if (a.minPos == null) null else a.minPos.longValue()
+          case "count(*)"      => a.rows
+        })
+      override def close(): Unit = ()
+    }
+    case p: LogSegmentPartition => createRowReader(p)
+  }
+
+  private def createRowReader(p: LogSegmentPartition): PartitionReader[InternalRow] = {
     val conf = new Configuration()
     val fileSchema = {
       val fr = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(p.path), conf))

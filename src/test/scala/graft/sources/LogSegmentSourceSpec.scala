@@ -107,6 +107,31 @@ class LogSegmentSourceSpec extends AnyFunSuite {
     } finally store.close()
   }
 
+  test("max/min(position) and count(*) are answered from footers alone") {
+    val dir = SparkTestSession.tempDir("logseg-agg")
+    val store = buildStore(dir, batches = 4, perBatch = 100)
+    try {
+      val agg = readLog(dir).agg(
+        max(col("position")), min(col("position")), count(lit(1)))
+      val plan = agg.queryExecution.executedPlan.toString()
+      assert(plan.contains("PushedAggregates=footer-stats"),
+        s"aggregate not pushed to footer stats:\n$plan")
+      assert(agg.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        === Seq((399L, 0L, 400L)))
+
+      // a filtered aggregate must NOT push (residual filters need rows)
+      val filtered = readLog(dir).filter(col("type") === "t1").agg(count(lit(1)))
+      assert(!filtered.queryExecution.executedPlan.toString()
+        .contains("PushedAggregates"))
+      assert(filtered.collect().head.getLong(0) > 0)
+
+      // a non-footer aggregate falls back to the row scan
+      val other = readLog(dir).agg(max(col("streamVersion")))
+      assert(!other.queryExecution.executedPlan.toString().contains("PushedAggregates"))
+      assert(other.collect().head.getInt(0) === 99)
+    } finally store.close()
+  }
+
   test("statistics report footer-exact row counts") {
     val dir = SparkTestSession.tempDir("logseg-stats")
     val store = buildStore(dir, batches = 3, perBatch = 100)
