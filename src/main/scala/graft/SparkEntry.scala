@@ -782,6 +782,36 @@ object SparkEntry {
       .orderBy("n_name", "rnk")
   }
 
+  /** Market-basket co-purchase pairs ([[graft.operators.Baskets
+    * .cooccurrence]]): parts bought together in the same order, support
+    * >= 2, top pairs. The cap (512) never triggers on this data — the
+    * gate is exact vs the oracle's self-join formulation; BasketsSpec
+    * proves the capped path separately. Two keyed exchanges total vs
+    * the self-join's three. */
+  private def copurchasePairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Baskets.cooccurrence(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+      .select(col("a").as("p_a"), col("b").as("p_b"), col("n_baskets"))
+      .orderBy(col("n_baskets").desc, col("p_a"), col("p_b"))
+      .limit(200)
+
+  /** Batch MERGE ([[graft.operators.Merge.upsert]]): the customer
+    * snapshot after a change set derived from 2001 orders — balance
+    * updated to the max 2001 order price, every 5th changed customer
+    * deleted. One full-outer join on the key; the oracle states the
+    * same MERGE as LEFT JOIN + COALESCE + delete filter. */
+  private def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val updates = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max(col("o_totalprice")).as("c_acctbal"))
+      .withColumn("del", col("c_custkey") % 5 === 0)
+    graft.operators.Merge.upsert(
+        t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal"),
+        updates, Seq("c_custkey"), deleteCol = Some("del"))
+      .orderBy("c_custkey")
+  }
+
   /** Time-bucketed aggregation over order dates. */
   private def ordersMonthly(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -2456,6 +2486,8 @@ object SparkEntry {
     "top_parts_per_brand" -> topPartsPerBrand _,
     "top_suppliers_per_nation" -> topSuppliersPerNation _,
     "orders_monthly" -> ordersMonthly _,
+    "copurchase_pairs" -> copurchasePairs _,
+    "merge_upsert" -> mergeUpsert _,
     "distinct_counts" -> distinctCounts _,
     "rollup_report" -> rollupReport _,
     "cube_report" -> cubeReport _,
@@ -4394,6 +4426,27 @@ object SparkEntry {
                 count(*) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
          FROM orders GROUP BY y, m ORDER BY y, m""",
+    "copurchase_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         SELECT a.l_partkey AS p_a, b.l_partkey AS p_b, count(*) AS n_baskets
+         FROM items a JOIN items b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY a.l_partkey, b.l_partkey
+         HAVING count(*) >= 2
+         ORDER BY n_baskets DESC, p_a, p_b LIMIT 200""",
+    "merge_upsert" ->
+      """WITH upd AS (
+           SELECT o_custkey AS c_custkey,
+                  max(o_totalprice) AS new_bal,
+                  (o_custkey % 5 = 0) AS del
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+           GROUP BY o_custkey)
+         SELECT c.c_custkey, c.c_name,
+                COALESCE(u.new_bal, c.c_acctbal) AS c_acctbal
+         FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+         WHERE u.del IS NULL OR NOT u.del
+         ORDER BY c.c_custkey""",
     "distinct_counts" ->
       """SELECT l_returnflag,
                 count(DISTINCT l_partkey) AS parts,

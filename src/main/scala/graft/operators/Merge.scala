@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch MERGE (upsert + delete) — the snapshot-maintenance primitive:
+  * apply a change set to a base table, latest-wins per key, producing
+  * the next snapshot. The lakehouse formats' MERGE INTO, expressed as
+  * one co-partitioned full-outer join:
+  *
+  *   - matched + update  → update columns win (`coalesce` update-side
+  *     first);
+  *   - matched + delete  → row dropped;
+  *   - unmatched update  → inserted;
+  *   - unmatched base    → carried unchanged.
+  *
+  * 100 TB shape: ONE shuffle of each side on the merge key (with both
+  * sides bucketed by the key — [[graft.sources.BucketedTables]] — even
+  * that exchange disappears); no window, no driver state. The change
+  * set must be key-unique (one verdict per key per batch — the same
+  * precondition real MERGE INTO enforces with a cardinality check);
+  * [[dedupeChanges]] collapses a raw change LOG to latest-wins first. */
+object Merge {
+
+  /** Collapse a change log to one row per key: greatest `versionCol`
+    * wins, ties broken by `tieCol` — deterministic under replays. */
+  def dedupeChanges(
+      changes: DataFrame, keyCols: Seq[String], versionCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col(tieCol).desc)
+    changes.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Next snapshot of `base` after applying `updates`.
+    *
+    * @param keyCols   merge key (unique in both inputs)
+    * @param deleteCol optional boolean column in `updates`: true = delete
+    *                  the key; other update columns ignored for that row
+    */
+  def upsert(
+      base: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      deleteCol: Option[String] = None): DataFrame = {
+    val dataCols = base.columns.filterNot(keyCols.contains)
+    val upd = deleteCol.map(d => updates.withColumnRenamed(d, "_del"))
+      .getOrElse(updates.withColumn("_del", lit(false)))
+      .withColumn("_hit", lit(true))
+    val renamed = upd.columns.foldLeft(upd) { (df, c) =>
+      if (keyCols.contains(c) || c == "_del" || c == "_hit") df
+      else df.withColumnRenamed(c, s"_u_$c")
+    }
+    val joined = base.join(renamed, keyCols, "full_outer")
+      .filter(coalesce(col("_del"), lit(false)) === false)
+    val out = dataCols.foldLeft(joined) { (df, c) =>
+      if (renamed.columns.contains(s"_u_$c"))
+        df.withColumn(c, when(coalesce(col("_hit"), lit(false)), col(s"_u_$c")).otherwise(col(c)))
+      else df
+    }
+    out.select(base.columns.map(col).toIndexedSeq: _*)
+  }
+}

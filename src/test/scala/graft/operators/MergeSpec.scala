@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MERGE semantics: update wins, delete drops, insert lands, untouched
+  * rows carry; change-log dedupe is latest-wins deterministic. */
+class MergeSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+  ).toDF("k", "name", "bal")
+
+  test("upsert: update, delete, insert, carry") {
+    val updates = Seq(
+      (2L, "b2", 21.0, false), // update
+      (3L, "ignored", 0.0, true), // delete
+      (9L, "new", 90.0, false) // insert
+    ).toDF("k", "name", "bal", "del")
+    val out = Merge.upsert(base, updates, Seq("k"), deleteCol = Some("del"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(
+      (1L, "a", 10.0), (2L, "b2", 21.0), (4L, "d", 40.0), (9L, "new", 90.0)))
+  }
+
+  test("upsert with a partial-column change set leaves other columns intact") {
+    val updates = Seq((1L, 11.0), (9L, 99.0)).toDF("k", "bal")
+    val out = Merge.upsert(base, updates, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2)))
+    assert(out.toSeq === Seq(
+      (1L, Some("a"), 11.0), (2L, Some("b"), 20.0), (3L, Some("c"), 30.0),
+      (4L, Some("d"), 40.0), (9L, None, 99.0)))
+  }
+
+  test("dedupeChanges keeps the greatest (version, tie) row per key") {
+    val log = Seq(
+      (1L, 1L, 1, 100.0), (1L, 3L, 1, 300.0), (1L, 3L, 2, 301.0), (2L, 1L, 1, 200.0)
+    ).toDF("k", "ver", "seq", "bal")
+    val out = Merge.dedupeChanges(log, Seq("k"), "ver", "seq")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 301.0), (2L, 200.0)))
+  }
+}
