@@ -13,8 +13,10 @@ class PlanShapeSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  private def finalPlan(name: String): String = {
-    val df = SparkEntry.queries(name)(spark, sf)
+  private def finalPlan(name: String): String = finalPlanAt(name, sf)
+
+  private def finalPlanAt(name: String, sfDir: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
     df.collect() // finalize AQE
     // AdaptiveSparkPlan.toString prints "== Final Plan ==" followed by
     // "== Initial Plan ==" — keep only the final section, or operator
@@ -428,5 +430,56 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "BroadcastHashJoin") >= 1, s"range join lost its broadcast:\n$p")
     assert(count(p, "BroadcastNestedLoopJoin") === 0, s"range join nested-loops:\n$p")
     assert(count(p, "CartesianProduct") === 0)
+  }
+
+  test("TPC-H completion family: dims broadcast, decorrelations stay hash-keyed") {
+    // q19/q21 are empty at sf0.001 (AQE collapses an empty plan to
+    // EmptyRelation, leaving nothing to assert) — pin them at sf0.01
+    val at01 = Set("q19_disjunctive_revenue", "q21_waiting_suppliers")
+    Seq("q2_min_cost_supplier", "q8_market_share", "q9_profit_by_nation",
+        "q16_supplier_counts", "q17_small_quantity_revenue",
+        "q19_disjunctive_revenue", "q20_excess_suppliers").foreach { q =>
+      val p = if (at01(q)) finalPlanAt(q, "/root/testdata/sf0.01") else finalPlan(q)
+      assert(count(p, "BroadcastNestedLoopJoin") === 0, s"$q nested-loops:\n$p")
+      assert(count(p, "CartesianProduct") === 0, s"$q goes cartesian:\n$p")
+      assert(count(p, "BroadcastHashJoin") >= 1, s"$q lost its broadcasts:\n$p")
+    }
+  }
+
+  test("q21 double-EXISTS is aggregations + keyed joins, no self-join blowup") {
+    val p = finalPlanAt("q21_waiting_suppliers", "/root/testdata/sf0.01")
+    assert(count(p, "CartesianProduct") === 0)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0)
+    assert(count(p, "HashAggregate") >= 4, s"q21 lost its per-order aggregations:\n$p")
+  }
+
+  test("co-purchase pairs never self-join: group, emit pairs, count") {
+    val p = finalPlan("copurchase_pairs")
+    assert(count(p, "Join") === 0, s"copurchase self-joins:\n$p")
+    assert(count(p, "Generate") >= 1, s"pair explode missing:\n$p")
+  }
+
+  test("merge upsert is exactly one co-partitioned join") {
+    val p = finalPlan("merge_upsert")
+    assert(count(p, "Join") === 1, s"merge should be a single join:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0)
+  }
+
+  test("LOCF resample: keyed windows and an output-bound grid explode") {
+    val p = finalPlan("resample_locf")
+    assert(count(p, "Generate") >= 1, s"grid explode missing:\n$p")
+    assert(count(p, "Window") >= 1, s"LOCF window missing:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+    assert(!p.contains("No Partition Defined"), "unkeyed window")
+  }
+
+  test("DSv2 log scans carry pushed position filters in the scan description") {
+    Seq("log_segment_scan", "bulk_import_scan").foreach { q =>
+      val p = finalPlan(q)
+      assert(p.contains("graft-log"), s"$q not reading through the DSv2 table:\n$p")
+      assert(p.contains("PushedFilters=[") && p.contains("position"),
+        s"$q lost its position pushdown:\n$p")
+    }
   }
 }
