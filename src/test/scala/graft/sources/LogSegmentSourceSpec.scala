@@ -132,6 +132,25 @@ class LogSegmentSourceSpec extends AnyFunSuite {
     } finally store.close()
   }
 
+  test("the log registers as a SQL table (CREATE TABLE ... USING)") {
+    val dir = SparkTestSession.tempDir("logseg-sql")
+    val store = buildStore(dir, batches = 2, perBatch = 50)
+    try {
+      spark.sql(
+        s"""CREATE TABLE graft_log_sql USING graft.sources.LogSegmentSource
+           |OPTIONS (path '$dir')""".stripMargin)
+      try {
+        val head = spark.sql("SELECT max(position) AS head FROM graft_log_sql")
+        assert(head.collect().head.getLong(0) === 99)
+        assert(head.queryExecution.executedPlan.toString()
+          .contains("PushedAggregates=footer-stats"))
+        assert(spark.sql(
+          "SELECT count(*) AS n FROM graft_log_sql WHERE position >= 50")
+          .collect().head.getLong(0) === 50)
+      } finally spark.sql("DROP TABLE graft_log_sql")
+    } finally store.close()
+  }
+
   test("statistics report footer-exact row counts") {
     val dir = SparkTestSession.tempDir("logseg-stats")
     val store = buildStore(dir, batches = 3, perBatch = 100)
