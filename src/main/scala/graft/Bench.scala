@@ -103,6 +103,10 @@ object Bench {
         "store_delete_20_msgs", "store_compact_merge", "store_reopen_recovery")) {
       medianScenarios(3)(() => storeScenarioRep(spark))
     }
+    results ++= guarded(Seq("store_bulk_import_events", "store_dsv2_full_scan",
+        "store_head_probe_metadata")) {
+      medianScenarios(3)(() => bulkImportScenarioRep(spark))
+    }
     results ++= guarded(Seq("jdbc_append_2k_msgs", "jdbc_read_all_scan",
         "jdbc_spark_partitioned_read")) {
       medianScenarios(3)(() => jdbcScenarioRep(spark))
@@ -248,6 +252,47 @@ object Bench {
       "store_delete_20_msgs" -> deleteSec,
       "store_compact_merge" -> compactSec,
       "store_reopen_recovery" -> reopenSec)
+  }
+
+  /** Bulk-load path: the whole sf events table imported into a fresh
+    * store log in one cluster job ([[graft.store.BulkImport]]), then the
+    * two read surfaces the import unlocks — a full DSv2 segment-table
+    * scan, and the footer-stats head probe (max(position) answered
+    * without opening a row group; contrast store_read_all_scan's paged
+    * API walk). One repetition (fresh dir per rep). */
+  private def bulkImportScenarioRep(spark: SparkSession): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-bulk").toString
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    var imported = 0L
+    val importSec = time {
+      imported = graft.store.BulkImport.importMessages(
+        spark,
+        events.select(
+          concat(lit("u"), col("user_id")).as("sid"),
+          concat(lit("m-"), col("event_id")).as("mid"),
+          col("event_type"), col("props"), col("event_id")),
+        dir, orderCol = "event_id", streamIdCol = "sid", messageIdCol = "mid",
+        typeCol = "event_type", dataCol = "props")
+    }
+    def readLog = spark.read.format("graft.sources.LogSegmentSource")
+      .option("path", dir).load()
+    val scanSec = time {
+      readLog.write.format("noop").mode("overwrite").save()
+    }
+    val headSec = time {
+      val head = readLog.agg(max(col("position"))).collect().head.getLong(0)
+      require(head == imported - 1, s"head $head != ${imported - 1}")
+    }
+    deleteRecursively(dir)
+    Seq(
+      "store_bulk_import_events" -> importSec,
+      "store_dsv2_full_scan" -> scanSec,
+      "store_head_probe_metadata" -> headSec)
   }
 
   /** The same append/scan shape against the JDBC backend (embedded

@@ -342,6 +342,23 @@ private class LogSegmentReaderFactory extends PartitionReaderFactory {
       .withConf(conf)
       .build()
 
+    // generations Spark compacted under its default INT96 timestamp
+    // encoding (before the store pinned TIMESTAMP_MICROS) carry
+    // createdUtc as a 12-byte julian-day binary — detect once per file
+    val createdIsInt96 = p.columns.contains("createdUtc") &&
+      fileSchema.containsField("createdUtc") &&
+      fileSchema.getType(fileSchema.getFieldIndex("createdUtc")).asPrimitiveType()
+        .getPrimitiveTypeName ==
+        org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96
+
+    def int96Micros(g: Group, name: String): Long = {
+      val bytes = g.getInt96(name, 0).getBytes // little-endian: 8B nanos-of-day, 4B julian day
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val nanosOfDay = buf.getLong
+      val julianDay = buf.getInt
+      (julianDay - 2440588L) * 86400L * 1000000L + nanosOfDay / 1000L
+    }
+
     new PartitionReader[InternalRow] {
       private var current: Group = _
       private var emitted = 0L
@@ -362,6 +379,7 @@ private class LogSegmentReaderFactory extends PartitionReaderFactory {
             if (current.getFieldRepetitionCount(name) == 0) null
             else name match {
               case "streamVersion" => current.getInteger(name, 0)
+              case "createdUtc" if createdIsInt96 => int96Micros(current, name)
               case "position" | "createdUtc" => current.getLong(name, 0)
               case _ => UTF8String.fromString(current.getString(name, 0))
             }

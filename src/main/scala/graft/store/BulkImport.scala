@@ -94,8 +94,18 @@ object BulkImport {
     val stamped = shaped.rdd.zipWithIndex().map { case (r, pos) =>
       Row(r.get(0), r.get(1), r.get(2), pos, r.get(3), r.get(4), r.get(5), r.get(6))
     }
-    spark.createDataFrame(stamped, SparkStreamStore.MessageSchema)
+    // pin TIMESTAMP_MICROS physical encoding: Spark's default (INT96)
+    // would diverge from the store's own segment layout and break the
+    // DSv2 record reader's INT64 fast path
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try spark.createDataFrame(stamped, SparkStreamStore.MessageSchema)
       .write.mode("errorifexists").parquet(messagesDir)
+    finally prev match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
 
     spark.read.schema(SparkStreamStore.MessageSchema).parquet(messagesDir).count()
   }

@@ -845,9 +845,20 @@ final class SparkStreamStore(
       val newGen = gen + 1
       val dst = new HPath(genDirName(newGen))
       fs.delete(dst, true) // orphan of a previously crashed attempt
-      messagesDF.repartitionByRange(targetFiles, col("position"))
+      // pin TIMESTAMP_MICROS for the compacted generation: Spark's
+      // default INT96 would diverge from the flushed segments' physical
+      // layout (LogSegmentSource reads both; its INT96 fallback covers
+      // generations compacted before this pin)
+      val tsKey = "spark.sql.parquet.outputTimestampType"
+      val prevTs = spark.conf.getOption(tsKey)
+      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try messagesDF.repartitionByRange(targetFiles, col("position"))
         .sortWithinPartitions("position")
         .write.mode("overwrite").parquet(dst.toString)
+      finally prevTs match {
+        case Some(v) => spark.conf.set(tsKey, v)
+        case None => spark.conf.unset(tsKey)
+      }
       writeCurrent(newGen)
       val oldGen = gen
       gen = newGen

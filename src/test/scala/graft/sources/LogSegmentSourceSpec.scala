@@ -76,11 +76,49 @@ class LogSegmentSourceSpec extends AnyFunSuite {
     val dir = SparkTestSession.tempDir("logseg-compact")
     val store = buildStore(dir, batches = 4, perBatch = 100)
     try {
+      val before = readLog(dir).select("position", "createdUtc", "jsonData")
+        .orderBy("position").collect()
       store.compact(targetFiles = 4) // new generation, range-partitioned by position
       val df = readLog(dir).filter(col("position") >= 300)
       assert(df.count() === 100)
       assert(df.rdd.getNumPartitions < 4,
         "footer stats should prune range-partitioned compacted files too")
+      // full row fidelity across the rewrite — createdUtc especially
+      // (the compacted generation is Spark-written; the store pins
+      // TIMESTAMP_MICROS so the physical layouts agree)
+      val after = readLog(dir).select("position", "createdUtc", "jsonData")
+        .orderBy("position").collect()
+      assert(after.toSeq === before.toSeq)
+    } finally store.close()
+  }
+
+  test("INT96 compacted generations (pre-pin logs) still read correctly") {
+    val dir = SparkTestSession.tempDir("logseg-int96")
+    val store = buildStore(dir, batches = 2, perBatch = 50)
+    try {
+      val before = readLog(dir).select("position", "createdUtc")
+        .orderBy("position").collect()
+      // simulate a generation compacted before the TIMESTAMP_MICROS pin
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      try store.compact(targetFiles = 2)
+      finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      // compact's own pin overrides the session value, so force a truly
+      // INT96 generation by rewriting the current generation directly
+      val gen = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/CURRENT")).trim
+      val genDir = s"$dir/messages-g$gen"
+      val rows = spark.read.schema(SparkStreamStore.MessageSchema).parquet(genDir)
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      try rows.write.mode("overwrite").parquet(s"$dir/messages-int96-tmp")
+      finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      // swap the generation for the INT96 copy
+      import org.apache.hadoop.fs.{FileSystem, Path}
+      val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(genDir), true)
+      fs.rename(new Path(s"$dir/messages-int96-tmp"), new Path(genDir))
+
+      val after = readLog(dir).select("position", "createdUtc")
+        .orderBy("position").collect()
+      assert(after.toSeq === before.toSeq, "INT96 createdUtc decoded wrong")
     } finally store.close()
   }
 
