@@ -795,6 +795,15 @@ object SparkEntry {
       .orderBy(col("n_baskets").desc, col("p_a"), col("p_b"))
       .limit(200)
 
+  /** Directional association rules ([[graft.operators.Baskets
+    * .ruleStats]]): integer confidence/lift ingredients per co-purchase
+    * direction — counts only, no engine divides. */
+  private def basketRules(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Baskets.ruleStats(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 3L)
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+      .limit(100)
+
   /** Batch MERGE ([[graft.operators.Merge.upsert]]): the customer
     * snapshot after a change set derived from 2001 orders — balance
     * updated to the max 2001 order price, every 5th changed customer
@@ -2487,6 +2496,7 @@ object SparkEntry {
     "top_suppliers_per_nation" -> topSuppliersPerNation _,
     "orders_monthly" -> ordersMonthly _,
     "copurchase_pairs" -> copurchasePairs _,
+    "basket_rules" -> basketRules _,
     "merge_upsert" -> mergeUpsert _,
     "distinct_counts" -> distinctCounts _,
     "rollup_report" -> rollupReport _,
@@ -4434,6 +4444,21 @@ object SparkEntry {
          GROUP BY a.l_partkey, b.l_partkey
          HAVING count(*) >= 2
          ORDER BY n_baskets DESC, p_a, p_b LIMIT 200""",
+    "basket_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              pairs AS (
+           SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS n_ab
+           FROM items a JOIN items b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+           GROUP BY a.l_partkey, b.l_partkey
+           HAVING count(*) >= 3),
+              ic AS (SELECT l_partkey, count(*) AS n FROM items GROUP BY l_partkey),
+              tot AS (SELECT count(DISTINCT l_orderkey) AS n_total FROM items)
+         SELECT a, b, n_ab, ia.n AS n_a, ib.n AS n_b, n_total
+         FROM pairs
+         JOIN ic ia ON ia.l_partkey = a
+         JOIN ic ib ON ib.l_partkey = b, tot
+         ORDER BY n_ab DESC, a, b LIMIT 100""",
     "merge_upsert" ->
       """WITH upd AS (
            SELECT o_custkey AS c_custkey,

@@ -27,6 +27,39 @@ import org.apache.spark.sql.functions._
   * second exchange is already partially combined. */
 object Baskets {
 
+  /** Directional association-rule counts: for every co-occurring pair,
+    * (a, b, n_ab, n_a, n_b, n_total) — the INTEGER ingredients of
+    * confidence (n_ab/n_a) and lift (n_ab·n_total/(n_a·n_b)), which are
+    * left to the consumer: the counts carry strictly more information
+    * and no engine ever divides (house determinism rule). Both rule
+    * directions are emitted (a→b and b→a share n_ab).
+    *
+    * Cost on top of [[cooccurrence]]: one |items|-sized aggregate
+    * (broadcast to the pair frame — item cardinality ≪ pair cardinality
+    * by construction) and a 1-row basket-count crossJoin. */
+  def ruleStats(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      maxBasketSize: Int = 512,
+      minSupport: Long = 1L): DataFrame = {
+    val pairs = cooccurrence(df, basketCol, itemCol, maxBasketSize, minSupport)
+    val directed = pairs.unionByName(pairs.select(
+      col("b").as("a"), col("a").as("b"), col("n_baskets")))
+    val items = df.select(col(basketCol).as("_basket"), col(itemCol).as("_item")).distinct()
+    val itemCounts = items.groupBy("_item").agg(count(lit(1)).as("_n_item"))
+    val total = items.select("_basket").distinct()
+      .agg(count(lit(1)).as("n_total"))
+    directed
+      .join(broadcast(itemCounts).withColumnRenamed("_item", "a")
+        .withColumnRenamed("_n_item", "n_a"), Seq("a"))
+      .join(broadcast(itemCounts).withColumnRenamed("_item", "b")
+        .withColumnRenamed("_n_item", "n_b"), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("n_baskets").as("n_ab"),
+        col("n_a"), col("n_b"), col("n_total"))
+  }
+
   /** Co-occurrence counts: (a, b, n_baskets) with a < b,
     * n_baskets >= minSupport. */
   def cooccurrence(

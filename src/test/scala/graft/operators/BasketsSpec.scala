@@ -34,6 +34,17 @@ class BasketsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(("x", "y", 3L)))
   }
 
+  test("rule stats carry exact confidence/lift ingredients, both directions") {
+    val out = Baskets.ruleStats(baskets, "b", "item")
+      .orderBy("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // items: x in 3 baskets, y in 3, z in 2; 4 baskets total
+    assert(out.toSeq === Seq(
+      ("x", "y", 3L, 3L, 3L, 4L), ("x", "z", 1L, 3L, 2L, 4L),
+      ("y", "x", 3L, 3L, 3L, 4L), ("y", "z", 1L, 3L, 2L, 4L),
+      ("z", "x", 1L, 2L, 3L, 4L), ("z", "y", 1L, 2L, 3L, 4L)))
+  }
+
   test("the basket cap keeps the smallest items deterministically") {
     val big = (0 until 10).map(i => (1, f"i$i%02d")).toDF("b", "item")
     val out = Baskets.cooccurrence(big, "b", "item", maxBasketSize = 3)
