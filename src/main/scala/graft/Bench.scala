@@ -52,7 +52,15 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Iteration aid, NOT used by the driver: SPARK_GRAFT_BENCH_ONLY=
+    // "streaming,prefix_" runs only scenarios/queries whose name starts
+    // with one of the comma-separated prefixes (scenario FAMILIES are
+    // filtered by their first member's name). Unset = everything.
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').map(_.trim).toSeq)
+    def wanted(name: String): Boolean = only.forall(_.exists(name.startsWith))
+
+    SparkEntry.queries.toSeq.sortBy(_._1).filter(q => wanted(q._1)).foreach { case (name, fn) =>
       def once(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       try { once(); results(name) = median3(once()) }
       catch { case _: Throwable => results(name) = -1.0 }
@@ -61,7 +69,7 @@ object Bench {
     // HLL approximate distinct (bench-only: sketch estimates are
     // engine-specific, so there is no cross-engine oracle; the exact
     // counterpart is the oracled distinct_counts gate query)
-    {
+    if (wanted("approx_distinct_counts") || wanted("approx_quantiles")) {
       import org.apache.spark.sql.functions._
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       def approx(): Unit = li
@@ -90,7 +98,7 @@ object Bench {
     // every number to one uncaught analysis error): record -1 for the
     // family, print the stack for the round log, keep going.
     def guarded(names: Seq[String])(f: => Seq[(String, Double)]): Seq[(String, Double)] =
-      try f
+      try if (names.exists(wanted)) f else Seq.empty
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] scenario family ${names.head}… failed: $e")
@@ -345,12 +353,26 @@ object Bench {
     * PLAN; these measure the incremental machinery — state store
     * get/put, watermark advance, checkpointing — that batch mode never
     * touches. Per-micro-batch checkpoint commit (~0.5-0.7 s on local
-    * disk) dominates at bench scale; data volume is secondary. */
+    * disk) dominates at bench scale; data volume is secondary.
+    *
+    * The replays run at EIGHT state partitions, not the session's 32:
+    * the state-store partition count is the deployment dial a real
+    * pipeline sizes to key cardinality (here: hundreds of users), and
+    * each partition is a separate store whose per-micro-batch commit
+    * fsyncs its delta — at 32 partitions the interval join (FOUR stores
+    * per partition: two per side) was committing 128 stores per
+    * micro-batch, 53 s of pure commit machinery at any data scale.
+    * Result parity across partition counts is exactly what
+    * StatefulStreamingSpec pins (it runs the same operators at 4). */
   private def streamingScenarios(spark: SparkSession): Seq[(String, Double)] = {
     import graft.streaming.{EventTimeOps, StatefulOps}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
     import spark.implicits._
+
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val events = StatefulOps.typedEvents(spark.read.parquet(s"$sfDir/events.parquet"))
@@ -506,6 +528,7 @@ object Bench {
       "streaming_interval_replay" -> intervalSec,
       "streaming_scd2_replay" -> scd2Sec,
       "streaming_tws_replay" -> twsSec)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
   /** The MACRO number: the whole training-data pipeline composed end to

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [namePrefix,...] — the optional third arg
+    // restricts the dump (iteration aid; the driver always runs all)
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Option[Seq[String]] =
+      args.drop(2).headOption.map(_.split(',').map(_.trim).toSeq)
+    def wanted(name: String): Boolean = only.forall(_.exists(name.startsWith))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +26,7 @@ object Verify {
     // change this way, with zero red rows). Track failures explicitly:
     // one loud summary line AND a _failed.json artifact in the out dir.
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => wanted(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

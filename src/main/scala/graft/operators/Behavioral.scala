@@ -181,4 +181,40 @@ object Behavioral {
     pairs.withColumn("prob_ppm",
       expr("transitions * 1000000L div sum(transitions) over (partition by from_type)"))
   }
+
+  /** Contiguous sequential-pattern support counts: every length-`len`
+    * run of consecutive event types inside one entity's timeline,
+    * counted corpus-wide — the n-gram generalization of
+    * [[transitionCounts]] (len = 2 reproduces its count column) and the
+    * contiguous special case of PrefixSpan-style sequence mining
+    * (Pei et al. ICDE'01; contiguity keeps the pattern space linear in
+    * the event count instead of exponential, which is why production
+    * clickstream miners start here). Output: one row per pattern
+    * (`s0..s{len-1}`, `support`), `support >= minSupport`.
+    *
+    * Shape: ONE shuffle on the entity key for the `lead` window (the
+    * per-entity sort is bounded by entity history), each event emits at
+    * most one pattern occurrence — no blowup, unlike skip-gram
+    * mining — then a partial aggregation collapses the corpus to
+    * |types|^len pattern rows before the final exchange; map-side
+    * combine does the heavy lifting. At 100 TB only (pattern, partial
+    * count) crosses the second shuffle, same shape as
+    * [[transitionCounts]]. */
+  def sequentialPatterns(
+      events: DataFrame, idCol: String, ordCol: String, typeCol: String,
+      len: Int = 3, minSupport: Long = 1L): DataFrame = {
+    require(len >= 2 && len <= 8, s"pattern length out of range: $len")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy(ordCol)
+    val base = events.select(col(idCol), col(ordCol), col(typeCol).as("s0"))
+    val withLeads = (1 until len).foldLeft(base) { (df, i) =>
+      df.withColumn(s"s$i", lead(col("s0"), i).over(w))
+    }
+    val patternCols = (0 until len).map(i => s"s$i")
+    withLeads
+      .filter(patternCols.drop(1).map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(patternCols.map(col): _*)
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
 }

@@ -212,4 +212,65 @@ object Graph {
     e.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
   }
+
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg CIKM'03):
+    * score every NON-adjacent pair (a < b) by the number of neighbors
+    * the two nodes share, emitting the INTEGER ingredients
+    * (n_common, deg_a, deg_b) — Jaccard (n_common / (deg_a + deg_b −
+    * n_common)) and Adamic-Adar-style weightings are left to the
+    * consumer; the counts carry strictly more information and no engine
+    * ever divides or takes a log (house determinism rule). Training-data
+    * use: proposing "same cluster?" candidate pairs between documents /
+    * hosts that share many dedup-group or citation neighbors without
+    * being directly linked themselves.
+    *
+    * Shape: each shared neighbor is a hub; pairs within a hub's sorted
+    * neighbor array are emitted with the same codegen array
+    * comprehension as [[Baskets.cooccurrence]] — collect the
+    * neighborhood per hub (ONE keyed shuffle, map-side combined), emit
+    * C(deg, 2) ordered pairs per hub, count per pair (second shuffle,
+    * map-side combined), then LEFT ANTI the existing edge list (a < b
+    * normalized, co-partitioned on the pair key) so only unlinked pairs
+    * survive, and attach both endpoint degrees from the ≤|nodes| degree
+    * frame.
+    *
+    * 100 TB shape: total emission is Σ min(deg, cap)² — `maxHubDegree`
+    * bounds the mega-hub that would otherwise emit C(10⁶, 2) pairs
+    * (a web-scale host graph is power-law; the cap keeps the smallest
+    * `cap` neighbor ids, deterministically). The cap trades exactness
+    * for survival exactly like [[Baskets.cooccurrence]]'s spam-basket
+    * guard; the oracle gate runs uncapped on a bounded-degree graph.
+    * Nothing is broadcast unboundedly, nothing collected; the edge
+    * frame is pinned (`localCheckpoint`) because it feeds the
+    * adjacency, the degree pass, and the anti-join. */
+  def commonNeighborLinks(
+      edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      maxHubDegree: Int = Int.MaxValue): DataFrame = {
+    require(maxHubDegree >= 2, s"maxHubDegree must be >= 2: $maxHubDegree")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint() // feeds adjacency, degrees, and the anti-join
+    val adj = und.select(col("u").as("hub"), col("v").as("nbr"))
+      .unionAll(und.select(col("v").as("hub"), col("u").as("nbr")))
+    val deg = adj.groupBy(col("hub").as("node")).agg(count(lit(1)).as("deg"))
+    val counted = adj.groupBy("hub")
+      .agg(slice(sort_array(collect_set(col("nbr"))), 1, maxHubDegree).as("_ns"))
+      .filter(size(col("_ns")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(_ns, (x, i) ->
+          |  transform(slice(_ns, i + 2, size(_ns)), y -> struct(x AS a, y AS b))))"""
+          .stripMargin)).as("_pair"))
+      .select(col("_pair.a").as("a"), col("_pair.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    counted
+      .join(und.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select("a", "b", "n_common", "deg_a", "deg_b")
+  }
 }

@@ -60,4 +60,45 @@ object Merge {
     }
     out.select(base.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** Incremental maintenance of a sum/count rollup — the
+    * self-maintainable-view primitive (Gupta & Mumick's classic
+    * taxonomy: SUM and COUNT are distributive, so the next state of the
+    * aggregate is a function of the OLD AGGREGATE plus the DELTA alone;
+    * the base data is never rescanned). `baseAgg` is the materialized
+    * rollup (`keyCols` ++ `sumCols` ++ `countCol`), `deltaRows` are raw
+    * inserted rows carrying `keyCols` ++ `sumCols`; the result is the
+    * next rollup snapshot.
+    *
+    * Implementation: aggregate the delta (map-side combined — the only
+    * pass over new data), then union with the old rollup and re-aggregate
+    * over the UNION OF AGGREGATES, which costs |baseAgg| + |deltaAgg|
+    * rows — at 100 TB the rollup is megabytes while the base data is the
+    * 100 TB, which is the entire point: nightly maintenance touches the
+    * delta partition and a tiny summary frame, never the history. Sums
+    * must be over exact types (decimal/long) for the merge to be
+    * bit-equal to a full recompute regardless of grouping order; pass
+    * doubles pre-cast to decimal. AVG-style ratios derive from
+    * (sum, count) downstream; MIN/MAX are insert-only-maintainable the
+    * same way, but not under deletes — deletes require the
+    * [[upsert]]-style full recompute of the touched keys only. */
+  def maintainAgg(
+      baseAgg: DataFrame,
+      deltaRows: DataFrame,
+      keyCols: Seq[String],
+      sumCols: Seq[String],
+      countCol: String = "n"): DataFrame = {
+    val aggOf: DataFrame => DataFrame = df =>
+      df.groupBy(keyCols.map(col): _*)
+        .agg(sum(col(sumCols.head)).as(sumCols.head),
+          (sumCols.tail.map(c => sum(col(c)).as(c)) :+
+            count(lit(1)).as(countCol)): _*)
+    val deltaAgg = aggOf(deltaRows)
+    baseAgg.select((keyCols ++ sumCols :+ countCol).map(col): _*)
+      .unionByName(deltaAgg)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(sumCols.head)).as(sumCols.head),
+        (sumCols.tail.map(c => sum(col(c)).as(c)) :+
+          sum(col(countCol)).as(countCol)): _*)
+  }
 }

@@ -399,6 +399,42 @@ object TextCorpus {
       .select("source", "word", "cnt", "doc_freq", "rank")
   }
 
+  /** Per-document keywords: each doc's top-`k` tokens ranked by the
+    * TF-IDF ordering WITHOUT the floats — (tf desc, corpus df asc,
+    * token asc) is a total order that agrees with tf·idf's intent
+    * (frequent here, rare everywhere) while every emitted column stays
+    * an exact integer (house determinism rule; consumers who want the
+    * classic tf·ln(N/df) score have both ingredients). The per-DOC
+    * counterpart of [[distinctiveTerms]] (per-source) — the "what is
+    * this document about" tag extractor for corpus browsing, topic
+    * routing, and keyword-match retrieval fallback.
+    *
+    * Shape: one (doc, token) aggregation (map-side combined — the only
+    * corpus-sized shuffle), a |vocab|-sized df roll-up joined back on
+    * the token key, and the rank window partitioned by doc — per-doc
+    * state is bounded by document length, so no partition outgrows an
+    * executor at 100 TB. The tf frame is pinned (`localCheckpoint`):
+    * both the df roll-up and the final join consume it (the
+    * [[distinctiveTerms]] lesson). */
+  def docKeywords(
+      docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0)
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(df, "token")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "token", "tf", "df")
+  }
+
   /** Frequency vocabulary: the top-`vocabSize` words by corpus count,
     * with dense ids in (count desc, word asc) order — the deterministic
     * "tokenizer fit" step. The word count partial-aggregates map-side

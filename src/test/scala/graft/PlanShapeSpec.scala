@@ -482,4 +482,61 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$q lost its position pushdown:\n$p")
     }
   }
+
+  test("incremental rollup is union + aggregate: no join, partial combine on both arms") {
+    val p = finalPlan("incremental_rollup")
+    assert(count(p, "Join") === 0, s"rollup maintenance must not join:\n$p")
+    assert(count(p, "HashAggregate") >= 2, s"missing partial aggregation:\n$p")
+  }
+
+  test("sequential patterns: one keyed window, aggregation, no join") {
+    val p = finalPlan("seq_patterns")
+    assert(count(p, "Window") >= 1)
+    assert(count(p, "Join") === 0, s"pattern mining must not join:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
+  test("link prediction emits pairs per hub: no cartesian, no nested loop") {
+    val p = finalPlan("link_prediction")
+    assert(count(p, "CartesianProduct") === 0)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0)
+    assert(count(p, "Generate") >= 1, s"pair emission lost its explode:\n$p")
+    assert(count(p, "HashAggregate") >= 2, s"pair counts lost map-side combine:\n$p")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The 100 TB lever for selective dim→fact joins that are too big to
+    // broadcast: Spark's InjectRuntimeFilter builds a bloom filter from
+    // the filtered creation side and semi-filters the fact scan before
+    // the shuffle. Defaults keep it off below 10 GB scans; this pins
+    // that the engine DOES inject one once thresholds match the data.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k =>
+      k -> scala.util.Try(conf.get(k)).toOption.filter(_ != null))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      import org.apache.spark.sql.functions.col
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString()
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n${p.take(4000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }

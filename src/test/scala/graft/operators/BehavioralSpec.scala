@@ -131,4 +131,44 @@ class BehavioralSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(out === Set(("Q", "R")))
   }
+
+  test("sequentialPatterns counts contiguous runs only, per entity") {
+    // user 1: A B A B → trigrams ABA, BAB; user 2: A B C → ABC.
+    // user 3 has only two events: contributes nothing at len=3.
+    val log = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"),
+      (2L, 1L, "A"), (2L, 2L, "B"), (2L, 3L, "C"),
+      (3L, 1L, "X"), (3L, 2L, "Y"))
+      .toDF("user_id", "event_id", "event_type")
+    val out = Behavioral.sequentialPatterns(log, "user_id", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSet === Set(
+      ("A", "B", "A", 1L), ("B", "A", "B", 1L), ("A", "B", "C", 1L)))
+  }
+
+  test("sequentialPatterns len=2 equals transitionCounts' count column") {
+    val rnd = new scala.util.Random(11)
+    val log = (1L to 200L).map(i =>
+      (i % 7, i, Seq("a", "b", "c")(rnd.nextInt(3))))
+      .toDF("user_id", "event_id", "event_type")
+    val pat = Behavioral.sequentialPatterns(log, "user_id", "event_id", "event_type", len = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val tc = Behavioral.transitionCounts(log, "user_id", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("transitions")).toMap
+    assert(pat === tc)
+  }
+
+  test("sequentialPatterns minSupport filters and never crosses entities") {
+    // user 1 ends with B and user 2 starts with B: a cross-entity chain
+    // would mint a B→B pattern; support 2 comes from within-entity runs
+    // only (A→B: once in each user; B→A: twice in user 2)
+    val log = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"),
+      (2L, 3L, "B"), (2L, 4L, "A"), (2L, 5L, "B"), (2L, 6L, "A"))
+      .toDF("user_id", "event_id", "event_type")
+    val out = Behavioral.sequentialPatterns(
+        log, "user_id", "event_id", "event_type", len = 2, minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet === Set(("B", "A", 2L), ("A", "B", 2L)))
+  }
 }

@@ -56,4 +56,33 @@ class FuzzyJoinSpec extends AnyFunSuite {
         .orderBy("id_a", "id_b").collect().toSeq
     assert(run(df) === run(df.repartition(13)))
   }
+
+  test("goldenRecords clusters transitively and elects the longest name, min id") {
+    // chain: "blu gear" ~1~ "blue gear" ~1~ "bluee gear" cluster together
+    // even though blu↔bluee is dist 2 via the chain (still <= maxDist
+    // here) — and two records share "blue gear"; survivor = longest name
+    // ("bluee gear", id 4). "red cog" is a singleton.
+    val rows = Seq(
+      (1L, "blu gear"), (2L, "blue gear"), (3L, "blue gear"),
+      (4L, "bluee gear"), (9L, "red cog"))
+      .toDF("id", "name")
+    val out = FuzzyJoin.goldenRecords(rows, "id", "name",
+        blockKey = split(col("name"), " ").getItem(1), maxDist = 2)
+      .orderBy("survivor_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (4L, "bluee gear", 4L, 3L),
+      (9L, "red cog", 1L, 1L)))
+  }
+
+  test("goldenRecords keeps clusters apart across blocks") {
+    // same noun-less distance but different block keys: never compared
+    val rows = Seq((1L, "alpha gear"), (2L, "alpha cogs"))
+      .toDF("id", "name")
+    val out = FuzzyJoin.goldenRecords(rows, "id", "name",
+        blockKey = split(col("name"), " ").getItem(1), maxDist = 2)
+      .orderBy("survivor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 1L), (2L, 1L)))
+  }
 }

@@ -183,4 +183,44 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
+
+  test("commonNeighborLinks scores only non-adjacent pairs with shared-hub counts") {
+    // path 1-2-3 plus 1-4, 3-4: non-adjacent pairs are (1,3) via hubs
+    // {2,4} and (2,4) via hubs {1,3}; everything else is an edge.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.commonNeighborLinks(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSet === Set(
+      (1L, 3L, 2L, 2L, 2L),
+      (2L, 4L, 2L, 2L, 2L)))
+  }
+
+  test("commonNeighborLinks equals the naive two-hop join on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val got = Graph.commonNeighborLinks(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // naive: adjacency sets in driver code
+    val und = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nbrs = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = nbrs.keys.toSeq.sorted
+    val want = (for {
+      a <- nodes; b <- nodes if a < b && !und((a, b))
+      common = (nbrs(a) & nbrs(b)).size if common > 0
+    } yield (a, b) -> (common.toLong, nbrs(a).size.toLong, nbrs(b).size.toLong)).toMap
+    assert(got === want)
+  }
+
+  test("commonNeighborLinks hub cap bounds the emission deterministically") {
+    // star: hub 0 adjacent to 1..6; cap 3 keeps neighbors {1,2,3}, so
+    // only pairs among the 3 smallest survive with n_common 1.
+    val edges = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
+    val out = Graph.commonNeighborLinks(edges, maxHubDegree = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
 }

@@ -42,4 +42,30 @@ class MergeSpec extends AnyFunSuite {
       .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(3)))
     assert(out.toSeq === Seq((1L, 301.0), (2L, 200.0)))
   }
+
+  test("maintainAgg merged rollup equals the full recompute") {
+    import org.apache.spark.sql.functions._
+    val all = Seq(
+      ("a", 1L, 10L), ("a", 1L, 20L), ("b", 1L, 5L),
+      ("a", 2L, 7L), ("c", 2L, 9L), ("b", 2L, 11L))
+      .toDF("k", "batch", "x")
+    val baseAgg = all.filter(col("batch") === 1L)
+      .groupBy("k").agg(sum(col("x")).as("x"), count(lit(1)).as("n"))
+    val maintained = Merge.maintainAgg(
+        baseAgg, all.filter(col("batch") === 2L), Seq("k"), Seq("x"), "n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val full = all.groupBy("k").agg(sum(col("x")).as("x"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(maintained === full)
+    assert(maintained === Set(("a", 37L, 3L), ("b", 16L, 2L), ("c", 9L, 1L)))
+  }
+
+  test("maintainAgg brings new keys in and leaves untouched keys exact") {
+    import org.apache.spark.sql.functions._
+    val baseAgg = Seq(("x", 100L, 4L)).toDF("k", "v", "n")
+    val delta = Seq(("y", 1L), ("y", 2L)).toDF("k", "v")
+    val out = Merge.maintainAgg(baseAgg, delta, Seq("k"), Seq("v"), "n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(("x", 100L, 4L), ("y", 3L, 2L)))
+  }
 }

@@ -491,4 +491,19 @@ class TextCorpusSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(out.toSeq === Seq((1L, "body", 2L), (2L, "other", 1L)))
   }
+
+  test("docKeywords ranks frequent-here-rare-everywhere first, ties by token") {
+    val docs = Seq(
+      (1L, "apple apple zebra common common common"),
+      (2L, "common banana banana"),
+      (3L, "common cherry")).toDF("doc_id", "text")
+    val out = TextCorpus.docKeywords(docs, k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // doc 1: common tf=3 beats apple tf=2 on tf; apple (df=1) beats zebra on tf
+    assert(out.toSeq === Seq(
+      (1L, 1L, "common", 3L, 3L), (1L, 2L, "apple", 2L, 1L),
+      (2L, 1L, "banana", 2L, 1L), (2L, 2L, "common", 1L, 3L),
+      (3L, 1L, "cherry", 1L, 1L), (3L, 2L, "common", 1L, 3L)))
+  }
 }
