@@ -869,6 +869,27 @@ object SparkEntry {
       .orderBy(col("support").desc, col("s0"), col("s1"), col("s2"))
       .limit(50)
 
+  /** Last-touch attribution ([[Behavioral.lastTouchAttribution]]):
+    * every purchase claims the user's most recent preceding view. */
+  private def attributionLastTouch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Behavioral.lastTouchAttribution(t(s, dir, "events"),
+        "user_id", "event_id", "event_type",
+        touchType = "view", convType = "purchase")
+      .orderBy("user_id", "conv_ord")
+
+  /** Multi-source BFS ([[Graph.khopDistances]]): hop distance from the
+    * flagged seed parts (p_partkey < 25) through the co-purchase graph,
+    * up to 3 hops — the contamination blast-radius query. */
+  private def khopDistancesQuery(s: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Baskets.cooccurrence(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val seeds = t(s, dir, "part").filter(col("p_partkey") < 25)
+      .select(col("p_partkey").as("node"))
+    graft.operators.Graph.khopDistances(edges, seeds, maxHops = 3)
+      .orderBy("node")
+  }
+
   /** Time-bucketed aggregation over order dates. */
   private def ordersMonthly(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -2568,6 +2589,8 @@ object SparkEntry {
     "incremental_rollup" -> incrementalRollup _,
     "link_prediction" -> linkPrediction _,
     "seq_patterns" -> seqPatterns _,
+    "attribution_last_touch" -> attributionLastTouch _,
+    "khop_distances" -> khopDistancesQuery _,
     "distinct_counts" -> distinctCounts _,
     "rollup_report" -> rollupReport _,
     "cube_report" -> cubeReport _,
@@ -4625,6 +4648,35 @@ object SparkEntry {
          FROM seq WHERE s1 IS NOT NULL AND s2 IS NOT NULL
          GROUP BY s0, s1, s2 HAVING count(*) >= 2
          ORDER BY support DESC, s0, s1, s2 LIMIT 50""",
+    "attribution_last_touch" ->
+      // cumulative max over STRICTLY preceding rows: ordCol is monotone,
+      // so max(preceding view ids) is the latest prior view
+      """WITH a AS (
+           SELECT user_id, event_id, event_type,
+                  max(CASE WHEN event_type = 'view' THEN event_id END)
+                    OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS touch_ord
+           FROM events)
+         SELECT user_id, event_id AS conv_ord, touch_ord
+         FROM a WHERE event_type = 'purchase' ORDER BY user_id, conv_ord""",
+    "khop_distances" ->
+      // min over all reachable (node, dist) tuples = BFS distance; the
+      // dist < 3 guard bounds the recursion
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+                     FROM items a JOIN items b
+                       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                     GROUP BY 1, 2 HAVING count(*) >= 2),
+              edges AS (SELECT u AS src, v AS dst FROM e0
+                        UNION ALL SELECT v, u FROM e0),
+              walk(node, dist) AS (
+                SELECT p_partkey, 0 FROM part WHERE p_partkey < 25
+                UNION
+                SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON e.src = w.node
+                WHERE w.dist < 3)
+         SELECT node, CAST(min(dist) AS BIGINT) AS dist
+         FROM walk GROUP BY node ORDER BY node""",
     "distinct_counts" ->
       """SELECT l_returnflag,
                 count(DISTINCT l_partkey) AS parts,

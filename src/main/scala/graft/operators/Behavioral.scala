@@ -217,4 +217,32 @@ object Behavioral {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
   }
+
+  /** Last-touch attribution: each conversion event claims the MOST
+    * RECENT preceding touch event within the same entity's timeline —
+    * the default credit-assignment rule of marketing/recommendation
+    * analytics ("which view led to this purchase"). Output: one row per
+    * conversion (entity, conversion ord, attributed touch ord, or null
+    * when the entity converted with no prior touch).
+    *
+    * The running "latest touch so far" is a cumulative `max(CASE)` over
+    * the entity window — `ordCol` is monotone within the window by
+    * definition, so max(preceding touch ords) IS the latest, with no
+    * IGNORE NULLS / last_value engine-dependence (every engine agrees
+    * on integer max). Same single-shuffle shape as [[transitionCounts]]:
+    * one keyed exchange for the window, per-entity sort bounded by that
+    * entity's history, then a filter to conversion rows — the output is
+    * |conversions|, never |events|. */
+  def lastTouchAttribution(
+      events: DataFrame, idCol: String, ordCol: String, typeCol: String,
+      touchType: String, convType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy(ordCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("touch_ord",
+        max(when(col(typeCol) === touchType, col(ordCol))).over(w))
+      .filter(col(typeCol) === convType)
+      .select(col(idCol), col(ordCol).as("conv_ord"), col("touch_ord"))
+  }
 }

@@ -273,4 +273,55 @@ object Graph {
       .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
       .select("a", "b", "n_common", "deg_a", "deg_b")
   }
+
+  /** Multi-source BFS: the exact hop distance from the nearest seed,
+    * up to `maxHops` — "everything within k hops of the flagged set"
+    * (contamination blast radius, spam neighborhoods, related-host
+    * expansion in corpus curation). Output: (node, dist) for every
+    * reached node, dist ∈ [0, maxHops]; unreached nodes are absent.
+    *
+    * Frontier-based, the textbook distributed BFS: round h joins ONLY
+    * the round-(h−1) frontier against the edge list and anti-joins the
+    * visited set, so total work is Σ |frontier_h ⋈ edges| — each edge is
+    * relaxed at most twice over the whole run (once per endpoint's
+    * first visit), NOT per round; a naive "join everything each round"
+    * re-relaxes the whole graph maxHops times. First visit = minimum
+    * distance by induction, so no min-aggregate pass is needed.
+    *
+    * 100 TB shape: per round one co-partitioned join (frontier ⋈ edges
+    * on the node key) and one anti-join against visited — both keyed
+    * exchanges, nothing broadcast unboundedly, nothing collected.
+    * `localCheckpoint` per round cuts the doubling lineage (the
+    * [[Dedup.connectedComponents]] discipline); the visited frame grows
+    * monotonically to ≤|nodes|. */
+  def khopDistances(
+      edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be non-negative: $maxHops")
+    val und = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint() // re-read every round
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = frontier.select(col("node").as("src"))
+        .join(und, Seq("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("dist"))
+        .localCheckpoint()
+      dist = dist.unionAll(next).localCheckpoint()
+      frontier = next
+      h += 1
+    }
+    dist
+  }
 }

@@ -504,6 +504,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "HashAggregate") >= 2, s"pair counts lost map-side combine:\n$p")
   }
 
+  test("attribution is one keyed window then filter: no join, no cartesian") {
+    val p = finalPlan("attribution_last_touch")
+    assert(count(p, "Window") >= 1)
+    assert(count(p, "Join") === 0, s"attribution must not join:\n$p")
+  }
+
+  test("khop BFS rounds stay keyed: no cartesian, no nested loop") {
+    val p = finalPlan("khop_distances")
+    assert(count(p, "CartesianProduct") === 0)
+    assert(count(p, "BroadcastNestedLoopJoin") === 0)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // The 100 TB lever for selective dim→fact joins that are too big to
     // broadcast: Spark's InjectRuntimeFilter builds a bloom filter from

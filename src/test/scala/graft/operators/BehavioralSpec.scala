@@ -171,4 +171,31 @@ class BehavioralSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(out.toSet === Set(("B", "A", 2L), ("A", "B", 2L)))
   }
+
+  test("lastTouchAttribution claims the latest strictly-preceding touch") {
+    val log = Seq(
+      (1L, 1L, "view"), (1L, 2L, "view"), (1L, 3L, "purchase"), // claims 2
+      (1L, 4L, "purchase"),                                     // still 2
+      (1L, 5L, "view"), (1L, 6L, "purchase"),                   // claims 5
+      (2L, 7L, "purchase"),                                     // no prior view
+      (3L, 8L, "view"))                                         // no conversion
+      .toDF("user_id", "event_id", "event_type")
+    val out = Behavioral.lastTouchAttribution(
+        log, "user_id", "event_id", "event_type", "view", "purchase")
+      .orderBy("user_id", "conv_ord").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq === Seq(
+      (1L, 3L, Some(2L)), (1L, 4L, Some(2L)), (1L, 6L, Some(5L)),
+      (2L, 7L, None)))
+  }
+
+  test("lastTouchAttribution never crosses entities") {
+    val log = Seq(
+      (1L, 1L, "view"), (2L, 2L, "purchase")) // user 2 can't claim user 1's view
+      .toDF("user_id", "event_id", "event_type")
+    val out = Behavioral.lastTouchAttribution(
+        log, "user_id", "event_id", "event_type", "view", "purchase")
+      .collect().map(r => (r.getLong(0), Option(r.get(2))))
+    assert(out.toSeq === Seq((2L, None)))
+  }
 }

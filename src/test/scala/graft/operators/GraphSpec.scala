@@ -215,6 +215,32 @@ class GraphSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("khopDistances is exact BFS: first visit wins, unreached absent") {
+    // path 1-2-3-4-5 plus shortcut 1-4: dist(4)=1 via the shortcut, not 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val out = Graph.khopDistances(edges, seeds, maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+  }
+
+  test("khopDistances multi-source takes the nearest seed; seeds off-graph stay dist 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val seeds = Seq(3L, 10L, 99L).toDF("node") // 99 is isolated
+    val out = Graph.khopDistances(edges, seeds, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      3L -> 0L, 10L -> 0L, 99L -> 0L,
+      2L -> 1L, 11L -> 1L, 1L -> 2L))
+  }
+
+  test("khopDistances maxHops 0 returns the seed set only") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = Graph.khopDistances(edges, Seq(Tuple1(1L)).toDF("node"), maxHops = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L))
+  }
+
   test("commonNeighborLinks hub cap bounds the emission deterministically") {
     // star: hub 0 adjacent to 1..6; cap 3 keeps neighbors {1,2,3}, so
     // only pairs among the 3 smallest survive with n_common 1.
