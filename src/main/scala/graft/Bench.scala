@@ -94,6 +94,42 @@ object Bench {
       approxQ(); results("approx_quantiles") = median3(approxQ())
     }
 
+    // Runtime bloom-filter join pruning, measured ON vs OFF on the same
+    // selective dim⋈fact shuffle join (broadcast disabled so the join
+    // matches the too-big-to-broadcast regime the feature exists for;
+    // thresholds matched to bench data — the defaults only engage above
+    // 10 GB scans, i.e. the 100 TB regime). PlanShapeSpec pins the
+    // injection itself; this records what it buys.
+    if (wanted("bloom_join_on") || wanted("bloom_join_off")) {
+      import org.apache.spark.sql.functions.col
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val saved = keys.map(k =>
+        k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null))
+      def run(): Unit = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .join(spark.read.parquet(s"$sfDir/orders.parquet")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        run(); results("bloom_join_on") = median3(run())
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        run(); results("bloom_join_off") = median3(run())
+      } finally saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
+    }
+
     // A scenario failure must not zero the whole artifact (round 7 lost
     // every number to one uncaught analysis error): record -1 for the
     // family, print the stack for the round log, keep going.

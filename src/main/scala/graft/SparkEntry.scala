@@ -1274,6 +1274,25 @@ object SparkEntry {
     Graph.pageRank(edges, iters = 5).orderBy("node")
   }
 
+  /** Personalized PageRank ([[Graph.personalizedPageRank]]) over the
+    * same purchase graph, seeded at customers 1-20 — "suppliers and
+    * customers important RELATIVE to this cohort", the related-entity
+    * expansion a global rank can't answer. Zero-rank (unreached) nodes
+    * filtered: the interesting output is the reached neighborhood. */
+  private def personalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val cs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    val edges = cs.unionAll(cs.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = t(s, dir, "customer").filter(col("c_custkey") <= 20)
+      .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+    Graph.personalizedPageRank(edges, seeds, iters = 5)
+      .filter(col("rank_fp") > 0)
+      .orderBy("node")
+  }
+
   /** Label-propagation communities ([[graft.operators.Graph
     * .labelPropagation]]) over the same customer–supplier purchase
     * graph as `purchase_pagerank`, 3 synchronous rounds with the
@@ -2591,6 +2610,7 @@ object SparkEntry {
     "seq_patterns" -> seqPatterns _,
     "attribution_last_touch" -> attributionLastTouch _,
     "khop_distances" -> khopDistancesQuery _,
+    "personalized_pagerank" -> personalizedPagerank _,
     "distinct_counts" -> distinctCounts _,
     "rollup_report" -> rollupReport _,
     "cube_report" -> cubeReport _,
@@ -2707,6 +2727,35 @@ object SparkEntry {
                   FROM n LEFT JOIN s$i ON n.node = s$i.dst)"""
     }.mkString(",\n")
     s"$base,\n$steps\nSELECT node, rank_fp FROM r5 ORDER BY node"
+  }
+
+  /** The personalized variant: same unrolled recurrence, reset mass on
+    * the seed indicator only, zero-rank rows filtered like the gate. */
+  private val pprOracle: String = {
+    val base =
+      """WITH e0 AS (SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                       's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+                     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+              eb AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+              deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                      FROM eb GROUP BY src),
+              e AS (SELECT eb.src, eb.dst, deg.outdeg FROM eb JOIN deg USING (src)),
+              n0 AS (SELECT src AS node FROM eb UNION SELECT dst FROM eb),
+              n AS (SELECT node,
+                      CASE WHEN node IN (SELECT 'c' || CAST(c_custkey AS VARCHAR)
+                                         FROM customer WHERE c_custkey <= 20)
+                        THEN 1 ELSE 0 END AS is_seed
+                    FROM n0),
+              r0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS rank_fp FROM n)"""
+    val steps = (1 to 5).map { i =>
+      s"""s$i AS (SELECT e.dst, sum(r.rank_fp // e.outdeg) AS inmass
+                  FROM e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst),
+          r$i AS (SELECT n.node,
+                    CAST((n.is_seed * 15 * 1000000 + 85 * COALESCE(s$i.inmass, 0)) // 100
+                      AS BIGINT) AS rank_fp
+                  FROM n LEFT JOIN s$i ON n.node = s$i.dst)"""
+    }.mkString(",\n")
+    s"$base,\n$steps\nSELECT node, rank_fp FROM r5 WHERE rank_fp > 0 ORDER BY node"
   }
 
   /** Shared CTE chain for the PQ gates: double-cast embeddings, the
@@ -3135,6 +3184,7 @@ object SparkEntry {
          SELECT doc_id, status, old_hash, new_hash
          FROM st WHERE status <> 'unchanged' ORDER BY doc_id""",
     "purchase_pagerank" -> pagerankOracle,
+    "personalized_pagerank" -> pprOracle,
     "label_communities" -> lpaOracle,
     "hashed_tf" ->
       // the same md5 bucket/sign arithmetic as Spark: '0x'||hex → BIGINT

@@ -67,6 +67,55 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (topic-sensitive PageRank, Haveliwala
+    * WWW'02): the same fixed-point integer recurrence as [[pageRank]],
+    * but ALL reset mass returns to the SEED set — scores become
+    * "importance relative to the seeds", the related-item/related-host
+    * expansion that a global rank can't express (a globally central hub
+    * scores high everywhere; PPR only ranks it high if it's reachable
+    * from the seeds). Init: rank = Scale on seeds, 0 elsewhere; step:
+    * {{{
+    *   rank_fp'(v) = (seed(v)·15·Scale + 85·Σ contrib) div 100
+    * }}}
+    * All-integer, bit-identical across engines; the oracle unrolls the
+    * same recurrence. Unreached nodes legitimately hold rank 0 and are
+    * kept (the caller filters).
+    *
+    * 100 TB shape: identical to [[pageRank]] — per iteration one keyed
+    * join of the pinned edge frame against ranks and one aggregation
+    * onto dst, plus a broadcast-sized seed-indicator join folded into
+    * the node frame ONCE up front; per-iteration `localCheckpoint` cuts
+    * the doubling lineage. */
+  def personalizedPageRank(
+      edges: DataFrame, seeds: DataFrame, iters: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = e0.join(deg, Seq("src")).localCheckpoint() // re-read every iteration
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node")))
+      .distinct()
+      .join(seedSet.withColumn("is_seed", lit(1L)), Seq("node"), "left")
+      .na.fill(0L, Seq("is_seed"))
+      .localCheckpoint() // re-read every iteration (carries the seed bit)
+    var ranks = nodes.select(col("node"), (col("is_seed") * Scale).as("rank_fp"))
+    for (_ <- 1 to iters) {
+      val inbound = e.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank_fp div outdeg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("inmass"))
+      ranks = nodes
+        .join(inbound, col("node") === col("dst"), "left")
+        .select(col("node"),
+          expr(s"(is_seed * 15 * $Scale + 85 * coalesce(inmass, 0L)) div 100")
+            .as("rank_fp"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Exact per-node triangle counts on an undirected simple graph, via
     * the DEGREE-ORDERED wedge enumeration (the node-iterator of Suri &
     * Vassilvitskii, WWW'11 "Counting triangles and the curse of the last
