@@ -877,6 +877,22 @@ object SparkEntry {
         touchType = "view", convType = "purchase")
       .orderBy("user_id", "conv_ord")
 
+  /** Exact rolling 7-day distinct actives
+    * ([[Behavioral.rollingActiveUsers]]): DAU + trailing-week actives
+    * per day, via forward event replication (no windowed DISTINCT). */
+  private def rollingActives(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Behavioral.rollingActiveUsers(
+        eventsNs(s, dir).withColumn("day", expr("ts div 86400000000000")),
+        "user_id", "day", window = 7)
+      .orderBy("day")
+
+  /** RFM segmentation ([[Behavioral.rfmScores]]): quintile-scored
+    * recency/frequency/monetary per user over the events table. */
+  private def rfmScoresQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Behavioral.rfmScores(t(s, dir, "events"),
+        "user_id", "event_id", "value", tiles = 5)
+      .orderBy("user_id")
+
   /** Multi-source BFS ([[Graph.khopDistances]]): hop distance from the
     * flagged seed parts (p_partkey < 25) through the co-purchase graph,
     * up to 3 hops — the contamination blast-radius query. */
@@ -2611,6 +2627,8 @@ object SparkEntry {
     "attribution_last_touch" -> attributionLastTouch _,
     "khop_distances" -> khopDistancesQuery _,
     "personalized_pagerank" -> personalizedPagerank _,
+    "rfm_scores" -> rfmScoresQuery _,
+    "rolling_actives" -> rollingActives _,
     "distinct_counts" -> distinctCounts _,
     "rollup_report" -> rollupReport _,
     "cube_report" -> cubeReport _,
@@ -4710,6 +4728,38 @@ object SparkEntry {
            FROM events)
          SELECT user_id, event_id AS conv_ord, touch_ord
          FROM a WHERE event_type = 'purchase' ORDER BY user_id, conv_ord""",
+    "rfm_scores" ->
+      // ntile over (metric, user_id): total orders, so the tiling is
+      // deterministic on both engines; monetary ranks on the EXACT
+      // decimal, and only the output column is cast to double
+      """WITH u AS (SELECT user_id,
+                      max(event_id) AS recency,
+                      count(*) AS frequency,
+                      sum(CAST(value AS DECIMAL(30,6))) AS monetary
+                    FROM events GROUP BY user_id),
+              s AS (SELECT user_id, recency, frequency, monetary,
+                      ntile(5) OVER (ORDER BY recency, user_id) AS r_score,
+                      ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+                      ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
+                    FROM u)
+         SELECT user_id, recency, CAST(frequency AS BIGINT) AS frequency,
+                CAST(monetary AS DOUBLE) AS monetary,
+                CAST(r_score AS BIGINT) AS r_score,
+                CAST(f_score AS BIGINT) AS f_score,
+                CAST(m_score AS BIGINT) AS m_score,
+                CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+         FROM s ORDER BY user_id""",
+    "rolling_actives" ->
+      // each event contributes to the 7 trailing windows it falls in;
+      // day = micros // 86400e6 matches Spark's nanos div 86400e9
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+              dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM e GROUP BY day),
+              w AS (SELECT unnest(range(day, day + 7)) AS wday, user_id FROM e),
+              roll AS (SELECT wday AS day, count(DISTINCT user_id) AS rolling
+                       FROM w GROUP BY wday)
+         SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+                CAST(roll.rolling AS BIGINT) AS rolling
+         FROM dau JOIN roll USING (day) ORDER BY day""",
     "khop_distances" ->
       // min over all reachable (node, dist) tuples = BFS distance; the
       // dist < 3 guard bounds the recursion

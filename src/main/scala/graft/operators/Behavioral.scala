@@ -245,4 +245,70 @@ object Behavioral {
       .filter(col(typeCol) === convType)
       .select(col(idCol), col(ordCol).as("conv_ord"), col("touch_ord"))
   }
+
+  /** RFM segmentation (recency / frequency / monetary, the classic
+    * direct-marketing scoring): per entity, the newest activity marker,
+    * event count, and exact-decimal spend, each quantile-scored into
+    * `tiles` buckets, composed into the familiar three-digit segment
+    * code (r·100 + f·10 + m). Ties are broken by the entity id inside
+    * every ordering, so the tiling is a total order and both engines
+    * agree bucket-for-bucket.
+    *
+    * Shape: ONE corpus-sized keyed aggregation (map-side combined)
+    * collapses events to the |entities| frame; the three `ntile`
+    * windows then run over that reduced frame — a single-partition sort
+    * of |entities| rows, the same reduced-frame trade every rank-rule
+    * gate documents (entities ≪ events by orders of magnitude; when
+    * even |entities| outgrows one partition, the exact-quantile
+    * bisection in Stats.exactQuantilesBisect supplies the cut points
+    * distributively). */
+  def rfmScores(
+      events: DataFrame, idCol: String, ordCol: String, valueCol: String,
+      tiles: Int = 5): DataFrame = {
+    require(tiles >= 2, s"tiles must be >= 2: $tiles")
+    import org.apache.spark.sql.expressions.Window
+    val u = events.groupBy(col(idCol))
+      .agg(
+        max(col(ordCol)).as("recency"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("decimal(30,6)")).as("monetary"))
+    def tile(metric: String) =
+      ntile(tiles).over(Window.orderBy(col(metric), col(idCol))).cast("long")
+    u.select(col(idCol), col("recency"), col("frequency"),
+        col("monetary").cast("double").as("monetary"),
+        tile("recency").as("r_score"),
+        tile("frequency").as("f_score"),
+        tile("monetary").as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+  }
+
+  /** Exact rolling distinct actives (DAU/WAU-style): per day, the
+    * distinct entities active THAT day and within the trailing
+    * `window`-day range — exact, not sketched. The naive windowed
+    * COUNT(DISTINCT) needs per-day state of every id seen in the range
+    * (engines reject it outright over window frames); instead each
+    * event CONTRIBUTES FORWARD to the `window` day-windows it falls in
+    * (`explode(sequence(day, day+window−1))`), turning the rolling
+    * distinct into a plain per-key distinct aggregate.
+    *
+    * Shape: one `window`× row replication (the explode is the cost —
+    * linear, bounded, and the dial), then two distinct aggregations
+    * that partial-aggregate map-side; the join uniting them runs on the
+    * |days| frame. At 100 TB the replication factor is the window
+    * length, not the data — 7× for WAU, 30× for MAU; beyond that,
+    * sketch (HLL) or bitmap indexes are the documented fallback, traded
+    * exactness and all. Only days that actually occur are emitted. */
+  def rollingActiveUsers(
+      events: DataFrame, idCol: String, dayCol: String, window: Int = 7): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val base = events.select(col(dayCol).as("day"), col(idCol).as("uid"))
+    val dau = base.groupBy("day").agg(count_distinct(col("uid")).as("dau"))
+    val rolling = base
+      .select(explode(sequence(col("day"), col("day") + lit(window - 1))).as("day"),
+        col("uid"))
+      .groupBy("day").agg(count_distinct(col("uid")).as("rolling"))
+    dau.join(rolling, Seq("day"))
+      .select(col("day"), col("dau"), col("rolling"))
+  }
 }

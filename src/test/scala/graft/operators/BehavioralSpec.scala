@@ -189,6 +189,42 @@ class BehavioralSpec extends AnyFunSuite {
       (2L, 7L, None)))
   }
 
+  test("rfmScores tiles each metric independently with id tiebreaks") {
+    // 4 users, 2 tiles: recency order = (1,2,3,4) by max ord;
+    // frequency: u1=3,u2=2,u3=1,u4=1 → order (3,4,1,2) wait — ascending
+    // (u3,u4) tie broken by id; monetary ascending likewise
+    val log = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 10.0), (1L, 3L, 10.0), // r=3 f=3 m=30
+      (2L, 4L, 1.0), (2L, 5L, 1.0),                   // r=5 f=2 m=2
+      (3L, 6L, 100.0),                                // r=6 f=1 m=100
+      (4L, 7L, 50.0))                                 // r=7 f=1 m=50
+      .toDF("user_id", "event_id", "value")
+    val out = Behavioral.rfmScores(log, "user_id", "event_id", "value", tiles = 2)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("r_score"),
+        r.getAs[Long]("f_score"), r.getAs[Long]("m_score"), r.getAs[Long]("rfm")))
+    // recency asc: u1(3) u2(5) | u3(6) u4(7) → r: 1,1,2,2
+    // frequency asc with id tiebreak: u3(1) u4(1) | u2(2) u1(3) → f: u3=1,u4=1,u2=2,u1=2
+    // monetary asc: u2(2) u1(30) | u4(50) u3(100) → m: u2=1,u1=1,u4=2,u3=2
+    assert(out.toSeq === Seq(
+      (1L, 1L, 2L, 1L, 121L),
+      (2L, 1L, 2L, 1L, 121L),
+      (3L, 2L, 1L, 2L, 212L),
+      (4L, 2L, 1L, 2L, 212L)))
+  }
+
+  test("rollingActiveUsers: trailing window distinct, only occurring days emitted") {
+    // days 1,2,9: user 1 active on 1&2, user 2 on 2, user 3 on 9.
+    // window 3: day 1 ← {1}; day 2 ← days 0-2 = {1,2}; day 9 ← {3}.
+    // days 3,4 (would-be windows with no own activity) are not emitted.
+    val log = Seq((1L, 1L), (1L, 2L), (2L, 2L), (3L, 9L), (1L, 1L))
+      .toDF("uid", "day")
+    val out = Behavioral.rollingActiveUsers(log, "uid", "day", window = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 1L, 1L), (2L, 2L, 2L), (9L, 1L, 1L)))
+  }
+
   test("lastTouchAttribution never crosses entities") {
     val log = Seq(
       (1L, 1L, "view"), (2L, 2L, "purchase")) // user 2 can't claim user 1's view
