@@ -2487,6 +2487,144 @@ object SparkEntry {
       .orderBy("rank")
 
   // ==================================================================
+  // Round-8 family: CDC replay, validation, interpolation, journeys,
+  // skew/scaling/growth diagnostics, privacy diversity, unpivot
+  // ==================================================================
+
+  /** The events table viewed as a CDC feed: `click` = delete, every
+    * other type upserts the event's value; event_id is the total log
+    * order. */
+  private def cdcLog(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("user_id"), col("event_id"),
+      when(col("event_type") === "click", "d").otherwise("u").as("op"),
+      col("value"))
+
+  /** CDC snapshot ([[graft.operators.Cdc.applyChangeLog]]): the change
+    * history collapsed to current state — newest row per user decides
+    * existence and value, no per-batch loop, one keyed shuffle. */
+  private def cdcApply(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cdc.applyChangeLog(cdcLog(s, dir),
+        keyCols = Seq("user_id"), orderCols = Seq("event_id"), opCol = "op")
+      .orderBy("user_id")
+
+  /** CDC feed health ([[graft.operators.Cdc.churnStats]]): per-key
+    * change/delete counts + liveness in ONE partial-aggregable pass
+    * (newest op via max-of-struct, no window). */
+  private def cdcChurn(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cdc.churnStats(cdcLog(s, dir),
+        keyCols = Seq("user_id"), orderCols = Seq("event_id"), opCol = "op")
+      .orderBy("user_id")
+
+  /** Declarative batch-promotion audit ([[graft.operators.Validation]]):
+    * five row rules in ONE orders/lineitem scan each, a key-uniqueness
+    * rule, and an orders←lineitem referential probe — all through the
+    * same (rule, n_checked, n_violations) schema. */
+  private def dataValidation(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Validation
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val orderRules = Validation.report(o, Seq(
+      Validation.Rule("orders_price_positive", col("o_totalprice") > 0.0),
+      Validation.Rule("orders_date_present", col("o_orderdate").isNotNull),
+      Validation.Rule("orders_status_domain",
+        col("o_orderstatus").isin("O", "F", "P"))))
+    val lineRules = Validation.report(li, Seq(
+      Validation.Rule("lineitem_discount_band",
+        col("l_discount") >= 0.0 && col("l_discount") <= 0.1),
+      Validation.Rule("lineitem_qty_band",
+        col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0)))
+    orderRules
+      .unionByName(lineRules)
+      .unionByName(Validation.uniqueReport(o, "orders_key_unique", Seq("o_orderkey")))
+      .unionByName(Validation.fkReport(li, "lineitem_fk_orders", "l_orderkey", o, "o_orderkey"))
+      .orderBy("rule")
+  }
+
+  /** Hourly LINEAR-interpolation grid ([[graft.operators.Resample
+    * .interpGrid]]) of each user's value — the continuous-signal
+    * counterpart of `resample_locf`, same keyed-only exchanges; gap
+    * buckets take the fixed-shape IEEE interpolation both engines
+    * evaluate identically. */
+  private def resampleInterp(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Resample.interpGrid(
+        eventsNs(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        "user_id", "ts", "value", "event_id",
+        step = 3600L * 1000000000L)
+      .orderBy("user_id", "bucket")
+
+  /** Top user journeys ([[graft.operators.Behavioral.conversionPaths]]):
+    * 30-minute-gap sessions rendered as ordered `>`-joined type paths,
+    * counted corpus-wide, top 50. */
+  private def conversionPathsQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Behavioral.conversionPaths(eventsNs(s, dir),
+      "user_id", "ts", "event_id", "event_type",
+      gap = 1800L * 1000000000L, topK = 50)
+
+  /** Key-skew diagnostic ([[graft.operators.Stats.keySkewReport]]) over
+    * the order⋈lineitem join key: per power-of-two bucket of rows-per-
+    * key, how many keys / rows / the hottest key — the pre-join report
+    * that decides salting. */
+  private def skewReport(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.keySkewReport(t(s, dir, "lineitem"), Seq("l_orderkey"))
+      .orderBy("log2_bucket")
+
+  /** Exact-moment z-score standardization ([[graft.operators.Stats
+    * .standardize]]) of extended price within return flag — decimal
+    * moments, one broadcast back, projection-only scaling. */
+  private def featureScaling(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.standardize(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice", scale = 2)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "z")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Week-over-week revenue growth ([[graft.operators.Stats
+    * .periodGrowth]]): per order status, weekly revenue in exact micros
+    * with integer-ppm growth vs the previous week — the lag window runs
+    * on the |status|·|weeks| aggregate, never the fact rows. */
+  private def wowGrowth(s: SparkSession, dir: String): DataFrame = {
+    val weekly = t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 604800000000").as("week"))
+      .agg((sum(col("o_totalprice").cast("decimal(30,6)")) * 1000000L)
+        .cast("long").as("rev_micros"))
+    graft.operators.Stats.periodGrowth(weekly, "o_orderstatus", "week", "rev_micros")
+      .orderBy("o_orderstatus", "week")
+  }
+
+  /** Distinct l-diversity audit ([[graft.operators.Pii
+    * .lDiversityClasses]]) of the customer release: QI =
+    * (nation, market segment), sensitive = account-balance band —
+    * classes where every member shares a band fail l=3 and leak. */
+  private def lDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pii.lDiversityClasses(
+        t(s, dir, "customer")
+          // +1000 shift keeps the band operand positive: floor/÷ agree
+          // across engines only above zero (DuckDB floors negative //,
+          // Spark's div truncates)
+          .withColumn("bal_band", expr("floor(c_acctbal + 1000.0d) div 2000")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3)
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** Wide→long UNPIVOT (Spark's native `unpivot`/melt, Catalyst Expand
+    * under the hood — same zero-shuffle single pass as ROLLUP): the
+    * per-flag pricing rollup melted to (flag, metric, value) for
+    * metric-generic downstream consumers. */
+  private def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_discount")).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+
+  // ==================================================================
   // Registry
   // ==================================================================
 
@@ -2663,6 +2801,16 @@ object SparkEntry {
     "media_fingerprint_dups" -> mediaFingerprintDups _,
     "video_content_dups" -> videoContentDupsGate _,
     "bpe_merges" -> bpeMerges _,
+    "cdc_apply" -> cdcApply _,
+    "cdc_churn" -> cdcChurn _,
+    "data_validation" -> dataValidation _,
+    "resample_interp" -> resampleInterp _,
+    "conversion_paths" -> conversionPathsQuery _,
+    "skew_report" -> skewReport _,
+    "feature_scaling" -> featureScaling _,
+    "wow_growth" -> wowGrowth _,
+    "l_diversity" -> lDiversity _,
+    "unpivot_metrics" -> unpivotMetrics _,
   )
 
   /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
@@ -5206,5 +5354,210 @@ object SparkEntry {
                      FROM grp g JOIN lens l ON g.doc_id = l.doc_id)
          SELECT group_id, doc_id AS keep_id, len AS keep_len, n_members
          FROM ranked WHERE rn = 1 ORDER BY group_id""",
+    "cdc_apply" ->
+      // Cdc.applyChangeLog: newest log row per key decides existence
+      // (delete ⇒ absent) and carries the final values
+      """WITH log AS (
+           SELECT user_id, event_id,
+                  CASE WHEN event_type = 'click' THEN 'd' ELSE 'u' END AS op,
+                  value
+           FROM events),
+              latest AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           FROM log)
+         SELECT user_id, event_id, value
+         FROM latest WHERE rn = 1 AND op <> 'd' ORDER BY user_id""",
+    "cdc_churn" ->
+      // Cdc.churnStats: single-pass per-key change/delete counts +
+      // liveness (newest op via arg_max on the total log order)
+      """SELECT user_id,
+                CAST(count(*) AS BIGINT) AS n_changes,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_deletes,
+                arg_max(CASE WHEN event_type = 'click' THEN 'd' ELSE 'u' END,
+                        event_id) <> 'd' AS exists
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "data_validation" ->
+      // Validation.report / uniqueReport / fkReport: one aggregate per
+      // rule family, all through (rule, n_checked, n_violations)
+      """SELECT * FROM (
+           SELECT 'orders_price_positive' AS rule,
+                  CAST(count(*) AS BIGINT) AS n_checked,
+                  CAST(sum(CASE WHEN coalesce(o_totalprice > 0.0, FALSE)
+                                THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+           FROM orders
+           UNION ALL
+           SELECT 'orders_date_present', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'orders_status_domain', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'lineitem_discount_band', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1
+                                THEN 0 ELSE 1 END) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'lineitem_qty_band', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 50.0
+                                THEN 0 ELSE 1 END) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'orders_key_unique', CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1)
+           UNION ALL
+           SELECT 'lineitem_fk_orders',
+                  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+                  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+         ) ORDER BY rule""",
+    "resample_interp" ->
+      // Resample.interpGrid: the locf grid construction, gaps filled by
+      // the SAME fixed-shape IEEE interpolation expression
+      """WITH obs AS (
+           SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+                  epoch_us(ts) AS us, event_id, value
+           FROM events),
+              lastb AS (
+           SELECT user_id, bucket, value FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY user_id, bucket
+               ORDER BY us DESC, event_id DESC) AS rn
+             FROM obs) WHERE rn = 1),
+              grid AS (
+           SELECT user_id, unnest(generate_series(lo, hi)) AS bucket
+           FROM (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+                 FROM obs GROUP BY user_id)),
+              j AS (
+           SELECT g.user_id, g.bucket, l.value
+           FROM grid g LEFT JOIN lastb l
+             ON g.user_id = l.user_id AND g.bucket = l.bucket),
+              f AS (
+           SELECT user_id, bucket, value,
+             last_value(CASE WHEN value IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+             last_value(value IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             first_value(CASE WHEN value IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb,
+             first_value(value IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+           FROM j)
+         SELECT user_id, bucket,
+                CASE WHEN value IS NOT NULL THEN value
+                     ELSE pv + (nv - pv) *
+                          (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+                END AS value
+         FROM f ORDER BY user_id, bucket""",
+    "conversion_paths" ->
+      // Behavioral.conversionPaths: gap sessionization (lag + cumulative
+      // starts), ordered string_agg per session, global path counts.
+      // Gap compares micros (Spark side: nanos = micros·1000, identical)
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+              s AS (
+           SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+           FROM (SELECT *, lag(us) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e)),
+              sess AS (
+           SELECT *, sum(new_s) OVER (
+             PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM s),
+              paths AS (
+           SELECT user_id, session_seq,
+                  string_agg(event_type, '>' ORDER BY us, event_id) AS path
+           FROM sess GROUP BY user_id, session_seq)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         FROM paths GROUP BY path
+         ORDER BY n_sessions DESC, path LIMIT 50""",
+    "skew_report" ->
+      // Stats.keySkewReport: per-key counts → power-of-two buckets via
+      // binary-string length (floor(log2) exactly, both engines)
+      """WITH pk AS (
+           SELECT l_orderkey, count(*) AS n_rows FROM lineitem GROUP BY 1)
+         SELECT CAST(length(bin(n_rows)) - 1 AS BIGINT) AS log2_bucket,
+                CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(n_rows) AS BIGINT) AS total_rows,
+                CAST(max(n_rows) AS BIGINT) AS max_key_rows
+         FROM pk GROUP BY 1 ORDER BY log2_bucket""",
+    "feature_scaling" ->
+      // Stats.standardize: exact decimal moments (18,2 — products stay
+      // inside both engines' 38-digit decimals), one fixed-shape IEEE
+      // finishing expression
+      """WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+                  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s1,
+                  sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(l_extendedprice AS DECIMAL(18,2))) AS s2
+           FROM lineitem GROUP BY 1),
+              mm AS (
+           SELECT l_returnflag,
+                  CAST(s1 AS DOUBLE) / n AS mean,
+                  greatest((CAST(s2 AS DOUBLE) -
+                            CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n,
+                           0.0) AS var
+           FROM m)
+         SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                CASE WHEN mm.var > 0.0
+                     THEN (CAST(l.l_extendedprice AS DOUBLE) - mm.mean) / sqrt(mm.var)
+                     ELSE 0.0 END AS z
+         FROM lineitem l JOIN mm ON l.l_returnflag = mm.l_returnflag
+         ORDER BY l.l_orderkey, l.l_linenumber""",
+    "wow_growth" ->
+      // Stats.periodGrowth: weekly micros revenue, integer-ppm growth;
+      // the sign split keeps the ÷ positive so floor (DuckDB) and
+      // truncate (Spark) agree
+      """WITH weekly AS (
+           SELECT o_orderstatus,
+                  epoch_us(o_orderdate) // 604800000000 AS week,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) * 1000000 AS BIGINT)
+                    AS rev_micros
+           FROM orders GROUP BY 1, 2),
+              g AS (
+           SELECT *, lag(rev_micros) OVER (
+             PARTITION BY o_orderstatus ORDER BY week) AS prev_micros
+           FROM weekly)
+         SELECT o_orderstatus, week, rev_micros, prev_micros,
+                CASE WHEN prev_micros IS NOT NULL AND prev_micros > 0
+                     THEN CAST(CASE WHEN rev_micros >= prev_micros THEN 1
+                                    WHEN rev_micros < prev_micros THEN -1 END AS BIGINT) *
+                          CAST((CAST(abs(rev_micros - prev_micros) AS HUGEINT)
+                                * 1000000) // prev_micros AS BIGINT)
+                END AS growth_ppm
+         FROM g ORDER BY o_orderstatus, week""",
+    "l_diversity" ->
+      // Pii.lDiversityClasses: per-QI-class size + distinct sensitive
+      // bands; +1000 shift keeps the band arithmetic positive
+      """SELECT c_nationkey, c_mktsegment,
+                CAST(count(*) AS BIGINT) AS class_size,
+                CAST(count(DISTINCT bal_band) AS BIGINT) AS n_sensitive,
+                count(DISTINCT bal_band) >= 3 AS diverse
+         FROM (SELECT c_nationkey, c_mktsegment,
+                      CAST(floor(c_acctbal + 1000.0) AS BIGINT) // 2000 AS bal_band
+               FROM customer)
+         GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment""",
+    "unpivot_metrics" ->
+      // Spark's native unpivot (Expand) melted rollup = UNION ALL
+      """WITH a AS (
+           SELECT l_returnflag,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+                  CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc
+           FROM lineitem GROUP BY 1)
+         SELECT * FROM (
+           SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+           UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+           UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+         ) ORDER BY l_returnflag, metric""",
   )
 }

@@ -299,6 +299,39 @@ object Behavioral {
     * length, not the data — 7× for WAU, 30× for MAU; beyond that,
     * sketch (HLL) or bitmap indexes are the documented fallback, traded
     * exactness and all. Only days that actually occur are emitted. */
+  /** Top session paths: sessionize each entity's timeline by an
+    * inactivity gap (the [[graft.streaming.EventTimeOps.sessionizeBatch]]
+    * islands rule — lag + cumulative session starts), render each
+    * session's ordered event types as one `>`-joined path string, and
+    * count sessions per path — the journey/Sankey report behind "what
+    * do users actually do before converting".
+    *
+    * Shape: one shuffle on the entity key; the session window sorts are
+    * bounded per entity; the path render is `collect_list` inside the
+    * (entity, session) aggregate — bounded by session length, which the
+    * gap DEFINES as bounded (a session longer than memory is a
+    * sessionization bug, not an operator problem); the final path count
+    * partial-aggregates to |distinct paths| rows. Order inside a
+    * session is made total with the tiebreak column so replays render
+    * identical strings. */
+  def conversionPaths(
+      events: DataFrame, idCol: String, tsCol: String, tieCol: String,
+      typeCol: String, gap: Long, topK: Int = 50): DataFrame = {
+    require(gap > 0 && topK > 0, s"gap and topK must be positive: $gap, $topK")
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy(idCol).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("_prev", lag(col(tsCol), 1).over(byTime))
+      .withColumn("_new", (col("_prev").isNull || col(tsCol) - col("_prev") > gap).cast("long"))
+      .withColumn("_session", sum(col("_new")).over(byTime))
+      .groupBy(col(idCol), col("_session"))
+      .agg(concat_ws(">", collect_list(col(typeCol))).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
   def rollingActiveUsers(
       events: DataFrame, idCol: String, dayCol: String, window: Int = 7): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")

@@ -117,4 +117,23 @@ object Pii {
       kAnonymityClasses(df, qiCols, k).filter(!col("suppressed"))
         .select(qiCols.map(col): _*),
       qiCols)
+
+  /** Distinct l-diversity audit (Machanavajjhala et al., ICDE'06): a
+    * k-anonymous class still leaks when every member shares the same
+    * SENSITIVE value — homogeneity attack. Per QI class: size, number
+    * of distinct sensitive values, and whether it fails `l` (fewer than
+    * `l` distinct sensitive values ⇒ the release must generalize
+    * further). Same single QI-keyed shuffle as [[kAnonymityClasses]];
+    * the distinct-count partial-aggregates map-side, so the exchange
+    * carries (class, value) pairs at worst — bounded by the release's
+    * distinct surface, not its row count. */
+  def lDiversityClasses(
+      df: DataFrame, qiCols: Seq[String], sensitiveCol: String, l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+  }
 }

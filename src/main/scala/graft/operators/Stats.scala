@@ -402,4 +402,91 @@ object Stats {
     }
     rows.toDF("p_ppm", "value", "n_rows")
   }
+
+  /** Key-skew diagnostic: the per-key row-count distribution collapsed
+    * to power-of-two buckets — the report that tells you BEFORE a join
+    * whether a key needs salting ([[SkewJoin]]) or hot-key routing
+    * ([[graft.operators.FuzzyJoin]]'s hybrid), and after one whether
+    * the straggler was data or scheduling. Per bucket (⌊log₂ count⌋):
+    * how many keys, how many rows they carry, and the largest key's
+    * count. Two aggregations, both partial-aggregable: the first
+    * shuffles (key, count) — the same exchange any join on the key
+    * would pay — the second reduces |keys| rows to ≤64 buckets.
+    * `width_bucket`-free: the bucket is integer bit-length, exact in
+    * any engine as `floor(log2)` via repeated comparison-free shifts. */
+  def keySkewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val perKey = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n_rows"))
+    // floor(log2(n)) for n ≥ 1 ≡ 63 - numberOfLeadingZeros ≡ bit_length - 1;
+    // expressed portably as length of the binary string minus 1
+    val bucket = (length(conv(col("n_rows").cast("string"), 10, 2)) - 1).cast("long")
+    perKey.groupBy(bucket.as("log2_bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("n_rows")).as("total_rows"),
+        max(col("n_rows")).as("max_key_rows"))
+  }
+
+  /** Per-group z-score standardization with EXACT moments: mean and
+    * variance come from decimal sum / sum-of-squares (no float
+    * accumulation order to diverge between engines or between partial
+    * and final aggregation), converted to double only at the final
+    * `(x − mean) / sqrt(var)` — one fixed-shape IEEE expression both
+    * engines evaluate identically. Population variance
+    * (Σx² − (Σx)²/n) / n, guarded to 0 by `greatest` against negative
+    * rounding residue. Values are taken at `scale` decimal digits
+    * (inputs are expected at fixed precision — prices, ratios).
+    *
+    * Shape: one groupBy shuffle reducing to |groups| moment rows, which
+    * BROADCAST back onto the data — the fact side shuffles zero times
+    * beyond its scan, the standardization itself is a projection. */
+  def standardize(
+      df: DataFrame, groupCol: String, valueCol: String,
+      scale: Int = 2): DataFrame = {
+    // decimal(18): the product decimal(37) stays inside BOTH Spark's and
+    // DuckDB's 38-digit ceiling (38×38 products overflow DuckDB outright)
+    val v = col(valueCol).cast(s"decimal(18,$scale)")
+    val moments = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"),
+        sum(v).as("_s1"),
+        sum(v * v).as("_s2"))
+      .select(col(groupCol),
+        (col("_s1").cast("double") / col("_n")).as("_mean"),
+        greatest(
+          (col("_s2").cast("double") -
+            col("_s1").cast("double") * col("_s1").cast("double") / col("_n")) / col("_n"),
+          lit(0.0)).as("_var"))
+    df.join(broadcast(moments), Seq(groupCol))
+      .withColumn("z",
+        when(col("_var") > 0.0,
+          (col(valueCol).cast("double") - col("_mean")) / sqrt(col("_var")))
+          .otherwise(lit(0.0)))
+      .drop("_mean", "_var")
+  }
+
+  /** Period-over-period growth in exact parts-per-million: per group,
+    * each period's value next to the previous period's, with
+    * `growth_ppm = (cur − prev) · 10⁶ div |prev|` in pure integer
+    * arithmetic over micro-unit values (the week-over-week /
+    * month-over-month revenue report, exact enough to hash-compare
+    * across engines). One window pass over the ALREADY-AGGREGATED
+    * per-(group, period) frame — |groups|·|periods| rows, never the
+    * fact table; callers aggregate first, which is where the single
+    * data-sized shuffle lives. */
+  def periodGrowth(
+      agg: DataFrame, groupCol: String, periodCol: String,
+      valueMicrosCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(periodCol))
+    val diff = col(valueMicrosCol) - col("prev_micros")
+    agg.withColumn("prev_micros", lag(col(valueMicrosCol), 1).over(w))
+      .withColumn("growth_ppm",
+        when(col("prev_micros").isNotNull && col("prev_micros") > 0L,
+          // sign split keeps the integer division POSITIVE on both
+          // engines (truncating ÷ of positives agrees everywhere;
+          // negative `div` truncates in Spark but floors in DuckDB);
+          // the ·10⁶ blowup runs in decimal(38) — |diff| can reach 10¹³
+          // micros, ×10⁶ overflows a long (ANSI mode throws)
+          signum(diff).cast("long") *
+            expr(s"(cast(abs(`$valueMicrosCol` - prev_micros) as decimal(38,0))" +
+              " * 1000000) div prev_micros")))
+  }
 }

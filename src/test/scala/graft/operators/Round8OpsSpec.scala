@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed fixtures for the round-8 family: CDC replay, declarative
+  * validation, linear-interpolation resampling, session paths, skew
+  * buckets, z-score standardization, period growth, l-diversity. */
+class Round8OpsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("applyChangeLog: newest row wins, deletes remove, reinsert resurrects") {
+    val log = Seq(
+      // key 1: insert, update → final value 20
+      (1L, 1L, "u", 10.0), (1L, 3L, "u", 20.0),
+      // key 2: insert then delete → absent
+      (2L, 2L, "u", 5.0), (2L, 4L, "d", 0.0),
+      // key 3: delete then REINSERT → present with 7
+      (3L, 5L, "d", 0.0), (3L, 6L, "u", 7.0)
+    ).toDF("k", "ord", "op", "v")
+    val out = Cdc.applyChangeLog(log, Seq("k"), Seq("ord"), "op")
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert(out === Map(1L -> 20.0, 3L -> 7.0))
+  }
+
+  test("churnStats counts changes/deletes and derives liveness from the newest op") {
+    val log = Seq(
+      (1L, 1L, "u"), (1L, 2L, "d"), (1L, 3L, "u"),
+      (2L, 4L, "u"), (2L, 5L, "d")
+    ).toDF("k", "ord", "op").withColumn("v", lit(0.0))
+    val out = Cdc.churnStats(log, Seq("k"), Seq("ord"), "op")
+      .select("k", "n_changes", "n_deletes", "exists")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 3L, 1L, true)))
+    assert(out(2L) === ((2L, 2L, 1L, false)))
+  }
+
+  test("validation report: one row per rule, nulls count as violations") {
+    val df = Seq[(java.lang.Double, String)](
+      (1.0, "O"), (-2.0, "F"), (null, "X")
+    ).toDF("price", "status")
+    val out = Validation.report(df, Seq(
+      Validation.Rule("price_pos", col("price") > 0.0),
+      Validation.Rule("status_dom", col("status").isin("O", "F"))))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("price_pos") === ((3L, 2L))) // -2 violates, null violates
+    assert(out("status_dom") === ((3L, 1L)))
+  }
+
+  test("unique + fk reports count keys and orphans") {
+    val base = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "x")
+    val uniq = Validation.uniqueReport(base, "u", Seq("k"))
+      .as[(String, Long, Long)].collect().head
+    assert(uniq === (("u", 2L, 1L))) // 2 keys, 1 duplicated
+
+    val ref = Seq(Tuple1(1L)).toDF("pk")
+    val fk = Validation.fkReport(base, "fk", "k", ref, "pk")
+      .as[(String, Long, Long)].collect().head
+    assert(fk === (("fk", 3L, 1L))) // the k=2 row is orphaned
+  }
+
+  test("interpGrid fills gaps linearly between bracketing observations") {
+    // key a: obs at buckets 0 (v=10) and 3 (v=40): gaps 1, 2 interpolate
+    val df = Seq(
+      ("a", 0L, 1L, 10.0), ("a", 30L, 2L, 40.0)
+    ).toDF("k", "ts", "tie", "v")
+    val out = Resample.interpGrid(df, "k", "ts", "v", "tie", step = 10L)
+      .select("bucket", "v").as[(Long, Double)].collect().toMap
+    assert(out === Map(0L -> 10.0, 1L -> 20.0, 2L -> 30.0, 3L -> 40.0))
+  }
+
+  test("interpGrid passes observed buckets through untouched (last obs per bucket)") {
+    val df = Seq(
+      ("a", 0L, 1L, 1.0), ("a", 5L, 2L, 99.0), // same bucket: tie-high wins
+      ("a", 20L, 3L, 3.0)
+    ).toDF("k", "ts", "v_ts", "v").withColumnRenamed("v_ts", "tie")
+    val out = Resample.interpGrid(df, "k", "ts", "v", "tie", step = 10L)
+      .select("bucket", "v").as[(Long, Double)].collect().toMap
+    assert(out(0L) === 99.0)
+    assert(out(1L) === 51.0) // midpoint of 99 and 3
+    assert(out(2L) === 3.0)
+  }
+
+  test("conversionPaths sessionizes by gap and renders ordered type paths") {
+    val ev = Seq(
+      // user 1: view>click | purchase (gap splits)
+      (1L, 100L, 1L, "view"), (1L, 150L, 2L, "click"), (1L, 1000L, 3L, "purchase"),
+      // user 2: view>click again
+      (2L, 10L, 4L, "view"), (2L, 20L, 5L, "click")
+    ).toDF("uid", "ts", "eid", "t")
+    val out = Behavioral.conversionPaths(ev, "uid", "ts", "eid", "t",
+        gap = 100L, topK = 10)
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("view>click" -> 2L, "purchase" -> 1L))
+  }
+
+  test("keySkewReport buckets per-key counts by floor(log2)") {
+    // counts: a→1 (bucket 0), b→2, c→3 (bucket 1), d→8 (bucket 3)
+    val rows = Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c") ++ Seq.fill(8)("d")
+    val out = Stats.keySkewReport(rows.toDF("k"), Seq("k"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) === ((1L, 1L, 1L)))
+    assert(out(1L) === ((2L, 5L, 3L)))
+    assert(out(3L) === ((1L, 8L, 8L)))
+  }
+
+  test("standardize: exact moments, zero-variance group maps to z=0") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 5.0))
+      .toDF("g", "v")
+    val out = Stats.standardize(df, "g", "v").select("g", "v", "z")
+      .as[(String, Double, Double)].collect()
+    val a = out.filter(_._1 == "a").map(r => r._2 -> r._3).toMap
+    // mean 2, var ((1+9) - 4*2)/2 = 1 → z = ±1
+    assert(a(1.0) === -1.0 && a(3.0) === 1.0)
+    assert(out.filter(_._1 == "b").forall(_._3 === 0.0))
+  }
+
+  test("periodGrowth: integer ppm, sign-split division, first period null") {
+    val agg = Seq(("s", 1L, 1000000L), ("s", 2L, 1500000L), ("s", 3L, 750000L))
+      .toDF("g", "p", "v")
+    val out = Stats.periodGrowth(agg, "g", "p", "v")
+      .select("p", "growth_ppm").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L) === None)
+    assert(out(2L) === Some(500000L))  // +50%
+    assert(out(3L) === Some(-500000L)) // -50%
+  }
+
+  test("lDiversityClasses flags homogeneous classes") {
+    val df = Seq(
+      ("n1", "A", 1L), ("n1", "A", 2L), ("n1", "A", 3L), // diverse at l=3
+      ("n2", "B", 1L), ("n2", "B", 1L) // homogeneous
+    ).toDF("nat", "seg", "sens")
+    val out = Pii.lDiversityClasses(df, Seq("nat", "seg"), "sens", l = 3)
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out(("n1", "A")) === ((3L, 3L, true)))
+    assert(out(("n2", "B")) === ((2L, 1L, false)))
+  }
+}
