@@ -2624,6 +2624,37 @@ object SparkEntry {
         "metric", "value")
       .orderBy("l_returnflag", "metric")
 
+  /** Streaming-shaped anomaly monitor replayed over history
+    * ([[graft.operators.Stats.runningAnomalies]]): each event judged
+    * against its user's PRIOR running mean/variance, the z² test in
+    * exact integer arithmetic — the batch replay that IS the
+    * mapGroupsWithState monitor's semantics, gated cross-engine. */
+  private def zscoreAlerts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.runningAnomalies(
+        eventsNs(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("value_c")),
+        "user_id", Seq("ts", "event_id"), "value_c", z = 3, minPrior = 5)
+      .select("user_id", "event_id", "n_prior", "is_anomaly")
+      .orderBy("user_id", "event_id")
+
+  /** Peak concurrent sessions per day ([[graft.operators.Behavioral
+    * .maxConcurrent]]): 6-hour-gap sessions swept as ±1 interval
+    * endpoints ([start, end+1ns) half-open; ends before starts at a
+    * tie), grouped by session START day. Raw timestamps are whole
+    * microseconds, so the +1ns end never collides with a start and the
+    * oracle's +1µs sweep orders identically. */
+  private def concurrencyPeak(s: SparkSession, dir: String): DataFrame = {
+    val sessions = graft.streaming.EventTimeOps.sessionizeBatch(
+      eventsNs(s, dir), "ts", "user_id", "value",
+      gapNanos = 21600L * 1000000000L)
+    val iv = sessions.select(col("user_id"),
+      expr("session_start_ns div 86400000000000").as("day"),
+      col("session_start_ns").as("s"),
+      (col("session_end_ns") + 1L).as("e"))
+    graft.operators.Behavioral.maxConcurrent(iv, "day", "s", "e", "user_id")
+      .orderBy("day")
+  }
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -2811,6 +2842,8 @@ object SparkEntry {
     "wow_growth" -> wowGrowth _,
     "l_diversity" -> lDiversity _,
     "unpivot_metrics" -> unpivotMetrics _,
+    "zscore_alerts" -> zscoreAlerts _,
+    "concurrency_peak" -> concurrencyPeak _,
   )
 
   /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
@@ -5559,5 +5592,60 @@ object SparkEntry {
            UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
            UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM a
          ) ORDER BY l_returnflag, metric""",
+    "zscore_alerts" ->
+      // Stats.runningAnomalies: prior-only running sums, z² test in
+      // exact int128 — (n·v − s1)² > 9·(n·s2 − s1²)
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS vc
+           FROM events),
+              w AS (
+           SELECT user_id, event_id, vc,
+                  count(*) OVER win AS n_prior,
+                  sum(CAST(vc AS HUGEINT)) OVER win AS s1,
+                  sum(CAST(vc AS HUGEINT) * CAST(vc AS HUGEINT)) OVER win AS s2
+           FROM e
+           WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id, CAST(n_prior AS BIGINT) AS n_prior,
+                CASE WHEN n_prior >= 5 THEN
+                  (CAST(n_prior AS HUGEINT) * vc - s1) *
+                  (CAST(n_prior AS HUGEINT) * vc - s1)
+                    > 9 * (CAST(n_prior AS HUGEINT) * s2 - s1 * s1)
+                ELSE FALSE END AS is_anomaly
+         FROM w ORDER BY user_id, event_id""",
+    "concurrency_peak" ->
+      // Behavioral.maxConcurrent: 6h-gap sessions → ±1 sweep per start
+      // day; ends (+1µs, never colliding with whole-µs starts) sort
+      // before starts at a tie, matching the Spark side's +1ns
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+              m AS (
+           SELECT user_id, us,
+                  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                            > 21600000000 THEN 1
+                       WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL THEN 1
+                       ELSE 0 END AS new_s
+           FROM e),
+              s AS (
+           SELECT user_id, us,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sid
+           FROM m),
+              iv AS (
+           SELECT user_id, min(us) AS st, max(us) + 1 AS en
+           FROM s GROUP BY user_id, sid),
+              ev AS (
+           SELECT st // 86400000000 AS day, st AS t, 1 AS delta, user_id FROM iv
+           UNION ALL
+           SELECT st // 86400000000 AS day, en AS t, -1 AS delta, user_id FROM iv),
+              sw AS (
+           SELECT day, t, delta,
+                  sum(delta) OVER (PARTITION BY day ORDER BY t, delta, user_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+           FROM ev),
+              p AS (SELECT day, max(live) AS peak FROM sw GROUP BY day)
+         SELECT p.day, CAST(p.peak AS BIGINT) AS peak,
+                CAST(min(sw.t) * 1000 AS BIGINT) AS peak_at
+         FROM sw JOIN p ON sw.day = p.day AND sw.live = p.peak
+         GROUP BY p.day, p.peak ORDER BY p.day""",
   )
 }

@@ -332,6 +332,45 @@ object Behavioral {
       .limit(topK)
   }
 
+  /** Peak concurrency by sweep line — the "maximum simultaneous
+    * sessions/beds/connections" question over an interval table
+    * ([start, end) half-open): each interval contributes +1 at start,
+    * −1 at end; the running sum over the merged, totally-ordered event
+    * stream is the live count, its max the peak. Ends sort BEFORE
+    * starts at the same instant (delta −1 < +1 in the order — half-open
+    * semantics: a session ending exactly when another starts never
+    * overlaps it), and an id column completes the total order so
+    * replays sweep identically.
+    *
+    * Shape: one 2× row expansion (start/end unpivot via explode), one
+    * shuffle on the group key, one incremental running-frame window,
+    * then a |groups|-row aggregate (peak and its FIRST instant in one
+    * max-of-struct — no second window, no join-back). For a single
+    * corpus-spanning group at 100 TB, pre-aggregate the ±1s to
+    * (group, time) deltas first — same answer, |distinct times| sort
+    * instead of 2·|intervals|. */
+  def maxConcurrent(
+      intervals: DataFrame, groupCol: String, startCol: String,
+      endCol: String, idCol: String): DataFrame = {
+    val events = intervals.select(
+      col(groupCol),
+      explode(array(
+        struct(col(startCol).as("t"), lit(1L).as("delta"), col(idCol).as("tie")),
+        struct(col(endCol).as("t"), lit(-1L).as("delta"), col(idCol).as("tie")))).as("e"))
+      .select(col(groupCol), col("e.t").as("t"), col("e.delta").as("delta"),
+        col("e.tie").as("tie"))
+    import org.apache.spark.sql.expressions.Window
+    val sweep = Window.partitionBy(groupCol)
+      .orderBy(col("t"), col("delta"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("live", sum(col("delta")).over(sweep))
+      .groupBy(col(groupCol))
+      // max over (live, −t): live decides, then the EARLIEST instant
+      .agg(max(struct(col("live").as("live"), (-col("t")).as("negt"))).as("m"))
+      .select(col(groupCol), col("m.live").as("peak"), (-col("m.negt")).as("peak_at"))
+  }
+
   def rollingActiveUsers(
       events: DataFrame, idCol: String, dayCol: String, window: Int = 7): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")

@@ -472,6 +472,39 @@ object Stats {
     * per-(group, period) frame — |groups|·|periods| rows, never the
     * fact table; callers aggregate first, which is where the single
     * data-sized shuffle lives. */
+  /** Streaming-shaped anomaly flags, batch-exact: each event is judged
+    * against the running mean/variance of that key's PRIOR events (a
+    * per-key Welford monitor replayed over history). The z² test runs
+    * in EXACT integer arithmetic — with prior sums s1=Σv, s2=Σv² over
+    * n micro-unit values, `(v−mean)² > z²·var` multiplied through by n²
+    * becomes `(n·v − s1)² > z²·(n·s2 − s1²)` — so both engines flag
+    * identical rows with zero float drift; values up to ~10⁹ micros and
+    * thousands-per-key histories stay inside 38-digit decimals.
+    *
+    * Shape: ONE shuffle on the key; two running-frame window sums
+    * (incremental O(history) per key, never the quadratic following
+    * frame); flags are a projection. The streaming twin is a trivial
+    * `mapGroupsWithState` carrying (n, s1, s2) per key — this batch
+    * form IS its replay, which is what the oracle gates. */
+  def runningAnomalies(
+      df: DataFrame, keyCol: String, ordCols: Seq[String],
+      valueMicrosCol: String, z: Int = 3, minPrior: Int = 5): DataFrame = {
+    require(z > 0 && minPrior >= 2, s"bad z/minPrior: $z/$minPrior")
+    val w = Window.partitionBy(keyCol).orderBy(ordCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val v = col(valueMicrosCol).cast("decimal(38,0)")
+    df.withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("s1", sum(v).over(w))
+      .withColumn("s2", sum(v * v).over(w))
+      .withColumn("is_anomaly",
+        col("n_prior") >= minPrior && {
+          val n = col("n_prior").cast("decimal(38,0)")
+          val dev = n * v - col("s1")
+          dev * dev > lit(z * z) * (n * col("s2") - col("s1") * col("s1"))
+        })
+      .drop("s1", "s2")
+  }
+
   def periodGrowth(
       agg: DataFrame, groupCol: String, periodCol: String,
       valueMicrosCol: String): DataFrame = {

@@ -6,6 +6,9 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, 
 /** One running per-(user, event-type) count row per update. */
 case class UserTypeCount(userId: Long, eventType: String, n: Long)
 
+/** One running top-k counter row per update (Space-Saving estimate). */
+case class TypeTopEntry(eventType: String, userId: Long, n: Long)
+
 /** Spark 4's arbitrary-state API (`transformWithState`) applied to the
   * event log: a continuously-maintained per-user × event-type counter —
   * the "materialized aggregate read model" a subscription consumer keeps
@@ -57,6 +60,77 @@ object TransformWithStateOps {
         UserTypeCount(key, t, n)
       }.iterator
     }
+  }
+
+  /** A continuously-maintained top-`k` per stream key (here: the
+    * heaviest users per event type) under BOUNDED state — the
+    * Space-Saving sketch (Metwally et al., ICDT'05) as a
+    * [[StatefulProcessor]]: the per-type [[MapState]] holds AT MOST `k`
+    * counter entries; a user outside the table takes over the minimum
+    * entry at `min+1` (the classic overestimate that preserves the
+    * guarantee `true count ≤ stored count ≤ true count + min`).
+    *
+    * This is the streaming twin of the exact Misra-Gries batch
+    * aggregate ([[graft.operators.HeavyHitters]]): batch proves
+    * exactness thresholds over history; this maintains the list
+    * forever at O(k) state per key — the regime where history no
+    * longer fits state at all. Update mode emits each batch's CHANGED
+    * entries only (delta-proportional output, like the counter
+    * processor above).
+    *
+    * State I/O per batch is O(touched entries + evictions), never the
+    * full table; the map scan to find the minimum is O(k) driver-free
+    * executor work with k in the tens. */
+  class TopKProcessor(k: Int) extends StatefulProcessor[String, LogEvent, TypeTopEntry] {
+    @transient private var counters: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counters = getHandle.getMapState[Long, Long](
+        "topk", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[LogEvent],
+        timerValues: TimerValues): Iterator[TypeTopEntry] = {
+      // mirror the state into a small local table once per batch:
+      // O(k) reads, then pure in-memory Space-Saving over the rows
+      val table = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      counters.iterator().foreach { case (uid, n) => table.update(uid, n) }
+      val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
+      rows.foreach { e =>
+        val uid = e.userId
+        table.get(uid) match {
+          case Some(n) =>
+            table.update(uid, n + 1); touched += uid
+          case None if table.size < k =>
+            table.update(uid, 1L); touched += uid
+          case None =>
+            // evict the minimum-count entry; ties broken by SMALLEST
+            // user id so every replay and engine evicts identically
+            val (evictId, evictN) = table.minBy { case (id, n) => (n, id) }
+            table.remove(evictId)
+            counters.removeKey(evictId)
+            touched -= evictId
+            table.update(uid, evictN + 1L)
+            touched += uid
+        }
+      }
+      touched.toSeq.sorted.map { uid =>
+        val n = table(uid)
+        counters.updateValue(uid, n)
+        TypeTopEntry(key, uid, n)
+      }.iterator
+    }
+  }
+
+  /** Bounded-state running top-k users per event type (Space-Saving;
+    * Update-mode delta emission). Batch mode runs one pass per key over
+    * empty state — exact when the type's distinct users ≤ k. */
+  def topKWithState(events: Dataset[LogEvent], k: Int): Dataset[TypeTopEntry] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    org.apache.spark.sql.graft.ColumnGlue.ensureStateStoreCoordinator(spark)
+    events.groupByKey(_.eventType)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Update())
   }
 
   /** Running (user, event-type) counts; Update-mode delta emission in

@@ -128,6 +128,42 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out(3L) === Some(-500000L)) // -50%
   }
 
+  test("maxConcurrent sweeps half-open intervals; back-to-back never overlaps") {
+    val iv = Seq(
+      // group g: [0,10) [5,15) [10,20): peak 2, first at t=5
+      ("g", 0L, 10L, 1L), ("g", 5L, 15L, 2L), ("g", 10L, 20L, 3L),
+      // group h: three disjoint touching intervals: peak 1 at t=0
+      ("h", 0L, 5L, 4L), ("h", 5L, 9L, 5L), ("h", 9L, 12L, 6L)
+    ).toDF("grp", "s", "e", "id")
+    val out = Behavioral.maxConcurrent(iv, "grp", "s", "e", "id")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("g") === ((2L, 5L)))
+    assert(out("h") === ((1L, 0L)))
+  }
+
+  test("runningAnomalies: exact z-squared on prior history only") {
+    // key a: values 10,10,10,10,10 then 100 — the 6th has prior
+    // mean 10, var 0 → (n·v−s1)² = (600−50)² > 0 → anomaly; the
+    // steady rows never flag (dev 0); rows before minPrior never flag
+    val rows = (1L to 5L).map(i => ("a", i, i, 10L)) :+ (("a", 6L, 6L, 100L))
+    val out = Stats.runningAnomalies(rows.toDF("k", "ts", "id", "v"),
+        "k", Seq("ts", "id"), "v", z = 3, minPrior = 5)
+      .select("id", "is_anomaly").as[(Long, Boolean)].collect().toMap
+    assert(out(6L) === true)
+    assert((1L to 5L).forall(out(_) === false))
+  }
+
+  test("runningAnomalies: within-noise deviation stays unflagged") {
+    // prior {8,12,8,12,8}: mean 9.6, var 3.84; v=12 → dev² = (5·12−48)²
+    // = 144; 9·(5·s2−s1²) = 9·(5·464−2304) = 504 → 144 < 504: calm
+    val rows = Seq(8L, 12L, 8L, 12L, 8L).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong, i.toLong, v) } :+ (("a", 9L, 9L, 12L))
+    val out = Stats.runningAnomalies(rows.toDF("k", "ts", "id", "v"),
+        "k", Seq("ts", "id"), "v", z = 3, minPrior = 5)
+      .select("id", "is_anomaly").as[(Long, Boolean)].collect().toMap
+    assert(out(9L) === false)
+  }
+
   test("lDiversityClasses flags homogeneous classes") {
     val df = Seq(
       ("n1", "A", 1L), ("n1", "A", 2L), ("n1", "A", 3L), // diverse at l=3

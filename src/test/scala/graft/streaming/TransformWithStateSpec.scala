@@ -57,4 +57,46 @@ class TransformWithStateSpec extends AnyFunSuite {
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("topKWithState batch mode is exact when distinct users fit the table") {
+    val events = Seq(ev(1, 1, "a"), ev(1, 2, "a"), ev(2, 3, "a"), ev(7, 4, "b"))
+    val out = TransformWithStateOps.topKWithState(events.toDS(), k = 8)
+      .collect().map(r => (r.eventType, r.userId) -> r.n).toMap
+    assert(out === Map(("a", 1L) -> 2L, ("a", 2L) -> 1L, ("b", 7L) -> 1L))
+  }
+
+  test("topKWithState streaming: Space-Saving eviction keeps at most k counters with the min+1 overestimate") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-topk").toString
+    try {
+      val in = MemoryStream[LogEvent](spark)
+      val q = TransformWithStateOps.topKWithState(in.toDS(), k = 2)
+        .writeStream.format("memory").queryName("tws_topk").outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        // batch 1: user 1 twice, user 2 once → table {1:2, 2:1}
+        in.addData(ev(1, 1, "a"), ev(1, 2, "a"), ev(2, 3, "a"))
+        q.processAllAvailable()
+        val b1 = spark.table("tws_topk").as[TypeTopEntry].collect().toSet
+        assert(b1 === Set(TypeTopEntry("a", 1, 2), TypeTopEntry("a", 2, 1)))
+
+        // batch 2: user 3 arrives with the table full → evicts the
+        // min (user 2, count 1) and takes over at min+1 = 2
+        in.addData(ev(3, 4, "a"))
+        q.processAllAvailable()
+        val all = spark.table("tws_topk").as[TypeTopEntry].collect().toSeq
+        val batch2 = all.diff(b1.toSeq)
+        assert(batch2.toSet === Set(TypeTopEntry("a", 3, 2)))
+
+        // batch 3: user 1 again — only its entry re-emits, count 3
+        in.addData(ev(1, 5, "a"))
+        q.processAllAvailable()
+        val batch3 = spark.table("tws_topk").as[TypeTopEntry].collect().toSeq
+          .diff(all)
+        assert(batch3.toSet === Set(TypeTopEntry("a", 1, 3)))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
