@@ -551,4 +551,50 @@ class PlanShapeSpec extends AnyFunSuite {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("CDC replay and churn: one keyed pass each, no join") {
+    Seq("cdc_apply", "cdc_churn").foreach { q =>
+      val p = finalPlan(q)
+      assert(count(p, "Join") === 0, s"$q joins:\n$p")
+      // key exchange (+ the gate's presentation sort)
+      assert(count(p, "Exchange") <= 3, s"$q re-shuffles:\n$p")
+    }
+  }
+
+  test("feature scaling broadcasts the moments frame; the fact side never re-shuffles") {
+    val p = finalPlan("feature_scaling")
+    assert(count(p, "BroadcastHashJoin") === 1, s"moments not broadcast:\n$p")
+    assert(count(p, "SortMergeJoin") === 0, s"fell back to sort-merge:\n$p")
+  }
+
+  test("interpolation grid: running frames only — the quadratic following frame is banned") {
+    Seq("resample_interp", "resample_locf").foreach { q =>
+      val p = finalPlanAt(q, sf).toLowerCase
+      assert(!p.contains("unboundedfollowing"),
+        s"$q uses an O(span^2) unbounded-following frame")
+    }
+  }
+
+  test("anomaly flags and journey paths: keyed windows, no join, no cartesian") {
+    Seq("zscore_alerts", "conversion_paths").foreach { q =>
+      val p = finalPlan(q)
+      assert(count(p, "Join") === 0, s"$q joins:\n$p")
+      assert(count(p, "CartesianProduct") === 0, s"$q went cartesian:\n$p")
+    }
+  }
+
+  test("validation report: row rules collapse to one aggregate per table scan") {
+    val p = finalPlan("data_validation")
+    // row rules: ONE single-partition aggregate per table; the FK probe's
+    // anti-join stays hash-keyed. The one tolerated nested-loop is
+    // fkReport's 1-row × 1-row totals cross — constant-sized by shape.
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, s"validation nested-loops:\n$p")
+    assert(count(p, "CartesianProduct") === 0, s"validation multiplies frames:\n$p")
+  }
+
+  test("sweep-line concurrency: explode + one keyed window + one aggregate, no join") {
+    val p = finalPlan("concurrency_peak")
+    assert(count(p, "Generate") >= 1, s"endpoint explode missing:\n$p")
+    assert(count(p, "Join") === 0, s"concurrency_peak joins:\n$p")
+  }
 }

@@ -68,6 +68,27 @@ class PartitionedLayoutSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact directories at runtime") {
+    // the join key IS the partition column and the dim filter is only
+    // knowable at runtime — exactly the star-join shape DPP exists for:
+    // the fact scan must carry a dynamicpruning subquery filter so the
+    // non-matching day directories are skipped, not scanned-and-dropped.
+    // At 100 TB this is the difference between O(matching days) and
+    // O(history) for every dim-filtered fact query.
+    val dim = events.select(to_date(col("ts")).as(PartitionedLayout.PartitionCol))
+      .distinct()
+      .withColumn("tag", (dayofmonth(col(PartitionedLayout.PartitionCol)) <= 2).cast("boolean"))
+    val fact = spark.read.parquet(dir)
+    val j = fact.join(dim.filter(col("tag")), Seq(PartitionedLayout.PartitionCol))
+      .groupBy(col(PartitionedLayout.PartitionCol)).count()
+    j.collect()
+    // the scan sits inside an AQE query stage — assert on the full plan
+    // string, which prints each stage's PartitionFilters
+    val plan = j.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan lost dynamic partition pruning:\n${plan.take(4000)}")
+  }
+
   test("write discipline: one parquet file per day directory") {
     val root = java.nio.file.Paths.get(dir)
     val dayDirs = java.nio.file.Files.list(root).filter(p =>
