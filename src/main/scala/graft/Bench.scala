@@ -158,7 +158,7 @@ object Bench {
     results ++= guarded(Seq("streaming_session_replay",
         "streaming_session_replay_rocksdb", "streaming_window_replay",
         "streaming_interval_replay", "streaming_scd2_replay",
-        "streaming_tws_replay")) {
+        "streaming_tws_replay", "streaming_topk_replay")) {
       streamingScenarios(spark)
     }
     results ++= guarded(Seq("http_read_all_scan", "http_append_1k_msgs")) {
@@ -544,6 +544,23 @@ object Bench {
       } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     })
 
+    // the bounded-state top-k replay (Space-Saving MapState, k=20 per
+    // event type): state is k entries per key FOREVER — the same
+    // checkpoint-commit-dominated cost model as the counter replay, at
+    // O(k·|keys|) state no matter how long the replay runs
+    val topkSec = retrying("streaming_topk_replay")(time {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = MemoryStream[graft.streaming.LogEvent](spark)
+        val q = graft.streaming.TransformWithStateOps.topKWithState(in.toDS(), k = 20)
+          .writeStream.format("noop").outputMode("update")
+          .option("checkpointLocation", checkpoint()).start()
+        try batches.foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
+        finally q.stop()
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    })
+
     // best-effort: state-store MAINTENANCE threads keep flushing snapshot
     // files briefly after q.stop(), so a walk-then-delete can race a
     // concurrent create (DirectoryNotEmptyException — this voided two
@@ -563,7 +580,8 @@ object Bench {
       "streaming_window_replay" -> windowSec,
       "streaming_interval_replay" -> intervalSec,
       "streaming_scd2_replay" -> scd2Sec,
-      "streaming_tws_replay" -> twsSec)
+      "streaming_tws_replay" -> twsSec,
+      "streaming_topk_replay" -> topkSec)
     } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 

@@ -2655,6 +2655,42 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  /** Clamped stock-ledger fold ([[graft.operators.Ledger
+    * .clampedBalance]]): purchases/carts stock up, other events draw
+    * down, balance saturating in [0, 100000] centi-units after EVERY
+    * step — the non-windowable fold, oracled against a recursive CTE
+    * unrolling the same recurrence. */
+  private def stockLedger(s: SparkSession, dir: String): DataFrame = {
+    val log = eventsNs(s, dir).select(
+      col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type").isin("purchase", "cart"),
+          round(col("value") * 100).cast("long"))
+        .otherwise(-round(col("value") * 100).cast("long")).as("delta_c"))
+    graft.operators.Ledger.clampedBalance(log,
+        "user_id", "ts", "event_id", "delta_c", lo = 0L, hi = 100000L)
+      .select("user_id", "event_id", "delta_c", "balance")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Conversion latency quantiles: per purchase, the exact-micros gap
+    * since the user's most recent preceding view (the last-touch
+    * window), rank-rule quantiles per conversion weekday
+    * ([[graft.operators.Stats.groupedQuantiles]]). */
+  private def timeToConvert(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gaps = eventsNs(s, dir)
+      .withColumn("touch_ts",
+        max(when(col("event_type") === "view", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase" && col("touch_ts").isNotNull)
+      .select(expr("((ts div 86400000000000) + 4) % 7").as("dow"),
+        expr("(ts - touch_ts) div 1000").as("latency_us"))
+    graft.operators.Stats.groupedQuantiles(gaps, "dow", "latency_us",
+        ps = Seq(0.5, 0.9, 0.99))
+      .orderBy("dow", "p")
+  }
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -2844,6 +2880,8 @@ object SparkEntry {
     "unpivot_metrics" -> unpivotMetrics _,
     "zscore_alerts" -> zscoreAlerts _,
     "concurrency_peak" -> concurrencyPeak _,
+    "stock_ledger" -> stockLedger _,
+    "time_to_convert" -> timeToConvert _,
   )
 
   /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
@@ -5647,5 +5685,57 @@ object SparkEntry {
                 CAST(min(sw.t) * 1000 AS BIGINT) AS peak_at
          FROM sw JOIN p ON sw.day = p.day AND sw.live = p.peak
          GROUP BY p.day, p.peak ORDER BY p.day""",
+    "stock_ledger" ->
+      // Ledger.clampedBalance: the clamp-after-every-step recurrence has
+      // no window form — unroll it as a recursive CTE walking each
+      // key's rows in rank order
+      """WITH RECURSIVE e AS (
+           SELECT user_id, event_id,
+                  CASE WHEN event_type IN ('purchase', 'cart')
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE -CAST(round(value * 100) AS BIGINT) END AS delta_c,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events),
+              r AS (
+           SELECT user_id, event_id, delta_c, rn,
+                  least(100000, greatest(0, delta_c)) AS balance
+           FROM e WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.event_id, e.delta_c, e.rn,
+                  least(100000, greatest(0, r.balance + e.delta_c))
+           FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT user_id, event_id, delta_c, balance
+         FROM r ORDER BY user_id, event_id""",
+    "time_to_convert" ->
+      // last-view-to-purchase latency in exact micros, rank-rule
+      // quantiles per conversion weekday (epoch day 0 = Thursday → +4)
+      """WITH t AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+                  max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS touch_us
+           FROM events),
+              v AS (
+           SELECT ((us // 86400000000) + 4) % 7 AS dow,
+                  us - touch_us AS latency_us
+           FROM t WHERE event_type = 'purchase' AND touch_us IS NOT NULL),
+              ranked AS (
+           SELECT dow, latency_us,
+                  CAST(row_number() OVER (PARTITION BY dow
+                    ORDER BY latency_us) AS BIGINT) AS rn
+           FROM v),
+              counts AS (
+           SELECT dow, CAST(count(*) AS BIGINT) AS n_rows FROM v GROUP BY dow),
+              targets AS (
+           SELECT dow, n_rows, p.p AS p,
+                  CAST(floor(p.p * (n_rows - 1)) + 1 AS BIGINT) AS rn
+           FROM counts,
+             (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                             CAST(0.99 AS DOUBLE)]) AS p) p)
+         SELECT r.dow, t.p, t.n_rows, r.latency_us AS value
+         FROM ranked r JOIN targets t ON r.dow = t.dow AND r.rn = t.rn
+         ORDER BY r.dow, t.p""",
   )
 }

@@ -164,6 +164,31 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out(9L) === false)
   }
 
+  test("clampedBalance saturates at every step, not on the final prefix sum") {
+    // deltas +5, +10 (cap 8 → 8), -20 (floor 0 → 0), +3 → 3: a clamped
+    // cumsum of the raw prefix (5, 15, -5, -2) would give 8, 8, 0, 0 —
+    // the last step differs, proving per-step semantics
+    val log = Seq(
+      (1L, 1L, 1L, 5L), (1L, 2L, 2L, 10L), (1L, 3L, 3L, -20L), (1L, 4L, 4L, 3L),
+      (2L, 1L, 5L, -7L) // floor immediately
+    ).toDF("k", "ts", "id", "d")
+    val out = Ledger.clampedBalance(log, "k", "ts", "id", "d", lo = 0L, hi = 8L)
+      .select("k", "id", "balance").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out === Map((1L, 1L) -> 5L, (1L, 2L) -> 8L, (1L, 3L) -> 0L,
+      (1L, 4L) -> 3L, (2L, 5L) -> 0L))
+  }
+
+  test("clampedBalance folds each key independently across partitions") {
+    val log = (1L to 50L).flatMap(k => (1L to 20L).map(i => (k, i, k * 100 + i, 1L)))
+    val out = Ledger.clampedBalance(
+        log.toDF("k", "ts", "id", "d").repartition(7), "k", "ts", "id", "d",
+        lo = 0L, hi = 10L)
+      .groupBy("k").agg(max("balance").as("mx"), min("balance").as("mn"))
+      .as[(Long, Long, Long)].collect()
+    assert(out.length === 50 && out.forall(r => r._2 === 10L && r._3 === 1L))
+  }
+
   test("lDiversityClasses flags homogeneous classes") {
     val df = Seq(
       ("n1", "A", 1L), ("n1", "A", 2L), ("n1", "A", 3L), // diverse at l=3
