@@ -2691,6 +2691,48 @@ object SparkEntry {
       .orderBy("dow", "p")
   }
 
+  /** k-fold assignment audit ([[graft.operators.Sampling.cvFold]]):
+    * per (fold, lang) document counts — the balance check before
+    * cross-validated training; the assignment itself is a stateless
+    * salted-hash projection. */
+  private def cvFolds(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("fold", graft.operators.Sampling.cvFold(col("doc_id"), "cv-1", 5))
+      .groupBy("fold", "lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("fold", "lang")
+
+  /** Percent-of-total report ([[graft.operators.Stats
+    * .contributionShare]]): each status's integer-ppm share of its
+    * week's revenue — the window runs on the |weeks|·|statuses|
+    * rollup, never the orders. */
+  private def revenueShare(s: SparkSession, dir: String): DataFrame = {
+    val weekly = t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 604800000000").as("week"))
+      .agg((sum(col("o_totalprice").cast("decimal(30,6)")) * 1000000L)
+        .cast("long").as("rev_micros"))
+    graft.operators.Stats.contributionShare(weekly, Seq("week"), "rev_micros")
+      .orderBy("week", "o_orderstatus")
+  }
+
+  /** A/B experiment funnel ([[graft.operators.Sampling.hashBucket]] arm
+    * assignment × [[graft.operators.Behavioral.funnel]]): the
+    * view→click→purchase funnel per deterministic experiment arm — the
+    * readout shape of every hash-bucketed experiment. */
+  private def abFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsNs(s, dir).withColumn("arm",
+      when(graft.operators.Sampling.hashBucket(col("user_id"), "exp-1", 2) === 0, "A")
+        .otherwise("B"))
+    Seq("A", "B").map { a =>
+      graft.operators.Behavioral.funnel(ev.filter(col("arm") === a),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+        .withColumn("arm", lit(a))
+    }.reduce(_.unionAll(_))
+      .select("arm", "step", "event_type", "entities")
+      .orderBy("arm", "step")
+  }
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -2882,6 +2924,9 @@ object SparkEntry {
     "concurrency_peak" -> concurrencyPeak _,
     "stock_ledger" -> stockLedger _,
     "time_to_convert" -> timeToConvert _,
+    "cv_folds" -> cvFolds _,
+    "revenue_share" -> revenueShare _,
+    "ab_funnel" -> abFunnel _,
   )
 
   /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
@@ -5737,5 +5782,45 @@ object SparkEntry {
          SELECT r.dow, t.p, t.n_rows, r.latency_us AS value
          FROM ranked r JOIN targets t ON r.dow = t.dow AND r.rn = t.rn
          ORDER BY r.dow, t.p""",
+    "cv_folds" ->
+      // Sampling.cvFold = hashBucket(id, salt, 5): same md5 arithmetic
+      """SELECT ('0x' || substr(md5('cv-1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 5 AS fold,
+                lang, CAST(count(*) AS BIGINT) AS n
+         FROM documents GROUP BY 1, 2 ORDER BY fold, lang""",
+    "revenue_share" ->
+      // Stats.contributionShare: ppm of the week's total, exact int128
+      """WITH weekly AS (
+           SELECT o_orderstatus,
+                  epoch_us(o_orderdate) // 604800000000 AS week,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) * 1000000 AS BIGINT)
+                    AS rev_micros
+           FROM orders GROUP BY 1, 2)
+         SELECT o_orderstatus, week, rev_micros,
+                CAST(sum(rev_micros) OVER (PARTITION BY week) AS BIGINT) AS part_total,
+                CAST((CAST(rev_micros AS HUGEINT) * 1000000)
+                     // sum(rev_micros) OVER (PARTITION BY week) AS BIGINT) AS share_ppm
+         FROM weekly ORDER BY week, o_orderstatus""",
+    "ab_funnel" ->
+      // hashBucket arm split × the funnel_steps chain, per arm
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us,
+                  CASE WHEN ('0x' || substr(md5('exp-1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+           FROM events),
+              f1 AS (SELECT arm, user_id, min(us) AS t FROM e
+                     WHERE event_type = 'view' GROUP BY arm, user_id),
+              f2 AS (SELECT e.arm, e.user_id, min(us) AS t FROM e
+                     JOIN f1 ON e.user_id = f1.user_id AND e.arm = f1.arm
+                     WHERE event_type = 'click' AND us > f1.t GROUP BY e.arm, e.user_id),
+              f3 AS (SELECT e.arm, e.user_id, min(us) AS t FROM e
+                     JOIN f2 ON e.user_id = f2.user_id AND e.arm = f2.arm
+                     WHERE event_type = 'purchase' AND us > f2.t GROUP BY e.arm, e.user_id)
+         SELECT * FROM (
+           SELECT arm, 1 AS step, 'view' AS event_type,
+                  CAST(count(*) AS BIGINT) AS entities FROM f1 GROUP BY arm
+           UNION ALL SELECT arm, 2, 'click', CAST(count(*) AS BIGINT) FROM f2 GROUP BY arm
+           UNION ALL SELECT arm, 3, 'purchase', CAST(count(*) AS BIGINT) FROM f3 GROUP BY arm)
+         ORDER BY arm, step""",
   )
 }

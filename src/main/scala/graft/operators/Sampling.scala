@@ -44,6 +44,16 @@ object Sampling {
     * (binary 0.29999…) keeps exactly the 300000 buckets an oracle's
     * integer threshold keeps. Stateless (no shuffle) and stable under
     * re-sharding, unlike `df.sample`. */
+  /** k-fold cross-validation assignment: fold = salted-hash bucket in
+    * [0, folds) — the same stateless projection contract as
+    * [[deterministicSplit]] (no shuffle, stable under re-sharding and
+    * appends, leakage-free by construction: an id maps to exactly one
+    * fold forever). Train/test for fold i = (fold ≠ i, fold = i). */
+  def cvFold(id: Column, salt: String, folds: Int): Column = {
+    require(folds >= 2, s"folds must be >= 2: $folds")
+    hashBucket(id, salt, folds)
+  }
+
   def sampleFraction(id: Column, salt: String, fraction: Double): Column = {
     require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
     hashBucket(id, salt, SampleSpace) < math.round(fraction * SampleSpace)

@@ -505,6 +505,23 @@ object Stats {
       .drop("s1", "s2")
   }
 
+  /** Contribution share (ratio-to-report): each row's integer-ppm share
+    * of its partition's total — percent-of-total revenue, traffic mix,
+    * corpus composition. Runs on an ALREADY-AGGREGATED frame (the
+    * |groups|·|parts| rollup, never facts); one window sum per
+    * partition key, then an exact `· 10⁶ div total` in decimal (the
+    * blowup overflows a long at real revenue scales). Values must be
+    * non-negative micro-units so floor (DuckDB) and truncate (Spark)
+    * agree. */
+  def contributionShare(
+      agg: DataFrame, partCols: Seq[String], valueMicrosCol: String): DataFrame = {
+    require(partCols.nonEmpty, "need at least one partition column")
+    val w = Window.partitionBy(partCols.map(col): _*)
+    agg.withColumn("part_total", sum(col(valueMicrosCol)).over(w))
+      .withColumn("share_ppm",
+        expr(s"(cast(`$valueMicrosCol` as decimal(38,0)) * 1000000) div part_total"))
+  }
+
   def periodGrowth(
       agg: DataFrame, groupCol: String, periodCol: String,
       valueMicrosCol: String): DataFrame = {

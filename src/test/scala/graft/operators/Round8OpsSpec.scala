@@ -189,6 +189,30 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out.length === 50 && out.forall(r => r._2 === 10L && r._3 === 1L))
   }
 
+  test("cvFold: every id gets exactly one stable fold in range") {
+    val ids = (1L to 500L).toDF("id")
+    val folds = ids.select(col("id"), Sampling.cvFold(col("id"), "s", 5).as("f"))
+      .as[(Long, Long)].collect().toMap
+    assert(folds.values.forall(f => f >= 0 && f < 5))
+    assert(folds.values.toSet.size === 5) // all folds populated at n=500
+    // stability: recompute matches (projection, no state)
+    val again = ids.repartition(7)
+      .select(col("id"), Sampling.cvFold(col("id"), "s", 5).as("f"))
+      .as[(Long, Long)].collect().toMap
+    assert(again === folds)
+  }
+
+  test("contributionShare: ppm shares sum to ~1e6 per partition") {
+    val agg = Seq(("w1", "a", 600L), ("w1", "b", 400L), ("w2", "a", 5L))
+      .toDF("w", "g", "v")
+    val out = Stats.contributionShare(agg, Seq("w"), "v")
+      .select("w", "g", "share_ppm").as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("w1", "a")) === 600000L)
+    assert(out(("w1", "b")) === 400000L)
+    assert(out(("w2", "a")) === 1000000L)
+  }
+
   test("lDiversityClasses flags homogeneous classes") {
     val df = Seq(
       ("n1", "A", 1L), ("n1", "A", 2L), ("n1", "A", 3L), // diverse at l=3
