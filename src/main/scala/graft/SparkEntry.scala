@@ -2733,6 +2733,87 @@ object SparkEntry {
       .orderBy("arm", "step")
   }
 
+  /** Item-item CF ([[graft.operators.Baskets.itemCosine]]): top-100
+    * part pairs by cosine over implicit basket vectors — co-occurrence
+    * normalized by popularity. */
+  private def itemCfTopk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Baskets.itemCosine(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 2L)
+      .orderBy(col("cosine").desc, col("a"), col("b"))
+      .limit(100)
+
+  /** Revenue concentration ([[graft.operators.Stats.giniIndex]]): per
+    * order status, the exact-ppm Gini of customer total spend. */
+  private def giniRevenue(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(30,6)")) * 1000000L)
+        .cast("long").as("spend_micros"))
+    graft.operators.Stats.giniIndex(spend, "o_orderstatus", "o_custkey", "spend_micros")
+      .orderBy("o_orderstatus")
+  }
+
+  /** Calendar dimension build: one row per day across the orders date
+    * span with arithmetic day-of-week/week (integer epoch-day forms —
+    * no engine calendar conventions) plus calendar year/month. The
+    * output IS the dimension a warehouse joins facts against. */
+  private def calendarDim(s: SparkSession, dir: String): DataFrame = {
+    val span = t(s, dir, "orders")
+      .agg(min(to_date(col("o_orderdate"))).as("lo"),
+        max(to_date(col("o_orderdate"))).as("hi"))
+    span.select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+      .select(col("d"), year(col("d")).as("y"), month(col("d")).as("m"),
+        expr("(datediff(d, date'1970-01-01') + 4) % 7").as("dow"),
+        expr("datediff(d, date'1970-01-01') div 7").as("week"))
+      .orderBy("d")
+  }
+
+  /** Equi-depth price histogram: ntile(10) deciles of extended price
+    * within each return flag (total order via the line id tiebreak),
+    * per-bucket count/min/max/exact-decimal sum. The per-group window
+    * sort is the one heavy step; groups partition the corpus. */
+  private def priceEquidepth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .withColumn("tile", ntile(10).over(w).cast("long"))
+      .groupBy("l_returnflag", "tile")
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag", "tile")
+  }
+
+  /** Degree assortativity of the co-purchase graph: Pearson r over the
+    * (deg(u), deg(v)) pairs of every SYMMETRIZED edge — do hubs connect
+    * to hubs? Moments are exact integer sums well inside double's 2^53
+    * exact range (degrees are dimension-sized), so the closed-form r is
+    * one fixed IEEE expression both engines evaluate identically. */
+  private def degreeAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val co = graft.operators.Baskets.cooccurrence(
+      t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+    val edges = co.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(co.select(col("b").as("u"), col("a").as("v")))
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+    val pairs = edges
+      .join(deg.select(col("u"), col("deg").as("dx")), Seq("u"))
+      .join(deg.select(col("u").as("u2"), col("deg").as("dy")),
+        col("v") === col("u2"))
+    pairs.agg(
+        count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("assortativity"))
+  }
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -2927,6 +3008,11 @@ object SparkEntry {
     "cv_folds" -> cvFolds _,
     "revenue_share" -> revenueShare _,
     "ab_funnel" -> abFunnel _,
+    "item_cf_topk" -> itemCfTopk _,
+    "gini_revenue" -> giniRevenue _,
+    "calendar_dim" -> calendarDim _,
+    "price_equidepth" -> priceEquidepth _,
+    "degree_assortativity" -> degreeAssortativity _,
   )
 
   /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
@@ -5822,5 +5908,99 @@ object SparkEntry {
            UNION ALL SELECT arm, 2, 'click', CAST(count(*) AS BIGINT) FROM f2 GROUP BY arm
            UNION ALL SELECT arm, 3, 'purchase', CAST(count(*) AS BIGINT) FROM f3 GROUP BY arm)
          ORDER BY arm, step""",
+    "item_cf_topk" ->
+      // Baskets.itemCosine: co-occurrence / sqrt(popularity product),
+      // one fixed IEEE expression over exact integer counts
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              pairs AS (
+           SELECT a.l_partkey AS a, b.l_partkey AS b,
+                  CAST(count(*) AS BIGINT) AS n_baskets
+           FROM items a JOIN items b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+              deg AS (
+           SELECT l_partkey, CAST(count(*) AS BIGINT) AS deg
+           FROM items GROUP BY 1)
+         SELECT p.a, p.b, p.n_baskets, da.deg AS deg_a, db.deg AS deg_b,
+                CAST(p.n_baskets AS DOUBLE)
+                  / sqrt(CAST(da.deg * db.deg AS DOUBLE)) AS cosine
+         FROM pairs p
+         JOIN deg da ON p.a = da.l_partkey
+         JOIN deg db ON p.b = db.l_partkey
+         ORDER BY cosine DESC, a, b LIMIT 100""",
+    "gini_revenue" ->
+      // Stats.giniIndex rank formula in exact int128; numerator of an
+      // ascending sequence is non-negative, so // = div
+      """WITH spend AS (
+           SELECT o_orderstatus, o_custkey,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) * 1000000 AS BIGINT)
+                    AS spend_micros
+           FROM orders GROUP BY 1, 2),
+              r AS (
+           SELECT o_orderstatus, spend_micros,
+                  CAST(row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY spend_micros, o_custkey) AS HUGEINT) AS rk
+           FROM spend)
+         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                CAST(((2 * sum(rk * CAST(spend_micros AS HUGEINT))
+                       - (count(*) + 1) * sum(CAST(spend_micros AS HUGEINT))) * 1000000)
+                     // (count(*) * sum(CAST(spend_micros AS HUGEINT))) AS BIGINT)
+                  AS gini_ppm
+         FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "calendar_dim" ->
+      // arithmetic dow/week from epoch days (no calendar conventions);
+      // year/month are proleptic-Gregorian in both engines
+      """WITH span AS (
+           SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+                  max(CAST(o_orderdate AS DATE)) AS hi
+           FROM orders),
+              days AS (
+           SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+           FROM span)
+         SELECT d, CAST(year(d) AS INT) AS y, CAST(month(d) AS INT) AS m,
+                CAST(((d - DATE '1970-01-01') + 4) % 7 AS INT) AS dow,
+                CAST((d - DATE '1970-01-01') // 7 AS BIGINT) AS week
+         FROM days ORDER BY d""",
+    "price_equidepth" ->
+      // ntile semantics agree (larger buckets first); the tiebreak
+      // makes the tiling a total order
+      """WITH t AS (
+           SELECT l_returnflag, l_extendedprice,
+                  CAST(ntile(10) OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT)
+                    AS tile
+           FROM lineitem)
+         SELECT l_returnflag, tile, CAST(count(*) AS BIGINT) AS n,
+                min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+         FROM t GROUP BY 1, 2 ORDER BY l_returnflag, tile""",
+    "degree_assortativity" ->
+      // exact int64 moments (CAST each sum down from DuckDB's HUGEINT
+      // before the closed form — int64→double conversion agrees across
+      // engines; hugeint→double does not beyond 2^53)
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              co AS (
+           SELECT a.l_partkey AS a, b.l_partkey AS b
+           FROM items a JOIN items b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+              edges AS (
+           SELECT a AS u, b AS v FROM co UNION ALL SELECT b, a FROM co),
+              deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+                      FROM edges GROUP BY u),
+              p AS (
+           SELECT dx.deg AS dx, dy.deg AS dy
+           FROM edges e JOIN deg dx ON e.u = dx.u JOIN deg dy ON e.v = dy.u),
+              m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+                  CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                  CAST(sum(dy * dy) AS BIGINT) AS syy,
+                  CAST(sum(dx * dy) AS BIGINT) AS sxy
+           FROM p)
+         SELECT n, CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+         FROM m""",
   )
 }

@@ -85,4 +85,33 @@ object Baskets {
       .agg(count(lit(1)).as("n_baskets"))
       .filter(col("n_baskets") >= minSupport)
   }
+
+  /** Item-item cosine similarity over implicit binary basket vectors —
+    * the memory-based collaborative-filtering score:
+    * `cos(a,b) = |baskets(a) ∩ baskets(b)| / √(|baskets(a)|·|baskets(b)|)`,
+    * i.e. co-occurrence normalized by item popularity, which is what
+    * separates "frequently bought together" from "both just popular".
+    *
+    * Shape: rides [[cooccurrence]] (one keyed exchange + bounded pair
+    * expansion — never an items×items similarity matrix); the
+    * per-item degree frame collapses to |items| rows and broadcasts
+    * onto the pair table twice. The cosine itself is ONE fixed IEEE
+    * expression over exact integer counts — engine-portable. */
+  def itemCosine(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      maxBasketSize: Int = 512,
+      minSupport: Long = 1L): DataFrame = {
+    val co = cooccurrence(df, basketCol, itemCol, maxBasketSize, minSupport)
+    val deg = df.select(col(basketCol).as("_basket"), col(itemCol).as("_item"))
+      .distinct()
+      .groupBy("_item").agg(count(lit(1)).as("_deg"))
+    co.join(broadcast(deg.select(col("_item").as("a"), col("_deg").as("deg_a"))), Seq("a"))
+      .join(broadcast(deg.select(col("_item").as("b"), col("_deg").as("deg_b"))), Seq("b"))
+      .withColumn("cosine",
+        col("n_baskets").cast("double") /
+          sqrt((col("deg_a") * col("deg_b")).cast("double")))
+      .select("a", "b", "n_baskets", "deg_a", "deg_b", "cosine")
+  }
 }

@@ -505,6 +505,36 @@ object Stats {
       .drop("s1", "s2")
   }
 
+  /** Exact Gini concentration index per group, in integer ppm — the
+    * inequality number behind "the top 1% of customers drive X% of
+    * revenue", computed by the rank formula
+    * `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)` over ascending non-negative
+    * micro-unit values (ties totally ordered by the entity id, so both
+    * engines rank identically). Every term is an exact decimal integer
+    * and the numerator of a sorted sequence is non-negative, so the
+    * final `·10⁶ div` agrees across engines (floor = truncate above
+    * zero).
+    *
+    * Shape: one rank window per group (sort bounded by group size) and
+    * one |groups|-row aggregate — no broadcast, no second pass. */
+  def giniIndex(
+      df: DataFrame, groupCol: String, idCol: String,
+      valueMicrosCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(valueMicrosCol), col(idCol))
+    val v = col(valueMicrosCol).cast("decimal(38,0)")
+    df.withColumn("_rank", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(v).as("_s"),
+        sum(col("_rank").cast("decimal(38,0)") * v).as("_si"))
+      .withColumn("gini_ppm",
+        expr("cast(((2 * _si - (n + 1) * _s) * 1000000) div (n * _s) as bigint)"))
+      // the raw Σ can exceed double's 2^53 exact-integer range, where a
+      // decimal→double cast differs by an ulp between engines — emit
+      // only the exact integer outputs
+      .select(col(groupCol), col("n"), col("gini_ppm"))
+  }
+
   /** Contribution share (ratio-to-report): each row's integer-ppm share
     * of its partition's total — percent-of-total revenue, traffic mix,
     * corpus composition. Runs on an ALREADY-AGGREGATED frame (the

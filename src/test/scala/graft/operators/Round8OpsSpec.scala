@@ -213,6 +213,28 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out(("w2", "a")) === 1000000L)
   }
 
+  test("giniIndex: 0 for equal values, (n-1)/n for one-holder concentration") {
+    val df = Seq(
+      ("eq", 1L, 500L), ("eq", 2L, 500L), ("eq", 3L, 500L), ("eq", 4L, 500L),
+      ("one", 1L, 0L), ("one", 2L, 0L), ("one", 3L, 0L), ("one", 4L, 1000L)
+    ).toDF("g", "id", "v")
+    val out = Stats.giniIndex(df, "g", "id", "v")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(out("eq") === 0L)
+    assert(out("one") === 750000L) // (n-1)/n = 3/4
+  }
+
+  test("itemCosine normalizes co-occurrence by popularity") {
+    // baskets: {1,2} {1,2} {1,3}: cos(1,2) = 2/sqrt(3*2), cos(1,3) = 1/sqrt(3*1)
+    val df = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 3L))
+      .toDF("basket", "item")
+    val out = Baskets.itemCosine(df, "basket", "item")
+      .select("a", "b", "cosine").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(out((1L, 2L)) - 2.0 / math.sqrt(6.0)) < 1e-12)
+    assert(math.abs(out((1L, 3L)) - 1.0 / math.sqrt(3.0)) < 1e-12)
+  }
+
   test("lDiversityClasses flags homogeneous classes") {
     val df = Seq(
       ("n1", "A", 1L), ("n1", "A", 2L), ("n1", "A", 3L), // diverse at l=3

@@ -74,4 +74,44 @@ class SkewJoinSpec extends AnyFunSuite {
       .columns.toSeq
     assert(cols === Seq("k", "row_id", "fv", "dv"))
   }
+
+  test("AQE splits the hot partition of a skewed shuffle join (skew=true)") {
+    // The RUNTIME counterpart of the manual salting above: when the dim
+    // is too big to broadcast and a key is hot, AQE's OptimizeSkewedJoin
+    // must split the oversized partition into parallel sub-reads —
+    // thresholds scaled to test data; at 100 TB the defaults (256 MB
+    // skew threshold) encode the same economics. Pinned so a conf or
+    // Spark upgrade can't silently serialize hot keys again.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val saved = keys.map(k =>
+      k -> scala.util.Try(conf.get(k)).toOption.filter(_ != null))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val bigFact = spark.range(60000L)
+        .select(when(col("id") < 50000L, 0L).otherwise(col("id") % 100L).as("k"),
+          lpad(col("id").cast("string"), 64, "x").as("pad"))
+      val bigDim = spark.range(100L).select(col("id").as("dk"),
+        lpad(col("id").cast("string"), 64, "y").as("dpad"))
+      // aggregate over the pad columns so column pruning can't shrink
+      // the shuffled rows below the skew threshold
+      val j = bigFact.join(bigDim, col("k") === col("dk"))
+        .agg(sum(length(col("pad")) + length(col("dpad"))).as("n"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n${plan.take(3000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
