@@ -45,6 +45,14 @@ case class LastEvent(tsNanos: Long, eventType: String)
   * only at emission ([[UserSession]]). */
 case class SessionAcc(startNs: Long, lastNs: Long, n: Long, sumMicros: Long)
 
+/** Welford monitor state: prior count and exact decimal Σv, Σv² (micros
+  * square sums outgrow a long within dozens of events). */
+case class WelfordState(n: Long, s1: java.math.BigDecimal, s2: java.math.BigDecimal)
+
+/** One anomaly verdict per event: prior-history size and the exact-z²
+  * flag ([[StatefulOps.anomalyWithState]]). */
+case class AnomalyFlag(userId: Long, tsNanos: Long, nPrior: Long, isAnomaly: Boolean)
+
 /** Custom-state streaming operators via `mapGroupsWithState` /
   * `flatMapGroupsWithState` — the escape hatch for semantics that
   * windowed aggregation can't express: sessions that must close by
@@ -330,5 +338,48 @@ object StatefulOps {
             Iterator.single(t)
           }
       }
+  }
+
+  /** The streaming form of [[graft.operators.Stats.runningAnomalies]]:
+    * a per-key Welford monitor as `flatMapGroupsWithState` — each event
+    * is judged against the PRIOR (n, Σv, Σv²) carried in O(1) state per
+    * key, then folded in; the z² test `(n·v − s1)² > z²·(n·s2 − s1²)`
+    * runs in BigInt, so the verdicts are exact and the batch replay
+    * (same fold over the whole history, empty state) equals the
+    * window-based batch operator bit for bit — the parity
+    * StatefulStreamingSpec pins. Rows inside a micro-batch fold in
+    * (tsNanos, valueMicros) order so replays agree; across batches the
+    * caller feeds event-time order (the standard watermark discipline).
+    * State never grows: three numbers per key, forever. */
+  def anomalyWithState(
+      events: Dataset[LogEvent], z: Int = 3, minPrior: Int = 5): Dataset[AnomalyFlag] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(userId: Long, it: Iterator[LogEvent],
+        state: GroupState[WelfordState]): Iterator[AnomalyFlag] = {
+      val sorted = it.toVector.sortBy(e => (e.tsNanos, e.valueMicros))
+      var n = 0L
+      var s1 = BigInt(0)
+      var s2 = BigInt(0)
+      state.getOption.foreach { w =>
+        n = w.n; s1 = BigInt(w.s1.toBigInteger); s2 = BigInt(w.s2.toBigInteger)
+      }
+      val out = sorted.map { e =>
+        val v = BigInt(e.valueMicros)
+        val dev = BigInt(n) * v - s1
+        val flag = n >= minPrior &&
+          dev * dev > BigInt(z.toLong * z) * (BigInt(n) * s2 - s1 * s1)
+        val f = AnomalyFlag(userId, e.tsNanos, n, flag)
+        n += 1L; s1 += v; s2 += v * v
+        f
+      }
+      state.update(WelfordState(n,
+        new java.math.BigDecimal(s1.bigInteger), new java.math.BigDecimal(s2.bigInteger)))
+      out.iterator
+    }
+
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 }

@@ -541,4 +541,39 @@ class StatefulStreamingSpec extends AnyFunSuite {
     val e = StatefulOps.typedEvents(df).collect().head
     assert(e === LogEvent(5L, 1704067207179575175L, "click", 1250000L))
   }
+
+  // ------------------------------------------------------------------
+  // anomalyWithState: the Welford monitor across batches
+  // ------------------------------------------------------------------
+
+  test("anomalyWithState flags against PRIOR history and carries exact sums across micro-batches") {
+    val steady = (1 to 5).map(i => ev(1, i * 0.1, "t", 10))
+    val spike = ev(1, 0.9, "t", 1000)
+    val in = MemoryStream[LogEvent](spark)
+    val q = memSink(StatefulOps.anomalyWithState(in.toDS()).toDF(), "anom", "append")
+    try {
+      in.addData(steady: _*) // batch 1: builds history, nothing flaggable
+      processAll(q)
+      in.addData(spike) // batch 2: judged against state from batch 1
+      processAll(q)
+      val rows = spark.table("anom").as[AnomalyFlag].collect()
+      val bySpike = rows.find(_.tsNanos == spike.tsNanos).get
+      assert(bySpike.nPrior === 5L && bySpike.isAnomaly)
+      assert(rows.filter(_.tsNanos != spike.tsNanos).forall(!_.isAnomaly))
+
+      // streaming replay == batch replay == the window-based operator
+      val all = steady :+ spike
+      val batchFlags = StatefulOps.anomalyWithState(all.toDS())
+        .collect().map(f => f.tsNanos -> (f.nPrior, f.isAnomaly)).toMap
+      assert(rows.map(f => f.tsNanos -> (f.nPrior, f.isAnomaly)).toMap === batchFlags)
+
+      val windowed = graft.operators.Stats.runningAnomalies(
+          all.toDF().select(col("userId"), col("tsNanos"), col("valueMicros")),
+          "userId", Seq("tsNanos"), "valueMicros", z = 3, minPrior = 5)
+        .select(col("tsNanos"), col("n_prior"), col("is_anomaly"))
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(batchFlags === windowed)
+    } finally q.stop()
+  }
 }
