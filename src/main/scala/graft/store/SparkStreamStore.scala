@@ -836,7 +836,28 @@ final class SparkStreamStore(
     * deleted. Crash-safe without renames: a crash before the pointer flip
     * leaves an orphan directory that [[recover]] removes; a crash after it
     * leaves a stale one, ditto. */
-  def compact(targetFiles: Int = spark.sparkContext.defaultParallelism): Unit = {
+  def compact(targetFiles: Int = spark.sparkContext.defaultParallelism): Unit =
+    compact(targetFiles, clusterBy = "position")
+
+  /** [[compact]] with an explicit physical clustering:
+    *
+    *  - `"position"` (default): range-partitioned + sorted on the global
+    *    position — all-stream scans prune by position zone maps (the
+    *    ReadAll/subscription-catchup regime);
+    *  - `"stream"`: range-partitioned on (streamId, version) — each
+    *    stream's history is CONTIGUOUS in one (or few) files and sorted
+    *    within, so a per-stream read touches O(stream) bytes instead of
+    *    every position range it interleaves with, and parquet row-group
+    *    stats on the sorted streamId column skip within files too (the
+    *    entity-store / ReadStream-heavy regime).
+    *
+    * Same log, two physical orders — the classic clustering trade,
+    * chosen per deployment's read mix. Correctness is identical (every
+    * read re-sorts or filters declaratively; compaction order is pure
+    * layout), which ClusteredCompactionSpec pins. */
+  def compact(targetFiles: Int, clusterBy: String): Unit = {
+    require(clusterBy == "position" || clusterBy == "stream",
+      s"clusterBy must be 'position' or 'stream': $clusterBy")
     val wl = structureLock.writeLock()
     wl.lock()
     try synchronized {
@@ -852,8 +873,14 @@ final class SparkStreamStore(
       val tsKey = "spark.sql.parquet.outputTimestampType"
       val prevTs = spark.conf.getOption(tsKey)
       spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-      try messagesDF.repartitionByRange(targetFiles, col("position"))
-        .sortWithinPartitions("position")
+      val clustered =
+        if (clusterBy == "stream")
+          messagesDF.repartitionByRange(targetFiles, col("streamId"), col("streamVersion"))
+            .sortWithinPartitions("streamId", "streamVersion")
+        else
+          messagesDF.repartitionByRange(targetFiles, col("position"))
+            .sortWithinPartitions("position")
+      try clustered
         .write.mode("overwrite").parquet(dst.toString)
       finally prevTs match {
         case Some(v) => spark.conf.set(tsKey, v)
