@@ -2814,6 +2814,63 @@ object SparkEntry {
           .as("assortativity"))
   }
 
+  /** Benford first-digit audit over order totals: leading digit taken
+    * from the INTEGER centi-price's string form (double→string
+    * formatting differs across engines; int→string doesn't), with
+    * exact-ppm shares — the fraud/quality screen for "does this revenue
+    * distribution look organic". One aggregate, nine rows. */
+  private def benfordDigits(s: SparkSession, dir: String): DataFrame = {
+    val digits = t(s, dir, "orders")
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    graft.operators.Stats.contributionShare(
+        digits.withColumn("part", lit(1)), Seq("part"), "n")
+      .select(col("digit"), col("n"), col("share_ppm"))
+      .orderBy("digit")
+  }
+
+  /** Encoding-anomaly screen: per-doc counts of classic UTF-8-as-Latin-1
+    * mojibake markers (Ã, â€™-family) — the ftfy-style triage pass; a
+    * literal alternation pattern, identical under Java regex and RE2. */
+  private def mojibakeFlags(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, 'Ã|â€')")).cast("long").as("n_markers"))
+      .withColumn("suspect", col("n_markers") > 0L)
+      .orderBy("doc_id")
+
+  /** Sentence-shape stats: sentences by terminal-punctuation runs,
+    * words by the whitespace tokenizer, and mean words-per-sentence in
+    * exact ppm — the readability-adjacent numbers a corpus report
+    * carries. Pure projections; one presentation sort. */
+  private def sentenceStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(expr("filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0)"))
+          .cast("long").as("n_sentences"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("n_words"))
+      .withColumn("words_per_sentence_ppm",
+        when(col("n_sentences") > 0L,
+          expr("(n_words * 1000000L) div n_sentences")))
+      .orderBy("doc_id")
+
+  /** New-vs-returning decomposition: per epoch-week, active users split
+    * into first-ever-week cohort entrants and returners — two
+    * map-side-combined aggregations on the (user, week) distinct frame. */
+  private def newVsReturning(s: SparkSession, dir: String): DataFrame = {
+    val uw = eventsNs(s, dir)
+      .select(col("user_id"), expr("ts div 604800000000000").as("week"))
+      .distinct()
+    val first = uw.groupBy("user_id").agg(min(col("week")).as("first_week"))
+    uw.join(first, Seq("user_id"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("active"),
+        sum(when(col("week") === col("first_week"), 1L).otherwise(0L)).as("new_users"))
+      .withColumn("returning", col("active") - col("new_users"))
+      .orderBy("week")
+  }
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -3013,6 +3070,10 @@ object SparkEntry {
     "calendar_dim" -> calendarDim _,
     "price_equidepth" -> priceEquidepth _,
     "degree_assortativity" -> degreeAssortativity _,
+    "benford_digits" -> benfordDigits _,
+    "mojibake_flags" -> mojibakeFlags _,
+    "sentence_stats" -> sentenceStats _,
+    "new_vs_returning" -> newVsReturning _,
   )
 
   /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
@@ -6002,5 +6063,50 @@ object SparkEntry {
                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
          FROM m""",
+    "benford_digits" ->
+      // leading digit from the INTEGER centi-price's string form
+      """WITH d AS (
+           SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS INT) AS digit
+           FROM orders),
+              c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1)
+         SELECT digit, n,
+                CAST((CAST(n AS HUGEINT) * 1000000) // sum(n) OVER () AS BIGINT)
+                  AS share_ppm
+         FROM c ORDER BY digit""",
+    "mojibake_flags" ->
+      // literal alternation — identical under Java regex and RE2
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, 'Ã|â€')) AS BIGINT) AS n_markers,
+                len(regexp_extract_all(text, 'Ã|â€')) > 0 AS suspect
+         FROM documents ORDER BY doc_id""",
+    "sentence_stats" ->
+      // sentences = non-blank splits on terminal-punctuation runs;
+      // words = the whitespace tokenizer (text_token_counts formula)
+      """WITH s AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                       x -> length(trim(x)) > 0)) AS BIGINT)
+                    AS n_sentences,
+                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                    AS n_words
+           FROM documents)
+         SELECT doc_id, n_sentences, n_words,
+                CASE WHEN n_sentences > 0
+                     THEN (n_words * 1000000) // n_sentences END
+                  AS words_per_sentence_ppm
+         FROM s ORDER BY doc_id""",
+    "new_vs_returning" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+           FROM events),
+              f AS (SELECT user_id, min(week) AS first_week FROM uw GROUP BY 1)
+         SELECT uw.week, CAST(count(*) AS BIGINT) AS active,
+                CAST(sum(CASE WHEN uw.week = f.first_week THEN 1 ELSE 0 END) AS BIGINT)
+                  AS new_users,
+                CAST(count(*) - sum(CASE WHEN uw.week = f.first_week THEN 1 ELSE 0 END)
+                     AS BIGINT) AS returning
+         FROM uw JOIN f ON uw.user_id = f.user_id
+         GROUP BY uw.week ORDER BY uw.week""",
   )
 }
