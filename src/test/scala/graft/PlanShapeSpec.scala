@@ -597,4 +597,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Generate") >= 1, s"endpoint explode missing:\n$p")
     assert(count(p, "Join") === 0, s"concurrency_peak joins:\n$p")
   }
+
+  test("stock ledger: secondary sort + fold, exactly one exchange before the presentation sort") {
+    val p = finalPlan("stock_ledger")
+    assert(count(p, "Join") === 0, s"ledger joins:\n$p")
+    // key repartition + the gate's orderBy range exchange; nothing else
+    assert(count(p, "Exchange") <= 2, s"ledger re-shuffles:\n$p")
+  }
+
+  test("item CF broadcasts the degree frames onto the pair table") {
+    val p = finalPlan("item_cf_topk")
+    assert(count(p, "BroadcastHashJoin") >= 2, s"degree frames not broadcast:\n$p")
+    assert(count(p, "CartesianProduct") === 0, s"item CF went cartesian:\n$p")
+    assert(count(p, "SortMergeJoin") === 0, s"item CF sort-merges:\n$p")
+  }
+
+  test("gini / equidepth / ledger family: keyed windows, no cartesian") {
+    Seq("gini_revenue", "price_equidepth", "new_vs_returning").foreach { q =>
+      val p = finalPlan(q)
+      assert(count(p, "CartesianProduct") === 0, s"$q went cartesian:\n$p")
+      assert(count(p, "BroadcastNestedLoopJoin") === 0, s"$q nested-loops:\n$p")
+    }
+  }
 }
