@@ -2871,6 +2871,68 @@ object SparkEntry {
       .orderBy("week")
   }
 
+  /** Order↔line reconciliation audit: per order, the exact-micros gap
+    * between the order total and its lines' discounted revenue, banded
+    * by |relative error| ppm — the warehouse closing check "do the
+    * facts roll up to the header". One keyed aggregation + one keyed
+    * join; the band report is |bands| rows. Sign-split integer
+    * division, decimal-widened blowup. */
+  private def orderReconciliation(s: SparkSession, dir: String): DataFrame = {
+    val lineRev = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(30,6)")) * 1000000L).cast("long").as("line_micros"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(30,6)") * 1000000L).cast("long")
+          .as("total_micros"))
+      .join(lineRev, Seq("o_orderkey"))
+      .withColumn("abs_diff_ppm",
+        expr("(cast(abs(line_micros - total_micros) as decimal(38,0)) * 1000000)" +
+          " div total_micros"))
+      .withColumn("band",
+        when(col("abs_diff_ppm") === 0L, "exact")
+          .when(col("abs_diff_ppm") <= 1000L, "within_0.1pct")
+          .when(col("abs_diff_ppm") <= 100000L, "within_10pct")
+          .otherwise("mismatch"))
+      .groupBy("band").agg(count(lit(1)).as("n_orders"))
+      .orderBy("band")
+  }
+
+  /** Bounce rate per day: 30-minute-gap sessions, share of single-event
+    * sessions in exact ppm — rides the same sessionization the journey
+    * and concurrency gates use. */
+  private def bounceRate(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventTimeOps.sessionizeBatch(
+        eventsNs(s, dir), "ts", "user_id", "value",
+        gapNanos = 1800L * 1000000000L)
+      .groupBy(expr("session_start_ns div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_ppm", expr("(n_bounces * 1000000L) div n_sessions"))
+      .orderBy("day")
+
+  /** Rapid-repeat-purchase screen: a second purchase by the same user
+    * within an hour of the first — the double-charge/retry-bug triage
+    * query as a keyed equi-join on the user with a bounded time
+    * predicate (per-user pair expansion bounded by purchases-per-hour,
+    * never a range-only blowup); the amount delta rides along for
+    * triage. */
+  private def doubleChargeFlags(s: SparkSession, dir: String): DataFrame = {
+    val p = eventsNs(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("value_c"),
+        col("ts"), col("event_id"))
+    val a = p.toDF("user_id", "vc_a", "ts_a", "id_a")
+    val b = p.toDF("user_id", "vc_b", "ts_b", "id_b")
+    a.join(b, Seq("user_id"))
+      .filter(col("ts_a") < col("ts_b") &&
+        col("ts_b") - col("ts_a") <= lit(3600L * 1000000000L))
+      .select(col("user_id"), col("id_a"), col("id_b"),
+        expr("(ts_b - ts_a) div 1000").as("gap_us"),
+        (col("vc_b") - col("vc_a")).as("delta_c"))
+      .orderBy("user_id", "id_a", "id_b")
+  }
+
   // ==================================================================
   // Registry
   // ==================================================================
@@ -3074,6 +3136,9 @@ object SparkEntry {
     "mojibake_flags" -> mojibakeFlags _,
     "sentence_stats" -> sentenceStats _,
     "new_vs_returning" -> newVsReturning _,
+    "order_reconciliation" -> orderReconciliation _,
+    "bounce_rate" -> bounceRate _,
+    "double_charge_flags" -> doubleChargeFlags _,
   )
 
   /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
@@ -6108,5 +6173,66 @@ object SparkEntry {
                      AS BIGINT) AS returning
          FROM uw JOIN f ON uw.user_id = f.user_id
          GROUP BY uw.week ORDER BY uw.week""",
+    "order_reconciliation" ->
+      // header vs line rollup in exact micros, |relative error| bands
+      """WITH lr AS (
+           SELECT l_orderkey AS o_orderkey,
+                  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                AS DECIMAL(30,6))) * 1000000 AS BIGINT)
+                    AS line_micros
+           FROM lineitem GROUP BY 1),
+              j AS (
+           SELECT o.o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(30,6)) * 1000000 AS BIGINT)
+                    AS total_micros,
+                  lr.line_micros
+           FROM orders o JOIN lr ON o.o_orderkey = lr.o_orderkey),
+              d AS (
+           SELECT (CAST(abs(line_micros - total_micros) AS HUGEINT) * 1000000)
+                    // total_micros AS abs_diff_ppm
+           FROM j)
+         SELECT CASE WHEN abs_diff_ppm = 0 THEN 'exact'
+                     WHEN abs_diff_ppm <= 1000 THEN 'within_0.1pct'
+                     WHEN abs_diff_ppm <= 100000 THEN 'within_10pct'
+                     ELSE 'mismatch' END AS band,
+                CAST(count(*) AS BIGINT) AS n_orders
+         FROM d GROUP BY 1 ORDER BY band""",
+    "bounce_rate" ->
+      // 30-min-gap sessions, single-event share in exact ppm
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+              m AS (
+           SELECT user_id, us,
+                  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                            > 1800000000 THEN 1
+                       WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL THEN 1
+                       ELSE 0 END AS new_s
+           FROM e),
+              s AS (
+           SELECT user_id, us,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sid
+           FROM m),
+              sess AS (
+           SELECT user_id, sid, min(us) AS start_us, count(*) AS n_events
+           FROM s GROUP BY 1, 2)
+         SELECT start_us // 86400000000 AS day,
+                CAST(count(*) AS BIGINT) AS n_sessions,
+                CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_bounces,
+                CAST((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000)
+                     // count(*) AS BIGINT) AS bounce_ppm
+         FROM sess GROUP BY 1 ORDER BY day""",
+    "double_charge_flags" ->
+      // same user, a second purchase within the hour — keyed equi-join
+      """WITH p AS (
+           SELECT user_id, CAST(round(value * 100) AS BIGINT) AS value_c,
+                  epoch_us(ts) AS us, event_id
+           FROM events WHERE event_type = 'purchase')
+         SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+                b.us - a.us AS gap_us,
+                b.value_c - a.value_c AS delta_c
+         FROM p a JOIN p b
+           ON a.user_id = b.user_id
+          AND a.us < b.us AND b.us - a.us <= 3600000000
+         ORDER BY a.user_id, id_a, id_b""",
   )
 }
