@@ -45,12 +45,31 @@ object Bench {
       ts(1)
     }
 
-    // warmup: touch every table once so OS cache/codec init is off the clock
+    // warmup: touch every table once so OS cache/codec init is off the clock.
+    // Per-table try: a missing/reshaped table must not kill the run before a
+    // single number is recorded (round 7 lost the whole artifact to one
+    // uncaught analysis error when the driver regenerated events.parquet).
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings")
-      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+      .foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup of $t failed: $e") }
+      }
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // Flush the partial artifact after every family so even a hard crash
+    // (OOM, JVM kill) leaves the numbers measured so far on disk.
+    def flush(): Unit = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val total = results.values.filter(_ >= 0).sum
+      val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val outPath = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(outPath.getParent)
+      java.nio.file.Files.write(outPath,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
 
     // Iteration aid, NOT used by the driver: SPARK_GRAFT_BENCH_ONLY=
     // "streaming,prefix_" runs only scenarios/queries whose name starts
@@ -63,13 +82,29 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).filter(q => wanted(q._1)).foreach { case (name, fn) =>
       def once(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       try { once(); results(name) = median3(once()) }
-      catch { case _: Throwable => results(name) = -1.0 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] query $name failed: $e")
+        results(name) = -1.0
+      }
     }
+    flush()
+
+    // A scenario failure must not zero the whole artifact (round 7 lost
+    // every number to one uncaught analysis error): record -1 for the
+    // family, print the stack for the round log, keep going.
+    def guarded(names: Seq[String])(f: => Seq[(String, Double)]): Seq[(String, Double)] =
+      try if (names.exists(wanted)) f else Seq.empty
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] scenario family ${names.head}… failed: $e")
+          e.printStackTrace()
+          names.map(_ -> -1.0)
+      }
 
     // HLL approximate distinct (bench-only: sketch estimates are
     // engine-specific, so there is no cross-engine oracle; the exact
     // counterpart is the oracled distinct_counts gate query)
-    if (wanted("approx_distinct_counts") || wanted("approx_quantiles")) {
+    results ++= guarded(Seq("approx_distinct_counts", "approx_quantiles")) {
       import org.apache.spark.sql.functions._
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       def approx(): Unit = li
@@ -78,7 +113,8 @@ object Bench {
           approx_count_distinct(col("l_partkey")).as("parts"),
           approx_count_distinct(col("l_suppkey")).as("supps"))
         .write.format("noop").mode("overwrite").save()
-      approx(); results("approx_distinct_counts") = median3(approx())
+      approx()
+      val distinctSec = median3(approx())
 
       // t-digest-style approximate quantiles (bench-only for the same
       // reason: sketch estimates are engine-specific; the exact
@@ -91,7 +127,9 @@ object Bench {
         .agg(percentile_approx(col("l_extendedprice"),
           array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("price_q"))
         .write.format("noop").mode("overwrite").save()
-      approxQ(); results("approx_quantiles") = median3(approxQ())
+      approxQ()
+      Seq("approx_distinct_counts" -> distinctSec,
+          "approx_quantiles" -> median3(approxQ()))
     }
 
     // Runtime bloom-filter join pruning, measured ON vs OFF on the same
@@ -100,7 +138,7 @@ object Bench {
     // thresholds matched to bench data — the defaults only engage above
     // 10 GB scans, i.e. the 100 TB regime). PlanShapeSpec pins the
     // injection itself; this records what it buys.
-    if (wanted("bloom_join_on") || wanted("bloom_join_off")) {
+    results ++= guarded(Seq("bloom_join_on", "bloom_join_off")) {
       import org.apache.spark.sql.functions.col
       val keys = Seq(
         "spark.sql.optimizer.runtime.bloomFilter.enabled",
@@ -122,60 +160,54 @@ object Bench {
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        run(); results("bloom_join_on") = median3(run())
+        run()
+        val onSec = median3(run())
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
-        run(); results("bloom_join_off") = median3(run())
+        run()
+        Seq("bloom_join_on" -> onSec, "bloom_join_off" -> median3(run()))
       } finally saved.foreach { case (k, v) =>
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
       }
     }
-
-    // A scenario failure must not zero the whole artifact (round 7 lost
-    // every number to one uncaught analysis error): record -1 for the
-    // family, print the stack for the round log, keep going.
-    def guarded(names: Seq[String])(f: => Seq[(String, Double)]): Seq[(String, Double)] =
-      try if (names.exists(wanted)) f else Seq.empty
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] scenario family ${names.head}… failed: $e")
-          e.printStackTrace()
-          names.map(_ -> -1.0)
-      }
+    flush()
 
     results ++= guarded(Seq("store_append_2k_msgs", "store_read_all_scan",
         "store_subscription_catchup", "store_scavenge_200_appends",
         "store_delete_20_msgs", "store_compact_merge", "store_reopen_recovery")) {
       medianScenarios(3)(() => storeScenarioRep(spark))
     }
+    flush()
     results ++= guarded(Seq("store_bulk_import_events", "store_dsv2_full_scan",
         "store_head_probe_metadata")) {
       medianScenarios(3)(() => bulkImportScenarioRep(spark))
     }
+    flush()
     results ++= guarded(Seq("jdbc_append_2k_msgs", "jdbc_read_all_scan",
         "jdbc_spark_partitioned_read")) {
       medianScenarios(3)(() => jdbcScenarioRep(spark))
     }
+    flush()
     results ++= guarded(Seq("streaming_session_replay",
         "streaming_session_replay_rocksdb", "streaming_window_replay",
         "streaming_interval_replay", "streaming_scd2_replay",
         "streaming_tws_replay", "streaming_topk_replay")) {
       streamingScenarios(spark)
     }
+    flush()
     results ++= guarded(Seq("http_read_all_scan", "http_append_1k_msgs")) {
       httpScenarios(spark)
     }
+    flush()
     results ++= guarded(Seq("pipeline_docs_end_to_end")) {
       pipelineScenario(spark, sfDir)
     }
 
+    // final durable copy (the driver's bounded log tail truncated round 5's
+    // JSON; flush() has also been keeping a partial artifact all along)
+    flush()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // durable copy: the driver's bounded log tail truncated round 5's JSON
-    val outPath = java.nio.file.Paths.get("target", "bench.json")
-    java.nio.file.Files.createDirectories(outPath.getParent)
-    java.nio.file.Files.write(outPath, (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 
