@@ -1708,6 +1708,28 @@ object SparkEntry {
         tNum = 7, tDen = 10, shingleSize = 5)
       .orderBy("id_a", "id_b")
 
+  /** Directional containment pairs ([[Dedup.containmentPairs]], C(a→b) =
+    * |Sₐ∩S_b|/|Sₐ| ≥ 0.9): the subset-duplication detector symmetric
+    * Jaccard cannot express — the fixture's substring-dup docs (+20000,
+    * a 100-char excerpt of their source) surface HERE with containment
+    * ≈ 1 while sitting far below any Jaccard threshold against the full
+    * document. The probe side is the planted-dup slice (every +10000/
+    * +20000 doc and its base) scored against the WHOLE corpus index —
+    * the incremental production shape; an unrestricted probe is the
+    * same plan with a bigger prefix table. HONEST COST at sf0.1: ~6 s
+    * restricted / 12.7 s unrestricted — this fixture's ~2k-shingle
+    * vocabulary (median df 300) makes every posting list fat, the
+    * prefix_jaccard_pairs economics; a power-law corpus prunes far
+    * harder.
+    * Oracle = brute-force ordered pairs over the same probe slice; the
+    * probe-prefix ⋈ inverted-index plan is provably lossless so the two
+    * agree exactly. */
+  private def containmentPairsQuery(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docsWithDups(s, dir), "text", "doc_id",
+        tNum = 9, tDen = 10, shingleSize = 5,
+        probeFilter = col("doc_id") % 10000 < 100 || col("doc_id") >= 20000)
+      .orderBy("id_a", "id_b")
+
   /** Brute-force dot-product top-k neighbors (Similarity.bruteForceTopK
     * with dot metric) — the ANN baseline, oracle-checkable. */
   private def knnDotTopK(s: SparkSession, dir: String): DataFrame = {
@@ -2594,6 +2616,22 @@ object SparkEntry {
       .orderBy("o_orderstatus", "week")
   }
 
+  /** Additive seasonal decomposition ([[graft.operators.Stats
+    * .seasonalDecompose]]) of daily event counts per type, summarized to
+    * day-of-week seasonal components: n complete-window days, their raw
+    * count mass, and the integer seasonal numerator Σ(7·cnt −
+    * trend7_sum) — seasonal index = seas_num / (7·n_days) at render
+    * time, kept unsplit here so every emitted value is engine-exact.
+    * The corpus collapses to |types|×|days| before any window runs. */
+  private def seasonalDecomposeQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.seasonalDecompose(t(s, dir, "events"), "event_type", "ts")
+      .filter(col("detrended7").isNotNull)
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("cnt")).as("cnt_sum"),
+        sum(col("detrended7")).as("seas_num"))
+      .orderBy("event_type", "dow")
+
   /** Distinct l-diversity audit ([[graft.operators.Pii
     * .lDiversityClasses]]) of the customer release: QI =
     * (nation, market segment), sensitive = account-balance band —
@@ -2998,6 +3036,8 @@ object SparkEntry {
     "simhash_exact_dups" -> simhashExactDups _,
     "ngram_jaccard_pairs" -> ngramJaccardPairs _,
     "prefix_jaccard_pairs" -> prefixJaccardPairs _,
+    "containment_pairs" -> containmentPairsQuery _,
+    "seasonal_decompose" -> seasonalDecomposeQuery _,
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
     "length_quantiles" -> lengthQuantiles _,
@@ -4266,6 +4306,44 @@ object SparkEntry {
                      / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
           WHERE jaccard >= 0.7 ORDER BY id_a, id_b""",
+    "containment_pairs" ->
+      // brute-force ORDERED pairs with directional containment |A∩B|/|A|,
+      // probe side = the planted-dup slice — the probe-prefix ⋈
+      // inverted-index plan is lossless, so it equals this quadratic
+      // formulation exactly
+      s"""WITH docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
+          sh AS (SELECT doc_id,
+                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
+                 FROM docs)
+          SELECT id_a, id_b, containment FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE AS containment
+            FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+            WHERE a.doc_id % 10000 < 100 OR a.doc_id >= 20000)
+          WHERE containment >= 0.9 ORDER BY id_a, id_b""",
+    "seasonal_decompose" ->
+      // integer-exact decomposition: trend kept as the 7-day SUM,
+      // detrended as 7·cnt − trend7 (no division anywhere); dow is
+      // epoch-day mod 7 (0 = Thursday), not a locale dow function; a day
+      // counts only when its centered window is complete (7 rows over
+      // exactly 6 calendar days)
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                               count(*) AS cnt
+                        FROM events GROUP BY 1, 2),
+              w AS (SELECT event_type, d, cnt,
+                      sum(cnt) OVER win AS t7,
+                      count(*) OVER win AS w_n,
+                      max(d) OVER win - min(d) OVER win AS w_span
+                    FROM daily
+                    WINDOW win AS (PARTITION BY event_type ORDER BY d
+                                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+         SELECT event_type,
+                CAST((d - DATE '1970-01-01') % 7 AS BIGINT) AS dow,
+                CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(cnt) AS BIGINT) AS cnt_sum,
+                CAST(sum(cnt * 7 - t7) AS BIGINT) AS seas_num
+         FROM w WHERE w_n = 7 AND w_span = 6
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "knn_dot_topk" ->
       """SELECT query_id, neighbor_id, score,
                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank

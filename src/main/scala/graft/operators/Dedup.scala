@@ -165,6 +165,80 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT directional containment self-join: all ORDERED pairs (a, b),
+    * a ≠ b, with C(a→b) = |Sₐ∩S_b| / |Sₐ| ≥ tNum/tDen over distinct
+    * shingle sets — the subset-duplication detector. Symmetric Jaccard
+    * misses a short document embedded verbatim in a much longer one (the
+    * union term drowns the overlap at ANY Jaccard threshold); containment
+    * is the right primitive for quote inclusion, boilerplate-wrapped
+    * copies, and excerpt reposts.
+    *
+    * Candidate scheme (index-prefix asymmetric SSJoin, cf. Chaudhuri et
+    * al. ICDE'06; same family as [[prefixFilterPairs]]): C(a→b) ≥ t
+    * means |a∩b| ≥ α := ⌈t·|a|⌉, so under ANY shared total order the
+    * first common token sits within a's prefix of length |a| − α + 1
+    * (≥ α−1 common tokens follow it inside a). The probe side therefore
+    * explodes only that prefix — rare-first (ascending global df, the
+    * order that makes prefix hits cheapest) — while the index side keeps
+    * ALL tokens: unlike the Jaccard case there is NO size filter and no
+    * prefix on b (a 50-shingle quote can be contained in a 50,000-shingle
+    * page), which is inherent to containment, not a shortcut. Lossless by
+    * the argument above; the verify recomputes exact containment with the
+    * same sorted-merge intersect kernel as [[jaccardFromHashSets]].
+    *
+    * 100 TB shape: three data shuffles (df count, per-doc rare-first
+    * sort-agg, probe-prefix ⋈ inverted-index candidate join) + two
+    * id-keyed verify joins. Candidate volume is Σ_tok pdf(tok)·df(tok)
+    * — prefix hits × postings — minimized by the rare-first order; the
+    * index side is the SAME postings layout BM25 builds, so a real
+    * pipeline shares it. Nothing broadcast, nothing quadratic in the
+    * corpus. `probeFilter` optionally restricts the PROBE side (the `a`
+    * of C(a→b)) — the usual production shape, where each new ingest
+    * batch is scored against the whole corpus index (cf.
+    * [[incrementalDedup]]); df statistics stay corpus-global either
+    * way, so restricted and full runs agree on the pairs they share. */
+  def containmentPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      tNum: Int = 9, tDen: Int = 10, shingleSize: Int = 5,
+      probeFilter: Column = lit(true)): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, s"need 0 < $tNum/$tDen <= 1")
+    val withSh = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("sh"),
+        probeFilter.as("is_probe"))
+      .localCheckpoint() // feeds df-count, prefix agg, index, and verify
+    val toks = withSh.select(col("id"), explode(col("sh")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("dfreq"))
+    // probe side (the `a` of C(a→b)) optionally restricted — the
+    // incremental shape: score a new-batch slice against the WHOLE
+    // corpus index; df stats stay corpus-global either way
+    val probe = withSh.filter(col("is_probe"))
+      .select(col("id"), explode(col("sh")).as("tok"))
+      .join(dfreq, Seq("tok"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("dfreq"), col("tok")))).as("ord"))
+      .select(col("id"),
+        transform(col("ord"), _.getField("tok")).as("toks"),
+        size(col("ord")).cast("long").as("sz"))
+      .withColumn("plen",
+        (col("sz") - expr(s"(${tNum}L * sz + ${tDen - 1}L) div ${tDen}L") + 1L)
+          .cast("int"))
+      .select(col("id").as("id_a"),
+        explode(slice(col("toks"), lit(1), col("plen"))).as("tok"))
+    val cand = probe.join(toks.select(col("id").as("id_b"), col("tok")),
+        Seq("tok"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("containment",
+        graft.functions.TextHash.sortedIntersectCount(col("sh_a"), col("sh_b"))
+          .cast("double") / size(col("sh_a")).cast("double"))
+      .filter(col("containment") >= lit(tNum.toDouble / tDen))
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Exact n-gram Jaccard similarity between two texts' distinct shingle
     * sets — the string-set reference formulation. The scale path is
     * [[jaccardFromHashSets]] over precomputed arrays; values are equal

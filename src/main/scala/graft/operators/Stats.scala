@@ -569,4 +569,43 @@ object Stats {
             expr(s"(cast(abs(`$valueMicrosCol` - prev_micros) as decimal(38,0))" +
               " * 1000000) div prev_micros")))
   }
+
+  /** Classical additive seasonal decomposition of a daily count series,
+    * per series key: trend = centered 7-day moving window, seasonal =
+    * the day-of-week deviation from trend. All arithmetic is integer-
+    * exact — the trend is kept as the 7-day SUM (not the mean) and the
+    * detrended value as `7·cnt − trend7_sum` (= 7× the deviation from
+    * the centered mean), so no engine-varying division ever happens;
+    * consumers divide at render time. A day only gets a trend when its
+    * centered window is COMPLETE (7 rows spanning exactly 6 calendar
+    * days) — edges and gap-adjacent days yield NULL rather than a
+    * silently-biased partial mean.
+    *
+    * `dow` is engine-neutral epoch-day arithmetic (days since 1970-01-01
+    * mod 7, so 0 = Thursday) rather than any locale-dependent
+    * day-of-week function.
+    *
+    * 100 TB shape: the ONE data-sized operation is the keyed daily
+    * count (map-side combined); the window then runs over the reduced
+    * |keys|×|days| frame, partitioned BY KEY — parallel across series,
+    * never a global sort. Returns the per-day frame (key, d, dow, cnt,
+    * trend7_sum, detrended7); callers aggregate seasonal indices from
+    * it (see the `seasonal_decompose` gate). */
+  def seasonalDecompose(
+      events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val win = Window.partitionBy(col(keyCol)).orderBy(col("d"))
+      .rowsBetween(-3, 3)
+    daily
+      .withColumn("trend7_sum", sum(col("cnt")).over(win))
+      .withColumn("w_n", count(lit(1)).over(win))
+      .withColumn("w_span", datediff(max(col("d")).over(win), min(col("d")).over(win)))
+      .withColumn("dow", pmod(datediff(col("d"), lit("1970-01-01")), lit(7)).cast("long"))
+      .withColumn("complete", col("w_n") === 7 && col("w_span") === 6)
+      .select(col(keyCol), col("d"), col("dow"), col("cnt"),
+        when(col("complete"), col("trend7_sum")).as("trend7_sum"),
+        when(col("complete"), col("cnt") * 7L - col("trend7_sum")).as("detrended7"))
+  }
 }

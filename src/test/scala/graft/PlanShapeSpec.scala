@@ -619,4 +619,20 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(count(p, "BroadcastNestedLoopJoin") === 0, s"$q nested-loops:\n$p")
     }
   }
+
+  test("containment pairs: candidate generation is an equi-join, never all-pairs") {
+    val p = finalPlan("containment_pairs")
+    assert(count(p, "CartesianProduct") === 0, s"containment went cartesian:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, s"containment nested-loops:\n$p")
+  }
+
+  test("seasonal decomposition: window partitioned by key, single data-sized agg") {
+    val p = finalPlan("seasonal_decompose")
+    // the window must be keyed — a global (empty-partition) window would
+    // serialize the whole series table through one task; keyed windows
+    // sit on a hash exchange over the series key
+    assert(p.contains("hashpartitioning(event_type"),
+      s"seasonal window lost its event_type partitioning:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+  }
 }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed fixtures for the round-12 family: seasonal
+  * decomposition and directional containment pairs. */
+class Round12OpsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int = 12): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-03-$day%02d $hour%02d:00:00")
+
+  test("seasonalDecompose: complete centered windows only, integer detrend") {
+    // key "a": 10 consecutive days with counts 1..10 (day d has d events)
+    val events = (1 to 10).flatMap(d => Seq.fill(d)(("a", ts(d))))
+      .toDF("k", "t")
+    val out = Stats.seasonalDecompose(events, "k", "t")
+      .orderBy("d").collect()
+    assert(out.length === 10)
+    // days 1-3 and 8-10 have incomplete windows → NULL trend
+    assert(out.take(3).forall(_.isNullAt(4)))
+    assert(out.takeRight(3).forall(_.isNullAt(4)))
+    // day 4 (cnt=4): window days 1..7 sums 1+..+7 = 28; detrended = 7*4-28 = 0
+    val d4 = out(3)
+    assert(d4.getLong(4) === 28L && d4.getLong(5) === 0L)
+    // day 7 (cnt=7): window 4..10 sums 49; detrended = 49-49 = 0
+    assert(out(6).getLong(4) === 49L && out(6).getLong(5) === 0L)
+  }
+
+  test("seasonalDecompose: a calendar gap disqualifies the spanning windows") {
+    // days 1..7 and 9..15 (day 8 missing): windows crossing the gap span
+    // 7 rows over MORE than 6 calendar days → NULL
+    val days = (1 to 7) ++ (9 to 15)
+    val events = days.map(d => ("a", ts(d))).toDF("k", "t")
+    val out = Stats.seasonalDecompose(events, "k", "t")
+      .orderBy("d").collect()
+    // only day 4 (window 1..7) and day 12 (window 9..15) are complete
+    val complete = out.filter(!_.isNullAt(4)).map(_.getDate(1).toString)
+    assert(complete.toSeq === Seq("2024-03-04", "2024-03-12"))
+  }
+
+  test("seasonalDecompose: dow is epoch-day mod 7, engine-neutral") {
+    // 1970-01-01 was a Thursday → dow 0; 2024-03-04 is a Monday:
+    // datediff(2024-03-04, 1970-01-01) = 19786, 19786 % 7 = 4
+    val events = Seq(("a", ts(4))).toDF("k", "t")
+    val out = Stats.seasonalDecompose(events, "k", "t").collect()
+    assert(out.head.getLong(2) === 4L)
+  }
+
+  test("seasonalDecompose partitions the window per key (keys independent)") {
+    val events = (1 to 7).flatMap(d => Seq(("a", ts(d)), ("b", ts(d)), ("b", ts(d))))
+      .toDF("k", "t")
+    val out = Stats.seasonalDecompose(events, "k", "t")
+      .filter(col("detrended7").isNotNull)
+      .select("k", "trend7_sum").as[(String, Long)].collect().toMap
+    assert(out === Map("a" -> 7L, "b" -> 14L))
+  }
+
+  test("containmentPairs finds subset-duplication Jaccard misses") {
+    val words = (1 to 40).map(i => f"w$i%03d").mkString(" ")   // long doc
+    val excerpt = words.substring(0, 60)                        // strict prefix
+    val other = (100 to 140).map(i => f"x$i%03d").mkString(" ") // disjoint
+    val docs = Seq((1L, words), (2L, excerpt), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "text", "doc_id",
+        tNum = 9, tDen = 10, shingleSize = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // excerpt ⊂ long doc: (2→1) present; the reverse direction is not
+    // (the long doc is NOT contained in its excerpt), nor any pair with 3
+    assert(pairs === Set((2L, 1L)))
+    // …and symmetric Jaccard at the same threshold sees nothing
+    val j = Dedup.prefixFilterPairs(docs, "text", "doc_id",
+        tNum = 9, tDen = 10, shingleSize = 5).count()
+    assert(j === 0L)
+  }
+
+  test("containmentPairs equals brute force on a random-ish corpus") {
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi",
+      "one two three four five six seven eight nine ten",
+      "completely different text with other words entirely",
+      "alpha beta gamma delta epsilon zeta eta theta") // exact dup of #0
+    val docs = base.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fast = Dedup.containmentPairs(docs, "text", "doc_id",
+        tNum = 8, tDen = 10, shingleSize = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force with the same shingle sets
+    val sh = docs.select(col("doc_id"),
+        Dedup.shingleHashes(col("text"), 4).as("sh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a != b
+      inter = sh(a).toSet.intersect(sh(b).toSet).size
+      if inter * 10 >= sh(a).size * 8
+    } yield (a, b)).toSet
+    assert(fast === brute && brute.nonEmpty)
+  }
+
+  test("containmentPairs probeFilter = full run filtered to the probe slice") {
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      "one two three four five six seven eight nine ten",
+      "alpha beta gamma delta epsilon zeta eta theta")
+    val docs = base.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val full = Dedup.containmentPairs(docs, "text", "doc_id",
+        tNum = 8, tDen = 10, shingleSize = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sliced = Dedup.containmentPairs(docs, "text", "doc_id",
+        tNum = 8, tDen = 10, shingleSize = 4,
+        probeFilter = col("doc_id") < 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sliced === full.filter(_._1 < 2) && sliced.nonEmpty)
+  }
+}
