@@ -2632,6 +2632,21 @@ object SparkEntry {
         sum(col("detrended7")).as("seas_num"))
       .orderBy("event_type", "dow")
 
+  /** Theil–Sen robust daily trend per event type ([[graft.operators
+    * .Stats.theilSenSlope]]): the median pairwise slope of the daily
+    * count series, emitted as the exact integer fraction (Δcnt, Δdays)
+    * — the outlier-proof "is this event type growing?" answer. The pair
+    * expansion is quadratic in the ~|days| series, computed entirely
+    * inside one projection over |types| rows. */
+  private def theilSenTrend(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.theilSenSlope(
+        t(s, dir, "events")
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("x"))
+          .agg(count(lit(1)).as("y")),
+        "event_type", "x", "y")
+      .orderBy("event_type")
+
   /** Distinct l-diversity audit ([[graft.operators.Pii
     * .lDiversityClasses]]) of the customer release: QI =
     * (nation, market segment), sensitive = account-balance band —
@@ -3038,6 +3053,7 @@ object SparkEntry {
     "prefix_jaccard_pairs" -> prefixJaccardPairs _,
     "containment_pairs" -> containmentPairsQuery _,
     "seasonal_decompose" -> seasonalDecomposeQuery _,
+    "theil_sen_trend" -> theilSenTrend _,
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
     "length_quantiles" -> lengthQuantiles _,
@@ -4344,6 +4360,31 @@ object SparkEntry {
                 CAST(sum(cnt * 7 - t7) AS BIGINT) AS seas_num
          FROM w WHERE w_n = 7 AND w_span = 6
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "theil_sen_trend" ->
+      // median of all pairwise slopes as an exact integer fraction;
+      // lower-median rank (m+1)//2 under (value, num, den) order — the
+      // double division is a safe comparator here (distinct rationals
+      // with den ≤ series length differ by ≥ 1/den², far above ulp)
+      """WITH daily AS (SELECT event_type,
+                CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+                CAST(count(*) AS BIGINT) AS y
+              FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          npts AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+                   FROM daily GROUP BY 1),
+          pairs AS (SELECT a.event_type, b.y - a.y AS num, b.x - a.x AS den
+                    FROM daily a JOIN daily b
+                      ON a.event_type = b.event_type AND b.x > a.x),
+          ranked AS (SELECT event_type, num, den,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY num::DOUBLE / den::DOUBLE, num, den) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS m
+                FROM pairs)
+         SELECT r.event_type, n.n_points, CAST(r.m AS BIGINT) AS n_slopes,
+                CAST(r.num AS BIGINT) AS slope_num,
+                CAST(r.den AS BIGINT) AS slope_den
+         FROM ranked r JOIN npts n USING (event_type)
+         WHERE r.rn = (r.m + 1) // 2
+         ORDER BY r.event_type""",
     "knn_dot_topk" ->
       """SELECT query_id, neighbor_id, score,
                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank

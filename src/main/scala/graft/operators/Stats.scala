@@ -574,6 +574,54 @@ object Stats {
               " * 1000000) div prev_micros")))
   }
 
+  /** Theil–Sen robust trend per group: the MEDIAN of all C(n,2) pairwise
+    * slopes (y_j−y_i)/(x_j−x_i) — the standard robust alternative to
+    * least squares (up to 29% of the points can be arbitrary outliers
+    * without moving the estimate; OLS breaks on one). Designed for
+    * REDUCED per-group series (daily counts, weekly revenue): the pair
+    * expansion is quadratic IN THE GROUP, so n must be series-sized
+    * (≤ ~10⁴ points → ≤ ~10⁸ slopes per group), never corpus-sized.
+    *
+    * Exactness: each slope stays an integer FRACTION (num = Δy, den =
+    * Δx > 0) — never divided. The median is the lower-median element
+    * (rank ⌈m/2⌉, the [[groupedQuantiles]] convention) under the
+    * fraction's value order; structs sort by (num/den double, num, den),
+    * safe because distinct rationals with den ≤ series length differ by
+    * ≥ 1/den² ≫ the double ulp at these magnitudes, and exact ties
+    * break on the integer fields identically in any engine. Pairs with
+    * equal x are excluded (slope undefined), per the standard estimator.
+    *
+    * Shape: ONE keyed aggregation collapses each group to its sorted
+    * (x, y) array; the pair expansion and median selection run inside a
+    * single projection over |groups| rows — array HOFs, no join, no
+    * window, no second shuffle. */
+  def theilSenSlope(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val pts = df.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y")))).as("pts"))
+    // filter BEFORE building the struct: ANSI mode makes num/0 an error,
+    // so equal-x partners must be dropped before the value division
+    val slopes = flatten(transform(col("pts"), (a, i) =>
+      transform(
+        filter(slice(col("pts"), i + 2, greatest(size(col("pts")) - i - 1, lit(0))),
+          b => b.getField("x") > a.getField("x")),
+        b => struct(
+          ((b.getField("y") - a.getField("y")).cast("double") /
+            (b.getField("x") - a.getField("x")).cast("double")).as("v"),
+          (b.getField("y") - a.getField("y")).as("num"),
+          (b.getField("x") - a.getField("x")).as("den")))))
+    val mid = floor((size(col("slopes")) + 1) / 2).cast("int")
+    pts
+      .withColumn("slopes", array_sort(slopes))
+      .select(col(groupCol),
+        size(col("pts")).cast("long").as("n_points"),
+        size(col("slopes")).cast("long").as("n_slopes"),
+        element_at(col("slopes"), mid).getField("num").as("slope_num"),
+        element_at(col("slopes"), mid).getField("den").as("slope_den"))
+      .filter(col("n_slopes") > 0)
+  }
+
   /** Classical additive seasonal decomposition of a daily count series,
     * per series key: trend = centered 7-day moving window, seasonal =
     * the day-of-week deviation from trend. All arithmetic is integer-

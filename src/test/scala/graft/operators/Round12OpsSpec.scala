@@ -117,4 +117,31 @@ class Round12OpsSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(sliced === full.filter(_._1 < 2) && sliced.nonEmpty)
   }
+
+  test("theilSenSlope ignores the outlier OLS would chase") {
+    // y = x on days 0..3 except day 3 spikes to 103; pairwise slopes
+    // sorted by (value, num, den): (1,1),(1,1),(2,2),(103,3),(102,2),
+    // (101,1) → m=6, lower median rank 3 → slope 2/2 = 1
+    val df = Seq(("a", 0L, 0L), ("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 103L))
+      .toDF("g", "x", "y")
+    val out = Stats.theilSenSlope(df, "g", "x", "y").collect().head
+    assert(out.getLong(1) === 4L && out.getLong(2) === 6L)
+    assert(out.getLong(3) === 2L && out.getLong(4) === 2L) // value 1
+  }
+
+  test("theilSenSlope excludes equal-x pairs and keeps exact fractions") {
+    // two points share x=0: the (0,0)-(0,4) pair is dropped; remaining
+    // slopes from (0,0),(0,4) to (2,1): 1/2 and -3/2 → m=2, rank 1 →
+    // the smaller slope -3/2
+    val df = Seq(("a", 0L, 0L), ("a", 0L, 4L), ("a", 2L, 1L)).toDF("g", "x", "y")
+    val out = Stats.theilSenSlope(df, "g", "x", "y").collect().head
+    assert(out.getLong(2) === 2L)
+    assert(out.getLong(3) === -3L && out.getLong(4) === 2L)
+  }
+
+  test("theilSenSlope: single-point and single-x groups are dropped") {
+    val df = Seq(("one", 5L, 1L), ("flat", 7L, 1L), ("flat", 7L, 9L))
+      .toDF("g", "x", "y")
+    assert(Stats.theilSenSlope(df, "g", "x", "y").count() === 0L)
+  }
 }
