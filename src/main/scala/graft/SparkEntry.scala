@@ -2647,6 +2647,19 @@ object SparkEntry {
         "event_type", "x", "y")
       .orderBy("event_type")
 
+  /** CUSUM changepoint ([[graft.operators.Stats.cusumChangepoint]]) of
+    * each event type's daily count series: the interior day that
+    * maximizes |n·cumsum − k·total| — integer-exact level-shift
+    * localization, the O(n) screen before the quadratic robust fits. */
+  private def cusumChangepoint(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.cusumChangepoint(
+        t(s, dir, "events")
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("x"))
+          .agg(count(lit(1)).as("y")),
+        "event_type", "x", "y")
+      .orderBy("event_type")
+
   /** Distinct l-diversity audit ([[graft.operators.Pii
     * .lDiversityClasses]]) of the customer release: QI =
     * (nation, market segment), sensitive = account-balance band —
@@ -3054,6 +3067,7 @@ object SparkEntry {
     "containment_pairs" -> containmentPairsQuery _,
     "seasonal_decompose" -> seasonalDecomposeQuery _,
     "theil_sen_trend" -> theilSenTrend _,
+    "cusum_changepoint" -> cusumChangepoint _,
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
     "length_quantiles" -> lengthQuantiles _,
@@ -4385,6 +4399,30 @@ object SparkEntry {
          FROM ranked r JOIN npts n USING (event_type)
          WHERE r.rn = (r.m + 1) // 2
          ORDER BY r.event_type""",
+    "cusum_changepoint" ->
+      // integer-exact CUSUM: S_k = n·cumsum_k − k·total (no mean
+      // division); interior k only (S_n ≡ 0); ties break to earliest k
+      """WITH daily AS (SELECT event_type,
+                CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+                CAST(count(*) AS BIGINT) AS y
+              FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          t AS (SELECT event_type, CAST(sum(y) AS BIGINT) AS t_total,
+                       CAST(count(*) AS BIGINT) AS n_points
+                FROM daily GROUP BY 1),
+          c AS (SELECT event_type, x,
+                  CAST(sum(y) OVER (PARTITION BY event_type ORDER BY x) AS BIGINT) AS cum,
+                  CAST(row_number() OVER (PARTITION BY event_type ORDER BY x) AS BIGINT) AS k
+                FROM daily),
+          s AS (SELECT c.event_type, t.n_points, t.t_total, c.k, c.x,
+                  t.n_points * c.cum - c.k * t.t_total AS s_k
+                FROM c JOIN t USING (event_type)
+                WHERE c.k < t.n_points)
+         SELECT event_type, n_points, t_total, k AS split_k, x AS split_x,
+                CAST(s_k AS BIGINT) AS cusum_num
+         FROM s
+         QUALIFY row_number() OVER (PARTITION BY event_type
+           ORDER BY abs(s_k) DESC, k ASC) = 1
+         ORDER BY event_type""",
     "knn_dot_topk" ->
       """SELECT query_id, neighbor_id, score,
                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank

@@ -622,6 +622,45 @@ object Stats {
       .filter(col("n_slopes") > 0)
   }
 
+  /** CUSUM mean-shift changepoint per series: the split point k that
+    * maximizes the cumulative deviation from the series mean — argmax_k
+    * |Σ_{i≤k} y_i − k·ȳ| — the standard "WHERE did the level change"
+    * localizer (Page 1954's statistic, offline form). Kept integer-exact
+    * by scaling through n: S_k = n·Σ_{i≤k} y_i − k·T (T = series total),
+    * so no mean division ever happens; |S| ranks identically in any
+    * engine and the magnitude divides back to deviation units at render
+    * time (S_k / n). Interior splits only (k < n; S_n ≡ 0 by
+    * construction); ties break to the earliest k.
+    *
+    * Shape: one keyed aggregation to the |keys|×|points| frame, a
+    * running-sum window partitioned BY KEY, one (total, n) frame joined
+    * back broadcast, and a per-key max — no self-join, nothing
+    * quadratic (contrast [[theilSenSlope]], which pays pairs for
+    * robustness; CUSUM is the O(n) screen you run first). */
+  def cusumChangepoint(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val ordered = df.select(col(groupCol), col(xCol).as("x"),
+      col(yCol).cast("long").as("y"))
+    val totals = ordered.groupBy(col(groupCol))
+      .agg(sum(col("y")).as("t_total"), count(lit(1)).as("n_points"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("x"))
+    val scored = ordered
+      .withColumn("cum", sum(col("y")).over(w))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .join(broadcast(totals), Seq(groupCol))
+      .filter(col("k") < col("n_points")) // S_n ≡ 0: interior splits only
+      .withColumn("s_k",
+        col("n_points") * col("cum") - col("k") * col("t_total"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(abs(col("s_k")).desc, col("k").asc)))
+      .filter(col("rn") === 1)
+      .select(col(groupCol), col("n_points"), col("t_total"),
+        col("k").as("split_k"), col("x").as("split_x"),
+        col("s_k").as("cusum_num"))
+  }
+
   /** Classical additive seasonal decomposition of a daily count series,
     * per series key: trend = centered 7-day moving window, seasonal =
     * the day-of-week deviation from trend. All arithmetic is integer-

@@ -144,4 +144,21 @@ class Round12OpsSpec extends AnyFunSuite {
       .toDF("g", "x", "y")
     assert(Stats.theilSenSlope(df, "g", "x", "y").count() === 0L)
   }
+
+  test("cusumChangepoint localizes a level shift at the regime boundary") {
+    // counts 1,1,1,1 then 10,10,10,10: T=44, n=8, S_k = 8·cum − 44k
+    // peaks in magnitude at k=4 (|−144|), the last day of regime one
+    val df = (1 to 8).map(d => ("a", d.toLong, if (d <= 4) 1L else 10L))
+      .toDF("g", "x", "y")
+    val out = Stats.cusumChangepoint(df, "g", "x", "y").collect().head
+    assert(out.getLong(1) === 8L && out.getLong(2) === 44L) // n, total
+    assert(out.getLong(3) === 4L && out.getLong(4) === 4L)  // split k, x
+    assert(out.getLong(5) === -144L)
+  }
+
+  test("cusumChangepoint: constant series scores zero at the earliest interior k") {
+    val df = (1 to 5).map(d => ("a", d.toLong, 3L)).toDF("g", "x", "y")
+    val out = Stats.cusumChangepoint(df, "g", "x", "y").collect().head
+    assert(out.getLong(3) === 1L && out.getLong(5) === 0L)
+  }
 }
