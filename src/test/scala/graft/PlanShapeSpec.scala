@@ -635,4 +635,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"seasonal window lost its event_type partitioning:\n$p")
     assert(count(p, "CartesianProduct") === 0)
   }
+
+  test("theil-sen: pair expansion stays inside a projection — no join at all") {
+    val p = finalPlan("theil_sen_trend")
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "CartesianProduct", "BroadcastNestedLoopJoin").foreach { op =>
+      assert(count(p, op) === 0, s"theil_sen grew a $op:\n$p")
+    }
+  }
+
+  test("cusum: keyed windows + a broadcast totals join, nothing data-sized twice") {
+    val p = finalPlan("cusum_changepoint")
+    assert(p.contains("hashpartitioning(event_type"),
+      s"cusum window lost its keyed partitioning:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 1, s"cusum totals join lost broadcast:\n$p")
+    assert(count(p, "SortMergeJoin") === 0 && count(p, "CartesianProduct") === 0)
+  }
 }
