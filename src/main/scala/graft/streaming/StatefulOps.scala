@@ -53,6 +53,13 @@ case class WelfordState(n: Long, s1: java.math.BigDecimal, s2: java.math.BigDeci
   * flag ([[StatefulOps.anomalyWithState]]). */
 case class AnomalyFlag(userId: Long, tsNanos: Long, nPrior: Long, isAnomaly: Boolean)
 
+/** CUSUM drift-monitor state: the two one-sided cumulative sums, micros. */
+case class CusumState(gPlus: Long, gMinus: Long)
+
+/** Per-event CUSUM monitor row: post-update sums and the alarm flag. */
+case class DriftAlarm(
+  eventType: String, tsNanos: Long, gPlus: Long, gMinus: Long, alarm: Boolean)
+
 /** Custom-state streaming operators via `mapGroupsWithState` /
   * `flatMapGroupsWithState` — the escape hatch for semantics that
   * windowed aggregation can't express: sessions that must close by
@@ -380,6 +387,55 @@ object StatefulOps {
     }
 
     events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Online CUSUM drift monitor (Page 1954's sequential test, the
+    * production twin of the offline [[graft.operators.Stats
+    * .cusumChangepoint]] localizer): per event type, the two one-sided
+    * cumulative sums against a FIXED reference mean — the deployment
+    * shape where μ₀ comes from the training window and production is
+    * monitored for sustained shift, not single-point spikes (that is
+    * [[anomalyWithState]]'s job):
+    *
+    *   g⁺ ← max(0, g⁺ + (v − μ₀ − slack)),  g⁻ ← max(0, g⁻ + (μ₀ − v − slack))
+    *
+    * Alarm when either exceeds `thresholdMicros`; both sums reset after
+    * an alarm (Page restart). All arithmetic is exact long micros, so
+    * the streaming run, the batch replay of the same history (this one
+    * function runs on batch Datasets too — Spark executes
+    * flatMapGroupsWithState with empty initial state there), and any
+    * resumption from checkpointed state agree bit for bit —
+    * StatefulStreamingSpec pins the parity. State is TWO longs per key,
+    * forever; rows inside a micro-batch fold in (tsNanos, valueMicros)
+    * order, across batches the caller feeds event-time order (the
+    * standard watermark discipline). */
+  def cusumDriftWithState(
+      events: Dataset[LogEvent], mu0Micros: Long, slackMicros: Long,
+      thresholdMicros: Long): Dataset[DriftAlarm] = {
+    require(slackMicros >= 0 && thresholdMicros > 0, "need slack >= 0, threshold > 0")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(eventType: String, it: Iterator[LogEvent],
+        state: GroupState[CusumState]): Iterator[DriftAlarm] = {
+      val sorted = it.toVector.sortBy(e => (e.tsNanos, e.valueMicros))
+      var gP = 0L
+      var gM = 0L
+      state.getOption.foreach { s => gP = s.gPlus; gM = s.gMinus }
+      val out = sorted.map { e =>
+        gP = math.max(0L, gP + (e.valueMicros - mu0Micros - slackMicros))
+        gM = math.max(0L, gM + (mu0Micros - e.valueMicros - slackMicros))
+        val alarm = gP > thresholdMicros || gM > thresholdMicros
+        val row = DriftAlarm(eventType, e.tsNanos, gP, gM, alarm)
+        if (alarm) { gP = 0L; gM = 0L } // Page restart
+        row
+      }
+      state.update(CusumState(gP, gM))
+      out.iterator
+    }
+
+    events.groupByKey(_.eventType)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 }

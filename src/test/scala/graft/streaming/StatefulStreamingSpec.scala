@@ -576,4 +576,51 @@ class StatefulStreamingSpec extends AnyFunSuite {
       assert(batchFlags === windowed)
     } finally q.stop()
   }
+
+  // ------------------------------------------------------------------
+  // cusumDriftWithState: Page's test across batches
+  // ------------------------------------------------------------------
+
+  test("cusumDriftWithState accumulates sustained shift, alarms once, resets") {
+    // μ₀ = 10, slack = 1, h = 5 (micros ×1e6 via ev's value scaling):
+    // steady values 10 keep both sums at 0; shifted values 13 add
+    // (13−10−1) = 2 to g⁺ per event → 2, 4, 6(>5: ALARM + reset), 2
+    val steady = (1 to 3).map(i => ev(1, i * 0.1, "t", 10))
+    val shifted = (1 to 4).map(i => ev(1, 1.0 + i * 0.1, "t", 13))
+    val in = MemoryStream[LogEvent](spark)
+    val q = memSink(StatefulOps.cusumDriftWithState(in.toDS(),
+      mu0Micros = 10000000L, slackMicros = 1000000L,
+      thresholdMicros = 5000000L).toDF(), "drift", "append")
+    try {
+      in.addData(steady: _*)
+      processAll(q)
+      in.addData(shifted: _*) // state (0,0) carries over; shift accumulates
+      processAll(q)
+      val rows = spark.table("drift").as[DriftAlarm].collect()
+        .sortBy(_.tsNanos)
+      assert(rows.take(3).forall(r => r.gPlus == 0L && !r.alarm))
+      assert(rows.drop(3).map(_.gPlus).toSeq ===
+        Seq(2000000L, 4000000L, 6000000L, 2000000L))
+      assert(rows.map(_.alarm).toSeq ===
+        Seq(false, false, false, false, false, true, false))
+
+      // streaming replay == batch replay of the same history
+      val all = steady ++ shifted
+      val batch = StatefulOps.cusumDriftWithState(all.toDS(),
+          10000000L, 1000000L, 5000000L)
+        .collect().map(r => r.tsNanos -> ((r.gPlus, r.gMinus, r.alarm))).toMap
+      assert(rows.map(r => r.tsNanos -> ((r.gPlus, r.gMinus, r.alarm))).toMap === batch)
+    } finally q.stop()
+  }
+
+  test("cusumDriftWithState: downward drift trips the g-minus side") {
+    // μ₀ = 10, slack 0, h = 3: values 8 add 2 to g⁻ each: 2, 4(>3: ALARM)
+    val drops = Seq(ev(1, 0.1, "t", 8), ev(1, 0.2, "t", 8))
+    val out = StatefulOps.cusumDriftWithState(drops.toDS(),
+        10000000L, 0L, 3000000L)
+      .collect().sortBy(_.tsNanos)
+    assert(out.map(_.gMinus).toSeq === Seq(2000000L, 4000000L))
+    assert(out.map(_.alarm).toSeq === Seq(false, true))
+    assert(out.forall(_.gPlus == 0L))
+  }
 }
