@@ -1700,8 +1700,8 @@ object SparkEntry {
     // "1.6 s" note was a sub-sf measurement — wrong, removed). The round-8
     // mitigation attacks the verify constant: jaccardFromHashSets now
     // intersects by native sorted merge instead of per-row hash sets —
-    // measured 8.5-10.6 s at sf0.1 across runs (vs 47 s in r6; BENCH_r08
-    // median 8.5). On
+    // measured 8.5-10.6 s at sf0.1 across runs (10.0 in the round-8
+    // local bench; 47 s in r6). On
     // a real corpus the shingle universe is power-law and rare-first
     // prefixes keep buckets tiny — the 100 TB story is unchanged.
     Dedup.prefixFilterPairs(docsWithDups(s, dir), "text", "doc_id",
@@ -2173,13 +2173,12 @@ object SparkEntry {
     * blocked on the noun (second token) so the quadratic compare never
     * leaves a block.
     *
-    * Bench note (sf0.1, measured): the DP itself is 112 distinct name
-    * pairs (~nothing); ~3.2 s computes the 5.5M matching record pairs
-    * (64 heavily-repeated names — ~170k same-name pairs per name pair)
-    * and the rest of the ~11 s scenario is the gate's determinism
-    * `orderBy` globally sorting those 5.5M output rows. The cost is the
-    * operator's own output size, not a plan defect — the plan is
-    * all-broadcast (PlanShapeSpec pins it). */
+    * Bench note (sf0.1, measured ~5.5 s round 8): the DP itself is 112
+    * distinct name pairs (~nothing); the cost is expanding and then
+    * determinism-sorting the ~2.4M matching record pairs the 64
+    * heavily-repeated fixture names produce — the operator's own output
+    * size, not a plan defect — and the plan is all-broadcast
+    * (PlanShapeSpec pins it). */
   private def fuzzyNamePairs(s: SparkSession, dir: String): DataFrame = {
     // minDist = 1: identical names are exact-dedup's find (at sf0.1 they
     // alone expand to ~3.1M record pairs), so the gate measures the

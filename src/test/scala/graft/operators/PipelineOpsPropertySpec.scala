@@ -311,4 +311,35 @@ class PipelineOpsPropertySpec extends AnyFunSuite {
       assert(out === expected, s"[seed $seed]")
     }
   }
+
+  test("containmentPairs is lossless vs brute force on random corpora") {
+    (0 until 4).foreach { seed =>
+      val rnd = new Random(700 + seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "epsi", "zeta",
+        "etaa", "thet", "iota", "kapp")
+      // docs with heavy overlap: random word sequences plus planted
+      // prefixes/excerpts so containment pairs actually exist
+      val bases = (0 until 12).map { i =>
+        (0 until (5 + rnd.nextInt(15))).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val excerpts = bases.take(4).map(t => t.substring(0, math.max(8, t.length / 2)))
+      val texts = bases ++ excerpts
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val (tn, td) = Seq((7, 10), (8, 10), (9, 10))(rnd.nextInt(3))
+      val fast = Dedup.containmentPairs(docs, "text", "doc_id",
+          tNum = tn, tDen = td, shingleSize = 4)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val sh = docs.select(col("doc_id"),
+          Dedup.shingleHashes(col("text"), 4).as("sh"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val brute = (for {
+        a <- sh.keys; b <- sh.keys if a != b
+        inter = sh(a).toSet.intersect(sh(b).toSet).size
+        if inter.toLong * td >= sh(a).size.toLong * tn
+      } yield (a, b)).toSet
+      assert(fast === brute, s"[seed $seed t=$tn/$td]")
+    }
+  }
 }
