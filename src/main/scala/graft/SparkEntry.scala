@@ -2646,6 +2646,19 @@ object SparkEntry {
         "event_type", "x", "y")
       .orderBy("event_type")
 
+  /** Cohen's kappa ([[graft.operators.Stats.cohenKappa]]) between two
+    * deterministic quality screens (length ≥ 280 chars vs ≥ 45 words)
+    * per source — agreement beyond chance as the exact integer fraction
+    * (n·o − Σrow·col, n² − Σrow·col); the rater-calibration statistic a
+    * labeling pipeline reads before trusting either screen alone. */
+  private def raterAgreement(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.cohenKappa(
+        t(s, dir, "documents").select(col("source"),
+          (length(trim(col("text"))) >= 280).as("a"),
+          (size(split(trim(col("text")), "\\s+")) >= 45).as("b")),
+        "source", "a", "b")
+      .orderBy("source")
+
   /** CUSUM changepoint ([[graft.operators.Stats.cusumChangepoint]]) of
     * each event type's daily count series: the interior day that
     * maximizes |n·cumsum − k·total| — integer-exact level-shift
@@ -3067,6 +3080,7 @@ object SparkEntry {
     "seasonal_decompose" -> seasonalDecomposeQuery _,
     "theil_sen_trend" -> theilSenTrend _,
     "cusum_changepoint" -> cusumChangepoint _,
+    "rater_agreement" -> raterAgreement _,
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
     "length_quantiles" -> lengthQuantiles _,
@@ -4422,6 +4436,30 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY event_type
            ORDER BY abs(s_k) DESC, k ASC) = 1
          ORDER BY event_type""",
+    "rater_agreement" ->
+      // exact-integer Cohen's kappa: κ = kappa_num/kappa_den with
+      // num = n·o − Σ_k row_k·col_k, den = n² − Σ_k row_k·col_k
+      """WITH r AS (SELECT source,
+                (length(trim(text)) >= 280) AS a,
+                (len(string_split_regex(trim(text), '\s+')) >= 45) AS b
+              FROM documents),
+          cells AS (SELECT source, a, b, CAST(count(*) AS BIGINT) AS c
+                    FROM r GROUP BY 1, 2, 3),
+          t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS o
+                FROM cells GROUP BY 1),
+          rm AS (SELECT source, a AS l, CAST(sum(c) AS BIGINT) AS row_k
+                 FROM cells GROUP BY 1, 2),
+          cm AS (SELECT source, b AS l, CAST(sum(c) AS BIGINT) AS col_k
+                 FROM cells GROUP BY 1, 2),
+          x AS (SELECT rm.source, CAST(sum(row_k * col_k) AS BIGINT) AS rc
+                FROM rm JOIN cm ON rm.source = cm.source AND rm.l = cm.l
+                GROUP BY 1)
+         SELECT t.source, t.n, t.o,
+                CAST(t.n * t.o - coalesce(x.rc, 0) AS BIGINT) AS kappa_num,
+                CAST(t.n * t.n - coalesce(x.rc, 0) AS BIGINT) AS kappa_den
+         FROM t LEFT JOIN x ON t.source = x.source
+         ORDER BY t.source""",
     "knn_dot_topk" ->
       """SELECT query_id, neighbor_id, score,
                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank

@@ -622,6 +622,45 @@ object Stats {
       .filter(col("n_slopes") > 0)
   }
 
+  /** Cohen's kappa inter-rater agreement per group, as exact integer
+    * fractions — the "do these two labelers/screens agree beyond
+    * chance?" statistic every labeling pipeline reports before trusting
+    * a rater (or an LLM judge) at scale. With contingency counts:
+    * observed agreement o = Σ_k c_kk, expected e = Σ_k row_k·col_k / n,
+    * and κ = (o/n − e/n)/(1 − e/n) — multiplied through by n²:
+    *
+    *   kappa_num = n·o − Σ_k row_k·col_k,  kappa_den = n² − Σ_k row_k·col_k
+    *
+    * Both integers; consumers divide at render time (den = 0 iff chance
+    * agreement is already total — κ undefined, surfaced as the raw
+    * fraction, never a NaN). Works for any label cardinality.
+    *
+    * Shape: ONE data-sized shuffle builds the (group, a, b) contingency
+    * cells; marginals and the Σ row·col cross term are aggregations and
+    * an equi-join over the |groups|×|labels| reduced frame. At 100 TB
+    * only the first groupBy touches the corpus. */
+  def cohenKappa(
+      df: DataFrame, groupCol: String, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol), col(aCol).cast("string").as("la"),
+        col(bCol).cast("string").as("lb"))
+      .agg(count(lit(1)).as("c"))
+    val totals = cells.groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("la") === col("lb"), col("c")).otherwise(0L)).as("o"))
+    val rowsM = cells.groupBy(col(groupCol), col("la"))
+      .agg(sum(col("c")).as("row_k"))
+    val colsM = cells.groupBy(col(groupCol), col("lb"))
+      .agg(sum(col("c")).as("col_k"))
+    val cross = rowsM.join(colsM,
+        rowsM(groupCol) === colsM(groupCol) && col("la") === col("lb"))
+      .groupBy(rowsM(groupCol))
+      .agg(sum(col("row_k") * col("col_k")).as("rc"))
+    totals.join(cross, Seq(groupCol), "left")
+      .select(col(groupCol), col("n"), col("o"),
+        (col("n") * col("o") - coalesce(col("rc"), lit(0L))).as("kappa_num"),
+        (col("n") * col("n") - coalesce(col("rc"), lit(0L))).as("kappa_den"))
+  }
+
   /** CUSUM mean-shift changepoint per series: the split point k that
     * maximizes the cumulative deviation from the series mean — argmax_k
     * |Σ_{i≤k} y_i − k·ȳ| — the standard "WHERE did the level change"

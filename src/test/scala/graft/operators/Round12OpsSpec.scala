@@ -161,4 +161,26 @@ class Round12OpsSpec extends AnyFunSuite {
     val out = Stats.cusumChangepoint(df, "g", "x", "y").collect().head
     assert(out.getLong(3) === 1L && out.getLong(5) === 0L)
   }
+
+  test("cohenKappa matches the textbook 2x2 computation") {
+    // contingency: (x,x)=5, (y,y)=3, (x,y)=1, (y,x)=1 → n=10, o=8,
+    // rows x:6 y:4, cols x:6 y:4, Σrow·col = 36+16 = 52 →
+    // κ = (80−52)/(100−52) = 28/48 ≈ 0.583
+    val pairs = Seq.fill(5)(("x", "x")) ++ Seq.fill(3)(("y", "y")) ++
+      Seq(("x", "y"), ("y", "x"))
+    val df = pairs.map { case (a, b) => ("g", a, b) }.toDF("g", "a", "b")
+    val out = Stats.cohenKappa(df, "g", "a", "b").collect().head
+    assert(out.getLong(1) === 10L && out.getLong(2) === 8L)
+    assert(out.getLong(3) === 28L && out.getLong(4) === 48L)
+  }
+
+  test("cohenKappa: perfect agreement gives num == den; disjoint labels give o=0") {
+    val perfect = Seq(("g", "x", "x"), ("g", "y", "y")).toDF("g", "a", "b")
+    val p = Stats.cohenKappa(perfect, "g", "a", "b").collect().head
+    assert(p.getLong(3) === p.getLong(4) && p.getLong(4) > 0L) // κ = 1
+    // raters never share a label: Σrow·col over the shared-label join is 0
+    val disjoint = Seq(("g", "x", "p"), ("g", "y", "q")).toDF("g", "a", "b")
+    val d = Stats.cohenKappa(disjoint, "g", "a", "b").collect().head
+    assert(d.getLong(2) === 0L && d.getLong(3) === 0L && d.getLong(4) === 4L)
+  }
 }
