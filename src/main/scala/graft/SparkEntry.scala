@@ -2646,6 +2646,18 @@ object SparkEntry {
         "event_type", "x", "y")
       .orderBy("event_type")
 
+  /** Exact ROC-AUC ([[graft.operators.Stats.exactAuc]]) of character
+    * length as a ranker for the ≥45-word screen, per source — the
+    * Mann–Whitney integer fraction (midrank ties), the threshold-free
+    * quality-scorer evaluation next to `rater_agreement`'s κ. */
+  private def qualityAuc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.exactAuc(
+        t(s, dir, "documents").select(col("source"),
+          length(trim(col("text"))).cast("long").as("score"),
+          (size(split(trim(col("text")), "\\s+")) >= 45).as("label")),
+        "source", "score", "label")
+      .orderBy("source")
+
   /** Cohen's kappa ([[graft.operators.Stats.cohenKappa]]) between two
     * deterministic quality screens (length ≥ 280 chars vs ≥ 45 words)
     * per source — agreement beyond chance as the exact integer fraction
@@ -3081,6 +3093,7 @@ object SparkEntry {
     "theil_sen_trend" -> theilSenTrend _,
     "cusum_changepoint" -> cusumChangepoint _,
     "rater_agreement" -> raterAgreement _,
+    "quality_auc" -> qualityAuc _,
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
     "length_quantiles" -> lengthQuantiles _,
@@ -4460,6 +4473,26 @@ object SparkEntry {
                 CAST(t.n * t.n - coalesce(x.rc, 0) AS BIGINT) AS kappa_den
          FROM t LEFT JOIN x ON t.source = x.source
          ORDER BY t.source""",
+    "quality_auc" ->
+      // Mann–Whitney AUC with doubled midranks: 2·midrank = 2·rank_min
+      // + ties − 1; num = Σ_pos(2·midrank) − P(P+1), den = 2·P·N
+      """WITH r AS (SELECT source,
+                CAST(length(trim(text)) AS BIGINT) AS s,
+                (len(string_split_regex(trim(text), '\s+')) >= 45) AS pos
+              FROM documents),
+          w AS (SELECT source, pos,
+                  CAST(rank() OVER (PARTITION BY source ORDER BY s) AS BIGINT) AS rnk,
+                  CAST(count(*) OVER (PARTITION BY source, s) AS BIGINT) AS ties
+                FROM r)
+         SELECT source,
+                CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+                CAST(sum(CASE WHEN pos THEN rnk * 2 + ties - 1 ELSE 0 END)
+                  - sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                    * (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1) AS BIGINT) AS auc_num,
+                CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                  * sum(CASE WHEN pos THEN 0 ELSE 1 END) * 2 AS BIGINT) AS auc_den
+         FROM w GROUP BY source ORDER BY source""",
     "knn_dot_topk" ->
       """SELECT query_id, neighbor_id, score,
                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank

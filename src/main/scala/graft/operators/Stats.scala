@@ -661,6 +661,41 @@ object Stats {
         (col("n") * col("n") - coalesce(col("rc"), lit(0L))).as("kappa_den"))
   }
 
+  /** Exact ROC-AUC per group via the Mann–Whitney rank identity — the
+    * threshold-free "does this score rank positives above negatives?"
+    * number every quality-classifier pipeline reports, computed without
+    * a single ROC-curve sweep: AUC = (Σ midrank_pos − P(P+1)/2)/(P·N).
+    * Ties take MIDRANKS (the trapezoidal-ROC convention), kept integer
+    * by doubling: 2·midrank = 2·rank_min + ties − 1, so
+    *
+    *   auc_num = Σ_pos(2·rank_min + ties − 1) − P(P+1),  auc_den = 2·P·N
+    *
+    * Both exact integers; κ-style render-time division. Degenerate
+    * groups (P = 0 or N = 0) emit auc_den = 0 rather than a NaN.
+    *
+    * Shape: two keyed windows (rank over (group, score order), tie
+    * counts over (group, score)) + one aggregate — the rank-rule gate
+    * cost, sort bounded per group, nothing corpus-global. */
+  def exactAuc(
+      df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val scored = df.select(col(groupCol), col(scoreCol).as("s"),
+        col(labelCol).cast("boolean").as("pos"))
+      .withColumn("rnk",
+        rank().over(Window.partitionBy(col(groupCol)).orderBy(col("s"))).cast("long"))
+      .withColumn("ties",
+        count(lit(1)).over(Window.partitionBy(col(groupCol), col("s"))).cast("long"))
+    scored.groupBy(col(groupCol))
+      .agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("pos"), col("rnk") * 2L + col("ties") - 1L)
+          .otherwise(0L)).as("r2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        (col("r2") - col("n_pos") * (col("n_pos") + 1L)).as("auc_num"),
+        (col("n_pos") * col("n_neg") * 2L).as("auc_den"))
+  }
+
   /** CUSUM mean-shift changepoint per series: the split point k that
     * maximizes the cumulative deviation from the series mean — argmax_k
     * |Σ_{i≤k} y_i − k·ȳ| — the standard "WHERE did the level change"

@@ -183,4 +183,23 @@ class Round12OpsSpec extends AnyFunSuite {
     val d = Stats.cohenKappa(disjoint, "g", "a", "b").collect().head
     assert(d.getLong(2) === 0L && d.getLong(3) === 0L && d.getLong(4) === 4L)
   }
+
+  test("exactAuc: perfect ranker scores 1, tied scores take midranks") {
+    // scores 1,2,3,4 / labels n,n,p,p: positives hold ranks 3,4 →
+    // num = (6+8) − 2·3 = 8, den = 2·2·2 = 8 → AUC 1
+    val perfect = Seq(("g", 1L, false), ("g", 2L, false),
+      ("g", 3L, true), ("g", 4L, true)).toDF("g", "s", "l")
+    val p = Stats.exactAuc(perfect, "g", "s", "l").collect().head
+    assert(p.getLong(3) === 8L && p.getLong(4) === 8L)
+    // one tied pair, one of each label: midrank 1.5 each → AUC 1/2
+    val tied = Seq(("g", 7L, true), ("g", 7L, false)).toDF("g", "s", "l")
+    val t = Stats.exactAuc(tied, "g", "s", "l").collect().head
+    assert(t.getLong(3) === 1L && t.getLong(4) === 2L)
+  }
+
+  test("exactAuc: single-class groups emit den = 0, never NaN") {
+    val df = Seq(("g", 1L, true), ("g", 2L, true)).toDF("g", "s", "l")
+    val out = Stats.exactAuc(df, "g", "s", "l").collect().head
+    assert(out.getLong(2) === 0L && out.getLong(4) === 0L)
+  }
 }
