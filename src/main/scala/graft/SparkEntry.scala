@@ -2658,6 +2658,18 @@ object SparkEntry {
         "source", "score", "label")
       .orderBy("source")
 
+  /** Calibration bins ([[graft.operators.Stats.calibrationBins]]): the
+    * length score's equi-depth deciles vs the word-screen hit rate per
+    * source — (score_sum/n, n_pos/n) per bin renders the reliability
+    * diagram; all-integer, ntile over a (score, doc_id) total order. */
+  private def calibrationBinsQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.calibrationBins(
+        t(s, dir, "documents").select(col("source"), col("doc_id"),
+          length(trim(col("text"))).cast("long").as("score"),
+          (size(split(trim(col("text")), "\\s+")) >= 45).as("label")),
+        "source", "score", "label", tieCols = Seq("doc_id"), bins = 10)
+      .orderBy("source", "bin")
+
   /** Cohen's kappa ([[graft.operators.Stats.cohenKappa]]) between two
     * deterministic quality screens (length ≥ 280 chars vs ≥ 45 words)
     * per source — agreement beyond chance as the exact integer fraction
@@ -3094,6 +3106,7 @@ object SparkEntry {
     "cusum_changepoint" -> cusumChangepoint _,
     "rater_agreement" -> raterAgreement _,
     "quality_auc" -> qualityAuc _,
+    "calibration_bins" -> calibrationBinsQuery _,
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
     "length_quantiles" -> lengthQuantiles _,
@@ -4493,6 +4506,21 @@ object SparkEntry {
                 CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END)
                   * sum(CASE WHEN pos THEN 0 ELSE 1 END) * 2 AS BIGINT) AS auc_den
          FROM w GROUP BY source ORDER BY source""",
+    "calibration_bins" ->
+      // equi-depth deciles over the (score, doc_id) total order — the
+      // ntile-parity convention price_equidepth established
+      """WITH r AS (SELECT source, doc_id,
+                CAST(length(trim(text)) AS BIGINT) AS score,
+                (len(string_split_regex(trim(text), '\s+')) >= 45) AS label
+              FROM documents),
+          b AS (SELECT source, score, label,
+                  CAST(ntile(10) OVER (PARTITION BY source
+                    ORDER BY score, doc_id) AS BIGINT) AS bin
+                FROM r)
+         SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                CAST(sum(score) AS BIGINT) AS score_sum
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
     "knn_dot_topk" ->
       """SELECT query_id, neighbor_id, score,
                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank

@@ -696,6 +696,30 @@ object Stats {
         (col("n_pos") * col("n_neg") * 2L).as("auc_den"))
   }
 
+  /** Calibration reliability bins per group — equi-depth score bins
+    * with observed positive counts, the third leg of the scorer-eval
+    * triad (κ agreement, AUC discrimination, THIS calibration): bin b's
+    * rendered point is (score_sum/n, n_pos/n), and a well-calibrated
+    * scorer walks the diagonal. Bins are rank-based (ntile over a TOTAL
+    * order — callers supply unique tie columns, the equi-depth-decile
+    * convention) so every emitted value is an exact integer; no
+    * engine-varying bin-edge float arithmetic exists anywhere.
+    *
+    * Shape: one keyed ranking window (sort bounded per group) + one
+    * aggregate to |groups|×bins rows. */
+  def calibrationBins(
+      df: DataFrame, groupCol: String, scoreCol: String, labelCol: String,
+      tieCols: Seq[String], bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy((col(scoreCol) +: tieCols.map(col)): _*)
+    df.withColumn("bin", ntile(bins).over(w).cast("long"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col(scoreCol).cast("long")).as("score_sum"))
+  }
+
   /** CUSUM mean-shift changepoint per series: the split point k that
     * maximizes the cumulative deviation from the series mean — argmax_k
     * |Σ_{i≤k} y_i − k·ȳ| — the standard "WHERE did the level change"

@@ -202,4 +202,15 @@ class Round12OpsSpec extends AnyFunSuite {
     val out = Stats.exactAuc(df, "g", "s", "l").collect().head
     assert(out.getLong(2) === 0L && out.getLong(4) === 0L)
   }
+
+  test("calibrationBins: equi-depth bins, counts and positives per bin") {
+    // 8 rows, 4 bins → bins {1,2},{3,4},{5,6},{7,8}; label = score ≥ 5
+    val df = (1 to 8).map(i => ("g", i.toLong, i.toLong, i >= 5))
+      .toDF("g", "id", "s", "l")
+    val out = Stats.calibrationBins(df, "g", "s", "l", Seq("id"), bins = 4)
+      .orderBy("bin").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(2L, 2L, 2L, 2L))
+    assert(out.map(_.getLong(3)).toSeq === Seq(0L, 0L, 2L, 2L))
+    assert(out.map(_.getLong(4)).toSeq === Seq(3L, 7L, 11L, 15L))
+  }
 }
