@@ -2658,6 +2658,18 @@ object SparkEntry {
         "source", "score", "label")
       .orderBy("source")
 
+  /** First-occurrence novelty ([[graft.operators.TextCorpus
+    * .noveltyScores]]) over the dup fixture: per doc, distinct 8-gram
+    * shingles vs how many an EARLIER doc already introduced — the
+    * exact-dup clones (+10000) and excerpts (+20000) score fully
+    * recycled while their sources stay clean, the "keep first" policy
+    * as a measurement. */
+  private def noveltyScoresQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextCorpus.noveltyScores(
+        docsWithDups(s, dir), "doc_id", "text", shingleSize = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   /** Calibration bins ([[graft.operators.Stats.calibrationBins]]): the
     * length score's equi-depth deciles vs the word-screen hit rate per
     * source — (score_sum/n, n_pos/n) per bin renders the reliability
@@ -3107,6 +3119,7 @@ object SparkEntry {
     "rater_agreement" -> raterAgreement _,
     "quality_auc" -> qualityAuc _,
     "calibration_bins" -> calibrationBinsQuery _,
+    "novelty_scores" -> noveltyScoresQuery _,
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
     "length_quantiles" -> lengthQuantiles _,
@@ -4521,6 +4534,19 @@ object SparkEntry {
                 CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
                 CAST(sum(score) AS BIGINT) AS score_sum
          FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+    "novelty_scores" ->
+      // first-occurrence attribution: a shingle counts against every
+      // doc EXCEPT the smallest-id one that introduced it
+      s"""WITH docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
+          sh AS (SELECT doc_id,
+                   unnest(list_distinct([substr(text, i, 8) FOR i IN range(1, greatest(length(text)-7, 1)+1)])) AS tok
+                 FROM docs),
+          f AS (SELECT tok, min(doc_id) AS first_id FROM sh GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                CAST(sum(CASE WHEN first_id < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_recycled
+         FROM sh JOIN f USING (tok)
+         GROUP BY 1 ORDER BY doc_id""",
     "knn_dot_topk" ->
       """SELECT query_id, neighbor_id, score,
                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank

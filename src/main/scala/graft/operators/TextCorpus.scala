@@ -727,4 +727,34 @@ object TextCorpus {
           sep).as("kept_text"),
         sum(when(col("drop"), 1L).otherwise(0L)).as("removed_lines"))
   }
+
+  /** First-occurrence novelty per document: of each doc's distinct
+    * n-gram shingles, how many were ALREADY introduced by an earlier
+    * document (smaller id under the ingestion order) — the measured
+    * form of the "keep the first occurrence" dedup policy (Lee et al.
+    * 2022's survivor rule): the originator of a span is never penalized
+    * for its copies, every later repeat is. Distinct from the unordered
+    * repeat screens (line boilerplate, span dedup): those count df ≥ 2
+    * symmetrically; this ATTRIBUTES the duplication to the later
+    * arrivals, which is what an incremental ingest actually filters on.
+    *
+    * Shape: explode to (id, shingle) postings, min(id) per shingle (one
+    * keyed shuffle, map-side combined), join the postings back on the
+    * shingle (co-partitioned by the same key), re-aggregate per doc —
+    * three data-sized shuffles, nothing broadcast, the BM25/containment
+    * postings layout shared once more. At 100 TB the ingestion order is
+    * the log position, so the same plan runs incrementally: new batch
+    * shingles probe the accumulated first-occurrence index. */
+  def noveltyScores(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 8): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        explode(graft.functions.TextHash.shingleHashes(col(textCol), shingleSize))
+          .as("tok"))
+    val first = sh.groupBy("tok").agg(min(col("id")).as("first_id"))
+    sh.join(first, Seq("tok"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") < col("id"), 1L).otherwise(0L)).as("n_recycled"))
+  }
 }

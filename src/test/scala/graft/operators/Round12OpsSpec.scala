@@ -213,4 +213,18 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(3)).toSeq === Seq(0L, 0L, 2L, 2L))
     assert(out.map(_.getLong(4)).toSeq === Seq(3L, 7L, 11L, 15L))
   }
+
+  test("noveltyScores: copies recycle, originators stay clean") {
+    val original = "the quick brown fox jumps over the lazy dog"
+    val unrelated = "entirely different content with no shared spans at all"
+    val docs = Seq((1L, original), (2L, unrelated), (3L, original))
+      .toDF("doc_id", "text")
+    val out = TextCorpus.noveltyScores(docs, "doc_id", "text", shingleSize = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1 introduced everything it has; doc 3 is a verbatim copy —
+    // every shingle recycled; doc 2 shares nothing
+    assert(out(1L)._2 === 0L)
+    assert(out(3L)._1 === out(1L)._1 && out(3L)._2 === out(3L)._1)
+    assert(out(2L)._2 === 0L)
+  }
 }
