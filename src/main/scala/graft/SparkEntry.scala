@@ -2708,6 +2708,65 @@ object SparkEntry {
         "event_type", "x", "y")
       .orderBy("event_type")
 
+  /** Functional-dependency audit ([[graft.operators.Validation
+    * .fdAudit]]): candidate dependencies over part (all broken in this
+    * corpus — the fan-out says how badly) plus the key-certifying
+    * o_orderkey → o_custkey (0 violating keys proves orderkey is a
+    * key for custkey). Each candidate is its own two-column pruned
+    * aggregate pass; the report is |candidates| rows. */
+  private def fdAuditQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Validation.fdAudit(t(s, dir, "part"),
+        Seq(("p_brand", "p_type"), ("p_type", "p_brand"), ("p_name", "p_brand")))
+      .union(graft.operators.Validation.fdAudit(t(s, dir, "orders"),
+        Seq(("o_orderkey", "o_custkey"))))
+      .orderBy("lhs", "rhs")
+
+  /** Order-dependency audit ([[graft.operators.Validation.orderAudit]]):
+    * is ship date nondecreasing along each order's line numbers, and
+    * does the event clock ever run backwards along event ids within a
+    * user? Two lag-window rules reported through the uniform
+    * (rule, n_checked, n_violations) contract. */
+  private def orderAuditQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Validation.orderAudit(t(s, dir, "lineitem"),
+        "shipdate_by_linenumber", Seq("l_orderkey"),
+        // linenumber has dup rows → the audited value breaks the tie
+        Seq("l_linenumber", "l_shipdate"), "l_shipdate")
+      .union(graft.operators.Validation.orderAudit(t(s, dir, "events"),
+        "event_ts_by_id_per_user", Seq("user_id"), Seq("event_id"), "ts"))
+      .orderBy("rule")
+
+  /** Collocation screen ([[graft.operators.TextCorpus.collocations]]):
+    * adjacent token pairs with ≥5 occurrences beating independence by
+    * lift ≥ 1.30, the cross-multiplied integer PMI screen — the phrase
+    * detector next to `top_ngrams`' raw frequencies. */
+  private def collocationsQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextCorpus.collocations(
+        t(s, dir, "documents"), minCount = 5L, minLiftPct = 130L)
+      .orderBy("w1", "w2")
+
+  /** Spearman rank correlation ([[graft.operators.Stats.spearmanCorr]])
+    * between quantity and extended price per return flag — monotone
+    * association as exact integer fractions over doubled midranks,
+    * ρ = rho_num/√(rho_denx·rho_deny) at render time. */
+  private def spearmanCorrQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.spearmanCorr(
+        t(s, dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice")
+      .orderBy("l_returnflag")
+
+  /** Seasonality-adjusted anomaly days ([[graft.operators.Stats
+    * .seasonalOutliers]]): detrended residuals ≥ 4× their (type, dow)
+    * cell's MAD — Mondays judged against Monday's own spread, the
+    * relative threshold that survives a 100× traffic scale-up. */
+  private def seasonalOutliersQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.seasonalOutliers(
+        t(s, dir, "events"), "event_type", "ts", madMultiple = 4L)
+      // epoch-day (the theil_sen convention) keeps the gate integer-only
+      .select(col("event_type"),
+        datediff(col("d"), lit("1970-01-01")).cast("long").as("d_epochday"),
+        col("dow"), col("cnt"), col("detrended7"), col("med7"),
+        col("abs_dev7"), col("mad7"))
+      .orderBy("event_type", "d_epochday")
+
   /** Distinct l-diversity audit ([[graft.operators.Pii
     * .lDiversityClasses]]) of the customer release: QI =
     * (nation, market segment), sensitive = account-balance band —
@@ -3119,6 +3178,11 @@ object SparkEntry {
     "rater_agreement" -> raterAgreement _,
     "quality_auc" -> qualityAuc _,
     "calibration_bins" -> calibrationBinsQuery _,
+    "fd_audit" -> fdAuditQuery _,
+    "order_audit" -> orderAuditQuery _,
+    "collocations" -> collocationsQuery _,
+    "spearman_corr" -> spearmanCorrQuery _,
+    "seasonal_outliers" -> seasonalOutliersQuery _,
     "novelty_scores" -> noveltyScoresQuery _,
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
@@ -4534,6 +4598,124 @@ object SparkEntry {
                 CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
                 CAST(sum(score) AS BIGINT) AS score_sum
          FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+    "fd_audit" ->
+      // per-candidate two-level aggregate; keys unify through VARCHAR so
+      // one UNION ALL covers string and integer candidates alike
+      """WITH cand AS (
+           SELECT 'p_brand' AS lhs, 'p_type' AS rhs,
+                  CAST(p_brand AS VARCHAR) AS k, CAST(p_type AS VARCHAR) AS v FROM part
+           UNION ALL SELECT 'p_type', 'p_brand',
+                  CAST(p_type AS VARCHAR), CAST(p_brand AS VARCHAR) FROM part
+           UNION ALL SELECT 'p_name', 'p_brand',
+                  CAST(p_name AS VARCHAR), CAST(p_brand AS VARCHAR) FROM part
+           UNION ALL SELECT 'o_orderkey', 'o_custkey',
+                  CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR) FROM orders),
+          g AS (SELECT lhs, rhs, k, count(DISTINCT v) AS d, count(*) AS n
+                FROM cand GROUP BY 1, 2, 3)
+         SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+                CAST(max(d) AS BIGINT) AS max_fanout,
+                CAST(sum(n) AS BIGINT) AS n_rows
+         FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
+    "order_audit" ->
+      // lag-window sortedness rules; a NULL comparison is vacuous (not a
+      // violation), n_checked counts rows with a predecessor
+      """WITH a AS (SELECT l_shipdate AS v,
+                  lag(l_shipdate) OVER (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_shipdate) AS p
+                FROM lineitem),
+          b AS (SELECT ts AS v,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS p
+                FROM events)
+         SELECT * FROM (
+           SELECT 'shipdate_by_linenumber' AS rule,
+                  CAST(count(*) AS BIGINT) AS n_checked,
+                  CAST(sum(CASE WHEN v < p THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+           FROM a WHERE p IS NOT NULL
+           UNION ALL
+           SELECT 'event_ts_by_id_per_user',
+                  CAST(count(*) AS BIGINT),
+                  CAST(sum(CASE WHEN v < p THEN 1 ELSE 0 END) AS BIGINT)
+           FROM b WHERE p IS NOT NULL)
+         ORDER BY rule""",
+    "collocations" ->
+      // adjacent-pair PMI screen, cross-multiplied in HUGEINT: keep when
+      // 100·pair_n·total ≥ 130·left_n·right_n (lift ≥ 1.30) and pair_n ≥ 5
+      """WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ts
+                       FROM documents),
+          pairs AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+            SELECT unnest([struct_pack(w1 := ts[i], w2 := ts[i+1])
+                           FOR i IN range(1, len(ts))]) AS p
+            FROM toks)),
+          pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n
+                 FROM pairs GROUP BY 1, 2),
+          lm AS (SELECT w1, CAST(sum(pair_n) AS BIGINT) AS left_n FROM pc GROUP BY 1),
+          rm AS (SELECT w2, CAST(sum(pair_n) AS BIGINT) AS right_n FROM pc GROUP BY 1),
+          tot AS (SELECT CAST(sum(pair_n) AS BIGINT) AS total_pairs FROM pc)
+         SELECT w1, w2, pair_n, left_n, right_n, total_pairs
+         FROM pc JOIN lm USING (w1) JOIN rm USING (w2), tot
+         WHERE pair_n >= 5
+           AND CAST(pair_n AS HUGEINT) * total_pairs * 100
+               >= 130 * CAST(left_n AS HUGEINT) * right_n
+         ORDER BY w1, w2""",
+    "spearman_corr" ->
+      // Pearson moments of doubled midranks (2·midrank = 2·rank_min +
+      // ties − 1), accumulated in HUGEINT = Spark's decimal(38,0);
+      // ρ = rho_num/√(rho_denx·rho_deny) at render time
+      """WITH r AS (SELECT l_returnflag AS g, l_quantity AS x,
+                l_extendedprice AS y FROM lineitem),
+          u AS (SELECT g,
+                  CAST(rank() OVER (PARTITION BY g ORDER BY x) AS HUGEINT) * 2
+                    + CAST(count(*) OVER (PARTITION BY g, x) AS HUGEINT) - 1 AS u,
+                  CAST(rank() OVER (PARTITION BY g ORDER BY y) AS HUGEINT) * 2
+                    + CAST(count(*) OVER (PARTITION BY g, y) AS HUGEINT) - 1 AS v
+                FROM r)
+         SELECT g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                count(*) * sum(u*v) - sum(u) * sum(v) AS rho_num,
+                count(*) * sum(u*u) - sum(u) * sum(u) AS rho_denx,
+                count(*) * sum(v*v) - sum(v) * sum(v) AS rho_deny
+         FROM u GROUP BY g ORDER BY g""",
+    "seasonal_outliers" ->
+      // seasonal_decompose's CTE + per-(type, dow) lower medians: flag
+      // |det7 − med7| ≥ 4·MAD, MAD > 0; epoch-day output (theil_sen
+      // convention) keeps the gate integer-only
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+                        FROM events GROUP BY 1, 2),
+          w AS (SELECT event_type, d, cnt,
+                  sum(cnt) OVER win AS t7,
+                  count(*) OVER win AS w_n,
+                  max(d) OVER win - min(d) OVER win AS w_span
+                FROM daily
+                WINDOW win AS (PARTITION BY event_type ORDER BY d
+                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          det AS (SELECT event_type, d,
+                    CAST((d - DATE '1970-01-01') % 7 AS BIGINT) AS dow,
+                    CAST(cnt AS BIGINT) AS cnt,
+                    CAST(cnt * 7 - t7 AS BIGINT) AS det7
+                  FROM w WHERE w_n = 7 AND w_span = 6),
+          med AS (SELECT event_type, dow, det7 AS med7 FROM
+                    (SELECT event_type, dow, det7,
+                       row_number() OVER (PARTITION BY event_type, dow
+                         ORDER BY det7) AS rn,
+                       count(*) OVER (PARTITION BY event_type, dow) AS n
+                     FROM det)
+                  WHERE rn = (n + 1) // 2),
+          dev AS (SELECT det.*, med7, abs(det7 - med7) AS ad
+                  FROM det JOIN med USING (event_type, dow)),
+          mad AS (SELECT event_type, dow, ad AS mad7 FROM
+                    (SELECT event_type, dow, ad,
+                       row_number() OVER (PARTITION BY event_type, dow
+                         ORDER BY ad) AS rn,
+                       count(*) OVER (PARTITION BY event_type, dow) AS n
+                     FROM dev)
+                  WHERE rn = (n + 1) // 2)
+         SELECT event_type,
+                CAST(d - DATE '1970-01-01' AS BIGINT) AS d_epochday,
+                dow, cnt, det7 AS detrended7, med7,
+                ad AS abs_dev7, mad7
+         FROM dev JOIN mad USING (event_type, dow)
+         WHERE mad7 > 0 AND ad >= 4 * mad7
+         ORDER BY event_type, d_epochday""",
     "novelty_scores" ->
       // first-occurrence attribution: a shingle counts against every
       // doc EXCEPT the smallest-id one that introduced it

@@ -759,6 +759,50 @@ object Stats {
         col("s_k").as("cusum_num"))
   }
 
+  /** Spearman rank correlation per group as exact integer fractions —
+    * the monotone-association twin of [[corrMatrix]]'s Pearson: rank
+    * both columns (MIDRANKS for ties, kept integer by the AUC doubling
+    * trick: 2·midrank = 2·rank_min + ties − 1), then emit the Pearson
+    * moment components of the doubled ranks:
+    *
+    *   rho_num  = n·Σuv − Σu·Σv
+    *   rho_denx = n·Σu² − (Σu)²,  rho_deny = n·Σv² − (Σv)²
+    *
+    * with ρ = rho_num / √(rho_denx·rho_deny) at render time — the √ is
+    * the only non-rational step, so it never enters the gate. All sums
+    * accumulate in decimal(38,0) (DuckDB's HUGEINT twin): doubled ranks
+    * reach 2n, their squares n², and n·Σu² reaches n⁴ — past int64 at
+    * ~50k-row groups. Constant columns surface den = 0, not NaN.
+    *
+    * Shape: two keyed rank windows + one tie-count window per column
+    * (sort runs bounded per group, the [[exactAuc]] cost ×2) and one
+    * aggregate to |groups| rows. Spearman over ranks is the robust
+    * "does y rise with x" answer when the relationship is monotone but
+    * not linear — the screen you run before trusting Pearson. */
+  def spearmanCorr(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    def doubledMidrank(c: String, out: String)(in: DataFrame): DataFrame = in
+      .withColumn("_r",
+        rank().over(Window.partitionBy(col(groupCol)).orderBy(col(c))).cast("long"))
+      .withColumn("_t",
+        count(lit(1)).over(Window.partitionBy(col(groupCol), col(c))).cast("long"))
+      .withColumn(out, (col("_r") * 2L + col("_t") - 1L).cast("decimal(38,0)"))
+      .drop("_r", "_t")
+    val ranked = doubledMidrank(yCol, "v")(doubledMidrank(xCol, "u")(
+      df.select(col(groupCol), col(xCol), col(yCol))))
+    val d = "decimal(38,0)"
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast(d).as("n"),
+        sum(col("u")).as("su"), sum(col("v")).as("sv"),
+        sum(col("u") * col("u")).as("suu"),
+        sum(col("v") * col("v")).as("svv"),
+        sum(col("u") * col("v")).as("suv"))
+      .select(col(groupCol), col("n").cast("long").as("n"),
+        (col("n") * col("suv") - col("su") * col("sv")).cast(d).as("rho_num"),
+        (col("n") * col("suu") - col("su") * col("su")).cast(d).as("rho_denx"),
+        (col("n") * col("svv") - col("sv") * col("sv")).cast(d).as("rho_deny"))
+  }
+
   /** Classical additive seasonal decomposition of a daily count series,
     * per series key: trend = centered 7-day moving window, seasonal =
     * the day-of-week deviation from trend. All arithmetic is integer-
@@ -796,5 +840,47 @@ object Stats {
       .select(col(keyCol), col("d"), col("dow"), col("cnt"),
         when(col("complete"), col("trend7_sum")).as("trend7_sum"),
         when(col("complete"), col("cnt") * 7L - col("trend7_sum")).as("detrended7"))
+  }
+
+  /** Seasonality-adjusted daily anomaly screen — the composition a
+    * monitoring pipeline actually deploys: [[seasonalDecompose]] removes
+    * trend, the per-(key, day-of-week) MEDIAN removes the seasonal
+    * component, and a day is flagged when its residual exceeds
+    * `madMultiple`× that cell's MAD — so Mondays are judged against
+    * Monday's own spread and a weekly cycle never false-alarms. Both
+    * the median and the MAD are LOWER medians (rank ⌈n/2⌉ — an actual
+    * data element, no interpolation), keeping every emitted value an
+    * exact integer in detrended-7ths; cells with MAD = 0 (degenerate
+    * spread) are excluded rather than dividing by zero, and the
+    * threshold compare is the cross-multiplied `|dev| ≥ k·MAD`.
+    *
+    * Shape: the corpus collapses to |keys|×|days| in [[seasonalDecompose]]'s
+    * one data-sized aggregate; everything after — two ranking windows
+    * partitioned by (key, dow) and two reduced-frame joins — runs on
+    * that frame. Relative (MAD-multiple) thresholds are the point:
+    * they survive a 100× traffic scale-up unchanged, where any
+    * absolute count threshold would re-tune per deployment. */
+  def seasonalOutliers(
+      events: DataFrame, keyCol: String, tsCol: String,
+      madMultiple: Long = 4L): DataFrame = {
+    require(madMultiple >= 1)
+    val det = seasonalDecompose(events, keyCol, tsCol)
+      .filter(col("detrended7").isNotNull)
+    def lowerMedian(in: DataFrame, c: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col(keyCol), col("dow")).orderBy(col(c))
+      val wc = Window.partitionBy(col(keyCol), col("dow"))
+      in.withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(wc))
+        .filter(col("_rn") === floor((col("_n") + lit(1)) / lit(2)))
+        .select(col(keyCol), col("dow"), col(c).as(out))
+    }
+    val med = lowerMedian(det, "detrended7", "med7")
+    val dev = det.join(med, Seq(keyCol, "dow"))
+      .withColumn("abs_dev7", abs(col("detrended7") - col("med7")))
+    val mad = lowerMedian(dev, "abs_dev7", "mad7")
+    dev.join(mad, Seq(keyCol, "dow"))
+      .filter(col("mad7") > 0 && col("abs_dev7") >= lit(madMultiple) * col("mad7"))
+      .select(col(keyCol), col("d"), col("dow"), col("cnt"),
+        col("detrended7"), col("med7"), col("abs_dev7"), col("mad7"))
   }
 }

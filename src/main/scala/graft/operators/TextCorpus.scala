@@ -84,6 +84,50 @@ object TextCorpus {
       .orderBy(col("n_occurrences").desc, col("gram").asc)
       .limit(k)
 
+  /** Collocation screen — adjacent-token pairs whose co-occurrence
+    * beats independence by an integer-percent LIFT margin: keep
+    * (w1, w2) when pair_n ≥ minCount and 100·pair_n·total ≥
+    * minLiftPct·left_n·right_n, i.e. PMI ≥ log(minLiftPct/100), with
+    * the PMI logarithm never evaluated — the cross-multiplied
+    * comparison stays exact-integer (house rule), and the emitted
+    * counts let consumers render the classic PMI/log-lift score. The
+    * association-mining view of bigrams: [[topNgrams]] ranks by raw
+    * frequency ("of the" wins), THIS finds pairs that are glued
+    * together ("los angeles"), the phrase detector feeding tokenizer
+    * vocab building and stop-phrase lists.
+    *
+    * Marginals are as-left/as-right counts over the SAME pair frame, so
+    * the identity Σ_w1 left_n = Σ_w2 right_n = total holds exactly and
+    * no second corpus pass exists: the explode+count reduces the corpus
+    * to |pair-vocab| rows, and both marginals, the total, and the screen
+    * run on that reduced frame (two reduced-frame joins + one broadcast
+    * scalar). The lift products run in decimal(38,0) — at 100 TB,
+    * pair_n·total reaches ~10²⁶, far past int64. */
+  def collocations(
+      docs: DataFrame, minCount: Long, minLiftPct: Long,
+      textCol: String = "text"): DataFrame = {
+    require(minCount >= 1 && minLiftPct >= 1)
+    val ts = TextAnalysis.tokens(lower(col(textCol)))
+    val pairs = docs.select(
+        explode(when(size(ts) >= 2,
+          transform(sequence(lit(0), size(ts) - 2),
+            i => struct(element_at(ts, i + 1).as("w1"),
+              element_at(ts, i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("pair_n"))
+      .localCheckpoint() // reduced |pair-vocab| frame; marginals + join + screen all reuse it
+    val lm = pc.groupBy("w1").agg(sum("pair_n").as("left_n"))
+    val rm = pc.groupBy("w2").agg(sum("pair_n").as("right_n"))
+    val tot = pc.agg(sum("pair_n").as("total_pairs"))
+    val d = "decimal(38,0)"
+    pc.join(lm, "w1").join(rm, "w2").crossJoin(broadcast(tot))
+      .filter(col("pair_n") >= minCount &&
+        col("pair_n").cast(d) * col("total_pairs") * 100L >=
+          lit(minLiftPct).cast(d) * col("left_n").cast(d) * col("right_n"))
+      .select("w1", "w2", "pair_n", "left_n", "right_n", "total_pairs")
+  }
+
   /** Which sources share byte-identical texts: (source_a, source_b,
     * shared_texts) for source pairs that contain at least one common
     * text digest — the provenance view of exact dedup (who copies

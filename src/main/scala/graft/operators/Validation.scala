@@ -57,6 +57,72 @@ object Validation {
         sum(when(col("_n") > 1, 1L).otherwise(0L)).as("n_violations"))
       .select("rule", "n_checked", "n_violations")
 
+  /** Functional-dependency audit — approximate-FD profiling (the
+    * Tane/Metanome family's verification step, run over candidate
+    * pairs): does lhs → rhs hold, and if not, how badly is it broken?
+    * One row per candidate: distinct lhs keys, keys mapping to more
+    * than one distinct rhs (the violating keys a normalization or
+    * golden-record step would have to resolve), the worst key's rhs
+    * fan-out, and total rows. `n_violating_keys = 0` certifies the
+    * dependency; the fan-out says whether violations are near-misses
+    * (2) or free-for-alls.
+    *
+    * 100 TB shape: each candidate is a two-column projection (column
+    * pruning reaches the scan) into a two-level aggregate — groupBy lhs
+    * with an exact count_distinct(rhs) (expands to the (lhs, rhs)
+    * distinct pre-aggregate, map-side combined), then a |keys|-row
+    * roll-up to ONE row. k candidates = k independent pruned passes
+    * unioned; no pass ever shuffles more than the (lhs, rhs) distinct
+    * pairs. Deliberately NOT one Expand-based multi-distinct pass — the
+    * per-candidate plan keeps each shuffle pruned to its own two
+    * columns (the `table_profile` lesson: Expand multiplies the corpus
+    * by k before the first combine). */
+  def fdAudit(df: DataFrame, candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "at least one candidate")
+    candidates.map { case (lhs, rhs) =>
+      df.select(col(lhs), col(rhs))
+        .groupBy(col(lhs))
+        .agg(count_distinct(col(rhs)).as("_d"), count(lit(1)).as("_n"))
+        .agg(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          count(lit(1)).as("n_keys"),
+          sum(when(col("_d") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+          max(col("_d")).as("max_fanout"),
+          sum(col("_n")).as("n_rows"))
+        .select("lhs", "rhs", "n_keys", "n_violating_keys", "max_fanout", "n_rows")
+    }.reduce(_ union _)
+  }
+
+  /** Order-dependency audit: within each partition key, ordered by a
+    * sequence column, count adjacent pairs where `valCol` DECREASES —
+    * the sortedness contract check (is ship date nondecreasing along
+    * the line numbers of an order? did the clock ever run backwards
+    * within a session?). Reports (rule, n_checked, n_violations) like
+    * every other rule, where n_checked counts adjacent pairs (rows with
+    * a predecessor) so a violation-free audit reads 0/npairs.
+    *
+    * Shape: one shuffle on the partition key for the lag window (sort
+    * runs bounded by group size), then a global count pair — never a
+    * corpus-global sort. NULL values never count as violations (a
+    * constraint over missing data is vacuous, matching [[report]]'s
+    * CHECK semantics on the comparison itself being null).
+    *
+    * `seqCols` must be a TOTAL order per partition for the count to be
+    * engine-deterministic; when the natural sequence column has ties,
+    * append the audited value itself as the tiebreaker (tie-block pairs
+    * then compare equal — never a violation — and the value sequence is
+    * the same under any permutation of equal keys). */
+  def orderAudit(
+      df: DataFrame, name: String, partCols: Seq[String], seqCols: Seq[String],
+      valCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(col): _*).orderBy(seqCols.map(col): _*)
+    df.withColumn("_prev", lag(col(valCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .agg(lit(name).as("rule"), count(lit(1)).as("n_checked"),
+        sum(when(col(valCol) < col("_prev"), 1L).otherwise(0L)).as("n_violations"))
+      .select("rule", "n_checked", "n_violations")
+  }
+
   /** Referential-integrity rule: rows of `df` whose `fkCol` has no match
     * in `ref.pkCol`. The referenced keys pre-aggregate to distinct before
     * the anti-join, so the probe side is the small dimension-key set
