@@ -602,6 +602,22 @@ object Bench {
       } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     })
 
+    // funnel CEP replay (A → B → C within 7 days): buffering state,
+    // exactly-once close on watermark — one state store, so the cost
+    // sits at the session replay's checkpoint-commit floor plus the
+    // per-user buffer churn; the batch twin is the funnel_state_batch
+    // gate, parity pinned in StatefulStreamingSpec
+    val funnelSec = retrying("streaming_funnel_replay")(time {
+      val in = MemoryStream[graft.streaming.LogEvent](spark)
+      val q = StatefulOps.funnelWithState(in.toDS(),
+          Seq("view", "click", "purchase"),
+          windowMicros = 7L * 86400L * 1000000L)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", checkpoint()).start()
+      try batches.foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
+      finally q.stop()
+    })
+
     // best-effort: state-store MAINTENANCE threads keep flushing snapshot
     // files briefly after q.stop(), so a walk-then-delete can race a
     // concurrent create (DirectoryNotEmptyException — this voided two
@@ -616,6 +632,7 @@ object Bench {
       }
     }
     Seq(
+      "streaming_funnel_replay" -> funnelSec,
       "streaming_session_replay" -> sessionSec,
       "streaming_session_replay_rocksdb" -> sessionRocksSec,
       "streaming_window_replay" -> windowSec,

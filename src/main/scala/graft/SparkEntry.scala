@@ -2767,6 +2767,73 @@ object SparkEntry {
         col("abs_dev7"), col("mad7"))
       .orderBy("event_type", "d_epochday")
 
+  /** t-closeness audit ([[graft.operators.Pii.tClosenessClasses]]) of
+    * the same customer release l_diversity gates: EMD between each QI
+    * class's balance-band distribution and the corpus's, exact-integer
+    * via prefix-sum cross-multiplication, against t = 3/20 — the
+    * skewness-attack screen that k-anonymity and l-diversity both
+    * miss, completing the privacy triad. */
+  private def tClosenessQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pii.tClosenessClasses(
+        t(s, dir, "customer")
+          // same engine-safe positive band as the l_diversity gate
+          .withColumn("bal_band", expr("floor(c_acctbal + 1000.0d) div 2000")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", tNum = 3L, tDen = 20L)
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** Inclusion-dependency audit ([[graft.operators.Validation
+    * .indAudit]]): two certified INDs (order custkeys ⊆ customers,
+    * lineitem partkeys ⊆ parts) and one violated business containment
+    * (purchasers ⊆ launch-week signups) — the FK-discovery twin of
+    * `fd_audit`'s key discovery, distinct-value semantics. */
+  private def indAuditQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    graft.operators.Validation.indAudit("o_custkey_in_customer",
+        t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey")
+      .union(graft.operators.Validation.indAudit("l_partkey_in_part",
+        t(s, dir, "lineitem"), "l_partkey", t(s, dir, "part"), "p_partkey"))
+      .union(graft.operators.Validation.indAudit("purchaser_in_launch_signups",
+        ev.filter(col("event_type") === "purchase"), "user_id",
+        ev.filter(col("event_type") === "signup" &&
+          col("ts") < lit("2024-01-08").cast("timestamp")), "user_id"))
+      .orderBy("candidate")
+  }
+
+  /** Batch twin of the streaming funnel CEP ([[graft.streaming
+    * .StatefulOps.funnelWithState]]): view → click → purchase within 7
+    * days of the FIRST view, each step strictly after the previous
+    * match — the same flatMapGroupsWithState function run in batch mode
+    * (empty state, one invocation per user), oracled against the
+    * nested min-chain SQL. StatefulStreamingSpec pins the streaming
+    * replay — including in-watermark reordering — to these rows. */
+  private def funnelStateBatch(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StatefulOps.funnelWithState(
+        graft.streaming.StatefulOps.typedEvents(t(s, dir, "events")),
+        Seq("view", "click", "purchase"), windowMicros = 7L * 86400L * 1000000L)
+      .toDF()
+      .select(col("userId").as("user_id"), col("reached"),
+        col("t1Us").as("t1_us"), col("t2Us").as("t2_us"),
+        col("t3Us").as("t3_us"), col("completed"))
+      .orderBy("user_id")
+
+  /** Anti-entropy bucket diff ([[graft.operators.Validation.syncDiff]]):
+    * the orders table vs a deterministically-mutated replica (priority
+    * rewritten on keys ≡ 3 mod 97, keys ≡ 5 mod 101 deleted) — the
+    * mismatched 1/64th keyspace slices a repair pass would re-read,
+    * found by moving 2×64 digest rows instead of two table scans'
+    * worth of rows to one place. */
+  private def syncDigestQuery(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val mutated = orders
+      .withColumn("o_orderpriority",
+        when(pmod(col("o_orderkey"), lit(97)) === 3, lit("9-RESYNC"))
+          .otherwise(col("o_orderpriority")))
+      .filter(pmod(col("o_orderkey"), lit(101)) =!= 5)
+    graft.operators.Validation.syncDiff(orders, mutated, "o_orderkey",
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority"), nBuckets = 64)
+      .orderBy("bucket")
+  }
+
   /** Distinct l-diversity audit ([[graft.operators.Pii
     * .lDiversityClasses]]) of the customer release: QI =
     * (nation, market segment), sensitive = account-balance band —
@@ -3183,6 +3250,10 @@ object SparkEntry {
     "collocations" -> collocationsQuery _,
     "spearman_corr" -> spearmanCorrQuery _,
     "seasonal_outliers" -> seasonalOutliersQuery _,
+    "t_closeness" -> tClosenessQuery _,
+    "ind_audit" -> indAuditQuery _,
+    "funnel_state_batch" -> funnelStateBatch _,
+    "sync_digest" -> syncDigestQuery _,
     "novelty_scores" -> noveltyScoresQuery _,
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
@@ -4716,6 +4787,118 @@ object SparkEntry {
          FROM dev JOIN mad USING (event_type, dow)
          WHERE mad7 > 0 AND ad >= 4 * mad7
          ORDER BY event_type, d_epochday""",
+    "t_closeness" ->
+      // ordered-EMD via prefix sums, exact-integer: emd_num =
+      // Σ|n_total·cpref − n_class·gpref|; close ⇔ emd·20 ≤ 3·n_class·
+      // n_total·(m−1); dense grid so missing cells still carry distance
+      """WITH rel AS (SELECT c_nationkey, c_mktsegment,
+                CAST(floor(c_acctbal + 1000.0) AS BIGINT) // 2000 AS v
+              FROM customer),
+          cells AS (SELECT c_nationkey, c_mktsegment, v, count(*) AS c
+                    FROM rel GROUP BY 1, 2, 3),
+          g AS (SELECT v, count(*) AS gg FROM rel GROUP BY 1),
+          go AS (SELECT v, CAST(sum(gg) OVER (ORDER BY v) AS BIGINT) AS gpref,
+                   CAST(sum(gg) OVER () AS BIGINT) AS n_total,
+                   CAST(count(*) OVER () AS BIGINT) AS m
+                 FROM g),
+          cls AS (SELECT c_nationkey, c_mktsegment,
+                    CAST(count(*) AS BIGINT) AS class_size
+                  FROM rel GROUP BY 1, 2),
+          grid AS (SELECT cls.*, go.* FROM cls CROSS JOIN go),
+          j AS (SELECT grid.*, coalesce(cells.c, 0) AS c
+                FROM grid LEFT JOIN cells USING (c_nationkey, c_mktsegment, v)),
+          p AS (SELECT *, sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+                  ORDER BY v) AS cpref FROM j)
+         SELECT c_nationkey, c_mktsegment, class_size, m, n_total,
+                sum(abs(CAST(n_total AS HUGEINT) * cpref
+                        - CAST(class_size AS HUGEINT) * gpref)) AS emd_num,
+                (sum(abs(CAST(n_total AS HUGEINT) * cpref
+                         - CAST(class_size AS HUGEINT) * gpref)) * 20
+                 <= 3 * CAST(class_size AS HUGEINT) * n_total * (m - 1)) AS close
+         FROM p GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2""",
+    "ind_audit" ->
+      // distinct-value containment per candidate; 0 missing certifies
+      """WITH oc AS (SELECT count(*) AS n_values,
+                count(CASE WHEN c.v IS NULL THEN 1 END) AS n_missing_values
+              FROM (SELECT DISTINCT o_custkey AS v FROM orders) x
+              LEFT JOIN (SELECT DISTINCT c_custkey AS v FROM customer) c USING (v)),
+          lp AS (SELECT count(*) AS n_values,
+                count(CASE WHEN p.v IS NULL THEN 1 END) AS n_missing_values
+              FROM (SELECT DISTINCT l_partkey AS v FROM lineitem) x
+              LEFT JOIN (SELECT DISTINCT p_partkey AS v FROM part) p USING (v)),
+          ps AS (SELECT count(*) AS n_values,
+                count(CASE WHEN s.v IS NULL THEN 1 END) AS n_missing_values
+              FROM (SELECT DISTINCT user_id AS v FROM events
+                    WHERE event_type = 'purchase') x
+              LEFT JOIN (SELECT DISTINCT user_id AS v FROM events
+                         WHERE event_type = 'signup'
+                           AND ts < TIMESTAMP '2024-01-08') s USING (v))
+         SELECT * FROM (
+           SELECT 'l_partkey_in_part' AS candidate,
+                  CAST(n_values AS BIGINT) AS n_values,
+                  CAST(n_missing_values AS BIGINT) AS n_missing_values FROM lp
+           UNION ALL
+           SELECT 'o_custkey_in_customer', CAST(n_values AS BIGINT),
+                  CAST(n_missing_values AS BIGINT) FROM oc
+           UNION ALL
+           SELECT 'purchaser_in_launch_signups', CAST(n_values AS BIGINT),
+                  CAST(n_missing_values AS BIGINT) FROM ps)
+         ORDER BY candidate""",
+    "sync_digest" ->
+      // 48-bit md5-prefix row hashes summed per key-mod-64 bucket
+      // (commutative — order-free); emit only mismatched buckets
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                o_orderpriority FROM orders),
+          mut AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey % 97 = 3 THEN '9-RESYNC'
+                     ELSE o_orderpriority END AS o_orderpriority
+              FROM base WHERE o_orderkey % 101 <> 5),
+          da AS (SELECT o_orderkey % 64 AS bucket,
+                CAST(count(*) AS BIGINT) AS n_rows_a,
+                CAST(sum(('0x' || substr(md5(
+                    o_orderkey::VARCHAR || chr(1) || o_custkey::VARCHAR
+                    || chr(1) || o_orderstatus || chr(1) || o_orderpriority),
+                  1, 12))::BIGINT) AS BIGINT) AS digest_a
+              FROM base GROUP BY 1),
+          db AS (SELECT o_orderkey % 64 AS bucket,
+                CAST(count(*) AS BIGINT) AS n_rows_b,
+                CAST(sum(('0x' || substr(md5(
+                    o_orderkey::VARCHAR || chr(1) || o_custkey::VARCHAR
+                    || chr(1) || o_orderstatus || chr(1) || o_orderpriority),
+                  1, 12))::BIGINT) AS BIGINT) AS digest_b
+              FROM mut GROUP BY 1)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+                coalesce(n_rows_a, 0) AS n_rows_a,
+                coalesce(n_rows_b, 0) AS n_rows_b,
+                coalesce(digest_a, 0) AS digest_a,
+                coalesce(digest_b, 0) AS digest_b
+         FROM da FULL JOIN db USING (bucket)
+         WHERE coalesce(n_rows_a, 0) <> coalesce(n_rows_b, 0)
+            OR coalesce(digest_a, 0) <> coalesce(digest_b, 0)
+         ORDER BY bucket""",
+    "funnel_state_batch" ->
+      // first-touch funnel min-chain: t1 = min view; t2 = min click in
+      // (t1, t1+7d]; t3 = min purchase in (t2, t1+7d]; strict > between
+      // steps, the window anchored at the FIRST view
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+                    FROM events
+                    WHERE event_type IN ('view', 'click', 'purchase')),
+          s1 AS (SELECT user_id, min(us) AS t1 FROM e
+                 WHERE event_type = 'view' GROUP BY 1),
+          s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+                 WHERE event_type = 'click' AND us > t1
+                   AND us <= t1 + 604800000000 GROUP BY 1),
+          s3 AS (SELECT e.user_id, min(us) AS t3
+                 FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+                 WHERE event_type = 'purchase' AND us > t2
+                   AND us <= t1 + 604800000000 GROUP BY 1)
+         SELECT s1.user_id,
+                CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+                       + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS reached,
+                t1 AS t1_us, coalesce(t2, -1) AS t2_us, coalesce(t3, -1) AS t3_us,
+                (t3 IS NOT NULL) AS completed
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         ORDER BY 1""",
     "novelty_scores" ->
       // first-occurrence attribution: a shingle counts against every
       // doc EXCEPT the smallest-id one that introduced it

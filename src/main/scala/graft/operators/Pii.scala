@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** PII detection and redaction — the scrubbing pass a training-data
@@ -135,5 +136,65 @@ object Pii {
       .agg(count(lit(1)).as("class_size"),
         count_distinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("diverse", col("n_sensitive") >= l)
+  }
+
+  /** t-closeness audit (Li et al., ICDE'07 — the third rung of the
+    * privacy ladder after k-anonymity and l-diversity): a diverse class
+    * still leaks when its sensitive DISTRIBUTION skews far from the
+    * corpus's (skewness attack: "this class is 90% high-balance" is a
+    * disclosure even with many distinct values). For an ORDERED
+    * sensitive attribute the distance is the Earth Mover's Distance,
+    * which over the ordered support is just prefix sums:
+    * EMD = (1/(m−1))·Σ_i |P_class(≤ v_i) − P_global(≤ v_i)|. Kept
+    * exact-integer by cross-multiplying the two denominators:
+    *
+    *   emd_num = Σ_i |n_total·cpref_i − n_class·gpref_i|
+    *   close  ⇔ emd_num·tDen ≤ tNum·n_class·n_total·(m−1)
+    *
+    * so t = tNum/tDen never becomes a float and no division happens.
+    * Products run in decimal(38,0): n_total·cpref reaches n² — int64
+    * dies at ~3 G rows, well inside 100 TB.
+    *
+    * Shape: one (QI, v) cell aggregate is the only corpus-sized pass;
+    * the global distribution (m rows, one per sensitive value — BAND
+    * the attribute upstream so m stays window-friendly) broadcasts
+    * onto the |classes| frame, and the dense |classes|×m grid (missing
+    * cells are zero — they still accumulate |prefix| distance, which a
+    * sparse join would silently drop) carries the per-class prefix
+    * window. */
+  def tClosenessClasses(
+      df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      tNum: Long, tDen: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(tNum >= 0 && tDen >= 1, s"need t = tNum/tDen >= 0: $tNum/$tDen")
+    val qi = qiCols.map(col)
+    val d = "decimal(38,0)"
+    val cells = df.groupBy(qi :+ col(sensitiveCol).as("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val global = df.groupBy(col(sensitiveCol).as("_v"))
+      .agg(count(lit(1)).as("_g"))
+      .withColumn("gpref",
+        sum(col("_g")).over(Window.orderBy(col("_v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_total", sum(col("_g")).over(Window.partitionBy()))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .select("_v", "gpref", "n_total", "m")
+    val classes = df.groupBy(qi: _*).agg(count(lit(1)).as("class_size"))
+    val grid = classes.crossJoin(broadcast(global)) // dense |classes| × m
+      .join(cells, qiCols :+ "_v", "left")
+      .na.fill(0L, Seq("_c"))
+    val cpref = sum(col("_c")).over(
+      Window.partitionBy(qi: _*).orderBy(col("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    grid
+      .withColumn("term", abs(col("n_total").cast(d) * cpref -
+        col("class_size").cast(d) * col("gpref")))
+      .groupBy(qi :+ col("class_size") :+ col("n_total") :+ col("m"): _*)
+      .agg(sum(col("term")).cast(d).as("emd_num"))
+      .withColumn("close",
+        col("emd_num") * tDen <=
+          lit(tNum).cast(d) * col("class_size") * col("n_total") * (col("m") - 1L))
+      .select(qi :+ col("class_size") :+ col("m") :+ col("n_total") :+
+        col("emd_num") :+ col("close"): _*)
   }
 }

@@ -123,6 +123,81 @@ object Validation {
       .select("rule", "n_checked", "n_violations")
   }
 
+  /** Inclusion-dependency audit — the foreign-key DISCOVERY twin of
+    * [[fkReport]]: does every distinct value of lhsCol appear in
+    * rhsCol? One row per candidate: distinct lhs values and how many
+    * are missing from the rhs (0 certifies the IND — together with
+    * [[fdAudit]]'s key certification this is the schema-discovery
+    * pair: INDs find the edges, FDs find the keys). Distinct-VALUE
+    * semantics, not row counts: "3 orphaned customer ids" is the
+    * discovery answer even when they cover a million rows — row-volume
+    * impact is [[fkReport]]'s job.
+    *
+    * Shape: both sides pre-aggregate to distinct values (map-side
+    * combined, the shuffle carries value sets, not rows), then one
+    * value-keyed anti-join and a one-row roll-up. At dimension scale
+    * the rhs set broadcasts; value-set sizes, not table sizes, bound
+    * every exchange. */
+  def indAudit(
+      name: String, lhs: DataFrame, lhsCol: String,
+      rhs: DataFrame, rhsCol: String): DataFrame = {
+    val lv = lhs.select(col(lhsCol).as("_v")).distinct()
+    val rv = rhs.select(col(rhsCol).as("_v")).distinct()
+    val missing = lv.join(rv, Seq("_v"), "left_anti")
+      .agg(count(lit(1)).as("n_missing_values"))
+    lv.agg(count(lit(1)).as("n_values")).crossJoin(missing)
+      .select(lit(name).as("candidate"), col("n_values"), col("n_missing_values"))
+  }
+
+  /** Bucketed table digest for anti-entropy sync (the Merkle-exchange
+    * idea flattened to one level, the Cassandra/DynamoDB repair
+    * primitive): each row hashes to a 48-bit integer (md5 prefix — both
+    * engines parse hex exactly), rows bucket by key mod `nBuckets`, and
+    * a bucket's digest is the plain SUM of its row hashes — commutative
+    * and associative, so it map-side combines, never sorts, and two
+    * replicas can compare 256 rows instead of a billion. 48-bit hashes
+    * keep a billion-row bucket's sum under 2⁶³; a colliding pair that
+    * ALSO survives the sum is ~2⁻⁴⁸ per bucket — the standard
+    * anti-entropy trade, stated rather than hidden.
+    *
+    * Payload columns are cast to string and joined with a \u0001 separator before
+    * hashing; callers must pick columns whose string form is
+    * engine-stable (ints, strings — not raw doubles). */
+  def syncDigest(
+      df: DataFrame, keyCol: String, payloadCols: Seq[String],
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1)
+    val payload = concat_ws("\u0001",
+      (keyCol +: payloadCols).map(c => col(c).cast("string")): _*)
+    df.select(pmod(col(keyCol), lit(nBuckets)).cast("long").as("bucket"),
+        conv(substring(md5(payload), 1, 12), 16, 10).cast("long").as("_h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum(col("_h")).as("digest"))
+  }
+
+  /** The comparison half of anti-entropy: bucket digests of two table
+    * versions full-outer-joined, emitting ONLY the buckets that differ
+    * (count or digest) — the 1/nBuckets-th keyspace slices a repair
+    * pass must re-read. Missing buckets surface as n_rows = 0 /
+    * digest = 0 rather than nulls so the report is arithmetic-friendly.
+    *
+    * Shape: two independent digest passes (each one scan + one
+    * |buckets|-row aggregate) and a |buckets|-row join — the whole
+    * comparison moves 2·nBuckets rows regardless of table size, which
+    * is the entire point at 100 TB. */
+  def syncDiff(
+      a: DataFrame, b: DataFrame, keyCol: String, payloadCols: Seq[String],
+      nBuckets: Int): DataFrame = {
+    val da = syncDigest(a, keyCol, payloadCols, nBuckets)
+      .withColumnRenamed("n_rows", "n_rows_a").withColumnRenamed("digest", "digest_a")
+    val db = syncDigest(b, keyCol, payloadCols, nBuckets)
+      .withColumnRenamed("n_rows", "n_rows_b").withColumnRenamed("digest", "digest_b")
+    da.join(db, Seq("bucket"), "full")
+      .na.fill(0L, Seq("n_rows_a", "n_rows_b", "digest_a", "digest_b"))
+      .filter(col("n_rows_a") =!= col("n_rows_b") ||
+        col("digest_a") =!= col("digest_b"))
+  }
+
   /** Referential-integrity rule: rows of `df` whose `fkCol` has no match
     * in `ref.pkCol`. The referenced keys pre-aggregate to distinct before
     * the anti-join, so the probe side is the small dimension-key set

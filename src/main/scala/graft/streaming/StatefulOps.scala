@@ -56,6 +56,20 @@ case class AnomalyFlag(userId: Long, tsNanos: Long, nPrior: Long, isAnomaly: Boo
 /** CUSUM drift-monitor state: the two one-sided cumulative sums, micros. */
 case class CusumState(gPlus: Long, gMinus: Long)
 
+/** One buffered funnel-relevant event: step index + event-time nanos. */
+case class FunnelEv(step: Int, tsNanos: Long)
+
+/** Funnel CEP state: the earliest step-0 time seen (Long.MaxValue until
+  * one arrives) plus the buffered later-step events still inside the
+  * window. */
+case class FunnelBuf(anchorNs: Long, evs: Seq[FunnelEv])
+
+/** Final funnel outcome per user: steps reached (≥ 1 — only users who
+  * entered emit), per-step match times in micros (−1 past `reached`). */
+case class FunnelOutcome(
+    userId: Long, reached: Long, t1Us: Long, t2Us: Long, t3Us: Long,
+    completed: Boolean)
+
 /** Per-event CUSUM monitor row: post-update sums and the alarm flag. */
 case class DriftAlarm(
   eventType: String, tsNanos: Long, gPlus: Long, gMinus: Long, alarm: Boolean)
@@ -388,6 +402,120 @@ object StatefulOps {
 
     events.groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming funnel pattern match (CEP-lite, the Flink-CEP
+    * `A → B → C within W` shape as flatMapGroupsWithState): per user,
+    * the earliest step-1 event anchors a conversion window of
+    * `windowMicros`; each later step matches the earliest event of its
+    * type STRICTLY after the previous step's match and no later than
+    * anchor + W. One outcome row per entered user (first-touch funnel),
+    * emitted exactly once when the event-time watermark passes the
+    * window end — at which point every event that could still change
+    * the match is beyond-watermark late by construction, so the
+    * streaming outcome, the batch run of this same function, and the
+    * `funnel_state_batch` SQL twin agree exactly even under
+    * in-watermark reordering.
+    *
+    * Reordering is the hard part and the reason the state BUFFERS
+    * rather than folds: a late-arriving earlier A moves the anchor
+    * (window shrinks downward), a late earlier B changes which C is
+    * reachable — so no incremental reached-counter is correct.
+    * Buffered state is pruned to what can still matter: only the
+    * anchor for step 0, later-step events with ts ≤ anchor + W;
+    * anchorless users keep only events the watermark hasn't passed (a
+    * future anchor must carry ts ≥ watermark) and time out entirely at
+    * their newest buffered ts — state is bounded by one user's
+    * in-window activity, the CEP contract.
+    *
+    * Non-step events are filtered BEFORE the groupByKey, so the state
+    * shuffle carries only funnel-relevant rows. Batch mode closes every
+    * user inline (empty state, one invocation per user) — the oracled
+    * gate twin. */
+  def funnelWithState(
+      events: Dataset[LogEvent], steps: Seq[String], windowMicros: Long,
+      watermarkDelay: String = "1 hour"): Dataset[FunnelOutcome] = {
+    require(steps.size == 3, "funnel contract is exactly 3 steps")
+    require(steps.distinct.size == 3, "steps must be distinct")
+    require(windowMicros > 0)
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val isStreaming = events.isStreaming
+    val stepOf = steps.zipWithIndex.toMap
+    val windowNanos = math.multiplyExact(windowMicros, 1000L)
+    val relevant = events.filter(col("eventType").isin(steps: _*)) // codegen'd pre-shuffle prune
+    val withTime = relevant
+      .withColumn("event_time", EventTimeOps.eventTimeFromNanos(col("tsNanos")))
+    val wm = if (isStreaming) withTime.withWatermark("event_time", watermarkDelay) else withTime
+
+    def close(userId: Long, buf: FunnelBuf): Iterator[FunnelOutcome] = {
+      if (buf.anchorNs == Long.MaxValue) Iterator.empty
+      else {
+        val endNs = buf.anchorNs + windowNanos
+        var prev = buf.anchorNs
+        val times = Array(buf.anchorNs, -1L, -1L)
+        var k = 1
+        while (k <= 2 && prev >= 0) {
+          val cand = buf.evs
+            .filter(e => e.step == k && e.tsNanos > prev && e.tsNanos <= endNs)
+          val t = if (cand.isEmpty) -1L else cand.iterator.map(_.tsNanos).min
+          times(k) = t
+          prev = t
+          k += 1
+        }
+        def us(ns: Long): Long = if (ns < 0) -1L else Math.floorDiv(ns, 1000L)
+        val reached = times.count(_ >= 0).toLong
+        Iterator.single(FunnelOutcome(userId, reached,
+          us(times(0)), us(times(1)), us(times(2)), reached == 3L))
+      }
+    }
+
+    def fn(userId: Long, it: Iterator[LogEvent],
+        state: GroupState[FunnelBuf]): Iterator[FunnelOutcome] = {
+      if (state.hasTimedOut) {
+        val buf = state.get
+        state.remove()
+        close(userId, buf)
+      } else {
+        val old = state.getOption.getOrElse(FunnelBuf(Long.MaxValue, Nil))
+        val incoming = it.map(e => FunnelEv(stepOf(e.eventType), e.tsNanos)).toVector
+        val anchor = (incoming.iterator.filter(_.step == 0).map(_.tsNanos) ++
+          Iterator.single(old.anchorNs)).min
+        val merged = (old.evs.iterator ++ incoming.iterator).filter(_.step > 0)
+        val kept =
+          if (anchor < Long.MaxValue) {
+            val endNs = math.addExact(anchor, windowNanos)
+            merged.filter(e => e.tsNanos <= endNs).toVector
+          } else if (isStreaming) {
+            // no anchor yet: a future anchor's event time is ≥ the
+            // watermark, so only events the watermark hasn't passed can
+            // ever follow it
+            val wmNs = state.getCurrentWatermarkMs() * 1000000L
+            merged.filter(_.tsNanos >= wmNs).toVector
+          } else merged.toVector
+        if (!isStreaming) close(userId, FunnelBuf(anchor, kept))
+        else if (anchor == Long.MaxValue && kept.isEmpty) {
+          state.remove()
+          Iterator.empty
+        } else {
+          state.update(FunnelBuf(anchor, kept))
+          // close when the watermark passes the window end (anchored)
+          // or the newest buffered event (anchorless — after that no
+          // future anchor can precede anything buffered)
+          val dueNs =
+            if (anchor < Long.MaxValue) math.addExact(anchor, windowNanos)
+            else kept.iterator.map(_.tsNanos).max
+          val dueMs = Math.floorDiv(dueNs, 1000000L) + 1L
+          state.setTimeoutTimestamp(math.max(dueMs, state.getCurrentWatermarkMs() + 1L))
+          Iterator.empty
+        }
+      }
+    }
+
+    wm.as[LogEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
   /** Online CUSUM drift monitor (Page 1954's sequential test, the

@@ -75,6 +75,71 @@ class ProfilingOpsSpec extends AnyFunSuite {
     assert(TextCorpus.collocations(docs, 5L, 130L).count() === 0L)
   }
 
+  test("indAudit: distinct-value containment, 0 missing certifies") {
+    val lhs = Seq(1, 2, 3, 3, 3).toDF("a")
+    val rhs = Seq(2, 3, 4).toDF("b")
+    val out = Validation.indAudit("c", lhs, "a", rhs, "b").collect().head
+    assert(out.toSeq === Seq("c", 3L, 1L)) // value 1 missing; dups don't count
+    val ok = Validation.indAudit("ok", rhs, "b", Seq(2, 3, 4, 5).toDF("b"), "b")
+      .collect().head
+    assert(ok.toSeq === Seq("ok", 3L, 0L))
+  }
+
+  test("tClosenessClasses: ordered EMD as exact integers, dense grid") {
+    // class A: v=[0,0,1]; class B: v=[1,1,1]; global: {0:2, 1:4}, m=2
+    // gpref=(2,6); A cpref=(2,3): |6·2−3·2| + |6·3−3·6| = 6
+    //             B cpref=(0,3): |0−3·2| + |18−18| = 6
+    // EMD = 6 / (3·6·1) = 1/3 for both classes
+    val df = Seq(("A", 0L), ("A", 0L), ("A", 1L),
+      ("B", 1L), ("B", 1L), ("B", 1L)).toDF("q", "v")
+    val at3 = Pii.tClosenessClasses(df, Seq("q"), "v", tNum = 1L, tDen = 3L)
+      .orderBy("q").collect()
+    assert(at3.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDecimal(4).longValueExact(), r.getBoolean(5))).toSeq ===
+      Seq(("A", 3L, 2L, 6L, 6L, true), ("B", 3L, 2L, 6L, 6L, true)))
+    // t = 1/4 < 1/3 → both fail: 6·4 = 24 > 1·3·6·1 = 18
+    val at4 = Pii.tClosenessClasses(df, Seq("q"), "v", tNum = 1L, tDen = 4L)
+      .collect()
+    assert(at4.forall(!_.getBoolean(5)))
+  }
+
+  test("tClosenessClasses: the global distribution itself is 0-distant") {
+    val df = Seq(("A", 0L), ("A", 1L), ("B", 0L), ("B", 1L)).toDF("q", "v")
+    val out = Pii.tClosenessClasses(df, Seq("q"), "v", 0L, 1L).collect()
+    // each class mirrors the global 50/50 split exactly → emd 0, close
+    // even at t = 0
+    assert(out.forall(r => r.getDecimal(4).longValueExact() == 0L && r.getBoolean(5)))
+  }
+
+  test("syncDiff: identical tables diff empty; a mutation isolates its bucket") {
+    val a = Seq((0L, "x"), (1L, "y"), (2L, "z"), (8L, "w")).toDF("k", "p")
+    assert(Validation.syncDiff(a, a, "k", Seq("p"), 8).count() === 0L)
+    // mutate key 1 → only bucket 1 differs, counts equal
+    val b = Seq((0L, "x"), (1L, "Y"), (2L, "z"), (8L, "w")).toDF("k", "p")
+    val d = Validation.syncDiff(a, b, "k", Seq("p"), 8).collect()
+    assert(d.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(d.head.getAs[Long]("n_rows_a") === 1L)
+    assert(d.head.getAs[Long]("n_rows_b") === 1L)
+    assert(d.head.getAs[Long]("digest_a") !== d.head.getAs[Long]("digest_b"))
+    // delete key 8 → bucket 0 loses a row (keys 0 and 8 share bucket 0)
+    val c = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("k", "p")
+    val d2 = Validation.syncDiff(a, c, "k", Seq("p"), 8).collect()
+    assert(d2.map(r => (r.getLong(0), r.getAs[Long]("n_rows_a"),
+      r.getAs[Long]("n_rows_b"))).toSeq === Seq((0L, 2L, 1L)))
+  }
+
+  test("syncDigest: digest is order-independent and separator-unambiguous") {
+    val fwd = Seq((0L, "a", "b"), (8L, "c", "d")).toDF("k", "p", "q")
+    val rev = Seq((8L, "c", "d"), (0L, "a", "b")).toDF("k", "p", "q")
+    val df1 = Validation.syncDigest(fwd, "k", Seq("p", "q"), 4).collect()
+    val df2 = Validation.syncDigest(rev, "k", Seq("p", "q"), 4).collect()
+    assert(df1.map(_.toSeq).toSet === df2.map(_.toSeq).toSet)
+    // ("ab", "") vs ("a", "b") must hash differently (the \u0001 separator)
+    val x = Seq((0L, "ab", "")).toDF("k", "p", "q")
+    val y = Seq((0L, "a", "b")).toDF("k", "p", "q")
+    assert(Validation.syncDiff(x, y, "k", Seq("p", "q"), 4).count() === 1L)
+  }
+
   test("seasonalOutliers agrees with a brute-force reimplementation") {
     // deterministic pseudo-noise + one spiked day and one crashed day
     def cnt(day: Int): Int = {

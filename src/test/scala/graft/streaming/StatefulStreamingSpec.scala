@@ -613,6 +613,104 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelWithState batch mode: strict-after chain inside the anchored window") {
+    def evm(u: Long, minutes: Long, typ: String): LogEvent =
+      LogEvent(u, minutes * 60000000000L, typ, 0L)
+    val us = 60000000L
+    val w = 60L * 60000000L // 60-minute window in micros
+    val events = Seq(
+      // u1: clean a→b→c
+      evm(1, 1000, "a"), evm(1, 1010, "b"), evm(1, 1020, "c"),
+      // u2: c before b is ineligible; the later c completes
+      evm(2, 1000, "a"), evm(2, 1005, "c"), evm(2, 1010, "b"), evm(2, 1020, "c"),
+      // u3: b at the SAME instant as a — strict > excludes it
+      evm(3, 1000, "a"), evm(3, 1000, "b"),
+      // u4: b beyond anchor+60min
+      evm(4, 1000, "a"), evm(4, 1061, "b"),
+      // u5: earliest a anchors (1050 does not re-anchor)
+      evm(5, 1050, "a"), evm(5, 1040, "a"), evm(5, 1045, "b"),
+      // u6: no entry step at all → no row
+      evm(6, 1000, "b"), evm(6, 1010, "c"))
+    val out = StatefulOps.funnelWithState(events.toDS(), Seq("a", "b", "c"), w)
+      .collect().map(o => o.userId ->
+        ((o.reached, o.t1Us, o.t2Us, o.t3Us, o.completed))).toMap
+    assert(out === Map(
+      1L -> ((3L, 1000 * us, 1010 * us, 1020 * us, true)),
+      2L -> ((3L, 1000 * us, 1010 * us, 1020 * us, true)),
+      3L -> ((1L, 1000 * us, -1L, -1L, false)),
+      4L -> ((1L, 1000 * us, -1L, -1L, false)),
+      5L -> ((2L, 1040 * us, 1045 * us, -1L, false))))
+  }
+
+  test("funnelWithState streaming: cross-batch assembly, in-watermark reordering, exactly-once close") {
+    def evm(u: Long, minutes: Long, typ: String): LogEvent =
+      LogEvent(u, minutes * 60000000000L, typ, 0L)
+    val us = 60000000L
+    val w = 60L * 60000000L
+    val in = MemoryStream[LogEvent](spark)
+    val funnel = StatefulOps.funnelWithState(
+      in.toDS(), Seq("a", "b", "c"), w, watermarkDelay = "60 minutes")
+    val q = memSink(funnel.toDF(), "funnel_out", "append")
+    try {
+      // u1: a then c; the b arrives LATER (next batch) but with an
+      // earlier event time — an incremental fold would have discarded c
+      // u2: b and c arrive BEFORE the anchor exists
+      in.addData(evm(1, 1000, "a"), evm(1, 1030, "c"),
+        evm(2, 1005, "b"), evm(2, 1008, "c"))
+      processAll(q)
+      assert(spark.table("funnel_out").count() === 0) // all windows open
+
+      // the in-watermark late b (wm = 1030-60 = 970 < 1010); u2's anchor
+      // arrives after its later steps; u3 opens a window it won't fill
+      in.addData(evm(1, 1010, "b"), evm(2, 1002, "a"),
+        evm(3, 1100, "a"), evm(3, 1200, "b"))
+      processAll(q)
+
+      // wm advances to 1240 → u1 (due 1060), u2 (1062), u3 (1160) close
+      in.addData(evm(9, 1300, "a"))
+      processAll(q)
+      val closed = spark.table("funnel_out").as[FunnelOutcome].collect()
+      assert(closed.map(o => o.userId ->
+        ((o.reached, o.t1Us, o.t2Us, o.t3Us, o.completed))).toMap === Map(
+        1L -> ((3L, 1000 * us, 1010 * us, 1030 * us, true)),
+        2L -> ((3L, 1002 * us, 1005 * us, 1008 * us, true)),
+        3L -> ((1L, 1100 * us, -1L, -1L, false))))
+
+      // wm 1540 closes u9; exactly-once: nothing re-emits
+      in.addData(evm(10, 1600, "a"))
+      processAll(q)
+      val all = spark.table("funnel_out").as[FunnelOutcome].collect()
+      assert(all.length === 4 && all.distinct.length === 4)
+      assert(all.find(_.userId == 9L).get.reached === 1L)
+    } finally q.stop()
+  }
+
+  test("funnelWithState streaming matches the batch twin on the same history") {
+    def evm(u: Long, minutes: Long, typ: String): LogEvent =
+      LogEvent(u, minutes * 60000000000L, typ, 0L)
+    val w = 60L * 60000000L
+    val history = Seq(
+      evm(1, 1000, "a"), evm(1, 1010, "b"), evm(1, 1030, "c"),
+      evm(2, 1005, "b"), evm(2, 1002, "a"), evm(2, 1008, "c"),
+      evm(3, 1100, "a"), evm(3, 1200, "b"))
+    val batch = StatefulOps.funnelWithState(history.toDS(), Seq("a", "b", "c"), w)
+      .collect().map(o => o.userId -> o).toMap
+
+    val in = MemoryStream[LogEvent](spark)
+    val q = memSink(StatefulOps.funnelWithState(
+      in.toDS(), Seq("a", "b", "c"), w, "60 minutes").toDF(), "funnel_par", "append")
+    try {
+      history.sortBy(_.tsNanos).grouped(3).foreach { b =>
+        in.addData(b); processAll(q)
+      }
+      in.addData(evm(99, 2000, "a")) // close every window
+      processAll(q)
+      val streamed = spark.table("funnel_par").as[FunnelOutcome].collect()
+        .filter(_.userId != 99L).map(o => o.userId -> o).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("cusumDriftWithState: downward drift trips the g-minus side") {
     // μ₀ = 10, slack 0, h = 3: values 8 add 2 to g⁻ each: 2, 4(>3: ALARM)
     val drops = Seq(ev(1, 0.1, "t", 8), ev(1, 0.2, "t", 8))
