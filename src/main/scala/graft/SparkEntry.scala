@@ -2834,6 +2834,34 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** Quantile alignment ([[graft.operators.Stats.quantileAlign]]) of
+    * every source's length distribution onto src0's — each source's
+    * k-th of n lengths takes src0's value at the proportional rank, so
+    * a single corpus-wide length threshold means the same thing in
+    * every source; all-integer rank arithmetic, keyed windows only. */
+  private def quantileAlignQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.quantileAlign(
+        t(s, dir, "documents").select("source", "doc_id", "n_chars"),
+        "source", "n_chars", "doc_id", refSource = "src0")
+      .orderBy("source", "doc_id")
+
+  /** Sample-ratio-mismatch guardrail ([[graft.operators.Sampling
+    * .srmCheck]]): the salted 50/50 user split audited per event type —
+    * clean as logged, then with arm-A users at even ids dropped (the
+    * differential-logging-loss failure SRM exists to catch): the exact
+    * integer z² flags the biased scenario and passes the clean one. */
+  private def srmCheckQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val biased = ev.filter(!(pmod(col("user_id"), lit(2)) === 0 &&
+      graft.operators.Sampling.hashBucket(col("user_id"), "exp1", 2) < 1))
+    graft.operators.Sampling.srmCheck(ev, "event_type", "user_id", "exp1", 1L, 1L)
+      .withColumn("scenario", lit("clean"))
+      .union(graft.operators.Sampling
+        .srmCheck(biased, "event_type", "user_id", "exp1", 1L, 1L)
+        .withColumn("scenario", lit("lossy")))
+      .orderBy("scenario", "event_type")
+  }
+
   /** Distinct l-diversity audit ([[graft.operators.Pii
     * .lDiversityClasses]]) of the customer release: QI =
     * (nation, market segment), sensitive = account-balance band —
@@ -3254,6 +3282,8 @@ object SparkEntry {
     "ind_audit" -> indAuditQuery _,
     "funnel_state_batch" -> funnelStateBatch _,
     "sync_digest" -> syncDigestQuery _,
+    "quantile_align" -> quantileAlignQuery _,
+    "srm_check" -> srmCheckQuery _,
     "novelty_scores" -> noveltyScoresQuery _,
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
@@ -4844,6 +4874,48 @@ object SparkEntry {
            SELECT 'purchaser_in_launch_signups', CAST(n_values AS BIGINT),
                   CAST(n_missing_values AS BIGINT) FROM ps)
          ORDER BY candidate""",
+    "quantile_align" ->
+      // proportional-rank mapping onto src0's distribution; integer
+      // floor-div on ranks, aligned value is an actual src0 element
+      """WITH r AS (SELECT source, doc_id, n_chars,
+                CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY n_chars, doc_id) AS BIGINT) AS rr,
+                CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+              FROM documents),
+          ref AS (SELECT rr AS pos, n_chars AS aligned FROM r
+                  WHERE source = 'src0'),
+          nr AS (SELECT CAST(count(*) AS BIGINT) AS n_ref FROM r
+                 WHERE source = 'src0')
+         SELECT source, doc_id, n_chars, aligned
+         FROM (SELECT source, doc_id, n_chars,
+                 (rr - 1) * n_ref // n + 1 AS pos FROM r, nr)
+         JOIN ref USING (pos)
+         ORDER BY source, doc_id""",
+    "srm_check" ->
+      // exact-integer z² SRM: dev = n_a·(wA+wB) − n·wA flags when
+      // dev² > z²·n·wA·wB; arm = salted-md5 bucket, units deduped
+      """WITH u AS (SELECT DISTINCT event_type,
+                (('0x' || substr(md5('exp1:' || user_id::VARCHAR), 1, 8))::BIGINT
+                 % 2) < 1 AS in_a,
+                user_id
+              FROM events),
+          agg AS (SELECT 'clean' AS scenario, event_type,
+                CAST(count(*) AS BIGINT) AS n_units,
+                CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+              FROM u GROUP BY 2
+              UNION ALL
+              SELECT 'lossy', event_type,
+                CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT)
+              FROM u WHERE NOT (user_id % 2 = 0 AND in_a) GROUP BY 2)
+         SELECT event_type, n_units, n_a, n_b,
+                CAST(n_a * 2 - n_units AS BIGINT) AS dev,
+                (CAST(n_a * 2 - n_units AS HUGEINT)
+                 * (n_a * 2 - n_units) > 9 * CAST(n_units AS HUGEINT)) AS srm,
+                scenario
+         FROM agg ORDER BY scenario, event_type""",
     "sync_digest" ->
       // 48-bit md5-prefix row hashes summed per key-mod-64 bucket
       // (commutative — order-free); emit only mismatched buckets

@@ -59,6 +59,43 @@ object Sampling {
     hashBucket(id, salt, SampleSpace) < math.round(fraction * SampleSpace)
   }
 
+  /** Sample-ratio-mismatch guardrail for hash-split experiments — the
+    * first dashboard every A/B platform checks before trusting a
+    * readout: per group, count the DISTINCT units the salted hash
+    * assigned to each arm and test the observed split against the
+    * intended `wA:wB` with an exact-integer z² (the
+    * `runningAnomalies` trick — no sqrt, no float):
+    *
+    *   dev = n_a·(wA+wB) − n·wA,   srm ⇔ dev² > z²·n·wA·wB
+    *
+    * (Var(n_a)·(wA+wB)² = n·wA·wB under the intended binomial.) A true
+    * `srm` flag means the assignment, logging, or filtering is biased
+    * and every downstream metric is suspect. dev² runs in
+    * decimal(38,0): it reaches n², past int64 at ~3 G units.
+    *
+    * Shape: the unit dedup is the one data-sized aggregate — distinct
+    * (group, unit) pairs, map-side combined; arm counting and the test
+    * run on the |groups| frame. The assignment itself is the stateless
+    * salted-md5 projection every split operator here shares. */
+  def srmCheck(
+      df: DataFrame, groupCol: String, idCol: String, salt: String,
+      wA: Long, wB: Long, z: Int = 3): DataFrame = {
+    require(wA >= 1 && wB >= 1 && z >= 1)
+    val arms = (wA + wB).toInt
+    val d = "decimal(38,0)"
+    val units = df.select(col(groupCol),
+        (hashBucket(col(idCol), salt, arms) < wA).as("in_a"), col(idCol))
+      .distinct()
+    units.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_units"),
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("n_b"))
+      .withColumn("dev", col("n_a") * (wA + wB) - col("n_units") * wA)
+      .withColumn("srm",
+        col("dev").cast(d) * col("dev") >
+          lit(z.toLong * z).cast(d) * col("n_units") * wA * wB)
+  }
+
   /** Weighted mixture downsampling: each row survives with its source's
     * keep fraction — how a training mix reweights corpora (e.g. keep 100%
     * of books, 10% of crawl). A pure filter projection: no shuffle, no

@@ -842,6 +842,46 @@ object Stats {
         when(col("complete"), col("cnt") * 7L - col("trend7_sum")).as("detrended7"))
   }
 
+  /** Quantile alignment onto a reference source — the distribution-
+    * normalization step (the bioinformatics quantile-normalization /
+    * domain-adaptation CDF-matching idea): each source's k-th of n
+    * values maps to the reference source's value at the proportional
+    * rank ⌊(k−1)·n_ref/n⌋ + 1, so every source leaves with the
+    * reference's exact value distribution and cross-source thresholds
+    * mean the same thing everywhere. All-integer rank arithmetic (one
+    * multiply + floor-div on ranks — no interpolation, the aligned
+    * value is an actual reference element); `idCol` closes rank ties so
+    * the per-row assignment is engine-deterministic (equal values get
+    * equal aligned values regardless, since proportional positions of
+    * adjacent ranks land on monotone reference positions).
+    *
+    * Shape: one keyed ranking window per source (sort runs bounded per
+    * source), the reference source's own ranked frame (n_ref rows)
+    * joined on the computed position — keyed shuffles only, NEVER a
+    * pooled corpus-global sort (the pooled-reference variant needs one;
+    * aligning onto a designated reference is the scale-correct
+    * formulation, and any source can be the reference). */
+  def quantileAlign(
+      df: DataFrame, sourceCol: String, valueCol: String, idCol: String,
+      refSource: String): DataFrame = {
+    val ranked = df
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col(sourceCol)).orderBy(col(valueCol), col(idCol)))
+        .cast("long"))
+      .withColumn("_n", count(lit(1)).over(
+        Window.partitionBy(col(sourceCol))).cast("long"))
+    val ref = ranked.filter(col(sourceCol) === refSource)
+      .select(col("_r").as("_pos"), col(valueCol).as("aligned"),
+        col("_n").as("_n_ref"))
+    val nRef = ref.select(max(col("_n_ref")).as("_n_ref"))
+    ranked.crossJoin(broadcast(nRef))
+      // integer div (not `/`, which is a double divide): r·n_ref can
+      // pass 2⁵³ long before it passes int64
+      .withColumn("_pos", expr("(_r - 1) * _n_ref div _n") + 1L)
+      .join(ref.drop("_n_ref"), Seq("_pos"))
+      .select(col(sourceCol), col(idCol), col(valueCol), col("aligned"))
+  }
+
   /** Seasonality-adjusted daily anomaly screen — the composition a
     * monitoring pipeline actually deploys: [[seasonalDecompose]] removes
     * trend, the per-(key, day-of-week) MEDIAN removes the seasonal

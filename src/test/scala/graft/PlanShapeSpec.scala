@@ -651,4 +651,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "BroadcastHashJoin") >= 1, s"cusum totals join lost broadcast:\n$p")
     assert(count(p, "SortMergeJoin") === 0 && count(p, "CartesianProduct") === 0)
   }
+
+  test("fd audit: per-candidate pruned passes, never one Expand multi-distinct") {
+    val p = finalPlan("fd_audit")
+    assert(count(p, "Expand") === 0, s"fd_audit regressed to Expand:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+  }
+
+  test("sync digest: commutative sums partial-aggregate; the diff joins buckets only") {
+    val p = finalPlan("sync_digest")
+    assert(count(p, "partial_sum") >= 2, s"sync_digest lost map-side combine:\n$p")
+    assert(count(p, "CartesianProduct") === 0)
+    // three exchanges total: one per digest side (|buckets| rows each)
+    // plus the final order-by range partition; the full-outer bucket
+    // join must ride the agg exchanges, not add its own (FullOuter
+    // cannot broadcast — a 64-row sort-merge there is correct)
+    assert(count(p, "Exchange") === 3, s"sync_digest grew an extra exchange:\n$p")
+  }
+
+  test("funnel CEP: step filter pushes to the scan before the state shuffle") {
+    val p = finalPlan("funnel_state_batch")
+    // batch mode lowers flatMapGroupsWithState to MapGroups
+    assert(count(p, "MapGroups") === 1, s"funnel lost its state operator:\n$p")
+    assert(p.contains("In(event_type"),
+      s"funnel's step filter stopped pushing into the parquet scan:\n$p")
+  }
+
+  test("profiling/association gates never go cartesian") {
+    Seq("collocations", "t_closeness", "spearman_corr", "seasonal_outliers",
+        "quantile_align", "srm_check", "ind_audit", "order_audit").foreach { q =>
+      assert(count(finalPlan(q), "CartesianProduct") === 0, s"$q went cartesian")
+    }
+  }
 }

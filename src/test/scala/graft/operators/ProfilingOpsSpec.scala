@@ -140,6 +140,35 @@ class ProfilingOpsSpec extends AnyFunSuite {
     assert(Validation.syncDiff(x, y, "k", Seq("p", "q"), 4).count() === 1L)
   }
 
+  test("quantileAlign: proportional-rank mapping; the reference maps to itself") {
+    val df = Seq(("R", 1L, 10L), ("R", 2L, 20L), ("R", 3L, 30L), ("R", 4L, 40L),
+      ("S", 5L, 1L), ("S", 6L, 2L)).toDF("src", "id", "v")
+    val out = Stats.quantileAlign(df, "src", "v", "id", "R")
+      .orderBy("src", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("R", 1L, 10L, 10L), ("R", 2L, 20L, 20L), // identity on the reference
+      ("R", 3L, 30L, 30L), ("R", 4L, 40L, 40L),
+      // S: rank 1 of 2 → ref pos (0·4 div 2)+1 = 1 → 10; rank 2 → pos 3 → 30
+      ("S", 5L, 1L, 10L), ("S", 6L, 2L, 30L)))
+  }
+
+  test("srmCheck: an emptied arm flags, a single unit cannot") {
+    val ids = (0L until 100L).map(i => ("g", i)).toDF("g", "id")
+    val full = Sampling.srmCheck(ids, "g", "id", "s", 1L, 1L).collect().head
+    val nA = full.getAs[Long]("n_a")
+    assert(nA > 9L && full.getAs[Long]("n_b") > 9L) // hash splits ~50/50
+    assert(!full.getAs[Boolean]("srm")) // |dev| small for a fair split
+    // differential loss: arm B vanishes entirely → certain flag
+    val onlyA = ids.filter(Sampling.hashBucket(col("id"), "s", 2) < 1)
+    val lossy = Sampling.srmCheck(onlyA, "g", "id", "s", 1L, 1L).collect().head
+    assert(lossy.getAs[Long]("n_b") === 0L && lossy.getAs[Boolean]("srm"))
+    // one unit is never significant: dev² = 1 ≤ 9n
+    val one = Seq(("g", 1L), ("g", 1L)).toDF("g", "id")
+    assert(!Sampling.srmCheck(one, "g", "id", "s", 1L, 1L)
+      .collect().head.getAs[Boolean]("srm"))
+  }
+
   test("seasonalOutliers agrees with a brute-force reimplementation") {
     // deterministic pseudo-noise + one spiked day and one crashed day
     def cnt(day: Int): Int = {
