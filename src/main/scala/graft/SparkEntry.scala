@@ -2862,6 +2862,30 @@ object SparkEntry {
       .orderBy("scenario", "event_type")
   }
 
+  /** Linear multi-touch attribution ([[graft.operators.Behavioral
+    * .linearAttribution]]): each purchase splits 1e6 ppm equally across
+    * its 3-day-lookback view/click touches (remainder to the latest;
+    * no-touch purchases credit `(direct)` in full) — credit conserves
+    * exactly at 1e6 per conversion, the fractional counterpart of
+    * `attribution_last_touch`. */
+  private def attributionLinear(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Behavioral.linearAttribution(
+        t(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts").cast("timestamp"))),
+        "user_id", "us", "event_type", Seq("view", "click"), "purchase",
+        lookbackMicros = 3L * 86400L * 1000000L)
+      .orderBy("channel")
+
+  /** Kaplan–Meier life table ([[graft.operators.Behavioral
+    * .survivalTable]]) per signup-week cohort: lifetime days with
+    * right-censoring (active within 3 days of the horizon = alive, not
+    * churned) — the exact integer (n_risk, deaths, censored) rows the
+    * survival curve renders from. */
+  private def survivalTableQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Behavioral.survivalTable(
+        t(s, dir, "events"), "user_id", "ts", censorDays = 3)
+      .orderBy("cohort_week", "t_day")
+
   /** Distinct l-diversity audit ([[graft.operators.Pii
     * .lDiversityClasses]]) of the customer release: QI =
     * (nation, market segment), sensitive = account-balance band —
@@ -3284,6 +3308,8 @@ object SparkEntry {
     "sync_digest" -> syncDigestQuery _,
     "quantile_align" -> quantileAlignQuery _,
     "srm_check" -> srmCheckQuery _,
+    "attribution_linear" -> attributionLinear _,
+    "survival_table" -> survivalTableQuery _,
     "novelty_scores" -> noveltyScoresQuery _,
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
@@ -4874,6 +4900,59 @@ object SparkEntry {
            SELECT 'purchaser_in_launch_signups', CAST(n_values AS BIGINT),
                   CAST(n_missing_values AS BIGINT) FROM ps)
          ORDER BY candidate""",
+    "attribution_linear" ->
+      // equal-split ppm credits, remainder to the latest touch; credit
+      // conserves at exactly 1e6 per conversion incl. the (direct) bucket
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+          c AS (SELECT user_id, us AS conv_ts FROM e
+                WHERE event_type = 'purchase'),
+          tch AS (SELECT user_id, us AS touch_ts, event_type AS channel
+                  FROM e WHERE event_type IN ('view', 'click')),
+          p AS (SELECT c.user_id, conv_ts, touch_ts, channel
+                FROM c JOIN tch USING (user_id)
+                WHERE touch_ts < conv_ts
+                  AND touch_ts >= conv_ts - 259200000000),
+          r AS (SELECT *, count(*) OVER w AS k,
+                  row_number() OVER (PARTITION BY user_id, conv_ts
+                    ORDER BY touch_ts DESC, channel) AS rn
+                FROM p WINDOW w AS (PARTITION BY user_id, conv_ts)),
+          cr AS (SELECT channel,
+                  CAST(count(*) AS BIGINT) AS n_touches,
+                  CAST(count(DISTINCT (user_id, conv_ts)) AS BIGINT) AS n_conversions,
+                  CAST(sum(1000000 // k + CASE WHEN rn = 1
+                      THEN 1000000 - (1000000 // k) * k ELSE 0 END) AS BIGINT)
+                    AS credit_ppm
+                 FROM r GROUP BY 1),
+          d AS (SELECT '(direct)' AS channel, CAST(0 AS BIGINT) AS n_touches,
+                  CAST(count(*) AS BIGINT) AS n_conversions,
+                  CAST(count(*) * 1000000 AS BIGINT) AS credit_ppm
+                FROM c ANTI JOIN (SELECT DISTINCT user_id, conv_ts FROM p)
+                  USING (user_id, conv_ts)
+                HAVING count(*) > 0)
+         SELECT * FROM (SELECT * FROM cr UNION ALL SELECT * FROM d)
+         ORDER BY channel""",
+    "survival_table" ->
+      // life-table integers: lifetime days, right-censored within 3
+      // days of the horizon; n_risk = suffix sum over lifetimes
+      """WITH hz AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+          u AS (SELECT user_id, min(CAST(ts AS DATE)) AS f,
+                  max(CAST(ts AS DATE)) AS l
+                FROM events GROUP BY 1),
+          s AS (SELECT (f - DATE '1970-01-01') // 7 AS cohort_week,
+                  l - f AS t_day, (h - l) < 3 AS censored
+                FROM u, hz),
+          g AS (SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+                  CAST(t_day AS BIGINT) AS t_day,
+                  CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+                    AS n_deaths,
+                  CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_censored
+                FROM s GROUP BY 1, 2)
+         SELECT cohort_week, t_day,
+                CAST(sum(n_deaths + n_censored) OVER (PARTITION BY cohort_week
+                  ORDER BY t_day DESC) AS BIGINT) AS n_risk,
+                n_deaths, n_censored
+         FROM g ORDER BY 1, 2""",
     "quantile_align" ->
       // proportional-rank mapping onto src0's distribution; integer
       // floor-div on ranks, aligned value is an actual src0 element

@@ -246,6 +246,102 @@ object Behavioral {
       .select(col(idCol), col(ordCol).as("conv_ord"), col("touch_ord"))
   }
 
+  /** Linear multi-touch attribution in exact ppm: each conversion
+    * splits 1 000 000 ppm equally across its in-lookback prior touches
+    * (credit = 1000000 div k), with the truncation remainder assigned
+    * to the LATEST touch — a stated, deterministic convention that
+    * conserves credit exactly: Σ credit over a conversion's touches is
+    * 1 000 000, always (the spec asserts this). Conversions with no
+    * in-window touch credit a synthetic `(direct)` channel in full —
+    * the classic "direct traffic" bucket, so total credit =
+    * 1 000 000 × conversions corpus-wide. The fractional-credit
+    * counterpart of [[lastTouchAttribution]]'s winner-takes-all.
+    *
+    * Shape: conversions ⋈ touches per entity (one keyed shuffle each,
+    * co-partitioned equi-join on the entity + a time-range filter) —
+    * pair volume is bounded by per-entity in-window activity, the same
+    * contract as any interval join; then one window per conversion
+    * (k, latest) over those pairs and a |channels|-row roll-up. */
+  def linearAttribution(
+      events: DataFrame, idCol: String, tsCol: String, typeCol: String,
+      touchTypes: Seq[String], convType: String,
+      lookbackMicros: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType))
+    require(lookbackMicros > 0)
+    import org.apache.spark.sql.expressions.Window
+    val convs = events.filter(col(typeCol) === convType)
+      .select(col(idCol).as("_id"), col(tsCol).as("_conv_ts"))
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(idCol).as("_id"), col(tsCol).as("_touch_ts"),
+        col(typeCol).as("channel"))
+    val pairs = convs.join(touches, Seq("_id"))
+      .filter(col("_touch_ts") < col("_conv_ts") &&
+        col("_touch_ts") >= col("_conv_ts") - lookbackMicros)
+    val perConv = Window.partitionBy(col("_id"), col("_conv_ts"))
+    val ranked = pairs
+      .withColumn("_k", count(lit(1)).over(perConv))
+      .withColumn("_rn", row_number().over(
+        perConv.orderBy(col("_touch_ts").desc, col("channel").asc)))
+      .withColumn("_credit",
+        expr("1000000 div _k") +
+          when(col("_rn") === 1, lit(1000000L) - expr("1000000 div _k") * col("_k"))
+            .otherwise(0L))
+    val attributed = ranked.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        count_distinct(col("_id"), col("_conv_ts")).as("n_conversions"),
+        sum(col("_credit")).as("credit_ppm"))
+    val direct = convs.join(
+        pairs.select("_id", "_conv_ts").distinct(),
+        Seq("_id", "_conv_ts"), "left_anti")
+      .agg(lit("(direct)").as("channel"),
+        lit(0L).as("n_touches"),
+        count(lit(1)).as("n_conversions"),
+        (count(lit(1)) * 1000000L).as("credit_ppm"))
+      .filter(col("n_conversions") > 0)
+    attributed.union(direct)
+  }
+
+  /** Kaplan–Meier life table per signup cohort — the survival-analysis
+    * ingredients (never the product estimator itself: S(t) = Π(1 −
+    * dᵢ/nᵢ) is a rational with compounding denominators, so the gate
+    * emits the exact integer life table and S(t) renders downstream).
+    * Per user: lifetime = days from first to last activity; users
+    * still active within `censorDays` of the corpus horizon are
+    * CENSORED (alive at last observation), not deaths — the
+    * right-censoring distinction that makes naive churn rates lie.
+    * Output per (cohort_week, t_day): n_risk (users whose lifetime
+    * reached t), n_deaths, n_censored.
+    *
+    * Shape: one corpus-sized keyed aggregate (user → first/last, map-
+    * side combined), the one-row horizon broadcast onto it, then a
+    * |cohorts|×|days| frame where the n_risk suffix sum runs as a
+    * keyed window ordered by lifetime DESC — reduced-frame windows
+    * only, the seasonalDecompose discipline. */
+  def survivalTable(
+      events: DataFrame, idCol: String, tsCol: String,
+      censorDays: Int = 3): DataFrame = {
+    require(censorDays >= 0)
+    import org.apache.spark.sql.expressions.Window
+    val horizon = events.agg(max(to_date(col(tsCol))).as("_horizon"))
+    val users = events.groupBy(col(idCol))
+      .agg(min(to_date(col(tsCol))).as("_first_d"),
+        max(to_date(col(tsCol))).as("_last_d"))
+      .crossJoin(broadcast(horizon))
+      .withColumn("t_day", datediff(col("_last_d"), col("_first_d")).cast("long"))
+      .withColumn("censored",
+        datediff(col("_horizon"), col("_last_d")) < censorDays)
+      .withColumn("cohort_week",
+        expr("datediff(_first_d, date '1970-01-01') div 7").cast("long"))
+    val table = users.groupBy(col("cohort_week"), col("t_day"))
+      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("n_deaths"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+    table
+      .withColumn("n_risk", sum(col("n_deaths") + col("n_censored")).over(
+        Window.partitionBy(col("cohort_week")).orderBy(col("t_day").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("cohort_week", "t_day", "n_risk", "n_deaths", "n_censored")
+  }
+
   /** RFM segmentation (recency / frequency / monetary, the classic
     * direct-marketing scoring): per entity, the newest activity marker,
     * event count, and exact-decimal spend, each quantile-scored into

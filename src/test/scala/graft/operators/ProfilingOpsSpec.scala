@@ -169,6 +169,47 @@ class ProfilingOpsSpec extends AnyFunSuite {
       .collect().head.getAs[Boolean]("srm"))
   }
 
+  test("linearAttribution: equal ppm split, remainder to latest, credit conserves") {
+    // u1: 3 touches (v@1, c@2, v@3) before conv@10 → 333333 each,
+    // remainder 1 to the LATEST (v@3); u2: no touches → (direct)
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "view"), (1L, 10L, "buy"),
+      (2L, 5L, "buy"),
+      (3L, 1L, "view"), (3L, 200L, "buy")) // touch outside lookback 100
+      .toDF("id", "us", "typ")
+    val out = Behavioral.linearAttribution(ev, "id", "us", "typ",
+        Seq("view", "click"), "buy", lookbackMicros = 100L)
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("(direct)", 0L, 2L, 2000000L), // u2 and u3 (touch too old)
+      ("click", 1L, 1L, 333333L),
+      ("view", 2L, 1L, 333333L + 333334L))) // latest view takes the remainder
+    // conservation: total credit = 1e6 × conversions
+    assert(out.map(_._4).sum === 3L * 1000000L)
+  }
+
+  test("survivalTable: lifetimes, right-censoring, n_risk suffix sums") {
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // horizon = day 10; censorDays 3 → last activity on day 8+ = censored
+    val ev = Seq(
+      (1L, d(1)), (1L, d(3)),   // lifetime 2, died (last seen day 3)
+      (2L, d(1)), (2L, d(10)),  // lifetime 9, censored (active at horizon)
+      (3L, d(1)),               // lifetime 0, died
+      (4L, d(8)), (4L, d(9)))   // lifetime 1, censored; cohort week differs
+      .toDF("id", "t")
+    val out = Behavioral.survivalTable(ev, "id", "t", censorDays = 3)
+      .orderBy("cohort_week", "t_day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val wk1 = Math.floorDiv(java.time.LocalDate.of(2024, 1, 1).toEpochDay, 7L)
+    val wk2 = Math.floorDiv(java.time.LocalDate.of(2024, 1, 8).toEpochDay, 7L)
+    assert(out.toSeq === Seq(
+      (wk1, 0L, 3L, 1L, 0L), // users 1,2,3 at risk; u3 dies at t=0
+      (wk1, 2L, 2L, 1L, 0L), // u1 dies at t=2
+      (wk1, 9L, 1L, 0L, 1L), // u2 censored at t=9
+      (wk2, 1L, 1L, 0L, 1L))) // u4 censored in its own cohort
+  }
+
   test("seasonalOutliers agrees with a brute-force reimplementation") {
     // deterministic pseudo-noise + one spiked day and one crashed day
     def cnt(day: Int): Int = {
