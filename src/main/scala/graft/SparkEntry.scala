@@ -2886,6 +2886,31 @@ object SparkEntry {
         t(s, dir, "events"), "user_id", "ts", censorDays = 3)
       .orderBy("cohort_week", "t_day")
 
+  /** Activity streaks ([[graft.operators.Behavioral.activityStreaks]]):
+    * per user, consecutive-active-day runs via the day − row_number
+    * island key — active days, streak count, longest and current
+    * streak, all integers over each user's |days| rows. */
+  private def activityStreaksQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Behavioral.activityStreaks(t(s, dir, "events"), "user_id", "ts")
+      .orderBy("user_id")
+
+  /** Price–volume bridge ([[graft.operators.Behavioral
+    * .priceVolumeBridge]]) between 1995-01 and 1995-02 per return flag:
+    * Δrevenue split into volume and price effects over the common
+    * denominator q0, provably summing to rev1 − rev0 — the revenue
+    * waterfall as exact integers. */
+  private def mixShiftQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Behavioral.priceVolumeBridge(
+        t(s, dir, "lineitem")
+          .withColumn("m",
+            date_format(col("l_shipdate").cast("timestamp"), "yyyy-MM"))
+          .withColumn("qty", col("l_quantity").cast("long"))
+          .withColumn("rev_micros",
+            (col("l_extendedprice").cast("decimal(30,6)") * 1000000L)
+              .cast("long")),
+        "l_returnflag", "m", "qty", "rev_micros", "1995-01", "1995-02")
+      .orderBy("l_returnflag")
+
   /** Distinct l-diversity audit ([[graft.operators.Pii
     * .lDiversityClasses]]) of the customer release: QI =
     * (nation, market segment), sensitive = account-balance band —
@@ -3310,6 +3335,8 @@ object SparkEntry {
     "srm_check" -> srmCheckQuery _,
     "attribution_linear" -> attributionLinear _,
     "survival_table" -> survivalTableQuery _,
+    "activity_streaks" -> activityStreaksQuery _,
+    "mix_shift" -> mixShiftQuery _,
     "novelty_scores" -> noveltyScoresQuery _,
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
@@ -4900,6 +4927,52 @@ object SparkEntry {
            SELECT 'purchaser_in_launch_signups', CAST(n_values AS BIGINT),
                   CAST(n_missing_values AS BIGINT) FROM ps)
          ORDER BY candidate""",
+    "activity_streaks" ->
+      // gaps-and-islands: day − row_number collapses consecutive days
+      // to one island key; current streak = the run at the last day
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                       FROM events),
+          e AS (SELECT user_id,
+                  CAST(d - DATE '1970-01-01' AS BIGINT) AS ep,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY d) AS BIGINT) AS rn
+                FROM days),
+          isl AS (SELECT user_id, ep - rn AS island,
+                    CAST(count(*) AS BIGINT) AS len,
+                    CAST(max(ep) AS BIGINT) AS last
+                  FROM e GROUP BY 1, 2),
+          agg AS (SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+                    CAST(count(*) AS BIGINT) AS n_streaks,
+                    CAST(max(len) AS BIGINT) AS longest_streak,
+                    CAST(max(last) AS BIGINT) AS last_active_epochday
+                  FROM isl GROUP BY 1),
+          cur AS (SELECT user_id, len AS current_streak FROM
+                    (SELECT user_id, len, row_number() OVER (
+                       PARTITION BY user_id ORDER BY last DESC) AS rn
+                     FROM isl)
+                  WHERE rn = 1)
+         SELECT user_id, n_active_days, n_streaks, longest_streak,
+                current_streak, last_active_epochday
+         FROM agg JOIN cur USING (user_id) ORDER BY user_id""",
+    "mix_shift" ->
+      // price-volume bridge over common denominator q0:
+      // (vol_num + price_num)/q0 = rev1 − rev0 exactly
+      """WITH l AS (SELECT l_returnflag, strftime(l_shipdate, '%Y-%m') AS m,
+                CAST(l_quantity AS BIGINT) AS qty,
+                CAST(CAST(l_extendedprice AS DECIMAL(30,6)) * 1000000 AS BIGINT) AS rev
+              FROM lineitem
+              WHERE strftime(l_shipdate, '%Y-%m') IN ('1995-01', '1995-02')),
+          g AS (SELECT l_returnflag,
+                  CAST(sum(CASE WHEN m = '1995-01' THEN qty ELSE 0 END) AS BIGINT) AS q0,
+                  CAST(sum(CASE WHEN m = '1995-01' THEN rev ELSE 0 END) AS BIGINT) AS rev0,
+                  CAST(sum(CASE WHEN m = '1995-02' THEN qty ELSE 0 END) AS BIGINT) AS q1,
+                  CAST(sum(CASE WHEN m = '1995-02' THEN rev ELSE 0 END) AS BIGINT) AS rev1
+                FROM l GROUP BY 1)
+         SELECT l_returnflag, q0, q1, rev0, rev1,
+                CAST(q1 - q0 AS HUGEINT) * rev0 AS vol_num,
+                CAST(rev1 AS HUGEINT) * q0 - CAST(q1 AS HUGEINT) * rev0 AS price_num,
+                q0 AS den
+         FROM g ORDER BY l_returnflag""",
     "attribution_linear" ->
       // equal-split ppm credits, remainder to the latest touch; credit
       // conserves at exactly 1e6 per conversion incl. the (direct) bucket

@@ -342,6 +342,78 @@ object Behavioral {
       .select("cohort_week", "t_day", "n_risk", "n_deaths", "n_censored")
   }
 
+  /** Activity streaks per entity — the gaps-and-islands classic (the
+    * Duolingo-streak / SLA-consecutive-breach shape): distinct active
+    * days collapse to runs via the day − row_number island key (two
+    * consecutive days share it, a gap breaks it), then per entity:
+    * active days, number of streaks, longest streak, and the CURRENT
+    * streak (the run touching the entity's last active day). All
+    * integer; ties impossible (days are distinct after the dedup).
+    *
+    * Shape: the day dedup is the one corpus-sized aggregate (distinct
+    * (entity, day), map-side combined); the island window and both
+    * roll-ups run per entity over its |days| rows — keyed sort runs,
+    * never global. */
+  def activityStreaks(
+      events: DataFrame, idCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = events
+      .select(col(idCol), to_date(col(tsCol)).as("_d")).distinct()
+      .withColumn("_epoch", datediff(col("_d"), lit("1970-01-01")).cast("long"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_epoch"))
+    val islands = days
+      .withColumn("_island", col("_epoch") - row_number().over(w))
+      .groupBy(col(idCol), col("_island"))
+      .agg(count(lit(1)).as("_len"), max(col("_epoch")).as("_last"))
+    islands.groupBy(col(idCol))
+      .agg(sum(col("_len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("_len")).as("longest_streak"),
+        max(col("_last")).as("_last_day"),
+        max(struct(col("_last"), col("_len"))).as("_last_run"))
+      .select(col(idCol), col("n_active_days"), col("n_streaks"),
+        col("longest_streak"),
+        col("_last_run._len").as("current_streak"),
+        col("_last_day").as("last_active_epochday"))
+  }
+
+  /** Price–volume bridge (mix-shift decomposition, the analyst's
+    * revenue-waterfall): between two periods, per segment,
+    * Δrev = volume effect + price effect with ONE common denominator:
+    *
+    *   vol_num = (q1 − q0)·rev0,  price_num = rev1·q0 − q1·rev0,
+    *   den = q0,   and (vol_num + price_num)/den = rev1 − rev0 exactly
+    *
+    * — the standard (q1−q0)·p0 + q1·(p1−p0) bridge with the average
+    * price p = rev/q never divided out, so every emitted value is an
+    * exact integer (micros revenue × integral quantities, accumulated
+    * in decimal(38,0)) and the two effects PROVABLY sum to the revenue
+    * delta. Segments present in only one period emit with q=rev=0 on
+    * the other side (den = 0 ⇒ pure new/lost business, rendered as
+    * 100% volume downstream).
+    *
+    * Shape: one filtered scan per period is avoided — a single scan
+    * with conditional aggregates (sum(CASE period)) collapses straight
+    * to |segments| rows, map-side combined; the bridge arithmetic runs
+    * on that frame. */
+  def priceVolumeBridge(
+      df: DataFrame, segCol: String, periodCol: String, qtyCol: String,
+      revMicrosCol: String, period0: String, period1: String): DataFrame = {
+    val d = "decimal(38,0)"
+    df.filter(col(periodCol).isin(period0, period1))
+      .groupBy(col(segCol))
+      .agg(
+        sum(when(col(periodCol) === period0, col(qtyCol)).otherwise(0L)).as("q0"),
+        sum(when(col(periodCol) === period0, col(revMicrosCol)).otherwise(0L)).as("rev0"),
+        sum(when(col(periodCol) === period1, col(qtyCol)).otherwise(0L)).as("q1"),
+        sum(when(col(periodCol) === period1, col(revMicrosCol)).otherwise(0L)).as("rev1"))
+      .select(col(segCol), col("q0"), col("q1"), col("rev0"), col("rev1"),
+        ((col("q1") - col("q0")).cast(d) * col("rev0")).cast(d).as("vol_num"),
+        (col("rev1").cast(d) * col("q0") - col("q1").cast(d) * col("rev0"))
+          .cast(d).as("price_num"),
+        col("q0").as("den"))
+  }
+
   /** RFM segmentation (recency / frequency / monetary, the classic
     * direct-marketing scoring): per entity, the newest activity marker,
     * event count, and exact-decimal spend, each quantile-scored into

@@ -210,6 +210,44 @@ class ProfilingOpsSpec extends AnyFunSuite {
       (wk2, 1L, 1L, 0L, 1L))) // u4 censored in its own cohort
   }
 
+  test("activityStreaks: islands, longest vs current, dedup within a day") {
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 09:00:00")
+    val ev = Seq(
+      // u1: days 1,2,3 then 10,11 — longest 3, current 2
+      (1L, d(1)), (1L, d(1)), (1L, d(2)), (1L, d(3)), (1L, d(10)), (1L, d(11)),
+      // u2: one day only
+      (2L, d(5))).toDF("id", "t")
+    val out = graft.operators.Behavioral.activityStreaks(ev, "id", "t")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 5L, 2L, 3L, 2L), (2L, 1L, 1L, 1L, 1L)))
+  }
+
+  test("priceVolumeBridge: effects sum exactly to the revenue delta") {
+    val df = Seq(
+      ("A", "p0", 10L, 1000L), ("A", "p1", 15L, 1800L),
+      ("B", "p0", 4L, 400L), ("B", "p1", 4L, 500L), // pure price move
+      ("C", "p1", 7L, 700L)) // new segment: q0 = 0 → den 0
+      .toDF("seg", "m", "qty", "rev")
+    val out = graft.operators.Behavioral
+      .priceVolumeBridge(df, "seg", "m", "qty", "rev", "p0", "p1")
+      .orderBy("seg").collect()
+    def longs(i: Int) = out.map(r => r.getDecimal(i).longValueExact())
+    val (vol, price) = (longs(5), longs(6))
+    // A: vol = 5·1000 = 5000, price = 1800·10 − 15·1000 = 3000; /q0=10 →
+    //    500 + 300 = 800 = Δrev ✓  B: vol 0, price 400 ✓ (den 4)
+    assert(vol.toSeq === Seq(5000L, 0L, 0L))
+    assert(price.toSeq === Seq(3000L, 400L, 0L))
+    // conservation: (vol+price)/den = rev1 − rev0 where den > 0
+    out.foreach { r =>
+      val den = r.getLong(7)
+      if (den > 0) {
+        val lhs = r.getDecimal(5).longValueExact() + r.getDecimal(6).longValueExact()
+        assert(lhs === (r.getLong(4) - r.getLong(3)) * den)
+      }
+    }
+  }
+
   test("seasonalOutliers agrees with a brute-force reimplementation") {
     // deterministic pseudo-noise + one spiked day and one crashed day
     def cnt(day: Int): Int = {
