@@ -3050,6 +3050,55 @@ object SparkEntry {
       .orderBy("arm", "step")
   }
 
+  /** Recommender holdout eval ([[graft.operators.Baskets
+    * .recsHoldoutEval]]): orders before 1999 train a part co-occurrence
+    * recommender, orders from 1999 on score it — precision@5 /
+    * recall ingredients as one exact-integer summary row; the offline
+    * eval loop `item_cf_topk`'s model would ship through. */
+  private def recsHoldoutEval(s: SparkSession, dir: String): DataFrame = {
+    val tx = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderdate").cast("date") >= to_date(lit("1999-01-01"))).as("is_test")),
+        col("l_orderkey") === col("o_orderkey"))
+    graft.operators.Baskets.recsHoldoutEval(tx, "l_orderkey", "o_custkey",
+      "l_partkey", "is_test", k = 5, minCo = 2L)
+  }
+
+  /** Join-view IVM ([[graft.operators.Merge.maintainJoin]]): the
+    * orders⋈customer view maintained from base + delta partitions
+    * (orderkey ≡ 0 mod 8 and custkey ≡ 0 mod 9 play the night's
+    * inserts) via V₀ ∪ ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, then rolled up per
+    * nation — bit-equal to the full-recompute oracle, at delta-join
+    * cost. */
+  private def ivmJoinDelta(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("decimal(30,6)").as("rev"))
+    val c = t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+      col("c_nationkey"))
+    val (a0, dA) = (o.filter(pmod(col("o_orderkey"), lit(8)) =!= 0),
+      o.filter(pmod(col("o_orderkey"), lit(8)) === 0))
+    val (b0, dB) = (c.filter(pmod(col("o_custkey"), lit(9)) =!= 0),
+      c.filter(pmod(col("o_custkey"), lit(9)) === 0))
+    graft.operators.Merge.maintainJoin(
+        a0.join(b0, Seq("o_custkey")), a0, dA, b0, dB, Seq("o_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("rev")) * 1000000L).cast("long").as("rev_micros"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Volume-weighted median ([[graft.operators.Stats.weightedMedian]]):
+    * per return flag, the extended price at which half the UNITS
+    * shipped — quantity-weighted, cross-multiplied halving, ties
+    * closed by (orderkey, linenumber). */
+  private def weightedMedianQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.weightedMedian(
+        t(s, dir, "lineitem")
+          .withColumn("qty", col("l_quantity").cast("long")),
+        "l_returnflag", "l_extendedprice", "qty",
+        tieCols = Seq("l_orderkey", "l_linenumber"))
+      .orderBy("l_returnflag")
+
   /** Item-item CF ([[graft.operators.Baskets.itemCosine]]): top-100
     * part pairs by cosine over implicit basket vectors — co-occurrence
     * normalized by popularity. */
@@ -3337,6 +3386,9 @@ object SparkEntry {
     "survival_table" -> survivalTableQuery _,
     "activity_streaks" -> activityStreaksQuery _,
     "mix_shift" -> mixShiftQuery _,
+    "recs_holdout_eval" -> recsHoldoutEval _,
+    "ivm_join_delta" -> ivmJoinDelta _,
+    "weighted_median" -> weightedMedianQuery _,
     "novelty_scores" -> noveltyScoresQuery _,
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
@@ -4927,6 +4979,67 @@ object SparkEntry {
            SELECT 'purchaser_in_launch_signups', CAST(n_values AS BIGINT),
                   CAST(n_missing_values AS BIGINT) FROM ps)
          ORDER BY candidate""",
+    "weighted_median" ->
+      // first row where 2·cumulative-quantity ≥ total, ties closed by
+      // (orderkey, linenumber) for a total order
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+                CAST(l_quantity AS BIGINT) AS qty,
+                CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+                  PARTITION BY l_returnflag
+                  ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+                CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+                  PARTITION BY l_returnflag) AS BIGINT) AS totw,
+                l_orderkey, l_linenumber
+              FROM lineitem)
+         SELECT l_returnflag, l_extendedprice AS w_median,
+                cumw AS cum_weight, totw AS total_weight
+         FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+               FROM r WHERE cumw * 2 >= totw)
+         WHERE rn = 1 ORDER BY l_returnflag""",
+    "ivm_join_delta" ->
+      // the oracle is the FULL RECOMPUTE the maintenance identity must
+      // equal: plain orders⋈customer rolled up per nation
+      """SELECT c_nationkey,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) * 1000000
+                  AS BIGINT) AS rev_micros
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "recs_holdout_eval" ->
+      // time-split CF eval: train co-occurrence (distinct basket-item,
+      // a<b pairs, minCo 2), directed scores summed per user, top-5
+      // minus owned, hits vs the test side — one exact summary row
+      """WITH tx AS (SELECT l.l_orderkey AS basket, o.o_custkey AS u,
+                l.l_partkey AS i,
+                (CAST(o.o_orderdate AS DATE) >= DATE '1999-01-01') AS is_test
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+          bi AS (SELECT DISTINCT basket, i FROM tx WHERE NOT is_test),
+          co AS (SELECT x.i AS a, y.i AS b, CAST(count(*) AS BIGINT) AS n
+                 FROM bi x JOIN bi y ON x.basket = y.basket AND x.i < y.i
+                 GROUP BY 1, 2 HAVING count(*) >= 2),
+          dir AS (SELECT a AS f, b AS t, n FROM co
+                  UNION ALL SELECT b, a, n FROM co),
+          tui AS (SELECT DISTINCT u, i FROM tx WHERE NOT is_test),
+          sc AS (SELECT tui.u, dir.t, CAST(sum(n) AS BIGINT) AS score
+                 FROM tui JOIN dir ON tui.i = dir.f
+                 GROUP BY 1, 2),
+          cand AS (SELECT sc.* FROM sc ANTI JOIN tui
+                     ON sc.u = tui.u AND sc.t = tui.i),
+          recs AS (SELECT u, t FROM (SELECT u, t, row_number() OVER (
+                     PARTITION BY u ORDER BY score DESC, t ASC) AS rn
+                   FROM cand) WHERE rn <= 5),
+          tei AS (SELECT DISTINCT u, i AS t FROM tx WHERE is_test),
+          hits AS (SELECT recs.* FROM recs SEMI JOIN tei
+                     ON recs.u = tei.u AND recs.t = tei.t)
+         SELECT (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM recs)
+                  AS n_users_recommended,
+                (SELECT CAST(count(*) AS BIGINT) FROM recs) AS total_recs,
+                (SELECT CAST(count(*) AS BIGINT) FROM hits) AS total_hits,
+                (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM tei)
+                  AS n_test_users,
+                (SELECT CAST(count(*) AS BIGINT) FROM tei) AS total_test_pairs""",
     "activity_streaks" ->
       // gaps-and-islands: day − row_number collapses consecutive days
       // to one island key; current streak = the run at the last day

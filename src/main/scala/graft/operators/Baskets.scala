@@ -86,6 +86,56 @@ object Baskets {
       .filter(col("n_baskets") >= minSupport)
   }
 
+  /** Holdout evaluation of co-occurrence recommendations — the offline
+    * eval loop a recommender pipeline runs before shipping a model:
+    * split transactions by time (the `isTestCol` flag), build item
+    * co-occurrence on the TRAIN side only, recommend each user the
+    * top-k items co-occurring with their train items (summed co-counts,
+    * ties to the smaller item id — a total order), excluding what they
+    * already bought, and score hits against the TEST side. One summary
+    * row: users recommended, recs issued, hits, test users, test
+    * pairs — precision@k = hits/recs and recall = hits/test_pairs
+    * render downstream as the two honest fractions.
+    *
+    * Time-based splitting is the correctness point: a random split
+    * leaks future co-purchases into training and inflates every
+    * metric (the `split_leakage` gate's lesson applied to recs).
+    *
+    * Shape: rides [[cooccurrence]] (bounded pair expansion, never
+    * items×items); scoring joins the |users|×|train-items| distinct
+    * frame to the directed pair table on the item key; the per-user
+    * top-k is the stratified-sample ranking shape. Everything after
+    * collapses to ONE row. */
+  def recsHoldoutEval(
+      tx: DataFrame, basketCol: String, userCol: String, itemCol: String,
+      isTestCol: String, k: Int = 5, minCo: Long = 2L,
+      maxBasketSize: Int = 512): DataFrame = {
+    require(k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val train = tx.filter(!col(isTestCol))
+    val test = tx.filter(col(isTestCol))
+    val co = cooccurrence(train, basketCol, itemCol, maxBasketSize, minCo)
+    val directed = co.select(col("a").as("_from"), col("b").as("_to"), col("n_baskets"))
+      .union(co.select(col("b").as("_from"), col("a").as("_to"), col("n_baskets")))
+    val trainUI = train.select(col(userCol).as("_u"), col(itemCol).as("_i")).distinct()
+    val scores = trainUI.join(directed, col("_i") === col("_from"))
+      .groupBy(col("_u"), col("_to"))
+      .agg(sum(col("n_baskets")).as("_score"))
+      .join(trainUI.select(col("_u"), col("_i").as("_to")), Seq("_u", "_to"), "left_anti")
+    val recs = scores.withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_u")).orderBy(col("_score").desc, col("_to").asc)))
+      .filter(col("_rn") <= k)
+      .localCheckpoint() // consumed twice (summary + hits); the rec build must not re-run
+    val testUI = test.select(col(userCol).as("_u"), col(itemCol).as("_to")).distinct()
+      .localCheckpoint()
+    val hits = recs.join(testUI, Seq("_u", "_to"), "left_semi")
+    recs.agg(count_distinct(col("_u")).as("n_users_recommended"),
+        count(lit(1)).as("total_recs"))
+      .crossJoin(hits.agg(count(lit(1)).as("total_hits")))
+      .crossJoin(testUI.agg(count_distinct(col("_u")).as("n_test_users"),
+        count(lit(1)).as("total_test_pairs")))
+  }
+
   /** Item-item cosine similarity over implicit binary basket vectors —
     * the memory-based collaborative-filtering score:
     * `cos(a,b) = |baskets(a) ∩ baskets(b)| / √(|baskets(a)|·|baskets(b)|)`,

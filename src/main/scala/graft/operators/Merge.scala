@@ -101,4 +101,29 @@ object Merge {
         (sumCols.tail.map(c => sum(col(c)).as(c)) :+
           sum(col(countCol)).as(countCol)): _*)
   }
+
+  /** Join-view delta maintenance — the IVM algebra for inner joins
+    * (the [[maintainAgg]] idea one operator up the plan): with base
+    * relations split into old + insert-delta (A = A₀ ∪ ΔA, B = B₀ ∪ ΔB,
+    * deltas disjoint from bases),
+    *
+    *   A ⋈ B = V₀ ∪ (ΔA ⋈ B₀) ∪ (A₀ ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+    *
+    * exactly — set algebra, no approximation — so a nightly refresh
+    * joins the deltas against the (indexed, usually much larger) bases
+    * and appends, instead of re-joining two full histories. The gate
+    * proves the identity against a full-recompute oracle.
+    *
+    * Shape: three delta-sided joins instead of one history×history
+    * join; each delta side is small by definition, so the planner
+    * broadcasts it and the big sides stream through untouched — the
+    * cost asymmetry that makes materialized-view maintenance viable at
+    * 100 TB. `unionByName` guards the column alignment a positional
+    * union would silently scramble. */
+  def maintainJoin(
+      v0: DataFrame, a0: DataFrame, dA: DataFrame,
+      b0: DataFrame, dB: DataFrame, joinCols: Seq[String]): DataFrame =
+    v0.unionByName(dA.join(b0, joinCols))
+      .unionByName(a0.join(dB, joinCols))
+      .unionByName(dA.join(dB, joinCols))
 }

@@ -842,6 +842,35 @@ object Stats {
         when(col("complete"), col("cnt") * 7L - col("trend7_sum")).as("detrended7"))
   }
 
+  /** Weighted lower median per group — the element at the first
+    * position where cumulative weight reaches half the total
+    * (2·cumw ≥ totw, cross-multiplied so no halving ever divides):
+    * "the price at which half the UNITS sold" rather than half the
+    * order lines, the volume-weighted robust center. Ties in the value
+    * close through `tieCols` so the chosen element is a total-order
+    * pick; weights must be nonnegative integers (quantities, counts —
+    * the house integer contract).
+    *
+    * Shape: one keyed window (cumulative weight, sort bounded per
+    * group) + the totals from the same aggregate the window rides;
+    * the earliest qualifying row per group survives via one more
+    * keyed row_number. */
+  def weightedMedian(
+      df: DataFrame, groupCol: String, valueCol: String, weightCol: String,
+      tieCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy((col(valueCol) +: tieCols.map(col)): _*)
+    val wt = Window.partitionBy(col(groupCol))
+    df.withColumn("_cumw", sum(col(weightCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_totw", sum(col(weightCol)).over(wt))
+      .filter(col("_cumw") * 2L >= col("_totw"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(groupCol), col(valueCol).as("w_median"),
+        col("_cumw").as("cum_weight"), col("_totw").as("total_weight"))
+  }
+
   /** Quantile alignment onto a reference source — the distribution-
     * normalization step (the bioinformatics quantile-normalization /
     * domain-adaptation CDF-matching idea): each source's k-th of n

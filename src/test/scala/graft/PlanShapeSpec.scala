@@ -677,6 +677,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"funnel's step filter stopped pushing into the parquet scan:\n$p")
   }
 
+  test("ivm join delta: every join broadcasts its small side, none degenerate") {
+    val p = finalPlan("ivm_join_delta")
+    assert(count(p, "BroadcastHashJoin") >= 2, s"ivm deltas lost broadcast:\n$p")
+    assert(count(p, "SortMergeJoin") === 0 && count(p, "CartesianProduct") === 0)
+  }
+
   test("profiling/association gates never go cartesian") {
     Seq("collocations", "t_closeness", "spearman_corr", "seasonal_outliers",
         "quantile_align", "srm_check", "ind_audit", "order_audit").foreach { q =>

@@ -248,6 +248,46 @@ class ProfilingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("recsHoldoutEval: train-only co-occurrence, owned items excluded, exact hits") {
+    val tx = Seq(
+      // train baskets: (1,2)×2 co-occurrence, (1,3)×1
+      (10L, 1L, 1L, false), (10L, 1L, 2L, false),
+      (20L, 2L, 1L, false), (20L, 2L, 2L, false),
+      (30L, 3L, 1L, false), (30L, 3L, 3L, false),
+      // test: u1 buys 3 (a hit), u2 buys 4 (miss), u5 is test-only
+      (40L, 1L, 3L, true), (50L, 2L, 4L, true), (60L, 5L, 1L, true))
+      .toDF("basket", "u", "i", "is_test")
+    val out = Baskets.recsHoldoutEval(tx, "basket", "u", "i", "is_test",
+      k = 2, minCo = 1L).collect().head
+    // u1/u2 each get rec [3] (only unowned candidate), u3 gets [2];
+    // u1's test purchase of 3 is the single hit
+    assert(out.toSeq === Seq(3L, 3L, 1L, 3L, 3L))
+  }
+
+  test("maintainJoin: delta algebra equals the full recompute, as a multiset") {
+    val a0 = Seq((1, "x"), (2, "y")).toDF("k", "av")
+    val dA = Seq((3, "z"), (1, "x2")).toDF("k", "av") // a second row for key 1
+    val b0 = Seq((1, "p"), (3, "q")).toDF("k", "bv")
+    val dB = Seq((2, "r"), (1, "p2")).toDF("k", "bv")
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val got = Merge.maintainJoin(a0.join(b0, Seq("k")), a0, dA, b0, dB, Seq("k"))
+    val want = a0.union(dA).join(b0.union(dB), Seq("k"))
+    // key 1: 2 A-rows × 2 B-rows = 4; keys 2 and 3: 1 each → 6 rows
+    assert(bag(got) === bag(want) && got.count() === 6)
+  }
+
+  test("weightedMedian: first element where cumulative weight reaches half") {
+    val df = Seq(("g", 1.0, 1L, 1L), ("g", 2.0, 2L, 2L), ("g", 3.0, 1L, 3L),
+      ("h", 1.0, 1L, 4L), ("h", 5.0, 9L, 5L)).toDF("g", "v", "w", "id")
+    val out = Stats.weightedMedian(df, "g", "v", "w", Seq("id"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    // g: cum 1,3,4 over tot 4 → first 2·cum ≥ 4 is v=2 (cum 3)
+    // h: the heavy tail owns the median → v=5
+    assert(out.toSeq === Seq(("g", 2.0, 3L, 4L), ("h", 5.0, 10L, 10L)))
+  }
+
   test("seasonalOutliers agrees with a brute-force reimplementation") {
     // deterministic pseudo-noise + one spiked day and one crashed day
     def cnt(day: Int): Int = {
