@@ -190,7 +190,8 @@ object Bench {
     results ++= guarded(Seq("streaming_session_replay",
         "streaming_session_replay_rocksdb", "streaming_window_replay",
         "streaming_interval_replay", "streaming_scd2_replay",
-        "streaming_tws_replay", "streaming_topk_replay")) {
+        "streaming_tws_replay", "streaming_topk_replay",
+        "streaming_funnel_replay", "streaming_feed_replay")) {
       streamingScenarios(spark)
     }
     flush()
@@ -585,6 +586,22 @@ object Bench {
       } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     })
 
+    // the ListState ring replay (last-5 feed per user): whole-ring
+    // rewrite per touched user, O(n) state forever — the third TWS
+    // state shape next to the MapState counter and Space-Saving top-k
+    val feedSec = retrying("streaming_feed_replay")(time {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val in = MemoryStream[graft.streaming.LogEvent](spark)
+        val q = graft.streaming.TransformWithStateOps.recentFeedWithState(in.toDS(), n = 5)
+          .writeStream.format("noop").outputMode("update")
+          .option("checkpointLocation", checkpoint()).start()
+        try batches.foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
+        finally q.stop()
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    })
+
     // the bounded-state top-k replay (Space-Saving MapState, k=20 per
     // event type): state is k entries per key FOREVER — the same
     // checkpoint-commit-dominated cost model as the counter replay, at
@@ -632,6 +649,7 @@ object Bench {
       }
     }
     Seq(
+      "streaming_feed_replay" -> feedSec,
       "streaming_funnel_replay" -> funnelSec,
       "streaming_session_replay" -> sessionSec,
       "streaming_session_replay_rocksdb" -> sessionRocksSec,

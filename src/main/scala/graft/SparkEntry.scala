@@ -3099,6 +3099,18 @@ object SparkEntry {
         tieCols = Seq("l_orderkey", "l_linenumber"))
       .orderBy("l_returnflag")
 
+  /** Last-n feed batch twin ([[graft.streaming.TransformWithStateOps
+    * .recentFeedWithState]]): the ListState ring's batch degeneration —
+    * each user's newest 5 events, slot 0 newest; the streaming
+    * incremental maintenance is pinned in TransformWithStateSpec. */
+  private def recentFeedBatch(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.TransformWithStateOps.recentFeedWithState(
+        graft.streaming.StatefulOps.typedEvents(t(s, dir, "events")), n = 5)
+      .toDF()
+      .select(col("userId").as("user_id"), col("slot"),
+        expr("tsNanos div 1000").as("ts_us"), col("eventType").as("event_type"))
+      .orderBy("user_id", "slot")
+
   /** Item-item CF ([[graft.operators.Baskets.itemCosine]]): top-100
     * part pairs by cosine over implicit basket vectors — co-occurrence
     * normalized by popularity. */
@@ -3389,6 +3401,7 @@ object SparkEntry {
     "recs_holdout_eval" -> recsHoldoutEval _,
     "ivm_join_delta" -> ivmJoinDelta _,
     "weighted_median" -> weightedMedianQuery _,
+    "recent_feed_batch" -> recentFeedBatch _,
     "novelty_scores" -> noveltyScoresQuery _,
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
@@ -4979,6 +4992,16 @@ object SparkEntry {
            SELECT 'purchaser_in_launch_signups', CAST(n_values AS BIGINT),
                   CAST(n_missing_values AS BIGINT) FROM ps)
          ORDER BY candidate""",
+    "recent_feed_batch" ->
+      // last-5 per user, slot 0 newest; (ts desc, type desc) mirrors
+      // the processor's ascending merge + reverse emission
+      """WITH r AS (SELECT user_id, epoch_us(ts) AS us, event_type,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_type DESC) AS rn
+              FROM events)
+         SELECT user_id, CAST(rn - 1 AS BIGINT) AS slot,
+                CAST(us AS BIGINT) AS ts_us, event_type
+         FROM r WHERE rn <= 5 ORDER BY user_id, slot""",
     "weighted_median" ->
       // first row where 2·cumulative-quantity ≥ total, ties closed by
       // (orderkey, linenumber) for a total order

@@ -9,6 +9,12 @@ case class UserTypeCount(userId: Long, eventType: String, n: Long)
 /** One running top-k counter row per update (Space-Saving estimate). */
 case class TypeTopEntry(eventType: String, userId: Long, n: Long)
 
+/** One bounded-feed item in per-user state. */
+case class FeedItem(tsNanos: Long, eventType: String)
+
+/** One emitted feed row: slot 0 = newest of the user's last-n events. */
+case class FeedEntry(userId: Long, slot: Long, tsNanos: Long, eventType: String)
+
 /** Spark 4's arbitrary-state API (`transformWithState`) applied to the
   * event log: a continuously-maintained per-user × event-type counter —
   * the "materialized aggregate read model" a subscription consumer keeps
@@ -120,6 +126,53 @@ object TransformWithStateOps {
         TypeTopEntry(key, uid, n)
       }.iterator
     }
+  }
+
+  /** The third TWS state shape next to [[TypeCountProcessor]]'s
+    * MapState and [[TopKProcessor]]'s bounded counters: a [[ListState]]
+    * ring of the user's last-`n` events — the "recent activity feed"
+    * read model every product surface keeps warm. Each batch merges the
+    * stored ring with the batch's rows by (ts, type) — a total order
+    * over the payload, so replays and providers agree — truncates to
+    * the newest `n`, rewrites the O(n) ring, and emits the user's full
+    * refreshed feed newest-first (slot 0 = newest): downstream upserts
+    * whole feeds, the natural unit for a feed cache.
+    *
+    * State is O(n) per user FOREVER — the bounded-state contract — and
+    * only touched users pay any I/O in a batch. Batch mode (one pass,
+    * empty state) degenerates to "last n events per user", the oracled
+    * `recent_feed_batch` SQL twin. */
+  class RecentFeedProcessor(n: Int) extends StatefulProcessor[Long, LogEvent, FeedEntry] {
+    @transient private var feed: org.apache.spark.sql.streaming.ListState[FeedItem] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      feed = getHandle.getListState[FeedItem](
+        "feed", Encoders.product[FeedItem], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[LogEvent],
+        timerValues: TimerValues): Iterator[FeedEntry] = {
+      val stored = feed.get().toSeq
+      val merged = (stored ++ rows.map(e => FeedItem(e.tsNanos, e.eventType)))
+        .sortBy(i => (i.tsNanos, i.eventType))
+      val kept = merged.takeRight(n)
+      feed.put(kept.toArray)
+      kept.reverseIterator.zipWithIndex.map { case (i, slot) =>
+        FeedEntry(key, slot.toLong, i.tsNanos, i.eventType)
+      }
+    }
+  }
+
+  /** Last-n activity feed per user (ListState ring; Update-mode whole-
+    * feed emission for touched users). Batch mode = "last n events per
+    * user", the oracled twin. */
+  def recentFeedWithState(events: Dataset[LogEvent], n: Int): Dataset[FeedEntry] = {
+    require(n >= 1)
+    val spark = events.sparkSession
+    import spark.implicits._
+    org.apache.spark.sql.graft.ColumnGlue.ensureStateStoreCoordinator(spark)
+    events.groupByKey(_.userId)
+      .transformWithState(new RecentFeedProcessor(n), TimeMode.None(), OutputMode.Update())
   }
 
   /** Bounded-state running top-k users per event type (Space-Saving;

@@ -685,6 +685,32 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelWithState outcomes are provider-independent (RocksDB == default HDFS store)") {
+    def evm(u: Long, minutes: Long, typ: String): LogEvent =
+      LogEvent(u, minutes * 60000000000L, typ, 0L)
+    val w = 60L * 60000000L
+    val history = Seq(
+      Seq(evm(1, 1000, "a"), evm(1, 1030, "c"), evm(2, 1005, "b")),
+      Seq(evm(1, 1010, "b"), evm(2, 1002, "a")),
+      Seq(evm(9, 1300, "a")))
+    def run(sinkName: String): Set[(Long, Long, Long, Long, Long, Boolean)] = {
+      val in = MemoryStream[LogEvent](spark)
+      val q = memSink(StatefulOps.funnelWithState(
+        in.toDS(), Seq("a", "b", "c"), w, "60 minutes").toDF(), sinkName, "append")
+      try {
+        history.foreach { b => in.addData(b); processAll(q) }
+        spark.table(sinkName).as[FunnelOutcome].collect()
+          .map(o => (o.userId, o.reached, o.t1Us, o.t2Us, o.t3Us, o.completed)).toSet
+      } finally q.stop()
+    }
+    val hdfs = run("funnel_prov_hdfs")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rocks = try run("funnel_prov_rocks")
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert(hdfs === rocks && hdfs.nonEmpty)
+  }
+
   test("funnelWithState streaming matches the batch twin on the same history") {
     def evm(u: Long, minutes: Long, typ: String): LogEvent =
       LogEvent(u, minutes * 60000000000L, typ, 0L)

@@ -99,4 +99,49 @@ class TransformWithStateSpec extends AnyFunSuite {
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("recent feed batch mode = last-n per user, slot 0 newest") {
+    val events = Seq(ev(1, 10, "a"), ev(1, 30, "c"), ev(1, 20, "b"),
+      ev(1, 40, "d"), ev(2, 5, "x"))
+    val out = TransformWithStateOps.recentFeedWithState(events.toDS(), n = 3)
+      .collect().map(f => (f.userId, f.slot, f.tsNanos, f.eventType)).toSet
+    // u1 keeps the newest 3 of 4 (drops ts 10); slots newest-first
+    assert(out === Set(
+      (1L, 0L, 40L, "d"), (1L, 1L, 30L, "c"), (1L, 2L, 20L, "b"),
+      (2L, 0L, 5L, "x")))
+  }
+
+  test("recent feed streaming: the ListState ring evicts across micro-batches; only touched users emit") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-feed").toString
+    try {
+      val in = MemoryStream[LogEvent](spark)
+      val q = TransformWithStateOps.recentFeedWithState(in.toDS(), n = 2)
+        .writeStream.format("memory").queryName("tws_feed").outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        in.addData(ev(1, 10, "a"), ev(1, 20, "b"), ev(2, 5, "x"))
+        q.processAllAvailable()
+        val b1 = spark.table("tws_feed").as[FeedEntry].collect().toSet
+        assert(b1 === Set(FeedEntry(1, 0, 20, "b"), FeedEntry(1, 1, 10, "a"),
+          FeedEntry(2, 0, 5, "x")))
+
+        // u1's third event evicts ts 10 from the ring; u2 must not re-emit
+        in.addData(ev(1, 30, "c"))
+        q.processAllAvailable()
+        val batch2 = spark.table("tws_feed").as[FeedEntry].collect().toSeq
+          .diff(b1.toSeq)
+        assert(batch2.toSet === Set(FeedEntry(1, 0, 30, "c"), FeedEntry(1, 1, 20, "b")))
+
+        // an out-of-order straggler merges by event time, not arrival
+        in.addData(ev(1, 25, "late"))
+        q.processAllAvailable()
+        val batch3 = spark.table("tws_feed").as[FeedEntry].collect().toSeq
+          .diff(b1.toSeq).diff(batch2)
+        assert(batch3.toSet === Set(FeedEntry(1, 0, 30, "c"), FeedEntry(1, 1, 25, "late")))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
