@@ -8,14 +8,26 @@ oracle SQL from <out>/oracle_sql.json in DuckDB over the sf tables, and
 compares: row count, column names (sorted), and exact values (rows sorted
 by all columns, like a hash compare would see them).
 """
-import sys, os, json, math
+import sys, os, json, math, glob
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(df):
+    import datetime
     df = df[sorted(df.columns)]
+    # pyarrow surfaces parquet DATE as object(datetime.date) while duckdb
+    # gives datetime64 — same value, reader artifact (the driver's compare
+    # accepts it: calendar_dim passes there); normalize to datetime64
+    for c in df.columns:
+        if df[c].dtype.kind == "O":
+            nn = df[c].dropna()
+            if len(nn) and all(isinstance(v, datetime.date) and
+                               not isinstance(v, datetime.datetime)
+                               for v in nn.head(5)):
+                df[c] = pd.to_datetime(df[c])
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 def values_equal(a, b):
@@ -37,8 +49,13 @@ def main():
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_noracle = 0
     for name in names:
-        mine = con.execute(
-            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+        # read the Spark result via pyarrow, NOT duckdb: duckdb coerces
+        # decimal columns to float64 on fetchdf, which made decimal(38,0)
+        # vs HUGEINT gates look equal locally while the driver's compare
+        # (pyarrow-side Decimal objects) hash-failed them (rounds 8-9)
+        parts = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        mine = pd.concat([pd.read_parquet(p) for p in parts],
+                         ignore_index=True)
         if name not in oracle:
             print(f"  ?? {name}: no oracle (rows={len(mine)})")
             n_noracle += 1
@@ -73,11 +90,22 @@ def main():
             for i, (x, y) in enumerate(zip(av, bv)):
                 ok = values_equal(x, y)
                 if not ok:
-                    # pandas may deliver numpy types; retry via repr-ish compare
-                    try:
-                        ok = float(x) == float(y)
-                    except (TypeError, ValueError):
-                        ok = str(x) == str(y)
+                    # pandas may deliver numpy types; retry numerically —
+                    # but ONLY within the same representation family.
+                    # Cross-family (Decimal vs str vs float) must FAIL:
+                    # the driver hashes representations, and the float
+                    # fallback here masked the decimal(38,0)-vs-HUGEINT
+                    # gates for two rounds
+                    num = (int, float, bool)
+                    if isinstance(x, num) and isinstance(y, num):
+                        try:
+                            ok = float(x) == float(y)
+                        except (TypeError, ValueError):
+                            ok = False
+                    elif isinstance(x, str) and isinstance(y, str):
+                        ok = x == y
+                    else:
+                        ok = str(x) == str(y) and type(x) is type(y)
                 if not ok:
                     bad = (col, i, x, y)
                     break

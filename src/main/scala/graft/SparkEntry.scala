@@ -2751,6 +2751,13 @@ object SparkEntry {
   private def spearmanCorrQuery(s: SparkSession, dir: String): DataFrame =
     graft.operators.Stats.spearmanCorr(
         t(s, dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice")
+      // gate boundary: the decimal(38,0) moments render as strings so the
+      // hash compare sees identical digits on both engines at any
+      // magnitude (HUGEINT → float64 in the driver's oracle reader,
+      // decimal(38,0) → java.math.BigDecimal in its parquet reader)
+      .withColumn("rho_num", col("rho_num").cast("string"))
+      .withColumn("rho_denx", col("rho_denx").cast("string"))
+      .withColumn("rho_deny", col("rho_deny").cast("string"))
       .orderBy("l_returnflag")
 
   /** Seasonality-adjusted anomaly days ([[graft.operators.Stats
@@ -2779,6 +2786,9 @@ object SparkEntry {
           // same engine-safe positive band as the l_diversity gate
           .withColumn("bal_band", expr("floor(c_acctbal + 1000.0d) div 2000")),
         Seq("c_nationkey", "c_mktsegment"), "bal_band", tNum = 3L, tDen = 20L)
+      // gate boundary: render the decimal(38,0) EMD numerator as a string
+      // (same digits on both engines; see spearman_corr's note)
+      .withColumn("emd_num", col("emd_num").cast("string"))
       .orderBy("c_nationkey", "c_mktsegment")
 
   /** Inclusion-dependency audit ([[graft.operators.Validation
@@ -2909,6 +2919,10 @@ object SparkEntry {
             (col("l_extendedprice").cast("decimal(30,6)") * 1000000L)
               .cast("long")),
         "l_returnflag", "m", "qty", "rev_micros", "1995-01", "1995-02")
+      // gate boundary: render the decimal(38,0) bridge terms as strings
+      // (same digits on both engines; see spearman_corr's note)
+      .withColumn("vol_num", col("vol_num").cast("string"))
+      .withColumn("price_num", col("price_num").cast("string"))
       .orderBy("l_returnflag")
 
   /** Distinct l-diversity audit ([[graft.operators.Pii
@@ -3102,10 +3116,20 @@ object SparkEntry {
   /** Last-n feed batch twin ([[graft.streaming.TransformWithStateOps
     * .recentFeedWithState]]): the ListState ring's batch degeneration —
     * each user's newest 5 events, slot 0 newest; the streaming
-    * incremental maintenance is pinned in TransformWithStateSpec. */
+    * incremental maintenance is pinned in TransformWithStateSpec.
+    *
+    * Gated on a 1-in-10 user slice: batch-mode transformWithState pays
+    * the full state-store machinery to produce what a plain window
+    * answers, so the PARITY gate runs on a deterministic subset
+    * (hundreds of users at sf0.01 — every merge/truncate/emit path
+    * still exercised) while the full-data cost lives where it means
+    * something: the streaming_feed_replay bench scenario (round-9
+    * verdict cost-watch — this line was the 3rd most expensive query
+    * for no extra coverage). */
   private def recentFeedBatch(s: SparkSession, dir: String): DataFrame =
     graft.streaming.TransformWithStateOps.recentFeedWithState(
-        graft.streaming.StatefulOps.typedEvents(t(s, dir, "events")), n = 5)
+        graft.streaming.StatefulOps.typedEvents(
+          t(s, dir, "events").filter(col("user_id") % 10 === 0)), n = 5)
       .toDF()
       .select(col("userId").as("user_id"), col("slot"),
         expr("tsNanos div 1000").as("ts_us"), col("eventType").as("event_type"))
@@ -4890,9 +4914,9 @@ object SparkEntry {
                     + CAST(count(*) OVER (PARTITION BY g, y) AS HUGEINT) - 1 AS v
                 FROM r)
          SELECT g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
-                count(*) * sum(u*v) - sum(u) * sum(v) AS rho_num,
-                count(*) * sum(u*u) - sum(u) * sum(u) AS rho_denx,
-                count(*) * sum(v*v) - sum(v) * sum(v) AS rho_deny
+                CAST(count(*) * sum(u*v) - sum(u) * sum(v) AS VARCHAR) AS rho_num,
+                CAST(count(*) * sum(u*u) - sum(u) * sum(u) AS VARCHAR) AS rho_denx,
+                CAST(count(*) * sum(v*v) - sum(v) * sum(v) AS VARCHAR) AS rho_deny
          FROM u GROUP BY g ORDER BY g""",
     "seasonal_outliers" ->
       // seasonal_decompose's CTE + per-(type, dow) lower medians: flag
@@ -4958,8 +4982,8 @@ object SparkEntry {
           p AS (SELECT *, sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment
                   ORDER BY v) AS cpref FROM j)
          SELECT c_nationkey, c_mktsegment, class_size, m, n_total,
-                sum(abs(CAST(n_total AS HUGEINT) * cpref
-                        - CAST(class_size AS HUGEINT) * gpref)) AS emd_num,
+                CAST(sum(abs(CAST(n_total AS HUGEINT) * cpref
+                        - CAST(class_size AS HUGEINT) * gpref)) AS VARCHAR) AS emd_num,
                 (sum(abs(CAST(n_total AS HUGEINT) * cpref
                          - CAST(class_size AS HUGEINT) * gpref)) * 20
                  <= 3 * CAST(class_size AS HUGEINT) * n_total * (m - 1)) AS close
@@ -4994,11 +5018,13 @@ object SparkEntry {
          ORDER BY candidate""",
     "recent_feed_batch" ->
       // last-5 per user, slot 0 newest; (ts desc, type desc) mirrors
-      // the processor's ascending merge + reverse emission
+      // the processor's ascending merge + reverse emission; same
+      // 1-in-10 user slice as the Spark side (parity on a subset, the
+      // full-data cost belongs to streaming_feed_replay)
       """WITH r AS (SELECT user_id, epoch_us(ts) AS us, event_type,
                 row_number() OVER (PARTITION BY user_id
                   ORDER BY ts DESC, event_type DESC) AS rn
-              FROM events)
+              FROM events WHERE user_id % 10 = 0)
          SELECT user_id, CAST(rn - 1 AS BIGINT) AS slot,
                 CAST(us AS BIGINT) AS ts_us, event_type
          FROM r WHERE rn <= 5 ORDER BY user_id, slot""",
@@ -5105,8 +5131,9 @@ object SparkEntry {
                   CAST(sum(CASE WHEN m = '1995-02' THEN rev ELSE 0 END) AS BIGINT) AS rev1
                 FROM l GROUP BY 1)
          SELECT l_returnflag, q0, q1, rev0, rev1,
-                CAST(q1 - q0 AS HUGEINT) * rev0 AS vol_num,
-                CAST(rev1 AS HUGEINT) * q0 - CAST(q1 AS HUGEINT) * rev0 AS price_num,
+                CAST(CAST(q1 - q0 AS HUGEINT) * rev0 AS VARCHAR) AS vol_num,
+                CAST(CAST(rev1 AS HUGEINT) * q0
+                     - CAST(q1 AS HUGEINT) * rev0 AS VARCHAR) AS price_num,
                 q0 AS den
          FROM g ORDER BY l_returnflag""",
     "attribution_linear" ->

@@ -57,6 +57,19 @@ object Verify {
     val failedJson = failed
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+    // run provenance: a re-run must be distinguishable from a file copy
+    // of a previous round's artifact (round-9 advice)
+    val sha = try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (p.waitFor() == 0) out else "unknown"
+    } catch { case _: Throwable => "unknown" }
+    Files.writeString(Paths.get(s"$outDir/_meta.json"),
+      s"""{"run_ts_utc": ${q(java.time.Instant.now().toString)}, """ +
+        s""""git_sha": ${q(sha)}, "spark": ${q(spark.version)}, """ +
+        s""""n_queries": ${SparkEntry.queries.size}}""")
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Clamped running balance — the stock-ledger / credit-balance fold:
   * per key, apply signed deltas in order with the balance BOUNDED to
@@ -28,11 +29,27 @@ import org.apache.spark.sql.functions._
 object Ledger {
 
   /** (key, ts, tie, delta, balance) — balance after each step, clamped
-    * to [lo, hi]; fold starts at `clamp(0 + first delta)` per key. */
+    * to [lo, hi]; fold starts at `clamp(0 + first delta)` per key.
+    *
+    * All four columns must already be integral: under non-ANSI SQL a
+    * silent `cast(string as long)` turns every unparseable key into
+    * NULL, merging those rows into ONE null-key fold — silent balance
+    * corruption. So the types are validated up front; hash a
+    * string/UUID key yourself (`xxhash64(key)`) and scale a decimal
+    * delta to integral minor units (micros) before calling. */
   def clampedBalance(
       df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
       deltaCol: String, lo: Long, hi: Long): DataFrame = {
     require(lo <= hi, s"empty clamp range: [$lo, $hi]")
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    Seq(keyCol, tsCol, tieCol, deltaCol).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(integral(dt),
+        s"clampedBalance needs an integral '$c', got ${dt.simpleString}: " +
+          "hash string/UUID keys (xxhash64) and scale decimal deltas to " +
+          "integral minor units before calling — a silent cast would " +
+          "merge unparseable rows into one null-key fold")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(keyCol).cast("long"), col(tsCol).cast("long"),

@@ -61,8 +61,13 @@ case class FunnelEv(step: Int, tsNanos: Long)
 
 /** Funnel CEP state: the earliest step-0 time seen (Long.MaxValue until
   * one arrives) plus the buffered later-step events still inside the
-  * window. */
-case class FunnelBuf(anchorNs: Long, evs: Seq[FunnelEv])
+  * window. After the user's outcome has been emitted the state shrinks
+  * to a compact `closed` tombstone (empty buffer) that suppresses any
+  * re-anchor from later step-0 events — the exactly-once,
+  * first-touch-forever contract the batch twin (global first view)
+  * implies. */
+case class FunnelBuf(anchorNs: Long, evs: Seq[FunnelEv],
+    closed: Boolean = false)
 
 /** Final funnel outcome per user: steps reached (≥ 1 — only users who
   * entered emit), per-step match times in micros (−1 past `reached`). */
@@ -431,7 +436,19 @@ object StatefulOps {
     * Non-step events are filtered BEFORE the groupByKey, so the state
     * shuffle carries only funnel-relevant rows. Batch mode closes every
     * user inline (empty state, one invocation per user) — the oracled
-    * gate twin. */
+    * gate twin.
+    *
+    * Exactly-once across RE-ENTRY: once a user's outcome is emitted,
+    * the state shrinks to a compact `closed` tombstone (anchor only, no
+    * buffer, no timeout) that suppresses any later step-0 event — so a
+    * user who comes back after window + watermarkDelay cannot anchor a
+    * second window and emit a second outcome, matching the batch twin's
+    * global-first-view anchor. The 100 TB cost is explicit: one ~24-byte
+    * state row per EMITTED user retained for the stream's lifetime —
+    * the unavoidable price of "one outcome per user, ever" (drop to
+    * per-epoch semantics by TTL-ing the store if that contract is ever
+    * relaxed). Anchorless users still remove state entirely at
+    * timeout. */
   def funnelWithState(
       events: Dataset[LogEvent], steps: Seq[String], windowMicros: Long,
       watermarkDelay: String = "1 hour"): Dataset[FunnelOutcome] = {
@@ -475,8 +492,22 @@ object StatefulOps {
         state: GroupState[FunnelBuf]): Iterator[FunnelOutcome] = {
       if (state.hasTimedOut) {
         val buf = state.get
-        state.remove()
-        close(userId, buf)
+        if (buf.anchorNs == Long.MaxValue) {
+          // anchorless: nothing emitted, a later step-0 may still
+          // legitimately enter (it would be the global first view)
+          state.remove()
+          Iterator.empty
+        } else {
+          // emitted: keep a compact closed tombstone (no timeout) so a
+          // step-0 event arriving after window+watermark cannot
+          // re-anchor and emit a SECOND outcome for the same user —
+          // the batch twin anchors at the GLOBAL first view and emits
+          // exactly one row, so must we (re-entry divergence fix)
+          state.update(FunnelBuf(buf.anchorNs, Nil, closed = true))
+          close(userId, buf)
+        }
+      } else if (state.getOption.exists(_.closed)) {
+        Iterator.empty // user already emitted; ignore all later events
       } else {
         val old = state.getOption.getOrElse(FunnelBuf(Long.MaxValue, Nil))
         val incoming = it.map(e => FunnelEv(stepOf(e.eventType), e.tsNanos)).toVector

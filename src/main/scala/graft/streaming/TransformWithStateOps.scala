@@ -86,8 +86,16 @@ object TransformWithStateOps {
     *
     * State I/O per batch is O(touched entries + evictions), never the
     * full table; the map scan to find the minimum is O(k) driver-free
-    * executor work with k in the tens. */
+    * executor work with k in the tens.
+    *
+    * Caveat (by design, documented): eviction emits NO retraction row —
+    * a downstream read model may hold stale entries beyond the live
+    * top-k until the next update touches them. Downstream must treat
+    * the feed as "last-known counts", keep its own top-k window, or
+    * consume the whole-table emission pattern ([[RecentFeedProcessor]])
+    * when exact membership matters. */
   class TopKProcessor(k: Int) extends StatefulProcessor[String, LogEvent, TypeTopEntry] {
+    require(k >= 1, s"Space-Saving table needs k >= 1 counters, got $k")
     @transient private var counters: MapState[Long, Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =

@@ -189,6 +189,27 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out.length === 50 && out.forall(r => r._2 === 10L && r._3 === 1L))
   }
 
+  test("clampedBalance rejects non-integral inputs instead of null-key merging") {
+    // a string key would silently cast to NULL under non-ANSI SQL and
+    // merge every such row into one null-key fold — must throw up front
+    val stringKey = Seq(("u-1", 1L, 1L, 5L)).toDF("k", "ts", "id", "d")
+    val e1 = intercept[IllegalArgumentException] {
+      Ledger.clampedBalance(stringKey, "k", "ts", "id", "d", 0L, 8L)
+    }
+    assert(e1.getMessage.contains("integral 'k'"))
+    val decimalDelta = Seq((1L, 1L, 1L, BigDecimal("1.50")))
+      .toDF("k", "ts", "id", "d")
+    val e2 = intercept[IllegalArgumentException] {
+      Ledger.clampedBalance(decimalDelta, "k", "ts", "id", "d", 0L, 8L)
+    }
+    assert(e2.getMessage.contains("integral 'd'"))
+    // the documented caller-side remedies work: hashed key, micros delta
+    val fixed = stringKey.select(xxhash64(col("k")).as("k"), col("ts"),
+      col("id"), col("d"))
+    assert(Ledger.clampedBalance(fixed, "k", "ts", "id", "d", 0L, 8L)
+      .count() === 1L)
+  }
+
   test("cvFold: every id gets exactly one stable fold in range") {
     val ids = (1L to 500L).toDF("id")
     val folds = ids.select(col("id"), Sampling.cvFold(col("id"), "s", 5).as("f"))

@@ -685,6 +685,42 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelWithState re-entry past window+watermark: one outcome per user, ever") {
+    def evm(u: Long, minutes: Long, typ: String): LogEvent =
+      LogEvent(u, minutes * 60000000000L, typ, 0L)
+    val us = 60000000L
+    val w = 60L * 60000000L
+    val history1 = Seq(evm(1, 1000, "a"), evm(1, 1010, "b")) // first window
+    val history2 = Seq( // u1 comes back LONG after window+watermark closed it
+      evm(1, 1400, "a"), evm(1, 1410, "b"), evm(1, 1420, "c"))
+    val in = MemoryStream[LogEvent](spark)
+    val q = memSink(StatefulOps.funnelWithState(
+      in.toDS(), Seq("a", "b", "c"), w, "60 minutes").toDF(),
+      "funnel_reentry", "append")
+    try {
+      in.addData(history1: _*); processAll(q)
+      in.addData(evm(9, 1300, "a")); processAll(q) // wm 1240 closes u1 @ due 1060
+      val first = spark.table("funnel_reentry").as[FunnelOutcome].collect()
+        .filter(_.userId == 1L)
+      assert(first.map(o => (o.reached, o.t1Us, o.t2Us)).toSeq ===
+        Seq((2L, 1000 * us, 1010 * us)))
+
+      in.addData(history2: _*); processAll(q) // would re-anchor without tombstone
+      in.addData(evm(10, 1600, "a")); processAll(q) // wm 1540 > 1400+60+watermark
+      val u1 = spark.table("funnel_reentry").as[FunnelOutcome].collect()
+        .filter(_.userId == 1L)
+      assert(u1.length === 1, s"re-entry emitted a second outcome: ${u1.toSeq}")
+
+      // and the single streaming row equals the batch twin over the FULL
+      // history (global first view anchors; the 1400 block is outside)
+      val batch = StatefulOps.funnelWithState(
+          (history1 ++ history2 :+ evm(9, 1300, "a") :+ evm(10, 1600, "a")).toDS(),
+          Seq("a", "b", "c"), w)
+        .collect().filter(_.userId == 1L)
+      assert(batch.toSeq === u1.toSeq)
+    } finally q.stop()
+  }
+
   test("funnelWithState outcomes are provider-independent (RocksDB == default HDFS store)") {
     def evm(u: Long, minutes: Long, typ: String): LogEvent =
       LogEvent(u, minutes * 60000000000L, typ, 0L)

@@ -65,6 +65,15 @@ class TransformWithStateSpec extends AnyFunSuite {
     assert(out === Map(("a", 1L) -> 2L, ("a", 2L) -> 1L, ("b", 7L) -> 1L))
   }
 
+  test("topKWithState rejects k < 1 at construction, not at the first unseen key") {
+    // without the guard, k=0 only failed at runtime inside the eviction
+    // branch (minBy on an empty table) on the first key it ever saw
+    val e = intercept[IllegalArgumentException] {
+      new TransformWithStateOps.TopKProcessor(0)
+    }
+    assert(e.getMessage.contains("k >= 1"))
+  }
+
   test("topKWithState streaming: Space-Saving eviction keeps at most k counters with the min+1 overestimate") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
