@@ -486,6 +486,37 @@ class JdbcAcceptanceParitySpec extends StoreAcceptanceBehaviors {
   }
 }
 
+/** The same acceptance behaviors through a SECOND live dialect object:
+  * the [[SqlDialect.Ansi]] fallback injected explicitly over embedded
+  * Derby. Ansi's syntax points are Derby-parseable (FETCH FIRST, CLOB),
+  * but everything engine-SPECIFIC is absent — `isAlreadyExists` never
+  * classifies (so schema setup must stay metadata-guarded, never
+  * exception-tolerant) and `shutdown` is a no-op (so close() must not
+  * depend on the embedded handshake). This is the unknown-engine path a
+  * user hits pointing the store at any JDBC database we never named —
+  * the closest live substantiation of the seam available in this image
+  * (no Postgres/MySQL/H2 driver ships here; those dialects stay pinned
+  * at SQL-text level in SqlDialectSpec, and the reference's own answer
+  * is one live test project per engine, `tests/SqlStreamStore.*.Tests`). */
+class AnsiDialectAcceptanceSpec extends StoreAcceptanceBehaviors {
+  protected def withStore[T](name: String, trackDeletes: Boolean = true,
+      clock: Clock = Clock.System)(f: StreamStore => T): T = {
+    val dir = SparkTestSession.tempDir(name)
+    val store = new JdbcStreamStore(SparkTestSession.spark,
+      s"jdbc:derby:$dir/db;create=true", clock, trackDeletes,
+      dialect = Some(SqlDialect.Ansi))
+    try f(store)
+    finally {
+      store.close()
+      // the Ansi dialect's shutdown is (correctly) a no-op; release this
+      // temp database's file locks here so the suite doesn't accumulate
+      // booted embedded databases — cleanup concern of the TEST, not the
+      // dialect (a real unknown engine is client/server and needs none)
+      SqlDialect.Derby.shutdown(s"jdbc:derby:$dir/db")
+    }
+  }
+}
+
 /** The same acceptance behaviors THROUGH THE WIRE: an HTTP server over a
   * parquet store, exercised via the [[graft.http.HttpStreamStore]]
   * client — the reference's HttpTests wiring, where the shared
