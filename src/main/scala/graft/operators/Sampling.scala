@@ -158,6 +158,17 @@ object Sampling {
       docs: DataFrame, weights: DataFrame, budgetTokens: Long,
       sourceCol: String = "source", textCol: String = "text"): DataFrame = {
     require(budgetTokens >= 0, "token budget must be non-negative")
+    // integral weights are the contract (exact floor-division plan); a
+    // fractional weight would silently truncate — 0.5 becomes 0 and the
+    // source vanishes from the mix with no error. Scale to integer parts
+    // (e.g. ppm) upstream instead.
+    val wdt = weights.schema("weight").dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)(wdt),
+      s"mixturePlan needs an integral 'weight' column, got ${wdt.simpleString}: " +
+        "scale fractional mixture weights to integer parts (ppm) upstream — " +
+        "a silent cast would truncate 0.5 to 0 and drop the source from the mix")
     val perSource = docs
       .groupBy(col(sourceCol).as("source"))
       .agg(

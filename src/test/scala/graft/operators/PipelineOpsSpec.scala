@@ -201,6 +201,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("C"), "sources without a weight row are dropped")
   }
 
+  test("mixture plan rejects fractional weights instead of silently truncating them") {
+    // a double weight of 0.5 would cast to 0 and drop the source from
+    // the mix with no error — same silent-cast class as clampedBalance
+    val docs = Seq((1L, "A", "a b c")).toDF("doc_id", "source", "text")
+    val weights = Seq(("A", 0.5)).toDF("source", "weight")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixturePlan(docs, weights, budgetTokens = 10L)
+    }
+    assert(e.getMessage.contains("integral 'weight'"))
+  }
+
   test("mixture plan floors like the oracle and survives a zero target") {
     val docs = Seq(
       (1L, "A", "a b c"), (2L, "B", "d e f g")).toDF("doc_id", "source", "text")

@@ -721,6 +721,52 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelWithState recovers from a checkpoint restart: buffered state, anchor, and watermark survive") {
+    // the failure-recovery path a 1000-executor deployment exercises
+    // routinely: stop the query mid-history, start a NEW query from the
+    // same checkpoint, and the union of outputs must equal the
+    // uninterrupted run — open windows (buffered FunnelBuf state,
+    // including the closed-tombstone field), the restored watermark, and
+    // committed offsets must all round-trip. File sink: its commit log
+    // is exactly-once across restarts (the memory sink refuses recovery).
+    def evm(u: Long, minutes: Long, typ: String): LogEvent =
+      LogEvent(u, minutes * 60000000000L, typ, 0L)
+    val us = 60000000L
+    val w = 60L * 60000000L
+    val ckpt = SparkTestSession.tempDir("funnel-restart-ckpt")
+    val out = SparkTestSession.tempDir("funnel-restart-out")
+    val in = MemoryStream[LogEvent](spark)
+    def start(): StreamingQuery = StatefulOps.funnelWithState(
+        in.toDS(), Seq("a", "b", "c"), w, "60 minutes").toDF()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val q1 = start()
+    try {
+      // u1 mid-funnel (a, b buffered), u2 anchored-only — all state open
+      in.addData(evm(1, 1000, "a"), evm(1, 1010, "b"), evm(2, 1005, "a"))
+      processAll(q1)
+    } finally q1.stop()
+
+    val q2 = start() // restart: state + watermark restored from ckpt
+    try {
+      in.addData(evm(1, 1020, "c")) // completes u1 INSIDE restored window
+      processAll(q2)
+      in.addData(evm(9, 1300, "a")) // wm 1240 closes u1 (due 1060), u2 (1065)
+      processAll(q2)
+      in.addData(evm(10, 1600, "a")) // wm 1540 closes u9; u10 stays open
+      processAll(q2)
+    } finally q2.stop()
+
+    val got = spark.read.parquet(out).as[FunnelOutcome].collect()
+      .map(o => o.userId -> ((o.reached, o.t1Us, o.t2Us, o.t3Us, o.completed)))
+    assert(got.length === got.distinct.length, s"restart duplicated outcomes: ${got.toSeq}")
+    assert(got.toMap === Map(
+      1L -> ((3L, 1000 * us, 1010 * us, 1020 * us, true)),
+      2L -> ((1L, 1005 * us, -1L, -1L, false)),
+      9L -> ((1L, 1300 * us, -1L, -1L, false))))
+  }
+
   test("funnelWithState outcomes are provider-independent (RocksDB == default HDFS store)") {
     def evm(u: Long, minutes: Long, typ: String): LogEvent =
       LogEvent(u, minutes * 60000000000L, typ, 0L)

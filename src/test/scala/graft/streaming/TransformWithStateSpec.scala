@@ -65,6 +65,57 @@ class TransformWithStateSpec extends AnyFunSuite {
     assert(out === Map(("a", 1L) -> 2L, ("a", 2L) -> 1L, ("b", 7L) -> 1L))
   }
 
+  test("recent feed recovers from a checkpoint restart: the ListState ring survives on RocksDB") {
+    // failure-recovery for the transformWithState path: stop mid-replay,
+    // restart from the same checkpoint, and each user's ring must carry
+    // the pre-restart events — the post-restart feed merges old + new
+    // exactly like the uninterrupted run. File sink (exactly-once commit
+    // log); update mode emits the full refreshed feed per touched user,
+    // so the LAST emission per (user, slot) is the final feed.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = SparkTestSession.tempDir("feed-restart-ckpt")
+    val out = SparkTestSession.tempDir("feed-restart-out")
+    try {
+      val in = MemoryStream[LogEvent](spark)
+      // foreachBatch → parquet: the recovery-capable sink for an
+      // update-mode operator (the file sink is append-only, the memory
+      // sink refuses recovery). foreachBatch is at-least-once on
+      // restart, which the read-side dedup below absorbs.
+      def start() = TransformWithStateOps.recentFeedWithState(in.toDS(), n = 3)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[FeedEntry], _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
+        .start()
+
+      val q1 = start()
+      try { in.addData(ev(1, 10, "a"), ev(1, 20, "b"), ev(2, 5, "x")); q1.processAllAvailable() }
+      finally q1.stop()
+
+      val q2 = start()
+      try { in.addData(ev(1, 30, "c"), ev(1, 40, "d")); q2.processAllAvailable() }
+      finally q2.stop()
+
+      // A newer feed emission can only move a slot's ts FORWARD (newer
+      // events push older ones down the ring), so per (user, slot) the
+      // max-ts row IS the final feed — and identical replayed rows
+      // collapse. u1's final feed must include pre-restart b(20) under
+      // the restored ring: newest-first d(40), c(30), b(20).
+      val finalFeed = spark.read.parquet(out).collect()
+        .map(r => (r.getAs[Long]("userId"), r.getAs[Long]("slot"),
+          r.getAs[Long]("tsNanos"), r.getAs[String]("eventType")))
+        .groupBy { case (u, s, _, _) => (u, s) }
+        .map { case (k, vs) => k -> vs.maxBy(_._3) }
+      assert(finalFeed((1L, 0L)) === ((1L, 0L, 40L, "d")))
+      assert(finalFeed((1L, 1L)) === ((1L, 1L, 30L, "c")))
+      assert(finalFeed((1L, 2L)) === ((1L, 2L, 20L, "b")),
+        "pre-restart ring entry lost: ListState did not survive the restart")
+      assert(finalFeed((2L, 0L)) === ((2L, 0L, 5L, "x")))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("topKWithState rejects k < 1 at construction, not at the first unseen key") {
     // without the guard, k=0 only failed at runtime inside the eviction
     // branch (minBy on an empty table) on the first key it ever saw
