@@ -448,7 +448,15 @@ object StatefulOps {
     * the unavoidable price of "one outcome per user, ever" (drop to
     * per-epoch semantics by TTL-ing the store if that contract is ever
     * relaxed). Anchorless users still remove state entirely at
-    * timeout. */
+    * timeout.
+    *
+    * Operational note: adding the tombstone field changed the encoded
+    * state shape, so checkpoints written by the PREVIOUS funnel version
+    * do not restore into this one (flatMapGroupsWithState state is not
+    * schema-evolvable) — restart such a pipeline from a fresh
+    * checkpoint and replay, the standard stateful-upgrade drill.
+    * Restart from a SAME-VERSION checkpoint is pinned by the recovery
+    * spec (state, anchor, and watermark survive). */
   def funnelWithState(
       events: Dataset[LogEvent], steps: Seq[String], windowMicros: Long,
       watermarkDelay: String = "1 hour"): Dataset[FunnelOutcome] = {
