@@ -1751,6 +1751,20 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Quantization recall audit ([[graft.operators.Retrieval
+    * .rankingOverlap]]): per query, how much of the exact dot-product
+    * top-10 the int8-cosine path keeps — the ship/no-ship eval for the
+    * 4×-cheaper serving path, exact integers (recall@10 =
+    * n_common/10 downstream). */
+  private def annRecallOverlap(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    graft.operators.Retrieval.rankingOverlap(
+        Similarity.bruteForceTopK(emb, queries, k = 10, metric = Similarity.dot),
+        Similarity.quantizedCosineTopK(emb, queries, k = 10), k = 10)
+      .orderBy("query_id")
+  }
+
   /** Generic one-scan table profile ([[graft.operators.Stats.profile]])
     * over lineitem's integer/string columns — the ingest-sanity data
     * card. Floats excluded: min/max render via engine-specific float
@@ -3429,6 +3443,7 @@ object SparkEntry {
     "novelty_scores" -> noveltyScoresQuery _,
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
+    "ann_recall_overlap" -> annRecallOverlap _,
     "length_quantiles" -> lengthQuantiles _,
     "global_quantiles_ts" -> globalQuantilesTs _,
     "table_profile" -> tableProfile _,
@@ -5597,6 +5612,49 @@ object SparkEntry {
                    AS score
                FROM q a, q b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
          QUALIFY rank <= 10 ORDER BY query_id, rank""",
+    "ann_recall_overlap" ->
+      // exact-dot top-10 vs int8-cosine top-10 per query: list sizes and
+      // intersection size as exact integers (recall@10 = n_common/10)
+      """WITH ex AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      list_sum(list_transform(range(1, len(q.embedding)+1),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) AS score
+                    FROM embeddings q, embeddings c
+                    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id))
+            WHERE rank <= 10),
+          s AS (SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+                FROM embeddings),
+          q AS (SELECT vec_id,
+                  CASE WHEN scale = 0
+                    THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(embedding,
+                      x -> CAST(round(x::DOUBLE * 127 / scale) AS BIGINT))
+                  END AS qv
+                FROM s),
+          qu AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                      list_sum(list_transform(range(1, len(a.qv)+1),
+                        i -> CAST(a.qv[i] AS DOUBLE) * CAST(b.qv[i] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(range(1, len(a.qv)+1),
+                           i -> CAST(a.qv[i] AS DOUBLE) * CAST(a.qv[i] AS DOUBLE))))
+                         * sqrt(list_sum(list_transform(range(1, len(b.qv)+1),
+                             i -> CAST(b.qv[i] AS DOUBLE) * CAST(b.qv[i] AS DOUBLE)))))
+                        AS score
+                    FROM q a, q b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id))
+            WHERE rank <= 10),
+          na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_a FROM ex GROUP BY 1),
+          nb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_b FROM qu GROUP BY 1),
+          nc AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_common
+                 FROM ex JOIN qu ON ex.query_id = qu.query_id
+                   AND ex.neighbor_id = qu.neighbor_id GROUP BY 1)
+         SELECT query_id, n_a, n_b, coalesce(n_common, 0) AS n_common
+         FROM na JOIN nb USING (query_id) LEFT JOIN nc USING (query_id)
+         ORDER BY query_id""",
     "cosine_near_dups" ->
       """WITH v AS (SELECT vec_id AS id, embedding AS vec,
                       list_sum(list_transform(range(1, 9),

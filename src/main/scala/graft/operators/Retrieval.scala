@@ -53,4 +53,40 @@ object Retrieval {
       .filter(col("rank") <= topK)
       .select("query_id", "rank", "doc_id", "rrf_fp")
   }
+
+  /** Top-k agreement between two rankings of the same query set — the
+    * eval that DECIDES whether a cheaper retrieval path ships: how much
+    * of the exact top-k does the int8/IVF/LSH path keep per query
+    * (recall@k = n_common / k, emitted as exact integers so the gate
+    * never divides)? The same measurement ranks reranker configs,
+    * quantization levels, and index parameter sweeps; aggregate
+    * downstream (`avg(n_common)/k` is mean recall@k).
+    *
+    * Inputs carry (queryCol, idCol, rankCol) with rank ≥ 1, the shape
+    * every retrieval operator here emits. Output per query: `n_a`,
+    * `n_b` (list sizes at cutoff k — smaller than k only when a query
+    * has fewer candidates than k) and `n_common` (overlap size),
+    * including queries with zero overlap.
+    *
+    * 100 TB shape: inputs are already k-bounded per query (the corpus
+    * never reaches this operator — the retrievers carry the scale
+    * argument); the intersection is one (query, id) co-partitioned
+    * equi-join plus |queries|-sized aggregates. */
+  def rankingOverlap(
+      a: DataFrame, b: DataFrame, k: Int,
+      queryCol: String = "query_id", idCol: String = "neighbor_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, "need a positive cutoff k")
+    def top(df: DataFrame) = df.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("query_id"), col(idCol).as("_id"))
+    val ta = top(a)
+    val tb = top(b)
+    val na = ta.groupBy("query_id").agg(count(lit(1)).as("n_a"))
+    val nb = tb.groupBy("query_id").agg(count(lit(1)).as("n_b"))
+    val common = ta.join(tb, Seq("query_id", "_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+    na.join(nb, Seq("query_id"), "full")
+      .join(common, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_a", "n_b", "n_common"))
+  }
 }

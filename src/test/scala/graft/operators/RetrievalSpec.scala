@@ -51,4 +51,24 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
       .orderBy("query_id").as[(Long, Long, Long, Long)].collect()
     out.map(r => (r._1, r._2, r._3)).toSeq shouldBe Seq((1L, 1L, 10L), (2L, 1L, 99L))
   }
+
+  test("rankingOverlap counts per-query intersections, keeps zero-overlap and short lists") {
+    // q1: a={1,2,3}, b={2,3,9} → 2 common; q2: disjoint → 0 common;
+    // q3: a has only 2 candidates (short list), both kept by b
+    // rank 4 rows must be cut by k=3 before any counting
+    val a = Seq(
+      (1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L), (1L, 99L, 4L),
+      (2L, 10L, 1L), (3L, 7L, 1L), (3L, 8L, 2L)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val b = Seq(
+      (1L, 2L, 1L), (1L, 3L, 2L), (1L, 9L, 3L),
+      (2L, 11L, 1L), (3L, 8L, 1L), (3L, 7L, 2L), (3L, 99L, 3L)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val out = Retrieval.rankingOverlap(a, b, k = 3)
+      .orderBy("query_id").as[(Long, Long, Long, Long)].collect()
+    out.toSeq shouldBe Seq(
+      (1L, 3L, 3L, 2L),
+      (2L, 1L, 1L, 0L), // zero overlap still emits a row
+      (3L, 2L, 3L, 2L)) // short exact list: n_a = 2 < k
+  }
 }
