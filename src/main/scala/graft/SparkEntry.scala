@@ -5258,15 +5258,19 @@ object SparkEntry {
           da AS (SELECT o_orderkey % 64 AS bucket,
                 CAST(count(*) AS BIGINT) AS n_rows_a,
                 CAST(sum(('0x' || substr(md5(
-                    o_orderkey::VARCHAR || chr(1) || o_custkey::VARCHAR
-                    || chr(1) || o_orderstatus || chr(1) || o_orderpriority),
+                    o_orderkey::VARCHAR || chr(1)
+                    || coalesce(o_custkey::VARCHAR, chr(0)) || chr(1)
+                    || coalesce(o_orderstatus, chr(0)) || chr(1)
+                    || coalesce(o_orderpriority, chr(0))),
                   1, 12))::BIGINT) AS BIGINT) AS digest_a
               FROM base GROUP BY 1),
           db AS (SELECT o_orderkey % 64 AS bucket,
                 CAST(count(*) AS BIGINT) AS n_rows_b,
                 CAST(sum(('0x' || substr(md5(
-                    o_orderkey::VARCHAR || chr(1) || o_custkey::VARCHAR
-                    || chr(1) || o_orderstatus || chr(1) || o_orderpriority),
+                    o_orderkey::VARCHAR || chr(1)
+                    || coalesce(o_custkey::VARCHAR, chr(0)) || chr(1)
+                    || coalesce(o_orderstatus, chr(0)) || chr(1)
+                    || coalesce(o_orderpriority, chr(0))),
                   1, 12))::BIGINT) AS BIGINT) AS digest_b
               FROM mut GROUP BY 1)
          SELECT CAST(bucket AS BIGINT) AS bucket,

@@ -88,6 +88,8 @@ object Merge {
       keyCols: Seq[String],
       sumCols: Seq[String],
       countCol: String = "n"): DataFrame = {
+    require(keyCols.nonEmpty && sumCols.nonEmpty,
+      "maintainAgg needs at least one key column and one sum column")
     val aggOf: DataFrame => DataFrame = df =>
       df.groupBy(keyCols.map(col): _*)
         .agg(sum(col(sumCols.head)).as(sumCols.head),

@@ -162,13 +162,20 @@ object Validation {
     *
     * Payload columns are cast to string and joined with a \u0001 separator before
     * hashing; callers must pick columns whose string form is
-    * engine-stable (ints, strings — not raw doubles). */
+    * engine-stable (ints, strings — not raw doubles). A NULL payload
+    * hashes as a \u0000 sentinel: concat_ws SKIPS null fields, so
+    * without it (null, "x") and ("x", null) would digest identically
+    * and a real replica difference could vanish — the one failure an
+    * integrity checker must not have. (A literal NUL payload value
+    * still collides with NULL; keep NUL out of payload text, the
+    * usual hygiene rule.) */
   def syncDigest(
       df: DataFrame, keyCol: String, payloadCols: Seq[String],
       nBuckets: Int): DataFrame = {
     require(nBuckets >= 1)
     val payload = concat_ws("\u0001",
-      (keyCol +: payloadCols).map(c => col(c).cast("string")): _*)
+      (keyCol +: payloadCols).map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000"))): _*)
     df.select(pmod(col(keyCol), lit(nBuckets)).cast("long").as("bucket"),
         conv(substring(md5(payload), 1, 12), 16, 10).cast("long").as("_h"))
       .groupBy("bucket")

@@ -33,6 +33,8 @@ final class OnlineRollup(
     keyCols: Seq[String],
     sumCols: Seq[String],
     countCol: String = "n") {
+  require(keyCols.nonEmpty && sumCols.nonEmpty,
+    "OnlineRollup needs at least one key column and one sum column")
 
   private val rollupDir = s"$rootDir/rollup"
 

@@ -138,6 +138,17 @@ class ProfilingOpsSpec extends AnyFunSuite {
     val x = Seq((0L, "ab", "")).toDF("k", "p", "q")
     val y = Seq((0L, "a", "b")).toDF("k", "p", "q")
     assert(Validation.syncDiff(x, y, "k", Seq("p", "q"), 4).count() === 1L)
+    // (null, "x") vs ("x", null) must hash differently: concat_ws SKIPS
+    // null fields, so without the \u0000 sentinel an integrity checker
+    // would call these two replicas identical — the one failure it
+    // cannot have
+    val nx = Seq((0L, Option.empty[String], Option("x"))).toDF("k", "p", "q")
+    val xn = Seq((0L, Option("x"), Option.empty[String])).toDF("k", "p", "q")
+    assert(Validation.syncDiff(nx, xn, "k", Seq("p", "q"), 4).count() === 1L)
+    // and a null is not the empty string either
+    val ne = Seq((0L, Option.empty[String], Option("x"))).toDF("k", "p", "q")
+    val ee = Seq((0L, Option(""), Option("x"))).toDF("k", "p", "q")
+    assert(Validation.syncDiff(ne, ee, "k", Seq("p", "q"), 4).count() === 1L)
   }
 
   test("quantileAlign: proportional-rank mapping; the reference maps to itself") {
