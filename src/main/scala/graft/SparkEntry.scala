@@ -1837,6 +1837,22 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF recall audit ([[graft.operators.Retrieval.rankingOverlap]]):
+    * per query, how much of the exact cosine top-5 the nprobe=2
+    * inverted-file probe keeps — the recall-vs-cost dial every IVF
+    * deployment tunes (more probes = more recall = more scanning),
+    * measured on the same fixed quantizer the ivf_topk gate pins. */
+  private def ivfRecallOverlap(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val model = Similarity.trainIvf(emb, k = 8, iterations = 0)
+    graft.operators.Retrieval.rankingOverlap(
+        Similarity.bruteForceTopK(emb, queries, k = 5,
+          metric = Similarity.cosine),
+        Similarity.ivfTopK(emb, queries, model, k = 5, nprobe = 2), k = 5)
+      .orderBy("query_id")
+  }
+
   /** Product-quantization ADC top-k ([[graft.operators.Similarity
     * .pqCodebook]]/[[graft.operators.Similarity.pqTopK]]) with the
     * SEEDED codebook (centroid (j,t) = subspace j of the t-th lowest-id
@@ -3444,6 +3460,7 @@ object SparkEntry {
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
     "ann_recall_overlap" -> annRecallOverlap _,
+    "ivf_recall_overlap" -> ivfRecallOverlap _,
     "length_quantiles" -> lengthQuantiles _,
     "global_quantiles_ts" -> globalQuantilesTs _,
     "table_profile" -> tableProfile _,
@@ -4627,6 +4644,65 @@ object SparkEntry {
                 JOIN embeddings q ON q.vec_id = p.query_id
                 JOIN embeddings n ON n.vec_id = a.neighbor_id)
           QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "ivf_recall_overlap" ->
+      // exact cosine top-5 vs nprobe=2 IVF top-5 per query (same fixed
+      // quantizer as ivf_topk): list sizes + intersection, exact ints
+      """WITH ex AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      list_sum(list_transform(range(1, len(q.embedding)+1),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
+                           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+                           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+                        AS score
+                    FROM embeddings q, embeddings c
+                    WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id))
+            WHERE rank <= 5),
+          cent AS (SELECT vec_id AS cid, embedding AS cvec
+                   FROM embeddings ORDER BY vec_id LIMIT 8),
+          cs AS (SELECT e.vec_id, c.cid,
+                   list_sum(list_transform(range(1, len(e.embedding)+1),
+                     i -> CAST(c.cvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                        i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cscore
+                 FROM embeddings e CROSS JOIN cent c),
+          assigned AS (SELECT vec_id AS neighbor_id, cid AS cluster FROM
+                       (SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
+                        FROM cs) WHERE rn = 1),
+          probes AS (SELECT vec_id AS query_id, cid AS cluster FROM
+                     (SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
+                      FROM cs WHERE vec_id < 50) WHERE rn <= 2),
+          iv AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM (SELECT p.query_id, a.neighbor_id,
+                      list_sum(list_transform(range(1, len(q.embedding)+1),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
+                           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(range(1, len(n.embedding)+1),
+                           i -> CAST(n.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))))) AS score
+                    FROM probes p
+                    JOIN assigned a ON a.cluster = p.cluster AND a.neighbor_id <> p.query_id
+                    JOIN embeddings q ON q.vec_id = p.query_id
+                    JOIN embeddings n ON n.vec_id = a.neighbor_id))
+            WHERE rank <= 5),
+          na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_a FROM ex GROUP BY 1),
+          nb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_b FROM iv GROUP BY 1),
+          nc AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_common
+                 FROM ex JOIN iv ON ex.query_id = iv.query_id
+                   AND ex.neighbor_id = iv.neighbor_id GROUP BY 1)
+         SELECT query_id, n_a, coalesce(n_b, 0) AS n_b,
+                coalesce(n_common, 0) AS n_common
+         FROM na LEFT JOIN nb USING (query_id) LEFT JOIN nc USING (query_id)
+         ORDER BY query_id""",
     "ncm_classify" ->
       // per-dimension class means via exact DECIMAL(30,6) sums (the dsum
       // pattern — order-independent, so both engines produce identical
