@@ -2297,6 +2297,23 @@ object SparkEntry {
       .ewmaLastN(t(s, dir, "events"), "user_id", "ts", "event_id", "value", nMax = 8)
       .orderBy("user_id")
 
+  /** Time-weighted average ([[graft.operators.Stats.timeWeightedAvg]])
+    * of each user's value gauge — the step-function time integral that
+    * an event-weighted mean gets wrong when sampling density tracks
+    * value; exact integers, TWAP = num/den downstream. */
+  private def timeWeightedValue(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.timeWeightedAvg(
+        t(s, dir, "events").select(
+          col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("event_id"),
+          (col("value").cast("decimal(30,6)") * 1000000L).cast("long")
+            .as("v_us")),
+        "user_id", "ts_us", "event_id", "v_us")
+      // gate boundary: wide decimal renders as strings (house style)
+      .withColumn("twap_num", col("twap_num").cast("string"))
+      .orderBy("user_id")
+
   /** Per-source Pareto frontier ([[graft.operators.Skyline
     * .paretoFrontier]]) on (token count, distinct-token count) — the
     * "keep the best length/richness trade-offs" selection. */
@@ -3556,6 +3573,7 @@ object SparkEntry {
     "kmeans_assign" -> kmeansAssign _,
     "price_histogram" -> priceHistogram _,
     "ewma_user_value" -> ewmaUserValue _,
+    "time_weighted_value" -> timeWeightedValue _,
     "pareto_docs" -> paretoDocs _,
     "bpe_pair_counts" -> bpePairCountsQuery _,
     "char_diversity" -> charDiversityQuery _,
@@ -6687,6 +6705,24 @@ object SparkEntry {
                         ORDER BY ts DESC, event_id DESC) AS rn
                FROM events) WHERE rn <= 8
          GROUP BY user_id ORDER BY user_id""",
+    "time_weighted_value" ->
+      // Stats.timeWeightedAvg: step-function integral, value holds to
+      // the next observation (ties ordered by event_id), last holds to
+      // the global horizon; exact integers, HUGEINT sum as VARCHAR
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+                CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT) AS vus
+              FROM events),
+          h AS (SELECT max(tus) AS horizon FROM e),
+          x AS (SELECT user_id, tus, vus,
+                  lead(tus) OVER (PARTITION BY user_id
+                    ORDER BY tus, event_id) AS nxt
+                FROM e)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+                CAST(h.horizon - min(tus) AS BIGINT) AS twap_den,
+                CAST(sum(CAST(vus AS HUGEINT)
+                         * (coalesce(nxt, h.horizon) - tus)) AS VARCHAR)
+                  AS twap_num
+         FROM x, h GROUP BY user_id, h.horizon ORDER BY user_id""",
     "pareto_docs" ->
       // Skyline.paretoFrontier semantics stated directly as the NOT
       // EXISTS dominance test (the window formulation is the

@@ -302,6 +302,46 @@ object Stats {
         count(lit(1)).over(w).as("n_in_window"))
   }
 
+  /** Time-weighted average ingredients per key — the step-function time
+    * integral (the TWAP / average-gauge statistic): observation v_i
+    * holds over [t_i, t_{i+1}) (last-observation-carried-forward), the
+    * final observation holds to the corpus horizon (global max ts, the
+    * [[graft.operators.Behavioral.survivalTable]] horizon discipline).
+    * This is the number an event-weighted mean gets WRONG whenever
+    * observation density correlates with value (a gauge sampled twice
+    * as often while high reads high) — monitoring averages and TWAP
+    * exist precisely to undo that bias.
+    *
+    * Emits exact integers and never divides: per key,
+    * `twap_num = Σ vᵢ·Δtᵢ` (decimal(38,0) — value-micros × duration-
+    * micros passes int64 at month-long horizons), `twap_den = horizon −
+    * t_first`, `n_obs`; TWAP = num/den at render time. Duplicate
+    * timestamps are ordered by `tieCol` (zero-duration steps contribute
+    * nothing; the tie-last observation carries the run), so the fold is
+    * a total order and engines agree exactly.
+    *
+    * Shape: ONE shuffle on the key (the lead window's sort runs are
+    * bounded per key), the one-row horizon broadcast onto it, one keyed
+    * aggregate — the [[rollingSumByTime]] cost model. */
+  def timeWeightedAvg(
+      df: DataFrame, keyCol: String, tsMicrosCol: String, tieCol: String,
+      valueMicrosCol: String): DataFrame = {
+    val d = "decimal(38,0)"
+    val horizon = df.agg(max(col(tsMicrosCol)).as("_horizon"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsMicrosCol).asc, col(tieCol).asc)
+    df.select(col(keyCol), col(tsMicrosCol), col(tieCol), col(valueMicrosCol))
+      .withColumn("_next", lead(col(tsMicrosCol), 1).over(w))
+      .crossJoin(broadcast(horizon))
+      .withColumn("_dt",
+        coalesce(col("_next"), col("_horizon")) - col(tsMicrosCol))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        (max(col("_horizon")) - min(col(tsMicrosCol))).as("twap_den"),
+        sum(col(valueMicrosCol).cast(d) * col("_dt")).cast(d).as("twap_num"))
+  }
+
   /** Exponentially-weighted moving average of each key's last `nMax`
     * values (most recent first, weight 0.5^rank, normalized) — the decay
     * smoothing a feature pipeline applies to per-user activity before

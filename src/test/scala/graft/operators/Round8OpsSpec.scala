@@ -189,6 +189,26 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out.length === 50 && out.forall(r => r._2 === 10L && r._3 === 1L))
   }
 
+  test("timeWeightedAvg integrates the step function, not the event mean") {
+    // u1: v=10 for 9 time units then v=100 for 1 (to the horizon at 10):
+    // event mean says 55, the time integral says (10*9 + 100*1)/10 = 19 —
+    // the bias TWAP exists to undo. Duplicate-ts rows: the tie-last
+    // carries the run, earlier ties contribute zero duration.
+    val log = Seq(
+      (1L, 0L, 1L, 10L), (1L, 9L, 2L, 100L),
+      (2L, 0L, 3L, 7L), (2L, 0L, 4L, 5L), // same ts: only tie-last (id 4) holds
+      (2L, 10L, 5L, 5L) // sets the horizon at t=10
+    ).toDF("k", "ts", "id", "v")
+    val out = Stats.timeWeightedAvg(log, "k", "ts", "id", "v")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDecimal(3).longValueExact())))
+      .toMap
+    assert(out(1L) === ((2L, 10L, 10L * 9 + 100L * 1)))
+    // u2: v=7 holds [0,0) = 0, v=5 holds [0,10), then 5 at the horizon
+    assert(out(2L) === ((3L, 10L, 7L * 0 + 5L * 10 + 5L * 0)))
+  }
+
   test("clampedBalance rejects non-integral inputs instead of null-key merging") {
     // a string key would silently cast to NULL under non-ANSI SQL and
     // merge every such row into one null-key fold — must throw up front
