@@ -689,4 +689,28 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(count(finalPlan(q), "CartesianProduct") === 0, s"$q went cartesian")
     }
   }
+
+  test("recall-overlap gates: k-bounded equi-join intersections, brute force confined to the retrievers") {
+    // the overlap machinery itself must never go quadratic: its joins
+    // are equi-joins on (query, id) over k-bounded frames. Sort-merge is
+    // acceptable there (the n_a/n_b FULL OUTER cannot broadcast by
+    // definition, and the retrievers' own plans are pinned by their own
+    // gates) — the invariant worth pinning is no nested-loop pairing
+    // beyond the retrievers' intended broadcast brute-force scoring
+    Seq("ann_recall_overlap", "ivf_recall_overlap").foreach { q =>
+      val p = finalPlan(q)
+      assert(count(p, "CartesianProduct") === 0, s"$q went cartesian:\n$p")
+    }
+  }
+
+  test("time-weighted value: one keyed exchange feeds window and aggregate; horizon broadcasts") {
+    val p = finalPlan("time_weighted_value")
+    // events shuffle once on user_id (the lead window's partitioning is
+    // reused by the groupBy); the one-row horizon arrives by broadcast
+    assert(count(p, "Exchange hashpartitioning") <= 1,
+      s"timeWeightedAvg re-shuffled between window and aggregate:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") === 1 &&
+      count(p, "CartesianProduct") === 0,
+      s"horizon stopped broadcasting:\n$p")
+  }
 }
