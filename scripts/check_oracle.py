@@ -54,6 +54,12 @@ def main():
         # vs HUGEINT gates look equal locally while the driver's compare
         # (pyarrow-side Decimal objects) hash-failed them (rounds 8-9)
         parts = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not parts:
+            # a result dir with zero part files (write died mid-flight)
+            # must fail THAT query, not crash the whole sweep in pd.concat
+            print(f"  FAIL {name}: result dir has no parquet part files")
+            n_fail += 1
+            continue
         mine = pd.concat([pd.read_parquet(p) for p in parts],
                          ignore_index=True)
         if name not in oracle:

@@ -52,10 +52,16 @@ object Bench {
     // with least external interference — there is no mechanism by which
     // a measurement comes out FASTER than the code allows). So: 3 timed
     // runs; if the median lands under 2 s, take 2 more and report min-of-5.
-    def robust(f: => Unit): Double = {
+    // Returns (gate statistic, median-of-3). The artifact reports BOTH:
+    // the round-1 BASELINE was recorded median-of-3, so comparing a min
+    // against it flatters micro-reads (round-10 advice) — `queries`
+    // keeps the noise-robust stat the 2x gate has used since round 10,
+    // `queries_median` carries the baseline-symmetric statistic.
+    def robust(f: => Unit): (Double, Double) = {
       val first = IndexedSeq(time(f), time(f), time(f)).sorted
-      if (first(1) >= 2.0) first(1)
-      else (first ++ IndexedSeq(time(f), time(f))).min
+      val med = first(1)
+      if (med >= 2.0) (med, med)
+      else (((first ++ IndexedSeq(time(f), time(f))).min, med))
     }
 
     // warmup: touch every table once so OS cache/codec init is off the clock.
@@ -71,6 +77,14 @@ object Bench {
       }
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // median-of-N twin for every scenario that computed one (falls back
+    // to the gate stat at JSON time — single-run scenarios have no
+    // separate median by construction)
+    val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def record(both: Seq[(String, (Double, Double))]): Seq[(String, Double)] = {
+      medians ++= both.map { case (k, (_, m)) => k -> m }
+      both.map { case (k, (v, _)) => k -> v }
+    }
 
     // Run provenance riding inside the artifact: a re-run is otherwise
     // indistinguishable from a file copy (round-9 advice — r8 and r9
@@ -92,8 +106,19 @@ object Bench {
     // (OOM, JVM kill) leaves the numbers measured so far on disk.
     def resultJson(): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val qm = results.map { case (k, v) =>
+        "\"" + k + "\":" + medians.getOrElse(k, v) }.mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$runMeta}"""
+      // stat_note + sliced_gates: round-10 advice — name the statistic
+      // each map carries, and flag gates whose bench time is not
+      // comparable to a full-data baseline entry (recent_feed_batch
+      // gates a 1-in-10 user slice; the full-cost scenario is
+      // streaming_feed_replay)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""queries_median":$qm,""" +
+        s""""stat_note":"queries=min-of-5 when median<2s else median-of-3; queries_median=median always",""" +
+        s""""sliced_gates":["recent_feed_batch"],""" +
+        s""""sf":"$sfDir",$runMeta}"""
     }
     def flush(): Unit = {
       val outPath = java.nio.file.Paths.get("target", "bench.json")
@@ -112,7 +137,12 @@ object Bench {
 
     SparkEntry.queries.toSeq.sortBy(_._1).filter(q => wanted(q._1)).foreach { case (name, fn) =>
       def once(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      try { once(); results(name) = robust(once()) }
+      try {
+        once()
+        val (v, m) = robust(once())
+        results(name) = v
+        medians(name) = m
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] query $name failed: $e")
         results(name) = -1.0
@@ -205,17 +235,17 @@ object Bench {
     results ++= guarded(Seq("store_append_2k_msgs", "store_read_all_scan",
         "store_subscription_catchup", "store_scavenge_200_appends",
         "store_delete_20_msgs", "store_compact_merge", "store_reopen_recovery")) {
-      medianScenarios(3)(() => storeScenarioRep(spark))
+      record(medianScenarios(3)(() => storeScenarioRep(spark)))
     }
     flush()
     results ++= guarded(Seq("store_bulk_import_events", "store_dsv2_full_scan",
         "store_head_probe_metadata")) {
-      medianScenarios(3)(() => bulkImportScenarioRep(spark))
+      record(medianScenarios(3)(() => bulkImportScenarioRep(spark)))
     }
     flush()
     results ++= guarded(Seq("jdbc_append_2k_msgs", "jdbc_read_all_scan",
         "jdbc_spark_partitioned_read")) {
-      medianScenarios(3)(() => jdbcScenarioRep(spark))
+      record(medianScenarios(3)(() => jdbcScenarioRep(spark)))
     }
     flush()
     results ++= guarded(Seq("streaming_session_replay",
@@ -249,12 +279,23 @@ object Bench {
     // stop the session BEFORE printing: the state-store maintenance
     // thread's shutdown-time IllegalStateException (round-9 artifact)
     // otherwise lands in the log tail AFTER the JSON line and breaks the
-    // driver's parse — printed last, the JSON is the final stdout line
+    // driver's parse — printed last, the JSON is the final stdout line.
+    // Round 10 showed spark.stop() alone is NOT enough: the JVM-wide
+    // StateStore maintenance thread kept logging a stack trace after the
+    // JSON. So stop that thread pool explicitly first, then print, then
+    // exit(0) so no other shutdown hook can write to stdout after us.
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] StateStore.stop() threw (ignored): $e")
+    }
     try spark.stop()
     catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop() threw (ignored): $e")
     }
     println(resultJson())
+    Console.out.flush()
+    System.out.flush()
+    System.exit(0)
   }
 
   /** Run the whole scenario sequence `reps` times (fresh state per rep —
@@ -263,12 +304,12 @@ object Bench {
     * the same noise-robust statistic the query loop uses for micro-reads
     * (sub-second store scans whipsawed 8x between runs on a loaded
     * machine; nothing external can make a run come out too fast). */
-  private def medianScenarios(reps: Int)(rep: () => Seq[(String, Double)]): Seq[(String, Double)] = {
+  private def medianScenarios(reps: Int)(rep: () => Seq[(String, Double)]): Seq[(String, (Double, Double))] = {
     val runs = IndexedSeq.fill(reps)(rep())
     runs.head.map(_._1).map { k =>
       val ts = runs.map(_.toMap.apply(k)).sorted
       val med = ts(ts.length / 2)
-      k -> (if (med >= 2.0) med else ts.head)
+      k -> (((if (med >= 2.0) med else ts.head), med))
     }
   }
 
