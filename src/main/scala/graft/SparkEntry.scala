@@ -2864,13 +2864,18 @@ object SparkEntry {
     * nested min-chain SQL. StatefulStreamingSpec pins the streaming
     * replay — including in-watermark reordering — to these rows. */
   private def funnelStateBatch(s: SparkSession, dir: String): DataFrame =
+    // FOUR steps (view → click → signup → purchase): pins the N-step
+    // generalization (round-10 verdict #2) — the operator takes any
+    // distinct step list, like its batch twin Behavioral.funnel
     graft.streaming.StatefulOps.funnelWithState(
         graft.streaming.StatefulOps.typedEvents(t(s, dir, "events")),
-        Seq("view", "click", "purchase"), windowMicros = 7L * 86400L * 1000000L)
+        Seq("view", "click", "signup", "purchase"),
+        windowMicros = 7L * 86400L * 1000000L)
       .toDF()
       .select(col("userId").as("user_id"), col("reached"),
-        col("t1Us").as("t1_us"), col("t2Us").as("t2_us"),
-        col("t3Us").as("t3_us"), col("completed"))
+        col("stepUs")(0).as("t1_us"), col("stepUs")(1).as("t2_us"),
+        col("stepUs")(2).as("t3_us"), col("stepUs")(3).as("t4_us"),
+        col("completed"))
       .orderBy("user_id")
 
   /** Anti-entropy bucket diff ([[graft.operators.Validation.syncDiff]]):
@@ -5377,12 +5382,13 @@ object SparkEntry {
             OR coalesce(digest_a, 0) <> coalesce(digest_b, 0)
          ORDER BY bucket""",
     "funnel_state_batch" ->
-      // first-touch funnel min-chain: t1 = min view; t2 = min click in
-      // (t1, t1+7d]; t3 = min purchase in (t2, t1+7d]; strict > between
-      // steps, the window anchored at the FIRST view
+      // first-touch 4-step funnel min-chain: t1 = min view; t2 = min
+      // click in (t1, t1+7d]; t3 = min signup in (t2, t1+7d]; t4 = min
+      // purchase in (t3, t1+7d]; strict > between steps, the window
+      // anchored at the FIRST view
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
                     FROM events
-                    WHERE event_type IN ('view', 'click', 'purchase')),
+                    WHERE event_type IN ('view', 'click', 'signup', 'purchase')),
           s1 AS (SELECT user_id, min(us) AS t1 FROM e
                  WHERE event_type = 'view' GROUP BY 1),
           s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
@@ -5390,14 +5396,21 @@ object SparkEntry {
                    AND us <= t1 + 604800000000 GROUP BY 1),
           s3 AS (SELECT e.user_id, min(us) AS t3
                  FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
-                 WHERE event_type = 'purchase' AND us > t2
+                 WHERE event_type = 'signup' AND us > t2
+                   AND us <= t1 + 604800000000 GROUP BY 1),
+          s4 AS (SELECT e.user_id, min(us) AS t4
+                 FROM e JOIN s3 USING (user_id) JOIN s1 USING (user_id)
+                 WHERE event_type = 'purchase' AND us > t3
                    AND us <= t1 + 604800000000 GROUP BY 1)
          SELECT s1.user_id,
                 CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
-                       + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS reached,
+                       + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END
+                       + CASE WHEN t4 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS reached,
                 t1 AS t1_us, coalesce(t2, -1) AS t2_us, coalesce(t3, -1) AS t3_us,
-                (t3 IS NOT NULL) AS completed
+                coalesce(t4, -1) AS t4_us,
+                (t4 IS NOT NULL) AS completed
          FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+              LEFT JOIN s4 USING (user_id)
          ORDER BY 1""",
     "novelty_scores" ->
       // first-occurrence attribution: a shingle counts against every

@@ -70,10 +70,10 @@ case class FunnelBuf(anchorNs: Long, evs: Seq[FunnelEv],
     closed: Boolean = false)
 
 /** Final funnel outcome per user: steps reached (≥ 1 — only users who
-  * entered emit), per-step match times in micros (−1 past `reached`). */
+  * entered emit), per-step match times in micros (−1 past `reached`),
+  * one entry per funnel step (`stepUs.size == steps.size`, any N). */
 case class FunnelOutcome(
-    userId: Long, reached: Long, t1Us: Long, t2Us: Long, t3Us: Long,
-    completed: Boolean)
+    userId: Long, reached: Long, stepUs: Seq[Long], completed: Boolean)
 
 /** Per-event CUSUM monitor row: post-update sums and the alarm flag. */
 case class DriftAlarm(
@@ -460,8 +460,8 @@ object StatefulOps {
   def funnelWithState(
       events: Dataset[LogEvent], steps: Seq[String], windowMicros: Long,
       watermarkDelay: String = "1 hour"): Dataset[FunnelOutcome] = {
-    require(steps.size == 3, "funnel contract is exactly 3 steps")
-    require(steps.distinct.size == 3, "steps must be distinct")
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "steps must be distinct")
     require(windowMicros > 0)
     val spark = events.sparkSession
     import spark.implicits._
@@ -474,14 +474,16 @@ object StatefulOps {
       .withColumn("event_time", EventTimeOps.eventTimeFromNanos(col("tsNanos")))
     val wm = if (isStreaming) withTime.withWatermark("event_time", watermarkDelay) else withTime
 
+    val nSteps = steps.size
     def close(userId: Long, buf: FunnelBuf): Iterator[FunnelOutcome] = {
       if (buf.anchorNs == Long.MaxValue) Iterator.empty
       else {
         val endNs = buf.anchorNs + windowNanos
         var prev = buf.anchorNs
-        val times = Array(buf.anchorNs, -1L, -1L)
+        val times = Array.fill(nSteps)(-1L)
+        times(0) = buf.anchorNs
         var k = 1
-        while (k <= 2 && prev >= 0) {
+        while (k < nSteps && prev >= 0) {
           val cand = buf.evs
             .filter(e => e.step == k && e.tsNanos > prev && e.tsNanos <= endNs)
           val t = if (cand.isEmpty) -1L else cand.iterator.map(_.tsNanos).min
@@ -492,7 +494,7 @@ object StatefulOps {
         def us(ns: Long): Long = if (ns < 0) -1L else Math.floorDiv(ns, 1000L)
         val reached = times.count(_ >= 0).toLong
         Iterator.single(FunnelOutcome(userId, reached,
-          us(times(0)), us(times(1)), us(times(2)), reached == 3L))
+          times.map(us).toSeq, reached == nSteps.toLong))
       }
     }
 

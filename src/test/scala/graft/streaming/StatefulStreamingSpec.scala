@@ -633,7 +633,7 @@ class StatefulStreamingSpec extends AnyFunSuite {
       evm(6, 1000, "b"), evm(6, 1010, "c"))
     val out = StatefulOps.funnelWithState(events.toDS(), Seq("a", "b", "c"), w)
       .collect().map(o => o.userId ->
-        ((o.reached, o.t1Us, o.t2Us, o.t3Us, o.completed))).toMap
+        ((o.reached, o.stepUs(0), o.stepUs(1), o.stepUs(2), o.completed))).toMap
     assert(out === Map(
       1L -> ((3L, 1000 * us, 1010 * us, 1020 * us, true)),
       2L -> ((3L, 1000 * us, 1010 * us, 1020 * us, true)),
@@ -671,7 +671,7 @@ class StatefulStreamingSpec extends AnyFunSuite {
       processAll(q)
       val closed = spark.table("funnel_out").as[FunnelOutcome].collect()
       assert(closed.map(o => o.userId ->
-        ((o.reached, o.t1Us, o.t2Us, o.t3Us, o.completed))).toMap === Map(
+        ((o.reached, o.stepUs(0), o.stepUs(1), o.stepUs(2), o.completed))).toMap === Map(
         1L -> ((3L, 1000 * us, 1010 * us, 1030 * us, true)),
         2L -> ((3L, 1002 * us, 1005 * us, 1008 * us, true)),
         3L -> ((1L, 1100 * us, -1L, -1L, false))))
@@ -702,7 +702,7 @@ class StatefulStreamingSpec extends AnyFunSuite {
       in.addData(evm(9, 1300, "a")); processAll(q) // wm 1240 closes u1 @ due 1060
       val first = spark.table("funnel_reentry").as[FunnelOutcome].collect()
         .filter(_.userId == 1L)
-      assert(first.map(o => (o.reached, o.t1Us, o.t2Us)).toSeq ===
+      assert(first.map(o => (o.reached, o.stepUs(0), o.stepUs(1))).toSeq ===
         Seq((2L, 1000 * us, 1010 * us)))
 
       in.addData(history2: _*); processAll(q) // would re-anchor without tombstone
@@ -759,7 +759,7 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q2.stop()
 
     val got = spark.read.parquet(out).as[FunnelOutcome].collect()
-      .map(o => o.userId -> ((o.reached, o.t1Us, o.t2Us, o.t3Us, o.completed)))
+      .map(o => o.userId -> ((o.reached, o.stepUs(0), o.stepUs(1), o.stepUs(2), o.completed)))
     assert(got.length === got.distinct.length, s"restart duplicated outcomes: ${got.toSeq}")
     assert(got.toMap === Map(
       1L -> ((3L, 1000 * us, 1010 * us, 1020 * us, true)),
@@ -775,14 +775,14 @@ class StatefulStreamingSpec extends AnyFunSuite {
       Seq(evm(1, 1000, "a"), evm(1, 1030, "c"), evm(2, 1005, "b")),
       Seq(evm(1, 1010, "b"), evm(2, 1002, "a")),
       Seq(evm(9, 1300, "a")))
-    def run(sinkName: String): Set[(Long, Long, Long, Long, Long, Boolean)] = {
+    def run(sinkName: String): Set[(Long, Long, Seq[Long], Boolean)] = {
       val in = MemoryStream[LogEvent](spark)
       val q = memSink(StatefulOps.funnelWithState(
         in.toDS(), Seq("a", "b", "c"), w, "60 minutes").toDF(), sinkName, "append")
       try {
         history.foreach { b => in.addData(b); processAll(q) }
         spark.table(sinkName).as[FunnelOutcome].collect()
-          .map(o => (o.userId, o.reached, o.t1Us, o.t2Us, o.t3Us, o.completed)).toSet
+          .map(o => (o.userId, o.reached, o.stepUs, o.completed)).toSet
       } finally q.stop()
     }
     val hdfs = run("funnel_prov_hdfs")
@@ -819,6 +819,104 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelWithState generalizes to 4 steps: multi-batch streaming == batch twin") {
+    def evm(u: Long, minutes: Long, typ: String): LogEvent =
+      LogEvent(u, minutes * 60000000000L, typ, 0L)
+    val us = 60000000L
+    val w = 60L * 60000000L
+    val steps = Seq("a", "b", "c", "d")
+    val history = Seq(
+      // u1 completes all four inside the window
+      evm(1, 1000, "a"), evm(1, 1010, "b"), evm(1, 1020, "c"), evm(1, 1030, "d"),
+      // u2 stalls at step 3 — the d lands past anchor+60min
+      evm(2, 1000, "a"), evm(2, 1010, "b"), evm(2, 1020, "c"), evm(2, 1070, "d"),
+      // u3 skips b entirely: later steps are unreachable (strict chain)
+      evm(3, 1000, "a"), evm(3, 1020, "c"), evm(3, 1030, "d"))
+    val batch = StatefulOps.funnelWithState(history.toDS(), steps, w)
+      .collect().map(o => o.userId -> o).toMap
+    assert(batch(1L).reached === 4L && batch(1L).completed)
+    assert(batch(1L).stepUs === Seq(1000 * us, 1010 * us, 1020 * us, 1030 * us))
+    assert(batch(2L).reached === 3L && !batch(2L).completed)
+    assert(batch(2L).stepUs === Seq(1000 * us, 1010 * us, 1020 * us, -1L))
+    assert(batch(3L).reached === 1L)
+    assert(batch(3L).stepUs === Seq(1000 * us, -1L, -1L, -1L))
+
+    val in = MemoryStream[LogEvent](spark)
+    val q = memSink(StatefulOps.funnelWithState(
+      in.toDS(), steps, w, "60 minutes").toDF(), "funnel_4step", "append")
+    try {
+      history.sortBy(_.tsNanos).grouped(4).foreach { b =>
+        in.addData(b); processAll(q)
+      }
+      in.addData(evm(99, 2000, "a")) // close every window
+      processAll(q)
+      val streamed = spark.table("funnel_4step").as[FunnelOutcome].collect()
+        .filter(_.userId != 99L).map(o => o.userId -> o).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("funnelWithState refuses an old-shape state checkpoint LOUDLY (no silent misbehavior)") {
+    // The round-10 `closed` tombstone changed the encoded FunnelBuf, so
+    // checkpoints from the pre-tombstone funnel cannot restore — the
+    // scaladoc documents the cliff; this pins that the failure is a
+    // clear error, not silent state corruption. A stand-in query writes
+    // state with the OLD FunnelBuf shape (no `closed` field) at the
+    // same operator position; restarting the REAL funnel from that
+    // checkpoint must fail state-schema validation.
+    def evm(u: Long, minutes: Long, typ: String): LogEvent =
+      LogEvent(u, minutes * 60000000000L, typ, 0L)
+    val w = 60L * 60000000L
+    val ckpt = SparkTestSession.tempDir("funnel-oldshape-ckpt")
+    val out = SparkTestSession.tempDir("funnel-oldshape-out")
+
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val in1 = MemoryStream[LogEvent](spark)
+    def oldFn(userId: Long, it: Iterator[LogEvent],
+        state: GroupState[OldShapeFunnelBuf]): Iterator[FunnelOutcome] = {
+      state.update(OldShapeFunnelBuf(it.map(_.tsNanos).min, Nil))
+      Iterator.empty
+    }
+    val oldShaped = in1.toDS()
+      .withColumn("event_time", EventTimeOps.eventTimeFromNanos(col("tsNanos")))
+      .withWatermark("event_time", "60 minutes")
+      .as[LogEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(oldFn)
+    val q1 = oldShaped.toDF().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      in1.addData(evm(1, 1000, "a"), evm(2, 1005, "a"))
+      processAll(q1)
+    } finally q1.stop()
+
+    // restart the REAL (tombstoned) funnel from the old-shape checkpoint.
+    // The fresh MemoryStream's offset must pass the checkpoint's
+    // committed offset or no micro-batch is planned at all (and the
+    // state never loads) — hence three addData calls, one offset each.
+    val in2 = MemoryStream[LogEvent](spark)
+    val thrown = intercept[Exception] {
+      val q2 = StatefulOps.funnelWithState(
+          in2.toDS(), Seq("a", "b", "c"), w, "60 minutes").toDF()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        in2.addData(evm(1, 1010, "b"))
+        in2.addData(evm(1, 1011, "b"))
+        in2.addData(evm(1, 1012, "b"))
+        processAll(q2)
+      } finally q2.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val all = messages(thrown).mkString("\n")
+    assert(all.contains("SCHEMA_NOT_COMPATIBLE"),
+      s"old-shape restore failed but without a state-schema error: ${all.take(500)}")
+  }
+
   test("cusumDriftWithState: downward drift trips the g-minus side") {
     // μ₀ = 10, slack 0, h = 3: values 8 add 2 to g⁻ each: 2, 4(>3: ALARM)
     val drops = Seq(ev(1, 0.1, "t", 8), ev(1, 0.2, "t", 8))
@@ -830,3 +928,7 @@ class StatefulStreamingSpec extends AnyFunSuite {
     assert(out.forall(_.gPlus == 0L))
   }
 }
+
+/** The pre-round-10 funnel state shape (no `closed` tombstone field) —
+  * used only by the old-shape-checkpoint loud-failure spec. */
+case class OldShapeFunnelBuf(anchorNs: Long, evs: Seq[FunnelEv])
