@@ -1765,6 +1765,37 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** PQ recall audit ([[graft.operators.Retrieval.rankingOverlap]]):
+    * per query, how much of the EXACT squared-L2 top-10 the ADC
+    * (asymmetric-distance, compressed-codes) path keeps — the recall
+    * cost of 8-byte codes vs 256-byte floats, measured on the same
+    * seeded codebook the pq_topk gate pins. Completes the recall-eval
+    * ladder: every ANN rung (LSH, IVF, int8, PQ) now carries a
+    * measured-recall gate. */
+  private def pqRecallOverlap(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val model = Similarity.pqCodebook(emb, m = 8, k = 8)
+    graft.operators.Retrieval.rankingOverlap(
+        Similarity.bruteForceTopK(emb, queries, k = 10,
+          metric = (a, b) => -Similarity.l2DistanceSq(a, b)),
+        Similarity.pqTopK(emb, queries, model, k = 10), k = 10)
+      .orderBy("query_id")
+  }
+
+  /** Sign-LSH recall audit: exact cosine top-5 vs the bucketed probe at
+    * bits=4 (the ann_lsh_topk configuration) — the recall price of
+    * touching only same-bucket pairs, per query. */
+  private def lshRecallOverlap(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    graft.operators.Retrieval.rankingOverlap(
+        Similarity.bruteForceTopK(emb, queries, k = 5,
+          metric = Similarity.cosine),
+        Similarity.lshTopK(emb, queries, k = 5, bits = 4), k = 5)
+      .orderBy("query_id")
+  }
+
   /** Generic one-scan table profile ([[graft.operators.Stats.profile]])
     * over lineitem's integer/string columns — the ingest-sanity data
     * card. Floats excluded: min/max render via engine-specific float
@@ -3483,6 +3514,8 @@ object SparkEntry {
     "quantized_topk" -> quantizedTopK _,
     "ann_recall_overlap" -> annRecallOverlap _,
     "ivf_recall_overlap" -> ivfRecallOverlap _,
+    "pq_recall_overlap" -> pqRecallOverlap _,
+    "lsh_recall_overlap" -> lshRecallOverlap _,
     "length_quantiles" -> lengthQuantiles _,
     "global_quantiles_ts" -> globalQuantilesTs _,
     "table_profile" -> tableProfile _,
@@ -4604,6 +4637,50 @@ object SparkEntry {
                FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
                WHERE q.vec_id < 50)
          QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "lsh_recall_overlap" ->
+      // exact cosine top-5 vs bits=4 sign-LSH bucket probe (the
+      // ann_lsh_topk configuration): list sizes + intersection per query
+      """WITH ex AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      list_sum(list_transform(range(1, len(q.embedding)+1),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
+                           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+                           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+                        AS score
+                    FROM embeddings q, embeddings c
+                    WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id))
+            WHERE rank <= 5),
+          v AS (SELECT vec_id, embedding,
+                  list_sum(list_transform(range(1, 5),
+                    i -> CASE WHEN embedding[i] > 0 THEN 1 << (i-1) ELSE 0 END)) AS bucket
+                FROM embeddings),
+          ls AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      list_sum(list_transform(range(1, len(q.embedding)+1),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
+                           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+                           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+                        AS score
+                    FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+                    WHERE q.vec_id < 50))
+            WHERE rank <= 5),
+          na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_a FROM ex GROUP BY 1),
+          nb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_b FROM ls GROUP BY 1),
+          nc AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_common
+                 FROM ex JOIN ls ON ex.query_id = ls.query_id
+                   AND ex.neighbor_id = ls.neighbor_id GROUP BY 1)
+         SELECT query_id, n_a, coalesce(n_b, 0) AS n_b,
+                coalesce(n_common, 0) AS n_common
+         FROM na LEFT JOIN nb USING (query_id) LEFT JOIN nc USING (query_id)
+         ORDER BY query_id""",
     "pq_topk" ->
       // seeded codebook = subspaces of the 8 lowest-id vectors; encode =
       // per-(vector, subspace) argmin over centroids (ties -> lowest t,
@@ -4615,6 +4692,34 @@ object SparkEntry {
                 row_number() OVER (PARTITION BY query_id
                   ORDER BY score ASC, neighbor_id) AS rank
          FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""",
+    "pq_recall_overlap" ->
+      // exact squared-L2 top-10 vs ADC (seeded-codebook PQ) top-10 per
+      // query: list sizes + intersection, exact ints — the recall the
+      // 8-byte-code index keeps of the 256-byte-float ranking
+      s"""$pqOracleBase,
+          ex AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS rank
+              FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      list_sum(list_transform(range(1, 65),
+                        i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS score
+                    FROM emb q, emb c
+                    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id))
+            WHERE rank <= 10),
+          pq AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS rank
+              FROM scored)
+            WHERE rank <= 10),
+          na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_a FROM ex GROUP BY 1),
+          nb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_b FROM pq GROUP BY 1),
+          nc AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_common
+                 FROM ex JOIN pq ON ex.query_id = pq.query_id
+                   AND ex.neighbor_id = pq.neighbor_id GROUP BY 1)
+         SELECT query_id, n_a, coalesce(n_b, 0) AS n_b,
+                coalesce(n_common, 0) AS n_common
+         FROM na LEFT JOIN nb USING (query_id) LEFT JOIN nc USING (query_id)
+         ORDER BY query_id""",
     "pq_rerank_topk" ->
       // two-stage: the same ADC pipeline shortlists 50, exact squared-L2
       // re-ranks to 10 (zip_with order = list_transform range order)
