@@ -91,6 +91,26 @@ object SqlDialect {
     def isAlreadyExists(e: SQLException): Boolean = e.getSQLState == "42S01"
   }
 
+  /** SQLite (ref: `reference/src/SqlStreamStore.Sqlite/Scripts/Tables
+    * .sql:1,14` — the one reference backend that previously had no
+    * dialect object here). `LIMIT n` row limits (every Sqlite read in
+    * the reference appends `LIMIT @count`,
+    * `SqliteCommandExtensions.AllStreamOperations.cs:171,244`);
+    * unbounded strings are plain `TEXT` (Sqlite's only string affinity);
+    * "already exists" surfaces as vendor result code 1 (SQLITE_ERROR)
+    * with a message suffix — JDBC drivers for Sqlite ship no SQLState,
+    * so classification falls back to the message text, exactly why the
+    * reference sidesteps the problem with `CREATE TABLE IF NOT EXISTS`.
+    * No Sqlite JDBC driver ships in this offline image, so this dialect
+    * is SQL-text-pinned only (SqlDialectSpec), like Postgres/MySQL. */
+  object Sqlite extends SqlDialect {
+    val name = "sqlite"
+    def limitClause(n: String): String = s"LIMIT $n"
+    val textType = "TEXT"
+    def isAlreadyExists(e: SQLException): Boolean =
+      Option(e.getMessage).exists(_.toLowerCase.contains("already exists"))
+  }
+
   /** Dialect for a JDBC URL; unknown engines get Derby's ANSI forms
     * (FETCH FIRST and CLOB are the standard spellings) minus its
     * embedded-shutdown behavior. */
@@ -105,5 +125,6 @@ object SqlDialect {
     if (jdbcUrl.startsWith("jdbc:derby:")) Derby
     else if (jdbcUrl.startsWith("jdbc:postgresql:")) Postgres
     else if (jdbcUrl.startsWith("jdbc:mysql:") || jdbcUrl.startsWith("jdbc:mariadb:")) MySql
+    else if (jdbcUrl.startsWith("jdbc:sqlite:")) Sqlite
     else Ansi
 }

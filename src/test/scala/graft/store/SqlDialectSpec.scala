@@ -24,6 +24,7 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(SqlDialect.forUrl("jdbc:postgresql://h/db") eq SqlDialect.Postgres)
     assert(SqlDialect.forUrl("jdbc:mysql://h/db") eq SqlDialect.MySql)
     assert(SqlDialect.forUrl("jdbc:mariadb://h/db") eq SqlDialect.MySql)
+    assert(SqlDialect.forUrl("jdbc:sqlite:/tmp/db.sqlite") eq SqlDialect.Sqlite)
     assert(SqlDialect.forUrl("jdbc:h2:mem:x") eq SqlDialect.Ansi)
   }
 
@@ -31,6 +32,7 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(SqlDialect.Derby.limitClause(10) === "FETCH FIRST 10 ROWS ONLY")
     assert(SqlDialect.Postgres.limitClause(10) === "LIMIT 10")
     assert(SqlDialect.MySql.limitClause(10) === "LIMIT 10")
+    assert(SqlDialect.Sqlite.limitClause(10) === "LIMIT 10")
     assert(SqlDialect.Ansi.limitClause(10) === "FETCH FIRST 10 ROWS ONLY")
   }
 
@@ -40,6 +42,8 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(SqlDialect.Postgres.textType === "TEXT")
     assert(SqlDialect.Postgres.nullText === "CAST(NULL AS TEXT)")
     assert(SqlDialect.MySql.textType === "LONGTEXT")
+    assert(SqlDialect.Sqlite.textType === "TEXT")
+    assert(SqlDialect.Sqlite.nullText === "CAST(NULL AS TEXT)")
   }
 
   test("already-exists classification per engine") {
@@ -49,18 +53,28 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(SqlDialect.Postgres.isAlreadyExists(sqlEx("42710")))
     assert(!SqlDialect.Postgres.isAlreadyExists(sqlEx("X0Y32")))
     assert(SqlDialect.MySql.isAlreadyExists(sqlEx("42S01")))
+    // Sqlite JDBC drivers ship no SQLState — classification is by
+    // message text (the reference sidesteps this with CREATE TABLE IF
+    // NOT EXISTS, Scripts/Tables.sql:1)
+    assert(SqlDialect.Sqlite.isAlreadyExists(
+      new SQLException("[SQLITE_ERROR] SQL error or missing database (table graft_streams already exists)")))
+    assert(!SqlDialect.Sqlite.isAlreadyExists(new SQLException("no such table: x")))
+    assert(!SqlDialect.Sqlite.isAlreadyExists(new SQLException(null: String)))
   }
 
   test("creation DDL carries the dialect's text type") {
     val derby = JdbcStreamStore.schemaCreationScript(SqlDialect.Derby)
     val pg = JdbcStreamStore.schemaCreationScript(SqlDialect.Postgres)
     val my = JdbcStreamStore.schemaCreationScript(SqlDialect.MySql)
+    val sqlite = JdbcStreamStore.schemaCreationScript(SqlDialect.Sqlite)
     assert(derby.contains("json_data CLOB"))
     assert(pg.contains("json_data TEXT"))
     assert(!pg.contains("CLOB"))
     assert(my.contains("json_data LONGTEXT"))
+    assert(sqlite.contains("json_data TEXT"))
+    assert(!sqlite.contains("CLOB"))
     // v2 objects present in every dialect's creation script
-    Seq(derby, pg, my).foreach { s =>
+    Seq(derby, pg, my, sqlite).foreach { s =>
       assert(s.contains("id_original_reversed"))
       assert(s.contains("graft_streams_rev"))
     }
