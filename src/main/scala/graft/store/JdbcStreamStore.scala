@@ -687,18 +687,28 @@ final class JdbcStreamStore(
   /** Bring this database's schema to [[CurrentSchemaVersion]], one
     * versioned step at a time (ref: `MigrateProgress.cs`,
     * `PostgresStreamStore.Migration.cs` — the reference ships migration
-    * tooling beside `CheckSchema`). The 0→1 step covers both databases
-    * created before versioning (the v1 DDL is identical — only the stamp
-    * is missing) and schemas left partial by a crash during creation: the
-    * existence-tolerant DDL completes any missing objects, then the
-    * version is stamped. A database stamped NEWER than this code refuses
-    * to migrate (downgrade). Returns the version migrated to. */
-  def migrate(): Int = synchronized {
+    * tooling beside `CheckSchema`). The ladder is DATA
+    * ([[JdbcStreamStore.migrationLadder]]): each rung brings `from` to
+    * `from + 1` and the version is stamped + committed per rung, so a
+    * crash mid-ladder resumes at the completed rung (the 2-hop shape of
+    * the reference's operational V2→V3 mover, `MsSqlStreamStoreV3`). A
+    * database stamped NEWER than this code refuses to migrate
+    * (downgrade). Returns the version migrated to. */
+  def migrate(): Int =
+    migrateTo(CurrentSchemaVersion, JdbcStreamStore.migrationLadder)
+
+  /** Ladder fold, target + rungs injectable — the test seam that lets a
+    * multi-hop upgrade (v1 → v3) run before a real v3 exists. */
+  private[store] def migrateTo(
+      target: Int, ladder: Seq[JdbcStreamStore.MigrationStep]): Int = synchronized {
     var v = checkSchema().currentVersion
-    require(v <= CurrentSchemaVersion,
-      s"database schema version $v is newer than this code's $CurrentSchemaVersion — refusing to downgrade")
-    while (v < CurrentSchemaVersion) {
-      migrationStep(v)
+    require(v <= target,
+      s"database schema version $v is newer than this code's $target — refusing to downgrade")
+    while (v < target) {
+      val from = v
+      val step = ladder.find(_.from == from).getOrElse(
+        throw new IllegalStateException(s"no migration defined from schema version $from"))
+      step.run(this)
       v += 1
       writeCounter(SchemaVersionKey, v.toLong)
       conn.commit()
@@ -706,32 +716,38 @@ final class JdbcStreamStore(
     v
   }
 
-  private def migrationStep(from: Int): Unit = from match {
-    // v0 (pre-versioning / partial creation) → v1: complete whatever v1
-    // objects are missing, tolerate whatever exists
-    case 0 => creationDdlV1(sqlDialect).foreach(ddl)
-    // v1 → v2: add the reversed-id column, BACKFILL it from id_original
-    // (real data movement — keyset-paged so memory stays bounded at any
-    // stream count, the shape of the reference's `MigrateProgress.cs`
-    // batch loop), then index it for suffix-listing pushdown
-    case 1 =>
-      if (!columnExists(StreamsTable, "id_original_reversed"))
-        ddl(s"ALTER TABLE $StreamsTable ADD COLUMN id_original_reversed VARCHAR(1000)")
-      var after = -1L
-      var page = backfillPage(after)
-      while (page.nonEmpty) {
-        val upd = cachedStatement(
-          s"UPDATE $StreamsTable SET id_original_reversed=? WHERE id_internal=?")
-        page.foreach { case (idInternal, idOriginal) =>
-          upd.setString(1, reversed(idOriginal)); upd.setLong(2, idInternal); upd.addBatch()
-        }
-        upd.executeBatch()
-        after = page.last._1
-        page = backfillPage(after)
+  /** v0 (pre-versioning / partial creation) → v1: complete whatever v1
+    * objects are missing, tolerate whatever exists. */
+  private[store] def stepV0toV1(): Unit = creationDdlV1(sqlDialect).foreach(ddl)
+
+  /** v1 → v2: add the reversed-id column, BACKFILL it from id_original
+    * (real data movement — keyset-paged so memory stays bounded at any
+    * stream count, the shape of the reference's `MigrateProgress.cs`
+    * batch loop), then index it for suffix-listing pushdown. */
+  private[store] def stepV1toV2(): Unit = {
+    if (!columnExists(StreamsTable, "id_original_reversed"))
+      ddl(s"ALTER TABLE $StreamsTable ADD COLUMN id_original_reversed VARCHAR(1000)")
+    var after = -1L
+    var page = backfillPage(after)
+    while (page.nonEmpty) {
+      val upd = cachedStatement(
+        s"UPDATE $StreamsTable SET id_original_reversed=? WHERE id_internal=?")
+      page.foreach { case (idInternal, idOriginal) =>
+        upd.setString(1, reversed(idOriginal)); upd.setLong(2, idInternal); upd.addBatch()
       }
-      ddl(s"CREATE INDEX ${StreamsTable}_rev ON $StreamsTable(id_original_reversed)")
-    case v => throw new IllegalStateException(s"no migration defined from schema version $v")
+      upd.executeBatch()
+      after = page.last._1
+      page = backfillPage(after)
+    }
+    ddl(s"CREATE INDEX ${StreamsTable}_rev ON $StreamsTable(id_original_reversed)")
   }
+
+  /** DDL bridge for ladder rungs defined outside this class (the
+    * companion's [[JdbcStreamStore.migrationLadder]] entries and
+    * test-injected rungs run against the store's own connection —
+    * embedded Derby holds an exclusive file lock, so a side connection
+    * cannot do it). */
+  private[store] def migrationDdl(sql: String): Boolean = ddl(sql)
 
   private def backfillPage(after: Long): IndexedSeq[(Long, String)] =
     query(s"SELECT id_internal, id_original FROM $StreamsTable WHERE id_internal > ? AND id_original_reversed IS NULL ORDER BY id_internal ${sqlDialect.limitClause(MigrateBatch)}") {
@@ -806,6 +822,20 @@ object JdbcStreamStore {
     * `IdOriginalReversed` column, `ScriptsV3/CreateSchema.sql:50-64`). */
   val CurrentSchemaVersion = 2
   private val SchemaVersionKey = "schema_version"
+
+  /** One rung of the migration ladder: brings a database from schema
+    * version `from` to `from + 1`. The ladder is an ordered value, not a
+    * match statement, so a future v3 is an APPEND here and nothing else
+    * changes — and tests exercise a 2-hop upgrade today by extending it
+    * (JdbcStoreSpec's v1→v3 case). */
+  private[store] final case class MigrationStep(
+      from: Int, describe: String, run: JdbcStreamStore => Unit)
+
+  private[store] val migrationLadder: Seq[MigrationStep] = Seq(
+    MigrationStep(0, "complete the v1 object set (pre-versioning / crash-partial creation)",
+      _.stepV0toV1()),
+    MigrationStep(1, "add + keyset-backfill id_original_reversed, then index it",
+      _.stepV1toV2()))
 
   /** Surrogate-pair-aware string reversal — the ONE definition used both
     * to fill `id_original_reversed` and to reverse EndsWith patterns, so

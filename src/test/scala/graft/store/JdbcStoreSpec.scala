@@ -384,6 +384,71 @@ class JdbcStoreSpec extends AnyFunSuite with BeforeAndAfterEach {
     } finally check.close()
   }
 
+  test("migrate folds a multi-rung ladder: v1 → v3 in one call, data intact at each hop") {
+    // The reference ships an operational 2-hop upgrade (MsSql V2→V3
+    // mover); this pins that OUR ladder is a fold over ordered rungs,
+    // not a hardwired pair — a synthetic v2→v3 rung (one annotation
+    // column) is appended and a genuine v1 database climbs both hops in
+    // one migrateTo() call, with the v2 backfill AND the v3 column both
+    // landing and all pre-migration data readable.
+    val dir = SparkTestSession.tempDir("graft-v1db-2hop")
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    def dbId(s: String) =
+      sha.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val raw = java.sql.DriverManager.getConnection(s"jdbc:derby:$dir/db;create=true")
+    try {
+      val st = raw.createStatement()
+      try {
+        JdbcStreamStore.creationDdlV1(SqlDialect.Derby).foreach(st.executeUpdate)
+        Seq("orders-7" -> 0L, "audit-7" -> 1L).foreach { case (id, internal) =>
+          st.executeUpdate(
+            s"INSERT INTO graft_streams (id, id_original, id_internal, version, position, max_age, max_count) " +
+              s"VALUES ('${dbId(id)}', '$id', $internal, 1, ${internal * 2 + 1}, NULL, NULL)")
+          (0 to 1).foreach { v =>
+            st.executeUpdate(
+              s"INSERT INTO graft_messages (position, stream_id_internal, stream_version, message_id, created_micros, msg_type, json_data, json_metadata) " +
+                s"VALUES (${internal * 2 + v}, $internal, $v, '${mid((internal * 2 + v).toInt + 1)}', 0, 't', '{}', NULL)")
+          }
+        }
+        st.executeUpdate("INSERT INTO graft_counters (k, v) VALUES ('next_position', 4)")
+        st.executeUpdate("INSERT INTO graft_counters (k, v) VALUES ('next_id_internal', 2)")
+        st.executeUpdate("INSERT INTO graft_counters (k, v) VALUES ('schema_version', 1)")
+      } finally st.close()
+    } finally raw.close()
+
+    val ladderV3 = JdbcStreamStore.migrationLadder :+
+      JdbcStreamStore.MigrationStep(2, "test-only v3: annotation column",
+        _.migrationDdl("ALTER TABLE graft_streams ADD COLUMN note VARCHAR(16)"))
+    val s2 = new JdbcStreamStore(spark, s"jdbc:derby:$dir/db", clock)
+    try {
+      assert(s2.checkSchema().currentVersion === 1)
+      assert(s2.migrateTo(3, ladderV3) === 3)
+      // both hops landed: the v2 backfill answers suffix listing...
+      assert(s2.listStreams(Pattern.EndsWith("-7")).streamIds.sorted ===
+        Seq("audit-7", "orders-7"))
+      // ...and pre-migration data still reads after 2 hops
+      assert(s2.readStreamForwards("orders-7").messages.map(_.streamVersion) === Seq(0, 1))
+      assert(s2.readAllForwards(Position.Start).messages.size === 4)
+      // a fold past the ladder's edge still fails loudly
+      val e = intercept[IllegalStateException](s2.migrateTo(4, ladderV3))
+      assert(e.getMessage.contains("no migration defined from schema version 3"))
+    } finally s2.close()
+
+    // the v3 column physically exists and the stamp reads 3 on reopen
+    val check = java.sql.DriverManager.getConnection(s"jdbc:derby:$dir/db")
+    try {
+      val st = check.createStatement()
+      try {
+        val rs = st.executeQuery(
+          "SELECT note FROM graft_streams WHERE id_original='orders-7'")
+        assert(rs.next() && rs.getString(1) == null)
+        val vs = st.executeQuery(
+          "SELECT v FROM graft_counters WHERE k='schema_version'")
+        assert(vs.next() && vs.getLong(1) === 3L)
+      } finally st.close()
+    } finally check.close()
+  }
+
   test("per-append cost is flat in stream length (no O(stream) idempotency scan)") {
     // Grow one stream to 50k messages, measuring the median single-append
     // latency at ~1k and again at ~50k. The idempotency checks must be
