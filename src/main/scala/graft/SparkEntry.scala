@@ -21,28 +21,7 @@ import org.apache.spark.sql.expressions.Window
   *   vs DuckDB;
   * - aggregate/computed columns are aliased identically on both sides.
   */
-object SparkEntry {
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
-  /** The events table with `ts` as NANOS-since-epoch long. Earlier
-    * testdata wrote events.ts as parquet TIMESTAMP(NANOS), read as a
-    * nanos long via `spark.sql.legacy.parquet.nanosAsLong`; round 7's
-    * regeneration switched the file to timestamp[us] (TIMESTAMP_NTZ in
-    * Spark), which silently dropped every event-time gate. This adapter
-    * restores the long-nanos surface the event-time operators and their
-    * oracles were written against: micros × 1000, so after the
-    * operators' ÷1000 pre-floor both engines see DuckDB's `epoch_us(ts)`
-    * values exactly (the NTZ→timestamp cast is UTC — every session pins
-    * `spark.sql.session.timeZone=UTC`). */
-  private def eventsNs(s: SparkSession, dir: String): DataFrame = {
-    val raw = t(s, dir, "events")
-    raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
-  }
-
-  /** Exact double-deterministic sum: sum(cast(x as decimal)) cast back. */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(30,6)")).cast("double")
+object SparkEntry extends StoreGates with AnalyticsGates with PipelineGates with StreamingGates with TrainingGates with WarehouseGates with CdcGates {
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped pricing summary over lineitem. */
@@ -50,7514 +29,27 @@ object SparkEntry {
     q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   // ==================================================================
-  // Store-operator family (SURVEY §2.1-2.6) over the events table
+  // Registry — composed from the per-family gate traits (keys are
+  // disjoint by construction: each gate name lives in exactly one
+  // family file). The composed maps are byte-identical to the former
+  // single-file literals.
   // ==================================================================
 
-  /** #1 ReadAllForwards: position-range scan, ordered, limit n
-    * (ref: ReadAll.sql:1-47). */
-  private def readAllForwards(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .filter(col("event_id") >= 100)
-      .select("event_id", "user_id", "event_type", "value", "props")
-      .orderBy("event_id")
-      .limit(500)
-
-  /** #2 ReadAllBackwards (ref: ReadAll.sql:36-40). */
-  private def readAllBackwards(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .filter(col("event_id") <= 800)
-      .select("event_id", "user_id", "event_type")
-      .orderBy(col("event_id").desc)
-      .limit(500)
-
-  /** #3 ReadStreamForwards: one stream's messages with per-stream versions
-    * (ref: Read.sql:1-53); version = dense 0-based order within stream. */
-  private def readStreamForwards(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("event_id")
-    t(s, dir, "events")
-      .filter(col("user_id") === 7)
-      .withColumn("stream_version", (row_number().over(w) - 1).cast("long"))
-      .select("user_id", "stream_version", "event_id", "event_type")
-      .orderBy("event_id")
-  }
-
-  /** #4 ReadStreamBackwards (ref: Read.sql:42-47). */
-  private def readStreamBackwards(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .filter(col("user_id") === 7)
-      .select("event_id", "event_type", "value")
-      .orderBy(col("event_id").desc)
-      .limit(20)
-
-  /** #10 ReadHeadPosition: global max position (ref: ReadHeadPosition.sql). */
-  private def readHeadPosition(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").agg(max("event_id").as("head_position"))
-
-  /** #11+#23 per-stream heads (ref: denormalized streams table,
-    * AppendToStream.sql:153-163). */
-  private def streamHeads(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy("user_id")
-      .agg(
-        max("event_id").as("head_position"),
-        (count(lit(1)) - 1).as("head_version"))
-      .orderBy("user_id")
-
-  /** #9+#29 ListStreams with keyset pagination (ref: ListStreams.sql:10-16). */
-  private def listStreamsKeyset(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .select("user_id").distinct()
-      .filter(col("user_id") > 50)
-      .orderBy("user_id")
-      .limit(20)
-
-  /** #17+#35 MaxAge TTL read-filter (ref: ReadonlyStreamStoreBase.cs:394-490):
-    * keep messages younger than a cutoff. */
-  private def ttlFilter(s: SparkSession, dir: String): DataFrame =
-    // ts via eventsNs (nanos long); 2024-01-03T00:00:00Z in nanos.
-    eventsNs(s, dir)
-      .filter(col("ts") >= lit(1704240000000000000L))
-      .select("event_id", "user_id", "event_type")
-      .orderBy("event_id")
-      .limit(1000)
-
-  /** #20+#27+#34 MaxCount scavenge: newest K per stream via window top-k
-    * (ref: Scavenge.sql:23-30). */
-  private def scavengeTopK(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
-    t(s, dir, "events")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select("user_id", "event_id")
-      .orderBy("user_id", "event_id")
-  }
-
-  /** #8+#21 DeleteMessage bulk anti-filter, `id = ANY(...)` shape
-    * (ref: DeleteStreamMessages.sql:26-28). */
-  private def deleteMessageAnti(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .filter(col("user_id") === 7 && !col("event_id").isin(213L, 1213L, 3213L, 5213L))
-      .select("event_id", "event_type")
-      .orderBy("event_id")
-
-  /** #7 DeleteStream anti-filter rewrite (ref: DeleteStream.sql). */
-  private def deleteStreamFilter(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .filter(col("user_id") =!= 7 && col("user_id") =!= 11)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"))
-      .orderBy("event_type")
-
-  /** #19 messages ⋈ streams broadcast equi-join (ref: ReadAll.sql:33-34):
-    * fact joined to small per-stream dim ⇒ broadcast hash join. */
-  private def joinStreamsDim(s: SparkSession, dir: String): DataFrame = {
-    val events = t(s, dir, "events")
-    val dim = events.groupBy("user_id").agg(max("event_id").as("head_position"))
-    events
-      .join(broadcast(dim), Seq("user_id"))
-      .filter(col("event_type") === "purchase")
-      .select("event_id", "user_id", "head_position")
-      .orderBy("event_id")
-      .limit(1000)
-  }
-
-  /** #25 idempotency id-chain: in-order message-id list per stream
-    * (ref: EnforceIdempotentAppend.sql:12-39). */
-  private def idempotencyChains(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .filter(col("user_id") <= 20)
-      .groupBy("user_id")
-      .agg(array_join(
-        transform(array_sort(collect_list(col("event_id"))), x => x.cast("string")),
-        ",").as("id_chain"))
-      .orderBy("user_id")
-
-  /** #42 gap detection over the position sequence
-    * (ref: ReadonlyStreamStoreBase.cs:65-92). Positions are distinct, so
-    * `x` starts a run iff `x-1` is absent; adjacent-gap count = run
-    * starts − 1. Expressed as a hash-partitioned anti self-join rather
-    * than `lag` over an unpartitioned window (which would sort the whole
-    * log in one partition — a non-starter at 100 TB). */
-  private def gapDetection(s: SparkSession, dir: String): DataFrame = {
-    val ids = t(s, dir, "events").select(col("event_id"))
-    val pred = ids.select((col("event_id") + 1).as("event_id"))
-    val gaps = ids.join(pred, Seq("event_id"), "left_anti")
-      .agg((count(lit(1)) - 1).as("gaps"))
-    gaps.crossJoin(ids.agg(count(lit(1)).as("n")))
-  }
-
-  /** §2.9 JSON payload field extraction (ref: AppendToStream.sql:27
-    * `json_data::JSON->>'MaxAge'`). */
-  private def jsonExtract(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .filter(col("event_id") < 200)
-      .select(
-        col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
-      .orderBy("event_id")
-
-  /** §2.9 stream-id hashing (ref: PostgresqlStreamId.cs:14-27; SHA-256
-    * here since the oracle lacks sha1 — same shape) and
-    * prefix/suffix matching (ref: ListStreamsStartingWith.sql). */
-  private def streamIdHashing(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(
-        col("doc_id"),
-        sha2(col("source"), 256).as("id_hash"),
-        col("source").startsWith("src1").as("starts_src1"),
-        col("source").endsWith("1").as("ends_1"))
-      .orderBy("doc_id")
-      .limit(200)
-
-  /** Fixture cache for [[logSegmentScan]]: the store log is built ONCE
-    * per (JVM, sfDir) — the gate then measures the DSv2 SCAN, not
-    * fixture construction (Bench re-invokes gate fns per timed run). */
-  private val logStoreFixture = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Batch DSv2 scan of a store segment log
-    * ([[graft.sources.LogSegmentSource]]) with position-range pushdown:
-    * the first 2000 events (by event_id) are appended through the real
-    * write path as messages (streamId = user, payload = props), then the
-    * log is read back as a Spark table with a position filter that PRUNES
-    * segments at plan time (8 segments on disk; the [500, 1500) window
-    * plans 4). Positions are the append order = the event_id rank, which
-    * is what the oracle reconstructs with row_number(). The driver-side
-    * collect is fixture construction through the single-writer append
-    * API (the store's contract), not a distributed operator. */
-  private def logSegmentScan(s: SparkSession, dir: String): DataFrame = {
-    val root = logStoreFixture.computeIfAbsent(dir, _ => {
-      val rows = t(s, dir, "events").filter(col("event_id") < 2000)
-        .select("event_id", "user_id", "event_type", "props")
-        .orderBy("event_id").collect()
-      val tmp = java.nio.file.Files.createTempDirectory("graft-logseg").toString
-      val store = new graft.store.SparkStreamStore(s, tmp, flushEveryRows = 250)
-      try rows.foreach { r =>
-        store.appendToStream("u" + r.getLong(1), graft.core.ExpectedVersion.Any,
-          Seq(graft.core.NewStreamMessage("m-" + r.getLong(0), r.getString(2), r.getString(3))))
-      } finally store.close()
-      tmp
-    })
-    s.read.format("graft.sources.LogSegmentSource").option("path", root).load()
-      .filter(col("position") >= 500 && col("position") < 1500)
-      .select(
-        col("streamId").as("stream_id"),
-        col("position"),
-        col("type").as("event_type"),
-        col("jsonData").as("props"))
-  }
-
-  /** Distributed bulk load into a store log ([[graft.store.BulkImport]])
-    * read back through the DSv2 segment table: the first 3000 events (by
-    * event_id) become the message log in ONE cluster-parallel job — no
-    * driver loop, no per-append round trip — with dense positions in
-    * event_id order and dense per-user versions; the gate then scans a
-    * position window via [[graft.sources.LogSegmentSource]] (pruned
-    * segments) and hash-matches the oracle's two-row_number
-    * reconstruction. Import shape: one streamId shuffle (versions) + one
-    * range shuffle (positions) — the 100 TB initial-migration path. */
-  private def bulkImportScan(s: SparkSession, dir: String): DataFrame = {
-    val root = logStoreFixture.computeIfAbsent(dir + "#bulk", _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-bulk").toString
-      graft.store.BulkImport.importMessages(
-        s,
-        t(s, dir, "events").filter(col("event_id") < 3000)
-          .select(
-            concat(lit("u"), col("user_id")).as("sid"),
-            concat(lit("m-"), col("event_id")).as("mid"),
-            col("event_type"), col("props"), col("event_id")),
-        tmp,
-        orderCol = "event_id", streamIdCol = "sid", messageIdCol = "mid",
-        typeCol = "event_type", dataCol = "props", targetSegments = 6)
-      tmp
-    })
-    s.read.format("graft.sources.LogSegmentSource").option("path", root).load()
-      .filter(col("position") >= 1000 && col("position") < 2000)
-      .select(
-        col("streamId").as("stream_id"),
-        col("position"),
-        col("streamVersion").cast("long").as("version"),
-        col("type").as("event_type"))
-  }
-
-  // ==================================================================
-  // Analytics family over the TPC-H-ish tables (bench headliners)
-  // ==================================================================
-
-  /** TPC-H Q1-shaped pricing summary: the canonical wide aggregation.
-    * Decimal sums keep doubles bit-deterministic vs the oracle. */
-  private def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-        count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
-
-  /** TPC-H Q3-shaped: join customer⨝orders⨝lineitem, top-10 revenue. */
-  private def q3TopRevenue(s: SparkSession, dir: String): DataFrame = {
-    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-    val o = t(s, dir, "orders")
-    val l = t(s, dir, "lineitem")
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .groupBy("l_orderkey")
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
-      .limit(10)
-  }
-
-  /** TPC-H Q5-shaped: revenue by nation through a 5-way join. */
-  private def q5NationRevenue(s: SparkSession, dir: String): DataFrame = {
-    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
-    val nation = t(s, dir, "nation")
-    val customer = t(s, dir, "customer")
-    val orders = t(s, dir, "orders")
-    val lineitem = t(s, dir, "lineitem")
-    lineitem
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
-      .groupBy("n_name")
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-      .orderBy("n_name")
-  }
-
-  /** TPC-H Q6-shaped forecast-revenue: the canonical pure scan-filter
-    * aggregate — every predicate pushes to the parquet scan (row-group
-    * min/max skipping does the work at 100 TB; no shuffle at all, the
-    * single-row aggregate merges partials). */
-  private def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .filter(
-        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
-        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
-        col("l_quantity") < 24.0)
-      .agg(
-        dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
-        count(lit(1)).as("n_items"))
-
-  /** TPC-H Q4-shaped late-shipment priority count: orders with at least
-    * one line shipped > 60 days after the order date, counted by
-    * priority. The EXISTS is a LEFT SEMI join on the natural shuffle key
-    * (orderkey) — each order emits at most once no matter how many lines
-    * qualify, and the non-equi part (shipdate vs orderdate + 60d) rides
-    * INSIDE the semi-join condition, so no post-join dedup and no
-    * nested loop. */
-  private def q4LateOrders(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-    val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
-    o.join(l,
-        o("o_orderkey") === l("l_orderkey") &&
-          l("l_shipdate") > date_add(o("o_orderdate"), 60),
-        "left_semi")
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"))
-      .orderBy("o_orderpriority")
-  }
-
-  /** TPC-H Q14-shaped promo revenue share: both terms of the ratio as
-    * exact decimal sums in ONE conditional-aggregation pass (the ratio
-    * itself is left to the consumer — engine float division would break
-    * hash-exactness, and the two sums carry strictly more information).
-    * Part is the dimension: broadcast. */
-  private def q14PromoShare(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
-      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
-      .agg(
-        dsum(when(col("p_type") === "PROMO",
-          col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .otherwise(lit(0.0))).as("promo_revenue"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .as("total_revenue"),
-        count(lit(1)).as("n_items"))
-
-  /** TPC-H Q7-shaped bilateral volume shipping: revenue between a nation
-    * PAIR by ship year, both directions. The disjunctive pair predicate
-    * ((A,B) or (B,A)) cannot be pushed through the joins by Catalyst, so
-    * the necessary condition — supplier AND customer each belong to
-    * {A, B} — is applied manually at the DIM side: suppliers/customers
-    * join their (broadcast, 2-row-filtered) nation first, which prunes
-    * lineitem by supplier nation BEFORE the orders shuffle (at 100 TB
-    * that cuts the fact shuffle to ~2/|nations| of the log; the OR
-    * itself then filters a tiny joined frame). */
-  private def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
-    val pair = Seq("NATION_18", "NATION_19")
-    val nations = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
-    val sup = t(s, dir, "supplier")
-      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey").as("l_suppkey"), col("n_name").as("supp_nation"))
-    val cust = t(s, dir, "customer")
-      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("n_name").as("cust_nation"))
-    t(s, dir, "lineitem")
-      .join(broadcast(sup), Seq("l_suppkey"))
-      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .filter(
-        (col("supp_nation") === pair.head && col("cust_nation") === pair(1)) ||
-        (col("supp_nation") === pair(1) && col("cust_nation") === pair.head))
-      .groupBy(col("supp_nation"), col("cust_nation"),
-        year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-      .orderBy("supp_nation", "cust_nation", "l_year")
-  }
-
-  /** TPC-H Q10-shaped returned-item reporting: customers ranked by the
-    * revenue they returned in one quarter. Facts (lineitem⋈orders)
-    * shuffle on orderkey with BOTH filters pushed to the scans; the
-    * customer join shuffles on custkey (customer is fact-sized at scale
-    * — NOT broadcast); nation broadcasts. Top-20 plans as
-    * TakeOrderedAndProject, never a global sort. */
-  private def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
-    val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-      .orderBy(col("revenue").desc, col("c_custkey"))
-      .limit(20)
-  }
-
-  /** TPC-H Q13-shaped customer order-count distribution: orders per
-    * customer (LEFT join keeps the zero-order tail), then the histogram
-    * of those counts. Two aggregations, each collapsing map-side —
-    * the second one's input is |customers| rows and its output |distinct
-    * counts|, so only the first exchange ever sees data volume. */
-  private def q13OrderDistribution(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "customer")
-      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
-      .groupBy("c_custkey")
-      .agg(count(col("o_orderkey")).as("c_count"))
-      .groupBy("c_count")
-      .agg(count(lit(1)).as("custdist"))
-      .orderBy(col("custdist").desc, col("c_count").desc)
-
-  /** TPC-H Q18-shaped large-volume customers: orders whose total
-    * quantity crosses a threshold, with their customer. The HAVING
-    * aggregation reduces lineitem to qualifying orderkeys FIRST (one
-    * partial-agg shuffle on the join key itself), so the subsequent
-    * orders/customer joins run on the small qualifying set — the
-    * aggregate-before-join shape that at 100 TB turns a three-way fact
-    * join into one fact aggregation plus two slim joins. */
-  private def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
-    val big = t(s, dir, "lineitem")
-      .groupBy("l_orderkey")
-      .agg(dsum(col("l_quantity")).as("sum_qty"))
-      .filter(col("sum_qty") > 150.0)
-    big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      .limit(100)
-  }
-
-  /** TPC-H Q22-shaped idle-rich customers: above-average balance, no
-    * recent order, grouped by nation. The global average rides the plan
-    * as a 1-row broadcast crossJoin (the [[gapDetection]] idiom); the
-    * comparison is exact decimal cross-multiplication
-    * (acctbal·n > Σacctbal) so no engine ever divides — averages of
-    * doubles are order-dependent, products of decimals are not. The
-    * recent-order probe is a LEFT ANTI join on custkey: nothing moves
-    * but custkeys, and the anti side prunes at the exchange. */
-  private def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
-    val cust = t(s, dir, "customer")
-    val stats = cust.filter(col("c_acctbal") > 0.0)
-      .agg(
-        sum(col("c_acctbal").cast("decimal(30,6)")).as("sum_pos"),
-        count(lit(1)).as("n_pos"))
-    val recent = t(s, dir, "orders")
-      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
-      .select("o_custkey")
-    cust.crossJoin(broadcast(stats))
-      .filter(col("c_acctbal").cast("decimal(30,6)") * col("n_pos") > col("sum_pos"))
-      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
-      .groupBy(col("c_nationkey"))
-      .agg(
-        count(lit(1)).as("n_custs"),
-        dsum(col("c_acctbal")).as("total_acctbal"))
-      .orderBy("c_nationkey")
-  }
-
-  /** TPC-H Q2-shaped minimum-cost supplier. No `partsupp` table exists in
-    * this schema, so the supply relation is DERIVED: per (part, supplier),
-    * the minimum observed unit price over lineitem (min of a per-row IEEE
-    * division — deterministic in any engine; `min` is order-independent,
-    * unlike sums of doubles). The correlated `cost = (SELECT min ...)`
-    * subquery decorrelates to a per-part min + an equality join back —
-    * the classic magic-set rewrite, and the plan that survives 100 TB:
-    * two shuffles on `partkey`, dims broadcast, no nested loop. */
-  private def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
-    val supply = t(s, dir, "lineitem")
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
-    val eligible = supply
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
-        col("n_regionkey") === col("r_regionkey"))
-      .join(broadcast(t(s, dir, "part").filter(col("p_size") === 25)),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_partkey").as("p_partkey"), col("l_suppkey").as("s_suppkey"),
-        col("s_name"), col("n_name"), col("unit_cost"))
-    val mins = eligible.groupBy("p_partkey")
-      .agg(min("unit_cost").as("min_cost"))
-    eligible.join(mins, Seq("p_partkey"))
-      .filter(col("unit_cost") === col("min_cost"))
-      .select("p_partkey", "s_suppkey", "s_name", "n_name", "unit_cost")
-      .orderBy("p_partkey", "s_suppkey")
-      .limit(100)
-  }
-
-  /** TPC-H Q8-shaped national market share: both terms of the share
-    * ratio (one nation's revenue, all-nation revenue) per order year as
-    * exact decimal sums in one conditional pass — the [[q14PromoShare]]
-    * idiom applied to Q8's two-level aggregate. Customer region and part
-    * type prune the fact early through broadcast dims. */
-  private def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
-    val cust = t(s, dir, "customer")
-      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")),
-        col("n_regionkey") === col("r_regionkey"))
-      .select("c_custkey")
-    val sup = t(s, dir, "supplier")
-      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey").as("l_suppkey"), col("n_name").as("supp_nation"))
-    t(s, dir, "lineitem")
-      .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")),
-        col("l_partkey") === col("p_partkey"))
-      .join(t(s, dir, "orders")
-          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
-            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
-      .join(broadcast(sup), Seq("l_suppkey"))
-      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
-      .agg(
-        dsum(when(col("supp_nation") === "NATION_5",
-          col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .otherwise(lit(0.0))).as("nation_revenue"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"),
-        count(lit(1)).as("n_items"))
-      .orderBy("o_year")
-  }
-
-  /** TPC-H Q9-shaped product-type profit by (supplier nation, order
-    * year). No `partsupp.ps_supplycost` exists, so cost is adapted to
-    * `p_retailprice · l_quantity · 0.1` — per-row IEEE arithmetic both
-    * engines compute identically; the SUM is decimal-exact. The p_name
-    * LIKE filter prunes part first (broadcast), the orders join carries
-    * only qualifying lines. */
-  private def q9ProfitByNation(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .join(broadcast(t(s, dir, "part").filter(col("p_name").contains("red"))),
-        col("l_partkey") === col("p_partkey"))
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
-      .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
-      .agg(dsum(
-        col("l_extendedprice") * (lit(1) - col("l_discount")) -
-          col("p_retailprice") * col("l_quantity") * lit(0.1)).as("sum_profit"),
-        count(lit(1)).as("n_items"))
-      .orderBy(col("nation"), col("o_year").desc)
-
-  /** TPC-H Q11-shaped important stock: per-part supply value for one
-    * nation's suppliers, kept when value exceeds a fixed fraction of the
-    * nation's total — the HAVING-over-scalar-subquery shape. The total
-    * rides as a 1-row broadcast crossJoin and the threshold test is
-    * decimal cross-multiplication (`value·10000 > total`), never a
-    * division ([[q22IdleCustomers]] idiom). Two aggregations over ONE
-    * scan of the nation's lines; everything after the first groupBy is
-    * |parts|-sized. */
-  private def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
-    val natSup = t(s, dir, "supplier")
-      .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_7")),
-        col("s_nationkey") === col("n_nationkey"))
-      .select("s_suppkey")
-    val values = t(s, dir, "lineitem")
-      .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"), "left_semi")
-      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_retailprice")),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy("p_partkey")
-      .agg(sum((col("l_quantity") * col("p_retailprice")).cast("decimal(30,6)")).as("value_dec"))
-    val total = values.agg(sum(col("value_dec")).as("total_dec"))
-    values.crossJoin(broadcast(total))
-      .filter(col("value_dec") * 10000 > col("total_dec"))
-      .select(col("p_partkey"), col("value_dec").cast("double").as("value"))
-      .orderBy(col("value").desc, col("p_partkey"))
-  }
-
-  /** TPC-H Q12-shaped priority split (no `l_shipmode` column exists;
-    * `l_returnflag` stands in as the category): high- vs low-priority
-    * line counts per flag for a one-year ship window — the conditional
-    * two-count aggregate over a fact⨝fact equi-join on orderkey. */
-  private def q12PriorityByFlag(s: SparkSession, dir: String): DataFrame = {
-    val high = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
-    t(s, dir, "lineitem")
-      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-      .join(t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy("l_returnflag")
-      .agg(
-        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
-        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
-      .orderBy("l_returnflag")
-  }
-
-  /** TPC-H Q15-shaped top supplier(s): quarterly revenue per supplier,
-    * return those achieving the maximum. Revenue stays DECIMAL through
-    * the max-equality join (exact tie semantics; doubles would make
-    * "equals the max" engine-dependent), cast to double only on output.
-    * The max is a 1-row broadcast — the view+subquery of the original
-    * decorrelated to agg → crossJoin → filter. */
-  private def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
-    val revenue = t(s, dir, "lineitem")
-      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
-      .groupBy("l_suppkey")
-      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast("decimal(30,6)")).as("rev_dec"))
-    val top = revenue.agg(max(col("rev_dec")).as("max_rev"))
-    revenue.crossJoin(broadcast(top))
-      .filter(col("rev_dec") === col("max_rev"))
-      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_suppkey"), col("s_name"),
-        col("rev_dec").cast("double").as("total_revenue"))
-      .orderBy("s_suppkey")
-  }
-
-  /** TPC-H Q16-shaped supplier counts per part attribute. The supply
-    * relation is the DISTINCT (part, supplier) pairs observed in
-    * lineitem (no partsupp table); the complaints exclusion is adapted
-    * to a deterministic name predicate. COUNT(DISTINCT) shuffles only
-    * the already-distinct pair frame; part attributes ride a broadcast. */
-  private def q16SupplierCounts(s: SparkSession, dir: String): DataFrame = {
-    val badSup = t(s, dir, "supplier")
-      .filter(col("s_name").endsWith("7")).select("s_suppkey")
-    val parts = t(s, dir, "part")
-      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
-        col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
-    t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-      .join(badSup, col("l_suppkey") === col("s_suppkey"), "left_anti")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-      .groupBy("p_brand", "p_type", "p_size")
-      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
-      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
-      .limit(100)
-  }
-
-  /** TPC-H Q17-shaped small-quantity revenue: lines of one brand+type
-    * whose quantity is below 20% of the part's average quantity. The
-    * correlated AVG decorrelates to a per-part (sum, count) + join-back,
-    * and the `qty < 0.2·avg` test is exact integer/decimal
-    * cross-multiplication `qty·5·cnt < sum` — no engine divides, so no
-    * float threshold can disagree at the boundary. */
-  private def q17SmallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val brandParts = t(s, dir, "part")
-      .filter(col("p_brand") === "Brand#23" && col("p_type") === "SMALL")
-      .select("p_partkey")
-    val stats = li
-      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
-      .groupBy("l_partkey")
-      .agg(sum(col("l_quantity").cast("decimal(30,6)")).as("sum_qty"),
-        count(lit(1)).as("cnt"))
-      .withColumnRenamed("l_partkey", "p_partkey")
-    li.join(broadcast(stats), col("l_partkey") === col("p_partkey"))
-      .filter(col("l_quantity").cast("decimal(30,6)") * 5 * col("cnt") < col("sum_qty"))
-      .agg(dsum(col("l_extendedprice")).as("total_extprice"),
-        count(lit(1)).as("n_items"))
-  }
-
-  /** TPC-H Q19-shaped disjunctive revenue: OR of three (brand,
-    * size-range, quantity-range) conjunct groups. Catalyst extracts the
-    * common `l_quantity` bounds and the part-side disjuncts as pushable
-    * conjuncts (OR-of-ANDs factoring), so both scans prune before the
-    * broadcast join evaluates the residual OR exactly. */
-  private def q19DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val p = t(s, dir, "part")
-    val cond =
-      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
-        col("l_quantity").between(1, 11)) ||
-      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
-        col("l_quantity").between(10, 20)) ||
-      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
-        col("l_quantity").between(20, 30))
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .filter(cond)
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
-        count(lit(1)).as("n_items"))
-  }
-
-  /** TPC-H Q20-shaped excess suppliers: suppliers in one nation whose
-    * 1997 shipped quantity of matching parts exceeds a threshold — the
-    * nested IN-chain (supplier IN ... partsupp IN ... part) decorrelated
-    * to agg → HAVING → LEFT SEMI into the supplier dim. Threshold test
-    * on the decimal sum; only suppkeys cross the final exchange. */
-  private def q20ExcessSuppliers(s: SparkSession, dir: String): DataFrame = {
-    val redParts = t(s, dir, "part")
-      .filter(col("p_name").contains("red")).select("p_partkey")
-    val shipped = t(s, dir, "lineitem")
-      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
-      .groupBy("l_suppkey")
-      .agg(sum(col("l_quantity").cast("decimal(30,6)")).as("qty"))
-      .filter(col("qty") > lit(50).cast("decimal(30,6)"))
-      .select("l_suppkey")
-    t(s, dir, "supplier")
-      .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
-        col("s_nationkey") === col("n_nationkey"))
-      .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
-      .select("s_suppkey", "s_name")
-      .orderBy("s_suppkey")
-  }
-
-  /** TPC-H Q21-shaped waiting-inducing suppliers. The schema has no
-    * commit/receipt dates, so "kept the order waiting" is adapted to
-    * ship-time semantics with the SAME exists/not-exists shape: in a
-    * finished multi-supplier order, the supplier whose latest line
-    * shipped STRICTLY after every other supplier's (the unique latest
-    * shipper). Both correlated EXISTS decorrelate to per-order counts:
-    * (order, supplier) max-shipdate → per-order max + achiever count —
-    * two co-partitioned aggregations on orderkey, no self-join blowup,
-    * ties excluded exactly (timestamp equality, no float). */
-  private def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
-    val finished = t(s, dir, "orders")
-      .filter(col("o_orderstatus") === "F").select("o_orderkey")
-    val perPair = t(s, dir, "lineitem")
-      .join(finished, col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .groupBy("l_orderkey", "l_suppkey")
-      .agg(max(col("l_shipdate")).as("last_ship"))
-    val perOrder = perPair.groupBy("l_orderkey")
-      .agg(max(col("last_ship")).as("order_last"), count(lit(1)).as("n_supp"))
-    val achievers = perPair.join(perOrder, Seq("l_orderkey"))
-      .filter(col("last_ship") === col("order_last") && col("n_supp") > 1)
-    val unique = achievers.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("n_ach")).filter(col("n_ach") === 1)
-    achievers.join(unique, Seq("l_orderkey"), "left_semi")
-      .join(broadcast(t(s, dir, "supplier")
-          .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_11")),
-            col("s_nationkey") === col("n_nationkey"))),
-        col("l_suppkey") === col("s_suppkey"))
-      .groupBy("s_name")
-      .agg(count(lit(1)).as("numwait"))
-      .orderBy(col("numwait").desc, col("s_name"))
-      .limit(20)
-  }
-
-  /** Window top-k: 3 priciest parts per brand. */
-  private def topPartsPerBrand(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey"))
-    t(s, dir, "part")
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3L)
-      .select("p_brand", "rnk", "p_partkey", "p_retailprice")
-      .orderBy("p_brand", "rnk")
-  }
-
-  /** Top suppliers by account balance per nation: broadcast dim join +
-    * window top-k over the supplier table. */
-  private def topSuppliersPerNation(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("n_name").orderBy(col("s_acctbal").desc, col("s_suppkey"))
-    t(s, dir, "supplier")
-      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3L)
-      .select("n_name", "rnk", "s_suppkey", "s_acctbal")
-      .orderBy("n_name", "rnk")
-  }
-
-  /** Market-basket co-purchase pairs ([[graft.operators.Baskets
-    * .cooccurrence]]): parts bought together in the same order, support
-    * >= 2, top pairs. The cap (512) never triggers on this data — the
-    * gate is exact vs the oracle's self-join formulation; BasketsSpec
-    * proves the capped path separately. Two keyed exchanges total vs
-    * the self-join's three. */
-  private def copurchasePairs(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Baskets.cooccurrence(
-        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
-      .select(col("a").as("p_a"), col("b").as("p_b"), col("n_baskets"))
-      .orderBy(col("n_baskets").desc, col("p_a"), col("p_b"))
-      .limit(200)
-
-  /** Directional association rules ([[graft.operators.Baskets
-    * .ruleStats]]): integer confidence/lift ingredients per co-purchase
-    * direction — counts only, no engine divides. */
-  private def basketRules(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Baskets.ruleStats(
-        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 3L)
-      .orderBy(col("n_ab").desc, col("a"), col("b"))
-      .limit(100)
-
-  /** Batch MERGE ([[graft.operators.Merge.upsert]]): the customer
-    * snapshot after a change set derived from 2001 orders — balance
-    * updated to the max 2001 order price, every 5th changed customer
-    * deleted. One full-outer join on the key; the oracle states the
-    * same MERGE as LEFT JOIN + COALESCE + delete filter. */
-  private def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
-    val updates = t(s, dir, "orders")
-      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
-      .groupBy(col("o_custkey").as("c_custkey"))
-      .agg(max(col("o_totalprice")).as("c_acctbal"))
-      .withColumn("del", col("c_custkey") % 5 === 0)
-    graft.operators.Merge.upsert(
-        t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal"),
-        updates, Seq("c_custkey"), deleteCol = Some("del"))
-      .orderBy("c_custkey")
-  }
-
-  /** Self-maintainable rollup ([[graft.operators.Merge.maintainAgg]]):
-    * the monthly revenue rollup maintained from a BASE AGGREGATE plus an
-    * insert delta (orderkey ≡ 0 mod 8 plays the newly-arrived partition)
-    * — bit-equal to the full recompute the oracle runs, because the sums
-    * are exact decimals and decimal addition is associative. The gate
-    * proves the maintenance identity; the 100 TB point is the cost
-    * asymmetry (delta scan + megabyte rollup merge vs a full history
-    * rescan). */
-  private def incrementalRollup(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders").select(
-      col("o_orderkey"),
-      year(col("o_orderdate")).cast("long").as("y"),
-      month(col("o_orderdate")).cast("long").as("m"),
-      col("o_orderstatus").as("status"),
-      col("o_totalprice").cast("decimal(30,6)").as("rev"))
-    val baseAgg = o.filter(pmod(col("o_orderkey"), lit(8)) =!= 0)
-      .groupBy("y", "m", "status")
-      .agg(sum(col("rev")).as("rev"), count(lit(1)).as("n_orders"))
-    graft.operators.Merge.maintainAgg(
-        baseAgg, o.filter(pmod(col("o_orderkey"), lit(8)) === 0),
-        Seq("y", "m", "status"), Seq("rev"), "n_orders")
-      .select(col("y"), col("m"), col("status"),
-        col("rev").cast("double").as("revenue"), col("n_orders"))
-      .orderBy("y", "m", "status")
-  }
-
-  /** Common-neighbor link prediction ([[Graph.commonNeighborLinks]])
-    * over the co-purchase graph (edges = part pairs bought together in
-    * ≥2 orders): the top-100 part pairs NOT bought together that share
-    * the most co-purchase partners — integer (n_common, deg_a, deg_b)
-    * ingredients, uncapped on this bounded-degree graph. */
-  private def linkPrediction(s: SparkSession, dir: String): DataFrame = {
-    val edges = graft.operators.Baskets.cooccurrence(
-        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
-      .select(col("a").as("src"), col("b").as("dst"))
-    graft.operators.Graph.commonNeighborLinks(edges)
-      .orderBy(col("n_common").desc, col("a"), col("b"))
-      .limit(100)
-  }
-
-  /** Contiguous sequential patterns ([[Behavioral.sequentialPatterns]]):
-    * the top event-type trigrams across user timelines, support ≥ 2. */
-  private def seqPatterns(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Behavioral.sequentialPatterns(t(s, dir, "events"),
-        "user_id", "event_id", "event_type", len = 3, minSupport = 2L)
-      .orderBy(col("support").desc, col("s0"), col("s1"), col("s2"))
-      .limit(50)
-
-  /** Last-touch attribution ([[Behavioral.lastTouchAttribution]]):
-    * every purchase claims the user's most recent preceding view. */
-  private def attributionLastTouch(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Behavioral.lastTouchAttribution(t(s, dir, "events"),
-        "user_id", "event_id", "event_type",
-        touchType = "view", convType = "purchase")
-      .orderBy("user_id", "conv_ord")
-
-  /** Exact rolling 7-day distinct actives
-    * ([[Behavioral.rollingActiveUsers]]): DAU + trailing-week actives
-    * per day, via forward event replication (no windowed DISTINCT). */
-  private def rollingActives(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Behavioral.rollingActiveUsers(
-        eventsNs(s, dir).withColumn("day", expr("ts div 86400000000000")),
-        "user_id", "day", window = 7)
-      .orderBy("day")
-
-  /** RFM segmentation ([[Behavioral.rfmScores]]): quintile-scored
-    * recency/frequency/monetary per user over the events table. */
-  private def rfmScoresQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Behavioral.rfmScores(t(s, dir, "events"),
-        "user_id", "event_id", "value", tiles = 5)
-      .orderBy("user_id")
-
-  /** Multi-source BFS ([[Graph.khopDistances]]): hop distance from the
-    * flagged seed parts (p_partkey < 25) through the co-purchase graph,
-    * up to 3 hops — the contamination blast-radius query. */
-  private def khopDistancesQuery(s: SparkSession, dir: String): DataFrame = {
-    val edges = graft.operators.Baskets.cooccurrence(
-        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
-      .select(col("a").as("src"), col("b").as("dst"))
-    val seeds = t(s, dir, "part").filter(col("p_partkey") < 25)
-      .select(col("p_partkey").as("node"))
-    graft.operators.Graph.khopDistances(edges, seeds, maxHops = 3)
-      .orderBy("node")
-  }
-
-  /** Time-bucketed aggregation over order dates. */
-  private def ordersMonthly(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .groupBy(
-        year(col("o_orderdate")).cast("long").as("y"),
-        month(col("o_orderdate")).cast("long").as("m"))
-      .agg(
-        count(lit(1)).as("n_orders"),
-        dsum(col("o_totalprice")).as("total"))
-      .orderBy("y", "m")
-
-  /** Exact distinct + grouped distinct — the oracle-checkable counterpart
-    * of Bench's approx_distinct_counts (HLL sketches are engine-specific,
-    * so the approximate variant has no cross-engine oracle). */
-  private def distinctCounts(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        countDistinct(col("l_partkey")).as("parts"),
-        countDistinct(col("l_suppkey")).as("supps"))
-      .orderBy("l_returnflag")
-
-  /** Hierarchical ROLLUP report: revenue at (region, nation), region
-    * subtotal, and grand-total levels in ONE aggregation — Spark's
-    * `rollup` expands grouping sets inside a single partial-agg tree, so
-    * the detail level is aggregated once and the coarser levels reduce
-    * from tiny intermediate frames (no re-scan per level, unlike a UNION
-    * of three GROUP BYs). `lvl` is `grouping_id()` (bit i set = column i
-    * rolled up), identical to DuckDB `GROUPING(r_name, n_name)`. Dims
-    * broadcast; the orders→customer join shuffles once on custkey. */
-  private def rollupReport(s: SparkSession, dir: String): DataFrame =
-    // SQL rather than Dataset `.rollup`: rollup's Expand reuses the
-    // grouping attrs' exprIds, and with keys sourced from two joined
-    // Datasets the DetectAmbiguousSelfJoin rule false-positives on the
-    // expanded duplicates; the SQL path carries no per-Dataset ids.
-    // `grouping_id()` = DuckDB `GROUPING(r_name, n_name)` bit-for-bit.
-    s.sql(
-      s"""SELECT /*+ BROADCAST(n, r) */
-                 r_name AS region_name, n_name AS nation_name,
-                 CAST(grouping_id() AS BIGINT) AS lvl,
-                 count(*) AS n_orders,
-                 CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
-          FROM parquet.`$dir/orders.parquet` o
-          JOIN parquet.`$dir/customer.parquet` c ON o_custkey = c_custkey
-          JOIN parquet.`$dir/nation.parquet` n ON c_nationkey = n_nationkey
-          JOIN parquet.`$dir/region.parquet` r ON n_regionkey = r_regionkey
-          GROUP BY ROLLUP(r_name, n_name)
-          ORDER BY lvl, coalesce(region_name, ''), coalesce(nation_name, '')""")
-
-  /** CUBE report over (mktsegment, orderpriority): all four grouping
-    * sets — detail, each single-dimension margin, grand total — in ONE
-    * Expand + aggregation pass over orders (same single-scan argument as
-    * [[rollupReport]]; CUBE's extra sets multiply the Expand's row
-    * factor, not the scan count). Pure single-table, so no join
-    * ambiguity and the Dataset `.cube` API applies directly. */
-  private def cubeReport(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(
-        grouping_id().cast("long").as("lvl"),
-        count(lit(1)).as("n_orders"),
-        dsum(col("o_totalprice")).as("revenue"))
-      .orderBy(col("lvl"),
-        coalesce(col("o_orderstatus"), lit("")),
-        coalesce(col("o_orderpriority"), lit("")))
-
-  /** PIVOT: per-user event-type count matrix — the long→wide reshape of
-    * §2.4's aggregation family. The explicit value list keeps the output
-    * schema static (no discovery pass over the data, which at 100 TB
-    * would cost an extra distinct scan); the pivot itself compiles to
-    * ONE conditional aggregation over a single shuffle on the group key,
-    * identical to the CASE-WHEN formulation the oracle spells out. */
-  private def eventTypePivot(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy("user_id")
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-      .agg(count(lit(1)))
-      .na.fill(0L)
-      .orderBy("user_id")
-
-  /** Ordered conversion funnel over the event log
-    * ([[graft.operators.Behavioral.funnel]]). */
-  private def funnelSteps(s: SparkSession, dir: String): DataFrame = {
-    val ev = eventsNs(s, dir)
-      .withColumn("ts_us", graft.streaming.EventTimeOps.floorDivMicros(col("ts")))
-    graft.operators.Behavioral.funnel(ev, "user_id", "event_type", "ts_us",
-        Seq("signup", "view", "click", "purchase"))
-      .orderBy("step")
-  }
-
-  /** Weekly cohort retention grid
-    * ([[graft.operators.Behavioral.cohortRetention]]). */
-  private def cohortRetentionQuery(s: SparkSession, dir: String): DataFrame = {
-    val ev = eventsNs(s, dir)
-      .withColumn("ts_us", graft.streaming.EventTimeOps.floorDivMicros(col("ts")))
-    graft.operators.Behavioral.cohortRetention(ev, "user_id", "ts_us")
-      .orderBy("cohort_week", "week_offset")
-  }
-
-  /** Per-source length deciles via `ntile` — the binning step before
-    * stratified filtering (keep the middle deciles, drop the tails).
-    * The (n_chars, doc_id) sort key is total, so tile assignment is
-    * deterministic and engine-identical. One shuffle on source; sort
-    * runs are bounded by source size (same shape as stratifiedSample). */
-  private def lengthDeciles(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
-    t(s, dir, "documents")
-      .withColumn("decile", ntile(10).over(w).cast("long"))
-      .select("source", "doc_id", "n_chars", "decile")
-      .orderBy("source", "doc_id")
-  }
-
-  /** Exact frequent tokens via the Misra–Gries sketch-then-recount plan
-    * ([[graft.operators.HeavyHitters.frequentTokens]]): tokens with
-    * count ≥ ceil(N/200), k = 511 counters (divisor < k+1 ⇒ provably
-    * exact — the oracle is the naive global GROUP BY). */
-  private def frequentTokensQuery(s: SparkSession, dir: String): DataFrame = {
-    val tokens = t(s, dir, "documents")
-      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
-    graft.operators.HeavyHitters.frequentTokens(tokens, "word", k = 511, divisor = 200L)
-      .orderBy("word")
-  }
-
-  /** DSIR importance scores ([[graft.operators.Dsir.importanceWeights]]):
-    * hashed-unigram likelihood-ratio of the src18 slice vs the whole
-    * corpus, in fixed-point integer arithmetic. */
-  private def dsirWeights(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Dsir.importanceWeights(
-        t(s, dir, "documents"), "doc_id", "text",
-        isTarget = col("source") === "src18", buckets = 4096)
-      .orderBy("doc_id")
-
-  /** Robust per-source length outliers by exact median-absolute-deviation
-    * ([[graft.operators.Stats.madOutliers]], k = 3): the documents whose
-    * length sits more than 3 MADs from their source's median. */
-  private def madOutliersQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.madOutliers(
-        t(s, dir, "documents"), "source", "doc_id", "n_chars")
-      .orderBy("doc_id")
-
-  /** Per-source length-distribution drift vs the rest of the corpus
-    * ([[graft.operators.Stats.ksDrift]]): exact two-sample KS statistic
-    * as an integer fraction — no floating point anywhere. */
-  private def ksDriftQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.ksDrift(t(s, dir, "documents"), "source", "n_chars")
-      .orderBy("source")
-
-  /** Triangle counts on the MONTH-SLICED co-supplier graph (suppliers
-    * sharing a March-1995 order; the slice is what keeps the graph
-    * co-occurrence-shaped — the all-time graph converges on a complete
-    * graph as orders accumulate, which no triangle algorithm outruns,
-    * and real co-occurrence analyses window for exactly this reason).
-    * Edge generation is a lineitem self-join bounded by order size;
-    * counting is [[graft.operators.Graph.triangleCounts]]'s
-    * degree-ordered wedge enumeration, oracled against the naive u<v
-    * triple join it provably equals. */
-  private def triangleCountsQuery(s: SparkSession, dir: String): DataFrame = {
-    val march = t(s, dir, "orders")
-      .filter(col("o_orderdate") >= lit("1995-03-01") &&
-        col("o_orderdate") < lit("1995-04-01"))
-      .select(col("o_orderkey").as("ok"))
-    val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .join(march, Seq("ok"))
-    val e = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
-      .select(col("a.sk").as("src"), col("b.sk").as("dst"))
-    graft.operators.Graph.triangleCounts(e).orderBy("node")
-  }
-
-  // ==================================================================
-  // LLM-data-pipeline extension operators (graft.operators)
-  // ==================================================================
-
-  import graft.operators.{Dedup, Graph, Lexical, Similarity, SkewJoin, TextAnalysis, TextCorpus, Multimodal}
-
-  /** Documents with synthetic duplicates/near-duplicates mixed in (the
-    * base table is all-distinct): a full copy of doc_id<100 (exact dups)
-    * and a prefix-truncated copy of doc_id<40 (near dups), with shifted
-    * ids. SQL-expressible so oracles can build the same corpus. */
-  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select("doc_id", "text")
-    d.unionAll(
-        d.filter(col("doc_id") < 100)
-          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-      .unionAll(
-        d.filter(col("doc_id") < 40)
-          .select((col("doc_id") + 20000).as("doc_id"),
-            col("text").substr(lit(11), lit(100000)).as("text")))
-  }
-
-  private val docsWithDupsSql =
-    """(SELECT doc_id, text FROM documents
-        UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
-        UNION ALL SELECT doc_id + 20000, substr(text, 11) FROM documents WHERE doc_id < 40)"""
-
-  /** Exact dedup groups by content hash (Dedup.exactGroups). */
-  private def dedupExactGroups(s: SparkSession, dir: String): DataFrame =
-    Dedup.exactGroups(docsWithDups(s, dir), "text", "doc_id")
-      .orderBy("content_hash")
-
-  /** Surviving ids after exact dedup (Dedup.exactDedup). */
-  private def dedupExactSurvivors(s: SparkSession, dir: String): DataFrame =
-    Dedup.exactDedup(docsWithDups(s, dir), "text", "doc_id")
-      .select("doc_id")
-      .orderBy("doc_id")
-
-  /** Token counting (TextAnalysis.tokenCount). */
-  private def textTokenCounts(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-      .orderBy("doc_id")
-
-  /** BPE-ish subword token estimate (TextAnalysis.bpeTokenEstimate). */
-  private def textBpeTokens(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.bpeTokenEstimate(col("text")).as("n_bpe"))
-      .orderBy("doc_id")
-
-  /** Quality-scoring ratios — one native single-pass stats expression
-    * ([[graft.functions.TextStats]]), bit-identical to the per-metric HOF
-    * formulations in TextAnalysis. */
-  private def textQualityRatios(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("_st", graft.functions.TextStats.textStats(col("text")))
-      .select(
-        col("doc_id"),
-        col("_st.alpha_ratio").as("alpha_ratio"),
-        col("_st.punct_ratio").as("punct_ratio"),
-        col("_st.stopword_ratio").as("stopword_ratio"),
-        col("_st.mean_token_len").as("mean_token_len"))
-      .orderBy("doc_id")
-
-  /** Language-ID heuristic (TextAnalysis.languageId) vs the labeled lang. */
-  private def langId(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(
-        col("doc_id"), col("lang"),
-        TextAnalysis.languageId(col("text")).as("lang_id"))
-      .orderBy("doc_id")
-
-  /** Document fingerprint: md5 of the sorted distinct token set. */
-  private def docFingerprints(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.tokenSetFingerprint(col("text")).as("fingerprint"))
-      .orderBy("doc_id")
-
-  /** Compression-ratio quality signal (TextAnalysis.compressionStats):
-    * UTF-8 bytes vs deflated bytes per document. No second engine
-    * implements deflate, so the oracle pins the committed golden CSV
-    * (generated from this query at sf0.01 — the gate's scale); the
-    * golden's self-consistency with the live zlib is re-proven by
-    * CompressSpec on every test run. */
-  private def compressionSignal(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.compressionStats(t(s, dir, "documents")).orderBy("doc_id")
-
-  /** Canonicalization before dedup (TextCorpus.normalizeDocs). */
-  private def textNormalize(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.normalizeDocs(t(s, dir, "documents")).orderBy("doc_id")
-
-  /** Gopher-style repetition counters (TextCorpus.repetitionStats). */
-  private def repetitionStats(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.repetitionStats(t(s, dir, "documents")).orderBy("doc_id")
-
-  /** Corpus-wide top-20 bigrams (TextCorpus.topNgrams). */
-  private def topNgramsQuery(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.topNgrams(t(s, dir, "documents"), n = 2, k = 20)
-
-  /** Cross-source exact-overlap matrix (TextCorpus.sourceOverlap) over
-    * the documents plus a 'mirror' source that copies doc_id<100 — the
-    * base table is all-distinct, so the mirror is what makes overlap
-    * observable (same construction idea as [[docsWithDups]]). */
-  private def sourceOverlapQuery(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    val corpus = d.select(col("text"), col("source")).unionAll(
-      d.filter(col("doc_id") < 100).select(col("text"), lit("mirror").as("source")))
-    TextCorpus.sourceOverlap(corpus).orderBy("source_a", "source_b")
-  }
-
-  /** Intra-document paragraph dedup (TextCorpus.dedupParagraphs) over
-    * documents assembled from slices of the base text, with the first
-    * slice repeated on doc_id%3 — SQL-expressible so the oracle builds
-    * the identical corpus. */
-  private def paraDedup(s: SparkSession, dir: String): DataFrame = {
-    val p1 = col("text").substr(1, 60)
-    val p2 = col("text").substr(31, 60)
-    val assembled = t(s, dir, "documents").select(
-      col("doc_id"),
-      when(col("doc_id") % 3 === 0, concat_ws("@@", p1, p2, p1, p1))
-        .otherwise(concat_ws("@@", p1, p2)).as("text"))
-    TextCorpus.dedupParagraphs(assembled, sep = "@@").orderBy("doc_id")
-  }
-
-  /** Context-window chunking (TextCorpus.chunkWindows): 32-token
-    * windows advancing by 16 — overlapping pretraining contexts. */
-  private def chunkWindowsQuery(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.chunkWindows(t(s, dir, "documents"), windowSize = 32, stride = 16)
-      .orderBy("doc_id", "chunk_idx")
-
-  /** Per-source distinctive terms (TextCorpus.distinctiveTerms): top-10
-    * integer-ranked signature words per source. */
-  private def distinctiveTermsQuery(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.distinctiveTerms(t(s, dir, "documents"), k = 10)
-      .orderBy("source", "rank")
-
-  /** Per-doc keyword extraction ([[TextCorpus.docKeywords]]): top-3
-    * tokens per document by the integer TF-IDF ordering; df is
-    * corpus-wide, output restricted to doc_id < 200 to bound the gate. */
-  private def docKeywordsQuery(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.docKeywords(t(s, dir, "documents"), k = 3)
-      .filter(col("doc_id") < 200)
-      .orderBy("doc_id", "rank")
-
-  /** BM25 lexical top-k ([[operators.Lexical.bm25TopK]]): three queries
-    * drawn deterministically from the corpus itself (first 6 tokens of
-    * docs 7/123/456), top-10 docs each, fixed-point integer scores. */
-  private def bm25TopK(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val qs = docs.filter(col("doc_id").isin(7L, 123L, 456L))
-      .select(col("doc_id").as("query_id"),
-        array_join(slice(TextAnalysis.tokens(col("text")), 1, 6), " ")
-          .as("query_text"))
-    Lexical.bm25TopK(docs, qs, k = 10).orderBy("query_id", "rank")
-  }
-
-  /** Hybrid retrieval ([[operators.Retrieval.rrfFuse]]): BM25 lexical
-    * top-10 fused with brute-force dot-product vector top-10 by
-    * integer-fixed-point Reciprocal Rank Fusion — the RAG-stack merge
-    * step. Query ids 7/123/456 on BOTH sides (documents and embeddings
-    * share the id space), so the oracle is the two existing retriever
-    * oracles' CTEs plus exact integer fusion arithmetic. */
-  private def hybridRrfTopK(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val qs = docs.filter(col("doc_id").isin(7L, 123L, 456L))
-      .select(col("doc_id").as("query_id"),
-        array_join(slice(TextAnalysis.tokens(col("text")), 1, 6), " ")
-          .as("query_text"))
-    val lex = Lexical.bm25TopK(docs, qs, k = 10)
-      .select("query_id", "doc_id", "rank")
-    val emb = t(s, dir, "embeddings")
-    val vec = Similarity.bruteForceTopK(
-        emb, emb.filter(col("vec_id").isin(7L, 123L, 456L)), k = 10,
-        metric = Similarity.dot)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-    graft.operators.Retrieval.rrfFuse(Seq(lex, vec), rrfK = 60, topK = 10)
-      .orderBy("query_id", "rank")
-  }
-
-  /** Bigram LM quality score ([[operators.Lexical.bigramLmScore]]):
-    * fit on the corpus, score the corpus — the perplexity-filter
-    * analog in engine-exact fixed point. */
-  private def lmBigramScore(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    Lexical.bigramLmScore(docs, docs).orderBy("doc_id")
-  }
-
-  /** Corpus snapshot diff (TextCorpus.corpusDiff): old = documents, new
-    * = documents with deterministic mutations (doc_id%97 removed,
-    * doc_id%13 edited, copies of doc_id<25 added at +10000) — the gate
-    * exercises all three delta classes. */
-  private def corpusDiffQuery(s: SparkSession, dir: String): DataFrame = {
-    val old = t(s, dir, "documents").select("doc_id", "text")
-    val nw = old.filter(col("doc_id") % 97 =!= 0)
-      .select(col("doc_id"),
-        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" zz")))
-          .otherwise(col("text")).as("text"))
-      .unionAll(old.filter(col("doc_id") < 25)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-    TextCorpus.corpusDiff(old, nw).orderBy("doc_id")
-  }
-
-  /** Fixed-point PageRank ([[operators.Graph.pageRank]], 5 iterations)
-    * over the symmetrized customer↔supplier purchase graph from
-    * orders⋈lineitem — iterative join+aggregate over the two largest
-    * tables. */
-  private def purchasePagerank(s: SparkSession, dir: String): DataFrame = {
-    val cs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-    val edges = cs.unionAll(cs.select(col("dst").as("src"), col("src").as("dst")))
-    Graph.pageRank(edges, iters = 5).orderBy("node")
-  }
-
-  /** Personalized PageRank ([[Graph.personalizedPageRank]]) over the
-    * same purchase graph, seeded at customers 1-20 — "suppliers and
-    * customers important RELATIVE to this cohort", the related-entity
-    * expansion a global rank can't answer. Zero-rank (unreached) nodes
-    * filtered: the interesting output is the reached neighborhood. */
-  private def personalizedPagerank(s: SparkSession, dir: String): DataFrame = {
-    val cs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-    val edges = cs.unionAll(cs.select(col("dst").as("src"), col("src").as("dst")))
-    val seeds = t(s, dir, "customer").filter(col("c_custkey") <= 20)
-      .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
-    Graph.personalizedPageRank(edges, seeds, iters = 5)
-      .filter(col("rank_fp") > 0)
-      .orderBy("node")
-  }
-
-  /** Label-propagation communities ([[graft.operators.Graph
-    * .labelPropagation]]) over the same customer–supplier purchase
-    * graph as `purchase_pagerank`, 3 synchronous rounds with the
-    * deterministic (count desc, label asc) mode rule. */
-  private def labelCommunities(s: SparkSession, dir: String): DataFrame = {
-    val cs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-    Graph.labelPropagation(cs, iters = 3).orderBy("node")
-  }
-
-  /** Feature-hashing TF vectors ([[operators.Lexical.hashedTfVectors]],
-    * dim 64): vocabulary-free signed sparse vectors, md5-bucketed. */
-  private def hashedTf(s: SparkSession, dir: String): DataFrame =
-    Lexical.hashedTfVectors(t(s, dir, "documents"), dim = 64)
-      .orderBy("doc_id", "bucket")
-
-  /** Linear quality-classifier inference over hashed-TF features
-    * ([[operators.Lexical.hashedLinearLogit]]) — model scoring as a pure
-    * scan-side projection + one per-doc aggregation. */
-  private def qualityLrLogit(s: SparkSession, dir: String): DataFrame =
-    Lexical.hashedLinearLogit(t(s, dir, "documents"), dim = 64)
-      .orderBy("doc_id")
-
-  /** The documents table with deterministic planted footers (doc_id
-    * multiples of 3 and 5 get shared trailing lines) — the observable
-    * fixture for the cross-document line-boilerplate family, same
-    * construction idea as [[docsWithDups]]. */
-  private def docsWithFooters(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
-      concat(col("text"),
-        when(col("doc_id") % 3 === 0, lit("\nall rights reserved footer"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 5 === 0, lit("\nsubscribe to the newsletter"))
-          .otherwise(lit(""))).as("text"))
-
-  private val docsWithFootersSql =
-    """(SELECT doc_id,
-         text || CASE WHEN doc_id % 3 = 0
-                   THEN chr(10) || 'all rights reserved footer' ELSE '' END
-              || CASE WHEN doc_id % 5 = 0
-                   THEN chr(10) || 'subscribe to the newsletter' ELSE '' END AS text
-       FROM documents)"""
-
-  /** C4/CCNet-style cross-document line boilerplate audit
-    * ([[operators.TextCorpus.boilerplateStats]]): per-doc distinct-line
-    * and boilerplate-line counts at document frequency ≥ 2. */
-  private def lineBoilerplate(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.boilerplateStats(docsWithFooters(s, dir), minDocs = 2L)
-      .orderBy("doc_id")
-
-  /** The removal twin ([[operators.TextCorpus.stripBoilerplate]]): the
-    * rewritten corpus with df ≥ 2 lines stripped, order preserved. */
-  private def lineStrip(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.stripBoilerplate(docsWithFooters(s, dir), minDocs = 2L)
-      .orderBy("doc_id")
-
-  /** k-anonymity audit ([[operators.Pii.kAnonymityClasses]]) over the
-    * customer release with (nation, market segment) as quasi-identifiers
-    * at k = 12: equivalence-class sizes + the suppression verdict. */
-  private def kAnonymityQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Pii.kAnonymityClasses(t(s, dir, "customer"),
-        Seq("c_nationkey", "c_mktsegment"), k = 12L)
-      .orderBy("c_nationkey", "c_mktsegment")
-
-  /** Price-bracket containment lookup
-    * ([[operators.RangeJoin.bucketedRangeJoin]]): overlapping `[lo, hi)`
-    * brackets against lineitem prices — the point-in-interval theta join
-    * (naively a nested loop) re-expressed as a broadcast equi-join on
-    * width-500 buckets plus the exact residual. */
-  private def rangeBracketJoin(s: SparkSession, dir: String): DataFrame = {
-    val brackets = s.range(10).select(
-      col("id").as("bracket_id"),
-      (col("id") * 900).cast("double").as("lo"),
-      (col("id") * 900 + 1000).cast("double").as("hi"))
-    graft.operators.RangeJoin.bucketedRangeJoin(
-        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
-        brackets, "l_extendedprice", "lo", "hi", bucketWidth = 500L)
-      .groupBy("bracket_id")
-      .agg(
-        count(lit(1)).as("n_items"),
-        dsum(col("l_extendedprice")).as("price_sum"))
-      .orderBy("bracket_id")
-  }
-
-  /** Salted skew join ([[operators.SkewJoin.saltedJoin]], 8 salts) of
-    * lineitem against orders — semantics are EXACTLY the plain join
-    * (the oracle), the salt only re-shapes the shuffle. */
-  private def saltedJoinQuery(s: SparkSession, dir: String): DataFrame =
-    SkewJoin.saltedJoin(
-        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
-        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority"),
-        factKey = "l_orderkey", otherKey = "o_orderkey",
-        salts = 8, factUniqueCol = "l_linenumber")
-      .orderBy("l_orderkey", "l_linenumber")
-
-  /** Hot-key hybrid join ([[operators.SkewJoin.hotKeyHybridJoin]]):
-    * lineitem keys with ≥4 rows take the broadcast path, the rest the
-    * ordinary shuffle join — semantics are EXACTLY the plain join (the
-    * oracle); the split only re-routes the heavy keys around the hash
-    * exchange. */
-  private def hybridJoinQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.SkewJoin.hotKeyHybridJoin(
-        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
-        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority"),
-        factKey = "l_orderkey", otherKey = "o_orderkey",
-        hotThreshold = 4L)
-      .orderBy("l_orderkey", "l_linenumber")
-
-  /** Deterministic sharded shuffle (TextCorpus.shardedShuffle). */
-  private def corpusShuffle(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.shardedShuffle(t(s, dir, "documents"), shards = 8, salt = "epoch-0")
-      .orderBy("doc_id")
-
-  /** Split-leakage audit: near-dup pairs that CROSS a train/val/test
-    * boundary — the check a pipeline must run after splitting, since a
-    * near-duplicate of a training document inside the eval split
-    * invalidates the eval. Pure composition of two oracled operators
-    * (Dedup.nearDupPairs × Sampling.deterministicSplit). */
-  private def splitLeakage(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Sampling
-    Dedup.nearDupPairs(docsWithDups(s, dir), "text", "doc_id", threshold = 0.5,
-        k = 32, bands = 8, shingleSize = 5)
-      .select(col("id_a"), col("id_b"),
-        Sampling.deterministicSplit(col("id_a"), "v1", trainPct = 80, valPct = 10).as("split_a"),
-        Sampling.deterministicSplit(col("id_b"), "v1", trainPct = 80, valPct = 10).as("split_b"))
-      .filter(col("split_a") =!= col("split_b"))
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Leakage-safe cluster split (Sampling.clusterSplit): near-dup groups
-    * decide the split key, so no near-dup pair straddles a boundary —
-    * the prevention counterpart of split_leakage's audit.
-    *
-    * The groups frame comes from [[sharedNearDupGroups]] — computed once
-    * per (session, corpus) and reused, exactly as a real pipeline reuses
-    * the dedup pass's output instead of re-clustering per consumer. The
-    * `near_dup_groups` gate measures the group computation itself; this
-    * gate measures the split operator (one left join + a salted-md5
-    * projection, `Sampling.clusterSplit`). */
-  private def clusterSplitQuery(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Sampling
-    Sampling.clusterSplit(docsWithDups(s, dir), sharedNearDupGroups(s, dir),
-        salt = "v1", trainPct = 80, valPct = 10)
-      .orderBy("doc_id")
-  }
-
-  /** Content-defined chunking (TextCorpus.cdcChunks): md5-gram cut
-    * points at the default 8-gram / 64-char-average geometry. */
-  private def cdcChunksQuery(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.cdcChunks(t(s, dir, "documents"))
-      .orderBy("doc_id", "chunk_idx")
-
-  /** Per-source corpus datacard (TextCorpus.corpusReport) over the
-    * documents table with 100 planted cross-source copies, so the
-    * dup-membership column is exercised. */
-  private def corpusReportQuery(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
-    val corpus = d.unionByName(
-      d.filter(col("doc_id") < 100).select(
-        (col("doc_id") + 10000).as("doc_id"), col("text"), col("lang"), col("source")))
-    TextCorpus.corpusReport(corpus).orderBy("source")
-  }
-
-  /** End-to-end corpus quality filter (TextCorpus.qualityFlags):
-    * language + quality-score + repetition verdict per doc. */
-  private def qualityFilter(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.qualityFlags(t(s, dir, "documents")).orderBy("doc_id")
-
-  /** Exact-substring span dedup (TextCorpus.dedupSpans) over the corpus
-    * with constructed duplicates: exact copies lose their whole text to
-    * the owner, truncated near-dups lose exactly the shared word spans. */
-  private def spanDedup(s: SparkSession, dir: String): DataFrame =
-    TextCorpus.dedupSpans(docsWithDups(s, dir), n = 8, minDocs = 2).orderBy("doc_id")
-
-  /** Documents with synthetic PII planted deterministically from doc_id
-    * (the base corpus is digit-free word soup, so every detector match
-    * is a planted one): an email on doc_id%7, an IPv4 on %5, an
-    * international phone on %11, a 12-digit id on %13. SQL-expressible
-    * so the oracle builds the identical corpus. */
-  private def piiDocs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      concat(
-        col("text"),
-        when(col("doc_id") % 7 === 0,
-          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
-          .otherwise(""),
-        when(col("doc_id") % 5 === 0,
-          concat(lit(" from 10."), (col("doc_id") % 200).cast("string"),
-            lit(".0."), (col("doc_id") % 250).cast("string")))
-          .otherwise(""),
-        when(col("doc_id") % 11 === 0,
-          concat(lit(" call +491"),
-            lpad((col("doc_id") * 37 % 1000000).cast("string"), 6, "0")))
-          .otherwise(""),
-        when(col("doc_id") % 13 === 0,
-          concat(lit(" id "),
-            lpad((col("doc_id") * 13 % 100000).cast("string"), 12, "0")))
-          .otherwise("")).as("text"))
-
-  private val piiDocsSql =
-    """(SELECT doc_id,
-          text
-          || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
-          || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
-          || CASE WHEN doc_id % 11 = 0 THEN ' call +491' || lpad(CAST(doc_id * 37 % 1000000 AS VARCHAR), 6, '0') ELSE '' END
-          || CASE WHEN doc_id % 13 = 0 THEN ' id ' || lpad(CAST(doc_id * 13 % 100000 AS VARCHAR), 12, '0') ELSE '' END
-          AS text
-        FROM documents)"""
-
-  /** Distinct 8-gram shingle intersection counts, exactly as the
-    * hashed-shingle join counts them (shingleHashes is distinct) —
-    * shared by the broadcast (`contamination_flags`) and Bloom-prefilter
-    * (`bloom_contamination`) gates, whose outputs are identical by
-    * construction. */
-  private val contaminationOracleSql =
-    """WITH bench AS (
-           SELECT doc_id AS bench_id,
-                  list_distinct([substr(trim(text), i, 8)
-                    FOR i IN range(1, greatest(length(trim(text))-7, 1)+1)]) AS s
-           FROM documents WHERE doc_id < 40),
-          corpus AS (
-           SELECT doc_id AS corpus_id,
-                  list_distinct([substr(trim(text), i, 8)
-                    FOR i IN range(1, greatest(length(trim(text))-7, 1)+1)]) AS s
-           FROM (SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 100
-                 UNION ALL
-                 SELECT doc_id + 20000, substr(text, 11) FROM documents WHERE doc_id < 40))
-         SELECT corpus_id, bench_id, overlap FROM (
-           SELECT c.corpus_id, b.bench_id,
-                  CAST(len(list_intersect(c.s, b.s)) AS BIGINT) AS overlap
-           FROM corpus c CROSS JOIN bench b)
-         WHERE overlap >= 30 ORDER BY corpus_id, bench_id"""
-
-  /** PII scrub (Pii.piiStats) over the planted corpus: per-doc counts of
-    * each PII class plus the digest of the fully-redacted text. */
-  private def piiScrub(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Pii.piiStats(piiDocs(s, dir))
-      .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
-        col("n_idnums"), md5(col("redacted")).as("redacted_digest"))
-      .orderBy("doc_id")
-
-  /** A SQL-expressible "daily increment" for incremental dedup: exact
-    * copies of old docs, truncated near-copies, genuinely novel docs
-    * (reversed text — a shingle-level bijection away from anything in
-    * the corpus), and re-copies that also duplicate the batch itself. */
-  private def incrementalBatch(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select("doc_id", "text")
-    d.filter(col("doc_id") < 30)
-      .select((col("doc_id") + 50000).as("doc_id"), col("text"))
-      .unionAll(d.filter(col("doc_id") >= 100 && col("doc_id") < 120)
-        .select((col("doc_id") + 60000).as("doc_id"),
-          col("text").substr(lit(11), lit(100000)).as("text")))
-      .unionAll(d.filter(col("doc_id") >= 200 && col("doc_id") < 210)
-        .select((col("doc_id") + 70000).as("doc_id"), reverse(col("text")).as("text")))
-      .unionAll(d.filter(col("doc_id") < 10)
-        .select((col("doc_id") + 80000).as("doc_id"), col("text")))
-  }
-
-  /** Incremental near-dup dedup (Dedup.incrementalNearDupPairs): a new
-    * batch probes the standing corpus' LSH index — corpus never
-    * recomputed or shuffled. Oracled like minhash_near_dups: output =
-    * exact-Jaccard pairs at measured recall 1.0, restricted to pairs
-    * whose larger id is in the batch. */
-  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val (buckets, shingles) =
-      Dedup.nearDupIndex(t(s, dir, "documents"), "text", "doc_id",
-        k = 32, bands = 8, shingleSize = 5)
-    Dedup.incrementalNearDupPairs(incrementalBatch(s, dir), buckets, shingles,
-        "text", "doc_id", threshold = 0.5, k = 32, bands = 8, shingleSize = 5)
-      .orderBy("new_id", "match_id")
-  }
-
-  /** Vocabulary fit + transform (TextCorpus.buildVocab/encodeDocs):
-    * top-20 word vocab, documents encoded as id sequences (OOV → -1). */
-  private def vocabEncode(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    TextCorpus.encodeDocs(docs, TextCorpus.buildVocab(docs, vocabSize = 20))
-      .orderBy("doc_id")
-  }
-
-  /** Symmetric int8 embedding quantization with per-vector integer
-    * code sums and micro-unit reconstruction error
-    * (Similarity.quantizeInt8Stats). */
-  private def quantizeEmbeddings(s: SparkSession, dir: String): DataFrame =
-    Similarity.quantizeInt8Stats(t(s, dir, "embeddings")).orderBy("vec_id")
-
-  /** Token-budget mixture plan (Sampling.mixturePlan): per-source quota
-    * + keep rate for a 100k-token budget, with weights derived from the
-    * source's numeric suffix so the oracle can rebuild the same weights
-    * table inline. */
-  private def mixturePlanQuery(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Sampling
-    val docs = t(s, dir, "documents")
-    val weights = docs.select(col("source")).distinct()
-      .select(col("source"),
-        (substring(col("source"), 4, 10).cast("int") % 4 + 1).as("weight"))
-    Sampling.mixturePlan(docs, weights, budgetTokens = 100000L).orderBy("source")
-  }
-
-  /** Near-dup GROUPS: LSH pairs → connected components
-    * (Dedup.nearDupGroups). Oracled because pair recall on this corpus is
-    * 1.0 (see minhash_near_dups), so components over the pipeline's pairs
-    * equal components over brute-force exact-Jaccard pairs, which DuckDB
-    * computes via a recursive CTE. */
-  private def nearDupGroupsQuery(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupGroups(docsWithDups(s, dir), "text", "doc_id", threshold = 0.5,
-      k = 32, bands = 8, shingleSize = 5)
-      .orderBy("doc_id")
-
-  /** The near-dup groups frame at the pipeline's standard setting
-    * (threshold 0.5, the same call `near_dup_groups` gates), computed
-    * ONCE per (session, corpus dir) and pinned with `localCheckpoint` —
-    * downstream consumers (cluster_split) reuse the dedup pass's output
-    * rather than re-running LSH + connected components, mirroring how a
-    * real pipeline feeds one group table to every consumer. */
-  private val nearDupGroupsCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
-  private def sharedNearDupGroups(s: SparkSession, dir: String): DataFrame =
-    nearDupGroupsCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir),
-      Dedup.nearDupGroups(docsWithDups(s, dir), "text", "doc_id",
-          threshold = 0.5, k = 32, bands = 8, shingleSize = 5)
-        .localCheckpoint())
-
-  /** MinHash+LSH near-dup pipeline (Dedup.nearDupPairs) over the corpus
-    * with constructed near-dups. Oracled with brute-force exact Jaccard:
-    * the pipeline's exact-verify stage makes its output a SUBSET of the
-    * exact pairs, and measured recall on this corpus is 1.0 (asserted in
-    * OperatorsSpec, recorded in SCALING.md), so output = exact pairs —
-    * deterministically, since MinHash is deterministic. */
-  private def minhashNearDups(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupPairs(docsWithDups(s, dir), "text", "doc_id", threshold = 0.5,
-        maxBucketSize = 10000)
-      .orderBy("id_a", "id_b")
-
-  /** SimHash exact-collision dedup: pairs whose 64-bit SimHash codes are
-    * identical, verified by text equality (hash-blocked exact dedup — the
-    * dist=0 probe of the near-dup scheme). Oracle-checkable: identical
-    * text always collides, and the equality verify removes hash-only
-    * collisions, so output = identical-text pairs. The dist 1..3 near-dup
-    * path (Dedup.simHashNearDups) is engine-hash-dependent and is covered
-    * by OperatorsSpec's measured-recall gate instead. */
-  private def simhashExactDups(s: SparkSession, dir: String): DataFrame = {
-    val codes = docsWithDups(s, dir)
-      .select(col("doc_id").as("id"), col("text"), Dedup.simHash(col("text")).as("code"))
-    val l = codes.as("l"); val r = codes.as("r")
-    l.join(r, col("l.code") === col("r.code") && col("l.id") < col("r.id"))
-      .filter(col("l.text") === col("r.text"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Exact n-gram Jaccard pairs on a small block (brute-force
-    * verification path of the near-dup pipeline) — oracle-checkable.
-    * Each side is shingle-hashed ONCE before the pair join; the per-pair
-    * work is an intersect of long arrays (the DuckDB oracle intersects
-    * the string shingle sets — numerically identical). */
-  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = docsWithDups(s, dir).filter(col("doc_id") % 10000 < 40)
-      .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
-    val l = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val r = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, col("id_a") < col("id_b"))
-      .withColumn("jaccard", Dedup.jaccardFromHashSets(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= 0.5)
-      .select("id_a", "id_b", "jaccard")
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Exact set-similarity self-join via rare-first prefix filtering
-    * ([[Dedup.prefixFilterPairs]], threshold 7/10) over the FULL dup
-    * fixture — no mod-sample, no blocking key: the prefix filter is the
-    * scale device. The oracle is the brute-force all-pairs Jaccard it
-    * provably equals. */
-  private def prefixJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    // 5-gram shingles, not 3 (trigrams bucket-joined half the corpus:
-    // 121 s at sf0.1). HONEST COST at sf0.1: even 5-grams leave this
-    // fixture degenerate for prefix filtering — the synthetic text draws
-    // from a vocabulary of only ~2,041 distinct 5-gram shingles (measured;
-    // median df 300 of 5,140 docs, max prefix bucket 304), so "rare"
-    // prefix tokens barely prune: Σ C(prefix-df, 2) ≈ 42M candidate
-    // occurrences / ~13M distinct pairs, the algorithm's inherent
-    // output-bound cost on THIS corpus (round 6 measured 47 s; the old
-    // "1.6 s" note was a sub-sf measurement — wrong, removed). The round-8
-    // mitigation attacks the verify constant: jaccardFromHashSets now
-    // intersects by native sorted merge instead of per-row hash sets —
-    // measured 8.5-10.6 s at sf0.1 across runs (10.0 in the round-8
-    // local bench; 47 s in r6). On
-    // a real corpus the shingle universe is power-law and rare-first
-    // prefixes keep buckets tiny — the 100 TB story is unchanged.
-    Dedup.prefixFilterPairs(docsWithDups(s, dir), "text", "doc_id",
-        tNum = 7, tDen = 10, shingleSize = 5)
-      .orderBy("id_a", "id_b")
-
-  /** Directional containment pairs ([[Dedup.containmentPairs]], C(a→b) =
-    * |Sₐ∩S_b|/|Sₐ| ≥ 0.9): the subset-duplication detector symmetric
-    * Jaccard cannot express — the fixture's substring-dup docs (+20000,
-    * a 100-char excerpt of their source) surface HERE with containment
-    * ≈ 1 while sitting far below any Jaccard threshold against the full
-    * document. The probe side is the planted-dup slice (every +10000/
-    * +20000 doc and its base) scored against the WHOLE corpus index —
-    * the incremental production shape; an unrestricted probe is the
-    * same plan with a bigger prefix table. HONEST COST at sf0.1: ~6 s
-    * restricted / 12.7 s unrestricted — this fixture's ~2k-shingle
-    * vocabulary (median df 300) makes every posting list fat, the
-    * prefix_jaccard_pairs economics; a power-law corpus prunes far
-    * harder.
-    * Oracle = brute-force ordered pairs over the same probe slice; the
-    * probe-prefix ⋈ inverted-index plan is provably lossless so the two
-    * agree exactly. */
-  private def containmentPairsQuery(s: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairs(docsWithDups(s, dir), "text", "doc_id",
-        tNum = 9, tDen = 10, shingleSize = 5,
-        probeFilter = col("doc_id") % 10000 < 100 || col("doc_id") >= 20000)
-      .orderBy("id_a", "id_b")
-
-  /** Brute-force dot-product top-k neighbors (Similarity.bruteForceTopK
-    * with dot metric) — the ANN baseline, oracle-checkable. */
-  private def knnDotTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    Similarity.bruteForceTopK(
-        emb, emb.filter(col("vec_id") < 10), k = 10,
-        metric = Similarity.dot)
-      .select("query_id", "neighbor_id", "score", "rank")
-      .orderBy("query_id", "rank")
-  }
-
-  /** Quantized ANN serving path (Similarity.quantizedCosineTopK):
-    * cosine ranking over int8 codes — scale cancels; the products are
-    * exact doubles (|q| ≤ 127), so both engines rank identically. */
-  private def quantizedTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    Similarity.quantizedCosineTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
-      .select("query_id", "neighbor_id", "score", "rank")
-      .orderBy("query_id", "rank")
-  }
-
-  /** Quantization recall audit ([[graft.operators.Retrieval
-    * .rankingOverlap]]): per query, how much of the exact dot-product
-    * top-10 the int8-cosine path keeps — the ship/no-ship eval for the
-    * 4×-cheaper serving path, exact integers (recall@10 =
-    * n_common/10 downstream). */
-  private def annRecallOverlap(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val queries = emb.filter(col("vec_id") < 10)
-    graft.operators.Retrieval.rankingOverlap(
-        Similarity.bruteForceTopK(emb, queries, k = 10, metric = Similarity.dot),
-        Similarity.quantizedCosineTopK(emb, queries, k = 10), k = 10)
-      .orderBy("query_id")
-  }
-
-  /** PQ recall audit ([[graft.operators.Retrieval.rankingOverlap]]):
-    * per query, how much of the EXACT squared-L2 top-10 the ADC
-    * (asymmetric-distance, compressed-codes) path keeps — the recall
-    * cost of 8-byte codes vs 256-byte floats, measured on the same
-    * seeded codebook the pq_topk gate pins. Completes the recall-eval
-    * ladder: every ANN rung (LSH, IVF, int8, PQ) now carries a
-    * measured-recall gate. */
-  private def pqRecallOverlap(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val queries = emb.filter(col("vec_id") < 10)
-    val model = Similarity.pqCodebook(emb, m = 8, k = 8)
-    graft.operators.Retrieval.rankingOverlap(
-        Similarity.bruteForceTopK(emb, queries, k = 10,
-          metric = (a, b) => -Similarity.l2DistanceSq(a, b)),
-        Similarity.pqTopK(emb, queries, model, k = 10), k = 10)
-      .orderBy("query_id")
-  }
-
-  /** Sign-LSH recall audit: exact cosine top-5 vs the bucketed probe at
-    * bits=4 (the ann_lsh_topk configuration) — the recall price of
-    * touching only same-bucket pairs, per query. */
-  private def lshRecallOverlap(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val queries = emb.filter(col("vec_id") < 50)
-    graft.operators.Retrieval.rankingOverlap(
-        Similarity.bruteForceTopK(emb, queries, k = 5,
-          metric = Similarity.cosine),
-        Similarity.lshTopK(emb, queries, k = 5, bits = 4), k = 5)
-      .orderBy("query_id")
-  }
-
-  /** Generic one-scan table profile ([[graft.operators.Stats.profile]])
-    * over lineitem's integer/string columns — the ingest-sanity data
-    * card. Floats excluded: min/max render via engine-specific float
-    * formatting; integer and string renderings are identical. */
-  private def tableProfile(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Stats
-    Stats.profile(t(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"))
-      .orderBy("column")
-  }
-
-  /** EXACT corpus-wide event-time quantiles WITHOUT a global sort
-    * ([[operators.Stats.exactQuantilesBisect]]): distributed selection
-    * by histogram bisection — a few bounded aggregation scans instead of
-    * the corpus-wide orderBy every naive exact-quantile query plans. */
-  private def globalQuantilesTs(s: SparkSession, dir: String): DataFrame = {
-    val ev = eventsNs(s, dir)
-      .select(graft.streaming.EventTimeOps.floorDivMicros(col("ts")).as("ts_us"))
-    graft.operators.Stats.exactQuantilesBisect(ev, "ts_us", Seq(0.5, 0.9, 0.99))
-      .orderBy("p_ppm")
-  }
-
-  /** Per-source document-length quantiles by exact sort rank
-    * (Stats.groupedQuantiles) — min/median/p95/max of n_chars. */
-  private def lengthQuantiles(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Stats
-    Stats.groupedQuantiles(t(s, dir, "documents"), "source", "n_chars",
-        ps = Seq(0.0, 0.5, 0.95, 1.0))
-      .orderBy("source", "p")
-  }
-
-  /** Embedding L2 norms (Similarity.l2Norm) — oracle-checkable. */
-  private def embeddingNorms(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings")
-      .select(
-        col("vec_id"), col("label").cast("long").as("label"),
-        Similarity.l2Norm(col("embedding")).as("l2_norm"))
-      .orderBy("vec_id")
-
-  /** LSH-bucketed cosine ANN (Similarity.lshTopK) — the 100 TB scale
-    * path. Oracle-checkable: the sign-LSH bucket code is deterministic
-    * (signs of the first 4 dims) and cosine is exact left-to-right double
-    * math on both sides. */
-  private def annLshTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50), k = 5, bits = 4)
-      .orderBy("query_id", "rank")
-  }
-
-  /** Embedding-cosine near-dup pairs, sign-LSH bucketed
-    * (Similarity.cosineNearDupPairs) — oracle-checkable: the bucket code
-    * is deterministic (signs of the first 8 dims) and cosine is exact
-    * left-to-right double math on both sides. */
-  private def cosineNearDups(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)
-      .orderBy("id_a", "id_b")
-
-  /** IVF ANN assignment + probe (Similarity.ivfTopK) with the FIXED
-    * untrained quantizer (iterations = 0 ⇒ centroids are exactly the 8
-    * lowest-id embeddings — deterministic and SQL-replicable), so the
-    * whole inverted-file path — nearest-centroid assignment, nprobe
-    * probing, per-partition scoring, top-k — is oracle-checked. The
-    * TRAINED quantizer (Lloyd iterations) keeps its measured-recall spec
-    * in OperatorsSpec instead: an iterative learned model has no
-    * closed-form SQL twin. */
-  private def ivfTopKQuery(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val model = Similarity.trainIvf(emb, k = 8, iterations = 0)
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 50), model, k = 5, nprobe = 2)
-      .orderBy("query_id", "rank")
-  }
-
-  /** IVF recall audit ([[graft.operators.Retrieval.rankingOverlap]]):
-    * per query, how much of the exact cosine top-5 the nprobe=2
-    * inverted-file probe keeps — the recall-vs-cost dial every IVF
-    * deployment tunes (more probes = more recall = more scanning),
-    * measured on the same fixed quantizer the ivf_topk gate pins. */
-  private def ivfRecallOverlap(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val queries = emb.filter(col("vec_id") < 50)
-    val model = Similarity.trainIvf(emb, k = 8, iterations = 0)
-    graft.operators.Retrieval.rankingOverlap(
-        Similarity.bruteForceTopK(emb, queries, k = 5,
-          metric = Similarity.cosine),
-        Similarity.ivfTopK(emb, queries, model, k = 5, nprobe = 2), k = 5)
-      .orderBy("query_id")
-  }
-
-  /** Product-quantization ADC top-k ([[graft.operators.Similarity
-    * .pqCodebook]]/[[graft.operators.Similarity.pqTopK]]) with the
-    * SEEDED codebook (centroid (j,t) = subspace j of the t-th lowest-id
-    * vector — deterministic, so encode + lookup-table scoring is fully
-    * SQL-replicable; the ivf_topk iterations=0 idiom). m=8 subspaces ×
-    * k=8 centroids over the 64-dim embeddings. */
-  private def pqTopKQuery(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val model = Similarity.pqCodebook(emb, m = 8, k = 8)
-    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), model, k = 10)
-      .orderBy("query_id", "rank")
-  }
-
-  /** Two-stage PQ retrieval ([[graft.operators.Similarity
-    * .pqRerankTopK]]): ADC shortlist of 50, exact squared-L2 re-rank to
-    * 10 — the standard compressed-index serving pattern. */
-  private def pqRerankQuery(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val model = Similarity.pqCodebook(emb, m = 8, k = 8)
-    Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") < 10), model,
-        k = 10, shortlist = 50)
-      .orderBy("query_id", "rank")
-  }
-
-  /** Nearest-class-mean classify (Similarity.classMeans +
-    * nearestClassMean): fit label prototypes on the embeddings table,
-    * classify the same table — the model-based filtering pattern. */
-  private def ncmClassifyQuery(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    Similarity.nearestClassMean(emb, Similarity.classMeans(emb)).orderBy("vec_id")
-  }
-
-  /** SemDeDup semantic dedup (Similarity.semanticDedup) with the FIXED
-    * untrained quantizer (iterations = 0 ⇒ SQL-replicable centroids),
-    * at the same 0.35 threshold as cosine_near_dups. */
-  private def semanticDedupQuery(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val model = Similarity.trainIvf(emb, k = 8, iterations = 0)
-    Similarity.semanticDedup(emb, model, threshold = 0.35).orderBy("vec_id")
-  }
-
-  /** Multimodal plumbing: synthetic binary payloads → batched feature
-    * extraction via mapPartitions (decode step stubbed deterministically;
-    * see Multimodal.FakeCodec). Rows-only check. */
-  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    val items = Multimodal.syntheticMedia(s, 200)
-    Multimodal.extractFeatures(items, dim = 16).toDF()
-      .select(
-        col("mediaId"), col("kind"), col("featureDim"), col("ok"),
-        md5(concat_ws(",", col("features"))).as("feature_digest"))
-      .orderBy("mediaId")
-  }
-
-  // ==================================================================
-  // Event-time / stateful streaming family (graft.streaming): the
-  // BATCH mode of each streaming operator — same plan, no watermark —
-  // gate-checked in the MICROS domain (DuckDB reads parquet
-  // TIMESTAMP(NANOS) truncated to micros, so `ts` is pre-floored with
-  // EventTimeOps.floorDivMicros where the operator is nanos-native;
-  // nanos-exact semantics are covered by StatefulStreamingSpec).
-  // ==================================================================
-
-  import graft.streaming.{EventTimeOps, StatefulOps}
-
-  private val SessionGapUs = 12L * 3600L * 1000000L // 12 hours in micros
-
-  /** Watermark-bounded tumbling-window aggregation
-    * (EventTimeOps.windowedStats), batch mode of the streaming plan. */
-  private def windowedStatsQuery(s: SparkSession, dir: String): DataFrame =
-    EventTimeOps.windowedStats(eventsNs(s, dir), "ts", "event_type", "value", "6 hours")
-      .orderBy("window_start_s", "event_type")
-
-  /** Event-time interval join (EventTimeOps.intervalJoin), batch mode of
-    * the stream-stream joinable plan: per user, events followed by
-    * another event within 10 minutes. Timestamps pre-floored to micros
-    * (the unit-agnostic long column, like the session gates) so DuckDB's
-    * micros-truncated TIMESTAMP read sees identical values. */
-  private def intervalJoinQuery(s: SparkSession, dir: String): DataFrame = {
-    val ev = eventsNs(s, dir)
-      .withColumn("ts_us", EventTimeOps.floorDivMicros(col("ts")))
-    EventTimeOps.intervalJoin(ev, ev, "user_id", "ts_us", "event_id",
-        withinNanos = 600L * 1000000L) // micros: the column's unit
-      .select(col("user_id"), col("id_a"), col("id_b"), col("gap_ns").as("gap_us"))
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Left-outer event-time interval join
-    * ([[graft.streaming.EventTimeOps.leftOuterIntervalJoin]], batch mode
-    * of the watermarked OUTER stream-stream join): every event plus its
-    * follow-ups within 10 minutes, or one sentinel row (−1) if none —
-    * the funnel drop-off detector as one operator. */
-  private def intervalJoinOuterQuery(s: SparkSession, dir: String): DataFrame = {
-    val ev = eventsNs(s, dir)
-      .withColumn("ts_us", EventTimeOps.floorDivMicros(col("ts")))
-    EventTimeOps.leftOuterIntervalJoin(ev, ev, "user_id", "ts_us", "event_id",
-        withinNanos = 600L * 1000000L) // micros: the column's unit
-      .select(col("user_id"), col("id_a"), col("id_b"), col("gap_ns").as("gap_us"))
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Batch sessionization (EventTimeOps.sessionizeBatch): lag/gap/cumsum,
-    * one shuffle on the key. The gap column is unit-agnostic longs — here
-    * micros (pre-floored), so the DuckDB twin sees identical values. */
-  private def sessionBatch(s: SparkSession, dir: String): DataFrame = {
-    val ev = eventsNs(s, dir)
-      .withColumn("ts_us", EventTimeOps.floorDivMicros(col("ts")))
-    EventTimeOps.sessionizeBatch(ev, "ts_us", "user_id", "value", gapNanos = SessionGapUs)
-      .select(
-        col("user_id"),
-        col("session_start_ns").as("session_start_us"),
-        col("session_end_ns").as("session_end_us"),
-        col("n_events"), col("sum_value_micros"))
-      .orderBy("user_id", "session_start_us")
-  }
-
-  /** Built-in session_window aggregation (EventTimeOps.sessionStats),
-    * batch mode. session_window merges on STRICT overlap (diff < gap)
-    * and its end is last-event + gap — the oracle mirrors both. */
-  private def sessionWindowStats(s: SparkSession, dir: String): DataFrame =
-    EventTimeOps.sessionStats(eventsNs(s, dir), "ts", "user_id", "value", gap = "12 hours")
-      .orderBy("user_id", "session_start_us")
-
-  /** Streaming dedup's batch twin (EventTimeOps.dedupWithinWatermark).
-    * Projected to the key set itself: which SURVIVOR row dropDuplicates
-    * keeps is nondeterministic, but the deduped key set is exact. */
-  private def streamingDedup(s: SparkSession, dir: String): DataFrame =
-    EventTimeOps.dedupWithinWatermark(eventsNs(s, dir), "ts",
-        Seq("user_id", "event_type"), "1 hour")
-      .select("user_id", "event_type")
-      .orderBy("user_id", "event_type")
-
-  /** flatMapGroupsWithState running totals (StatefulOps.runningUserTotals),
-    * batch mode: one invocation per user with empty state = the plain
-    * grouped aggregate the oracle computes. */
-  private def runningTotals(s: SparkSession, dir: String): DataFrame =
-    StatefulOps.runningUserTotals(StatefulOps.typedEvents(eventsNs(s, dir)))
-      .toDF("user_id", "n_events", "sum_value_micros")
-      .orderBy("user_id")
-
-  /** flatMapGroupsWithState sessionization (StatefulOps.sessionizeWithState),
-    * batch mode. Input ts is pre-floored to micro precision (×1000 back
-    * to nanos) so the operator's nanos-exact gap compare sees exactly
-    * what the micros-domain oracle sees. */
-  private def sessionStateBatch(s: SparkSession, dir: String): DataFrame = {
-    val ev = eventsNs(s, dir)
-      .withColumn("ts", EventTimeOps.floorDivMicros(col("ts")) * lit(1000L))
-    StatefulOps.sessionizeWithState(StatefulOps.typedEvents(ev), gapMicros = SessionGapUs)
-      .toDF("user_id", "session_start_us", "session_end_us", "n_events", "sum_value_micros")
-      .orderBy("user_id", "session_start_us")
-  }
-
-  /** Incremental SCD2 maintenance ([[graft.streaming.StatefulOps
-    * .scd2WithState]]) in BATCH mode — same plan as the streaming CDC →
-    * type-2 dimension projection, no watermark: gap-closed intervals
-    * plus the open tail (valid_to_us NULL), micros domain. The
-    * relational twin is the `scd2_intervals` gate; multi-batch
-    * incremental behavior is pinned in StatefulStreamingSpec. */
-  private def scd2StateBatch(s: SparkSession, dir: String): DataFrame = {
-    val ev = eventsNs(s, dir)
-      .withColumn("ts", EventTimeOps.floorDivMicros(col("ts")) * lit(1000L))
-    StatefulOps.scd2WithState(StatefulOps.typedEvents(ev))
-      .toDF("user_id", "attr_value", "valid_from_us", "valid_to_us", "n_rows")
-      .orderBy("user_id", "valid_from_us")
-  }
-
-  // ==================================================================
-  // Training-pipeline operators (round 5): as-of join, deterministic
-  // sampling, sequence packing — all integer/hash arithmetic or exact
-  // value carry, so every gate has a closed-form DuckDB twin (as-of
-  // uses DuckDB's native ASOF JOIN as the oracle).
-  // ==================================================================
-
-  import graft.operators.{AsOfJoin, Packing, Sampling}
-
-  /** As-of join (AsOfJoin.asOf): each event annotated with the user's
-    * most recent purchase value at or before the event. Timestamps are
-    * pre-floored to micros on the Spark side so the comparison domain
-    * matches DuckDB's micros read of the nanos parquet column; the right
-    * side is pre-aggregated to one row per (user, ts) as the operator
-    * requires. Nulls are coalesced to -1 for a stable compare. */
-  /** As-of join with a TOLERANCE: the carried value only counts when the
-    * matched right row is within the window (here 1 day) — the staleness
-    * bound every feature-store lookup needs ("last price, but not if
-    * it's a week old"). Same single-shuffle union+window plan as
-    * [[asofJoinQuery]]; the matched right timestamp rides the payload
-    * struct and the bound is a codegen'd post-filter, so tolerance costs
-    * nothing extra. */
-  private def asofToleranceQuery(s: SparkSession, dir: String): DataFrame = {
-    val ev = eventsNs(s, dir)
-      .withColumn("ts_us", EventTimeOps.floorDivMicros(col("ts")))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .groupBy("user_id", "ts_us").agg(max("value").as("pvalue"))
-      .withColumn("p_ts_us", col("ts_us"))
-    AsOfJoin.asOf(
-        ev.select("event_id", "user_id", "ts_us"), purchases,
-        keys = Seq("user_id"), leftTs = "ts_us", rightTs = "ts_us",
-        payload = Seq("pvalue", "p_ts_us"))
-      .select(
-        col("event_id"), col("user_id"),
-        when(col("ts_us") - col("asof_p_ts_us") <= 86400000000L,
-          col("asof_pvalue")).otherwise(lit(-1.0))
-          .as("recent_purchase_value"))
-      .orderBy("event_id")
-  }
-
-  private def asofJoinQuery(s: SparkSession, dir: String): DataFrame = {
-    val ev = eventsNs(s, dir)
-      .withColumn("ts_us", EventTimeOps.floorDivMicros(col("ts")))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .groupBy("user_id", "ts_us").agg(max("value").as("pvalue"))
-    AsOfJoin.asOf(
-        ev.select("event_id", "user_id", "ts_us"), purchases,
-        keys = Seq("user_id"), leftTs = "ts_us", rightTs = "ts_us",
-        payload = Seq("pvalue"))
-      .select(
-        col("event_id"), col("user_id"),
-        coalesce(col("asof_pvalue"), lit(-1.0)).as("last_purchase_value"))
-      .orderBy("event_id")
-  }
-
-  /** Deterministic split assignment (Sampling.deterministicSplit):
-    * per-language row counts of the 80/10/10 md5-bucket split. */
-  private def sampleSplitCounts(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("lang"),
-        Sampling.deterministicSplit(col("doc_id"), "v1", trainPct = 80, valPct = 10).as("split"))
-      .groupBy("lang", "split").agg(count(lit(1)).as("n"))
-      .orderBy("lang", "split")
-
-  /** Stratified quota sample (Sampling.stratifiedSample): exactly 50
-    * docs per language, chosen by salted-md5 order. */
-  private def stratifiedSampleQuery(s: SparkSession, dir: String): DataFrame =
-    Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", perStratum = 50)
-      .select("doc_id", "lang")
-      .orderBy("doc_id")
-
-  /** Benchmark-contamination check (Dedup.contamination): the planted
-    * exact and prefix-truncated copies in the dup corpus flagged against
-    * the doc_id<40 originals standing in as the eval set. Distinct docs
-    * share far fewer than 30 distinct 8-gram shingles, so the flags are
-    * exactly the planted copies. */
-  private def contaminationFlags(s: SparkSession, dir: String): DataFrame = {
-    val bench = t(s, dir, "documents").select("doc_id", "text").filter(col("doc_id") < 40)
-    val corpus = docsWithDups(s, dir).filter(col("doc_id") >= 10000)
-    Dedup.contamination(corpus, bench, "text", "doc_id", shingleSize = 8, minOverlap = 30)
-      .orderBy("corpus_id", "bench_id")
-  }
-
-  /** Bloom-filter decontamination (Dedup.bloomContamination): the same
-    * planted-copy corpus and thresholds as [[contaminationFlags]], but
-    * through the no-broadcast scale path — Bloom prefilter map-side,
-    * shuffle join for the exact verify. Bloom filters have no false
-    * negatives and the join is exact, so the output (and oracle) are
-    * identical to the broadcast path's. */
-  private def bloomContaminationFlags(s: SparkSession, dir: String): DataFrame = {
-    val bench = t(s, dir, "documents").select("doc_id", "text").filter(col("doc_id") < 40)
-    val corpus = docsWithDups(s, dir).filter(col("doc_id") >= 10000)
-    Dedup.bloomContamination(corpus, bench, "text", "doc_id", shingleSize = 8, minOverlap = 30)
-      .orderBy("corpus_id", "bench_id")
-  }
-
-  /** Weighted mixture downsampling (Sampling.weightedMixture): three
-    * source families at 100% / 50% / 10% keep rates, reported per
-    * source. Rows from unlisted sources drop. */
-  private def weightedMixtureCounts(s: SparkSession, dir: String): DataFrame = {
-    val weights = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1,
-      "src3" -> 1.0, "src4" -> 0.5, "src5" -> 0.1)
-    Sampling.weightedMixture(t(s, dir, "documents"), "source", "doc_id", weights)
-      .groupBy("source").agg(count(lit(1)).as("n"))
-      .orderBy("source")
-  }
-
-  /** Deterministic negative sampling (Sampling.negativeSample): 5
-    * negatives per query from the query's hash bucket, positives (the
-    * query doc itself here) excluded. Pure md5 arithmetic — exact
-    * DuckDB twin. */
-  private def negativeSamples(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    val queries = d.filter(col("doc_id") < 25)
-      .select(col("doc_id").as("query_id"), col("doc_id").as("positive_id"))
-    Sampling.negativeSample(queries, d, k = 5, buckets = 4, salt = "neg")
-      .orderBy("query_id", "rank")
-  }
-
-  /** Sequence packing (Packing.binStats): 4096-char bins over chunks of
-    * 100 consecutive doc ids, reported as per-bin utilization. */
-  private def packSequences(s: SparkSession, dir: String): DataFrame =
-    Packing.binStats(t(s, dir, "documents"), "doc_id", "n_chars",
-        budget = 4096L, chunkSize = 100L)
-      .orderBy("bin")
-
-  // ==================================================================
-  // Round-8 additions: warehouse/CDC analytics, entity resolution,
-  // exact feature statistics, weighted sampling
-  // ==================================================================
-
-  import graft.operators.{Behavioral, FuzzyJoin}
-
-  /** SCD2 validity intervals ([[graft.operators.Behavioral.scd2Intervals]])
-    * over the events log: per user, consecutive equal event_type runs
-    * collapsed to [valid_from, valid_to) in event_id order. */
-  private def scd2Intervals(s: SparkSession, dir: String): DataFrame =
-    Behavioral.scd2Intervals(t(s, dir, "events"), "user_id", "event_id", "event_type")
-      .orderBy("user_id", "valid_from")
-
-  /** Point-in-time SCD2 lookup ([[graft.operators.Behavioral
-    * .pointInTime]]): each purchase annotated with the user's state —
-    * the current interval of the SCD2 dimension built from their
-    * NON-purchase activity — at the purchase's position. Contiguous
-    * intervals reduce the range membership to an as-of rule, so the
-    * oracle is DuckDB's native ASOF JOIN over the same dimension CTE. */
-  private def scd2PointLookup(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val dim = Behavioral.scd2Intervals(
-      ev.filter(col("event_type") =!= "purchase"), "user_id", "event_id", "event_type")
-    val facts = ev.filter(col("event_type") === "purchase").select("event_id", "user_id")
-    Behavioral.pointInTime(facts, dim, "user_id", "event_id", "event_type")
-      .select(col("event_id"), col("user_id"),
-        coalesce(col("dim_event_type"), lit("none")).as("state_at_purchase"))
-      .orderBy("event_id")
-  }
-
-  /** First-order Markov transition counts + integer-ppm conditional
-    * probabilities ([[graft.operators.Behavioral.transitionCounts]]). */
-  private def eventTransitions(s: SparkSession, dir: String): DataFrame =
-    Behavioral.transitionCounts(t(s, dir, "events"), "user_id", "event_id", "event_type")
-      .orderBy("from_type", "to_type")
-
-  /** Streaming transition extraction ([[graft.streaming.StatefulOps
-    * .transitionPairsWithState]]) in BATCH mode, grouped to the Markov
-    * matrix — same output as `event_transitions` (per-user ts order
-    * equals event_id order in this data), so the gate shares that
-    * oracle; the cross-batch incremental behavior is pinned in
-    * StatefulStreamingSpec. */
-  private def transitionStateBatch(s: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.StatefulOps
-    val pairs = StatefulOps.transitionPairsWithState(
-      StatefulOps.typedEvents(eventsNs(s, dir)))
-    pairs.toDF("user_id", "from_type", "to_type")
-      .groupBy("from_type", "to_type").agg(count(lit(1)).as("transitions"))
-      .withColumn("prob_ppm",
-        expr("transitions * 1000000L div sum(transitions) over (partition by from_type)"))
-      .orderBy("from_type", "to_type")
-  }
-
-  /** Blocked fuzzy entity matching ([[graft.operators.FuzzyJoin
-    * .editDistancePairs]]): part-name pairs within 2 Levenshtein edits,
-    * blocked on the noun (second token) so the quadratic compare never
-    * leaves a block.
-    *
-    * Bench note (sf0.1, measured ~5.5 s round 8): the DP itself is 112
-    * distinct name pairs (~nothing); the cost is expanding and then
-    * determinism-sorting the ~2.4M matching record pairs the 64
-    * heavily-repeated fixture names produce — the operator's own output
-    * size, not a plan defect — and the plan is all-broadcast
-    * (PlanShapeSpec pins it). */
-  private def fuzzyNamePairs(s: SparkSession, dir: String): DataFrame = {
-    // minDist = 1: identical names are exact-dedup's find (at sf0.1 they
-    // alone expand to ~3.1M record pairs), so the gate measures the
-    // near-match band the operator exists for. The gate stays OUTPUT-
-    // bound even so: the synthetic fixture's 64 names are mutually near
-    // (dist ∈ [1,2] expands to ~2.4M record pairs), so the ~6 s at sf0.1
-    // is materialization + presentation sort of the answer itself —
-    // DuckDB needs ~10 s for the identical query. Real name columns are
-    // sparser; candidate volume, not the DP, is the knob that matters.
-    val part = t(s, dir, "part")
-    FuzzyJoin.editDistancePairs(part, "p_partkey", "p_name",
-        blockKey = split(col("p_name"), " ").getItem(1), maxDist = 2, minDist = 1)
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Golden-record survivorship ([[FuzzyJoin.goldenRecords]]): the
-    * fuzzy name clusters collapsed to one canonical part each —
-    * longest name wins, ties by name then id; singletons kept. */
-  private def goldenRecordsQuery(s: SparkSession, dir: String): DataFrame =
-    FuzzyJoin.goldenRecords(t(s, dir, "part"), "p_partkey", "p_name",
-        blockKey = split(col("p_name"), " ").getItem(1), maxDist = 2)
-      .orderBy("survivor_id")
-
-  /** Deterministic weighted sample ([[graft.operators.Sampling
-    * .weightedSample]]): 500 documents drawn ∝ n_chars by salted
-    * hash-priority — sampling ∝ length for a training mix. */
-  private def weightedSampleQuery(s: SparkSession, dir: String): DataFrame =
-    Sampling.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars", k = 500)
-      .orderBy("priority", "doc_id")
-
-  /** Exact-moment Pearson correlation matrix
-    * ([[graft.operators.Stats.corrMatrix]]) over lineitem's numeric
-    * measures — integer moments, pair-wise common downscale, one fixed
-    * IEEE op sequence; see the operator doc for the cross-engine
-    * determinism argument. */
-  private def corrMatrixQuery(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Stats
-    Stats.corrMatrix(t(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-      .orderBy("col_a", "col_b")
-  }
-
-  /** Per-source winsorization of document lengths
-    * ([[graft.operators.Stats.winsorize]]): clip n_chars into the
-    * [p05, p95] rank-quantile band of its own source. */
-  private def winsorizedValues(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Stats
-    Stats.winsorize(t(s, dir, "documents"), "source", "doc_id", "n_chars",
-        pLo = 0.05, pHi = 0.95)
-      .orderBy("source", "doc_id")
-  }
-
-  /** Z-order codes ([[graft.sources.ZOrder.mortonCode]]) over
-    * lineitem's (part, supplier) keys — the multi-dimensional
-    * data-skipping sort key ([[graft.sources.ZOrder.writeZOrdered]]
-    * lays files out along it; ZOrderSpec proves the per-file
-    * bounding-box property). Pure integer bit arithmetic ⇒ exact. */
-  private def zorderCodes(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-        graft.sources.ZOrder.mortonCode(col("l_partkey"), col("l_suppkey")).as("zcode"))
-      .orderBy("l_orderkey", "l_linenumber")
-
-  /** Two-round deterministic Lloyd k-means
-    * ([[graft.operators.Clustering.kmeansTwoRounds]]) over the
-    * embeddings table, k=4 seeded by the four lowest vec_ids; emits both
-    * rounds' assignments per vector. */
-  private def kmeansAssign(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Clustering
-      .kmeansTwoRounds(t(s, dir, "embeddings"), "vec_id", "embedding", k = 4)
-      .orderBy("vec_id")
-
-  /** 20-bin equi-width price histogram
-    * ([[graft.operators.Stats.equiWidthHistogram]]) over lineitem. */
-  private def priceHistogram(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats
-      .equiWidthHistogram(t(s, dir, "lineitem").select("l_extendedprice"),
-        "l_extendedprice", bins = 20)
-      .orderBy("bin")
-
-  /** Per-user EWMA of the last 8 event values
-    * ([[graft.operators.Stats.ewmaLastN]]; α = ½ so every weight is an
-    * exact binary power). */
-  private def ewmaUserValue(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats
-      .ewmaLastN(t(s, dir, "events"), "user_id", "ts", "event_id", "value", nMax = 8)
-      .orderBy("user_id")
-
-  /** Time-weighted average ([[graft.operators.Stats.timeWeightedAvg]])
-    * of each user's value gauge — the step-function time integral that
-    * an event-weighted mean gets wrong when sampling density tracks
-    * value; exact integers, TWAP = num/den downstream. */
-  private def timeWeightedValue(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.timeWeightedAvg(
-        t(s, dir, "events").select(
-          col("user_id"),
-          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
-          col("event_id"),
-          (col("value").cast("decimal(30,6)") * 1000000L).cast("long")
-            .as("v_us")),
-        "user_id", "ts_us", "event_id", "v_us")
-      // gate boundary: wide decimal renders as strings (house style)
-      .withColumn("twap_num", col("twap_num").cast("string"))
-      .orderBy("user_id")
-
-  /** Per-source Pareto frontier ([[graft.operators.Skyline
-    * .paretoFrontier]]) on (token count, distinct-token count) — the
-    * "keep the best length/richness trade-offs" selection. */
-  private def paretoDocs(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("x"),
-      size(filter(array_distinct(split(lower(trim(col("text"))), "[^a-z0-9]+")),
-        tk => tk =!= "")).cast("long").as("y"))
-    graft.operators.Skyline.paretoFrontier(d, "source", "doc_id", "x", "y")
-      .orderBy("source", "doc_id")
-  }
-
-  /** Top-30 BPE merge candidates ([[graft.operators.TextCorpus
-    * .bpePairCounts]]): adjacent character pairs weighted by word
-    * frequency — the corpus-scale inner step of tokenizer training. */
-  private def bpePairCountsQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.TextCorpus.bpePairCounts(t(s, dir, "documents"), "text", topN = 30)
-
-  /** Character Simpson diversity
-    * ([[graft.functions.CharDiversity]]): per-doc letter counts and the
-    * 1 − Σc²/n² diversity index — the no-logarithm entropy cousin, exact
-    * in one double division. */
-  private def charDiversityQuery(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        graft.functions.CharDiversity.charDiversity(col("text")).as("cd"))
-      .select(col("doc_id"),
-        col("cd.n_alpha").as("n_alpha"),
-        col("cd.c2_sum").as("c2_sum"),
-        (lit(1.0) - col("cd.c2_sum").cast("double")
-          / (col("cd.n_alpha") * col("cd.n_alpha")).cast("double")).as("simpson"))
-      .orderBy("doc_id")
-
-  /** Per-user × event-type running counts via Spark 4's arbitrary-state
-    * API ([[graft.streaming.TransformWithStateOps.typeCountsWithState]]
-    * — MapState, delta-proportional state I/O). Batch mode runs the
-    * processor over empty state, so the result is exactly the grouped
-    * count the oracle states; the incremental Update-mode behavior is
-    * pinned by TransformWithStateSpec. */
-  private def twsTypeCounts(s: SparkSession, dir: String): DataFrame =
-    graft.streaming.TransformWithStateOps
-      .typeCountsWithState(graft.streaming.StatefulOps.typedEvents(t(s, dir, "events")))
-      .toDF()
-      .select(col("userId").as("user_id"), col("eventType").as("event_type"), col("n"))
-      .orderBy("user_id", "event_type")
-
-  /** 12-core of the March-1995 co-supply graph
-    * ([[graft.operators.Graph.kCore]], 3 peel rounds — the graph
-    * stabilizes by round 3): surviving nodes with their final degrees. */
-  private def kcoreNodes(s: SparkSession, dir: String): DataFrame = {
-    val march = t(s, dir, "orders")
-      .filter(col("o_orderdate") >= lit("1995-03-01") &&
-        col("o_orderdate") < lit("1995-04-01"))
-      .select(col("o_orderkey").as("ok"))
-    val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-      .join(march, Seq("ok"))
-    val e = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
-      .select(col("a.sk").as("src"), col("b.sk").as("dst"))
-    graft.operators.Graph.kCore(e, k = 12, rounds = 3).orderBy("node")
-  }
-
-  /** Per-event-type inter-arrival gap quantiles (lag diff in exact
-    * micros, then [[graft.operators.Stats.groupedQuantiles]]'s rank
-    * rule) — the cadence profile behind trigger-interval and watermark
-    * tuning. */
-  private def interarrivalStats(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
-    val gaps = eventsNs(s, dir)
-      .select(col("event_type"), col("ts"), col("event_id"))
-      .withColumn("prev", lag(col("ts"), 1).over(w))
-      .filter(col("prev").isNotNull)
-      .select(col("event_type"), expr("(ts - prev) div 1000").as("gap_us"))
-    graft.operators.Stats.groupedQuantiles(gaps, "event_type", "gap_us",
-        ps = Seq(0.5, 0.9))
-      .orderBy("event_type", "p")
-  }
-
-  /** Hourly LOCF grid of each user's value ([[graft.operators.Resample
-    * .locfGrid]]): the irregular event log resampled to a dense per-user
-    * hourly series with gaps carried forward — every exchange keyed,
-    * per-key bounded sort, grid-sized (output-bound) explode. The
-    * oracle rebuilds the grid with unnest(generate_series) and DuckDB's
-    * IGNORE NULLS window. */
-  private def resampleLocf(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Resample.locfGrid(
-        eventsNs(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("value")),
-        "user_id", "ts", "value", "event_id",
-        step = 3600L * 1000000000L)
-      .orderBy("user_id", "bucket")
-
-  /** 24-hour trailing rolling sum of each user's event values
-    * ([[graft.operators.Stats.rollingSumByTime]]) — continuous sliding
-    * semantics at every event, vs `windowed_stats`' tumbling buckets. */
-  private def rollingUserValue(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.rollingSumByTime(
-        eventsNs(s, dir).select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("ts_us"), col("value")),
-        "user_id", "event_id", "ts_us", "value",
-        windowMicros = 86400L * 1000000L)
-      .orderBy("user_id", "ts_us", "event_id")
-
-  /** Per-source rank normalization: each doc's length mapped to its
-    * source-relative rank fraction (r−1)/(n−1) — the quantile-uniform
-    * feature transform; ranks are integers (ties broken by doc_id) and
-    * the one division is exact IEEE. */
-  private def rankNormalize(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
-    t(s, dir, "documents")
-      .select(col("source"), col("doc_id"), col("n_chars"))
-      .withColumn("r", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
-      .select(col("source"), col("doc_id"), col("n_chars"),
-        ((col("r") - 1).cast("double") / (col("n") - 1).cast("double")).as("pct"))
-      .orderBy("source", "doc_id")
-  }
-
-  /** Quality-argmax survivor selection per near-dup cluster: instead of
-    * the keep-min-id policy (`dedup_exact_survivors`), keep each
-    * cluster's LONGEST member (ties → min id) — the policy a pipeline
-    * wants when near-dups include truncated copies. Rides the SAME
-    * group table as `cluster_split` ([[sharedNearDupGroups]]) — one
-    * dedup pass feeds all consumers. */
-  private def dedupBestSurvivors(s: SparkSession, dir: String): DataFrame = {
-    val lens = docsWithDups(s, dir)
-      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
-    sharedNearDupGroups(s, dir).join(lens, Seq("doc_id"))
-      .groupBy("group_id")
-      .agg(max(struct(col("len").as("len"), (-col("doc_id")).as("nid"))).as("best"),
-        count(lit(1)).as("n_members"))
-      .select(col("group_id"), (-col("best.nid")).as("keep_id"),
-        col("best.len").as("keep_len"), col("n_members"))
-      .orderBy("group_id")
-  }
-
-  /** Image near-duplicate pairs by 64-bit perceptual average-hash
-    * ([[graft.operators.Multimodal.imageNearDups]], 4×16 banding, exact
-    * popcount verify): the deterministic synthetic images plus
-    * pixel-perturbed copies (id + 10000). Like `multimodal_features`,
-    * no second engine implements the codec, so the gate pins against a
-    * committed golden CSV and OperatorsSpec recomputes it. */
-  private def imageNearDupsGate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val items = Multimodal.syntheticMedia(s, 200)
-    val perturbed = items.filter(_.kind == "image").map { m =>
-      Multimodal.Codecs.decodePpm(m.bytes) match {
-        case Some((w, h, rgb)) =>
-          val out = rgb.clone()
-          var i = 0
-          while (i < out.length) {
-            if (i % 97 == 0) out(i) = ((out(i) & 0xff) ^ 0x03).toByte
-            i += 1
-          }
-          m.copy(mediaId = m.mediaId + 10000,
-            bytes = Multimodal.Codecs.encodePpm(w, h, out))
-        case None => m.copy(mediaId = m.mediaId + 10000)
-      }
-    }
-    Multimodal.imageNearDups(items.union(perturbed), maxHamming = 2)
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Audio + video near-duplicate pairs by 64-bit perceptual
-    * fingerprints ([[graft.operators.Multimodal.audioNearDups]]
-    * delta-sign energy fingerprint; [[graft.operators.Multimodal
-    * .videoThumbDups]] first-frame aHash — both through the shared
-    * 4×16-band + popcount engine). Planted perturbed copies (id +
-    * 10000): audio samples nudged ±3, video frame bytes xor'd slightly.
-    * Golden-CSV gated like the other codec-backed gates. */
-  private def mediaFingerprintDups(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.operators.Multimodal.Codecs
-    val items = Multimodal.syntheticMedia(s, 200)
-    val perturbed = items.filter(m => m.kind == "audio" || m.kind == "video").map { m =>
-      m.kind match {
-        case "audio" =>
-          Codecs.decodeWavPcm16(m.bytes) match {
-            case Some((sr, samples)) =>
-              val out = samples.clone()
-              var i = 0
-              while (i < out.length) {
-                if (i % 13 == 0) out(i) = (out(i) + ((i % 7) - 3)).toShort
-                i += 1
-              }
-              m.copy(mediaId = m.mediaId + 10000, bytes = Codecs.encodeWavPcm16(sr, out))
-            case None => m.copy(mediaId = m.mediaId + 10000)
-          }
-        case _ =>
-          val out = m.bytes.clone()
-          var i = 16 // past the GVID header
-          while (i < out.length) {
-            if (i % 101 == 0) out(i) = ((out(i) & 0xff) ^ 0x02).toByte
-            i += 1
-          }
-          m.copy(mediaId = m.mediaId + 10000, bytes = out)
-      }
-    }
-    val all = items.union(perturbed)
-    Multimodal.audioNearDups(all, maxHamming = 2)
-      .withColumn("modality", lit("audio"))
-      .unionByName(Multimodal.videoThumbDups(all, maxHamming = 2)
-        .withColumn("modality", lit("video")))
-      .orderBy("modality", "id_a", "id_b")
-  }
-
-  /** Trim-robust video dedup ([[graft.operators.Multimodal
-    * .videoContentDups]]): originals vs TRIMMED copies (id + 20000,
-    * first frame dropped) — the copies the thumbnail screen
-    * (`media_fingerprint_dups`) cannot see, found by sampled-frame-set
-    * overlap. Golden-CSV gated. */
-  private def videoContentDupsGate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.operators.Multimodal.Codecs
-    val items = Multimodal.syntheticMedia(s, 200)
-    val trimmed = items.filter(_.kind == "video").flatMap { m =>
-      Codecs.decodeVideoHeader(m.bytes) match {
-        case Some((frameCount, w, h)) if frameCount >= 2 =>
-          val frames = (1 until frameCount).flatMap(i =>
-            Codecs.decodeVideoFrame(m.bytes, i).map(_._3))
-          Some(m.copy(mediaId = m.mediaId + 20000,
-            bytes = Codecs.encodeVideo(w, h, frames),
-            durationMs = m.durationMs - 1000L))
-        case _ => None
-      }
-    }
-    Multimodal.videoContentDups(items.union(trimmed), everyMs = 1000L, minShared = 1)
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Four REAL BPE training rounds ([[graft.operators.TextCorpus
-    * .bpeTrainMerges]]): the learned merge table, with rounds 2+
-    * counting pairs over the REBUILT symbol sequences — the oracle
-    * unrolls the same greedy-leftmost merge via run-parity windows, so
-    * any drift in merge application diverges the next round's counts. */
-  private def bpeMerges(s: SparkSession, dir: String): DataFrame =
-    graft.operators.TextCorpus.bpeTrainMerges(t(s, dir, "documents"), "text", nMerges = 4)
-      .orderBy("rank")
-
-  // ==================================================================
-  // Round-8 family: CDC replay, validation, interpolation, journeys,
-  // skew/scaling/growth diagnostics, privacy diversity, unpivot
-  // ==================================================================
-
-  /** The events table viewed as a CDC feed: `click` = delete, every
-    * other type upserts the event's value; event_id is the total log
-    * order. */
-  private def cdcLog(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").select(
-      col("user_id"), col("event_id"),
-      when(col("event_type") === "click", "d").otherwise("u").as("op"),
-      col("value"))
-
-  /** CDC snapshot ([[graft.operators.Cdc.applyChangeLog]]): the change
-    * history collapsed to current state — newest row per user decides
-    * existence and value, no per-batch loop, one keyed shuffle. */
-  private def cdcApply(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Cdc.applyChangeLog(cdcLog(s, dir),
-        keyCols = Seq("user_id"), orderCols = Seq("event_id"), opCol = "op")
-      .orderBy("user_id")
-
-  /** CDC feed health ([[graft.operators.Cdc.churnStats]]): per-key
-    * change/delete counts + liveness in ONE partial-aggregable pass
-    * (newest op via max-of-struct, no window). */
-  private def cdcChurn(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Cdc.churnStats(cdcLog(s, dir),
-        keyCols = Seq("user_id"), orderCols = Seq("event_id"), opCol = "op")
-      .orderBy("user_id")
-
-  /** Declarative batch-promotion audit ([[graft.operators.Validation]]):
-    * five row rules in ONE orders/lineitem scan each, a key-uniqueness
-    * rule, and an orders←lineitem referential probe — all through the
-    * same (rule, n_checked, n_violations) schema. */
-  private def dataValidation(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Validation
-    val o = t(s, dir, "orders")
-    val li = t(s, dir, "lineitem")
-    val orderRules = Validation.report(o, Seq(
-      Validation.Rule("orders_price_positive", col("o_totalprice") > 0.0),
-      Validation.Rule("orders_date_present", col("o_orderdate").isNotNull),
-      Validation.Rule("orders_status_domain",
-        col("o_orderstatus").isin("O", "F", "P"))))
-    val lineRules = Validation.report(li, Seq(
-      Validation.Rule("lineitem_discount_band",
-        col("l_discount") >= 0.0 && col("l_discount") <= 0.1),
-      Validation.Rule("lineitem_qty_band",
-        col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0)))
-    orderRules
-      .unionByName(lineRules)
-      .unionByName(Validation.uniqueReport(o, "orders_key_unique", Seq("o_orderkey")))
-      .unionByName(Validation.fkReport(li, "lineitem_fk_orders", "l_orderkey", o, "o_orderkey"))
-      .orderBy("rule")
-  }
-
-  /** Hourly LINEAR-interpolation grid ([[graft.operators.Resample
-    * .interpGrid]]) of each user's value — the continuous-signal
-    * counterpart of `resample_locf`, same keyed-only exchanges; gap
-    * buckets take the fixed-shape IEEE interpolation both engines
-    * evaluate identically. */
-  private def resampleInterp(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Resample.interpGrid(
-        eventsNs(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("value")),
-        "user_id", "ts", "value", "event_id",
-        step = 3600L * 1000000000L)
-      .orderBy("user_id", "bucket")
-
-  /** Top user journeys ([[graft.operators.Behavioral.conversionPaths]]):
-    * 30-minute-gap sessions rendered as ordered `>`-joined type paths,
-    * counted corpus-wide, top 50. */
-  private def conversionPathsQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Behavioral.conversionPaths(eventsNs(s, dir),
-      "user_id", "ts", "event_id", "event_type",
-      gap = 1800L * 1000000000L, topK = 50)
-
-  /** Key-skew diagnostic ([[graft.operators.Stats.keySkewReport]]) over
-    * the order⋈lineitem join key: per power-of-two bucket of rows-per-
-    * key, how many keys / rows / the hottest key — the pre-join report
-    * that decides salting. */
-  private def skewReport(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.keySkewReport(t(s, dir, "lineitem"), Seq("l_orderkey"))
-      .orderBy("log2_bucket")
-
-  /** Exact-moment z-score standardization ([[graft.operators.Stats
-    * .standardize]]) of extended price within return flag — decimal
-    * moments, one broadcast back, projection-only scaling. */
-  private def featureScaling(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.standardize(
-        t(s, dir, "lineitem")
-          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
-        "l_returnflag", "l_extendedprice", scale = 2)
-      .select("l_orderkey", "l_linenumber", "l_returnflag", "z")
-      .orderBy("l_orderkey", "l_linenumber")
-
-  /** Week-over-week revenue growth ([[graft.operators.Stats
-    * .periodGrowth]]): per order status, weekly revenue in exact micros
-    * with integer-ppm growth vs the previous week — the lag window runs
-    * on the |status|·|weeks| aggregate, never the fact rows. */
-  private def wowGrowth(s: SparkSession, dir: String): DataFrame = {
-    val weekly = t(s, dir, "orders")
-      .groupBy(col("o_orderstatus"),
-        expr("unix_micros(cast(o_orderdate as timestamp)) div 604800000000").as("week"))
-      .agg((sum(col("o_totalprice").cast("decimal(30,6)")) * 1000000L)
-        .cast("long").as("rev_micros"))
-    graft.operators.Stats.periodGrowth(weekly, "o_orderstatus", "week", "rev_micros")
-      .orderBy("o_orderstatus", "week")
-  }
-
-  /** Additive seasonal decomposition ([[graft.operators.Stats
-    * .seasonalDecompose]]) of daily event counts per type, summarized to
-    * day-of-week seasonal components: n complete-window days, their raw
-    * count mass, and the integer seasonal numerator Σ(7·cnt −
-    * trend7_sum) — seasonal index = seas_num / (7·n_days) at render
-    * time, kept unsplit here so every emitted value is engine-exact.
-    * The corpus collapses to |types|×|days| before any window runs. */
-  private def seasonalDecomposeQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.seasonalDecompose(t(s, dir, "events"), "event_type", "ts")
-      .filter(col("detrended7").isNotNull)
-      .groupBy(col("event_type"), col("dow"))
-      .agg(count(lit(1)).as("n_days"),
-        sum(col("cnt")).as("cnt_sum"),
-        sum(col("detrended7")).as("seas_num"))
-      .orderBy("event_type", "dow")
-
-  /** Theil–Sen robust daily trend per event type ([[graft.operators
-    * .Stats.theilSenSlope]]): the median pairwise slope of the daily
-    * count series, emitted as the exact integer fraction (Δcnt, Δdays)
-    * — the outlier-proof "is this event type growing?" answer. The pair
-    * expansion is quadratic in the ~|days| series, computed entirely
-    * inside one projection over |types| rows. */
-  private def theilSenTrend(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.theilSenSlope(
-        t(s, dir, "events")
-          .groupBy(col("event_type"),
-            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("x"))
-          .agg(count(lit(1)).as("y")),
-        "event_type", "x", "y")
-      .orderBy("event_type")
-
-  /** Exact ROC-AUC ([[graft.operators.Stats.exactAuc]]) of character
-    * length as a ranker for the ≥45-word screen, per source — the
-    * Mann–Whitney integer fraction (midrank ties), the threshold-free
-    * quality-scorer evaluation next to `rater_agreement`'s κ. */
-  private def qualityAuc(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.exactAuc(
-        t(s, dir, "documents").select(col("source"),
-          length(trim(col("text"))).cast("long").as("score"),
-          (size(split(trim(col("text")), "\\s+")) >= 45).as("label")),
-        "source", "score", "label")
-      .orderBy("source")
-
-  /** First-occurrence novelty ([[graft.operators.TextCorpus
-    * .noveltyScores]]) over the dup fixture: per doc, distinct 8-gram
-    * shingles vs how many an EARLIER doc already introduced — the
-    * exact-dup clones (+10000) and excerpts (+20000) score fully
-    * recycled while their sources stay clean, the "keep first" policy
-    * as a measurement. */
-  private def noveltyScoresQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.TextCorpus.noveltyScores(
-        docsWithDups(s, dir), "doc_id", "text", shingleSize = 8)
-      .withColumnRenamed("id", "doc_id")
-      .orderBy("doc_id")
-
-  /** Calibration bins ([[graft.operators.Stats.calibrationBins]]): the
-    * length score's equi-depth deciles vs the word-screen hit rate per
-    * source — (score_sum/n, n_pos/n) per bin renders the reliability
-    * diagram; all-integer, ntile over a (score, doc_id) total order. */
-  private def calibrationBinsQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.calibrationBins(
-        t(s, dir, "documents").select(col("source"), col("doc_id"),
-          length(trim(col("text"))).cast("long").as("score"),
-          (size(split(trim(col("text")), "\\s+")) >= 45).as("label")),
-        "source", "score", "label", tieCols = Seq("doc_id"), bins = 10)
-      .orderBy("source", "bin")
-
-  /** Cohen's kappa ([[graft.operators.Stats.cohenKappa]]) between two
-    * deterministic quality screens (length ≥ 280 chars vs ≥ 45 words)
-    * per source — agreement beyond chance as the exact integer fraction
-    * (n·o − Σrow·col, n² − Σrow·col); the rater-calibration statistic a
-    * labeling pipeline reads before trusting either screen alone. */
-  private def raterAgreement(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.cohenKappa(
-        t(s, dir, "documents").select(col("source"),
-          (length(trim(col("text"))) >= 280).as("a"),
-          (size(split(trim(col("text")), "\\s+")) >= 45).as("b")),
-        "source", "a", "b")
-      .orderBy("source")
-
-  /** CUSUM changepoint ([[graft.operators.Stats.cusumChangepoint]]) of
-    * each event type's daily count series: the interior day that
-    * maximizes |n·cumsum − k·total| — integer-exact level-shift
-    * localization, the O(n) screen before the quadratic robust fits. */
-  private def cusumChangepoint(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.cusumChangepoint(
-        t(s, dir, "events")
-          .groupBy(col("event_type"),
-            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("x"))
-          .agg(count(lit(1)).as("y")),
-        "event_type", "x", "y")
-      .orderBy("event_type")
-
-  /** Functional-dependency audit ([[graft.operators.Validation
-    * .fdAudit]]): candidate dependencies over part (all broken in this
-    * corpus — the fan-out says how badly) plus the key-certifying
-    * o_orderkey → o_custkey (0 violating keys proves orderkey is a
-    * key for custkey). Each candidate is its own two-column pruned
-    * aggregate pass; the report is |candidates| rows. */
-  private def fdAuditQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Validation.fdAudit(t(s, dir, "part"),
-        Seq(("p_brand", "p_type"), ("p_type", "p_brand"), ("p_name", "p_brand")))
-      .union(graft.operators.Validation.fdAudit(t(s, dir, "orders"),
-        Seq(("o_orderkey", "o_custkey"))))
-      .orderBy("lhs", "rhs")
-
-  /** Order-dependency audit ([[graft.operators.Validation.orderAudit]]):
-    * is ship date nondecreasing along each order's line numbers, and
-    * does the event clock ever run backwards along event ids within a
-    * user? Two lag-window rules reported through the uniform
-    * (rule, n_checked, n_violations) contract. */
-  private def orderAuditQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Validation.orderAudit(t(s, dir, "lineitem"),
-        "shipdate_by_linenumber", Seq("l_orderkey"),
-        // linenumber has dup rows → the audited value breaks the tie
-        Seq("l_linenumber", "l_shipdate"), "l_shipdate")
-      .union(graft.operators.Validation.orderAudit(t(s, dir, "events"),
-        "event_ts_by_id_per_user", Seq("user_id"), Seq("event_id"), "ts"))
-      .orderBy("rule")
-
-  /** Collocation screen ([[graft.operators.TextCorpus.collocations]]):
-    * adjacent token pairs with ≥5 occurrences beating independence by
-    * lift ≥ 1.30, the cross-multiplied integer PMI screen — the phrase
-    * detector next to `top_ngrams`' raw frequencies. */
-  private def collocationsQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.TextCorpus.collocations(
-        t(s, dir, "documents"), minCount = 5L, minLiftPct = 130L)
-      .orderBy("w1", "w2")
-
-  /** Spearman rank correlation ([[graft.operators.Stats.spearmanCorr]])
-    * between quantity and extended price per return flag — monotone
-    * association as exact integer fractions over doubled midranks,
-    * ρ = rho_num/√(rho_denx·rho_deny) at render time. */
-  private def spearmanCorrQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.spearmanCorr(
-        t(s, dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice")
-      // gate boundary: the decimal(38,0) moments render as strings so the
-      // hash compare sees identical digits on both engines at any
-      // magnitude (HUGEINT → float64 in the driver's oracle reader,
-      // decimal(38,0) → java.math.BigDecimal in its parquet reader)
-      .withColumn("rho_num", col("rho_num").cast("string"))
-      .withColumn("rho_denx", col("rho_denx").cast("string"))
-      .withColumn("rho_deny", col("rho_deny").cast("string"))
-      .orderBy("l_returnflag")
-
-  /** Seasonality-adjusted anomaly days ([[graft.operators.Stats
-    * .seasonalOutliers]]): detrended residuals ≥ 4× their (type, dow)
-    * cell's MAD — Mondays judged against Monday's own spread, the
-    * relative threshold that survives a 100× traffic scale-up. */
-  private def seasonalOutliersQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.seasonalOutliers(
-        t(s, dir, "events"), "event_type", "ts", madMultiple = 4L)
-      // epoch-day (the theil_sen convention) keeps the gate integer-only
-      .select(col("event_type"),
-        datediff(col("d"), lit("1970-01-01")).cast("long").as("d_epochday"),
-        col("dow"), col("cnt"), col("detrended7"), col("med7"),
-        col("abs_dev7"), col("mad7"))
-      .orderBy("event_type", "d_epochday")
-
-  /** t-closeness audit ([[graft.operators.Pii.tClosenessClasses]]) of
-    * the same customer release l_diversity gates: EMD between each QI
-    * class's balance-band distribution and the corpus's, exact-integer
-    * via prefix-sum cross-multiplication, against t = 3/20 — the
-    * skewness-attack screen that k-anonymity and l-diversity both
-    * miss, completing the privacy triad. */
-  private def tClosenessQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Pii.tClosenessClasses(
-        t(s, dir, "customer")
-          // same engine-safe positive band as the l_diversity gate
-          .withColumn("bal_band", expr("floor(c_acctbal + 1000.0d) div 2000")),
-        Seq("c_nationkey", "c_mktsegment"), "bal_band", tNum = 3L, tDen = 20L)
-      // gate boundary: render the decimal(38,0) EMD numerator as a string
-      // (same digits on both engines; see spearman_corr's note)
-      .withColumn("emd_num", col("emd_num").cast("string"))
-      .orderBy("c_nationkey", "c_mktsegment")
-
-  /** Inclusion-dependency audit ([[graft.operators.Validation
-    * .indAudit]]): two certified INDs (order custkeys ⊆ customers,
-    * lineitem partkeys ⊆ parts) and one violated business containment
-    * (purchasers ⊆ launch-week signups) — the FK-discovery twin of
-    * `fd_audit`'s key discovery, distinct-value semantics. */
-  private def indAuditQuery(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    graft.operators.Validation.indAudit("o_custkey_in_customer",
-        t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey")
-      .union(graft.operators.Validation.indAudit("l_partkey_in_part",
-        t(s, dir, "lineitem"), "l_partkey", t(s, dir, "part"), "p_partkey"))
-      .union(graft.operators.Validation.indAudit("purchaser_in_launch_signups",
-        ev.filter(col("event_type") === "purchase"), "user_id",
-        ev.filter(col("event_type") === "signup" &&
-          col("ts") < lit("2024-01-08").cast("timestamp")), "user_id"))
-      .orderBy("candidate")
-  }
-
-  /** Batch twin of the streaming funnel CEP ([[graft.streaming
-    * .StatefulOps.funnelWithState]]): view → click → purchase within 7
-    * days of the FIRST view, each step strictly after the previous
-    * match — the same flatMapGroupsWithState function run in batch mode
-    * (empty state, one invocation per user), oracled against the
-    * nested min-chain SQL. StatefulStreamingSpec pins the streaming
-    * replay — including in-watermark reordering — to these rows. */
-  private def funnelStateBatch(s: SparkSession, dir: String): DataFrame =
-    // FOUR steps (view → click → signup → purchase): pins the N-step
-    // generalization (round-10 verdict #2) — the operator takes any
-    // distinct step list, like its batch twin Behavioral.funnel
-    graft.streaming.StatefulOps.funnelWithState(
-        graft.streaming.StatefulOps.typedEvents(t(s, dir, "events")),
-        Seq("view", "click", "signup", "purchase"),
-        windowMicros = 7L * 86400L * 1000000L)
-      .toDF()
-      .select(col("userId").as("user_id"), col("reached"),
-        col("stepUs")(0).as("t1_us"), col("stepUs")(1).as("t2_us"),
-        col("stepUs")(2).as("t3_us"), col("stepUs")(3).as("t4_us"),
-        col("completed"))
-      .orderBy("user_id")
-
-  /** Anti-entropy bucket diff ([[graft.operators.Validation.syncDiff]]):
-    * the orders table vs a deterministically-mutated replica (priority
-    * rewritten on keys ≡ 3 mod 97, keys ≡ 5 mod 101 deleted) — the
-    * mismatched 1/64th keyspace slices a repair pass would re-read,
-    * found by moving 2×64 digest rows instead of two table scans'
-    * worth of rows to one place. */
-  private def syncDigestQuery(s: SparkSession, dir: String): DataFrame = {
-    val orders = t(s, dir, "orders")
-    val mutated = orders
-      .withColumn("o_orderpriority",
-        when(pmod(col("o_orderkey"), lit(97)) === 3, lit("9-RESYNC"))
-          .otherwise(col("o_orderpriority")))
-      .filter(pmod(col("o_orderkey"), lit(101)) =!= 5)
-    graft.operators.Validation.syncDiff(orders, mutated, "o_orderkey",
-        Seq("o_custkey", "o_orderstatus", "o_orderpriority"), nBuckets = 64)
-      .orderBy("bucket")
-  }
-
-  /** Quantile alignment ([[graft.operators.Stats.quantileAlign]]) of
-    * every source's length distribution onto src0's — each source's
-    * k-th of n lengths takes src0's value at the proportional rank, so
-    * a single corpus-wide length threshold means the same thing in
-    * every source; all-integer rank arithmetic, keyed windows only. */
-  private def quantileAlignQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.quantileAlign(
-        t(s, dir, "documents").select("source", "doc_id", "n_chars"),
-        "source", "n_chars", "doc_id", refSource = "src0")
-      .orderBy("source", "doc_id")
-
-  /** Sample-ratio-mismatch guardrail ([[graft.operators.Sampling
-    * .srmCheck]]): the salted 50/50 user split audited per event type —
-    * clean as logged, then with arm-A users at even ids dropped (the
-    * differential-logging-loss failure SRM exists to catch): the exact
-    * integer z² flags the biased scenario and passes the clean one. */
-  private def srmCheckQuery(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val biased = ev.filter(!(pmod(col("user_id"), lit(2)) === 0 &&
-      graft.operators.Sampling.hashBucket(col("user_id"), "exp1", 2) < 1))
-    graft.operators.Sampling.srmCheck(ev, "event_type", "user_id", "exp1", 1L, 1L)
-      .withColumn("scenario", lit("clean"))
-      .union(graft.operators.Sampling
-        .srmCheck(biased, "event_type", "user_id", "exp1", 1L, 1L)
-        .withColumn("scenario", lit("lossy")))
-      .orderBy("scenario", "event_type")
-  }
-
-  /** Linear multi-touch attribution ([[graft.operators.Behavioral
-    * .linearAttribution]]): each purchase splits 1e6 ppm equally across
-    * its 3-day-lookback view/click touches (remainder to the latest;
-    * no-touch purchases credit `(direct)` in full) — credit conserves
-    * exactly at 1e6 per conversion, the fractional counterpart of
-    * `attribution_last_touch`. */
-  private def attributionLinear(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Behavioral.linearAttribution(
-        t(s, dir, "events")
-          .withColumn("us", unix_micros(col("ts").cast("timestamp"))),
-        "user_id", "us", "event_type", Seq("view", "click"), "purchase",
-        lookbackMicros = 3L * 86400L * 1000000L)
-      .orderBy("channel")
-
-  /** Kaplan–Meier life table ([[graft.operators.Behavioral
-    * .survivalTable]]) per signup-week cohort: lifetime days with
-    * right-censoring (active within 3 days of the horizon = alive, not
-    * churned) — the exact integer (n_risk, deaths, censored) rows the
-    * survival curve renders from. */
-  private def survivalTableQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Behavioral.survivalTable(
-        t(s, dir, "events"), "user_id", "ts", censorDays = 3)
-      .orderBy("cohort_week", "t_day")
-
-  /** Activity streaks ([[graft.operators.Behavioral.activityStreaks]]):
-    * per user, consecutive-active-day runs via the day − row_number
-    * island key — active days, streak count, longest and current
-    * streak, all integers over each user's |days| rows. */
-  private def activityStreaksQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Behavioral.activityStreaks(t(s, dir, "events"), "user_id", "ts")
-      .orderBy("user_id")
-
-  /** Price–volume bridge ([[graft.operators.Behavioral
-    * .priceVolumeBridge]]) between 1995-01 and 1995-02 per return flag:
-    * Δrevenue split into volume and price effects over the common
-    * denominator q0, provably summing to rev1 − rev0 — the revenue
-    * waterfall as exact integers. */
-  private def mixShiftQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Behavioral.priceVolumeBridge(
-        t(s, dir, "lineitem")
-          .withColumn("m",
-            date_format(col("l_shipdate").cast("timestamp"), "yyyy-MM"))
-          .withColumn("qty", col("l_quantity").cast("long"))
-          .withColumn("rev_micros",
-            (col("l_extendedprice").cast("decimal(30,6)") * 1000000L)
-              .cast("long")),
-        "l_returnflag", "m", "qty", "rev_micros", "1995-01", "1995-02")
-      // gate boundary: render the decimal(38,0) bridge terms as strings
-      // (same digits on both engines; see spearman_corr's note)
-      .withColumn("vol_num", col("vol_num").cast("string"))
-      .withColumn("price_num", col("price_num").cast("string"))
-      .orderBy("l_returnflag")
-
-  /** Distinct l-diversity audit ([[graft.operators.Pii
-    * .lDiversityClasses]]) of the customer release: QI =
-    * (nation, market segment), sensitive = account-balance band —
-    * classes where every member shares a band fail l=3 and leak. */
-  private def lDiversity(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Pii.lDiversityClasses(
-        t(s, dir, "customer")
-          // +1000 shift keeps the band operand positive: floor/÷ agree
-          // across engines only above zero (DuckDB floors negative //,
-          // Spark's div truncates)
-          .withColumn("bal_band", expr("floor(c_acctbal + 1000.0d) div 2000")),
-        Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3)
-      .orderBy("c_nationkey", "c_mktsegment")
-
-  /** Wide→long UNPIVOT (Spark's native `unpivot`/melt, Catalyst Expand
-    * under the hood — same zero-shuffle single pass as ROLLUP): the
-    * per-flag pricing rollup melted to (flag, metric, value) for
-    * metric-generic downstream consumers. */
-  private def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_price"),
-        dsum(col("l_discount")).as("sum_disc"))
-      .unpivot(Array(col("l_returnflag")),
-        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
-        "metric", "value")
-      .orderBy("l_returnflag", "metric")
-
-  /** Streaming-shaped anomaly monitor replayed over history
-    * ([[graft.operators.Stats.runningAnomalies]]): each event judged
-    * against its user's PRIOR running mean/variance, the z² test in
-    * exact integer arithmetic — the batch replay that IS the
-    * mapGroupsWithState monitor's semantics, gated cross-engine. */
-  private def zscoreAlerts(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.runningAnomalies(
-        eventsNs(s, dir).select(col("user_id"), col("ts"), col("event_id"),
-          round(col("value") * 100).cast("long").as("value_c")),
-        "user_id", Seq("ts", "event_id"), "value_c", z = 3, minPrior = 5)
-      .select("user_id", "event_id", "n_prior", "is_anomaly")
-      .orderBy("user_id", "event_id")
-
-  /** Peak concurrent sessions per day ([[graft.operators.Behavioral
-    * .maxConcurrent]]): 6-hour-gap sessions swept as ±1 interval
-    * endpoints ([start, end+1ns) half-open; ends before starts at a
-    * tie), grouped by session START day. Raw timestamps are whole
-    * microseconds, so the +1ns end never collides with a start and the
-    * oracle's +1µs sweep orders identically. */
-  private def concurrencyPeak(s: SparkSession, dir: String): DataFrame = {
-    val sessions = graft.streaming.EventTimeOps.sessionizeBatch(
-      eventsNs(s, dir), "ts", "user_id", "value",
-      gapNanos = 21600L * 1000000000L)
-    val iv = sessions.select(col("user_id"),
-      expr("session_start_ns div 86400000000000").as("day"),
-      col("session_start_ns").as("s"),
-      (col("session_end_ns") + 1L).as("e"))
-    graft.operators.Behavioral.maxConcurrent(iv, "day", "s", "e", "user_id")
-      .orderBy("day")
-  }
-
-  /** Clamped stock-ledger fold ([[graft.operators.Ledger
-    * .clampedBalance]]): purchases/carts stock up, other events draw
-    * down, balance saturating in [0, 100000] centi-units after EVERY
-    * step — the non-windowable fold, oracled against a recursive CTE
-    * unrolling the same recurrence. */
-  private def stockLedger(s: SparkSession, dir: String): DataFrame = {
-    val log = eventsNs(s, dir).select(
-      col("user_id"), col("ts"), col("event_id"),
-      when(col("event_type").isin("purchase", "cart"),
-          round(col("value") * 100).cast("long"))
-        .otherwise(-round(col("value") * 100).cast("long")).as("delta_c"))
-    graft.operators.Ledger.clampedBalance(log,
-        "user_id", "ts", "event_id", "delta_c", lo = 0L, hi = 100000L)
-      .select("user_id", "event_id", "delta_c", "balance")
-      .orderBy("user_id", "event_id")
-  }
-
-  /** Conversion latency quantiles: per purchase, the exact-micros gap
-    * since the user's most recent preceding view (the last-touch
-    * window), rank-rule quantiles per conversion weekday
-    * ([[graft.operators.Stats.groupedQuantiles]]). */
-  private def timeToConvert(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val gaps = eventsNs(s, dir)
-      .withColumn("touch_ts",
-        max(when(col("event_type") === "view", col("ts"))).over(w))
-      .filter(col("event_type") === "purchase" && col("touch_ts").isNotNull)
-      .select(expr("((ts div 86400000000000) + 4) % 7").as("dow"),
-        expr("(ts - touch_ts) div 1000").as("latency_us"))
-    graft.operators.Stats.groupedQuantiles(gaps, "dow", "latency_us",
-        ps = Seq(0.5, 0.9, 0.99))
-      .orderBy("dow", "p")
-  }
-
-  /** k-fold assignment audit ([[graft.operators.Sampling.cvFold]]):
-    * per (fold, lang) document counts — the balance check before
-    * cross-validated training; the assignment itself is a stateless
-    * salted-hash projection. */
-  private def cvFolds(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("fold", graft.operators.Sampling.cvFold(col("doc_id"), "cv-1", 5))
-      .groupBy("fold", "lang")
-      .agg(count(lit(1)).as("n"))
-      .orderBy("fold", "lang")
-
-  /** Percent-of-total report ([[graft.operators.Stats
-    * .contributionShare]]): each status's integer-ppm share of its
-    * week's revenue — the window runs on the |weeks|·|statuses|
-    * rollup, never the orders. */
-  private def revenueShare(s: SparkSession, dir: String): DataFrame = {
-    val weekly = t(s, dir, "orders")
-      .groupBy(col("o_orderstatus"),
-        expr("unix_micros(cast(o_orderdate as timestamp)) div 604800000000").as("week"))
-      .agg((sum(col("o_totalprice").cast("decimal(30,6)")) * 1000000L)
-        .cast("long").as("rev_micros"))
-    graft.operators.Stats.contributionShare(weekly, Seq("week"), "rev_micros")
-      .orderBy("week", "o_orderstatus")
-  }
-
-  /** A/B experiment funnel ([[graft.operators.Sampling.hashBucket]] arm
-    * assignment × [[graft.operators.Behavioral.funnel]]): the
-    * view→click→purchase funnel per deterministic experiment arm — the
-    * readout shape of every hash-bucketed experiment. */
-  private def abFunnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = eventsNs(s, dir).withColumn("arm",
-      when(graft.operators.Sampling.hashBucket(col("user_id"), "exp-1", 2) === 0, "A")
-        .otherwise("B"))
-    Seq("A", "B").map { a =>
-      graft.operators.Behavioral.funnel(ev.filter(col("arm") === a),
-          "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
-        .withColumn("arm", lit(a))
-    }.reduce(_.unionAll(_))
-      .select("arm", "step", "event_type", "entities")
-      .orderBy("arm", "step")
-  }
-
-  /** Recommender holdout eval ([[graft.operators.Baskets
-    * .recsHoldoutEval]]): orders before 1999 train a part co-occurrence
-    * recommender, orders from 1999 on score it — precision@5 /
-    * recall ingredients as one exact-integer summary row; the offline
-    * eval loop `item_cf_topk`'s model would ship through. */
-  private def recsHoldoutEval(s: SparkSession, dir: String): DataFrame = {
-    val tx = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
-        (col("o_orderdate").cast("date") >= to_date(lit("1999-01-01"))).as("is_test")),
-        col("l_orderkey") === col("o_orderkey"))
-    graft.operators.Baskets.recsHoldoutEval(tx, "l_orderkey", "o_custkey",
-      "l_partkey", "is_test", k = 5, minCo = 2L)
-  }
-
-  /** Join-view IVM ([[graft.operators.Merge.maintainJoin]]): the
-    * orders⋈customer view maintained from base + delta partitions
-    * (orderkey ≡ 0 mod 8 and custkey ≡ 0 mod 9 play the night's
-    * inserts) via V₀ ∪ ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, then rolled up per
-    * nation — bit-equal to the full-recompute oracle, at delta-join
-    * cost. */
-  private def ivmJoinDelta(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
-      col("o_totalprice").cast("decimal(30,6)").as("rev"))
-    val c = t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
-      col("c_nationkey"))
-    val (a0, dA) = (o.filter(pmod(col("o_orderkey"), lit(8)) =!= 0),
-      o.filter(pmod(col("o_orderkey"), lit(8)) === 0))
-    val (b0, dB) = (c.filter(pmod(col("o_custkey"), lit(9)) =!= 0),
-      c.filter(pmod(col("o_custkey"), lit(9)) === 0))
-    graft.operators.Merge.maintainJoin(
-        a0.join(b0, Seq("o_custkey")), a0, dA, b0, dB, Seq("o_custkey"))
-      .groupBy(col("c_nationkey"))
-      .agg(count(lit(1)).as("n_orders"),
-        (sum(col("rev")) * 1000000L).cast("long").as("rev_micros"))
-      .orderBy("c_nationkey")
-  }
-
-  /** Volume-weighted median ([[graft.operators.Stats.weightedMedian]]):
-    * per return flag, the extended price at which half the UNITS
-    * shipped — quantity-weighted, cross-multiplied halving, ties
-    * closed by (orderkey, linenumber). */
-  private def weightedMedianQuery(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.weightedMedian(
-        t(s, dir, "lineitem")
-          .withColumn("qty", col("l_quantity").cast("long")),
-        "l_returnflag", "l_extendedprice", "qty",
-        tieCols = Seq("l_orderkey", "l_linenumber"))
-      .orderBy("l_returnflag")
-
-  /** Last-n feed batch twin ([[graft.streaming.TransformWithStateOps
-    * .recentFeedWithState]]): the ListState ring's batch degeneration —
-    * each user's newest 5 events, slot 0 newest; the streaming
-    * incremental maintenance is pinned in TransformWithStateSpec.
-    *
-    * Gated on a 1-in-10 user slice: batch-mode transformWithState pays
-    * the full state-store machinery to produce what a plain window
-    * answers, so the PARITY gate runs on a deterministic subset
-    * (hundreds of users at sf0.01 — every merge/truncate/emit path
-    * still exercised) while the full-data cost lives where it means
-    * something: the streaming_feed_replay bench scenario (round-9
-    * verdict cost-watch — this line was the 3rd most expensive query
-    * for no extra coverage). */
-  private def recentFeedBatch(s: SparkSession, dir: String): DataFrame =
-    graft.streaming.TransformWithStateOps.recentFeedWithState(
-        graft.streaming.StatefulOps.typedEvents(
-          t(s, dir, "events").filter(col("user_id") % 10 === 0)), n = 5)
-      .toDF()
-      .select(col("userId").as("user_id"), col("slot"),
-        expr("tsNanos div 1000").as("ts_us"), col("eventType").as("event_type"))
-      .orderBy("user_id", "slot")
-
-  /** Item-item CF ([[graft.operators.Baskets.itemCosine]]): top-100
-    * part pairs by cosine over implicit basket vectors — co-occurrence
-    * normalized by popularity. */
-  private def itemCfTopk(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Baskets.itemCosine(t(s, dir, "lineitem"),
-        "l_orderkey", "l_partkey", minSupport = 2L)
-      .orderBy(col("cosine").desc, col("a"), col("b"))
-      .limit(100)
-
-  /** Revenue concentration ([[graft.operators.Stats.giniIndex]]): per
-    * order status, the exact-ppm Gini of customer total spend. */
-  private def giniRevenue(s: SparkSession, dir: String): DataFrame = {
-    val spend = t(s, dir, "orders")
-      .groupBy(col("o_orderstatus"), col("o_custkey"))
-      .agg((sum(col("o_totalprice").cast("decimal(30,6)")) * 1000000L)
-        .cast("long").as("spend_micros"))
-    graft.operators.Stats.giniIndex(spend, "o_orderstatus", "o_custkey", "spend_micros")
-      .orderBy("o_orderstatus")
-  }
-
-  /** Calendar dimension build: one row per day across the orders date
-    * span with arithmetic day-of-week/week (integer epoch-day forms —
-    * no engine calendar conventions) plus calendar year/month. The
-    * output IS the dimension a warehouse joins facts against. */
-  private def calendarDim(s: SparkSession, dir: String): DataFrame = {
-    val span = t(s, dir, "orders")
-      .agg(min(to_date(col("o_orderdate"))).as("lo"),
-        max(to_date(col("o_orderdate"))).as("hi"))
-    span.select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
-      .select(col("d"), year(col("d")).as("y"), month(col("d")).as("m"),
-        expr("(datediff(d, date'1970-01-01') + 4) % 7").as("dow"),
-        expr("datediff(d, date'1970-01-01') div 7").as("week"))
-      .orderBy("d")
-  }
-
-  /** Equi-depth price histogram: ntile(10) deciles of extended price
-    * within each return flag (total order via the line id tiebreak),
-    * per-bucket count/min/max/exact-decimal sum. The per-group window
-    * sort is the one heavy step; groups partition the corpus. */
-  private def priceEquidepth(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    t(s, dir, "lineitem")
-      .withColumn("tile", ntile(10).over(w).cast("long"))
-      .groupBy("l_returnflag", "tile")
-      .agg(count(lit(1)).as("n"),
-        min(col("l_extendedprice")).as("lo"),
-        max(col("l_extendedprice")).as("hi"),
-        dsum(col("l_extendedprice")).as("sum_price"))
-      .orderBy("l_returnflag", "tile")
-  }
-
-  /** Degree assortativity of the co-purchase graph: Pearson r over the
-    * (deg(u), deg(v)) pairs of every SYMMETRIZED edge — do hubs connect
-    * to hubs? Moments are exact integer sums well inside double's 2^53
-    * exact range (degrees are dimension-sized), so the closed-form r is
-    * one fixed IEEE expression both engines evaluate identically. */
-  private def degreeAssortativity(s: SparkSession, dir: String): DataFrame = {
-    val co = graft.operators.Baskets.cooccurrence(
-      t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
-    val edges = co.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(co.select(col("b").as("u"), col("a").as("v")))
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-    val pairs = edges
-      .join(deg.select(col("u"), col("deg").as("dx")), Seq("u"))
-      .join(deg.select(col("u").as("u2"), col("deg").as("dy")),
-        col("v") === col("u2"))
-    pairs.agg(
-        count(lit(1)).as("n"),
-        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-        sum(col("dx") * col("dx")).as("sxx"),
-        sum(col("dy") * col("dy")).as("syy"),
-        sum(col("dx") * col("dy")).as("sxy"))
-      .select(col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
-          .as("assortativity"))
-  }
-
-  /** Benford first-digit audit over order totals: leading digit taken
-    * from the INTEGER centi-price's string form (double→string
-    * formatting differs across engines; int→string doesn't), with
-    * exact-ppm shares — the fraud/quality screen for "does this revenue
-    * distribution look organic". One aggregate, nine rows. */
-  private def benfordDigits(s: SparkSession, dir: String): DataFrame = {
-    val digits = t(s, dir, "orders")
-      .select(substring(round(col("o_totalprice") * 100).cast("long")
-        .cast("string"), 1, 1).cast("int").as("digit"))
-      .groupBy("digit").agg(count(lit(1)).as("n"))
-    graft.operators.Stats.contributionShare(
-        digits.withColumn("part", lit(1)), Seq("part"), "n")
-      .select(col("digit"), col("n"), col("share_ppm"))
-      .orderBy("digit")
-  }
-
-  /** Encoding-anomaly screen: per-doc counts of classic UTF-8-as-Latin-1
-    * mojibake markers (Ã, â€™-family) — the ftfy-style triage pass; a
-    * literal alternation pattern, identical under Java regex and RE2. */
-  private def mojibakeFlags(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        size(expr("regexp_extract_all(text, 'Ã|â€')")).cast("long").as("n_markers"))
-      .withColumn("suspect", col("n_markers") > 0L)
-      .orderBy("doc_id")
-
-  /** Sentence-shape stats: sentences by terminal-punctuation runs,
-    * words by the whitespace tokenizer, and mean words-per-sentence in
-    * exact ppm — the readability-adjacent numbers a corpus report
-    * carries. Pure projections; one presentation sort. */
-  private def sentenceStats(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        size(expr("filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0)"))
-          .cast("long").as("n_sentences"),
-        graft.operators.TextAnalysis.tokenCount(col("text")).as("n_words"))
-      .withColumn("words_per_sentence_ppm",
-        when(col("n_sentences") > 0L,
-          expr("(n_words * 1000000L) div n_sentences")))
-      .orderBy("doc_id")
-
-  /** New-vs-returning decomposition: per epoch-week, active users split
-    * into first-ever-week cohort entrants and returners — two
-    * map-side-combined aggregations on the (user, week) distinct frame. */
-  private def newVsReturning(s: SparkSession, dir: String): DataFrame = {
-    val uw = eventsNs(s, dir)
-      .select(col("user_id"), expr("ts div 604800000000000").as("week"))
-      .distinct()
-    val first = uw.groupBy("user_id").agg(min(col("week")).as("first_week"))
-    uw.join(first, Seq("user_id"))
-      .groupBy("week")
-      .agg(count(lit(1)).as("active"),
-        sum(when(col("week") === col("first_week"), 1L).otherwise(0L)).as("new_users"))
-      .withColumn("returning", col("active") - col("new_users"))
-      .orderBy("week")
-  }
-
-  /** Order↔line reconciliation audit: per order, the exact-micros gap
-    * between the order total and its lines' discounted revenue, banded
-    * by |relative error| ppm — the warehouse closing check "do the
-    * facts roll up to the header". One keyed aggregation + one keyed
-    * join; the band report is |bands| rows. Sign-split integer
-    * division, decimal-widened blowup. */
-  private def orderReconciliation(s: SparkSession, dir: String): DataFrame = {
-    val lineRev = t(s, dir, "lineitem")
-      .groupBy(col("l_orderkey").as("o_orderkey"))
-      .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("decimal(30,6)")) * 1000000L).cast("long").as("line_micros"))
-    t(s, dir, "orders")
-      .select(col("o_orderkey"),
-        (col("o_totalprice").cast("decimal(30,6)") * 1000000L).cast("long")
-          .as("total_micros"))
-      .join(lineRev, Seq("o_orderkey"))
-      .withColumn("abs_diff_ppm",
-        expr("(cast(abs(line_micros - total_micros) as decimal(38,0)) * 1000000)" +
-          " div total_micros"))
-      .withColumn("band",
-        when(col("abs_diff_ppm") === 0L, "exact")
-          .when(col("abs_diff_ppm") <= 1000L, "within_0.1pct")
-          .when(col("abs_diff_ppm") <= 100000L, "within_10pct")
-          .otherwise("mismatch"))
-      .groupBy("band").agg(count(lit(1)).as("n_orders"))
-      .orderBy("band")
-  }
-
-  /** Bounce rate per day: 30-minute-gap sessions, share of single-event
-    * sessions in exact ppm — rides the same sessionization the journey
-    * and concurrency gates use. */
-  private def bounceRate(s: SparkSession, dir: String): DataFrame =
-    graft.streaming.EventTimeOps.sessionizeBatch(
-        eventsNs(s, dir), "ts", "user_id", "value",
-        gapNanos = 1800L * 1000000000L)
-      .groupBy(expr("session_start_ns div 86400000000000").as("day"))
-      .agg(count(lit(1)).as("n_sessions"),
-        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounces"))
-      .withColumn("bounce_ppm", expr("(n_bounces * 1000000L) div n_sessions"))
-      .orderBy("day")
-
-  /** Rapid-repeat-purchase screen: a second purchase by the same user
-    * within an hour of the first — the double-charge/retry-bug triage
-    * query as a keyed equi-join on the user with a bounded time
-    * predicate (per-user pair expansion bounded by purchases-per-hour,
-    * never a range-only blowup); the amount delta rides along for
-    * triage. */
-  private def doubleChargeFlags(s: SparkSession, dir: String): DataFrame = {
-    val p = eventsNs(s, dir).filter(col("event_type") === "purchase")
-      .select(col("user_id"), round(col("value") * 100).cast("long").as("value_c"),
-        col("ts"), col("event_id"))
-    val a = p.toDF("user_id", "vc_a", "ts_a", "id_a")
-    val b = p.toDF("user_id", "vc_b", "ts_b", "id_b")
-    a.join(b, Seq("user_id"))
-      .filter(col("ts_a") < col("ts_b") &&
-        col("ts_b") - col("ts_a") <= lit(3600L * 1000000000L))
-      .select(col("user_id"), col("id_a"), col("id_b"),
-        expr("(ts_b - ts_a) div 1000").as("gap_us"),
-        (col("vc_b") - col("vc_a")).as("delta_c"))
-      .orderBy("user_id", "id_a", "id_b")
-  }
-
-  // ==================================================================
-  // Registry
-  // ==================================================================
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "read_all_forwards" -> readAllForwards _,
-    "read_all_backwards" -> readAllBackwards _,
-    "read_stream_forwards" -> readStreamForwards _,
-    "read_stream_backwards" -> readStreamBackwards _,
-    "read_head_position" -> readHeadPosition _,
-    "stream_heads" -> streamHeads _,
-    "list_streams_keyset" -> listStreamsKeyset _,
-    "ttl_filter" -> ttlFilter _,
-    "scavenge_topk" -> scavengeTopK _,
-    "delete_message_anti" -> deleteMessageAnti _,
-    "delete_stream_filter" -> deleteStreamFilter _,
-    "join_streams_dim" -> joinStreamsDim _,
-    "idempotency_chains" -> idempotencyChains _,
-    "gap_detection" -> gapDetection _,
-    "json_extract" -> jsonExtract _,
-    "stream_id_hashing" -> streamIdHashing _,
-    "log_segment_scan" -> logSegmentScan _,
-    "bulk_import_scan" -> bulkImportScan _,
-    "dedup_exact_groups" -> dedupExactGroups _,
-    "dedup_exact_survivors" -> dedupExactSurvivors _,
-    "text_token_counts" -> textTokenCounts _,
-    "text_bpe_tokens" -> textBpeTokens _,
-    "text_quality_ratios" -> textQualityRatios _,
-    "lang_id" -> langId _,
-    "doc_fingerprints" -> docFingerprints _,
-    "text_normalize" -> textNormalize _,
-    "compression_signal" -> compressionSignal _,
-    "repetition_stats" -> repetitionStats _,
-    "top_ngrams" -> topNgramsQuery _,
-    "source_overlap" -> sourceOverlapQuery _,
-    "distinctive_terms" -> distinctiveTermsQuery _,
-    "doc_keywords" -> docKeywordsQuery _,
-    "bm25_topk" -> bm25TopK _,
-    "hybrid_rrf_topk" -> hybridRrfTopK _,
-    "lm_bigram_score" -> lmBigramScore _,
-    "corpus_diff" -> corpusDiffQuery _,
-    "purchase_pagerank" -> purchasePagerank _,
-    "label_communities" -> labelCommunities _,
-    "hashed_tf" -> hashedTf _,
-    "salted_join" -> saltedJoinQuery _,
-    "range_bracket_join" -> rangeBracketJoin _,
-    "para_dedup" -> paraDedup _,
-    "chunk_windows" -> chunkWindowsQuery _,
-    "corpus_shuffle" -> corpusShuffle _,
-    "quality_filter" -> qualityFilter _,
-    "pii_scrub" -> piiScrub _,
-    "span_dedup" -> spanDedup _,
-    "mixture_plan" -> mixturePlanQuery _,
-    "vocab_encode" -> vocabEncode _,
-    "quantize_embeddings" -> quantizeEmbeddings _,
-    "incremental_dedup" -> incrementalDedup _,
-    "minhash_near_dups" -> minhashNearDups _,
-    "near_dup_groups" -> nearDupGroupsQuery _,
-    "split_leakage" -> splitLeakage _,
-    "cluster_split" -> clusterSplitQuery _,
-    "corpus_report" -> corpusReportQuery _,
-    "cdc_chunks" -> cdcChunksQuery _,
-    "simhash_exact_dups" -> simhashExactDups _,
-    "ngram_jaccard_pairs" -> ngramJaccardPairs _,
-    "prefix_jaccard_pairs" -> prefixJaccardPairs _,
-    "containment_pairs" -> containmentPairsQuery _,
-    "seasonal_decompose" -> seasonalDecomposeQuery _,
-    "theil_sen_trend" -> theilSenTrend _,
-    "cusum_changepoint" -> cusumChangepoint _,
-    "rater_agreement" -> raterAgreement _,
-    "quality_auc" -> qualityAuc _,
-    "calibration_bins" -> calibrationBinsQuery _,
-    "fd_audit" -> fdAuditQuery _,
-    "order_audit" -> orderAuditQuery _,
-    "collocations" -> collocationsQuery _,
-    "spearman_corr" -> spearmanCorrQuery _,
-    "seasonal_outliers" -> seasonalOutliersQuery _,
-    "t_closeness" -> tClosenessQuery _,
-    "ind_audit" -> indAuditQuery _,
-    "funnel_state_batch" -> funnelStateBatch _,
-    "sync_digest" -> syncDigestQuery _,
-    "quantile_align" -> quantileAlignQuery _,
-    "srm_check" -> srmCheckQuery _,
-    "attribution_linear" -> attributionLinear _,
-    "survival_table" -> survivalTableQuery _,
-    "activity_streaks" -> activityStreaksQuery _,
-    "mix_shift" -> mixShiftQuery _,
-    "recs_holdout_eval" -> recsHoldoutEval _,
-    "ivm_join_delta" -> ivmJoinDelta _,
-    "weighted_median" -> weightedMedianQuery _,
-    "recent_feed_batch" -> recentFeedBatch _,
-    "novelty_scores" -> noveltyScoresQuery _,
-    "knn_dot_topk" -> knnDotTopK _,
-    "quantized_topk" -> quantizedTopK _,
-    "ann_recall_overlap" -> annRecallOverlap _,
-    "ivf_recall_overlap" -> ivfRecallOverlap _,
-    "pq_recall_overlap" -> pqRecallOverlap _,
-    "lsh_recall_overlap" -> lshRecallOverlap _,
-    "length_quantiles" -> lengthQuantiles _,
-    "global_quantiles_ts" -> globalQuantilesTs _,
-    "table_profile" -> tableProfile _,
-    "scd2_intervals" -> scd2Intervals _,
-    "scd2_point_lookup" -> scd2PointLookup _,
-    "event_transitions" -> eventTransitions _,
-    "transition_state_batch" -> transitionStateBatch _,
-    "fuzzy_name_pairs" -> fuzzyNamePairs _,
-    "golden_records" -> goldenRecordsQuery _,
-    "weighted_sample" -> weightedSampleQuery _,
-    "corr_matrix" -> corrMatrixQuery _,
-    "winsorized_values" -> winsorizedValues _,
-    "zorder_codes" -> zorderCodes _,
-    "embedding_norms" -> embeddingNorms _,
-    "ann_lsh_topk" -> annLshTopK _,
-    "ivf_topk" -> ivfTopKQuery _,
-    "pq_topk" -> pqTopKQuery _,
-    "pq_rerank_topk" -> pqRerankQuery _,
-    "semantic_dedup" -> semanticDedupQuery _,
-    "ncm_classify" -> ncmClassifyQuery _,
-    "cosine_near_dups" -> cosineNearDups _,
-    "multimodal_features" -> multimodalFeatures _,
-    "windowed_stats" -> windowedStatsQuery _,
-    "interval_join" -> intervalJoinQuery _,
-    "interval_join_outer" -> intervalJoinOuterQuery _,
-    "session_batch" -> sessionBatch _,
-    "session_window_stats" -> sessionWindowStats _,
-    "streaming_dedup" -> streamingDedup _,
-    "running_totals" -> runningTotals _,
-    "session_state_batch" -> sessionStateBatch _,
-    "scd2_state_batch" -> scd2StateBatch _,
-    "asof_join" -> asofJoinQuery _,
-    "asof_tolerance" -> asofToleranceQuery _,
-    "sample_split_counts" -> sampleSplitCounts _,
-    "stratified_sample" -> stratifiedSampleQuery _,
-    "weighted_mixture" -> weightedMixtureCounts _,
-    "negative_samples" -> negativeSamples _,
-    "contamination_flags" -> contaminationFlags _,
-    "bloom_contamination" -> bloomContaminationFlags _,
-    "pack_sequences" -> packSequences _,
-    "q1_pricing_summary" -> q1PricingSummary _,
-    "q3_top_revenue" -> q3TopRevenue _,
-    "q5_nation_revenue" -> q5NationRevenue _,
-    "q4_late_orders" -> q4LateOrders _,
-    "q6_forecast_revenue" -> q6ForecastRevenue _,
-    "q14_promo_share" -> q14PromoShare _,
-    "q7_volume_shipping" -> q7VolumeShipping _,
-    "q10_returned_items" -> q10ReturnedItems _,
-    "q13_order_distribution" -> q13OrderDistribution _,
-    "q18_large_orders" -> q18LargeOrders _,
-    "q22_idle_customers" -> q22IdleCustomers _,
-    "q2_min_cost_supplier" -> q2MinCostSupplier _,
-    "q8_market_share" -> q8MarketShare _,
-    "q9_profit_by_nation" -> q9ProfitByNation _,
-    "q11_important_parts" -> q11ImportantParts _,
-    "q12_priority_by_flag" -> q12PriorityByFlag _,
-    "q15_top_supplier" -> q15TopSupplier _,
-    "q16_supplier_counts" -> q16SupplierCounts _,
-    "q17_small_quantity_revenue" -> q17SmallQuantityRevenue _,
-    "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
-    "q20_excess_suppliers" -> q20ExcessSuppliers _,
-    "q21_waiting_suppliers" -> q21WaitingSuppliers _,
-    "top_parts_per_brand" -> topPartsPerBrand _,
-    "top_suppliers_per_nation" -> topSuppliersPerNation _,
-    "orders_monthly" -> ordersMonthly _,
-    "copurchase_pairs" -> copurchasePairs _,
-    "basket_rules" -> basketRules _,
-    "merge_upsert" -> mergeUpsert _,
-    "incremental_rollup" -> incrementalRollup _,
-    "link_prediction" -> linkPrediction _,
-    "seq_patterns" -> seqPatterns _,
-    "attribution_last_touch" -> attributionLastTouch _,
-    "khop_distances" -> khopDistancesQuery _,
-    "personalized_pagerank" -> personalizedPagerank _,
-    "rfm_scores" -> rfmScoresQuery _,
-    "rolling_actives" -> rollingActives _,
-    "distinct_counts" -> distinctCounts _,
-    "rollup_report" -> rollupReport _,
-    "cube_report" -> cubeReport _,
-    "event_type_pivot" -> eventTypePivot _,
-    "quality_lr_logit" -> qualityLrLogit _,
-    "line_boilerplate" -> lineBoilerplate _,
-    "line_strip" -> lineStrip _,
-    "k_anonymity" -> kAnonymityQuery _,
-    "funnel_steps" -> funnelSteps _,
-    "cohort_retention" -> cohortRetentionQuery _,
-    "length_deciles" -> lengthDeciles _,
-    "frequent_tokens" -> frequentTokensQuery _,
-    "dsir_weights" -> dsirWeights _,
-    "ks_drift" -> ksDriftQuery _,
-    "triangle_counts" -> triangleCountsQuery _,
-    "mad_outliers" -> madOutliersQuery _,
-    "kmeans_assign" -> kmeansAssign _,
-    "price_histogram" -> priceHistogram _,
-    "ewma_user_value" -> ewmaUserValue _,
-    "time_weighted_value" -> timeWeightedValue _,
-    "pareto_docs" -> paretoDocs _,
-    "bpe_pair_counts" -> bpePairCountsQuery _,
-    "char_diversity" -> charDiversityQuery _,
-    "tws_type_counts" -> twsTypeCounts _,
-    "kcore_nodes" -> kcoreNodes _,
-    "interarrival_stats" -> interarrivalStats _,
-    "rolling_user_value" -> rollingUserValue _,
-    "resample_locf" -> resampleLocf _,
-    "rank_normalize" -> rankNormalize _,
-    "dedup_best_survivors" -> dedupBestSurvivors _,
-    "hybrid_join" -> hybridJoinQuery _,
-    "image_near_dups" -> imageNearDupsGate _,
-    "media_fingerprint_dups" -> mediaFingerprintDups _,
-    "video_content_dups" -> videoContentDupsGate _,
-    "bpe_merges" -> bpeMerges _,
-    "cdc_apply" -> cdcApply _,
-    "cdc_churn" -> cdcChurn _,
-    "data_validation" -> dataValidation _,
-    "resample_interp" -> resampleInterp _,
-    "conversion_paths" -> conversionPathsQuery _,
-    "skew_report" -> skewReport _,
-    "feature_scaling" -> featureScaling _,
-    "wow_growth" -> wowGrowth _,
-    "l_diversity" -> lDiversity _,
-    "unpivot_metrics" -> unpivotMetrics _,
-    "zscore_alerts" -> zscoreAlerts _,
-    "concurrency_peak" -> concurrencyPeak _,
-    "stock_ledger" -> stockLedger _,
-    "time_to_convert" -> timeToConvert _,
-    "cv_folds" -> cvFolds _,
-    "revenue_share" -> revenueShare _,
-    "ab_funnel" -> abFunnel _,
-    "item_cf_topk" -> itemCfTopk _,
-    "gini_revenue" -> giniRevenue _,
-    "calendar_dim" -> calendarDim _,
-    "price_equidepth" -> priceEquidepth _,
-    "degree_assortativity" -> degreeAssortativity _,
-    "benford_digits" -> benfordDigits _,
-    "mojibake_flags" -> mojibakeFlags _,
-    "sentence_stats" -> sentenceStats _,
-    "new_vs_returning" -> newVsReturning _,
-    "order_reconciliation" -> orderReconciliation _,
-    "bounce_rate" -> bounceRate _,
-    "double_charge_flags" -> doubleChargeFlags _,
-  )
-
-  /** The [[operators.Graph.pageRank]] recurrence unrolled to 5 chained
-    * CTEs (no engine-specific recursion needed for a fixed horizon):
-    * identical integer fixed-point arithmetic to the Spark loop, so the
-    * ranks hash-match bit-exactly. Inner sums come back HUGEINT in
-    * DuckDB — cast at the rank expression. */
-  /** [[graft.operators.TextCorpus.bpeTrainMerges]] unrolled: per round,
-    * pair counts → top pick → greedy-leftmost merge application via
-    * run-parity windows (within each run of consecutive flagged
-    * positions, merge where the offset from the run start is even —
-    * exactly the fold's "a merged symbol never re-matches as `a`"
-    * left-to-right scan, so "aaaa" → [aa, aa] in both engines). */
-  private val bpeMergesOracle: String = {
-    def round(r: Int): String = {
-      val p = r - 1
-      s"""pc$r AS (SELECT s1.w, s1.i, s1.s AS a2, s2.s AS b2, v$p.cnt
-               FROM sym$p s1 JOIN sym$p s2 ON s1.w = s2.w AND s2.i = s1.i + 1
-               JOIN v$p ON v$p.w = s1.w),
-          top$r AS (SELECT a2 AS a, b2 AS b, CAST(SUM(cnt) AS BIGINT) AS c
-                    FROM pc$r GROUP BY 1, 2 ORDER BY c DESC, a, b LIMIT 1),
-          flag$r AS (SELECT s.w, s.i, s.s,
-                       CASE WHEN s.s = t.a
-                                 AND lead(s.s) OVER (PARTITION BY s.w ORDER BY s.i) = t.b
-                            THEN 1 ELSE 0 END AS f
-                     FROM sym$p s CROSS JOIN top$r t),
-          runs$r AS (SELECT w, i, s, f,
-                       i - CAST(row_number() OVER (PARTITION BY w, f ORDER BY i) AS BIGINT) AS grp
-                     FROM flag$r),
-          mflag$r AS (SELECT w, i, s, f,
-                        CASE WHEN f = 1
-                                  AND (i - min(i) OVER (PARTITION BY w, grp, f)) % 2 = 0
-                             THEN 1 ELSE 0 END AS m
-                      FROM runs$r),
-          out$r AS (SELECT mf.w, mf.i,
-                      CASE WHEN mf.m = 1
-                           THEN mf.s || lead(mf.s) OVER (PARTITION BY mf.w ORDER BY mf.i)
-                           ELSE mf.s END AS s,
-                      CASE WHEN lag(mf.m) OVER (PARTITION BY mf.w ORDER BY mf.i) = 1
-                           THEN 1 ELSE 0 END AS skip
-                    FROM mflag$r mf),
-          sym$r AS (SELECT w, CAST(row_number() OVER (PARTITION BY w ORDER BY i) AS BIGINT) AS i, s
-                    FROM out$r WHERE skip = 0),
-          v$r AS (SELECT w, cnt FROM v$p)"""
-    }
-    val rounds = (1 to 4).map(round).mkString(",\n")
-    s"""WITH wf AS (SELECT word, count(*) AS cnt FROM (
-                  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
-                  FROM documents) q WHERE length(word) >= 2 GROUP BY word),
-        v0 AS (SELECT word AS w, cnt FROM wf),
-        sym0 AS (SELECT word AS w,
-                        generate_subscripts(string_split(word, ''), 1)::BIGINT AS i,
-                        unnest(string_split(word, '')) AS s
-                 FROM wf),
-        $rounds
-        SELECT CAST(1 AS BIGINT) AS rank, a AS sym_a, b AS sym_b, a || b AS merged, c AS pair_count FROM top1
-        UNION ALL SELECT 2, a, b, a || b, c FROM top2
-        UNION ALL SELECT 3, a, b, a || b, c FROM top3
-        UNION ALL SELECT 4, a, b, a || b, c FROM top4
-        ORDER BY rank"""
-  }
-
-  private val pagerankOracle: String = {
-    val base =
-      """WITH e0 AS (SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
-                       's' || CAST(l.l_suppkey AS VARCHAR) AS dst
-                     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-              eb AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-              deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
-                      FROM eb GROUP BY src),
-              e AS (SELECT eb.src, eb.dst, deg.outdeg FROM eb JOIN deg USING (src)),
-              n AS (SELECT src AS node FROM eb UNION SELECT dst FROM eb),
-              r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_fp FROM n)"""
-    val steps = (1 to 5).map { i =>
-      s"""s$i AS (SELECT e.dst, sum(r.rank_fp // e.outdeg) AS inmass
-                  FROM e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst),
-          r$i AS (SELECT n.node,
-                    CAST((15 * 1000000 + 85 * COALESCE(s$i.inmass, 0)) // 100
-                      AS BIGINT) AS rank_fp
-                  FROM n LEFT JOIN s$i ON n.node = s$i.dst)"""
-    }.mkString(",\n")
-    s"$base,\n$steps\nSELECT node, rank_fp FROM r5 ORDER BY node"
-  }
-
-  /** The personalized variant: same unrolled recurrence, reset mass on
-    * the seed indicator only, zero-rank rows filtered like the gate. */
-  private val pprOracle: String = {
-    val base =
-      """WITH e0 AS (SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
-                       's' || CAST(l.l_suppkey AS VARCHAR) AS dst
-                     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-              eb AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-              deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
-                      FROM eb GROUP BY src),
-              e AS (SELECT eb.src, eb.dst, deg.outdeg FROM eb JOIN deg USING (src)),
-              n0 AS (SELECT src AS node FROM eb UNION SELECT dst FROM eb),
-              n AS (SELECT node,
-                      CASE WHEN node IN (SELECT 'c' || CAST(c_custkey AS VARCHAR)
-                                         FROM customer WHERE c_custkey <= 20)
-                        THEN 1 ELSE 0 END AS is_seed
-                    FROM n0),
-              r0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS rank_fp FROM n)"""
-    val steps = (1 to 5).map { i =>
-      s"""s$i AS (SELECT e.dst, sum(r.rank_fp // e.outdeg) AS inmass
-                  FROM e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst),
-          r$i AS (SELECT n.node,
-                    CAST((n.is_seed * 15 * 1000000 + 85 * COALESCE(s$i.inmass, 0)) // 100
-                      AS BIGINT) AS rank_fp
-                  FROM n LEFT JOIN s$i ON n.node = s$i.dst)"""
-    }.mkString(",\n")
-    s"$base,\n$steps\nSELECT node, rank_fp FROM r5 WHERE rank_fp > 0 ORDER BY node"
-  }
-
-  /** Shared CTE chain for the PQ gates: double-cast embeddings, the
-    * seeded codebook (subspaces of the 8 lowest-id vectors), encode by
-    * per-(vector, subspace) argmin, the per-query LUT, and ADC `scored`
-    * for queries vec_id < 10. */
-  private val pqOracleBase: String =
-    """WITH emb AS (SELECT vec_id,
-                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-              FROM embeddings),
-            js AS (SELECT unnest(range(0, 8)) AS j),
-            cb AS (SELECT s.vec_id AS t, js.j,
-                list_transform(range(1, 9), i -> s.v[js.j*8 + i]) AS c
-              FROM emb s, js WHERE s.vec_id < 8),
-            enc AS (SELECT e.vec_id, c.j, c.t,
-                list_sum(list_transform(range(1, 9),
-                  i -> (e.v[c.j*8+i] - c.c[i]) * (e.v[c.j*8+i] - c.c[i]))) AS dist
-              FROM emb e, cb c),
-            codes AS (SELECT vec_id, j, t FROM (
-                SELECT vec_id, j, t,
-                       row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, t) AS rn
-                FROM enc) WHERE rn = 1),
-            lut AS (SELECT q.vec_id AS query_id, c.j, c.t,
-                list_sum(list_transform(range(1, 9),
-                  i -> (q.v[c.j*8+i] - c.c[i]) * (q.v[c.j*8+i] - c.c[i]))) AS d
-              FROM emb q, cb c WHERE q.vec_id < 10),
-            scored AS (SELECT l.query_id, x.vec_id AS neighbor_id,
-                list_sum(list(l.d ORDER BY l.j)) AS score
-              FROM codes x JOIN lut l ON l.j = x.j AND l.t = x.t
-              WHERE x.vec_id <> l.query_id
-              GROUP BY 1, 2)"""
-
-  /** [[operators.Graph.labelPropagation]]'s recurrence unrolled to 3
-    * chained CTEs: neighbor-label counts → deterministic mode (count
-    * desc, label asc) → next labels, isolated nodes keeping their own.
-    * All-integer counts and a total tie order ⇒ bit-exact. */
-  private val lpaOracle: String = {
-    val base =
-      """WITH e0 AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS u,
-                       's' || CAST(l.l_suppkey AS VARCHAR) AS v
-                     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-              e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
-              n AS (SELECT DISTINCT u AS node FROM e),
-              l0 AS (SELECT node, node AS label FROM n)"""
-    val steps = (1 to 3).map { i =>
-      s"""nl$i AS (SELECT e.u, l.label, count(*) AS cnt
-                   FROM e JOIN l${i - 1} l ON e.v = l.node GROUP BY e.u, l.label),
-          w$i AS (SELECT u, label FROM (
-                    SELECT u, label,
-                           row_number() OVER (PARTITION BY u
-                             ORDER BY cnt DESC, label) AS rn
-                    FROM nl$i) WHERE rn = 1),
-          l$i AS (SELECT n.node, COALESCE(w$i.label, n.node) AS label
-                  FROM n LEFT JOIN w$i ON n.node = w$i.u)"""
-    }.mkString(",\n")
-    s"$base,\n$steps\nSELECT node, label FROM l3 ORDER BY node"
-  }
-
-  def oracleSql: Map[String, String] = Map(
-    "read_all_forwards" ->
-      """SELECT event_id, user_id, event_type, value, props FROM events
-         WHERE event_id >= 100 ORDER BY event_id LIMIT 500""",
-    "read_all_backwards" ->
-      """SELECT event_id, user_id, event_type FROM events
-         WHERE event_id <= 800 ORDER BY event_id DESC LIMIT 500""",
-    "read_stream_forwards" ->
-      """SELECT user_id, row_number() OVER (ORDER BY event_id) - 1 AS stream_version,
-                event_id, event_type
-         FROM events WHERE user_id = 7 ORDER BY event_id""",
-    "read_stream_backwards" ->
-      """SELECT event_id, event_type, value FROM events
-         WHERE user_id = 7 ORDER BY event_id DESC LIMIT 20""",
-    "read_head_position" ->
-      "SELECT max(event_id) AS head_position FROM events",
-    "stream_heads" ->
-      """SELECT user_id, max(event_id) AS head_position,
-                count(*) - 1 AS head_version
-         FROM events GROUP BY user_id ORDER BY user_id""",
-    "list_streams_keyset" ->
-      """SELECT DISTINCT user_id FROM events WHERE user_id > 50
-         ORDER BY user_id LIMIT 20""",
-    "ttl_filter" ->
-      """SELECT event_id, user_id, event_type FROM events
-         WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
-         ORDER BY event_id LIMIT 1000""",
-    "scavenge_topk" ->
-      """SELECT user_id, event_id FROM (
-           SELECT user_id, event_id,
-                  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-           FROM events) WHERE rn <= 5
-         ORDER BY user_id, event_id""",
-    "delete_message_anti" ->
-      """SELECT event_id, event_type FROM events
-         WHERE user_id = 7 AND event_id NOT IN (213, 1213, 3213, 5213)
-         ORDER BY event_id""",
-    "delete_stream_filter" ->
-      """SELECT event_type, count(*) AS n FROM events
-         WHERE user_id <> 7 AND user_id <> 11
-         GROUP BY event_type ORDER BY event_type""",
-    "join_streams_dim" ->
-      """SELECT e.event_id, e.user_id, h.head_position
-         FROM events e
-         JOIN (SELECT user_id, max(event_id) AS head_position
-               FROM events GROUP BY user_id) h USING (user_id)
-         WHERE e.event_type = 'purchase'
-         ORDER BY e.event_id LIMIT 1000""",
-    "idempotency_chains" ->
-      """SELECT user_id,
-                string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS id_chain
-         FROM events WHERE user_id <= 20
-         GROUP BY user_id ORDER BY user_id""",
-    "gap_detection" ->
-      """SELECT count(*) FILTER (WHERE d > 1) AS gaps, count(*) AS n FROM (
-           SELECT event_id - lag(event_id) OVER (ORDER BY event_id) AS d
-           FROM events)""",
-    "json_extract" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-         FROM events WHERE event_id < 200 ORDER BY event_id""",
-    "stream_id_hashing" ->
-      """SELECT doc_id, sha256(source) AS id_hash,
-                starts_with(source, 'src1') AS starts_src1,
-                suffix(source, '1') AS ends_1
-         FROM documents ORDER BY doc_id LIMIT 200""",
-    "log_segment_scan" ->
-      """WITH log AS (
-           SELECT 'u' || CAST(user_id AS VARCHAR) AS stream_id,
-                  row_number() OVER (ORDER BY event_id) - 1 AS position,
-                  event_type, props
-           FROM events WHERE event_id < 2000)
-         SELECT stream_id, position, event_type, props
-         FROM log WHERE position >= 500 AND position < 1500""",
-    "bulk_import_scan" ->
-      """WITH log AS (
-           SELECT 'u' || CAST(user_id AS VARCHAR) AS stream_id,
-                  row_number() OVER (ORDER BY event_id) - 1 AS position,
-                  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
-                    AS version,
-                  event_type
-           FROM events WHERE event_id < 3000)
-         SELECT stream_id, position, version, event_type
-         FROM log WHERE position >= 1000 AND position < 2000""",
-    "dedup_exact_groups" ->
-      s"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-          FROM $docsWithDupsSql GROUP BY 1 ORDER BY content_hash""",
-    "dedup_exact_survivors" ->
-      s"""SELECT doc_id FROM $docsWithDupsSql
-          WHERE doc_id IN (SELECT min(doc_id) FROM $docsWithDupsSql GROUP BY md5(text))
-          ORDER BY doc_id""",
-    "text_token_counts" ->
-      """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
-         FROM documents ORDER BY doc_id""",
-    "text_bpe_tokens" ->
-      // CAST AS BIGINT: DuckDB's list_sum yields HUGEINT, which pandas
-      // renders as float64 ("6.0") — the driver's hash compare then
-      // diverges from Spark's int64 even though values are equal (the
-      // round-1 red row). BIGINT makes both sides int64.
-      """SELECT doc_id,
-                CAST(list_sum(list_transform(
-                  regexp_extract_all(trim(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
-                  p -> 1 + CASE WHEN regexp_matches(p, '^[A-Za-z]+$')
-                                THEN (length(p) - 1) // 6 ELSE 0 END)) AS BIGINT) AS n_bpe
-         FROM documents ORDER BY doc_id""",
-    "text_quality_ratios" ->
-      """SELECT doc_id,
-                length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)::DOUBLE AS alpha_ratio,
-                length(regexp_replace(text, '[^.!?]', '', 'g'))::DOUBLE / length(text)::DOUBLE AS punct_ratio,
-                len(list_filter(string_split_regex(trim(text), '\s+'),
-                    t -> t IN ('the','a','an','and','or','of','to','in','is','it',
-                               'that','for','on','with','as','was','at','by','be','this')))::DOUBLE
-                  / len(string_split_regex(trim(text), '\s+'))::DOUBLE AS stopword_ratio,
-                list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t)))::DOUBLE
-                  / len(string_split_regex(trim(text), '\s+'))::DOUBLE AS mean_token_len
-         FROM documents ORDER BY doc_id""",
-    "lang_id" ->
-      """SELECT doc_id, lang, CASE
-           WHEN greatest(e, d, f, sp) = 0 THEN 'unknown'
-           WHEN sp > greatest(e, d, f) THEN 'es'
-           WHEN f > greatest(e, d) THEN 'fr'
-           WHEN d > e THEN 'de'
-           ELSE 'en' END AS lang_id
-         FROM (SELECT doc_id, lang,
-                 len(list_filter(ts, t -> t IN ('the','and','of','to','in','is','that','it','for','was'))) AS e,
-                 len(list_filter(ts, t -> t IN ('der','die','das','und','ist','nicht','mit','ein','zu','von'))) AS d,
-                 len(list_filter(ts, t -> t IN ('le','la','les','et','est','pas','pour','que','une','dans'))) AS f,
-                 len(list_filter(ts, t -> t IN ('el','la','los','y','es','no','por','que','una','para'))) AS sp
-               FROM (SELECT doc_id, lang,
-                       string_split_regex(trim(lower(text)), '\s+') AS ts
-                     FROM documents))
-         ORDER BY doc_id""",
-    "doc_fingerprints" ->
-      """SELECT doc_id,
-                md5(array_to_string(list_sort(list_distinct(
-                    string_split_regex(trim(text), '\s+'))), ' ')) AS fingerprint
-         FROM documents ORDER BY doc_id""",
-    "text_normalize" ->
-      """SELECT doc_id,
-                md5(trim(regexp_replace(regexp_replace(lower(text),
-                    '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS norm_digest,
-                CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text),
-                    '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_words
-         FROM documents ORDER BY doc_id""",
-    "repetition_stats" ->
-      """WITH w AS (SELECT doc_id,
-                      unnest(string_split_regex(trim(text), '\s+')) AS word
-                    FROM documents),
-              c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2)
-         SELECT doc_id,
-                CAST(sum(cnt) AS BIGINT) AS total_words,
-                CAST(count(*) AS BIGINT) AS distinct_words,
-                CAST(max(cnt) AS BIGINT) AS top_word_count
-         FROM c GROUP BY doc_id ORDER BY doc_id""",
-    "top_ngrams" ->
-      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
-              g AS (SELECT unnest(list_transform(range(1, len(ws)),
-                      i -> ws[i] || ' ' || ws[i + 1])) AS gram
-                    FROM t WHERE len(ws) >= 2)
-         SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
-         FROM g GROUP BY gram
-         ORDER BY n_occurrences DESC, gram LIMIT 20""",
-    "source_overlap" ->
-      """WITH corpus AS (SELECT text, source FROM documents
-                         UNION ALL
-                         SELECT text, 'mirror' FROM documents WHERE doc_id < 100),
-              h AS (SELECT DISTINCT md5(text) AS digest, source FROM corpus)
-         SELECT a.source AS source_a, b.source AS source_b,
-                CAST(count(*) AS BIGINT) AS shared_texts
-         FROM h a JOIN h b ON a.digest = b.digest AND a.source < b.source
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-    "para_dedup" ->
-      // keep-first-occurrence over the split array: DuckDB list lambdas
-      // are 1-based (ps[1:i-1] = the elements BEFORE i), Spark's filter
-      // index is 0-based (slice(ps, 1, i) likewise); list_position and
-      // array_position both return 0 for "absent"
-      """WITH d AS (SELECT doc_id,
-                      CASE WHEN doc_id % 3 = 0
-                        THEN substr(text, 1, 60) || '@@' || substr(text, 31, 60)
-                             || '@@' || substr(text, 1, 60) || '@@' || substr(text, 1, 60)
-                        ELSE substr(text, 1, 60) || '@@' || substr(text, 31, 60) END AS text
-                    FROM documents),
-              s AS (SELECT doc_id, string_split(text, '@@') AS ps FROM d)
-         SELECT doc_id,
-                array_to_string(list_filter(ps, (x, i) -> list_position(ps[1:i-1], x) = 0), '@@') AS kept_text,
-                CAST(len(ps) - len(list_filter(ps, (x, i) -> list_position(ps[1:i-1], x) = 0)) AS BIGINT) AS removed_paras
-         FROM s ORDER BY doc_id""",
-    "chunk_windows" ->
-      // chunk count is pure non-negative integer arithmetic (DuckDB //
-      // floors, Spark div truncates — identical for non-negatives);
-      // list slicing ws[a:b] is 1-based inclusive and clamps at len,
-      // matching Spark's slice(ws, a, w)
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-                    FROM documents),
-              c AS (SELECT doc_id, ws,
-                      CASE WHEN len(ws) <= 32 THEN 1
-                           ELSE (len(ws) - 32 + 16 - 1) // 16 + 1 END AS nc
-                    FROM t),
-              e AS (SELECT doc_id, ws, unnest(range(nc)) AS chunk_idx FROM c)
-         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-                array_to_string(ws[chunk_idx*16+1 : chunk_idx*16+32], ' ') AS chunk_text,
-                CAST(len(ws[chunk_idx*16+1 : chunk_idx*16+32]) AS BIGINT) AS n_tokens
-         FROM e ORDER BY doc_id, chunk_idx""",
-    "distinctive_terms" ->
-      // integer ordering (cnt DESC, doc_freq ASC, word ASC): no float
-      // score, so the top-k selection is deterministic on both engines
-      """WITH sw AS (SELECT source, doc_id,
-                       unnest(string_split_regex(trim(text), '\s+')) AS word
-                     FROM documents),
-              sc AS (SELECT word, source, count(*) AS cnt,
-                       count(DISTINCT doc_id) AS docs_in_source
-                     FROM sw GROUP BY 1, 2),
-              dfq AS (SELECT word, sum(docs_in_source) AS doc_freq
-                      FROM sc GROUP BY 1),
-              r AS (SELECT source, word, cnt, doc_freq,
-                      row_number() OVER (PARTITION BY source
-                        ORDER BY cnt DESC, doc_freq ASC, word ASC) AS rank
-                    FROM sc JOIN dfq USING (word))
-         SELECT source, word, CAST(cnt AS BIGINT) AS cnt,
-                CAST(doc_freq AS BIGINT) AS doc_freq, CAST(rank AS BIGINT) AS rank
-         FROM r WHERE rank <= 10 ORDER BY source, rank""",
-    "doc_keywords" ->
-      // same integer TF-IDF ordering as distinctive_terms, per doc
-      """WITH w AS (SELECT doc_id,
-                      unnest(string_split_regex(trim(text), '\s+')) AS token
-                    FROM documents),
-              tf AS (SELECT doc_id, token, count(*) AS tf FROM w GROUP BY 1, 2),
-              dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-              r AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
-                      row_number() OVER (PARTITION BY tf.doc_id
-                        ORDER BY tf.tf DESC, dfq.df ASC, tf.token ASC) AS rank
-                    FROM tf JOIN dfq USING (token))
-         SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
-                CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
-         FROM r WHERE rank <= 3 AND doc_id < 200 ORDER BY doc_id, rank""",
-    "bm25_topk" ->
-      // fixed-point BM25 (k1=6/5, b=3/4 folded into integer rationals);
-      // // == Spark's div on the all-non-negative operands, so scores
-      // hash-match bit-exactly — see Lexical.bm25TopK
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-                    FROM documents),
-              stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                          CAST(sum(len(ws)) AS BIGINT) AS total_len
-                        FROM d),
-              q AS (SELECT doc_id AS query_id, unnest(list_distinct(ws[1:6])) AS word
-                    FROM d WHERE doc_id IN (7, 123, 456)),
-              post AS (SELECT doc_id, len, word, CAST(count(*) AS BIGINT) AS tf
-                       FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len,
-                               unnest(ws) AS word FROM d)
-                       GROUP BY doc_id, len, word),
-              m AS (SELECT p.* FROM post p
-                    WHERE word IN (SELECT DISTINCT word FROM q)),
-              dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
-                      FROM m GROUP BY word),
-              sc AS (SELECT q.query_id, m.doc_id,
-                       CAST(sum(
-                         ((1000000 * 44 * m.tf * s.total_len)
-                            // (20 * m.tf * s.total_len + 6 * s.total_len
-                               + 18 * m.len * s.n_docs))
-                         * ((1000000 * (2 * s.n_docs - 2 * f.df + 1))
-                            // (2 * f.df + 1))
-                         // 1000000) AS BIGINT) AS score_fp
-                     FROM m JOIN dfq f USING (word) JOIN q USING (word), stats s
-                     GROUP BY q.query_id, m.doc_id),
-              r AS (SELECT query_id, doc_id, score_fp,
-                      CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rank
-                    FROM sc)
-         SELECT query_id, rank, doc_id, score_fp
-         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
-    "hybrid_rrf_topk" ->
-      // RRF fusion of the two retriever oracles above (bm25_topk /
-      // knn_dot_topk CTEs verbatim, query ids aligned); fusion is exact
-      // integer arithmetic: floor(1e12/(60+rank)) summed as BIGINT
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-                    FROM documents),
-              stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                          CAST(sum(len(ws)) AS BIGINT) AS total_len
-                        FROM d),
-              q AS (SELECT doc_id AS query_id, unnest(list_distinct(ws[1:6])) AS word
-                    FROM d WHERE doc_id IN (7, 123, 456)),
-              post AS (SELECT doc_id, len, word, CAST(count(*) AS BIGINT) AS tf
-                       FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len,
-                               unnest(ws) AS word FROM d)
-                       GROUP BY doc_id, len, word),
-              m AS (SELECT p.* FROM post p
-                    WHERE word IN (SELECT DISTINCT word FROM q)),
-              dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
-                      FROM m GROUP BY word),
-              sc AS (SELECT q.query_id, m.doc_id,
-                       CAST(sum(
-                         ((1000000 * 44 * m.tf * s.total_len)
-                            // (20 * m.tf * s.total_len + 6 * s.total_len
-                               + 18 * m.len * s.n_docs))
-                         * ((1000000 * (2 * s.n_docs - 2 * f.df + 1))
-                            // (2 * f.df + 1))
-                         // 1000000) AS BIGINT) AS score_fp
-                     FROM m JOIN dfq f USING (word) JOIN q USING (word), stats s
-                     GROUP BY q.query_id, m.doc_id),
-              lex AS (SELECT query_id, doc_id,
-                        CAST(row_number() OVER (PARTITION BY query_id
-                          ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rank
-                      FROM sc QUALIFY rank <= 10),
-              vec AS (SELECT query_id, neighbor_id AS doc_id,
-                        CAST(row_number() OVER (PARTITION BY query_id
-                          ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
-                      FROM (SELECT qv.vec_id AS query_id, c.vec_id AS neighbor_id,
-                              list_sum(list_transform(range(1, len(qv.embedding)+1),
-                                i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) AS score
-                            FROM embeddings qv, embeddings c
-                            WHERE qv.vec_id IN (7, 123, 456) AND c.vec_id <> qv.vec_id)
-                      QUALIFY rank <= 10),
-              u AS (SELECT * FROM lex UNION ALL SELECT * FROM vec),
-              f AS (SELECT query_id, doc_id,
-                      CAST(sum(1000000000000 // (60 + rank)) AS BIGINT) AS rrf_fp
-                    FROM u GROUP BY query_id, doc_id),
-              rr AS (SELECT query_id, doc_id, rrf_fp,
-                       CAST(row_number() OVER (PARTITION BY query_id
-                         ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rank
-                     FROM f)
-         SELECT query_id, rank, doc_id, rrf_fp
-         FROM rr WHERE rank <= 10 ORDER BY query_id, rank""",
-    "lm_bigram_score" ->
-      // stupid-backoff bigram LM in fixed point; paired unnests of the
-      // two shifted slices zip positionally into (w1, w2) transitions
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-                    FROM documents),
-              uni AS (SELECT word, CAST(count(*) AS BIGINT) AS c1
-                      FROM (SELECT unnest(ws) AS word FROM d) GROUP BY word),
-              tot AS (SELECT CAST(sum(c1) AS BIGINT) AS u_total FROM uni),
-              p AS (SELECT doc_id,
-                      unnest(ws[1:len(ws)-1]) AS w1,
-                      unnest(ws[2:len(ws)]) AS w2
-                    FROM d WHERE len(ws) >= 2),
-              bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
-                     FROM p GROUP BY w1, w2),
-              sc AS (SELECT p.doc_id,
-                       CASE WHEN b.c2 IS NOT NULL
-                         THEN (1000000 * b.c2) // u1.c1
-                         ELSE (2 * 1000000 * COALESCE(u2.c1, 0)) // (5 * t.u_total)
-                       END AS p_fp,
-                       CASE WHEN b.c2 IS NOT NULL THEN 1 ELSE 0 END AS hit
-                     FROM p
-                     LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
-                     LEFT JOIN uni u1 ON p.w1 = u1.word
-                     LEFT JOIN uni u2 ON p.w2 = u2.word, tot t)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                CAST(sum(hit) AS BIGINT) AS hit_bigrams,
-                CAST(sum(p_fp) AS BIGINT) AS lm_sum_fp,
-                CAST(sum(p_fp) // count(*) AS BIGINT) AS lm_avg_fp
-         FROM sc GROUP BY doc_id ORDER BY doc_id""",
-    "corpus_diff" ->
-      """WITH o AS (SELECT doc_id, text FROM documents),
-              n AS (SELECT doc_id,
-                      CASE WHEN doc_id % 13 = 0 THEN text || ' zz' ELSE text END AS text
-                    FROM o WHERE doc_id % 97 <> 0
-                    UNION ALL
-                    SELECT doc_id + 10000, text FROM o WHERE doc_id < 25),
-              j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-                      md5(o.text) AS old_hash, md5(n.text) AS new_hash
-                    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
-              st AS (SELECT doc_id,
-                       CASE WHEN old_hash IS NULL THEN 'added'
-                            WHEN new_hash IS NULL THEN 'removed'
-                            WHEN old_hash <> new_hash THEN 'changed'
-                            ELSE 'unchanged' END AS status,
-                       old_hash, new_hash
-                     FROM j)
-         SELECT doc_id, status, old_hash, new_hash
-         FROM st WHERE status <> 'unchanged' ORDER BY doc_id""",
-    "purchase_pagerank" -> pagerankOracle,
-    "personalized_pagerank" -> pprOracle,
-    "label_communities" -> lpaOracle,
-    "hashed_tf" ->
-      // the same md5 bucket/sign arithmetic as Spark: '0x'||hex → BIGINT
-      // is non-negative, so % matches div-consistent on both engines
-      """WITH w AS (SELECT doc_id,
-                      unnest(string_split_regex(trim(text), '\s+')) AS word
-                    FROM documents),
-              h AS (SELECT doc_id,
-                      ('0x' || substr(md5(word), 1, 8))::BIGINT % 64 AS bucket,
-                      CASE WHEN ('0x' || substr(md5(word), 9, 1))::BIGINT % 2 = 0
-                        THEN 1 ELSE -1 END AS sign
-                    FROM w)
-         SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS tf_signed
-         FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
-    "range_bracket_join" ->
-      // the whole point: bucketization must not change the answer — the
-      // oracle is the PLAIN theta join
-      """WITH brackets AS (
-           SELECT i AS bracket_id, CAST(i * 900 AS DOUBLE) AS lo,
-                  CAST(i * 900 + 1000 AS DOUBLE) AS hi
-           FROM range(10) t(i))
-         SELECT bracket_id, count(*) AS n_items,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS price_sum
-         FROM lineitem JOIN brackets
-           ON l_extendedprice >= lo AND l_extendedprice < hi
-         GROUP BY bracket_id ORDER BY bracket_id""",
-    "salted_join" ->
-      // the whole point: salting must not change the answer — the
-      // oracle is the PLAIN join
-      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
-                o.o_custkey, o.o_orderpriority
-         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-         ORDER BY l.l_orderkey, l.l_linenumber""",
-    "image_near_dups" ->
-      // no second engine implements the PPM codec/aHash — golden CSV
-      // (committed, regenerated+pinned by OperatorsSpec). The synthetic
-      // corpus' images share a gradient structure, so many TRUE
-      // low-Hamming pairs exist beyond the planted id+10000 copies;
-      // the golden records them all.
-      """SELECT id_a, id_b, hamming
-         FROM read_csv('/root/repo/src/test/resources/image_neardup_golden.csv',
-           header=true,
-           columns={'id_a':'BIGINT','id_b':'BIGINT','hamming':'BIGINT'})
-         ORDER BY id_a, id_b""",
-    "media_fingerprint_dups" ->
-      // golden CSV like image_near_dups; audio's delta-sign fingerprint
-      // is fully discriminative on this corpus (exactly the 67 planted
-      // pairs), video thumbnails share gradient structure like images
-      """SELECT id_a, id_b, hamming, modality
-         FROM read_csv('/root/repo/src/test/resources/media_fingerprint_golden.csv',
-           header=true,
-           columns={'id_a':'BIGINT','id_b':'BIGINT','hamming':'BIGINT','modality':'VARCHAR'})
-         ORDER BY modality, id_a, id_b""",
-    "bpe_merges" -> bpeMergesOracle,
-    "video_content_dups" ->
-      // golden CSV (codec-backed); cross-video pairs are real — the
-      // synthetic frames share gradient structure, so exact frame-hash
-      // collisions across clips are common and the golden records them
-      """SELECT id_a, id_b, shared_frames
-         FROM read_csv('/root/repo/src/test/resources/video_content_golden.csv',
-           header=true,
-           columns={'id_a':'BIGINT','id_b':'BIGINT','shared_frames':'BIGINT'})
-         ORDER BY id_a, id_b""",
-    "hybrid_join" ->
-      // same contract as salted_join: the hot/cold split must not
-      // change the answer — the oracle is the PLAIN join
-      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
-                o.o_custkey, o.o_orderpriority
-         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-         ORDER BY l.l_orderkey, l.l_linenumber""",
-    "quality_filter" ->
-      // the lang CASE and ratio pieces are the proven lang_id /
-      // text_quality_ratios oracle fragments; quality = the same
-      // left-associated double expression as TextAnalysis.qualityScore,
-      // and the repetition threshold is integer cross-multiplication
-      """WITH w AS (SELECT doc_id,
-                      unnest(string_split_regex(trim(text), '\s+')) AS word
-                    FROM documents),
-              c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),
-              rep AS (SELECT doc_id, sum(cnt) AS total_words,
-                             max(cnt) AS top_word_count
-                      FROM c GROUP BY doc_id),
-              base AS (SELECT doc_id, text,
-                         string_split_regex(trim(text), '\s+') AS ts,
-                         string_split_regex(trim(lower(text)), '\s+') AS lts
-                       FROM documents),
-              sc AS (SELECT doc_id,
-                       CASE
-                         WHEN greatest(e, d, f, sp) = 0 THEN 'unknown'
-                         WHEN sp > greatest(e, d, f) THEN 'es'
-                         WHEN f > greatest(e, d) THEN 'fr'
-                         WHEN d > e THEN 'de'
-                         ELSE 'en' END AS lang_id,
-                       alpha * 0.4 + stopw * 0.3
-                         + least(punct * 20.0, 1.0) * 0.1 + lenscore * 0.2 AS quality
-                     FROM (SELECT doc_id,
-                             len(list_filter(lts, t -> t IN ('the','and','of','to','in','is','that','it','for','was'))) AS e,
-                             len(list_filter(lts, t -> t IN ('der','die','das','und','ist','nicht','mit','ein','zu','von'))) AS d,
-                             len(list_filter(lts, t -> t IN ('le','la','les','et','est','pas','pour','que','une','dans'))) AS f,
-                             len(list_filter(lts, t -> t IN ('el','la','los','y','es','no','por','que','una','para'))) AS sp,
-                             CASE WHEN length(text) = 0 THEN 0.0
-                                  ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)::DOUBLE END AS alpha,
-                             CASE WHEN length(text) = 0 THEN 0.0
-                                  ELSE length(regexp_replace(text, '[^.!?]', '', 'g'))::DOUBLE / length(text)::DOUBLE END AS punct,
-                             CASE WHEN len(ts) = 0 THEN 0.0
-                                  ELSE len(list_filter(ts, t -> t IN ('the','a','an','and','or','of','to','in','is','it',
-                                         'that','for','on','with','as','was','at','by','be','this')))::DOUBLE
-                                       / len(ts)::DOUBLE END AS stopw,
-                             least(length(text)::DOUBLE / 500.0, 1.0) AS lenscore
-                           FROM base))
-         SELECT sc.doc_id,
-                (CASE WHEN lang_id IN ('en','de','fr','es','zh') THEN 0 ELSE 1 END
-                 + CASE WHEN quality >= 0.25 THEN 0 ELSE 2 END
-                 + CASE WHEN top_word_count * 100 <= total_words * 12 THEN 0 ELSE 4 END) AS flags,
-                (CASE WHEN lang_id IN ('en','de','fr','es','zh') THEN 0 ELSE 1 END
-                 + CASE WHEN quality >= 0.25 THEN 0 ELSE 2 END
-                 + CASE WHEN top_word_count * 100 <= total_words * 12 THEN 0 ELSE 4 END) = 0 AS keep
-         FROM sc JOIN rep ON sc.doc_id = rep.doc_id
-         ORDER BY sc.doc_id""",
-    "compression_signal" ->
-      // zlib has no DuckDB twin: the oracle is the committed golden
-      // (multimodal pattern); CompressSpec re-derives it from the live
-      // zlib each test run
-      """SELECT doc_id, n_bytes, deflate_len
-         FROM read_csv('/root/repo/src/test/resources/compression_golden.csv',
-           header=true,
-           columns={'doc_id':'BIGINT','n_bytes':'BIGINT','deflate_len':'BIGINT'})
-         ORDER BY doc_id""",
-    "pii_scrub" ->
-      // identical regex text on both engines (Java-regex ∩ RE2 subset);
-      // DuckDB needs the explicit 'g' flag Spark implies, and each count
-      // runs on the previous stage's redacted text, like Pii.piiStats
-      s"""WITH p AS (SELECT doc_id, text FROM $piiDocsSql pd),
-              s1 AS (SELECT doc_id, text,
-                       regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,6}', '<EMAIL>', 'g') AS t1
-                     FROM p),
-              s2 AS (SELECT *, regexp_replace(t1, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS t2 FROM s1),
-              s3 AS (SELECT *, regexp_replace(t2, '\\+[0-9]{7,12}', '<PHONE>', 'g') AS t3 FROM s2),
-              s4 AS (SELECT *, regexp_replace(t3, '[0-9]{9,}', '<ID>', 'g') AS t4 FROM s3)
-         SELECT doc_id,
-                CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,6}')) AS BIGINT) AS n_emails,
-                CAST(len(regexp_extract_all(t1, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
-                CAST(len(regexp_extract_all(t2, '\\+[0-9]{7,12}')) AS BIGINT) AS n_phones,
-                CAST(len(regexp_extract_all(t3, '[0-9]{9,}')) AS BIGINT) AS n_idnums,
-                md5(t4) AS redacted_digest
-         FROM s4 ORDER BY doc_id""",
-    "span_dedup" ->
-      // same algorithm over the string spans DuckDB can group directly
-      // (Spark groups 8-byte xxhash64 of the span — same equivalence
-      // classes barring a 64-bit collision)
-      s"""WITH base AS (SELECT doc_id,
-                          string_split_regex(trim(text), '\\s+') AS ws
-                        FROM $docsWithDupsSql dd),
-              occ AS (SELECT doc_id, ws,
-                        unnest(range(1, len(ws) - 8 + 2)) AS i
-                      FROM base WHERE len(ws) >= 8),
-              spans AS (SELECT doc_id, i - 1 AS pos,
-                          array_to_string(ws[i:i+7], ' ') AS span
-                        FROM occ),
-              stats AS (SELECT span, min(doc_id) AS owner FROM spans
-                        GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
-              flagged AS (SELECT s.doc_id, s.pos
-                          FROM spans s JOIN stats t USING (span)
-                          WHERE s.doc_id <> t.owner),
-              perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS removed_spans
-                         FROM flagged GROUP BY doc_id),
-              cov AS (SELECT DISTINCT f.doc_id, f.pos + o.o AS p
-                      FROM flagged f, (SELECT unnest(range(0, 8)) AS o) o),
-              cps AS (SELECT doc_id, list(p) AS cps, CAST(count(*) AS BIGINT) AS n_cov
-                      FROM cov GROUP BY doc_id)
-         SELECT b.doc_id,
-                -- array_to_string of an empty list is NULL in DuckDB;
-                -- Spark's array_join gives '' — coalesce to match
-                COALESCE(array_to_string(CASE WHEN c.doc_id IS NULL THEN b.ws
-                  ELSE list_filter(b.ws, (w, i) -> NOT list_contains(c.cps, i - 1))
-                  END, ' '), '') AS kept_text,
-                COALESCE(c.n_cov, 0) AS removed_words,
-                COALESCE(p.removed_spans, 0) AS removed_spans
-         FROM base b
-         LEFT JOIN cps c ON b.doc_id = c.doc_id
-         LEFT JOIN perdoc p ON b.doc_id = p.doc_id
-         ORDER BY b.doc_id""",
-    "vocab_encode" ->
-      """WITH w AS (SELECT doc_id,
-                      unnest(string_split_regex(trim(text), '\s+')) AS word,
-                      generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
-                    FROM documents),
-              cnt AS (SELECT word, count(*) AS n FROM w GROUP BY word),
-              vocab AS (SELECT word,
-                          row_number() OVER (ORDER BY n DESC, word) - 1 AS token_id
-                        FROM cnt ORDER BY n DESC, word LIMIT 20)
-         SELECT w.doc_id,
-                CAST(count(*) AS BIGINT) AS n_tokens,
-                CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_oov,
-                string_agg(CAST(COALESCE(v.token_id, -1) AS VARCHAR), ' '
-                  ORDER BY w.pos) AS ids_text
-         FROM w LEFT JOIN vocab v ON w.word = v.word
-         GROUP BY w.doc_id ORDER BY w.doc_id""",
-    "quantize_embeddings" ->
-      // double arithmetic with Spark's exact evaluation order
-      // ((x*127)/scale; (q*scale)/127 − x) and per-element integer
-      // rounding BEFORE the sums, so both engines hash identically
-      """WITH s AS (SELECT vec_id, embedding,
-                      list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
-                    FROM embeddings),
-              q AS (SELECT vec_id, embedding, scale,
-                      CASE WHEN scale = 0
-                        THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-                        ELSE list_transform(embedding,
-                          x -> CAST(round(x::DOUBLE * 127 / scale) AS BIGINT))
-                      END AS qs
-                    FROM s)
-         SELECT vec_id, scale,
-                CAST(list_sum(qs) AS BIGINT) AS q_sum,
-                CAST(list_sum(list_transform(qs, e -> abs(e))) AS BIGINT) AS q_abs_sum,
-                CAST(list_sum(list_transform(qs, (e, i) ->
-                  CAST(round(abs(e::DOUBLE * scale / 127 - embedding[i]::DOUBLE)
-                    * 1000000) AS BIGINT))) AS BIGINT) AS err_micro_sum
-         FROM q ORDER BY vec_id""",
-    "mixture_plan" ->
-      """WITH agg AS (SELECT source,
-                        CAST(count(*) AS BIGINT) AS n_docs,
-                        CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
-                          AS available_tokens
-                      FROM documents GROUP BY source),
-              w AS (SELECT source,
-                      CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS BIGINT) AS weight
-                    FROM (SELECT DISTINCT source FROM documents)),
-              t AS (SELECT CAST(sum(weight) AS BIGINT) AS total_w FROM w)
-         SELECT a.source, a.n_docs, a.available_tokens, w.weight,
-                CAST((100000 * w.weight) // t.total_w AS BIGINT) AS target_tokens,
-                CAST(((100000 * w.weight) // t.total_w) * 1000000 // a.available_tokens
-                  AS BIGINT) AS rate_ppm
-         FROM agg a JOIN w ON a.source = w.source, t
-         ORDER BY a.source""",
-    "corpus_shuffle" ->
-      """WITH s AS (SELECT doc_id,
-                      ('0x' || substr(md5('epoch-0' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
-                      md5('epoch-0#' || CAST(doc_id AS VARCHAR)) AS ok
-                    FROM documents)
-         SELECT doc_id, shard,
-                CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS BIGINT) AS pos
-         FROM s ORDER BY doc_id""",
-    "minhash_near_dups" ->
-      // brute-force exact 5-shingle Jaccard: equals the LSH pipeline's
-      // output because the pipeline exact-verifies candidates (subset of
-      // exact pairs) and its measured recall on this corpus is 1.0
-      s"""WITH docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
-          sh AS (SELECT doc_id,
-                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
-                 FROM docs)
-          SELECT id_a, id_b, jaccard FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.s, b.s))::DOUBLE
-                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-          WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
-    "incremental_dedup" ->
-      // brute-force exact 5-shingle Jaccard over corpus ∪ batch,
-      // restricted to pairs whose LARGER id is in the batch (old ids are
-      // all < 50000, so "match_id < new_id" covers both new-vs-old and
-      // the batch's keep-min convention); equals the incremental
-      // pipeline's output by the same recall-1.0 + exact-verify argument
-      // as minhash_near_dups
-      """WITH oldd AS (SELECT doc_id, trim(text) AS text FROM documents),
-              newd AS (SELECT doc_id + 50000 AS doc_id, trim(text) AS text
-                       FROM documents WHERE doc_id < 30
-                       UNION ALL
-                       SELECT doc_id + 60000, trim(substr(text, 11))
-                       FROM documents WHERE doc_id >= 100 AND doc_id < 120
-                       UNION ALL
-                       SELECT doc_id + 70000, trim(reverse(text))
-                       FROM documents WHERE doc_id >= 200 AND doc_id < 210
-                       UNION ALL
-                       SELECT doc_id + 80000, trim(text)
-                       FROM documents WHERE doc_id < 10),
-              alld AS (SELECT * FROM oldd UNION ALL SELECT * FROM newd),
-              shn AS (SELECT doc_id,
-                        list_distinct([substr(text, i, 5)
-                          FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
-                      FROM newd),
-              sha AS (SELECT doc_id,
-                        list_distinct([substr(text, i, 5)
-                          FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
-                      FROM alld)
-         SELECT new_id, match_id, jaccard FROM (
-           SELECT n.doc_id AS new_id, m.doc_id AS match_id,
-                  len(list_intersect(n.s, m.s))::DOUBLE
-                    / len(list_distinct(list_concat(n.s, m.s)))::DOUBLE AS jaccard
-           FROM shn n JOIN sha m ON m.doc_id < n.doc_id)
-         WHERE jaccard >= 0.5 ORDER BY new_id, match_id""",
-    "simhash_exact_dups" ->
-      // identical text <=> identical SimHash code + text-equality verify
-      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM $docsWithDupsSql a JOIN $docsWithDupsSql b
-            ON a.doc_id < b.doc_id AND a.text = b.text
-          ORDER BY id_a, id_b""",
-    "split_leakage" ->
-      // exact-Jaccard pairs (= the pipeline's pairs at recall 1.0)
-      // annotated with the salted-md5 split of each side; leakage = the
-      // pairs whose sides land in different splits
-      s"""WITH docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
-          sh AS (SELECT doc_id,
-                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
-                 FROM docs),
-          pairs AS (SELECT id_a, id_b FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.s, b.s))::DOUBLE
-                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-            WHERE jaccard >= 0.5),
-          sp AS (SELECT id_a, id_b,
-                   CASE WHEN ('0x' || substr(md5('v1:' || CAST(id_a AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
-                        WHEN ('0x' || substr(md5('v1:' || CAST(id_a AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
-                        ELSE 'test' END AS split_a,
-                   CASE WHEN ('0x' || substr(md5('v1:' || CAST(id_b AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
-                        WHEN ('0x' || substr(md5('v1:' || CAST(id_b AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
-                        ELSE 'test' END AS split_b
-                 FROM pairs)
-          SELECT id_a, id_b, split_a, split_b FROM sp
-          WHERE split_a <> split_b ORDER BY id_a, id_b""",
-    "near_dup_groups" ->
-      // components of the exact-Jaccard pair graph (= the pipeline's pair
-      // graph at recall 1.0), via recursive reachability: comp = min
-      // reachable doc_id
-      s"""WITH RECURSIVE docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
-          sh AS (SELECT doc_id,
-                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
-                 FROM docs),
-          pairs AS (SELECT id_a, id_b FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.s, b.s))::DOUBLE
-                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-            WHERE jaccard >= 0.5),
-          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                    UNION ALL SELECT id_b, id_a FROM pairs),
-          reach(id, comp) AS (
-            SELECT src, src FROM edges
-            UNION
-            SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
-          SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS group_id
-          FROM reach GROUP BY id ORDER BY doc_id""",
-    "cdc_chunks" ->
-      // cut points: positions (after 1) whose 8-gram md5-buckets to
-      // 0 mod 64 — the same '0x'||substr(md5..) arithmetic as the
-      // sampling oracles; chunk ends at the next start
-      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
-          st AS (SELECT doc_id, text, n,
-                   list_concat([1], list_filter(range(2, greatest(n - 8 + 1, 1) + 1),
-                     i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT % 64 = 0)) AS starts
-                 FROM t),
-          e AS (SELECT doc_id, text, n, starts,
-                  unnest(range(1, len(starts) + 1)) AS k
-                FROM st)
-         SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
-                CAST(starts[k] AS BIGINT) AS chunk_start,
-                substr(text, starts[k], coalesce(starts[k+1], n + 1) - starts[k]) AS chunk_text
-         FROM e ORDER BY doc_id, chunk_idx""",
-    "corpus_report" ->
-      // dup membership is corpus-wide (copies counted per md5 digest
-      // across sources); language mode ties break to the first lang
-      """WITH corpus AS (SELECT doc_id, text, lang, source FROM documents
-                         UNION ALL
-                         SELECT doc_id + 10000, text, lang, source
-                         FROM documents WHERE doc_id < 100),
-          base AS (SELECT source, lang,
-                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-                     CAST(length(text) AS BIGINT) AS n_chars,
-                     md5(text) AS digest
-                   FROM corpus),
-          volumes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-                        CAST(sum(n_chars) AS BIGINT) AS total_chars
-                      FROM base GROUP BY source),
-          dup AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dup_docs
-                  FROM (SELECT source,
-                          count(*) OVER (PARTITION BY digest) AS copies
-                        FROM base)
-                  WHERE copies > 1 GROUP BY source),
-          langs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
-                      max(CASE WHEN rn = 1 THEN lang END) AS top_lang
-                    FROM (SELECT source, lang,
-                            row_number() OVER (PARTITION BY source
-                              ORDER BY cnt DESC, lang) AS rn
-                          FROM (SELECT source, lang, count(*) AS cnt
-                                FROM base GROUP BY source, lang))
-                    GROUP BY source)
-         SELECT v.source, v.n_docs, v.total_tokens, v.total_chars,
-                coalesce(d.n_dup_docs, 0) AS n_dup_docs,
-                l.n_langs, l.top_lang
-         FROM volumes v LEFT JOIN dup d ON d.source = v.source
-         JOIN langs l ON l.source = v.source
-         ORDER BY v.source""",
-    "cluster_split" ->
-      // the near_dup_groups reachability CTE supplies the cluster key;
-      // singleton docs fall back to their own id; then the same
-      // salted-md5 bucket arithmetic as Sampling.hashBucket
-      s"""WITH RECURSIVE docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
-          sh AS (SELECT doc_id,
-                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
-                 FROM docs),
-          pairs AS (SELECT id_a, id_b FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.s, b.s))::DOUBLE
-                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-            WHERE jaccard >= 0.5),
-          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                    UNION ALL SELECT id_b, id_a FROM pairs),
-          reach(id, comp) AS (
-            SELECT src, src FROM edges
-            UNION
-            SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
-          groups AS (SELECT id AS doc_id, min(comp) AS group_id FROM reach GROUP BY id),
-          keyed AS (SELECT d.doc_id,
-                           CAST(coalesce(g.group_id, d.doc_id) AS BIGINT) AS split_key
-                    FROM docs d LEFT JOIN groups g ON g.doc_id = d.doc_id)
-         SELECT doc_id, split_key,
-                CASE WHEN ('0x' || substr(md5('v1:' || CAST(split_key AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
-                     WHEN ('0x' || substr(md5('v1:' || CAST(split_key AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
-                     ELSE 'test' END AS split
-         FROM keyed ORDER BY doc_id""",
-    "ann_lsh_topk" ->
-      """WITH v AS (SELECT vec_id, embedding,
-                      list_sum(list_transform(range(1, 5),
-                        i -> CASE WHEN embedding[i] > 0 THEN 1 << (i-1) ELSE 0 END)) AS bucket
-                    FROM embeddings)
-         SELECT query_id, neighbor_id, score,
-                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-         FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 list_sum(list_transform(range(1, len(q.embedding)+1),
-                   i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-                 / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
-                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
-                  * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
-                      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) AS score
-               FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
-               WHERE q.vec_id < 50)
-         QUALIFY rank <= 5 ORDER BY query_id, rank""",
-    "lsh_recall_overlap" ->
-      // exact cosine top-5 vs bits=4 sign-LSH bucket probe (the
-      // ann_lsh_topk configuration): list sizes + intersection per query
-      """WITH ex AS (SELECT query_id, neighbor_id FROM (
-              SELECT query_id, neighbor_id, row_number() OVER (
-                  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-              FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                      list_sum(list_transform(range(1, len(q.embedding)+1),
-                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-                      / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
-                           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
-                       * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
-                           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
-                        AS score
-                    FROM embeddings q, embeddings c
-                    WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id))
-            WHERE rank <= 5),
-          v AS (SELECT vec_id, embedding,
-                  list_sum(list_transform(range(1, 5),
-                    i -> CASE WHEN embedding[i] > 0 THEN 1 << (i-1) ELSE 0 END)) AS bucket
-                FROM embeddings),
-          ls AS (SELECT query_id, neighbor_id FROM (
-              SELECT query_id, neighbor_id, row_number() OVER (
-                  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-              FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                      list_sum(list_transform(range(1, len(q.embedding)+1),
-                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-                      / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
-                           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
-                       * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
-                           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
-                        AS score
-                    FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
-                    WHERE q.vec_id < 50))
-            WHERE rank <= 5),
-          na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_a FROM ex GROUP BY 1),
-          nb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_b FROM ls GROUP BY 1),
-          nc AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_common
-                 FROM ex JOIN ls ON ex.query_id = ls.query_id
-                   AND ex.neighbor_id = ls.neighbor_id GROUP BY 1)
-         SELECT query_id, n_a, coalesce(n_b, 0) AS n_b,
-                coalesce(n_common, 0) AS n_common
-         FROM na LEFT JOIN nb USING (query_id) LEFT JOIN nc USING (query_id)
-         ORDER BY query_id""",
-    "pq_topk" ->
-      // seeded codebook = subspaces of the 8 lowest-id vectors; encode =
-      // per-(vector, subspace) argmin over centroids (ties -> lowest t,
-      // the struct-min rule); ADC score = the query's LUT entries summed
-      // in subspace order (list(d ORDER BY j) keeps the fold order
-      // identical to Spark's aggregate over ascending j)
-      s"""$pqOracleBase
-         SELECT query_id, neighbor_id, score,
-                row_number() OVER (PARTITION BY query_id
-                  ORDER BY score ASC, neighbor_id) AS rank
-         FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""",
-    "pq_recall_overlap" ->
-      // exact squared-L2 top-10 vs ADC (seeded-codebook PQ) top-10 per
-      // query: list sizes + intersection, exact ints — the recall the
-      // 8-byte-code index keeps of the 256-byte-float ranking
-      s"""$pqOracleBase,
-          ex AS (SELECT query_id, neighbor_id FROM (
-              SELECT query_id, neighbor_id, row_number() OVER (
-                  PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS rank
-              FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                      list_sum(list_transform(range(1, 65),
-                        i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS score
-                    FROM emb q, emb c
-                    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id))
-            WHERE rank <= 10),
-          pq AS (SELECT query_id, neighbor_id FROM (
-              SELECT query_id, neighbor_id, row_number() OVER (
-                  PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS rank
-              FROM scored)
-            WHERE rank <= 10),
-          na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_a FROM ex GROUP BY 1),
-          nb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_b FROM pq GROUP BY 1),
-          nc AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_common
-                 FROM ex JOIN pq ON ex.query_id = pq.query_id
-                   AND ex.neighbor_id = pq.neighbor_id GROUP BY 1)
-         SELECT query_id, n_a, coalesce(n_b, 0) AS n_b,
-                coalesce(n_common, 0) AS n_common
-         FROM na LEFT JOIN nb USING (query_id) LEFT JOIN nc USING (query_id)
-         ORDER BY query_id""",
-    "pq_rerank_topk" ->
-      // two-stage: the same ADC pipeline shortlists 50, exact squared-L2
-      // re-ranks to 10 (zip_with order = list_transform range order)
-      s"""$pqOracleBase,
-            short AS (SELECT query_id, neighbor_id FROM (
-                SELECT query_id, neighbor_id,
-                       row_number() OVER (PARTITION BY query_id
-                         ORDER BY score ASC, neighbor_id) AS rn
-                FROM scored) WHERE rn <= 50),
-            ex AS (SELECT s.query_id, s.neighbor_id,
-                list_sum(list_transform(range(1, 65),
-                  i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS score
-              FROM short s
-              JOIN emb q ON q.vec_id = s.query_id
-              JOIN emb c ON c.vec_id = s.neighbor_id)
-         SELECT query_id, neighbor_id, score,
-                row_number() OVER (PARTITION BY query_id
-                  ORDER BY score ASC, neighbor_id) AS rank
-         FROM ex QUALIFY rank <= 10 ORDER BY query_id, rank""",
-    "ivf_topk" ->
-      """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
-                       FROM embeddings ORDER BY vec_id LIMIT 8),
-          cs AS (SELECT e.vec_id, c.cid,
-                   list_sum(list_transform(range(1, len(e.embedding)+1),
-                     i -> CAST(c.cvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
-                   / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
-                        i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))))
-                    * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
-                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cscore
-                 FROM embeddings e CROSS JOIN cent c),
-          assigned AS (SELECT vec_id AS neighbor_id, cid AS cluster FROM
-                       (SELECT vec_id, cid,
-                          row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
-                        FROM cs) WHERE rn = 1),
-          probes AS (SELECT vec_id AS query_id, cid AS cluster FROM
-                     (SELECT vec_id, cid,
-                        row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
-                      FROM cs WHERE vec_id < 50) WHERE rn <= 2)
-          SELECT query_id, neighbor_id, score,
-                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-          FROM (SELECT p.query_id, a.neighbor_id,
-                  list_sum(list_transform(range(1, len(q.embedding)+1),
-                    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
-                  / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
-                       i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
-                   * sqrt(list_sum(list_transform(range(1, len(n.embedding)+1),
-                       i -> CAST(n.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))))) AS score
-                FROM probes p
-                JOIN assigned a ON a.cluster = p.cluster AND a.neighbor_id <> p.query_id
-                JOIN embeddings q ON q.vec_id = p.query_id
-                JOIN embeddings n ON n.vec_id = a.neighbor_id)
-          QUALIFY rank <= 5 ORDER BY query_id, rank""",
-    "ivf_recall_overlap" ->
-      // exact cosine top-5 vs nprobe=2 IVF top-5 per query (same fixed
-      // quantizer as ivf_topk): list sizes + intersection, exact ints
-      """WITH ex AS (SELECT query_id, neighbor_id FROM (
-              SELECT query_id, neighbor_id, row_number() OVER (
-                  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-              FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                      list_sum(list_transform(range(1, len(q.embedding)+1),
-                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-                      / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
-                           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
-                       * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
-                           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
-                        AS score
-                    FROM embeddings q, embeddings c
-                    WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id))
-            WHERE rank <= 5),
-          cent AS (SELECT vec_id AS cid, embedding AS cvec
-                   FROM embeddings ORDER BY vec_id LIMIT 8),
-          cs AS (SELECT e.vec_id, c.cid,
-                   list_sum(list_transform(range(1, len(e.embedding)+1),
-                     i -> CAST(c.cvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
-                   / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
-                        i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))))
-                    * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
-                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cscore
-                 FROM embeddings e CROSS JOIN cent c),
-          assigned AS (SELECT vec_id AS neighbor_id, cid AS cluster FROM
-                       (SELECT vec_id, cid,
-                          row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
-                        FROM cs) WHERE rn = 1),
-          probes AS (SELECT vec_id AS query_id, cid AS cluster FROM
-                     (SELECT vec_id, cid,
-                        row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
-                      FROM cs WHERE vec_id < 50) WHERE rn <= 2),
-          iv AS (SELECT query_id, neighbor_id FROM (
-              SELECT query_id, neighbor_id,
-                     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-              FROM (SELECT p.query_id, a.neighbor_id,
-                      list_sum(list_transform(range(1, len(q.embedding)+1),
-                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
-                      / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
-                           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
-                       * sqrt(list_sum(list_transform(range(1, len(n.embedding)+1),
-                           i -> CAST(n.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))))) AS score
-                    FROM probes p
-                    JOIN assigned a ON a.cluster = p.cluster AND a.neighbor_id <> p.query_id
-                    JOIN embeddings q ON q.vec_id = p.query_id
-                    JOIN embeddings n ON n.vec_id = a.neighbor_id))
-            WHERE rank <= 5),
-          na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_a FROM ex GROUP BY 1),
-          nb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_b FROM iv GROUP BY 1),
-          nc AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_common
-                 FROM ex JOIN iv ON ex.query_id = iv.query_id
-                   AND ex.neighbor_id = iv.neighbor_id GROUP BY 1)
-         SELECT query_id, n_a, coalesce(n_b, 0) AS n_b,
-                coalesce(n_common, 0) AS n_common
-         FROM na LEFT JOIN nb USING (query_id) LEFT JOIN nc USING (query_id)
-         ORDER BY query_id""",
-    "ncm_classify" ->
-      // per-dimension class means via exact DECIMAL(30,6) sums (the dsum
-      // pattern — order-independent, so both engines produce identical
-      // doubles after the single division); scoring is the in-order
-      // list_sum dot; argmax tie breaks to the lowest label
-      """WITH s AS (SELECT label, unnest(embedding) AS v,
-                      generate_subscripts(embedding, 1) AS pos
-                    FROM embeddings),
-          m AS (SELECT label, pos,
-                  CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE)
-                    / count(*) AS mval
-                FROM s GROUP BY label, pos),
-          ms AS (SELECT label, list(mval ORDER BY pos) AS mean_vec FROM m GROUP BY label),
-          scored AS (SELECT e.vec_id, c.label,
-                       list_sum(list_transform(range(1, len(e.embedding)+1),
-                         i -> CAST(e.embedding[i] AS DOUBLE) * c.mean_vec[i])) AS score
-                     FROM embeddings e CROSS JOIN ms c)
-         SELECT vec_id, CAST(label AS INT) AS pred_label, score
-         FROM (SELECT vec_id, label, score,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, label) AS rn
-               FROM scored)
-         WHERE rn = 1 ORDER BY vec_id""",
-    "semantic_dedup" ->
-      // same fixed-centroid assignment CTE as ivf_topk (stable-sort tie
-      // break == ORDER BY cscore DESC, cid); cluster label surfaced as
-      // min(vec_id) per cluster, which is engine-portable where the
-      // centroid ARRAY index is not
-      """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
-                       FROM embeddings ORDER BY vec_id LIMIT 8),
-          cs AS (SELECT e.vec_id, c.cid,
-                   list_sum(list_transform(range(1, len(e.embedding)+1),
-                     i -> CAST(c.cvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
-                   / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
-                        i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))))
-                    * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
-                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cscore
-                 FROM embeddings e CROSS JOIN cent c),
-          assigned AS (SELECT vec_id, cid AS cluster FROM
-                       (SELECT vec_id, cid,
-                          row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
-                        FROM cs) WHERE rn = 1),
-          pairs AS (SELECT b.vec_id AS id_b,
-                      list_sum(list_transform(range(1, len(ea.embedding)+1),
-                        i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
-                      / (sqrt(list_sum(list_transform(range(1, len(ea.embedding)+1),
-                           i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))))
-                       * sqrt(list_sum(list_transform(range(1, len(eb.embedding)+1),
-                           i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))))) AS score
-                    FROM assigned a JOIN assigned b
-                      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-                    JOIN embeddings ea ON ea.vec_id = a.vec_id
-                    JOIN embeddings eb ON eb.vec_id = b.vec_id),
-          dropped AS (SELECT DISTINCT id_b FROM pairs WHERE score >= 0.35)
-         SELECT a.vec_id,
-                min(a.vec_id) OVER (PARTITION BY a.cluster) AS cluster_rep,
-                a.vec_id NOT IN (SELECT id_b FROM dropped) AS kept
-         FROM assigned a ORDER BY a.vec_id""",
-    "ngram_jaccard_pairs" ->
-      s"""WITH docs AS (SELECT doc_id, trim(text) AS text
-                        FROM $docsWithDupsSql dd WHERE doc_id % 10000 < 40),
-          sh AS (SELECT doc_id,
-                   list_distinct([substr(text, i, 3) FOR i IN range(1, greatest(length(text)-2, 1)+1)]) AS s
-                 FROM docs)
-          SELECT id_a, id_b, jaccard FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.s, b.s))::DOUBLE
-                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-          WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
-    "prefix_jaccard_pairs" ->
-      // brute-force all-pairs 5-shingle Jaccard over the FULL dup
-      // fixture — the prefix filter is sound (lossless), so the filtered
-      // plan equals the quadratic one exactly
-      s"""WITH docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
-          sh AS (SELECT doc_id,
-                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
-                 FROM docs)
-          SELECT id_a, id_b, jaccard FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.s, b.s))::DOUBLE
-                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-          WHERE jaccard >= 0.7 ORDER BY id_a, id_b""",
-    "containment_pairs" ->
-      // brute-force ORDERED pairs with directional containment |A∩B|/|A|,
-      // probe side = the planted-dup slice — the probe-prefix ⋈
-      // inverted-index plan is lossless, so it equals this quadratic
-      // formulation exactly
-      s"""WITH docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
-          sh AS (SELECT doc_id,
-                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
-                 FROM docs)
-          SELECT id_a, id_b, containment FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE AS containment
-            FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-            WHERE a.doc_id % 10000 < 100 OR a.doc_id >= 20000)
-          WHERE containment >= 0.9 ORDER BY id_a, id_b""",
-    "seasonal_decompose" ->
-      // integer-exact decomposition: trend kept as the 7-day SUM,
-      // detrended as 7·cnt − trend7 (no division anywhere); dow is
-      // epoch-day mod 7 (0 = Thursday), not a locale dow function; a day
-      // counts only when its centered window is complete (7 rows over
-      // exactly 6 calendar days)
-      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
-                               count(*) AS cnt
-                        FROM events GROUP BY 1, 2),
-              w AS (SELECT event_type, d, cnt,
-                      sum(cnt) OVER win AS t7,
-                      count(*) OVER win AS w_n,
-                      max(d) OVER win - min(d) OVER win AS w_span
-                    FROM daily
-                    WINDOW win AS (PARTITION BY event_type ORDER BY d
-                                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
-         SELECT event_type,
-                CAST((d - DATE '1970-01-01') % 7 AS BIGINT) AS dow,
-                CAST(count(*) AS BIGINT) AS n_days,
-                CAST(sum(cnt) AS BIGINT) AS cnt_sum,
-                CAST(sum(cnt * 7 - t7) AS BIGINT) AS seas_num
-         FROM w WHERE w_n = 7 AND w_span = 6
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-    "theil_sen_trend" ->
-      // median of all pairwise slopes as an exact integer fraction;
-      // lower-median rank (m+1)//2 under (value, num, den) order — the
-      // double division is a safe comparator here (distinct rationals
-      // with den ≤ series length differ by ≥ 1/den², far above ulp)
-      """WITH daily AS (SELECT event_type,
-                CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
-                CAST(count(*) AS BIGINT) AS y
-              FROM events GROUP BY event_type, CAST(ts AS DATE)),
-          npts AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
-                   FROM daily GROUP BY 1),
-          pairs AS (SELECT a.event_type, b.y - a.y AS num, b.x - a.x AS den
-                    FROM daily a JOIN daily b
-                      ON a.event_type = b.event_type AND b.x > a.x),
-          ranked AS (SELECT event_type, num, den,
-                  row_number() OVER (PARTITION BY event_type
-                    ORDER BY num::DOUBLE / den::DOUBLE, num, den) AS rn,
-                  count(*) OVER (PARTITION BY event_type) AS m
-                FROM pairs)
-         SELECT r.event_type, n.n_points, CAST(r.m AS BIGINT) AS n_slopes,
-                CAST(r.num AS BIGINT) AS slope_num,
-                CAST(r.den AS BIGINT) AS slope_den
-         FROM ranked r JOIN npts n USING (event_type)
-         WHERE r.rn = (r.m + 1) // 2
-         ORDER BY r.event_type""",
-    "cusum_changepoint" ->
-      // integer-exact CUSUM: S_k = n·cumsum_k − k·total (no mean
-      // division); interior k only (S_n ≡ 0); ties break to earliest k
-      """WITH daily AS (SELECT event_type,
-                CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
-                CAST(count(*) AS BIGINT) AS y
-              FROM events GROUP BY event_type, CAST(ts AS DATE)),
-          t AS (SELECT event_type, CAST(sum(y) AS BIGINT) AS t_total,
-                       CAST(count(*) AS BIGINT) AS n_points
-                FROM daily GROUP BY 1),
-          c AS (SELECT event_type, x,
-                  CAST(sum(y) OVER (PARTITION BY event_type ORDER BY x) AS BIGINT) AS cum,
-                  CAST(row_number() OVER (PARTITION BY event_type ORDER BY x) AS BIGINT) AS k
-                FROM daily),
-          s AS (SELECT c.event_type, t.n_points, t.t_total, c.k, c.x,
-                  t.n_points * c.cum - c.k * t.t_total AS s_k
-                FROM c JOIN t USING (event_type)
-                WHERE c.k < t.n_points)
-         SELECT event_type, n_points, t_total, k AS split_k, x AS split_x,
-                CAST(s_k AS BIGINT) AS cusum_num
-         FROM s
-         QUALIFY row_number() OVER (PARTITION BY event_type
-           ORDER BY abs(s_k) DESC, k ASC) = 1
-         ORDER BY event_type""",
-    "rater_agreement" ->
-      // exact-integer Cohen's kappa: κ = kappa_num/kappa_den with
-      // num = n·o − Σ_k row_k·col_k, den = n² − Σ_k row_k·col_k
-      """WITH r AS (SELECT source,
-                (length(trim(text)) >= 280) AS a,
-                (len(string_split_regex(trim(text), '\s+')) >= 45) AS b
-              FROM documents),
-          cells AS (SELECT source, a, b, CAST(count(*) AS BIGINT) AS c
-                    FROM r GROUP BY 1, 2, 3),
-          t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
-                  CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS o
-                FROM cells GROUP BY 1),
-          rm AS (SELECT source, a AS l, CAST(sum(c) AS BIGINT) AS row_k
-                 FROM cells GROUP BY 1, 2),
-          cm AS (SELECT source, b AS l, CAST(sum(c) AS BIGINT) AS col_k
-                 FROM cells GROUP BY 1, 2),
-          x AS (SELECT rm.source, CAST(sum(row_k * col_k) AS BIGINT) AS rc
-                FROM rm JOIN cm ON rm.source = cm.source AND rm.l = cm.l
-                GROUP BY 1)
-         SELECT t.source, t.n, t.o,
-                CAST(t.n * t.o - coalesce(x.rc, 0) AS BIGINT) AS kappa_num,
-                CAST(t.n * t.n - coalesce(x.rc, 0) AS BIGINT) AS kappa_den
-         FROM t LEFT JOIN x ON t.source = x.source
-         ORDER BY t.source""",
-    "quality_auc" ->
-      // Mann–Whitney AUC with doubled midranks: 2·midrank = 2·rank_min
-      // + ties − 1; num = Σ_pos(2·midrank) − P(P+1), den = 2·P·N
-      """WITH r AS (SELECT source,
-                CAST(length(trim(text)) AS BIGINT) AS s,
-                (len(string_split_regex(trim(text), '\s+')) >= 45) AS pos
-              FROM documents),
-          w AS (SELECT source, pos,
-                  CAST(rank() OVER (PARTITION BY source ORDER BY s) AS BIGINT) AS rnk,
-                  CAST(count(*) OVER (PARTITION BY source, s) AS BIGINT) AS ties
-                FROM r)
-         SELECT source,
-                CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-                CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
-                CAST(sum(CASE WHEN pos THEN rnk * 2 + ties - 1 ELSE 0 END)
-                  - sum(CASE WHEN pos THEN 1 ELSE 0 END)
-                    * (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1) AS BIGINT) AS auc_num,
-                CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END)
-                  * sum(CASE WHEN pos THEN 0 ELSE 1 END) * 2 AS BIGINT) AS auc_den
-         FROM w GROUP BY source ORDER BY source""",
-    "calibration_bins" ->
-      // equi-depth deciles over the (score, doc_id) total order — the
-      // ntile-parity convention price_equidepth established
-      """WITH r AS (SELECT source, doc_id,
-                CAST(length(trim(text)) AS BIGINT) AS score,
-                (len(string_split_regex(trim(text), '\s+')) >= 45) AS label
-              FROM documents),
-          b AS (SELECT source, score, label,
-                  CAST(ntile(10) OVER (PARTITION BY source
-                    ORDER BY score, doc_id) AS BIGINT) AS bin
-                FROM r)
-         SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
-                CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-                CAST(sum(score) AS BIGINT) AS score_sum
-         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
-    "fd_audit" ->
-      // per-candidate two-level aggregate; keys unify through VARCHAR so
-      // one UNION ALL covers string and integer candidates alike
-      """WITH cand AS (
-           SELECT 'p_brand' AS lhs, 'p_type' AS rhs,
-                  CAST(p_brand AS VARCHAR) AS k, CAST(p_type AS VARCHAR) AS v FROM part
-           UNION ALL SELECT 'p_type', 'p_brand',
-                  CAST(p_type AS VARCHAR), CAST(p_brand AS VARCHAR) FROM part
-           UNION ALL SELECT 'p_name', 'p_brand',
-                  CAST(p_name AS VARCHAR), CAST(p_brand AS VARCHAR) FROM part
-           UNION ALL SELECT 'o_orderkey', 'o_custkey',
-                  CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR) FROM orders),
-          g AS (SELECT lhs, rhs, k, count(DISTINCT v) AS d, count(*) AS n
-                FROM cand GROUP BY 1, 2, 3)
-         SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS n_keys,
-                CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
-                CAST(max(d) AS BIGINT) AS max_fanout,
-                CAST(sum(n) AS BIGINT) AS n_rows
-         FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
-    "order_audit" ->
-      // lag-window sortedness rules; a NULL comparison is vacuous (not a
-      // violation), n_checked counts rows with a predecessor
-      """WITH a AS (SELECT l_shipdate AS v,
-                  lag(l_shipdate) OVER (PARTITION BY l_orderkey
-                    ORDER BY l_linenumber, l_shipdate) AS p
-                FROM lineitem),
-          b AS (SELECT ts AS v,
-                  lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS p
-                FROM events)
-         SELECT * FROM (
-           SELECT 'shipdate_by_linenumber' AS rule,
-                  CAST(count(*) AS BIGINT) AS n_checked,
-                  CAST(sum(CASE WHEN v < p THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
-           FROM a WHERE p IS NOT NULL
-           UNION ALL
-           SELECT 'event_ts_by_id_per_user',
-                  CAST(count(*) AS BIGINT),
-                  CAST(sum(CASE WHEN v < p THEN 1 ELSE 0 END) AS BIGINT)
-           FROM b WHERE p IS NOT NULL)
-         ORDER BY rule""",
-    "collocations" ->
-      // adjacent-pair PMI screen, cross-multiplied in HUGEINT: keep when
-      // 100·pair_n·total ≥ 130·left_n·right_n (lift ≥ 1.30) and pair_n ≥ 5
-      """WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ts
-                       FROM documents),
-          pairs AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM (
-            SELECT unnest([struct_pack(w1 := ts[i], w2 := ts[i+1])
-                           FOR i IN range(1, len(ts))]) AS p
-            FROM toks)),
-          pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n
-                 FROM pairs GROUP BY 1, 2),
-          lm AS (SELECT w1, CAST(sum(pair_n) AS BIGINT) AS left_n FROM pc GROUP BY 1),
-          rm AS (SELECT w2, CAST(sum(pair_n) AS BIGINT) AS right_n FROM pc GROUP BY 1),
-          tot AS (SELECT CAST(sum(pair_n) AS BIGINT) AS total_pairs FROM pc)
-         SELECT w1, w2, pair_n, left_n, right_n, total_pairs
-         FROM pc JOIN lm USING (w1) JOIN rm USING (w2), tot
-         WHERE pair_n >= 5
-           AND CAST(pair_n AS HUGEINT) * total_pairs * 100
-               >= 130 * CAST(left_n AS HUGEINT) * right_n
-         ORDER BY w1, w2""",
-    "spearman_corr" ->
-      // Pearson moments of doubled midranks (2·midrank = 2·rank_min +
-      // ties − 1), accumulated in HUGEINT = Spark's decimal(38,0);
-      // ρ = rho_num/√(rho_denx·rho_deny) at render time
-      """WITH r AS (SELECT l_returnflag AS g, l_quantity AS x,
-                l_extendedprice AS y FROM lineitem),
-          u AS (SELECT g,
-                  CAST(rank() OVER (PARTITION BY g ORDER BY x) AS HUGEINT) * 2
-                    + CAST(count(*) OVER (PARTITION BY g, x) AS HUGEINT) - 1 AS u,
-                  CAST(rank() OVER (PARTITION BY g ORDER BY y) AS HUGEINT) * 2
-                    + CAST(count(*) OVER (PARTITION BY g, y) AS HUGEINT) - 1 AS v
-                FROM r)
-         SELECT g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
-                CAST(count(*) * sum(u*v) - sum(u) * sum(v) AS VARCHAR) AS rho_num,
-                CAST(count(*) * sum(u*u) - sum(u) * sum(u) AS VARCHAR) AS rho_denx,
-                CAST(count(*) * sum(v*v) - sum(v) * sum(v) AS VARCHAR) AS rho_deny
-         FROM u GROUP BY g ORDER BY g""",
-    "seasonal_outliers" ->
-      // seasonal_decompose's CTE + per-(type, dow) lower medians: flag
-      // |det7 − med7| ≥ 4·MAD, MAD > 0; epoch-day output (theil_sen
-      // convention) keeps the gate integer-only
-      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
-                        FROM events GROUP BY 1, 2),
-          w AS (SELECT event_type, d, cnt,
-                  sum(cnt) OVER win AS t7,
-                  count(*) OVER win AS w_n,
-                  max(d) OVER win - min(d) OVER win AS w_span
-                FROM daily
-                WINDOW win AS (PARTITION BY event_type ORDER BY d
-                               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-          det AS (SELECT event_type, d,
-                    CAST((d - DATE '1970-01-01') % 7 AS BIGINT) AS dow,
-                    CAST(cnt AS BIGINT) AS cnt,
-                    CAST(cnt * 7 - t7 AS BIGINT) AS det7
-                  FROM w WHERE w_n = 7 AND w_span = 6),
-          med AS (SELECT event_type, dow, det7 AS med7 FROM
-                    (SELECT event_type, dow, det7,
-                       row_number() OVER (PARTITION BY event_type, dow
-                         ORDER BY det7) AS rn,
-                       count(*) OVER (PARTITION BY event_type, dow) AS n
-                     FROM det)
-                  WHERE rn = (n + 1) // 2),
-          dev AS (SELECT det.*, med7, abs(det7 - med7) AS ad
-                  FROM det JOIN med USING (event_type, dow)),
-          mad AS (SELECT event_type, dow, ad AS mad7 FROM
-                    (SELECT event_type, dow, ad,
-                       row_number() OVER (PARTITION BY event_type, dow
-                         ORDER BY ad) AS rn,
-                       count(*) OVER (PARTITION BY event_type, dow) AS n
-                     FROM dev)
-                  WHERE rn = (n + 1) // 2)
-         SELECT event_type,
-                CAST(d - DATE '1970-01-01' AS BIGINT) AS d_epochday,
-                dow, cnt, det7 AS detrended7, med7,
-                ad AS abs_dev7, mad7
-         FROM dev JOIN mad USING (event_type, dow)
-         WHERE mad7 > 0 AND ad >= 4 * mad7
-         ORDER BY event_type, d_epochday""",
-    "t_closeness" ->
-      // ordered-EMD via prefix sums, exact-integer: emd_num =
-      // Σ|n_total·cpref − n_class·gpref|; close ⇔ emd·20 ≤ 3·n_class·
-      // n_total·(m−1); dense grid so missing cells still carry distance
-      """WITH rel AS (SELECT c_nationkey, c_mktsegment,
-                CAST(floor(c_acctbal + 1000.0) AS BIGINT) // 2000 AS v
-              FROM customer),
-          cells AS (SELECT c_nationkey, c_mktsegment, v, count(*) AS c
-                    FROM rel GROUP BY 1, 2, 3),
-          g AS (SELECT v, count(*) AS gg FROM rel GROUP BY 1),
-          go AS (SELECT v, CAST(sum(gg) OVER (ORDER BY v) AS BIGINT) AS gpref,
-                   CAST(sum(gg) OVER () AS BIGINT) AS n_total,
-                   CAST(count(*) OVER () AS BIGINT) AS m
-                 FROM g),
-          cls AS (SELECT c_nationkey, c_mktsegment,
-                    CAST(count(*) AS BIGINT) AS class_size
-                  FROM rel GROUP BY 1, 2),
-          grid AS (SELECT cls.*, go.* FROM cls CROSS JOIN go),
-          j AS (SELECT grid.*, coalesce(cells.c, 0) AS c
-                FROM grid LEFT JOIN cells USING (c_nationkey, c_mktsegment, v)),
-          p AS (SELECT *, sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment
-                  ORDER BY v) AS cpref FROM j)
-         SELECT c_nationkey, c_mktsegment, class_size, m, n_total,
-                CAST(sum(abs(CAST(n_total AS HUGEINT) * cpref
-                        - CAST(class_size AS HUGEINT) * gpref)) AS VARCHAR) AS emd_num,
-                (sum(abs(CAST(n_total AS HUGEINT) * cpref
-                         - CAST(class_size AS HUGEINT) * gpref)) * 20
-                 <= 3 * CAST(class_size AS HUGEINT) * n_total * (m - 1)) AS close
-         FROM p GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 2""",
-    "ind_audit" ->
-      // distinct-value containment per candidate; 0 missing certifies
-      """WITH oc AS (SELECT count(*) AS n_values,
-                count(CASE WHEN c.v IS NULL THEN 1 END) AS n_missing_values
-              FROM (SELECT DISTINCT o_custkey AS v FROM orders) x
-              LEFT JOIN (SELECT DISTINCT c_custkey AS v FROM customer) c USING (v)),
-          lp AS (SELECT count(*) AS n_values,
-                count(CASE WHEN p.v IS NULL THEN 1 END) AS n_missing_values
-              FROM (SELECT DISTINCT l_partkey AS v FROM lineitem) x
-              LEFT JOIN (SELECT DISTINCT p_partkey AS v FROM part) p USING (v)),
-          ps AS (SELECT count(*) AS n_values,
-                count(CASE WHEN s.v IS NULL THEN 1 END) AS n_missing_values
-              FROM (SELECT DISTINCT user_id AS v FROM events
-                    WHERE event_type = 'purchase') x
-              LEFT JOIN (SELECT DISTINCT user_id AS v FROM events
-                         WHERE event_type = 'signup'
-                           AND ts < TIMESTAMP '2024-01-08') s USING (v))
-         SELECT * FROM (
-           SELECT 'l_partkey_in_part' AS candidate,
-                  CAST(n_values AS BIGINT) AS n_values,
-                  CAST(n_missing_values AS BIGINT) AS n_missing_values FROM lp
-           UNION ALL
-           SELECT 'o_custkey_in_customer', CAST(n_values AS BIGINT),
-                  CAST(n_missing_values AS BIGINT) FROM oc
-           UNION ALL
-           SELECT 'purchaser_in_launch_signups', CAST(n_values AS BIGINT),
-                  CAST(n_missing_values AS BIGINT) FROM ps)
-         ORDER BY candidate""",
-    "recent_feed_batch" ->
-      // last-5 per user, slot 0 newest; (ts desc, type desc) mirrors
-      // the processor's ascending merge + reverse emission; same
-      // 1-in-10 user slice as the Spark side (parity on a subset, the
-      // full-data cost belongs to streaming_feed_replay)
-      """WITH r AS (SELECT user_id, epoch_us(ts) AS us, event_type,
-                row_number() OVER (PARTITION BY user_id
-                  ORDER BY ts DESC, event_type DESC) AS rn
-              FROM events WHERE user_id % 10 = 0)
-         SELECT user_id, CAST(rn - 1 AS BIGINT) AS slot,
-                CAST(us AS BIGINT) AS ts_us, event_type
-         FROM r WHERE rn <= 5 ORDER BY user_id, slot""",
-    "weighted_median" ->
-      // first row where 2·cumulative-quantity ≥ total, ties closed by
-      // (orderkey, linenumber) for a total order
-      """WITH r AS (SELECT l_returnflag, l_extendedprice,
-                CAST(l_quantity AS BIGINT) AS qty,
-                CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
-                  PARTITION BY l_returnflag
-                  ORDER BY l_extendedprice, l_orderkey, l_linenumber
-                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
-                CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
-                  PARTITION BY l_returnflag) AS BIGINT) AS totw,
-                l_orderkey, l_linenumber
-              FROM lineitem)
-         SELECT l_returnflag, l_extendedprice AS w_median,
-                cumw AS cum_weight, totw AS total_weight
-         FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
-                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
-               FROM r WHERE cumw * 2 >= totw)
-         WHERE rn = 1 ORDER BY l_returnflag""",
-    "ivm_join_delta" ->
-      // the oracle is the FULL RECOMPUTE the maintenance identity must
-      // equal: plain orders⋈customer rolled up per nation
-      """SELECT c_nationkey,
-                CAST(count(*) AS BIGINT) AS n_orders,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) * 1000000
-                  AS BIGINT) AS rev_micros
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY 1 ORDER BY 1""",
-    "recs_holdout_eval" ->
-      // time-split CF eval: train co-occurrence (distinct basket-item,
-      // a<b pairs, minCo 2), directed scores summed per user, top-5
-      // minus owned, hits vs the test side — one exact summary row
-      """WITH tx AS (SELECT l.l_orderkey AS basket, o.o_custkey AS u,
-                l.l_partkey AS i,
-                (CAST(o.o_orderdate AS DATE) >= DATE '1999-01-01') AS is_test
-              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-          bi AS (SELECT DISTINCT basket, i FROM tx WHERE NOT is_test),
-          co AS (SELECT x.i AS a, y.i AS b, CAST(count(*) AS BIGINT) AS n
-                 FROM bi x JOIN bi y ON x.basket = y.basket AND x.i < y.i
-                 GROUP BY 1, 2 HAVING count(*) >= 2),
-          dir AS (SELECT a AS f, b AS t, n FROM co
-                  UNION ALL SELECT b, a, n FROM co),
-          tui AS (SELECT DISTINCT u, i FROM tx WHERE NOT is_test),
-          sc AS (SELECT tui.u, dir.t, CAST(sum(n) AS BIGINT) AS score
-                 FROM tui JOIN dir ON tui.i = dir.f
-                 GROUP BY 1, 2),
-          cand AS (SELECT sc.* FROM sc ANTI JOIN tui
-                     ON sc.u = tui.u AND sc.t = tui.i),
-          recs AS (SELECT u, t FROM (SELECT u, t, row_number() OVER (
-                     PARTITION BY u ORDER BY score DESC, t ASC) AS rn
-                   FROM cand) WHERE rn <= 5),
-          tei AS (SELECT DISTINCT u, i AS t FROM tx WHERE is_test),
-          hits AS (SELECT recs.* FROM recs SEMI JOIN tei
-                     ON recs.u = tei.u AND recs.t = tei.t)
-         SELECT (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM recs)
-                  AS n_users_recommended,
-                (SELECT CAST(count(*) AS BIGINT) FROM recs) AS total_recs,
-                (SELECT CAST(count(*) AS BIGINT) FROM hits) AS total_hits,
-                (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM tei)
-                  AS n_test_users,
-                (SELECT CAST(count(*) AS BIGINT) FROM tei) AS total_test_pairs""",
-    "activity_streaks" ->
-      // gaps-and-islands: day − row_number collapses consecutive days
-      // to one island key; current streak = the run at the last day
-      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
-                       FROM events),
-          e AS (SELECT user_id,
-                  CAST(d - DATE '1970-01-01' AS BIGINT) AS ep,
-                  CAST(row_number() OVER (PARTITION BY user_id
-                    ORDER BY d) AS BIGINT) AS rn
-                FROM days),
-          isl AS (SELECT user_id, ep - rn AS island,
-                    CAST(count(*) AS BIGINT) AS len,
-                    CAST(max(ep) AS BIGINT) AS last
-                  FROM e GROUP BY 1, 2),
-          agg AS (SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
-                    CAST(count(*) AS BIGINT) AS n_streaks,
-                    CAST(max(len) AS BIGINT) AS longest_streak,
-                    CAST(max(last) AS BIGINT) AS last_active_epochday
-                  FROM isl GROUP BY 1),
-          cur AS (SELECT user_id, len AS current_streak FROM
-                    (SELECT user_id, len, row_number() OVER (
-                       PARTITION BY user_id ORDER BY last DESC) AS rn
-                     FROM isl)
-                  WHERE rn = 1)
-         SELECT user_id, n_active_days, n_streaks, longest_streak,
-                current_streak, last_active_epochday
-         FROM agg JOIN cur USING (user_id) ORDER BY user_id""",
-    "mix_shift" ->
-      // price-volume bridge over common denominator q0:
-      // (vol_num + price_num)/q0 = rev1 − rev0 exactly
-      """WITH l AS (SELECT l_returnflag, strftime(l_shipdate, '%Y-%m') AS m,
-                CAST(l_quantity AS BIGINT) AS qty,
-                CAST(CAST(l_extendedprice AS DECIMAL(30,6)) * 1000000 AS BIGINT) AS rev
-              FROM lineitem
-              WHERE strftime(l_shipdate, '%Y-%m') IN ('1995-01', '1995-02')),
-          g AS (SELECT l_returnflag,
-                  CAST(sum(CASE WHEN m = '1995-01' THEN qty ELSE 0 END) AS BIGINT) AS q0,
-                  CAST(sum(CASE WHEN m = '1995-01' THEN rev ELSE 0 END) AS BIGINT) AS rev0,
-                  CAST(sum(CASE WHEN m = '1995-02' THEN qty ELSE 0 END) AS BIGINT) AS q1,
-                  CAST(sum(CASE WHEN m = '1995-02' THEN rev ELSE 0 END) AS BIGINT) AS rev1
-                FROM l GROUP BY 1)
-         SELECT l_returnflag, q0, q1, rev0, rev1,
-                CAST(CAST(q1 - q0 AS HUGEINT) * rev0 AS VARCHAR) AS vol_num,
-                CAST(CAST(rev1 AS HUGEINT) * q0
-                     - CAST(q1 AS HUGEINT) * rev0 AS VARCHAR) AS price_num,
-                q0 AS den
-         FROM g ORDER BY l_returnflag""",
-    "attribution_linear" ->
-      // equal-split ppm credits, remainder to the latest touch; credit
-      // conserves at exactly 1e6 per conversion incl. the (direct) bucket
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
-          c AS (SELECT user_id, us AS conv_ts FROM e
-                WHERE event_type = 'purchase'),
-          tch AS (SELECT user_id, us AS touch_ts, event_type AS channel
-                  FROM e WHERE event_type IN ('view', 'click')),
-          p AS (SELECT c.user_id, conv_ts, touch_ts, channel
-                FROM c JOIN tch USING (user_id)
-                WHERE touch_ts < conv_ts
-                  AND touch_ts >= conv_ts - 259200000000),
-          r AS (SELECT *, count(*) OVER w AS k,
-                  row_number() OVER (PARTITION BY user_id, conv_ts
-                    ORDER BY touch_ts DESC, channel) AS rn
-                FROM p WINDOW w AS (PARTITION BY user_id, conv_ts)),
-          cr AS (SELECT channel,
-                  CAST(count(*) AS BIGINT) AS n_touches,
-                  CAST(count(DISTINCT (user_id, conv_ts)) AS BIGINT) AS n_conversions,
-                  CAST(sum(1000000 // k + CASE WHEN rn = 1
-                      THEN 1000000 - (1000000 // k) * k ELSE 0 END) AS BIGINT)
-                    AS credit_ppm
-                 FROM r GROUP BY 1),
-          d AS (SELECT '(direct)' AS channel, CAST(0 AS BIGINT) AS n_touches,
-                  CAST(count(*) AS BIGINT) AS n_conversions,
-                  CAST(count(*) * 1000000 AS BIGINT) AS credit_ppm
-                FROM c ANTI JOIN (SELECT DISTINCT user_id, conv_ts FROM p)
-                  USING (user_id, conv_ts)
-                HAVING count(*) > 0)
-         SELECT * FROM (SELECT * FROM cr UNION ALL SELECT * FROM d)
-         ORDER BY channel""",
-    "survival_table" ->
-      // life-table integers: lifetime days, right-censored within 3
-      // days of the horizon; n_risk = suffix sum over lifetimes
-      """WITH hz AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
-          u AS (SELECT user_id, min(CAST(ts AS DATE)) AS f,
-                  max(CAST(ts AS DATE)) AS l
-                FROM events GROUP BY 1),
-          s AS (SELECT (f - DATE '1970-01-01') // 7 AS cohort_week,
-                  l - f AS t_day, (h - l) < 3 AS censored
-                FROM u, hz),
-          g AS (SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
-                  CAST(t_day AS BIGINT) AS t_day,
-                  CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
-                    AS n_deaths,
-                  CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
-                    AS n_censored
-                FROM s GROUP BY 1, 2)
-         SELECT cohort_week, t_day,
-                CAST(sum(n_deaths + n_censored) OVER (PARTITION BY cohort_week
-                  ORDER BY t_day DESC) AS BIGINT) AS n_risk,
-                n_deaths, n_censored
-         FROM g ORDER BY 1, 2""",
-    "quantile_align" ->
-      // proportional-rank mapping onto src0's distribution; integer
-      // floor-div on ranks, aligned value is an actual src0 element
-      """WITH r AS (SELECT source, doc_id, n_chars,
-                CAST(row_number() OVER (PARTITION BY source
-                  ORDER BY n_chars, doc_id) AS BIGINT) AS rr,
-                CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
-              FROM documents),
-          ref AS (SELECT rr AS pos, n_chars AS aligned FROM r
-                  WHERE source = 'src0'),
-          nr AS (SELECT CAST(count(*) AS BIGINT) AS n_ref FROM r
-                 WHERE source = 'src0')
-         SELECT source, doc_id, n_chars, aligned
-         FROM (SELECT source, doc_id, n_chars,
-                 (rr - 1) * n_ref // n + 1 AS pos FROM r, nr)
-         JOIN ref USING (pos)
-         ORDER BY source, doc_id""",
-    "srm_check" ->
-      // exact-integer z² SRM: dev = n_a·(wA+wB) − n·wA flags when
-      // dev² > z²·n·wA·wB; arm = salted-md5 bucket, units deduped
-      """WITH u AS (SELECT DISTINCT event_type,
-                (('0x' || substr(md5('exp1:' || user_id::VARCHAR), 1, 8))::BIGINT
-                 % 2) < 1 AS in_a,
-                user_id
-              FROM events),
-          agg AS (SELECT 'clean' AS scenario, event_type,
-                CAST(count(*) AS BIGINT) AS n_units,
-                CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-                CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
-              FROM u GROUP BY 2
-              UNION ALL
-              SELECT 'lossy', event_type,
-                CAST(count(*) AS BIGINT),
-                CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT),
-                CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT)
-              FROM u WHERE NOT (user_id % 2 = 0 AND in_a) GROUP BY 2)
-         SELECT event_type, n_units, n_a, n_b,
-                CAST(n_a * 2 - n_units AS BIGINT) AS dev,
-                (CAST(n_a * 2 - n_units AS HUGEINT)
-                 * (n_a * 2 - n_units) > 9 * CAST(n_units AS HUGEINT)) AS srm,
-                scenario
-         FROM agg ORDER BY scenario, event_type""",
-    "sync_digest" ->
-      // 48-bit md5-prefix row hashes summed per key-mod-64 bucket
-      // (commutative — order-free); emit only mismatched buckets
-      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
-                o_orderpriority FROM orders),
-          mut AS (SELECT o_orderkey, o_custkey, o_orderstatus,
-                CASE WHEN o_orderkey % 97 = 3 THEN '9-RESYNC'
-                     ELSE o_orderpriority END AS o_orderpriority
-              FROM base WHERE o_orderkey % 101 <> 5),
-          da AS (SELECT o_orderkey % 64 AS bucket,
-                CAST(count(*) AS BIGINT) AS n_rows_a,
-                CAST(sum(('0x' || substr(md5(
-                    o_orderkey::VARCHAR || chr(1)
-                    || coalesce(o_custkey::VARCHAR, chr(0)) || chr(1)
-                    || coalesce(o_orderstatus, chr(0)) || chr(1)
-                    || coalesce(o_orderpriority, chr(0))),
-                  1, 12))::BIGINT) AS BIGINT) AS digest_a
-              FROM base GROUP BY 1),
-          db AS (SELECT o_orderkey % 64 AS bucket,
-                CAST(count(*) AS BIGINT) AS n_rows_b,
-                CAST(sum(('0x' || substr(md5(
-                    o_orderkey::VARCHAR || chr(1)
-                    || coalesce(o_custkey::VARCHAR, chr(0)) || chr(1)
-                    || coalesce(o_orderstatus, chr(0)) || chr(1)
-                    || coalesce(o_orderpriority, chr(0))),
-                  1, 12))::BIGINT) AS BIGINT) AS digest_b
-              FROM mut GROUP BY 1)
-         SELECT CAST(bucket AS BIGINT) AS bucket,
-                coalesce(n_rows_a, 0) AS n_rows_a,
-                coalesce(n_rows_b, 0) AS n_rows_b,
-                coalesce(digest_a, 0) AS digest_a,
-                coalesce(digest_b, 0) AS digest_b
-         FROM da FULL JOIN db USING (bucket)
-         WHERE coalesce(n_rows_a, 0) <> coalesce(n_rows_b, 0)
-            OR coalesce(digest_a, 0) <> coalesce(digest_b, 0)
-         ORDER BY bucket""",
-    "funnel_state_batch" ->
-      // first-touch 4-step funnel min-chain: t1 = min view; t2 = min
-      // click in (t1, t1+7d]; t3 = min signup in (t2, t1+7d]; t4 = min
-      // purchase in (t3, t1+7d]; strict > between steps, the window
-      // anchored at the FIRST view
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
-                    FROM events
-                    WHERE event_type IN ('view', 'click', 'signup', 'purchase')),
-          s1 AS (SELECT user_id, min(us) AS t1 FROM e
-                 WHERE event_type = 'view' GROUP BY 1),
-          s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
-                 WHERE event_type = 'click' AND us > t1
-                   AND us <= t1 + 604800000000 GROUP BY 1),
-          s3 AS (SELECT e.user_id, min(us) AS t3
-                 FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
-                 WHERE event_type = 'signup' AND us > t2
-                   AND us <= t1 + 604800000000 GROUP BY 1),
-          s4 AS (SELECT e.user_id, min(us) AS t4
-                 FROM e JOIN s3 USING (user_id) JOIN s1 USING (user_id)
-                 WHERE event_type = 'purchase' AND us > t3
-                   AND us <= t1 + 604800000000 GROUP BY 1)
-         SELECT s1.user_id,
-                CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
-                       + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END
-                       + CASE WHEN t4 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS reached,
-                t1 AS t1_us, coalesce(t2, -1) AS t2_us, coalesce(t3, -1) AS t3_us,
-                coalesce(t4, -1) AS t4_us,
-                (t4 IS NOT NULL) AS completed
-         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-              LEFT JOIN s4 USING (user_id)
-         ORDER BY 1""",
-    "novelty_scores" ->
-      // first-occurrence attribution: a shingle counts against every
-      // doc EXCEPT the smallest-id one that introduced it
-      s"""WITH docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
-          sh AS (SELECT doc_id,
-                   unnest(list_distinct([substr(text, i, 8) FOR i IN range(1, greatest(length(text)-7, 1)+1)])) AS tok
-                 FROM docs),
-          f AS (SELECT tok, min(doc_id) AS first_id FROM sh GROUP BY 1)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
-                CAST(sum(CASE WHEN first_id < doc_id THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_recycled
-         FROM sh JOIN f USING (tok)
-         GROUP BY 1 ORDER BY doc_id""",
-    "knn_dot_topk" ->
-      """SELECT query_id, neighbor_id, score,
-                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-         FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 list_sum(list_transform(range(1, len(q.embedding)+1),
-                   i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) AS score
-               FROM embeddings q, embeddings c
-               WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
-         QUALIFY rank <= 10 ORDER BY query_id, rank""",
-    "table_profile" ->
-      // one block per profiled column; counts are BIGINT and min/max are
-      // VARCHAR renderings of integer/string values, identical across
-      // engines (floats deliberately excluded from the gate)
-      """SELECT * FROM (
-           SELECT 'l_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
-                  CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_nulls,
-                  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
-                  CAST(min(l_orderkey) AS VARCHAR) AS min_value,
-                  CAST(max(l_orderkey) AS VARCHAR) AS max_value FROM lineitem
-           UNION ALL
-           SELECT 'l_suppkey', CAST(count(*) AS BIGINT),
-                  CAST(count(*) - count(l_suppkey) AS BIGINT),
-                  CAST(count(DISTINCT l_suppkey) AS BIGINT),
-                  CAST(min(l_suppkey) AS VARCHAR),
-                  CAST(max(l_suppkey) AS VARCHAR) FROM lineitem
-           UNION ALL
-           SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
-                  CAST(count(*) - count(l_returnflag) AS BIGINT),
-                  CAST(count(DISTINCT l_returnflag) AS BIGINT),
-                  CAST(min(l_returnflag) AS VARCHAR),
-                  CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
-           UNION ALL
-           SELECT 'l_linestatus', CAST(count(*) AS BIGINT),
-                  CAST(count(*) - count(l_linestatus) AS BIGINT),
-                  CAST(count(DISTINCT l_linestatus) AS BIGINT),
-                  CAST(min(l_linestatus) AS VARCHAR),
-                  CAST(max(l_linestatus) AS VARCHAR) FROM lineitem
-         ) ORDER BY "column"""",
-    "scd2_intervals" ->
-      // gaps-and-islands: lag change flag -> running-sum run id -> one
-      // row per run; the open interval has valid_to NULL / is_current 1
-      """WITH lagged AS (SELECT user_id, event_id, event_type,
-                CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
-                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
-              FROM events),
-            runs AS (SELECT user_id, event_id, event_type,
-                sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
-              FROM lagged),
-            grp AS (SELECT user_id, run_id, min(event_type) AS event_type,
-                CAST(min(event_id) AS BIGINT) AS valid_from,
-                CAST(count(*) AS BIGINT) AS n_rows
-              FROM runs GROUP BY user_id, run_id)
-         SELECT user_id, event_type, valid_from,
-                lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
-                n_rows,
-                CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-                       IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
-         FROM grp ORDER BY user_id, valid_from""",
-    "scd2_point_lookup" ->
-      // the dimension CTE is the scd2_intervals construction over
-      // non-purchase events; contiguous intervals make the range lookup
-      // an ASOF join, which DuckDB ships natively
-      """WITH e AS (SELECT user_id, event_id, event_type FROM events
-                    WHERE event_type <> 'purchase'),
-            lagged AS (SELECT user_id, event_id, event_type,
-                CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
-                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
-              FROM e),
-            runs AS (SELECT user_id, event_id, event_type,
-                sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
-              FROM lagged),
-            dim AS (SELECT user_id, min(event_id) AS valid_from,
-                min(event_type) AS event_type
-              FROM runs GROUP BY user_id, run_id),
-            f AS (SELECT event_id, user_id FROM events WHERE event_type = 'purchase')
-         SELECT f.event_id, f.user_id,
-                coalesce(d.event_type, 'none') AS state_at_purchase
-         FROM f ASOF LEFT JOIN dim d
-           ON f.user_id = d.user_id AND f.event_id >= d.valid_from
-         ORDER BY f.event_id""",
-    "event_transitions" ->
-      // first-order Markov transitions; conditional probability as
-      // integer ppm (truncating // on exact counts, as Spark's div)
-      """WITH pairs AS (SELECT
-                lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS from_type,
-                event_type AS to_type
-              FROM events),
-            cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS transitions
-              FROM pairs WHERE from_type IS NOT NULL GROUP BY from_type, to_type)
-         SELECT from_type, to_type, transitions,
-                CAST(transitions * 1000000 // sum(transitions)
-                  OVER (PARTITION BY from_type) AS BIGINT) AS prob_ppm
-         FROM cnt ORDER BY from_type, to_type""",
-    "transition_state_batch" ->
-      // batch-mode transitionPairsWithState + group = the relational
-      // transition matrix (per-user ts order == event_id order here),
-      // so the gate shares the event_transitions oracle verbatim
-      """WITH pairs AS (SELECT
-                lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS from_type,
-                event_type AS to_type
-              FROM events),
-            cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS transitions
-              FROM pairs WHERE from_type IS NOT NULL GROUP BY from_type, to_type)
-         SELECT from_type, to_type, transitions,
-                CAST(transitions * 1000000 // sum(transitions)
-                  OVER (PARTITION BY from_type) AS BIGINT) AS prob_ppm
-         FROM cnt ORDER BY from_type, to_type""",
-    "fuzzy_name_pairs" ->
-      // blocked on the noun (second token); the length-band filter is a
-      // necessary condition for edit distance, so it only prunes;
-      // DuckDB's levenshtein == Spark's (unit-cost DP edit distance)
-      """WITH p AS (SELECT p_partkey AS id, p_name AS nm,
-                split_part(p_name, ' ', 2) AS blk FROM part)
-         SELECT a.id AS id_a, b.id AS id_b, a.nm AS name_a, b.nm AS name_b,
-                CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
-         FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
-         WHERE abs(length(a.nm) - length(b.nm)) <= 2
-           AND levenshtein(a.nm, b.nm) BETWEEN 1 AND 2
-         ORDER BY id_a, id_b""",
-    "golden_records" ->
-      // name-level reachability clusters (the record-pair expansion is
-      // never needed for survivorship), survivor by (len desc, nm, id)
-      """WITH RECURSIVE p AS (SELECT p_partkey AS id, p_name AS nm,
-                split_part(p_name, ' ', 2) AS blk FROM part),
-              names AS (SELECT DISTINCT nm, blk FROM p),
-              np AS (SELECT a.nm AS na, b.nm AS nb FROM names a JOIN names b
-                     ON a.blk = b.blk AND a.nm < b.nm
-                     WHERE abs(length(a.nm) - length(b.nm)) <= 2
-                       AND levenshtein(a.nm, b.nm) BETWEEN 1 AND 2),
-              edges AS (SELECT na AS src, nb AS dst FROM np
-                        UNION ALL SELECT nb, na FROM np),
-              reach(nm, comp) AS (
-                SELECT src, src FROM edges
-                UNION
-                SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.nm),
-              lbl AS (SELECT nm, min(comp) AS cluster_name FROM reach GROUP BY nm),
-              rec AS (SELECT p.id, p.nm, COALESCE(l.cluster_name, p.nm) AS cluster_name
-                      FROM p LEFT JOIN lbl l ON l.nm = p.nm),
-              agg AS (SELECT cluster_name, count(*) AS n_records,
-                        count(DISTINCT nm) AS n_names
-                      FROM rec GROUP BY cluster_name),
-              pick AS (SELECT cluster_name, id AS survivor_id, nm AS survivor_name
-                       FROM (SELECT cluster_name, id, nm,
-                               row_number() OVER (PARTITION BY cluster_name
-                                 ORDER BY length(nm) DESC, nm, id) AS rn
-                             FROM rec) WHERE rn = 1)
-         SELECT pick.survivor_id, pick.survivor_name,
-                CAST(agg.n_records AS BIGINT) AS n_records,
-                CAST(agg.n_names AS BIGINT) AS n_names
-         FROM pick JOIN agg USING (cluster_name) ORDER BY survivor_id""",
-    "weighted_sample" ->
-      // hash-priority weighted sampling: 60-bit salted-md5 uniform
-      // floor-divided by the weight, k smallest win (ties by id)
-      """SELECT doc_id, n_chars,
-                CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                  // CAST(n_chars AS BIGINT) AS priority
-         FROM documents WHERE n_chars > 0
-         ORDER BY priority, doc_id LIMIT 500""",
-    "corr_matrix" ->
-      // exact integer moments in centi-units (sum(BIGINT) is HUGEINT in
-      // DuckDB = exact int128, Spark's decimal(38,0)); each pair's
-      // (cov, vx, vy) divides by one common power of ten until the
-      // largest fits 15 digits (< 2^53), because HUGEINT->DOUBLE casts
-      // round differently across engines past 2^53 while BIGINT->DOUBLE
-      // is exact on both; the divisor is string-built ('1' || zeros) —
-      // power(10, 23) is itself not an exact double
-      """WITH m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
-                CAST(sum(CAST(round(l_quantity  * 100) AS BIGINT)) AS HUGEINT) AS s_q,
-                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS s_e,
-                CAST(sum(CAST(round(l_discount  * 100) AS BIGINT)) AS HUGEINT) AS s_d,
-                CAST(sum(CAST(round(l_tax       * 100) AS BIGINT)) AS HUGEINT) AS s_t,
-                CAST(sum(CAST(round(l_quantity  * 100) AS BIGINT) * CAST(round(l_quantity  * 100) AS BIGINT)) AS HUGEINT) AS p_qq,
-                CAST(sum(CAST(round(l_quantity  * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS p_qe,
-                CAST(sum(CAST(round(l_quantity  * 100) AS BIGINT) * CAST(round(l_discount  * 100) AS BIGINT)) AS HUGEINT) AS p_qd,
-                CAST(sum(CAST(round(l_quantity  * 100) AS BIGINT) * CAST(round(l_tax       * 100) AS BIGINT)) AS HUGEINT) AS p_qt,
-                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS p_ee,
-                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount  * 100) AS BIGINT)) AS HUGEINT) AS p_ed,
-                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_tax       * 100) AS BIGINT)) AS HUGEINT) AS p_et,
-                CAST(sum(CAST(round(l_discount  * 100) AS BIGINT) * CAST(round(l_discount  * 100) AS BIGINT)) AS HUGEINT) AS p_dd,
-                CAST(sum(CAST(round(l_discount  * 100) AS BIGINT) * CAST(round(l_tax       * 100) AS BIGINT)) AS HUGEINT) AS p_dt,
-                CAST(sum(CAST(round(l_tax       * 100) AS BIGINT) * CAST(round(l_tax       * 100) AS BIGINT)) AS HUGEINT) AS p_tt
-              FROM lineitem),
-            tri AS (
-              -- pair orientation follows the Spark cols order
-              -- (quantity, extendedprice, discount, tax), col_a = earlier
-              SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
-                     n*p_qe - s_q*s_e AS cov, n*p_qq - s_q*s_q AS vx, n*p_ee - s_e*s_e AS vy FROM m
-              UNION ALL SELECT 'l_quantity', 'l_discount',
-                     n*p_qd - s_q*s_d, n*p_qq - s_q*s_q, n*p_dd - s_d*s_d FROM m
-              UNION ALL SELECT 'l_quantity', 'l_tax',
-                     n*p_qt - s_q*s_t, n*p_qq - s_q*s_q, n*p_tt - s_t*s_t FROM m
-              UNION ALL SELECT 'l_extendedprice', 'l_discount',
-                     n*p_ed - s_e*s_d, n*p_ee - s_e*s_e, n*p_dd - s_d*s_d FROM m
-              UNION ALL SELECT 'l_extendedprice', 'l_tax',
-                     n*p_et - s_e*s_t, n*p_ee - s_e*s_e, n*p_tt - s_t*s_t FROM m
-              UNION ALL SELECT 'l_discount', 'l_tax',
-                     n*p_dt - s_d*s_t, n*p_dd - s_d*s_d, n*p_tt - s_t*s_t FROM m),
-            sc AS (SELECT col_a, col_b, cov, vx, vy,
-                CAST('1' || repeat('0', greatest(0,
-                  length(CAST(greatest(abs(cov), vx, vy) AS VARCHAR)) - 15)) AS HUGEINT) AS down
-              FROM tri)
-         SELECT col_a, col_b,
-                CAST(CAST(cov // down AS BIGINT) AS DOUBLE)
-                  / (sqrt(CAST(CAST(vx // down AS BIGINT) AS DOUBLE))
-                     * sqrt(CAST(CAST(vy // down AS BIGINT) AS DOUBLE))) AS corr
-         FROM sc ORDER BY col_a, col_b""",
-    "zorder_codes" ->
-      // Morton interleave: bit i of l_partkey at position 2i, of
-      // l_suppkey at 2i+1 — integer shifts/masks, exact on both engines
-      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-                CAST(list_sum(list_transform(range(0, 21),
-                  i -> (((l_partkey >> i) & 1) << (2*i))
-                     + (((l_suppkey >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zcode
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
-    "winsorized_values" ->
-      // per-source [p05, p95] rank-quantile clip; bounds are actual data
-      // elements by the length_quantiles rank rule
-      """WITH v AS (SELECT source, doc_id, n_chars FROM documents),
-            ranked AS (SELECT source, n_chars,
-                CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS rn
-              FROM v),
-            counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY source),
-            bounds AS (SELECT c.source,
-                max(CASE WHEN r.rn = CAST(floor(CAST(0.05 AS DOUBLE) * (c.n - 1)) + 1 AS BIGINT)
-                      THEN r.n_chars END) AS lo,
-                max(CASE WHEN r.rn = CAST(floor(CAST(0.95 AS DOUBLE) * (c.n - 1)) + 1 AS BIGINT)
-                      THEN r.n_chars END) AS hi
-              FROM counts c JOIN ranked r ON r.source = c.source GROUP BY c.source)
-         SELECT v.source, v.doc_id, v.n_chars, b.lo, b.hi,
-                CASE WHEN v.n_chars < b.lo THEN b.lo
-                     WHEN v.n_chars > b.hi THEN b.hi
-                     ELSE v.n_chars END AS clipped
-         FROM v JOIN bounds b ON v.source = b.source
-         ORDER BY v.source, v.doc_id""",
-    "global_quantiles_ts" ->
-      // percentile_disc ≡ the bisection's rank rule: smallest value whose
-      // cumulative count reaches ceil(p·n)
-      """WITH v AS (SELECT epoch_us(ts) AS x FROM events),
-              n AS (SELECT count(*) AS c FROM v)
-         SELECT CAST(500000 AS BIGINT) AS p_ppm,
-                percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS value,
-                (SELECT c FROM n) AS n_rows FROM v
-         UNION ALL
-         SELECT CAST(900000 AS BIGINT),
-                percentile_disc(0.9) WITHIN GROUP (ORDER BY x),
-                (SELECT c FROM n) FROM v
-         UNION ALL
-         SELECT CAST(990000 AS BIGINT),
-                percentile_disc(0.99) WITHIN GROUP (ORDER BY x),
-                (SELECT c FROM n) FROM v
-         ORDER BY p_ppm""",
-    "length_quantiles" ->
-      // lower discrete quantile by sort rank: the element at
-      // floor(p*(n-1))+1 — ps cast to DOUBLE (DuckDB parses 0.95 as
-      // DECIMAL by default, which would change the floor arithmetic)
-      """WITH v AS (SELECT source, n_chars FROM documents),
-              ranked AS (SELECT source, n_chars,
-                           CAST(row_number() OVER (PARTITION BY source
-                             ORDER BY n_chars) AS BIGINT) AS rn
-                         FROM v),
-              counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows
-                         FROM v GROUP BY source),
-              targets AS (SELECT source, n_rows, p.p AS p,
-                            CAST(floor(p.p * (n_rows - 1)) + 1 AS BIGINT) AS rn
-                          FROM counts,
-                            (SELECT unnest([CAST(0.0 AS DOUBLE), CAST(0.5 AS DOUBLE),
-                               CAST(0.95 AS DOUBLE), CAST(1.0 AS DOUBLE)]) AS p) p)
-         SELECT r.source, t.p, t.n_rows, r.n_chars AS value
-         FROM ranked r JOIN targets t ON r.source = t.source AND r.rn = t.rn
-         ORDER BY r.source, t.p""",
-    "quantized_topk" ->
-      // int8 codes are exact doubles (|q| <= 127), so products, sums,
-      // and the cosine ratio evaluate identically in both engines
-      """WITH s AS (SELECT vec_id, embedding,
-                      list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
-                    FROM embeddings),
-              q AS (SELECT vec_id,
-                      CASE WHEN scale = 0
-                        THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-                        ELSE list_transform(embedding,
-                          x -> CAST(round(x::DOUBLE * 127 / scale) AS BIGINT))
-                      END AS qv
-                    FROM s)
-         SELECT query_id, neighbor_id, score,
-                row_number() OVER (PARTITION BY query_id
-                  ORDER BY score DESC, neighbor_id) AS rank
-         FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                 list_sum(list_transform(range(1, len(a.qv)+1),
-                   i -> CAST(a.qv[i] AS DOUBLE) * CAST(b.qv[i] AS DOUBLE)))
-                 / (sqrt(list_sum(list_transform(range(1, len(a.qv)+1),
-                      i -> CAST(a.qv[i] AS DOUBLE) * CAST(a.qv[i] AS DOUBLE))))
-                    * sqrt(list_sum(list_transform(range(1, len(b.qv)+1),
-                        i -> CAST(b.qv[i] AS DOUBLE) * CAST(b.qv[i] AS DOUBLE)))))
-                   AS score
-               FROM q a, q b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
-         QUALIFY rank <= 10 ORDER BY query_id, rank""",
-    "ann_recall_overlap" ->
-      // exact-dot top-10 vs int8-cosine top-10 per query: list sizes and
-      // intersection size as exact integers (recall@10 = n_common/10)
-      """WITH ex AS (SELECT query_id, neighbor_id FROM (
-              SELECT query_id, neighbor_id, row_number() OVER (
-                  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-              FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                      list_sum(list_transform(range(1, len(q.embedding)+1),
-                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) AS score
-                    FROM embeddings q, embeddings c
-                    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id))
-            WHERE rank <= 10),
-          s AS (SELECT vec_id, embedding,
-                  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
-                FROM embeddings),
-          q AS (SELECT vec_id,
-                  CASE WHEN scale = 0
-                    THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-                    ELSE list_transform(embedding,
-                      x -> CAST(round(x::DOUBLE * 127 / scale) AS BIGINT))
-                  END AS qv
-                FROM s),
-          qu AS (SELECT query_id, neighbor_id FROM (
-              SELECT query_id, neighbor_id, row_number() OVER (
-                  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-              FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-                      list_sum(list_transform(range(1, len(a.qv)+1),
-                        i -> CAST(a.qv[i] AS DOUBLE) * CAST(b.qv[i] AS DOUBLE)))
-                      / (sqrt(list_sum(list_transform(range(1, len(a.qv)+1),
-                           i -> CAST(a.qv[i] AS DOUBLE) * CAST(a.qv[i] AS DOUBLE))))
-                         * sqrt(list_sum(list_transform(range(1, len(b.qv)+1),
-                             i -> CAST(b.qv[i] AS DOUBLE) * CAST(b.qv[i] AS DOUBLE)))))
-                        AS score
-                    FROM q a, q b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id))
-            WHERE rank <= 10),
-          na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_a FROM ex GROUP BY 1),
-          nb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_b FROM qu GROUP BY 1),
-          nc AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_common
-                 FROM ex JOIN qu ON ex.query_id = qu.query_id
-                   AND ex.neighbor_id = qu.neighbor_id GROUP BY 1)
-         SELECT query_id, n_a, n_b, coalesce(n_common, 0) AS n_common
-         FROM na JOIN nb USING (query_id) LEFT JOIN nc USING (query_id)
-         ORDER BY query_id""",
-    "cosine_near_dups" ->
-      """WITH v AS (SELECT vec_id AS id, embedding AS vec,
-                      list_sum(list_transform(range(1, 9),
-                        i -> CASE WHEN embedding[i] > 0 THEN 1 << (i-1) ELSE 0 END)) AS bucket
-                    FROM embeddings)
-         SELECT id_a, id_b, score FROM (
-           SELECT l.id AS id_a, r.id AS id_b,
-                  list_sum(list_transform(range(1, len(l.vec)+1),
-                    i -> CAST(l.vec[i] AS DOUBLE) * CAST(r.vec[i] AS DOUBLE)))
-                  / (sqrt(list_sum(list_transform(range(1, len(l.vec)+1),
-                       i -> CAST(l.vec[i] AS DOUBLE) * CAST(l.vec[i] AS DOUBLE))))
-                   * sqrt(list_sum(list_transform(range(1, len(r.vec)+1),
-                       i -> CAST(r.vec[i] AS DOUBLE) * CAST(r.vec[i] AS DOUBLE))))) AS score
-           FROM v l JOIN v r ON l.bucket = r.bucket AND l.id < r.id)
-         WHERE score >= 0.35 ORDER BY id_a, id_b""",
-    "embedding_norms" ->
-      """SELECT vec_id, CAST(label AS BIGINT) AS label,
-                sqrt(list_sum(list_transform(range(1, len(embedding)+1),
-                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS l2_norm
-         FROM embeddings ORDER BY vec_id""",
-    // No second engine implements the PPM/WAV/GVID codecs, so the oracle
-    // is the COMMITTED GOLDEN FILE (pinned by OperatorsSpec against the
-    // deterministic synthetic corpus): the gate compares the live gate
-    // query's digests against it row-for-row — a real pass/fail bit
-    // instead of the previous rows-only check.
-    "multimodal_features" ->
-      """SELECT mediaId, kind, featureDim, ok, feature_digest
-         FROM read_csv('/root/repo/src/test/resources/multimodal_golden.csv',
-           header=true,
-           columns={'mediaId':'BIGINT','kind':'VARCHAR','featureDim':'INTEGER',
-                    'ok':'BOOLEAN','feature_digest':'VARCHAR'})
-         ORDER BY mediaId""",
-    "rollup_report" ->
-      """SELECT r_name AS region_name, n_name AS nation_name,
-                CAST(GROUPING(r_name, n_name) AS BIGINT) AS lvl,
-                count(*) AS n_orders,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
-         FROM orders
-         JOIN customer ON o_custkey = c_custkey
-         JOIN nation ON c_nationkey = n_nationkey
-         JOIN region ON n_regionkey = r_regionkey
-         GROUP BY ROLLUP(r_name, n_name)
-         ORDER BY lvl, coalesce(r_name, ''), coalesce(n_name, '')""",
-    "cube_report" ->
-      """SELECT o_orderstatus, o_orderpriority,
-                CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS lvl,
-                count(*) AS n_orders,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
-         FROM orders
-         GROUP BY CUBE(o_orderstatus, o_orderpriority)
-         ORDER BY lvl, coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""",
-    "event_type_pivot" ->
-      // PIVOT ≡ one conditional aggregation; count over the filtered
-      // class, 0 when the user never produced the type
-      """SELECT user_id,
-                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
-                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
-                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
-                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
-                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-         FROM events GROUP BY user_id ORDER BY user_id""",
-    "quality_lr_logit" ->
-      // same md5 bucket/sign arithmetic as hashed_tf, with the bucket-
-      // derived integer weight folded per token — engine-exact
-      """WITH w AS (SELECT doc_id,
-                      unnest(string_split_regex(trim(text), '\s+')) AS word
-                    FROM documents),
-              h AS (SELECT doc_id,
-                      ('0x' || substr(md5(word), 1, 8))::BIGINT % 64 AS bucket,
-                      CASE WHEN ('0x' || substr(md5(word), 9, 1))::BIGINT % 2 = 0
-                        THEN 1 ELSE -1 END AS sign
-                    FROM w)
-         SELECT doc_id,
-                CAST(sum(sign * ((bucket * 2654435761) % 17 - 8)) AS BIGINT) AS logit,
-                sum(sign * ((bucket * 2654435761) % 17 - 8)) > 0 AS keep
-         FROM h GROUP BY doc_id ORDER BY doc_id""",
-    "line_boilerplate" ->
-      s"""WITH d AS (SELECT * FROM $docsWithFootersSql dwf),
-              l AS (SELECT DISTINCT doc_id, md5(trim(ln)) AS line_hash
-                    FROM (SELECT doc_id,
-                            unnest(string_split(text, chr(10))) AS ln
-                          FROM d)
-                    WHERE length(trim(ln)) > 0),
-              f AS (SELECT line_hash, count(*) AS line_df FROM l GROUP BY 1)
-         SELECT doc_id, count(*) AS n_lines,
-                CAST(sum(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_boilerplate
-         FROM l JOIN f USING (line_hash)
-         GROUP BY doc_id ORDER BY doc_id""",
-    "line_strip" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS lns
-                     FROM $docsWithFootersSql dwf),
-              x AS (SELECT doc_id, unnest(lns) AS ln,
-                           generate_subscripts(lns, 1) AS pos
-                    FROM d),
-              f AS (SELECT md5(trim(ln)) AS line_hash,
-                           count(DISTINCT doc_id) AS line_df
-                    FROM x WHERE length(trim(ln)) > 0 GROUP BY 1),
-              m AS (SELECT doc_id, ln, pos,
-                      (length(trim(ln)) > 0 AND coalesce(line_df, 0) >= 2)
-                        AS dropped
-                    FROM x LEFT JOIN f ON md5(trim(x.ln)) = f.line_hash)
-         SELECT doc_id,
-                coalesce(string_agg(CASE WHEN NOT dropped THEN ln END,
-                                    chr(10) ORDER BY pos), '') AS kept_text,
-                CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
-                  AS removed_lines
-         FROM m GROUP BY doc_id ORDER BY doc_id""",
-    "k_anonymity" ->
-      """SELECT c_nationkey, c_mktsegment,
-                count(*) AS class_size, count(*) < 12 AS suppressed
-         FROM customer
-         GROUP BY c_nationkey, c_mktsegment
-         ORDER BY c_nationkey, c_mktsegment""",
-    "frequent_tokens" ->
-      // the naive global GROUP BY the sketch-then-recount plan provably
-      // equals (threshold ceil(N/200) > N/(k+1) with k = 511)
-      """WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
-                    FROM documents),
-              tot AS (SELECT count(*) AS n FROM w)
-         SELECT word, count(*) AS cnt FROM w, tot
-         GROUP BY word, tot.n
-         HAVING count(*) >= (tot.n + 199) // 200
-         ORDER BY word""",
-    "dsir_weights" ->
-      // same md5 bucket arithmetic as hashed_tf; same fixed-point
-      // (scale·(n_t+1)) // (n_r+1) term, summed as BIGINT
-      """WITH w AS (SELECT doc_id, source = 'src18' AS is_target,
-                      unnest(string_split_regex(trim(text), '\s+')) AS word
-                    FROM documents),
-              b AS (SELECT doc_id, is_target,
-                      ('0x' || substr(md5(word), 1, 8))::BIGINT % 4096 AS bucket
-                    FROM w),
-              dist AS (SELECT bucket,
-                         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_target,
-                         count(*) AS n_raw
-                       FROM b GROUP BY bucket)
-         SELECT b.doc_id,
-                CAST(sum((1000000 * (dist.n_target + 1)) // (dist.n_raw + 1))
-                     AS BIGINT) AS dsir_score
-         FROM b JOIN dist ON b.bucket = dist.bucket
-         GROUP BY b.doc_id ORDER BY b.doc_id""",
-    "ks_drift" ->
-      // same exact-integer KS construction: per-(source, value) counts,
-      // group + corpus ECDFs at every corpus-distinct value, cross-
-      // multiplied to the common denominator n_g·n_rest
-      """WITH c AS (SELECT source AS grp, n_chars AS v, count(*) AS cnt
-                    FROM documents GROUP BY 1, 2),
-              grps AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_grp
-                       FROM c GROUP BY grp),
-              vt AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS v_cnt
-                     FROM c GROUP BY v),
-              tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM c),
-              grid AS (SELECT g.grp, g.n_grp, vt.v,
-                         CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
-                       FROM grps g CROSS JOIN vt
-                       LEFT JOIN c ON c.grp = g.grp AND c.v = vt.v),
-              cg AS (SELECT grp, n_grp, v,
-                       CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY v)
-                            AS BIGINT) AS cum_grp
-                     FROM grid),
-              ca AS (SELECT v, CAST(sum(v_cnt) OVER (ORDER BY v) AS BIGINT)
-                       AS cum_all FROM vt)
-         SELECT cg.grp AS source, cg.n_grp AS n_group,
-                tot.n_all - cg.n_grp AS n_rest,
-                CAST(max(abs(cum_grp * (tot.n_all - cg.n_grp)
-                             - (cum_all - cum_grp) * cg.n_grp)) AS BIGINT)
-                  AS ks_num,
-                cg.n_grp * (tot.n_all - cg.n_grp) AS ks_den,
-                CAST(max(abs(cum_grp * (tot.n_all - cg.n_grp)
-                             - (cum_all - cum_grp) * cg.n_grp)) * 1000000
-                     // (cg.n_grp * (tot.n_all - cg.n_grp)) AS BIGINT)
-                  AS ks_fp
-         FROM cg JOIN ca ON cg.v = ca.v CROSS JOIN tot
-         GROUP BY cg.grp, cg.n_grp, tot.n_all
-         ORDER BY source""",
-    "mad_outliers" ->
-      // same exact construction: lower discrete median at rank
-      // (n+1)//2, integer deviations, strict dev > 3*mad flag
-      """WITH v AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars
-                    FROM documents),
-              r1 AS (SELECT source, doc_id, n_chars,
-                       CAST(row_number() OVER (PARTITION BY source
-                         ORDER BY n_chars) AS BIGINT) AS rn FROM v),
-              cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
-                      FROM v GROUP BY source),
-              med AS (SELECT r1.source, r1.n_chars AS med FROM r1
-                      JOIN cnt ON r1.source = cnt.source
-                       AND r1.rn = (cnt.n + 1) // 2),
-              d AS (SELECT v.source, v.doc_id, v.n_chars, med.med,
-                      abs(v.n_chars - med.med) AS dev
-                    FROM v JOIN med ON v.source = med.source),
-              r2 AS (SELECT source, dev,
-                       CAST(row_number() OVER (PARTITION BY source
-                         ORDER BY dev) AS BIGINT) AS rn FROM d),
-              mad AS (SELECT r2.source, r2.dev AS mad FROM r2
-                      JOIN cnt ON r2.source = cnt.source
-                       AND r2.rn = (cnt.n + 1) // 2)
-         SELECT d.source, d.doc_id, d.n_chars, d.med,
-                CAST(mad.mad AS BIGINT) AS mad
-         FROM d JOIN mad ON d.source = mad.source
-         WHERE d.dev > 3 * mad.mad
-         ORDER BY d.doc_id""",
-    "triangle_counts" ->
-      // the naive canonical u<v triple join the degree-ordered wedge
-      // plan provably equals; nodes = every edge endpoint
-      """WITH o AS (SELECT o_orderkey FROM orders
-                    WHERE o_orderdate >= TIMESTAMP '1995-03-01'
-                      AND o_orderdate < TIMESTAMP '1995-04-01'),
-              e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-                    FROM lineitem a JOIN lineitem b
-                      ON a.l_orderkey = b.l_orderkey
-                     AND a.l_suppkey < b.l_suppkey
-                    JOIN o ON a.l_orderkey = o.o_orderkey),
-              tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
-                      FROM e e1
-                      JOIN e e2 ON e2.u = e1.v
-                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
-              n AS (SELECT u AS node FROM e UNION SELECT v FROM e),
-              pn AS (SELECT x AS node FROM tri
-                     UNION ALL SELECT y FROM tri
-                     UNION ALL SELECT z FROM tri),
-              tc AS (SELECT node, count(*) AS t FROM pn GROUP BY node)
-         SELECT n.node, CAST(coalesce(tc.t, 0) AS BIGINT) AS n_triangles
-         FROM n LEFT JOIN tc ON n.node = tc.node
-         ORDER BY n.node""",
-    "funnel_steps" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-              f1 AS (SELECT user_id, min(us) AS t FROM e
-                     WHERE event_type = 'signup' GROUP BY user_id),
-              f2 AS (SELECT e.user_id, min(us) AS t FROM e
-                     JOIN f1 ON e.user_id = f1.user_id
-                     WHERE event_type = 'view' AND us > f1.t GROUP BY e.user_id),
-              f3 AS (SELECT e.user_id, min(us) AS t FROM e
-                     JOIN f2 ON e.user_id = f2.user_id
-                     WHERE event_type = 'click' AND us > f2.t GROUP BY e.user_id),
-              f4 AS (SELECT e.user_id, min(us) AS t FROM e
-                     JOIN f3 ON e.user_id = f3.user_id
-                     WHERE event_type = 'purchase' AND us > f3.t GROUP BY e.user_id)
-         SELECT * FROM (
-           SELECT 1 AS step, 'signup' AS event_type, count(*) AS entities FROM f1
-           UNION ALL SELECT 2, 'view', count(*) FROM f2
-           UNION ALL SELECT 3, 'click', count(*) FROM f3
-           UNION ALL SELECT 4, 'purchase', count(*) FROM f4)
-         ORDER BY step""",
-    "cohort_retention" ->
-      """WITH iw AS (SELECT DISTINCT user_id,
-                       epoch_us(ts) // 604800000000 AS week FROM events),
-              c AS (SELECT user_id, min(week) AS cohort_week
-                    FROM iw GROUP BY user_id)
-         SELECT c.cohort_week, iw.week - c.cohort_week AS week_offset,
-                count(DISTINCT iw.user_id) AS active_entities
-         FROM iw JOIN c ON iw.user_id = c.user_id
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-    "length_deciles" ->
-      """SELECT source, doc_id, n_chars,
-                CAST(ntile(10) OVER (PARTITION BY source
-                  ORDER BY n_chars, doc_id) AS BIGINT) AS decile
-         FROM documents ORDER BY source, doc_id""",
-    "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-                CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
-                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
-                count(*) AS count_order
-         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
-         GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus""",
-    "q3_top_revenue" ->
-      """SELECT l_orderkey,
-                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
-         FROM lineitem
-         JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         WHERE c_mktsegment = 'BUILDING'
-         GROUP BY l_orderkey
-         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
-    "q5_nation_revenue" ->
-      """SELECT n_name,
-                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
-         FROM lineitem
-         JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         JOIN nation ON c_nationkey = n_nationkey
-         JOIN region ON n_regionkey = r_regionkey
-         WHERE r_name = 'ASIA'
-         GROUP BY n_name ORDER BY n_name""",
-    "q4_late_orders" ->
-      """SELECT o_orderpriority, count(*) AS n_orders
-         FROM orders o
-         WHERE EXISTS (SELECT 1 FROM lineitem l
-                       WHERE l.l_orderkey = o.o_orderkey
-                         AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
-         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-    "q14_promo_share" ->
-      """SELECT CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
-                  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
-                  AS DECIMAL(30,6))) AS DOUBLE) AS promo_revenue,
-                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                  AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue,
-                count(*) AS n_items
-         FROM lineitem JOIN part ON l_partkey = p_partkey
-         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-           AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'""",
-    "q6_forecast_revenue" ->
-      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
-                count(*) AS n_items
-         FROM lineitem
-         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-           AND l_discount >= 0.05 AND l_discount <= 0.07
-           AND l_quantity < 24.0""",
-    "q7_volume_shipping" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-                EXTRACT(year FROM l_shipdate) AS l_year,
-                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
-         FROM lineitem
-         JOIN supplier ON l_suppkey = s_suppkey
-         JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         JOIN nation n1 ON s_nationkey = n1.n_nationkey
-         JOIN nation n2 ON c_nationkey = n2.n_nationkey
-         WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
-            OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
-         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
-    "q10_returned_items" ->
-      """SELECT c_custkey, c_name, c_acctbal, n_name,
-                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
-         FROM lineitem
-         JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         JOIN nation ON c_nationkey = n_nationkey
-         WHERE l_returnflag = 'R'
-           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-           AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
-         GROUP BY 1, 2, 3, 4
-         ORDER BY revenue DESC, c_custkey LIMIT 20""",
-    "q13_order_distribution" ->
-      """SELECT c_count, count(*) AS custdist FROM (
-           SELECT c_custkey, count(o_orderkey) AS c_count
-           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-           GROUP BY c_custkey)
-         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
-    "q18_large_orders" ->
-      """WITH big AS (
-           SELECT l_orderkey,
-                  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
-           FROM lineitem GROUP BY l_orderkey
-           HAVING CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) > 150.0)
-         SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
-         FROM big
-         JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
-    "q22_idle_customers" ->
-      """WITH stats AS (
-           SELECT sum(CAST(c_acctbal AS DECIMAL(30,6))) AS sum_pos,
-                  count(*) AS n_pos
-           FROM customer WHERE c_acctbal > 0.0),
-              recent AS (
-           SELECT DISTINCT o_custkey FROM orders
-           WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
-         SELECT c_nationkey, count(*) AS n_custs,
-                CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_acctbal
-         FROM customer, stats
-         WHERE CAST(c_acctbal AS DECIMAL(30,6)) * n_pos > sum_pos
-           AND c_custkey NOT IN (SELECT o_custkey FROM recent)
-         GROUP BY c_nationkey ORDER BY c_nationkey""",
-    "q2_min_cost_supplier" ->
-      """WITH supply AS (
-           SELECT l_partkey, l_suppkey,
-                  min(l_extendedprice / l_quantity) AS unit_cost
-           FROM lineitem GROUP BY l_partkey, l_suppkey),
-              eligible AS (
-           SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
-                  s_name, n_name, unit_cost
-           FROM supply
-           JOIN supplier ON s_suppkey = l_suppkey
-           JOIN nation ON n_nationkey = s_nationkey
-           JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
-           JOIN part ON p_partkey = l_partkey AND p_size = 25),
-              mins AS (
-           SELECT p_partkey, min(unit_cost) AS min_cost
-           FROM eligible GROUP BY p_partkey)
-         SELECT e.p_partkey, e.s_suppkey, e.s_name, e.n_name, e.unit_cost
-         FROM eligible e JOIN mins m
-           ON e.p_partkey = m.p_partkey AND e.unit_cost = m.min_cost
-         ORDER BY e.p_partkey, e.s_suppkey LIMIT 100""",
-    "q8_market_share" ->
-      """SELECT year(o_orderdate) AS o_year,
-                CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_5'
-                  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
-                  AS DECIMAL(30,6))) AS DOUBLE) AS nation_revenue,
-                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                  AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue,
-                count(*) AS n_items
-         FROM lineitem
-         JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
-         JOIN orders ON o_orderkey = l_orderkey
-           AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-         JOIN supplier ON s_suppkey = l_suppkey
-         JOIN nation n2 ON n2.n_nationkey = s_nationkey
-         WHERE o_custkey IN (
-           SELECT c_custkey FROM customer
-           JOIN nation n1 ON n1.n_nationkey = c_nationkey
-           JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'AMERICA')
-         GROUP BY year(o_orderdate) ORDER BY o_year""",
-    "q9_profit_by_nation" ->
-      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
-                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                  - p_retailprice * l_quantity * 0.1
-                  AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit,
-                count(*) AS n_items
-         FROM lineitem
-         JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
-         JOIN supplier ON s_suppkey = l_suppkey
-         JOIN nation ON n_nationkey = s_nationkey
-         JOIN orders ON o_orderkey = l_orderkey
-         GROUP BY n_name, year(o_orderdate)
-         ORDER BY nation, o_year DESC""",
-    "q11_important_parts" ->
-      """WITH vals AS (
-           SELECT p_partkey,
-                  sum(CAST(l_quantity * p_retailprice AS DECIMAL(30,6))) AS value_dec
-           FROM lineitem
-           JOIN part ON p_partkey = l_partkey
-           WHERE l_suppkey IN (
-             SELECT s_suppkey FROM supplier
-             JOIN nation ON n_nationkey = s_nationkey
-             WHERE n_name = 'NATION_7')
-           GROUP BY p_partkey),
-              tot AS (SELECT sum(value_dec) AS total_dec FROM vals)
-         SELECT p_partkey, CAST(value_dec AS DOUBLE) AS value
-         FROM vals, tot WHERE value_dec * 10000 > total_dec
-         ORDER BY value DESC, p_partkey""",
-    "q12_priority_by_flag" ->
-      """SELECT l_returnflag,
-                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-         GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "q15_top_supplier" ->
-      """WITH revenue AS (
-           SELECT l_suppkey,
-                  sum(CAST(l_extendedprice * (1 - l_discount)
-                    AS DECIMAL(30,6))) AS rev_dec
-           FROM lineitem
-           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-             AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
-           GROUP BY l_suppkey)
-         SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
-         FROM revenue JOIN supplier ON s_suppkey = l_suppkey
-         WHERE rev_dec = (SELECT max(rev_dec) FROM revenue)
-         ORDER BY s_suppkey""",
-    "q16_supplier_counts" ->
-      """SELECT p_brand, p_type, p_size,
-                count(DISTINCT l_suppkey) AS supplier_cnt
-         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) sup
-         JOIN part ON p_partkey = l_partkey
-         WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
-           AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
-           AND l_suppkey NOT IN (
-             SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
-         GROUP BY p_brand, p_type, p_size
-         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100""",
-    "q17_small_quantity_revenue" ->
-      """WITH stats AS (
-           SELECT l_partkey AS p_partkey,
-                  sum(CAST(l_quantity AS DECIMAL(30,6))) AS sum_qty,
-                  count(*) AS cnt
-           FROM lineitem
-           WHERE l_partkey IN (
-             SELECT p_partkey FROM part
-             WHERE p_brand = 'Brand#23' AND p_type = 'SMALL')
-           GROUP BY l_partkey)
-         SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
-                  AS total_extprice,
-                count(*) AS n_items
-         FROM lineitem JOIN stats ON p_partkey = l_partkey
-         WHERE CAST(l_quantity AS DECIMAL(30,6)) * 5 * cnt < sum_qty""",
-    "q19_disjunctive_revenue" ->
-      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                  AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
-                count(*) AS n_items
-         FROM lineitem JOIN part ON p_partkey = l_partkey
-         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
-                AND l_quantity BETWEEN 1 AND 11)
-            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
-                AND l_quantity BETWEEN 10 AND 20)
-            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
-                AND l_quantity BETWEEN 20 AND 30)""",
-    "q20_excess_suppliers" ->
-      """SELECT s_suppkey, s_name
-         FROM supplier
-         JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
-         WHERE s_suppkey IN (
-           SELECT l_suppkey FROM lineitem
-           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-             AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-             AND l_partkey IN (
-               SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
-           GROUP BY l_suppkey
-           HAVING sum(CAST(l_quantity AS DECIMAL(30,6))) > 50)
-         ORDER BY s_suppkey""",
-    "q21_waiting_suppliers" ->
-      """WITH per_pair AS (
-           SELECT l_orderkey, l_suppkey, max(l_shipdate) AS last_ship
-           FROM lineitem
-           WHERE l_orderkey IN (
-             SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
-           GROUP BY l_orderkey, l_suppkey),
-              per_order AS (
-           SELECT l_orderkey, max(last_ship) AS order_last,
-                  count(*) AS n_supp
-           FROM per_pair GROUP BY l_orderkey),
-              achievers AS (
-           SELECT p.l_orderkey, p.l_suppkey
-           FROM per_pair p JOIN per_order o ON p.l_orderkey = o.l_orderkey
-           WHERE p.last_ship = o.order_last AND o.n_supp > 1),
-              uniq AS (
-           SELECT l_orderkey FROM achievers
-           GROUP BY l_orderkey HAVING count(*) = 1)
-         SELECT s_name, count(*) AS numwait
-         FROM achievers
-         JOIN uniq ON achievers.l_orderkey = uniq.l_orderkey
-         JOIN supplier ON s_suppkey = l_suppkey
-         JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_11'
-         GROUP BY s_name
-         ORDER BY numwait DESC, s_name LIMIT 20""",
-    "top_parts_per_brand" ->
-      """SELECT p_brand, rnk, p_partkey, p_retailprice FROM (
-           SELECT p_brand, p_partkey, p_retailprice,
-                  row_number() OVER (PARTITION BY p_brand
-                                     ORDER BY p_retailprice DESC, p_partkey) AS rnk
-           FROM part) WHERE rnk <= 3
-         ORDER BY p_brand, rnk""",
-    "top_suppliers_per_nation" ->
-      """SELECT n_name, rnk, s_suppkey, s_acctbal FROM (
-           SELECT n_name, s_suppkey, s_acctbal,
-                  row_number() OVER (PARTITION BY n_name
-                                     ORDER BY s_acctbal DESC, s_suppkey) AS rnk
-           FROM supplier JOIN nation ON s_nationkey = n_nationkey) WHERE rnk <= 3
-         ORDER BY n_name, rnk""",
-    "orders_monthly" ->
-      """SELECT EXTRACT(year FROM o_orderdate) AS y,
-                EXTRACT(month FROM o_orderdate) AS m,
-                count(*) AS n_orders,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
-         FROM orders GROUP BY y, m ORDER BY y, m""",
-    "copurchase_pairs" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-         SELECT a.l_partkey AS p_a, b.l_partkey AS p_b, count(*) AS n_baskets
-         FROM items a JOIN items b
-           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         GROUP BY a.l_partkey, b.l_partkey
-         HAVING count(*) >= 2
-         ORDER BY n_baskets DESC, p_a, p_b LIMIT 200""",
-    "basket_rules" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-              pairs AS (
-           SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS n_ab
-           FROM items a JOIN items b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-           GROUP BY a.l_partkey, b.l_partkey
-           HAVING count(*) >= 3),
-              ic AS (SELECT l_partkey, count(*) AS n FROM items GROUP BY l_partkey),
-              tot AS (SELECT count(DISTINCT l_orderkey) AS n_total FROM items)
-         SELECT a, b, n_ab, ia.n AS n_a, ib.n AS n_b, n_total
-         FROM pairs
-         JOIN ic ia ON ia.l_partkey = a
-         JOIN ic ib ON ib.l_partkey = b, tot
-         ORDER BY n_ab DESC, a, b LIMIT 100""",
-    "merge_upsert" ->
-      """WITH upd AS (
-           SELECT o_custkey AS c_custkey,
-                  max(o_totalprice) AS new_bal,
-                  (o_custkey % 5 = 0) AS del
-           FROM orders
-           WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
-           GROUP BY o_custkey)
-         SELECT c.c_custkey, c.c_name,
-                COALESCE(u.new_bal, c.c_acctbal) AS c_acctbal
-         FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
-         WHERE u.del IS NULL OR NOT u.del
-         ORDER BY c.c_custkey""",
-    "incremental_rollup" ->
-      // full recompute — the maintained rollup must be bit-equal to it
-      """SELECT EXTRACT(year FROM o_orderdate) AS y,
-                EXTRACT(month FROM o_orderdate) AS m,
-                o_orderstatus AS status,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
-                count(*) AS n_orders
-         FROM orders GROUP BY y, m, status ORDER BY y, m, status""",
-    "link_prediction" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-              edges AS (
-           SELECT a.l_partkey AS u, b.l_partkey AS v
-           FROM items a JOIN items b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-           GROUP BY 1, 2 HAVING count(*) >= 2),
-              adj AS (SELECT u AS hub, v AS nbr FROM edges
-                      UNION ALL SELECT v AS hub, u AS nbr FROM edges),
-              deg AS (SELECT hub AS node, count(*) AS deg FROM adj GROUP BY hub),
-              cn AS (
-           SELECT e1.nbr AS a, e2.nbr AS b, count(*) AS n_common
-           FROM adj e1 JOIN adj e2 ON e1.hub = e2.hub AND e1.nbr < e2.nbr
-           GROUP BY 1, 2),
-              cand AS (
-           SELECT cn.a, cn.b, cn.n_common FROM cn
-           WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = cn.a AND e.v = cn.b))
-         SELECT cand.a, cand.b, cand.n_common, da.deg AS deg_a, db.deg AS deg_b
-         FROM cand JOIN deg da ON da.node = cand.a JOIN deg db ON db.node = cand.b
-         ORDER BY n_common DESC, a, b LIMIT 100""",
-    "seq_patterns" ->
-      """WITH seq AS (
-           SELECT event_type AS s0,
-                  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS s1,
-                  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS s2
-           FROM events)
-         SELECT s0, s1, s2, count(*) AS support
-         FROM seq WHERE s1 IS NOT NULL AND s2 IS NOT NULL
-         GROUP BY s0, s1, s2 HAVING count(*) >= 2
-         ORDER BY support DESC, s0, s1, s2 LIMIT 50""",
-    "attribution_last_touch" ->
-      // cumulative max over STRICTLY preceding rows: ordCol is monotone,
-      // so max(preceding view ids) is the latest prior view
-      """WITH a AS (
-           SELECT user_id, event_id, event_type,
-                  max(CASE WHEN event_type = 'view' THEN event_id END)
-                    OVER (PARTITION BY user_id ORDER BY event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                    AS touch_ord
-           FROM events)
-         SELECT user_id, event_id AS conv_ord, touch_ord
-         FROM a WHERE event_type = 'purchase' ORDER BY user_id, conv_ord""",
-    "rfm_scores" ->
-      // ntile over (metric, user_id): total orders, so the tiling is
-      // deterministic on both engines; monetary ranks on the EXACT
-      // decimal, and only the output column is cast to double
-      """WITH u AS (SELECT user_id,
-                      max(event_id) AS recency,
-                      count(*) AS frequency,
-                      sum(CAST(value AS DECIMAL(30,6))) AS monetary
-                    FROM events GROUP BY user_id),
-              s AS (SELECT user_id, recency, frequency, monetary,
-                      ntile(5) OVER (ORDER BY recency, user_id) AS r_score,
-                      ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
-                      ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
-                    FROM u)
-         SELECT user_id, recency, CAST(frequency AS BIGINT) AS frequency,
-                CAST(monetary AS DOUBLE) AS monetary,
-                CAST(r_score AS BIGINT) AS r_score,
-                CAST(f_score AS BIGINT) AS f_score,
-                CAST(m_score AS BIGINT) AS m_score,
-                CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
-         FROM s ORDER BY user_id""",
-    "rolling_actives" ->
-      // each event contributes to the 7 trailing windows it falls in;
-      // day = micros // 86400e6 matches Spark's nanos div 86400e9
-      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
-              dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM e GROUP BY day),
-              w AS (SELECT unnest(range(day, day + 7)) AS wday, user_id FROM e),
-              roll AS (SELECT wday AS day, count(DISTINCT user_id) AS rolling
-                       FROM w GROUP BY wday)
-         SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
-                CAST(roll.rolling AS BIGINT) AS rolling
-         FROM dau JOIN roll USING (day) ORDER BY day""",
-    "khop_distances" ->
-      // min over all reachable (node, dist) tuples = BFS distance; the
-      // dist < 3 guard bounds the recursion
-      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-              e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v
-                     FROM items a JOIN items b
-                       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-                     GROUP BY 1, 2 HAVING count(*) >= 2),
-              edges AS (SELECT u AS src, v AS dst FROM e0
-                        UNION ALL SELECT v, u FROM e0),
-              walk(node, dist) AS (
-                SELECT p_partkey, 0 FROM part WHERE p_partkey < 25
-                UNION
-                SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON e.src = w.node
-                WHERE w.dist < 3)
-         SELECT node, CAST(min(dist) AS BIGINT) AS dist
-         FROM walk GROUP BY node ORDER BY node""",
-    "distinct_counts" ->
-      """SELECT l_returnflag,
-                count(DISTINCT l_partkey) AS parts,
-                count(DISTINCT l_suppkey) AS supps
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "windowed_stats" ->
-      // Spark window('6 hours') aligns to the epoch; DuckDB's TIMESTAMP
-      // read of the nanos parquet column is already floored to micros,
-      // matching eventTimeFromNanos' floor division
-      """SELECT (epoch_us(ts) // 21600000000) * 21600 AS window_start_s,
-                event_type, count(*) AS n_events,
-                CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
-    "interval_join" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
-         SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
-                b.us - a.us AS gap_us
-         FROM e a JOIN e b
-           ON a.user_id = b.user_id AND b.us > a.us AND b.us - a.us <= 600000000
-         ORDER BY id_a, id_b""",
-    "interval_join_outer" ->
-      // LEFT JOIN twin of the watermarked outer stream-stream join;
-      // orphans carry the same -1 sentinels the operator emits
-      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
-         SELECT a.user_id, a.event_id AS id_a,
-                CAST(coalesce(b.event_id, -1) AS BIGINT) AS id_b,
-                CAST(coalesce(b.us - a.us, -1) AS BIGINT) AS gap_us
-         FROM e a LEFT JOIN e b
-           ON a.user_id = b.user_id AND b.us > a.us AND b.us - a.us <= 600000000
-         ORDER BY id_a, id_b""",
-    "session_batch" ->
-      // sessionizeBatch splits when diff > gap (12h in micros)
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
-                           CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT) AS vm
-                    FROM events),
-          m AS (SELECT user_id, us, vm,
-                       CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
-                                 > 43200000000 THEN 1
-                            WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL THEN 1
-                            ELSE 0 END AS new_s
-                FROM e),
-          s AS (SELECT user_id, us, vm,
-                       sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sid
-                FROM m)
-          SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
-                 count(*) AS n_events, CAST(sum(vm) AS BIGINT) AS sum_value_micros
-          FROM s GROUP BY user_id, sid
-          ORDER BY user_id, session_start_us""",
-    "session_window_stats" ->
-      // session_window merges on STRICT overlap (diff < gap) and pads
-      // the end with the gap (end = last event + gap)
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
-                           CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT) AS vm
-                    FROM events),
-          m AS (SELECT user_id, us, vm,
-                       CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
-                                 < 43200000000 THEN 0
-                            ELSE 1 END AS new_s
-                FROM e),
-          s AS (SELECT user_id, us, vm,
-                       sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sid
-                FROM m)
-          SELECT user_id, min(us) AS session_start_us,
-                 max(us) + 43200000000 AS session_end_us,
-                 count(*) AS n_events, CAST(sum(vm) AS BIGINT) AS sum_value_micros
-          FROM s GROUP BY user_id, sid
-          ORDER BY user_id, session_start_us""",
-    "streaming_dedup" ->
-      """SELECT DISTINCT user_id, event_type FROM events
-         ORDER BY user_id, event_type""",
-    "running_totals" ->
-      """SELECT user_id, count(*) AS n_events,
-                CAST(sum(CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT)) AS BIGINT)
-                  AS sum_value_micros
-         FROM events GROUP BY user_id ORDER BY user_id""",
-    "session_state_batch" ->
-      // batch-mode flatMapGroupsWithState = sessionizeBatch's sessions
-      // (identical micros-domain input and > gap split rule)
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
-                           CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT) AS vm
-                    FROM events),
-          m AS (SELECT user_id, us, vm,
-                       CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
-                                 > 43200000000 THEN 1
-                            WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL THEN 1
-                            ELSE 0 END AS new_s
-                FROM e),
-          s AS (SELECT user_id, us, vm,
-                       sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sid
-                FROM m)
-          SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
-                 count(*) AS n_events, CAST(sum(vm) AS BIGINT) AS sum_value_micros
-          FROM s GROUP BY user_id, sid
-          ORDER BY user_id, session_start_us""",
-    "scd2_state_batch" ->
-      // batch-mode scd2WithState = the scd2_intervals gaps-and-islands
-      // over the micros domain; the open tail's valid_to_us is NULL
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
-            lagged AS (SELECT user_id, us, event_type,
-                CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY us)
-                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
-              FROM e),
-            runs AS (SELECT user_id, us, event_type,
-                sum(chg) OVER (PARTITION BY user_id ORDER BY us
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
-              FROM lagged),
-            grp AS (SELECT user_id, run_id, min(event_type) AS attr_value,
-                CAST(min(us) AS BIGINT) AS valid_from_us,
-                CAST(count(*) AS BIGINT) AS n_rows
-              FROM runs GROUP BY user_id, run_id)
-         SELECT user_id, attr_value, valid_from_us,
-                lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
-                n_rows
-         FROM grp ORDER BY user_id, valid_from_us""",
-    "asof_join" ->
-      // DuckDB's native ASOF JOIN is the oracle for AsOfJoin.asOf; both
-      // sides compare in the micros domain, right side deduped per
-      // (user, ts) with max(value) exactly as the Spark query does
-      """WITH p AS (SELECT user_id, epoch_us(ts) AS tus, max(value) AS pvalue
-                    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-         SELECT e.event_id, e.user_id,
-                coalesce(p.pvalue, -1.0) AS last_purchase_value
-         FROM events e ASOF LEFT JOIN p
-           ON e.user_id = p.user_id AND epoch_us(e.ts) >= p.tus
-         ORDER BY e.event_id""",
-    "asof_tolerance" ->
-      // the same native ASOF oracle with the staleness bound as a CASE:
-      // a match older than the window (or no match: NULL tus) falls to -1
-      """WITH p AS (SELECT user_id, epoch_us(ts) AS tus, max(value) AS pvalue
-                    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-         SELECT e.event_id, e.user_id,
-                CASE WHEN epoch_us(e.ts) - p.tus <= 86400000000
-                  THEN p.pvalue ELSE -1.0 END AS recent_purchase_value
-         FROM events e ASOF LEFT JOIN p
-           ON e.user_id = p.user_id AND epoch_us(e.ts) >= p.tus
-         ORDER BY e.event_id""",
-    "sample_split_counts" ->
-      // the same salted-md5 bucket arithmetic as Sampling.hashBucket
-      """WITH b AS (SELECT lang,
-                           ('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                             % 100 AS bucket
-                    FROM documents)
-         SELECT lang,
-                CASE WHEN bucket < 80 THEN 'train'
-                     WHEN bucket < 90 THEN 'val'
-                     ELSE 'test' END AS split,
-                count(*) AS n
-         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
-    "stratified_sample" ->
-      """WITH ranked AS (
-           SELECT doc_id, lang,
-                  row_number() OVER (PARTITION BY lang
-                    ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
-           FROM documents)
-         SELECT doc_id, lang FROM ranked WHERE rn <= 50 ORDER BY doc_id""",
-    "weighted_mixture" ->
-      // per-source keep fractions over the same md5 bucket space as
-      // Sampling.sampleFraction (1e6 buckets)
-      """WITH b AS (SELECT source,
-                           ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                             % 1000000 AS bucket
-                    FROM documents
-                    WHERE source IN ('src0','src1','src2','src3','src4','src5'))
-         SELECT source, count(*) AS n
-         FROM b
-         WHERE bucket < CASE source
-                          WHEN 'src0' THEN 1000000 WHEN 'src3' THEN 1000000
-                          WHEN 'src1' THEN 500000  WHEN 'src4' THEN 500000
-                          ELSE 100000 END
-         GROUP BY 1 ORDER BY 1""",
-    "negative_samples" ->
-      // same salted-md5 bucket assignment and (query, doc) rank hash as
-      // Sampling.negativeSample; ties broken by neg_id on both engines
-      """WITH q AS (SELECT doc_id AS query_id, doc_id AS positive_id,
-                           ('0x' || substr(md5('neg:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS b
-                    FROM documents WHERE doc_id < 25),
-              c AS (SELECT doc_id AS neg_id,
-                           ('0x' || substr(md5('neg:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS b
-                    FROM documents),
-              j AS (SELECT q.query_id, c.neg_id,
-                           row_number() OVER (PARTITION BY q.query_id
-                             ORDER BY md5('neg#' || CAST(q.query_id AS VARCHAR) || '#' || CAST(c.neg_id AS VARCHAR)),
-                                      c.neg_id) AS rank
-                    FROM q JOIN c ON q.b = c.b AND c.neg_id <> q.positive_id)
-         SELECT query_id, neg_id, CAST(rank AS BIGINT) AS rank
-         FROM j WHERE rank <= 5 ORDER BY query_id, rank""",
-    "contamination_flags" -> contaminationOracleSql,
-    "bloom_contamination" ->
-      // Bloom prefilter + exact shuffle join ≡ the broadcast exact path
-      // (no false negatives; the join erases false positives), so the
-      // scale-path gate shares the exact oracle verbatim
-      contaminationOracleSql,
-    "pack_sequences" ->
-      // Packing.assignBins: chunked cumulative fill, bin of each row's
-      // END; bin id = chunk * 2^32 + binInChunk
-      """WITH c AS (
-           SELECT doc_id, n_chars, doc_id // 100 AS chunk,
-                  sum(n_chars) OVER (PARTITION BY doc_id // 100 ORDER BY doc_id
-                                     ROWS UNBOUNDED PRECEDING) AS cum
-           FROM documents)
-         SELECT bin, n_docs, total_cost, first_id, last_id,
-                total_cost / 4096.0 AS fill_ratio
-         FROM (
-           SELECT CAST(chunk * 4294967296 + (cum - 1) // 4096 AS BIGINT) AS bin,
-                  count(*) AS n_docs,
-                  CAST(sum(n_chars) AS BIGINT) AS total_cost,
-                  min(doc_id) AS first_id, max(doc_id) AS last_id
-           FROM c GROUP BY 1)
-         ORDER BY bin""",
-    "kmeans_assign" ->
-      // Clustering.kmeansTwoRounds unrolled: decimal-sum distances make
-      // the argmin order-independent; round-2 compares the n-scaled form
-      // Σ(n·x − s)²/n². DECIMAL(30,6) on the round-2 terms keeps the
-      // unscaled sum < 2^53 so the final CAST AS DOUBLE is one
-      // correctly-rounded conversion in both engines.
-      """WITH e AS (
-           SELECT vec_id, generate_subscripts(embedding, 1) AS d,
-                  unnest(embedding)::DOUBLE AS x
-           FROM embeddings),
-         cent1 AS (SELECT vec_id AS cid, d, x AS c FROM e WHERE vec_id < 4),
-         d1 AS (SELECT e.vec_id, c.cid,
-                       SUM(CAST((e.x - c.c)*(e.x - c.c) AS DECIMAL(30,10))) AS dist
-                FROM e JOIN cent1 c USING (d) GROUP BY 1, 2),
-         a1 AS (SELECT vec_id, cid AS c1 FROM (
-                  SELECT vec_id, cid,
-                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-                  FROM d1) WHERE rn = 1),
-         s2 AS (SELECT a1.c1 AS cid, e.d,
-                       SUM(CAST(e.x AS DECIMAL(30,10))) AS s, COUNT(*) AS n
-                FROM e JOIN a1 USING (vec_id) GROUP BY 1, 2),
-         d2 AS (SELECT e.vec_id, s2.cid, s2.n,
-                       SUM(CAST((CAST(s2.n AS DOUBLE)*e.x - CAST(s2.s AS DOUBLE))
-                              * (CAST(s2.n AS DOUBLE)*e.x - CAST(s2.s AS DOUBLE))
-                              AS DECIMAL(30,6))) AS num
-                FROM e JOIN s2 USING (d) GROUP BY 1, 2, 3),
-         a2 AS (SELECT vec_id, cid AS c2 FROM (
-                  SELECT vec_id, cid,
-                         ROW_NUMBER() OVER (PARTITION BY vec_id
-                           ORDER BY CAST(num AS DOUBLE) / CAST(n*n AS DOUBLE), cid) AS rn
-                  FROM d2) WHERE rn = 1)
-         SELECT a1.vec_id, a1.c1, a2.c2
-         FROM a1 JOIN a2 USING (vec_id) ORDER BY vec_id""",
-    "price_histogram" ->
-      // Stats.equiWidthHistogram: multiply before divide, stated in the
-      // same order as the Spark expression so bucket edges are
-      // bit-identical
-      """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
-                    FROM lineitem)
-         SELECT LEAST(19, FLOOR((l_extendedprice - lo) * 20 / (hi - lo)))::BIGINT AS bin,
-                count(*) AS n, min(l_extendedprice) AS lo_v, max(l_extendedprice) AS hi_v
-         FROM lineitem, b GROUP BY 1 ORDER BY 1""",
-    "ewma_user_value" ->
-      // Stats.ewmaLastN: α = ½ weights are exact binary powers, the
-      // weighted sum is decimal (order-independent), the normalizer
-      // 1 − 2⁻ⁿ is exact in double
-      """SELECT user_id, count(*) AS n_used,
-                CAST(SUM(CAST(value * POWER(0.5, rn) AS DECIMAL(30,12))) AS DOUBLE)
-                  / (1.0 - POWER(0.5, count(*))) AS ewma
-         FROM (SELECT user_id, value,
-                      ROW_NUMBER() OVER (PARTITION BY user_id
-                        ORDER BY ts DESC, event_id DESC) AS rn
-               FROM events) WHERE rn <= 8
-         GROUP BY user_id ORDER BY user_id""",
-    "time_weighted_value" ->
-      // Stats.timeWeightedAvg: step-function integral, value holds to
-      // the next observation (ties ordered by event_id), last holds to
-      // the global horizon; exact integers, HUGEINT sum as VARCHAR
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
-                CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT) AS vus
-              FROM events),
-          h AS (SELECT max(tus) AS horizon FROM e),
-          x AS (SELECT user_id, tus, vus,
-                  lead(tus) OVER (PARTITION BY user_id
-                    ORDER BY tus, event_id) AS nxt
-                FROM e)
-         SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
-                CAST(h.horizon - min(tus) AS BIGINT) AS twap_den,
-                CAST(sum(CAST(vus AS HUGEINT)
-                         * (coalesce(nxt, h.horizon) - tus)) AS VARCHAR)
-                  AS twap_num
-         FROM x, h GROUP BY user_id, h.horizon ORDER BY user_id""",
-    "pareto_docs" ->
-      // Skyline.paretoFrontier semantics stated directly as the NOT
-      // EXISTS dominance test (the window formulation is the
-      // implementation; SkylineSpec proves them equivalent)
-      """WITH t AS (SELECT doc_id, source,
-                           len(string_split_regex(trim(text), '\s+'))::BIGINT AS x,
-                           len(list_filter(list_distinct(
-                             string_split_regex(lower(trim(text)), '[^a-z0-9]+')),
-                             tk -> tk <> ''))::BIGINT AS y
-                    FROM documents)
-         SELECT source, doc_id, x, y FROM t a
-         WHERE NOT EXISTS (SELECT 1 FROM t b WHERE b.source = a.source
-                           AND b.x >= a.x AND b.y >= a.y
-                           AND (b.x > a.x OR b.y > a.y))
-         ORDER BY source, doc_id""",
-    "bpe_pair_counts" ->
-      // TextCorpus.bpePairCounts; CAST AS BIGINT for the HUGEINT sum
-      // (the text_bpe_tokens lesson)
-      """SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
-           SELECT word, count(*) AS cnt FROM (
-             SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
-             FROM documents) w
-           WHERE length(word) >= 2 GROUP BY word) wf,
-           unnest(list_transform(range(1, length(word)), i -> word[i:i+1])) AS u(pair)
-         GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 30""",
-    "char_diversity" ->
-      // CharDiversityExpr: integer letter counts; the Simpson index is
-      // the only double and it is one exact division
-      """SELECT doc_id, n_alpha, c2_sum,
-                1.0 - CAST(c2_sum AS DOUBLE) / CAST(n_alpha*n_alpha AS DOUBLE) AS simpson
-         FROM (
-           SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_alpha,
-                  CAST(SUM(cnt*cnt) AS BIGINT) AS c2_sum FROM (
-             SELECT doc_id, ch, count(*)::BIGINT AS cnt
-             FROM (SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
-                   FROM documents)
-             WHERE ch BETWEEN 'a' AND 'z' GROUP BY doc_id, ch) GROUP BY doc_id)
-         ORDER BY doc_id""",
-    "tws_type_counts" ->
-      // batch transformWithState over empty state ≡ the grouped count
-      """SELECT user_id, event_type, count(*) AS n
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
-    "kcore_nodes" ->
-      // Graph.kCore unrolled to 3 peel rounds over the symmetrized
-      // distinct co-supply edges
-      """WITH march AS (SELECT o_orderkey AS ok FROM orders
-                        WHERE o_orderdate >= '1995-03-01' AND o_orderdate < '1995-04-01'),
-         li AS (SELECT l_orderkey AS ok, l_suppkey AS sk
-                FROM lineitem JOIN march ON l_orderkey = march.ok),
-         pairs AS (SELECT a.sk AS src, b.sk AS dst
-                   FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
-         e0 AS (SELECT DISTINCT src, dst FROM
-                 (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs)),
-         k1 AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e0 GROUP BY src)
-                WHERE deg >= 12),
-         e1 AS (SELECT e.src, e.dst FROM e0 e
-                JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
-         k2 AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e1 GROUP BY src)
-                WHERE deg >= 12),
-         e2 AS (SELECT e.src, e.dst FROM e1 e
-                JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src),
-         k3 AS (SELECT src FROM (SELECT src, count(*) AS deg FROM e2 GROUP BY src)
-                WHERE deg >= 12),
-         e3 AS (SELECT e.src, e.dst FROM e2 e
-                JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src)
-         SELECT src AS node, count(*) AS deg FROM e3 GROUP BY src ORDER BY node""",
-    "interarrival_stats" ->
-      // lag gap in exact micros, then the floor(p*(n-1))+1 rank rule
-      // (the length_quantiles oracle shape)
-      """WITH g AS (SELECT event_type,
-                           epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                             PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
-                    FROM events),
-         v AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL),
-         ranked AS (SELECT event_type, gap_us,
-                      CAST(row_number() OVER (PARTITION BY event_type
-                        ORDER BY gap_us) AS BIGINT) AS rn
-                    FROM v),
-         counts AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
-                    FROM v GROUP BY event_type),
-         targets AS (SELECT event_type, n_rows, p.p AS p,
-                       CAST(floor(p.p * (n_rows - 1)) + 1 AS BIGINT) AS rn
-                     FROM counts,
-                       (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p) p)
-         SELECT r.event_type, t.p, t.n_rows, r.gap_us AS value
-         FROM ranked r JOIN targets t ON r.event_type = t.event_type AND r.rn = t.rn
-         ORDER BY r.event_type, t.p""",
-    "rolling_user_value" ->
-      // Stats.rollingSumByTime: decimal(30,6) window sum (scale keeps
-      // the unscaled sum < 2^53 → the double cast is one correctly
-      // rounded conversion in both engines); time ties are RANGE peers
-      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
-                CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
-                  PARTITION BY user_id ORDER BY epoch_us(ts)
-                  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
-                  AS rolling_sum,
-                COUNT(*) OVER (
-                  PARTITION BY user_id ORDER BY epoch_us(ts)
-                  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
-                  AS n_in_window
-         FROM events ORDER BY user_id, ts_us, event_id""",
-    "resample_locf" ->
-      // Resample.locfGrid: hourly bucket = integer div (us here, ns on
-      // the Spark side — identical quotients since ns = us·1000); last
-      // obs per bucket picked by a total (ts, event_id) order
-      """WITH obs AS (
-           SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
-                  epoch_us(ts) AS us, event_id, value
-           FROM events),
-              lastb AS (
-           SELECT user_id, bucket, value FROM (
-             SELECT *, row_number() OVER (
-               PARTITION BY user_id, bucket
-               ORDER BY us DESC, event_id DESC) AS rn
-             FROM obs) WHERE rn = 1),
-              grid AS (
-           SELECT user_id, unnest(generate_series(lo, hi)) AS bucket
-           FROM (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
-                 FROM obs GROUP BY user_id))
-         SELECT g.user_id, g.bucket,
-                last_value(l.value IGNORE NULLS) OVER (
-                  PARTITION BY g.user_id ORDER BY g.bucket
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
-         FROM grid g LEFT JOIN lastb l
-           ON g.user_id = l.user_id AND g.bucket = l.bucket
-         ORDER BY g.user_id, g.bucket""",
-    "rank_normalize" ->
-      // integer ranks (ties by doc_id), one exact IEEE division
-      """SELECT source, doc_id, n_chars,
-                CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS pct
-         FROM (SELECT source, doc_id, n_chars,
-                      CAST(row_number() OVER (PARTITION BY source
-                        ORDER BY n_chars, doc_id) AS BIGINT) AS r,
-                      CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
-               FROM documents)
-         ORDER BY source, doc_id""",
-    "dedup_best_survivors" ->
-      // the near_dup_groups reachability CTE + per-cluster argmax on raw
-      // text length (ties -> min doc_id)
-      s"""WITH RECURSIVE docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
-          sh AS (SELECT doc_id,
-                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
-                 FROM docs),
-          pairs AS (SELECT id_a, id_b FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.s, b.s))::DOUBLE
-                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-            WHERE jaccard >= 0.5),
-          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                    UNION ALL SELECT id_b, id_a FROM pairs),
-          reach(id, comp) AS (
-            SELECT src, src FROM edges
-            UNION
-            SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
-          grp AS (SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS group_id
-                  FROM reach GROUP BY id),
-          lens AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len
-                   FROM $docsWithDupsSql d2),
-          ranked AS (SELECT g.group_id, g.doc_id, l.len,
-                       row_number() OVER (PARTITION BY g.group_id
-                         ORDER BY l.len DESC, g.doc_id ASC) AS rn,
-                       CAST(count(*) OVER (PARTITION BY g.group_id) AS BIGINT) AS n_members
-                     FROM grp g JOIN lens l ON g.doc_id = l.doc_id)
-         SELECT group_id, doc_id AS keep_id, len AS keep_len, n_members
-         FROM ranked WHERE rn = 1 ORDER BY group_id""",
-    "cdc_apply" ->
-      // Cdc.applyChangeLog: newest log row per key decides existence
-      // (delete ⇒ absent) and carries the final values
-      """WITH log AS (
-           SELECT user_id, event_id,
-                  CASE WHEN event_type = 'click' THEN 'd' ELSE 'u' END AS op,
-                  value
-           FROM events),
-              latest AS (
-           SELECT *, row_number() OVER (
-             PARTITION BY user_id ORDER BY event_id DESC) AS rn
-           FROM log)
-         SELECT user_id, event_id, value
-         FROM latest WHERE rn = 1 AND op <> 'd' ORDER BY user_id""",
-    "cdc_churn" ->
-      // Cdc.churnStats: single-pass per-key change/delete counts +
-      // liveness (newest op via arg_max on the total log order)
-      """SELECT user_id,
-                CAST(count(*) AS BIGINT) AS n_changes,
-                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_deletes,
-                arg_max(CASE WHEN event_type = 'click' THEN 'd' ELSE 'u' END,
-                        event_id) <> 'd' AS exists
-         FROM events GROUP BY user_id ORDER BY user_id""",
-    "data_validation" ->
-      // Validation.report / uniqueReport / fkReport: one aggregate per
-      // rule family, all through (rule, n_checked, n_violations)
-      """SELECT * FROM (
-           SELECT 'orders_price_positive' AS rule,
-                  CAST(count(*) AS BIGINT) AS n_checked,
-                  CAST(sum(CASE WHEN coalesce(o_totalprice > 0.0, FALSE)
-                                THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
-           FROM orders
-           UNION ALL
-           SELECT 'orders_date_present', CAST(count(*) AS BIGINT),
-                  CAST(sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
-           FROM orders
-           UNION ALL
-           SELECT 'orders_status_domain', CAST(count(*) AS BIGINT),
-                  CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT)
-           FROM orders
-           UNION ALL
-           SELECT 'lineitem_discount_band', CAST(count(*) AS BIGINT),
-                  CAST(sum(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1
-                                THEN 0 ELSE 1 END) AS BIGINT)
-           FROM lineitem
-           UNION ALL
-           SELECT 'lineitem_qty_band', CAST(count(*) AS BIGINT),
-                  CAST(sum(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 50.0
-                                THEN 0 ELSE 1 END) AS BIGINT)
-           FROM lineitem
-           UNION ALL
-           SELECT 'orders_key_unique', CAST(count(*) AS BIGINT),
-                  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
-           FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1)
-           UNION ALL
-           SELECT 'lineitem_fk_orders',
-                  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
-                  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
-                   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
-         ) ORDER BY rule""",
-    "resample_interp" ->
-      // Resample.interpGrid: the locf grid construction, gaps filled by
-      // the SAME fixed-shape IEEE interpolation expression
-      """WITH obs AS (
-           SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
-                  epoch_us(ts) AS us, event_id, value
-           FROM events),
-              lastb AS (
-           SELECT user_id, bucket, value FROM (
-             SELECT *, row_number() OVER (
-               PARTITION BY user_id, bucket
-               ORDER BY us DESC, event_id DESC) AS rn
-             FROM obs) WHERE rn = 1),
-              grid AS (
-           SELECT user_id, unnest(generate_series(lo, hi)) AS bucket
-           FROM (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
-                 FROM obs GROUP BY user_id)),
-              j AS (
-           SELECT g.user_id, g.bucket, l.value
-           FROM grid g LEFT JOIN lastb l
-             ON g.user_id = l.user_id AND g.bucket = l.bucket),
-              f AS (
-           SELECT user_id, bucket, value,
-             last_value(CASE WHEN value IS NOT NULL THEN bucket END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY bucket
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
-             last_value(value IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY bucket
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-             first_value(CASE WHEN value IS NOT NULL THEN bucket END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY bucket
-                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb,
-             first_value(value IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY bucket
-                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
-           FROM j)
-         SELECT user_id, bucket,
-                CASE WHEN value IS NOT NULL THEN value
-                     ELSE pv + (nv - pv) *
-                          (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
-                END AS value
-         FROM f ORDER BY user_id, bucket""",
-    "conversion_paths" ->
-      // Behavioral.conversionPaths: gap sessionization (lag + cumulative
-      // starts), ordered string_agg per session, global path counts.
-      // Gap compares micros (Spark side: nanos = micros·1000, identical)
-      """WITH e AS (
-           SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
-              s AS (
-           SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
-                          THEN 1 ELSE 0 END AS new_s
-           FROM (SELECT *, lag(us) OVER (
-                   PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e)),
-              sess AS (
-           SELECT *, sum(new_s) OVER (
-             PARTITION BY user_id ORDER BY us, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-           FROM s),
-              paths AS (
-           SELECT user_id, session_seq,
-                  string_agg(event_type, '>' ORDER BY us, event_id) AS path
-           FROM sess GROUP BY user_id, session_seq)
-         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
-         FROM paths GROUP BY path
-         ORDER BY n_sessions DESC, path LIMIT 50""",
-    "skew_report" ->
-      // Stats.keySkewReport: per-key counts → power-of-two buckets via
-      // binary-string length (floor(log2) exactly, both engines)
-      """WITH pk AS (
-           SELECT l_orderkey, count(*) AS n_rows FROM lineitem GROUP BY 1)
-         SELECT CAST(length(bin(n_rows)) - 1 AS BIGINT) AS log2_bucket,
-                CAST(count(*) AS BIGINT) AS n_keys,
-                CAST(sum(n_rows) AS BIGINT) AS total_rows,
-                CAST(max(n_rows) AS BIGINT) AS max_key_rows
-         FROM pk GROUP BY 1 ORDER BY log2_bucket""",
-    "feature_scaling" ->
-      // Stats.standardize: exact decimal moments (18,2 — products stay
-      // inside both engines' 38-digit decimals), one fixed-shape IEEE
-      // finishing expression
-      """WITH m AS (
-           SELECT l_returnflag, count(*) AS n,
-                  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s1,
-                  sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                      CAST(l_extendedprice AS DECIMAL(18,2))) AS s2
-           FROM lineitem GROUP BY 1),
-              mm AS (
-           SELECT l_returnflag,
-                  CAST(s1 AS DOUBLE) / n AS mean,
-                  greatest((CAST(s2 AS DOUBLE) -
-                            CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n,
-                           0.0) AS var
-           FROM m)
-         SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
-                CASE WHEN mm.var > 0.0
-                     THEN (CAST(l.l_extendedprice AS DOUBLE) - mm.mean) / sqrt(mm.var)
-                     ELSE 0.0 END AS z
-         FROM lineitem l JOIN mm ON l.l_returnflag = mm.l_returnflag
-         ORDER BY l.l_orderkey, l.l_linenumber""",
-    "wow_growth" ->
-      // Stats.periodGrowth: weekly micros revenue, integer-ppm growth;
-      // the sign split keeps the ÷ positive so floor (DuckDB) and
-      // truncate (Spark) agree
-      """WITH weekly AS (
-           SELECT o_orderstatus,
-                  epoch_us(o_orderdate) // 604800000000 AS week,
-                  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) * 1000000 AS BIGINT)
-                    AS rev_micros
-           FROM orders GROUP BY 1, 2),
-              g AS (
-           SELECT *, lag(rev_micros) OVER (
-             PARTITION BY o_orderstatus ORDER BY week) AS prev_micros
-           FROM weekly)
-         SELECT o_orderstatus, week, rev_micros, prev_micros,
-                CASE WHEN prev_micros IS NOT NULL AND prev_micros > 0
-                     THEN CAST(CASE WHEN rev_micros >= prev_micros THEN 1
-                                    WHEN rev_micros < prev_micros THEN -1 END AS BIGINT) *
-                          CAST((CAST(abs(rev_micros - prev_micros) AS HUGEINT)
-                                * 1000000) // prev_micros AS BIGINT)
-                END AS growth_ppm
-         FROM g ORDER BY o_orderstatus, week""",
-    "l_diversity" ->
-      // Pii.lDiversityClasses: per-QI-class size + distinct sensitive
-      // bands; +1000 shift keeps the band arithmetic positive
-      """SELECT c_nationkey, c_mktsegment,
-                CAST(count(*) AS BIGINT) AS class_size,
-                CAST(count(DISTINCT bal_band) AS BIGINT) AS n_sensitive,
-                count(DISTINCT bal_band) >= 3 AS diverse
-         FROM (SELECT c_nationkey, c_mktsegment,
-                      CAST(floor(c_acctbal + 1000.0) AS BIGINT) // 2000 AS bal_band
-               FROM customer)
-         GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment""",
-    "unpivot_metrics" ->
-      // Spark's native unpivot (Expand) melted rollup = UNION ALL
-      """WITH a AS (
-           SELECT l_returnflag,
-                  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
-                  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
-                  CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc
-           FROM lineitem GROUP BY 1)
-         SELECT * FROM (
-           SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
-           UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
-           UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM a
-         ) ORDER BY l_returnflag, metric""",
-    "zscore_alerts" ->
-      // Stats.runningAnomalies: prior-only running sums, z² test in
-      // exact int128 — (n·v − s1)² > 9·(n·s2 − s1²)
-      """WITH e AS (
-           SELECT user_id, epoch_us(ts) AS us, event_id,
-                  CAST(round(value * 100) AS BIGINT) AS vc
-           FROM events),
-              w AS (
-           SELECT user_id, event_id, vc,
-                  count(*) OVER win AS n_prior,
-                  sum(CAST(vc AS HUGEINT)) OVER win AS s1,
-                  sum(CAST(vc AS HUGEINT) * CAST(vc AS HUGEINT)) OVER win AS s2
-           FROM e
-           WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-         SELECT user_id, event_id, CAST(n_prior AS BIGINT) AS n_prior,
-                CASE WHEN n_prior >= 5 THEN
-                  (CAST(n_prior AS HUGEINT) * vc - s1) *
-                  (CAST(n_prior AS HUGEINT) * vc - s1)
-                    > 9 * (CAST(n_prior AS HUGEINT) * s2 - s1 * s1)
-                ELSE FALSE END AS is_anomaly
-         FROM w ORDER BY user_id, event_id""",
-    "concurrency_peak" ->
-      // Behavioral.maxConcurrent: 6h-gap sessions → ±1 sweep per start
-      // day; ends (+1µs, never colliding with whole-µs starts) sort
-      // before starts at a tie, matching the Spark side's +1ns
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-              m AS (
-           SELECT user_id, us,
-                  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
-                            > 21600000000 THEN 1
-                       WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL THEN 1
-                       ELSE 0 END AS new_s
-           FROM e),
-              s AS (
-           SELECT user_id, us,
-                  sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sid
-           FROM m),
-              iv AS (
-           SELECT user_id, min(us) AS st, max(us) + 1 AS en
-           FROM s GROUP BY user_id, sid),
-              ev AS (
-           SELECT st // 86400000000 AS day, st AS t, 1 AS delta, user_id FROM iv
-           UNION ALL
-           SELECT st // 86400000000 AS day, en AS t, -1 AS delta, user_id FROM iv),
-              sw AS (
-           SELECT day, t, delta,
-                  sum(delta) OVER (PARTITION BY day ORDER BY t, delta, user_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
-           FROM ev),
-              p AS (SELECT day, max(live) AS peak FROM sw GROUP BY day)
-         SELECT p.day, CAST(p.peak AS BIGINT) AS peak,
-                CAST(min(sw.t) * 1000 AS BIGINT) AS peak_at
-         FROM sw JOIN p ON sw.day = p.day AND sw.live = p.peak
-         GROUP BY p.day, p.peak ORDER BY p.day""",
-    "stock_ledger" ->
-      // Ledger.clampedBalance: the clamp-after-every-step recurrence has
-      // no window form — unroll it as a recursive CTE walking each
-      // key's rows in rank order
-      """WITH RECURSIVE e AS (
-           SELECT user_id, event_id,
-                  CASE WHEN event_type IN ('purchase', 'cart')
-                       THEN CAST(round(value * 100) AS BIGINT)
-                       ELSE -CAST(round(value * 100) AS BIGINT) END AS delta_c,
-                  row_number() OVER (PARTITION BY user_id
-                    ORDER BY epoch_us(ts), event_id) AS rn
-           FROM events),
-              r AS (
-           SELECT user_id, event_id, delta_c, rn,
-                  least(100000, greatest(0, delta_c)) AS balance
-           FROM e WHERE rn = 1
-           UNION ALL
-           SELECT e.user_id, e.event_id, e.delta_c, e.rn,
-                  least(100000, greatest(0, r.balance + e.delta_c))
-           FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
-         SELECT user_id, event_id, delta_c, balance
-         FROM r ORDER BY user_id, event_id""",
-    "time_to_convert" ->
-      // last-view-to-purchase latency in exact micros, rank-rule
-      // quantiles per conversion weekday (epoch day 0 = Thursday → +4)
-      """WITH t AS (
-           SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
-                  max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
-                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                    AS touch_us
-           FROM events),
-              v AS (
-           SELECT ((us // 86400000000) + 4) % 7 AS dow,
-                  us - touch_us AS latency_us
-           FROM t WHERE event_type = 'purchase' AND touch_us IS NOT NULL),
-              ranked AS (
-           SELECT dow, latency_us,
-                  CAST(row_number() OVER (PARTITION BY dow
-                    ORDER BY latency_us) AS BIGINT) AS rn
-           FROM v),
-              counts AS (
-           SELECT dow, CAST(count(*) AS BIGINT) AS n_rows FROM v GROUP BY dow),
-              targets AS (
-           SELECT dow, n_rows, p.p AS p,
-                  CAST(floor(p.p * (n_rows - 1)) + 1 AS BIGINT) AS rn
-           FROM counts,
-             (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
-                             CAST(0.99 AS DOUBLE)]) AS p) p)
-         SELECT r.dow, t.p, t.n_rows, r.latency_us AS value
-         FROM ranked r JOIN targets t ON r.dow = t.dow AND r.rn = t.rn
-         ORDER BY r.dow, t.p""",
-    "cv_folds" ->
-      // Sampling.cvFold = hashBucket(id, salt, 5): same md5 arithmetic
-      """SELECT ('0x' || substr(md5('cv-1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                  % 5 AS fold,
-                lang, CAST(count(*) AS BIGINT) AS n
-         FROM documents GROUP BY 1, 2 ORDER BY fold, lang""",
-    "revenue_share" ->
-      // Stats.contributionShare: ppm of the week's total, exact int128
-      """WITH weekly AS (
-           SELECT o_orderstatus,
-                  epoch_us(o_orderdate) // 604800000000 AS week,
-                  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) * 1000000 AS BIGINT)
-                    AS rev_micros
-           FROM orders GROUP BY 1, 2)
-         SELECT o_orderstatus, week, rev_micros,
-                CAST(sum(rev_micros) OVER (PARTITION BY week) AS BIGINT) AS part_total,
-                CAST((CAST(rev_micros AS HUGEINT) * 1000000)
-                     // sum(rev_micros) OVER (PARTITION BY week) AS BIGINT) AS share_ppm
-         FROM weekly ORDER BY week, o_orderstatus""",
-    "ab_funnel" ->
-      // hashBucket arm split × the funnel_steps chain, per arm
-      """WITH e AS (
-           SELECT user_id, event_type, epoch_us(ts) AS us,
-                  CASE WHEN ('0x' || substr(md5('exp-1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
-                            % 2 = 0 THEN 'A' ELSE 'B' END AS arm
-           FROM events),
-              f1 AS (SELECT arm, user_id, min(us) AS t FROM e
-                     WHERE event_type = 'view' GROUP BY arm, user_id),
-              f2 AS (SELECT e.arm, e.user_id, min(us) AS t FROM e
-                     JOIN f1 ON e.user_id = f1.user_id AND e.arm = f1.arm
-                     WHERE event_type = 'click' AND us > f1.t GROUP BY e.arm, e.user_id),
-              f3 AS (SELECT e.arm, e.user_id, min(us) AS t FROM e
-                     JOIN f2 ON e.user_id = f2.user_id AND e.arm = f2.arm
-                     WHERE event_type = 'purchase' AND us > f2.t GROUP BY e.arm, e.user_id)
-         SELECT * FROM (
-           SELECT arm, 1 AS step, 'view' AS event_type,
-                  CAST(count(*) AS BIGINT) AS entities FROM f1 GROUP BY arm
-           UNION ALL SELECT arm, 2, 'click', CAST(count(*) AS BIGINT) FROM f2 GROUP BY arm
-           UNION ALL SELECT arm, 3, 'purchase', CAST(count(*) AS BIGINT) FROM f3 GROUP BY arm)
-         ORDER BY arm, step""",
-    "item_cf_topk" ->
-      // Baskets.itemCosine: co-occurrence / sqrt(popularity product),
-      // one fixed IEEE expression over exact integer counts
-      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-              pairs AS (
-           SELECT a.l_partkey AS a, b.l_partkey AS b,
-                  CAST(count(*) AS BIGINT) AS n_baskets
-           FROM items a JOIN items b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-           GROUP BY 1, 2 HAVING count(*) >= 2),
-              deg AS (
-           SELECT l_partkey, CAST(count(*) AS BIGINT) AS deg
-           FROM items GROUP BY 1)
-         SELECT p.a, p.b, p.n_baskets, da.deg AS deg_a, db.deg AS deg_b,
-                CAST(p.n_baskets AS DOUBLE)
-                  / sqrt(CAST(da.deg * db.deg AS DOUBLE)) AS cosine
-         FROM pairs p
-         JOIN deg da ON p.a = da.l_partkey
-         JOIN deg db ON p.b = db.l_partkey
-         ORDER BY cosine DESC, a, b LIMIT 100""",
-    "gini_revenue" ->
-      // Stats.giniIndex rank formula in exact int128; numerator of an
-      // ascending sequence is non-negative, so // = div
-      """WITH spend AS (
-           SELECT o_orderstatus, o_custkey,
-                  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) * 1000000 AS BIGINT)
-                    AS spend_micros
-           FROM orders GROUP BY 1, 2),
-              r AS (
-           SELECT o_orderstatus, spend_micros,
-                  CAST(row_number() OVER (PARTITION BY o_orderstatus
-                    ORDER BY spend_micros, o_custkey) AS HUGEINT) AS rk
-           FROM spend)
-         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-                CAST(((2 * sum(rk * CAST(spend_micros AS HUGEINT))
-                       - (count(*) + 1) * sum(CAST(spend_micros AS HUGEINT))) * 1000000)
-                     // (count(*) * sum(CAST(spend_micros AS HUGEINT))) AS BIGINT)
-                  AS gini_ppm
-         FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""",
-    "calendar_dim" ->
-      // arithmetic dow/week from epoch days (no calendar conventions);
-      // year/month are proleptic-Gregorian in both engines
-      """WITH span AS (
-           SELECT min(CAST(o_orderdate AS DATE)) AS lo,
-                  max(CAST(o_orderdate AS DATE)) AS hi
-           FROM orders),
-              days AS (
-           SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
-           FROM span)
-         SELECT d, CAST(year(d) AS INT) AS y, CAST(month(d) AS INT) AS m,
-                CAST(((d - DATE '1970-01-01') + 4) % 7 AS INT) AS dow,
-                CAST((d - DATE '1970-01-01') // 7 AS BIGINT) AS week
-         FROM days ORDER BY d""",
-    "price_equidepth" ->
-      // ntile semantics agree (larger buckets first); the tiebreak
-      // makes the tiling a total order
-      """WITH t AS (
-           SELECT l_returnflag, l_extendedprice,
-                  CAST(ntile(10) OVER (PARTITION BY l_returnflag
-                    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT)
-                    AS tile
-           FROM lineitem)
-         SELECT l_returnflag, tile, CAST(count(*) AS BIGINT) AS n,
-                min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
-         FROM t GROUP BY 1, 2 ORDER BY l_returnflag, tile""",
-    "degree_assortativity" ->
-      // exact int64 moments (CAST each sum down from DuckDB's HUGEINT
-      // before the closed form — int64→double conversion agrees across
-      // engines; hugeint→double does not beyond 2^53)
-      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-              co AS (
-           SELECT a.l_partkey AS a, b.l_partkey AS b
-           FROM items a JOIN items b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-           GROUP BY 1, 2 HAVING count(*) >= 2),
-              edges AS (
-           SELECT a AS u, b AS v FROM co UNION ALL SELECT b, a FROM co),
-              deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
-                      FROM edges GROUP BY u),
-              p AS (
-           SELECT dx.deg AS dx, dy.deg AS dy
-           FROM edges e JOIN deg dx ON e.u = dx.u JOIN deg dy ON e.v = dy.u),
-              m AS (
-           SELECT CAST(count(*) AS BIGINT) AS n,
-                  CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
-                  CAST(sum(dx * dx) AS BIGINT) AS sxx,
-                  CAST(sum(dy * dy) AS BIGINT) AS syy,
-                  CAST(sum(dx * dy) AS BIGINT) AS sxy
-           FROM p)
-         SELECT n, CAST(n * sxy - sx * sy AS DOUBLE)
-                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
-         FROM m""",
-    "benford_digits" ->
-      // leading digit from the INTEGER centi-price's string form
-      """WITH d AS (
-           SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
-                                   AS VARCHAR), 1, 1) AS INT) AS digit
-           FROM orders),
-              c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1)
-         SELECT digit, n,
-                CAST((CAST(n AS HUGEINT) * 1000000) // sum(n) OVER () AS BIGINT)
-                  AS share_ppm
-         FROM c ORDER BY digit""",
-    "mojibake_flags" ->
-      // literal alternation — identical under Java regex and RE2
-      """SELECT doc_id,
-                CAST(len(regexp_extract_all(text, 'Ã|â€')) AS BIGINT) AS n_markers,
-                len(regexp_extract_all(text, 'Ã|â€')) > 0 AS suspect
-         FROM documents ORDER BY doc_id""",
-    "sentence_stats" ->
-      // sentences = non-blank splits on terminal-punctuation runs;
-      // words = the whitespace tokenizer (text_token_counts formula)
-      """WITH s AS (
-           SELECT doc_id,
-                  CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
-                                       x -> length(trim(x)) > 0)) AS BIGINT)
-                    AS n_sentences,
-                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-                    AS n_words
-           FROM documents)
-         SELECT doc_id, n_sentences, n_words,
-                CASE WHEN n_sentences > 0
-                     THEN (n_words * 1000000) // n_sentences END
-                  AS words_per_sentence_ppm
-         FROM s ORDER BY doc_id""",
-    "new_vs_returning" ->
-      """WITH uw AS (
-           SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
-           FROM events),
-              f AS (SELECT user_id, min(week) AS first_week FROM uw GROUP BY 1)
-         SELECT uw.week, CAST(count(*) AS BIGINT) AS active,
-                CAST(sum(CASE WHEN uw.week = f.first_week THEN 1 ELSE 0 END) AS BIGINT)
-                  AS new_users,
-                CAST(count(*) - sum(CASE WHEN uw.week = f.first_week THEN 1 ELSE 0 END)
-                     AS BIGINT) AS returning
-         FROM uw JOIN f ON uw.user_id = f.user_id
-         GROUP BY uw.week ORDER BY uw.week""",
-    "order_reconciliation" ->
-      // header vs line rollup in exact micros, |relative error| bands
-      """WITH lr AS (
-           SELECT l_orderkey AS o_orderkey,
-                  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                                AS DECIMAL(30,6))) * 1000000 AS BIGINT)
-                    AS line_micros
-           FROM lineitem GROUP BY 1),
-              j AS (
-           SELECT o.o_orderkey,
-                  CAST(CAST(o_totalprice AS DECIMAL(30,6)) * 1000000 AS BIGINT)
-                    AS total_micros,
-                  lr.line_micros
-           FROM orders o JOIN lr ON o.o_orderkey = lr.o_orderkey),
-              d AS (
-           SELECT (CAST(abs(line_micros - total_micros) AS HUGEINT) * 1000000)
-                    // total_micros AS abs_diff_ppm
-           FROM j)
-         SELECT CASE WHEN abs_diff_ppm = 0 THEN 'exact'
-                     WHEN abs_diff_ppm <= 1000 THEN 'within_0.1pct'
-                     WHEN abs_diff_ppm <= 100000 THEN 'within_10pct'
-                     ELSE 'mismatch' END AS band,
-                CAST(count(*) AS BIGINT) AS n_orders
-         FROM d GROUP BY 1 ORDER BY band""",
-    "bounce_rate" ->
-      // 30-min-gap sessions, single-event share in exact ppm
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-              m AS (
-           SELECT user_id, us,
-                  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
-                            > 1800000000 THEN 1
-                       WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL THEN 1
-                       ELSE 0 END AS new_s
-           FROM e),
-              s AS (
-           SELECT user_id, us,
-                  sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sid
-           FROM m),
-              sess AS (
-           SELECT user_id, sid, min(us) AS start_us, count(*) AS n_events
-           FROM s GROUP BY 1, 2)
-         SELECT start_us // 86400000000 AS day,
-                CAST(count(*) AS BIGINT) AS n_sessions,
-                CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_bounces,
-                CAST((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000)
-                     // count(*) AS BIGINT) AS bounce_ppm
-         FROM sess GROUP BY 1 ORDER BY day""",
-    "double_charge_flags" ->
-      // same user, a second purchase within the hour — keyed equi-join
-      """WITH p AS (
-           SELECT user_id, CAST(round(value * 100) AS BIGINT) AS value_c,
-                  epoch_us(ts) AS us, event_id
-           FROM events WHERE event_type = 'purchase')
-         SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
-                b.us - a.us AS gap_us,
-                b.value_c - a.value_c AS delta_c
-         FROM p a JOIN p b
-           ON a.user_id = b.user_id
-          AND a.us < b.us AND b.us - a.us <= 3600000000
-         ORDER BY a.user_id, id_a, id_b""",
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    storeGateQueries ++
+    analyticsGateQueries ++
+    pipelineGateQueries ++
+    streamingGateQueries ++
+    trainingGateQueries ++
+    warehouseGateQueries ++
+    cdcGateQueries
+
+  def oracleSql: Map[String, String] =
+    storeGateOracles ++
+    analyticsGateOracles ++
+    pipelineGateOracles ++
+    streamingGateOracles ++
+    trainingGateOracles ++
+    warehouseGateOracles ++
+    cdcGateOracles
 }

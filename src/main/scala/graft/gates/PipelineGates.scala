@@ -1,0 +1,2109 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators._
+import graft.streaming.{EventTimeOps, StatefulOps}
+
+/** LLM-data-pipeline extension operators (graft.operators).
+  *
+  * One gate trait of [[SparkEntry]] (round-11 split of the single-file
+  * registry): the operator defs, their `queries` entries, and their
+  * DuckDB oracle twins travel together; SparkEntry composes the maps. */
+private[graft] trait PipelineGates extends GateSupport {
+
+  // ==================================================================
+  // LLM-data-pipeline extension operators (graft.operators)
+  // ==================================================================
+
+  import graft.operators.{Dedup, Graph, Lexical, Similarity, SkewJoin, TextAnalysis, TextCorpus, Multimodal}
+
+  /** Exact dedup groups by content hash (Dedup.exactGroups). */
+  protected def dedupExactGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docsWithDups(s, dir), "text", "doc_id")
+      .orderBy("content_hash")
+
+  /** Surviving ids after exact dedup (Dedup.exactDedup). */
+  protected def dedupExactSurvivors(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(docsWithDups(s, dir), "text", "doc_id")
+      .select("doc_id")
+      .orderBy("doc_id")
+
+  /** Token counting (TextAnalysis.tokenCount). */
+  protected def textTokenCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** BPE-ish subword token estimate (TextAnalysis.bpeTokenEstimate). */
+  protected def textBpeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.bpeTokenEstimate(col("text")).as("n_bpe"))
+      .orderBy("doc_id")
+
+  /** Quality-scoring ratios — one native single-pass stats expression
+    * ([[graft.functions.TextStats]]), bit-identical to the per-metric HOF
+    * formulations in TextAnalysis. */
+  protected def textQualityRatios(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("_st", graft.functions.TextStats.textStats(col("text")))
+      .select(
+        col("doc_id"),
+        col("_st.alpha_ratio").as("alpha_ratio"),
+        col("_st.punct_ratio").as("punct_ratio"),
+        col("_st.stopword_ratio").as("stopword_ratio"),
+        col("_st.mean_token_len").as("mean_token_len"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic (TextAnalysis.languageId) vs the labeled lang. */
+  protected def langId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.languageId(col("text")).as("lang_id"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: md5 of the sorted distinct token set. */
+  protected def docFingerprints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenSetFingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Compression-ratio quality signal (TextAnalysis.compressionStats):
+    * UTF-8 bytes vs deflated bytes per document. No second engine
+    * implements deflate, so the oracle pins the committed golden CSV
+    * (generated from this query at sf0.01 — the gate's scale); the
+    * golden's self-consistency with the live zlib is re-proven by
+    * CompressSpec on every test run. */
+  protected def compressionSignal(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.compressionStats(t(s, dir, "documents")).orderBy("doc_id")
+
+  /** Canonicalization before dedup (TextCorpus.normalizeDocs). */
+  protected def textNormalize(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.normalizeDocs(t(s, dir, "documents")).orderBy("doc_id")
+
+  /** Gopher-style repetition counters (TextCorpus.repetitionStats). */
+  protected def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.repetitionStats(t(s, dir, "documents")).orderBy("doc_id")
+
+  /** Corpus-wide top-20 bigrams (TextCorpus.topNgrams). */
+  protected def topNgramsQuery(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.topNgrams(t(s, dir, "documents"), n = 2, k = 20)
+
+  /** Cross-source exact-overlap matrix (TextCorpus.sourceOverlap) over
+    * the documents plus a 'mirror' source that copies doc_id<100 — the
+    * base table is all-distinct, so the mirror is what makes overlap
+    * observable (same construction idea as [[docsWithDups]]). */
+  protected def sourceOverlapQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.select(col("text"), col("source")).unionAll(
+      d.filter(col("doc_id") < 100).select(col("text"), lit("mirror").as("source")))
+    TextCorpus.sourceOverlap(corpus).orderBy("source_a", "source_b")
+  }
+
+  /** Intra-document paragraph dedup (TextCorpus.dedupParagraphs) over
+    * documents assembled from slices of the base text, with the first
+    * slice repeated on doc_id%3 — SQL-expressible so the oracle builds
+    * the identical corpus. */
+  protected def paraDedup(s: SparkSession, dir: String): DataFrame = {
+    val p1 = col("text").substr(1, 60)
+    val p2 = col("text").substr(31, 60)
+    val assembled = t(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat_ws("@@", p1, p2, p1, p1))
+        .otherwise(concat_ws("@@", p1, p2)).as("text"))
+    TextCorpus.dedupParagraphs(assembled, sep = "@@").orderBy("doc_id")
+  }
+
+  /** Context-window chunking (TextCorpus.chunkWindows): 32-token
+    * windows advancing by 16 — overlapping pretraining contexts. */
+  protected def chunkWindowsQuery(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.chunkWindows(t(s, dir, "documents"), windowSize = 32, stride = 16)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Per-source distinctive terms (TextCorpus.distinctiveTerms): top-10
+    * integer-ranked signature words per source. */
+  protected def distinctiveTermsQuery(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.distinctiveTerms(t(s, dir, "documents"), k = 10)
+      .orderBy("source", "rank")
+
+  /** Per-doc keyword extraction ([[TextCorpus.docKeywords]]): top-3
+    * tokens per document by the integer TF-IDF ordering; df is
+    * corpus-wide, output restricted to doc_id < 200 to bound the gate. */
+  protected def docKeywordsQuery(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.docKeywords(t(s, dir, "documents"), k = 3)
+      .filter(col("doc_id") < 200)
+      .orderBy("doc_id", "rank")
+
+  /** BM25 lexical top-k ([[operators.Lexical.bm25TopK]]): three queries
+    * drawn deterministically from the corpus itself (first 6 tokens of
+    * docs 7/123/456), top-10 docs each, fixed-point integer scores. */
+  protected def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val qs = docs.filter(col("doc_id").isin(7L, 123L, 456L))
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 6), " ")
+          .as("query_text"))
+    Lexical.bm25TopK(docs, qs, k = 10).orderBy("query_id", "rank")
+  }
+
+  /** Hybrid retrieval ([[operators.Retrieval.rrfFuse]]): BM25 lexical
+    * top-10 fused with brute-force dot-product vector top-10 by
+    * integer-fixed-point Reciprocal Rank Fusion — the RAG-stack merge
+    * step. Query ids 7/123/456 on BOTH sides (documents and embeddings
+    * share the id space), so the oracle is the two existing retriever
+    * oracles' CTEs plus exact integer fusion arithmetic. */
+  protected def hybridRrfTopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val qs = docs.filter(col("doc_id").isin(7L, 123L, 456L))
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 6), " ")
+          .as("query_text"))
+    val lex = Lexical.bm25TopK(docs, qs, k = 10)
+      .select("query_id", "doc_id", "rank")
+    val emb = t(s, dir, "embeddings")
+    val vec = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id").isin(7L, 123L, 456L)), k = 10,
+        metric = Similarity.dot)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    graft.operators.Retrieval.rrfFuse(Seq(lex, vec), rrfK = 60, topK = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Bigram LM quality score ([[operators.Lexical.bigramLmScore]]):
+    * fit on the corpus, score the corpus — the perplexity-filter
+    * analog in engine-exact fixed point. */
+  protected def lmBigramScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Lexical.bigramLmScore(docs, docs).orderBy("doc_id")
+  }
+
+  /** Corpus snapshot diff (TextCorpus.corpusDiff): old = documents, new
+    * = documents with deterministic mutations (doc_id%97 removed,
+    * doc_id%13 edited, copies of doc_id<25 added at +10000) — the gate
+    * exercises all three delta classes. */
+  protected def corpusDiffQuery(s: SparkSession, dir: String): DataFrame = {
+    val old = t(s, dir, "documents").select("doc_id", "text")
+    val nw = old.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" zz")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(old.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    TextCorpus.corpusDiff(old, nw).orderBy("doc_id")
+  }
+
+  /** Fixed-point PageRank ([[operators.Graph.pageRank]], 5 iterations)
+    * over the symmetrized customer↔supplier purchase graph from
+    * orders⋈lineitem — iterative join+aggregate over the two largest
+    * tables. */
+  protected def purchasePagerank(s: SparkSession, dir: String): DataFrame = {
+    val cs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    val edges = cs.unionAll(cs.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.pageRank(edges, iters = 5).orderBy("node")
+  }
+
+  /** Personalized PageRank ([[Graph.personalizedPageRank]]) over the
+    * same purchase graph, seeded at customers 1-20 — "suppliers and
+    * customers important RELATIVE to this cohort", the related-entity
+    * expansion a global rank can't answer. Zero-rank (unreached) nodes
+    * filtered: the interesting output is the reached neighborhood. */
+  protected def personalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val cs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    val edges = cs.unionAll(cs.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = t(s, dir, "customer").filter(col("c_custkey") <= 20)
+      .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+    Graph.personalizedPageRank(edges, seeds, iters = 5)
+      .filter(col("rank_fp") > 0)
+      .orderBy("node")
+  }
+
+  /** Label-propagation communities ([[graft.operators.Graph
+    * .labelPropagation]]) over the same customer–supplier purchase
+    * graph as `purchase_pagerank`, 3 synchronous rounds with the
+    * deterministic (count desc, label asc) mode rule. */
+  protected def labelCommunities(s: SparkSession, dir: String): DataFrame = {
+    val cs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    Graph.labelPropagation(cs, iters = 3).orderBy("node")
+  }
+
+  /** Feature-hashing TF vectors ([[operators.Lexical.hashedTfVectors]],
+    * dim 64): vocabulary-free signed sparse vectors, md5-bucketed. */
+  protected def hashedTf(s: SparkSession, dir: String): DataFrame =
+    Lexical.hashedTfVectors(t(s, dir, "documents"), dim = 64)
+      .orderBy("doc_id", "bucket")
+
+  /** Linear quality-classifier inference over hashed-TF features
+    * ([[operators.Lexical.hashedLinearLogit]]) — model scoring as a pure
+    * scan-side projection + one per-doc aggregation. */
+  protected def qualityLrLogit(s: SparkSession, dir: String): DataFrame =
+    Lexical.hashedLinearLogit(t(s, dir, "documents"), dim = 64)
+      .orderBy("doc_id")
+
+  /** The documents table with deterministic planted footers (doc_id
+    * multiples of 3 and 5 get shared trailing lines) — the observable
+    * fixture for the cross-document line-boilerplate family, same
+    * construction idea as [[docsWithDups]]. */
+  protected def docsWithFooters(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit("\nall rights reserved footer"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("\nsubscribe to the newsletter"))
+          .otherwise(lit(""))).as("text"))
+
+  protected val docsWithFootersSql =
+    """(SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                   THEN chr(10) || 'all rights reserved footer' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                   THEN chr(10) || 'subscribe to the newsletter' ELSE '' END AS text
+       FROM documents)"""
+
+  /** C4/CCNet-style cross-document line boilerplate audit
+    * ([[operators.TextCorpus.boilerplateStats]]): per-doc distinct-line
+    * and boilerplate-line counts at document frequency ≥ 2. */
+  protected def lineBoilerplate(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.boilerplateStats(docsWithFooters(s, dir), minDocs = 2L)
+      .orderBy("doc_id")
+
+  /** The removal twin ([[operators.TextCorpus.stripBoilerplate]]): the
+    * rewritten corpus with df ≥ 2 lines stripped, order preserved. */
+  protected def lineStrip(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.stripBoilerplate(docsWithFooters(s, dir), minDocs = 2L)
+      .orderBy("doc_id")
+
+  /** k-anonymity audit ([[operators.Pii.kAnonymityClasses]]) over the
+    * customer release with (nation, market segment) as quasi-identifiers
+    * at k = 12: equivalence-class sizes + the suppression verdict. */
+  protected def kAnonymityQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pii.kAnonymityClasses(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 12L)
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** Price-bracket containment lookup
+    * ([[operators.RangeJoin.bucketedRangeJoin]]): overlapping `[lo, hi)`
+    * brackets against lineitem prices — the point-in-interval theta join
+    * (naively a nested loop) re-expressed as a broadcast equi-join on
+    * width-500 buckets plus the exact residual. */
+  protected def rangeBracketJoin(s: SparkSession, dir: String): DataFrame = {
+    val brackets = s.range(10).select(
+      col("id").as("bracket_id"),
+      (col("id") * 900).cast("double").as("lo"),
+      (col("id") * 900 + 1000).cast("double").as("hi"))
+    graft.operators.RangeJoin.bucketedRangeJoin(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        brackets, "l_extendedprice", "lo", "hi", bucketWidth = 500L)
+      .groupBy("bracket_id")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("price_sum"))
+      .orderBy("bracket_id")
+  }
+
+  /** Salted skew join ([[operators.SkewJoin.saltedJoin]], 8 salts) of
+    * lineitem against orders — semantics are EXACTLY the plain join
+    * (the oracle), the salt only re-shapes the shuffle. */
+  protected def saltedJoinQuery(s: SparkSession, dir: String): DataFrame =
+    SkewJoin.saltedJoin(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority"),
+        factKey = "l_orderkey", otherKey = "o_orderkey",
+        salts = 8, factUniqueCol = "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Hot-key hybrid join ([[operators.SkewJoin.hotKeyHybridJoin]]):
+    * lineitem keys with ≥4 rows take the broadcast path, the rest the
+    * ordinary shuffle join — semantics are EXACTLY the plain join (the
+    * oracle); the split only re-routes the heavy keys around the hash
+    * exchange. */
+  protected def hybridJoinQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewJoin.hotKeyHybridJoin(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority"),
+        factKey = "l_orderkey", otherKey = "o_orderkey",
+        hotThreshold = 4L)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Deterministic sharded shuffle (TextCorpus.shardedShuffle). */
+  protected def corpusShuffle(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.shardedShuffle(t(s, dir, "documents"), shards = 8, salt = "epoch-0")
+      .orderBy("doc_id")
+
+  /** Split-leakage audit: near-dup pairs that CROSS a train/val/test
+    * boundary — the check a pipeline must run after splitting, since a
+    * near-duplicate of a training document inside the eval split
+    * invalidates the eval. Pure composition of two oracled operators
+    * (Dedup.nearDupPairs × Sampling.deterministicSplit). */
+  protected def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Dedup.nearDupPairs(docsWithDups(s, dir), "text", "doc_id", threshold = 0.5,
+        k = 32, bands = 8, shingleSize = 5)
+      .select(col("id_a"), col("id_b"),
+        Sampling.deterministicSplit(col("id_a"), "v1", trainPct = 80, valPct = 10).as("split_a"),
+        Sampling.deterministicSplit(col("id_b"), "v1", trainPct = 80, valPct = 10).as("split_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Leakage-safe cluster split (Sampling.clusterSplit): near-dup groups
+    * decide the split key, so no near-dup pair straddles a boundary —
+    * the prevention counterpart of split_leakage's audit.
+    *
+    * The groups frame comes from [[sharedNearDupGroups]] — computed once
+    * per (session, corpus) and reused, exactly as a real pipeline reuses
+    * the dedup pass's output instead of re-clustering per consumer. The
+    * `near_dup_groups` gate measures the group computation itself; this
+    * gate measures the split operator (one left join + a salted-md5
+    * projection, `Sampling.clusterSplit`). */
+  protected def clusterSplitQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.clusterSplit(docsWithDups(s, dir), sharedNearDupGroups(s, dir),
+        salt = "v1", trainPct = 80, valPct = 10)
+      .orderBy("doc_id")
+  }
+
+  /** Content-defined chunking (TextCorpus.cdcChunks): md5-gram cut
+    * points at the default 8-gram / 64-char-average geometry. */
+  protected def cdcChunksQuery(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.cdcChunks(t(s, dir, "documents"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Per-source corpus datacard (TextCorpus.corpusReport) over the
+    * documents table with 100 planted cross-source copies, so the
+    * dup-membership column is exercised. */
+  protected def corpusReportQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+    val corpus = d.unionByName(
+      d.filter(col("doc_id") < 100).select(
+        (col("doc_id") + 10000).as("doc_id"), col("text"), col("lang"), col("source")))
+    TextCorpus.corpusReport(corpus).orderBy("source")
+  }
+
+  /** End-to-end corpus quality filter (TextCorpus.qualityFlags):
+    * language + quality-score + repetition verdict per doc. */
+  protected def qualityFilter(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.qualityFlags(t(s, dir, "documents")).orderBy("doc_id")
+
+  /** Exact-substring span dedup (TextCorpus.dedupSpans) over the corpus
+    * with constructed duplicates: exact copies lose their whole text to
+    * the owner, truncated near-dups lose exactly the shared word spans. */
+  protected def spanDedup(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.dedupSpans(docsWithDups(s, dir), n = 8, minDocs = 2).orderBy("doc_id")
+
+  /** Documents with synthetic PII planted deterministically from doc_id
+    * (the base corpus is digit-free word soup, so every detector match
+    * is a planted one): an email on doc_id%7, an IPv4 on %5, an
+    * international phone on %11, a 12-digit id on %13. SQL-expressible
+    * so the oracle builds the identical corpus. */
+  protected def piiDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(""),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 200).cast("string"),
+            lit(".0."), (col("doc_id") % 250).cast("string")))
+          .otherwise(""),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +491"),
+            lpad((col("doc_id") * 37 % 1000000).cast("string"), 6, "0")))
+          .otherwise(""),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" id "),
+            lpad((col("doc_id") * 13 % 100000).cast("string"), 12, "0")))
+          .otherwise("")).as("text"))
+
+  protected val piiDocsSql =
+    """(SELECT doc_id,
+          text
+          || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+          || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+          || CASE WHEN doc_id % 11 = 0 THEN ' call +491' || lpad(CAST(doc_id * 37 % 1000000 AS VARCHAR), 6, '0') ELSE '' END
+          || CASE WHEN doc_id % 13 = 0 THEN ' id ' || lpad(CAST(doc_id * 13 % 100000 AS VARCHAR), 12, '0') ELSE '' END
+          AS text
+        FROM documents)"""
+
+  /** PII scrub (Pii.piiStats) over the planted corpus: per-doc counts of
+    * each PII class plus the digest of the fully-redacted text. */
+  protected def piiScrub(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pii.piiStats(piiDocs(s, dir))
+      .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
+        col("n_idnums"), md5(col("redacted")).as("redacted_digest"))
+      .orderBy("doc_id")
+
+  /** A SQL-expressible "daily increment" for incremental dedup: exact
+    * copies of old docs, truncated near-copies, genuinely novel docs
+    * (reversed text — a shingle-level bijection away from anything in
+    * the corpus), and re-copies that also duplicate the batch itself. */
+  protected def incrementalBatch(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    d.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 50000).as("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+        .select((col("doc_id") + 60000).as("doc_id"),
+          col("text").substr(lit(11), lit(100000)).as("text")))
+      .unionAll(d.filter(col("doc_id") >= 200 && col("doc_id") < 210)
+        .select((col("doc_id") + 70000).as("doc_id"), reverse(col("text")).as("text")))
+      .unionAll(d.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 80000).as("doc_id"), col("text")))
+  }
+
+  /** Incremental near-dup dedup (Dedup.incrementalNearDupPairs): a new
+    * batch probes the standing corpus' LSH index — corpus never
+    * recomputed or shuffled. Oracled like minhash_near_dups: output =
+    * exact-Jaccard pairs at measured recall 1.0, restricted to pairs
+    * whose larger id is in the batch. */
+  protected def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val (buckets, shingles) =
+      Dedup.nearDupIndex(t(s, dir, "documents"), "text", "doc_id",
+        k = 32, bands = 8, shingleSize = 5)
+    Dedup.incrementalNearDupPairs(incrementalBatch(s, dir), buckets, shingles,
+        "text", "doc_id", threshold = 0.5, k = 32, bands = 8, shingleSize = 5)
+      .orderBy("new_id", "match_id")
+  }
+
+  /** Vocabulary fit + transform (TextCorpus.buildVocab/encodeDocs):
+    * top-20 word vocab, documents encoded as id sequences (OOV → -1). */
+  protected def vocabEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextCorpus.encodeDocs(docs, TextCorpus.buildVocab(docs, vocabSize = 20))
+      .orderBy("doc_id")
+  }
+
+  /** Symmetric int8 embedding quantization with per-vector integer
+    * code sums and micro-unit reconstruction error
+    * (Similarity.quantizeInt8Stats). */
+  protected def quantizeEmbeddings(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8Stats(t(s, dir, "embeddings")).orderBy("vec_id")
+
+  /** Token-budget mixture plan (Sampling.mixturePlan): per-source quota
+    * + keep rate for a 100k-token budget, with weights derived from the
+    * source's numeric suffix so the oracle can rebuild the same weights
+    * table inline. */
+  protected def mixturePlanQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = t(s, dir, "documents")
+    val weights = docs.select(col("source")).distinct()
+      .select(col("source"),
+        (substring(col("source"), 4, 10).cast("int") % 4 + 1).as("weight"))
+    Sampling.mixturePlan(docs, weights, budgetTokens = 100000L).orderBy("source")
+  }
+
+  /** Near-dup GROUPS: LSH pairs → connected components
+    * (Dedup.nearDupGroups). Oracled because pair recall on this corpus is
+    * 1.0 (see minhash_near_dups), so components over the pipeline's pairs
+    * equal components over brute-force exact-Jaccard pairs, which DuckDB
+    * computes via a recursive CTE. */
+  protected def nearDupGroupsQuery(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupGroups(docsWithDups(s, dir), "text", "doc_id", threshold = 0.5,
+      k = 32, bands = 8, shingleSize = 5)
+      .orderBy("doc_id")
+
+  /** MinHash+LSH near-dup pipeline (Dedup.nearDupPairs) over the corpus
+    * with constructed near-dups. Oracled with brute-force exact Jaccard:
+    * the pipeline's exact-verify stage makes its output a SUBSET of the
+    * exact pairs, and measured recall on this corpus is 1.0 (asserted in
+    * OperatorsSpec, recorded in SCALING.md), so output = exact pairs —
+    * deterministically, since MinHash is deterministic. */
+  protected def minhashNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairs(docsWithDups(s, dir), "text", "doc_id", threshold = 0.5,
+        maxBucketSize = 10000)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash exact-collision dedup: pairs whose 64-bit SimHash codes are
+    * identical, verified by text equality (hash-blocked exact dedup — the
+    * dist=0 probe of the near-dup scheme). Oracle-checkable: identical
+    * text always collides, and the equality verify removes hash-only
+    * collisions, so output = identical-text pairs. The dist 1..3 near-dup
+    * path (Dedup.simHashNearDups) is engine-hash-dependent and is covered
+    * by OperatorsSpec's measured-recall gate instead. */
+  protected def simhashExactDups(s: SparkSession, dir: String): DataFrame = {
+    val codes = docsWithDups(s, dir)
+      .select(col("doc_id").as("id"), col("text"), Dedup.simHash(col("text")).as("code"))
+    val l = codes.as("l"); val r = codes.as("r")
+    l.join(r, col("l.code") === col("r.code") && col("l.id") < col("r.id"))
+      .filter(col("l.text") === col("r.text"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard pairs on a small block (brute-force
+    * verification path of the near-dup pipeline) — oracle-checkable.
+    * Each side is shingle-hashed ONCE before the pair join; the per-pair
+    * work is an intersect of long arrays (the DuckDB oracle intersects
+    * the string shingle sets — numerically identical). */
+  protected def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithDups(s, dir).filter(col("doc_id") % 10000 < 40)
+      .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
+    val l = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val r = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, col("id_a") < col("id_b"))
+      .withColumn("jaccard", Dedup.jaccardFromHashSets(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact set-similarity self-join via rare-first prefix filtering
+    * ([[Dedup.prefixFilterPairs]], threshold 7/10) over the FULL dup
+    * fixture — no mod-sample, no blocking key: the prefix filter is the
+    * scale device. The oracle is the brute-force all-pairs Jaccard it
+    * provably equals. */
+  protected def prefixJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    // 5-gram shingles, not 3 (trigrams bucket-joined half the corpus:
+    // 121 s at sf0.1). HONEST COST at sf0.1: even 5-grams leave this
+    // fixture degenerate for prefix filtering — the synthetic text draws
+    // from a vocabulary of only ~2,041 distinct 5-gram shingles (measured;
+    // median df 300 of 5,140 docs, max prefix bucket 304), so "rare"
+    // prefix tokens barely prune: Σ C(prefix-df, 2) ≈ 42M candidate
+    // occurrences / ~13M distinct pairs, the algorithm's inherent
+    // output-bound cost on THIS corpus (round 6 measured 47 s; the old
+    // "1.6 s" note was a sub-sf measurement — wrong, removed). The round-8
+    // mitigation attacks the verify constant: jaccardFromHashSets now
+    // intersects by native sorted merge instead of per-row hash sets —
+    // measured 8.5-10.6 s at sf0.1 across runs (10.0 in the round-8
+    // local bench; 47 s in r6). On
+    // a real corpus the shingle universe is power-law and rare-first
+    // prefixes keep buckets tiny — the 100 TB story is unchanged.
+    Dedup.prefixFilterPairs(docsWithDups(s, dir), "text", "doc_id",
+        tNum = 7, tDen = 10, shingleSize = 5)
+      .orderBy("id_a", "id_b")
+
+  /** Directional containment pairs ([[Dedup.containmentPairs]], C(a→b) =
+    * |Sₐ∩S_b|/|Sₐ| ≥ 0.9): the subset-duplication detector symmetric
+    * Jaccard cannot express — the fixture's substring-dup docs (+20000,
+    * a 100-char excerpt of their source) surface HERE with containment
+    * ≈ 1 while sitting far below any Jaccard threshold against the full
+    * document. The probe side is the planted-dup slice (every +10000/
+    * +20000 doc and its base) scored against the WHOLE corpus index —
+    * the incremental production shape; an unrestricted probe is the
+    * same plan with a bigger prefix table. HONEST COST at sf0.1: ~6 s
+    * restricted / 12.7 s unrestricted — this fixture's ~2k-shingle
+    * vocabulary (median df 300) makes every posting list fat, the
+    * prefix_jaccard_pairs economics; a power-law corpus prunes far
+    * harder.
+    * Oracle = brute-force ordered pairs over the same probe slice; the
+    * probe-prefix ⋈ inverted-index plan is provably lossless so the two
+    * agree exactly. */
+  protected def containmentPairsQuery(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docsWithDups(s, dir), "text", "doc_id",
+        tNum = 9, tDen = 10, shingleSize = 5,
+        probeFilter = col("doc_id") % 10000 < 100 || col("doc_id") >= 20000)
+      .orderBy("id_a", "id_b")
+
+  /** Brute-force dot-product top-k neighbors (Similarity.bruteForceTopK
+    * with dot metric) — the ANN baseline, oracle-checkable. */
+  protected def knnDotTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 10), k = 10,
+        metric = Similarity.dot)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Quantized ANN serving path (Similarity.quantizedCosineTopK):
+    * cosine ranking over int8 codes — scale cancels; the products are
+    * exact doubles (|q| ≤ 127), so both engines rank identically. */
+  protected def quantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.quantizedCosineTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
+      .select("query_id", "neighbor_id", "score", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Quantization recall audit ([[graft.operators.Retrieval
+    * .rankingOverlap]]): per query, how much of the exact dot-product
+    * top-10 the int8-cosine path keeps — the ship/no-ship eval for the
+    * 4×-cheaper serving path, exact integers (recall@10 =
+    * n_common/10 downstream). */
+  protected def annRecallOverlap(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    graft.operators.Retrieval.rankingOverlap(
+        Similarity.bruteForceTopK(emb, queries, k = 10, metric = Similarity.dot),
+        Similarity.quantizedCosineTopK(emb, queries, k = 10), k = 10)
+      .orderBy("query_id")
+  }
+
+  /** PQ recall audit ([[graft.operators.Retrieval.rankingOverlap]]):
+    * per query, how much of the EXACT squared-L2 top-10 the ADC
+    * (asymmetric-distance, compressed-codes) path keeps — the recall
+    * cost of 8-byte codes vs 256-byte floats, measured on the same
+    * seeded codebook the pq_topk gate pins. Completes the recall-eval
+    * ladder: every ANN rung (LSH, IVF, int8, PQ) now carries a
+    * measured-recall gate. */
+  protected def pqRecallOverlap(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val model = Similarity.pqCodebook(emb, m = 8, k = 8)
+    graft.operators.Retrieval.rankingOverlap(
+        Similarity.bruteForceTopK(emb, queries, k = 10,
+          metric = (a, b) => -Similarity.l2DistanceSq(a, b)),
+        Similarity.pqTopK(emb, queries, model, k = 10), k = 10)
+      .orderBy("query_id")
+  }
+
+  /** Sign-LSH recall audit: exact cosine top-5 vs the bucketed probe at
+    * bits=4 (the ann_lsh_topk configuration) — the recall price of
+    * touching only same-bucket pairs, per query. */
+  protected def lshRecallOverlap(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    graft.operators.Retrieval.rankingOverlap(
+        Similarity.bruteForceTopK(emb, queries, k = 5,
+          metric = Similarity.cosine),
+        Similarity.lshTopK(emb, queries, k = 5, bits = 4), k = 5)
+      .orderBy("query_id")
+  }
+
+  /** Generic one-scan table profile ([[graft.operators.Stats.profile]])
+    * over lineitem's integer/string columns — the ingest-sanity data
+    * card. Floats excluded: min/max render via engine-specific float
+    * formatting; integer and string renderings are identical. */
+  protected def tableProfile(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    Stats.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"))
+      .orderBy("column")
+  }
+
+  /** EXACT corpus-wide event-time quantiles WITHOUT a global sort
+    * ([[operators.Stats.exactQuantilesBisect]]): distributed selection
+    * by histogram bisection — a few bounded aggregation scans instead of
+    * the corpus-wide orderBy every naive exact-quantile query plans. */
+  protected def globalQuantilesTs(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsNs(s, dir)
+      .select(graft.streaming.EventTimeOps.floorDivMicros(col("ts")).as("ts_us"))
+    graft.operators.Stats.exactQuantilesBisect(ev, "ts_us", Seq(0.5, 0.9, 0.99))
+      .orderBy("p_ppm")
+  }
+
+  /** Per-source document-length quantiles by exact sort rank
+    * (Stats.groupedQuantiles) — min/median/p95/max of n_chars. */
+  protected def lengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Stats
+    Stats.groupedQuantiles(t(s, dir, "documents"), "source", "n_chars",
+        ps = Seq(0.0, 0.5, 0.95, 1.0))
+      .orderBy("source", "p")
+  }
+
+  /** Embedding L2 norms (Similarity.l2Norm) — oracle-checkable. */
+  protected def embeddingNorms(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(
+        col("vec_id"), col("label").cast("long").as("label"),
+        Similarity.l2Norm(col("embedding")).as("l2_norm"))
+      .orderBy("vec_id")
+
+  /** LSH-bucketed cosine ANN (Similarity.lshTopK) — the 100 TB scale
+    * path. Oracle-checkable: the sign-LSH bucket code is deterministic
+    * (signs of the first 4 dims) and cosine is exact left-to-right double
+    * math on both sides. */
+  protected def annLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50), k = 5, bits = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-dup pairs, sign-LSH bucketed
+    * (Similarity.cosineNearDupPairs) — oracle-checkable: the bucket code
+    * is deterministic (signs of the first 8 dims) and cosine is exact
+    * left-to-right double math on both sides. */
+  protected def cosineNearDups(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)
+      .orderBy("id_a", "id_b")
+
+  /** IVF ANN assignment + probe (Similarity.ivfTopK) with the FIXED
+    * untrained quantizer (iterations = 0 ⇒ centroids are exactly the 8
+    * lowest-id embeddings — deterministic and SQL-replicable), so the
+    * whole inverted-file path — nearest-centroid assignment, nprobe
+    * probing, per-partition scoring, top-k — is oracle-checked. The
+    * TRAINED quantizer (Lloyd iterations) keeps its measured-recall spec
+    * in OperatorsSpec instead: an iterative learned model has no
+    * closed-form SQL twin. */
+  protected def ivfTopKQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = Similarity.trainIvf(emb, k = 8, iterations = 0)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 50), model, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF recall audit ([[graft.operators.Retrieval.rankingOverlap]]):
+    * per query, how much of the exact cosine top-5 the nprobe=2
+    * inverted-file probe keeps — the recall-vs-cost dial every IVF
+    * deployment tunes (more probes = more recall = more scanning),
+    * measured on the same fixed quantizer the ivf_topk gate pins. */
+  protected def ivfRecallOverlap(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val model = Similarity.trainIvf(emb, k = 8, iterations = 0)
+    graft.operators.Retrieval.rankingOverlap(
+        Similarity.bruteForceTopK(emb, queries, k = 5,
+          metric = Similarity.cosine),
+        Similarity.ivfTopK(emb, queries, model, k = 5, nprobe = 2), k = 5)
+      .orderBy("query_id")
+  }
+
+  /** Product-quantization ADC top-k ([[graft.operators.Similarity
+    * .pqCodebook]]/[[graft.operators.Similarity.pqTopK]]) with the
+    * SEEDED codebook (centroid (j,t) = subspace j of the t-th lowest-id
+    * vector — deterministic, so encode + lookup-table scoring is fully
+    * SQL-replicable; the ivf_topk iterations=0 idiom). m=8 subspaces ×
+    * k=8 centroids over the 64-dim embeddings. */
+  protected def pqTopKQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = Similarity.pqCodebook(emb, m = 8, k = 8)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), model, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Two-stage PQ retrieval ([[graft.operators.Similarity
+    * .pqRerankTopK]]): ADC shortlist of 50, exact squared-L2 re-rank to
+    * 10 — the standard compressed-index serving pattern. */
+  protected def pqRerankQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = Similarity.pqCodebook(emb, m = 8, k = 8)
+    Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") < 10), model,
+        k = 10, shortlist = 50)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Nearest-class-mean classify (Similarity.classMeans +
+    * nearestClassMean): fit label prototypes on the embeddings table,
+    * classify the same table — the model-based filtering pattern. */
+  protected def ncmClassifyQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.nearestClassMean(emb, Similarity.classMeans(emb)).orderBy("vec_id")
+  }
+
+  /** SemDeDup semantic dedup (Similarity.semanticDedup) with the FIXED
+    * untrained quantizer (iterations = 0 ⇒ SQL-replicable centroids),
+    * at the same 0.35 threshold as cosine_near_dups. */
+  protected def semanticDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = Similarity.trainIvf(emb, k = 8, iterations = 0)
+    Similarity.semanticDedup(emb, model, threshold = 0.35).orderBy("vec_id")
+  }
+
+  /** Multimodal plumbing: synthetic binary payloads → batched feature
+    * extraction via mapPartitions (decode step stubbed deterministically;
+    * see Multimodal.FakeCodec). Rows-only check. */
+  protected def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val items = Multimodal.syntheticMedia(s, 200)
+    Multimodal.extractFeatures(items, dim = 16).toDF()
+      .select(
+        col("mediaId"), col("kind"), col("featureDim"), col("ok"),
+        md5(concat_ws(",", col("features"))).as("feature_digest"))
+      .orderBy("mediaId")
+  }
+
+  protected def pipelineGateQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_groups" -> dedupExactGroups _,
+    "dedup_exact_survivors" -> dedupExactSurvivors _,
+    "text_token_counts" -> textTokenCounts _,
+    "text_bpe_tokens" -> textBpeTokens _,
+    "text_quality_ratios" -> textQualityRatios _,
+    "lang_id" -> langId _,
+    "doc_fingerprints" -> docFingerprints _,
+    "text_normalize" -> textNormalize _,
+    "compression_signal" -> compressionSignal _,
+    "repetition_stats" -> repetitionStats _,
+    "top_ngrams" -> topNgramsQuery _,
+    "source_overlap" -> sourceOverlapQuery _,
+    "distinctive_terms" -> distinctiveTermsQuery _,
+    "doc_keywords" -> docKeywordsQuery _,
+    "bm25_topk" -> bm25TopK _,
+    "hybrid_rrf_topk" -> hybridRrfTopK _,
+    "lm_bigram_score" -> lmBigramScore _,
+    "corpus_diff" -> corpusDiffQuery _,
+    "purchase_pagerank" -> purchasePagerank _,
+    "label_communities" -> labelCommunities _,
+    "hashed_tf" -> hashedTf _,
+    "salted_join" -> saltedJoinQuery _,
+    "range_bracket_join" -> rangeBracketJoin _,
+    "para_dedup" -> paraDedup _,
+    "chunk_windows" -> chunkWindowsQuery _,
+    "corpus_shuffle" -> corpusShuffle _,
+    "quality_filter" -> qualityFilter _,
+    "pii_scrub" -> piiScrub _,
+    "span_dedup" -> spanDedup _,
+    "mixture_plan" -> mixturePlanQuery _,
+    "vocab_encode" -> vocabEncode _,
+    "quantize_embeddings" -> quantizeEmbeddings _,
+    "incremental_dedup" -> incrementalDedup _,
+    "minhash_near_dups" -> minhashNearDups _,
+    "near_dup_groups" -> nearDupGroupsQuery _,
+    "split_leakage" -> splitLeakage _,
+    "cluster_split" -> clusterSplitQuery _,
+    "corpus_report" -> corpusReportQuery _,
+    "cdc_chunks" -> cdcChunksQuery _,
+    "simhash_exact_dups" -> simhashExactDups _,
+    "ngram_jaccard_pairs" -> ngramJaccardPairs _,
+    "prefix_jaccard_pairs" -> prefixJaccardPairs _,
+    "containment_pairs" -> containmentPairsQuery _,
+    "knn_dot_topk" -> knnDotTopK _,
+    "quantized_topk" -> quantizedTopK _,
+    "ann_recall_overlap" -> annRecallOverlap _,
+    "ivf_recall_overlap" -> ivfRecallOverlap _,
+    "pq_recall_overlap" -> pqRecallOverlap _,
+    "lsh_recall_overlap" -> lshRecallOverlap _,
+    "length_quantiles" -> lengthQuantiles _,
+    "global_quantiles_ts" -> globalQuantilesTs _,
+    "table_profile" -> tableProfile _,
+    "embedding_norms" -> embeddingNorms _,
+    "ann_lsh_topk" -> annLshTopK _,
+    "ivf_topk" -> ivfTopKQuery _,
+    "pq_topk" -> pqTopKQuery _,
+    "pq_rerank_topk" -> pqRerankQuery _,
+    "semantic_dedup" -> semanticDedupQuery _,
+    "ncm_classify" -> ncmClassifyQuery _,
+    "cosine_near_dups" -> cosineNearDups _,
+    "multimodal_features" -> multimodalFeatures _,
+    "personalized_pagerank" -> personalizedPagerank _,
+    "quality_lr_logit" -> qualityLrLogit _,
+    "line_boilerplate" -> lineBoilerplate _,
+    "line_strip" -> lineStrip _,
+    "k_anonymity" -> kAnonymityQuery _,
+    "hybrid_join" -> hybridJoinQuery _,
+  )
+
+  protected def pipelineGateOracles: Map[String, String] = Map(
+    "dedup_exact_groups" ->
+      s"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+          FROM $docsWithDupsSql GROUP BY 1 ORDER BY content_hash""",
+    "dedup_exact_survivors" ->
+      s"""SELECT doc_id FROM $docsWithDupsSql
+          WHERE doc_id IN (SELECT min(doc_id) FROM $docsWithDupsSql GROUP BY md5(text))
+          ORDER BY doc_id""",
+    "text_token_counts" ->
+      """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "text_bpe_tokens" ->
+      // CAST AS BIGINT: DuckDB's list_sum yields HUGEINT, which pandas
+      // renders as float64 ("6.0") — the driver's hash compare then
+      // diverges from Spark's int64 even though values are equal (the
+      // round-1 red row). BIGINT makes both sides int64.
+      """SELECT doc_id,
+                CAST(list_sum(list_transform(
+                  regexp_extract_all(trim(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+                  p -> 1 + CASE WHEN regexp_matches(p, '^[A-Za-z]+$')
+                                THEN (length(p) - 1) // 6 ELSE 0 END)) AS BIGINT) AS n_bpe
+         FROM documents ORDER BY doc_id""",
+    "text_quality_ratios" ->
+      """SELECT doc_id,
+                length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)::DOUBLE AS alpha_ratio,
+                length(regexp_replace(text, '[^.!?]', '', 'g'))::DOUBLE / length(text)::DOUBLE AS punct_ratio,
+                len(list_filter(string_split_regex(trim(text), '\s+'),
+                    t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                               'that','for','on','with','as','was','at','by','be','this')))::DOUBLE
+                  / len(string_split_regex(trim(text), '\s+'))::DOUBLE AS stopword_ratio,
+                list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t)))::DOUBLE
+                  / len(string_split_regex(trim(text), '\s+'))::DOUBLE AS mean_token_len
+         FROM documents ORDER BY doc_id""",
+    "lang_id" ->
+      """SELECT doc_id, lang, CASE
+           WHEN greatest(e, d, f, sp) = 0 THEN 'unknown'
+           WHEN sp > greatest(e, d, f) THEN 'es'
+           WHEN f > greatest(e, d) THEN 'fr'
+           WHEN d > e THEN 'de'
+           ELSE 'en' END AS lang_id
+         FROM (SELECT doc_id, lang,
+                 len(list_filter(ts, t -> t IN ('the','and','of','to','in','is','that','it','for','was'))) AS e,
+                 len(list_filter(ts, t -> t IN ('der','die','das','und','ist','nicht','mit','ein','zu','von'))) AS d,
+                 len(list_filter(ts, t -> t IN ('le','la','les','et','est','pas','pour','que','une','dans'))) AS f,
+                 len(list_filter(ts, t -> t IN ('el','la','los','y','es','no','por','que','una','para'))) AS sp
+               FROM (SELECT doc_id, lang,
+                       string_split_regex(trim(lower(text)), '\s+') AS ts
+                     FROM documents))
+         ORDER BY doc_id""",
+    "doc_fingerprints" ->
+      """SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(
+                    string_split_regex(trim(text), '\s+'))), ' ')) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+    "text_normalize" ->
+      """SELECT doc_id,
+                md5(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS norm_digest,
+                CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_words
+         FROM documents ORDER BY doc_id""",
+    "repetition_stats" ->
+      """WITH w AS (SELECT doc_id,
+                      unnest(string_split_regex(trim(text), '\s+')) AS word
+                    FROM documents),
+              c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2)
+         SELECT doc_id,
+                CAST(sum(cnt) AS BIGINT) AS total_words,
+                CAST(count(*) AS BIGINT) AS distinct_words,
+                CAST(max(cnt) AS BIGINT) AS top_word_count
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "top_ngrams" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+              g AS (SELECT unnest(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i + 1])) AS gram
+                    FROM t WHERE len(ws) >= 2)
+         SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+         FROM g GROUP BY gram
+         ORDER BY n_occurrences DESC, gram LIMIT 20""",
+    "source_overlap" ->
+      """WITH corpus AS (SELECT text, source FROM documents
+                         UNION ALL
+                         SELECT text, 'mirror' FROM documents WHERE doc_id < 100),
+              h AS (SELECT DISTINCT md5(text) AS digest, source FROM corpus)
+         SELECT a.source AS source_a, b.source AS source_b,
+                CAST(count(*) AS BIGINT) AS shared_texts
+         FROM h a JOIN h b ON a.digest = b.digest AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "para_dedup" ->
+      // keep-first-occurrence over the split array: DuckDB list lambdas
+      // are 1-based (ps[1:i-1] = the elements BEFORE i), Spark's filter
+      // index is 0-based (slice(ps, 1, i) likewise); list_position and
+      // array_position both return 0 for "absent"
+      """WITH d AS (SELECT doc_id,
+                      CASE WHEN doc_id % 3 = 0
+                        THEN substr(text, 1, 60) || '@@' || substr(text, 31, 60)
+                             || '@@' || substr(text, 1, 60) || '@@' || substr(text, 1, 60)
+                        ELSE substr(text, 1, 60) || '@@' || substr(text, 31, 60) END AS text
+                    FROM documents),
+              s AS (SELECT doc_id, string_split(text, '@@') AS ps FROM d)
+         SELECT doc_id,
+                array_to_string(list_filter(ps, (x, i) -> list_position(ps[1:i-1], x) = 0), '@@') AS kept_text,
+                CAST(len(ps) - len(list_filter(ps, (x, i) -> list_position(ps[1:i-1], x) = 0)) AS BIGINT) AS removed_paras
+         FROM s ORDER BY doc_id""",
+    "chunk_windows" ->
+      // chunk count is pure non-negative integer arithmetic (DuckDB //
+      // floors, Spark div truncates — identical for non-negatives);
+      // list slicing ws[a:b] is 1-based inclusive and clamps at len,
+      // matching Spark's slice(ws, a, w)
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents),
+              c AS (SELECT doc_id, ws,
+                      CASE WHEN len(ws) <= 32 THEN 1
+                           ELSE (len(ws) - 32 + 16 - 1) // 16 + 1 END AS nc
+                    FROM t),
+              e AS (SELECT doc_id, ws, unnest(range(nc)) AS chunk_idx FROM c)
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                array_to_string(ws[chunk_idx*16+1 : chunk_idx*16+32], ' ') AS chunk_text,
+                CAST(len(ws[chunk_idx*16+1 : chunk_idx*16+32]) AS BIGINT) AS n_tokens
+         FROM e ORDER BY doc_id, chunk_idx""",
+    "distinctive_terms" ->
+      // integer ordering (cnt DESC, doc_freq ASC, word ASC): no float
+      // score, so the top-k selection is deterministic on both engines
+      """WITH sw AS (SELECT source, doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS word
+                     FROM documents),
+              sc AS (SELECT word, source, count(*) AS cnt,
+                       count(DISTINCT doc_id) AS docs_in_source
+                     FROM sw GROUP BY 1, 2),
+              dfq AS (SELECT word, sum(docs_in_source) AS doc_freq
+                      FROM sc GROUP BY 1),
+              r AS (SELECT source, word, cnt, doc_freq,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY cnt DESC, doc_freq ASC, word ASC) AS rank
+                    FROM sc JOIN dfq USING (word))
+         SELECT source, word, CAST(cnt AS BIGINT) AS cnt,
+                CAST(doc_freq AS BIGINT) AS doc_freq, CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 10 ORDER BY source, rank""",
+    "doc_keywords" ->
+      // same integer TF-IDF ordering as distinctive_terms, per doc
+      """WITH w AS (SELECT doc_id,
+                      unnest(string_split_regex(trim(text), '\s+')) AS token
+                    FROM documents),
+              tf AS (SELECT doc_id, token, count(*) AS tf FROM w GROUP BY 1, 2),
+              dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+              r AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                      row_number() OVER (PARTITION BY tf.doc_id
+                        ORDER BY tf.tf DESC, dfq.df ASC, tf.token ASC) AS rank
+                    FROM tf JOIN dfq USING (token))
+         SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+                CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+         FROM r WHERE rank <= 3 AND doc_id < 200 ORDER BY doc_id, rank""",
+    "bm25_topk" ->
+      // fixed-point BM25 (k1=6/5, b=3/4 folded into integer rationals);
+      // // == Spark's div on the all-non-negative operands, so scores
+      // hash-match bit-exactly — see Lexical.bm25TopK
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents),
+              stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(len(ws)) AS BIGINT) AS total_len
+                        FROM d),
+              q AS (SELECT doc_id AS query_id, unnest(list_distinct(ws[1:6])) AS word
+                    FROM d WHERE doc_id IN (7, 123, 456)),
+              post AS (SELECT doc_id, len, word, CAST(count(*) AS BIGINT) AS tf
+                       FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len,
+                               unnest(ws) AS word FROM d)
+                       GROUP BY doc_id, len, word),
+              m AS (SELECT p.* FROM post p
+                    WHERE word IN (SELECT DISTINCT word FROM q)),
+              dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+                      FROM m GROUP BY word),
+              sc AS (SELECT q.query_id, m.doc_id,
+                       CAST(sum(
+                         ((1000000 * 44 * m.tf * s.total_len)
+                            // (20 * m.tf * s.total_len + 6 * s.total_len
+                               + 18 * m.len * s.n_docs))
+                         * ((1000000 * (2 * s.n_docs - 2 * f.df + 1))
+                            // (2 * f.df + 1))
+                         // 1000000) AS BIGINT) AS score_fp
+                     FROM m JOIN dfq f USING (word) JOIN q USING (word), stats s
+                     GROUP BY q.query_id, m.doc_id),
+              r AS (SELECT query_id, doc_id, score_fp,
+                      CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rank
+                    FROM sc)
+         SELECT query_id, rank, doc_id, score_fp
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "hybrid_rrf_topk" ->
+      // RRF fusion of the two retriever oracles above (bm25_topk /
+      // knn_dot_topk CTEs verbatim, query ids aligned); fusion is exact
+      // integer arithmetic: floor(1e12/(60+rank)) summed as BIGINT
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents),
+              stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(len(ws)) AS BIGINT) AS total_len
+                        FROM d),
+              q AS (SELECT doc_id AS query_id, unnest(list_distinct(ws[1:6])) AS word
+                    FROM d WHERE doc_id IN (7, 123, 456)),
+              post AS (SELECT doc_id, len, word, CAST(count(*) AS BIGINT) AS tf
+                       FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len,
+                               unnest(ws) AS word FROM d)
+                       GROUP BY doc_id, len, word),
+              m AS (SELECT p.* FROM post p
+                    WHERE word IN (SELECT DISTINCT word FROM q)),
+              dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+                      FROM m GROUP BY word),
+              sc AS (SELECT q.query_id, m.doc_id,
+                       CAST(sum(
+                         ((1000000 * 44 * m.tf * s.total_len)
+                            // (20 * m.tf * s.total_len + 6 * s.total_len
+                               + 18 * m.len * s.n_docs))
+                         * ((1000000 * (2 * s.n_docs - 2 * f.df + 1))
+                            // (2 * f.df + 1))
+                         // 1000000) AS BIGINT) AS score_fp
+                     FROM m JOIN dfq f USING (word) JOIN q USING (word), stats s
+                     GROUP BY q.query_id, m.doc_id),
+              lex AS (SELECT query_id, doc_id,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rank
+                      FROM sc QUALIFY rank <= 10),
+              vec AS (SELECT query_id, neighbor_id AS doc_id,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+                      FROM (SELECT qv.vec_id AS query_id, c.vec_id AS neighbor_id,
+                              list_sum(list_transform(range(1, len(qv.embedding)+1),
+                                i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) AS score
+                            FROM embeddings qv, embeddings c
+                            WHERE qv.vec_id IN (7, 123, 456) AND c.vec_id <> qv.vec_id)
+                      QUALIFY rank <= 10),
+              u AS (SELECT * FROM lex UNION ALL SELECT * FROM vec),
+              f AS (SELECT query_id, doc_id,
+                      CAST(sum(1000000000000 // (60 + rank)) AS BIGINT) AS rrf_fp
+                    FROM u GROUP BY query_id, doc_id),
+              rr AS (SELECT query_id, doc_id, rrf_fp,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rank
+                     FROM f)
+         SELECT query_id, rank, doc_id, rrf_fp
+         FROM rr WHERE rank <= 10 ORDER BY query_id, rank""",
+    "lm_bigram_score" ->
+      // stupid-backoff bigram LM in fixed point; paired unnests of the
+      // two shifted slices zip positionally into (w1, w2) transitions
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents),
+              uni AS (SELECT word, CAST(count(*) AS BIGINT) AS c1
+                      FROM (SELECT unnest(ws) AS word FROM d) GROUP BY word),
+              tot AS (SELECT CAST(sum(c1) AS BIGINT) AS u_total FROM uni),
+              p AS (SELECT doc_id,
+                      unnest(ws[1:len(ws)-1]) AS w1,
+                      unnest(ws[2:len(ws)]) AS w2
+                    FROM d WHERE len(ws) >= 2),
+              bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+                     FROM p GROUP BY w1, w2),
+              sc AS (SELECT p.doc_id,
+                       CASE WHEN b.c2 IS NOT NULL
+                         THEN (1000000 * b.c2) // u1.c1
+                         ELSE (2 * 1000000 * COALESCE(u2.c1, 0)) // (5 * t.u_total)
+                       END AS p_fp,
+                       CASE WHEN b.c2 IS NOT NULL THEN 1 ELSE 0 END AS hit
+                     FROM p
+                     LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+                     LEFT JOIN uni u1 ON p.w1 = u1.word
+                     LEFT JOIN uni u2 ON p.w2 = u2.word, tot t)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum(hit) AS BIGINT) AS hit_bigrams,
+                CAST(sum(p_fp) AS BIGINT) AS lm_sum_fp,
+                CAST(sum(p_fp) // count(*) AS BIGINT) AS lm_avg_fp
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents),
+              n AS (SELECT doc_id,
+                      CASE WHEN doc_id % 13 = 0 THEN text || ' zz' ELSE text END AS text
+                    FROM o WHERE doc_id % 97 <> 0
+                    UNION ALL
+                    SELECT doc_id + 10000, text FROM o WHERE doc_id < 25),
+              j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                      md5(o.text) AS old_hash, md5(n.text) AS new_hash
+                    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
+              st AS (SELECT doc_id,
+                       CASE WHEN old_hash IS NULL THEN 'added'
+                            WHEN new_hash IS NULL THEN 'removed'
+                            WHEN old_hash <> new_hash THEN 'changed'
+                            ELSE 'unchanged' END AS status,
+                       old_hash, new_hash
+                     FROM j)
+         SELECT doc_id, status, old_hash, new_hash
+         FROM st WHERE status <> 'unchanged' ORDER BY doc_id""",
+    "purchase_pagerank" -> pagerankOracle,
+    "personalized_pagerank" -> pprOracle,
+    "label_communities" -> lpaOracle,
+    "hashed_tf" ->
+      // the same md5 bucket/sign arithmetic as Spark: '0x'||hex → BIGINT
+      // is non-negative, so % matches div-consistent on both engines
+      """WITH w AS (SELECT doc_id,
+                      unnest(string_split_regex(trim(text), '\s+')) AS word
+                    FROM documents),
+              h AS (SELECT doc_id,
+                      ('0x' || substr(md5(word), 1, 8))::BIGINT % 64 AS bucket,
+                      CASE WHEN ('0x' || substr(md5(word), 9, 1))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END AS sign
+                    FROM w)
+         SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS tf_signed
+         FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
+    "range_bracket_join" ->
+      // the whole point: bucketization must not change the answer — the
+      // oracle is the PLAIN theta join
+      """WITH brackets AS (
+           SELECT i AS bracket_id, CAST(i * 900 AS DOUBLE) AS lo,
+                  CAST(i * 900 + 1000 AS DOUBLE) AS hi
+           FROM range(10) t(i))
+         SELECT bracket_id, count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS price_sum
+         FROM lineitem JOIN brackets
+           ON l_extendedprice >= lo AND l_extendedprice < hi
+         GROUP BY bracket_id ORDER BY bracket_id""",
+    "salted_join" ->
+      // the whole point: salting must not change the answer — the
+      // oracle is the PLAIN join
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+                o.o_custkey, o.o_orderpriority
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         ORDER BY l.l_orderkey, l.l_linenumber""",
+    "hybrid_join" ->
+      // same contract as salted_join: the hot/cold split must not
+      // change the answer — the oracle is the PLAIN join
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+                o.o_custkey, o.o_orderpriority
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         ORDER BY l.l_orderkey, l.l_linenumber""",
+    "quality_filter" ->
+      // the lang CASE and ratio pieces are the proven lang_id /
+      // text_quality_ratios oracle fragments; quality = the same
+      // left-associated double expression as TextAnalysis.qualityScore,
+      // and the repetition threshold is integer cross-multiplication
+      """WITH w AS (SELECT doc_id,
+                      unnest(string_split_regex(trim(text), '\s+')) AS word
+                    FROM documents),
+              c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+              rep AS (SELECT doc_id, sum(cnt) AS total_words,
+                             max(cnt) AS top_word_count
+                      FROM c GROUP BY doc_id),
+              base AS (SELECT doc_id, text,
+                         string_split_regex(trim(text), '\s+') AS ts,
+                         string_split_regex(trim(lower(text)), '\s+') AS lts
+                       FROM documents),
+              sc AS (SELECT doc_id,
+                       CASE
+                         WHEN greatest(e, d, f, sp) = 0 THEN 'unknown'
+                         WHEN sp > greatest(e, d, f) THEN 'es'
+                         WHEN f > greatest(e, d) THEN 'fr'
+                         WHEN d > e THEN 'de'
+                         ELSE 'en' END AS lang_id,
+                       alpha * 0.4 + stopw * 0.3
+                         + least(punct * 20.0, 1.0) * 0.1 + lenscore * 0.2 AS quality
+                     FROM (SELECT doc_id,
+                             len(list_filter(lts, t -> t IN ('the','and','of','to','in','is','that','it','for','was'))) AS e,
+                             len(list_filter(lts, t -> t IN ('der','die','das','und','ist','nicht','mit','ein','zu','von'))) AS d,
+                             len(list_filter(lts, t -> t IN ('le','la','les','et','est','pas','pour','que','une','dans'))) AS f,
+                             len(list_filter(lts, t -> t IN ('el','la','los','y','es','no','por','que','una','para'))) AS sp,
+                             CASE WHEN length(text) = 0 THEN 0.0
+                                  ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)::DOUBLE END AS alpha,
+                             CASE WHEN length(text) = 0 THEN 0.0
+                                  ELSE length(regexp_replace(text, '[^.!?]', '', 'g'))::DOUBLE / length(text)::DOUBLE END AS punct,
+                             CASE WHEN len(ts) = 0 THEN 0.0
+                                  ELSE len(list_filter(ts, t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                                         'that','for','on','with','as','was','at','by','be','this')))::DOUBLE
+                                       / len(ts)::DOUBLE END AS stopw,
+                             least(length(text)::DOUBLE / 500.0, 1.0) AS lenscore
+                           FROM base))
+         SELECT sc.doc_id,
+                (CASE WHEN lang_id IN ('en','de','fr','es','zh') THEN 0 ELSE 1 END
+                 + CASE WHEN quality >= 0.25 THEN 0 ELSE 2 END
+                 + CASE WHEN top_word_count * 100 <= total_words * 12 THEN 0 ELSE 4 END) AS flags,
+                (CASE WHEN lang_id IN ('en','de','fr','es','zh') THEN 0 ELSE 1 END
+                 + CASE WHEN quality >= 0.25 THEN 0 ELSE 2 END
+                 + CASE WHEN top_word_count * 100 <= total_words * 12 THEN 0 ELSE 4 END) = 0 AS keep
+         FROM sc JOIN rep ON sc.doc_id = rep.doc_id
+         ORDER BY sc.doc_id""",
+    "compression_signal" ->
+      // zlib has no DuckDB twin: the oracle is the committed golden
+      // (multimodal pattern); CompressSpec re-derives it from the live
+      // zlib each test run
+      """SELECT doc_id, n_bytes, deflate_len
+         FROM read_csv('/root/repo/src/test/resources/compression_golden.csv',
+           header=true,
+           columns={'doc_id':'BIGINT','n_bytes':'BIGINT','deflate_len':'BIGINT'})
+         ORDER BY doc_id""",
+    "pii_scrub" ->
+      // identical regex text on both engines (Java-regex ∩ RE2 subset);
+      // DuckDB needs the explicit 'g' flag Spark implies, and each count
+      // runs on the previous stage's redacted text, like Pii.piiStats
+      s"""WITH p AS (SELECT doc_id, text FROM $piiDocsSql pd),
+              s1 AS (SELECT doc_id, text,
+                       regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,6}', '<EMAIL>', 'g') AS t1
+                     FROM p),
+              s2 AS (SELECT *, regexp_replace(t1, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS t2 FROM s1),
+              s3 AS (SELECT *, regexp_replace(t2, '\\+[0-9]{7,12}', '<PHONE>', 'g') AS t3 FROM s2),
+              s4 AS (SELECT *, regexp_replace(t3, '[0-9]{9,}', '<ID>', 'g') AS t4 FROM s3)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,6}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(t1, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+                CAST(len(regexp_extract_all(t2, '\\+[0-9]{7,12}')) AS BIGINT) AS n_phones,
+                CAST(len(regexp_extract_all(t3, '[0-9]{9,}')) AS BIGINT) AS n_idnums,
+                md5(t4) AS redacted_digest
+         FROM s4 ORDER BY doc_id""",
+    "span_dedup" ->
+      // same algorithm over the string spans DuckDB can group directly
+      // (Spark groups 8-byte xxhash64 of the span — same equivalence
+      // classes barring a 64-bit collision)
+      s"""WITH base AS (SELECT doc_id,
+                          string_split_regex(trim(text), '\\s+') AS ws
+                        FROM $docsWithDupsSql dd),
+              occ AS (SELECT doc_id, ws,
+                        unnest(range(1, len(ws) - 8 + 2)) AS i
+                      FROM base WHERE len(ws) >= 8),
+              spans AS (SELECT doc_id, i - 1 AS pos,
+                          array_to_string(ws[i:i+7], ' ') AS span
+                        FROM occ),
+              stats AS (SELECT span, min(doc_id) AS owner FROM spans
+                        GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+              flagged AS (SELECT s.doc_id, s.pos
+                          FROM spans s JOIN stats t USING (span)
+                          WHERE s.doc_id <> t.owner),
+              perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS removed_spans
+                         FROM flagged GROUP BY doc_id),
+              cov AS (SELECT DISTINCT f.doc_id, f.pos + o.o AS p
+                      FROM flagged f, (SELECT unnest(range(0, 8)) AS o) o),
+              cps AS (SELECT doc_id, list(p) AS cps, CAST(count(*) AS BIGINT) AS n_cov
+                      FROM cov GROUP BY doc_id)
+         SELECT b.doc_id,
+                -- array_to_string of an empty list is NULL in DuckDB;
+                -- Spark's array_join gives '' — coalesce to match
+                COALESCE(array_to_string(CASE WHEN c.doc_id IS NULL THEN b.ws
+                  ELSE list_filter(b.ws, (w, i) -> NOT list_contains(c.cps, i - 1))
+                  END, ' '), '') AS kept_text,
+                COALESCE(c.n_cov, 0) AS removed_words,
+                COALESCE(p.removed_spans, 0) AS removed_spans
+         FROM base b
+         LEFT JOIN cps c ON b.doc_id = c.doc_id
+         LEFT JOIN perdoc p ON b.doc_id = p.doc_id
+         ORDER BY b.doc_id""",
+    "vocab_encode" ->
+      """WITH w AS (SELECT doc_id,
+                      unnest(string_split_regex(trim(text), '\s+')) AS word,
+                      generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+                    FROM documents),
+              cnt AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+              vocab AS (SELECT word,
+                          row_number() OVER (ORDER BY n DESC, word) - 1 AS token_id
+                        FROM cnt ORDER BY n DESC, word LIMIT 20)
+         SELECT w.doc_id,
+                CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_oov,
+                string_agg(CAST(COALESCE(v.token_id, -1) AS VARCHAR), ' '
+                  ORDER BY w.pos) AS ids_text
+         FROM w LEFT JOIN vocab v ON w.word = v.word
+         GROUP BY w.doc_id ORDER BY w.doc_id""",
+    "quantize_embeddings" ->
+      // double arithmetic with Spark's exact evaluation order
+      // ((x*127)/scale; (q*scale)/127 − x) and per-element integer
+      // rounding BEFORE the sums, so both engines hash identically
+      """WITH s AS (SELECT vec_id, embedding,
+                      list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+                    FROM embeddings),
+              q AS (SELECT vec_id, embedding, scale,
+                      CASE WHEN scale = 0
+                        THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(embedding,
+                          x -> CAST(round(x::DOUBLE * 127 / scale) AS BIGINT))
+                      END AS qs
+                    FROM s)
+         SELECT vec_id, scale,
+                CAST(list_sum(qs) AS BIGINT) AS q_sum,
+                CAST(list_sum(list_transform(qs, e -> abs(e))) AS BIGINT) AS q_abs_sum,
+                CAST(list_sum(list_transform(qs, (e, i) ->
+                  CAST(round(abs(e::DOUBLE * scale / 127 - embedding[i]::DOUBLE)
+                    * 1000000) AS BIGINT))) AS BIGINT) AS err_micro_sum
+         FROM q ORDER BY vec_id""",
+    "mixture_plan" ->
+      """WITH agg AS (SELECT source,
+                        CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                          AS available_tokens
+                      FROM documents GROUP BY source),
+              w AS (SELECT source,
+                      CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS BIGINT) AS weight
+                    FROM (SELECT DISTINCT source FROM documents)),
+              t AS (SELECT CAST(sum(weight) AS BIGINT) AS total_w FROM w)
+         SELECT a.source, a.n_docs, a.available_tokens, w.weight,
+                CAST((100000 * w.weight) // t.total_w AS BIGINT) AS target_tokens,
+                CAST(((100000 * w.weight) // t.total_w) * 1000000 // a.available_tokens
+                  AS BIGINT) AS rate_ppm
+         FROM agg a JOIN w ON a.source = w.source, t
+         ORDER BY a.source""",
+    "corpus_shuffle" ->
+      """WITH s AS (SELECT doc_id,
+                      ('0x' || substr(md5('epoch-0' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+                      md5('epoch-0#' || CAST(doc_id AS VARCHAR)) AS ok
+                    FROM documents)
+         SELECT doc_id, shard,
+                CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS BIGINT) AS pos
+         FROM s ORDER BY doc_id""",
+    "minhash_near_dups" ->
+      // brute-force exact 5-shingle Jaccard: equals the LSH pipeline's
+      // output because the pipeline exact-verifies candidates (subset of
+      // exact pairs) and its measured recall on this corpus is 1.0
+      s"""WITH docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
+          sh AS (SELECT doc_id,
+                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
+                 FROM docs)
+          SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    "incremental_dedup" ->
+      // brute-force exact 5-shingle Jaccard over corpus ∪ batch,
+      // restricted to pairs whose LARGER id is in the batch (old ids are
+      // all < 50000, so "match_id < new_id" covers both new-vs-old and
+      // the batch's keep-min convention); equals the incremental
+      // pipeline's output by the same recall-1.0 + exact-verify argument
+      // as minhash_near_dups
+      """WITH oldd AS (SELECT doc_id, trim(text) AS text FROM documents),
+              newd AS (SELECT doc_id + 50000 AS doc_id, trim(text) AS text
+                       FROM documents WHERE doc_id < 30
+                       UNION ALL
+                       SELECT doc_id + 60000, trim(substr(text, 11))
+                       FROM documents WHERE doc_id >= 100 AND doc_id < 120
+                       UNION ALL
+                       SELECT doc_id + 70000, trim(reverse(text))
+                       FROM documents WHERE doc_id >= 200 AND doc_id < 210
+                       UNION ALL
+                       SELECT doc_id + 80000, trim(text)
+                       FROM documents WHERE doc_id < 10),
+              alld AS (SELECT * FROM oldd UNION ALL SELECT * FROM newd),
+              shn AS (SELECT doc_id,
+                        list_distinct([substr(text, i, 5)
+                          FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
+                      FROM newd),
+              sha AS (SELECT doc_id,
+                        list_distinct([substr(text, i, 5)
+                          FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
+                      FROM alld)
+         SELECT new_id, match_id, jaccard FROM (
+           SELECT n.doc_id AS new_id, m.doc_id AS match_id,
+                  len(list_intersect(n.s, m.s))::DOUBLE
+                    / len(list_distinct(list_concat(n.s, m.s)))::DOUBLE AS jaccard
+           FROM shn n JOIN sha m ON m.doc_id < n.doc_id)
+         WHERE jaccard >= 0.5 ORDER BY new_id, match_id""",
+    "simhash_exact_dups" ->
+      // identical text <=> identical SimHash code + text-equality verify
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM $docsWithDupsSql a JOIN $docsWithDupsSql b
+            ON a.doc_id < b.doc_id AND a.text = b.text
+          ORDER BY id_a, id_b""",
+    "split_leakage" ->
+      // exact-Jaccard pairs (= the pipeline's pairs at recall 1.0)
+      // annotated with the salted-md5 split of each side; leakage = the
+      // pairs whose sides land in different splits
+      s"""WITH docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
+          sh AS (SELECT doc_id,
+                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
+                 FROM docs),
+          pairs AS (SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.5),
+          sp AS (SELECT id_a, id_b,
+                   CASE WHEN ('0x' || substr(md5('v1:' || CAST(id_a AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                        WHEN ('0x' || substr(md5('v1:' || CAST(id_a AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split_a,
+                   CASE WHEN ('0x' || substr(md5('v1:' || CAST(id_b AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                        WHEN ('0x' || substr(md5('v1:' || CAST(id_b AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split_b
+                 FROM pairs)
+          SELECT id_a, id_b, split_a, split_b FROM sp
+          WHERE split_a <> split_b ORDER BY id_a, id_b""",
+    "near_dup_groups" ->
+      // components of the exact-Jaccard pair graph (= the pipeline's pair
+      // graph at recall 1.0), via recursive reachability: comp = min
+      // reachable doc_id
+      s"""WITH RECURSIVE docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
+          sh AS (SELECT doc_id,
+                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
+                 FROM docs),
+          pairs AS (SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.5),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(id, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
+          SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS group_id
+          FROM reach GROUP BY id ORDER BY doc_id""",
+    "cdc_chunks" ->
+      // cut points: positions (after 1) whose 8-gram md5-buckets to
+      // 0 mod 64 — the same '0x'||substr(md5..) arithmetic as the
+      // sampling oracles; chunk ends at the next start
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+          st AS (SELECT doc_id, text, n,
+                   list_concat([1], list_filter(range(2, greatest(n - 8 + 1, 1) + 1),
+                     i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT % 64 = 0)) AS starts
+                 FROM t),
+          e AS (SELECT doc_id, text, n, starts,
+                  unnest(range(1, len(starts) + 1)) AS k
+                FROM st)
+         SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
+                CAST(starts[k] AS BIGINT) AS chunk_start,
+                substr(text, starts[k], coalesce(starts[k+1], n + 1) - starts[k]) AS chunk_text
+         FROM e ORDER BY doc_id, chunk_idx""",
+    "corpus_report" ->
+      // dup membership is corpus-wide (copies counted per md5 digest
+      // across sources); language mode ties break to the first lang
+      """WITH corpus AS (SELECT doc_id, text, lang, source FROM documents
+                         UNION ALL
+                         SELECT doc_id + 10000, text, lang, source
+                         FROM documents WHERE doc_id < 100),
+          base AS (SELECT source, lang,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     md5(text) AS digest
+                   FROM corpus),
+          volumes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                        CAST(sum(n_chars) AS BIGINT) AS total_chars
+                      FROM base GROUP BY source),
+          dup AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dup_docs
+                  FROM (SELECT source,
+                          count(*) OVER (PARTITION BY digest) AS copies
+                        FROM base)
+                  WHERE copies > 1 GROUP BY source),
+          langs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+                      max(CASE WHEN rn = 1 THEN lang END) AS top_lang
+                    FROM (SELECT source, lang,
+                            row_number() OVER (PARTITION BY source
+                              ORDER BY cnt DESC, lang) AS rn
+                          FROM (SELECT source, lang, count(*) AS cnt
+                                FROM base GROUP BY source, lang))
+                    GROUP BY source)
+         SELECT v.source, v.n_docs, v.total_tokens, v.total_chars,
+                coalesce(d.n_dup_docs, 0) AS n_dup_docs,
+                l.n_langs, l.top_lang
+         FROM volumes v LEFT JOIN dup d ON d.source = v.source
+         JOIN langs l ON l.source = v.source
+         ORDER BY v.source""",
+    "cluster_split" ->
+      // the near_dup_groups reachability CTE supplies the cluster key;
+      // singleton docs fall back to their own id; then the same
+      // salted-md5 bucket arithmetic as Sampling.hashBucket
+      s"""WITH RECURSIVE docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
+          sh AS (SELECT doc_id,
+                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
+                 FROM docs),
+          pairs AS (SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.5),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(id, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+          groups AS (SELECT id AS doc_id, min(comp) AS group_id FROM reach GROUP BY id),
+          keyed AS (SELECT d.doc_id,
+                           CAST(coalesce(g.group_id, d.doc_id) AS BIGINT) AS split_key
+                    FROM docs d LEFT JOIN groups g ON g.doc_id = d.doc_id)
+         SELECT doc_id, split_key,
+                CASE WHEN ('0x' || substr(md5('v1:' || CAST(split_key AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                     WHEN ('0x' || substr(md5('v1:' || CAST(split_key AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM keyed ORDER BY doc_id""",
+    "ann_lsh_topk" ->
+      """WITH v AS (SELECT vec_id, embedding,
+                      list_sum(list_transform(range(1, 5),
+                        i -> CASE WHEN embedding[i] > 0 THEN 1 << (i-1) ELSE 0 END)) AS bucket
+                    FROM embeddings)
+         SELECT query_id, neighbor_id, score,
+                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, len(q.embedding)+1),
+                   i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
+                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+                      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))) AS score
+               FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+               WHERE q.vec_id < 50)
+         QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "lsh_recall_overlap" ->
+      // exact cosine top-5 vs bits=4 sign-LSH bucket probe (the
+      // ann_lsh_topk configuration): list sizes + intersection per query
+      """WITH ex AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      list_sum(list_transform(range(1, len(q.embedding)+1),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
+                           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+                           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+                        AS score
+                    FROM embeddings q, embeddings c
+                    WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id))
+            WHERE rank <= 5),
+          v AS (SELECT vec_id, embedding,
+                  list_sum(list_transform(range(1, 5),
+                    i -> CASE WHEN embedding[i] > 0 THEN 1 << (i-1) ELSE 0 END)) AS bucket
+                FROM embeddings),
+          ls AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      list_sum(list_transform(range(1, len(q.embedding)+1),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
+                           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+                           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+                        AS score
+                    FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+                    WHERE q.vec_id < 50))
+            WHERE rank <= 5),
+          na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_a FROM ex GROUP BY 1),
+          nb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_b FROM ls GROUP BY 1),
+          nc AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_common
+                 FROM ex JOIN ls ON ex.query_id = ls.query_id
+                   AND ex.neighbor_id = ls.neighbor_id GROUP BY 1)
+         SELECT query_id, n_a, coalesce(n_b, 0) AS n_b,
+                coalesce(n_common, 0) AS n_common
+         FROM na LEFT JOIN nb USING (query_id) LEFT JOIN nc USING (query_id)
+         ORDER BY query_id""",
+    "pq_topk" ->
+      // seeded codebook = subspaces of the 8 lowest-id vectors; encode =
+      // per-(vector, subspace) argmin over centroids (ties -> lowest t,
+      // the struct-min rule); ADC score = the query's LUT entries summed
+      // in subspace order (list(d ORDER BY j) keeps the fold order
+      // identical to Spark's aggregate over ascending j)
+      s"""$pqOracleBase
+         SELECT query_id, neighbor_id, score,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score ASC, neighbor_id) AS rank
+         FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""",
+    "pq_recall_overlap" ->
+      // exact squared-L2 top-10 vs ADC (seeded-codebook PQ) top-10 per
+      // query: list sizes + intersection, exact ints — the recall the
+      // 8-byte-code index keeps of the 256-byte-float ranking
+      s"""$pqOracleBase,
+          ex AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS rank
+              FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      list_sum(list_transform(range(1, 65),
+                        i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS score
+                    FROM emb q, emb c
+                    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id))
+            WHERE rank <= 10),
+          pq AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score ASC, neighbor_id) AS rank
+              FROM scored)
+            WHERE rank <= 10),
+          na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_a FROM ex GROUP BY 1),
+          nb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_b FROM pq GROUP BY 1),
+          nc AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_common
+                 FROM ex JOIN pq ON ex.query_id = pq.query_id
+                   AND ex.neighbor_id = pq.neighbor_id GROUP BY 1)
+         SELECT query_id, n_a, coalesce(n_b, 0) AS n_b,
+                coalesce(n_common, 0) AS n_common
+         FROM na LEFT JOIN nb USING (query_id) LEFT JOIN nc USING (query_id)
+         ORDER BY query_id""",
+    "pq_rerank_topk" ->
+      // two-stage: the same ADC pipeline shortlists 50, exact squared-L2
+      // re-ranks to 10 (zip_with order = list_transform range order)
+      s"""$pqOracleBase,
+            short AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY score ASC, neighbor_id) AS rn
+                FROM scored) WHERE rn <= 50),
+            ex AS (SELECT s.query_id, s.neighbor_id,
+                list_sum(list_transform(range(1, 65),
+                  i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS score
+              FROM short s
+              JOIN emb q ON q.vec_id = s.query_id
+              JOIN emb c ON c.vec_id = s.neighbor_id)
+         SELECT query_id, neighbor_id, score,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score ASC, neighbor_id) AS rank
+         FROM ex QUALIFY rank <= 10 ORDER BY query_id, rank""",
+    "ivf_topk" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+                       FROM embeddings ORDER BY vec_id LIMIT 8),
+          cs AS (SELECT e.vec_id, c.cid,
+                   list_sum(list_transform(range(1, len(e.embedding)+1),
+                     i -> CAST(c.cvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                        i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cscore
+                 FROM embeddings e CROSS JOIN cent c),
+          assigned AS (SELECT vec_id AS neighbor_id, cid AS cluster FROM
+                       (SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
+                        FROM cs) WHERE rn = 1),
+          probes AS (SELECT vec_id AS query_id, cid AS cluster FROM
+                     (SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
+                      FROM cs WHERE vec_id < 50) WHERE rn <= 2)
+          SELECT query_id, neighbor_id, score,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+          FROM (SELECT p.query_id, a.neighbor_id,
+                  list_sum(list_transform(range(1, len(q.embedding)+1),
+                    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
+                       i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(range(1, len(n.embedding)+1),
+                       i -> CAST(n.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))))) AS score
+                FROM probes p
+                JOIN assigned a ON a.cluster = p.cluster AND a.neighbor_id <> p.query_id
+                JOIN embeddings q ON q.vec_id = p.query_id
+                JOIN embeddings n ON n.vec_id = a.neighbor_id)
+          QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "ivf_recall_overlap" ->
+      // exact cosine top-5 vs nprobe=2 IVF top-5 per query (same fixed
+      // quantizer as ivf_topk): list sizes + intersection, exact ints
+      """WITH ex AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      list_sum(list_transform(range(1, len(q.embedding)+1),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
+                           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+                           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+                        AS score
+                    FROM embeddings q, embeddings c
+                    WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id))
+            WHERE rank <= 5),
+          cent AS (SELECT vec_id AS cid, embedding AS cvec
+                   FROM embeddings ORDER BY vec_id LIMIT 8),
+          cs AS (SELECT e.vec_id, c.cid,
+                   list_sum(list_transform(range(1, len(e.embedding)+1),
+                     i -> CAST(c.cvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                        i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cscore
+                 FROM embeddings e CROSS JOIN cent c),
+          assigned AS (SELECT vec_id AS neighbor_id, cid AS cluster FROM
+                       (SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
+                        FROM cs) WHERE rn = 1),
+          probes AS (SELECT vec_id AS query_id, cid AS cluster FROM
+                     (SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
+                      FROM cs WHERE vec_id < 50) WHERE rn <= 2),
+          iv AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM (SELECT p.query_id, a.neighbor_id,
+                      list_sum(list_transform(range(1, len(q.embedding)+1),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1),
+                           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(range(1, len(n.embedding)+1),
+                           i -> CAST(n.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))))) AS score
+                    FROM probes p
+                    JOIN assigned a ON a.cluster = p.cluster AND a.neighbor_id <> p.query_id
+                    JOIN embeddings q ON q.vec_id = p.query_id
+                    JOIN embeddings n ON n.vec_id = a.neighbor_id))
+            WHERE rank <= 5),
+          na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_a FROM ex GROUP BY 1),
+          nb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_b FROM iv GROUP BY 1),
+          nc AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_common
+                 FROM ex JOIN iv ON ex.query_id = iv.query_id
+                   AND ex.neighbor_id = iv.neighbor_id GROUP BY 1)
+         SELECT query_id, n_a, coalesce(n_b, 0) AS n_b,
+                coalesce(n_common, 0) AS n_common
+         FROM na LEFT JOIN nb USING (query_id) LEFT JOIN nc USING (query_id)
+         ORDER BY query_id""",
+    "ncm_classify" ->
+      // per-dimension class means via exact DECIMAL(30,6) sums (the dsum
+      // pattern — order-independent, so both engines produce identical
+      // doubles after the single division); scoring is the in-order
+      // list_sum dot; argmax tie breaks to the lowest label
+      """WITH s AS (SELECT label, unnest(embedding) AS v,
+                      generate_subscripts(embedding, 1) AS pos
+                    FROM embeddings),
+          m AS (SELECT label, pos,
+                  CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE)
+                    / count(*) AS mval
+                FROM s GROUP BY label, pos),
+          ms AS (SELECT label, list(mval ORDER BY pos) AS mean_vec FROM m GROUP BY label),
+          scored AS (SELECT e.vec_id, c.label,
+                       list_sum(list_transform(range(1, len(e.embedding)+1),
+                         i -> CAST(e.embedding[i] AS DOUBLE) * c.mean_vec[i])) AS score
+                     FROM embeddings e CROSS JOIN ms c)
+         SELECT vec_id, CAST(label AS INT) AS pred_label, score
+         FROM (SELECT vec_id, label, score,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, label) AS rn
+               FROM scored)
+         WHERE rn = 1 ORDER BY vec_id""",
+    "semantic_dedup" ->
+      // same fixed-centroid assignment CTE as ivf_topk (stable-sort tie
+      // break == ORDER BY cscore DESC, cid); cluster label surfaced as
+      // min(vec_id) per cluster, which is engine-portable where the
+      // centroid ARRAY index is not
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+                       FROM embeddings ORDER BY vec_id LIMIT 8),
+          cs AS (SELECT e.vec_id, c.cid,
+                   list_sum(list_transform(range(1, len(e.embedding)+1),
+                     i -> CAST(c.cvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                        i -> CAST(c.cvec[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cscore
+                 FROM embeddings e CROSS JOIN cent c),
+          assigned AS (SELECT vec_id, cid AS cluster FROM
+                       (SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid) AS rn
+                        FROM cs) WHERE rn = 1),
+          pairs AS (SELECT b.vec_id AS id_b,
+                      list_sum(list_transform(range(1, len(ea.embedding)+1),
+                        i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(range(1, len(ea.embedding)+1),
+                           i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(range(1, len(eb.embedding)+1),
+                           i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))))) AS score
+                    FROM assigned a JOIN assigned b
+                      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                    JOIN embeddings ea ON ea.vec_id = a.vec_id
+                    JOIN embeddings eb ON eb.vec_id = b.vec_id),
+          dropped AS (SELECT DISTINCT id_b FROM pairs WHERE score >= 0.35)
+         SELECT a.vec_id,
+                min(a.vec_id) OVER (PARTITION BY a.cluster) AS cluster_rep,
+                a.vec_id NOT IN (SELECT id_b FROM dropped) AS kept
+         FROM assigned a ORDER BY a.vec_id""",
+    "ngram_jaccard_pairs" ->
+      s"""WITH docs AS (SELECT doc_id, trim(text) AS text
+                        FROM $docsWithDupsSql dd WHERE doc_id % 10000 < 40),
+          sh AS (SELECT doc_id,
+                   list_distinct([substr(text, i, 3) FOR i IN range(1, greatest(length(text)-2, 1)+1)]) AS s
+                 FROM docs)
+          SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    "prefix_jaccard_pairs" ->
+      // brute-force all-pairs 5-shingle Jaccard over the FULL dup
+      // fixture — the prefix filter is sound (lossless), so the filtered
+      // plan equals the quadratic one exactly
+      s"""WITH docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
+          sh AS (SELECT doc_id,
+                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
+                 FROM docs)
+          SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          WHERE jaccard >= 0.7 ORDER BY id_a, id_b""",
+    "containment_pairs" ->
+      // brute-force ORDERED pairs with directional containment |A∩B|/|A|,
+      // probe side = the planted-dup slice — the probe-prefix ⋈
+      // inverted-index plan is lossless, so it equals this quadratic
+      // formulation exactly
+      s"""WITH docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
+          sh AS (SELECT doc_id,
+                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
+                 FROM docs)
+          SELECT id_a, id_b, containment FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)::DOUBLE AS containment
+            FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+            WHERE a.doc_id % 10000 < 100 OR a.doc_id >= 20000)
+          WHERE containment >= 0.9 ORDER BY id_a, id_b""",
+    "knn_dot_topk" ->
+      """SELECT query_id, neighbor_id, score,
+                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, len(q.embedding)+1),
+                   i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) AS score
+               FROM embeddings q, embeddings c
+               WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         QUALIFY rank <= 10 ORDER BY query_id, rank""",
+    "table_profile" ->
+      // one block per profiled column; counts are BIGINT and min/max are
+      // VARCHAR renderings of integer/string values, identical across
+      // engines (floats deliberately excluded from the gate)
+      """SELECT * FROM (
+           SELECT 'l_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_nulls,
+                  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+                  CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+                  CAST(max(l_orderkey) AS VARCHAR) AS max_value FROM lineitem
+           UNION ALL
+           SELECT 'l_suppkey', CAST(count(*) AS BIGINT),
+                  CAST(count(*) - count(l_suppkey) AS BIGINT),
+                  CAST(count(DISTINCT l_suppkey) AS BIGINT),
+                  CAST(min(l_suppkey) AS VARCHAR),
+                  CAST(max(l_suppkey) AS VARCHAR) FROM lineitem
+           UNION ALL
+           SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+                  CAST(count(*) - count(l_returnflag) AS BIGINT),
+                  CAST(count(DISTINCT l_returnflag) AS BIGINT),
+                  CAST(min(l_returnflag) AS VARCHAR),
+                  CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
+           UNION ALL
+           SELECT 'l_linestatus', CAST(count(*) AS BIGINT),
+                  CAST(count(*) - count(l_linestatus) AS BIGINT),
+                  CAST(count(DISTINCT l_linestatus) AS BIGINT),
+                  CAST(min(l_linestatus) AS VARCHAR),
+                  CAST(max(l_linestatus) AS VARCHAR) FROM lineitem
+         ) ORDER BY "column"""",
+    "global_quantiles_ts" ->
+      // percentile_disc ≡ the bisection's rank rule: smallest value whose
+      // cumulative count reaches ceil(p·n)
+      """WITH v AS (SELECT epoch_us(ts) AS x FROM events),
+              n AS (SELECT count(*) AS c FROM v)
+         SELECT CAST(500000 AS BIGINT) AS p_ppm,
+                percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS value,
+                (SELECT c FROM n) AS n_rows FROM v
+         UNION ALL
+         SELECT CAST(900000 AS BIGINT),
+                percentile_disc(0.9) WITHIN GROUP (ORDER BY x),
+                (SELECT c FROM n) FROM v
+         UNION ALL
+         SELECT CAST(990000 AS BIGINT),
+                percentile_disc(0.99) WITHIN GROUP (ORDER BY x),
+                (SELECT c FROM n) FROM v
+         ORDER BY p_ppm""",
+    "length_quantiles" ->
+      // lower discrete quantile by sort rank: the element at
+      // floor(p*(n-1))+1 — ps cast to DOUBLE (DuckDB parses 0.95 as
+      // DECIMAL by default, which would change the floor arithmetic)
+      """WITH v AS (SELECT source, n_chars FROM documents),
+              ranked AS (SELECT source, n_chars,
+                           CAST(row_number() OVER (PARTITION BY source
+                             ORDER BY n_chars) AS BIGINT) AS rn
+                         FROM v),
+              counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+                         FROM v GROUP BY source),
+              targets AS (SELECT source, n_rows, p.p AS p,
+                            CAST(floor(p.p * (n_rows - 1)) + 1 AS BIGINT) AS rn
+                          FROM counts,
+                            (SELECT unnest([CAST(0.0 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                               CAST(0.95 AS DOUBLE), CAST(1.0 AS DOUBLE)]) AS p) p)
+         SELECT r.source, t.p, t.n_rows, r.n_chars AS value
+         FROM ranked r JOIN targets t ON r.source = t.source AND r.rn = t.rn
+         ORDER BY r.source, t.p""",
+    "quantized_topk" ->
+      // int8 codes are exact doubles (|q| <= 127), so products, sums,
+      // and the cosine ratio evaluate identically in both engines
+      """WITH s AS (SELECT vec_id, embedding,
+                      list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+                    FROM embeddings),
+              q AS (SELECT vec_id,
+                      CASE WHEN scale = 0
+                        THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(embedding,
+                          x -> CAST(round(x::DOUBLE * 127 / scale) AS BIGINT))
+                      END AS qv
+                    FROM s)
+         SELECT query_id, neighbor_id, score,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS rank
+         FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, len(a.qv)+1),
+                   i -> CAST(a.qv[i] AS DOUBLE) * CAST(b.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, len(a.qv)+1),
+                      i -> CAST(a.qv[i] AS DOUBLE) * CAST(a.qv[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(range(1, len(b.qv)+1),
+                        i -> CAST(b.qv[i] AS DOUBLE) * CAST(b.qv[i] AS DOUBLE)))))
+                   AS score
+               FROM q a, q b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+         QUALIFY rank <= 10 ORDER BY query_id, rank""",
+    "ann_recall_overlap" ->
+      // exact-dot top-10 vs int8-cosine top-10 per query: list sizes and
+      // intersection size as exact integers (recall@10 = n_common/10)
+      """WITH ex AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      list_sum(list_transform(range(1, len(q.embedding)+1),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) AS score
+                    FROM embeddings q, embeddings c
+                    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id))
+            WHERE rank <= 10),
+          s AS (SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+                FROM embeddings),
+          q AS (SELECT vec_id,
+                  CASE WHEN scale = 0
+                    THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(embedding,
+                      x -> CAST(round(x::DOUBLE * 127 / scale) AS BIGINT))
+                  END AS qv
+                FROM s),
+          qu AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                      list_sum(list_transform(range(1, len(a.qv)+1),
+                        i -> CAST(a.qv[i] AS DOUBLE) * CAST(b.qv[i] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(range(1, len(a.qv)+1),
+                           i -> CAST(a.qv[i] AS DOUBLE) * CAST(a.qv[i] AS DOUBLE))))
+                         * sqrt(list_sum(list_transform(range(1, len(b.qv)+1),
+                             i -> CAST(b.qv[i] AS DOUBLE) * CAST(b.qv[i] AS DOUBLE)))))
+                        AS score
+                    FROM q a, q b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id))
+            WHERE rank <= 10),
+          na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_a FROM ex GROUP BY 1),
+          nb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_b FROM qu GROUP BY 1),
+          nc AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_common
+                 FROM ex JOIN qu ON ex.query_id = qu.query_id
+                   AND ex.neighbor_id = qu.neighbor_id GROUP BY 1)
+         SELECT query_id, n_a, n_b, coalesce(n_common, 0) AS n_common
+         FROM na JOIN nb USING (query_id) LEFT JOIN nc USING (query_id)
+         ORDER BY query_id""",
+    "cosine_near_dups" ->
+      """WITH v AS (SELECT vec_id AS id, embedding AS vec,
+                      list_sum(list_transform(range(1, 9),
+                        i -> CASE WHEN embedding[i] > 0 THEN 1 << (i-1) ELSE 0 END)) AS bucket
+                    FROM embeddings)
+         SELECT id_a, id_b, score FROM (
+           SELECT l.id AS id_a, r.id AS id_b,
+                  list_sum(list_transform(range(1, len(l.vec)+1),
+                    i -> CAST(l.vec[i] AS DOUBLE) * CAST(r.vec[i] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(range(1, len(l.vec)+1),
+                       i -> CAST(l.vec[i] AS DOUBLE) * CAST(l.vec[i] AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(range(1, len(r.vec)+1),
+                       i -> CAST(r.vec[i] AS DOUBLE) * CAST(r.vec[i] AS DOUBLE))))) AS score
+           FROM v l JOIN v r ON l.bucket = r.bucket AND l.id < r.id)
+         WHERE score >= 0.35 ORDER BY id_a, id_b""",
+    "embedding_norms" ->
+      """SELECT vec_id, CAST(label AS BIGINT) AS label,
+                sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS l2_norm
+         FROM embeddings ORDER BY vec_id""",
+    // No second engine implements the PPM/WAV/GVID codecs, so the oracle
+    // is the COMMITTED GOLDEN FILE (pinned by OperatorsSpec against the
+    // deterministic synthetic corpus): the gate compares the live gate
+    // query's digests against it row-for-row — a real pass/fail bit
+    // instead of the previous rows-only check.,
+    "multimodal_features" ->
+      """SELECT mediaId, kind, featureDim, ok, feature_digest
+         FROM read_csv('/root/repo/src/test/resources/multimodal_golden.csv',
+           header=true,
+           columns={'mediaId':'BIGINT','kind':'VARCHAR','featureDim':'INTEGER',
+                    'ok':'BOOLEAN','feature_digest':'VARCHAR'})
+         ORDER BY mediaId""",
+    "quality_lr_logit" ->
+      // same md5 bucket/sign arithmetic as hashed_tf, with the bucket-
+      // derived integer weight folded per token — engine-exact
+      """WITH w AS (SELECT doc_id,
+                      unnest(string_split_regex(trim(text), '\s+')) AS word
+                    FROM documents),
+              h AS (SELECT doc_id,
+                      ('0x' || substr(md5(word), 1, 8))::BIGINT % 64 AS bucket,
+                      CASE WHEN ('0x' || substr(md5(word), 9, 1))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END AS sign
+                    FROM w)
+         SELECT doc_id,
+                CAST(sum(sign * ((bucket * 2654435761) % 17 - 8)) AS BIGINT) AS logit,
+                sum(sign * ((bucket * 2654435761) % 17 - 8)) > 0 AS keep
+         FROM h GROUP BY doc_id ORDER BY doc_id""",
+    "line_boilerplate" ->
+      s"""WITH d AS (SELECT * FROM $docsWithFootersSql dwf),
+              l AS (SELECT DISTINCT doc_id, md5(trim(ln)) AS line_hash
+                    FROM (SELECT doc_id,
+                            unnest(string_split(text, chr(10))) AS ln
+                          FROM d)
+                    WHERE length(trim(ln)) > 0),
+              f AS (SELECT line_hash, count(*) AS line_df FROM l GROUP BY 1)
+         SELECT doc_id, count(*) AS n_lines,
+                CAST(sum(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_boilerplate
+         FROM l JOIN f USING (line_hash)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "line_strip" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS lns
+                     FROM $docsWithFootersSql dwf),
+              x AS (SELECT doc_id, unnest(lns) AS ln,
+                           generate_subscripts(lns, 1) AS pos
+                    FROM d),
+              f AS (SELECT md5(trim(ln)) AS line_hash,
+                           count(DISTINCT doc_id) AS line_df
+                    FROM x WHERE length(trim(ln)) > 0 GROUP BY 1),
+              m AS (SELECT doc_id, ln, pos,
+                      (length(trim(ln)) > 0 AND coalesce(line_df, 0) >= 2)
+                        AS dropped
+                    FROM x LEFT JOIN f ON md5(trim(x.ln)) = f.line_hash)
+         SELECT doc_id,
+                coalesce(string_agg(CASE WHEN NOT dropped THEN ln END,
+                                    chr(10) ORDER BY pos), '') AS kept_text,
+                CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                  AS removed_lines
+         FROM m GROUP BY doc_id ORDER BY doc_id""",
+    "k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+                count(*) AS class_size, count(*) < 12 AS suppressed
+         FROM customer
+         GROUP BY c_nationkey, c_mktsegment
+         ORDER BY c_nationkey, c_mktsegment""",
+  )
+}
