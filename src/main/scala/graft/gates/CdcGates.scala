@@ -250,6 +250,16 @@ private[graft] trait CdcGates extends GateSupport {
         t(s, dir, "documents"), minCount = 5L, minLiftPct = 130L)
       .orderBy("w1", "w2")
 
+  /** Mann–Whitney U ([[graft.operators.Stats.mannWhitneyU]]) between
+    * view and purchase event values (cents) — the nonparametric
+    * two-sample location test as exact doubled-rank integers
+    * (u2 = 2·U); effect size U/(n_a·n_b) at render time. */
+  protected def mannWhitneyQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.mannWhitneyU(
+        t(s, dir, "events")
+          .withColumn("value_c", round(col("value") * 100).cast("long")),
+        "event_type", "value_c", groupA = "view", groupB = "purchase")
+
   /** Spearman rank correlation ([[graft.operators.Stats.spearmanCorr]])
     * between quantity and extended price per return flag — monotone
     * association as exact integer fractions over doubled midranks,
@@ -857,6 +867,7 @@ private[graft] trait CdcGates extends GateSupport {
     "order_audit" -> orderAuditQuery _,
     "collocations" -> collocationsQuery _,
     "spearman_corr" -> spearmanCorrQuery _,
+    "mann_whitney_u" -> mannWhitneyQuery _,
     "seasonal_outliers" -> seasonalOutliersQuery _,
     "t_closeness" -> tClosenessQuery _,
     "ind_audit" -> indAuditQuery _,
@@ -1113,6 +1124,27 @@ private[graft] trait CdcGates extends GateSupport {
                 CAST(count(*) * sum(u*u) - sum(u) * sum(u) AS VARCHAR) AS rho_denx,
                 CAST(count(*) * sum(v*v) - sum(v) * sum(v) AS VARCHAR) AS rho_deny
          FROM u GROUP BY g ORDER BY g""",
+    "mann_whitney_u" ->
+      // count-by-value collapses ties BEFORE ranking; doubled midrank of
+      // a tie run at v = 2*(strictly below) + (run size) + 1;
+      // u2 = 2*U = R2 - n*(n+1); invariant u2_a + u2_b = 2*n_a*n_b
+      """WITH e AS (SELECT event_type AS grp,
+                      CAST(round(value * 100) AS BIGINT) AS v
+                    FROM events WHERE event_type IN ('view', 'purchase')),
+          c AS (SELECT v,
+                  CAST(sum(CASE WHEN grp = 'view' THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+                  CAST(sum(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+                FROM e GROUP BY v),
+          w AS (SELECT v, ca, cb,
+                  coalesce(sum(ca + cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+                FROM c)
+         SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+                CAST(sum(ca * (below * 2 + ca + cb + 1))
+                     - sum(ca) * (sum(ca) + 1) AS BIGINT) AS u2_a,
+                CAST(sum(cb * (below * 2 + ca + cb + 1))
+                     - sum(cb) * (sum(cb) + 1) AS BIGINT) AS u2_b
+         FROM w""",
     "seasonal_outliers" ->
       // seasonal_decompose's CTE + per-(type, dow) lower medians: flag
       // |det7 − med7| ≥ 4·MAD, MAD > 0; epoch-day output (theil_sen

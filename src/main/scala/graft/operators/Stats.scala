@@ -843,6 +843,50 @@ object Stats {
         (col("n") * col("svv") - col("sv") * col("sv")).cast(d).as("rho_deny"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between two groups — the
+    * nonparametric two-sample test an A/B eval reaches for when values
+    * are skewed (latencies, spend) and a t-test's mean is the wrong
+    * summary. Emitted as EXACT integers so the gate never divides or
+    * approximates: `u2_a` = 2·U_A and `u2_b` = 2·U_B (doubled because
+    * midranks of even tie runs are half-integers — the same doubled-rank
+    * device as [[spearmanCorr]]), with `u2_a + u2_b = 2·n_a·n_b` by
+    * construction (asserted in OperatorsSpec). Consumers compute
+    * effect size (AUC-equivalent U/(n_a·n_b)) or the normal
+    * approximation downstream.
+    *
+    * 100 TB shape: the ONE data-sized operation is the count-by-value
+    * aggregate (map-side combined — ties collapse before any shuffle);
+    * the cumulative window then runs over the reduced |distinct values|
+    * frame (single-partition by necessity, like [[ksDrift]]'s corpus
+    * ECDF — bounded by value cardinality, not rows). Sums accumulate in
+    * decimal(38,0): rank-sums reach N², past int64 at N > ~3e9 rows. */
+  def mannWhitneyU(
+      df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val d = "decimal(38,0)"
+    val counts = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).as("v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).cast(d).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).cast(d).as("cb"))
+    // values strictly below v, cumulated over the |distinct v| frame;
+    // doubled midrank of a tie run at v = 2·below + (ca+cb) + 1
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts.withColumn("below",
+      coalesce(sum(col("ca") + col("cb")).over(w), lit(0).cast(d)))
+    ranked
+      .agg(
+        sum("ca").as("na"), sum("cb").as("nb"),
+        sum(col("ca") * (col("below") * 2 + col("ca") + col("cb") + 1)).as("r2a"),
+        sum(col("cb") * (col("below") * 2 + col("ca") + col("cb") + 1)).as("r2b"))
+      .select(
+        col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        (col("r2a") - col("na") * (col("na") + 1)).cast("long").as("u2_a"),
+        (col("r2b") - col("nb") * (col("nb") + 1)).cast("long").as("u2_b"))
+  }
+
   /** Classical additive seasonal decomposition of a daily count series,
     * per series key: trend = centered 7-day moving window, seasonal =
     * the day-of-week deviation from trend. All arithmetic is integer-
