@@ -179,6 +179,18 @@ private[graft] trait PipelineGates extends GateSupport {
     Lexical.bigramLmScore(docs, docs).orderBy("doc_id")
   }
 
+  /** Kneser–Ney smoothed bigram model ([[graft.operators.Lexical
+    * .knBigramModel]]) fit on documents, bigrams seen ≥ 5× — each
+    * probability as the exact integer rational kn_num/kn_den (D = 3/4
+    * cleared by the ×4 scaling); wide decimals render as strings at
+    * the gate boundary (the spearman_corr discipline). */
+  protected def knBigramQuery(s: SparkSession, dir: String): DataFrame =
+    Lexical.knBigramModel(t(s, dir, "documents"), minCount = 5L)
+      .select(col("w1"), col("w2"), col("c2"),
+        col("kn_num").cast("string").as("kn_num"),
+        col("kn_den").cast("string").as("kn_den"))
+      .orderBy("w1", "w2")
+
   /** Corpus snapshot diff (TextCorpus.corpusDiff): old = documents, new
     * = documents with deterministic mutations (doc_id%97 removed,
     * doc_id%13 edited, copies of doc_id<25 added at +10000) — the gate
@@ -516,6 +528,28 @@ private[graft] trait PipelineGates extends GateSupport {
       k = 32, bands = 8, shingleSize = 5)
       .orderBy("doc_id")
 
+  /** Pairwise cluster eval ([[graft.operators.Validation
+    * .pairwiseClusterEval]]) of the near-dup groups against the
+    * PLANTED truth: the dup corpus constructs clusters {d, d+10000,
+    * d+20000}, so gold = doc_id % 10000 — the measured quality of the
+    * whole dedup pipeline (groups reused from the near_dup_groups
+    * pass), as exact pair counts. Singletons coalesce to their own id
+    * on both engines. */
+  protected def clusterPairEval(s: SparkSession, dir: String): DataFrame = {
+    val assign = docsWithDups(s, dir).select("doc_id")
+      .join(sharedNearDupGroups(s, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("pred"),
+        (col("doc_id") % 10000).as("gold"))
+    graft.operators.Validation.pairwiseClusterEval(assign, "doc_id", "pred", "gold")
+      .select(col("n_items"),
+        col("pred_pairs").cast("string").as("pred_pairs"),
+        col("gold_pairs").cast("string").as("gold_pairs"),
+        col("tp_pairs").cast("string").as("tp_pairs"),
+        col("fp_pairs").cast("string").as("fp_pairs"),
+        col("fn_pairs").cast("string").as("fn_pairs"))
+  }
+
   /** MinHash+LSH near-dup pipeline (Dedup.nearDupPairs) over the corpus
     * with constructed near-dups. Oracled with brute-force exact Jaccard:
     * the pipeline's exact-verify stage makes its output a SUBSET of the
@@ -833,6 +867,7 @@ private[graft] trait PipelineGates extends GateSupport {
     "bm25_topk" -> bm25TopK _,
     "hybrid_rrf_topk" -> hybridRrfTopK _,
     "lm_bigram_score" -> lmBigramScore _,
+    "kn_bigram_model" -> knBigramQuery _,
     "corpus_diff" -> corpusDiffQuery _,
     "purchase_pagerank" -> purchasePagerank _,
     "label_communities" -> labelCommunities _,
@@ -851,6 +886,7 @@ private[graft] trait PipelineGates extends GateSupport {
     "incremental_dedup" -> incrementalDedup _,
     "minhash_near_dups" -> minhashNearDups _,
     "near_dup_groups" -> nearDupGroupsQuery _,
+    "cluster_pair_eval" -> clusterPairEval _,
     "split_leakage" -> splitLeakage _,
     "cluster_split" -> clusterSplitQuery _,
     "corpus_report" -> corpusReportQuery _,
@@ -1153,6 +1189,30 @@ private[graft] trait PipelineGates extends GateSupport {
                 CAST(sum(p_fp) AS BIGINT) AS lm_sum_fp,
                 CAST(sum(p_fp) // count(*) AS BIGINT) AS lm_avg_fp
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "kn_bigram_model" ->
+      // interpolated Kneser-Ney with D = 3/4 as exact integer rationals:
+      // kn_num = max(4*c2 - 3, 0)*N1+(..) + 3*N1+(w1.)*N1+(.w2);
+      // kn_den = 4*c(w1.)*N1+(..) - HUGEINT digits rendered as VARCHAR
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents),
+          p AS (SELECT unnest(ws[1:len(ws)-1]) AS w1,
+                       unnest(ws[2:len(ws)]) AS w2
+                FROM d WHERE len(ws) >= 2),
+          bi AS (SELECT w1, w2, CAST(count(*) AS HUGEINT) AS c2
+                 FROM p GROUP BY w1, w2),
+          lft AS (SELECT w1, sum(c2) AS c1w1,
+                         CAST(count(*) AS HUGEINT) AS n_follow
+                  FROM bi GROUP BY w1),
+          cont AS (SELECT w2, CAST(count(*) AS HUGEINT) AS n_prec
+                   FROM bi GROUP BY w2),
+          ty AS (SELECT CAST(count(*) AS HUGEINT) AS n_types FROM bi)
+         SELECT b.w1, b.w2, CAST(b.c2 AS BIGINT) AS c2,
+                CAST(greatest(4 * b.c2 - 3, 0) * t.n_types
+                     + 3 * l.n_follow * c.n_prec AS VARCHAR) AS kn_num,
+                CAST(4 * l.c1w1 * t.n_types AS VARCHAR) AS kn_den
+         FROM bi b JOIN lft l USING (w1) JOIN cont c USING (w2), ty t
+         WHERE b.c2 >= 5
+         ORDER BY w1, w2""",
     "corpus_diff" ->
       """WITH o AS (SELECT doc_id, text FROM documents),
               n AS (SELECT doc_id,
@@ -1488,6 +1548,44 @@ private[graft] trait PipelineGates extends GateSupport {
             SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
           SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS group_id
           FROM reach GROUP BY id ORDER BY doc_id""",
+    "cluster_pair_eval" ->
+      // same exact-Jaccard recursive-CC groups as near_dup_groups, then
+      // pairwise P/R cells as exact pair counts vs the planted truth
+      // gold = doc_id % 10000; C(n,2) via HUGEINT n*(n-1)//2
+      s"""WITH RECURSIVE docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd),
+          sh AS (SELECT doc_id,
+                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
+                 FROM docs),
+          pairs AS (SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.5),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                    UNION ALL SELECT id_b, id_a FROM pairs),
+          reach(id, comp) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+          grp AS (SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id),
+          a AS (SELECT d.doc_id, coalesce(g.comp, d.doc_id) AS pred,
+                       d.doc_id % 10000 AS gold
+                FROM docs d LEFT JOIN grp g USING (doc_id)),
+          pp AS (SELECT sum(CAST(n AS HUGEINT) * (n - 1)) // 2 AS pred_pairs
+                 FROM (SELECT count(*) AS n FROM a GROUP BY pred)),
+          gp AS (SELECT sum(CAST(n AS HUGEINT) * (n - 1)) // 2 AS gold_pairs
+                 FROM (SELECT count(*) AS n FROM a GROUP BY gold)),
+          tp AS (SELECT sum(CAST(n AS HUGEINT) * (n - 1)) // 2 AS tp_pairs
+                 FROM (SELECT count(*) AS n FROM a GROUP BY pred, gold)),
+          nn AS (SELECT count(*) AS n_items FROM a)
+         SELECT CAST(n_items AS BIGINT) AS n_items,
+                CAST(pred_pairs AS VARCHAR) AS pred_pairs,
+                CAST(gold_pairs AS VARCHAR) AS gold_pairs,
+                CAST(tp_pairs AS VARCHAR) AS tp_pairs,
+                CAST(pred_pairs - tp_pairs AS VARCHAR) AS fp_pairs,
+                CAST(gold_pairs - tp_pairs AS VARCHAR) AS fn_pairs
+         FROM nn, pp, gp, tp""",
     "cdc_chunks" ->
       // cut points: positions (after 1) whose 8-gram md5-buckets to
       // 0 mod 64 — the same '0x'||substr(md5..) arithmetic as the

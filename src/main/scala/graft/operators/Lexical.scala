@@ -232,6 +232,56 @@ object Lexical {
   /** Adjacent token transitions of each document: (doc_id, w1, w2), one
     * row per position — from the token array, so the only shuffle a
     * caller pays is its own aggregation. */
+  /** Interpolated Kneser–Ney smoothed bigram model (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated form — the production smoothing
+    * behind KenLM-style quality filters) with absolute discount
+    * D = 3/4:
+    *
+    *   p(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *            + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    *
+    * where N1+(w1·) counts distinct continuations of w1, N1+(·w2)
+    * counts distinct left-contexts of w2 (the continuation probability
+    * that makes KN beat plain backoff: "francisco" is frequent but
+    * follows only "san"), and N1+(··) is the bigram type count.
+    *
+    * Emitted as an EXACT integer rational per observed bigram — scale
+    * both sides by 4·c(w1·)·N1+(··) and D = 3/4 is the only
+    * non-integer, cleared by the 4:
+    *
+    *   kn_num = max(4·c(w1w2) − 3, 0)·N1+(··) + 3·N1+(w1·)·N1+(·w2)
+    *   kn_den = 4·c(w1·)·N1+(··)
+    *
+    * so the gate hash-compares digits, never engine floats; consumers
+    * divide (or log) at render time. Accumulated in decimal(38,0):
+    * c(w1·)·N1+(··) passes int64 on a 100 TB corpus.
+    *
+    * 100 TB shape: ONE data-sized pass (the bigram count, map-side
+    * combined); everything after — left totals, continuation counts,
+    * the one-row type total (broadcast), the three joins — runs on the
+    * reduced |bigram types| frame. `minCount` bounds the OUTPUT, not
+    * the model: counts below it still shape the smoothing. */
+  def knBigramModel(
+      fitDocs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      minCount: Long = 1L): DataFrame = {
+    val d = "decimal(38,0)"
+    val bi = pairs(fitDocs, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint() // feeds left totals, continuation counts, the type total, and the output
+    val left = bi.groupBy("w1").agg(
+      sum("c2").as("c1w1"), count(lit(1)).as("n_follow"))
+    val cont = bi.groupBy("w2").agg(count(lit(1)).as("n_prec"))
+    val types = bi.agg(count(lit(1)).as("n_types"))
+    bi.filter(col("c2") >= minCount)
+      .join(left, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c2"),
+        (greatest(col("c2") * 4 - 3, lit(0L)).cast(d) * col("n_types") +
+          lit(3).cast(d) * col("n_follow") * col("n_prec")).cast(d).as("kn_num"),
+        (lit(4).cast(d) * col("c1w1") * col("n_types")).cast(d).as("kn_den"))
+  }
+
   private def pairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("ws"))

@@ -220,4 +220,40 @@ object Validation {
     total.crossJoin(missing)
       .select(lit(name).as("rule"), col("n_checked"), col("n_violations"))
   }
+
+  /** Pairwise clustering evaluation — the quality score for any
+    * grouping operator (near-dup groups, entity-resolution clusters,
+    * k-means cells) against a gold assignment: of all same-cluster
+    * item PAIRS, how many does the prediction get right? Emits the
+    * exact pair counts (pairwise precision = tp/pred, recall = tp/gold
+    * at render time; B³ and ARI derive from the same cells):
+    *
+    *   pred_pairs = Σ_pred C(n,2),  gold_pairs = Σ_gold C(n,2),
+    *   tp_pairs   = Σ_(pred,gold) C(n,2),  fp = pred−tp,  fn = gold−tp
+    *
+    * Every id must carry BOTH labels (coalesce singletons to their own
+    * id upstream — an absent prediction is a singleton claim, and
+    * leaving those rows out would silently inflate precision).
+    *
+    * 100 TB shape: three keyed counts over the assignment frame (each
+    * map-side combined) reduced to one row apiece and cross-joined as
+    * broadcasts — nothing data-sized moves twice, no pair ever
+    * materializes (the C(n,2) arithmetic replaces the self-join every
+    * naive pair eval plans). Counts accumulate in decimal(38,0):
+    * C(n,2) passes int64 once a cluster exceeds ~6·10⁹ members. */
+  def pairwiseClusterEval(
+      assign: DataFrame, idCol: String, predCol: String, goldCol: String): DataFrame = {
+    val d = "decimal(38,0)"
+    def pairsOf(keys: Seq[String], out: String): DataFrame = assign
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).cast(d).as("n"))
+      .agg(coalesce(sum(col("n") * (col("n") - 1)), lit(0).cast(d)).as("x"))
+      .select((col("x") / 2).cast(d).as(out))
+    val n = assign.agg(count(lit(1)).as("n_items"))
+    n.crossJoin(broadcast(pairsOf(Seq(predCol), "pred_pairs")))
+      .crossJoin(broadcast(pairsOf(Seq(goldCol), "gold_pairs")))
+      .crossJoin(broadcast(pairsOf(Seq(predCol, goldCol), "tp_pairs")))
+      .select(col("n_items"), col("pred_pairs"), col("gold_pairs"), col("tp_pairs"),
+        (col("pred_pairs") - col("tp_pairs")).cast(d).as("fp_pairs"),
+        (col("gold_pairs") - col("tp_pairs")).cast(d).as("fn_pairs"))
+  }
 }

@@ -598,4 +598,77 @@ class OperatorsSpec extends AnyFunSuite {
         col("scale") / 254d * 1000000d * col("dim") + col("dim"))
     assert(bad.count() === 0L)
   }
+
+  test("Mann-Whitney U: hand-computed tie case, and the 2*na*nb invariant on real data") {
+    // A = {1,2,3}, B = {2,3,4}: midranks 1, 2.5, 2.5, 4.5, 4.5, 6 →
+    // R_A = 1+2.5+4.5 = 8 → U_A = 8 − 3·4/2 = 2 → u2_a = 4; u2_b = 14
+    val tiny = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+                   ("b", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val r = Stats.mannWhitneyU(tiny, "g", "v", "a", "b").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((3L, 3L, 4L, 14L)))
+
+    // degenerate: all values tied → U_A = U_B = na·nb/2 exactly
+    val tied = Seq(("a", 7L), ("a", 7L), ("b", 7L)).toDF("g", "v")
+    val rt = Stats.mannWhitneyU(tied, "g", "v", "a", "b").head()
+    assert((rt.getLong(2), rt.getLong(3)) === ((2L, 2L)))
+
+    // real data: u2_a + u2_b = 2·n_a·n_b always (rank-sum identity)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("value_c", round(col("value") * 100).cast("long"))
+    val rr = Stats.mannWhitneyU(ev, "event_type", "value_c", "view", "purchase").head()
+    assert(rr.getLong(2) + rr.getLong(3) === 2L * rr.getLong(0) * rr.getLong(1))
+  }
+
+  test("Kneser-Ney bigram model: hand-computed rationals on a tiny corpus") {
+    // corpus "a b a b a c": bigrams (a,b)x2, (b,a)x2, (a,c)x1
+    // c(a.)=3, c(b.)=2; N1+(a.)=2, N1+(b.)=1; N1+(.a)=N1+(.b)=N1+(.c)=1;
+    // N1+(..)=3. Hand-checked: p(b|a)=7/12, p(c|a)=1/4, p(a|b)=3/4.
+    val tiny = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val m = Lexical.knBigramModel(tiny)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDecimal(3).longValueExact(), r.getDecimal(4).longValueExact())))
+      .toMap
+    assert(m(("a", "b")) === ((21L, 36L))) // = 7/12
+    assert(m(("a", "c")) === ((9L, 36L)))  // = 1/4
+    assert(m(("b", "a")) === ((18L, 24L))) // = 3/4
+    // every probability is in (0, 1]: num <= den, num > 0 (smoothing
+    // never zeroes an observed bigram)
+    assert(m.values.forall { case (n, d) => n > 0 && n <= d })
+  }
+
+  test("pairwiseClusterEval: hand-computed cells; planted-truth recall on the dup corpus") {
+    // pred {1,2,3} + singletons {4},{5}; gold {1,2},{3,4},{5}:
+    // pred_pairs = C(3,2) = 3, gold_pairs = 1+1 = 2, tp = {1,2} = 1
+    val tiny = Seq((1L, 10L, 100L), (2L, 10L, 100L), (3L, 10L, 200L),
+                   (4L, 4L, 200L), (5L, 5L, 300L)).toDF("id", "pred", "gold")
+    val r = Validation.pairwiseClusterEval(tiny, "id", "pred", "gold").head()
+    def dec(i: Int) = r.getDecimal(i).longValueExact()
+    assert(r.getLong(0) === 5L)
+    assert((dec(1), dec(2), dec(3), dec(4), dec(5)) === ((3L, 2L, 1L, 2L, 1L)))
+
+    // planted truth on the dup corpus: the near-dup pipeline at the
+    // near_dup_groups setting recovers the {d, d+10000, d+20000}
+    // clusters with perfect pairwise recall (fn = 0); precision may
+    // dip only via coincidental base-corpus near-dups
+    val dup = {
+      val d = docs.select("doc_id", "text")
+      d.unionAll(d.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionAll(d.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            col("text").substr(lit(11), lit(100000)).as("text")))
+    }
+    val groups = Dedup.nearDupGroups(dup, "text", "doc_id",
+      threshold = 0.5, k = 32, bands = 8, shingleSize = 5)
+    val assign = dup.select("doc_id")
+      .join(groups, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("group_id"), col("doc_id")).as("pred"),
+        (col("doc_id") % 10000).as("gold"))
+    val rr = Validation.pairwiseClusterEval(assign, "doc_id", "pred", "gold").head()
+    def rdec(i: Int) = rr.getDecimal(i).longValueExact()
+    assert(rdec(5) === 0L, s"planted pairs missed: fn=${rdec(5)}")
+    assert(rdec(3) >= rdec(2) && rdec(2) > 0L) // tp covers all gold pairs
+  }
 }
