@@ -440,15 +440,24 @@ object StatefulOps {
     *
     * Exactly-once across RE-ENTRY: once a user's outcome is emitted,
     * the state shrinks to a compact `closed` tombstone (anchor only, no
-    * buffer, no timeout) that suppresses any later step-0 event — so a
-    * user who comes back after window + watermarkDelay cannot anchor a
-    * second window and emit a second outcome, matching the batch twin's
+    * buffer) that suppresses any later step-0 event — so a user who
+    * comes back after window + watermarkDelay cannot anchor a second
+    * window and emit a second outcome, matching the batch twin's
     * global-first-view anchor. The 100 TB cost is explicit: one ~24-byte
     * state row per EMITTED user retained for the stream's lifetime —
-    * the unavoidable price of "one outcome per user, ever" (drop to
-    * per-epoch semantics by TTL-ing the store if that contract is ever
-    * relaxed). Anchorless users still remove state entirely at
-    * timeout.
+    * the unavoidable price of "one outcome per user, ever". Anchorless
+    * users still remove state entirely at timeout.
+    *
+    * `tombstoneTtlMicros` is the escape hatch when that retention is
+    * unacceptable: a set TTL arms an event-time timeout on each
+    * tombstone, measured from the close (later activity does NOT
+    * refresh it), after which the state row is removed — bounding
+    * tombstone state at the cost of PER-EPOCH semantics: a user
+    * re-entering after window + watermark + TTL anchors a fresh funnel
+    * and emits a second outcome (spec-pinned), and the streaming
+    * output then deliberately diverges from the batch twin's
+    * one-row-per-user contract. Default None keeps exactly-once
+    * forever.
     *
     * Operational note: adding the tombstone field changed the encoded
     * state shape, so checkpoints written by the PREVIOUS funnel version
@@ -459,10 +468,12 @@ object StatefulOps {
     * spec (state, anchor, and watermark survive). */
   def funnelWithState(
       events: Dataset[LogEvent], steps: Seq[String], windowMicros: Long,
-      watermarkDelay: String = "1 hour"): Dataset[FunnelOutcome] = {
+      watermarkDelay: String = "1 hour",
+      tombstoneTtlMicros: Option[Long] = None): Dataset[FunnelOutcome] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "steps must be distinct")
     require(windowMicros > 0)
+    require(tombstoneTtlMicros.forall(_ > 0), "tombstone TTL must be positive")
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -502,18 +513,29 @@ object StatefulOps {
         state: GroupState[FunnelBuf]): Iterator[FunnelOutcome] = {
       if (state.hasTimedOut) {
         val buf = state.get
-        if (buf.anchorNs == Long.MaxValue) {
+        if (buf.closed) {
+          // a TTL'd tombstone expired: drop the state row entirely —
+          // the user may re-enter and emit again (per-epoch contract)
+          state.remove()
+          Iterator.empty
+        } else if (buf.anchorNs == Long.MaxValue) {
           // anchorless: nothing emitted, a later step-0 may still
           // legitimately enter (it would be the global first view)
           state.remove()
           Iterator.empty
         } else {
-          // emitted: keep a compact closed tombstone (no timeout) so a
-          // step-0 event arriving after window+watermark cannot
-          // re-anchor and emit a SECOND outcome for the same user —
-          // the batch twin anchors at the GLOBAL first view and emits
-          // exactly one row, so must we (re-entry divergence fix)
+          // emitted: keep a compact closed tombstone so a step-0 event
+          // arriving after window+watermark cannot re-anchor and emit
+          // a SECOND outcome for the same user — the batch twin
+          // anchors at the GLOBAL first view and emits exactly one
+          // row, so must we (re-entry divergence fix). With a TTL the
+          // tombstone itself times out (measured from this close) and
+          // the contract relaxes to per-epoch.
           state.update(FunnelBuf(buf.anchorNs, Nil, closed = true))
+          tombstoneTtlMicros.foreach { ttl =>
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + math.max(1L, ttl / 1000L))
+          }
           close(userId, buf)
         }
       } else if (state.getOption.exists(_.closed)) {

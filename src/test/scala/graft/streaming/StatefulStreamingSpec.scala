@@ -856,6 +856,39 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelWithState tombstone TTL: re-entry after expiry emits a second outcome (per-epoch)") {
+    def evm(u: Long, minutes: Long, typ: String): LogEvent =
+      LogEvent(u, minutes * 60000000000L, typ, 0L)
+    val us = 60000000L
+    val w = 60L * 60000000L
+    val in = MemoryStream[LogEvent](spark)
+    val q = memSink(StatefulOps.funnelWithState(
+        in.toDS(), Seq("a", "b", "c"), w, "60 minutes",
+        tombstoneTtlMicros = Some(120L * 60000000L)).toDF(),
+      "funnel_ttl", "append")
+    try {
+      in.addData(evm(1, 1000, "a"), evm(1, 1010, "b")); processAll(q)
+      in.addData(evm(9, 1300, "a")); processAll(q) // wm 1240 closes u1; TTL armed
+      assert(spark.table("funnel_ttl").as[FunnelOutcome].collect()
+        .count(_.userId == 1L) === 1)
+
+      // wm 1540 > close-wm(1240) + TTL(120) -> tombstone expires, row drops
+      in.addData(evm(10, 1600, "a")); processAll(q)
+
+      // u1 re-enters AFTER expiry: a fresh funnel anchors and emits a
+      // SECOND outcome once its window closes - the per-epoch contract
+      in.addData(evm(1, 1700, "a"), evm(1, 1710, "b"), evm(1, 1720, "c"))
+      processAll(q)
+      in.addData(evm(11, 2000, "a")); processAll(q) // wm 1940 closes epoch 2
+      val u1 = spark.table("funnel_ttl").as[FunnelOutcome].collect()
+        .filter(_.userId == 1L).sortBy(_.stepUs.head)
+      assert(u1.length === 2, s"expected per-epoch re-emission, got ${u1.toSeq}")
+      assert(u1(0).reached === 2L && !u1(0).completed)
+      assert(u1(1).reached === 3L && u1(1).completed &&
+        u1(1).stepUs === Seq(1700 * us, 1710 * us, 1720 * us))
+    } finally q.stop()
+  }
+
   test("funnelWithState refuses an old-shape state checkpoint LOUDLY (no silent misbehavior)") {
     // The round-10 `closed` tombstone changed the encoded FunnelBuf, so
     // checkpoints from the pre-tombstone funnel cannot restore — the
