@@ -713,4 +713,38 @@ class PlanShapeSpec extends AnyFunSuite {
       count(p, "CartesianProduct") === 0,
       s"horizon stopped broadcasting:\n$p")
   }
+
+  test("mann-whitney: ties collapse in a partial-aggregated count-by-value pass; no join at all") {
+    val p = finalPlan("mann_whitney_u")
+    // the data-sized pass is the count-by-value aggregate (map-side
+    // combined); the cumulative window and final fold run on the
+    // |distinct values| frame. Nothing joins, nothing goes quadratic.
+    assert(count(p, "HashAggregate") >= 2, s"lost the partial aggregate:\n$p")
+    assert(count(p, "Window") >= 1, s"lost the cumulative window:\n$p")
+    Seq("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+        "CartesianProduct").foreach { op =>
+      assert(count(p, op) === 0, s"mann_whitney_u grew a $op:\n$p")
+    }
+  }
+
+  test("kneser-ney model: one data-sized bigram count; smoothing joins on the type frame; one-row total broadcasts") {
+    val p = finalPlan("kn_bigram_model")
+    // the only cross pairing is the one-row N1+(..) total riding a
+    // broadcast nested loop; left totals / continuation counts join the
+    // |bigram types| frame (broadcast or sort-merge both acceptable —
+    // the frame is reduced either way)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1 &&
+      count(p, "CartesianProduct") === 0,
+      s"kn_bigram_model paired something beyond the one-row total:\n$p")
+  }
+
+  test("cluster pair eval: C(n,2) arithmetic, never a pair join") {
+    val p = finalPlan("cluster_pair_eval")
+    // three keyed counts reduced to one row apiece, cross-joined as
+    // one-row broadcasts: the assignment frame must never self-join
+    // (a naive pairwise eval materializes O(n^2) pairs)
+    assert(count(p, "CartesianProduct") === 0, s"pair eval went cartesian:\n$p")
+    assert(count(p, "SortMergeJoin") === 0,
+      s"pair eval self-joined the assignment frame:\n$p")
+  }
 }
