@@ -342,4 +342,83 @@ class PipelineOpsPropertySpec extends AnyFunSuite {
       assert(fast === brute, s"[seed $seed t=$tn/$td]")
     }
   }
+
+  test("mannWhitneyU matches the brute-force pair-counting model on random tied data") {
+    // U_A = #{(x in A, y in B): x > y} + 0.5 * #{ties}; doubled to stay
+    // integer. Heavy tie mass on purpose (values drawn from 0..9).
+    (0 until 5).foreach { seed =>
+      val rnd = new Random(300 + seed)
+      val a = Vector.fill(20 + rnd.nextInt(60))(rnd.nextInt(10).toLong)
+      val b = Vector.fill(20 + rnd.nextInt(60))(rnd.nextInt(10).toLong)
+      val u2aBrute = a.iterator.map { x =>
+        2L * b.count(x > _) + b.count(x == _)
+      }.sum
+      val u2bBrute = 2L * a.size * b.size - u2aBrute
+      val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+      val r = Stats.mannWhitneyU(df, "g", "v", "a", "b").head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+        ((a.size.toLong, b.size.toLong, u2aBrute, u2bBrute)), s"[seed $seed]")
+    }
+  }
+
+  test("knBigramModel: probabilities sum to exactly 1 over the full vocab (interpolation identity)") {
+    // Interpolated KN is a proper distribution: for every context w1,
+    // sum over ALL w2 of p(w2|w1) = 1, where an unseen (w1,w2) gets the
+    // pure continuation term D * N1+(w1.)/c(w1.) * pcont(w2). Checked in
+    // exact BigInt rationals over a random corpus (alphabet of 6, so
+    // unseen pairs are common).
+    (0 until 3).foreach { seed =>
+      val rnd = new Random(400 + seed)
+      val words = Vector("a", "b", "c", "d", "e", "f")
+      val text = Vector.fill(120)(words(rnd.nextInt(words.size))).mkString(" ")
+      val m = Lexical.knBigramModel(Seq((1L, text)).toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((BigInt(r.getDecimal(3).toBigInteger), BigInt(r.getDecimal(4).toBigInteger))))
+        .toMap
+      // rebuild the count tables the same way the operator defines them
+      val toks = text.split("\\s+").toVector
+      val bigrams = toks.sliding(2).map(p => (p(0), p(1))).toVector
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val c1 = bigrams.groupBy(_._1._1).map { case (w, m2) => w -> m2.values.sum }
+      val nFollow = bigrams.keys.groupBy(_._1).map { case (w, ks) => w -> ks.size.toLong }
+      val nPrec = bigrams.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+      val nTypes = bigrams.size.toLong
+      c1.keys.foreach { w1 =>
+        val den = BigInt(4) * c1(w1) * nTypes
+        // observed mass from the operator's own output
+        val seen = words.flatMap(w2 => m.get((w1, w2))).map { case (n, d) =>
+          assert(den == d); n
+        }.sum
+        // unseen mass: 3 * N1+(w1.) * N1+(.w2) over w2 with no (w1,w2)
+        val unseen = words.filterNot(w2 => m.contains((w1, w2)))
+          .map(w2 => BigInt(3) * nFollow(w1) * BigInt(nPrec.getOrElse(w2, 0L))).sum
+        assert(seen + unseen == den,
+          s"[seed $seed] p(.|$w1) sums to ${seen + unseen}/$den, not 1")
+      }
+    }
+  }
+
+  test("pairwiseClusterEval matches brute-force pair sets on random assignments") {
+    (0 until 5).foreach { seed =>
+      val rnd = new Random(500 + seed)
+      val n = 30 + rnd.nextInt(120)
+      val rows = (0L until n.toLong).map(i =>
+        (i, rnd.nextInt(8).toLong, rnd.nextInt(6).toLong))
+      def pairsBy(f: ((Long, Long, Long)) => (Long, Long)): Set[(Long, Long)] =
+        (for {
+          x <- rows; y <- rows if x._1 < y._1 && f(x) == f(y)
+        } yield (x._1, y._1)).toSet
+      val pred = pairsBy(r => (r._2, 0L))
+      val gold = pairsBy(r => (r._3, 0L))
+      val tp = pred.intersect(gold)
+      val r = Validation.pairwiseClusterEval(
+        rows.toDF("id", "pred", "gold"), "id", "pred", "gold").head()
+      def dec(i: Int) = r.getDecimal(i).longValueExact()
+      assert((r.getLong(0), dec(1), dec(2), dec(3), dec(4), dec(5)) ===
+        ((n.toLong, pred.size.toLong, gold.size.toLong, tp.size.toLong,
+          (pred.size - tp.size).toLong, (gold.size - tp.size).toLong)),
+        s"[seed $seed]")
+    }
+  }
 }
