@@ -518,6 +518,15 @@ private[graft] trait PipelineGates extends GateSupport {
     Sampling.mixturePlan(docs, weights, budgetTokens = 100000L).orderBy("source")
   }
 
+  /** Temperature-scaled mixture weights ([[graft.operators.Sampling
+    * .temperatureWeights]]): per-source sampling shares ∝ √n_docs
+    * (α = 1/2, the exact-integer temperature) — upsamples small
+    * sources without letting any dominate; `w_fp` plugs straight into
+    * mixturePlan as its integral weight. */
+  protected def temperatureWeightsQuery(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureWeights(t(s, dir, "documents"), "source")
+      .orderBy("source")
+
   /** Near-dup GROUPS: LSH pairs → connected components
     * (Dedup.nearDupGroups). Oracled because pair recall on this corpus is
     * 1.0 (see minhash_near_dups), so components over the pipeline's pairs
@@ -881,6 +890,7 @@ private[graft] trait PipelineGates extends GateSupport {
     "pii_scrub" -> piiScrub _,
     "span_dedup" -> spanDedup _,
     "mixture_plan" -> mixturePlanQuery _,
+    "temperature_weights" -> temperatureWeightsQuery _,
     "vocab_encode" -> vocabEncode _,
     "quantize_embeddings" -> quantizeEmbeddings _,
     "incremental_dedup" -> incrementalDedup _,
@@ -1440,6 +1450,25 @@ private[graft] trait PipelineGates extends GateSupport {
                   AS BIGINT) AS rate_ppm
          FROM agg a JOIN w ON a.source = w.source, t
          ORDER BY a.source""",
+    "temperature_weights" ->
+      // alpha = 1/2 temperature: w = isqrt(n * 10^12) exactly - floor of
+      // the correctly-rounded double sqrt is within +-1 of the integer
+      // root at these magnitudes, so one correction step makes it exact
+      """WITH c AS (SELECT source, CAST(count(*) AS HUGEINT) AS n_docs
+                    FROM documents GROUP BY source),
+          r AS (SELECT source, n_docs,
+                  n_docs * 1000000000000 AS x,
+                  CAST(floor(sqrt((n_docs * 1000000000000)::DOUBLE)) AS HUGEINT) AS s0
+                FROM c),
+          w AS (SELECT source, n_docs,
+                  s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN 1 ELSE 0 END)
+                     - (CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END) AS w_fp
+                FROM r),
+          t AS (SELECT sum(w_fp) AS tw FROM w)
+         SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(w_fp AS BIGINT) AS w_fp,
+                CAST(w_fp * 1000000 // tw AS BIGINT) AS share_ppm
+         FROM w, t ORDER BY source""",
     "corpus_shuffle" ->
       """WITH s AS (SELECT doc_id,
                       ('0x' || substr(md5('epoch-0' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,

@@ -102,6 +102,47 @@ object Sampling {
     * counting pass, deterministic per id, so re-running or appending data
     * never changes earlier decisions. Sources absent from `weights` are
     * dropped (weight 0). */
+  /** Temperature-scaled mixture weights at α = 1/2 — the standard
+    * corpus-rebalancing move for heterogeneous sources (multilingual
+    * sampling, Conneau & Lample 2019: draw source s with probability
+    * ∝ n_s^α, α < 1, so small sources are upsampled relative to their
+    * share without ever dominating). α is PINNED to 1/2 because that
+    * is the exponent with an exact integer evaluation: the weight is
+    * the integer square root of n_s·10¹² (= ⌊10⁶·√n_s⌋, fixed-point
+    * ×10⁶ via BigInteger.sqrt — no float pow, so both engines produce
+    * identical digits at any count; other α need transcendental pow
+    * and would hash-differ in the last ulp). Output per source:
+    * `n_docs`, `w_fp` (10⁶-scaled √n), and `share_ppm`
+    * (w·10⁶ div Σw — the sampling probability in ppm, floor division).
+    *
+    * 100 TB shape: ONE map-side-combined count per source; the
+    * |sources| frame (a data-card-sized list by construction) comes to
+    * the driver for the exact BigInteger sqrt — the bounded-frame
+    * collect pattern of the k-means centroids — and returns as a
+    * literal frame for joins downstream ([[mixturePlan]] accepts
+    * `w_fp` as its integral weight column). */
+  def temperatureWeights(
+      df: DataFrame, sourceCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .collect() // bounded: |sources| rows
+      .map(r => (r.get(0).toString, r.getLong(1)))
+      .sortBy(_._1)
+    val scaled = counts.map { case (s, n) =>
+      val w = java.math.BigInteger.valueOf(n)
+        .multiply(java.math.BigInteger.TEN.pow(12)).sqrt()
+      (s, n, w.longValueExact())
+    }
+    val total = scaled.map(t => BigInt(t._3)).sum
+    import spark.implicits._
+    // share in exact BigInt floor division (a decimal divide would
+    // ROUND at result scale and could disagree with the oracle's //)
+    scaled.toSeq
+      .map { case (s, n, w) => (s, n, w, (BigInt(w) * 1000000 / total).toLong) }
+      .toDF("source", "n_docs", "w_fp", "share_ppm")
+  }
+
   def weightedMixture(
       df: DataFrame, sourceCol: String, idCol: String,
       weights: Map[String, Double], salt: String = "mix"): DataFrame = {

@@ -638,6 +638,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m.values.forall { case (n, d) => n > 0 && n <= d })
   }
 
+  test("temperatureWeights: exact integer sqrt weights and floor-division shares") {
+    // n=4 -> isqrt(4e12) = 2_000_000 exactly; n=2 -> isqrt(2e12) =
+    // 1_414_213 (floor of 1.41421356e6); n=9 -> 3_000_000
+    val df = (Seq.fill(4)("s4") ++ Seq.fill(2)("s2") ++ Seq.fill(9)("s9"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "src")
+    val out = Sampling.temperatureWeights(df, "src").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("s4")._2 === 2000000L)
+    assert(out("s2")._2 === 1414213L)
+    assert(out("s9")._2 === 3000000L)
+    val totalW = out.values.map(_._2).sum
+    out.foreach { case (_, (_, w, ppm)) =>
+      assert(ppm === w * 1000000L / totalW) // floor division
+    }
+    // temperature flattens: s2's share (2/15 = 13.3% of docs) rises,
+    // s9's (60%) falls
+    assert(out("s2")._3 > 2000000L / 15L)
+    assert(out("s9")._3 < 9000000L / 15L)
+  }
+
   test("pairwiseClusterEval: hand-computed cells; planted-truth recall on the dup corpus") {
     // pred {1,2,3} + singletons {4},{5}; gold {1,2},{3,4},{5}:
     // pred_pairs = C(3,2) = 3, gold_pairs = 1+1 = 2, tp = {1,2} = 1
