@@ -1,5 +1,10 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// The driver captures a bounded stdout tail of `sbt runMain graft.Bench`
+// and parses the LAST JSON line; sbt's "[success] Total time: …" epilogue
+// would otherwise print after the program's final token and break that
+// parse (round-11 verdict, blocker (a)).
+Global / showSuccess := false
 name := "sqlstreamstorespark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

@@ -127,6 +127,39 @@ object Bench {
         (resultJson() + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
 
+    // Scenario names that overlap BASELINE.md's round-1 table: the compact
+    // tail-sized summary carries exactly these (the set the 2× gate binds
+    // on), so the driver's bounded tail parse still yields a per-scenario
+    // baseline comparison without the 18 KB full map.
+    val baselineOverlap: Set[String] = Set(
+      "ann_lsh_topk", "cosine_near_dups", "dedup_exact_groups",
+      "dedup_exact_survivors", "delete_message_anti", "delete_stream_filter",
+      "distinct_counts", "doc_fingerprints", "embedding_norms",
+      "gap_detection", "idempotency_chains", "join_streams_dim",
+      "json_extract", "knn_dot_topk", "lang_id", "list_streams_keyset",
+      "minhash_near_dups", "multimodal_features", "ngram_jaccard_pairs",
+      "orders_monthly", "q1_pricing_summary", "q3_top_revenue",
+      "q5_nation_revenue", "read_all_backwards", "read_all_forwards",
+      "read_head_position", "read_stream_backwards", "read_stream_forwards",
+      "scavenge_topk", "simhash_near_dups", "store_append_2k_msgs",
+      "store_read_all_scan", "store_subscription_catchup", "stream_heads",
+      "stream_id_hashing", "text_bpe_tokens", "text_quality_ratios",
+      "text_token_counts", "top_parts_per_brand", "ttl_filter")
+    def compactSummaryJson(): String = {
+      val total = results.values.filter(_ >= 0).sum
+      val qs = results.toSeq.filter(kv => baselineOverlap(kv._1)).sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      def line(queries: String): String =
+        s"""{"metric":"total","value":$total,"unit":"sec",""" +
+          s""""n_scenarios":${results.size},"queries":$queries,""" +
+          s""""stat_note":"queries=baseline-overlap subset, min stat; full map in artifact",""" +
+          s""""artifact":"target/bench.json","sf":"$sfDir",$runMeta}"""
+      val full = line(qs)
+      // hard bound: the whole line must sit inside the driver's ~2 KB tail
+      if (full.length <= 1600) full else line("{}")
+    }
+
     // Iteration aid, NOT used by the driver: SPARK_GRAFT_BENCH_ONLY=
     // "streaming,prefix_" runs only scenarios/queries whose name starts
     // with one of the comma-separated prefixes (scenario FAMILIES are
@@ -263,6 +296,9 @@ object Bench {
     results ++= guarded(Seq("pipeline_docs_end_to_end")) {
       pipelineScenario(spark, sfDir)
     }
+    results ++= guarded(Seq("pipeline_docs_incremental")) {
+      incrementalPipelineScenario(spark, sfDir)
+    }
     results ++= guarded(Seq("layout_plain_write", "layout_zorder_write",
         "layout_plain_box_scan", "layout_zorder_box_scan",
         "layout_plain_band_scan", "layout_zorder_band_scan")) {
@@ -293,6 +329,15 @@ object Bench {
       System.err.println(s"[bench] spark.stop() threw (ignored): $e")
     }
     println(resultJson())
+    // Round-11 verdict, blocker (b): the driver's stdout tail window is
+    // ~2,000 bytes while the full JSON above is ~18 KB — the tail starts
+    // mid-object and can never parse. So the TRUE final line is a compact
+    // summary that fits whole inside the tail: total + provenance + the
+    // BASELINE.md-overlap scenarios (3-decimal seconds, ~1.2 KB); if the
+    // line ever outgrows the window, the queries map is dropped first.
+    // The full per-scenario map stays in target/bench.json (flushed
+    // above) and the committed BENCH_r*_local.json artifact.
+    println(compactSummaryJson())
     Console.out.flush()
     System.out.flush()
     System.exit(0)
@@ -900,6 +945,80 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     Seq("pipeline_docs_end_to_end" -> sec)
+  }
+
+  /** The operational daily-growth twin of `pipeline_docs_end_to_end`
+    * (r11 verdict #7): a ~10%-sized batch of NEW documents processed
+    * against STANDING corpus state — LSH-index probe (the
+    * [[graft.streaming.OnlineDedup]] idiom: index read back from
+    * parquet, batch buckets broadcast), incremental survivors,
+    * [[graft.operators.Merge.maintainAgg]] rollup merge, leakage-safe
+    * cluster split of the delta, and the index-delta append. The
+    * standing state (index, rollup) is built UNTIMED — in production it
+    * already sits on disk; the timed number is |delta|-bounded work
+    * plus the one unavoidable standing-index scan, which is the whole
+    * point vs the from-scratch scenario's full recompute.
+    * IncrementalPipelineSpec pins delta-result ≡ full-recompute
+    * restricted to new ids, end to end. */
+  private def incrementalPipelineScenario(
+      spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import graft.operators._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-inc").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "source")
+    val standing = docs.filter(col("doc_id") % 10 =!= 0)
+    // the daily batch: new ids ABOVE the standing id space (the
+    // incremental contract); half exact copies of standing docs (index
+    // hits) and half fresh-tailed text (survivors)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        when(col("doc_id") % 20 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" fresh "), col("doc_id")))
+          .as("text"),
+        col("source"))
+      .localCheckpoint()
+    // ---- standing state, untimed: exists on disk in production ----
+    val (sb, ssh) = Dedup.nearDupIndex(standing, "text", "doc_id")
+    sb.write.mode("overwrite").parquet(s"$tmp/index-buckets")
+    ssh.write.mode("overwrite").parquet(s"$tmp/index-shingles")
+    standing.withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .groupBy("source")
+      .agg(sum("n_tokens").as("n_tokens"), count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$tmp/rollup")
+    val sec = {
+      val t0 = System.nanoTime()
+      val buckets = spark.read.parquet(s"$tmp/index-buckets")
+      val shingles = spark.read.parquet(s"$tmp/index-shingles")
+      val pairs = Dedup.incrementalNearDupPairs(batch, buckets, shingles,
+          "text", "doc_id", threshold = 0.5)
+        .localCheckpoint() // three consumers below; probe once
+      val survivors = batch.join(
+          pairs.select(col("new_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      // rollup merge: |sources| + |delta| work, never the standing corpus
+      Merge.maintainAgg(
+          spark.read.parquet(s"$tmp/rollup"),
+          survivors.withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+            .select("source", "n_tokens"),
+          Seq("source"), Seq("n_tokens"), countCol = "n")
+        .write.format("noop").mode("overwrite").save()
+      // leakage-safe split of the delta: matched docs key on their
+      // smallest match (standing ids < batch ids, so a standing match
+      // wins), unmatched docs are singletons
+      val groups = pairs.groupBy(col("new_id").as("doc_id"))
+        .agg(min("match_id").as("group_id"))
+      Sampling.clusterSplit(batch, groups, salt = "inc-v1")
+        .write.format("noop").mode("overwrite").save()
+      // index delta: exactly the survivors' rows append to the index
+      val (nb, nsh) = Dedup.nearDupIndex(survivors, "text", "doc_id")
+      nb.write.mode("overwrite").parquet(s"$tmp/index-buckets-delta")
+      nsh.write.mode("overwrite").parquet(s"$tmp/index-shingles-delta")
+      (System.nanoTime() - t0) / 1e9
+    }
+    deleteRecursively(tmp)
+    Seq("pipeline_docs_incremental" -> sec)
   }
 
   /** End-to-end HTTP surface throughput (ref: `src/LoadTests/` exercises

@@ -259,6 +259,11 @@ private[graft] trait CdcGates extends GateSupport {
         t(s, dir, "events")
           .withColumn("value_c", round(col("value") * 100).cast("long")),
         "event_type", "value_c", groupA = "view", groupB = "purchase")
+      // gate boundary: the decimal(38,0) doubled-U values render as
+      // strings (the spearman_corr discipline) — same digits on both
+      // engines at any magnitude, no non-ANSI decimal→long NULL risk
+      .withColumn("u2_a", col("u2_a").cast("string"))
+      .withColumn("u2_b", col("u2_b").cast("string"))
 
   /** Spearman rank correlation ([[graft.operators.Stats.spearmanCorr]])
     * between quantity and extended price per return flag — monotone
@@ -1141,9 +1146,9 @@ private[graft] trait CdcGates extends GateSupport {
                 FROM c)
          SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
                 CAST(sum(ca * (below * 2 + ca + cb + 1))
-                     - sum(ca) * (sum(ca) + 1) AS BIGINT) AS u2_a,
+                     - sum(ca) * (sum(ca) + 1) AS VARCHAR) AS u2_a,
                 CAST(sum(cb * (below * 2 + ca + cb + 1))
-                     - sum(cb) * (sum(cb) + 1) AS BIGINT) AS u2_b
+                     - sum(cb) * (sum(cb) + 1) AS VARCHAR) AS u2_b
          FROM w""",
     "seasonal_outliers" ->
       // seasonal_decompose's CTE + per-(type, dow) lower medians: flag

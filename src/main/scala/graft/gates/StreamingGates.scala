@@ -125,6 +125,61 @@ private[graft] trait StreamingGates extends GateSupport {
       .orderBy("user_id", "valid_from_us")
   }
 
+  /** Per-event Welford anomaly monitor ([[graft.streaming.StatefulOps
+    * .anomalyWithState]]) in BATCH mode — one invocation per user over
+    * empty state, events folded in (ts, value) order, the z² verdict in
+    * exact BigInt. Degenerates to exactly the `zscore_alerts` window
+    * formulation (prior-only running sums), which is what the oracle
+    * states; multi-batch incremental behavior + checkpoint recovery stay
+    * pinned in StatefulStreamingSpec. */
+  protected def anomalyStateBatch(s: SparkSession, dir: String): DataFrame =
+    StatefulOps.anomalyWithState(StatefulOps.typedEvents(eventsNs(s, dir)))
+      .toDF()
+      .select(col("userId").as("user_id"),
+        expr("tsNanos div 1000").as("ts_us"),
+        col("nPrior").as("n_prior"), col("isAnomaly").as("is_anomaly"))
+      .orderBy("user_id", "ts_us", "n_prior")
+
+  /** Online CUSUM drift monitor ([[graft.streaming.StatefulOps
+    * .cusumDriftWithState]]) in BATCH mode — the Page recurrence
+    * g⁺←max(0, g⁺+(v−μ₀−s)), g⁻←max(0, g⁻+(μ₀−v−s)) with post-alarm
+    * restart, folded per event type in (ts, value) order, exact long
+    * micros end to end. The oracle UNROLLS the same recurrence with a
+    * recursive CTE (one row advanced per group per step — inherently
+    * sequential per key, so the gate monitors per event_type × user
+    * bucket: 100 keys ≈ 100 rows each keeps the unroll tractable while
+    * every event is still judged). μ₀ = 50 (the corpus mean),
+    * slack = 10, threshold = 200 (units of value) — both alarm sides
+    * fire and restart (282/90 on this fixture). Streaming semantics
+    * stay pinned in StatefulStreamingSpec. */
+  protected def cusumStateBatch(s: SparkSession, dir: String): DataFrame =
+    StatefulOps.cusumDriftWithState(
+        StatefulOps.typedEvents(eventsNs(s, dir)
+          .withColumn("event_type",
+            concat_ws("#", col("event_type"), pmod(col("user_id"), lit(20))))),
+        mu0Micros = 50000000L, slackMicros = 10000000L,
+        thresholdMicros = 200000000L)
+      .toDF()
+      .select(col("eventType").as("monitor_key"),
+        expr("tsNanos div 1000").as("ts_us"),
+        col("gPlus").as("g_plus"), col("gMinus").as("g_minus"), col("alarm"))
+      .orderBy("monitor_key", "ts_us", "g_plus")
+
+  /** Space-Saving top-K ([[graft.streaming.TransformWithStateOps
+    * .TopKProcessor]]) in BATCH mode with k ≥ |distinct users| — at
+    * that size the summary never evicts, so Space-Saving IS the exact
+    * grouped count (the standard exactness degeneration of the
+    * Metwally et al. sketch); the oracle states it as such. The
+    * bounded-k eviction/overestimate behavior stays pinned in
+    * TransformWithStateSpec. */
+  protected def twsTopkBatch(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.TransformWithStateOps.topKWithState(
+        StatefulOps.typedEvents(eventsNs(s, dir)), k = 65536)
+      .toDF()
+      .select(col("eventType").as("event_type"),
+        col("userId").as("user_id"), col("n"))
+      .orderBy("event_type", "user_id")
+
   protected def streamingGateQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "windowed_stats" -> windowedStatsQuery _,
     "interval_join" -> intervalJoinQuery _,
@@ -135,6 +190,9 @@ private[graft] trait StreamingGates extends GateSupport {
     "running_totals" -> runningTotals _,
     "session_state_batch" -> sessionStateBatch _,
     "scd2_state_batch" -> scd2StateBatch _,
+    "anomaly_state_batch" -> anomalyStateBatch _,
+    "cusum_state_batch" -> cusumStateBatch _,
+    "tws_topk_batch" -> twsTopkBatch _,
   )
 
   protected def streamingGateOracles: Map[String, String] = Map(
@@ -247,5 +305,71 @@ private[graft] trait StreamingGates extends GateSupport {
                 lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
                 n_rows
          FROM grp ORDER BY user_id, valid_from_us""",
+    "anomaly_state_batch" ->
+      // batch-mode anomalyWithState ≡ the zscore window formulation:
+      // prior-only running (n, Σv, Σv²) per user in (ts, value) fold
+      // order, z² test (n·v − s1)² > 9·(n·s2 − s1²) in exact int128
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+                           CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT) AS vm
+                    FROM events),
+              w AS (
+           SELECT user_id, us, vm,
+                  count(*) OVER win AS n_prior,
+                  coalesce(sum(CAST(vm AS HUGEINT)) OVER win, 0) AS s1,
+                  coalesce(sum(CAST(vm AS HUGEINT) * vm) OVER win, 0) AS s2
+           FROM e
+           WINDOW win AS (PARTITION BY user_id ORDER BY us, vm
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT user_id, us AS ts_us, CAST(n_prior AS BIGINT) AS n_prior,
+                CASE WHEN n_prior >= 5 THEN
+                  (CAST(n_prior AS HUGEINT) * vm - s1) *
+                  (CAST(n_prior AS HUGEINT) * vm - s1)
+                    > 9 * (CAST(n_prior AS HUGEINT) * s2 - s1 * s1)
+                ELSE FALSE END AS is_anomaly
+         FROM w ORDER BY user_id, ts_us, n_prior""",
+    "cusum_state_batch" ->
+      // the Page recurrence unrolled as a recursive CTE: each iteration
+      // advances every monitor key (event_type × user%20 bucket) by ONE
+      // row (rn = i+1), emitting the post-update sums; alarm resets
+      // both carries (Page restart). μ₀+slack = 60, μ₀−slack = 40,
+      // threshold = 200 (micros-scaled)
+      """WITH RECURSIVE
+          e AS (SELECT event_type || '#' || CAST(user_id % 20 AS VARCHAR) AS mkey,
+                       epoch_us(ts) AS us,
+                       CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT) AS vm,
+                       row_number() OVER (
+                         PARTITION BY event_type || '#' || CAST(user_id % 20 AS VARCHAR)
+                         ORDER BY epoch_us(ts),
+                                  CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT)) AS rn
+                FROM events),
+          r AS (
+            SELECT mkey, CAST(NULL AS BIGINT) AS ts_us,
+                   CAST(0 AS BIGINT) AS g_plus, CAST(0 AS BIGINT) AS g_minus,
+                   FALSE AS alarm,
+                   CAST(0 AS BIGINT) AS carry_p, CAST(0 AS BIGINT) AS carry_m,
+                   CAST(0 AS BIGINT) AS i
+            FROM (SELECT DISTINCT mkey FROM e)
+            UNION ALL
+            SELECT e.mkey, e.us,
+                   greatest(0, r.carry_p + (e.vm - 60000000)),
+                   greatest(0, r.carry_m + (40000000 - e.vm)),
+                   (greatest(0, r.carry_p + (e.vm - 60000000)) > 200000000
+                    OR greatest(0, r.carry_m + (40000000 - e.vm)) > 200000000),
+                   CASE WHEN greatest(0, r.carry_p + (e.vm - 60000000)) > 200000000
+                          OR greatest(0, r.carry_m + (40000000 - e.vm)) > 200000000
+                        THEN 0 ELSE greatest(0, r.carry_p + (e.vm - 60000000)) END,
+                   CASE WHEN greatest(0, r.carry_p + (e.vm - 60000000)) > 200000000
+                          OR greatest(0, r.carry_m + (40000000 - e.vm)) > 200000000
+                        THEN 0 ELSE greatest(0, r.carry_m + (40000000 - e.vm)) END,
+                   r.i + 1
+            FROM r JOIN e ON e.mkey = r.mkey AND e.rn = r.i + 1)
+         SELECT mkey AS monitor_key, ts_us, g_plus, g_minus, alarm
+         FROM r WHERE ts_us IS NOT NULL
+         ORDER BY monitor_key, ts_us, g_plus""",
+    "tws_topk_batch" ->
+      // Space-Saving with k >= |distinct keys| never evicts: the sketch
+      // IS the exact grouped count
+      """SELECT event_type, user_id, count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

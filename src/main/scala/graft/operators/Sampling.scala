@@ -124,7 +124,11 @@ object Sampling {
   def temperatureWeights(
       df: DataFrame, sourceCol: String): DataFrame = {
     val spark = df.sparkSession
-    val counts = df.groupBy(col(sourceCol).as("source"))
+    // NULL sources are dropped BEFORE the groupBy (the weightedMixture
+    // drop semantics): a null group key would otherwise NPE the driver's
+    // .toString below instead of yielding a diagnosable result
+    val counts = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"))
       .collect() // bounded: |sources| rows
       .map(r => (r.get(0).toString, r.getLong(1)))

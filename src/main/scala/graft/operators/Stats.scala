@@ -856,13 +856,23 @@ object Stats {
     *
     * 100 TB shape: the ONE data-sized operation is the count-by-value
     * aggregate (map-side combined — ties collapse before any shuffle);
-    * the cumulative window then runs over the reduced |distinct values|
-    * frame (single-partition by necessity, like [[ksDrift]]'s corpus
-    * ECDF — bounded by value cardinality, not rows). Sums accumulate in
-    * decimal(38,0): rank-sums reach N², past int64 at N > ~3e9 rows. */
+    * the "values strictly below v" prefix then runs DISTRIBUTED over the
+    * reduced |distinct v| frame: range-repartition on v, a per-partition
+    * cumulative window (parallel — partitioned by `spark_partition_id`),
+    * and a |partitions|-row offset frame broadcast back (the
+    * [[graft.store.BulkImport]] two-pass prefix-sum idiom). A continuous
+    * value domain, where |distinct v| ≈ |rows|, therefore never funnels
+    * into one task — the round-11 single-partition `Window.orderBy`
+    * would have. Sums accumulate in decimal(38,0) END TO END (rank-sums
+    * reach N², past int64 at N > ~3e9 rows); `u2_a`/`u2_b` are returned
+    * as decimal(38,0) — rendering (string at a gate boundary, or a
+    * checked long for small N) is the caller's choice, so no silent
+    * non-ANSI decimal→long NULL can occur inside the operator. */
   def mannWhitneyU(
       df: DataFrame, groupCol: String, valueCol: String,
       groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB,
+      s"mannWhitneyU needs two distinct groups, got '$groupA' twice")
     val d = "decimal(38,0)"
     val counts = df
       .filter(col(groupCol).isin(groupA, groupB))
@@ -870,11 +880,31 @@ object Stats {
       .agg(
         sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).cast(d).as("ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).cast(d).as("cb"))
-    // values strictly below v, cumulated over the |distinct v| frame;
-    // doubled midrank of a tie run at v = 2·below + (ca+cb) + 1
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = counts.withColumn("below",
-      coalesce(sum(col("ca") + col("cb")).over(w), lit(0).cast(d)))
+    // distributed prefix sum of (ca+cb) in v-order: v is UNIQUE here
+    // (grouped), so range partitions + within-partition order is a total
+    // order; `below` = partition offset + local prefix − own count
+    val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    // materialized ONCE (lineage cut): the midrank window and the offsets
+    // aggregate must see the SAME partition ids — range boundaries are
+    // sampled, so an independent recompute could re-draw them
+    val local = counts
+      .repartitionByRange(parts, col("v"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val lw = Window.partitionBy("_pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = local.withColumn("_cum", sum(col("ca") + col("cb")).over(lw))
+    val offsets = local.groupBy("_pid")
+      .agg(sum(col("ca") + col("cb")).as("_ptot"))
+      // |shuffle partitions| rows — the one bounded single-partition window
+      .withColumn("_off", coalesce(sum("_ptot").over(
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0).cast(d)))
+      .select("_pid", "_off")
+    val ranked = cum
+      .join(broadcast(offsets), Seq("_pid"))
+      .withColumn("below", col("_off") + col("_cum") - (col("ca") + col("cb")))
+    // doubled midrank of the tie run at v = 2·below + (ca+cb) + 1
     ranked
       .agg(
         sum("ca").as("na"), sum("cb").as("nb"),
@@ -883,8 +913,8 @@ object Stats {
       .select(
         col("na").cast("long").as("n_a"),
         col("nb").cast("long").as("n_b"),
-        (col("r2a") - col("na") * (col("na") + 1)).cast("long").as("u2_a"),
-        (col("r2b") - col("nb") * (col("nb") + 1)).cast("long").as("u2_b"))
+        (col("r2a") - col("na") * (col("na") + 1)).cast(d).as("u2_a"),
+        (col("r2b") - col("nb") * (col("nb") + 1)).cast(d).as("u2_b"))
   }
 
   /** Classical additive seasonal decomposition of a daily count series,

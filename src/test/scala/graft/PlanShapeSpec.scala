@@ -714,14 +714,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"horizon stopped broadcasting:\n$p")
   }
 
-  test("mann-whitney: ties collapse in a partial-aggregated count-by-value pass; no join at all") {
+  test("mann-whitney: distributed midrank — the data-sized window is keyed, only the |partitions| offsets frame is global") {
     val p = finalPlan("mann_whitney_u")
     // the data-sized pass is the count-by-value aggregate (map-side
-    // combined); the cumulative window and final fold run on the
-    // |distinct values| frame. Nothing joins, nothing goes quadratic.
+    // combined); the cumulative midrank prefix then runs PARTITIONED by
+    // spark_partition_id over the range-repartitioned |distinct v|
+    // frame (r12: survives continuous domains where |distinct v| ≈
+    // |rows|), and the ONLY single-partition window sits on the
+    // |shuffle partitions|-row offsets aggregate, which joins back by
+    // broadcast. Nothing sort-merges, nothing goes quadratic.
     assert(count(p, "HashAggregate") >= 2, s"lost the partial aggregate:\n$p")
-    assert(count(p, "Window") >= 1, s"lost the cumulative window:\n$p")
-    Seq("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+    assert(count(p, "Window") === 2, s"window count changed:\n$p")
+    assert(p.contains("hashpartitioning(_pid"),
+      s"midrank window is no longer keyed by partition id:\n$p")
+    assert("windowspecdefinition\\(_pid#\\d+, v#".r.findFirstIn(p).isDefined,
+      s"the data-sized window lost its _pid partitioning:\n$p")
+    assert("HashAggregate\\(keys=\\[_pid".r.findFirstIn(p).isDefined,
+      s"offsets no longer aggregate per partition id:\n$p")
+    assert(count(p, "BroadcastHashJoin") === 1,
+      s"offsets stopped broadcasting back:\n$p")
+    Seq("SortMergeJoin", "BroadcastNestedLoopJoin",
         "CartesianProduct").foreach { op =>
       assert(count(p, op) === 0, s"mann_whitney_u grew a $op:\n$p")
     }

@@ -605,19 +605,27 @@ class OperatorsSpec extends AnyFunSuite {
     val tiny = Seq(("a", 1L), ("a", 2L), ("a", 3L),
                    ("b", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
     val r = Stats.mannWhitneyU(tiny, "g", "v", "a", "b").head()
-    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
-      ((3L, 3L, 4L, 14L)))
+    assert((r.getLong(0), r.getLong(1), r.getDecimal(2).longValueExact(),
+      r.getDecimal(3).longValueExact()) === ((3L, 3L, 4L, 14L)))
 
     // degenerate: all values tied → U_A = U_B = na·nb/2 exactly
     val tied = Seq(("a", 7L), ("a", 7L), ("b", 7L)).toDF("g", "v")
     val rt = Stats.mannWhitneyU(tied, "g", "v", "a", "b").head()
-    assert((rt.getLong(2), rt.getLong(3)) === ((2L, 2L)))
+    assert((rt.getDecimal(2).longValueExact(),
+      rt.getDecimal(3).longValueExact()) === ((2L, 2L)))
 
     // real data: u2_a + u2_b = 2·n_a·n_b always (rank-sum identity)
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .withColumn("value_c", round(col("value") * 100).cast("long"))
     val rr = Stats.mannWhitneyU(ev, "event_type", "value_c", "view", "purchase").head()
-    assert(rr.getLong(2) + rr.getLong(3) === 2L * rr.getLong(0) * rr.getLong(1))
+    assert(rr.getDecimal(2).longValueExact() + rr.getDecimal(3).longValueExact()
+      === 2L * rr.getLong(0) * rr.getLong(1))
+
+    // same group twice is a coding error, rejected loudly (not a
+    // silently double-counted nonsense U)
+    assertThrows[IllegalArgumentException] {
+      Stats.mannWhitneyU(tiny, "g", "v", "a", "a")
+    }
   }
 
   test("Kneser-Ney bigram model: hand-computed rationals on a tiny corpus") {
@@ -656,6 +664,15 @@ class OperatorsSpec extends AnyFunSuite {
     // s9's (60%) falls
     assert(out("s2")._3 > 2000000L / 15L)
     assert(out("s9")._3 < 9000000L / 15L)
+
+    // NULL sources drop (the weightedMixture semantics) instead of
+    // NPE-ing the driver's group-key toString
+    val withNull = df.withColumn("src",
+      when(col("id") === 0L, lit(null: String)).otherwise(col("src")))
+    val outN = Sampling.temperatureWeights(withNull, "src").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(outN.keySet === Set("s2", "s4", "s9"))
+    assert(outN("s4") === 3L) // one s4 doc went null → dropped
   }
 
   test("pairwiseClusterEval: hand-computed cells; planted-truth recall on the dup corpus") {

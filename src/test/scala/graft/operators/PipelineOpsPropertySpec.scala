@@ -356,7 +356,8 @@ class PipelineOpsPropertySpec extends AnyFunSuite {
       val u2bBrute = 2L * a.size * b.size - u2aBrute
       val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
       val r = Stats.mannWhitneyU(df, "g", "v", "a", "b").head()
-      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      assert((r.getLong(0), r.getLong(1), r.getDecimal(2).longValueExact(),
+        r.getDecimal(3).longValueExact()) ===
         ((a.size.toLong, b.size.toLong, u2aBrute, u2bBrute)), s"[seed $seed]")
     }
   }
