@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -115,8 +115,9 @@ object Stats {
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .withColumn("cum_grp",
         sum("cnt").over(Window.partitionBy("grp").orderBy("v")))
-    val cumAll = valTotals.withColumn("cum_all",
-      sum("v_cnt").over(Window.orderBy("v"))) // |distinct v| rows only
+    // corpus ECDF: distributed prefix (r12) — a continuous value domain
+    // no longer funnels |distinct v| rows into one task
+    val cumAll = rangePrefixSum(valTotals, "v", col("v_cnt"), "cum_all")
     val total = counts.agg(sum("cnt").as("n_all"))
     cumGrp.join(cumAll.select("v", "cum_all"), Seq("v"))
       .crossJoin(broadcast(total))
@@ -843,6 +844,47 @@ object Stats {
         (col("n") * col("svv") - col("sv") * col("sv")).cast(d).as("rho_deny"))
   }
 
+  /** Exact distributed prefix sum over a totally-ordered UNIQUE key —
+    * the shared scale-safe form behind [[mannWhitneyU]]'s midranks and
+    * [[ksDrift]]'s corpus ECDF (the windowed twin of
+    * [[graft.store.BulkImport]]'s two-pass offset stamping). A global
+    * `Window.orderBy` would funnel the whole frame into ONE task; this
+    * instead range-repartitions on the key, runs the cumulative window
+    * PER PARTITION (keyed by `spark_partition_id` — parallel), and
+    * broadcasts back a |partitions|-row offsets frame whose own
+    * single-partition window is bounded by configuration, not data.
+    *
+    * The range-partitioned frame is localCheckpoint'd: range boundaries
+    * are SAMPLED, so the window branch and the offsets branch must see
+    * the same draw (an independent recompute could re-draw them and
+    * mis-align partition ids). Inclusive: `outCol` at row r =
+    * Σ `sumExpr` over rows with key ≤ r's key. `orderCol` must be
+    * unique (a grouped key) so the order is total. */
+  private[graft] def rangePrefixSum(
+      df: DataFrame, orderCol: String, sumExpr: Column,
+      outCol: String): DataFrame = {
+    val parts =
+      math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val local = df
+      .repartitionByRange(parts, col(orderCol))
+      .withColumn("_pp_val", sumExpr)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val lw = Window.partitionBy("_pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = local.withColumn("_cum", sum(col("_pp_val")).over(lw))
+    val agg = local.groupBy("_pid").agg(sum("_pp_val").as("_ptot"))
+    val zero = lit(0).cast(agg.schema("_ptot").dataType)
+    val offsets = agg
+      .withColumn("_off", coalesce(sum("_ptot").over(
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+        zero))
+      .select("_pid", "_off")
+    cum.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(outCol, col("_off") + col("_cum"))
+      .drop("_pp_val", "_pid", "_cum", "_off")
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) between two groups — the
     * nonparametric two-sample test an A/B eval reaches for when values
     * are skewed (latencies, spend) and a t-test's mean is the wrong
@@ -880,31 +922,11 @@ object Stats {
       .agg(
         sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).cast(d).as("ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).cast(d).as("cb"))
-    // distributed prefix sum of (ca+cb) in v-order: v is UNIQUE here
-    // (grouped), so range partitions + within-partition order is a total
-    // order; `below` = partition offset + local prefix − own count
-    val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
-    // materialized ONCE (lineage cut): the midrank window and the offsets
-    // aggregate must see the SAME partition ids — range boundaries are
-    // sampled, so an independent recompute could re-draw them
-    val local = counts
-      .repartitionByRange(parts, col("v"))
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
-    val lw = Window.partitionBy("_pid").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = local.withColumn("_cum", sum(col("ca") + col("cb")).over(lw))
-    val offsets = local.groupBy("_pid")
-      .agg(sum(col("ca") + col("cb")).as("_ptot"))
-      // |shuffle partitions| rows — the one bounded single-partition window
-      .withColumn("_off", coalesce(sum("_ptot").over(
-        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0).cast(d)))
-      .select("_pid", "_off")
-    val ranked = cum
-      .join(broadcast(offsets), Seq("_pid"))
-      .withColumn("below", col("_off") + col("_cum") - (col("ca") + col("cb")))
+    // distributed prefix of (ca+cb) in v-order (v is unique after the
+    // groupBy); `below` = inclusive prefix − own tie-run size, and the
     // doubled midrank of the tie run at v = 2·below + (ca+cb) + 1
+    val ranked = rangePrefixSum(counts, "v", col("ca") + col("cb"), "_cumall")
+      .withColumn("below", col("_cumall") - (col("ca") + col("cb")))
     ranked
       .agg(
         sum("ca").as("na"), sum("cb").as("nb"),
