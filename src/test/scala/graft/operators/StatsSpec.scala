@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Exact rank-based grouped quantiles against hand-computed fixtures. */
@@ -220,5 +221,28 @@ class StatsSpec extends AnyFunSuite {
     // last two: values 1.0 (w=1/2) and 0.0 (w=1/4) → 0.5 / 0.75 = 2/3
     assert(out.getLong(1) === 2L)
     assert(math.abs(out.getDouble(2) - 2.0 / 3.0) < 1e-15)
+  }
+
+  test("rangePrefixSum equals the single-task cumulative sum on random keyed longs") {
+    import scala.util.Random
+    (0 until 3).foreach { seed =>
+      val rnd = new Random(900 + seed)
+      // unique keys (the contract), values incl. negatives and zeros,
+      // enough rows to span several range partitions
+      val rows = rnd.shuffle((0 until 500).toVector)
+        .map(k => (k.toLong * 3 + 1, rnd.nextInt(2001).toLong - 1000L))
+      val df = rows.toDF("k", "x")
+      val got = Stats.rangePrefixSum(df, "k", col("x"), "cum")
+        .select("k", "cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var acc = 0L
+      rows.sortBy(_._1).foreach { case (k, x) =>
+        acc += x
+        assert(got(k) === acc, s"[seed $seed] prefix at key $k")
+      }
+      // order/schema preserved, helper columns dropped
+      assert(Stats.rangePrefixSum(df, "k", col("x"), "cum").columns.toSeq
+        === Seq("k", "x", "cum"))
+    }
   }
 }
