@@ -191,6 +191,18 @@ private[graft] trait PipelineGates extends GateSupport {
         col("kn_den").cast("string").as("kn_den"))
       .orderBy("w1", "w2")
 
+  /** LM quality filter ([[graft.operators.Lexical.knRareBigramRate]]):
+    * a KN model fit on the 80% of docs with doc_id % 5 ≠ 0 scores the
+    * WHOLE corpus — held-out docs carry genuinely unseen transitions —
+    * flagging bigrams below p = 1/50 as rare. Exact integer counts;
+    * the CCNet-style keep/drop decision derives from these. */
+  protected def knRareRateQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = Lexical.knBigramModel(docs.filter(col("doc_id") % 5 =!= 0))
+    Lexical.knRareBigramRate(docs, model, tNum = 1L, tDen = 50L)
+      .orderBy("doc_id")
+  }
+
   /** Corpus snapshot diff (TextCorpus.corpusDiff): old = documents, new
     * = documents with deterministic mutations (doc_id%97 removed,
     * doc_id%13 edited, copies of doc_id<25 added at +10000) — the gate
@@ -877,6 +889,7 @@ private[graft] trait PipelineGates extends GateSupport {
     "hybrid_rrf_topk" -> hybridRrfTopK _,
     "lm_bigram_score" -> lmBigramScore _,
     "kn_bigram_model" -> knBigramQuery _,
+    "kn_rare_rate" -> knRareRateQuery _,
     "corpus_diff" -> corpusDiffQuery _,
     "purchase_pagerank" -> purchasePagerank _,
     "label_communities" -> labelCommunities _,
@@ -1223,6 +1236,39 @@ private[graft] trait PipelineGates extends GateSupport {
          FROM bi b JOIN lft l USING (w1) JOIN cont c USING (w2), ty t
          WHERE b.c2 >= 5
          ORDER BY w1, w2""",
+    "kn_rare_rate" ->
+      // model fit on doc_id % 5 <> 0, the whole corpus scored: unseen =
+      // bigram absent from the fit; rare = kn_num*50 < kn_den (p < 1/50
+      // cross-multiplied, exact)
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents),
+          fp AS (SELECT unnest(ws[1:len(ws)-1]) AS w1,
+                        unnest(ws[2:len(ws)]) AS w2
+                 FROM d WHERE len(ws) >= 2 AND doc_id % 5 <> 0),
+          bi AS (SELECT w1, w2, CAST(count(*) AS HUGEINT) AS c2
+                 FROM fp GROUP BY w1, w2),
+          lft AS (SELECT w1, sum(c2) AS c1w1,
+                         CAST(count(*) AS HUGEINT) AS n_follow
+                  FROM bi GROUP BY w1),
+          cont AS (SELECT w2, CAST(count(*) AS HUGEINT) AS n_prec
+                   FROM bi GROUP BY w2),
+          ty AS (SELECT CAST(count(*) AS HUGEINT) AS n_types FROM bi),
+          m AS (SELECT b.w1, b.w2,
+                  greatest(4 * b.c2 - 3, 0) * t.n_types
+                    + 3 * l.n_follow * c.n_prec AS kn_num,
+                  4 * l.c1w1 * t.n_types AS kn_den
+                FROM bi b JOIN lft l USING (w1) JOIN cont c USING (w2), ty t),
+          sp AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+                        unnest(ws[2:len(ws)]) AS w2
+                 FROM d WHERE len(ws) >= 2)
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum(CASE WHEN kn_num IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_unseen,
+                CAST(sum(CASE WHEN kn_num IS NOT NULL AND kn_num * 50 < kn_den
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+         FROM sp LEFT JOIN m USING (w1, w2)
+         GROUP BY doc_id ORDER BY doc_id""",
     "corpus_diff" ->
       """WITH o AS (SELECT doc_id, text FROM documents),
               n AS (SELECT doc_id,

@@ -282,6 +282,45 @@ object Lexical {
         (lit(4).cast(d) * col("c1w1") * col("n_types")).cast(d).as("kn_den"))
   }
 
+  /** LM-based quality scoring of documents against a fitted
+    * [[knBigramModel]] — the filtering decision a CCNet-style pipeline
+    * (Wenzek et al. 2020) makes from a language model, in EXACT integer
+    * arithmetic: per document, its bigram count, how many bigrams the
+    * model has NEVER seen (`n_unseen` — the OOV-transition rate), and
+    * how many seen bigrams are RARE, i.e. have interpolated-KN
+    * probability below `tNum/tDen` (cross-multiplied —
+    * `kn_num·tDen < kn_den·tNum` in decimal(38,0) — so no division and
+    * no float ever happens; both engines agree digit for digit). A
+    * perplexity threshold is monotone in these counts on the seen set;
+    * the float log-sum itself is deliberately NOT emitted — engine
+    * float accumulation orders differ, and the filter DECISION is what
+    * a pipeline acts on. Fit on held-out-clean data, score everything:
+    * high `n_unseen + n_rare` share marks boilerplate, gibberish, or
+    * out-of-domain text.
+    *
+    * 100 TB shape: scoring is ONE pass over the corpus bigrams joined
+    * against the MODEL — a |bigram types| frame (broadcastable for
+    * bounded vocabularies; a plain keyed shuffle join otherwise) — then
+    * one map-side-combined groupBy(doc). Documents with fewer than two
+    * tokens have no transitions and produce no row (same contract as
+    * [[knBigramModel]]'s fit). */
+  def knRareBigramRate(
+      docs: DataFrame, model: DataFrame, tNum: Long, tDen: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(tNum >= 0 && tDen >= 1, s"need threshold tNum/tDen >= 0: $tNum/$tDen")
+    val d = "decimal(38,0)"
+    pairs(docs, idCol, textCol)
+      .join(model.select(col("w1"), col("w2"), col("kn_num"), col("kn_den")),
+        Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("kn_num").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(when(col("kn_num").isNotNull &&
+            col("kn_num") * lit(tDen).cast(d) < col("kn_den") * lit(tNum).cast(d),
+          1L).otherwise(0L)).as("n_rare"))
+  }
+
   private def pairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("ws"))

@@ -739,6 +739,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("kn rare-rate scoring joins the corpus bigrams against the model without cartesian; one partial-aggregated doc rollup") {
+    val p = finalPlan("kn_rare_rate")
+    // the corpus-sized pass is the bigram explode + model join (left,
+    // equi on (w1,w2) — broadcast at this scale) + groupBy(doc_id) with
+    // map-side combine; nothing pairs quadratically
+    assert(count(p, "HashAggregate") >= 2, s"lost the partial doc rollup:\n$p")
+    assert(count(p, "CartesianProduct") === 0, s"kn_rare_rate went cartesian:\n$p")
+    // the model side may broadcast (expected here) or shuffle by key at
+    // vocab scale — but a one-row BNLJ is only legal for the n_types
+    // total inside the model fit, never for the scoring join
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1,
+      s"scoring join degenerated to nested-loop:\n$p")
+  }
+
   test("kneser-ney model: one data-sized bigram count; smoothing joins on the type frame; one-row total broadcasts") {
     val p = finalPlan("kn_bigram_model")
     // the only cross pairing is the one-row N1+(..) total riding a

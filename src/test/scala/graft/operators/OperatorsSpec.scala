@@ -646,6 +646,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m.values.forall { case (n, d) => n > 0 && n <= d })
   }
 
+  test("knRareBigramRate: hand-computed unseen/rare counts on the tiny KN corpus") {
+    // fit "a b a b a c" (p(b|a)=7/12, p(c|a)=1/4, p(a|b)=3/4); score
+    // "a b a c a d": bigrams (a,b),(b,a),(a,c),(c,a),(a,d) — (c,a) and
+    // (a,d) unseen; at threshold 1/3 only (a,c)'s 1/4 is rare
+    val fit = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val model = Lexical.knBigramModel(fit)
+    val score = Seq((7L, "a b a c a d")).toDF("doc_id", "text")
+    val r = Lexical.knRareBigramRate(score, model, tNum = 1L, tDen = 3L).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((7L, 5L, 2L, 1L)))
+
+    // threshold monotonicity: at 1/5 nothing seen is rare (the smallest
+    // seen probability is 1/4 > 1/5); at 1/1 all three seen bigrams are
+    // (every smoothed probability is strictly below 1)
+    val r2 = Lexical.knRareBigramRate(score, model, tNum = 1L, tDen = 5L).head()
+    assert(r2.getLong(3) === 0L)
+    val r3 = Lexical.knRareBigramRate(score, model, tNum = 1L, tDen = 1L).head()
+    assert(r3.getLong(3) === 3L)
+
+    // a one-token document has no transitions and produces no row
+    val single = Seq((9L, "a")).toDF("doc_id", "text")
+    assert(Lexical.knRareBigramRate(single, model, 1L, 3L).count() === 0L)
+  }
+
   test("temperatureWeights: exact integer sqrt weights and floor-division shares") {
     // n=4 -> isqrt(4e12) = 2_000_000 exactly; n=2 -> isqrt(2e12) =
     // 1_414_213 (floor of 1.41421356e6); n=9 -> 3_000_000
