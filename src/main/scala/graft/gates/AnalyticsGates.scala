@@ -787,6 +787,21 @@ private[graft] trait AnalyticsGates extends GateSupport {
     graft.operators.Stats.ksDrift(t(s, dir, "documents"), "source", "n_chars")
       .orderBy("source")
 
+  /** Categorical source-mix drift ([[graft.operators.Stats
+    * .chiSquareDrift]]): the corpus vs a snapshot that silently lost
+    * half of src1's documents (the differential-ingest failure this
+    * check exists to catch) — exact per-category χ² terms; the
+    * wide rationals render as strings (spearman discipline). */
+  protected def chiSquareDriftQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val snapshot = docs.filter(
+      !(col("source") === "src1" && pmod(col("doc_id"), lit(2)) === 0))
+    graft.operators.Stats.chiSquareDrift(docs, snapshot, "source")
+      .withColumn("chi2_num", col("chi2_num").cast("string"))
+      .withColumn("chi2_den", col("chi2_den").cast("string"))
+      .orderBy("category")
+  }
+
   /** Triangle counts on the MONTH-SLICED co-supplier graph (suppliers
     * sharing a March-1995 order; the slice is what keeps the graph
     * co-occurrence-shaped — the all-time graph converges on a complete
@@ -855,6 +870,7 @@ private[graft] trait AnalyticsGates extends GateSupport {
     "frequent_tokens" -> frequentTokensQuery _,
     "dsir_weights" -> dsirWeights _,
     "ks_drift" -> ksDriftQuery _,
+    "chi_square_drift" -> chiSquareDriftQuery _,
     "triangle_counts" -> triangleCountsQuery _,
     "mad_outliers" -> madOutliersQuery _,
   )
@@ -917,6 +933,32 @@ private[graft] trait AnalyticsGates extends GateSupport {
                      AS BIGINT) AS dsir_score
          FROM b JOIN dist ON b.bucket = dist.bucket
          GROUP BY b.doc_id ORDER BY b.doc_id""",
+    "chi_square_drift" ->
+      // Pearson χ² homogeneity, exact: per category the cross-multiplied
+      // term (o_a·n_b − o_b·n_a)²/(n_a·n_b·(o_a+o_b)) in HUGEINT digits,
+      // ppm by two-part floor division (no intermediate overflow)
+      """WITH a AS (SELECT source AS category FROM documents),
+              b AS (SELECT source AS category FROM documents
+                    WHERE NOT (source = 'src1' AND doc_id % 2 = 0)),
+              ca AS (SELECT category, CAST(count(*) AS HUGEINT) AS o_a
+                     FROM a GROUP BY 1),
+              cb AS (SELECT category, CAST(count(*) AS HUGEINT) AS o_b
+                     FROM b GROUP BY 1),
+              cells AS (SELECT category,
+                          coalesce(o_a, 0) AS o_a, coalesce(o_b, 0) AS o_b
+                        FROM ca FULL JOIN cb USING (category)),
+              t AS (SELECT sum(o_a) AS n_a, sum(o_b) AS n_b FROM cells),
+              terms AS (SELECT category, o_a, o_b,
+                          (o_a * n_b - o_b * n_a) * (o_a * n_b - o_b * n_a)
+                            AS num,
+                          n_a * n_b * (o_a + o_b) AS den
+                        FROM cells, t)
+         SELECT category, CAST(o_a AS BIGINT) AS o_a, CAST(o_b AS BIGINT) AS o_b,
+                CAST(num AS VARCHAR) AS chi2_num,
+                CAST(den AS VARCHAR) AS chi2_den,
+                CAST((num // den) * 1000000
+                     + ((num % den) * 1000000) // den AS BIGINT) AS term_ppm
+         FROM terms ORDER BY category""",
     "ks_drift" ->
       // same exact-integer KS construction: per-(source, value) counts,
       // group + corpus ECDFs at every corpus-distinct value, cross-

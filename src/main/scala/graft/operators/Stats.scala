@@ -134,6 +134,49 @@ object Stats {
       .withColumn("ks_fp", expr("ks_num * 1000000L div ks_den"))
   }
 
+  /** Two-sample chi-square homogeneity over a CATEGORICAL column — the
+    * categorical twin of [[ksDrift]] (which scans ordered value ECDFs):
+    * did a new snapshot's category mix (source labels, languages, event
+    * types) move away from a reference snapshot's? Pearson's statistic
+    * Σ_i (O_ia·n_b − O_ib·n_a)² / (n_a·n_b·(O_ia+O_ib)) in EXACT
+    * integer arithmetic: per category the exact term as a
+    * decimal(38,0) rational (`chi2_num`, `chi2_den`) plus `term_ppm` —
+    * the term in parts-per-million by two-part floor division
+    * (`num div den·10⁶ + (num mod den)·10⁶ div den`, exact with no
+    * intermediate overflow), so Σ term_ppm is the engine-identical
+    * fixed-point χ². Categories absent from one side count 0 there
+    * (full-outer union of categories). Exact while each side stays
+    * below ~3·10⁹ rows — the squared cross-product reaches n⁴ —
+    * which at 100 TB means feeding PRE-AGGREGATED category counts or
+    * a deterministic sample, both standard for a drift check.
+    *
+    * Shape: two map-side-combined category counts, a full-outer join
+    * on the |categories| frame, a one-row totals broadcast. Both
+    * inputs must be non-empty (a zero side total zeroes `chi2_den`).
+    */
+  def chiSquareDrift(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    val d = "decimal(38,0)"
+    val ca = a.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).cast(d).as("o_a"))
+    val cb = b.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).cast(d).as("o_b"))
+    val cells = ca.join(cb, Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("o_a"), lit(0).cast(d)).as("o_a"),
+        coalesce(col("o_b"), lit(0).cast(d)).as("o_b"))
+    val totals = cells.agg(sum("o_a").as("n_a"), sum("o_b").as("n_b"))
+    cells.crossJoin(broadcast(totals))
+      .withColumn("diff", col("o_a") * col("n_b") - col("o_b") * col("n_a"))
+      .select(col("category"),
+        col("o_a").cast("long").as("o_a"),
+        col("o_b").cast("long").as("o_b"),
+        (col("diff") * col("diff")).cast(d).as("chi2_num"),
+        (col("n_a") * col("n_b") * (col("o_a") + col("o_b"))).cast(d).as("chi2_den"))
+      .withColumn("term_ppm",
+        (expr("chi2_num div chi2_den").cast("long") * 1000000L +
+          expr("(chi2_num % chi2_den) * 1000000 div chi2_den").cast("long")))
+  }
+
   /** Generic table profile — per-column (rows, nulls, distinct, min,
     * max) in ONE scan, the data-card / ingest-sanity report a pipeline
     * runs on every new drop before anything else touches it.

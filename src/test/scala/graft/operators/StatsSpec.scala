@@ -223,6 +223,26 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(out.getDouble(2) - 2.0 / 3.0) < 1e-15)
   }
 
+  test("chiSquareDrift: hand-computed exact terms incl. a category absent from one side") {
+    // a = {x,x,x,y} (n_a=4), b = {x,y,y,z} (n_b=4):
+    // x: (3*4-1*4)^2/(4*4*4) = 64/64 = 1        -> 1_000_000 ppm
+    // y: (1*4-2*4)^2/(4*4*3) = 16/48 = 1/3      ->   333_333 ppm (floor)
+    // z: (0*4-1*4)^2/(4*4*1) = 16/16 = 1        -> 1_000_000 ppm
+    val a = Seq("x", "x", "x", "y").toDF("c")
+    val b = Seq("x", "y", "y", "z").toDF("c")
+    val out = Stats.chiSquareDrift(a, b, "c").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDecimal(3).longValueExact(), r.getDecimal(4).longValueExact(),
+        r.getLong(5)))).toMap
+    assert(out("x") === ((3L, 1L, 64L, 64L, 1000000L)))
+    assert(out("y") === ((1L, 2L, 16L, 48L, 333333L)))
+    assert(out("z") === ((0L, 1L, 16L, 16L, 1000000L)))
+    // identical mixes drift zero on every term
+    val same = Stats.chiSquareDrift(a, a, "c").collect()
+    assert(same.forall(r => r.getDecimal(3).longValueExact() == 0L &&
+      r.getLong(5) == 0L))
+  }
+
   test("rangePrefixSum equals the single-task cumulative sum on random keyed longs") {
     import scala.util.Random
     (0 until 3).foreach { seed =>
