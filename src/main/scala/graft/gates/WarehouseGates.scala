@@ -150,6 +150,18 @@ private[graft] trait WarehouseGates extends GateSupport {
       .kmeansTwoRounds(t(s, dir, "embeddings"), "vec_id", "embedding", k = 4)
       .orderBy("vec_id")
 
+  /** Prototype-distance pruning facts ([[graft.operators.Clustering
+    * .prototypeDistances]], the Sorscher et al. data-pruning rank):
+    * per vector its seed assignment, exact decimal distance, cluster
+    * lower-median distance, and the 1.5×-median `is_far` flag —
+    * decimals rendered as strings at the gate boundary. */
+  protected def prototypeDistGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering.prototypeDistances(
+        t(s, dir, "embeddings"), k = 4, kNum = 3L, kDen = 2L)
+      .withColumn("dist2", col("dist2").cast("string"))
+      .withColumn("med2", col("med2").cast("string"))
+      .orderBy("vec_id")
+
   /** 20-bin equi-width price histogram
     * ([[graft.operators.Stats.equiWidthHistogram]]) over lineitem. */
   protected def priceHistogram(s: SparkSession, dir: String): DataFrame =
@@ -435,6 +447,7 @@ private[graft] trait WarehouseGates extends GateSupport {
     "winsorized_values" -> winsorizedValues _,
     "zorder_codes" -> zorderCodes _,
     "kmeans_assign" -> kmeansAssign _,
+    "prototype_distances" -> prototypeDistGate _,
     "price_histogram" -> priceHistogram _,
     "ewma_user_value" -> ewmaUserValue _,
     "time_weighted_value" -> timeWeightedValue _,
@@ -683,6 +696,32 @@ private[graft] trait WarehouseGates extends GateSupport {
                      ELSE v.n_chars END AS clipped
          FROM v JOIN bounds b ON v.source = b.source
          ORDER BY v.source, v.doc_id""",
+    "prototype_distances" ->
+      // round-1 of the kmeans CTE with the winning distance kept; the
+      // cluster lower median picks by the (dist, vec_id) rank rule; the
+      // flag is the cross-multiplied decimal compare dist*2 > med*3
+      """WITH e AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                  unnest(embedding)::DOUBLE AS x
+           FROM embeddings),
+         cent1 AS (SELECT vec_id AS cid, d, x AS c FROM e WHERE vec_id < 4),
+         d1 AS (SELECT e.vec_id, c.cid,
+                       SUM(CAST((e.x - c.c)*(e.x - c.c) AS DECIMAL(30,10))) AS dist
+                FROM e JOIN cent1 c USING (d) GROUP BY 1, 2),
+         a1 AS (SELECT vec_id, cid AS c1, dist FROM (
+                  SELECT vec_id, cid, dist,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM d1) WHERE rn = 1),
+         m AS (SELECT c1, dist AS med2 FROM (
+                 SELECT c1, dist, vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY c1 ORDER BY dist, vec_id) AS rn,
+                        COUNT(*) OVER (PARTITION BY c1) AS n
+                 FROM a1) WHERE rn = (n + 1) // 2)
+         SELECT a1.vec_id, a1.c1,
+                CAST(a1.dist AS VARCHAR) AS dist2,
+                CAST(m.med2 AS VARCHAR) AS med2,
+                a1.dist * 2 > m.med2 * 3 AS is_far
+         FROM a1 JOIN m USING (c1) ORDER BY vec_id""",
     "kmeans_assign" ->
       // Clustering.kmeansTwoRounds unrolled: decimal-sum distances make
       // the argmin order-independent; round-2 compares the n-scaled form

@@ -100,4 +100,52 @@ object Clustering {
         }: _*)).getField("cid"))
       .select(col("id").as(idCol), col("c1"), col("c2"))
   }
+
+  /** Prototype-distance pruning facts (Sorscher et al. 2022, "Beyond
+    * neural scaling laws": rank examples by distance to their cluster
+    * prototype — prune EASY/near points on big data, prune far outliers
+    * when cleaning) — per vector, its seed-prototype assignment, the
+    * exact decimal squared distance, the cluster's lower-median
+    * distance, and the `is_far` flag `dist² · kDen > med² · kNum`
+    * (cross-multiplied decimals — no division, engine-identical). The
+    * same deterministic seeds and decimal-sum distances as
+    * [[kmeansTwoRounds]]'s round 1, so assignment ties and the median
+    * pick (total order through the id) are oracle-able.
+    *
+    * 100 TB shape: assignment + distance is a pure projection (the
+    * k×dim seed matrix rides as literals); the median is one keyed
+    * window over the corpus partitioned BY CLUSTER (parallel across
+    * the k clusters — for very small k over very large corpora, swap
+    * in the [[Stats.exactQuantilesBisect]] cut points); the |k|-row
+    * median frame broadcasts back. */
+  def prototypeDistances(
+      df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      k: Int = 4, kNum: Long = 3L, kDen: Long = 2L): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(kNum >= 0 && kDen >= 1, s"need factor kNum/kDen >= 0: $kNum/$kDen")
+    val vecs = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val init: Map[Int, Array[Double]] = vecs.filter(col("id") < k)
+      .collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
+      .toMap
+    require(init.size == k, s"need vectors with $idCol 0..${k - 1} as seeds")
+    def dist1(c: Array[Double]): Column =
+      decSum(zip_with(col("v"), lit(c), (a, b) => ((a - b) * (a - b)).cast(DistDec)), DistDec)
+    val withD = vecs
+      .withColumn("best", array_min(array((0 until k).map(c =>
+        struct(dist1(init(c)).as("d"), lit(c.toLong).as("cid"))): _*)))
+      .select(col("id"), col("best").getField("cid").as("c1"),
+        col("best").getField("d").as("dist2"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c1").orderBy(col("dist2"), col("id"))
+    val med = withD
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("c1")))
+      .filter(col("rn") === expr("(n + 1L) div 2L"))
+      .select(col("c1"), col("dist2").as("med2"))
+    withD.join(broadcast(med), Seq("c1")) // |k| rows
+      .select(col("id").as(idCol), col("c1"), col("dist2"), col("med2"),
+        (col("dist2") * kDen > col("med2") * kNum).as("is_far"))
+  }
 }

@@ -55,4 +55,26 @@ class ClusteringSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(base === shuffled)
   }
+
+  test("prototypeDistances: hand-computed assignments, medians, and far flags in 1-D") {
+    // seeds: c0 = 0.0 (id 0), c1 = 10.0 (id 1). Assignments:
+    // c0 = {0 (d=0), 2 (d=1), 3 (d=4)}, c1 = {1 (d=0), 4 (d=1), 5 (d=400)}
+    // lower medians (rank (3+1)/2 = 2): both clusters med = 1.
+    // is_far at 3/2: d*2 > 3 ⇔ d > 1.5 → ids 3 (d=4) and 5 (d=400).
+    val df = Seq(
+      (0L, Seq(0.0f)), (1L, Seq(10.0f)), (2L, Seq(1.0f)),
+      (3L, Seq(2.0f)), (4L, Seq(11.0f)), (5L, Seq(30.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.prototypeDistances(df, "vec_id", "embedding", k = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getDecimal(2).longValueExact(), r.getDecimal(3).longValueExact(),
+        r.getBoolean(4)))).toMap
+    assert(out(0L) === ((0L, 0L, 1L, false)))
+    assert(out(2L) === ((0L, 1L, 1L, false)))
+    assert(out(3L) === ((0L, 4L, 1L, true)))
+    assert(out(1L) === ((1L, 0L, 1L, false)))
+    assert(out(4L) === ((1L, 1L, 1L, false)))
+    assert(out(5L) === ((1L, 400L, 1L, true)))
+  }
 }
