@@ -739,6 +739,34 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("chi-square drift: two partial-aggregated counts, a category-frame join, one-row totals broadcast — never data-sized pairing") {
+    val p = finalPlan("chi_square_drift")
+    // the two data-sized passes are the category counts (map-side
+    // combined); the full-outer join runs on the |categories| frame and
+    // the totals ride as a one-row broadcast nested loop
+    assert(count(p, "HashAggregate") >= 4, s"lost partial category counts:\n$p")
+    assert(count(p, "CartesianProduct") === 0, s"chi_square_drift went cartesian:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") === 1,
+      s"totals stopped broadcasting as the one-row BNLJ:\n$p")
+  }
+
+  test("prototype distances: assignment is a pure projection; only the k-row median frame joins back, by broadcast") {
+    val p = finalPlan("prototype_distances")
+    // seeds ride as literals — the corpus never joins for assignment;
+    // the median window partitions by cluster; the |k|-row median frame
+    // is the single (broadcast) join
+    assert(count(p, "Window") >= 1 && count(p, "Window") <= 2,
+      s"median windows changed shape:\n$p")
+    assert(count(p, "BroadcastHashJoin") === 1,
+      s"median frame stopped broadcasting:\n$p")
+    Seq("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
+      .foreach { op =>
+        assert(count(p, op) === 0, s"prototype_distances grew a $op:\n$p")
+      }
+    assert(count(p, "Exchange SinglePartition") === 0,
+      s"unexpected single-partition funnel:\n$p")
+  }
+
   test("kn rare-rate scoring joins the corpus bigrams against the model without cartesian; one partial-aggregated doc rollup") {
     val p = finalPlan("kn_rare_rate")
     // the corpus-sized pass is the bigram explode + model join (left,

@@ -422,4 +422,74 @@ class PipelineOpsPropertySpec extends AnyFunSuite {
         s"[seed $seed]")
     }
   }
+
+  test("chiSquareDrift matches the brute-force Pearson model on random category mixes") {
+    (0 until 5).foreach { seed =>
+      val rnd = new Random(700 + seed)
+      val cats = Vector("a", "b", "c", "d", "e")
+      // skewed, partially-disjoint category draws on both sides
+      val aSide = Vector.fill(30 + rnd.nextInt(100))(cats(rnd.nextInt(4)))
+      val bSide = Vector.fill(30 + rnd.nextInt(100))(cats(1 + rnd.nextInt(4)))
+      val got = Stats.chiSquareDrift(
+          aSide.toDF("c"), bSide.toDF("c"), "c").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          BigInt(r.getDecimal(3).toBigInteger),
+          BigInt(r.getDecimal(4).toBigInteger), r.getLong(5)))).toMap
+      val na = BigInt(aSide.size); val nb = BigInt(bSide.size)
+      (aSide ++ bSide).distinct.foreach { c =>
+        val oa = BigInt(aSide.count(_ == c)); val ob = BigInt(bSide.count(_ == c))
+        val num = (oa * nb - ob * na).pow(2)
+        val den = na * nb * (oa + ob)
+        val ppm = (num / den) * 1000000 + (num % den) * 1000000 / den
+        assert(got(c) === ((oa.toLong, ob.toLong, num, den, ppm.toLong)),
+          s"[seed $seed cat $c]")
+      }
+      // Σ term_ppm tracks the float chi2 within rounding (k terms → k ppm floors)
+      val chi2Float = (aSide ++ bSide).distinct.map { c =>
+        val oa = aSide.count(_ == c).toDouble; val ob = bSide.count(_ == c).toDouble
+        math.pow(oa * nb.toDouble - ob * na.toDouble, 2) /
+          (na.toDouble * nb.toDouble * (oa + ob))
+      }.sum
+      val chi2Fp = got.values.map(_._5).sum / 1e6
+      assert(math.abs(chi2Float - chi2Fp) < got.size * 1e-6 + 1e-9, s"[seed $seed]")
+    }
+  }
+
+  test("prototypeDistances matches the brute-force assignment/median/flag model") {
+    (0 until 3).foreach { seed =>
+      val rnd = new Random(800 + seed)
+      val dim = 3
+      val n = 20 + rnd.nextInt(30)
+      val vecs = (0L until n.toLong).map(i =>
+        (i, Vector.fill(dim)((rnd.nextInt(41) - 20).toFloat)))
+      val k = 3
+      val got = Clustering.prototypeDistances(
+          vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          k = k, kNum = 3L, kDen = 2L).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1),
+          BigDecimal(r.getDecimal(2)), r.getBoolean(4)))).toMap
+      // brute force in BigDecimal — the operator's decimal-sum contract
+      def d2(v: Vector[Float], c: Vector[Float]): BigDecimal =
+        v.zip(c).map { case (x, y) =>
+          BigDecimal((x.toDouble - y.toDouble) * (x.toDouble - y.toDouble))
+            .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+      val seeds = vecs.take(k).map(_._2)
+      val assign = vecs.map { case (id, v) =>
+        val ds = seeds.zipWithIndex.map { case (c, ci) => (d2(v, c), ci.toLong) }
+        val best = ds.minBy(identity)
+        (id, best._2, best._1)
+      }
+      val medByC = assign.groupBy(_._2).map { case (c, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._1))
+        c -> sorted((sorted.size + 1) / 2 - 1)._3
+      }
+      assign.foreach { case (id, c, dist) =>
+        val (gc, gd, gf) = got(id)
+        assert(gc === c, s"[seed $seed id $id] cluster")
+        assert(gd === dist, s"[seed $seed id $id] distance")
+        assert(gf === (dist * 2 > medByC(c) * 3), s"[seed $seed id $id] flag")
+      }
+    }
+  }
 }
