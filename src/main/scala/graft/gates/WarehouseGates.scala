@@ -359,6 +359,41 @@ private[graft] trait WarehouseGates extends GateSupport {
       .orderBy("id_a", "id_b")
   }
 
+  /** DCT-pHash image near-dups ([[graft.operators.Multimodal
+    * .imagePHashDups]]): plants BRIGHTNESS-SCALED copies (every channel
+    * ×3/4 — a pure positive luma scaling, never clipping, the global
+    * edit class pHash's sign-vs-median structure is invariant to,
+    * id + 10000) next to the xor-noise copies the aHash gate uses
+    * (id + 20000). Golden-CSV gated like the other codec-backed gates;
+    * regeneration + planted recall pinned in OperatorsSpec. */
+  protected def imagePHashDupsGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Multimodal.syntheticMedia(s, 200)
+    def mapImages(idOffset: Long)(f: Array[Byte] => Array[Byte]) =
+      items.filter(_.kind == "image").map { m =>
+        Multimodal.Codecs.decodePpm(m.bytes) match {
+          case Some((w, h, rgb)) =>
+            m.copy(mediaId = m.mediaId + idOffset,
+              bytes = Multimodal.Codecs.encodePpm(w, h, f(rgb)))
+          case None => m.copy(mediaId = m.mediaId + idOffset)
+        }
+      }
+    val brightened = mapImages(10000L) { rgb =>
+      rgb.map(b => (((b & 0xff) * 3) / 4).toByte)
+    }
+    val noisy = mapImages(20000L) { rgb =>
+      val out = rgb.clone()
+      var i = 0
+      while (i < out.length) {
+        if (i % 97 == 0) out(i) = ((out(i) & 0xff) ^ 0x03).toByte
+        i += 1
+      }
+      out
+    }
+    Multimodal.imagePHashDups(items.union(brightened).union(noisy), maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Audio + video near-duplicate pairs by 64-bit perceptual
     * fingerprints ([[graft.operators.Multimodal.audioNearDups]]
     * delta-sign energy fingerprint; [[graft.operators.Multimodal
@@ -462,12 +497,23 @@ private[graft] trait WarehouseGates extends GateSupport {
     "rank_normalize" -> rankNormalize _,
     "dedup_best_survivors" -> dedupBestSurvivors _,
     "image_near_dups" -> imageNearDupsGate _,
+    "image_phash_dups" -> imagePHashDupsGate _,
     "media_fingerprint_dups" -> mediaFingerprintDups _,
     "video_content_dups" -> videoContentDupsGate _,
     "bpe_merges" -> bpeMerges _,
   )
 
   protected def warehouseGateOracles: Map[String, String] = Map(
+    "image_phash_dups" ->
+      // golden CSV like image_near_dups (no second engine implements
+      // the PPM codec / 32×32 DCT); 201 rows = the 67 originals paired
+      // with both planted copies (darkened ×3/4 and xor-noise) plus the
+      // copies paired with each other, all at Hamming ≤ 2
+      """SELECT id_a, id_b, hamming
+         FROM read_csv('/root/repo/src/test/resources/image_phash_golden.csv',
+           header=true,
+           columns={'id_a':'BIGINT','id_b':'BIGINT','hamming':'BIGINT'})
+         ORDER BY id_a, id_b""",
     "image_near_dups" ->
       // no second engine implements the PPM codec/aHash — golden CSV
       // (committed, regenerated+pinned by OperatorsSpec). The synthetic

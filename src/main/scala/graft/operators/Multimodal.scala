@@ -164,6 +164,71 @@ object Multimodal {
       hash
     }
 
+    /** 64-bit DCT perceptual hash (pHash, the production member of the
+      * aHash/dHash/pHash family): nearest-resize to 32×32, integer
+      * luma, separable 2-D DCT-II over the 32×32 grid keeping the
+      * low-frequency 8×8 block, bit i set iff AC coefficient i exceeds
+      * the block's lower-median AC value (DC excluded — it carries only
+      * global brightness; its bit stays 0). All cosines come from
+      * `StrictMath` (fdlibm-pinned — `Math.cos` may use platform
+      * intrinsics and drift a ulp across machines) and the double
+      * accumulation order is fixed, so the hash is bit-stable across
+      * platforms and partitionings. Sign-vs-median structure is
+      * invariant to positive luma scaling, so brightness/contrast
+      * edits that move every aHash cell survive here. */
+    def perceptualHash64(w: Int, h: Int, rgb: Array[Byte]): Long = {
+      val small = resizeNearest(w, h, rgb, 32, 32)
+      val luma = new Array[Double](32 * 32)
+      var i = 0
+      while (i < 32 * 32) {
+        val r = small(i * 3) & 0xff
+        val g = small(i * 3 + 1) & 0xff
+        val b = small(i * 3 + 2) & 0xff
+        luma(i) = (299L * r + 587L * g + 114L * b).toDouble / 1000.0
+        i += 1
+      }
+      val cosTab = Array.tabulate(8, 32)((u, x) =>
+        StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 64.0))
+      // rows: 32 rows × first 8 frequencies
+      val rowT = new Array[Double](32 * 8)
+      var y = 0
+      while (y < 32) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0
+          var x = 0
+          while (x < 32) { s += luma(y * 32 + x) * cosTab(u)(x); x += 1 }
+          rowT(y * 8 + u) = s
+          u += 1
+        }
+        y += 1
+      }
+      // columns: the 8×8 low-frequency block
+      val coef = new Array[Double](64)
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0
+          var yy = 0
+          while (yy < 32) { s += rowT(yy * 8 + u) * cosTab(v)(yy); yy += 1 }
+          coef(v * 8 + u) = s
+          u += 1
+        }
+        v += 1
+      }
+      val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+      java.util.Arrays.sort(ac)
+      val med = ac((ac.length + 1) / 2 - 1) // lower median of the 63 AC terms
+      var hash = 0L
+      i = 1
+      while (i < 64) {
+        if (coef(i) > med) hash |= (1L << i)
+        i += 1
+      }
+      hash
+    }
+
     // --- WAV: RIFF/WAVE, PCM 16-bit mono ---
 
     def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
@@ -443,6 +508,25 @@ object Multimodal {
       }
     }.toDF("id", "ahash")
   }
+
+  /** Per-image DCT perceptual hash rows ([[Codecs.perceptualHash64]]);
+    * the column is named `ahash` so [[bandedHammingPairs]]' 4×16-band
+    * engine applies unchanged. */
+  def imagePHash(items: Dataset[MediaItem]): DataFrame = {
+    import items.sparkSession.implicits._
+    items.filter(_.kind == "image").flatMap { m =>
+      Codecs.decodePpm(m.bytes).map { case (w, h, rgb) =>
+        (m.mediaId, Codecs.perceptualHash64(w, h, rgb))
+      }
+    }.toDF("id", "ahash")
+  }
+
+  /** Image near-duplicate pairs by DCT perceptual hash — same banded
+    * engine and pigeonhole-recall argument as [[imageNearDups]], with
+    * pHash's robustness to global brightness/contrast edits (which move
+    * every aHash cell's luma but not the DCT sign structure). */
+  def imagePHashDups(items: Dataset[MediaItem], maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(imagePHash(items), maxHamming)
 
   /** Per-audio fingerprint rows ([[Codecs.audioFingerprint64]]). */
   def audioFingerprint(items: Dataset[MediaItem]): DataFrame = {

@@ -432,6 +432,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq === golden, "aHash near-dup drift vs committed golden")
   }
 
+  test("image pHash: DCT hash is stable, scale-invariant, planted copies found, golden matches") {
+    import Multimodal.Codecs
+    val rgb = Array.tabulate(16 * 16 * 3)(i => ((i * 13) % 256).toByte)
+    // determinism + sensitivity (same contract as aHash)
+    val h1 = Codecs.perceptualHash64(16, 16, rgb)
+    assert(h1 === Codecs.perceptualHash64(16, 16, rgb.clone()))
+    val inv = rgb.map(b => (~b).toByte)
+    assert(java.lang.Long.bitCount(h1 ^ Codecs.perceptualHash64(16, 16, inv)) > 20)
+    // the property pHash adds over aHash: a pure positive luma scaling
+    // (×3/4, never clipping) leaves the sign-vs-median structure nearly
+    // intact
+    val dark = rgb.map(b => (((b & 0xff) * 3) / 4).toByte)
+    assert(java.lang.Long.bitCount(h1 ^ Codecs.perceptualHash64(16, 16, dark)) <= 3)
+    // DC bit never set: bit 0 carries only global brightness
+    assert((h1 & 1L) === 0L)
+
+    val out = graft.SparkEntry.queries("image_phash_dups")(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // all 67 images pair with BOTH planted copies, and the copies with
+    // each other: 3 × 67 rows
+    assert(out.count { case (a, b, _) => b == a + 10000 && a < 10000 } === 67)
+    assert(out.count { case (a, b, _) => b == a + 20000 && a < 10000 } === 67)
+    assert(out.count { case (a, b, _) => b == a + 10000 && a >= 10000 } === 67)
+    val golden = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/image_phash_golden.csv"))
+      .getLines().drop(1).map { line =>
+        val Array(a, b, h) = line.split(",")
+        (a.toLong, b.toLong, h.toLong)
+      }.toSeq
+    assert(out.toSeq === golden, "pHash near-dup drift vs committed golden")
+  }
+
   test("audio/video fingerprints: planted copies found, golden matches") {
     import Multimodal.Codecs
     // delta-sign fingerprint: deterministic; robust to tiny amplitude
