@@ -398,6 +398,20 @@ private[graft] trait CdcGates extends GateSupport {
       .orderBy("scenario", "event_type")
   }
 
+  /** Poisson-bootstrap replicate sums ([[graft.operators.Sampling
+    * .poissonBootstrapSums]]): 16 deterministic replicates of the
+    * view-vs-purchase value comparison — the one-pass uncertainty
+    * estimate behind an A/B readout's CI; exact integer sums per
+    * (replicate, arm). */
+  protected def bootstrapSumsQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.poissonBootstrapSums(
+        t(s, dir, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+          .withColumn("value_c", round(col("value") * 100).cast("long")),
+        "event_type", "value_c", "event_id", b = 16, salt = "ci-v1")
+      .withColumn("replicate", col("replicate").cast("long"))
+      .orderBy("replicate", "grp")
+
   /** Linear multi-touch attribution ([[graft.operators.Behavioral
     * .linearAttribution]]): each purchase splits 1e6 ppm equally across
     * its 3-day-lookback view/click touches (remainder to the latest;
@@ -880,6 +894,7 @@ private[graft] trait CdcGates extends GateSupport {
     "sync_digest" -> syncDigestQuery _,
     "quantile_align" -> quantileAlignQuery _,
     "srm_check" -> srmCheckQuery _,
+    "bootstrap_sums" -> bootstrapSumsQuery _,
     "attribution_linear" -> attributionLinear _,
     "survival_table" -> survivalTableQuery _,
     "activity_streaks" -> activityStreaksQuery _,
@@ -1438,6 +1453,32 @@ private[graft] trait CdcGates extends GateSupport {
                  (rr - 1) * n_ref // n + 1 AS pos FROM r, nr)
          JOIN ref USING (pos)
          ORDER BY source, doc_id""",
+    "bootstrap_sums" ->
+      // same salted-md5 arithmetic as Sampling.hashBucket, one draw per
+      // (replicate, event): u = md5('ci-v1#r:id')[0:8] % 1e6, weight by
+      // the exact integer Poisson(1) inverse-CDF ladder
+      """WITH e AS (SELECT event_type AS grp,
+                      CAST(round(value * 100) AS BIGINT) AS v,
+                      event_id AS id
+                    FROM events WHERE event_type IN ('view', 'purchase')),
+              r AS (SELECT unnest(range(16)) AS replicate),
+              u AS (SELECT e.grp, e.v, r.replicate,
+                      ('0x' || substr(md5('ci-v1#' || CAST(r.replicate AS VARCHAR)
+                        || ':' || CAST(e.id AS VARCHAR)), 1, 8))::BIGINT
+                        % 1000000 AS u
+                    FROM e CROSS JOIN r),
+              w AS (SELECT grp, v, replicate,
+                      CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+                           WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+                           WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+                           WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7
+                           WHEN u < 999998 THEN 8 WHEN u < 999999 THEN 9
+                           ELSE 10 END AS w
+                    FROM u)
+         SELECT replicate, grp, count(*) AS n_rows,
+                CAST(sum(w) AS BIGINT) AS w_sum,
+                CAST(sum(w * v) AS BIGINT) AS wv_sum
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     "srm_check" ->
       // exact-integer z² SRM: dev = n_a·(wA+wB) − n·wA flags when
       // dev² > z²·n·wA·wB; arm = salted-md5 bucket, units deduped

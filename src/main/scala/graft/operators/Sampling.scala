@@ -147,6 +147,53 @@ object Sampling {
       .toDF("source", "n_docs", "w_fp", "share_ppm")
   }
 
+  /** Poisson-bootstrap replicate sums (Chamandy et al. 2012,
+    * "Estimating uncertainty for massive data streams" — the bootstrap
+    * that works in one pass at scale: per replicate, each row enters
+    * with an independent Poisson(1) multiplicity instead of a global
+    * size-n resample, so there is no corpus shuffle and no fixed-n
+    * coordination; for large n the two bootstraps agree). The
+    * multiplicity is DETERMINISTIC: the salted md5 of
+    * `salt#replicate:id` maps to a uniform u in [0, 10⁶) and an exact
+    * integer inverse-CDF ladder of Poisson(1) (thresholds =
+    * ⌊10⁶·CDF(k)⌋ — both engines compute identical digits), so
+    * re-running never changes a draw and appended rows never reshuffle
+    * old draws (the [[sampleFraction]] contract).
+    *
+    * Output: per (replicate, group) the exact integer row count,
+    * weight sum, and weighted value sum — everything a percentile CI
+    * needs (replicate b's group mean = wv_sum/w_sum; rank the B
+    * mean-diffs at render time; Poisson weights also make w_sum itself
+    * a resample size to report).
+    *
+    * 100 TB shape: ONE data-sized pass — the B-element weight array
+    * rides the scan (codegen'd higher-order function, no join, no
+    * shuffle for the draw) and posexplodes into the aggregate, which
+    * map-side combines down to B×|groups| rows. Cost is B× the scan's
+    * row volume in the partial aggregate only. */
+  def poissonBootstrapSums(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      b: Int = 32, salt: String = "boot"): DataFrame = {
+    require(b >= 1 && b <= 1024, s"replicates must be in [1, 1024]: $b")
+    // ⌊10⁶ · Poisson(1)-CDF(k)⌋ for k = 0..9; u ≥ the last gets 10
+    val cdf = Seq(367879L, 735758L, 919698L, 981011L, 996340L,
+      999405L, 999916L, 999989L, 999998L, 999999L)
+    val weights = transform(sequence(lit(0), lit(b - 1)), r => {
+      val u = conv(substring(md5(concat(
+          lit(salt), lit("#"), r.cast("string"),
+          lit(":"), col(idCol).cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000000L
+      cdf.zipWithIndex.foldRight(lit(10L): Column) {
+        case ((thr, k), rest) => when(u < thr, k.toLong).otherwise(rest)
+      }
+    })
+    df.select(col(groupCol).as("grp"), col(valueCol).as("v"),
+        posexplode(weights).as(Seq("replicate", "w")))
+      .groupBy("replicate", "grp")
+      .agg(count(lit(1)).as("n_rows"), sum("w").as("w_sum"),
+        sum(col("w") * col("v")).as("wv_sum"))
+  }
+
   def weightedMixture(
       df: DataFrame, sourceCol: String, idCol: String,
       weights: Map[String, Double], salt: String = "mix"): DataFrame = {

@@ -455,6 +455,41 @@ class PipelineOpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("poissonBootstrapSums matches the MessageDigest brute-force draw, and weights behave") {
+    def md5u(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val cdf = Seq(367879L, 735758L, 919698L, 981011L, 996340L,
+      999405L, 999916L, 999989L, 999998L, 999999L)
+    def weight(u: Long): Long =
+      cdf.indexWhere(u < _) match { case -1 => 10L; case k => k.toLong }
+
+    val rnd = new Random(42)
+    val rows = (0L until 200L).map(i =>
+      (i, if (rnd.nextBoolean()) "a" else "b", rnd.nextInt(1000).toLong))
+    val got = Sampling.poissonBootstrapSums(
+        rows.toDF("id", "g", "v"), "g", "v", "id", b = 8, salt = "t")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val expected = (for {
+      b <- 0 until 8
+      (id, g, v) <- rows
+    } yield (b, g, weight(md5u(s"t#$b:$id")), v))
+      .groupBy { case (b, g, _, _) => (b, g) }
+      .map { case (k, vs) =>
+        k -> ((vs.size.toLong, vs.map(_._3).sum, vs.map(t => t._3 * t._4).sum))
+      }
+    assert(got === expected)
+    // sanity: total replicate mass ≈ n (Poisson(1) mean 1) — loose band
+    val totalW = got.values.map(_._2).sum
+    assert(totalW > 8 * 200 * 7 / 10 && totalW < 8 * 200 * 13 / 10,
+      s"weight mass $totalW implausible for 1600 draws of Poisson(1)")
+  }
+
   test("prototypeDistances matches the brute-force assignment/median/flag model") {
     (0 until 3).foreach { seed =>
       val rnd = new Random(800 + seed)
