@@ -802,6 +802,19 @@ private[graft] trait AnalyticsGates extends GateSupport {
       .orderBy("category")
   }
 
+  /** Embedding-space mean shift ([[graft.operators.Similarity
+    * .embeddingMeanShift]]): the corpus vs the snapshot missing every
+    * third vector — per-dimension exact micro-quantized sums and the
+    * cross-multiplied squared centroid gap; completes the drift triad
+    * next to `ks_drift` (ordered values) and `chi_square_drift`
+    * (category mixes). */
+  protected def embeddingShiftQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.operators.Similarity.embeddingMeanShift(
+        emb, emb.filter(pmod(col("vec_id"), lit(3)) =!= 0))
+      .orderBy("d")
+  }
+
   /** Triangle counts on the MONTH-SLICED co-supplier graph (suppliers
     * sharing a March-1995 order; the slice is what keeps the graph
     * co-occurrence-shaped — the all-time graph converges on a complete
@@ -871,6 +884,7 @@ private[graft] trait AnalyticsGates extends GateSupport {
     "dsir_weights" -> dsirWeights _,
     "ks_drift" -> ksDriftQuery _,
     "chi_square_drift" -> chiSquareDriftQuery _,
+    "embedding_mean_shift" -> embeddingShiftQuery _,
     "triangle_counts" -> triangleCountsQuery _,
     "mad_outliers" -> madOutliersQuery _,
   )
@@ -933,6 +947,28 @@ private[graft] trait AnalyticsGates extends GateSupport {
                      AS BIGINT) AS dsir_score
          FROM b JOIN dist ON b.bucket = dist.bucket
          GROUP BY b.doc_id ORDER BY b.doc_id""",
+    "embedding_mean_shift" ->
+      // coordinates quantized to integer micros FIRST (order-independent
+      // exact sums), then the cross-multiplied squared centroid gap per
+      // dimension; d is 0-based like posexplode
+      """WITH qa AS (SELECT generate_subscripts(embedding, 1) - 1 AS d,
+                            CAST(round(unnest(embedding)::DOUBLE * 1000000)
+                                 AS HUGEINT) AS xm
+                     FROM embeddings),
+              qb AS (SELECT generate_subscripts(embedding, 1) - 1 AS d,
+                            CAST(round(unnest(embedding)::DOUBLE * 1000000)
+                                 AS HUGEINT) AS xm
+                     FROM embeddings WHERE vec_id % 3 <> 0),
+              sa AS (SELECT d, sum(xm) AS s_a, CAST(count(*) AS HUGEINT) AS n_a
+                     FROM qa GROUP BY d),
+              sb AS (SELECT d, sum(xm) AS s_b, CAST(count(*) AS HUGEINT) AS n_b
+                     FROM qb GROUP BY d)
+         SELECT d, CAST(s_a AS VARCHAR) AS s_a, CAST(s_b AS VARCHAR) AS s_b,
+                CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                CAST((s_a * n_b - s_b * n_a) * (s_a * n_b - s_b * n_a)
+                     AS VARCHAR) AS shift2_num,
+                CAST(n_a * n_b * n_a * n_b AS VARCHAR) AS shift2_den
+         FROM sa JOIN sb USING (d) ORDER BY d""",
     "chi_square_drift" ->
       // Pearson χ² homogeneity, exact: per category the cross-multiplied
       // term (o_a·n_b − o_b·n_a)²/(n_a·n_b·(o_a+o_b)) in HUGEINT digits,

@@ -357,6 +357,52 @@ object Similarity {
     bruteForceTopK(codes(corpus), codes(queries), k, idCol, vecCol)
   }
 
+  /** Embedding-space mean-shift drift between two snapshots — the
+    * embedding member of the drift triad ([[graft.operators.Stats
+    * .ksDrift]] scans ordered values, [[graft.operators.Stats
+    * .chiSquareDrift]] category mixes, THIS the representation space):
+    * did a new corpus snapshot's embedding centroid move? Per
+    * dimension, the exact micro-quantized coordinate sums of both
+    * sides and the cross-multiplied squared mean gap
+    * `num_d = (s_a,d·n_b − s_b,d·n_a)²` over the shared denominator
+    * `(n_a·n_b)²` — so ‖μ_a − μ_b‖² = Σ_d num_d / den exactly, no
+    * float accumulation anywhere (coordinates are rounded to integer
+    * micros FIRST, the `quantizeInt8Stats` device, so sums are
+    * order-independent and engine-identical). Exact while each side
+    * stays under ~10⁹ vectors (s·n reaches n²·coord); past that feed
+    * a deterministic sample — standard for a drift check.
+    *
+    * Shape: one posexplode + map-side-combined groupBy(dim) per side
+    * (|dim| rows out), a |dim|-frame join, no data-sized join. */
+  def embeddingMeanShift(
+      a: DataFrame, b: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val d = "decimal(38,0)"
+    def dims(df: DataFrame) = df
+      .select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .select(col("d"),
+        round(col("x").cast("double") * 1000000d).cast("long").as("xm"))
+      .groupBy("d")
+      .agg(sum("xm").cast(d).as("s"), count(lit(1)).cast(d).as("n"))
+    val da = dims(a).select(col("d"), col("s").as("s_a"), col("n").as("n_a"))
+    val db = dims(b).select(col("d"), col("s").as("s_b"), col("n").as("n_b"))
+    da.join(db, Seq("d"), "full_outer")
+      .select(col("d").cast("long").as("d"),
+        coalesce(col("s_a"), lit(0).cast(d)).as("s_a"),
+        coalesce(col("s_b"), lit(0).cast(d)).as("s_b"),
+        coalesce(col("n_a"), lit(0).cast(d)).as("n_a"),
+        coalesce(col("n_b"), lit(0).cast(d)).as("n_b"))
+      .select(col("d"),
+        col("s_a").cast("string").as("s_a"),
+        col("s_b").cast("string").as("s_b"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"),
+        ((col("s_a") * col("n_b") - col("s_b") * col("n_a")) *
+          (col("s_a") * col("n_b") - col("s_b") * col("n_a")))
+          .cast(d).cast("string").as("shift2_num"),
+        (col("n_a") * col("n_b") * col("n_a") * col("n_b"))
+          .cast(d).cast("string").as("shift2_den"))
+  }
+
   /** Quantization quality summary per vector, in engine-exact integer
     * space: the int8 code sums plus the reconstruction error
     * `Σ round(|q_i·scale/127 − x_i| · 1e6)` (micro-units) — the

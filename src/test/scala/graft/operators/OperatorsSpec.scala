@@ -432,6 +432,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq === golden, "aHash near-dup drift vs committed golden")
   }
 
+  test("embeddingMeanShift: hand-computed centroid gap in exact micros") {
+    // a = {[1,2],[3,4]} (μ_a = [2,3]), b = {[1,2]} (μ_b = [1,2]):
+    // per-dim num = (s_a·n_b − s_b·n_a)² = (2e6)² both dims; den = (2·1)²
+    // → Σ num/den = 8e12/4 = 2e12 micro² = ‖μ_a−μ_b‖² = 2.0 exactly
+    val a = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((0L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingMeanShift(a, b).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6)))).toMap
+    assert(out(0L) === (("4000000", "1000000", 2L, 1L, "4000000000000", "4")))
+    assert(out(1L) === (("6000000", "2000000", 2L, 1L, "4000000000000", "4")))
+    // identical snapshots shift zero in every dimension
+    val same = Similarity.embeddingMeanShift(a, a).collect()
+    assert(same.forall(_.getString(5) === "0"))
+  }
+
   test("image pHash: DCT hash is stable, scale-invariant, planted copies found, golden matches") {
     import Multimodal.Codecs
     val rgb = Array.tabulate(16 * 16 * 3)(i => ((i * 13) % 256).toByte)
