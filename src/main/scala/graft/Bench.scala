@@ -195,9 +195,11 @@ object Bench {
           names.map(_ -> -1.0)
       }
 
-    // HLL approximate distinct (bench-only: sketch estimates are
-    // engine-specific, so there is no cross-engine oracle; the exact
-    // counterpart is the oracled distinct_counts gate query)
+    // Spark's built-in HLL++ approximate distinct (bench-only: ITS
+    // estimates are engine-specific; the exact counterpart is the
+    // oracled distinct_counts gate, and graft's own integer-register
+    // HLL is fully oracled since round 12 — hll_registers/hll_state/
+    // hll_merge_registers hash-match a DuckDB recomputation)
     results ++= guarded(Seq("approx_distinct_counts", "approx_quantiles")) {
       import org.apache.spark.sql.functions._
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -21,7 +21,7 @@ import org.apache.spark.sql.expressions.Window
   *   vs DuckDB;
   * - aggregate/computed columns are aliased identically on both sides.
   */
-object SparkEntry extends StoreGates with AnalyticsGates with PipelineGates with StreamingGates with TrainingGates with WarehouseGates with CdcGates {
+object SparkEntry extends StoreGates with AnalyticsGates with PipelineGates with StreamingGates with TrainingGates with WarehouseGates with CdcGates with CorpusGates {
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped pricing summary over lineitem. */
@@ -42,7 +42,8 @@ object SparkEntry extends StoreGates with AnalyticsGates with PipelineGates with
     streamingGateQueries ++
     trainingGateQueries ++
     warehouseGateQueries ++
-    cdcGateQueries
+    cdcGateQueries ++
+    corpusGateQueries
 
   def oracleSql: Map[String, String] =
     storeGateOracles ++
@@ -51,5 +52,6 @@ object SparkEntry extends StoreGates with AnalyticsGates with PipelineGates with
     streamingGateOracles ++
     trainingGateOracles ++
     warehouseGateOracles ++
-    cdcGateOracles
+    cdcGateOracles ++
+    corpusGateOracles
 }

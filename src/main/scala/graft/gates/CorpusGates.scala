@@ -1,0 +1,308 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Sketches, TextCorpus, Web}
+
+/** Round-12 corpus/crawl additions (→ `CORRECTNESS_r12.json`): the
+  * URL-canonicalization family ([[graft.operators.Web]]), the exact-
+  * integer-register HyperLogLog ([[graft.operators.Sketches]] — the
+  * sketch the earlier rounds adjudicated "engine-specific, no
+  * cross-engine oracle"; the integer register/harmonic-core formulation
+  * removes that excuse), and the distinct-n diversity metric.
+  *
+  * The documents table has no URL column, so the URL gates derive one
+  * deterministically from `(doc_id, source)` with the messiness the
+  * normalizer exists for (mixed-case scheme/host, default ports,
+  * tracking params, unsorted query strings, fragments, trailing
+  * slashes); the oracle derives the identical string in SQL, so the
+  * fixture construction cancels out and the gate hashes the operator's
+  * actual canonicalization/PSL/cap/blocklist logic. */
+private[graft] trait CorpusGates extends GateSupport {
+
+  // ---- URL fixture: identical CASE in Scala and SQL -----------------
+
+  private def urlCol: Column = {
+    val id = col("doc_id").cast("string")
+    val src = col("source")
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      concat(lit("HTTPS://WWW."), src, lit(".Example.COM:443/articles/"), id,
+        lit("?utm_source=feed&b=2&a=1#section-2")))
+      .when(pmod(col("doc_id"), lit(5)) === 1,
+        concat(lit("http://"), src, lit(".example.co.uk:80/index.html?q=spark&utm_campaign=x")))
+      .when(pmod(col("doc_id"), lit(5)) === 2,
+        concat(lit("https://cdn."), src, lit(".example.com/assets/"), id, lit("/")))
+      .when(pmod(col("doc_id"), lit(5)) === 3,
+        concat(lit("http://blog."), src, lit(".Example.org/post?z=9&a=1&fbclid=abc")))
+      .otherwise(concat(lit("https://"), src, lit(".example.com/plain")))
+  }
+
+  private val urlSql: String =
+    """CASE doc_id % 5
+         WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/articles/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&b=2&a=1#section-2'
+         WHEN 1 THEN 'http://' || source || '.example.co.uk:80/index.html?q=spark&utm_campaign=x'
+         WHEN 2 THEN 'https://cdn.' || source || '.example.com/assets/' || CAST(doc_id AS VARCHAR) || '/'
+         WHEN 3 THEN 'http://blog.' || source || '.Example.org/post?z=9&a=1&fbclid=abc'
+         ELSE 'https://' || source || '.example.com/plain'
+       END"""
+
+  /** Suffix list for the gates: one ICANN multi-label suffix plus two
+    * PSL-private-style entries (the `blogspot.com` pattern — hosting
+    * domains whose subdomains are independent sites). */
+  private val gateSuffixes = Seq("example.co.uk", "example.com", "example.org")
+
+  /** The oracle twin of [[Web.registrableDomain]] over `host`. */
+  private val domainSql: String =
+    """CASE WHEN len(ls) >= 4 AND array_to_string(ls[-3:], '.') = 'example.co.uk'
+              THEN array_to_string(ls[-4:], '.')
+            WHEN len(ls) >= 3 AND array_to_string(ls[-2:], '.') IN ('example.com', 'example.org')
+              THEN array_to_string(ls[-3:], '.')
+            WHEN len(ls) >= 2 THEN array_to_string(ls[-2:], '.')
+            ELSE host END"""
+
+  /** url → host (lowered, www-stripped, port dropped) in DuckDB. */
+  private val hostSql: String =
+    """regexp_replace(lower(split_part(split_part(split_part(split_part(split_part(url, '://', 2), '/', 1), '?', 1), '#', 1), ':', 1)), '^www\.', '')"""
+
+  private def docsWithDomain(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("url", urlCol)
+      .withColumn("domain", Web.registrableDomain(Web.hostOf(col("url")), gateSuffixes))
+
+  private val domainCte: String =
+    s"""WITH u AS (SELECT *, $urlSql AS url FROM documents),
+        hl AS (SELECT *, $hostSql AS host FROM u),
+        d AS (SELECT *, string_split(host, '.') AS ls FROM hl),
+        dom AS (SELECT *, $domainSql AS domain FROM d)"""
+
+  // ---- Gates ---------------------------------------------------------
+
+  /** Canonical URL per document — the full normalizer in one projection. */
+  protected def urlNormalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), Web.normalizeUrl(urlCol).as("norm_url"))
+      .orderBy("doc_id")
+
+  /** Document counts per registrable domain (eTLD+1 against the gate's
+    * suffix list) — the RefinedWeb per-site histogram. */
+  protected def urlDomains(s: SparkSession, dir: String): DataFrame =
+    docsWithDomain(s, dir)
+      .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+      .orderBy("domain")
+
+  /** Per-source survivor counts after the domain-blocklist anti-join. */
+  protected def domainBlocklistFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blocklist = Seq(
+      "src0.example.com", "src1.example.co.uk",
+      "src2.example.org", "src3.example.com").toDF("domain")
+    Web.blocklistFilter(docsWithDomain(s, dir), "domain", blocklist)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .orderBy("source")
+  }
+
+  /** Per-domain cap: keep the 2 largest docs per registrable domain
+    * (ties by doc_id), the anti-spam cap crawl pipelines apply. */
+  protected def domainCapSample(s: SparkSession, dir: String): DataFrame =
+    Web.perDomainCap(
+        docsWithDomain(s, dir), "domain", n = 2,
+        order = Seq(col("n_chars").desc, col("doc_id").asc))
+      .select(col("domain"), col("doc_id"), col("rn").cast("long").as("rn"))
+      .orderBy("domain", "rn")
+
+  /** HLL registers at p=6 over lineitem part keys: the exact integer
+    * sketch state itself is the gated result. */
+  protected def hllRegistersGate(s: SparkSession, dir: String): DataFrame =
+    Sketches.hllRegisters(t(s, dir, "lineitem"), col("l_partkey"), p = 6)
+      .select(col("bucket"), col("rho").cast("long").as("rho"))
+      .orderBy("bucket")
+
+  /** One-row harmonic core (m, empty registers, scaled Σ2^−rho). At p=6
+    * s_scaled ≤ 2^61, inside BIGINT on both engines. */
+  protected def hllStateGate(s: SparkSession, dir: String): DataFrame =
+    Sketches.hllState(
+        Sketches.hllRegisters(t(s, dir, "lineitem"), col("l_partkey"), p = 6), p = 6)
+      .select(col("m"), col("v_zero"), col("s_scaled").cast("long").as("s_scaled"))
+
+  /** Mergeability: sketch(even orders) ∪ sketch(odd orders) must equal
+    * sketch(all) register-for-register — the oracle is the full-table
+    * register SQL, so the gate hash-proves the union law cross-engine. */
+  protected def hllMergeRegisters(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val even = Sketches.hllRegisters(li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+      col("l_partkey"), p = 6)
+    val odd = Sketches.hllRegisters(li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+      col("l_partkey"), p = 6)
+    Sketches.hllMerge(even, odd)
+      .select(col("bucket"), col("rho").cast("long").as("rho"))
+      .orderBy("bucket")
+  }
+
+  /** distinct-2 diversity per source (total vs distinct word bigrams). */
+  protected def distinctBigramDiversity(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.distinctNgramStats(t(s, dir, "documents"), n = 2)
+      .orderBy("source")
+
+  /** CMS counters (d=3, w=64) over event user ids — thousands of keys
+    * into 64 columns, so the collision behavior the sketch is about is
+    * exercised, not dodged. */
+  protected def cmsCountersGate(s: SparkSession, dir: String): DataFrame =
+    Sketches.cmsCounters(t(s, dir, "events"), col("user_id"), d = 3, w = 64)
+      .select(col("hash_row").cast("long").as("hash_row"), col("col"), col("cnt"))
+      .orderBy("hash_row", "col")
+
+  /** Point estimates for the first 20 user ids: min over the d counters,
+    * integer end to end — the ESTIMATE itself hash-matches the oracle
+    * (unlike HLL's float estimator). */
+  protected def cmsEstimatesGate(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val counters = Sketches.cmsCounters(ev, col("user_id"), d = 3, w = 64)
+    val keys = ev.filter(col("user_id") < 20)
+      .select(col("user_id").cast("string").as("key")).distinct()
+    Sketches.cmsEstimate(counters, keys, d = 3, w = 64)
+      .orderBy("key")
+  }
+
+  /** Additive merge law: counters(even event ids) + counters(odd) must
+    * equal counters(all) cell-for-cell; the oracle is the full-table
+    * counter SQL. */
+  protected def cmsMergeCounters(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val even = Sketches.cmsCounters(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+      col("user_id"), d = 3, w = 64)
+    val odd = Sketches.cmsCounters(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+      col("user_id"), d = 3, w = 64)
+    Sketches.cmsMerge(even, odd)
+      .select(col("hash_row").cast("long").as("hash_row"), col("col"), col("cnt"))
+      .orderBy("hash_row", "col")
+  }
+
+  // ---- Registry ------------------------------------------------------
+
+  protected def corpusGateQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "url_normalize" -> urlNormalize _,
+    "url_domains" -> urlDomains _,
+    "domain_blocklist_filter" -> domainBlocklistFilter _,
+    "domain_cap_sample" -> domainCapSample _,
+    "hll_registers" -> hllRegistersGate _,
+    "hll_state" -> hllStateGate _,
+    "hll_merge_registers" -> hllMergeRegisters _,
+    "distinct_bigram_diversity" -> distinctBigramDiversity _,
+    "cms_counters" -> cmsCountersGate _,
+    "cms_estimates" -> cmsEstimatesGate _,
+    "cms_merge_counters" -> cmsMergeCounters _,
+  )
+
+  /** Shared CMS counter CTE: d=3 salted md5 hashes into w=64 columns. */
+  private val cmsCountersSql: String =
+    """WITH src AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+            cells AS (SELECT CAST(r AS BIGINT) AS hash_row,
+                             ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || v), 1, 15))::BIGINT % 64 AS col
+                      FROM src CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) t),
+            counters AS (SELECT hash_row, col, CAST(count(*) AS BIGINT) AS cnt
+                         FROM cells GROUP BY hash_row, col)"""
+
+  /** Shared register CTE: 60-bit md5 hash, p=6 split, integer rank. */
+  private val hllRegistersSql: String =
+    """WITH h AS (SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+                  FROM lineitem),
+            b AS (SELECT h // 18014398509481984 AS bucket,
+                         h % 18014398509481984 AS suffix FROM h),
+            regs AS (SELECT bucket,
+                            max(CASE WHEN suffix = 0 THEN 55
+                                     ELSE 55 - length(bin(suffix)) END) AS rho
+                     FROM b GROUP BY bucket)"""
+
+  protected def corpusGateOracles: Map[String, String] = Map(
+    "url_normalize" ->
+      // the full canonicalizer, reproduced step for step: split scheme /
+      // hostport / path / query / fragment with split_part, drop default
+      // ports + tracking params, sort the rest, trim trailing slashes
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+          p1 AS (SELECT doc_id,
+                        lower(split_part(url, '://', 1)) AS scheme,
+                        split_part(url, '://', 2) AS rest FROM u),
+          p2 AS (SELECT *,
+                        split_part(split_part(split_part(rest, '/', 1), '?', 1), '#', 1) AS hostport
+                 FROM p1),
+          p3 AS (SELECT *,
+                        split_part(substr(rest, length(hostport) + 1), '#', 1) AS nofrag
+                 FROM p2),
+          p4 AS (SELECT *,
+                        regexp_replace(lower(split_part(hostport, ':', 1)), '^www\\.', '') AS host,
+                        CASE WHEN position(':' IN hostport) > 0
+                             THEN split_part(hostport, ':', 2) ELSE '' END AS port,
+                        split_part(nofrag, '?', 1) AS path,
+                        CASE WHEN position('?' IN nofrag) > 0
+                             THEN split_part(nofrag, '?', 2) ELSE '' END AS rawq
+                 FROM p3),
+          p5 AS (SELECT *,
+                        array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+                          x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS cq
+                 FROM p4)
+          SELECT doc_id,
+                 scheme || '://' || host ||
+                 CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                            OR (scheme = 'https' AND port = '443'))
+                      THEN ':' || port ELSE '' END ||
+                 regexp_replace(path, '/+$$', '') ||
+                 CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS norm_url
+          FROM p5 ORDER BY doc_id""",
+    "url_domains" ->
+      s"""$domainCte
+          SELECT domain, count(*) AS n_docs FROM dom GROUP BY domain ORDER BY domain""",
+    "domain_blocklist_filter" ->
+      s"""$domainCte
+          SELECT source, count(*) AS n FROM dom
+          WHERE domain NOT IN ('src0.example.com', 'src1.example.co.uk',
+                               'src2.example.org', 'src3.example.com')
+          GROUP BY source ORDER BY source""",
+    "domain_cap_sample" ->
+      s"""$domainCte,
+          r AS (SELECT domain, doc_id,
+                       CAST(row_number() OVER (PARTITION BY domain
+                         ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn
+                FROM dom)
+          SELECT domain, doc_id, rn FROM r WHERE rn <= 2 ORDER BY domain, rn""",
+    "hll_registers" ->
+      s"""$hllRegistersSql
+          SELECT bucket, CAST(rho AS BIGINT) AS rho FROM regs ORDER BY bucket""",
+    "hll_state" ->
+      s"""$hllRegistersSql
+          SELECT CAST(64 AS BIGINT) AS m,
+                 CAST(64 - count(*) AS BIGINT) AS v_zero,
+                 CAST(sum(1::BIGINT << (55 - rho))
+                      + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS s_scaled
+          FROM regs""",
+    "hll_merge_registers" ->
+      // union law: merged halves ≡ the full-table registers
+      s"""$hllRegistersSql
+          SELECT bucket, CAST(rho AS BIGINT) AS rho FROM regs ORDER BY bucket""",
+    "cms_counters" ->
+      s"""$cmsCountersSql
+          SELECT hash_row, col, cnt FROM counters ORDER BY hash_row, col""",
+    "cms_estimates" ->
+      s"""$cmsCountersSql,
+          keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key
+                   FROM events WHERE user_id < 20),
+          hashed AS (SELECT key, CAST(r AS BIGINT) AS hash_row,
+                            ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || key), 1, 15))::BIGINT % 64 AS col
+                     FROM keys CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) t)
+          SELECT key, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+          FROM hashed LEFT JOIN counters USING (hash_row, col)
+          GROUP BY key ORDER BY key""",
+    "cms_merge_counters" ->
+      // additive merge law: summed halves ≡ the full-table counters
+      s"""$cmsCountersSql
+          SELECT hash_row, col, cnt FROM counters ORDER BY hash_row, col""",
+    "distinct_bigram_diversity" ->
+      """WITH toks AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+                       FROM documents),
+             bg AS (SELECT source,
+                           unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+                    FROM toks WHERE len(t) >= 2)
+         SELECT source, CAST(count(*) AS BIGINT) AS total_ngrams,
+                CAST(count(DISTINCT bigram) AS BIGINT) AS distinct_ngrams
+         FROM bg GROUP BY source ORDER BY source""",
+  )
+}

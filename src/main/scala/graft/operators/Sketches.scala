@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches (HyperLogLog, Flajolet et al. 2007;
+  * the practical corrections follow Heule et al. 2013 §4's small-range
+  * branch). The register state is EXACT integer arithmetic end to end —
+  * md5-derived 60-bit hash, integer bucket split, `55 − bitlen(suffix)`
+  * rank — so unlike the usual float-summed implementations the sketch is
+  * bit-reproducible across engines and therefore hash-gateable: a DuckDB
+  * oracle recomputes the identical registers and scaled harmonic sum.
+  * Only the final cardinality estimate touches floating point, and that
+  * is derived from the exact scaled sum in one driver-free expression.
+  *
+  * Why this shape at 100 TB: the register table IS the partial-aggregate
+  * state. `groupBy(bucket).agg(max(rho))` combines map-side, so each of
+  * 1000 executors ships at most 2^p rows regardless of input size, and
+  * sketch union ([[hllMerge]]) is the same max — the classic mergeable-
+  * summary contract (one sketch per day/source, roll up for any range
+  * without rescanning, the pattern Bench's sketch-rollup scenario
+  * measures). The reference has no sketches; this is part of the
+  * SURVEY §2 "beyond the reference" analytics mandate.
+  */
+object Sketches {
+
+  /** Hash bits drawn from md5 (15 hex chars = 60 bits keeps the value
+    * comfortably inside a signed long for cross-engine `conv`). */
+  val HashBits = 60
+
+  /** HLL register table for `c` at precision `p` (m = 2^p registers):
+    * one row per OCCUPIED bucket, `(bucket, rho)` with
+    * `rho = max over values of (leading zeros of the (60−p)-bit suffix)
+    * + 1` — integer-exact via `bitlen` (`length(bin(x))`), never a float
+    * log. Absent buckets mean register 0, kept implicit so the state
+    * stays ≤ m rows. One partial-agg shuffle of ≤ m rows per partition. */
+  def hllRegisters(df: DataFrame, c: Column, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"precision p=$p outside [4,16]")
+    val suffixBits = HashBits - p
+    val h = conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    val bucket = shiftright(h, suffixBits).as("bucket")
+    val suffix = h.bitwiseAND(lit((1L << suffixBits) - 1))
+    val rho = when(suffix === 0, lit(suffixBits + 1))
+      .otherwise(lit(suffixBits + 1) - length(bin(suffix)))
+    df.select(bucket, rho.as("rho"))
+      .groupBy("bucket").agg(max("rho").as("rho"))
+  }
+
+  /** Sketch union: register-wise max. Two (or n, via repeated union)
+    * sketches over disjoint or overlapping data merge into exactly the
+    * sketch of the combined data — the property [[graft.SketchesSpec]]
+    * pins and the `hll_merge_registers` gate hash-checks. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bucket").agg(max("rho").as("rho"))
+
+  /** Exact integer sketch state, one row: `m`, `v_zero` (empty
+    * registers), and `s_scaled` = 2^(suffixBits+1) × Σ_j 2^−rho_j over
+    * all m registers (empty register ⇒ rho=0 ⇒ term 2^0). Every term
+    * `2^(suffixBits+1−rho)` is an exact long; the sum is carried as
+    * decimal(38,0) (worst case m·2^55 = 2^71 at p=16 — far inside 38
+    * digits). This row is the entire serialization of the sketch's
+    * harmonic core, and it is what the cross-engine gate hashes. */
+  def hllState(registers: DataFrame, p: Int): DataFrame = {
+    val suffixBits = HashBits - p
+    val m = 1L << p
+    val scale = lit(1L << (suffixBits + 1))
+    registers
+      .agg(
+        count(lit(1)).as("occupied"),
+        sum(expr(s"shiftleft(cast(1 as bigint), ${suffixBits + 1} - rho)")
+          .cast("decimal(38,0)")).as("s_occ"))
+      .select(
+        lit(m).as("m"),
+        (lit(m) - col("occupied")).as("v_zero"),
+        (coalesce(col("s_occ"), lit(0).cast("decimal(38,0)")) +
+          (lit(m) - col("occupied")).cast("decimal(38,0)") * scale)
+          .cast("decimal(38,0)").as("s_scaled"))
+  }
+
+  // ------------------------------------------------------------------
+  // Count-min sketch (Cormode & Muthukrishnan 2005): d×w counter matrix,
+  // point estimate = min over the d row counters. Everything — counters
+  // AND estimates — is integer arithmetic over salted md5 hashes, so
+  // unlike most sketches even the ESTIMATE is hash-gateable cross-engine
+  // (HLL above gates its registers but its estimate is float). Counters
+  // are additive, so the merge law is a register-wise SUM.
+  // ------------------------------------------------------------------
+
+  /** CMS counter table for `c` with `d` rows (salted hash functions) and
+    * `w` columns: one output row per occupied (hash_row, col) cell,
+    * `cnt` = number of input rows landing there (weights = 1). Absent
+    * cells are implicit zeros. The (row, col) aggregate partial-combines
+    * map-side, so each executor ships at most d·w cells regardless of
+    * input size — the same mergeable-summary contract as [[hllRegisters]].
+    * Column index comes from the first 15 hex chars of
+    * `md5("cms<row>:" || value)` mod w — exact integers, no float. */
+  def cmsCounters(df: DataFrame, c: Column, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && d <= 8, s"cms depth d=$d outside [1,8]")
+    require(w >= 2, s"cms width w=$w must be >= 2")
+    // one scan: the d column indexes ride a per-row array, posexplode
+    // yields (hash_row, col) — not d unioned passes over the data
+    df.select(posexplode(array((0 until d).map(r => cmsCol(c, r, w)): _*))
+        .as(Seq("hash_row", "col")))
+      .groupBy("hash_row", "col").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Column index of value `c` under hash row `r`: first 60 bits of the
+    * salted md5, mod w — exact integers, no float, engine-portable. */
+  private def cmsCol(c: Column, r: Int, w: Int): Column =
+    pmod(
+      conv(substring(md5(concat(lit(s"cms$r:"), c.cast("string"))), 1, 15), 16, 10)
+        .cast("long"),
+      lit(w.toLong))
+
+  /** CMS merge: counter-wise sum (sketch of A ⊎ B ≡ merge of sketches —
+    * the additive twin of [[hllMerge]]'s max). */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("hash_row", "col").agg(sum("cnt").as("cnt"))
+
+  /** Point-frequency estimates for `keys` (a one-column frame named
+    * `key`) against a counter table: re-hash each key per row, look its
+    * cell up, take the min over the d rows; a key whose cell is absent
+    * has count 0. The COUNTER side broadcasts — it is ≤ d·w rows by
+    * construction, so the keys side can be arbitrarily large and never
+    * shuffles for the lookup. Guaranteed ≥ the true count, ≤ true + εN
+    * with ε = e/w (the classic CMS bound
+    * [[graft.operators.SketchesSpec]] checks). Integer end to end. */
+  def cmsEstimate(counters: DataFrame, keys: DataFrame, d: Int, w: Int): DataFrame = {
+    val hashed = keys.select(
+      col("key"),
+      posexplode(array((0 until d).map(r => cmsCol(col("key"), r, w)): _*))
+        .as(Seq("hash_row", "col")))
+    hashed
+      .join(broadcast(counters), Seq("hash_row", "col"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Cardinality estimate from the exact state: the raw HLL estimator
+    * `alpha_m · m² / Σ 2^−rho` with the small-range linear-counting
+    * branch (`m · ln(m / v_zero)` when the raw estimate ≤ 2.5m and empty
+    * registers remain — Flajolet et al. 2007 §4). The only floating
+    * point in the sketch, applied to one row. */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    val suffixBits = HashBits - p
+    val m = (1L << p).toDouble
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val scale = math.pow(2.0, suffixBits + 1)
+    hllState(registers, p).select(
+      col("m"), col("v_zero"),
+      when(
+        col("v_zero") > 0 &&
+          lit(alpha) * lit(m * m) / (col("s_scaled").cast("double") / lit(scale))
+            <= lit(2.5 * m),
+        lit(m) * log(lit(m) / col("v_zero").cast("double")))
+        .otherwise(
+          lit(alpha) * lit(m * m) / (col("s_scaled").cast("double") / lit(scale)))
+        .as("estimate"))
+  }
+}

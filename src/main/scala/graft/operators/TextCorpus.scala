@@ -801,4 +801,33 @@ object TextCorpus {
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("first_id") < col("id"), 1L).otherwise(0L)).as("n_recycled"))
   }
+
+  /** Distinct-n diversity (Li et al. 2016's distinct-1/distinct-2
+    * metrics, the standard repetitiveness signal for generated or
+    * scraped corpora): per `byCol`, total and distinct word n-grams —
+    * `distinct/total` downstream is the diversity ratio. Counts, not
+    * ratios, so the gate hash is exact (the [[repetitionStats]]
+    * discipline). n-grams are built inside the row with a codegen'd
+    * `transform(sequence(...))` over the token array (no window, no
+    * per-position shuffle); the only exchange is the (byCol, ngram)
+    * distinct-aggregate — word-count shaped, map-side combined, linear
+    * at 100 TB. */
+  def distinctNgramStats(
+      docs: DataFrame, n: Int, textCol: String = "text",
+      byCol: String = "source"): DataFrame = {
+    require(n >= 1, s"n-gram size $n must be >= 1")
+    val grams =
+      s"""transform(sequence(1, size(toks) - ${n - 1}),
+         |  i -> ${if (n == 1) "element_at(toks, i)"
+                  else (0 until n).map(k => s"element_at(toks, i + $k)")
+                    .mkString("concat_ws(' ', ", ", ", ")")})""".stripMargin
+    docs
+      .select(col(byCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(byCol), explode(expr(grams)).as("ngram"))
+      .groupBy(byCol)
+      .agg(
+        count(lit(1)).as("total_ngrams"),
+        countDistinct(col("ngram")).as("distinct_ngrams"))
+  }
 }

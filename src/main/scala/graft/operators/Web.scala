@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Web-crawl curation operators — the URL-level stages every large
+  * crawl-derived training corpus runs before any text-level filtering
+  * (C4: Raffel et al. 2020 §2.2; CCNet: Wenzek et al. 2020; RefinedWeb:
+  * Penedo et al. 2023 §3.1, which dedups and caps on the *canonical* URL
+  * and the *registrable domain* respectively):
+  *
+  *  - URL canonicalization (scheme/host case, default ports, fragments,
+  *    tracking parameters, parameter order, trailing slashes) so that
+  *    the same page fetched twice maps to one key,
+  *  - registrable-domain extraction against a public-suffix list (the
+  *    PSL's private section is why `foo.blogspot.com`-style hosts are
+  *    their own registrable domain — modeled here by passing the
+  *    multi-label suffixes in),
+  *  - per-domain document caps (RefinedWeb-style anti-spam: no single
+  *    site dominates the corpus), and
+  *  - domain blocklist filtering (broadcast anti-join).
+  *
+  * Everything except the cap is a pure per-row projection built from
+  * codegen'd string functions — zero shuffles, linear at any scale. The
+  * cap is one shuffle on the domain key; the blocklist is a broadcast
+  * anti-join (blocklists are KB–MB sized). The reference's message log
+  * has no web layer at all; this family is part of the SURVEY §2
+  * "beyond the reference" training-pipeline mandate.
+  */
+object Web {
+
+  /** Tracking parameters dropped during canonicalization: the
+    * `utm_*` family plus the click-id params, per the public lists that
+    * crawl pipelines ship (anchored regex over the `k=v` token). */
+  val TrackingParamRe = "^(utm_[^=]*|fbclid|gclid|ref)="
+
+  /** Canonical URL: lowercase scheme and host, `www.` prefix stripped,
+    * default port dropped (`:80` for http, `:443` for https; any other
+    * port kept), fragment dropped, tracking params dropped, remaining
+    * query params sorted bytewise, trailing slash runs trimmed from the
+    * path. Pure string-function projection (substring_index / split /
+    * sort_array / array_join) — no UDF, no shuffle; the whole thing
+    * inlines into the scan's projection at 100 TB. */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(substring_index(url, "://", 1))
+    val rest = substring_index(url, "://", -1)
+    val hostport =
+      substring_index(substring_index(substring_index(rest, "/", 1), "?", 1), "#", 1)
+    val tail = rest.substr(length(hostport) + lit(1), length(rest))
+    val noFrag = substring_index(tail, "#", 1)
+    val path = substring_index(noFrag, "?", 1)
+    val rawQuery =
+      when(instr(noFrag, "?") > 0, substring_index(noFrag, "?", -1)).otherwise(lit(""))
+    val host = regexp_replace(lower(substring_index(hostport, ":", 1)), "^www\\.", "")
+    val port =
+      when(instr(hostport, ":") > 0, substring_index(hostport, ":", -1)).otherwise(lit(""))
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") || (scheme === "https" && port === "443"))
+    val params = filter(
+      split(rawQuery, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe))
+    val cleanQuery = array_join(sort_array(params), "&")
+    concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      regexp_replace(path, "/+$", ""),
+      when(cleanQuery =!= "", concat(lit("?"), cleanQuery)).otherwise(lit("")))
+  }
+
+  /** Host of a URL, lowercased, `www.` stripped, port removed — the key
+    * [[registrableDomain]] expects. Pure projection. */
+  def hostOf(url: Column): Column = {
+    val rest = substring_index(url, "://", -1)
+    val hostport =
+      substring_index(substring_index(substring_index(rest, "/", 1), "?", 1), "#", 1)
+    regexp_replace(lower(substring_index(hostport, ":", 1)), "^www\\.", "")
+  }
+
+  /** Registrable domain (eTLD+1) of a host against a suffix list: the
+    * longest listed suffix that the host ends on, plus one more label.
+    * `suffixes` carries the multi-label entries (both ICANN `co.uk`-style
+    * and PSL-private `example.com`-style, which is how `*.blogspot.com`
+    * sites become separate registrable domains); single-label TLDs are
+    * the implicit fallback. Suffixes are compile-time literals, so the
+    * whole match is a codegen'd CASE over `element_at(split(host))` —
+    * still a pure projection, no join against the list. */
+  def registrableDomain(host: Column, suffixes: Seq[String]): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    def lastK(k: Int): Column =
+      concat_ws(".", (k to 1 by -1).map(i => element_at(labels, -i)): _*)
+    val byDepth = suffixes.groupBy(_.count(_ == '.') + 1).toSeq.sortBy(-_._1)
+    val fallback = when(n >= 2, lastK(2)).otherwise(host)
+    byDepth.foldRight(fallback) { case ((depth, sfx), acc) =>
+      when(n >= depth + 1 && lastK(depth).isin(sfx: _*), lastK(depth + 1))
+        .otherwise(acc)
+    }
+  }
+
+  /** Keep at most `n` rows per domain, ranked by `order` (ties must be
+    * broken by a unique key for determinism). One shuffle on the domain
+    * key; at 100 TB a hot mega-domain lands in one task, which AQE's
+    * skew split cannot divide (row_number needs the whole partition) —
+    * the mitigation is the same two-phase trick as top-k: a per-shard
+    * pre-cap to `n` with the same ordering is lossless (a row outside
+    * its shard's top-n cannot be in the domain's top-n), so callers at
+    * extreme skew pre-filter with `perDomainCap` over `(domain,
+    * shard_salt)` first, shrinking the hot key to `n × shards` rows. */
+  def perDomainCap(
+      df: DataFrame,
+      domainCol: String,
+      n: Int,
+      order: Seq[Column]): DataFrame =
+    df.withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col(domainCol)).orderBy(order: _*)))
+      .filter(col("rn") <= n)
+
+  /** Drop rows whose `domainCol` appears in `blocklist` (one column
+    * named `domain`): broadcast left-anti join — blocklists are tiny
+    * relative to the corpus, so this never shuffles the data side. */
+  def blocklistFilter(df: DataFrame, domainCol: String, blocklist: DataFrame): DataFrame = {
+    val bl = blocklist.select(col("domain").as("__blocked_domain"))
+    df.join(broadcast(bl), df(domainCol) === bl("__blocked_domain"), "left_anti")
+  }
+}

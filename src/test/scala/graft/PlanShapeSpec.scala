@@ -801,4 +801,55 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "SortMergeJoin") === 0,
       s"pair eval self-joined the assignment frame:\n$p")
   }
+
+  test("url normalization is a pure projection: the only exchange is the presentation sort") {
+    val p = finalPlan("url_normalize")
+    assert(count(p, "Exchange") <= 1, s"normalizer added a shuffle:\n$p")
+    assert(count(p, "HashAggregate") === 0, s"normalizer aggregates:\n$p")
+  }
+
+  test("registrable-domain histogram: suffix match stays a projection (no join against the list)") {
+    val p = finalPlan("url_domains")
+    assert(count(p, "BroadcastHashJoin") === 0 && count(p, "SortMergeJoin") === 0,
+      s"PSL match became a join:\n$p")
+    assert(count(p, "HashAggregate") >= 2, "domain count lost map-side combine")
+  }
+
+  test("domain blocklist is a broadcast anti-join; the corpus side never shuffles for it") {
+    val p = finalPlan("domain_blocklist_filter")
+    assert(count(p, "BroadcastHashJoin") >= 1, s"blocklist lost its broadcast:\n$p")
+    assert(count(p, "SortMergeJoin") === 0, s"blocklist shuffled the corpus:\n$p")
+  }
+
+  test("hll registers: one partial-aggregated exchange of <= m rows per task, no join") {
+    Seq("hll_registers", "hll_merge_registers").foreach { q =>
+      val p = finalPlan(q)
+      assert(count(p, "HashAggregate") >= 2, s"$q lost map-side register combine")
+      assert(count(p, "BroadcastHashJoin") + count(p, "SortMergeJoin") === 0,
+        s"$q joins:\n$p")
+    }
+  }
+
+  test("cms counters: single scan (posexplode, not d unions), partial-aggregated, no join") {
+    Seq("cms_counters", "cms_merge_counters").foreach { q =>
+      val p = finalPlan(q)
+      assert(count(p, "HashAggregate") >= 2, s"$q lost map-side cell combine")
+      assert(count(p, "BroadcastHashJoin") + count(p, "SortMergeJoin") === 0,
+        s"$q joins:\n$p")
+    }
+  }
+
+  test("cms estimates: the bounded counter table broadcasts; the key side never shuffles for the lookup") {
+    val p = finalPlan("cms_estimates")
+    assert(count(p, "BroadcastHashJoin") >= 1, s"counter lookup lost its broadcast:\n$p")
+    assert(count(p, "SortMergeJoin") === 0, s"counter lookup shuffled:\n$p")
+  }
+
+  test("distinct-n diversity: ngrams build inside the row; word-count-shaped aggregation only") {
+    val p = finalPlan("distinct_bigram_diversity")
+    assert(count(p, "Window") === 0, s"ngram build fell into a window:\n$p")
+    assert(count(p, "SortMergeJoin") + count(p, "CartesianProduct") === 0,
+      s"diversity joined:\n$p")
+    assert(count(p, "HashAggregate") >= 2, "diversity lost partial aggregation")
+  }
 }

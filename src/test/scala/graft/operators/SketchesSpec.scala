@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Sketches]] HLL: integer register construction, the union law,
+  * estimate accuracy vs exact distinct, and partition invariance (the
+  * mergeable-summary contract the 100 TB story rests on). */
+class SketchesSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def regs(ids: Seq[Long], p: Int = 6) =
+    Sketches.hllRegisters(ids.toDF("v"), col("v"), p)
+
+  test("registers are deterministic and partition-invariant") {
+    val ids = (1L to 500L) ++ (1L to 250L) // duplicates must not matter
+    val a = regs(ids).collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    val b = Sketches.hllRegisters(ids.toDF("v").repartition(13), col("v"), 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(a === b)
+    assert(a.forall { case (bucket, rho) => bucket >= 0 && bucket < 64 && rho >= 1 && rho <= 55 })
+  }
+
+  test("duplicates do not change the sketch") {
+    val once = regs((1L to 300L)).collect().toSet
+    val dup = regs((1L to 300L) ++ (1L to 300L) ++ (100L to 200L)).collect().toSet
+    assert(once === dup)
+  }
+
+  test("union law: merge of disjoint halves equals sketch of the whole") {
+    val all = (1L to 1000L)
+    val merged = Sketches.hllMerge(
+      regs(all.filter(_ % 2 == 0)), regs(all.filter(_ % 2 == 1)))
+    assert(merged.collect().toSet === regs(all).collect().toSet)
+  }
+
+  test("union law holds for overlapping inputs too") {
+    val merged = Sketches.hllMerge(regs(1L to 700L), regs(300L to 1000L))
+    assert(merged.collect().toSet === regs(1L to 1000L).collect().toSet)
+  }
+
+  test("state row: m, v_zero, and scaled harmonic sum are consistent") {
+    val r = regs(1L to 400L)
+    val row = Sketches.hllState(r, 6).head()
+    val m = row.getLong(0); val vZero = row.getLong(1)
+    val s = row.getDecimal(2)
+    assert(m === 64L)
+    assert(vZero === m - r.count())
+    // every register contributes at least 2^0 and at most 2^55
+    val lo = BigDecimal(vZero) * BigDecimal(2).pow(55)
+    assert(BigDecimal(s) >= lo && BigDecimal(s) <= BigDecimal(m) * BigDecimal(2).pow(55))
+  }
+
+  test("estimate lands within theoretical error of exact distinct") {
+    // p=8 → m=256 → relative std error ≈ 1.04/16 = 6.5%; assert 4σ
+    for (n <- Seq(100L, 1000L, 5000L)) {
+      val est = Sketches.hllEstimate(
+        Sketches.hllRegisters((1L to n).toDF("v"), col("v"), 8), 8)
+        .head().getDouble(2)
+      assert(math.abs(est - n) / n.toDouble < 0.26, s"n=$n est=$est")
+    }
+  }
+
+  test("small-range correction: tiny cardinalities stay accurate") {
+    for (n <- Seq(1L, 5L, 20L)) {
+      val est = Sketches.hllEstimate(
+        Sketches.hllRegisters((1L to n).toDF("v"), col("v"), 8), 8)
+        .head().getDouble(2)
+      assert(math.abs(est - n) / n.toDouble < 0.25, s"n=$n est=$est")
+    }
+  }
+
+  test("precision bounds are enforced") {
+    intercept[IllegalArgumentException] {
+      Sketches.hllRegisters(Seq(1L).toDF("v"), col("v"), 3)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.hllRegisters(Seq(1L).toDF("v"), col("v"), 17)
+    }
+  }
+
+  // ---- count-min sketch ----------------------------------------------
+
+  private def cms(vals: Seq[String], d: Int = 3, w: Int = 16) =
+    Sketches.cmsCounters(vals.toDF("v"), col("v"), d, w)
+
+  test("cms counters: total per hash row equals input size; partition invariant") {
+    val vals = (1 to 200).map(i => s"k${i % 37}")
+    val c = cms(vals)
+    val perRow = c.groupBy("hash_row").agg(sum("cnt").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perRow === Map(0 -> 200L, 1 -> 200L, 2 -> 200L))
+    val repart = Sketches.cmsCounters(vals.toDF("v").repartition(7), col("v"), 3, 16)
+    assert(c.collect().toSet === repart.collect().toSet)
+  }
+
+  test("cms estimate is never below the true count and never above N") {
+    val vals = (1 to 300).map(i => s"k${i % 23}") // k0..k22, ~13 each
+    val truth = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val keys = truth.keys.toSeq.toDF("key")
+    val est = Sketches.cmsEstimate(cms(vals), keys, 3, 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, n) =>
+      assert(est(k) >= n, s"$k underestimated: ${est(k)} < $n")
+      assert(est(k) <= vals.size, s"$k above N")
+    }
+  }
+
+  test("cms estimate is exact when the width dwarfs the key count") {
+    val vals = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val est = Sketches.cmsEstimate(
+        Sketches.cmsCounters(vals.toDF("v"), col("v"), 4, 4096),
+        Seq("a", "b", "c", "absent").toDF("key"), 4, 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === Map("a" -> 5L, "b" -> 3L, "c" -> 1L, "absent" -> 0L))
+  }
+
+  test("cms merge law: summed halves equal the sketch of the whole; duplicates add") {
+    val vals = (1 to 400).map(i => s"u${i % 51}")
+    val (even, odd) = vals.zipWithIndex.partition(_._2 % 2 == 0)
+    val merged = Sketches.cmsMerge(cms(even.map(_._1)), cms(odd.map(_._1)))
+    assert(merged.collect().toSet === cms(vals).collect().map(r =>
+      org.apache.spark.sql.Row(r.getInt(0), r.getLong(1), r.getLong(2))).toSet)
+    val doubled = Sketches.cmsMerge(cms(vals), cms(vals))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cms(vals).collect().foreach { r =>
+      assert(doubled((r.getInt(0), r.getLong(1))) === 2 * r.getLong(2))
+    }
+  }
+
+  test("cms bounds are enforced") {
+    intercept[IllegalArgumentException] {
+      Sketches.cmsCounters(Seq("x").toDF("v"), col("v"), 0, 16)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.cmsCounters(Seq("x").toDF("v"), col("v"), 3, 1)
+    }
+  }
+}

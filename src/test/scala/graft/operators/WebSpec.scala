@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Web]] URL-canonicalization family against hand-written URLs (the
+  * DuckDB oracle re-checks the same logic at sf0.01; these pin each
+  * normalization rule individually). */
+class WebSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def norm(url: String): String =
+    Seq(url).toDF("url").select(Web.normalizeUrl(col("url"))).head().getString(0)
+
+  test("scheme and host lowercase; www and default port stripped") {
+    assert(norm("HTTPS://WWW.Site.COM:443/A/b") === "https://site.com/A/b")
+    assert(norm("http://Site.com:80/x") === "http://site.com/x")
+  }
+
+  test("non-default port kept") {
+    assert(norm("http://site.com:8080/x") === "http://site.com:8080/x")
+    assert(norm("https://site.com:80/x") === "https://site.com:80/x")
+  }
+
+  test("fragment dropped, trailing slashes trimmed") {
+    assert(norm("https://site.com/a/#frag") === "https://site.com/a")
+    assert(norm("https://site.com/a///") === "https://site.com/a")
+  }
+
+  test("tracking params dropped, remaining params sorted, empty query elided") {
+    assert(norm("https://site.com/p?utm_source=x&b=2&a=1") === "https://site.com/p?a=1&b=2")
+    assert(norm("https://site.com/p?utm_campaign=x&fbclid=1&gclid=2&ref=3")
+      === "https://site.com/p")
+    assert(norm("https://site.com/p?refresh=1") === "https://site.com/p?refresh=1")
+  }
+
+  test("path case is preserved; query values are case-preserved") {
+    assert(norm("https://site.com/CaseSensitive?Q=Val") === "https://site.com/CaseSensitive?Q=Val")
+  }
+
+  test("hostOf lowers, strips www and port") {
+    val h = Seq("HTTP://WWW.Foo.Example.ORG:8080/p?q=1#f").toDF("url")
+      .select(Web.hostOf(col("url"))).head().getString(0)
+    assert(h === "foo.example.org")
+  }
+
+  test("registrableDomain: ICANN multi-label, PSL-private, and TLD fallback") {
+    val sfx = Seq("co.uk", "example.com")
+    val out = Seq(
+      "a.b.site.co.uk", // co.uk listed → site.co.uk
+      "deep.sub.example.com", // PSL-private example.com → sub.example.com
+      "plain.org", // fallback: last two labels
+      "x.y.plain.org", // fallback still last two
+      "localhost" // single label: unchanged
+    ).toDF("host").select(Web.registrableDomain(col("host"), sfx)).as[String].collect()
+    assert(out === Seq("site.co.uk", "sub.example.com", "plain.org", "plain.org", "localhost"))
+  }
+
+  test("perDomainCap keeps n per domain in order, ties broken deterministically") {
+    val df = Seq(
+      ("d1", 1L, 10L), ("d1", 2L, 30L), ("d1", 3L, 30L), ("d1", 4L, 5L),
+      ("d2", 5L, 1L)).toDF("domain", "doc_id", "n_chars")
+    val kept = Web.perDomainCap(df, "domain", 2, Seq(col("n_chars").desc, col("doc_id").asc))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 3L, 5L)) // d1: the two 30s (id asc), d2: its only row
+  }
+
+  test("blocklistFilter drops exactly the blocked domains via broadcast anti-join") {
+    val docs = Seq(("a.com", 1L), ("b.com", 2L), ("c.com", 3L)).toDF("domain", "doc_id")
+    val bl = Seq("b.com").toDF("domain")
+    val out = Web.blocklistFilter(docs, "domain", bl).select("doc_id").as[Long].collect().sorted
+    assert(out === Array(1L, 3L))
+    val plan = Web.blocklistFilter(docs, "domain", bl).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("LeftAnti"))
+  }
+}
