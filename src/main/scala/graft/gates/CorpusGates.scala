@@ -138,6 +138,27 @@ private[graft] trait CorpusGates extends GateSupport {
       .orderBy("bucket")
   }
 
+  /** CMS join-size estimate: |even-events ⋈ odd-events on user_id|
+    * from the two sketches alone — the planner-service shape. */
+  protected def cmsJoinSize(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val even = Sketches.cmsCounters(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+      col("user_id"), d = 3, w = 64)
+    val odd = Sketches.cmsCounters(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+      col("user_id"), d = 3, w = 64)
+    // ≤ Nₑ·Nₒ ≈ 2.5e9 at sf0.01 — far inside BIGINT at any gate scale
+    Sketches.cmsInnerProduct(even, odd)
+      .select(col("est_join_size").cast("long").as("est_join_size"))
+  }
+
+  /** C4-style blocked-term screen: word-boundary hits of a 4-term
+    * list (incl. multi-word phrases) per document. */
+  protected def blockedTermHitsGate(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.blockedTermHits(
+        t(s, dir, "documents"),
+        Seq("slow", "drop", "window scan", "hash join"))
+      .orderBy("doc_id")
+
   /** distinct-2 diversity per source (total vs distinct word bigrams). */
   protected def distinctBigramDiversity(s: SparkSession, dir: String): DataFrame =
     TextCorpus.distinctNgramStats(t(s, dir, "documents"), n = 2)
@@ -191,7 +212,20 @@ private[graft] trait CorpusGates extends GateSupport {
     "cms_counters" -> cmsCountersGate _,
     "cms_estimates" -> cmsEstimatesGate _,
     "cms_merge_counters" -> cmsMergeCounters _,
+    "cms_join_size" -> cmsJoinSize _,
+    "blocked_term_hits" -> blockedTermHitsGate _,
   )
+
+  /** A half-table CMS counter CTE named `alias` over events with
+    * `event_id % 2 = parity` (the join-size oracle's two sides). */
+  private def cmsHalfSql(alias: String, parity: Int): String =
+    s"""${alias}src AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events
+                        WHERE event_id % 2 = $parity),
+        ${alias}cells AS (SELECT CAST(r AS BIGINT) AS hash_row,
+                                 ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || v), 1, 15))::BIGINT % 64 AS col
+                          FROM ${alias}src CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) t),
+        $alias AS (SELECT hash_row, col, CAST(count(*) AS BIGINT) AS cnt
+                   FROM ${alias}cells GROUP BY hash_row, col)"""
 
   /** Shared CMS counter CTE: d=3 salted md5 hashes into w=64 columns. */
   private val cmsCountersSql: String =
@@ -295,6 +329,19 @@ private[graft] trait CorpusGates extends GateSupport {
       // additive merge law: summed halves ≡ the full-table counters
       s"""$cmsCountersSql
           SELECT hash_row, col, cnt FROM counters ORDER BY hash_row, col""",
+    "cms_join_size" ->
+      // per-row inner products of the two half sketches, min over rows
+      s"""WITH ${cmsHalfSql("e", 0)},
+          ${cmsHalfSql("o", 1)},
+          ip AS (SELECT e.hash_row, sum(e.cnt * o.cnt) AS ip
+                 FROM e JOIN o USING (hash_row, col)
+                 GROUP BY e.hash_row)
+          SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM ip""",
+    "blocked_term_hits" ->
+      """SELECT doc_id,
+                CAST(length(regexp_extract_all(lower(text),
+                  '\b(slow|drop|window\s+scan|hash\s+join)\b')) AS BIGINT) AS n_hits
+         FROM documents ORDER BY doc_id""",
     "distinct_bigram_diversity" ->
       """WITH toks AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
                        FROM documents),

@@ -136,6 +136,22 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Equi-join size estimate from two CMS counter tables over the join
+    * key (Cormode & Muthukrishnan 2005 §4.2's inner-product estimator):
+    * per hash row, Σ_col a_cnt·b_cnt; the estimate is the MIN over the d
+    * rows. Never below the true join cardinality, ≤ true + εNaNb — the
+    * cheap cardinality service a join planner wants before committing to
+    * a shuffle strategy at 100 TB, computed from two ≤ d·w-row sketches
+    * without touching the data again. Integer end to end (decimal(38,0)
+    * sums: the products are N²-scaled), so it hash-gates cross-engine
+    * like the counters themselves. */
+  def cmsInnerProduct(a: DataFrame, b: DataFrame): DataFrame =
+    a.alias("a")
+      .join(b.alias("b"), Seq("hash_row", "col"))
+      .groupBy("hash_row")
+      .agg(sum((col("a.cnt") * col("b.cnt")).cast("decimal(38,0)")).as("ip"))
+      .agg(min("ip").cast("decimal(38,0)").as("est_join_size"))
+
   /** Cardinality estimate from the exact state: the raw HLL estimator
     * `alpha_m · m² / Σ 2^−rho` with the small-range linear-counting
     * branch (`m · ln(m / v_zero)` when the raw estimate ≤ 2.5m and empty

@@ -802,6 +802,27 @@ object TextCorpus {
         sum(when(col("first_id") < col("id"), 1L).otherwise(0L)).as("n_recycled"))
   }
 
+  /** Blocked-term hits (the C4 §2.2 "bad words" screen — Raffel et al.
+    * 2020 filter any page containing a listed word/phrase): per doc, the
+    * number of word-boundary matches of ANY listed term, via ONE
+    * combined alternation regex over the lowered text — one codegen'd
+    * `regexp_count` per row regardless of list size, no explode, no
+    * join, no shuffle. Terms may be multi-word phrases. For blocklists
+    * beyond regex-compilation size (tens of thousands of entries) the
+    * token-join formulation ([[graft.operators.Web.blocklistFilter]]'s
+    * shape over exploded tokens) is the fallback; published lists are
+    * hundreds of entries, comfortably literal. */
+  def blockedTermHits(
+      docs: DataFrame, terms: Seq[String], textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "term list must not be empty")
+    require(terms.forall(_.matches("[a-z0-9 ]+")),
+      s"terms must be lowercase word/phrase literals: ${terms.filterNot(_.matches("[a-z0-9 ]+"))}")
+    val re = terms.map(_.replace(" ", "\\s+")).mkString("\\b(", "|", ")\\b")
+    docs.select(
+      col("doc_id"),
+      regexp_count(lower(col(textCol)), lit(re)).cast("long").as("n_hits"))
+  }
+
   /** Distinct-n diversity (Li et al. 2016's distinct-1/distinct-2
     * metrics, the standard repetitiveness signal for generated or
     * scraped corpora): per `byCol`, total and distinct word n-grams —

@@ -845,6 +845,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "SortMergeJoin") === 0, s"counter lookup shuffled:\n$p")
   }
 
+  test("blocked-term screen: one combined regex per row — pure projection, no explode/join") {
+    val p = finalPlan("blocked_term_hits")
+    assert(count(p, "Exchange") <= 1, s"term screen added a shuffle:\n$p")
+    assert(count(p, "Generate") === 0, s"term screen exploded tokens:\n$p")
+  }
+
+  test("cms join-size estimate: sketch-only arithmetic — the data is never re-joined") {
+    val p = finalPlan("cms_join_size")
+    assert(count(p, "CartesianProduct") === 0, s"join-size estimate went cartesian:\n$p")
+    // the only join allowed is between the two <= d·w-row counter tables
+    assert(count(p, "SortMergeJoin") === 0, s"counter tables sort-merged:\n$p")
+  }
+
   test("distinct-n diversity: ngrams build inside the row; word-count-shaped aggregation only") {
     val p = finalPlan("distinct_bigram_diversity")
     assert(count(p, "Window") === 0, s"ngram build fell into a window:\n$p")

@@ -130,6 +130,25 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("cms inner product never underestimates join size; exact at large width") {
+    val left = (1 to 300).map(i => s"k${i % 29}")
+    val right = (1 to 200).map(i => s"k${i % 31}")
+    val truth = {
+      val rc = right.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      left.map(k => rc.getOrElse(k, 0L)).sum
+    }
+    val est = Sketches.cmsInnerProduct(cms(left), cms(right))
+      .head().getDecimal(0).longValueExact()
+    assert(est >= truth, s"inner product underestimated: $est < $truth")
+    // generous upper sanity bound: N_a * N_b
+    assert(est <= 300L * 200L)
+    val exact = Sketches.cmsInnerProduct(
+      Sketches.cmsCounters(left.toDF("v"), col("v"), 3, 4096),
+      Sketches.cmsCounters(right.toDF("v"), col("v"), 3, 4096))
+      .head().getDecimal(0).longValueExact()
+    assert(exact === truth, s"wide sketch should be exact: $exact vs $truth")
+  }
+
   test("cms bounds are enforced") {
     intercept[IllegalArgumentException] {
       Sketches.cmsCounters(Seq("x").toDF("v"), col("v"), 0, 16)

@@ -67,6 +67,28 @@ class WebSpec extends AnyFunSuite {
     assert(kept === Array(2L, 3L, 5L)) // d1: the two 30s (id asc), d2: its only row
   }
 
+  test("blockedTermHits counts word-boundary matches incl. phrases; substrings don't match") {
+    val docs = Seq(
+      (1L, "the slow query is slow"), // 2 hits
+      (2L, "slowest queries are fine"), // substring: 0 hits
+      (3L, "a hash join beats a hash  join here"), // phrase ×2 (multi-space)
+      (4L, "Drop THE table"), // case-insensitive via lower()
+      (5L, "nothing here")).toDF("doc_id", "text")
+    val out = TextCorpus.blockedTermHits(docs, Seq("slow", "drop", "hash join"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 0L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("blockedTermHits rejects non-literal terms") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextCorpus.blockedTermHits(docs, Seq("a.b*"))
+    }
+    intercept[IllegalArgumentException] {
+      TextCorpus.blockedTermHits(docs, Seq.empty)
+    }
+  }
+
   test("blocklistFilter drops exactly the blocked domains via broadcast anti-join") {
     val docs = Seq(("a.com", 1L), ("b.com", 2L), ("c.com", 3L)).toDF("domain", "doc_id")
     val bl = Seq("b.com").toDF("domain")
