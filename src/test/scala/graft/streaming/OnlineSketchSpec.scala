@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.operators.Sketches
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The sketches are streaming-native BY CONSTRUCTION: [[Sketches]]
+  * builds both HLL and CMS as plain (projection → keyed aggregate)
+  * plans, so the SAME operator code runs as a Structured Streaming
+  * aggregation — registers max-merge and counters sum under the hood,
+  * which is exactly the sketches' own merge law, so Spark's streaming
+  * state IS the sketch. These specs pin the contract: replaying data in
+  * micro-batches yields bit-identical sketch state to the one-shot
+  * batch build (the `hll_registers`/`cms_counters` gates oracle the
+  * batch side, so the streaming side is transitively oracle-anchored). */
+class OnlineSketchSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("streaming HLL register maintenance equals the batch sketch") {
+    val in = MemoryStream[Long](spark)
+    val regs = Sketches.hllRegisters(in.toDF().select(col("value").as("v")), col("v"), 6)
+    val q = regs.writeStream
+      .format("memory").queryName("hll_stream").outputMode("complete").start()
+    try {
+      in.addData(1L to 400L: _*)
+      q.processAllAvailable()
+      in.addData(200L to 900L: _*) // overlap on purpose: max-merge must absorb it
+      q.processAllAvailable()
+      in.addData(901L to 1000L: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream").collect().toSet
+      val batch = Sketches.hllRegisters((1L to 1000L).toDF("v"), col("v"), 6)
+        .collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming CMS counter maintenance equals the batch sketch") {
+    val in = MemoryStream[String](spark)
+    val counters =
+      Sketches.cmsCounters(in.toDF().select(col("value").as("v")), col("v"), 3, 32)
+    val q = counters.writeStream
+      .format("memory").queryName("cms_stream").outputMode("complete").start()
+    try {
+      val all = (1 to 500).map(i => s"k${i % 41}")
+      val (a, rest) = all.splitAt(180)
+      val (b, c) = rest.splitAt(200)
+      Seq(a, b, c).foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+      val streamed = spark.table("cms_stream").collect().toSet
+      val batch = Sketches.cmsCounters(all.toDF("v"), col("v"), 3, 32).collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}
