@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Sketches, TextCorpus, Web}
+import graft.operators.{Sampling, Sketches, TextCorpus, Web}
 
 /** Round-12 corpus/crawl additions (→ `CORRECTNESS_r12.json`): the
   * URL-canonicalization family ([[graft.operators.Web]]), the exact-
@@ -159,6 +159,28 @@ private[graft] trait CorpusGates extends GateSupport {
         Seq("slow", "drop", "window scan", "hash join"))
       .orderBy("doc_id")
 
+  /** Grouped HLL state: one sketch per lineitem return flag over part
+    * keys — the approx-distinct-per-group rollup table, fully oracled. */
+  protected def hllGroupedState(s: SparkSession, dir: String): DataFrame =
+    Sketches.hllStateBy(
+        Sketches.hllRegistersBy(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), col("l_partkey"), p = 6),
+        Seq("l_returnflag"), p = 6)
+      .select(col("l_returnflag"), col("m"), col("v_zero"),
+        col("s_scaled").cast("long").as("s_scaled"))
+      .orderBy("l_returnflag")
+
+  /** CCNet-style per-source score terciles (n_chars stands in for the
+    * quality/perplexity signal): per (source, bucket) counts + the
+    * bucket's score span. */
+  protected def ccnetBuckets(s: SparkSession, dir: String): DataFrame =
+    Sampling.scoreBuckets(
+        t(s, dir, "documents"), Seq("source"), col("n_chars"), col("doc_id"), k = 3)
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min("n_chars").as("min_score"), max("n_chars").as("max_score"))
+      .orderBy("source", "bucket")
+
   /** distinct-2 diversity per source (total vs distinct word bigrams). */
   protected def distinctBigramDiversity(s: SparkSession, dir: String): DataFrame =
     TextCorpus.distinctNgramStats(t(s, dir, "documents"), n = 2)
@@ -214,6 +236,8 @@ private[graft] trait CorpusGates extends GateSupport {
     "cms_merge_counters" -> cmsMergeCounters _,
     "cms_join_size" -> cmsJoinSize _,
     "blocked_term_hits" -> blockedTermHitsGate _,
+    "hll_grouped_state" -> hllGroupedState _,
+    "ccnet_buckets" -> ccnetBuckets _,
   )
 
   /** A half-table CMS counter CTE named `alias` over events with
@@ -337,6 +361,31 @@ private[graft] trait CorpusGates extends GateSupport {
                  FROM e JOIN o USING (hash_row, col)
                  GROUP BY e.hash_row)
           SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM ip""",
+    "hll_grouped_state" ->
+      // per-group registers, then the per-group harmonic core
+      """WITH h AS (SELECT l_returnflag AS g,
+                           ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+                    FROM lineitem),
+              b AS (SELECT g, h // 18014398509481984 AS bucket,
+                           h % 18014398509481984 AS suffix FROM h),
+              regs AS (SELECT g, bucket,
+                              max(CASE WHEN suffix = 0 THEN 55
+                                       ELSE 55 - length(bin(suffix)) END) AS rho
+                       FROM b GROUP BY g, bucket)
+         SELECT g AS l_returnflag,
+                CAST(64 AS BIGINT) AS m,
+                CAST(64 - count(*) AS BIGINT) AS v_zero,
+                CAST(sum(1::BIGINT << (55 - rho))
+                     + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS s_scaled
+         FROM regs GROUP BY g ORDER BY g""",
+    "ccnet_buckets" ->
+      """WITH t AS (SELECT source, n_chars,
+                           ntile(3) OVER (PARTITION BY source
+                                          ORDER BY n_chars, doc_id) AS bucket
+                    FROM documents)
+         SELECT source, CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+                min(n_chars) AS min_score, max(n_chars) AS max_score
+         FROM t GROUP BY source, bucket ORDER BY source, bucket""",
     "blocked_term_hits" ->
       """SELECT doc_id,
                 CAST(length(regexp_extract_all(lower(text),

@@ -370,4 +370,27 @@ object Sampling {
       .limit(k)
       .select(col(idCol), col(weightCol), col("priority"))
   }
+
+  /** Per-group equal-count score buckets — the CCNet §3.3 head/middle/
+    * tail split (Wenzek et al. 2020 bucket documents per LANGUAGE into
+    * perplexity terciles; `by` is the language there, `score` the LM
+    * perplexity — any quality signal plugs in). ANSI `ntile(k)` over
+    * (score, tie) per group; `tie` must be unique so the split is
+    * deterministic and engine-portable (ntile's earlier-buckets-get-the-
+    * remainder distribution is the SQL standard on both engines).
+    *
+    * Shape: one keyed exchange + per-group sort. A group is a language
+    * (tens to hundreds) so per-group volume is corpus-sized at 100 TB —
+    * when a single group outgrows one task, the exact-quantile bisection
+    * ([[Stats.exactQuantilesBisect]], the rfmScores adjudication)
+    * supplies cut points without a per-group total sort. */
+  def scoreBuckets(
+      df: DataFrame, by: Seq[String], score: Column, tie: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"bucket count k=$k must be >= 2")
+    df.withColumn(
+      "bucket",
+      ntile(k).over(Window.partitionBy(by.map(col): _*).orderBy(score, tie))
+        .cast("long"))
+  }
 }

@@ -34,7 +34,15 @@ object Sketches {
     * + 1` — integer-exact via `bitlen` (`length(bin(x))`), never a float
     * log. Absent buckets mean register 0, kept implicit so the state
     * stays ≤ m rows. One partial-agg shuffle of ≤ m rows per partition. */
-  def hllRegisters(df: DataFrame, c: Column, p: Int): DataFrame = {
+  def hllRegisters(df: DataFrame, c: Column, p: Int): DataFrame =
+    hllRegistersBy(df, Seq.empty, c, p)
+
+  /** Grouped register tables: one HLL per key of `by` — the
+    * approx-distinct-per-group building block (daily/per-source sketch
+    * tables that roll up to any range by [[hllMerge]]-style max without
+    * rescanning; the Bench sketch-rollup scenario's economics). Same
+    * single partial-agg shuffle; state is ≤ |groups|·2^p rows. */
+  def hllRegistersBy(df: DataFrame, by: Seq[String], c: Column, p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"precision p=$p outside [4,16]")
     val suffixBits = HashBits - p
     val h = conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
@@ -42,8 +50,29 @@ object Sketches {
     val suffix = h.bitwiseAND(lit((1L << suffixBits) - 1))
     val rho = when(suffix === 0, lit(suffixBits + 1))
       .otherwise(lit(suffixBits + 1) - length(bin(suffix)))
-    df.select(bucket, rho.as("rho"))
-      .groupBy("bucket").agg(max("rho").as("rho"))
+    df.select(by.map(col) :+ bucket :+ rho.as("rho"): _*)
+      .groupBy((by :+ "bucket").map(col): _*).agg(max("rho").as("rho"))
+  }
+
+  /** Per-group exact sketch state (the grouped twin of [[hllState]]):
+    * one row per `by` key with m, v_zero, and the scaled harmonic sum —
+    * hash-gateable like the global state. */
+  def hllStateBy(registers: DataFrame, by: Seq[String], p: Int): DataFrame = {
+    val suffixBits = HashBits - p
+    val m = 1L << p
+    val scale = lit(1L << (suffixBits + 1))
+    registers
+      .groupBy(by.map(col): _*)
+      .agg(
+        count(lit(1)).as("occupied"),
+        sum(expr(s"shiftleft(cast(1 as bigint), ${suffixBits + 1} - rho)")
+          .cast("decimal(38,0)")).as("s_occ"))
+      .select(by.map(col) ++ Seq(
+        lit(m).as("m"),
+        (lit(m) - col("occupied")).as("v_zero"),
+        (coalesce(col("s_occ"), lit(0).cast("decimal(38,0)")) +
+          (lit(m) - col("occupied")).cast("decimal(38,0)") * scale)
+          .cast("decimal(38,0)").as("s_scaled")): _*)
   }
 
   /** Sketch union: register-wise max. Two (or n, via repeated union)
@@ -60,22 +89,8 @@ object Sketches {
     * decimal(38,0) (worst case m·2^55 = 2^71 at p=16 — far inside 38
     * digits). This row is the entire serialization of the sketch's
     * harmonic core, and it is what the cross-engine gate hashes. */
-  def hllState(registers: DataFrame, p: Int): DataFrame = {
-    val suffixBits = HashBits - p
-    val m = 1L << p
-    val scale = lit(1L << (suffixBits + 1))
-    registers
-      .agg(
-        count(lit(1)).as("occupied"),
-        sum(expr(s"shiftleft(cast(1 as bigint), ${suffixBits + 1} - rho)")
-          .cast("decimal(38,0)")).as("s_occ"))
-      .select(
-        lit(m).as("m"),
-        (lit(m) - col("occupied")).as("v_zero"),
-        (coalesce(col("s_occ"), lit(0).cast("decimal(38,0)")) +
-          (lit(m) - col("occupied")).cast("decimal(38,0)") * scale)
-          .cast("decimal(38,0)").as("s_scaled"))
-  }
+  def hllState(registers: DataFrame, p: Int): DataFrame =
+    hllStateBy(registers, Seq.empty, p)
 
   // ------------------------------------------------------------------
   // Count-min sketch (Cormode & Muthukrishnan 2005): d×w counter matrix,

@@ -858,6 +858,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "SortMergeJoin") === 0, s"counter tables sort-merged:\n$p")
   }
 
+  test("grouped hll state: two chained partial aggregates, no join, no window") {
+    val p = finalPlan("hll_grouped_state")
+    assert(count(p, "HashAggregate") >= 2, "grouped registers lost map-side combine")
+    assert(count(p, "BroadcastHashJoin") + count(p, "SortMergeJoin") === 0,
+      s"grouped state joins:\n$p")
+    assert(count(p, "Window") === 0, s"grouped state windows:\n$p")
+  }
+
+  test("ccnet buckets: one keyed window (per-group ntile), nothing global or joined") {
+    val p = finalPlan("ccnet_buckets")
+    assert(count(p, "Window") >= 1, "bucket split lost its window")
+    assert(count(p, "BroadcastHashJoin") + count(p, "SortMergeJoin") === 0,
+      s"bucket split joins:\n$p")
+  }
+
   test("distinct-n diversity: ngrams build inside the row; word-count-shaped aggregation only") {
     val p = finalPlan("distinct_bigram_diversity")
     assert(count(p, "Window") === 0, s"ngram build fell into a window:\n$p")

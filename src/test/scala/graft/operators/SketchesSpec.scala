@@ -81,6 +81,26 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped registers equal per-group global sketches; grouped state matches") {
+    val df = ((1L to 300L).map(v => ("a", v)) ++ (1L to 80L).map(v => ("b", v * 7)))
+      .toDF("g", "v")
+    val grouped = Sketches.hllRegistersBy(df, Seq("g"), col("v"), 6)
+    Seq("a", "b").foreach { g =>
+      val expect = Sketches.hllRegisters(df.filter(col("g") === g), col("v"), 6)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val got = grouped.filter(col("g") === g)
+        .select("bucket", "rho").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got === expect, s"group $g")
+    }
+    val st = Sketches.hllStateBy(grouped, Seq("g"), 6)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    Seq("a", "b").foreach { g =>
+      val one = Sketches.hllState(
+        Sketches.hllRegisters(df.filter(col("g") === g), col("v"), 6), 6).head()
+      assert(st(g) === ((one.getLong(0), one.getLong(1))), s"state for $g")
+    }
+  }
+
   // ---- count-min sketch ----------------------------------------------
 
   private def cms(vals: Seq[String], d: Int = 3, w: Int = 16) =
