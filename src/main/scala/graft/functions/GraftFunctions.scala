@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   sorted_intersect_count(a, b)
   *   cdc_cut_starts(text, gramSize, avgChunk)
   *   char_diversity(text)
+  *   unicode_normalize(text[, form])
   *
   * Two entry points: [[GraftExtensions]] for
   * `spark.sql.extensions=graft.functions.GraftExtensions` at session
@@ -74,6 +75,11 @@ object GraftFunctions {
     "char_diversity" -> {
       case Seq(text) => CharDiversityExpr(text)
       case args => throw new IllegalArgumentException(s"char_diversity expects 1 arg, got ${args.length}")
+    },
+    "unicode_normalize" -> {
+      case Seq(text) => UnicodeNormalizeExpr(text, "NFC")
+      case Seq(text, Literal(f, _)) => UnicodeNormalizeExpr(text, String.valueOf(f))
+      case args => throw new IllegalArgumentException(s"unicode_normalize expects 1-2 args, got ${args.length}")
     })
 
   private def info(name: String): ExpressionInfo =

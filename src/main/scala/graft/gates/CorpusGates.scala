@@ -181,6 +181,25 @@ private[graft] trait CorpusGates extends GateSupport {
         min("n_chars").as("min_score"), max("n_chars").as("max_score"))
       .orderBy("source", "bucket")
 
+  /** NFC normalization via the native [[graft.functions.UnicodeNormalize]]
+    * expression, against DuckDB's nfc_normalize — the fixture mixes a
+    * combining-mark sequence (composes), the Angstrom singleton (folds
+    * to A-ring), Hangul jamo (compose to a syllable), and plain ASCII
+    * (identity fast path). Unicode is \u-escaped: composed/decomposed
+    * render identically in source. */
+  protected def nfcNormalizeGate(s: SparkSession, dir: String): DataFrame = {
+    val mod = pmod(col("doc_id"), lit(4))
+    val fixture =
+      when(mod === 0, concat(lit("cafe\u0301 "), substring(col("text"), 1, 8)))
+        .when(mod === 1, concat(lit("\u212b unit "), col("doc_id").cast("string")))
+        .when(mod === 2, concat(lit("\u1100\u1161 jamo "), substring(col("text"), 1, 5)))
+        .otherwise(substring(col("text"), 1, 12))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.UnicodeNormalize.normalize(fixture).as("norm_text"))
+      .orderBy("doc_id")
+  }
+
   /** distinct-2 diversity per source (total vs distinct word bigrams). */
   protected def distinctBigramDiversity(s: SparkSession, dir: String): DataFrame =
     TextCorpus.distinctNgramStats(t(s, dir, "documents"), n = 2)
@@ -238,6 +257,7 @@ private[graft] trait CorpusGates extends GateSupport {
     "blocked_term_hits" -> blockedTermHitsGate _,
     "hll_grouped_state" -> hllGroupedState _,
     "ccnet_buckets" -> ccnetBuckets _,
+    "nfc_normalize" -> nfcNormalizeGate _,
   )
 
   /** A half-table CMS counter CTE named `alias` over events with
@@ -386,6 +406,15 @@ private[graft] trait CorpusGates extends GateSupport {
          SELECT source, CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
                 min(n_chars) AS min_score, max(n_chars) AS max_score
          FROM t GROUP BY source, bucket ORDER BY source, bucket""",
+    "nfc_normalize" ->
+      // chr() builds the identical pre-normalization byte sequences
+      """SELECT doc_id,
+                nfc_normalize(CASE doc_id % 4
+                  WHEN 0 THEN 'cafe' || chr(769) || ' ' || substr(text, 1, 8)
+                  WHEN 1 THEN chr(8491) || ' unit ' || CAST(doc_id AS VARCHAR)
+                  WHEN 2 THEN chr(4352) || chr(4449) || ' jamo ' || substr(text, 1, 5)
+                  ELSE substr(text, 1, 12) END) AS norm_text
+         FROM documents ORDER BY doc_id""",
     "blocked_term_hits" ->
       """SELECT doc_id,
                 CAST(length(regexp_extract_all(lower(text),

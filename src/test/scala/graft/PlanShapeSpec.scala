@@ -858,6 +858,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "SortMergeJoin") === 0, s"counter tables sort-merged:\n$p")
   }
 
+  test("nfc normalization is a pure projection (native expression, no shuffle)") {
+    val p = finalPlan("nfc_normalize")
+    assert(count(p, "Exchange") <= 1, s"normalize added a shuffle:\n$p")
+    assert(count(p, "HashAggregate") === 0, s"normalize aggregates:\n$p")
+  }
+
   test("grouped hll state: two chained partial aggregates, no join, no window") {
     val p = finalPlan("hll_grouped_state")
     assert(count(p, "HashAggregate") >= 2, "grouped registers lost map-side combine")
