@@ -239,6 +239,123 @@ private[graft] trait CorpusGates extends GateSupport {
       .orderBy("hash_row", "col")
   }
 
+  // ---- Q-digest gates --------------------------------------------------
+
+  /** Event values in cents (the mann_whitney quantization convention),
+    * the q-digest's long-domain input: all values lie in [1, 49003) ⊂
+    * [0, 2^16), so the universe filter drops nothing. */
+  private def eventCents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(round(col("value") * 100).cast("long").as("v"))
+
+  /** Q-digest node set over event cents (L=16, k=256): the sketch STATE
+    * is the gated result — DuckDB rebuilds the identical tree through
+    * the same unrolled level-by-level compression. */
+  protected def qdigestNodesGate(s: SparkSession, dir: String): DataFrame =
+    Sketches.qdigestBuild(eventCents(s, dir), col("v"), logUniverse = 16, k = 256)
+      .orderBy("lvl", "idx")
+
+  /** Rank bounds at five probe values: true rank ∈ [rank_lo, rank_hi],
+    * exact integers from the broadcast sketch. */
+  protected def qdigestRanksGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sketch = Sketches.qdigestBuild(
+      eventCents(s, dir), col("v"), logUniverse = 16, k = 256)
+    Sketches.qdigestRanks(sketch, Seq(2500L, 5000L, 10000L, 20000L, 40000L).toDF("x"))
+      .orderBy("x")
+  }
+
+  /** Merge law: digest(even event ids) ⊕ digest(odd) — nodewise sums +
+    * one recompression at the combined threshold — hash-checked against
+    * the oracle running the identical two builds + merge in SQL. */
+  protected def qdigestMergeGate(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def cents(f: DataFrame) = f.select(round(col("value") * 100).cast("long").as("v"))
+    val even = Sketches.qdigestBuild(
+      cents(ev.filter(pmod(col("event_id"), lit(2)) === 0)), col("v"), 16, 256)
+    val odd = Sketches.qdigestBuild(
+      cents(ev.filter(pmod(col("event_id"), lit(2)) === 1)), col("v"), 16, 256)
+    Sketches.qdigestMerge(even, odd, logUniverse = 16, k = 256)
+      .orderBy("lvl", "idx")
+  }
+
+  /** The unrolled level-by-level q-digest compression as chained CTEs:
+    * mirrors [[graft.operators.Sketches.qdigestCompress]] exactly —
+    * same bottom-up order, same `childSum + parentCnt < thr` merge rule,
+    * same thr = greatest(n div k, 1). `start` must hold (lvl, idx, cnt);
+    * returns (cteChainText, finalCteName). */
+  private def qdigestCompressSql(
+      prefix: String, start: String, k: Int, levels: Int): (String, String) = {
+    val sb = new StringBuilder
+    sb.append(s"${prefix}th AS MATERIALIZED (SELECT greatest(CAST(sum(cnt) AS BIGINT) // $k, 1) AS thr FROM $start),\n")
+    var cur = start
+    for (l <- 0 until levels) {
+      val ch = s"${prefix}ch$l"; val pa = s"${prefix}pa$l"
+      val de = s"${prefix}de$l"; val nx = s"${prefix}s${l + 1}"
+      sb.append(s"$ch AS MATERIALIZED (SELECT idx // 2 AS p, CAST(sum(cnt) AS BIGINT) AS csum FROM $cur WHERE lvl = $l GROUP BY 1),\n")
+      sb.append(s"$pa AS MATERIALIZED (SELECT idx AS p, cnt AS pcnt FROM $cur WHERE lvl = ${l + 1}),\n")
+      sb.append(s"""$de AS MATERIALIZED (SELECT coalesce(c.p, q.p) AS p, coalesce(c.csum, 0) AS csum,
+                      coalesce(q.pcnt, 0) AS pcnt,
+                      (coalesce(c.csum, 0) + coalesce(q.pcnt, 0) < t.thr) AS mrg
+                    FROM $ch c FULL JOIN $pa q ON c.p = q.p CROSS JOIN ${prefix}th t),\n""")
+      sb.append(s"""$nx AS MATERIALIZED (
+          SELECT lvl, idx, cnt FROM $cur WHERE lvl < $l OR lvl > ${l + 1}
+          UNION ALL
+          SELECT s.lvl, s.idx, s.cnt FROM $cur s JOIN $de d ON s.idx // 2 = d.p
+          WHERE s.lvl = $l AND NOT d.mrg
+          UNION ALL
+          SELECT CAST(${l + 1} AS BIGINT), d.p,
+                 CAST(d.pcnt + CASE WHEN d.mrg THEN d.csum ELSE 0 END AS BIGINT)
+          FROM $de d
+          WHERE d.pcnt + CASE WHEN d.mrg THEN d.csum ELSE 0 END > 0),\n""")
+      cur = nx
+    }
+    (sb.toString, cur)
+  }
+
+  /** Leaf histogram CTE over event cents (optionally filtered). */
+  private def qdigestLeafSql(prefix: String, where: String): String =
+    s"""${prefix}s0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS lvl,
+          CAST(round(value * 100) AS BIGINT) AS idx,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM events
+        WHERE round(value * 100) >= 0 AND round(value * 100) < 65536 $where
+        GROUP BY 2),\n"""
+
+  private val qdigestNodesOracle: String = {
+    val (chain, fin) = qdigestCompressSql("b", "bs0", 256, 16)
+    s"""WITH ${qdigestLeafSql("b", "")}$chain
+        fin AS MATERIALIZED (SELECT lvl, idx, cnt FROM $fin)
+        SELECT lvl, idx, cnt FROM fin ORDER BY lvl, idx"""
+  }
+
+  private val qdigestRanksOracle: String = {
+    val (chain, fin) = qdigestCompressSql("b", "bs0", 256, 16)
+    s"""WITH ${qdigestLeafSql("b", "")}$chain
+        fin AS MATERIALIZED (SELECT lvl, idx, cnt FROM $fin)
+        SELECT CAST(x AS BIGINT) AS x,
+               CAST(sum(CASE WHEN (idx + 1) * (CAST(1 AS BIGINT) << CAST(lvl AS INT)) <= x
+                    THEN cnt ELSE 0 END) AS BIGINT) AS rank_lo,
+               CAST(sum(CASE WHEN idx * (CAST(1 AS BIGINT) << CAST(lvl AS INT)) < x
+                    THEN cnt ELSE 0 END) AS BIGINT) AS rank_hi
+        FROM (VALUES (2500), (5000), (10000), (20000), (40000)) p(x)
+        CROSS JOIN fin GROUP BY 1 ORDER BY x"""
+  }
+
+  private val qdigestMergeOracle: String = {
+    val (ca, fa) = qdigestCompressSql("a", "as0", 256, 16)
+    val (cb, fb) = qdigestCompressSql("b", "bs0", 256, 16)
+    val (cm, fm) = qdigestCompressSql("m", "ms0", 256, 16)
+    s"""WITH ${qdigestLeafSql("a", "AND event_id % 2 = 0")}$ca
+        ${qdigestLeafSql("b", "AND event_id % 2 = 1")}$cb
+        ms0 AS MATERIALIZED (SELECT lvl, idx, CAST(sum(cnt) AS BIGINT) AS cnt
+                FROM (SELECT * FROM $fa UNION ALL SELECT * FROM $fb)
+                GROUP BY 1, 2),
+        $cm
+        fin AS MATERIALIZED (SELECT lvl, idx, cnt FROM $fm)
+        SELECT lvl, idx, cnt FROM fin ORDER BY lvl, idx"""
+  }
+
   // ---- Registry ------------------------------------------------------
 
   protected def corpusGateQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -258,6 +375,9 @@ private[graft] trait CorpusGates extends GateSupport {
     "hll_grouped_state" -> hllGroupedState _,
     "ccnet_buckets" -> ccnetBuckets _,
     "nfc_normalize" -> nfcNormalizeGate _,
+    "qdigest_nodes" -> qdigestNodesGate _,
+    "qdigest_ranks" -> qdigestRanksGate _,
+    "qdigest_merge_nodes" -> qdigestMergeGate _,
   )
 
   /** A half-table CMS counter CTE named `alias` over events with
@@ -292,6 +412,9 @@ private[graft] trait CorpusGates extends GateSupport {
                      FROM b GROUP BY bucket)"""
 
   protected def corpusGateOracles: Map[String, String] = Map(
+    "qdigest_nodes" -> qdigestNodesOracle,
+    "qdigest_ranks" -> qdigestRanksOracle,
+    "qdigest_merge_nodes" -> qdigestMergeOracle,
     "url_normalize" ->
       // the full canonicalizer, reproduced step for step: split scheme /
       // hostport / path / query / fragment with split_part, drop default

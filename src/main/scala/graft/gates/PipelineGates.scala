@@ -616,6 +616,29 @@ private[graft] trait PipelineGates extends GateSupport {
       .orderBy("id_a", "id_b")
   }
 
+  /** Dedup recall audit ([[Dedup.pairAudit]]): brute-force exact 5-gram
+    * Jaccard ≥ 0.5 pairs vs the full MinHash-LSH pipeline's pairs on the
+    * planted-dup slice, one row per pair with in_exact/in_approx flags.
+    * This HASH-CHECKS the recall-1.0 property the `minhash_near_dups`
+    * oracle argues from (verified subset + measured recall): the oracle
+    * emits every exact pair flagged (1,1), so an LSH miss (1,0) or a
+    * verify leak (0,1) flips the gate red instead of surviving as a
+    * stale spec claim. */
+  protected def minhashRecallPairs(s: SparkSession, dir: String): DataFrame = {
+    val slice = docsWithDups(s, dir).filter(col("doc_id") % 10000 < 40)
+    val sh = slice.select(col("doc_id"), Dedup.shingleHashes(col("text"), 5).as("sh"))
+    val l = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val r = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val exact = l.join(r, col("id_a") < col("id_b"))
+      .withColumn("jaccard", Dedup.jaccardFromHashSets(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b")
+    val approx = Dedup.nearDupPairs(slice, "text", "doc_id", threshold = 0.5,
+        maxBucketSize = 10000)
+      .select("id_a", "id_b")
+    Dedup.pairAudit(exact, approx).orderBy("id_a", "id_b")
+  }
+
   /** Exact set-similarity self-join via rare-first prefix filtering
     * ([[Dedup.prefixFilterPairs]], threshold 7/10) over the FULL dup
     * fixture — no mod-sample, no blocking key: the prefix filter is the
@@ -726,6 +749,20 @@ private[graft] trait PipelineGates extends GateSupport {
         Similarity.bruteForceTopK(emb, queries, k = 5,
           metric = Similarity.cosine),
         Similarity.lshTopK(emb, queries, k = 5, bits = 4), k = 5)
+      .orderBy("query_id")
+  }
+
+  /** Relevance-judged eval ([[graft.operators.Retrieval.relevanceEval]]):
+    * the int8-cosine serving ranking scored against a planted relevance
+    * set (the exact-dot top-3 per query) — MRR@10 and hits@10 as exact
+    * integers, the report-card companion to the overlap recall gates. */
+  protected def mrrHitsEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    graft.operators.Retrieval.relevanceEval(
+        Similarity.quantizedCosineTopK(emb, queries, k = 10),
+        Similarity.bruteForceTopK(emb, queries, k = 3, metric = Similarity.dot),
+        k = 10)
       .orderBy("query_id")
   }
 
@@ -917,6 +954,7 @@ private[graft] trait PipelineGates extends GateSupport {
     "simhash_exact_dups" -> simhashExactDups _,
     "ngram_jaccard_pairs" -> ngramJaccardPairs _,
     "prefix_jaccard_pairs" -> prefixJaccardPairs _,
+    "minhash_recall_pairs" -> minhashRecallPairs _,
     "containment_pairs" -> containmentPairsQuery _,
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
@@ -924,6 +962,7 @@ private[graft] trait PipelineGates extends GateSupport {
     "ivf_recall_overlap" -> ivfRecallOverlap _,
     "pq_recall_overlap" -> pqRecallOverlap _,
     "lsh_recall_overlap" -> lshRecallOverlap _,
+    "mrr_hits_eval" -> mrrHitsEval _,
     "length_quantiles" -> lengthQuantiles _,
     "global_quantiles_ts" -> globalQuantilesTs _,
     "table_profile" -> tableProfile _,
@@ -1532,6 +1571,23 @@ private[graft] trait PipelineGates extends GateSupport {
                    list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
                  FROM docs)
           SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    "minhash_recall_pairs" ->
+      // exact 5-shingle Jaccard >= 0.5 pairs on the planted-dup slice,
+      // each flagged (1,1): the LSH path is a verified subset of the
+      // exact pairs and its recall on this corpus is 1.0, so any (1,0)
+      // miss or (0,1) leak on the Spark side hash-fails here
+      s"""WITH docs AS (SELECT doc_id, trim(text) AS text FROM $docsWithDupsSql dd
+                        WHERE doc_id % 10000 < 40),
+          sh AS (SELECT doc_id,
+                   list_distinct([substr(text, i, 5) FOR i IN range(1, greatest(length(text)-4, 1)+1)]) AS s
+                 FROM docs)
+          SELECT id_a, id_b, CAST(1 AS BIGINT) AS in_exact,
+                 CAST(1 AS BIGINT) AS in_approx FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    len(list_intersect(a.s, b.s))::DOUBLE
                      / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
@@ -2193,6 +2249,54 @@ private[graft] trait PipelineGates extends GateSupport {
          SELECT query_id, n_a, n_b, coalesce(n_common, 0) AS n_common
          FROM na JOIN nb USING (query_id) LEFT JOIN nc USING (query_id)
          ORDER BY query_id""",
+    "mrr_hits_eval" ->
+      // int8-cosine top-10 ranking scored against the exact-dot top-3
+      // relevance set: n_rel, first relevant rank (0 = none), floor-ppm
+      // reciprocal rank, hit flag — all exact integers
+      """WITH ex AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      list_sum(list_transform(range(1, len(q.embedding)+1),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) AS score
+                    FROM embeddings q, embeddings c
+                    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id))
+            WHERE rank <= 3),
+          s AS (SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+                FROM embeddings),
+          q AS (SELECT vec_id,
+                  CASE WHEN scale = 0
+                    THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(embedding,
+                      x -> CAST(round(x::DOUBLE * 127 / scale) AS BIGINT))
+                  END AS qv
+                FROM s),
+          qu AS (SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                      list_sum(list_transform(range(1, len(a.qv)+1),
+                        i -> CAST(a.qv[i] AS DOUBLE) * CAST(b.qv[i] AS DOUBLE)))
+                      / (sqrt(list_sum(list_transform(range(1, len(a.qv)+1),
+                           i -> CAST(a.qv[i] AS DOUBLE) * CAST(a.qv[i] AS DOUBLE))))
+                         * sqrt(list_sum(list_transform(range(1, len(b.qv)+1),
+                             i -> CAST(b.qv[i] AS DOUBLE) * CAST(b.qv[i] AS DOUBLE)))))
+                        AS score
+                    FROM q a, q b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id))
+            WHERE rank <= 10),
+          per AS (SELECT qu.query_id,
+                    CAST(count(ex.neighbor_id) AS BIGINT) AS n_rel,
+                    CAST(coalesce(min(CASE WHEN ex.neighbor_id IS NOT NULL
+                        THEN qu.rank END), 0) AS BIGINT) AS first_rank
+                  FROM qu LEFT JOIN ex ON qu.query_id = ex.query_id
+                    AND qu.neighbor_id = ex.neighbor_id
+                  GROUP BY 1)
+         SELECT query_id, n_rel, first_rank,
+                CAST(CASE WHEN first_rank > 0 THEN 1000000 // first_rank
+                     ELSE 0 END AS BIGINT) AS rr_ppm,
+                CAST(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END AS BIGINT) AS hit
+         FROM per ORDER BY query_id""",
     "cosine_near_dups" ->
       """WITH v AS (SELECT vec_id AS id, embedding AS vec,
                       list_sum(list_transform(range(1, 9),

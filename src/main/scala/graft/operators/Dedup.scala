@@ -417,6 +417,35 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Pair-set audit (dedup recall ladder)
+  // ------------------------------------------------------------------
+
+  /** Side-by-side audit of two undirected pair sets over the same id
+    * space — the dedup twin of the ANN recall ladder
+    * ([[graft.operators.Retrieval.rankingOverlap]]): `exact` is the
+    * ground truth (brute-force Jaccard pairs), `approx` the candidate
+    * path under audit (MinHash-LSH, SimHash, prefix filter, ...).
+    * Output: one row per pair in EITHER set, with `in_exact`/`in_approx`
+    * flags — recall = avg(in_approx where in_exact=1), precision the
+    * transpose, and every miss is a named pair, not just a rate. Both
+    * inputs are normalized to id_a < id_b first, so orientation never
+    * fabricates a diff.
+    *
+    * 100 TB shape: pair sets are output-sized (the heavy work lives in
+    * the operators that produced them); this is one full-outer
+    * co-partitioned equi-join on (id_a, id_b). */
+  def pairAudit(exact: DataFrame, approx: DataFrame): DataFrame = {
+    def norm(df: DataFrame, flag: String) = df.select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+      .withColumn(flag, lit(1L))
+    norm(exact, "in_exact")
+      .join(norm(approx, "in_approx"), Seq("id_a", "id_b"), "full")
+      .na.fill(0L, Seq("in_exact", "in_approx"))
+  }
+
+  // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------
 

@@ -89,4 +89,50 @@ object Retrieval {
       .join(common, Seq("query_id"), "left")
       .na.fill(0L, Seq("n_a", "n_b", "n_common"))
   }
+
+  /** Relevance-judged ranking eval — MRR and hits@k, the standard IR /
+    * RAG-retriever report card (Voorhees, TREC-8 1999: reciprocal rank
+    * of the FIRST relevant result, averaged over queries). Unlike
+    * [[rankingOverlap]] (which compares two RANKINGS), this scores one
+    * ranking against a RELEVANCE SET (`qrels`: one row per relevant
+    * (query, doc) pair — human labels, click data, or a planted
+    * ground truth).
+    *
+    * Per query of `ranking` (cut to rank ≤ k): `n_rel` = relevant docs
+    * retrieved in the top k, `first_rank` = rank of the first relevant
+    * one (0 when none — never NULL, so downstream averages need no null
+    * handling), `rr_ppm` = floor(10^6 / first_rank) (0 when none), and
+    * `hit` = 1 iff any relevant doc made the cut. All exact integers —
+    * MRR = avg(rr_ppm)/10^6 and hit-rate@k = avg(hit) downstream; no
+    * engine-varying float division inside the operator.
+    *
+    * 100 TB shape: `ranking` is already k-bounded per query (the
+    * corpus stays in the upstream retriever) and `qrels` is label-sized
+    * by nature; the join is one (query, id) equi-join between two
+    * bounded frames and the rollup one |queries|-sized aggregate. */
+  def relevanceEval(
+      ranking: DataFrame, qrels: DataFrame, k: Int,
+      queryCol: String = "query_id", idCol: String = "neighbor_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, "need a positive cutoff k")
+    val top = ranking.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("query_id"), col(idCol).as("_id"),
+        col(rankCol).cast("long").as("_rank"))
+    val rel = qrels.select(col(queryCol).as("query_id"), col(idCol).as("_id"))
+      .distinct()
+      .withColumn("_rel", lit(1L))
+    top.join(rel, Seq("query_id", "_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        sum(coalesce(col("_rel"), lit(0L))).as("n_rel"),
+        coalesce(min(when(col("_rel") === 1L, col("_rank"))), lit(0L))
+          .as("first_rank"))
+      .select(
+        col("query_id"),
+        col("n_rel"),
+        col("first_rank"),
+        when(col("first_rank") > 0L, expr("1000000L div first_rank"))
+          .otherwise(0L).as("rr_ppm"),
+        when(col("n_rel") > 0L, 1L).otherwise(0L).as("hit"))
+  }
 }

@@ -193,4 +193,114 @@ object Sketches {
           lit(alpha) * lit(m * m) / (col("s_scaled").cast("double") / lit(scale)))
         .as("estimate"))
   }
+
+  // ------------------------------------------------------------------
+  // Q-digest: the mergeable QUANTILE sketch (Shrivastava et al.,
+  // SenSys'04; mergeability per Agarwal et al., PODS'12) — completes
+  // the sketch triad: distinct counts (HLL), frequencies (CMS), ranks/
+  // quantiles (this). Unlike GK (sequential) or KLL/t-digest
+  // (randomized / merge-order-dependent), a bottom-up level-synchronous
+  // q-digest build is a DETERMINISTIC function of the value histogram,
+  // so the node set is bit-reproducible across engines and hash-gateable
+  // — DuckDB rebuilds the identical tree from the same unrolled
+  // level-by-level compression.
+  //
+  // State: nodes (lvl, idx, cnt) of the dyadic tree over [0, 2^L);
+  // node (lvl, idx) covers [idx·2^lvl, (idx+1)·2^lvl). Compression
+  // merges a sibling pair into its parent whenever childSum + parentCnt
+  // < thr = max(n/k, 1), level by level from the leaves — at most
+  // O(k·L) nodes survive, and any rank query is answered within
+  // n·log2(U)/k of the truth.
+  //
+  // 100 TB shape: the ONE data-sized operation is the leaf histogram
+  // (groupBy(bucket).count(), map-side combined — each executor ships
+  // at most 2^L partial rows); the L compression rounds run on the
+  // reduced ≤2^L-row frame. Merge = nodewise count sum + one
+  // recompression at the combined threshold — the mergeable-summary
+  // contract (per-day/per-source quantile sketches roll up to any range
+  // without rescanning).
+  // ------------------------------------------------------------------
+
+  /** One bottom-up compression pass: level by level, every sibling pair
+    * whose combined count plus the current parent count stays under
+    * `thr` folds into the parent. Deterministic: all merge decisions at
+    * a level are taken simultaneously from the same frame. */
+  private def qdigestCompress(
+      nodes: DataFrame, logUniverse: Int, thr: Long): DataFrame = {
+    var cur = nodes.localCheckpoint()
+    for (l <- 0 until logUniverse) {
+      val ch = cur.filter(col("lvl") === l)
+        .groupBy(expr("idx div 2").as("p"))
+        .agg(sum("cnt").as("csum"))
+      val pa = cur.filter(col("lvl") === l + 1)
+        .select(col("idx").as("p"), col("cnt").as("pcnt"))
+      val dec = ch.join(pa, Seq("p"), "full")
+        .na.fill(0L, Seq("csum", "pcnt"))
+        .withColumn("mrg", col("csum") + col("pcnt") < thr)
+      val untouched = cur.filter(col("lvl") < l || col("lvl") > l + 1)
+      val keptKids = cur.filter(col("lvl") === l)
+        .join(dec.filter(!col("mrg")).select("p"),
+          expr("idx div 2") === col("p"), "leftsemi")
+      val parents = dec
+        .withColumn("cnt",
+          col("pcnt") + when(col("mrg"), col("csum")).otherwise(0L))
+        .filter(col("cnt") > 0L)
+        .select(lit((l + 1).toLong).as("lvl"), col("p").as("idx"), col("cnt"))
+      cur = untouched.unionByName(keptKids).unionByName(parents)
+      // lineage grows ~4 plan nodes per level; cut it periodically so 16
+      // levels never compound into a deep re-executed tree
+      if (l % 4 == 3) cur = cur.localCheckpoint()
+    }
+    cur
+  }
+
+  /** Build a q-digest over long column `c`. Values must lie in
+    * [0, 2^logUniverse) — quantize/clamp upstream; rows outside the
+    * universe are EXCLUDED from the sketch (documented contract, same
+    * as a histogram's domain — callers who need them clamp first).
+    * Returns the node frame (lvl, idx, cnt). */
+  def qdigestBuild(
+      df: DataFrame, c: Column, logUniverse: Int, k: Int): DataFrame = {
+    require(logUniverse >= 1 && logUniverse <= 40, "logUniverse in [1,40]")
+    require(k >= 1, "compression k >= 1")
+    val hi = 1L << logUniverse
+    val leaves = df.select(c.cast("long").as("v"))
+      .filter(col("v") >= 0L && col("v") < hi)
+      .groupBy(col("v").as("idx"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit(0L).as("lvl"), col("idx"), col("cnt"))
+    val n = leaves.agg(coalesce(sum("cnt"), lit(0L))).collect()(0).getLong(0)
+    qdigestCompress(leaves, logUniverse, math.max(n / k, 1L))
+  }
+
+  /** Union two q-digests over the same universe: nodewise count sums,
+    * then one recompression at the combined threshold. The result is a
+    * valid q-digest of the concatenated inputs (PODS'12 Thm 1) —
+    * deterministic, so the merge law is hash-gateable too. */
+  def qdigestMerge(
+      a: DataFrame, b: DataFrame, logUniverse: Int, k: Int): DataFrame = {
+    val summed = a.unionByName(b)
+      .groupBy("lvl", "idx")
+      .agg(sum("cnt").as("cnt"))
+    val n = summed.agg(coalesce(sum("cnt"), lit(0L))).collect()(0).getLong(0)
+    qdigestCompress(summed, logUniverse, math.max(n / k, 1L))
+  }
+
+  /** Rank bounds from a q-digest for each probe value `x` (column `x`
+    * in `probes`): `rank_lo` counts nodes entirely below x, `rank_hi`
+    * adds the straddling nodes — the true rank(x) (# values < x) lies
+    * in [rank_lo, rank_hi], with rank_hi − rank_lo ≤ log2(U)·thr (the
+    * q-digest error bound; spec-pinned). Exact integers — the gate
+    * never divides. The sketch is O(k·L) rows, so it broadcasts and the
+    * probe side never shuffles. */
+  def qdigestRanks(sketch: DataFrame, probes: DataFrame): DataFrame = {
+    val lo = expr("idx * shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT))")
+    val hiX = expr("(idx + 1) * shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT))")
+    probes.select(col("x").cast("long").as("x"))
+      .crossJoin(broadcast(sketch))
+      .groupBy("x")
+      .agg(
+        sum(when(hiX <= col("x"), col("cnt")).otherwise(0L)).as("rank_lo"),
+        sum(when(lo < col("x"), col("cnt")).otherwise(0L)).as("rank_hi"))
+  }
 }

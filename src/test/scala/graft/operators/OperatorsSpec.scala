@@ -781,4 +781,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rdec(5) === 0L, s"planted pairs missed: fn=${rdec(5)}")
     assert(rdec(3) >= rdec(2) && rdec(2) > 0L) // tp covers all gold pairs
   }
+
+  test("pairAudit: orientation normalized, misses and leaks flagged by name") {
+    val exact = Seq((1L, 2L), (3L, 4L), (6L, 5L)).toDF("id_a", "id_b")
+    val approx = Seq((2L, 1L), (5L, 6L), (7L, 8L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Dedup.pairAudit(exact, approx).orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 1L, 1L),   // agreement
+      (3L, 4L, 1L, 0L),   // approx missed it
+      (5L, 6L, 1L, 1L),   // orientation flip still matches
+      (7L, 8L, 0L, 1L)))  // approx-only leak, dup collapsed
+  }
 }

@@ -71,4 +71,30 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
       (2L, 1L, 1L, 0L), // zero overlap still emits a row
       (3L, 2L, 3L, 2L)) // short exact list: n_a = 2 < k
   }
+
+  test("relevanceEval: n_rel, first rank, floor-ppm RR, and hit flag per query") {
+    val ranking = Seq(
+      (1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 11L, 1L), (2L, 21L, 2L),
+      (3L, 12L, 1L)).toDF("query_id", "neighbor_id", "rank")
+    val qrels = Seq((1L, 20L), (1L, 30L), (2L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val out = Retrieval.relevanceEval(ranking, qrels, k = 2)
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // q1: top-2 {10,20} vs rels {20,30} -> one hit at rank 2 (30 is cut)
+    // q2: its only rel (99) never retrieved; q3: no rels at all
+    out shouldBe Seq(
+      (1L, 1L, 2L, 500000L, 1L),
+      (2L, 0L, 0L, 0L, 0L),
+      (3L, 0L, 0L, 0L, 0L))
+  }
+
+  test("relevanceEval: rank-1 hit gives rr_ppm = 10^6; duplicate qrels don't double-count") {
+    val ranking = Seq((7L, 5L, 1L), (7L, 6L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    val qrels = Seq((7L, 5L), (7L, 5L), (7L, 6L)).toDF("query_id", "neighbor_id")
+    val out = Retrieval.relevanceEval(ranking, qrels, k = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq((7L, 2L, 1L, 1000000L, 1L))
+  }
 }

@@ -177,4 +177,69 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.cmsCounters(Seq("x").toDF("v"), col("v"), 3, 1)
     }
   }
+
+  // ---- q-digest ------------------------------------------------------
+
+  private def qd(vals: Seq[Long], logU: Int, k: Int) =
+    Sketches.qdigestBuild(vals.toDF("v"), col("v"), logU, k)
+
+  private def nodes(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+  test("qdigest: total count preserved, size bounded, partition-invariant") {
+    val vals = (0 until 5000).map(i => ((i.toLong * 2654435761L) % 1024).abs)
+    val d = nodes(qd(vals, 10, 32))
+    assert(d.map(_._3).sum === vals.size.toLong)
+    // classic q-digest size bound: <= 3k surviving nodes (+ the root
+    // path slack a single bottom-up pass can leave)
+    assert(d.length <= 3 * 32 + 10, s"sketch too large: ${d.length} nodes")
+    val d2 = nodes(Sketches.qdigestBuild(
+      vals.toDF("v").repartition(7), col("v"), 10, 32))
+    assert(d.toSet === d2.toSet)
+  }
+
+  test("qdigest rank bounds contain the true rank within L*thr; k>=n is exact") {
+    val vals = (0 until 4000).map(i => ((i.toLong * 48271L) % 1000).abs)
+    val L = 10; val k = 16
+    val sk = qd(vals, L, k)
+    val probes = Seq(1L, 7L, 100L, 512L, 999L).toDF("x")
+    val thr = math.max(vals.size.toLong / k, 1L)
+    Sketches.qdigestRanks(sk, probes).collect().foreach { r =>
+      val x = r.getLong(0); val lo = r.getLong(1); val hi = r.getLong(2)
+      val truth = vals.count(_ < x).toLong
+      assert(lo <= truth && truth <= hi, s"rank($x)=$truth outside [$lo,$hi]")
+      assert(hi - lo <= L.toLong * thr, s"uncertainty ${hi - lo} > L*thr")
+    }
+    // k >= n: thr = 1, nothing merges -> the sketch IS the histogram and
+    // both bounds collapse onto the exact rank
+    val exact = qd(vals, L, 2 * vals.size)
+    Sketches.qdigestRanks(exact, probes).collect().foreach { r =>
+      val truth = vals.count(_ < r.getLong(0)).toLong
+      assert(r.getLong(1) === truth && r.getLong(2) === truth)
+    }
+  }
+
+  test("qdigest merge: totals add, rank containment holds on the union") {
+    val a = (0 until 2000).map(i => (i % 700).toLong)
+    val b = (0 until 1500).map(i => ((i * 3) % 1000).toLong)
+    val m = Sketches.qdigestMerge(qd(a, 10, 32), qd(b, 10, 32), 10, 32)
+    assert(nodes(m).map(_._3).sum === (a.size + b.size).toLong)
+    val all = a ++ b
+    Sketches.qdigestRanks(m, Seq(10L, 500L, 900L).toDF("x"))
+      .collect().foreach { r =>
+        val truth = all.count(_ < r.getLong(0)).toLong
+        assert(r.getLong(1) <= truth && truth <= r.getLong(2))
+      }
+  }
+
+  test("qdigest: out-of-universe values are excluded by contract; bad args rejected") {
+    val d = nodes(qd(Seq(5L, 1023L, 1024L, -1L), 10, 4))
+    assert(d.map(_._3).sum === 2L) // 1024 and -1 fall outside [0, 2^10)
+    intercept[IllegalArgumentException] {
+      Sketches.qdigestBuild(Seq(1L).toDF("v"), col("v"), 0, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.qdigestBuild(Seq(1L).toDF("v"), col("v"), 10, 0)
+    }
+  }
 }
