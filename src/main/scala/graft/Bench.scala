@@ -310,6 +310,9 @@ object Bench {
         "sketch_exact_rescan")) {
       sketchRollupScenario(spark, sfDir)
     }
+    results ++= guarded(Seq("sketch_qdigest_build", "sketch_qdigest_ranks")) {
+      qdigestScenario(spark, sfDir)
+    }
 
     // final durable copy (the driver's bounded log tail truncated round 5's
     // JSON; flush() has also been keeping a partial artifact all along)
@@ -910,6 +913,31 @@ object Bench {
       "sketch_rollup_build" -> buildSec,
       "sketch_rollup_query" -> sketchSec,
       "sketch_exact_rescan" -> exactSec)
+  }
+
+  /** Q-digest quantile sketch: the one data-sized leaf aggregate + 16
+    * compression rounds on the reduced frame, then five broadcast rank
+    * probes from the finished digest. */
+  private def qdigestScenario(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val cents = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(round(col("value") * 100).cast("long").as("v"))
+    var sketch: org.apache.spark.sql.DataFrame = null
+    val buildSec = time {
+      sketch = graft.operators.Sketches
+        .qdigestBuild(cents, col("v"), logUniverse = 16, k = 256)
+        .localCheckpoint()
+    }
+    val probes = Seq(2500L, 5000L, 10000L, 20000L, 40000L).toDF("x")
+    val querySec = time {
+      graft.operators.Sketches.qdigestRanks(sketch, probes)
+        .write.format("noop").mode("overwrite").save()
+    }
+    Seq("sketch_qdigest_build" -> buildSec, "sketch_qdigest_ranks" -> querySec)
   }
 
   private def pipelineScenario(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {

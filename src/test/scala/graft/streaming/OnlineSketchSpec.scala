@@ -54,4 +54,29 @@ class OnlineSketchSpec extends AnyFunSuite {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming q-digest: leaf-histogram state + on-read compaction equals the batch build") {
+    // the sketch's ONE data-sized aggregate (the leaf histogram) runs as
+    // a streaming keyed aggregation — counts sum under the hood, which is
+    // the digest's own merge law — and qdigestCompact derives the digest
+    // from the state on demand
+    val in = MemoryStream[Long](spark)
+    val leaves = in.toDF().select(col("value").as("v"))
+      .filter(col("v") >= 0L && col("v") < 1024L)
+      .groupBy(col("v").as("idx")).agg(count(lit(1)).as("cnt"))
+      .select(lit(0L).as("lvl"), col("idx"), col("cnt"))
+    val q = leaves.writeStream
+      .format("memory").queryName("qd_leaves").outputMode("complete").start()
+    try {
+      val all = (0 until 3000).map(i => ((i.toLong * 48271L) % 1024).abs)
+      val (a, rest) = all.splitAt(1000)
+      val (b, c) = rest.splitAt(1200)
+      Seq(a, b, c).foreach { chunk => in.addData(chunk: _*); q.processAllAvailable() }
+      val streamed = Sketches.qdigestCompact(spark.table("qd_leaves"), 10, 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Sketches.qdigestBuild(all.toDF("v"), col("v"), 10, 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
