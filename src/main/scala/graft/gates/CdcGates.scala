@@ -254,6 +254,21 @@ private[graft] trait CdcGates extends GateSupport {
     * view and purchase event values (cents) — the nonparametric
     * two-sample location test as exact doubled-rank integers
     * (u2 = 2·U); effect size U/(n_a·n_b) at render time. */
+  /** Per-source Gini impurity of the language mix
+    * ([[graft.operators.Stats.giniImpurity]]) — the curation diversity
+    * report as exact integer rationals; all values fit long at any
+    * test SF, so the gate casts rather than string-renders. */
+  protected def sourceLangGiniQuery(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.giniImpurity(
+        t(s, dir, "documents"), Seq("source"), "lang")
+      .select(col("source"),
+        col("n").cast("long").as("n"),
+        col("ssq").cast("long").as("ssq"),
+        col("n_categories"),
+        col("gini_num").cast("long").as("gini_num"),
+        col("gini_den").cast("long").as("gini_den"))
+      .orderBy("source")
+
   protected def mannWhitneyQuery(s: SparkSession, dir: String): DataFrame =
     graft.operators.Stats.mannWhitneyU(
         t(s, dir, "events")
@@ -887,6 +902,7 @@ private[graft] trait CdcGates extends GateSupport {
     "collocations" -> collocationsQuery _,
     "spearman_corr" -> spearmanCorrQuery _,
     "mann_whitney_u" -> mannWhitneyQuery _,
+    "source_lang_gini" -> sourceLangGiniQuery _,
     "seasonal_outliers" -> seasonalOutliersQuery _,
     "t_closeness" -> tClosenessQuery _,
     "ind_audit" -> indAuditQuery _,
@@ -1144,6 +1160,17 @@ private[graft] trait CdcGates extends GateSupport {
                 CAST(count(*) * sum(u*u) - sum(u) * sum(u) AS VARCHAR) AS rho_denx,
                 CAST(count(*) * sum(v*v) - sum(v) * sum(v) AS VARCHAR) AS rho_deny
          FROM u GROUP BY g ORDER BY g""",
+    "source_lang_gini" ->
+      // Gini impurity as exact rationals: num = n^2 - sum(c^2), den = n^2
+      """WITH c AS (SELECT source, lang, count(*) AS c
+                    FROM documents GROUP BY 1, 2)
+         SELECT source,
+                CAST(sum(c) AS BIGINT) AS n,
+                CAST(sum(c * c) AS BIGINT) AS ssq,
+                CAST(count(*) AS BIGINT) AS n_categories,
+                CAST(sum(c) * sum(c) - sum(c * c) AS BIGINT) AS gini_num,
+                CAST(sum(c) * sum(c) AS BIGINT) AS gini_den
+         FROM c GROUP BY 1 ORDER BY 1""",
     "mann_whitney_u" ->
       // count-by-value collapses ties BEFORE ranking; doubled midrank of
       // a tie run at v = 2*(strictly below) + (run size) + 1;

@@ -205,6 +205,14 @@ private[graft] trait CorpusGates extends GateSupport {
     TextCorpus.distinctNgramStats(t(s, dir, "documents"), n = 2)
       .orderBy("source")
 
+  /** Chao1 vocabulary-richness estimate over the corpus word spectrum
+    * ([[TextCorpus.vocabRichness]]) — one row of exact integers. */
+  protected def vocabChao1(s: SparkSession, dir: String): DataFrame =
+    TextCorpus.vocabRichness(t(s, dir, "documents"))
+      .select(col("s_obs"), col("f1"), col("f2"),
+        col("chao1_num").cast("long").as("chao1_num"),
+        col("chao1_den").cast("long").as("chao1_den"))
+
   /** CMS counters (d=3, w=64) over event user ids — thousands of keys
     * into 64 columns, so the collision behavior the sketch is about is
     * exercised, not dodged. */
@@ -378,6 +386,7 @@ private[graft] trait CorpusGates extends GateSupport {
     "qdigest_nodes" -> qdigestNodesGate _,
     "qdigest_ranks" -> qdigestRanksGate _,
     "qdigest_merge_nodes" -> qdigestMergeGate _,
+    "vocab_chao1" -> vocabChao1 _,
   )
 
   /** A half-table CMS counter CTE named `alias` over events with
@@ -415,6 +424,20 @@ private[graft] trait CorpusGates extends GateSupport {
     "qdigest_nodes" -> qdigestNodesOracle,
     "qdigest_ranks" -> qdigestRanksOracle,
     "qdigest_merge_nodes" -> qdigestMergeOracle,
+    "vocab_chao1" ->
+      // frequency spectrum of whitespace tokens -> S_obs, f1, f2 and
+      // the cross-multiplied Chao1 rationals
+      """WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+                    FROM documents),
+          c AS (SELECT word, count(*) AS c FROM w GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS s_obs,
+                CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+                CAST(2 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) * count(*)
+                     + sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                       * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS chao1_num,
+                CAST(2 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS chao1_den
+         FROM c""",
     "url_normalize" ->
       // the full canonicalizer, reproduced step for step: split scheme /
       // hostport / path / query / fragment with split_part, drop default

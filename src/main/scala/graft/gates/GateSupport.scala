@@ -116,6 +116,41 @@ private[graft] trait GateSupport {
     s"$base,\n$steps\nSELECT node, rank_fp FROM r5 ORDER BY node"
   }
 
+  /** [[operators.Graph.hits]] unrolled: per iteration, hub-mass sums
+    * onto authorities, sum-normalization to the Scale fixed point
+    * (integral // — floor, nonneg), authority-mass sums back onto
+    * hubs, normalized again. HUGEINT accumulators mirror the Spark
+    * side's decimal(38,0). */
+  protected val hitsOracle: String = {
+    val base =
+      """WITH e AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+                    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+              n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+              h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS hub_fp FROM n)"""
+    val steps = (1 to 3).map { i =>
+      s"""ar$i AS (SELECT e.dst, CAST(sum(h.hub_fp) AS HUGEINT) AS raw
+                   FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst),
+          at$i AS (SELECT CASE WHEN t = 0 THEN 1 ELSE t END AS tot FROM
+                     (SELECT CAST(coalesce(sum(raw), 0) AS HUGEINT) AS t FROM ar$i)),
+          a$i AS (SELECT n.node,
+                    CAST((coalesce(ar.raw, 0) * 1000000) // at.tot AS HUGEINT) AS auth_fp
+                  FROM n LEFT JOIN ar$i ar ON n.node = ar.dst CROSS JOIN at$i at),
+          hr$i AS (SELECT e.src, CAST(sum(a.auth_fp) AS HUGEINT) AS raw
+                   FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+          ht$i AS (SELECT CASE WHEN t = 0 THEN 1 ELSE t END AS tot FROM
+                     (SELECT CAST(coalesce(sum(raw), 0) AS HUGEINT) AS t FROM hr$i)),
+          h$i AS (SELECT n.node,
+                    CAST((coalesce(hr.raw, 0) * 1000000) // ht.tot AS HUGEINT) AS hub_fp
+                  FROM n LEFT JOIN hr$i hr ON n.node = hr.src CROSS JOIN ht$i ht)"""
+    }.mkString(",\n")
+    s"""$base,
+        $steps
+        SELECT h3.node, CAST(h3.hub_fp AS BIGINT) AS hub_fp,
+               CAST(a3.auth_fp AS BIGINT) AS auth_fp
+        FROM h3 JOIN a3 ON h3.node = a3.node ORDER BY h3.node"""
+  }
+
   /** The personalized variant: same unrolled recurrence, reset mass on
     * the seed indicator only, zero-rank rows filtered like the gate. */
   protected val pprOracle: String = {

@@ -222,6 +222,22 @@ private[graft] trait PipelineGates extends GateSupport {
     * over the symmetrized customer↔supplier purchase graph from
     * orders⋈lineitem — iterative join+aggregate over the two largest
     * tables. */
+  /** HITS over the DIRECTED purchase graph (customers → suppliers):
+    * customers are pure hubs, suppliers pure authorities — the
+    * bipartite shape HITS was built for; 3 sum-normalized fixed-point
+    * iterations, integer-exact ([[Graph.hits]]). */
+  protected def purchaseHits(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+    Graph.hits(edges, iters = 3)
+      .select(col("node"), col("hub_fp").cast("long").as("hub_fp"),
+        col("auth_fp").cast("long").as("auth_fp"))
+      .orderBy("node")
+  }
+
   protected def purchasePagerank(s: SparkSession, dir: String): DataFrame = {
     val cs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
@@ -976,6 +992,7 @@ private[graft] trait PipelineGates extends GateSupport {
     "cosine_near_dups" -> cosineNearDups _,
     "multimodal_features" -> multimodalFeatures _,
     "personalized_pagerank" -> personalizedPagerank _,
+    "purchase_hits" -> purchaseHits _,
     "quality_lr_logit" -> qualityLrLogit _,
     "line_boilerplate" -> lineBoilerplate _,
     "line_strip" -> lineStrip _,
@@ -1329,6 +1346,7 @@ private[graft] trait PipelineGates extends GateSupport {
          FROM st WHERE status <> 'unchanged' ORDER BY doc_id""",
     "purchase_pagerank" -> pagerankOracle,
     "personalized_pagerank" -> pprOracle,
+    "purchase_hits" -> hitsOracle,
     "label_communities" -> lpaOracle,
     "hashed_tf" ->
       // the same md5 bucket/sign arithmetic as Spark: '0x'||hex → BIGINT

@@ -86,6 +86,69 @@ object Graph {
     * onto dst, plus a broadcast-sized seed-indicator join folded into
     * the node frame ONCE up front; per-iteration `localCheckpoint` cuts
     * the doubling lineage. */
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) with a FIXED
+    * iteration count in exact fixed-point integers — the DIRECTED
+    * twin of [[pageRank]] for bipartite-ish link structure: hubs point
+    * at good authorities, authorities are pointed at by good hubs
+    * (curation use: hub-quality of link/citation pages vs
+    * authority-quality of content hosts). Per iteration:
+    * {{{
+    *   auth_raw(v) = Σ hub_fp(u)   over in-edges (u → v)
+    *   auth_fp(v)  = auth_raw(v) · Scale div Σ auth_raw    (sum-norm)
+    *   hub_raw(u)  = Σ auth_fp(v)  over out-edges (u → v)
+    *   hub_fp(u)   = hub_raw(u) · Scale div Σ hub_raw
+    * }}}
+    * SUM normalization replaces the textbook L2 norm — a norm choice
+    * only rescales the score vector (the ranking and the fixed
+    * direction are the same), and the rational form keeps every step
+    * integer-exact, so the oracle unrolls the identical recurrence.
+    * Sums accumulate in decimal(38,0) (HUGEINT on the oracle side);
+    * normalized scores live in [0, Scale].
+    *
+    * 100 TB shape: identical to [[pageRank]] — per half-step ONE keyed
+    * join of the pinned edge frame against the current scores and ONE
+    * aggregation, plus a one-row total broadcast for the
+    * normalization; per-iteration `localCheckpoint` cuts the doubling
+    * lineage. Nothing data-sized is collected or broadcast. */
+  def hits(
+      edges: DataFrame, iters: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val d = "decimal(38,0)"
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    def normalize(raw: DataFrame, keyCol: String, out: String): DataFrame = {
+      // one-row total; the div floors, so scores stay exact integers
+      val tot = raw.agg(coalesce(sum("raw"), lit(0L)).cast(d).as("t"))
+        .select(when(col("t") === 0, lit(1L).cast(d)).otherwise(col("t")).as("tot"))
+      nodes.join(raw, col("node") === col(keyCol), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"CAST(coalesce(raw, CAST(0 AS $d)) * $Scale AS $d) div tot")
+            .as(out))
+    }
+    var scores = nodes.select(col("node"), lit(Scale).as("hub_fp"))
+    var result: DataFrame = null
+    for (_ <- 1 to iters) {
+      val authRaw = e.join(scores.select(col("node"), col("hub_fp")),
+          col("src") === col("node"))
+        .groupBy("dst").agg(sum(col("hub_fp").cast(d)).as("raw"))
+      val auth = normalize(authRaw, "dst", "auth_fp").localCheckpoint()
+      val hubRaw = e.join(auth.select(col("node").as("anode"), col("auth_fp")),
+          col("dst") === col("anode"))
+        .groupBy("src").agg(sum(col("auth_fp").cast(d)).as("raw"))
+      val hub = normalize(hubRaw, "src", "hub_fp").localCheckpoint()
+      scores = hub
+      result = hub.join(auth.withColumnRenamed("node", "n2"),
+          col("node") === col("n2"))
+        .select(col("node"), col("hub_fp"), col("auth_fp"))
+    }
+    result
+  }
+
   def personalizedPageRank(
       edges: DataFrame, seeds: DataFrame, iters: Int,
       srcCol: String = "src", dstCol: String = "dst",

@@ -1131,4 +1131,41 @@ object Stats {
       .select(col(keyCol), col("d"), col("dow"), col("cnt"),
         col("detrended7"), col("med7"), col("abs_dev7"), col("mad7"))
   }
+
+  /** Per-group Gini impurity / Simpson diversity of a categorical mix,
+    * as EXACT integer rationals: for group g with category counts c_i
+    * and n = Σ c_i,
+    * {{{
+    *   gini = 1 − Σ (c_i/n)² = (n² − Σ c_i²) / n²
+    * }}}
+    * emitted as `gini_num = n² − Σc_i²` and `gini_den = n²` (and the
+    * building blocks n, Σc_i², n_categories) — no division, so the
+    * result hash-matches cross-engine at any magnitude; callers divide
+    * at render time. The same fields give the Simpson index (Σ(c/n)² =
+    * ssq/n²) and the "effective number of categories" (n²/Σc² =
+    * den/ssq) — the diversity report a mixture/curation pass runs on
+    * source, language, or label mixes.
+    *
+    * 100 TB shape: ONE map-side-combined (group, category) count, then
+    * a |groups×categories|-sized aggregate. Sums are decimal(38,0) —
+    * n² passes int64 at n > ~3e9 rows per group; gates render within
+    * long or cast to string (the mann_whitney discipline). */
+  def giniImpurity(
+      df: DataFrame, groupCols: Seq[String], catCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val d = "decimal(38,0)"
+    val counts = df
+      .groupBy((groupCols :+ catCol).map(col): _*)
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("c")).cast(d).as("n"),
+        sum((col("c") * col("c")).cast(d)).cast(d).as("ssq"),
+        count(lit(1)).as("n_categories"))
+      .select((groupCols.map(col) ++ Seq(
+        col("n"), col("ssq"), col("n_categories"),
+        (col("n") * col("n") - col("ssq")).cast(d).as("gini_num"),
+        (col("n") * col("n")).cast(d).as("gini_den"))): _*)
+  }
 }

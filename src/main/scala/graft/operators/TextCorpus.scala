@@ -851,4 +851,40 @@ object TextCorpus {
         count(lit(1)).as("total_ngrams"),
         countDistinct(col("ngram")).as("distinct_ngrams"))
   }
+
+  /** Chao1 vocabulary-richness estimate (Chao 1984; the standard
+    * species-richness estimator applied to corpus vocabulary): from
+    * the word-frequency spectrum alone — S_obs distinct words, f1
+    * singletons, f2 doubletons — the total vocabulary including
+    * never-seen words is estimated as
+    * {{{
+    *   chao1 = S_obs + f1² / (2·f2)
+    * }}}
+    * Emitted as exact integers (`s_obs`, `f1`, `f2`, plus the
+    * cross-multiplied `chao1_num = 2·f2·S_obs + f1²`, `chao1_den =
+    * 2·f2`) so the gate never divides; f2 = 0 ⇒ den 0, the caller's
+    * signal to fall back to the bias-corrected form. Use: decide
+    * whether a corpus slice's vocabulary has SATURATED (chao1 ≈ s_obs
+    * — more data adds few new words) or is still growing — the
+    * data-acquisition signal behind "do we need more of this source".
+    *
+    * 100 TB shape: ONE map-side-combined word count, then a
+    * |vocab|-sized aggregate over the frequency spectrum. Counts are
+    * longs; the cross-products sit far inside decimal(38,0). */
+  def vocabRichness(
+      docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val d = "decimal(38,0)"
+    docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .agg(
+        count(lit(1)).as("s_obs"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(
+        col("s_obs"), col("f1"), col("f2"),
+        (lit(2).cast(d) * col("f2") * col("s_obs") + col("f1").cast(d) * col("f1"))
+          .cast(d).as("chao1_num"),
+        (lit(2).cast(d) * col("f2")).cast(d).as("chao1_den"))
+  }
 }

@@ -249,4 +249,47 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSet === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
+
+  test("hits matches the sum-normalized integer recurrence on a brute-force model") {
+    // random-ish directed bipartite-ish graph; mirror the operator's
+    // exact integer recurrence in plain Scala BigInt and compare
+    val edges = (0 until 60).map { i =>
+      (s"u${i % 7}", s"v${(i * i + 3 * i) % 11}")
+    }.distinct
+    val iters = 3
+    val out = Graph.hits(edges.toDF("src", "dst"), iters)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+    val scale = BigInt(Graph.Scale)
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = Map.empty[String, BigInt]
+    for (_ <- 1 to iters) {
+      val araw = nodes.map(v =>
+        v -> edges.filter(_._2 == v).map(e => hub(e._1)).sum).toMap
+      val atot = araw.values.sum.max(1)
+      auth = araw.map { case (v, r) => v -> (r * scale / atot) }
+      val hraw = nodes.map(u =>
+        u -> edges.filter(_._1 == u).map(e => auth(e._2)).sum).toMap
+      val htot = hraw.values.sum.max(1)
+      hub = hraw.map { case (u, r) => u -> (r * scale / htot) }
+    }
+    nodes.foreach { v =>
+      assert(out(v) === (hub(v).toLong, auth(v).toLong), s"node $v")
+    }
+    // pure hubs (sources only) have auth 0; pure authorities hub 0
+    assert(nodes.filter(_.startsWith("u")).forall(v => out(v)._2 == 0L))
+    assert(nodes.filter(_.startsWith("v")).forall(v => out(v)._1 == 0L))
+  }
+
+  test("hits is invariant under input repartitioning and duplicate edges") {
+    val edges = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("c", "y"), ("a", "x"))
+    val once = Graph.hits(edges.toDF("src", "dst"), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val again = Graph.hits(edges.toDF("src", "dst").repartition(5), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(once === again)
+  }
 }

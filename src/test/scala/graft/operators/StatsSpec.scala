@@ -265,4 +265,25 @@ class StatsSpec extends AnyFunSuite {
         === Seq("k", "x", "cum"))
     }
   }
+
+  test("giniImpurity: exact rationals match the brute-force definition") {
+    val rows = (0 until 500).map(i => (s"g${i % 3}", s"c${(i * i) % 7}"))
+    val out = Stats.giniImpurity(rows.toDF("g", "cat"), Seq("g"), "cat")
+      .collect().map(r => r.getString(0) -> (
+        r.getDecimal(1).longValueExact(), r.getDecimal(2).longValueExact(),
+        r.getLong(3),
+        r.getDecimal(4).longValueExact(), r.getDecimal(5).longValueExact()))
+      .toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val counts = rs.groupBy(_._2).values.map(_.size.toLong)
+      val n = counts.sum
+      val ssq = counts.map(c => c * c).sum
+      assert(out(g) === (n, ssq, counts.size.toLong, n * n - ssq, n * n), s"group $g")
+      // 0 <= gini < 1 and single-category groups give exactly 0
+      assert(out(g)._4 >= 0 && out(g)._4 < out(g)._5)
+    }
+    val single = Stats.giniImpurity(
+      Seq(("a", "x"), ("a", "x")).toDF("g", "cat"), Seq("g"), "cat").head()
+    assert(single.getDecimal(4).longValueExact() === 0L)
+  }
 }

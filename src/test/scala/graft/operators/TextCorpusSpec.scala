@@ -506,4 +506,19 @@ class TextCorpusSpec extends AnyFunSuite {
       (2L, 1L, "banana", 2L, 1L), (2L, 2L, "common", 1L, 3L),
       (3L, 1L, "cherry", 1L, 1L), (3L, 2L, "common", 1L, 3L)))
   }
+
+  test("vocabRichness: spectrum and Chao1 rationals match brute force; f2=0 flagged by den") {
+    val docs = Seq(
+      "alpha beta beta gamma gamma gamma",
+      "alpha delta epsilon").toDF("text")
+    val r = TextCorpus.vocabRichness(docs).head()
+    // spectrum: alpha 2, beta 2, gamma 3, delta 1, epsilon 1
+    //   s_obs 5, f1 2, f2 2 -> chao1 = 5 + 4/4 = 6
+    assert(r.getLong(0) === 5L && r.getLong(1) === 2L && r.getLong(2) === 2L)
+    assert(r.getDecimal(3).longValueExact() === 2L * 2 * 5 + 2 * 2)
+    assert(r.getDecimal(4).longValueExact() === 4L)
+    // no doubletons: den 0 signals the caller to use the corrected form
+    val r2 = TextCorpus.vocabRichness(Seq("a b c").toDF("text")).head()
+    assert(r2.getDecimal(4).longValueExact() === 0L)
+  }
 }
