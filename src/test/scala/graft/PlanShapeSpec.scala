@@ -886,4 +886,46 @@ class PlanShapeSpec extends AnyFunSuite {
       s"diversity joined:\n$p")
     assert(count(p, "HashAggregate") >= 2, "diversity lost partial aggregation")
   }
+
+  test("qdigest build: map-side-combined leaf aggregate, then NO further exchange (single-task compress)") {
+    val p = finalPlan("qdigest_nodes")
+    // one shuffle for the leaf groupBy + the presentation sort; the
+    // 16-level compression must add no per-level exchanges or joins
+    assert(count(p, "HashAggregate") >= 2, s"leaf histogram lost map-side combine:\n$p")
+    assert(count(p, "BroadcastHashJoin") + count(p, "SortMergeJoin")
+      + count(p, "CartesianProduct") === 0, s"qdigest compress joins:\n$p")
+    assert(count(p, "Window") === 0, s"qdigest compress windows:\n$p")
+  }
+
+  test("qdigest ranks: the digest broadcasts; the probe side never shuffles") {
+    val p = finalPlan("qdigest_ranks")
+    assert(count(p, "SortMergeJoin") === 0, s"rank probe shuffled:\n$p")
+    assert(count(p, "CartesianProduct") === 0, s"rank probe went cartesian:\n$p")
+  }
+
+  test("hits: keyed joins plus one-row normalization broadcasts only — never a data-sized cartesian") {
+    val p = finalPlan("purchase_hits")
+    assert(count(p, "CartesianProduct") === 0, s"hits went cartesian:\n$p")
+    // the sum-normalization is a one-row BNLJ broadcast per half-step
+    // (3 iterations x 2 halves = 6), the pagerank-family discipline;
+    // anything beyond that bound means a real join degenerated
+    assert(count(p, "BroadcastNestedLoopJoin") <= 6, s"hits grew data-sized BNLJs:\n$p")
+  }
+
+  test("gini/chao1: two chained aggregates, no join, no window") {
+    Seq("source_lang_gini", "vocab_chao1").foreach { q =>
+      val p = finalPlan(q)
+      assert(count(p, "HashAggregate") >= 2, s"$q lost partial aggregation:\n$p")
+      assert(count(p, "BroadcastHashJoin") + count(p, "SortMergeJoin")
+        + count(p, "CartesianProduct") === 0, s"$q joins:\n$p")
+      assert(count(p, "Window") === 0, s"$q windows:\n$p")
+    }
+  }
+
+  test("relevance eval and pair audit stay equi-joins on bounded frames") {
+    Seq("mrr_hits_eval", "minhash_recall_pairs").foreach { q =>
+      val p = finalPlan(q)
+      assert(count(p, "CartesianProduct") === 0, s"$q went cartesian:\n$p")
+    }
+  }
 }
