@@ -250,10 +250,6 @@ private[graft] trait CdcGates extends GateSupport {
         t(s, dir, "documents"), minCount = 5L, minLiftPct = 130L)
       .orderBy("w1", "w2")
 
-  /** Mann–Whitney U ([[graft.operators.Stats.mannWhitneyU]]) between
-    * view and purchase event values (cents) — the nonparametric
-    * two-sample location test as exact doubled-rank integers
-    * (u2 = 2·U); effect size U/(n_a·n_b) at render time. */
   /** Per-source Gini impurity of the language mix
     * ([[graft.operators.Stats.giniImpurity]]) — the curation diversity
     * report as exact integer rationals; all values fit long at any
@@ -269,6 +265,10 @@ private[graft] trait CdcGates extends GateSupport {
         col("gini_den").cast("long").as("gini_den"))
       .orderBy("source")
 
+  /** Mann–Whitney U ([[graft.operators.Stats.mannWhitneyU]]) between
+    * view and purchase event values (cents) — the nonparametric
+    * two-sample location test as exact doubled-rank integers
+    * (u2 = 2·U); effect size U/(n_a·n_b) at render time. */
   protected def mannWhitneyQuery(s: SparkSession, dir: String): DataFrame =
     graft.operators.Stats.mannWhitneyU(
         t(s, dir, "events")

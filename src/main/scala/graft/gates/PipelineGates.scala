@@ -218,10 +218,6 @@ private[graft] trait PipelineGates extends GateSupport {
     TextCorpus.corpusDiff(old, nw).orderBy("doc_id")
   }
 
-  /** Fixed-point PageRank ([[operators.Graph.pageRank]], 5 iterations)
-    * over the symmetrized customer↔supplier purchase graph from
-    * orders⋈lineitem — iterative join+aggregate over the two largest
-    * tables. */
   /** HITS over the DIRECTED purchase graph (customers → suppliers):
     * customers are pure hubs, suppliers pure authorities — the
     * bipartite shape HITS was built for; 3 sum-normalized fixed-point
@@ -238,6 +234,10 @@ private[graft] trait PipelineGates extends GateSupport {
       .orderBy("node")
   }
 
+  /** Fixed-point PageRank ([[operators.Graph.pageRank]], 5 iterations)
+    * over the symmetrized customer↔supplier purchase graph from
+    * orders⋈lineitem — iterative join+aggregate over the two largest
+    * tables. */
   protected def purchasePagerank(s: SparkSession, dir: String): DataFrame = {
     val cs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),

@@ -67,25 +67,6 @@ object Graph {
     ranks
   }
 
-  /** Personalized PageRank (topic-sensitive PageRank, Haveliwala
-    * WWW'02): the same fixed-point integer recurrence as [[pageRank]],
-    * but ALL reset mass returns to the SEED set — scores become
-    * "importance relative to the seeds", the related-item/related-host
-    * expansion that a global rank can't express (a globally central hub
-    * scores high everywhere; PPR only ranks it high if it's reachable
-    * from the seeds). Init: rank = Scale on seeds, 0 elsewhere; step:
-    * {{{
-    *   rank_fp'(v) = (seed(v)·15·Scale + 85·Σ contrib) div 100
-    * }}}
-    * All-integer, bit-identical across engines; the oracle unrolls the
-    * same recurrence. Unreached nodes legitimately hold rank 0 and are
-    * kept (the caller filters).
-    *
-    * 100 TB shape: identical to [[pageRank]] — per iteration one keyed
-    * join of the pinned edge frame against ranks and one aggregation
-    * onto dst, plus a broadcast-sized seed-indicator join folded into
-    * the node frame ONCE up front; per-iteration `localCheckpoint` cuts
-    * the doubling lineage. */
   /** HITS hubs & authorities (Kleinberg, JACM 1999) with a FIXED
     * iteration count in exact fixed-point integers — the DIRECTED
     * twin of [[pageRank]] for bipartite-ish link structure: hubs point
@@ -149,6 +130,25 @@ object Graph {
     result
   }
 
+  /** Personalized PageRank (topic-sensitive PageRank, Haveliwala
+    * WWW'02): the same fixed-point integer recurrence as [[pageRank]],
+    * but ALL reset mass returns to the SEED set — scores become
+    * "importance relative to the seeds", the related-item/related-host
+    * expansion that a global rank can't express (a globally central hub
+    * scores high everywhere; PPR only ranks it high if it's reachable
+    * from the seeds). Init: rank = Scale on seeds, 0 elsewhere; step:
+    * {{{
+    *   rank_fp'(v) = (seed(v)·15·Scale + 85·Σ contrib) div 100
+    * }}}
+    * All-integer, bit-identical across engines; the oracle unrolls the
+    * same recurrence. Unreached nodes legitimately hold rank 0 and are
+    * kept (the caller filters).
+    *
+    * 100 TB shape: identical to [[pageRank]] — per iteration one keyed
+    * join of the pinned edge frame against ranks and one aggregation
+    * onto dst, plus a broadcast-sized seed-indicator join folded into
+    * the node frame ONCE up front; per-iteration `localCheckpoint` cuts
+    * the doubling lineage. */
   def personalizedPageRank(
       edges: DataFrame, seeds: DataFrame, iters: Int,
       srcCol: String = "src", dstCol: String = "dst",

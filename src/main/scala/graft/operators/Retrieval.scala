@@ -98,13 +98,21 @@ object Retrieval {
     * (query, doc) pair — human labels, click data, or a planted
     * ground truth).
     *
-    * Per query of `ranking` (cut to rank ≤ k): `n_rel` = relevant docs
-    * retrieved in the top k, `first_rank` = rank of the first relevant
-    * one (0 when none — never NULL, so downstream averages need no null
-    * handling), `rr_ppm` = floor(10^6 / first_rank) (0 when none), and
-    * `hit` = 1 iff any relevant doc made the cut. All exact integers —
-    * MRR = avg(rr_ppm)/10^6 and hit-rate@k = avg(hit) downstream; no
+    * Per query (cut to rank ≤ k): `n_rel` = relevant docs retrieved in
+    * the top k, `first_rank` = rank of the first relevant one (0 when
+    * none — never NULL, so downstream averages need no null handling),
+    * `rr_ppm` = floor(10^6 / first_rank) (0 when none), and `hit` = 1
+    * iff any relevant doc made the cut. All exact integers — MRR =
+    * avg(rr_ppm)/10^6 and hit-rate@k = avg(hit) downstream; no
     * engine-varying float division inside the operator.
+    *
+    * `queries` is the evaluation's QUERY UNIVERSE: queries with no
+    * ranking rows at all (the retriever returned nothing) still emit a
+    * (0, 0, 0, 0) row, so a failing retriever drags the average down
+    * instead of silently vanishing from it — the TREC convention.
+    * Pass None to score only the queries present in `ranking` (safe
+    * when the retriever guarantees a row per query, as ANN top-k
+    * paths here do).
     *
     * 100 TB shape: `ranking` is already k-bounded per query (the
     * corpus stays in the upstream retriever) and `qrels` is label-sized
@@ -113,7 +121,8 @@ object Retrieval {
   def relevanceEval(
       ranking: DataFrame, qrels: DataFrame, k: Int,
       queryCol: String = "query_id", idCol: String = "neighbor_id",
-      rankCol: String = "rank"): DataFrame = {
+      rankCol: String = "rank",
+      queries: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, "need a positive cutoff k")
     val top = ranking.filter(col(rankCol) <= k)
       .select(col(queryCol).as("query_id"), col(idCol).as("_id"),
@@ -121,18 +130,25 @@ object Retrieval {
     val rel = qrels.select(col(queryCol).as("query_id"), col(idCol).as("_id"))
       .distinct()
       .withColumn("_rel", lit(1L))
-    top.join(rel, Seq("query_id", "_id"), "left")
+    val perQuery = top.join(rel, Seq("query_id", "_id"), "left")
       .groupBy("query_id")
       .agg(
         sum(coalesce(col("_rel"), lit(0L))).as("n_rel"),
         coalesce(min(when(col("_rel") === 1L, col("_rank"))), lit(0L))
           .as("first_rank"))
-      .select(
-        col("query_id"),
-        col("n_rel"),
-        col("first_rank"),
-        when(col("first_rank") > 0L, expr("1000000L div first_rank"))
-          .otherwise(0L).as("rr_ppm"),
-        when(col("n_rel") > 0L, 1L).otherwise(0L).as("hit"))
+    val universed = queries match {
+      case Some(q) =>
+        q.select(col(queryCol).as("query_id")).distinct()
+          .join(perQuery, Seq("query_id"), "left")
+          .na.fill(0L, Seq("n_rel", "first_rank"))
+      case None => perQuery
+    }
+    universed.select(
+      col("query_id"),
+      col("n_rel"),
+      col("first_rank"),
+      when(col("first_rank") > 0L, expr("1000000L div first_rank"))
+        .otherwise(0L).as("rr_ppm"),
+      when(col("n_rel") > 0L, 1L).otherwise(0L).as("hit"))
   }
 }

@@ -236,7 +236,7 @@ object Sketches {
     * 16-round join formulation was measured at 79 s on the bench
     * fixture (per-level shuffle + compounding lineage); this is 0.3 s. */
   private def qdigestCompress(
-      nodes: DataFrame, logUniverse: Int, thr: Long): DataFrame = {
+      nodes: DataFrame, logUniverse: Int, k: Int): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     nodes.select(
@@ -248,8 +248,20 @@ object Sketches {
       .mapPartitions { it =>
         val m = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
         it.foreach { case (l, i, c) =>
+          // loud on corrupt state: build filters its leaves, but compact
+          // accepts arbitrary node frames (streaming state, unions) and
+          // an out-of-universe node would silently poison every rank
+          if (l < 0L || l > logUniverse || i < 0L ||
+              i >= (1L << (logUniverse - l))) {
+            throw new IllegalArgumentException(
+              s"q-digest node (lvl=$l, idx=$i) outside universe 2^$logUniverse")
+          }
           val key = (l, i); m(key) = m.getOrElse(key, 0L) + c
         }
+        // thr from the in-partition total — the whole histogram is in
+        // this one task, so no separate driver-side count job is needed
+        val n = m.valuesIterator.sum
+        val thr = math.max(n / k, 1L)
         var l = 0L
         while (l < logUniverse) {
           val kids = m.keysIterator.filter(_._1 == l).toArray
@@ -273,7 +285,8 @@ object Sketches {
     * [0, 2^logUniverse) — quantize/clamp upstream; rows outside the
     * universe are EXCLUDED from the sketch (documented contract, same
     * as a histogram's domain — callers who need them clamp first).
-    * Returns the node frame (lvl, idx, cnt). */
+    * Returns the node frame (lvl, idx, cnt). The input is scanned
+    * exactly ONCE (thr derives inside the compression task). */
   def qdigestBuild(
       df: DataFrame, c: Column, logUniverse: Int, k: Int): DataFrame = {
     // L ≤ 20 keeps the leaf frame ≤ 2^20 rows — summary-sized for the
@@ -288,24 +301,23 @@ object Sketches {
       .groupBy(col("v").as("idx"))
       .agg(count(lit(1)).as("cnt"))
       .select(lit(0L).as("lvl"), col("idx"), col("cnt"))
-    val n = leaves.agg(coalesce(sum("cnt"), lit(0L))).collect()(0).getLong(0)
-    qdigestCompress(leaves, logUniverse, math.max(n / k, 1L))
+    qdigestCompress(leaves, logUniverse, k)
   }
 
   /** Recompress an arbitrary (lvl, idx, cnt) node multiset into a valid
     * q-digest at the multiset's own total-count threshold — duplicate
-    * (lvl, idx) rows sum first. This is the read path for INCREMENTAL
-    * maintenance: keep the leaf histogram as streaming/aggregate state
-    * (bounded by 2^L rows, sums merge trivially) and compact into a
-    * digest on demand; [[qdigestMerge]] is compact ∘ union. */
+    * (lvl, idx) rows sum inside the compression task. This is the read
+    * path for INCREMENTAL maintenance: keep the leaf histogram as
+    * streaming/aggregate state (bounded by 2^L rows, sums merge
+    * trivially) and compact into a digest on demand; [[qdigestMerge]]
+    * is compact ∘ union. Nodes outside the universe fail LOUDLY (the
+    * build path filters its own leaves; state handed to compact must
+    * already be valid). */
   def qdigestCompact(
       nodes: DataFrame, logUniverse: Int, k: Int): DataFrame = {
+    require(logUniverse >= 1 && logUniverse <= 20, "logUniverse in [1,20]")
     require(k >= 1, "compression k >= 1")
-    val summed = nodes
-      .groupBy("lvl", "idx")
-      .agg(sum("cnt").as("cnt"))
-    val n = summed.agg(coalesce(sum("cnt"), lit(0L))).collect()(0).getLong(0)
-    qdigestCompress(summed, logUniverse, math.max(n / k, 1L))
+    qdigestCompress(nodes, logUniverse, k)
   }
 
   /** Union two q-digests over the same universe: nodewise count sums,
@@ -326,11 +338,16 @@ object Sketches {
   def qdigestRanks(sketch: DataFrame, probes: DataFrame): DataFrame = {
     val lo = expr("idx * shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT))")
     val hiX = expr("(idx + 1) * shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT))")
-    probes.select(col("x").cast("long").as("x"))
+    val p = probes.select(col("x").cast("long").as("x"))
+    val agg = p
       .crossJoin(broadcast(sketch))
       .groupBy("x")
       .agg(
         sum(when(hiX <= col("x"), col("cnt")).otherwise(0L)).as("rank_lo"),
         sum(when(lo < col("x"), col("cnt")).otherwise(0L)).as("rank_hi"))
+    // an EMPTY sketch must answer rank 0 for every probe, not drop the
+    // probe rows (the cross join would erase them)
+    p.join(agg, Seq("x"), "left")
+      .na.fill(0L, Seq("rank_lo", "rank_hi"))
   }
 }

@@ -1161,7 +1161,9 @@ object Stats {
       .groupBy(groupCols.map(col): _*)
       .agg(
         sum(col("c")).cast(d).as("n"),
-        sum((col("c") * col("c")).cast(d)).cast(d).as("ssq"),
+        // cast BEFORE multiplying: a long*long c² wraps past ~3e9 rows
+        // per cell — the very regime the decimal contract is for
+        sum(col("c").cast(d) * col("c").cast(d)).cast(d).as("ssq"),
         count(lit(1)).as("n_categories"))
       .select((groupCols.map(col) ++ Seq(
         col("n"), col("ssq"), col("n_categories"),

@@ -922,7 +922,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("relevance eval and pair audit stay equi-joins on bounded frames") {
+  test("relevance eval and pair audit never degenerate to a cartesian product") {
+    // NOTE on what this does and does not pin: both gates legitimately
+    // contain non-equi joins upstream (the brute-force scoring theta
+    // join in mrr's exact side, the all-pairs id_a < id_b join in the
+    // recall audit's ground truth) which plan as one-sided
+    // BroadcastNestedLoopJoins on the bounded fixtures — so a BNLJ
+    // count can't distinguish those from a regression. The invariant
+    // that CAN be pinned is the absence of an unbroadcastable
+    // CartesianProduct, the only shape that is catastrophic at scale.
     Seq("mrr_hits_eval", "minhash_recall_pairs").foreach { q =>
       val p = finalPlan(q)
       assert(count(p, "CartesianProduct") === 0, s"$q went cartesian:\n$p")

@@ -97,4 +97,19 @@ class RetrievalSpec extends AnyFunSuite with Matchers {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     out shouldBe Seq((7L, 2L, 1L, 1000000L, 1L))
   }
+
+  test("relevanceEval: a query universe scores zero-result queries as 0, not missing") {
+    val ranking = Seq((1L, 10L, 1L)).toDF("query_id", "neighbor_id", "rank")
+    val qrels = Seq((1L, 10L), (2L, 20L)).toDF("query_id", "neighbor_id")
+    val universe = Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L)).toDF("query_id")
+    val out = Retrieval.relevanceEval(ranking, qrels, k = 5,
+        queries = Some(universe))
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // query 2 retrieved nothing, query 3 has no rels: both emit zero rows
+    out shouldBe Seq(
+      (1L, 1L, 1L, 1000000L, 1L),
+      (2L, 0L, 0L, 0L, 0L),
+      (3L, 0L, 0L, 0L, 0L))
+  }
 }

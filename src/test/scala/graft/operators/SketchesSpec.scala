@@ -242,4 +242,17 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.qdigestBuild(Seq(1L).toDF("v"), col("v"), 10, 0)
     }
   }
+
+  test("qdigest: empty sketch answers rank 0 per probe; compact rejects out-of-universe nodes") {
+    val empty = qd(Seq(2000L), 10, 4) // the only value falls outside [0, 2^10)? no - 2000 > 1023
+    val ranks = Sketches.qdigestRanks(empty, Seq(5L, 100L).toDF("x"))
+      .orderBy("x").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ranks.toSeq === Seq((5L, 0L, 0L), (100L, 0L, 0L)))
+    val bad = Seq((0L, 5000L, 3L)).toDF("lvl", "idx", "cnt") // idx >= 2^10
+    val e = intercept[org.apache.spark.SparkException] {
+      Sketches.qdigestCompact(bad, 10, 4).collect()
+    }
+    assert(e.getMessage.contains("outside universe")
+      || Option(e.getCause).exists(_.getMessage.contains("outside universe")))
+  }
 }
