@@ -287,6 +287,15 @@ private[graft] trait CorpusGates extends GateSupport {
       .orderBy("lvl", "idx")
   }
 
+  /** Grouped q-digest: one sketch per event type (L=16, k=64) — the
+    * per-source/per-day quantile rollup-table shape; per-group
+    * thresholds, per-group compression tasks. */
+  protected def qdigestGroupedGate(s: SparkSession, dir: String): DataFrame =
+    Sketches.qdigestBuildBy(
+        t(s, dir, "events").withColumn("v", round(col("value") * 100).cast("long")),
+        "event_type", col("v"), logUniverse = 16, k = 64)
+      .orderBy("grp", "lvl", "idx")
+
   /** The unrolled level-by-level q-digest compression as chained CTEs:
     * mirrors [[graft.operators.Sketches.qdigestCompress]] exactly —
     * same bottom-up order, same `childSum + parentCnt < thr` merge rule,
@@ -350,6 +359,56 @@ private[graft] trait CorpusGates extends GateSupport {
         CROSS JOIN fin GROUP BY 1 ORDER BY x"""
   }
 
+  /** The grouped twin of [[qdigestCompressSql]]: every CTE carries the
+    * group key, the FULL JOIN and threshold lookup match on it, so each
+    * group compresses independently at its own thr — exactly
+    * [[graft.operators.Sketches.qdigestBuildBy]]'s per-task loop. */
+  private def qdigestGroupedCompressSql(
+      prefix: String, start: String, k: Int, levels: Int): (String, String) = {
+    val sb = new StringBuilder
+    sb.append(s"${prefix}th AS MATERIALIZED (SELECT grp, greatest(CAST(sum(cnt) AS BIGINT) // $k, 1) AS thr FROM $start GROUP BY grp),\n")
+    var cur = start
+    for (l <- 0 until levels) {
+      val ch = s"${prefix}ch$l"; val pa = s"${prefix}pa$l"
+      val de = s"${prefix}de$l"; val nx = s"${prefix}s${l + 1}"
+      sb.append(s"$ch AS MATERIALIZED (SELECT grp, idx // 2 AS p, CAST(sum(cnt) AS BIGINT) AS csum FROM $cur WHERE lvl = $l GROUP BY 1, 2),\n")
+      sb.append(s"$pa AS MATERIALIZED (SELECT grp, idx AS p, cnt AS pcnt FROM $cur WHERE lvl = ${l + 1}),\n")
+      sb.append(s"""$de AS MATERIALIZED (SELECT coalesce(c.grp, q.grp) AS grp,
+                      coalesce(c.p, q.p) AS p, coalesce(c.csum, 0) AS csum,
+                      coalesce(q.pcnt, 0) AS pcnt,
+                      (coalesce(c.csum, 0) + coalesce(q.pcnt, 0) < t.thr) AS mrg
+                    FROM $ch c FULL JOIN $pa q ON c.grp = q.grp AND c.p = q.p
+                    JOIN ${prefix}th t ON t.grp = coalesce(c.grp, q.grp)),\n""")
+      sb.append(s"""$nx AS MATERIALIZED (
+          SELECT grp, lvl, idx, cnt FROM $cur WHERE lvl < $l OR lvl > ${l + 1}
+          UNION ALL
+          SELECT s.grp, s.lvl, s.idx, s.cnt FROM $cur s
+          JOIN $de d ON s.grp = d.grp AND s.idx // 2 = d.p
+          WHERE s.lvl = $l AND NOT d.mrg
+          UNION ALL
+          SELECT d.grp, CAST(${l + 1} AS BIGINT), d.p,
+                 CAST(d.pcnt + CASE WHEN d.mrg THEN d.csum ELSE 0 END AS BIGINT)
+          FROM $de d
+          WHERE d.pcnt + CASE WHEN d.mrg THEN d.csum ELSE 0 END > 0),\n""")
+      cur = nx
+    }
+    (sb.toString, cur)
+  }
+
+  private val qdigestGroupedOracle: String = {
+    val (chain, fin) = qdigestGroupedCompressSql("g", "gs0", 64, 16)
+    s"""WITH gs0 AS MATERIALIZED (SELECT event_type AS grp,
+              CAST(0 AS BIGINT) AS lvl,
+              CAST(round(value * 100) AS BIGINT) AS idx,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM events
+            WHERE round(value * 100) >= 0 AND round(value * 100) < 65536
+            GROUP BY 1, 3),
+        $chain
+        fin AS MATERIALIZED (SELECT grp, lvl, idx, cnt FROM $fin)
+        SELECT grp, lvl, idx, cnt FROM fin ORDER BY grp, lvl, idx"""
+  }
+
   private val qdigestMergeOracle: String = {
     val (ca, fa) = qdigestCompressSql("a", "as0", 256, 16)
     val (cb, fb) = qdigestCompressSql("b", "bs0", 256, 16)
@@ -386,6 +445,7 @@ private[graft] trait CorpusGates extends GateSupport {
     "qdigest_nodes" -> qdigestNodesGate _,
     "qdigest_ranks" -> qdigestRanksGate _,
     "qdigest_merge_nodes" -> qdigestMergeGate _,
+    "qdigest_grouped_nodes" -> qdigestGroupedGate _,
     "vocab_chao1" -> vocabChao1 _,
   )
 
@@ -424,6 +484,7 @@ private[graft] trait CorpusGates extends GateSupport {
     "qdigest_nodes" -> qdigestNodesOracle,
     "qdigest_ranks" -> qdigestRanksOracle,
     "qdigest_merge_nodes" -> qdigestMergeOracle,
+    "qdigest_grouped_nodes" -> qdigestGroupedOracle,
     "vocab_chao1" ->
       // frequency spectrum of whitespace tokens -> S_obs, f1, f2 and
       // the cross-multiplied Chao1 rationals

@@ -235,6 +235,46 @@ object Sketches {
     * single-reducer assembly Spark's own sketch aggregates use. A
     * 16-round join formulation was measured at 79 s on the bench
     * fixture (per-level shuffle + compounding lineage); this is 0.3 s. */
+  /** The level-synchronous compression loop over one digest's node
+    * multiset, as plain Scala — shared by the global (one narrow task)
+    * and grouped (one task per group) paths; bit-identical to the SQL
+    * oracle's unrolled form. Throws on out-of-universe nodes: build
+    * filters its leaves, but compact accepts arbitrary node frames
+    * (streaming state, unions) and a bad node would silently poison
+    * every rank. */
+  private def compressNodes(
+      it: Iterator[(Long, Long, Long)], logUniverse: Int,
+      k: Int): Iterator[(Long, Long, Long)] = {
+    val m = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    it.foreach { case (l, i, c) =>
+      if (l < 0L || l > logUniverse || i < 0L ||
+          i >= (1L << (logUniverse - l))) {
+        throw new IllegalArgumentException(
+          s"q-digest node (lvl=$l, idx=$i) outside universe 2^$logUniverse")
+      }
+      val key = (l, i); m(key) = m.getOrElse(key, 0L) + c
+    }
+    // thr from the in-task total — the whole histogram is local, so no
+    // separate driver-side count job is needed
+    val n = m.valuesIterator.sum
+    val thr = math.max(n / k, 1L)
+    var l = 0L
+    while (l < logUniverse) {
+      val kids = m.keysIterator.filter(_._1 == l).toArray
+      kids.groupBy(_._2 / 2).foreach { case (p, ks) =>
+        val csum = ks.iterator.map(m).sum
+        val pKey = (l + 1L, p)
+        val pcnt = m.getOrElse(pKey, 0L)
+        if (csum + pcnt < thr) {
+          ks.foreach(m.remove)
+          m(pKey) = pcnt + csum
+        }
+      }
+      l += 1L
+    }
+    m.iterator.map { case ((lv, ix), c) => (lv, ix, c) }
+  }
+
   private def qdigestCompress(
       nodes: DataFrame, logUniverse: Int, k: Int): DataFrame = {
     val spark = nodes.sparkSession
@@ -245,39 +285,7 @@ object Sketches {
         col("cnt").cast("long").as("cnt"))
       .as[(Long, Long, Long)]
       .coalesce(1)
-      .mapPartitions { it =>
-        val m = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
-        it.foreach { case (l, i, c) =>
-          // loud on corrupt state: build filters its leaves, but compact
-          // accepts arbitrary node frames (streaming state, unions) and
-          // an out-of-universe node would silently poison every rank
-          if (l < 0L || l > logUniverse || i < 0L ||
-              i >= (1L << (logUniverse - l))) {
-            throw new IllegalArgumentException(
-              s"q-digest node (lvl=$l, idx=$i) outside universe 2^$logUniverse")
-          }
-          val key = (l, i); m(key) = m.getOrElse(key, 0L) + c
-        }
-        // thr from the in-partition total — the whole histogram is in
-        // this one task, so no separate driver-side count job is needed
-        val n = m.valuesIterator.sum
-        val thr = math.max(n / k, 1L)
-        var l = 0L
-        while (l < logUniverse) {
-          val kids = m.keysIterator.filter(_._1 == l).toArray
-          kids.groupBy(_._2 / 2).foreach { case (p, ks) =>
-            val csum = ks.iterator.map(m).sum
-            val pKey = (l + 1L, p)
-            val pcnt = m.getOrElse(pKey, 0L)
-            if (csum + pcnt < thr) {
-              ks.foreach(m.remove)
-              m(pKey) = pcnt + csum
-            }
-          }
-          l += 1L
-        }
-        m.iterator.map { case ((lv, ix), c) => (lv, ix, c) }
-      }
+      .mapPartitions(it => compressNodes(it, logUniverse, k))
       .toDF("lvl", "idx", "cnt")
   }
 
@@ -302,6 +310,37 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
       .select(lit(0L).as("lvl"), col("idx"), col("cnt"))
     qdigestCompress(leaves, logUniverse, k)
+  }
+
+  /** One q-digest PER GROUP — the quantile rollup-table shape next to
+    * [[hllRegistersBy]]: per-day/per-source digests that
+    * [[qdigestMerge]] rolls up to any range without rescanning. Same
+    * contract as [[qdigestBuild]] (string group column `byCol`, values
+    * in [0, 2^logUniverse), per-group thr = max(n_g/k, 1)). The leaf
+    * histogram is ONE map-side-combined (group, bucket) aggregate;
+    * compression then runs per group in its own task
+    * (`groupByKey.flatMapGroups`) — parallel across groups, each over a
+    * ≤ 2^L summary. Output: (grp, lvl, idx, cnt). */
+  def qdigestBuildBy(
+      df: DataFrame, byCol: String, c: Column,
+      logUniverse: Int, k: Int): DataFrame = {
+    require(logUniverse >= 1 && logUniverse <= 20, "logUniverse in [1,20]")
+    require(k >= 1, "compression k >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hi = 1L << logUniverse
+    df.select(col(byCol).cast("string").as("grp"), c.cast("long").as("v"))
+      .filter(col("v") >= 0L && col("v") < hi)
+      .groupBy(col("grp"), col("v").as("idx"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("grp"), lit(0L).as("lvl"), col("idx"), col("cnt"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, rows) =>
+        compressNodes(rows.map(r => (r._2, r._3, r._4)), logUniverse, k)
+          .map { case (l, i, cnt) => (g, l, i, cnt) }
+      }
+      .toDF("grp", "lvl", "idx", "cnt")
   }
 
   /** Recompress an arbitrary (lvl, idx, cnt) node multiset into a valid

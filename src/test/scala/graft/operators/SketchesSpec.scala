@@ -255,4 +255,18 @@ class SketchesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("outside universe")
       || Option(e.getCause).exists(_.getMessage.contains("outside universe")))
   }
+
+  test("qdigestBuildBy: each group's sketch equals an independent per-group build") {
+    val rows = (0 until 3000).map(i => (s"g${i % 3}", ((i.toLong * 48271L) % 900).abs))
+    val grouped = Sketches.qdigestBuildBy(
+        rows.toDF("grp", "v"), "grp", col("v"), 10, 32)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    Seq("g0", "g1", "g2").foreach { g =>
+      val solo = qd(rows.filter(_._1 == g).map(_._2), 10, 32)
+        .collect().map(r => (g, r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(grouped(g).toSet === solo, s"group $g diverged from its solo build")
+    }
+  }
 }
