@@ -78,7 +78,11 @@ object GraftFunctions {
     },
     "unicode_normalize" -> {
       case Seq(text) => UnicodeNormalizeExpr(text, "NFC")
-      case Seq(text, Literal(f, _)) => UnicodeNormalizeExpr(text, String.valueOf(f))
+      case Seq(text, Literal(f, _)) if f != null =>
+        UnicodeNormalizeExpr(text, String.valueOf(f))
+      case Seq(_, second) => throw new IllegalArgumentException(
+        "unicode_normalize: the form argument must be a non-null string " +
+          s"LITERAL ('NFC'|'NFD'|'NFKC'|'NFKD'), got ${second.sql}")
       case args => throw new IllegalArgumentException(s"unicode_normalize expects 1-2 args, got ${args.length}")
     })
 

@@ -33,13 +33,18 @@ object UnicodeNormalize {
 
   /** Imperative core (called from generated code). Already-normalized
     * strings (the overwhelming common case — ASCII passes the quick
-    * check in O(n) without allocating) return the input unchanged. */
-  def eval(input: UTF8String, form: String): UTF8String = {
+    * check in O(n) without allocating) return the input unchanged.
+    * The form arrives as its enum ORDINAL — resolved once at plan time,
+    * not a per-row valueOf string lookup on the hot path. */
+  def eval(input: UTF8String, formOrdinal: Int): UTF8String = {
     val s = input.toString
-    val f = Normalizer.Form.valueOf(form)
+    val f = FormsByOrdinal(formOrdinal)
     if (Normalizer.isNormalized(s, f)) input
     else UTF8String.fromString(Normalizer.normalize(s, f))
   }
+
+  /** Stable ordinal → Form table (index = Normalizer.Form.ordinal). */
+  val FormsByOrdinal: Array[Normalizer.Form] = Normalizer.Form.values()
 }
 
 /** `unicode_normalize(text, form)`: the normalized string. */
@@ -49,15 +54,18 @@ case class UnicodeNormalizeExpr(child: Expression, form: String)
   require(UnicodeNormalize.Forms.contains(form),
     s"unknown normalization form $form (one of ${UnicodeNormalize.Forms.mkString(", ")})")
 
+  // resolved ONCE here; eval/codegen pass the ordinal, never the string
+  private val formOrdinal: Int = Normalizer.Form.valueOf(form).ordinal
+
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def prettyName: String = "unicode_normalize"
 
   override protected def nullSafeEval(input: Any): Any =
-    UnicodeNormalize.eval(input.asInstanceOf[UTF8String], form)
+    UnicodeNormalize.eval(input.asInstanceOf[UTF8String], formOrdinal)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"""graft.functions.UnicodeNormalize.eval($c, "$form")""")
+    defineCodeGen(ctx, ev, c => s"graft.functions.UnicodeNormalize.eval($c, $formOrdinal)")
 
   override protected def withNewChildInternal(newChild: Expression): UnicodeNormalizeExpr =
     copy(child = newChild)

@@ -25,24 +25,31 @@ private[graft] trait CorpusGates extends GateSupport {
   private def urlCol: Column = {
     val id = col("doc_id").cast("string")
     val src = col("source")
-    when(pmod(col("doc_id"), lit(5)) === 0,
+    when(pmod(col("doc_id"), lit(6)) === 0,
       concat(lit("HTTPS://WWW."), src, lit(".Example.COM:443/articles/"), id,
         lit("?utm_source=feed&b=2&a=1#section-2")))
-      .when(pmod(col("doc_id"), lit(5)) === 1,
+      .when(pmod(col("doc_id"), lit(6)) === 1,
         concat(lit("http://"), src, lit(".example.co.uk:80/index.html?q=spark&utm_campaign=x")))
-      .when(pmod(col("doc_id"), lit(5)) === 2,
+      .when(pmod(col("doc_id"), lit(6)) === 2,
         concat(lit("https://cdn."), src, lit(".example.com/assets/"), id, lit("/")))
-      .when(pmod(col("doc_id"), lit(5)) === 3,
+      .when(pmod(col("doc_id"), lit(6)) === 3,
         concat(lit("http://blog."), src, lit(".Example.org/post?z=9&a=1&fbclid=abc")))
+      // the crawl-realistic trap: an EMBEDDED url in the query (second
+      // '://' and second '?') — first-occurrence splitting must key this
+      // on media.<src>.example.com, never on the embedded ad host
+      .when(pmod(col("doc_id"), lit(6)) === 4,
+        concat(lit("https://Media."), src,
+          lit(".example.com/redirect?utm_source=x&to=http://ad.example.org/t?y=1#frag")))
       .otherwise(concat(lit("https://"), src, lit(".example.com/plain")))
   }
 
   private val urlSql: String =
-    """CASE doc_id % 5
+    """CASE doc_id % 6
          WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/articles/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&b=2&a=1#section-2'
          WHEN 1 THEN 'http://' || source || '.example.co.uk:80/index.html?q=spark&utm_campaign=x'
          WHEN 2 THEN 'https://cdn.' || source || '.example.com/assets/' || CAST(doc_id AS VARCHAR) || '/'
          WHEN 3 THEN 'http://blog.' || source || '.Example.org/post?z=9&a=1&fbclid=abc'
+         WHEN 4 THEN 'https://Media.' || source || '.example.com/redirect?utm_source=x&to=http://ad.example.org/t?y=1#frag'
          ELSE 'https://' || source || '.example.com/plain'
        END"""
 
@@ -62,7 +69,7 @@ private[graft] trait CorpusGates extends GateSupport {
 
   /** url → host (lowered, www-stripped, port dropped) in DuckDB. */
   private val hostSql: String =
-    """regexp_replace(lower(split_part(split_part(split_part(split_part(split_part(url, '://', 2), '/', 1), '?', 1), '#', 1), ':', 1)), '^www\.', '')"""
+    """regexp_replace(lower(split_part(split_part(split_part(split_part(CASE WHEN instr(url, '://') > 0 THEN substr(url, instr(url, '://') + 3) ELSE url END, '/', 1), '?', 1), '#', 1), ':', 1)), '^www\.', '')"""
 
   private def docsWithDomain(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -506,7 +513,7 @@ private[graft] trait CorpusGates extends GateSupport {
       s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
           p1 AS (SELECT doc_id,
                         lower(split_part(url, '://', 1)) AS scheme,
-                        split_part(url, '://', 2) AS rest FROM u),
+                        CASE WHEN instr(url, '://') > 0 THEN substr(url, instr(url, '://') + 3) ELSE url END AS rest FROM u),
           p2 AS (SELECT *,
                         split_part(split_part(split_part(rest, '/', 1), '?', 1), '#', 1) AS hostport
                  FROM p1),
@@ -519,7 +526,7 @@ private[graft] trait CorpusGates extends GateSupport {
                              THEN split_part(hostport, ':', 2) ELSE '' END AS port,
                         split_part(nofrag, '?', 1) AS path,
                         CASE WHEN position('?' IN nofrag) > 0
-                             THEN split_part(nofrag, '?', 2) ELSE '' END AS rawq
+                             THEN substr(nofrag, instr(nofrag, '?') + 1) ELSE '' END AS rawq
                  FROM p3),
           p5 AS (SELECT *,
                         array_to_string(list_sort(list_filter(string_split(rawq, '&'),
@@ -581,13 +588,15 @@ private[graft] trait CorpusGates extends GateSupport {
       s"""$cmsCountersSql
           SELECT hash_row, col, cnt FROM counters ORDER BY hash_row, col""",
     "cms_join_size" ->
-      // per-row inner products of the two half sketches, min over rows
+      // per-row inner products of the two half sketches, min over rows;
+      // LEFT join + coalesce so zero-overlap rows bind the min at 0
+      // (mirrors the operator's disjoint-sketch semantics)
       s"""WITH ${cmsHalfSql("e", 0)},
           ${cmsHalfSql("o", 1)},
-          ip AS (SELECT e.hash_row, sum(e.cnt * o.cnt) AS ip
-                 FROM e JOIN o USING (hash_row, col)
+          ip AS (SELECT e.hash_row, sum(e.cnt * coalesce(o.cnt, 0)) AS ip
+                 FROM e LEFT JOIN o USING (hash_row, col)
                  GROUP BY e.hash_row)
-          SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM ip""",
+          SELECT CAST(coalesce(min(ip), 0) AS BIGINT) AS est_join_size FROM ip""",
     "hll_grouped_state" ->
       // per-group registers, then the per-group harmonic core
       """WITH h AS (SELECT l_returnflag AS g,

@@ -78,9 +78,21 @@ object Sketches {
   /** Sketch union: register-wise max. Two (or n, via repeated union)
     * sketches over disjoint or overlapping data merge into exactly the
     * sketch of the combined data — the property [[graft.SketchesSpec]]
-    * pins and the `hll_merge_registers` gate hash-checks. */
+    * pins and the `hll_merge_registers` gate hash-checks. GLOBAL
+    * sketches only: merging [[hllRegistersBy]] tables through this
+    * would max-merge ACROSS groups; use [[hllMergeBy]] with the same
+    * key set instead. */
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b).groupBy("bucket").agg(max("rho").as("rho"))
+    hllMergeBy(a, b, Seq.empty)
+
+  /** Grouped sketch union — the rollup step for [[hllRegistersBy]]
+    * tables (daily/per-source registers → any range): register-wise
+    * max WITHIN each `by` key. The merge law holds per group because
+    * it holds per register. */
+  def hllMergeBy(a: DataFrame, b: DataFrame, by: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((by :+ "bucket").map(col): _*)
+      .agg(max("rho").as("rho"))
 
   /** Exact integer sketch state, one row: `m`, `v_zero` (empty
     * registers), and `s_scaled` = 2^(suffixBits+1) × Σ_j 2^−rho_j over
@@ -162,10 +174,16 @@ object Sketches {
     * like the counters themselves. */
   def cmsInnerProduct(a: DataFrame, b: DataFrame): DataFrame =
     a.alias("a")
-      .join(b.alias("b"), Seq("hash_row", "col"))
+      // LEFT join: a hash row with zero overlapping cells is a valid —
+      // and binding — row of the min (its inner product is 0); an inner
+      // join would drop it, overestimate, and return NULL instead of 0
+      // for fully disjoint sketches
+      .join(b.alias("b"), Seq("hash_row", "col"), "left")
       .groupBy("hash_row")
-      .agg(sum((col("a.cnt") * col("b.cnt")).cast("decimal(38,0)")).as("ip"))
-      .agg(min("ip").cast("decimal(38,0)").as("est_join_size"))
+      .agg(sum((col("a.cnt") * coalesce(col("b.cnt"), lit(0L)))
+        .cast("decimal(38,0)")).as("ip"))
+      .agg(coalesce(min("ip"), lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("est_join_size"))
 
   /** Cardinality estimate from the exact state: the raw HLL estimator
     * `alpha_m · m² / Σ 2^−rho` with the small-range linear-counting

@@ -815,8 +815,13 @@ object TextCorpus {
   def blockedTermHits(
       docs: DataFrame, terms: Seq[String], textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty, "term list must not be empty")
-    require(terms.forall(_.matches("[a-z0-9 ]+")),
-      s"terms must be lowercase word/phrase literals: ${terms.filterNot(_.matches("[a-z0-9 ]+"))}")
+    // single spaces BETWEEN words only: a leading/trailing/doubled space
+    // (a sloppily-edited list file) would compile into a regex that can
+    // never match the intended phrase — a silent no-op screen
+    val termRe = "[a-z0-9]+( [a-z0-9]+)*"
+    require(terms.forall(_.matches(termRe)),
+      s"terms must be lowercase word/phrase literals (single spaces between " +
+        s"words): ${terms.filterNot(_.matches(termRe))}")
     val re = terms.map(_.replace(" ", "\\s+")).mkString("\\b(", "|", ")\\b")
     docs.select(
       col("doc_id"),

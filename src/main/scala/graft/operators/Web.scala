@@ -35,24 +35,47 @@ object Web {
     * crawl pipelines ship (anchored regex over the `k=v` token). */
   val TrackingParamRe = "^(utm_[^=]*|fbclid|gclid|ref)="
 
+  /** Everything after the FIRST `://` (RFC 3986: the scheme separator
+    * is the first one — crawl URLs routinely carry another URL in the
+    * query, e.g. `...?to=http://other.site/p`, and a last-occurrence
+    * split would parse against the EMBEDDED host). Shared by
+    * [[normalizeUrl]] and [[hostOf]] so the two can never key the same
+    * document differently. */
+  private def restOf(url: Column): Column =
+    when(instr(url, "://") > 0,
+      url.substr(instr(url, "://") + lit(3), length(url)))
+      .otherwise(url)
+
+  /** `host[:port]` = the rest up to the first `/`, `?`, or `#`. */
+  private def hostportOf(rest: Column): Column =
+    substring_index(substring_index(substring_index(rest, "/", 1), "?", 1), "#", 1)
+
+  /** hostport → host: lowercased, `www.` stripped, `:port` removed. */
+  private def hostFromHostport(hostport: Column): Column =
+    regexp_replace(lower(substring_index(hostport, ":", 1)), "^www\\.", "")
+
   /** Canonical URL: lowercase scheme and host, `www.` prefix stripped,
     * default port dropped (`:80` for http, `:443` for https; any other
-    * port kept), fragment dropped, tracking params dropped, remaining
-    * query params sorted bytewise, trailing slash runs trimmed from the
-    * path. Pure string-function projection (substring_index / split /
-    * sort_array / array_join) — no UDF, no shuffle; the whole thing
-    * inlines into the scan's projection at 100 TB. */
+    * port kept), fragment dropped (first `#`), tracking params dropped,
+    * remaining query params sorted bytewise, trailing slash runs
+    * trimmed from the path. The query is everything after the FIRST
+    * `?` (RFC 3986 — `?` is legal inside query values, so a
+    * last-occurrence split would silently truncate multi-`?` queries
+    * and collapse distinct pages to one key). Pure string-function
+    * projection — no UDF, no shuffle; the whole thing inlines into the
+    * scan's projection at 100 TB. */
   def normalizeUrl(url: Column): Column = {
     val scheme = lower(substring_index(url, "://", 1))
-    val rest = substring_index(url, "://", -1)
-    val hostport =
-      substring_index(substring_index(substring_index(rest, "/", 1), "?", 1), "#", 1)
+    val rest = restOf(url)
+    val hostport = hostportOf(rest)
     val tail = rest.substr(length(hostport) + lit(1), length(rest))
     val noFrag = substring_index(tail, "#", 1)
     val path = substring_index(noFrag, "?", 1)
     val rawQuery =
-      when(instr(noFrag, "?") > 0, substring_index(noFrag, "?", -1)).otherwise(lit(""))
-    val host = regexp_replace(lower(substring_index(hostport, ":", 1)), "^www\\.", "")
+      when(instr(noFrag, "?") > 0,
+        noFrag.substr(instr(noFrag, "?") + lit(1), length(noFrag)))
+        .otherwise(lit(""))
+    val host = hostFromHostport(hostport)
     val port =
       when(instr(hostport, ":") > 0, substring_index(hostport, ":", -1)).otherwise(lit(""))
     val keepPort = port =!= "" &&
@@ -69,13 +92,10 @@ object Web {
   }
 
   /** Host of a URL, lowercased, `www.` stripped, port removed — the key
-    * [[registrableDomain]] expects. Pure projection. */
-  def hostOf(url: Column): Column = {
-    val rest = substring_index(url, "://", -1)
-    val hostport =
-      substring_index(substring_index(substring_index(rest, "/", 1), "?", 1), "#", 1)
-    regexp_replace(lower(substring_index(hostport, ":", 1)), "^www\\.", "")
-  }
+    * [[registrableDomain]] expects. Pure projection, built from the
+    * same first-`://` pieces as [[normalizeUrl]]. */
+  def hostOf(url: Column): Column =
+    hostFromHostport(hostportOf(restOf(url)))
 
   /** Registrable domain (eTLD+1) of a host against a suffix list: the
     * longest listed suffix that the host ends on, plus one more label.

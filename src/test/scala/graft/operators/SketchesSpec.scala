@@ -269,4 +269,26 @@ class SketchesSpec extends AnyFunSuite {
       assert(grouped(g).toSet === solo, s"group $g diverged from its solo build")
     }
   }
+
+  test("cms inner product: disjoint sketches estimate 0, never NULL or an overestimate") {
+    val a = Sketches.cmsCounters(Seq("a1", "a2", "a3").toDF("v"), col("v"), 3, 4096)
+    val b = Sketches.cmsCounters(Seq("b1", "b2").toDF("v"), col("v"), 3, 4096)
+    // wide sketch -> no accidental collisions: true join size is 0
+    val est = Sketches.cmsInnerProduct(a, b).head()
+    assert(!est.isNullAt(0), "disjoint estimate must be 0, not NULL")
+    assert(est.getDecimal(0).longValueExact() === 0L)
+  }
+
+  test("hllMergeBy merges grouped register tables per group, preserving the key") {
+    val rows = (1L to 600L).map(i => (s"s${i % 3}", i))
+    val (day1, day2) = rows.partition(_._2 % 2 == 0)
+    def regs(xs: Seq[(String, Long)]) =
+      Sketches.hllRegistersBy(xs.toDF("src", "v"), Seq("src"), col("v"), 6)
+    val merged = Sketches.hllMergeBy(regs(day1), regs(day2), Seq("src"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val whole = regs(rows).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(merged === whole)
+    assert(merged.map(_._1) === Set("s0", "s1", "s2"))
+  }
 }

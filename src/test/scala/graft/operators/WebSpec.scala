@@ -98,4 +98,28 @@ class WebSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
     assert(plan.contains("LeftAnti"))
   }
+
+  test("embedded URLs in the query: host/query come from the FIRST '://' and '?'") {
+    val url = "https://news.example.com/out?a=1&to=http://spam.ru/p?x=2#f"
+    val out = Seq(Tuple1(url)).toDF("url")
+      .select(Web.normalizeUrl(col("url")).as("n"), Web.hostOf(col("url")).as("h"))
+      .head()
+    // host must be the outer page's, never the embedded ad/spam host
+    assert(out.getString(1) === "news.example.com")
+    // the query keeps BOTH params (the second '?' belongs to the value),
+    // the fragment is stripped at the first '#'
+    assert(out.getString(0) === "https://news.example.com/out?a=1&to=http://spam.ru/p?x=2")
+  }
+
+  test("blocked terms reject leading/trailing/doubled spaces loudly") {
+    val docs = Seq((1L, "hash join here")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextCorpus.blockedTermHits(docs, Seq("hash  join"))
+    }
+    intercept[IllegalArgumentException] {
+      TextCorpus.blockedTermHits(docs, Seq("drop "))
+    }
+    val ok = TextCorpus.blockedTermHits(docs, Seq("hash join")).head()
+    assert(ok.getLong(1) === 1L)
+  }
 }
