@@ -39,7 +39,10 @@ def main():
     bench_path = sys.argv[1] if len(sys.argv) > 1 else "target/bench.json"
     stat = "median"
     if "--stat" in sys.argv:
-        stat = sys.argv[sys.argv.index("--stat") + 1]
+        i = sys.argv.index("--stat")
+        if i + 1 >= len(sys.argv) or sys.argv[i + 1] not in ("median", "min"):
+            sys.exit("usage: check_bench.py <bench_json> [--stat median|min]")
+        stat = sys.argv[i + 1]
     with open(bench_path) as f:
         bench = json.load(f)
     queries = bench.get("queries_median" if stat == "median" else "queries",
@@ -52,6 +55,13 @@ def main():
     fwd = parse_md_table("BASELINE_r11.md")
 
     breaches = []
+
+    # Bench records a crashed scenario family as -1.0 (guarded()'s
+    # sentinel); a negative "time" beats every baseline, so without this
+    # check an OOMed scenario reads as a pass
+    failed = sorted(n for n, v in queries.items() if v < 0)
+    for name in failed:
+        breaches.append(f"scenario FAILED in bench (recorded {queries[name]}): {name}")
 
     n_ref = 0
     for name, base in sorted(ref.items()):

@@ -148,7 +148,13 @@ object Bench {
     def compactSummaryJson(): String = {
       val total = results.values.filter(_ >= 0).sum
       val qs = results.toSeq.filter(kv => baselineOverlap(kv._1)).sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        // Locale.ROOT: the f-interpolator formats with the JVM default
+        // locale, and a comma-decimal locale would make this final
+        // stdout line unparseable JSON — the exact failure it exists to fix
+        .map { case (k, v) =>
+          "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+            Double.box(v))
+        }
         .mkString("{", ",", "}")
       def line(queries: String): String =
         s"""{"metric":"total","value":$total,"unit":"sec",""" +
@@ -226,6 +232,30 @@ object Bench {
       approxQ()
       Seq("approx_distinct_counts" -> distinctSec,
           "approx_quantiles" -> median3(approxQ()))
+    }
+
+    // SimHash NEAR-dup pairs (dist 1-3) on the dup fixture — bench-only
+    // (the banding is engine-hash-dependent, so the ORACLED gate is the
+    // dist-0 simhash_exact_dups; recall vs exact Hamming pairs is
+    // spec-pinned in OperatorsSpec). This is the scenario BASELINE.md's
+    // `simhash_near_dups` row binds on; until round 12 no scenario
+    // carried that name and the 2x check silently skipped it.
+    results ++= guarded(Seq("simhash_near_dups")) {
+      import org.apache.spark.sql.functions._
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val docs = d.unionAll(
+          d.filter(col("doc_id") < 100)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionAll(
+          d.filter(col("doc_id") < 40)
+            .select((col("doc_id") + 20000).as("doc_id"),
+              col("text").substr(lit(11), lit(100000)).as("text")))
+      def near(): Unit = graft.operators.Dedup
+        .simHashNearDups(docs, "text", "doc_id", maxDist = 3)
+        .write.format("noop").mode("overwrite").save()
+      near()
+      Seq("simhash_near_dups" -> median3(near()))
     }
 
     // Runtime bloom-filter join pruning, measured ON vs OFF on the same
@@ -999,11 +1029,18 @@ object Bench {
       .select("doc_id", "text", "source")
     val standing = docs.filter(col("doc_id") % 10 =!= 0)
     // the daily batch: new ids ABOVE the standing id space (the
-    // incremental contract); half exact copies of standing docs (index
-    // hits) and half fresh-tailed text (survivors)
+    // incremental contract); half exact copies of STANDING docs (index
+    // hits — the copy must take a standing doc's text: doc_id%20==0 is
+    // itself outside standing, so its own text would never match the
+    // index; doc_id+1 is %10==1, i.e. always standing) and half
+    // fresh-tailed text (survivors)
+    val standingText = docs.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") - 1).as("doc_id"), col("text").as("standing_text"))
     val batch = docs.filter(col("doc_id") % 10 === 0)
+      .join(standingText, Seq("doc_id"), "left")
       .select((col("doc_id") + 10000000L).as("doc_id"),
-        when(col("doc_id") % 20 === 0, col("text"))
+        when(col("doc_id") % 20 === 0 && col("standing_text").isNotNull,
+          col("standing_text"))
           .otherwise(concat(col("text"), lit(" fresh "), col("doc_id")))
           .as("text"),
         col("source"))

@@ -48,29 +48,41 @@ object Clustering {
       lit(new java.math.BigDecimal(0)).cast(dec),
       (acc, x) => (acc + x).cast(dec))
 
+  /** Shared round-1 machinery: project (id, v), collect the k lowest-id
+    * seed vectors (bounded: k x dim doubles — the IVF coarse-quantizer
+    * pattern), and assign every vector to its nearest seed with the
+    * exact decimal squared distance (ties to the lowest cluster id).
+    * Used by BOTH [[kmeansTwoRounds]] and [[prototypeDistances]] so the
+    * seeding contract can never silently diverge between them.
+    * Returns (id, best(d, cid)). */
+  private def seedAssignments(
+      df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    // id >= 0 too: a negative id would pass a bare `id < k` count check
+    // and then blow up as a missing seed key with no diagnostic
+    val init: Map[Int, Array[Double]] = vecs
+      .filter(col("id") >= 0 && col("id") < k)
+      .collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
+      .toMap
+    require(init.size == k, s"need vectors with $idCol 0..${k - 1} as seeds")
+    def dist1(c: Array[Double]): Column =
+      decSum(zip_with(col("v"), lit(c), (a, b) => ((a - b) * (a - b)).cast(DistDec)), DistDec)
+    vecs.withColumn("best",
+      array_min(array((0 until k).map(c =>
+        struct(dist1(init(c)).as("d"), lit(c.toLong).as("cid"))): _*)))
+  }
+
   /** Two Lloyd rounds from the deterministic seed; returns one row per
     * vector: (idCol, c1, c2) with the round-1 and round-2 assignments. */
   def kmeansTwoRounds(
       df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       k: Int = 4): DataFrame = {
     require(k >= 1, "k must be positive")
-    val vecs = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-
-    // Seed: the k lowest-id vectors. Bounded collect (k×dim doubles) —
-    // the same driver-side pattern as the IVF coarse quantizer.
-    val init: Map[Int, Array[Double]] = vecs.filter(col("id") < k)
-      .collect()
-      .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
-      .toMap
-    require(init.size == k, s"need vectors with $idCol 0..${k - 1} as seeds")
-
-    def dist1(c: Array[Double]): Column =
-      decSum(zip_with(col("v"), lit(c), (a, b) => ((a - b) * (a - b)).cast(DistDec)), DistDec)
-
-    val a1 = vecs.withColumn("c1",
-      array_min(array((0 until k).map(c =>
-        struct(dist1(init(c)).as("d"), lit(c.toLong).as("cid"))): _*)).getField("cid"))
+    val a1 = seedAssignments(df, idCol, vecCol, k)
+      .withColumn("c1", col("best").getField("cid"))
+      .drop("best")
 
     // Round-2 centroids as exact (Σx as decimal, n) per (cluster, dim).
     // Partial agg makes this shuffle k×dim rows per map partition.
@@ -123,18 +135,7 @@ object Clustering {
       k: Int = 4, kNum: Long = 3L, kDen: Long = 2L): DataFrame = {
     require(k >= 1, "k must be positive")
     require(kNum >= 0 && kDen >= 1, s"need factor kNum/kDen >= 0: $kNum/$kDen")
-    val vecs = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    val init: Map[Int, Array[Double]] = vecs.filter(col("id") < k)
-      .collect()
-      .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
-      .toMap
-    require(init.size == k, s"need vectors with $idCol 0..${k - 1} as seeds")
-    def dist1(c: Array[Double]): Column =
-      decSum(zip_with(col("v"), lit(c), (a, b) => ((a - b) * (a - b)).cast(DistDec)), DistDec)
-    val withD = vecs
-      .withColumn("best", array_min(array((0 until k).map(c =>
-        struct(dist1(init(c)).as("d"), lit(c.toLong).as("cid"))): _*)))
+    val withD = seedAssignments(df, idCol, vecCol, k)
       .select(col("id"), col("best").getField("cid").as("c1"),
         col("best").getField("d").as("dist2"))
     import org.apache.spark.sql.expressions.Window
