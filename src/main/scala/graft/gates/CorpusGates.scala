@@ -294,6 +294,17 @@ private[graft] trait CorpusGates extends GateSupport {
       .orderBy("lvl", "idx")
   }
 
+  /** Weighted q-digest over lineitem: QUANTITY-weighted extended-price
+    * quantiles (cents quantized ÷16 into [0, 2^20)) — each row carries
+    * l_quantity units of mass, the weighted-percentile workhorse. */
+  protected def qdigestWeightedGate(s: SparkSession, dir: String): DataFrame =
+    Sketches.qdigestBuildWeighted(
+        t(s, dir, "lineitem"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 16"),
+        col("l_quantity").cast("long"),
+        logUniverse = 20, k = 256)
+      .orderBy("lvl", "idx")
+
   /** Grouped q-digest: one sketch per event type (L=16, k=64) — the
     * per-source/per-day quantile rollup-table shape; per-group
     * thresholds, per-group compression tasks. */
@@ -416,6 +427,21 @@ private[graft] trait CorpusGates extends GateSupport {
         SELECT grp, lvl, idx, cnt FROM fin ORDER BY grp, lvl, idx"""
   }
 
+  private val qdigestWeightedOracle: String = {
+    val (chain, fin) = qdigestCompressSql("w", "ws0", 256, 20)
+    s"""WITH ws0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS lvl,
+              CAST(round(l_extendedprice * 100) AS BIGINT) // 16 AS idx,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS cnt
+            FROM lineitem
+            WHERE CAST(round(l_extendedprice * 100) AS BIGINT) // 16 >= 0
+              AND CAST(round(l_extendedprice * 100) AS BIGINT) // 16 < 1048576
+              AND l_quantity > 0
+            GROUP BY 2),
+        $chain
+        fin AS MATERIALIZED (SELECT lvl, idx, cnt FROM $fin)
+        SELECT lvl, idx, cnt FROM fin ORDER BY lvl, idx"""
+  }
+
   private val qdigestMergeOracle: String = {
     val (ca, fa) = qdigestCompressSql("a", "as0", 256, 16)
     val (cb, fb) = qdigestCompressSql("b", "bs0", 256, 16)
@@ -453,6 +479,7 @@ private[graft] trait CorpusGates extends GateSupport {
     "qdigest_ranks" -> qdigestRanksGate _,
     "qdigest_merge_nodes" -> qdigestMergeGate _,
     "qdigest_grouped_nodes" -> qdigestGroupedGate _,
+    "qdigest_weighted_nodes" -> qdigestWeightedGate _,
     "vocab_chao1" -> vocabChao1 _,
   )
 
@@ -492,6 +519,7 @@ private[graft] trait CorpusGates extends GateSupport {
     "qdigest_ranks" -> qdigestRanksOracle,
     "qdigest_merge_nodes" -> qdigestMergeOracle,
     "qdigest_grouped_nodes" -> qdigestGroupedOracle,
+    "qdigest_weighted_nodes" -> qdigestWeightedOracle,
     "vocab_chao1" ->
       // frequency spectrum of whitespace tokens -> S_obs, f1, f2 and
       // the cross-multiplied Chao1 rationals

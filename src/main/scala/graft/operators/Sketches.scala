@@ -314,18 +314,31 @@ object Sketches {
     * Returns the node frame (lvl, idx, cnt). The input is scanned
     * exactly ONCE (thr derives inside the compression task). */
   def qdigestBuild(
-      df: DataFrame, c: Column, logUniverse: Int, k: Int): DataFrame = {
-    // L ≤ 20 keeps the leaf frame ≤ 2^20 rows — summary-sized for the
-    // single-task compression. A finer grid buys nothing: the digest's
-    // own n·L/k rank error dominates grid resolution long before 2^20
-    // cells; quantize wider domains upstream (value → cell id).
+      df: DataFrame, c: Column, logUniverse: Int, k: Int): DataFrame =
+    qdigestBuildWeighted(df, c, lit(1L), logUniverse, k)
+
+  /** Weighted build: each row contributes `w` units of mass instead of
+    * 1 — rank queries become WEIGHTED ranks (Σ weight of values < x),
+    * the form behind quantity-weighted price percentiles, duration-
+    * weighted latency percentiles, token-weighted length quantiles.
+    * Non-positive weights are EXCLUDED like out-of-universe values
+    * (same documented-domain contract). Identical compression — the
+    * leaf histogram just sums weights instead of counting.
+    *
+    * L ≤ 20 keeps the leaf frame ≤ 2^20 rows — summary-sized for the
+    * single-task compression. A finer grid buys nothing: the digest's
+    * own n·L/k rank error dominates grid resolution long before 2^20
+    * cells; quantize wider domains upstream (value → cell id). */
+  def qdigestBuildWeighted(
+      df: DataFrame, c: Column, w: Column,
+      logUniverse: Int, k: Int): DataFrame = {
     require(logUniverse >= 1 && logUniverse <= 20, "logUniverse in [1,20]")
     require(k >= 1, "compression k >= 1")
     val hi = 1L << logUniverse
-    val leaves = df.select(c.cast("long").as("v"))
-      .filter(col("v") >= 0L && col("v") < hi)
+    val leaves = df.select(c.cast("long").as("v"), w.cast("long").as("w"))
+      .filter(col("v") >= 0L && col("v") < hi && col("w") > 0L)
       .groupBy(col("v").as("idx"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum("w").as("cnt"))
       .select(lit(0L).as("lvl"), col("idx"), col("cnt"))
     qdigestCompress(leaves, logUniverse, k)
   }

@@ -291,4 +291,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged === whole)
     assert(merged.map(_._1) === Set("s0", "s1", "s2"))
   }
+
+  test("weighted qdigest: mass = weights, weighted rank bounds contain the truth") {
+    val rows = (0 until 800).map(i => (((i * 37) % 512).toLong, (i % 5 + 1).toLong))
+    val sk = Sketches.qdigestBuildWeighted(
+      rows.toDF("v", "w"), col("v"), col("w"), 10, 16)
+    val totalMass = rows.map(_._2).sum
+    assert(nodes(sk).map(_._3).sum === totalMass)
+    Sketches.qdigestRanks(sk, Seq(100L, 300L).toDF("x")).collect().foreach { r =>
+      val truth = rows.filter(_._1 < r.getLong(0)).map(_._2).sum
+      assert(r.getLong(1) <= truth && truth <= r.getLong(2))
+    }
+    // weight 1 everywhere degenerates to the unweighted build
+    val w1 = Sketches.qdigestBuildWeighted(
+      rows.toDF("v", "w"), col("v"), lit(1L), 10, 16)
+    assert(nodes(w1).toSet === nodes(qd(rows.map(_._1), 10, 16)).toSet)
+    // non-positive weights are excluded by contract
+    val neg = Sketches.qdigestBuildWeighted(
+      Seq((5L, -3L), (5L, 2L)).toDF("v", "w"), col("v"), col("w"), 10, 4)
+    assert(nodes(neg).map(_._3).sum === 2L)
+  }
 }
