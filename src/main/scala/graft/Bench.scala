@@ -244,12 +244,15 @@ object Bench {
       import org.apache.spark.sql.functions._
       val d = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text")
+      // +1e7/+2e7 offsets: far above any fixture's id space (the
+      // incremental scenario's convention) so copies never collide with
+      // genuine doc_ids at larger SFs
       val docs = d.unionAll(
           d.filter(col("doc_id") < 100)
-            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+            .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
         .unionAll(
           d.filter(col("doc_id") < 40)
-            .select((col("doc_id") + 20000).as("doc_id"),
+            .select((col("doc_id") + 20000000L).as("doc_id"),
               col("text").substr(lit(11), lit(100000)).as("text")))
       def near(): Unit = graft.operators.Dedup
         .simHashNearDups(docs, "text", "doc_id", maxDist = 3)

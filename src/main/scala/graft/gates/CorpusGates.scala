@@ -314,38 +314,23 @@ private[graft] trait CorpusGates extends GateSupport {
         "event_type", col("v"), logUniverse = 16, k = 64)
       .orderBy("grp", "lvl", "idx")
 
-  /** The unrolled level-by-level q-digest compression as chained CTEs:
-    * mirrors [[graft.operators.Sketches.qdigestCompress]] exactly —
-    * same bottom-up order, same `childSum + parentCnt < thr` merge rule,
-    * same thr = greatest(n div k, 1). `start` must hold (lvl, idx, cnt);
-    * returns (cteChainText, finalCteName). */
+  /** The unrolled level-by-level q-digest compression as chained CTEs
+    * for an UNGROUPED digest: delegates to [[qdigestGroupedCompressSql]]
+    * over a constant key and projects it away, so the compression
+    * recurrence (merge rule, survivor condition, threshold law) lives
+    * in exactly ONE generator and the grouped and ungrouped oracles can
+    * never silently diverge. `start` must hold (lvl, idx, cnt);
+    * returns (cteChainText, finalCteName) with the final CTE holding
+    * (lvl, idx, cnt). */
   private def qdigestCompressSql(
       prefix: String, start: String, k: Int, levels: Int): (String, String) = {
-    val sb = new StringBuilder
-    sb.append(s"${prefix}th AS MATERIALIZED (SELECT greatest(CAST(sum(cnt) AS BIGINT) // $k, 1) AS thr FROM $start),\n")
-    var cur = start
-    for (l <- 0 until levels) {
-      val ch = s"${prefix}ch$l"; val pa = s"${prefix}pa$l"
-      val de = s"${prefix}de$l"; val nx = s"${prefix}s${l + 1}"
-      sb.append(s"$ch AS MATERIALIZED (SELECT idx // 2 AS p, CAST(sum(cnt) AS BIGINT) AS csum FROM $cur WHERE lvl = $l GROUP BY 1),\n")
-      sb.append(s"$pa AS MATERIALIZED (SELECT idx AS p, cnt AS pcnt FROM $cur WHERE lvl = ${l + 1}),\n")
-      sb.append(s"""$de AS MATERIALIZED (SELECT coalesce(c.p, q.p) AS p, coalesce(c.csum, 0) AS csum,
-                      coalesce(q.pcnt, 0) AS pcnt,
-                      (coalesce(c.csum, 0) + coalesce(q.pcnt, 0) < t.thr) AS mrg
-                    FROM $ch c FULL JOIN $pa q ON c.p = q.p CROSS JOIN ${prefix}th t),\n""")
-      sb.append(s"""$nx AS MATERIALIZED (
-          SELECT lvl, idx, cnt FROM $cur WHERE lvl < $l OR lvl > ${l + 1}
-          UNION ALL
-          SELECT s.lvl, s.idx, s.cnt FROM $cur s JOIN $de d ON s.idx // 2 = d.p
-          WHERE s.lvl = $l AND NOT d.mrg
-          UNION ALL
-          SELECT CAST(${l + 1} AS BIGINT), d.p,
-                 CAST(d.pcnt + CASE WHEN d.mrg THEN d.csum ELSE 0 END AS BIGINT)
-          FROM $de d
-          WHERE d.pcnt + CASE WHEN d.mrg THEN d.csum ELSE 0 END > 0),\n""")
-      cur = nx
-    }
-    (sb.toString, cur)
+    val lifted = s"${prefix}g0"
+    val (chain, fin) = qdigestGroupedCompressSql(prefix, lifted, k, levels)
+    val text =
+      s"$lifted AS MATERIALIZED (SELECT 'g' AS grp, lvl, idx, cnt FROM $start),\n" +
+        chain +
+        s"${prefix}ung AS MATERIALIZED (SELECT lvl, idx, cnt FROM $fin),\n"
+    (text, s"${prefix}ung")
   }
 
   /** Leaf histogram CTE over event cents (optionally filtered). */

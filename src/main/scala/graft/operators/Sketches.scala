@@ -180,8 +180,11 @@ object Sketches {
       // for fully disjoint sketches
       .join(b.alias("b"), Seq("hash_row", "col"), "left")
       .groupBy("hash_row")
-      .agg(sum((col("a.cnt") * coalesce(col("b.cnt"), lit(0L)))
-        .cast("decimal(38,0)")).as("ip"))
+      // cast each side BEFORE multiplying: a long*long product of two
+      // heavy-hitter counters (~4e9 each) wraps past 2^63 — the same
+      // bug class fixed in giniImpurity's c-squared
+      .agg(sum(col("a.cnt").cast("decimal(38,0)")
+        * coalesce(col("b.cnt"), lit(0L)).cast("decimal(38,0)")).as("ip"))
       .agg(coalesce(min("ip"), lit(0).cast("decimal(38,0)"))
         .cast("decimal(38,0)").as("est_join_size"))
 
@@ -408,7 +411,10 @@ object Sketches {
   def qdigestRanks(sketch: DataFrame, probes: DataFrame): DataFrame = {
     val lo = expr("idx * shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT))")
     val hiX = expr("(idx + 1) * shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT))")
-    val p = probes.select(col("x").cast("long").as("x"))
+    // one row per DISTINCT probe: a duplicated x would otherwise sum
+    // each sketch node once per duplicate (bounds 2x the truth) AND
+    // emit duplicate output rows through the join below
+    val p = probes.select(col("x").cast("long").as("x")).distinct()
     val agg = p
       .crossJoin(broadcast(sketch))
       .groupBy("x")
