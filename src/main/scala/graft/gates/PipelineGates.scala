@@ -632,6 +632,20 @@ private[graft] trait PipelineGates extends GateSupport {
       .orderBy("id_a", "id_b")
   }
 
+  /** BLEU modified n-gram precision counts
+    * ([[graft.operators.Validation.ngramPrecisionCounts]]) for the
+    * truncated-copy candidates (substr(text, 11)) against their
+    * originals — clipped matches and totals per n ≤ 3 plus the n=0
+    * length row, exact integers. */
+  protected def bleuNgramCounts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Validation.ngramPrecisionCounts(
+        t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            col("text").substr(lit(11), lit(1000000)).as("cand"),
+            col("text").as("ref")),
+        "cand", "ref", "doc_id", maxN = 3)
+      .orderBy("id", "n")
+
   /** Dedup recall audit ([[Dedup.pairAudit]]): brute-force exact 5-gram
     * Jaccard ≥ 0.5 pairs vs the full MinHash-LSH pipeline's pairs on the
     * planted-dup slice, one row per pair with in_exact/in_approx flags.
@@ -971,6 +985,7 @@ private[graft] trait PipelineGates extends GateSupport {
     "ngram_jaccard_pairs" -> ngramJaccardPairs _,
     "prefix_jaccard_pairs" -> prefixJaccardPairs _,
     "minhash_recall_pairs" -> minhashRecallPairs _,
+    "bleu_ngram_counts" -> bleuNgramCounts _,
     "containment_pairs" -> containmentPairsQuery _,
     "knn_dot_topk" -> knnDotTopK _,
     "quantized_topk" -> quantizedTopK _,
@@ -1594,6 +1609,58 @@ private[graft] trait PipelineGates extends GateSupport {
                      / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
           WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    "bleu_ngram_counts" ->
+      // clipped n-gram matches per (truncated candidate, original) pair;
+      // n=0 carries (cand_len, ref_len) for the brevity penalty
+      """WITH p AS (SELECT doc_id AS id,
+                      string_split_regex(trim(substr(text, 11)), '\s+') AS ct,
+                      string_split_regex(trim(text), '\s+') AS rt
+                    FROM documents WHERE doc_id < 200),
+          cg1 AS (SELECT id, unnest([array_to_string(ct[i:i+0], ' ')
+              FOR i IN range(1, greatest(len(ct)-0, 0)+1)]) AS g FROM p),
+          cc1 AS (SELECT id, g, count(*) AS c FROM cg1 GROUP BY 1, 2),
+          rg1 AS (SELECT id, unnest([array_to_string(rt[i:i+0], ' ')
+              FOR i IN range(1, greatest(len(rt)-0, 0)+1)]) AS g FROM p),
+          rc1 AS (SELECT id, g, count(*) AS c FROM rg1 GROUP BY 1, 2),
+          m1 AS (SELECT a.id, CAST(1 AS BIGINT) AS n,
+                     CAST(sum(least(a.c, coalesce(b.c, 0))) AS BIGINT) AS match_cnt,
+                     CAST(sum(a.c) AS BIGINT) AS total_cnt
+                   FROM cc1 a LEFT JOIN rc1 b ON a.id = b.id AND a.g = b.g
+                   GROUP BY 1),
+          cg2 AS (SELECT id, unnest([array_to_string(ct[i:i+1], ' ')
+              FOR i IN range(1, greatest(len(ct)-1, 0)+1)]) AS g FROM p),
+          cc2 AS (SELECT id, g, count(*) AS c FROM cg2 GROUP BY 1, 2),
+          rg2 AS (SELECT id, unnest([array_to_string(rt[i:i+1], ' ')
+              FOR i IN range(1, greatest(len(rt)-1, 0)+1)]) AS g FROM p),
+          rc2 AS (SELECT id, g, count(*) AS c FROM rg2 GROUP BY 1, 2),
+          m2 AS (SELECT a.id, CAST(2 AS BIGINT) AS n,
+                     CAST(sum(least(a.c, coalesce(b.c, 0))) AS BIGINT) AS match_cnt,
+                     CAST(sum(a.c) AS BIGINT) AS total_cnt
+                   FROM cc2 a LEFT JOIN rc2 b ON a.id = b.id AND a.g = b.g
+                   GROUP BY 1),
+          cg3 AS (SELECT id, unnest([array_to_string(ct[i:i+2], ' ')
+              FOR i IN range(1, greatest(len(ct)-2, 0)+1)]) AS g FROM p),
+          cc3 AS (SELECT id, g, count(*) AS c FROM cg3 GROUP BY 1, 2),
+          rg3 AS (SELECT id, unnest([array_to_string(rt[i:i+2], ' ')
+              FOR i IN range(1, greatest(len(rt)-2, 0)+1)]) AS g FROM p),
+          rc3 AS (SELECT id, g, count(*) AS c FROM rg3 GROUP BY 1, 2),
+          m3 AS (SELECT a.id, CAST(3 AS BIGINT) AS n,
+                     CAST(sum(least(a.c, coalesce(b.c, 0))) AS BIGINT) AS match_cnt,
+                     CAST(sum(a.c) AS BIGINT) AS total_cnt
+                   FROM cc3 a LEFT JOIN rc3 b ON a.id = b.id AND a.g = b.g
+                   GROUP BY 1),
+          anchor AS (SELECT id, CAST(t.n AS BIGINT) AS n
+                     FROM p CROSS JOIN (VALUES (1), (2), (3)) t(n)),
+          un AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3),
+          res AS (SELECT a.id, a.n, coalesce(u.match_cnt, 0) AS match_cnt,
+                         coalesce(u.total_cnt, 0) AS total_cnt
+                  FROM anchor a LEFT JOIN un u ON a.id = u.id AND a.n = u.n
+                  UNION ALL
+                  SELECT id, CAST(0 AS BIGINT), CAST(len(ct) AS BIGINT),
+                         CAST(len(rt) AS BIGINT) FROM p)
+         SELECT id, n, CAST(match_cnt AS BIGINT) AS match_cnt,
+                CAST(total_cnt AS BIGINT) AS total_cnt
+         FROM res ORDER BY id, n""",
     "minhash_recall_pairs" ->
       // exact 5-shingle Jaccard >= 0.5 pairs on the planted-dup slice,
       // each flagged (1,1): the LSH path is a verified subset of the

@@ -256,4 +256,71 @@ object Validation {
         (col("pred_pairs") - col("tp_pairs")).cast(d).as("fp_pairs"),
         (col("gold_pairs") - col("tp_pairs")).cast(d).as("fn_pairs"))
   }
+
+  /** BLEU's modified n-gram precision COUNTS (Papineni et al., ACL
+    * 2002 §2.1): per (candidate, reference) pair and per n ≤ maxN,
+    * `match_cnt` = Σ over candidate n-gram types of
+    * min(count_cand, count_ref) — the CLIPPING that stops "the the
+    * the" from scoring — and `total_cnt` = candidate n-gram tokens.
+    * Plus n=0 rows carrying (cand_len, ref_len) for the brevity
+    * penalty. Exact integers: corpus BLEU derives downstream as
+    * exp(Σ log(Σmatch/Σtotal)/N)·BP — the floats live at render time,
+    * the counts hash cross-engine.
+    *
+    * Use: regression-scoring a generation/translation/summarization
+    * model against references, or measuring how much of a reference
+    * doc a near-dup candidate reproduces (n-gram containment with
+    * clipping).
+    *
+    * 100 TB shape: n-grams build row-locally (transform over the token
+    * array — no explode until the per-(pair, gram) count, which is
+    * word-count shaped and map-side combined); one (id, gram) equi-join
+    * between the two count frames per n; everything downstream is
+    * |pairs|-sized. */
+  def ngramPrecisionCounts(
+      pairs: DataFrame, candCol: String, refCol: String, idCol: String,
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 6, "maxN in [1,6]")
+    val base = pairs.select(col(idCol).as("id"),
+      graft.operators.TextAnalysis.tokens(col(candCol)).as("ct"),
+      graft.operators.TextAnalysis.tokens(col(refCol)).as("rt"))
+    def gramsExpr(tok: String, n: Int): String =
+      s"""transform(sequence(1, size($tok) - ${n - 1}),
+         |  i -> ${if (n == 1) s"element_at($tok, i)"
+                  else (0 until n).map(k => s"element_at($tok, i + $k)")
+                    .mkString("concat_ws(' ', ", ", ", ")")})""".stripMargin
+    // size filter FIRST: Spark's sequence(1, 0) yields a DESCENDING
+    // [1, 0], not an empty array (the distinctNgramStats guard)
+    def counts(tok: String, n: Int): DataFrame = base
+      .filter(size(col(tok)) >= n)
+      .select(col("id"), explode(expr(gramsExpr(tok, n))).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+    val perN = (1 to maxN).map { n =>
+      val c = counts("ct", n)
+      val r = counts("rt", n).withColumnRenamed("c", "rc")
+      c.join(r, Seq("id", "g"), "left")
+        .groupBy("id")
+        .agg(
+          sum(least(col("c"), coalesce(col("rc"), lit(0L)))).as("match_cnt"),
+          sum(col("c")).as("total_cnt"))
+        .select(col("id"), lit(n.toLong).as("n"), col("match_cnt"), col("total_cnt"))
+    }
+    // n = 0 row: lengths for the brevity penalty (match = |cand|,
+    // total = |ref| — a naming convenience, documented)
+    val lens = base.select(col("id"), lit(0L).as("n"),
+      size(col("ct")).cast("long").as("match_cnt"),
+      size(col("rt")).cast("long").as("total_cnt"))
+    // candidates shorter than n contribute a (0, 0) row via the left
+    // join path only when they have >= 1 n-gram; re-anchor on all ids
+    // so every (id, n) pair exists — missing rows would silently skew
+    // a corpus-level Σmatch/Σtotal
+    val ids = base.select("id").distinct()
+    val full = (1 to maxN).map { n =>
+      ids.withColumn("n", lit(n.toLong))
+    }.reduce(_.unionByName(_))
+    full
+      .join(perN.reduce(_.unionByName(_)), Seq("id", "n"), "left")
+      .na.fill(0L, Seq("match_cnt", "total_cnt"))
+      .unionByName(lens)
+  }
 }

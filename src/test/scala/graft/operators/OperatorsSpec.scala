@@ -793,4 +793,26 @@ class OperatorsSpec extends AnyFunSuite {
       (5L, 6L, 1L, 1L),   // orientation flip still matches
       (7L, 8L, 0L, 1L)))  // approx-only leak, dup collapsed
   }
+
+  test("ngramPrecisionCounts: BLEU clipping, length rows, and zero-anchor rows") {
+    // the ACL'02 clipping classic: candidate "the the the the" against
+    // reference "the cat sat on the mat" -> unigram matches clip at 2
+    val pairs = Seq(
+      (1L, "the the the the", "the cat sat on the mat"),
+      (2L, "a b", "a b"),
+      (3L, "x", "y z")).toDF("doc_id", "cand", "ref")
+    val out = Validation.ngramPrecisionCounts(pairs, "cand", "ref", "doc_id", maxN = 2)
+      .orderBy("id", "n")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0L, 4L, 6L),  // lengths
+      (1L, 1L, 2L, 4L),  // clipped: min(4 cand "the", 2 ref "the")
+      (1L, 2L, 0L, 3L),  // "the the" never occurs in the reference
+      (2L, 0L, 2L, 2L),
+      (2L, 1L, 2L, 2L),
+      (2L, 2L, 1L, 1L),  // perfect bigram match
+      (3L, 0L, 1L, 2L),
+      (3L, 1L, 0L, 1L),
+      (3L, 2L, 0L, 0L))) // cand too short for bigrams -> anchored (0,0)
+  }
 }
