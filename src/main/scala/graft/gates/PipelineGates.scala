@@ -1622,44 +1622,67 @@ private[graft] trait PipelineGates extends GateSupport {
           rg1 AS (SELECT id, unnest([array_to_string(rt[i:i+0], ' ')
               FOR i IN range(1, greatest(len(rt)-0, 0)+1)]) AS g FROM p),
           rc1 AS (SELECT id, g, count(*) AS c FROM rg1 GROUP BY 1, 2),
-          m1 AS (SELECT a.id, CAST(1 AS BIGINT) AS n,
+          rt1 AS (SELECT id, CAST(sum(c) AS BIGINT) AS ref_total_cnt
+                   FROM rc1 GROUP BY 1),
+          mm1 AS (SELECT a.id,
                      CAST(sum(least(a.c, coalesce(b.c, 0))) AS BIGINT) AS match_cnt,
                      CAST(sum(a.c) AS BIGINT) AS total_cnt
                    FROM cc1 a LEFT JOIN rc1 b ON a.id = b.id AND a.g = b.g
                    GROUP BY 1),
+          m1 AS (SELECT coalesce(mm1.id, rt1.id) AS id, CAST(1 AS BIGINT) AS n,
+                     coalesce(mm1.match_cnt, 0) AS match_cnt,
+                     coalesce(mm1.total_cnt, 0) AS total_cnt,
+                     coalesce(rt1.ref_total_cnt, 0) AS ref_total_cnt
+                   FROM mm1 FULL JOIN rt1 ON mm1.id = rt1.id),
           cg2 AS (SELECT id, unnest([array_to_string(ct[i:i+1], ' ')
               FOR i IN range(1, greatest(len(ct)-1, 0)+1)]) AS g FROM p),
           cc2 AS (SELECT id, g, count(*) AS c FROM cg2 GROUP BY 1, 2),
           rg2 AS (SELECT id, unnest([array_to_string(rt[i:i+1], ' ')
               FOR i IN range(1, greatest(len(rt)-1, 0)+1)]) AS g FROM p),
           rc2 AS (SELECT id, g, count(*) AS c FROM rg2 GROUP BY 1, 2),
-          m2 AS (SELECT a.id, CAST(2 AS BIGINT) AS n,
+          rt2 AS (SELECT id, CAST(sum(c) AS BIGINT) AS ref_total_cnt
+                   FROM rc2 GROUP BY 1),
+          mm2 AS (SELECT a.id,
                      CAST(sum(least(a.c, coalesce(b.c, 0))) AS BIGINT) AS match_cnt,
                      CAST(sum(a.c) AS BIGINT) AS total_cnt
                    FROM cc2 a LEFT JOIN rc2 b ON a.id = b.id AND a.g = b.g
                    GROUP BY 1),
+          m2 AS (SELECT coalesce(mm2.id, rt2.id) AS id, CAST(2 AS BIGINT) AS n,
+                     coalesce(mm2.match_cnt, 0) AS match_cnt,
+                     coalesce(mm2.total_cnt, 0) AS total_cnt,
+                     coalesce(rt2.ref_total_cnt, 0) AS ref_total_cnt
+                   FROM mm2 FULL JOIN rt2 ON mm2.id = rt2.id),
           cg3 AS (SELECT id, unnest([array_to_string(ct[i:i+2], ' ')
               FOR i IN range(1, greatest(len(ct)-2, 0)+1)]) AS g FROM p),
           cc3 AS (SELECT id, g, count(*) AS c FROM cg3 GROUP BY 1, 2),
           rg3 AS (SELECT id, unnest([array_to_string(rt[i:i+2], ' ')
               FOR i IN range(1, greatest(len(rt)-2, 0)+1)]) AS g FROM p),
           rc3 AS (SELECT id, g, count(*) AS c FROM rg3 GROUP BY 1, 2),
-          m3 AS (SELECT a.id, CAST(3 AS BIGINT) AS n,
+          rt3 AS (SELECT id, CAST(sum(c) AS BIGINT) AS ref_total_cnt
+                   FROM rc3 GROUP BY 1),
+          mm3 AS (SELECT a.id,
                      CAST(sum(least(a.c, coalesce(b.c, 0))) AS BIGINT) AS match_cnt,
                      CAST(sum(a.c) AS BIGINT) AS total_cnt
                    FROM cc3 a LEFT JOIN rc3 b ON a.id = b.id AND a.g = b.g
                    GROUP BY 1),
+          m3 AS (SELECT coalesce(mm3.id, rt3.id) AS id, CAST(3 AS BIGINT) AS n,
+                     coalesce(mm3.match_cnt, 0) AS match_cnt,
+                     coalesce(mm3.total_cnt, 0) AS total_cnt,
+                     coalesce(rt3.ref_total_cnt, 0) AS ref_total_cnt
+                   FROM mm3 FULL JOIN rt3 ON mm3.id = rt3.id),
           anchor AS (SELECT id, CAST(t.n AS BIGINT) AS n
                      FROM p CROSS JOIN (VALUES (1), (2), (3)) t(n)),
           un AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3),
           res AS (SELECT a.id, a.n, coalesce(u.match_cnt, 0) AS match_cnt,
-                         coalesce(u.total_cnt, 0) AS total_cnt
+                         coalesce(u.total_cnt, 0) AS total_cnt,
+                         coalesce(u.ref_total_cnt, 0) AS ref_total_cnt
                   FROM anchor a LEFT JOIN un u ON a.id = u.id AND a.n = u.n
                   UNION ALL
                   SELECT id, CAST(0 AS BIGINT), CAST(len(ct) AS BIGINT),
-                         CAST(len(rt) AS BIGINT) FROM p)
+                         CAST(len(ct) AS BIGINT), CAST(len(rt) AS BIGINT) FROM p)
          SELECT id, n, CAST(match_cnt AS BIGINT) AS match_cnt,
-                CAST(total_cnt AS BIGINT) AS total_cnt
+                CAST(total_cnt AS BIGINT) AS total_cnt,
+                CAST(ref_total_cnt AS BIGINT) AS ref_total_cnt
          FROM res ORDER BY id, n""",
     "minhash_recall_pairs" ->
       // exact 5-shingle Jaccard >= 0.5 pairs on the planted-dup slice,

@@ -261,9 +261,11 @@ object Validation {
     * 2002 §2.1): per (candidate, reference) pair and per n ≤ maxN,
     * `match_cnt` = Σ over candidate n-gram types of
     * min(count_cand, count_ref) — the CLIPPING that stops "the the
-    * the" from scoring — and `total_cnt` = candidate n-gram tokens.
-    * Plus n=0 rows carrying (cand_len, ref_len) for the brevity
-    * penalty. Exact integers: corpus BLEU derives downstream as
+    * the" from scoring — `total_cnt` = candidate n-gram tokens, and
+    * `ref_total_cnt` = reference n-gram tokens, so the SAME frame
+    * yields BLEU-N precision (match/total) AND ROUGE-N recall
+    * (match/ref_total). Plus n=0 rows carrying (cand_len, cand_len,
+    * ref_len) for the brevity penalty. Exact integers: corpus BLEU derives downstream as
     * exp(Σ log(Σmatch/Σtotal)/N)·BP — the floats live at render time,
     * the counts hash cross-engine.
     *
@@ -298,18 +300,25 @@ object Validation {
     val perN = (1 to maxN).map { n =>
       val c = counts("ct", n)
       val r = counts("rt", n).withColumnRenamed("c", "rc")
+      // reference totals ride along so the SAME counts serve ROUGE-N
+      // recall (match/ref_total) next to BLEU precision (match/total)
+      val refTot = r.groupBy("id").agg(sum(col("rc")).as("ref_total_cnt"))
       c.join(r, Seq("id", "g"), "left")
         .groupBy("id")
         .agg(
           sum(least(col("c"), coalesce(col("rc"), lit(0L)))).as("match_cnt"),
           sum(col("c")).as("total_cnt"))
-        .select(col("id"), lit(n.toLong).as("n"), col("match_cnt"), col("total_cnt"))
+        .join(refTot, Seq("id"), "full")
+        .na.fill(0L, Seq("match_cnt", "total_cnt", "ref_total_cnt"))
+        .select(col("id"), lit(n.toLong).as("n"), col("match_cnt"),
+          col("total_cnt"), col("ref_total_cnt"))
     }
     // n = 0 row: lengths for the brevity penalty (match = |cand|,
     // total = |ref| — a naming convenience, documented)
     val lens = base.select(col("id"), lit(0L).as("n"),
       size(col("ct")).cast("long").as("match_cnt"),
-      size(col("rt")).cast("long").as("total_cnt"))
+      size(col("ct")).cast("long").as("total_cnt"),
+      size(col("rt")).cast("long").as("ref_total_cnt"))
     // candidates shorter than n contribute a (0, 0) row via the left
     // join path only when they have >= 1 n-gram; re-anchor on all ids
     // so every (id, n) pair exists — missing rows would silently skew
@@ -320,7 +329,7 @@ object Validation {
     }.reduce(_.unionByName(_))
     full
       .join(perN.reduce(_.unionByName(_)), Seq("id", "n"), "left")
-      .na.fill(0L, Seq("match_cnt", "total_cnt"))
+      .na.fill(0L, Seq("match_cnt", "total_cnt", "ref_total_cnt"))
       .unionByName(lens)
   }
 }

@@ -803,16 +803,16 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "x", "y z")).toDF("doc_id", "cand", "ref")
     val out = Validation.ngramPrecisionCounts(pairs, "cand", "ref", "doc_id", maxN = 2)
       .orderBy("id", "n")
-      .as[(Long, Long, Long, Long)].collect().toSeq
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(out === Seq(
-      (1L, 0L, 4L, 6L),  // lengths
-      (1L, 1L, 2L, 4L),  // clipped: min(4 cand "the", 2 ref "the")
-      (1L, 2L, 0L, 3L),  // "the the" never occurs in the reference
-      (2L, 0L, 2L, 2L),
-      (2L, 1L, 2L, 2L),
-      (2L, 2L, 1L, 1L),  // perfect bigram match
-      (3L, 0L, 1L, 2L),
-      (3L, 1L, 0L, 1L),
-      (3L, 2L, 0L, 0L))) // cand too short for bigrams -> anchored (0,0)
+      (1L, 0L, 4L, 4L, 6L),  // lengths: cand, cand, ref
+      (1L, 1L, 2L, 4L, 6L),  // clipped: min(4 cand "the", 2 ref "the")
+      (1L, 2L, 0L, 3L, 5L),  // "the the" never occurs in the reference
+      (2L, 0L, 2L, 2L, 2L),
+      (2L, 1L, 2L, 2L, 2L),
+      (2L, 2L, 1L, 1L, 1L),  // perfect bigram match
+      (3L, 0L, 1L, 1L, 2L),
+      (3L, 1L, 0L, 1L, 2L),
+      (3L, 2L, 0L, 0L, 1L))) // cand too short for bigrams -> anchored 0s
   }
 }
