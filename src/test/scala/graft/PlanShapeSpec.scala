@@ -887,14 +887,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "HashAggregate") >= 2, "diversity lost partial aggregation")
   }
 
-  test("qdigest build: map-side-combined leaf aggregate, then NO further exchange (single-task compress)") {
-    val p = finalPlan("qdigest_nodes")
-    // one shuffle for the leaf groupBy + the presentation sort; the
-    // 16-level compression must add no per-level exchanges or joins
-    assert(count(p, "HashAggregate") >= 2, s"leaf histogram lost map-side combine:\n$p")
-    assert(count(p, "BroadcastHashJoin") + count(p, "SortMergeJoin")
-      + count(p, "CartesianProduct") === 0, s"qdigest compress joins:\n$p")
-    assert(count(p, "Window") === 0, s"qdigest compress windows:\n$p")
+  test("qdigest builds (plain, weighted, grouped): map-side-combined leaf aggregate, then NO further exchange") {
+    Seq("qdigest_nodes", "qdigest_weighted_nodes", "qdigest_grouped_nodes").foreach { q =>
+      val p = finalPlan(q)
+      // one shuffle for the leaf groupBy + the presentation sort; the
+      // level-synchronous compression must add no per-level exchanges
+      // or joins (single task for plain/weighted, one task per group
+      // for grouped)
+      assert(count(p, "HashAggregate") >= 2, s"$q lost map-side combine:\n$p")
+      assert(count(p, "BroadcastHashJoin") + count(p, "SortMergeJoin")
+        + count(p, "CartesianProduct") === 0, s"$q compress joins:\n$p")
+      assert(count(p, "Window") === 0, s"$q compress windows:\n$p")
+    }
+  }
+
+  test("bleu counts: word-count-shaped aggregates and equi-joins only") {
+    val p = finalPlan("bleu_ngram_counts")
+    assert(count(p, "CartesianProduct") === 0, s"bleu went cartesian:\n$p")
+    assert(count(p, "Window") === 0, s"bleu windows:\n$p")
+    assert(count(p, "HashAggregate") >= 2, "bleu lost partial aggregation")
   }
 
   test("qdigest ranks: the digest broadcasts; the probe side never shuffles") {
