@@ -16,6 +16,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout is routed through sbt's logger by default,
+// which stamps "[info] " onto every line — including Bench's final
+// compact JSON summary the driver parses (round-12 verdict, blocker #1).
+// StdoutOutput passes program stdout through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -124,9 +124,16 @@ object Retrieval {
       rankCol: String = "rank",
       queries: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, "need a positive cutoff k")
+    // dedup the ranking on (query, doc) keeping the best rank: a
+    // retriever emitting the same doc under two ranks inside the top-k
+    // would otherwise double-count n_rel (first_rank stays plausible —
+    // a silent metric inflation, not an error). qrels gets the same
+    // distinct() below, so both sides are set-semantics.
     val top = ranking.filter(col(rankCol) <= k)
       .select(col(queryCol).as("query_id"), col(idCol).as("_id"),
         col(rankCol).cast("long").as("_rank"))
+      .groupBy("query_id", "_id")
+      .agg(min("_rank").as("_rank"))
     val rel = qrels.select(col(queryCol).as("query_id"), col(idCol).as("_id"))
       .distinct()
       .withColumn("_rel", lit(1L))

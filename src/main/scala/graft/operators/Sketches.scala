@@ -273,7 +273,19 @@ object Sketches {
         throw new IllegalArgumentException(
           s"q-digest node (lvl=$l, idx=$i) outside universe 2^$logUniverse")
       }
-      val key = (l, i); m(key) = m.getOrElse(key, 0L) + c
+      // counts get the same loud treatment as coordinates: a negative
+      // count is corrupt state (it would silently skew every rank bound),
+      // and a zero count carries no information — the SQL oracle's
+      // parent-emission filter (pcnt + csum > 0) drops empties, so the
+      // Spark side must too or the two digests hash-diverge on
+      // degenerate state handed to compact
+      if (c < 0L) {
+        throw new IllegalArgumentException(
+          s"q-digest node (lvl=$l, idx=$i) has negative count $c")
+      }
+      if (c > 0L) {
+        val key = (l, i); m(key) = m.getOrElse(key, 0L) + c
+      }
     }
     // thr from the in-task total — the whole histogram is local, so no
     // separate driver-side count job is needed
@@ -409,6 +421,18 @@ object Sketches {
     * never divides. The sketch is O(k·L) rows, so it broadcasts and the
     * probe side never shuffles. */
   def qdigestRanks(sketch: DataFrame, probes: DataFrame): DataFrame = {
+    // a GROUPED digest (qdigestBuildBy's (grp, lvl, idx, cnt) frame)
+    // would cross-join fine and the groupBy("x") below would sum counts
+    // ACROSS groups — per-group rank probes silently answering
+    // merged-corpus numbers. Fail loudly instead (the hllMergeBy
+    // discipline): this rank query is defined for ONE digest's
+    // (lvl, idx, cnt) nodes; filter a grouped frame to one group and
+    // drop the key column first.
+    val extra = sketch.columns.toSet -- Set("lvl", "idx", "cnt")
+    require(extra.isEmpty,
+      s"qdigestRanks takes one digest's (lvl, idx, cnt) nodes; extra " +
+        s"column(s) ${extra.mkString(", ")} suggest a GROUPED digest — " +
+        "filter to a single group and drop its key column first")
     val lo = expr("idx * shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT))")
     val hiX = expr("(idx + 1) * shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT))")
     // one row per DISTINCT probe: a duplicated x would otherwise sum

@@ -313,8 +313,8 @@ object Validation {
         .select(col("id"), lit(n.toLong).as("n"), col("match_cnt"),
           col("total_cnt"), col("ref_total_cnt"))
     }
-    // n = 0 row: lengths for the brevity penalty (match = |cand|,
-    // total = |ref| — a naming convenience, documented)
+    // n = 0 row: lengths for the brevity penalty (match = total = |cand|,
+    // ref_total = |ref| — a naming convenience, documented)
     val lens = base.select(col("id"), lit(0L).as("n"),
       size(col("ct")).cast("long").as("match_cnt"),
       size(col("ct")).cast("long").as("total_cnt"),
