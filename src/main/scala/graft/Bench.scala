@@ -102,12 +102,25 @@ object Bench {
       s""""run_ts_utc":"$ts","git_sha":"$sha","spark":"${spark.version}""""
     }
 
+    // Self-adjudication state (r12 verdict #2): scenarios whose in-sweep
+    // number breached a baseline gate, re-measured ISOLATED at the end
+    // of the sweep. check_bench.py clears a breach when the isolated
+    // number sits inside the gate — the load-artifact adjudication that
+    // previously lived in SCALING.md prose, machine-resolved in the
+    // artifact itself. Declared here so resultJson (defined next) can
+    // embed them; filled after the sweep.
+    val breachedNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    val isolatedMap = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
     // Flush the partial artifact after every family so even a hard crash
     // (OOM, JVM kill) leaves the numbers measured so far on disk.
     def resultJson(): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val qm = results.map { case (k, v) =>
         "\"" + k + "\":" + medians.getOrElse(k, v) }.mkString("{", ",", "}")
+      val br = breachedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val iso = isolatedMap.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
       // stat_note + sliced_gates: round-10 advice — name the statistic
       // each map carries, and flag gates whose bench time is not
@@ -118,6 +131,7 @@ object Bench {
         s""""queries_median":$qm,""" +
         s""""stat_note":"queries=min-of-5 when median<2s else median-of-3; queries_median=median always",""" +
         s""""sliced_gates":["recent_feed_batch"],""" +
+        s""""breached":$br,"isolated":$iso,""" +
         s""""sf":"$sfDir",$runMeta}"""
     }
     def flush(): Unit = {
@@ -192,7 +206,14 @@ object Bench {
     // A scenario failure must not zero the whole artifact (round 7 lost
     // every number to one uncaught analysis error): record -1 for the
     // family, print the stack for the round log, keep going.
-    def guarded(names: Seq[String])(f: => Seq[(String, Double)]): Seq[(String, Double)] =
+    // Each family's thunk is also registered so the end-of-sweep
+    // self-adjudication pass can re-run a breached scenario's whole
+    // family isolated (the families are self-contained: fresh temp
+    // state per invocation).
+    val familyThunks = scala.collection.mutable.LinkedHashMap
+      .empty[String, () => Seq[(String, Double)]]
+    def guarded(names: Seq[String])(f: => Seq[(String, Double)]): Seq[(String, Double)] = {
+      names.foreach(n => familyThunks(n) = () => f)
       try if (names.exists(wanted)) f else Seq.empty
       catch {
         case e: Throwable =>
@@ -200,6 +221,7 @@ object Bench {
           e.printStackTrace()
           names.map(_ -> -1.0)
       }
+    }
 
     // Spark's built-in HLL++ approximate distinct (bench-only: ITS
     // estimates are engine-specific; the exact counterpart is the
@@ -328,7 +350,10 @@ object Bench {
       httpScenarios(spark)
     }
     flush()
-    results ++= guarded(Seq("pipeline_docs_end_to_end")) {
+    results ++= guarded(Seq("pipeline_docs_end_to_end", "pipeline_stage_quality",
+        "pipeline_stage_exact_dedup", "pipeline_stage_near_dup",
+        "pipeline_stage_decontam", "pipeline_stage_split_mixture",
+        "pipeline_stage_packing", "pipeline_stage_shuffle")) {
       pipelineScenario(spark, sfDir)
     }
     results ++= guarded(Seq("pipeline_docs_incremental")) {
@@ -345,6 +370,92 @@ object Bench {
     }
     results ++= guarded(Seq("sketch_qdigest_build", "sketch_qdigest_ranks")) {
       qdigestScenario(spark, sfDir)
+    }
+
+    // ---- self-adjudication pass (r12 verdict #2) ----
+    // Baseline-gate every in-sweep number, then re-run the breached
+    // scenarios ISOLATED (same process, but after the sweep's own load
+    // has drained) and record both lists in the artifact. The full
+    // sweep runs scenarios sequentially, but the machine hosting the
+    // driver's run is shared — r12's two same-HEAD runs flagged
+    // DISJOINT breach sets at r11-level numbers, proving both sets were
+    // transient-load artifacts; this pass resolves that in-artifact.
+    // Skipped under SPARK_GRAFT_BENCH_ONLY (partial runs are an
+    // iteration aid, not a gated artifact).
+    if (only.isEmpty) try {
+      // explicit UTF-8: the baseline tables carry en-dashes/multiply
+      // signs, and Source.fromFile under a non-UTF-8 default charset
+      // threw MalformedInputException — which, uncaught, killed the run
+      // AFTER the sweep and voided the final artifact (the exact
+      // round-7 failure class this block must never reintroduce; hence
+      // the try around the whole pass)
+      def parseMdTable(path: String): Map[String, Double] = {
+        val p = java.nio.file.Paths.get(path)
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else {
+          val text = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val row = """\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|""".r
+          text.linesIterator.flatMap { line =>
+            row.findFirstMatchIn(line).map(m => m.group(1) -> m.group(2).toDouble)
+          }.toMap
+        }
+      }
+      val histRef = parseMdTable("BASELINE.md")
+      // newest forward baseline per scenario (mirrors check_bench.py)
+      val fwd = parseMdTable("BASELINE_r11.md") ++ parseMdTable("BASELINE_r12.md")
+      val sliced = Set("recent_feed_batch")
+      breachedNames ++= results.collect {
+        case (name, v) if v >= 0 && !sliced(name) &&
+          (fwd.get(name).exists(b => v >= 1.5 * b + 0.5) ||
+            histRef.get(name).exists(b => v >= 2.0 * b)) => name
+      }
+      if (breachedNames.nonEmpty) {
+        System.err.println(
+          s"[bench] ${breachedNames.size} in-sweep breach(es): " +
+            breachedNames.mkString(", ") + " — re-running isolated")
+        // bounded budget: at most 8 query re-runs and 4 family re-runs
+        // (a family re-run isolates EVERY scenario in it at once).
+        // streaming_* replays are excluded: single-run by design, their
+        // checkpoint-fsync-dominated cost is stable run-to-run (the
+        // adjudication their Scaladoc carries), and a family re-run
+        // costs ~90 s.
+        var queryReruns = 0
+        val rerunFamilies = scala.collection.mutable.Set.empty[() => Seq[(String, Double)]]
+        breachedNames.foreach { name =>
+          SparkEntry.queries.get(name) match {
+            case Some(fn) if queryReruns < 8 =>
+              queryReruns += 1
+              try {
+                def once(): Unit =
+                  fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                once()
+                isolatedMap(name) = robust(once())._1
+              } catch { case e: Throwable =>
+                System.err.println(s"[bench] isolated re-run of $name failed: $e")
+              }
+            case Some(_) => () // query budget spent
+            case None if !name.startsWith("streaming_") =>
+              familyThunks.get(name).foreach { thunk =>
+                if (!rerunFamilies(thunk) && rerunFamilies.size < 4) {
+                  rerunFamilies += thunk
+                  // family thunks feed `record`, which writes the
+                  // medians map — snapshot/restore so the re-run can't
+                  // overwrite the sweep's own medians in the artifact
+                  val medSnapshot = medians.toMap
+                  try isolatedMap ++= thunk()
+                  catch { case e: Throwable =>
+                    System.err.println(s"[bench] isolated family re-run for $name failed: $e")
+                  } finally { medians.clear(); medians ++= medSnapshot }
+                }
+              }
+            case None => ()
+          }
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] self-adjudication pass failed (ignored): $e")
+      e.printStackTrace()
     }
 
     // final durable copy (the driver's bounded log tail truncated round 5's
@@ -1007,7 +1118,74 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    Seq("pipeline_docs_end_to_end" -> sec)
+
+    // Per-stage breakdown (r12 verdict #6): the fused scenario above
+    // keeps absorbing stages (10.3 s r10 → 16.2 s r12) and its single
+    // number can't say WHICH stage grew. This twin runs the same stages
+    // with a localCheckpoint materialization boundary after each, so
+    // every delta is attributable to one stage. The stage SUM exceeds
+    // the fused number by construction (checkpoint materialization +
+    // lost cross-stage planning) — the headline stays the fused run;
+    // these rows exist to localize growth.
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def staged[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val out = f
+      stages += (s"pipeline_stage_$name" -> (System.nanoTime() - t0) / 1e9)
+      out
+    }
+    {
+      import graft.operators._
+      import org.apache.spark.sql.functions._
+      val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      val kept = staged("quality") {
+        raw.join(
+          TextCorpus.qualityFlags(raw).filter(col("keep")).select("doc_id"),
+          "doc_id").localCheckpoint()
+      }
+      val exact = staged("exact_dedup") {
+        Dedup.exactDedup(kept, "text", "doc_id").localCheckpoint()
+      }
+      val deduped = staged("near_dup") {
+        val pairs = Dedup.nearDupPairs(exact, "text", "doc_id", threshold = 0.5)
+        val groups = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        val drop = groups.filter(col("id") =!= col("component"))
+          .select(col("id").as("doc_id"))
+        exact.join(drop, Seq("doc_id"), "left_anti").localCheckpoint()
+      }
+      val clean = staged("decontam") {
+        val bench = raw.orderBy("doc_id").limit(5)
+          .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+        val contaminated = Dedup.contamination(deduped, bench, "text", "doc_id",
+            minOverlap = 150)
+          .select(col("corpus_id").as("doc_id")).distinct()
+        deduped.join(contaminated, Seq("doc_id"), "left_anti").localCheckpoint()
+      }
+      val train = staged("split_mixture") {
+        val split = clean.withColumn("split",
+          Sampling.deterministicSplit(col("doc_id"), salt = "bench-v1",
+            trainPct = 80, valPct = 10))
+        val tr = split.filter(col("split") === "train").localCheckpoint()
+        val weights = clean.select("source").distinct()
+          .select(col("source"),
+            (substring(col("source"), 4, 10).cast("int") % 4 + 1).as("weight"))
+        Sampling.mixturePlan(tr, weights, budgetTokens = 10000L)
+          .write.format("noop").mode("overwrite").save()
+        tr
+      }
+      staged("packing") {
+        val withCost = train.withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")))
+        Packing.binStats(withCost, "doc_id", "n_tokens", budget = 512L,
+            chunkSize = 1000L)
+          .write.format("noop").mode("overwrite").save()
+      }
+      staged("shuffle") {
+        TextCorpus.shardedShuffle(train, shards = 4, salt = "epoch-0")
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    ("pipeline_docs_end_to_end" -> sec) +: stages.toSeq
   }
 
   /** The operational daily-growth twin of `pipeline_docs_end_to_end`

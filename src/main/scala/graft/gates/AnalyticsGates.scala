@@ -739,15 +739,17 @@ private[graft] trait AnalyticsGates extends GateSupport {
       .orderBy("cohort_week", "week_offset")
   }
 
-  /** Per-source length deciles via `ntile` — the binning step before
-    * stratified filtering (keep the middle deciles, drop the tails).
-    * The (n_chars, doc_id) sort key is total, so tile assignment is
-    * deterministic and engine-identical. One shuffle on source; sort
-    * runs are bounded by source size (same shape as stratifiedSample). */
+  /** Per-source length deciles — the binning step before stratified
+    * filtering (keep the middle deciles, drop the tails). The
+    * (n_chars, doc_id) sort key is total, so tile assignment is
+    * deterministic and engine-identical. Sources are few and
+    * corpus-sized, so the tiling runs distributed
+    * ([[graft.operators.Stats.distributedNtile]] — parallel
+    * range-partitioned rank, never a one-task per-source sort). */
   protected def lengthDeciles(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
-    t(s, dir, "documents")
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    graft.operators.Stats.distributedNtile(
+        t(s, dir, "documents"), 10, Seq("source"),
+        Seq(col("n_chars"), col("doc_id")), "decile")
       .select("source", "doc_id", "n_chars", "decile")
       .orderBy("source", "doc_id")
   }

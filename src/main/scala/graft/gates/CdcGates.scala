@@ -727,14 +727,15 @@ private[graft] trait CdcGates extends GateSupport {
 
   /** Equi-depth price histogram: ntile(10) deciles of extended price
     * within each return flag (total order via the line id tiebreak),
-    * per-bucket count/min/max/exact-decimal sum. The per-group window
-    * sort is the one heavy step; groups partition the corpus. */
+    * per-bucket count/min/max/exact-decimal sum. Three return flags
+    * partition the CORPUS, so the tiling runs distributed
+    * ([[graft.operators.Stats.distributedNtile]] — parallel
+    * range-partitioned rank, never a one-task per-group sort). */
   protected def priceEquidepth(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    t(s, dir, "lineitem")
-      .withColumn("tile", ntile(10).over(w).cast("long"))
+    graft.operators.Stats.distributedNtile(
+        t(s, dir, "lineitem"), 10, Seq("l_returnflag"),
+        Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+        "tile")
       .groupBy("l_returnflag", "tile")
       .agg(count(lit(1)).as("n"),
         min(col("l_extendedprice")).as("lo"),

@@ -188,6 +188,103 @@ private[graft] trait CorpusGates extends GateSupport {
         min("n_chars").as("min_score"), max("n_chars").as("max_score"))
       .orderBy("source", "bucket")
 
+  // ---- HTML fixture: identical markup built in Scala and SQL --------
+
+  /** Deterministic HTML page per document — the messiness
+    * [[graft.operators.Html]] exists for: a script whose body contains
+    * `<`, `&`, and quotes; a style block; a comment would be overkill
+    * (HtmlSpec covers it); link-dense nav chrome; a short heading; the
+    * document's own text as the content paragraph; an entity-laden
+    * extra paragraph on every third doc; a word-starved list on every
+    * fourth; a footer stub. The oracle builds the identical string, so
+    * the fixture cancels and the gate hashes the extraction itself. */
+  private def htmlCol: Column = {
+    val id = col("doc_id").cast("string")
+    concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><style>p { color: #fff; }</style>" +
+        "<script>if (a < b && c > 1) { track(\"x=1&y=2\"); }</script></head><body>"),
+      lit("<div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/c\">Cat</a> " +
+        "<a href=\"/d\">Dig</a></div>"),
+      lit("<h1>Head "), col("source"), lit("</h1>"),
+      lit("<p>"), substring(col("text"), 1, 120), lit("</p>"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("<p>Extra &amp; more &lt;deep&gt;&nbsp;data the a of "),
+          col("source"), lit(" with plenty of words</p>")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        lit("<ul><li>one</li><li>two items</li></ul>")).otherwise(lit("")),
+      lit("<br/><footer>(c) 2026 Example</footer></body></html>"))
+  }
+
+  private val htmlSql: String =
+    """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+       || '</title><style>p { color: #fff; }</style><script>if (a < b && c > 1) { track("x=1&y=2"); }</script></head><body>'
+       || '<div id="nav"><a href="/">Home</a> <a href="/c">Cat</a> <a href="/d">Dig</a></div>'
+       || '<h1>Head ' || source || '</h1>'
+       || '<p>' || substr(text, 1, 120) || '</p>'
+       || CASE WHEN doc_id % 3 = 0 THEN '<p>Extra &amp; more &lt;deep&gt;&nbsp;data the a of ' || source || ' with plenty of words</p>' ELSE '' END
+       || CASE WHEN doc_id % 4 = 0 THEN '<ul><li>one</li><li>two items</li></ul>' ELSE '' END
+       || '<br/><footer>(c) 2026 Example</footer></body></html>'"""
+
+  /** The SQL twin of [[graft.operators.Html]]'s pipeline through the
+    * per-block word frames (shared by both html gates): chrome removal,
+    * block split, inline strip + entity decode + whitespace collapse,
+    * word/stopword counts. The regex subset is Java∩RE2 by
+    * construction (the operator's Scaladoc contract). */
+  private val htmlBlocksSql: String =
+    s"""WITH d AS (SELECT doc_id, $htmlSql AS html FROM documents),
+        c AS (SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(html,
+                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g') AS h
+              FROM d),
+        b AS (SELECT doc_id,
+                     list_filter(
+                       string_split(regexp_replace(h,
+                         '(?i)<(?:br|hr)\\s*/?>|</?(?:blockquote|article|section|header|footer|nav|html|head|body|title|table|tr|td|th|ul|ol|li|pre|p|div|h[1-6])(?:\\s[^>]*)?/?>',
+                         chr(10), 'g'), chr(10)),
+                       x -> len(trim(x)) > 0) AS blks
+              FROM c),
+        e AS (SELECT doc_id, unnest([struct_pack(bno := i, raw := trim(blks[i]))
+                                     FOR i IN range(1, len(blks) + 1)]) AS u
+              FROM b),
+        t AS (SELECT doc_id, CAST(u.bno AS BIGINT) AS block_no, u.raw AS raw,
+                     trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                         regexp_replace(u.raw, '<[^>]*>', ' ', 'g'),
+                         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                         '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+                       '\\s+', ' ', 'g')) AS text
+              FROM e),
+        w AS (SELECT doc_id, block_no, raw, text,
+                     len(list_filter(string_split(text, ' '),
+                       x -> len(x) > 0)) AS n_words,
+                     len(list_filter(string_split(lower(text), ' '),
+                       x -> list_contains(['the','a','an','and','or','of','to','in','is','on','for','with','that','as','at','it','by','this','be','are'], x))) AS n_stop
+              FROM t)"""
+
+  /** Per-block extraction detail ([[graft.operators.Html.htmlBlocks]]):
+    * raw/text lengths, word and stopword counts, the integer keep rule
+    * — the audit frame of WHAT got dropped and why. */
+  protected def htmlExtract(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Html.htmlBlocks(
+        t(s, dir, "documents").select(col("doc_id"), htmlCol.as("html")),
+        "doc_id", "html")
+      .orderBy("doc_id", "block_no")
+
+  /** The zero-shuffle document→content projection
+    * ([[graft.operators.Html.extractedText]]): kept blocks joined in
+    * document order — the frame the downstream quality/dedup/langid
+    * chain consumes. */
+  protected def htmlExtractText(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.operators.Html.extractedText(htmlCol).as("content"))
+      .withColumn("content_len", length(col("content")).cast("long"))
+      .orderBy("doc_id")
+
   /** NFC normalization via the native [[graft.functions.UnicodeNormalize]]
     * expression, against DuckDB's nfc_normalize — the fixture mixes a
     * combining-mark sequence (composes), the Angstrom singleton (folds
@@ -466,6 +563,8 @@ private[graft] trait CorpusGates extends GateSupport {
     "qdigest_grouped_nodes" -> qdigestGroupedGate _,
     "qdigest_weighted_nodes" -> qdigestWeightedGate _,
     "vocab_chao1" -> vocabChao1 _,
+    "html_extract" -> htmlExtract _,
+    "html_extract_text" -> htmlExtractText _,
   )
 
   /** A half-table CMS counter CTE named `alias` over events with
@@ -500,6 +599,26 @@ private[graft] trait CorpusGates extends GateSupport {
                      FROM b GROUP BY bucket)"""
 
   protected def corpusGateOracles: Map[String, String] = Map(
+    "html_extract" ->
+      s"""$htmlBlocksSql
+         SELECT doc_id, block_no,
+                CAST(length(raw) AS BIGINT) AS raw_len,
+                CAST(length(text) AS BIGINT) AS text_len,
+                CAST(n_words AS BIGINT) AS n_words,
+                CAST(n_stop AS BIGINT) AS n_stop,
+                text,
+                (length(text) * 10 >= length(raw) * 3 AND n_words >= 4) AS keep
+         FROM w ORDER BY doc_id, block_no""",
+    "html_extract_text" ->
+      s"""$htmlBlocksSql,
+         agg AS (SELECT doc_id,
+                        coalesce(string_agg(text, chr(10) ORDER BY block_no)
+                          FILTER (WHERE length(text) * 10 >= length(raw) * 3
+                                    AND n_words >= 4), '') AS content
+                 FROM w GROUP BY doc_id)
+         SELECT doc_id, content,
+                CAST(length(content) AS BIGINT) AS content_len
+         FROM agg ORDER BY doc_id""",
     "qdigest_nodes" -> qdigestNodesOracle,
     "qdigest_ranks" -> qdigestRanksOracle,
     "qdigest_merge_nodes" -> qdigestMergeOracle,

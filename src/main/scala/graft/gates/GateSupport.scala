@@ -45,10 +45,9 @@ private[graft] trait GateSupport {
     * positions, merge where the offset from the run start is even —
     * exactly the fold's "a merged symbol never re-matches as `a`"
     * left-to-right scan, so "aaaa" → [aa, aa] in both engines). */
-  protected val bpeMergesOracle: String = {
-    def round(r: Int): String = {
-      val p = r - 1
-      s"""pc$r AS (SELECT s1.w, s1.i, s1.s AS a2, s2.s AS b2, v$p.cnt
+  private def bpeMergesOracleRound(r: Int): String = {
+    val p = r - 1
+    s"""pc$r AS (SELECT s1.w, s1.i, s1.s AS a2, s2.s AS b2, v$p.cnt
                FROM sym$p s1 JOIN sym$p s2 ON s1.w = s2.w AND s2.i = s1.i + 1
                JOIN v$p ON v$p.w = s1.w),
           top$r AS (SELECT a2 AS a, b2 AS b, CAST(SUM(cnt) AS BIGINT) AS c
@@ -76,22 +75,62 @@ private[graft] trait GateSupport {
           sym$r AS (SELECT w, CAST(row_number() OVER (PARTITION BY w ORDER BY i) AS BIGINT) AS i, s
                     FROM out$r WHERE skip = 0),
           v$r AS (SELECT w, cnt FROM v$p)"""
-    }
-    val rounds = (1 to 4).map(round).mkString(",\n")
-    s"""WITH wf AS (SELECT word, count(*) AS cnt FROM (
-                  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
-                  FROM documents) q WHERE length(word) >= 2 GROUP BY word),
-        v0 AS (SELECT word AS w, cnt FROM wf),
-        sym0 AS (SELECT word AS w,
-                        generate_subscripts(string_split(word, ''), 1)::BIGINT AS i,
-                        unnest(string_split(word, '')) AS s
-                 FROM wf),
+  }
+
+  protected lazy val bpeMergesOracle: String = {
+    val rounds = (1 to 4).map(bpeMergesOracleRound).mkString(",\n")
+    s"""WITH $bpeChainSql,
         $rounds
         SELECT CAST(1 AS BIGINT) AS rank, a AS sym_a, b AS sym_b, a || b AS merged, c AS pair_count FROM top1
         UNION ALL SELECT 2, a, b, a || b, c FROM top2
         UNION ALL SELECT 3, a, b, a || b, c FROM top3
         UNION ALL SELECT 4, a, b, a || b, c FROM top4
         ORDER BY rank"""
+  }
+
+  /** The shared head of both BPE oracles: word-frequency collapse and
+    * the character-level symbol table the 4 unrolled merge rounds
+    * consume. */
+  private lazy val bpeChainSql: String =
+    """wf AS (SELECT word, count(*) AS cnt FROM (
+                  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+                  FROM documents) q WHERE length(word) >= 2 GROUP BY word),
+        v0 AS (SELECT word AS w, cnt FROM wf),
+        sym0 AS (SELECT word AS w,
+                        generate_subscripts(string_split(word, ''), 1)::BIGINT AS i,
+                        unnest(string_split(word, '')) AS s
+                 FROM wf)"""
+
+  /** [[graft.operators.TextCorpus.bpeEncode]]'s twin: after the same 4
+    * unrolled training rounds, `sym4` IS the word → merged-symbol table
+    * — aggregate it per word, then re-attach to every document's word
+    * positions. Words the training vocab never saw (single characters —
+    * wf filters length ≥ 2) encode as themselves via the left-join
+    * fallback, exactly the no-pairs-possible fold result. */
+  protected lazy val bpeEncodeOracle: String = {
+    val rounds = (1 to 4)
+      .map(r => bpeMergesOracleRound(r)).mkString(",\n")
+    s"""WITH $bpeChainSql,
+        $rounds,
+        enc AS (SELECT w, CAST(count(*) AS BIGINT) AS n_syms,
+                       string_agg(s, ' ' ORDER BY i) AS syms_text
+                FROM sym4 GROUP BY w),
+        docw AS (SELECT doc_id, i AS pos, w FROM (
+                   SELECT doc_id,
+                          generate_subscripts(a, 1)::BIGINT AS i,
+                          unnest(a) AS w
+                   FROM (SELECT doc_id,
+                                regexp_split_to_array(lower(text), '[^a-z]+') AS a
+                         FROM documents) q) qq
+                 WHERE length(w) >= 1),
+        j AS (SELECT d.doc_id, d.pos,
+                     coalesce(e.n_syms, CAST(1 AS BIGINT)) AS n_syms,
+                     coalesce(e.syms_text, d.w) AS syms_text
+              FROM docw d LEFT JOIN enc e ON e.w = d.w)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_syms) AS BIGINT) AS n_tokens,
+               string_agg(syms_text, ' ' ORDER BY pos) AS tokens_text
+        FROM j GROUP BY doc_id ORDER BY doc_id"""
   }
 
   protected val pagerankOracle: String = {

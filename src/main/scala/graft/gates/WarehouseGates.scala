@@ -470,6 +470,19 @@ private[graft] trait WarehouseGates extends GateSupport {
     graft.operators.TextCorpus.bpeTrainMerges(t(s, dir, "documents"), "text", nMerges = 4)
       .orderBy("rank")
 
+  /** The tokenizer's SERVING half ([[graft.operators.TextCorpus
+    * .bpeEncode]]): encode the corpus with the round-4 trained merges —
+    * per doc, word/token counts and the full merged-symbol sequence.
+    * The oracle re-derives the same merges (the bpe_merges chain) and
+    * re-applies them via the run-parity windows, so any drift in the
+    * greedy-leftmost application diverges the token text. */
+  protected def bpeEncodeGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.TextCorpus.bpeEncode(docs,
+        graft.operators.TextCorpus.bpeTrainMerges(docs, "text", nMerges = 4))
+      .orderBy("doc_id")
+  }
+
   protected def warehouseGateQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_intervals" -> scd2Intervals _,
     "scd2_point_lookup" -> scd2PointLookup _,
@@ -501,6 +514,7 @@ private[graft] trait WarehouseGates extends GateSupport {
     "media_fingerprint_dups" -> mediaFingerprintDups _,
     "video_content_dups" -> videoContentDupsGate _,
     "bpe_merges" -> bpeMerges _,
+    "bpe_encode" -> bpeEncodeGate _,
   )
 
   protected def warehouseGateOracles: Map[String, String] = Map(
@@ -535,6 +549,7 @@ private[graft] trait WarehouseGates extends GateSupport {
            columns={'id_a':'BIGINT','id_b':'BIGINT','hamming':'BIGINT','modality':'VARCHAR'})
          ORDER BY modality, id_a, id_b""",
     "bpe_merges" -> bpeMergesOracle,
+    "bpe_encode" -> bpeEncodeOracle,
     "video_content_dups" ->
       // golden CSV (codec-backed); cross-video pairs are real — the
       // synthetic frames share gradient structure, so exact frame-hash

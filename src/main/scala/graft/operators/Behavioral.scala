@@ -423,30 +423,30 @@ object Behavioral {
     * agree bucket-for-bucket.
     *
     * Shape: ONE corpus-sized keyed aggregation (map-side combined)
-    * collapses events to the |entities| frame; the three `ntile`
-    * windows then run over that reduced frame — a single-partition sort
-    * of |entities| rows, the same reduced-frame trade every rank-rule
-    * gate documents (entities ≪ events by orders of magnitude; when
-    * even |entities| outgrows one partition, the exact-quantile
-    * bisection in Stats.exactQuantilesBisect supplies the cut points
-    * distributively). */
+    * collapses events to the |entities| frame; the three tilings then
+    * run DISTRIBUTED over that reduced frame via
+    * [[Stats.distributedNtile]] (range-repartitioned parallel rank, the
+    * rangePrefixSum idiom) — at 10⁹ entities no single task ever sorts
+    * the whole frame, and the rank→bucket arithmetic is bit-identical
+    * to the global `ntile` window it replaces. */
   def rfmScores(
       events: DataFrame, idCol: String, ordCol: String, valueCol: String,
       tiles: Int = 5): DataFrame = {
     require(tiles >= 2, s"tiles must be >= 2: $tiles")
-    import org.apache.spark.sql.expressions.Window
     val u = events.groupBy(col(idCol))
       .agg(
         max(col(ordCol)).as("recency"),
         count(lit(1)).as("frequency"),
         sum(col(valueCol).cast("decimal(30,6)")).as("monetary"))
-    def tile(metric: String) =
-      ntile(tiles).over(Window.orderBy(col(metric), col(idCol))).cast("long")
-    u.select(col(idCol), col("recency"), col("frequency"),
+    val tiled = Seq("recency" -> "r_score", "frequency" -> "f_score",
+        "monetary" -> "m_score")
+      .foldLeft(u) { case (acc, (metric, out)) =>
+        Stats.distributedNtile(acc, tiles, Nil,
+          Seq(col(metric), col(idCol)), out)
+      }
+    tiled.select(col(idCol), col("recency"), col("frequency"),
         col("monetary").cast("double").as("monetary"),
-        tile("recency").as("r_score"),
-        tile("frequency").as("f_score"),
-        tile("monetary").as("m_score"))
+        col("r_score"), col("f_score"), col("m_score"))
       .withColumn("rfm",
         col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
   }

@@ -379,18 +379,15 @@ object Sampling {
     * deterministic and engine-portable (ntile's earlier-buckets-get-the-
     * remainder distribution is the SQL standard on both engines).
     *
-    * Shape: one keyed exchange + per-group sort. A group is a language
-    * (tens to hundreds) so per-group volume is corpus-sized at 100 TB —
-    * when a single group outgrows one task, the exact-quantile bisection
-    * ([[Stats.exactQuantilesBisect]], the rfmScores adjudication)
-    * supplies cut points without a per-group total sort. */
+    * Shape: a group is a language (tens to hundreds) so per-group
+    * volume is corpus-sized at 100 TB — the tiling therefore runs
+    * distributed via [[Stats.distributedNtile]] (range-repartitioned
+    * parallel rank; no group ever sorts in one task), bit-identical to
+    * the per-group `ntile` window it replaces. */
   def scoreBuckets(
       df: DataFrame, by: Seq[String], score: Column, tie: Column,
       k: Int): DataFrame = {
     require(k >= 2, s"bucket count k=$k must be >= 2")
-    df.withColumn(
-      "bucket",
-      ntile(k).over(Window.partitionBy(by.map(col): _*).orderBy(score, tie))
-        .cast("long"))
+    Stats.distributedNtile(df, k, by, Seq(score, tie), "bucket")
   }
 }

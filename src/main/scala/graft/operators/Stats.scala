@@ -789,15 +789,15 @@ object Stats {
     * convention) so every emitted value is an exact integer; no
     * engine-varying bin-edge float arithmetic exists anywhere.
     *
-    * Shape: one keyed ranking window (sort bounded per group) + one
-    * aggregate to |groups|×bins rows. */
+    * Shape: the tiling runs distributed via [[distributedNtile]] (no
+    * group ever sorts in one task — a scorer eval's groups are few and
+    * data-sized), then one aggregate to |groups|×bins rows. */
   def calibrationBins(
       df: DataFrame, groupCol: String, scoreCol: String, labelCol: String,
       tieCols: Seq[String], bins: Int = 10): DataFrame = {
     require(bins >= 2, s"bins must be >= 2: $bins")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy((col(scoreCol) +: tieCols.map(col)): _*)
-    df.withColumn("bin", ntile(bins).over(w).cast("long"))
+    distributedNtile(df, bins, Seq(groupCol),
+      col(scoreCol) +: tieCols.map(col), "bin")
       .groupBy(col(groupCol), col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("n_pos"),
@@ -926,6 +926,71 @@ object Stats {
     cum.join(broadcast(offsets), Seq("_pid"))
       .withColumn(outCol, col("_off") + col("_cum"))
       .drop("_pp_val", "_pid", "_cum", "_off")
+  }
+
+  /** Exact `ntile(tiles)` over a (grouped) TOTAL order WITHOUT funneling
+    * any group into one task — the distributed twin of
+    * `ntile(k).over(Window.partitionBy(grp).orderBy(...))`, built on the
+    * [[rangePrefixSum]] idiom: range-repartition on (group, order) so
+    * each group's rows land in contiguous partitions, `row_number`
+    * PER (physical partition × group) — parallel sort runs bounded by
+    * partition size, not group size — then broadcast back a
+    * |partitions|·|groups|-row offsets frame carrying each slice's
+    * global rank offset and its group's total count. The rank→bucket
+    * arithmetic is the SQL-standard ntile distribution (first n mod k
+    * buckets get ⌈n/k⌉), all integer `div` — bit-identical to the
+    * windowed form on both engines, so swapping a gate site onto this
+    * path changes no hashes.
+    *
+    * This is the fallback the rfmScores/equi-depth/calibration docs
+    * promised: a GLOBAL (or few-group) ntile window sorts the whole
+    * frame in ONE task — fine on an |entities| reduced frame, a funnel
+    * at 10⁹ entities. Here the only single-task work is the bounded
+    * offsets frame (|partitions|·|groups| rows, configuration-sized).
+    *
+    * `partitionCols ++ orderCols` must be a UNIQUE total order per
+    * group (callers tie-break by id — the equi-depth-decile convention);
+    * the range-partitioned frame is localCheckpoint'd because range
+    * boundaries are sampled and the rank branch and offsets branch must
+    * see the same draw. */
+  def distributedNtile(
+      df: DataFrame, tiles: Int, partitionCols: Seq[String],
+      orderCols: Seq[Column], outCol: String): DataFrame = {
+    require(tiles >= 2, s"tiles must be >= 2: $tiles")
+    require(orderCols.nonEmpty, "distributedNtile needs order columns")
+    val parts =
+      math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val local = df
+      .repartitionByRange(parts, (partitionCols.map(col) ++ orderCols): _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val slice = col("_pid") +: partitionCols.map(col)
+    val lw = Window.partitionBy(slice: _*).orderBy(orderCols: _*)
+    val cum = local.withColumn("_rn", row_number().over(lw).cast("long"))
+    // offsets: per (partition, group) slice — its global rank offset is
+    // the sum of EARLIER partitions' slice counts within the same group;
+    // _n is the group total. Both windows run on the bounded frame.
+    val agg = local.groupBy(slice: _*).agg(count(lit(1)).as("_ptot"))
+    val offW = Window.partitionBy(partitionCols.map(col): _*).orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totW = Window.partitionBy(partitionCols.map(col): _*)
+    val offsets = agg
+      .withColumn("_off", coalesce(sum("_ptot").over(offW), lit(0L)))
+      .withColumn("_n", sum("_ptot").over(totW))
+      .select(slice ++ Seq(col("_off"), col("_n")): _*)
+    cum.join(broadcast(offsets), "_pid" +: partitionCols)
+      .withColumn("_rank", col("_off") + col("_rn"))
+      .withColumn("_q", expr(s"_n div $tiles"))
+      .withColumn("_r", col("_n") % tiles)
+      // standard ntile: ranks 1.._r*(_q+1) fill the big buckets, the
+      // rest the small ones; greatest(_q, 1) keeps the untaken branch
+      // from dividing by zero when n < tiles (every row is then a big
+      // bucket of size 1)
+      .withColumn(outCol,
+        when(col("_rank") <= col("_r") * (col("_q") + 1L),
+          expr("(_rank - 1) div (_q + 1) + 1"))
+          .otherwise(expr("_r + (_rank - _r * (_q + 1) - 1) div greatest(_q, 1) + 1")))
+      .drop("_pid", "_rn", "_off", "_n", "_rank", "_q", "_r")
   }
 
   /** Mann–Whitney U (Wilcoxon rank-sum) between two groups — the

@@ -655,26 +655,88 @@ object TextCorpus {
         val c = top(0).getLong(2)
         val ab = a + b
         merges += ((r.toLong, a, b, ab, c))
-        // Greedy leftmost fold (symbols are [a-z]+, safe to inline):
-        // append each symbol, but when the last built symbol is `a` and
-        // the incoming one is `b`, replace the last with the merged
-        // symbol. Equivalent to the textbook scan: a merged symbol can
-        // never re-match as `a` of the same pair (merged = a+b ≠ a),
-        // so runs resolve leftmost-first — "aaaa" → [aa, aa].
-        vocab = vocab.select(expr(
-          s"""aggregate(syms,
-                named_struct('res', cast(array() as array<string>)),
-                (acc, x) -> CASE
-                  WHEN size(acc.res) > 0 AND element_at(acc.res, -1) = '$a' AND x = '$b'
-                    THEN named_struct('res',
-                      concat(slice(acc.res, 1, size(acc.res) - 1), array('$ab')))
-                  ELSE named_struct('res', concat(acc.res, array(x))) END,
-                acc -> acc.res)""").as("syms"), col("cnt"))
+        // Greedy leftmost fold: see [[mergeFoldExpr]].
+        vocab = vocab.select(expr(mergeFoldExpr(a, b, ab)).as("syms"), col("cnt"))
           .localCheckpoint()
         r += 1
       }
     }
     merges.result().toDF("rank", "sym_a", "sym_b", "merged", "pair_count")
+  }
+
+  /** Greedy leftmost merge application as an `aggregate` HOF fold
+    * (symbols are [a-z]+, safe to inline): append each symbol, but when
+    * the last built symbol is `a` and the incoming one is `b`, replace
+    * the last with the merged symbol. Equivalent to the textbook scan:
+    * a merged symbol can never re-match as `a` of the same pair
+    * (merged = a+b ≠ a), so runs resolve leftmost-first — "aaaa" →
+    * [aa, aa]. Shared by [[bpeTrainMerges]] (training) and
+    * [[bpeEncode]] (serving) so the two paths can never drift. */
+  private def mergeFoldExpr(a: String, b: String, ab: String): String =
+    s"""aggregate(syms,
+          named_struct('res', cast(array() as array<string>)),
+          (acc, x) -> CASE
+            WHEN size(acc.res) > 0 AND element_at(acc.res, -1) = '$a' AND x = '$b'
+              THEN named_struct('res',
+                concat(slice(acc.res, 1, size(acc.res) - 1), array('$ab')))
+            ELSE named_struct('res', concat(acc.res, array(x))) END,
+          acc -> acc.res)"""
+
+  /** The tokenizer's SERVING path — encode documents with a TRAINED
+    * merge table ([[bpeTrainMerges]]' output, or any (rank, sym_a,
+    * sym_b, merged) frame): per word, start from characters and apply
+    * every merge in rank order with the same greedy leftmost fold
+    * training used (Sennrich et al. 2016 apply merges "in the order
+    * they were learned"). Output per document: `n_words`, `n_tokens`
+    * (total symbols after merging), and `tokens_text` (the symbol
+    * sequence in word order, space-joined) — all exact.
+    *
+    * 100 TB shape: the corpus collapses to its DISTINCT-word table
+    * once (the Heaps'-law plateau — ~10⁶–10⁷ rows regardless of corpus
+    * size); every merge round is then corpus-free (a projection over
+    * the word table, localCheckpoint-pinned like training). The only
+    * corpus-sized work is the final (word → symbols) equi-join and the
+    * per-doc rebuild — one keyed shuffle each, with the word table
+    * small enough that AQE broadcasts it in practice. The merge table
+    * itself is ≤64 rows by the training cap and collects to the
+    * driver (bounded by construction). */
+  def bpeEncode(
+      docs: DataFrame, merges: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), "[^a-z]+")))
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
+      .filter(length(col("word")) >= 1)
+    var vocab = words.select("word").distinct()
+      .select(col("word"), expr("filter(split(word, ''), s -> s <> '')").as("syms"))
+      .localCheckpoint()
+    val ms = merges.orderBy("rank")
+      .select("sym_a", "sym_b", "merged").collect()
+    ms.foreach { row =>
+      val (a, b, ab) = (row.getString(0), row.getString(1), row.getString(2))
+      // the fold inlines these into SQL text — enforce the alphabet the
+      // training path guarantees rather than trust the caller's frame
+      require(Seq(a, b, ab).forall(_.matches("[a-z]+")),
+        s"merge symbols must be [a-z]+, got ($a, $b, $ab)")
+      require(ab == a + b, s"merged symbol $ab != $a + $b")
+      vocab = vocab.select(col("word"), expr(mergeFoldExpr(a, b, ab)).as("syms"))
+        .localCheckpoint()
+    }
+    val encoded = vocab.select(
+      col("word"),
+      size(col("syms")).cast("long").as("n_syms"),
+      array_join(col("syms"), " ").as("syms_text"))
+    words.join(encoded, Seq("word"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("n_syms").as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("syms_text").as("t")))),
+            x => x.getField("t")),
+          " ").as("tokens_text"))
   }
 
   /** Distinct (doc, line) pairs with an md5 line digest — the shared

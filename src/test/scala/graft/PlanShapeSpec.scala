@@ -82,6 +82,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!single, s"corpus_shuffle degenerated to a single-partition window:\n$p")
   }
 
+  test("equi-depth tilings rank per physical slice, never one global ntile sort") {
+    // distributedNtile (r12 verdict #4): the data-sized rank must be a
+    // row_number window partitioned by the physical slice id (_pid) —
+    // parallel — and no windowed ntile may remain (a global/per-group
+    // ntile funnels the frame into one task per group). The bounded
+    // offsets windows (SinglePartition over |partitions|·|groups| rows)
+    // are configuration-sized by construction and exempt.
+    Seq("rfm_scores", "price_equidepth", "calibration_bins",
+        "length_deciles", "ccnet_buckets").foreach { q =>
+      val p = finalPlan(q)
+      assert(!p.contains("ntile("), s"$q still plans a windowed ntile:\n$p")
+      val rankLines = p.split('\n').filter(_.contains("row_number()"))
+      assert(rankLines.nonEmpty, s"$q lost its distributed rank window:\n$p")
+      rankLines.foreach { l =>
+        assert(l.contains("_pid"),
+          s"$q ranks without the physical-slice key (one-task sort?): $l")
+      }
+    }
+  }
+
+  test("html extraction rides the scan: no join, no aggregate, one presentation sort") {
+    // document→content is a pure projection (nested HOFs over the block
+    // array); the block-detail twin adds one narrow posexplode. The ONLY
+    // exchange either may plan is the gate's own orderBy.
+    Seq("html_extract", "html_extract_text").foreach { q =>
+      val p = finalPlan(q)
+      assert(count(p, "Join") === 0, s"$q plans a join:\n$p")
+      assert(count(p, "HashAggregate") === 0, s"$q plans an aggregate:\n$p")
+      assert(count(p, "Exchange") <= 1, s"$q shuffles beyond the output sort:\n$p")
+    }
+  }
+
   test("source overlap joins on digests, never cartesian") {
     val p = finalPlan("source_overlap")
     assert(count(p, "CartesianProduct") === 0)

@@ -430,6 +430,40 @@ class TextCorpusSpec extends AnyFunSuite {
       (3L, "ab", "ab", "abab", 2L)))
   }
 
+  test("bpeEncode applies trained merges in rank order, greedy leftmost") {
+    val docs = Seq((1L, "aaaa abab"), (2L, "abab cddd")).toDF("doc_id", "text")
+    val merges = TextCorpus.bpeTrainMerges(docs, "text", nMerges = 3)
+    val out = TextCorpus.bpeEncode(docs, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // merges: (a,b)→ab, (a,a)→aa, (ab,ab)→abab
+    // "aaaa" → after ab: unchanged; after aa: [aa,aa]; after abab: same
+    // "abab" → [ab,ab] → [abab]; "cddd" → [c,d,d,d] (no merge applies
+    // to c/d pairs except none trained) → stays 4 symbols
+    assert(out(1L) === ((2L, 3L, "aa aa abab")))
+    assert(out(2L) === ((2L, 5L, "abab c d d d")))
+  }
+
+  test("bpeEncode: single-char and untrained words encode as themselves") {
+    val docs = Seq((1L, "a zq")).toDF("doc_id", "text")
+    val merges = Seq((1L, "z", "x", "zx")).toDF("rank", "sym_a", "sym_b", "merged")
+    val out = TextCorpus.bpeEncode(docs, merges).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq((2L, 3L, "a z q")))
+  }
+
+  test("bpeEncode rejects merge symbols outside [a-z]+ and inconsistent merges") {
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextCorpus.bpeEncode(docs,
+        Seq((1L, "a'", "b", "a'b")).toDF("rank", "sym_a", "sym_b", "merged"))
+    }
+    intercept[IllegalArgumentException] {
+      TextCorpus.bpeEncode(docs,
+        Seq((1L, "a", "b", "ba")).toDF("rank", "sym_a", "sym_b", "merged"))
+    }
+  }
+
   test("bpeTrainMerges stops early when no pairs remain") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val m = TextCorpus.bpeTrainMerges(docs, "text", nMerges = 5).collect()
