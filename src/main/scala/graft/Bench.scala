@@ -1092,18 +1092,30 @@ object Bench {
       val raw = spark.read.parquet(s"$sfDir/documents.parquet")
       val kept = raw.join(
         TextCorpus.qualityFlags(raw).filter(col("keep")).select("doc_id"), "doc_id")
-      val exact = Dedup.exactDedup(kept, "text", "doc_id")
+      val exact = Dedup.exactDedup(kept, "text", "doc_id").localCheckpoint()
       val pairs = Dedup.nearDupPairs(exact, "text", "doc_id", threshold = 0.5)
       val groups = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
       val drop = groups.filter(col("id") =!= col("component"))
         .select(col("id").as("doc_id"))
+      // MATERIALIZE at the fan-out frames (r13, from the per-stage
+      // breakdown): `deduped` feeds both the contamination probe and
+      // the clean anti-join, and `clean` feeds THREE terminal actions
+      // (mixture plan, packing, shard shuffle) plus the weights frame.
+      // Left fused, Spark re-derived the whole upstream once per
+      // consumer — 17.4 s for 6.9 s of actual stage work at sf0.1. A
+      // production corpus build persists exactly these two boundaries
+      // (stage outputs land on disk between phases); the single-
+      // consumer chains on either side stay fused so cross-stage
+      // planning is still exercised.
       val deduped = exact.join(drop, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       val bench = raw.orderBy("doc_id").limit(5)
         .select((col("doc_id") + 900000).as("doc_id"), col("text"))
       val contaminated = Dedup.contamination(deduped, bench, "text", "doc_id",
           minOverlap = 150)
         .select(col("corpus_id").as("doc_id")).distinct()
       val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       val split = clean.withColumn("split",
         Sampling.deterministicSplit(col("doc_id"), salt = "bench-v1", trainPct = 80, valPct = 10))
       val train = split.filter(col("split") === "train")

@@ -48,7 +48,9 @@ object PipelineDemo {
         val groups = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
         val drop = groups.filter(col("id") =!= col("component"))
           .select(col("id").as("doc_id"))
-        val out = exact.join(drop, Seq("doc_id"), "left_anti")
+        // materialize: the demo's counts and every later stage fan out
+        // from this frame (the Bench macro scenario's r13 adjudication)
+        val out = exact.join(drop, Seq("doc_id"), "left_anti").localCheckpoint()
         println(s"  $nPairs pairs → kept ${out.count()} (min-id survivor per cluster)")
         out
       }
@@ -63,6 +65,7 @@ object PipelineDemo {
         minOverlap = 150)
       .select(col("corpus_id").as("doc_id")).distinct()
     val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     println(s"  removed ${deduped.count() - clean.count()} contaminated docs " +
       s"(8-gram overlap vs ${bench.count()} benchmark docs)")
 

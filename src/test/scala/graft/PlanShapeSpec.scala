@@ -904,11 +904,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Window") === 0, s"grouped state windows:\n$p")
   }
 
-  test("ccnet buckets: one keyed window (per-group ntile), nothing global or joined") {
+  test("ccnet buckets: distributed tiling — slice-keyed rank, offsets BROADCAST back") {
+    // r13: scoreBuckets moved onto Stats.distributedNtile. The rank
+    // window is slice-partitioned (covered by the equi-depth pin too);
+    // the one join is the bounded offsets frame and must stay a
+    // broadcast — a sort-merge here would mean the
+    // |partitions|·|groups| frame stopped being recognized as tiny.
     val p = finalPlan("ccnet_buckets")
     assert(count(p, "Window") >= 1, "bucket split lost its window")
-    assert(count(p, "BroadcastHashJoin") + count(p, "SortMergeJoin") === 0,
-      s"bucket split joins:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 1, s"offsets join lost its broadcast:\n$p")
+    assert(count(p, "SortMergeJoin") === 0, s"bucket split sort-merge joins:\n$p")
   }
 
   test("distinct-n diversity: ngrams build inside the row; word-count-shaped aggregation only") {
