@@ -285,6 +285,70 @@ private[graft] trait CorpusGates extends GateSupport {
       .withColumn("content_len", length(col("content")).cast("long"))
       .orderBy("doc_id")
 
+  // ---- Link fixture: anchors with the extraction traps --------------
+
+  /** Page fixture for the outlink gates: a script DECOY href (must not
+    * extract — chrome is stripped first), a double-quoted absolute link
+    * with case/www/tracking mess, a single-quoted link, a relative
+    * link (host '' downstream), and an every-second-doc ad link. */
+  private def htmlLinksCol: Column = {
+    val id = col("doc_id").cast("string")
+    concat(
+      lit("<html><head><script>var u='<a href=\"http://fake.example.org/x\">';</script></head><body>"),
+      lit("<a href=\"HTTPS://WWW."), col("source"),
+      lit(".Example.COM/a/"), id, lit("?utm_source=x&b=2\">one</a>"),
+      lit("<a class='m' href='http://blog."), col("source"),
+      lit(".example.org/p'>two</a>"),
+      lit("<a href=\"/relative/"), id, lit("\">rel</a>"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("<a href=\"http://ad.example.net/t?y=1#f\">ad</a>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+  }
+
+  private val htmlLinksSql: String =
+    """'<html><head><script>var u=''<a href="http://fake.example.org/x">'';</script></head><body>'
+       || '<a href="HTTPS://WWW.' || source || '.Example.COM/a/' || CAST(doc_id AS VARCHAR) || '?utm_source=x&b=2">one</a>'
+       || '<a class=''m'' href=''http://blog.' || source || '.example.org/p''>two</a>'
+       || '<a href="/relative/' || CAST(doc_id AS VARCHAR) || '">rel</a>'
+       || CASE WHEN doc_id % 2 = 0 THEN '<a href="http://ad.example.net/t?y=1#f">ad</a>' ELSE '' END
+       || '</body></html>'"""
+
+  /** hostOf in SQL — the [[graft.operators.Web.hostOf]] twin shared by
+    * the link gates (first-`://` split, first `/`/`?`/`#` cut,
+    * lowercase, `www.` strip, `:port` drop). `expr` names the href
+    * column. */
+  private def hostOfSql(expr: String): String =
+    s"""regexp_replace(lower(split_part(split_part(split_part(split_part(
+          CASE WHEN instr($expr, '://') > 0
+               THEN substr($expr, instr($expr, '://') + 3) ELSE $expr END,
+          '/', 1), '?', 1), '#', 1), ':', 1)), '^www\\.', '')"""
+
+  /** Outlink extraction detail ([[graft.operators.Html.extractLinks]]):
+    * one row per extracted href with its 1-based position and host. */
+  protected def htmlLinks(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.operators.Html.extractLinks(htmlLinksCol)))
+      .select(col("doc_id"), (col("pos") + 1L).cast("long").as("link_no"),
+        col("col").as("href"),
+        Web.hostOf(col("col")).as("host"))
+      .orderBy("doc_id", "link_no")
+
+  /** The crawl link graph: each document's own (canonical-fixture) host
+    * → every ABSOLUTE outlink's host, aggregated to weighted edges —
+    * the frame [[graft.operators.Graph.pageRank]]/`hits` consume. One
+    * explode + one keyed aggregate; relative links (host '') drop. */
+  protected def linkHostGraph(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(Web.hostOf(urlCol).as("src_host"),
+        explode(graft.operators.Html.extractLinks(htmlLinksCol)).as("href"))
+      .select(col("src_host"), Web.hostOf(col("href")).as("dst_host"))
+      .filter(col("dst_host") =!= "")
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_links"))
+      .orderBy("src_host", "dst_host")
+
   /** NFC normalization via the native [[graft.functions.UnicodeNormalize]]
     * expression, against DuckDB's nfc_normalize — the fixture mixes a
     * combining-mark sequence (composes), the Angstrom singleton (folds
@@ -565,6 +629,8 @@ private[graft] trait CorpusGates extends GateSupport {
     "vocab_chao1" -> vocabChao1 _,
     "html_extract" -> htmlExtract _,
     "html_extract_text" -> htmlExtractText _,
+    "html_links" -> htmlLinks _,
+    "link_host_graph" -> linkHostGraph _,
   )
 
   /** A half-table CMS counter CTE named `alias` over events with
@@ -598,7 +664,44 @@ private[graft] trait CorpusGates extends GateSupport {
                                      ELSE 55 - length(bin(suffix)) END) AS rho
                      FROM b GROUP BY bucket)"""
 
+  /** deChrome in SQL (script/style/comment removal) over column `c`. */
+  private def deChromeSql(c: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($c,
+          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g')"""
+
+  /** Href extraction in SQL — [[graft.operators.Html.extractLinks]]'s
+    * twin over chrome-stripped column `h`: double- then single-quoted
+    * matches, concatenated in that order. */
+  private val hrefsSql: String =
+    """list_concat(
+         regexp_extract_all(h, '(?is)<a\s[^>]*href\s*=\s*"([^"]*)"', 1),
+         regexp_extract_all(h, '(?is)<a\s[^>]*href\s*=\s*''([^'']*)''', 1))"""
+
   protected def corpusGateOracles: Map[String, String] = Map(
+    "html_links" ->
+      s"""WITH d AS (SELECT doc_id, $htmlLinksSql AS html FROM documents),
+          c AS (SELECT doc_id, ${deChromeSql("html")} AS h FROM d),
+          l AS (SELECT doc_id, $hrefsSql AS hrefs FROM c),
+          e AS (SELECT doc_id,
+                       unnest([struct_pack(ln := i, href := hrefs[i])
+                               FOR i IN range(1, len(hrefs) + 1)]) AS u
+                FROM l)
+          SELECT doc_id, CAST(u.ln AS BIGINT) AS link_no, u.href AS href,
+                 ${hostOfSql("u.href")} AS host
+          FROM e ORDER BY doc_id, link_no""",
+    "link_host_graph" ->
+      s"""WITH d AS (SELECT doc_id, $urlSql AS url, $htmlLinksSql AS html
+                     FROM documents),
+          c AS (SELECT doc_id, url, ${deChromeSql("html")} AS h FROM d),
+          l AS (SELECT doc_id, ${hostOfSql("url")} AS src_host,
+                       $hrefsSql AS hrefs
+                FROM c),
+          e AS (SELECT src_host, unnest(hrefs) AS href FROM l),
+          g AS (SELECT src_host, ${hostOfSql("href")} AS dst_host FROM e)
+          SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+          FROM g WHERE dst_host <> '' GROUP BY 1, 2 ORDER BY 1, 2""",
     "html_extract" ->
       s"""$htmlBlocksSql
          SELECT doc_id, block_no,

@@ -138,6 +138,25 @@ object Html {
           col("n_stop"), densityX10, minWords, minStopPct))
   }
 
+  /** Outlink extraction — the crawl-frontier / link-graph stage: every
+    * `<a href="…">` (double- then single-quoted, in that order) from
+    * the chrome-stripped document, as ONE zero-shuffle array column.
+    * Script/style/comment payloads are removed FIRST, so an href-shaped
+    * string inside JavaScript never becomes an edge. Values come back
+    * verbatim (relative links included — [[Web.hostOf]] yields '' for
+    * those, which is the downstream absolute-only filter); compose with
+    * [[Web.normalizeUrl]]/[[Web.hostOf]] for the host→host graph that
+    * feeds [[Graph.pageRank]]/[[Graph.hits]]. Java∩RE2 regexes, same
+    * contract as the extraction pipeline. */
+  def extractLinks(html: Column): Column = {
+    val h = deChrome(html)
+    concat(
+      regexp_extract_all(h,
+        lit("""(?is)<a\s[^>]*href\s*=\s*"([^"]*)""""), lit(1)),
+      regexp_extract_all(h,
+        lit("""(?is)<a\s[^>]*href\s*=\s*'([^']*)'"""), lit(1)))
+  }
+
   /** The zero-shuffle extraction: document → content as ONE column
     * expression (nested higher-order functions over the block array —
     * no explode, no aggregation, no exchange; the 100 TB path is a

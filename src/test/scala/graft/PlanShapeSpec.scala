@@ -114,6 +114,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("link extraction rides the scan; the host graph is one keyed aggregate, no join") {
+    val pl = finalPlan("html_links")
+    assert(count(pl, "Join") === 0, s"html_links plans a join:\n$pl")
+    assert(count(pl, "HashAggregate") === 0, s"html_links aggregates:\n$pl")
+    assert(count(pl, "Exchange") <= 1, s"html_links shuffles beyond the sort:\n$pl")
+    val pg = finalPlan("link_host_graph")
+    assert(count(pg, "Join") === 0, s"link graph joins:\n$pg")
+    assert(count(pg, "HashAggregate") >= 2, s"link graph lost map-side combine:\n$pg")
+  }
+
   test("source overlap joins on digests, never cartesian") {
     val p = finalPlan("source_overlap")
     assert(count(p, "CartesianProduct") === 0)

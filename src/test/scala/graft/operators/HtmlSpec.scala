@@ -81,6 +81,26 @@ class HtmlSpec extends AnyFunSuite {
     assert(lax.select("keep").as[Boolean].head())
   }
 
+  test("extractLinks: doubles then singles, script decoys never extract") {
+    val page2 =
+      """<html><head><script>var u='<a href="http://fake.example.org/x">';</script></head>""" +
+        """<body><a href="http://a.example.com/1">one</a>""" +
+        """<a class='m' href='http://b.example.org/2'>two</a>""" +
+        """<a href="/rel">three</a><a name="anchor">no href</a></body></html>"""
+    val links = Seq((1L, page2)).toDF("doc_id", "html")
+      .select(Html.extractLinks(col("html")).as("l"))
+      .as[Seq[String]].head()
+    assert(links === Seq("http://a.example.com/1", "/rel", "http://b.example.org/2"))
+  }
+
+  test("extractLinks composes with Web.hostOf for the link graph") {
+    val page2 = """<a href="HTTPS://WWW.X.Example.COM:443/p?utm_source=t">x</a>"""
+    val host = Seq((1L, page2)).toDF("doc_id", "html")
+      .select(explode(Html.extractLinks(col("html"))).as("href"))
+      .select(Web.hostOf(col("href")).as("h")).as[String].head()
+    assert(host === "x.example.com")
+  }
+
   test("empty and tags-only documents yield no blocks and empty content") {
     val df = Seq((1L, ""), (2L, "<html><body></body></html>")).toDF("doc_id", "html")
     assert(Html.htmlBlocks(df, "doc_id", "html").count() === 0L)
