@@ -349,6 +349,37 @@ private[graft] trait CorpusGates extends GateSupport {
       .agg(count(lit(1)).as("n_links"))
       .orderBy("src_host", "dst_host")
 
+  /** Crawl-policy filter ([[graft.operators.Web.policyFilter]], RFC
+    * 9309 longest-prefix robots semantics) over the urlCol fixture,
+    * with a rule table derived from the corpus' sources that plants
+    * every semantic trap: longest-wins (`/articles/` disallowed but
+    * `/articles/1` re-allowed — ids starting with 1 escape), allow wins
+    * the same-length tie (`/plain` listed both ways), a longer allow
+    * beating a shorter disallow (`/index.html` vs `/index`), and a
+    * rule-less host (blog.*) defaulting to allowed. */
+  protected def crawlPolicyFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sources = docs.select("source").distinct()
+    def rule(host: Column, prefix: String, allow: Boolean) =
+      sources.select(host.as("host"), lit(prefix).as("path_prefix"),
+        lit(allow).as("allow"))
+    val com = concat(col("source"), lit(".example.com"))
+    val couk = concat(col("source"), lit(".example.co.uk"))
+    val rules = rule(com, "/", true)
+      .unionByName(rule(com, "/articles/", false))
+      .unionByName(rule(com, "/articles/1", true))
+      .unionByName(rule(com, "/plain", true))
+      .unionByName(rule(com, "/plain", false))
+      .unionByName(rule(concat(lit("cdn."), com), "/assets/", false))
+      .unionByName(rule(concat(lit("media."), com), "/redirect", false))
+      .unionByName(rule(couk, "/index", false))
+      .unionByName(rule(couk, "/index.html", true))
+    Web.policyFilter(
+        docs.select(col("doc_id"), urlCol.as("url")), "doc_id", "url", rules)
+      .select("doc_id", "host", "path", "matched_prefix", "allowed")
+      .orderBy("doc_id")
+  }
+
   /** NFC normalization via the native [[graft.functions.UnicodeNormalize]]
     * expression, against DuckDB's nfc_normalize — the fixture mixes a
     * combining-mark sequence (composes), the Angstrom singleton (folds
@@ -631,6 +662,7 @@ private[graft] trait CorpusGates extends GateSupport {
     "html_extract_text" -> htmlExtractText _,
     "html_links" -> htmlLinks _,
     "link_host_graph" -> linkHostGraph _,
+    "crawl_policy_filter" -> crawlPolicyFilter _,
   )
 
   /** A half-table CMS counter CTE named `alias` over events with
@@ -680,6 +712,48 @@ private[graft] trait CorpusGates extends GateSupport {
          regexp_extract_all(h, '(?is)<a\s[^>]*href\s*=\s*''([^'']*)''', 1))"""
 
   protected def corpusGateOracles: Map[String, String] = Map(
+    "crawl_policy_filter" ->
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+          srcs AS (SELECT DISTINCT source FROM documents),
+          rules AS (
+            SELECT source || '.example.com' AS host, '/' AS path_prefix, true AS allow FROM srcs
+            UNION ALL SELECT source || '.example.com', '/articles/', false FROM srcs
+            UNION ALL SELECT source || '.example.com', '/articles/1', true FROM srcs
+            UNION ALL SELECT source || '.example.com', '/plain', true FROM srcs
+            UNION ALL SELECT source || '.example.com', '/plain', false FROM srcs
+            UNION ALL SELECT 'cdn.' || source || '.example.com', '/assets/', false FROM srcs
+            UNION ALL SELECT 'media.' || source || '.example.com', '/redirect', false FROM srcs
+            UNION ALL SELECT source || '.example.co.uk', '/index', false FROM srcs
+            UNION ALL SELECT source || '.example.co.uk', '/index.html', true FROM srcs),
+          b0 AS (SELECT doc_id,
+                        CASE WHEN instr(url, '://') > 0
+                             THEN substr(url, instr(url, '://') + 3)
+                             ELSE url END AS rest
+                 FROM u),
+          b1 AS (SELECT doc_id, rest,
+                        split_part(split_part(split_part(rest, '/', 1),
+                          '?', 1), '#', 1) AS hostport
+                 FROM b0),
+          b2 AS (SELECT doc_id,
+                        regexp_replace(lower(split_part(hostport, ':', 1)),
+                          '^www\\.', '') AS host,
+                        split_part(split_part(substr(rest,
+                          length(hostport) + 1), '?', 1), '#', 1) AS rawpath
+                 FROM b1),
+          b AS (SELECT doc_id, host,
+                       CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path
+                FROM b2),
+          m AS (SELECT b.doc_id, r.path_prefix, r.allow,
+                       row_number() OVER (PARTITION BY b.doc_id
+                         ORDER BY length(r.path_prefix) DESC, r.allow DESC,
+                                  r.path_prefix) AS rn
+                FROM b JOIN rules r
+                  ON b.host = r.host AND starts_with(b.path, r.path_prefix))
+          SELECT b.doc_id, b.host, b.path,
+                 coalesce(m.path_prefix, '') AS matched_prefix,
+                 coalesce(m.allow, true) AS allowed
+          FROM b LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
+          ORDER BY doc_id""",
     "html_links" ->
       s"""WITH d AS (SELECT doc_id, $htmlLinksSql AS html FROM documents),
           c AS (SELECT doc_id, ${deChromeSql("html")} AS h FROM d),

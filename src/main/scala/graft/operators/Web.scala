@@ -137,6 +137,58 @@ object Web {
         row_number().over(Window.partitionBy(col(domainCol)).orderBy(order: _*)))
       .filter(col("rn") <= n)
 
+  /** Path component of a URL: everything after `host[:port]` up to the
+    * first `?` or `#`; an empty path reads as `/` (the robots-matching
+    * convention — RFC 9309 §2.2.2 matches rules against the
+    * percent-decoded path, and a bare `http://h` request is `/`). */
+  def pathOf(url: Column): Column = {
+    val rest = restOf(url)
+    val p = substring_index(substring_index(
+      rest.substr(length(hostportOf(rest)) + 1, length(rest)), "?", 1), "#", 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** Longest-prefix-match crawl policy — robots.txt Allow/Disallow
+    * semantics (RFC 9309 §2.2.2: the most specific — longest — matching
+    * rule wins; on a length tie Allow wins; a URL matching no rule is
+    * allowed). `rules` is `(host, path_prefix, allow)` — the parsed
+    * per-host rule table a robots fetch produces. Returns the input
+    * plus `(host, path, matched_prefix, allowed)`; `matched_prefix` is
+    * `''` when no rule matched.
+    *
+    * 100 TB shape: rule tables are KB–MB (they are hand-written files),
+    * so the candidate match is a BROADCAST equi-join on host — the data
+    * side never shuffles for it; each URL fans out to at most its
+    * host's rule count before the per-row winner window, whose
+    * partitions are (idCol)-keyed and rule-bounded. One keyed exchange
+    * for the winner pick, nothing data² anywhere. */
+  def policyFilter(
+      df: DataFrame, idCol: String, urlCol: String,
+      rules: DataFrame): DataFrame = {
+    val base = df
+      .withColumn("host", hostOf(col(urlCol)))
+      .withColumn("path", pathOf(col(urlCol)))
+    val r = rules.select(
+      col("host").as("_r_host"), col("path_prefix"),
+      col("allow").cast("boolean").as("_r_allow"))
+    val matched = base
+      .join(broadcast(r),
+        base("host") === col("_r_host") &&
+          col("path").startsWith(col("path_prefix")))
+      .withColumn("_rn",
+        row_number().over(
+          Window.partitionBy(col(idCol))
+            .orderBy(length(col("path_prefix")).desc, col("_r_allow").desc,
+              col("path_prefix").asc)))
+      .filter(col("_rn") === 1)
+      .select(col(idCol).as("_m_id"),
+        col("path_prefix").as("matched_prefix"), col("_r_allow"))
+    base.join(matched, base(idCol) === col("_m_id"), "left")
+      .withColumn("matched_prefix", coalesce(col("matched_prefix"), lit("")))
+      .withColumn("allowed", coalesce(col("_r_allow"), lit(true)))
+      .drop("_m_id", "_r_allow")
+  }
+
   /** Drop rows whose `domainCol` appears in `blocklist` (one column
     * named `domain`): broadcast left-anti join — blocklists are tiny
     * relative to the corpus, so this never shuffles the data side. */

@@ -124,6 +124,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(pg, "HashAggregate") >= 2, s"link graph lost map-side combine:\n$pg")
   }
 
+  test("crawl policy: rules join is BROADCAST (data side never shuffles for it)") {
+    val p = finalPlan("crawl_policy_filter")
+    assert(count(p, "BroadcastHashJoin") >= 1, s"rules join lost its broadcast:\n$p")
+    assert(count(p, "CartesianProduct") === 0, s"policy match went cartesian:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0,
+      s"prefix match fell into a nested loop:\n$p")
+  }
+
   test("source overlap joins on digests, never cartesian") {
     val p = finalPlan("source_overlap")
     assert(count(p, "CartesianProduct") === 0)

@@ -111,6 +111,35 @@ class WebSpec extends AnyFunSuite {
     assert(out.getString(0) === "https://news.example.com/out?a=1&to=http://spam.ru/p?x=2")
   }
 
+  test("policyFilter: longest prefix wins, allow breaks ties, no rule = allowed") {
+    val urls = Seq(
+      (1L, "http://a.example.com/articles/7"),  // /articles/ disallow wins over /
+      (2L, "http://a.example.com/articles/19"), // /articles/1 allow (longest)
+      (3L, "http://a.example.com/dup"),         // same-length allow+disallow tie
+      (4L, "http://other.example.com/x"),       // no rules for host
+      (5L, "http://a.example.com"),             // empty path reads as '/'
+      (6L, "HTTP://WWW.A.Example.COM:80/articles/7?q=1#f") // host/path canonical
+    ).toDF("id", "url")
+    val rules = Seq(
+      ("a.example.com", "/", true),
+      ("a.example.com", "/articles/", false),
+      ("a.example.com", "/articles/1", true),
+      ("a.example.com", "/dup", false),
+      ("a.example.com", "/dup", true)
+    ).toDF("host", "path_prefix", "allow")
+    val out = Web.policyFilter(urls, "id", "url", rules)
+      .select("id", "path", "matched_prefix", "allowed")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === (("/articles/7", "/articles/", false)))
+    assert(out(2L) === (("/articles/19", "/articles/1", true)))
+    assert(out(3L) === (("/dup", "/dup", true)), "allow must win the tie")
+    assert(out(4L) === (("/x", "", true)), "rule-less host defaults to allowed")
+    assert(out(5L) === (("/", "/", true)), "bare host path is '/'")
+    assert(out(6L) === (("/articles/7", "/articles/", false)),
+      "case/port/query/fragment must not defeat matching")
+  }
+
   test("blocked terms reject leading/trailing/doubled spaces loudly") {
     val docs = Seq((1L, "hash join here")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
