@@ -380,6 +380,71 @@ private[graft] trait CorpusGates extends GateSupport {
       .orderBy("doc_id")
   }
 
+  /** The whole crawl-frontier build composed end to end — extracted
+    * outlinks → absolute-only → canonicalized → distinct → registrable
+    * domain → domain blocklist (broadcast anti) → per-domain cap: the
+    * URL-side twin of the document pipeline macro, exercising the full
+    * [[graft.operators.Web]] family in ONE query. The ad host drops at
+    * the blocklist (its eTLD+1 is the blocked example.net); each
+    * remaining domain admits its 2 lexicographically-smallest canonical
+    * URLs. */
+  protected def crawlFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val links = t(s, dir, "documents")
+      .select(explode(graft.operators.Html.extractLinks(htmlLinksCol)).as("href"))
+      .filter(Web.hostOf(col("href")) =!= "")
+    val normed = links.select(Web.normalizeUrl(col("href")).as("url_norm"))
+      .distinct()
+      .withColumn("host", Web.hostOf(col("url_norm")))
+      .withColumn("domain", Web.registrableDomain(col("host"), gateSuffixes))
+    val admitted = Web.blocklistFilter(normed, "domain",
+      Seq("example.net").toDF("domain"))
+    Web.perDomainCap(admitted, "domain", 2, Seq(col("url_norm")))
+      .select(col("domain"), col("host"), col("url_norm"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("domain", "url_norm")
+  }
+
+  /** [[Web.normalizeUrl]]'s chain over CTE `src` (any columns + `url`):
+    * appends `url_norm`. Intermediates are prefixed to avoid colliding
+    * with caller columns. */
+  private def normalizeChainSql(src: String): String =
+    s"""p1 AS (SELECT *, lower(split_part(url, '://', 1)) AS nscheme,
+                 CASE WHEN instr(url, '://') > 0
+                      THEN substr(url, instr(url, '://') + 3)
+                      ELSE url END AS nrest
+               FROM $src),
+        p2 AS (SELECT *, split_part(split_part(split_part(nrest, '/', 1),
+                 '?', 1), '#', 1) AS nhostport
+               FROM p1),
+        p3 AS (SELECT *, split_part(substr(nrest, length(nhostport) + 1),
+                 '#', 1) AS nnofrag
+               FROM p2),
+        p4 AS (SELECT *,
+                 regexp_replace(lower(split_part(nhostport, ':', 1)),
+                   '^www\\.', '') AS nhost,
+                 CASE WHEN position(':' IN nhostport) > 0
+                      THEN split_part(nhostport, ':', 2) ELSE '' END AS nport,
+                 split_part(nnofrag, '?', 1) AS npath,
+                 CASE WHEN position('?' IN nnofrag) > 0
+                      THEN substr(nnofrag, instr(nnofrag, '?') + 1)
+                      ELSE '' END AS nrawq
+               FROM p3),
+        p5 AS (SELECT *, array_to_string(list_sort(list_filter(
+                 string_split(nrawq, '&'),
+                 x -> x <> '' AND NOT regexp_matches(x,
+                   '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS ncq
+               FROM p4),
+        normed AS (SELECT *,
+                 nscheme || '://' || nhost ||
+                 CASE WHEN nport <> ''
+                           AND NOT ((nscheme = 'http' AND nport = '80')
+                                 OR (nscheme = 'https' AND nport = '443'))
+                      THEN ':' || nport ELSE '' END ||
+                 regexp_replace(npath, '/+$$', '') ||
+                 CASE WHEN ncq <> '' THEN '?' || ncq ELSE '' END AS url_norm
+               FROM p5)"""
+
   /** NFC normalization via the native [[graft.functions.UnicodeNormalize]]
     * expression, against DuckDB's nfc_normalize — the fixture mixes a
     * combining-mark sequence (composes), the Angstrom singleton (folds
@@ -663,6 +728,7 @@ private[graft] trait CorpusGates extends GateSupport {
     "html_links" -> htmlLinks _,
     "link_host_graph" -> linkHostGraph _,
     "crawl_policy_filter" -> crawlPolicyFilter _,
+    "crawl_frontier" -> crawlFrontier _,
   )
 
   /** A half-table CMS counter CTE named `alias` over events with
@@ -712,6 +778,22 @@ private[graft] trait CorpusGates extends GateSupport {
          regexp_extract_all(h, '(?is)<a\s[^>]*href\s*=\s*''([^'']*)''', 1))"""
 
   protected def corpusGateOracles: Map[String, String] = Map(
+    "crawl_frontier" ->
+      s"""WITH d AS (SELECT doc_id, $htmlLinksSql AS html FROM documents),
+          c AS (SELECT doc_id, ${deChromeSql("html")} AS h FROM d),
+          l AS (SELECT doc_id, $hrefsSql AS hrefs FROM c),
+          e AS (SELECT unnest(hrefs) AS href FROM l),
+          ab AS (SELECT href AS url FROM e WHERE ${hostOfSql("href")} <> ''),
+          ${normalizeChainSql("ab")},
+          dist AS (SELECT DISTINCT url_norm FROM normed),
+          hh AS (SELECT url_norm, ${hostOfSql("url_norm")} AS host FROM dist),
+          ll AS (SELECT *, string_split(host, '.') AS ls FROM hh),
+          dm AS (SELECT url_norm, host, $domainSql AS domain FROM ll),
+          keep AS (SELECT * FROM dm WHERE domain <> 'example.net'),
+          rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY domain
+                   ORDER BY url_norm) AS BIGINT) AS rn FROM keep)
+          SELECT domain, host, url_norm, rn
+          FROM rk WHERE rn <= 2 ORDER BY domain, url_norm""",
     "crawl_policy_filter" ->
       s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
           srcs AS (SELECT DISTINCT source FROM documents),
