@@ -34,12 +34,20 @@ import re
 import sys
 
 
-def parse_md_table(path):
-    """name -> seconds from a `| name | 1.23 |` markdown table."""
+def parse_md_table(path, required=False):
+    """name -> seconds from a `| name | 1.23 |` markdown table.
+
+    Required tables fail LOUDLY when absent — a wrong-cwd invocation
+    must not pass vacuously with '0 scenarios checked'. Optional tables
+    (waivers, not-yet-committed baselines) return {}.
+    """
     out = {}
     try:
         f = open(path)
     except FileNotFoundError:
+        if required:
+            sys.exit(f"required baseline table {path} not found "
+                     "(run from the repo root)")
         return out
     with f:
         for line in f:
@@ -68,9 +76,9 @@ def main():
     # (written by Bench's self-adjudication pass)
     isolated = bench.get("isolated", {})
 
-    ref = parse_md_table("BASELINE.md")
+    ref = parse_md_table("BASELINE.md", required=True)
     # newest forward baseline wins per scenario
-    fwd = parse_md_table("BASELINE_r11.md")
+    fwd = parse_md_table("BASELINE_r11.md", required=True)
     fwd.update(parse_md_table("BASELINE_r12.md"))
     # adjudicated intentional regressions: the waiver bound replaces the
     # forward gate for listed scenarios (each row cites its adjudication
@@ -106,7 +114,12 @@ def main():
         if name not in queries or name in sliced or queries[name] < 0:
             continue
         n_ref += 1
-        check(name, queries[name], 2.0 * base, "vs BASELINE.md  ")
+        # a waiver bound supersedes BOTH gates — an adjudicated
+        # intentional regression must not stay red via the historical
+        # table after the forward gate was waived
+        gate = waivers[name] if name in waivers else 2.0 * base
+        label = "vs WAIVER bound " if name in waivers else "vs BASELINE.md  "
+        check(name, queries[name], gate, label)
     print(f"BASELINE.md    : {n_ref} overlapping scenarios checked (2x gate)")
 
     n_fwd = 0

@@ -67,9 +67,10 @@ private[graft] trait CorpusGates extends GateSupport {
             WHEN len(ls) >= 2 THEN array_to_string(ls[-2:], '.')
             ELSE host END"""
 
-  /** url → host (lowered, www-stripped, port dropped) in DuckDB. */
-  private val hostSql: String =
-    """regexp_replace(lower(split_part(split_part(split_part(split_part(CASE WHEN instr(url, '://') > 0 THEN substr(url, instr(url, '://') + 3) ELSE url END, '/', 1), '?', 1), '#', 1), ':', 1)), '^www\.', '')"""
+  /** url → host (lowered, www-stripped, port dropped) in DuckDB —
+    * the `url`-column instance of [[hostOfSql]] (one implementation;
+    * a hostOf change edits one place). */
+  private lazy val hostSql: String = hostOfSql("url")
 
   private def docsWithDomain(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -770,12 +771,16 @@ private[graft] trait CorpusGates extends GateSupport {
           '(?s)<!--.*?-->', ' ', 'g')"""
 
   /** Href extraction in SQL — [[graft.operators.Html.extractLinks]]'s
-    * twin over chrome-stripped column `h`: double- then single-quoted
-    * matches, concatenated in that order. */
+    * twin over chrome-stripped column `h`: whole `<a …>` open tags in
+    * DOCUMENT order, each tag's href extracted with either quoting
+    * (both engines return '' on no match); hrefless/empty drop. */
   private val hrefsSql: String =
-    """list_concat(
-         regexp_extract_all(h, '(?is)<a\s[^>]*href\s*=\s*"([^"]*)"', 1),
-         regexp_extract_all(h, '(?is)<a\s[^>]*href\s*=\s*''([^'']*)''', 1))"""
+    """list_filter(
+         list_transform(regexp_extract_all(h, '(?is)<a\s[^>]*>', 0),
+           a -> CASE WHEN regexp_extract(a, '(?is)href\s*=\s*"([^"]*)"', 1) <> ''
+                     THEN regexp_extract(a, '(?is)href\s*=\s*"([^"]*)"', 1)
+                     ELSE regexp_extract(a, '(?is)href\s*=\s*''([^'']*)''', 1) END),
+         u -> u <> '')"""
 
   protected def corpusGateOracles: Map[String, String] = Map(
     "crawl_frontier" ->

@@ -139,22 +139,28 @@ object Html {
   }
 
   /** Outlink extraction — the crawl-frontier / link-graph stage: every
-    * `<a href="…">` (double- then single-quoted, in that order) from
-    * the chrome-stripped document, as ONE zero-shuffle array column.
-    * Script/style/comment payloads are removed FIRST, so an href-shaped
-    * string inside JavaScript never becomes an edge. Values come back
-    * verbatim (relative links included — [[Web.hostOf]] yields '' for
-    * those, which is the downstream absolute-only filter); compose with
-    * [[Web.normalizeUrl]]/[[Web.hostOf]] for the host→host graph that
-    * feeds [[Graph.pageRank]]/[[Graph.hits]]. Java∩RE2 regexes, same
-    * contract as the extraction pipeline. */
+    * `<a href="…">` (double- OR single-quoted) from the chrome-stripped
+    * document, IN DOCUMENT ORDER, as ONE zero-shuffle array column:
+    * match whole `<a …>` open tags in order, then extract each tag's
+    * href (either quoting) per element — so a position index over the
+    * result is the anchor's true document position among
+    * href-carrying anchors. Script/style/comment payloads are removed
+    * FIRST, so an href-shaped string inside JavaScript never becomes an
+    * edge; hrefless anchors and empty `href=""` values drop. Values
+    * come back verbatim (relative links included — [[Web.hostOf]]
+    * yields '' for those, which is the downstream absolute-only
+    * filter); compose with [[Web.normalizeUrl]]/[[Web.hostOf]] for the
+    * host→host graph that feeds [[Graph.pageRank]]/[[Graph.hits]].
+    * Java∩RE2 regexes, same contract as the extraction pipeline. */
   def extractLinks(html: Column): Column = {
-    val h = deChrome(html)
-    concat(
-      regexp_extract_all(h,
-        lit("""(?is)<a\s[^>]*href\s*=\s*"([^"]*)""""), lit(1)),
-      regexp_extract_all(h,
-        lit("""(?is)<a\s[^>]*href\s*=\s*'([^']*)'"""), lit(1)))
+    val anchors = regexp_extract_all(
+      deChrome(html), lit("""(?is)<a\s[^>]*>"""), lit(0))
+    val hrefOf = (a: Column) => {
+      val dq = regexp_extract(a, """(?is)href\s*=\s*"([^"]*)"""", 1)
+      val sq = regexp_extract(a, """(?is)href\s*=\s*'([^']*)'""", 1)
+      when(dq =!= "", dq).otherwise(sq)
+    }
+    filter(transform(anchors, a => hrefOf(a)), u => u =!= "")
   }
 
   /** The zero-shuffle extraction: document → content as ONE column

@@ -138,9 +138,11 @@ object Web {
       .filter(col("rn") <= n)
 
   /** Path component of a URL: everything after `host[:port]` up to the
-    * first `?` or `#`; an empty path reads as `/` (the robots-matching
-    * convention — RFC 9309 §2.2.2 matches rules against the
-    * percent-decoded path, and a bare `http://h` request is `/`). */
+    * first `?` or `#`; an empty path reads as `/` (a bare `http://h`
+    * request is `/`, the robots-matching convention). Matching is over
+    * the path AS GIVEN — RFC 9309 compares percent-DECODED paths, so
+    * callers with encoded URLs must pre-normalize both the URLs and the
+    * rule prefixes to one encoding before [[policyFilter]]. */
   def pathOf(url: Column): Column = {
     val rest = restOf(url)
     val p = substring_index(substring_index(
@@ -159,9 +161,10 @@ object Web {
     * 100 TB shape: rule tables are KB–MB (they are hand-written files),
     * so the candidate match is a BROADCAST equi-join on host — the data
     * side never shuffles for it; each URL fans out to at most its
-    * host's rule count before the per-row winner window, whose
-    * partitions are (idCol)-keyed and rule-bounded. One keyed exchange
-    * for the winner pick, nothing data² anywhere. */
+    * host's rule count before the winner window, whose partitions are
+    * (id, host, path)-keyed and rule-bounded. The winner pick and the
+    * fan-back are co-partitioned keyed exchanges, nothing data²
+    * anywhere. */
   def policyFilter(
       df: DataFrame, idCol: String, urlCol: String,
       rules: DataFrame): DataFrame = {
@@ -171,22 +174,30 @@ object Web {
     val r = rules.select(
       col("host").as("_r_host"), col("path_prefix"),
       col("allow").cast("boolean").as("_r_allow"))
+    // the winner is a pure function of (host, path); keying the window
+    // and the fan-back join on (id, host, path) keeps rows with a
+    // duplicated id but different URLs independent (an id-only key
+    // would cross-assign one row's verdict to the other)
     val matched = base
+      .select(col(idCol), col("host"), col("path")).distinct()
       .join(broadcast(r),
-        base("host") === col("_r_host") &&
+        col("host") === col("_r_host") &&
           col("path").startsWith(col("path_prefix")))
       .withColumn("_rn",
         row_number().over(
-          Window.partitionBy(col(idCol))
+          Window.partitionBy(col(idCol), col("host"), col("path"))
             .orderBy(length(col("path_prefix")).desc, col("_r_allow").desc,
               col("path_prefix").asc)))
       .filter(col("_rn") === 1)
-      .select(col(idCol).as("_m_id"),
+      .select(col(idCol).as("_m_id"), col("host").as("_m_host"),
+        col("path").as("_m_path"),
         col("path_prefix").as("matched_prefix"), col("_r_allow"))
-    base.join(matched, base(idCol) === col("_m_id"), "left")
+    base.join(matched,
+        base(idCol) === col("_m_id") && base("host") === col("_m_host") &&
+          base("path") === col("_m_path"), "left")
       .withColumn("matched_prefix", coalesce(col("matched_prefix"), lit("")))
       .withColumn("allowed", coalesce(col("_r_allow"), lit(true)))
-      .drop("_m_id", "_r_allow")
+      .drop("_m_id", "_m_host", "_m_path", "_r_allow")
   }
 
   /** Drop rows whose `domainCol` appears in `blocklist` (one column

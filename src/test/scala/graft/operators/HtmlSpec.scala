@@ -81,16 +81,17 @@ class HtmlSpec extends AnyFunSuite {
     assert(lax.select("keep").as[Boolean].head())
   }
 
-  test("extractLinks: doubles then singles, script decoys never extract") {
+  test("extractLinks: document order, either quoting, script decoys and hrefless drop") {
     val page2 =
       """<html><head><script>var u='<a href="http://fake.example.org/x">';</script></head>""" +
         """<body><a href="http://a.example.com/1">one</a>""" +
         """<a class='m' href='http://b.example.org/2'>two</a>""" +
-        """<a href="/rel">three</a><a name="anchor">no href</a></body></html>"""
+        """<a href="/rel">three</a><a name="anchor">no href</a>""" +
+        """<a href="">empty</a></body></html>"""
     val links = Seq((1L, page2)).toDF("doc_id", "html")
       .select(Html.extractLinks(col("html")).as("l"))
       .as[Seq[String]].head()
-    assert(links === Seq("http://a.example.com/1", "/rel", "http://b.example.org/2"))
+    assert(links === Seq("http://a.example.com/1", "http://b.example.org/2", "/rel"))
   }
 
   test("extractLinks composes with Web.hostOf for the link graph") {

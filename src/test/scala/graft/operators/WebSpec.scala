@@ -140,6 +140,23 @@ class WebSpec extends AnyFunSuite {
       "case/port/query/fragment must not defeat matching")
   }
 
+  test("policyFilter: rows sharing an id keep independent verdicts") {
+    // the winner is a function of (host, path); a duplicated id must
+    // not cross-assign one row's verdict to the other
+    val urls = Seq(
+      (7L, "http://a.example.com/articles/9"),
+      (7L, "http://a.example.com/open")
+    ).toDF("id", "url")
+    val rules = Seq(
+      ("a.example.com", "/articles/", false),
+      ("a.example.com", "/open", true)
+    ).toDF("host", "path_prefix", "allow")
+    val out = Web.policyFilter(urls, "id", "url", rules)
+      .select("path", "allowed").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out === Map("/articles/9" -> false, "/open" -> true))
+  }
+
   test("blocked terms reject leading/trailing/doubled spaces loudly") {
     val docs = Seq((1L, "hash join here")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
