@@ -252,12 +252,7 @@ private[graft] trait CorpusGates extends GateSupport {
                                      FOR i IN range(1, len(blks) + 1)]) AS u
               FROM b),
         t AS (SELECT doc_id, CAST(u.bno AS BIGINT) AS block_no, u.raw AS raw,
-                     trim(regexp_replace(
-                       replace(replace(replace(replace(replace(replace(
-                         regexp_replace(u.raw, '<[^>]*>', ' ', 'g'),
-                         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                         '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
-                       '\\s+', ' ', 'g')) AS text
+                     ${blockTextSql("u.raw")} AS text
               FROM e),
         w AS (SELECT doc_id, block_no, raw, text,
                      len(list_filter(string_split(text, ' '),
@@ -335,6 +330,17 @@ private[graft] trait CorpusGates extends GateSupport {
         col("col").as("href"),
         Web.hostOf(col("col")).as("host"))
       .orderBy("doc_id", "link_no")
+
+  /** Anchor (href, text) pairs in document order
+    * ([[graft.operators.Html.extractAnchors]]) — the link-context
+    * frame behind anchor-text corpora. */
+  protected def htmlAnchors(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.operators.Html.extractAnchors(htmlLinksCol)))
+      .select(col("doc_id"), (col("pos") + 1L).cast("long").as("anchor_no"),
+        col("col.href").as("href"), col("col.text").as("text"))
+      .orderBy("doc_id", "anchor_no")
 
   /** The crawl link graph: each document's own (canonical-fixture) host
     * → every ABSOLUTE outlink's host, aggregated to weighted edges —
@@ -730,6 +736,7 @@ private[graft] trait CorpusGates extends GateSupport {
     "link_host_graph" -> linkHostGraph _,
     "crawl_policy_filter" -> crawlPolicyFilter _,
     "crawl_frontier" -> crawlFrontier _,
+    "html_anchors" -> htmlAnchors _,
   )
 
   /** A half-table CMS counter CTE named `alias` over events with
@@ -763,6 +770,17 @@ private[graft] trait CorpusGates extends GateSupport {
                                      ELSE 55 - length(bin(suffix)) END) AS rho
                      FROM b GROUP BY bucket)"""
 
+  /** [[graft.operators.Html.blockText]] in SQL over expression `e`:
+    * inline tags → space, entities decoded (&amp; last), whitespace
+    * collapsed, trimmed — shared by the block and anchor oracles. */
+  private def blockTextSql(e: String): String =
+    s"""trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace($e, '<[^>]*>', ' ', 'g'),
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+          '\\s+', ' ', 'g'))"""
+
   /** deChrome in SQL (script/style/comment removal) over column `c`. */
   private def deChromeSql(c: String): String =
     s"""regexp_replace(regexp_replace(regexp_replace($c,
@@ -783,6 +801,28 @@ private[graft] trait CorpusGates extends GateSupport {
          u -> u <> '')"""
 
   protected def corpusGateOracles: Map[String, String] = Map(
+    "html_anchors" ->
+      s"""WITH d AS (SELECT doc_id, $htmlLinksSql AS html FROM documents),
+          c AS (SELECT doc_id, ${deChromeSql("html")} AS h FROM d),
+          l AS (SELECT doc_id,
+                       list_filter(
+                         list_transform(
+                           regexp_extract_all(h, '(?is)<a\\s[^>]*>.*?</a>', 0),
+                           a -> struct_pack(
+                             href := CASE WHEN regexp_extract(a, '(?is)href\\s*=\\s*"([^"]*)"', 1) <> ''
+                                          THEN regexp_extract(a, '(?is)href\\s*=\\s*"([^"]*)"', 1)
+                                          ELSE regexp_extract(a, '(?is)href\\s*=\\s*''([^'']*)''', 1) END,
+                             txt := ${blockTextSql("a")})),
+                         s -> struct_extract(s, 'href') <> '') AS ans
+                FROM c),
+          e AS (SELECT doc_id,
+                       unnest([struct_pack(an := i, s := ans[i])
+                               FOR i IN range(1, len(ans) + 1)]) AS u
+                FROM l)
+          SELECT doc_id, CAST(u.an AS BIGINT) AS anchor_no,
+                 struct_extract(u.s, 'href') AS href,
+                 struct_extract(u.s, 'txt') AS text
+          FROM e ORDER BY doc_id, anchor_no""",
     "crawl_frontier" ->
       s"""WITH d AS (SELECT doc_id, $htmlLinksSql AS html FROM documents),
           c AS (SELECT doc_id, ${deChromeSql("html")} AS h FROM d),

@@ -163,6 +163,30 @@ object Html {
     filter(transform(anchors, a => hrefOf(a)), u => u =!= "")
   }
 
+  /** Anchor (href, text) pairs in document order — the link-CONTEXT
+    * extraction behind anchor-text corpora and retrieval training
+    * pairs (the anchor's text is a human-written description of the
+    * target page): whole `<a …>…</a>` elements matched in order from
+    * the chrome-stripped document, each element's href (either
+    * quoting) and its inner text (inline tags stripped, entities
+    * decoded, whitespace collapsed — [[blockText]]) extracted per
+    * element. Anchors without an href (or with an empty one) drop;
+    * empty TEXT is kept ('' — image links etc., the href still
+    * matters). One zero-shuffle array-of-struct column. */
+  def extractAnchors(html: Column): Column = {
+    val anchors = regexp_extract_all(
+      deChrome(html), lit("""(?is)<a\s[^>]*>.*?</a>"""), lit(0))
+    val hrefOf = (a: Column) => {
+      val dq = regexp_extract(a, """(?is)href\s*=\s*"([^"]*)"""", 1)
+      val sq = regexp_extract(a, """(?is)href\s*=\s*'([^']*)'""", 1)
+      when(dq =!= "", dq).otherwise(sq)
+    }
+    filter(
+      transform(anchors, a =>
+        struct(hrefOf(a).as("href"), blockText(a).as("text"))),
+      s => s.getField("href") =!= "")
+  }
+
   /** The zero-shuffle extraction: document → content as ONE column
     * expression (nested higher-order functions over the block array —
     * no explode, no aggregation, no exchange; the 100 TB path is a

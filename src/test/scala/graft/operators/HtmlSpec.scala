@@ -102,6 +102,17 @@ class HtmlSpec extends AnyFunSuite {
     assert(host === "x.example.com")
   }
 
+  test("extractAnchors pairs each href with its decoded inner text, in order") {
+    val page2 =
+      """<a href="/a"><b>Bold</b> link &amp; more</a>""" +
+        """<a name="x">no href</a><a href='/b'></a>"""
+    val out = Seq((1L, page2)).toDF("doc_id", "html")
+      .select(explode(Html.extractAnchors(col("html"))).as("a"))
+      .select(col("a.href"), col("a.text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq === Seq(("/a", "Bold link & more"), ("/b", "")))
+  }
+
   test("empty and tags-only documents yield no blocks and empty content") {
     val df = Seq((1L, ""), (2L, "<html><body></body></html>")).toDF("doc_id", "html")
     assert(Html.htmlBlocks(df, "doc_id", "html").count() === 0L)
