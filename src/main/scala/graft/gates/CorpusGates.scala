@@ -342,6 +342,29 @@ private[graft] trait CorpusGates extends GateSupport {
         col("col.href").as("href"), col("col.text").as("text"))
       .orderBy("doc_id", "anchor_no")
 
+  /** Sitemap `<loc>` extraction
+    * ([[graft.operators.Html.extractSitemapLocs]]) over a deterministic
+    * sitemap fixture: a canonical entry per doc, an every-second-doc
+    * extra entry wrapped in whitespace (must trim), and a commented-out
+    * decoy entry (must not extract). */
+  protected def sitemapLocs(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val xml = concat(
+      lit("<?xml version=\"1.0\"?><urlset><url><loc>https://"),
+      col("source"), lit(".example.com/articles/"), id,
+      lit("</loc><lastmod>2026-01-01</lastmod></url>"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("<url><loc> http://"), col("source"),
+          lit(".example.org/extra </loc></url>"))).otherwise(lit("")),
+      lit("<!-- <url><loc>http://decoy.example.net/x</loc></url> --></urlset>"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.operators.Html.extractSitemapLocs(xml)))
+      .select(col("doc_id"), (col("pos") + 1L).cast("long").as("loc_no"),
+        col("col").as("loc"), Web.hostOf(col("col")).as("host"))
+      .orderBy("doc_id", "loc_no")
+  }
+
   /** The crawl link graph: each document's own (canonical-fixture) host
     * → every ABSOLUTE outlink's host, aggregated to weighted edges —
     * the frame [[graft.operators.Graph.pageRank]]/`hits` consume. One
@@ -737,6 +760,7 @@ private[graft] trait CorpusGates extends GateSupport {
     "crawl_policy_filter" -> crawlPolicyFilter _,
     "crawl_frontier" -> crawlFrontier _,
     "html_anchors" -> htmlAnchors _,
+    "sitemap_locs" -> sitemapLocs _,
   )
 
   /** A half-table CMS counter CTE named `alias` over events with
@@ -801,6 +825,33 @@ private[graft] trait CorpusGates extends GateSupport {
          u -> u <> '')"""
 
   protected def corpusGateOracles: Map[String, String] = Map(
+    "sitemap_locs" ->
+      s"""WITH d AS (SELECT doc_id,
+                '<?xml version="1.0"?><urlset><url><loc>https://' || source
+                || '.example.com/articles/' || CAST(doc_id AS VARCHAR)
+                || '</loc><lastmod>2026-01-01</lastmod></url>'
+                || CASE WHEN doc_id % 2 = 0
+                        THEN '<url><loc> http://' || source || '.example.org/extra </loc></url>'
+                        ELSE '' END
+                || '<!-- <url><loc>http://decoy.example.net/x</loc></url> --></urlset>'
+                  AS xml
+              FROM documents),
+          l AS (SELECT doc_id,
+                       list_filter(
+                         list_transform(
+                           regexp_extract_all(
+                             regexp_replace(xml, '(?s)<!--.*?-->', ' ', 'g'),
+                             '(?is)<loc>([^<]*)</loc>', 1),
+                           u -> trim(u)),
+                         u -> u <> '') AS locs
+                FROM d),
+          e AS (SELECT doc_id,
+                       unnest([struct_pack(ln := i, loc := locs[i])
+                               FOR i IN range(1, len(locs) + 1)]) AS u
+                FROM l)
+          SELECT doc_id, CAST(u.ln AS BIGINT) AS loc_no, u.loc AS loc,
+                 ${hostOfSql("u.loc")} AS host
+          FROM e ORDER BY doc_id, loc_no""",
     "html_anchors" ->
       s"""WITH d AS (SELECT doc_id, $htmlLinksSql AS html FROM documents),
           c AS (SELECT doc_id, ${deChromeSql("html")} AS h FROM d),

@@ -187,6 +187,22 @@ object Html {
       s => s.getField("href") =!= "")
   }
 
+  /** Sitemap `<loc>` extraction — the third crawl-discovery surface
+    * next to outlinks and robots rules (sitemaps.org protocol: one
+    * `<loc>` per `<url>` entry): every `<loc>` value in document order,
+    * trimmed, comments removed first (a commented-out entry is not a
+    * URL). Zero-shuffle array column; compose with
+    * [[Web.normalizeUrl]]/[[Web.policyFilter]] exactly like extracted
+    * links. */
+  def extractSitemapLocs(xml: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(
+          regexp_replace(xml, """(?s)<!--.*?-->""", " "),
+          lit("""(?is)<loc>([^<]*)</loc>"""), lit(1)),
+        u => trim(u)),
+      u => u =!= "")
+
   /** The zero-shuffle extraction: document → content as ONE column
     * expression (nested higher-order functions over the block array —
     * no explode, no aggregation, no exchange; the 100 TB path is a

@@ -113,6 +113,18 @@ class HtmlSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(("/a", "Bold link & more"), ("/b", "")))
   }
 
+  test("extractSitemapLocs: trimmed values in order, commented-out entries drop") {
+    val xml = """<?xml version="1.0"?><urlset>""" +
+      """<url><loc>https://a.example.com/1</loc></url>""" +
+      """<url><loc> http://b.example.org/2 </loc></url>""" +
+      """<!-- <url><loc>http://decoy.example.net/x</loc></url> -->""" +
+      """<url><loc></loc></url></urlset>"""
+    val locs = Seq((1L, xml)).toDF("doc_id", "xml")
+      .select(Html.extractSitemapLocs(col("xml")).as("l"))
+      .as[Seq[String]].head()
+    assert(locs === Seq("https://a.example.com/1", "http://b.example.org/2"))
+  }
+
   test("empty and tags-only documents yield no blocks and empty content") {
     val df = Seq((1L, ""), (2L, "<html><body></body></html>")).toDF("doc_id", "html")
     assert(Html.htmlBlocks(df, "doc_id", "html").count() === 0L)
