@@ -111,6 +111,11 @@ object Bench {
     // embed them; filled after the sweep.
     val breachedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     val isolatedMap = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // single source of truth for gates whose bench time measures a data
+    // SLICE (not baseline-comparable) — resultJson, the compact summary,
+    // and the breach predicate all read this one list (r13 advice: the
+    // adjudication pass previously hardcoded its own copy)
+    val slicedGates: Seq[String] = Seq("recent_feed_batch")
 
     // Flush the partial artifact after every family so even a hard crash
     // (OOM, JVM kill) leaves the numbers measured so far on disk.
@@ -130,7 +135,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_median":$qm,""" +
         s""""stat_note":"queries=min-of-5 when median<2s else median-of-3; queries_median=median always",""" +
-        s""""sliced_gates":["recent_feed_batch"],""" +
+        s""""sliced_gates":${slicedGates.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""breached":$br,"isolated":$iso,""" +
         s""""sf":"$sfDir",$runMeta}"""
     }
@@ -170,14 +175,28 @@ object Bench {
             Double.box(v))
         }
         .mkString("{", ",", "}")
-      def line(queries: String): String =
+      // the adjudication maps ride in the compact line too (r13 verdict
+      // #1: without them, check_bench on the driver-wrapped artifact
+      // cannot clear in-sweep load artifacts and flags them as real) —
+      // they are small by construction (bounded re-run budget)
+      val br = breachedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val iso = isolatedMap.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(v))
+      }.mkString("{", ",", "}")
+      def line(queries: String, breached: String, isolated: String): String =
         s"""{"metric":"total","value":$total,"unit":"sec",""" +
           s""""n_scenarios":${results.size},"queries":$queries,""" +
           s""""stat_note":"queries=baseline-overlap subset, min stat; full map in artifact",""" +
+          s""""sliced_gates":${slicedGates.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""breached":$breached,"isolated":$isolated,""" +
           s""""artifact":"target/bench.json","sf":"$sfDir",$runMeta}"""
-      val full = line(qs)
-      // hard bound: the whole line must sit inside the driver's ~2 KB tail
-      if (full.length <= 1600) full else line("{}")
+      // hard bound: the whole line must sit inside the driver's ~2 KB
+      // tail. Shed load in order: breached list first (check_bench only
+      // reads `isolated`), then the isolated map, queries last (an
+      // empty map fails check_bench loudly — the shape of last resort)
+      Seq(line(qs, br, iso), line(qs, "[]", iso), line(qs, "[]", "{}"),
+          line("{}", "[]", "{}")).find(_.length <= 1900).get
     }
 
     // Iteration aid, NOT used by the driver: SPARK_GRAFT_BENCH_ONLY=
@@ -407,8 +426,14 @@ object Bench {
       }
       val histRef = parseMdTable("BASELINE.md")
       // newest forward baseline per scenario (mirrors check_bench.py)
-      val fwd = parseMdTable("BASELINE_r11.md") ++ parseMdTable("BASELINE_r12.md")
-      val sliced = Set("recent_feed_batch")
+      val fwd = parseMdTable("BASELINE_r11.md") ++
+        parseMdTable("BASELINE_r12.md") ++ parseMdTable("BASELINE_r13.md")
+      // adjudicated intentional regressions: the waiver bound REPLACES
+      // both gates (r13 advice — previously this pass ignored waivers,
+      // so a waived scenario sitting under its bound but over the
+      // 1.5x/2x gates burned the bounded re-run budget every sweep)
+      val waivers = parseMdTable("BASELINE_WAIVERS.md")
+      val sliced = slicedGates.toSet
       // gate on the WORSE of the two recorded statistics: check_bench
       // defaults to the median map while the gate stat is min-of-5 for
       // sub-2s scenarios — a median-only breach (the whipsaw case this
@@ -416,14 +441,30 @@ object Bench {
       breachedNames ++= results.collect {
         case (name, v0) if v0 >= 0 && !sliced(name) && {
           val v = math.max(v0, medians.getOrElse(name, v0))
-          fwd.get(name).exists(b => v >= 1.5 * b + 0.5) ||
-            histRef.get(name).exists(b => v >= 2.0 * b)
+          waivers.get(name) match {
+            case Some(bound) => v >= bound
+            case None =>
+              fwd.get(name).exists(b => v >= 1.5 * b + 0.5) ||
+                histRef.get(name).exists(b => v >= 2.0 * b)
+          }
         } => name
       }
       if (breachedNames.nonEmpty) {
         System.err.println(
           s"[bench] ${breachedNames.size} in-sweep breach(es): " +
             breachedNames.mkString(", ") + " — re-running isolated")
+        // settle before measuring (r13 verdict #2: the adjudication
+        // pass ran straight off the back of the sweep and recorded
+        // personalized_pagerank at 14.05 s where a true isolated run
+        // reads 5.80 s — 2.4x inflation from end-of-sweep JVM/GC
+        // pressure, enough to flag a FALSE breach). Drop cached frames,
+        // force a full GC, and give background threads a few seconds to
+        // drain so "isolated" means what the name says.
+        def settle(): Unit = {
+          try spark.catalog.clearCache() catch { case _: Throwable => () }
+          System.gc(); Thread.sleep(3000); System.gc(); Thread.sleep(1000)
+        }
+        settle()
         // bounded budget: at most 8 query re-runs and 4 family re-runs
         // (a family re-run isolates EVERY scenario in it at once —
         // including the ~90 s streaming family: its replays sit near
@@ -440,6 +481,7 @@ object Bench {
                 def once(): Unit =
                   fn(spark, sfDir).write.format("noop").mode("overwrite").save()
                 once()
+                settle() // each number measured from a settled JVM
                 isolatedMap(name) = robust(once())._1
               } catch { case e: Throwable =>
                 System.err.println(s"[bench] isolated re-run of $name failed: $e")
@@ -449,6 +491,7 @@ object Bench {
               familyThunks.get(name).foreach { thunk =>
                 if (!rerunFamilies(thunk) && rerunFamilies.size < 4) {
                   rerunFamilies += thunk
+                  settle() // each family measured from a settled JVM
                   // family thunks feed `record`, which writes the
                   // medians map — snapshot/restore so the re-run can't
                   // overwrite the sweep's own medians in the artifact
