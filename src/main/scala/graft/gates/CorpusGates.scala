@@ -53,6 +53,27 @@ private[graft] trait CorpusGates extends GateSupport {
          ELSE 'https://' || source || '.example.com/plain'
        END"""
 
+  /** The RFC 9309 wildcard rules + the rule→regex compile CTE of the
+    * crawl_policy_filter oracle — a RAW (non-interpolated) literal:
+    * the rule texts carry `$` and the regexes carry backslash runs
+    * that an s-interpolated string would mangle. The 3-step transform
+    * is character-identical to the Spark side in
+    * [[graft.operators.Web.policyFilter]]: escape every metachar,
+    * escaped star → dot-star, escaped TRAILING dollar → end anchor. */
+  private val policyWildSql: String =
+    """            UNION ALL SELECT source || '.example.com', '/articles/*3', false FROM srcs
+            UNION ALL SELECT 'cdn.' || source || '.example.com', '/assets/*/$', true FROM srcs
+            UNION ALL SELECT 'media.' || source || '.example.com', '/redirect$', true FROM srcs
+            UNION ALL SELECT source || '.example.co.uk', '/*.html$', false FROM srcs),
+          rulesrx AS (
+            SELECT host, path_prefix, allow,
+                   (instr(path_prefix, '*') > 0 OR path_prefix LIKE '%$') AS wild,
+                   '^' || regexp_replace(regexp_replace(regexp_replace(path_prefix,
+                     '([\\.\[\]{}()+?^$|*])', '\\\1', 'g'),
+                     '\\\*', '.*', 'g'),
+                     '\\\$$', '$') AS rx
+            FROM rules),"""
+
   /** Suffix list for the gates: one ICANN multi-label suffix plus two
     * PSL-private-style entries (the `blogspot.com` pattern — hosting
     * domains whose subdomains are independent sites). */
@@ -210,8 +231,9 @@ private[graft] trait CorpusGates extends GateSupport {
       lit("<h1>Head "), col("source"), lit("</h1>"),
       lit("<p>"), substring(col("text"), 1, 120), lit("</p>"),
       when(pmod(col("doc_id"), lit(3)) === 0,
-        concat(lit("<p>Extra &amp; more &lt;deep&gt;&nbsp;data the a of "),
-          col("source"), lit(" with plenty of words</p>")))
+        concat(lit("<p>Extra &amp; more &lt;deep&gt;&nbsp;data&#160;the&#xa0;a " +
+          "of&#8212;em&mdash;dash&#x27;s "),
+          col("source"), lit(" with plenty of words &amp;#160; stays</p>")))
         .otherwise(lit("")),
       when(pmod(col("doc_id"), lit(4)) === 0,
         lit("<ul><li>one</li><li>two items</li></ul>")).otherwise(lit("")),
@@ -224,7 +246,7 @@ private[graft] trait CorpusGates extends GateSupport {
        || '<div id="nav"><a href="/">Home</a> <a href="/c">Cat</a> <a href="/d">Dig</a></div>'
        || '<h1>Head ' || source || '</h1>'
        || '<p>' || substr(text, 1, 120) || '</p>'
-       || CASE WHEN doc_id % 3 = 0 THEN '<p>Extra &amp; more &lt;deep&gt;&nbsp;data the a of ' || source || ' with plenty of words</p>' ELSE '' END
+       || CASE WHEN doc_id % 3 = 0 THEN '<p>Extra &amp; more &lt;deep&gt;&nbsp;data&#160;the&#xa0;a of&#8212;em&mdash;dash&#x27;s ' || source || ' with plenty of words &amp;#160; stays</p>' ELSE '' END
        || CASE WHEN doc_id % 4 = 0 THEN '<ul><li>one</li><li>two items</li></ul>' ELSE '' END
        || '<br/><footer>(c) 2026 Example</footer></body></html>'"""
 
@@ -385,8 +407,15 @@ private[graft] trait CorpusGates extends GateSupport {
     * every semantic trap: longest-wins (`/articles/` disallowed but
     * `/articles/1` re-allowed — ids starting with 1 escape), allow wins
     * the same-length tie (`/plain` listed both ways), a longer allow
-    * beating a shorter disallow (`/index.html` vs `/index`), and a
-    * rule-less host (blog.*) defaulting to allowed. */
+    * beating a shorter disallow (`/index.html` vs `/index`), a
+    * rule-less host (blog.*) defaulting to allowed, and (r14, RFC 9309
+    * §2.2.3) the wildcard/anchor traps: a star-then-anchor assets rule
+    * re-allowing the trailing-slash asset paths, `/redirect$`
+    * re-allowing the exact path, a dot-html star rule matching but
+    * LOSING to the longer plain allow, and the mid-pattern star rule
+    * `/articles/` + star + `3` out-disallowing `/articles/1` for ids
+    * that start with 1 and contain a 3 (rule text in the code below —
+    * star literals can't appear in a Scaladoc without closing it). */
   protected def crawlPolicyFilter(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val sources = docs.select("source").distinct()
@@ -404,6 +433,10 @@ private[graft] trait CorpusGates extends GateSupport {
       .unionByName(rule(concat(lit("media."), com), "/redirect", false))
       .unionByName(rule(couk, "/index", false))
       .unionByName(rule(couk, "/index.html", true))
+      .unionByName(rule(com, "/articles/*3", false))
+      .unionByName(rule(concat(lit("cdn."), com), "/assets/*/$", true))
+      .unionByName(rule(concat(lit("media."), com), "/redirect$", true))
+      .unionByName(rule(couk, "/*.html$", false))
     Web.policyFilter(
         docs.select(col("doc_id"), urlCol.as("url")), "doc_id", "url", rules)
       .select("doc_id", "host", "path", "matched_prefix", "allowed")
@@ -795,15 +828,19 @@ private[graft] trait CorpusGates extends GateSupport {
                      FROM b GROUP BY bucket)"""
 
   /** [[graft.operators.Html.blockText]] in SQL over expression `e`:
-    * inline tags → space, entities decoded (&amp; last), whitespace
-    * collapsed, trimmed — shared by the block and anchor oracles. */
-  private def blockTextSql(e: String): String =
-    s"""trim(regexp_replace(
-          replace(replace(replace(replace(replace(replace(
-            regexp_replace($e, '<[^>]*>', ' ', 'g'),
-            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-            '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
-          '\\s+', ' ', 'g'))"""
+    * inline tags → space, entities decoded (amp family last),
+    * whitespace collapsed, trimmed — shared by the block and anchor
+    * oracles. The replace chain is GENERATED from the one shared
+    * [[graft.operators.Html.EntityTable]], so the two engines can
+    * never drift on which references decode. */
+  private def blockTextSql(e: String): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val decoded = graft.operators.Html.EntityTable.foldLeft(
+      s"regexp_replace($e, '<[^>]*>', ' ', 'g')") { case (acc, (from, to)) =>
+      s"replace($acc, ${q(from)}, ${q(to)})"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
 
   /** deChrome in SQL (script/style/comment removal) over column `c`. */
   private def deChromeSql(c: String): String =
@@ -902,7 +939,8 @@ private[graft] trait CorpusGates extends GateSupport {
             UNION ALL SELECT 'cdn.' || source || '.example.com', '/assets/', false FROM srcs
             UNION ALL SELECT 'media.' || source || '.example.com', '/redirect', false FROM srcs
             UNION ALL SELECT source || '.example.co.uk', '/index', false FROM srcs
-            UNION ALL SELECT source || '.example.co.uk', '/index.html', true FROM srcs),
+            UNION ALL SELECT source || '.example.co.uk', '/index.html', true FROM srcs
+$policyWildSql
           b0 AS (SELECT doc_id,
                         CASE WHEN instr(url, '://') > 0
                              THEN substr(url, instr(url, '://') + 3)
@@ -925,8 +963,10 @@ private[graft] trait CorpusGates extends GateSupport {
                        row_number() OVER (PARTITION BY b.doc_id
                          ORDER BY length(r.path_prefix) DESC, r.allow DESC,
                                   r.path_prefix) AS rn
-                FROM b JOIN rules r
-                  ON b.host = r.host AND starts_with(b.path, r.path_prefix))
+                FROM b JOIN rulesrx r
+                  ON b.host = r.host AND
+                     (CASE WHEN r.wild THEN regexp_matches(b.path, r.rx)
+                           ELSE starts_with(b.path, r.path_prefix) END))
           SELECT b.doc_id, b.host, b.path,
                  coalesce(m.path_prefix, '') AS matched_prefix,
                  coalesce(m.allow, true) AS allowed

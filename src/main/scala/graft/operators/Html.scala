@@ -68,16 +68,42 @@ object Html {
   def rawBlocks(html: Column): Column =
     split(regexp_replace(deChrome(html), BlockTagRe, "\n"), "\n")
 
-  /** One block's TEXT: inline tags → space, the common entities
-    * decoded (`&amp;` LAST so `&amp;lt;` renders `&lt;` and never
-    * double-decodes), whitespace collapsed, trimmed. Decode happens
-    * AFTER tag-stripping so decoded `<`/`>` can't be eaten as markup. */
+  /** The bounded entity-decode table: each named entity with its
+    * decimal and lowercase-hex numeric character references (r13
+    * advice — `&#160;`-style tokens otherwise leak into extracted text
+    * and inflate `text_len`/`n_words` in the keep rule). Every pattern
+    * is a LITERAL (both engines decode with plain string replacement,
+    * so oracle parity holds by construction over this one shared
+    * table). The amp family sits LAST so `&amp;lt;` renders `&lt;` and
+    * never double-decodes. Documented gaps of the heuristic: uppercase
+    * hex digits / `&#X` forms, leading-zero decimals (`&#0039;`), and
+    * references outside this table pass through verbatim. */
+  val EntityTable: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&#160;" -> " ", "&#xa0;" -> " ",
+    "&lt;" -> "<", "&#60;" -> "<", "&#x3c;" -> "<",
+    "&gt;" -> ">", "&#62;" -> ">", "&#x3e;" -> ">",
+    "&quot;" -> "\"", "&#34;" -> "\"", "&#x22;" -> "\"",
+    "&apos;" -> "'", "&#39;" -> "'", "&#x27;" -> "'",
+    "&ndash;" -> "–", "&#8211;" -> "–",
+    "&mdash;" -> "—", "&#8212;" -> "—",
+    "&lsquo;" -> "‘", "&#8216;" -> "‘",
+    "&rsquo;" -> "’", "&#8217;" -> "’", "&#x2019;" -> "’",
+    "&ldquo;" -> "“", "&#8220;" -> "“",
+    "&rdquo;" -> "”", "&#8221;" -> "”",
+    "&hellip;" -> "…", "&#8230;" -> "…",
+    "&#38;" -> "&", "&#x26;" -> "&", "&amp;" -> "&")
+
+  /** One block's TEXT: inline tags → space, the [[EntityTable]]
+    * entities decoded (amp family LAST — see the table doc), whitespace
+    * collapsed, trimmed. Decode happens AFTER tag-stripping so decoded
+    * `<`/`>` can't be eaten as markup. */
   def blockText(block: Column): Column = {
     val noTags = regexp_replace(block, "<[^>]*>", " ")
-    val decoded = Seq(
-      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (from, to)) => regexp_replace(c, from, to) }
+    val decoded = EntityTable.foldLeft(noTags) { case (c, (from, to)) =>
+      // plain literal substitution (overlay-free): expr-level replace,
+      // codegen'd, no regex engine in the loop
+      org.apache.spark.sql.functions.call_function("replace", c, lit(from), lit(to))
+    }
     trim(regexp_replace(decoded, """\s+""", " "))
   }
 

@@ -978,7 +978,16 @@ object Stats {
       .withColumn("_off", coalesce(sum("_ptot").over(offW), lit(0L)))
       .withColumn("_n", sum("_ptot").over(totW))
       .select(slice ++ Seq(col("_off"), col("_n")): _*)
-    cum.join(broadcast(offsets), "_pid" +: partitionCols)
+    // NULL-SAFE join back to the offsets frame: the windowed ntile this
+    // path claims bit-identity with keeps NULL as its own partition, so
+    // a plain usingColumns equi-join would silently DROP null-group rows
+    // (r13 advice). `<=>` on each key preserves them; offsets keys are
+    // renamed first so the same-lineage self-join stays unambiguous.
+    val joinKeys = "_pid" +: partitionCols
+    val offRenamed = offsets.toDF(joinKeys.map("_o" + _) ++ Seq("_off", "_n"): _*)
+    val joinCond = joinKeys.map(k => col(k) <=> col("_o" + k)).reduce(_ && _)
+    cum.join(broadcast(offRenamed), joinCond)
+      .drop(joinKeys.map("_o" + _): _*)
       .withColumn("_rank", col("_off") + col("_rn"))
       .withColumn("_q", expr(s"_n div $tiles"))
       .withColumn("_r", col("_n") % tiles)

@@ -158,6 +158,15 @@ object Web {
     * plus `(host, path, matched_prefix, allowed)`; `matched_prefix` is
     * `''` when no rule matched.
     *
+    * RFC 9309 §2.2.3 special characters ARE supported: `*` in a rule
+    * matches any character sequence (including empty) and a TRAILING
+    * `$` anchors the rule to the end of the path (a mid-pattern `$` is
+    * literal, the de-facto parser convention). Rules carrying either
+    * compile to an anchored regex on the broadcast side (once per rule,
+    * never per row); plain-prefix rules keep the cheap `startsWith`
+    * path. Specificity stays `length(path_prefix)` of the RAW rule
+    * text, wildcards included — the documented big-crawler tiebreak.
+    *
     * 100 TB shape: rule tables are KB–MB (they are hand-written files),
     * so the candidate match is a BROADCAST equi-join on host — the data
     * side never shuffles for it; each URL fans out to at most its
@@ -171,9 +180,22 @@ object Web {
     val base = df
       .withColumn("host", hostOf(col(urlCol)))
       .withColumn("path", pathOf(col(urlCol)))
+    // rule-pattern → anchored regex, computed ON THE RULES FRAME (KB-
+    // sized, broadcast): escape every regex metachar, then re-open the
+    // two RFC 9309 specials — escaped '*' becomes '.*', an escaped
+    // TRAILING '$' becomes the end anchor. The identical 3-step
+    // transform is written in the oracle SQL (DuckDB regexp_replace),
+    // so parity holds by construction, not by hand-kept regex literals.
+    val esc = regexp_replace(col("path_prefix"),
+      "([\\\\.\\[\\]{}()+?^$|*])", "\\\\$1")
+    val star = regexp_replace(esc, "\\\\\\*", ".*")
+    val anchored = regexp_replace(star, "\\\\\\$$", "\\$")
     val r = rules.select(
       col("host").as("_r_host"), col("path_prefix"),
-      col("allow").cast("boolean").as("_r_allow"))
+      col("allow").cast("boolean").as("_r_allow"),
+      (col("path_prefix").contains("*") ||
+        col("path_prefix").endsWith("$")).as("_r_wild"),
+      concat(lit("^"), anchored).as("_r_regex"))
     // the winner is a pure function of (host, path); keying the window
     // and the fan-back join on (id, host, path) keeps rows with a
     // duplicated id but different URLs independent (an id-only key
@@ -182,7 +204,8 @@ object Web {
       .select(col(idCol), col("host"), col("path")).distinct()
       .join(broadcast(r),
         col("host") === col("_r_host") &&
-          col("path").startsWith(col("path_prefix")))
+          when(col("_r_wild"), expr("path rlike _r_regex"))
+            .otherwise(col("path").startsWith(col("path_prefix"))))
       .withColumn("_rn",
         row_number().over(
           Window.partitionBy(col(idCol), col("host"), col("path"))

@@ -65,6 +65,24 @@ class DistributedNtileSpec extends AnyFunSuite {
     check(df, 8, Nil, Seq(col("v"), col("id")))
   }
 
+  test("NULL group key is its own partition, not silently dropped") {
+    // the windowed ntile keeps NULL as a partition of its own; the
+    // distributed twin must too (r13 advice: the offsets join was a
+    // null-unsafe usingColumns equi-join and lost these rows)
+    val rows =
+      (1 to 11).map(i => (Some("a"), i.toLong, (i * 13 % 29).toLong)) ++
+        (1 to 9).map(i => (Option.empty[String], i.toLong, (90 - i).toLong))
+    val df = rows.toDF("g", "id", "v")
+    val got = Stats.distributedNtile(df, 3, Seq("g"), Seq(col("v"), col("id")), "got")
+    assert(got.count() === df.count(), "null-group rows were dropped")
+    // compare driver-side: the spec's own join would be null-unsafe too
+    val expected = windowed(df, 3, Seq("g"), Seq(col("v"), col("id")))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getLong(3)).toMap
+    val actual = got
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(actual === expected)
+  }
+
   test("decimal order column (the rfm monetary path)") {
     val df = (1 to 31)
       .map(i => (i.toLong, BigDecimal(i * 7 % 17) + BigDecimal("0.25")))

@@ -140,6 +140,54 @@ class WebSpec extends AnyFunSuite {
       "case/port/query/fragment must not defeat matching")
   }
 
+  test("policyFilter: RFC 9309 '*' and trailing '$' special characters") {
+    val urls = Seq(
+      (1L, "http://a.example.com/private.php"),   // /*.php$ disallow
+      (2L, "http://a.example.com/private.php5"),  // NOT anchored-matched
+      (3L, "http://a.example.com/files/a/deep"),  // mid-pattern '*'
+      (4L, "http://a.example.com/exact"),         // /exact$ matches exactly
+      (5L, "http://a.example.com/exactly"),       // anchor rejects the suffix
+      (6L, "http://a.example.com/a$b")            // mid-pattern '$' is literal
+    ).toDF("id", "url")
+    val rules = Seq(
+      ("a.example.com", "/*.php$", false),
+      ("a.example.com", "/files/*/deep", false),
+      ("a.example.com", "/exact$", false),
+      ("a.example.com", "/a$b", false)
+    ).toDF("host", "path_prefix", "allow")
+    val out = Web.policyFilter(urls, "id", "url", rules)
+      .select("id", "matched_prefix", "allowed")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === (("/*.php$", false)))
+    assert(out(2L) === (("", true)), "'$' must anchor the end")
+    assert(out(3L) === (("/files/*/deep", false)))
+    assert(out(4L) === (("/exact$", false)))
+    assert(out(5L) === (("", true)))
+    assert(out(6L) === (("/a$b", false)), "mid-pattern '$' matches literally")
+  }
+
+  test("policyFilter: wildcard length beats shorter plain prefix, and vice versa") {
+    val urls = Seq(
+      (1L, "http://a.example.com/articles/13"), // /articles/*3 (12) > /articles/1 (11)
+      (2L, "http://a.example.com/index.html")   // /index.html (11) > /*.html$ (8)
+    ).toDF("id", "url")
+    val rules = Seq(
+      ("a.example.com", "/articles/", false),
+      ("a.example.com", "/articles/1", true),
+      ("a.example.com", "/articles/*3", false),
+      ("a.example.com", "/index", false),
+      ("a.example.com", "/index.html", true),
+      ("a.example.com", "/*.html$", false)
+    ).toDF("host", "path_prefix", "allow")
+    val out = Web.policyFilter(urls, "id", "url", rules)
+      .select("id", "matched_prefix", "allowed")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === (("/articles/*3", false)))
+    assert(out(2L) === (("/index.html", true)))
+  }
+
   test("policyFilter: rows sharing an id keep independent verdicts") {
     // the winner is a function of (host, path); a duplicated id must
     // not cross-assign one row's verdict to the other
