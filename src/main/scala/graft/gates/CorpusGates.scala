@@ -53,6 +53,59 @@ private[graft] trait CorpusGates extends GateSupport {
          ELSE 'https://' || source || '.example.com/plain'
        END"""
 
+  /** Canonical-link fixture (dedicated — keeps the block-extraction
+    * fixtures unchurned): a stylesheet link FIRST (the rel filter must
+    * skip it), a commented-out canonical and a script-quoted one (both
+    * stripped as chrome, never matched), then the real declaration in
+    * three resolution flavors — absolute double-quoted (mod3=0),
+    * root-relative single-quoted (mod3=1), protocol-relative with the
+    * attribute order swapped (mod3=2) — and NO declaration at all on
+    * mod5=2 (falls back to the fetch URL). The canonical key is
+    * `/doc/(doc_id div 2)`, so consecutive-id pairs of one source
+    * collapse. */
+  private def canonHtmlCol: Column = {
+    val k = expr("doc_id div 2").cast("string")
+    val canonical =
+      when(pmod(col("doc_id"), lit(5)) === 2, lit(""))
+        .when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("<link rel=\"canonical\" href=\"https://"), col("source"),
+            lit(".example.com/doc/"), k, lit("\">")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("<link rel='canonical' href='/doc/"), k, lit("'>")))
+        .otherwise(
+          concat(lit("<link href=\"//"), col("source"),
+            lit(".example.com/doc/"), k, lit("\" rel=\"canonical\">")))
+    concat(
+      lit("<html><head><title>D</title>" +
+        "<link rel=\"stylesheet\" href=\"/css/site.css\">" +
+        "<!-- <link rel=\"canonical\" href=\"https://evil.example.org/x\"> -->" +
+        "<script>var s = '<link rel=\"canonical\" href=\"https://script.example.org/y\">';</script>"),
+      canonical,
+      lit("</head><body><p>Body</p></body></html>"))
+  }
+
+  private val canonHtmlSql: String =
+    """'<html><head><title>D</title><link rel="stylesheet" href="/css/site.css"><!-- <link rel="canonical" href="https://evil.example.org/x"> --><script>var s = ''<link rel="canonical" href="https://script.example.org/y">'';</script>'
+       || CASE WHEN doc_id % 5 = 2 THEN ''
+               WHEN doc_id % 3 = 0 THEN '<link rel="canonical" href="https://' || source || '.example.com/doc/' || CAST(doc_id // 2 AS VARCHAR) || '">'
+               WHEN doc_id % 3 = 1 THEN '<link rel=''canonical'' href=''/doc/' || CAST(doc_id // 2 AS VARCHAR) || '''>'
+               ELSE '<link href="//' || source || '.example.com/doc/' || CAST(doc_id // 2 AS VARCHAR) || '" rel="canonical">' END
+       || '</head><body><p>Body</p></body></html>'"""
+
+  /** Canonical extraction → resolution → collapse, end to end
+    * ([[graft.operators.Html.extractCanonical]] →
+    * [[graft.operators.Web.resolveCanonical]] →
+    * [[graft.operators.Web.canonicalCollapse]]): per document the raw
+    * declared href, the normalized canonical key, the collapse group
+    * size, and the keep-min survivor flag. */
+  protected def htmlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), urlCol.as("url"),
+      graft.operators.Html.extractCanonical(canonHtmlCol).as("href"))
+    Web.canonicalCollapse(base, "doc_id", "url", "href")
+      .select("doc_id", "href", "canon_url", "group_n", "keep")
+      .orderBy("doc_id")
+  }
+
   /** The RFC 9309 wildcard rules + the rule→regex compile CTE of the
     * crawl_policy_filter oracle — a RAW (non-interpolated) literal:
     * the rule texts carry `$` and the regexes carry backslash runs
@@ -791,6 +844,7 @@ private[graft] trait CorpusGates extends GateSupport {
     "html_links" -> htmlLinks _,
     "link_host_graph" -> linkHostGraph _,
     "crawl_policy_filter" -> crawlPolicyFilter _,
+    "html_canonical" -> htmlCanonical _,
     "crawl_frontier" -> crawlFrontier _,
     "html_anchors" -> htmlAnchors _,
     "sitemap_locs" -> sitemapLocs _,
@@ -972,6 +1026,42 @@ $policyWildSql
                  coalesce(m.allow, true) AS allowed
           FROM b LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
           ORDER BY doc_id""",
+    "html_canonical" ->
+      s"""WITH d AS (SELECT doc_id, $urlSql AS url, $canonHtmlSql AS html
+                     FROM documents),
+          c AS (SELECT doc_id, url, ${deChromeSql("html")} AS h FROM d),
+          lk AS (SELECT doc_id, url,
+                   list_filter(regexp_extract_all(h, '(?is)<link\\s[^>]*>', 0),
+                     x -> regexp_matches(x,
+                       '(?is)rel\\s*=\\s*("canonical"|''canonical'')')) AS cl
+                 FROM c),
+          hr AS (SELECT doc_id, url,
+                   list_filter(list_transform(cl, a -> trim(
+                     CASE WHEN regexp_extract(a, '(?is)href\\s*=\\s*"([^"]*)"', 1) <> ''
+                          THEN regexp_extract(a, '(?is)href\\s*=\\s*"([^"]*)"', 1)
+                          ELSE regexp_extract(a, '(?is)href\\s*=\\s*''([^'']*)''', 1) END)),
+                     x -> x <> '') AS hrefs
+                 FROM lk),
+          h1 AS (SELECT doc_id, url,
+                   CASE WHEN len(hrefs) > 0 THEN hrefs[1] ELSE '' END AS href
+                 FROM hr),
+          res AS (SELECT doc_id, href,
+                   CASE WHEN href = '' THEN url
+                        WHEN instr(href, '://') > 0 THEN href
+                        WHEN href LIKE '//%' THEN lower(split_part(url, '://', 1)) || ':' || href
+                        WHEN href LIKE '/%' THEN lower(split_part(url, '://', 1)) || '://' ||
+                             split_part(split_part(split_part(
+                               CASE WHEN instr(url, '://') > 0
+                                    THEN substr(url, instr(url, '://') + 3)
+                                    ELSE url END, '/', 1), '?', 1), '#', 1) || href
+                        ELSE url END AS rurl
+                 FROM h1),
+          ab AS (SELECT doc_id, href, rurl AS url FROM res),
+          ${normalizeChainSql("ab")}
+          SELECT doc_id, href, url_norm AS canon_url,
+                 CAST(count(*) OVER (PARTITION BY url_norm) AS BIGINT) AS group_n,
+                 (doc_id = min(doc_id) OVER (PARTITION BY url_norm)) AS keep
+          FROM normed ORDER BY doc_id""",
     "html_links" ->
       s"""WITH d AS (SELECT doc_id, $htmlLinksSql AS html FROM documents),
           c AS (SELECT doc_id, ${deChromeSql("html")} AS h FROM d),

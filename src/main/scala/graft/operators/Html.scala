@@ -213,6 +213,31 @@ object Html {
       s => s.getField("href") =!= "")
   }
 
+  /** `<link rel="canonical">` href of a document — the page's OWN
+    * statement of its canonical URL (RefinedWeb-style pipelines dedup
+    * on the canonical, not the fetch URL, because mirrors/tracking
+    * variants/mobile subdomains all declare the same one). The FIRST
+    * canonical link wins (duplicate declarations are malformed; first
+    * is the de-facto browser rule); `''` when the document declares
+    * none. `rel` and `href` match independently, so attribute order
+    * and either quoting both work; chrome is stripped first, so a
+    * commented-out or script-quoted link can never match. Zero-shuffle
+    * scalar projection. Compose with [[Web.resolveCanonical]] +
+    * [[Web.canonicalCollapse]]. */
+  def extractCanonical(html: Column): Column = {
+    val links = regexp_extract_all(
+      deChrome(html), lit("""(?is)<link\s[^>]*>"""), lit(0))
+    val canon = filter(links,
+      l => l.rlike("""(?is)rel\s*=\s*("canonical"|'canonical')"""))
+    val hrefOf = (l: Column) => {
+      val dq = regexp_extract(l, """(?is)href\s*=\s*"([^"]*)"""", 1)
+      val sq = regexp_extract(l, """(?is)href\s*=\s*'([^']*)'""", 1)
+      when(dq =!= "", dq).otherwise(sq)
+    }
+    val hrefs = filter(transform(canon, l => trim(hrefOf(l))), u => u =!= "")
+    when(size(hrefs) > 0, element_at(hrefs, 1)).otherwise(lit(""))
+  }
+
   /** Sitemap `<loc>` extraction — the third crawl-discovery surface
     * next to outlinks and robots rules (sitemaps.org protocol: one
     * `<loc>` per `<url>` entry): every `<loc>` value in document order,

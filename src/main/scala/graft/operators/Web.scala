@@ -223,6 +223,46 @@ object Web {
       .drop("_m_id", "_m_host", "_m_path", "_r_allow")
   }
 
+  /** Resolve a `<link rel="canonical">` href against the page's fetch
+    * URL (which must carry a scheme — fetch logs do): an absolute href
+    * stands; `//host/path` (protocol-relative) takes the fetch scheme;
+    * `/path` (root-relative) takes the fetch origin (lowercased scheme
+    * + RAW hostport — case washes out in [[normalizeUrl]] downstream);
+    * an empty href or a path-relative one (`page.html`, out of scope
+    * for canonical declarations in practice) falls back to the fetch
+    * URL itself. Pure string projection, no shuffle. */
+  def resolveCanonical(href: Column, fetchUrl: Column): Column = {
+    val scheme = lower(substring_index(fetchUrl, "://", 1))
+    val origin = concat(scheme, lit("://"), hostportOf(restOf(fetchUrl)))
+    when(href === "", fetchUrl)
+      .when(instr(href, "://") > 0, href)
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("/"), concat(origin, href))
+      .otherwise(fetchUrl)
+  }
+
+  /** Canonical-URL collapse — RefinedWeb's dedup key: every fetch URL
+    * maps to `canon_url` = [[normalizeUrl]] of its resolved canonical
+    * declaration ([[resolveCanonical]]; the fetch URL itself when the
+    * page declares none), then fetch-URL groups collapse onto that key
+    * with the keep-min survivor rule (`keep` = row carries the group's
+    * smallest `idCol` — the dedup_exact_survivors convention). Adds
+    * `(canon_url, group_n, keep)`.
+    *
+    * 100 TB shape: one projection + one keyed window on `canon_url` —
+    * a single hash exchange on the collapse key, partitions bounded by
+    * the largest mirror set (tens, not data-sized); no global order
+    * anywhere. */
+  def canonicalCollapse(
+      df: DataFrame, idCol: String, urlCol: String,
+      hrefCol: String): DataFrame = {
+    val w = Window.partitionBy("canon_url")
+    df.withColumn("canon_url",
+        normalizeUrl(resolveCanonical(col(hrefCol), col(urlCol))))
+      .withColumn("group_n", count(lit(1)).over(w).cast("long"))
+      .withColumn("keep", col(idCol) === min(col(idCol)).over(w))
+  }
+
   /** Drop rows whose `domainCol` appears in `blocklist` (one column
     * named `domain`): broadcast left-anti join — blocklists are tiny
     * relative to the corpus, so this never shuffles the data side. */

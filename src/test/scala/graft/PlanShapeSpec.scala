@@ -132,6 +132,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"prefix match fell into a nested loop:\n$p")
   }
 
+  test("canonical collapse: extraction rides the scan, one keyed window, no join") {
+    val p = finalPlan("html_canonical")
+    assert(count(p, "Join") === 0, s"html_canonical plans a join:\n$p")
+    assert(count(p, "HashAggregate") === 0, s"html_canonical aggregates:\n$p")
+    assert(p.contains("Window"), s"html_canonical lost its collapse window:\n$p")
+    // one hash exchange on canon_url + the gate's own presentation sort
+    assert(count(p, "Exchange") <= 2, s"html_canonical over-shuffles:\n$p")
+  }
+
   test("source overlap joins on digests, never cartesian") {
     val p = finalPlan("source_overlap")
     assert(count(p, "CartesianProduct") === 0)

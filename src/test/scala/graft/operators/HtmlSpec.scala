@@ -125,6 +125,52 @@ class HtmlSpec extends AnyFunSuite {
     assert(locs === Seq("https://a.example.com/1", "http://b.example.org/2"))
   }
 
+  test("extractCanonical: rel filter, either quoting, attr order, chrome decoys") {
+    val mk = (s: String) => s"<html><head>$s</head><body><p>x</p></body></html>"
+    val cases = Seq(
+      1L -> mk("""<link rel="stylesheet" href="/c.css"><link rel="canonical" href="https://a.example.com/p">"""),
+      2L -> mk("""<link rel='canonical' href='/doc/3'>"""),
+      3L -> mk("""<link href="//b.example.org/q" rel="canonical">"""),
+      4L -> mk("""<!-- <link rel="canonical" href="http://evil/x"> -->"""),
+      5L -> mk("""<script>var s='<link rel="canonical" href="http://scripted/y">';</script>"""),
+      6L -> mk("""<link rel="canonical" href="https://first/1"><link rel="canonical" href="https://second/2">"""))
+    val out = cases.toDF("id", "html")
+      .select(col("id"), Html.extractCanonical(col("html")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "https://a.example.com/p", "stylesheet link must not match")
+    assert(out(2L) === "/doc/3")
+    assert(out(3L) === "//b.example.org/q", "attribute order must not matter")
+    assert(out(4L) === "", "commented-out canonical is chrome")
+    assert(out(5L) === "", "script-quoted canonical is chrome")
+    assert(out(6L) === "https://first/1", "first declaration wins")
+  }
+
+  test("resolveCanonical + canonicalCollapse: resolution flavors and keep-min") {
+    val df = Seq(
+      (1L, "https://WWW.A.example.com/fetch/1?utm_source=x", "https://a.example.com/p"),
+      (2L, "https://a.example.com:443/p?b=2&a=1#f", ""),           // no declaration
+      (3L, "http://a.example.com/m/3", "//a.example.com/p"),       // protocol-relative
+      (4L, "HTTPS://a.example.com/amp/4", "/p"),                   // root-relative
+      (5L, "https://b.example.com/other", "page.html")             // path-relative: fallback
+    ).toDF("id", "url", "href")
+    val out = Web.canonicalCollapse(df, "id", "url", "href")
+      .select("id", "canon_url", "group_n", "keep")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // 1 (absolute), 3 (protocol-relative keeps http? no — '//' takes the
+    // fetch scheme: http://a.example.com/p ≠ https://a.example.com/p),
+    // 4 (root-relative on the https fetch origin) — so {1,4} group on
+    // https://a.example.com/p and 1 survives by keep-min
+    assert(out(1L) === (("https://a.example.com/p", 2L, true)))
+    assert(out(4L) === (("https://a.example.com/p", 2L, false)))
+    assert(out(3L) === (("http://a.example.com/p", 1L, true)),
+      "protocol-relative takes the FETCH scheme")
+    assert(out(2L)._1 === "https://a.example.com/p?a=1&b=2",
+      "no declaration falls back to the normalized fetch URL")
+    assert(out(5L)._1 === "https://b.example.com/other",
+      "path-relative href is out of scope and falls back")
+  }
+
   test("empty and tags-only documents yield no blocks and empty content") {
     val df = Seq((1L, ""), (2L, "<html><body></body></html>")).toDF("doc_id", "html")
     assert(Html.htmlBlocks(df, "doc_id", "html").count() === 0L)
