@@ -133,6 +133,36 @@ private[graft] trait GateSupport {
         FROM j GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** [[graft.operators.TextCorpus.bpeDecode]]'s twin — the round-trip
+    * LAW, not an id replay: decoded text must equal the normalized
+    * word sequence (words re-joined with single spaces), and n_tokens
+    * must match the independent merge replay's symbol count. The
+    * oracle never constructs token ids at all — any id collision,
+    * dropped word separator, or encode/decode vocab drift on the Spark
+    * side diverges one of the two columns. */
+  protected lazy val bpeDecodeOracle: String = {
+    val rounds = (1 to 4)
+      .map(r => bpeMergesOracleRound(r)).mkString(",\n")
+    s"""WITH $bpeChainSql,
+        $rounds,
+        enc AS (SELECT w, CAST(count(*) AS BIGINT) AS n_syms
+                FROM sym4 GROUP BY w),
+        docw AS (SELECT doc_id, i AS pos, w FROM (
+                   SELECT doc_id,
+                          generate_subscripts(a, 1)::BIGINT AS i,
+                          unnest(a) AS w
+                   FROM (SELECT doc_id,
+                                regexp_split_to_array(lower(text), '[^a-z]+') AS a
+                         FROM documents) q) qq
+                 WHERE length(w) >= 1),
+        j AS (SELECT d.doc_id, d.pos, d.w,
+                     coalesce(e.n_syms, CAST(1 AS BIGINT)) AS n_syms
+              FROM docw d LEFT JOIN enc e ON e.w = d.w)
+        SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_tokens,
+               string_agg(w, ' ' ORDER BY pos) AS decoded_text
+        FROM j GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   protected val pagerankOracle: String = {
     val base =
       """WITH e0 AS (SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,

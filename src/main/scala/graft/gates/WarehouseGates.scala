@@ -483,6 +483,25 @@ private[graft] trait WarehouseGates extends GateSupport {
       .orderBy("doc_id")
   }
 
+  /** The round trip that closes the tokenizer ([[graft.operators
+    * .TextCorpus.bpeEncodeIds]] → [[graft.operators.TextCorpus
+    * .bpeDecode]]): encode the corpus to token ids with the round-4
+    * trained merges, decode straight back, and emit the decoded text
+    * next to the token count. The oracle never sees the ids — it
+    * asserts the LAW: decoded text must equal the normalized word
+    * sequence (and n_tokens must match the oracle's independent merge
+    * replay), so an id collision, a dropped separator, or a vocab
+    * mismatch between the two literal maps all diverge the hash. */
+  protected def bpeDecodeGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges =
+      graft.operators.TextCorpus.bpeTrainMerges(docs, "text", nMerges = 4)
+    graft.operators.TextCorpus.bpeDecode(
+        graft.operators.TextCorpus.bpeEncodeIds(docs, merges), merges)
+      .select("doc_id", "n_tokens", "decoded_text")
+      .orderBy("doc_id")
+  }
+
   protected def warehouseGateQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_intervals" -> scd2Intervals _,
     "scd2_point_lookup" -> scd2PointLookup _,
@@ -515,6 +534,7 @@ private[graft] trait WarehouseGates extends GateSupport {
     "video_content_dups" -> videoContentDupsGate _,
     "bpe_merges" -> bpeMerges _,
     "bpe_encode" -> bpeEncodeGate _,
+    "bpe_decode" -> bpeDecodeGate _,
   )
 
   protected def warehouseGateOracles: Map[String, String] = Map(
@@ -550,6 +570,7 @@ private[graft] trait WarehouseGates extends GateSupport {
          ORDER BY modality, id_a, id_b""",
     "bpe_merges" -> bpeMergesOracle,
     "bpe_encode" -> bpeEncodeOracle,
+    "bpe_decode" -> bpeDecodeOracle,
     "video_content_dups" ->
       // golden CSV (codec-backed); cross-video pairs are real — the
       // synthetic frames share gradient structure, so exact frame-hash

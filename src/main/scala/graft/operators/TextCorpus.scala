@@ -703,11 +703,39 @@ object TextCorpus {
   def bpeEncode(
       docs: DataFrame, merges: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val words = docs
+    val words = bpeDocWords(docs, idCol, textCol)
+    val vocab = bpeWordSyms(words, merges)
+    val encoded = vocab.select(
+      col("word"),
+      size(col("syms")).cast("long").as("n_syms"),
+      array_join(col("syms"), " ").as("syms_text"))
+    words.join(encoded, Seq("word"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("n_syms").as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("syms_text").as("t")))),
+            x => x.getField("t")),
+          " ").as("tokens_text"))
+  }
+
+  /** `(doc_id, pos, word)` of every [a-z]+ word — the shared front of
+    * the encode/decode serving paths. */
+  private def bpeDocWords(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"),
         posexplode(split(lower(col(textCol)), "[^a-z]+")))
       .select(col("doc_id"), col("pos"), col("col").as("word"))
       .filter(length(col("word")) >= 1)
+
+  /** word → merged-symbol sequence: the DISTINCT-word table folded
+    * through every merge in rank order (the corpus-free serving loop —
+    * see [[bpeEncode]]'s 100 TB note). Shared by [[bpeEncode]] and
+    * [[bpeEncodeIds]] so the two serving outputs can never drift. */
+  private def bpeWordSyms(words: DataFrame, merges: DataFrame): DataFrame = {
     var vocab = words.select("word").distinct()
       .select(col("word"), expr("filter(split(word, ''), s -> s <> '')").as("syms"))
       .localCheckpoint()
@@ -723,20 +751,85 @@ object TextCorpus {
       vocab = vocab.select(col("word"), expr(mergeFoldExpr(a, b, ab)).as("syms"))
         .localCheckpoint()
     }
+    vocab
+  }
+
+  /** The token-id vocabulary a trained merge table induces — the real
+    * BPE convention (vocab = base alphabet, then one entry per merge in
+    * learned order): ids 1–26 for `a`–`z`, `26 + rank` for each merged
+    * symbol; id 0 is RESERVED as the word separator
+    * ([[bpeEncodeIds]]/[[bpeDecode]]'s boundary token). Bounded by
+    * construction (26 + ≤64 merges), so callers may collect it. */
+  def bpeVocabIds(merges: DataFrame): DataFrame = {
+    val spark = merges.sparkSession
+    import spark.implicits._
+    val alphabet = ('a' to 'z')
+      .map(c => ((c - 'a' + 1).toLong, c.toString)).toDF("token_id", "symbol")
+    alphabet.unionByName(
+      merges.select((col("rank").cast("long") + 26L).as("token_id"),
+        col("merged").as("symbol")))
+  }
+
+  /** Encode to TOKEN IDS — the serving output a trainer consumes:
+    * per document `(n_words, n_tokens, token_ids)` where `token_ids`
+    * is every word's merged-symbol ids in order with the reserved
+    * separator id 0 between words (no leading/trailing separator) and
+    * `n_tokens` counts REAL tokens only (separators excluded; equals
+    * [[bpeEncode]]'s `n_tokens` by construction).
+    *
+    * Same 100 TB shape as [[bpeEncode]]: one corpus collapse to the
+    * distinct-word table, corpus-free merge folds, one keyed join back.
+    * The symbol→id map is the bounded [[bpeVocabIds]] frame collected
+    * into a LITERAL map column, so id assignment is a pure projection —
+    * no extra join, nothing data-sized at the driver. */
+  def bpeEncodeIds(
+      docs: DataFrame, merges: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = bpeDocWords(docs, idCol, textCol)
+    val vocab = bpeWordSyms(words, merges)
+    val idOf: Map[String, Long] = bpeVocabIds(merges).collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    val m = typedLit(idOf)
     val encoded = vocab.select(
       col("word"),
       size(col("syms")).cast("long").as("n_syms"),
-      array_join(col("syms"), " ").as("syms_text"))
+      transform(col("syms"), s => element_at(m, s)).as("ids"))
+    val flat = flatten(transform(
+      array_sort(collect_list(struct(col("pos"), col("ids").as("ids")))),
+      x => concat(x.getField("ids"), array(lit(0L)))))
     words.join(encoded, Seq("word"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_words"),
         sum("n_syms").as("n_tokens"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("pos"), col("syms_text").as("t")))),
-            x => x.getField("t")),
-          " ").as("tokens_text"))
+        slice(flat, lit(1), size(flat) - 1).as("token_ids"))
+  }
+
+  /** Decode a token-id sequence back to text — the inverse serving
+    * path that closes the tokenizer: each id maps to its
+    * [[bpeVocabIds]] symbol (the reserved 0 to a single space), symbols
+    * concatenate with no separator (word-internal ids abut; the 0s
+    * carry the spaces). Satisfies the round-trip law
+    * `decode(encode(x)) == normalize(x)` where `normalize` is
+    * [[bpeEncode]]'s word extraction re-joined with single spaces —
+    * over the FULL input domain, because the base alphabet makes every
+    * [a-z]+ word encodable (no OOV). An id outside the vocab decodes
+    * to NULL text, loudly (never silently skipped).
+    *
+    * Pure projection: the bounded vocab collects into a literal map;
+    * no join, no shuffle — decode rides the scan at 100 TB. */
+  def bpeDecode(
+      df: DataFrame, merges: DataFrame,
+      idsCol: String = "token_ids", outCol: String = "decoded_text"): DataFrame = {
+    val symOf: Map[Long, String] = bpeVocabIds(merges).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap + (0L -> " ")
+    val m = typedLit(symOf)
+    val syms = transform(col(idsCol), id => element_at(m, id))
+    // array_join would silently SKIP null elements — an unknown id must
+    // null the whole text instead, so the corruption is visible
+    df.withColumn(outCol,
+      when(forall(syms, s => s.isNotNull), array_join(syms, ""))
+        .otherwise(lit(null)))
   }
 
   /** Distinct (doc, line) pairs with an md5 line digest — the shared

@@ -464,6 +464,53 @@ class TextCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeEncodeIds: separator-0 layout, ids from the induced vocab, counts match bpeEncode") {
+    val docs = Seq((1L, "aaaa abab"), (2L, "abab cddd")).toDF("doc_id", "text")
+    val merges = TextCorpus.bpeTrainMerges(docs, "text", nMerges = 3)
+    // induced vocab: a..z = 1..26, then ab=27, aa=28, abab=29
+    val out = TextCorpus.bpeEncodeIds(docs, merges).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    assert(out(1L) === ((2L, 3L, Seq(28L, 28L, 0L, 29L))))
+    assert(out(2L) === ((2L, 5L, Seq(29L, 0L, 3L, 4L, 4L, 4L))))
+  }
+
+  test("bpeDecode round-trip law: decode(encode(x)) == normalized x, full domain") {
+    // the base alphabet makes every [a-z]+ word encodable — no OOV
+    // subset to carve out. Deterministic pseudo-random corpus.
+    val rng = new scala.util.Random(421L)
+    val alphabet = "abcdefgh" // small alphabet → merges actually fire
+    def word() = (1 to (1 + rng.nextInt(6)))
+      .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    val texts = (1 to 40).map { i =>
+      val raw = (1 to (1 + rng.nextInt(12))).map(_ => word())
+        .mkString(Seq(" ", ", ", "; ", "\n", " 7 ")(rng.nextInt(5)))
+      (i.toLong, s"${raw.toUpperCase.take(8)}$raw!")
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val merges = TextCorpus.bpeTrainMerges(docs, "text", nMerges = 6)
+    val decoded = TextCorpus.bpeDecode(
+        TextCorpus.bpeEncodeIds(docs, merges), merges)
+      .select("doc_id", "decoded_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def normalize(s: String): String =
+      s.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).mkString(" ")
+    texts.foreach { case (id, text) =>
+      val norm = normalize(text)
+      if (norm.isEmpty) assert(!decoded.contains(id))
+      else assert(decoded(id) === norm, s"round trip broke for doc $id: '$text'")
+    }
+  }
+
+  test("bpeDecode nulls the whole text on an out-of-vocab id, never skips it") {
+    val merges = Seq((1L, "a", "b", "ab")).toDF("rank", "sym_a", "sym_b", "merged")
+    val df = Seq((1L, Seq(27L, 0L, 3L)), (2L, Seq(27L, 999L))).toDF("doc_id", "token_ids")
+    val out = TextCorpus.bpeDecode(df, merges).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(out(1L) === Some("ab c"))
+    assert(out(2L) === None)
+  }
+
   test("bpeTrainMerges stops early when no pairs remain") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val m = TextCorpus.bpeTrainMerges(docs, "text", nMerges = 5).collect()
