@@ -521,6 +521,19 @@ private[graft] trait CorpusGates extends GateSupport {
       .orderBy("domain", "url_norm")
   }
 
+  /** The crawl family's operational close
+    * ([[graft.operators.Web.frontierSchedule]]): the admitted frontier
+    * (the crawl_frontier composition) scheduled for fetching — per-host
+    * queue position, politeness slot (5 s spacing), fixed-point
+    * host-pagerank priority damped by queue depth, next-fetch batch of
+    * the 25 highest priorities. The oracle recomputes the frontier, the
+    * host graph, THREE unrolled pagerank iterations, and the window +
+    * top-K — all integer, so the hash is exact. */
+  protected def frontierSchedule(s: SparkSession, dir: String): DataFrame =
+    Web.frontierSchedule(
+      crawlFrontier(s, dir), linkHostGraph(s, dir),
+      politenessSec = 5L, batchSize = 25, rankIters = 3)
+
   /** [[Web.normalizeUrl]]'s chain over CTE `src` (any columns + `url`):
     * appends `url_norm`. Intermediates are prefixed to avoid colliding
     * with caller columns. */
@@ -846,6 +859,7 @@ private[graft] trait CorpusGates extends GateSupport {
     "crawl_policy_filter" -> crawlPolicyFilter _,
     "html_canonical" -> htmlCanonical _,
     "crawl_frontier" -> crawlFrontier _,
+    "frontier_schedule" -> frontierSchedule _,
     "html_anchors" -> htmlAnchors _,
     "sitemap_locs" -> sitemapLocs _,
   )
@@ -981,6 +995,54 @@ private[graft] trait CorpusGates extends GateSupport {
                    ORDER BY url_norm) AS BIGINT) AS rn FROM keep)
           SELECT domain, host, url_norm, rn
           FROM rk WHERE rn <= 2 ORDER BY domain, url_norm""",
+    "frontier_schedule" -> {
+      val prSteps = (1 to 3).map { i =>
+        s"""s$i AS (SELECT eg.dst, sum(r.rank_fp // eg.outdeg) AS inmass
+                    FROM eg JOIN r${i - 1} r ON eg.src = r.node GROUP BY eg.dst),
+            r$i AS (SELECT nn.node,
+                      CAST((15 * 1000000 + 85 * COALESCE(s$i.inmass, 0)) // 100
+                        AS BIGINT) AS rank_fp
+                    FROM nn LEFT JOIN s$i ON nn.node = s$i.dst)"""
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT doc_id, $urlSql AS url, $htmlLinksSql AS html
+                     FROM documents),
+          c AS (SELECT doc_id, url, ${deChromeSql("html")} AS h FROM d),
+          l AS (SELECT doc_id, ${hostOfSql("url")} AS src_host,
+                       $hrefsSql AS hrefs
+                FROM c),
+          ee AS (SELECT src_host, unnest(hrefs) AS href FROM l),
+          gg AS (SELECT src_host, ${hostOfSql("href")} AS dst_host FROM ee),
+          e0 AS (SELECT DISTINCT src_host AS src, dst_host AS dst
+                 FROM gg WHERE dst_host <> ''),
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                  FROM e0 GROUP BY src),
+          eg AS (SELECT e0.src, e0.dst, deg.outdeg FROM e0 JOIN deg USING (src)),
+          nn AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_fp FROM nn),
+          $prSteps,
+          ef AS (SELECT unnest(hrefs) AS href FROM l),
+          ab AS (SELECT href AS url FROM ef WHERE ${hostOfSql("href")} <> ''),
+          ${normalizeChainSql("ab")},
+          dist AS (SELECT DISTINCT url_norm FROM normed),
+          hh AS (SELECT url_norm, ${hostOfSql("url_norm")} AS host FROM dist),
+          ll AS (SELECT *, string_split(host, '.') AS ls FROM hh),
+          dm AS (SELECT url_norm, host, $domainSql AS domain FROM ll),
+          keep AS (SELECT * FROM dm WHERE domain <> 'example.net'),
+          rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY domain
+                   ORDER BY url_norm) AS BIGINT) AS rn FROM keep),
+          fr AS (SELECT host, url_norm FROM rk WHERE rn <= 2),
+          qq AS (SELECT fr.host, fr.url_norm,
+                   CAST(row_number() OVER (PARTITION BY fr.host
+                     ORDER BY fr.url_norm) AS BIGINT) AS q,
+                   CAST(coalesce(r3.rank_fp, 150000) AS BIGINT) AS rank_fp
+                 FROM fr LEFT JOIN r3 ON fr.host = r3.node),
+          pp AS (SELECT host, url_norm, q, rank_fp,
+                   CAST(rank_fp // q AS BIGINT) AS priority_fp,
+                   CAST((q - 1) * 5 AS BIGINT) AS sched_sec
+                 FROM qq)
+          SELECT host, url_norm, q, rank_fp, priority_fp, sched_sec
+          FROM pp ORDER BY priority_fp DESC, url_norm LIMIT 25"""
+    },
     "crawl_policy_filter" ->
       s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
           srcs AS (SELECT DISTINCT source FROM documents),

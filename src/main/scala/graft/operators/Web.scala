@@ -263,6 +263,47 @@ object Web {
       .withColumn("keep", col(idCol) === min(col(idCol)).over(w))
   }
 
+  /** Fetch-order scheduling over an admitted frontier — the crawl
+    * family's operational close (the frontier says WHAT may be
+    * fetched; this says WHEN): each URL gets its host's queue position
+    * `q` (per-host novelty order — lexicographic on the normalized
+    * URL, the frontier's own deterministic convention), a politeness
+    * slot `sched_sec = (q−1)·politenessSec` (RFC 9309 crawl-delay
+    * spacing: one fetch per host per interval), and an integer
+    * priority `priority_fp = rank_fp div q` — host centrality
+    * ([[Graph.pageRank]] fixed-point over the host link graph) damped
+    * by queue depth, so a deep queue on one big host never starves
+    * fresh hosts. Emits the next-fetch batch: the `batchSize` highest
+    * priorities (ties broken on url).
+    *
+    * 100 TB shape: ONE keyed shuffle of the frontier (the rank join on
+    * host; AQE broadcasts the |hosts|-sized rank frame in practice) +
+    * per-host windows bounded by host queue length; the batch pick is
+    * a distributed top-K (per-partition heads + one bounded reduce —
+    * `TakeOrderedAndProject`, plan-pinned), NEVER a global sort. The
+    * pagerank iterations run on the |hosts| graph, not the corpus. */
+  def frontierSchedule(
+      frontier: DataFrame, hostGraph: DataFrame,
+      politenessSec: Long, batchSize: Int, rankIters: Int = 3): DataFrame = {
+    require(politenessSec >= 1, s"politenessSec must be >= 1: $politenessSec")
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    val ranks = Graph.pageRank(hostGraph, rankIters, "src_host", "dst_host")
+    val w = Window.partitionBy("host").orderBy("url_norm")
+    frontier.select("host", "url_norm")
+      .join(ranks, col("host") === col("node"), "left")
+      .drop("node")
+      // a frontier host absent from the link graph gets the dangling
+      // floor (the teleport share 15·Scale div 100)
+      .withColumn("rank_fp",
+        coalesce(col("rank_fp"), lit(15L * Graph.Scale / 100L)))
+      .withColumn("q", row_number().over(w).cast("long"))
+      .withColumn("priority_fp", expr("rank_fp div q"))
+      .withColumn("sched_sec", (col("q") - lit(1L)) * lit(politenessSec))
+      .orderBy(col("priority_fp").desc, col("url_norm"))
+      .limit(batchSize)
+      .select("host", "url_norm", "q", "rank_fp", "priority_fp", "sched_sec")
+  }
+
   /** Drop rows whose `domainCol` appears in `blocklist` (one column
     * named `domain`): broadcast left-anti join — blocklists are tiny
     * relative to the corpus, so this never shuffles the data side. */

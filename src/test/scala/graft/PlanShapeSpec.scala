@@ -141,6 +141,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Exchange") <= 2, s"html_canonical over-shuffles:\n$p")
   }
 
+  test("frontier schedule: distributed top-K batch pick, rank per host, no global sort") {
+    val p = finalPlan("frontier_schedule")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"batch pick lost its distributed top-K:\n$p")
+    // every rank window is KEYED — queue position by host, the inner
+    // frontier cap by domain; a global (keyless) window would read
+    // `windowspecdefinition(url_norm...` with no partition column
+    val rankLines = p.split('\n').filter(_.contains("windowspecdefinition"))
+    assert(rankLines.nonEmpty && rankLines.forall(l =>
+        l.contains("windowspecdefinition(host") ||
+          l.contains("windowspecdefinition(domain")),
+      s"a rank window lost its partition key (global sort at scale):\n$p")
+    assert(count(p, "CartesianProduct") === 0, s"schedule went cartesian:\n$p")
+  }
+
   test("source overlap joins on digests, never cartesian") {
     val p = finalPlan("source_overlap")
     assert(count(p, "CartesianProduct") === 0)

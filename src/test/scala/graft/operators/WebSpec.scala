@@ -205,6 +205,49 @@ class WebSpec extends AnyFunSuite {
     assert(out === Map("/articles/9" -> false, "/open" -> true))
   }
 
+  test("frontierSchedule: politeness slots per host, centrality-damped priority, batch cut") {
+    // host graph: five hosts feed hub, hub feeds a back (the 2-cycle
+    // keeps hub's mass from draining across the odd/even iterations of
+    // a pure chain); leaf hangs off a rank-less feeder → hub ≫ leaf
+    val edges = Seq(
+      ("a.example.com", "hub.example.com"),
+      ("b.example.com", "hub.example.com"),
+      ("c.example.com", "hub.example.com"),
+      ("d.example.com", "hub.example.com"),
+      ("e.example.com", "hub.example.com"),
+      ("hub.example.com", "a.example.com"),
+      ("f.example.com", "leaf.example.com")
+    ).toDF("src_host", "dst_host")
+    val frontier = Seq(
+      ("hub.example.com", "https://hub.example.com/1"),
+      ("hub.example.com", "https://hub.example.com/2"),
+      ("hub.example.com", "https://hub.example.com/3"),
+      ("leaf.example.com", "https://leaf.example.com/1")
+    ).toDF("host", "url_norm")
+    val out = Web.frontierSchedule(frontier, edges,
+        politenessSec = 7L, batchSize = 3)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(4), r.getLong(5))))
+    // hub rank > leaf rank (3 in-links vs 1); hub/1 (q=1) first, then
+    // the damped hub/2 vs leaf/1 ordering is decided by rank div q
+    assert(out.length === 3, "batch must cut at batchSize")
+    assert(out.head._1 === "https://hub.example.com/1")
+    val m = out.toMap
+    m.get("https://hub.example.com/2").foreach { case (q, _, sched) =>
+      assert(q === 2L && sched === 7L, "politeness slot = (q-1)*politenessSec")
+    }
+    // priorities strictly follow rank_fp div q — re-derive and compare
+    val all = Web.frontierSchedule(frontier, edges, 7L, batchSize = 10)
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getLong(2), r.getLong(4)))
+    all.foreach { case (u, rank, q, prio) =>
+      assert(prio === rank / q, s"$u: priority $prio != $rank div $q")
+    }
+    // every host's slots start at 0 and step by politenessSec
+    val hubSlots = all.filter(_._1.startsWith("https://hub"))
+      .map(x => (x._3, x._1)).sorted.map(_._1)
+    assert(hubSlots === Seq(1L, 2L, 3L))
+  }
+
   test("blocked terms reject leading/trailing/doubled spaces loudly") {
     val docs = Seq((1L, "hash join here")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
