@@ -748,6 +748,21 @@ private[graft] trait CorpusGates extends GateSupport {
         CROSS JOIN fin GROUP BY 1 ORDER BY x"""
   }
 
+  /** Per-group rank bounds off the grouped digest
+    * ([[graft.operators.Sketches.qdigestRanksBy]]) — per event type,
+    * the five probe values answered against THAT type's digest only
+    * (per-source latency-percentile shape). The oracle replays the
+    * grouped compression and sums per (grp, x). */
+  protected def qdigestGroupedRanksGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sketch = Sketches.qdigestBuildBy(
+      t(s, dir, "events").withColumn("v", round(col("value") * 100).cast("long")),
+      "event_type", col("v"), logUniverse = 16, k = 64)
+    val probes = t(s, dir, "events").select(col("event_type").as("grp")).distinct()
+      .crossJoin(Seq(2500L, 5000L, 10000L, 20000L, 40000L).toDF("x"))
+    Sketches.qdigestRanksBy(sketch, probes).orderBy("grp", "x")
+  }
+
   /** The grouped twin of [[qdigestCompressSql]]: every CTE carries the
     * group key, the FULL JOIN and threshold lookup match on it, so each
     * group compresses independently at its own thr — exactly
@@ -796,6 +811,29 @@ private[graft] trait CorpusGates extends GateSupport {
         $chain
         fin AS MATERIALIZED (SELECT grp, lvl, idx, cnt FROM $fin)
         SELECT grp, lvl, idx, cnt FROM fin ORDER BY grp, lvl, idx"""
+  }
+
+  private val qdigestGroupedRanksOracle: String = {
+    val (chain, fin) = qdigestGroupedCompressSql("g", "gs0", 64, 16)
+    s"""WITH gs0 AS MATERIALIZED (SELECT event_type AS grp,
+              CAST(0 AS BIGINT) AS lvl,
+              CAST(round(value * 100) AS BIGINT) AS idx,
+              CAST(count(*) AS BIGINT) AS cnt
+            FROM events
+            WHERE round(value * 100) >= 0 AND round(value * 100) < 65536
+            GROUP BY 1, 3),
+        $chain
+        fin AS MATERIALIZED (SELECT grp, lvl, idx, cnt FROM $fin),
+        pr AS (SELECT DISTINCT event_type AS grp FROM events),
+        px AS (SELECT pr.grp, CAST(p.x AS BIGINT) AS x
+               FROM pr CROSS JOIN (VALUES (2500), (5000), (10000), (20000), (40000)) p(x))
+        SELECT px.grp, px.x,
+               CAST(coalesce(sum(CASE WHEN (f.idx + 1) * (CAST(1 AS BIGINT) << CAST(f.lvl AS INT)) <= px.x
+                    THEN f.cnt ELSE 0 END), 0) AS BIGINT) AS rank_lo,
+               CAST(coalesce(sum(CASE WHEN f.idx * (CAST(1 AS BIGINT) << CAST(f.lvl AS INT)) < px.x
+                    THEN f.cnt ELSE 0 END), 0) AS BIGINT) AS rank_hi
+        FROM px LEFT JOIN fin f ON f.grp = px.grp
+        GROUP BY 1, 2 ORDER BY px.grp, px.x"""
   }
 
   private val qdigestWeightedOracle: String = {
@@ -850,6 +888,7 @@ private[graft] trait CorpusGates extends GateSupport {
     "qdigest_ranks" -> qdigestRanksGate _,
     "qdigest_merge_nodes" -> qdigestMergeGate _,
     "qdigest_grouped_nodes" -> qdigestGroupedGate _,
+    "qdigest_grouped_ranks" -> qdigestGroupedRanksGate _,
     "qdigest_weighted_nodes" -> qdigestWeightedGate _,
     "vocab_chao1" -> vocabChao1 _,
     "html_extract" -> htmlExtract _,
@@ -1170,6 +1209,7 @@ $policyWildSql
     "qdigest_ranks" -> qdigestRanksOracle,
     "qdigest_merge_nodes" -> qdigestMergeOracle,
     "qdigest_grouped_nodes" -> qdigestGroupedOracle,
+    "qdigest_grouped_ranks" -> qdigestGroupedRanksOracle,
     "qdigest_weighted_nodes" -> qdigestWeightedOracle,
     "vocab_chao1" ->
       // frequency spectrum of whitespace tokens -> S_obs, f1, f2 and

@@ -432,7 +432,8 @@ object Sketches {
     require(extra.isEmpty,
       s"qdigestRanks takes one digest's (lvl, idx, cnt) nodes; extra " +
         s"column(s) ${extra.mkString(", ")} suggest a GROUPED digest — " +
-        "filter to a single group and drop its key column first")
+        "use qdigestRanksBy for per-group probes, or filter to a single " +
+        "group and drop its key column first")
     val lo = expr("idx * shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT))")
     val hiX = expr("(idx + 1) * shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT))")
     // one row per DISTINCT probe: a duplicated x would otherwise sum
@@ -448,6 +449,36 @@ object Sketches {
     // an EMPTY sketch must answer rank 0 for every probe, not drop the
     // probe rows (the cross join would erase them)
     p.join(agg, Seq("x"), "left")
+      .na.fill(0L, Seq("rank_lo", "rank_hi"))
+  }
+
+  /** PER-GROUP rank bounds — the grouped twin of [[qdigestRanks]] and
+    * the query a quantile rollup table actually serves (per-source /
+    * per-day latency percentiles): `sketch` is [[qdigestBuildBy]]'s
+    * `(grp, lvl, idx, cnt)` frame, `probes` carries `(grp, x)`, and
+    * each probe answers against ITS group's digest only — the
+    * cross-group count bleed [[qdigestRanks]]' guard exists to prevent
+    * cannot happen here because the digest join is an equi-join on the
+    * group key. Same bound: true per-group rank(x) ∈ [rank_lo,
+    * rank_hi]. A probe whose group has no digest answers rank 0 (the
+    * empty-digest convention). The grouped sketch is |groups|·O(k·L)
+    * rows — summary-sized state, broadcast; the probe side never
+    * shuffles for it. */
+  def qdigestRanksBy(sketch: DataFrame, probes: DataFrame): DataFrame = {
+    val cols = sketch.columns.toSet
+    require(cols == Set("grp", "lvl", "idx", "cnt"),
+      s"qdigestRanksBy takes a grouped (grp, lvl, idx, cnt) digest " +
+        s"frame (qdigestBuildBy's shape), got ${sketch.columns.mkString(", ")}")
+    val lo = expr("idx * shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT))")
+    val hiX = expr("(idx + 1) * shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT))")
+    val p = probes.select(col("grp"), col("x").cast("long").as("x")).distinct()
+    val agg = p
+      .join(broadcast(sketch), Seq("grp"))
+      .groupBy("grp", "x")
+      .agg(
+        sum(when(hiX <= col("x"), col("cnt")).otherwise(0L)).as("rank_lo"),
+        sum(when(lo < col("x"), col("cnt")).otherwise(0L)).as("rank_hi"))
+    p.join(agg, Seq("grp", "x"), "left")
       .na.fill(0L, Seq("rank_lo", "rank_hi"))
   }
 }

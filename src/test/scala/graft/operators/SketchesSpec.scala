@@ -270,6 +270,37 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("qdigestRanksBy: per-group bounds match each group's solo qdigestRanks") {
+    val rows = (0 until 3000).map(i => (s"g${i % 3}", ((i.toLong * 48271L) % 900).abs))
+    val grouped = Sketches.qdigestBuildBy(
+      rows.toDF("grp", "v"), "grp", col("v"), 10, 32)
+    val xs = Seq(10L, 450L, 890L)
+    val probes = Seq("g0", "g1", "g2", "ghost")
+      .flatMap(g => xs.map(g -> _)).toDF("grp", "x")
+    val got = Sketches.qdigestRanksBy(grouped, probes)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    Seq("g0", "g1", "g2").foreach { g =>
+      val solo = Sketches.qdigestRanks(
+          qd(rows.filter(_._1 == g).map(_._2), 10, 32), xs.toDF("x"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      xs.foreach { x =>
+        assert(got((g, x)) === solo(x),
+          s"group $g probe $x diverged from the solo digest — cross-group bleed?")
+      }
+    }
+    // a group with no digest answers rank 0 (the empty-digest rule)
+    xs.foreach(x => assert(got(("ghost", x)) === ((0L, 0L))))
+  }
+
+  test("qdigestRanksBy rejects an ungrouped digest frame loudly") {
+    val sk = qd((1L to 100L), 10, 16)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.qdigestRanksBy(sk, Seq(("g", 5L)).toDF("grp", "x"))
+    }
+    assert(e.getMessage.contains("grouped"))
+  }
+
   test("cms inner product: disjoint sketches estimate 0, never NULL or an overestimate") {
     val a = Sketches.cmsCounters(Seq("a1", "a2", "a3").toDF("v"), col("v"), 3, 4096)
     val b = Sketches.cmsCounters(Seq("b1", "b2").toDF("v"), col("v"), 3, 4096)
