@@ -382,6 +382,10 @@ object Bench {
     results ++= guarded(Seq("pipeline_docs_incremental")) {
       incrementalPipelineScenario(spark, sfDir)
     }
+    results ++= guarded(Seq("online_dedup_replay", "online_ann_replay",
+        "online_frontier_replay")) {
+      onlineSinksScenario(spark, sfDir)
+    }
     results ++= guarded(Seq("layout_plain_write", "layout_zorder_write",
         "layout_plain_box_scan", "layout_zorder_box_scan",
         "layout_plain_band_scan", "layout_zorder_band_scan")) {
@@ -1250,6 +1254,67 @@ object Bench {
       }
     }
     ("pipeline_docs_end_to_end" -> sec) +: stages.toSeq
+  }
+
+  /** The five `Online*` foreachBatch sinks' replay cost (r13 verdict
+    * #7: state-vs-throughput is what dies first at scale, and the
+    * streaming families had no measured 1×→10× ratios): the three
+    * state-heaviest sinks — [[graft.streaming.OnlineDedup]] (LSH index
+    * maintenance), [[graft.streaming.OnlineAnn]] (IVF cell appends),
+    * [[graft.streaming.OnlineFrontier]] (standing-frontier admission) —
+    * each replaying the corpus as FOUR micro-batches (`id % 4`) into a
+    * fresh rootDir, exactly the foreachBatch call pattern. Single-run
+    * like the other replay scenarios (multi-batch cost is stable
+    * run-to-run; the dominant term is per-batch parquet round-trips). */
+  private def onlineSinksScenario(
+      spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import graft.streaming.{OnlineAnn, OnlineDedup, OnlineFrontier}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def fresh(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft-bench-$tag").toString
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").localCheckpoint()
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+
+    val tDedup = time {
+      val online = new OnlineDedup(fresh("online-dedup"))
+      (0 to 3).foreach(i =>
+        online.processBatch(docs.filter(col("doc_id") % 4 === i), i.toLong))
+    }
+    val tAnn = time {
+      val online = new OnlineAnn(fresh("online-ann"), k = 16)
+      (0 to 3).foreach(i =>
+        online.processBatch(vecs.filter(col("vec_id") % 4 === i), i.toLong))
+    }
+    val tFrontier = time {
+      // pages linking three ways: a unique per-doc URL (all admit, the
+      // frontier's linear term), a shared slot colliding across docs
+      // (the discovers-once anti-join earns its keep), and a
+      // blocklisted host (drops). One policy rule per source host.
+      val pages = docs.select(col("doc_id"), concat(
+        lit("<html><body><a href=\"https://"), col("source"),
+        lit(".example.com/a/"), col("doc_id"), lit("\">x</a>"),
+        lit("<a href=\"https://cdn."), col("source"),
+        lit(".example.org/b/"), col("doc_id") % 500, lit("\">y</a>"),
+        lit("<a href=\"https://ads.example.net/c/"), col("doc_id"),
+        lit("\">z</a></body></html>")).as("html"))
+      val rules = docs.select("source").distinct()
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          lit("/private/").as("path_prefix"), lit(false).as("allow"))
+      val online = new OnlineFrontier(fresh("online-frontier"), rules,
+        blockedDomains = Seq("example.net"),
+        suffixes = Seq("example.com", "example.org", "example.net"),
+        perDomainCap = 10000)
+      (0 to 3).foreach(i =>
+        online.processBatch(pages.filter(col("doc_id") % 4 === i), i.toLong))
+    }
+    Seq("online_dedup_replay" -> tDedup, "online_ann_replay" -> tAnn,
+      "online_frontier_replay" -> tFrontier)
   }
 
   /** The operational daily-growth twin of `pipeline_docs_end_to_end`
