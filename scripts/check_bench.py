@@ -160,7 +160,7 @@ def check_one(bench_path, stat, ref, fwd, waivers):
             check(name, queries[name], 1.5 * fwd[name] + 0.5, "vs fwd baseline ")
     print(f"BASELINE.md     : {n_ref} overlapping scenarios checked (2x gate)")
     print(f"forward baseline: {n_fwd} scenarios checked (1.5x + 0.5s gate, "
-          f"newest of r13/r12/r11 per scenario); {n_waived} on waiver bounds")
+          f"newest BASELINE_r* per scenario); {n_waived} on waiver bounds")
 
     new = sorted(set(queries) - set(fwd) - set(waivers) - sliced)
     if new:
@@ -190,10 +190,18 @@ def main():
         stat = sys.argv[i + 1]
 
     ref = parse_md_table("BASELINE.md", required=True)
-    # newest forward baseline wins per scenario
-    fwd = parse_md_table("BASELINE_r11.md", required=True)
-    fwd.update(parse_md_table("BASELINE_r12.md"))
-    fwd.update(parse_md_table("BASELINE_r13.md"))
+    # newest forward baseline wins per scenario: glob every committed
+    # BASELINE_r*.md in round order so a new rebase binds without a
+    # code change here
+    import glob
+    fwd_files = sorted(glob.glob("BASELINE_r[0-9]*.md"),
+                       key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    if not fwd_files:
+        sys.exit("no BASELINE_r*.md forward baseline found "
+                 "(run from the repo root)")
+    fwd = {}
+    for path in fwd_files:
+        fwd.update(parse_md_table(path))
     waivers = parse_md_table("BASELINE_WAIVERS.md")
 
     n_breaches = check_one(bench_path, stat, ref, fwd, waivers)

@@ -429,9 +429,21 @@ object Bench {
         }
       }
       val histRef = parseMdTable("BASELINE.md")
-      // newest forward baseline per scenario (mirrors check_bench.py)
-      val fwd = parseMdTable("BASELINE_r11.md") ++
-        parseMdTable("BASELINE_r12.md") ++ parseMdTable("BASELINE_r13.md")
+      // newest forward baseline per scenario (mirrors check_bench.py:
+      // glob the committed rebases in round order, newest wins)
+      val fwd: Map[String, Double] = {
+        import scala.jdk.CollectionConverters._
+        val rx = """BASELINE_r(\d+)\.md""".r
+        val dir = java.nio.file.Paths.get(".")
+        val files = java.nio.file.Files.list(dir).iterator().asScala
+          .flatMap { p =>
+            p.getFileName.toString match {
+              case rx(n) => Some((n.toInt, p.toString))
+              case _ => None
+            }
+          }.toSeq.sortBy(_._1).map(_._2)
+        files.foldLeft(Map.empty[String, Double])(_ ++ parseMdTable(_))
+      }
       // adjudicated intentional regressions: the waiver bound REPLACES
       // both gates (r13 advice — previously this pass ignored waivers,
       // so a waived scenario sitting under its bound but over the
