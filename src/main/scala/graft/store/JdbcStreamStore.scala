@@ -717,8 +717,27 @@ final class JdbcStreamStore(
   }
 
   /** v0 (pre-versioning / partial creation) → v1: complete whatever v1
-    * objects are missing, tolerate whatever exists. */
-  private[store] def stepV0toV1(): Unit = creationDdlV1(sqlDialect).foreach(ddl)
+    * objects are missing, tolerate whatever exists — INCLUDING the
+    * reference's legacy pre-0.8.0 layout (ref
+    * `SqlStreamStore.MsSql/ScriptsV2/CreateSchema_v1.sql`: a Streams
+    * table WITHOUT the per-stream `Position` column). For that shape
+    * the already-exists-tolerant CREATE leaves the column missing, so
+    * this rung mirrors the reference's `ScriptsV2/Migration_v2.sql`:
+    * add `position` defaulted to −1, then backfill each stream from its
+    * own max message position (streams with no messages stay −1 —
+    * exactly the reference's `ISNULL(MAX(...), -1)`). */
+  private[store] def stepV0toV1(): Unit = {
+    creationDdlV1(sqlDialect).foreach(ddl)
+    if (!columnExists(StreamsTable, "position")) {
+      ddl(s"ALTER TABLE $StreamsTable ADD COLUMN position BIGINT DEFAULT -1 NOT NULL")
+      val upd = cachedStatement(
+        s"""UPDATE $StreamsTable SET position =
+           |  COALESCE((SELECT MAX(m.position) FROM $MessagesTable m
+           |            WHERE m.stream_id_internal = $StreamsTable.id_internal), -1)"""
+          .stripMargin)
+      upd.executeUpdate()
+    }
+  }
 
   /** v1 → v2: add the reversed-id column, BACKFILL it from id_original
     * (real data movement — keyset-paged so memory stays bounded at any
@@ -832,7 +851,8 @@ object JdbcStreamStore {
       from: Int, describe: String, run: JdbcStreamStore => Unit)
 
   private[store] val migrationLadder: Seq[MigrationStep] = Seq(
-    MigrationStep(0, "complete the v1 object set (pre-versioning / crash-partial creation)",
+    MigrationStep(0, "complete the v1 object set (pre-versioning / crash-partial " +
+      "creation, incl. the legacy no-stream-position layout: add + backfill it)",
       _.stepV0toV1()),
     MigrationStep(1, "add + keyset-backfill id_original_reversed, then index it",
       _.stepV1toV2()))
@@ -879,6 +899,19 @@ object JdbcStreamStore {
     s"""CREATE TABLE $CountersTable (
        |  k VARCHAR(64) NOT NULL PRIMARY KEY,
        |  v BIGINT NOT NULL)""".stripMargin)
+
+  /** The reference's LEGACY pre-0.8.0 layout (ref
+    * `SqlStreamStore.MsSql/ScriptsV2/CreateSchema_v1.sql`): the v1
+    * object set WITHOUT the per-stream `position` column — what a
+    * database created by the oldest deployments contains. Kept as the
+    * test fixture for the v0 rung's add-and-backfill path (the
+    * `ScriptsV2/Migration_v2.sql` semantics). */
+  private[store] def creationDdlLegacy(d: SqlDialect): Seq[String] =
+    creationDdlV1(d).map {
+      case t if t.startsWith(s"CREATE TABLE $StreamsTable") =>
+        t.replace("  position BIGINT NOT NULL,\n", "")
+      case t => t
+    }
 
   /** v2 additions: the reversed-id column + its index, which turn
     * `ListStreams(EndsWith)` from a full suffix scan into an indexed

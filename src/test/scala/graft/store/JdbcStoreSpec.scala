@@ -384,6 +384,75 @@ class JdbcStoreSpec extends AnyFunSuite with BeforeAndAfterEach {
     } finally check.close()
   }
 
+  test("migrate upgrades the LEGACY layout (no stream position): add + backfill") {
+    // The reference's pre-0.8.0 schema (ScriptsV2/CreateSchema_v1.sql)
+    // has no Streams.Position; its Migration_v2.sql adds the column at
+    // -1 and backfills each stream from MAX(Messages.Position). Build
+    // that exact shape raw, then climb the whole ladder.
+    val dir = SparkTestSession.tempDir("graft-legacydb")
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    def dbId(s: String) =
+      sha.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val raw = java.sql.DriverManager.getConnection(s"jdbc:derby:$dir/db;create=true")
+    try {
+      val st = raw.createStatement()
+      try {
+        JdbcStreamStore.creationDdlLegacy(SqlDialect.Derby).foreach(st.executeUpdate)
+        // two streams with messages at positions {0,1} and {2,3}; one
+        // stream with NO messages (must backfill to -1)
+        Seq("orders-7" -> 0L, "audit-7" -> 1L).foreach { case (id, internal) =>
+          st.executeUpdate(
+            s"INSERT INTO graft_streams (id, id_original, id_internal, version, max_age, max_count) " +
+              s"VALUES ('${dbId(id)}', '$id', $internal, 1, NULL, NULL)")
+          (0 to 1).foreach { v =>
+            st.executeUpdate(
+              s"INSERT INTO graft_messages (position, stream_id_internal, stream_version, message_id, created_micros, msg_type, json_data, json_metadata) " +
+                s"VALUES (${internal * 2 + v}, $internal, $v, '${mid((internal * 2 + v).toInt + 1)}', 0, 't', '{}', NULL)")
+          }
+        }
+        st.executeUpdate(
+          s"INSERT INTO graft_streams (id, id_original, id_internal, version, max_age, max_count) " +
+            s"VALUES ('${dbId("empty-7")}', 'empty-7', 2, -1, NULL, NULL)")
+        st.executeUpdate("INSERT INTO graft_counters (k, v) VALUES ('next_position', 4)")
+        st.executeUpdate("INSERT INTO graft_counters (k, v) VALUES ('next_id_internal', 3)")
+        // no schema_version row: the oldest deployments predate stamping
+      } finally st.close()
+    } finally raw.close()
+
+    val s2 = new JdbcStreamStore(spark, s"jdbc:derby:$dir/db", clock)
+    try {
+      assert(s2.checkSchema().currentVersion === 0)
+      assert(s2.migrate() === JdbcStreamStore.CurrentSchemaVersion)
+      assert(s2.checkSchema().isMatch)
+      // the backfill: per-stream max message position; -1 where empty
+      assert(s2.readStreamHeadPosition("orders-7") === 1L)
+      assert(s2.readStreamHeadPosition("audit-7") === 3L)
+      // pre-migration data reads; post-migration writes work end to end
+      assert(s2.readAllForwards(Position.Start).messages.size === 4)
+      val ar = s2.appendToStream("orders-7", 1, msgs(9))
+      assert(ar.currentPosition === 4L)
+      assert(s2.readStreamForwards("orders-7").messages.map(_.streamVersion) ===
+        Seq(0, 1, 2))
+      assert(s2.listStreams(Pattern.EndsWith("-7")).streamIds.sorted ===
+        Seq("audit-7", "empty-7", "orders-7"))
+    } finally s2.close()
+
+    // the backfilled position really sits in the column
+    val check = java.sql.DriverManager.getConnection(s"jdbc:derby:$dir/db")
+    try {
+      val st = check.createStatement()
+      try {
+        val rs = st.executeQuery(
+          "SELECT id_original, position FROM graft_streams ORDER BY id_internal")
+        val got = Iterator.continually(rs)
+          .takeWhile(_.next()).map(r => (r.getString(1), r.getLong(2))).toSeq
+        // audit-7/empty-7 prove the BACKFILL (untouched since); orders-7
+        // at 4 proves post-migration appends maintain the column
+        assert(got === Seq(("orders-7", 4L), ("audit-7", 3L), ("empty-7", -1L)))
+      } finally st.close()
+    } finally check.close()
+  }
+
   test("migrate folds a multi-rung ladder: v1 → v3 in one call, data intact at each hop") {
     // The reference ships an operational 2-hop upgrade (MsSql V2→V3
     // mover); this pins that OUR ladder is a fold over ordered rungs,
