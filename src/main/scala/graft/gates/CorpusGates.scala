@@ -748,6 +748,44 @@ private[graft] trait CorpusGates extends GateSupport {
         CROSS JOIN fin GROUP BY 1 ORDER BY x"""
   }
 
+  // ---- KMV set-operation sketch gates ------------------------------------
+
+  /** KMV sketch state over customer keys (k=512): the k smallest 60-bit
+    * md5 hashes, `(rank, h)` — DuckDB rebuilds the identical frame. */
+  protected def kmvSketchGate(s: SparkSession, dir: String): DataFrame =
+    Sketches.kmvSketch(t(s, dir, "customer"), col("c_custkey"), 512)
+      .orderBy("rank")
+
+  /** The KMV merge LAW, gated as literal frame equality: merge of the
+    * even-key and odd-key sketches == the from-scratch sketch of ALL
+    * keys (k smallest of a union of k-smallest sets is the union's k
+    * smallest) — the oracle builds the whole-table sketch directly. */
+  protected def kmvUnionLaw(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    Sketches.kmvMerge(
+        Sketches.kmvSketch(
+          c.filter(pmod(col("c_custkey"), lit(2)) === 0), col("c_custkey"), 512),
+        Sketches.kmvSketch(
+          c.filter(pmod(col("c_custkey"), lit(2)) === 1), col("c_custkey"), 512),
+        512)
+      .orderBy("rank")
+  }
+
+  /** Distinct-buyer estimate off the k=512 KMV sketch of o_custkey —
+    * exact integers (n, theta, floor-div estimator). */
+  protected def kmvEstimateGate(s: SparkSession, dir: String): DataFrame =
+    Sketches.kmvEstimate(
+      Sketches.kmvSketch(t(s, dir, "orders"), col("o_custkey"), 512), 512)
+
+  /** Audience overlap: buyers ∩ high-balance customers, estimated from
+    * two k=256 KMV sketches — the set operation HLL cannot answer. */
+  protected def kmvIntersectGate(s: SparkSession, dir: String): DataFrame =
+    Sketches.kmvIntersect(
+      Sketches.kmvSketch(t(s, dir, "orders"), col("o_custkey"), 256),
+      Sketches.kmvSketch(
+        t(s, dir, "customer").filter(col("c_acctbal") > 5000),
+        col("c_custkey"), 256))
+
   /** Per-group rank bounds off the grouped digest
     * ([[graft.operators.Sketches.qdigestRanksBy]]) — per event type,
     * the five probe values answered against THAT type's digest only
@@ -812,6 +850,17 @@ private[graft] trait CorpusGates extends GateSupport {
         fin AS MATERIALIZED (SELECT grp, lvl, idx, cnt FROM $fin)
         SELECT grp, lvl, idx, cnt FROM fin ORDER BY grp, lvl, idx"""
   }
+
+  /** KMV sketch rebuild in SQL: k smallest distinct 60-bit md5 hashes
+    * of `col` from `table`, ranked — shared by the state gate and the
+    * union-law gate (whose oracle IS the from-scratch whole-table
+    * build). */
+  private def kmvSketchOracle(table: String, col: String, k: Int): String =
+    s"""WITH hv AS (SELECT DISTINCT ('0x' || substr(md5(CAST($col AS VARCHAR)), 1, 15))::BIGINT AS h
+                    FROM $table),
+        tk AS (SELECT h FROM hv ORDER BY h LIMIT $k)
+        SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS "rank", h
+        FROM tk ORDER BY "rank""""
 
   private val qdigestGroupedRanksOracle: String = {
     val (chain, fin) = qdigestGroupedCompressSql("g", "gs0", 64, 16)
@@ -889,6 +938,10 @@ private[graft] trait CorpusGates extends GateSupport {
     "qdigest_merge_nodes" -> qdigestMergeGate _,
     "qdigest_grouped_nodes" -> qdigestGroupedGate _,
     "qdigest_grouped_ranks" -> qdigestGroupedRanksGate _,
+    "kmv_sketch" -> kmvSketchGate _,
+    "kmv_union_law" -> kmvUnionLaw _,
+    "kmv_estimate" -> kmvEstimateGate _,
+    "kmv_intersect" -> kmvIntersectGate _,
     "qdigest_weighted_nodes" -> qdigestWeightedGate _,
     "vocab_chao1" -> vocabChao1 _,
     "html_extract" -> htmlExtract _,
@@ -1210,6 +1263,29 @@ $policyWildSql
     "qdigest_merge_nodes" -> qdigestMergeOracle,
     "qdigest_grouped_nodes" -> qdigestGroupedOracle,
     "qdigest_grouped_ranks" -> qdigestGroupedRanksOracle,
+    "kmv_sketch" -> kmvSketchOracle("customer", "c_custkey", 512),
+    "kmv_union_law" -> kmvSketchOracle("customer", "c_custkey", 512),
+    "kmv_estimate" ->
+      """WITH hv AS (SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h FROM orders),
+          tk AS (SELECT h FROM hv ORDER BY h LIMIT 512),
+          ag AS (SELECT CAST(count(*) AS BIGINT) AS n, max(h) AS theta FROM tk)
+          SELECT n, theta,
+                 CASE WHEN n < 512 THEN n
+                      ELSE CAST(CAST(n - 1 AS HUGEINT) * CAST('1152921504606846976' AS HUGEINT) // theta AS BIGINT)
+                 END AS est_fp
+          FROM ag""",
+    "kmv_intersect" ->
+      """WITH ha AS (SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h FROM orders),
+          ta0 AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+          hb AS (SELECT DISTINCT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+                 FROM customer WHERE c_acctbal > 5000),
+          tb0 AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+          th AS (SELECT least((SELECT max(h) FROM ta0), (SELECT max(h) FROM tb0)) AS theta),
+          cm AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+                 FROM ta0 JOIN tb0 USING (h) CROSS JOIN th WHERE ta0.h < th.theta)
+          SELECT cm.n_common, th.theta,
+                 CAST(CAST(cm.n_common AS HUGEINT) * CAST('1152921504606846976' AS HUGEINT) // th.theta AS BIGINT) AS est_fp
+          FROM cm CROSS JOIN th""",
     "qdigest_weighted_nodes" -> qdigestWeightedOracle,
     "vocab_chao1" ->
       // frequency spectrum of whitespace tokens -> S_obs, f1, f2 and

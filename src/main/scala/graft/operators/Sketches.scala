@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable distinct-count sketches (HyperLogLog, Flajolet et al. 2007;
@@ -450,6 +451,94 @@ object Sketches {
     // probe rows (the cross join would erase them)
     p.join(agg, Seq("x"), "left")
       .na.fill(0L, Seq("rank_lo", "rank_hi"))
+  }
+
+  // ---- KMV (k minimum values) — set-operation sketches -----------------
+
+  /** KMV distinct-count sketch (Bar-Yossef et al. 2002; unbiased
+    * estimator Beyer et al., SIGMOD 2007): the k SMALLEST distinct
+    * 60-bit hashes of the value column, as a `(rank, h)` frame —
+    * 1-based rank in hash order. What HLL cannot do and KMV can: SET
+    * OPERATIONS. Union is exact-by-law ([[kmvMerge]]: k smallest of a
+    * union == k smallest of the concatenation — gate-checkable as
+    * literal frame equality), and intersection has an unbiased
+    * estimator ([[kmvIntersect]]) — the audience-overlap /
+    * segment-intersection query a distinct-counting rollup cannot
+    * answer. Same md5-60-bit hash discipline as [[hllRegisters]]
+    * (bit-reproducible in DuckDB), so every gate hashes exactly.
+    *
+    * 100 TB shape: one map-side-combined DISTINCT of hashes, then a
+    * distributed top-K (`orderBy(h).limit(k)` plans
+    * `TakeOrderedAndProject`: per-partition k-heads + one bounded
+    * reduce — never a global sort). The final rank window is keyless
+    * but runs over ≤ k rows (post-limit), bounded by construction.
+    * The sketch is k rows — one per day/segment, merge for any range. */
+  def kmvSketch(df: DataFrame, value: Column, k: Int): DataFrame = {
+    require(k >= 2, s"kmv k must be >= 2: $k")
+    val h = conv(substring(md5(value.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    df.select(h.as("h")).distinct()
+      .orderBy("h").limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy("h")).cast("long"))
+      .select("rank", "h")
+  }
+
+  /** Union of two KMV sketches over the same hash domain: the k
+    * smallest of the combined hash sets — EXACTLY the sketch of the
+    * concatenated inputs (the KMV merge law; the union gate checks
+    * frame equality against a from-scratch build, not an estimate). */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"kmv k must be >= 2: $k")
+    a.select("h").unionByName(b.select("h")).distinct()
+      .orderBy("h").limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy("h")).cast("long"))
+      .select("rank", "h")
+  }
+
+  /** Distinct-count estimate off a KMV sketch — exact integers only:
+    * `(n, theta, est_fp)` where `n` is the sketch's row count, `theta`
+    * its largest (k-th smallest) hash, and
+    * `est_fp = (n−1)·2^60 div theta` (the classic k−1/θ estimator,
+    * decimal(38,0) so the product never overflows). A sketch with
+    * FEWER than k rows saw every distinct value — `est_fp` is then the
+    * exact count (the estimator is skipped, not misapplied). Callers
+    * pass the k the sketch was built with. */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"kmv k must be >= 2: $k")
+    // (n−1)·2^60 needs 38-digit headroom; `div` floors and returns LONG
+    // (the decimal↔HUGEINT gate discipline — never a rounding cast)
+    sketch.agg(count(lit(1)).as("n"), max("h").as("theta"))
+      .select(col("n"), col("theta"),
+        when(col("n") < k, col("n"))
+          .otherwise(expr(
+            "CAST(CAST(n - 1 AS DECIMAL(38,0)) * " +
+              "CAST('1152921504606846976' AS DECIMAL(38,0)) div theta AS BIGINT)"))
+          .as("est_fp"))
+  }
+
+  /** Intersection estimate from two KMV sketches (Beyer et al. 2007):
+    * with `theta = min(theta_a, theta_b)`, every hash below theta is a
+    * uniform sample of BOTH sets' hash space, so the intersection
+    * estimate is `|common hashes < theta| · 2^60 div theta`. Returns
+    * one exact-integer row `(n_common, theta, est_fp)`. Joins two
+    * k-row frames — driver-free, broadcast-sized by construction. */
+  def kmvIntersect(a: DataFrame, b: DataFrame): DataFrame = {
+    val theta = a.agg(max("h").as("ta"))
+      .crossJoin(b.agg(max("h").as("tb")))
+      .select(least(col("ta"), col("tb")).as("theta"))
+    val common = a.select("h").join(b.select("h"), "h")
+    // a GLOBAL count aggregates to one 0-row even on an empty
+    // intersection, so the zero case needs no special handling
+    val counted = common.crossJoin(broadcast(theta))
+      .filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_common"))
+    theta.crossJoin(counted)
+      .select(col("n_common"), col("theta"),
+        expr("CAST(CAST(n_common AS DECIMAL(38,0)) * " +
+          "CAST('1152921504606846976' AS DECIMAL(38,0)) div theta AS BIGINT)")
+          .as("est_fp"))
   }
 
   /** PER-GROUP rank bounds — the grouped twin of [[qdigestRanks]] and

@@ -156,6 +156,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "CartesianProduct") === 0, s"schedule went cartesian:\n$p")
   }
 
+  test("kmv sketch build: distributed top-K, never a global sort of the hash space") {
+    val p = finalPlan("kmv_sketch")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"kmv build lost its per-partition k-heads:\n$p")
+    assert(count(p, "HashAggregate") >= 2,
+      s"kmv distinct lost map-side combine:\n$p")
+  }
+
   test("source overlap joins on digests, never cartesian") {
     val p = finalPlan("source_overlap")
     assert(count(p, "CartesianProduct") === 0)

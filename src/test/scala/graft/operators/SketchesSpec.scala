@@ -301,6 +301,46 @@ class SketchesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("grouped"))
   }
 
+  test("kmv: estimate within 15% at k=512 over 20k distinct; sub-k sketch is exact") {
+    val df = (1L to 20000L).map(_.toString).toDF("v")
+    val est = Sketches.kmvEstimate(
+        Sketches.kmvSketch(df, col("v"), 512), 512)
+      .head()
+    assert(est.getLong(0) === 512L)
+    val e = est.getLong(2)
+    assert(math.abs(e - 20000L) <= 3000L, s"estimate $e too far from 20000")
+    // fewer distincts than k: the sketch IS the value set, count exact
+    val small = Sketches.kmvEstimate(
+      Sketches.kmvSketch((1L to 100L).map(_.toString).toDF("v"), col("v"), 512), 512)
+    assert(small.head().getLong(2) === 100L)
+  }
+
+  test("kmv merge law: merge of split sketches equals the whole-table sketch exactly") {
+    val all = (1L to 5000L).map(_.toString).toDF("v")
+    val whole = Sketches.kmvSketch(all, col("v"), 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val merged = Sketches.kmvMerge(
+        Sketches.kmvSketch(all.filter(col("v").cast("long") % 2 === 0), col("v"), 256),
+        Sketches.kmvSketch(all.filter(col("v").cast("long") % 2 === 1), col("v"), 256),
+        256)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(merged === whole, "KMV merge must be EXACTLY the union's sketch")
+  }
+
+  test("kmv intersect: overlap estimate tracks truth; disjoint sets answer 0") {
+    // A = 1..12000, B = 8001..20000 → |A∩B| = 4000 of 20000
+    val a = Sketches.kmvSketch((1L to 12000L).map(_.toString).toDF("v"), col("v"), 512)
+    val b = Sketches.kmvSketch((8001L to 20000L).map(_.toString).toDF("v"), col("v"), 512)
+    val est = Sketches.kmvIntersect(a, b).head().getLong(2)
+    assert(math.abs(est - 4000L) <= 1500L, s"intersection estimate $est vs truth 4000")
+    val disjoint = Sketches.kmvIntersect(
+      Sketches.kmvSketch((1L to 500L).map("x" + _).toDF("v"), col("v"), 64),
+      Sketches.kmvSketch((1L to 500L).map("y" + _).toDF("v"), col("v"), 64))
+    val row = disjoint.head()
+    assert(row.getLong(0) === 0L && row.getLong(2) === 0L,
+      "disjoint sets must answer one row of zeros, not no row")
+  }
+
   test("cms inner product: disjoint sketches estimate 0, never NULL or an overestimate") {
     val a = Sketches.cmsCounters(Seq("a1", "a2", "a3").toDF("v"), col("v"), 3, 4096)
     val b = Sketches.cmsCounters(Seq("b1", "b2").toDF("v"), col("v"), 3, 4096)
