@@ -786,6 +786,27 @@ private[graft] trait CorpusGates extends GateSupport {
         t(s, dir, "customer").filter(col("c_acctbal") > 5000),
         col("c_custkey"), 256))
 
+  /** Grouped KMV sketch table: one k=32 sketch per nation — the
+    * per-segment rollup shape ([[graft.operators.Sketches.kmvSketchBy]]);
+    * nations hold ~60 customers at sf0.01, so most groups exceed k and
+    * exercise the cut while some stay sub-k. */
+  protected def kmvGroupedSketch(s: SparkSession, dir: String): DataFrame =
+    Sketches.kmvSketchBy(
+        t(s, dir, "customer"), Seq("c_nationkey"), col("c_custkey"), 32)
+      .orderBy("c_nationkey", "rank")
+
+  /** The grouped merge LAW: per-nation merge of the even-key and
+    * odd-key sketch tables == the from-scratch grouped build (the
+    * oracle builds the whole table directly). */
+  protected def kmvGroupedUnion(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    def half(r: Int) = Sketches.kmvSketchBy(
+      c.filter(pmod(col("c_custkey"), lit(2)) === r),
+      Seq("c_nationkey"), col("c_custkey"), 32)
+    Sketches.kmvMergeBy(half(0), half(1), Seq("c_nationkey"), 32)
+      .orderBy("c_nationkey", "rank")
+  }
+
   /** Per-group rank bounds off the grouped digest
     * ([[graft.operators.Sketches.qdigestRanksBy]]) — per event type,
     * the five probe values answered against THAT type's digest only
@@ -861,6 +882,20 @@ private[graft] trait CorpusGates extends GateSupport {
         tk AS (SELECT h FROM hv ORDER BY h LIMIT $k)
         SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS "rank", h
         FROM tk ORDER BY "rank""""
+
+
+  /** Grouped KMV rebuild in SQL — shared by the grouped state gate and
+    * the grouped union-law gate (whose oracle IS this whole-table
+    * build). */
+  private def kmvGroupedOracle(k: Int): String =
+    s"""WITH hv AS (SELECT DISTINCT c_nationkey,
+                      ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+                    FROM customer),
+        rk AS (SELECT c_nationkey, h,
+                      CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY h) AS BIGINT) AS "rank"
+               FROM hv)
+        SELECT c_nationkey, "rank", h FROM rk
+        WHERE "rank" <= $k ORDER BY c_nationkey, "rank""""
 
   private val qdigestGroupedRanksOracle: String = {
     val (chain, fin) = qdigestGroupedCompressSql("g", "gs0", 64, 16)
@@ -942,6 +977,8 @@ private[graft] trait CorpusGates extends GateSupport {
     "kmv_union_law" -> kmvUnionLaw _,
     "kmv_estimate" -> kmvEstimateGate _,
     "kmv_intersect" -> kmvIntersectGate _,
+    "kmv_grouped_sketch" -> kmvGroupedSketch _,
+    "kmv_grouped_union" -> kmvGroupedUnion _,
     "qdigest_weighted_nodes" -> qdigestWeightedGate _,
     "vocab_chao1" -> vocabChao1 _,
     "html_extract" -> htmlExtract _,
@@ -1264,6 +1301,8 @@ $policyWildSql
     "qdigest_grouped_nodes" -> qdigestGroupedOracle,
     "qdigest_grouped_ranks" -> qdigestGroupedRanksOracle,
     "kmv_sketch" -> kmvSketchOracle("customer", "c_custkey", 512),
+    "kmv_grouped_sketch" -> kmvGroupedOracle(32),
+    "kmv_grouped_union" -> kmvGroupedOracle(32),
     "kmv_union_law" -> kmvSketchOracle("customer", "c_custkey", 512),
     "kmv_estimate" ->
       """WITH hv AS (SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h FROM orders),

@@ -484,6 +484,42 @@ object Sketches {
       .select("rank", "h")
   }
 
+  /** Grouped KMV: one k-row sketch per key of `by` — the per-day /
+    * per-segment sketch TABLE (the [[hllRegistersBy]] rollup shape,
+    * with set operations). One keyed distinct, then a rank-filtered
+    * keyed window — Spark plans `WindowGroupLimit`, so each partition
+    * keeps only k candidates per group BEFORE the exchange; state is
+    * ≤ |groups|·k rows. */
+  def kmvSketchBy(
+      df: DataFrame, by: Seq[String], value: Column, k: Int): DataFrame = {
+    require(k >= 2, s"kmv k must be >= 2: $k")
+    require(by.nonEmpty, "kmvSketchBy needs group columns; use kmvSketch")
+    val h = conv(substring(md5(value.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    df.select(by.map(col) :+ h.as("h"): _*).distinct()
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy(by.map(col): _*).orderBy("h")).cast("long"))
+      .filter(col("rank") <= k)
+      .select(by.map(col) ++ Seq(col("rank"), col("h")): _*)
+  }
+
+  /** Per-group union of two grouped KMV sketch tables — the same merge
+    * law as [[kmvMerge]], per key: a group's merged sketch is EXACTLY
+    * the from-scratch sketch of its combined values. Groups absent
+    * from one side pass through (a day with no rows merges as
+    * identity). */
+  def kmvMergeBy(
+      a: DataFrame, b: DataFrame, by: Seq[String], k: Int): DataFrame = {
+    require(k >= 2, s"kmv k must be >= 2: $k")
+    require(by.nonEmpty, "kmvMergeBy needs group columns; use kmvMerge")
+    val cols = by.map(col) :+ col("h")
+    a.select(cols: _*).unionByName(b.select(cols: _*)).distinct()
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy(by.map(col): _*).orderBy("h")).cast("long"))
+      .filter(col("rank") <= k)
+      .select(by.map(col) ++ Seq(col("rank"), col("h")): _*)
+  }
+
   /** Union of two KMV sketches over the same hash domain: the k
     * smallest of the combined hash sets — EXACTLY the sketch of the
     * concatenated inputs (the KMV merge law; the union gate checks

@@ -327,6 +327,29 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged === whole, "KMV merge must be EXACTLY the union's sketch")
   }
 
+  test("kmvSketchBy: each group equals its solo build; grouped merge law holds") {
+    val rows = (1L to 3000L).map(i => (s"g${i % 3}", i.toString))
+    val df = rows.toDF("grp", "v")
+    val grouped = Sketches.kmvSketchBy(df, Seq("grp"), col("v"), 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    Seq("g0", "g1", "g2").foreach { g =>
+      val solo = Sketches.kmvSketch(
+          rows.filter(_._1 == g).map(_._2).toDF("v"), col("v"), 64)
+        .collect().map(r => (g, r.getLong(0), r.getLong(1))).toSet
+      assert(grouped(g).toSet === solo, s"group $g diverged from its solo sketch")
+    }
+    val merged = Sketches.kmvMergeBy(
+        Sketches.kmvSketchBy(df.filter(col("v").cast("long") % 2 === 0),
+          Seq("grp"), col("v"), 64),
+        Sketches.kmvSketchBy(df.filter(col("v").cast("long") % 2 === 1),
+          Seq("grp"), col("v"), 64),
+        Seq("grp"), 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged === grouped.values.flatten.toSet,
+      "grouped merge must equal the from-scratch grouped build")
+  }
+
   test("kmv intersect: overlap estimate tracks truth; disjoint sets answer 0") {
     // A = 1..12000, B = 8001..20000 → |A∩B| = 4000 of 20000
     val a = Sketches.kmvSketch((1L to 12000L).map(_.toString).toDF("v"), col("v"), 512)
