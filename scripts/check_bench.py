@@ -42,7 +42,9 @@ code.
 
 Exit code 0 = all green (cleared load artifacts included); 1 = any
 breach whose isolated number also breaches (or that has no isolated
-re-measurement), or an artifact with no resolvable queries.
+re-measurement), a non-empty "unadjudicated" list (r15: breach flags
+Bench's own adjudication pass could not isolate), or an artifact with
+no resolvable queries.
 """
 import json
 import os
@@ -74,7 +76,8 @@ def parse_md_table(path, required=False):
 
 
 def resolve_artifact(bench, stat):
-    """(queries, sliced, isolated, note) from either artifact shape."""
+    """(queries, sliced, isolated, breached, unadjudicated, note) from
+    either artifact shape."""
     if "parsed" in bench and "queries" not in bench:
         # driver-wrapped shape: {n, rc, cpus, sf, tail, parsed}. parsed
         # is Bench's compact summary line (baseline-overlap subset, min
@@ -93,21 +96,27 @@ def resolve_artifact(bench, stat):
                 best = cand
         queries = best.get("queries_median" if stat == "median" else "queries",
                            best.get("queries", {})) or {}
+        # the compact line's documented stat is min; don't echo the whole
+        # stat_note sentence as if it were the stat name (r14 advice)
+        m = re.search(r"\b(median|min)\b", best.get("stat_note", "") or "")
         note = ("driver-wrapped artifact: baseline-overlap subset, "
-                f"stat={best.get('stat_note', 'min')!r}")
+                f"stat={(m.group(1) if m else 'min')!r}")
         return (queries, set(best.get("sliced_gates", [])),
-                best.get("isolated", {}), note)
+                best.get("isolated", {}), best.get("breached", []),
+                best.get("unadjudicated", []), note)
     queries = bench.get("queries_median" if stat == "median" else "queries",
                         bench.get("queries", {})) or {}
     return (queries, set(bench.get("sliced_gates", [])),
-            bench.get("isolated", {}), None)
+            bench.get("isolated", {}), bench.get("breached", []),
+            bench.get("unadjudicated", []), None)
 
 
 def check_one(bench_path, stat, ref, fwd, waivers):
     """Gate one artifact; returns the number of breaches."""
     with open(bench_path) as f:
         bench = json.load(f)
-    queries, sliced, isolated, note = resolve_artifact(bench, stat)
+    (queries, sliced, isolated, flagged, unadjudicated,
+     note) = resolve_artifact(bench, stat)
     print(f"== {bench_path} ==")
     if note:
         print(note)
@@ -118,6 +127,21 @@ def check_one(bench_path, stat, ref, fwd, waivers):
 
     breaches = []
     cleared = []
+
+    # Bench names breach flags its adjudication pass could not isolate
+    # (r14 verdict #2) — a non-empty list is a failure, not a footnote
+    for name in unadjudicated:
+        breaches.append(f"breach flag NEVER isolated (bench budget/"
+                        f"failure): {name}")
+    # a breached name with no isolated entry and no gate coverage in the
+    # resolved queries map would otherwise vanish entirely (r14 verdict
+    # #6: the wrapped artifact's subset map can omit the flagged name)
+    for name in flagged:
+        if (name not in isolated and name not in queries
+                and name not in unadjudicated):
+            print(f"WARNING: breached scenario {name!r} has no isolated "
+                  "re-run and is outside this artifact's queries map — "
+                  "adjudicate it against the sibling full artifact")
 
     def check(name, ours, gate, label):
         """Record a breach, unless the isolated re-run clears it."""
@@ -148,9 +172,14 @@ def check_one(bench_path, stat, ref, fwd, waivers):
         if name in sliced or queries[name] < 0:
             continue
         if name in waivers:
-            if name in ref or name in fwd:
-                n_waived += 1
-                check(name, queries[name], waivers[name], "vs WAIVER bound ")
+            # the waiver bound binds even when NO baseline table lists
+            # the scenario — skipping it would leave the name neither
+            # gated nor reported as new (r14 advice)
+            n_waived += 1
+            if name not in ref and name not in fwd:
+                print(f"note: waived scenario {name!r} has no baseline "
+                      "entry — gated on its waiver bound alone")
+            check(name, queries[name], waivers[name], "vs WAIVER bound ")
             continue
         if name in ref:
             n_ref += 1

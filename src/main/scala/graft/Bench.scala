@@ -111,6 +111,12 @@ object Bench {
     // embed them; filled after the sweep.
     val breachedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     val isolatedMap = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // breach flags the adjudication pass could NOT isolate (budget
+    // exhausted or the re-run itself failed) — r14 verdict #2: these
+    // previously sat in the artifact as bare "breached" entries that
+    // check_bench silently ignored; now they are named explicitly and
+    // check_bench treats a non-empty list as a failure
+    val unadjudicatedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     // single source of truth for gates whose bench time measures a data
     // SLICE (not baseline-comparable) — resultJson, the compact summary,
     // and the breach predicate all read this one list (r13 advice: the
@@ -124,6 +130,7 @@ object Bench {
       val qm = results.map { case (k, v) =>
         "\"" + k + "\":" + medians.getOrElse(k, v) }.mkString("{", ",", "}")
       val br = breachedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val unadj = unadjudicatedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
       val iso = isolatedMap.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
@@ -136,7 +143,7 @@ object Bench {
         s""""queries_median":$qm,""" +
         s""""stat_note":"queries=min-of-5 when median<2s else median-of-3; queries_median=median always",""" +
         s""""sliced_gates":${slicedGates.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""breached":$br,"isolated":$iso,""" +
+        s""""breached":$br,"isolated":$iso,"unadjudicated":$unadj,""" +
         s""""sf":"$sfDir",$runMeta}"""
     }
     def flush(): Unit = {
@@ -180,6 +187,7 @@ object Bench {
       // cannot clear in-sweep load artifacts and flags them as real) —
       // they are small by construction (bounded re-run budget)
       val br = breachedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val unadj = unadjudicatedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
       val iso = isolatedMap.map { case (k, v) =>
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
           Double.box(v))
@@ -190,11 +198,14 @@ object Bench {
           s""""stat_note":"queries=baseline-overlap subset, min stat; full map in artifact",""" +
           s""""sliced_gates":${slicedGates.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""breached":$breached,"isolated":$isolated,""" +
+          s""""unadjudicated":$unadj,""" +
           s""""artifact":"target/bench.json","sf":"$sfDir",$runMeta}"""
       // hard bound: the whole line must sit inside the driver's ~2 KB
       // tail. Shed load in order: breached list first (check_bench only
       // reads `isolated`), then the isolated map, queries last (an
-      // empty map fails check_bench loudly — the shape of last resort)
+      // empty map fails check_bench loudly — the shape of last resort).
+      // `unadjudicated` is never shed: it is empty in a healthy run and
+      // the one field whose loss would hide a real failure (r14 #2).
       Seq(line(qs, br, iso), line(qs, "[]", iso), line(qs, "[]", "{}"),
           line("{}", "[]", "{}")).find(_.length <= 1900).get
     }
@@ -481,17 +492,20 @@ object Bench {
           System.gc(); Thread.sleep(3000); System.gc(); Thread.sleep(1000)
         }
         settle()
-        // bounded budget: at most 8 query re-runs and 4 family re-runs
-        // (a family re-run isolates EVERY scenario in it at once —
-        // including the ~90 s streaming family: its replays sit near
-        // their 1.5x gates, so a 0.01 s edge-flake otherwise costs a
-        // manual adjudication every round, r13's
-        // streaming_session_replay 7.54 s vs 7.53 s gate case).
+        // budget: EVERY flagged query gets an isolated re-run (r14
+        // verdict #2 — the old 8-query cap left 5 of 13 flags shipped
+        // unadjudicated; a query re-run costs ~1 s + the settle sleeps,
+        // far below the ~90 s family re-runs the caps actually protect
+        // against). A 64-query safety cap bounds the pathological
+        // everything-breached run; families keep their 4-slot cap.
+        // Anything left un-isolated is recorded by name in
+        // `unadjudicated`, which check_bench treats as a failure —
+        // budget exhaustion can no longer pass silently.
         var queryReruns = 0
         val rerunFamilies = scala.collection.mutable.Set.empty[() => Seq[(String, Double)]]
         breachedNames.foreach { name =>
           SparkEntry.queries.get(name) match {
-            case Some(fn) if queryReruns < 8 =>
+            case Some(fn) if queryReruns < 64 =>
               queryReruns += 1
               try {
                 def once(): Unit =
@@ -502,7 +516,7 @@ object Bench {
               } catch { case e: Throwable =>
                 System.err.println(s"[bench] isolated re-run of $name failed: $e")
               }
-            case Some(_) => () // query budget spent
+            case Some(_) => () // safety cap spent
             case None =>
               familyThunks.get(name).foreach { thunk =>
                 if (!rerunFamilies(thunk) && rerunFamilies.size < 4) {
@@ -520,6 +534,13 @@ object Bench {
               }
           }
         }
+        // every breach flag must end adjudicated: name the leftovers
+        unadjudicatedNames ++=
+          breachedNames.filterNot(isolatedMap.contains).distinct
+        if (unadjudicatedNames.nonEmpty)
+          System.err.println(
+            s"[bench] ${unadjudicatedNames.size} breach flag(s) NOT " +
+              s"isolated (budget/failure): ${unadjudicatedNames.mkString(", ")}")
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] self-adjudication pass failed (ignored): $e")

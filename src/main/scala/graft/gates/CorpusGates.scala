@@ -58,8 +58,12 @@ private[graft] trait CorpusGates extends GateSupport {
     * skip it), a commented-out canonical and a script-quoted one (both
     * stripped as chrome, never matched), then the real declaration in
     * three resolution flavors — absolute double-quoted (mod3=0),
-    * root-relative single-quoted (mod3=1), protocol-relative with the
-    * attribute order swapped (mod3=2) — and NO declaration at all on
+    * root-relative single-quoted (mod3=1) with an embedded URL in a
+    * tracking param (`?ref=https://…` — traps a '://'-first absolute
+    * sniff: the href is root-relative DESPITE containing '://', and
+    * the normalizer strips the param so collapse keys are unchanged),
+    * protocol-relative with the attribute order swapped (mod3=2) —
+    * and NO declaration at all on
     * mod5=2 (falls back to the fetch URL). The canonical key is
     * `/doc/(doc_id div 2)`, so consecutive-id pairs of one source
     * collapse. */
@@ -71,7 +75,8 @@ private[graft] trait CorpusGates extends GateSupport {
           concat(lit("<link rel=\"canonical\" href=\"https://"), col("source"),
             lit(".example.com/doc/"), k, lit("\">")))
         .when(pmod(col("doc_id"), lit(3)) === 1,
-          concat(lit("<link rel='canonical' href='/doc/"), k, lit("'>")))
+          concat(lit("<link rel='canonical' href='/doc/"), k,
+            lit("?ref=https://t.example.org/x'>")))
         .otherwise(
           concat(lit("<link href=\"//"), col("source"),
             lit(".example.com/doc/"), k, lit("\" rel=\"canonical\">")))
@@ -88,7 +93,7 @@ private[graft] trait CorpusGates extends GateSupport {
     """'<html><head><title>D</title><link rel="stylesheet" href="/css/site.css"><!-- <link rel="canonical" href="https://evil.example.org/x"> --><script>var s = ''<link rel="canonical" href="https://script.example.org/y">'';</script>'
        || CASE WHEN doc_id % 5 = 2 THEN ''
                WHEN doc_id % 3 = 0 THEN '<link rel="canonical" href="https://' || source || '.example.com/doc/' || CAST(doc_id // 2 AS VARCHAR) || '">'
-               WHEN doc_id % 3 = 1 THEN '<link rel=''canonical'' href=''/doc/' || CAST(doc_id // 2 AS VARCHAR) || '''>'
+               WHEN doc_id % 3 = 1 THEN '<link rel=''canonical'' href=''/doc/' || CAST(doc_id // 2 AS VARCHAR) || '?ref=https://t.example.org/x''>'
                ELSE '<link href="//' || source || '.example.com/doc/' || CAST(doc_id // 2 AS VARCHAR) || '" rel="canonical">' END
        || '</head><body><p>Body</p></body></html>'"""
 
@@ -1238,13 +1243,13 @@ $policyWildSql
                  FROM hr),
           res AS (SELECT doc_id, href,
                    CASE WHEN href = '' THEN url
-                        WHEN instr(href, '://') > 0 THEN href
                         WHEN href LIKE '//%' THEN lower(split_part(url, '://', 1)) || ':' || href
                         WHEN href LIKE '/%' THEN lower(split_part(url, '://', 1)) || '://' ||
                              split_part(split_part(split_part(
                                CASE WHEN instr(url, '://') > 0
                                     THEN substr(url, instr(url, '://') + 3)
                                     ELSE url END, '/', 1), '?', 1), '#', 1) || href
+                        WHEN instr(href, '://') > 0 THEN href
                         ELSE url END AS rurl
                  FROM h1),
           ab AS (SELECT doc_id, href, rurl AS url FROM res),

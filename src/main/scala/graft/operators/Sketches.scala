@@ -477,7 +477,11 @@ object Sketches {
     require(k >= 2, s"kmv k must be >= 2: $k")
     val h = conv(substring(md5(value.cast("string")), 1, 15), 16, 10)
       .cast("long")
-    df.select(h.as("h")).distinct()
+    // NULLs are not set members (the DISTINCT-count convention
+    // hllRegisters assumes implicitly): a NULL value hashes to a NULL
+    // h, which an ascending sort places FIRST — it would occupy rank 1
+    // and inflate the sub-k exact count by one (r14 advice)
+    df.select(h.as("h")).filter(col("h").isNotNull).distinct()
       .orderBy("h").limit(k)
       .withColumn("rank",
         row_number().over(Window.orderBy("h")).cast("long"))
@@ -496,7 +500,10 @@ object Sketches {
     require(by.nonEmpty, "kmvSketchBy needs group columns; use kmvSketch")
     val h = conv(substring(md5(value.cast("string")), 1, 15), 16, 10)
       .cast("long")
-    df.select(by.map(col) :+ h.as("h"): _*).distinct()
+    // same NULL-exclusion as kmvSketch: a group's NULL values are not
+    // distinct members and must not claim its rank-1 slot
+    df.select(by.map(col) :+ h.as("h"): _*)
+      .filter(col("h").isNotNull).distinct()
       .withColumn("rank", row_number()
         .over(Window.partitionBy(by.map(col): _*).orderBy("h")).cast("long"))
       .filter(col("rank") <= k)

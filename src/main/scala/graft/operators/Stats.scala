@@ -984,10 +984,17 @@ object Stats {
     // (r13 advice). `<=>` on each key preserves them; offsets keys are
     // renamed first so the same-lineage self-join stays unambiguous.
     val joinKeys = "_pid" +: partitionCols
-    val offRenamed = offsets.toDF(joinKeys.map("_o" + _) ++ Seq("_off", "_n"): _*)
-    val joinCond = joinKeys.map(k => col(k) <=> col("_o" + k)).reduce(_ && _)
+    // the rename prefix must not collide with any column of the cum
+    // frame (a partition column named "ff" would make "_o"+"ff" ==
+    // "_off" — an ambiguous-column AnalysisException; r14 advice) —
+    // escalate underscores until every renamed key is fresh
+    val prefix = Iterator.iterate("_ntile_o_")(_ + "_")
+      .find(p => joinKeys.forall(k => !cum.columns.contains(p + k)))
+      .get
+    val offRenamed = offsets.toDF(joinKeys.map(prefix + _) ++ Seq("_off", "_n"): _*)
+    val joinCond = joinKeys.map(k => col(k) <=> col(prefix + k)).reduce(_ && _)
     cum.join(broadcast(offRenamed), joinCond)
-      .drop(joinKeys.map("_o" + _): _*)
+      .drop(joinKeys.map(prefix + _): _*)
       .withColumn("_rank", col("_off") + col("_rn"))
       .withColumn("_q", expr(s"_n div $tiles"))
       .withColumn("_r", col("_n") % tiles)

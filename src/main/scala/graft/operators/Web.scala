@@ -234,10 +234,14 @@ object Web {
   def resolveCanonical(href: Column, fetchUrl: Column): Column = {
     val scheme = lower(substring_index(fetchUrl, "://", 1))
     val origin = concat(scheme, lit("://"), hostportOf(restOf(fetchUrl)))
+    // relative forms are tested BEFORE the '://' absolute sniff: a
+    // root-relative href with an embedded URL in its query
+    // (`/r?to=https://x`) contains '://' but is still root-relative
+    // and must resolve against the fetch origin (r14 advice)
     when(href === "", fetchUrl)
-      .when(instr(href, "://") > 0, href)
       .when(href.startsWith("//"), concat(scheme, lit(":"), href))
       .when(href.startsWith("/"), concat(origin, href))
+      .when(instr(href, "://") > 0, href)
       .otherwise(fetchUrl)
   }
 
