@@ -171,6 +171,20 @@ object WrongExpectedVersionException {
       s"Append failed due to WrongExpectedVersion. Stream: $streamId, Expected version: $expectedVersion")
 }
 
+/** A second writer tried to open a log root whose lease is held and fresh
+  * (strict mode, `leaseTimeoutMs > 0`). The cross-process twin of the
+  * reference's DB transaction boundary: the RDBMS serialized writers for
+  * it (`PgSqlScripts/AppendToStream.sql` runs inside one transaction);
+  * the parquet store serializes them with an exclusive lease file. */
+final class StoreLockedException(val root: String, message: String)
+  extends RuntimeException(message)
+
+/** This writer's lease was taken over by another process (fencing epoch
+  * bumped); every subsequent mutation fails with this instead of silently
+  * interleaving appends into a log the new owner now writes. */
+final class StoreFencedException(val root: String, message: String)
+  extends RuntimeException(message)
+
 /** Injectable clock so TTL/retention tests control time instead of sleeping.
   * Ref: `src/SqlStreamStore/Infrastructure/GetUtcNow.cs`. */
 trait Clock extends Serializable { def nowUtc: Instant }

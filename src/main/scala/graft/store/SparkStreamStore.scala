@@ -55,7 +55,12 @@ import scala.collection.mutable
   * boundary", reference README.md:25). Reads snapshot driver state under
   * the lock but run their Spark jobs outside it, so subscription polling
   * does not contend with appends; only [[compact]] (which swaps files)
-  * excludes readers, via a read-write structure lock.
+  * excludes readers, via a read-write structure lock. ACROSS processes
+  * the same invariant is enforced by an exclusive [[WriterLease]]
+  * (`<root>/LOCK`, heartbeat + fencing epoch): a second store opening
+  * the same root either fails loudly (strict mode) or fences this one
+  * (default takeover mode), and a fenced writer refuses every mutation
+  * instead of interleaving appends into the winner's log.
   *
   * Durability: every append is in the WAL before the call returns; the
   * heads journal is written on every rare mutation (delete, metadata,
@@ -82,7 +87,9 @@ final class SparkStreamStore(
     flushEveryRows: Int = 4096, // group-commit window: flush the memtable to a parquet segment after this many buffered rows...
     flushEveryBytes: Long = 32L << 20, // ...or this many buffered payload bytes, whichever comes first
     headCacheCapacity: Int = 0, // >0: bound driver head memory to an LRU of this many hot heads over an embedded Derby spill from the start (0 = in memory until autoSpillHeads)
-    autoSpillHeads: Long = 1L << 20) // with headCacheCapacity = 0: head count at which the in-memory store migrates to the Derby spill (~100 MB of driver heap); <= 0 disables auto-spill
+    autoSpillHeads: Long = 1L << 20, // with headCacheCapacity = 0: head count at which the in-memory store migrates to the Derby spill (~100 MB of driver heap); <= 0 disables auto-spill
+    leaseTimeoutMs: Long = 0L, // cross-process writer lease mode: 0 = takeover-with-fencing (crash restarts never lock out; a live previous writer is fenced); >0 = strict (a second open fails loudly unless the holder's heartbeat is older than this)
+    leaseHeartbeatMs: Long = 1000L) // writer-lease heartbeat/verification cadence (see WriterLease)
   extends StreamStore {
 
   import SparkStreamStore._
@@ -210,6 +217,15 @@ final class SparkStreamStore(
     val t = new Thread(r, "graft-purge"); t.setDaemon(true); t
   })
 
+  /** Cross-process writer fence (r14 verdict #1): acquired BEFORE
+    * recovery so the WAL/journal replay — and the wal-directory delete it
+    * ends with — runs only under an owned lease. The in-process
+    * single-writer invariant (`synchronized` on `this`) gets its
+    * cross-JVM twin here; see [[WriterLease]] for the two modes and the
+    * fencing-window analysis. */
+  private[store] val lease: WriterLease =
+    WriterLease.acquire(fs, root, leaseTimeoutMs, leaseHeartbeatMs, log)
+
   recover()
 
   // ------------------------------------------------------------------
@@ -233,6 +249,7 @@ final class SparkStreamStore(
       streamId: String,
       expectedVersion: Int,
       messages: Seq[NewStreamMessage]): AppendResult = {
+    lease.ensureValid() // fenced writers refuse, they don't corrupt
     // Empty batch with a concrete expected version: no-op at head
     // (ref: StreamStoreBase.cs:59-66).
     if (messages.isEmpty && expectedVersion >= 0)
@@ -402,7 +419,12 @@ final class SparkStreamStore(
     * flush, not a file create + parquet footer. Callers hold `this`. */
   private def appendToWal(rows: Seq[MessageRow]): Unit = {
     val out = walOut.getOrElse {
-      val o = writeFs.create(new HPath(walDir, f"wal-${rows.head.position}%020d.jsonl"), false)
+      // the file name carries the writer's fencing epoch: if a fenced
+      // zombie races one heartbeat's worth of WAL lines against the
+      // lease winner, recovery keeps the HIGHEST epoch per position, so
+      // the zombie's rows lose deterministically (see recoverWal)
+      val o = writeFs.create(new HPath(walDir,
+        f"wal-e${lease.epoch}%06d-p${rows.head.position}%020d.jsonl"), false)
       walOut = Some(o)
       o
     }
@@ -428,6 +450,10 @@ final class SparkStreamStore(
     * delete second — a crash between the two is deduped by position at
     * recovery). Callers hold `this`. */
   private def flushMemtable(): Unit = if (memtable.nonEmpty) {
+    // a published segment is what the lease winner scans — verify the
+    // lock SYNCHRONOUSLY (not just the heartbeat's cached verdict)
+    // before every segment write, so a fenced writer can never publish
+    lease.pollNow(); lease.ensureValid()
     DirectParquet.write(writeConf,
       new HPath(messagesDir, f"part-${memtable.head.position}%020d-${UUID.randomUUID().toString.take(8)}.parquet"),
       memtable.toSeq)
@@ -886,6 +912,9 @@ final class SparkStreamStore(
         case Some(v) => spark.conf.set(tsKey, v)
         case None => spark.conf.unset(tsKey)
       }
+      // the pointer flip is the compaction's one irreversible publish —
+      // verify lease ownership synchronously right before it
+      lease.pollNow(); lease.ensureValid()
       writeCurrent(newGen)
       val oldGen = gen
       gen = newGen
@@ -1023,6 +1052,9 @@ final class SparkStreamStore(
 
   private def writeTombstones(tombs: Seq[Tomb]): Unit = {
     if (tombs.isEmpty) return
+    // tombstones are recovery inputs for the lease winner — same
+    // synchronous verification as segment/journal publication
+    lease.pollNow(); lease.ensureValid()
     val first = tombSeq
     val sb = new StringBuilder
     tombs.foreach { t =>
@@ -1059,6 +1091,9 @@ final class SparkStreamStore(
   }
 
   private def writeJournalRows(rows: Iterator[(String, Option[Head])], pruneBelow: Boolean): Unit = {
+    // journal files are recovery inputs for the lease winner — same
+    // synchronous verification as segment publication
+    lease.pollNow(); lease.ensureValid()
     flushPendingCutoffs() // persistence rides the journal cadence
     if (rows.isEmpty && !pruneBelow) { appendsSinceJournal = 0; return }
     val first = journalSeq
@@ -1164,20 +1199,45 @@ final class SparkStreamStore(
   /** Replay WAL rows that never made it into a flushed segment (a crash
     * without [[close]]). Rows already covered by a segment — a crash
     * between the segment write and the WAL retire — are deduped by
-    * position. A torn final line is an append that never acknowledged;
-    * dropping it is correct. */
+    * position. A torn final line (per FILE: each WAL file is an append
+    * stream, so a crash tears only its own last line) is an append that
+    * never acknowledged; dropping it is correct. When files of multiple
+    * fencing epochs coexist — a fenced zombie wrote inside its last
+    * heartbeat window — the HIGHEST epoch wins per position: the winner
+    * replayed the loser's acked rows at takeover, so any same-position
+    * survivor from a lower epoch is by definition a zombie write. */
   private def recoverWal(): Unit = {
     val dir = new HPath(walDir)
     if (!fs.exists(dir)) return
-    val rows = listJsonLines(dir).flatMap { n =>
-      try Some(MessageRow(
+    val epochRx = """wal-e(\d+)-p\d+\.jsonl""".r
+    val rows = fs.listStatus(dir).sortBy(_.getPath.getName).toSeq.flatMap { st =>
+      val epoch = st.getPath.getName match {
+        case epochRx(e) => e.toLong
+        case _ => 0L // pre-lease naming: wal-<position>.jsonl
+      }
+      val in = fs.open(st.getPath)
+      val text = try {
+        val bytes = new Array[Byte](st.getLen.toInt)
+        in.readFully(0, bytes)
+        new String(bytes, StandardCharsets.UTF_8)
+      } finally in.close()
+      val lines = text.split('\n').iterator.filter(_.nonEmpty).toSeq
+      lines.zipWithIndex.flatMap { case (line, li) =>
+        parseRecoveryLine(line, st.getPath,
+          isTail = li == lines.length - 1 && !text.endsWith("\n"))
+          .map(n => (epoch, n))
+      }
+    }.flatMap { case (epoch, n) =>
+      try Some((epoch, MessageRow(
         n.get("streamId").asText, n.get("messageId").asText,
         n.get("streamVersion").asInt, n.get("position").asLong,
         n.get("createdMicros").asLong, n.get("type").asText,
         Option(n.get("jsonData")).map(_.asText).orNull,
-        Option(n.get("jsonMetadata")).map(_.asText).orNull))
+        Option(n.get("jsonMetadata")).map(_.asText).orNull)))
       catch { case _: Throwable => None }
-    }.sortBy(_.position)
+    }.groupBy(_._2.position).valuesIterator
+      .map(_.maxBy(_._1)._2).toSeq
+      .sortBy(_.position)
     if (rows.nonEmpty) {
       val maxFlushed: Long =
         if (!fs.exists(new HPath(messagesDir))) -1L
@@ -1390,11 +1450,21 @@ final class SparkStreamStore(
         log.warn("graft: background purge/compaction did not finish within 60s of close()")
     } catch { case _: InterruptedException => Thread.currentThread().interrupt() }
     synchronized {
-      flushMemtable() // closes + retires the WAL
-      writeJournal(dirtyStreams.toSeq, Nil) // also flushes pending cutoffs
+      if (lease.isFenced) {
+        // a fenced loser must not write a farewell segment/journal into
+        // the winner's log — drop the buffer (every row in it is also in
+        // this writer's zombie WAL, which loses by epoch at recovery)
+        log.warn(s"graft: close() on a FENCED store for $root — buffered " +
+          s"rows are discarded, the lease winner owns the log")
+        memtable.clear(); memtableBytes = 0L
+      } else {
+        flushMemtable() // closes + retires the WAL
+        writeJournal(dirtyStreams.toSeq, Nil) // also flushes pending cutoffs
+      }
       walOut.foreach(_.close())
       walOut = None
       heads.close() // drops the Derby spill scratch db, if any
+      lease.release()
       writeFs.close()
     }
   }

@@ -1,0 +1,205 @@
+package graft.store
+
+import graft.core.{StoreFencedException, StoreLockedException}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+import java.nio.charset.StandardCharsets
+
+/** Exclusive writer lease over a store root — the cross-process twin of
+  * [[SparkStreamStore]]'s in-process single-writer lock.
+  *
+  * The reference gets cross-process writer safety for free from DB
+  * transactions ("the stream as the consistency and transaction
+  * boundary", reference README.md:25; `PgSqlScripts/AppendToStream.sql`
+  * runs inside one). A parquet log has no transaction manager, so two
+  * JVMs opening one root could interleave appends and corrupt the dense
+  * position contract. This lease closes that gap with plain filesystem
+  * primitives (create-exclusive + mtime heartbeat + a fencing epoch —
+  * the HDFS-lease / controller-epoch idiom):
+  *
+  *  - `<root>/LOCK` names the current writer (owner UUID, epoch, host,
+  *    pid). It is created exclusively on open and deleted on clean
+  *    [[release]].
+  *  - The holder heartbeats by refreshing the lock's mtime (a metadata
+  *    op — the content stays immutable for the tenure, so a concurrent
+  *    reader can never observe a half-written lock).
+  *  - DEFAULT (`leaseTimeoutMs = 0`): an opener finding a LOCK takes
+  *    over — it bumps the fencing epoch and rewrites the lock. Crash
+  *    restarts are therefore never locked out. The previous holder, if
+  *    actually alive, is the LOSER: its next heartbeat (or the
+  *    synchronous [[pollNow]] every durable write runs first) sees a
+  *    foreign owner and trips the `fenced` latch, after which every
+  *    mutation throws [[StoreFencedException]] instead of writing.
+  *  - STRICT (`leaseTimeoutMs > 0`): an opener finding a lock whose
+  *    heartbeat is fresher than the timeout fails loudly with
+  *    [[StoreLockedException]]; only a stale lock (holder dead longer
+  *    than the timeout) may be broken.
+  *
+  * Fencing windows, stated honestly: the loser's parquet-segment,
+  * journal, tombstone, and compaction-pointer writes are guarded by a
+  * SYNCHRONOUS lock verification immediately before the write (those are
+  * the reads the new owner trusts), so a fenced writer can never publish
+  * a segment or flip `CURRENT`. Only its per-append WAL lines can race
+  * inside one heartbeat interval — and those lose deterministically at
+  * the next recovery, because WAL file names carry the epoch and replay
+  * keeps the HIGHEST epoch per position ([[SparkStreamStore.recoverWal]]).
+  */
+final class WriterLease private (
+    fs: FileSystem,
+    root: String,
+    val ownerId: String,
+    val epoch: Long,
+    heartbeatMs: Long,
+    log: org.slf4j.Logger) {
+
+  private val lockPath = WriterLease.lockPathOf(root)
+  @volatile private var fencedFlag = false
+  @volatile private var closed = false
+
+  private val beat = new Thread(() => {
+    while (!closed && !fencedFlag) {
+      try Thread.sleep(heartbeatMs)
+      catch { case _: InterruptedException => () }
+      if (!closed) pollNow()
+    }
+  }, s"graft-lease-${ownerId.take(8)}")
+  beat.setDaemon(true)
+  beat.start()
+
+  def isFenced: Boolean = fencedFlag
+
+  /** One verification cycle, callable synchronously (every durable write
+    * runs one first): confirm the lock still names this owner, then
+    * refresh its mtime so other openers see a live holder. A foreign
+    * owner — or a deleted lock — trips the fenced latch permanently. */
+  def pollNow(): Unit = synchronized {
+    if (closed || fencedFlag) return
+    try {
+      if (!WriterLease.readHolder(fs, lockPath).exists(_.owner == ownerId)) {
+        fencedFlag = true
+        log.error(s"graft: writer lease for $root lost to another process " +
+          s"— this store instance is fenced and will refuse all writes")
+      } else fs.setTimes(lockPath, System.currentTimeMillis(), -1L)
+    } catch {
+      case _: java.io.FileNotFoundException =>
+        fencedFlag = true
+        log.error(s"graft: writer lease file for $root disappeared — fenced")
+      case _: java.io.IOException => () // transient; the next beat retries
+    }
+  }
+
+  /** Throws if this writer has been fenced. Cheap (one volatile read) —
+    * runs at the top of every mutation. */
+  def ensureValid(): Unit =
+    if (fencedFlag)
+      throw new StoreFencedException(root,
+        s"writer lease for $root (owner $ownerId, epoch $epoch) was taken " +
+          "over by another process — this instance can no longer write; " +
+          "reopen the store to resume")
+
+  /** Clean release: stop the heartbeat and delete the lock — but only if
+    * it is still OURS (a fenced loser must not erase the winner's). */
+  def release(): Unit = synchronized {
+    closed = true
+    beat.interrupt()
+    try {
+      if (!fencedFlag && WriterLease.readHolder(fs, lockPath).exists(_.owner == ownerId))
+        fs.delete(lockPath, false)
+    } catch { case _: java.io.IOException => () }
+  }
+}
+
+object WriterLease {
+  private val Mapper = new ObjectMapper
+
+  private[store] def lockPathOf(root: String): HPath =
+    new HPath(root.stripSuffix("/") + "/LOCK")
+
+  private[store] final case class Holder(owner: String, epoch: Long)
+
+  private[store] def readHolder(fs: FileSystem, p: HPath): Option[Holder] =
+    try {
+      val st = fs.getFileStatus(p)
+      val in = fs.open(p)
+      val text =
+        try {
+          val bytes = new Array[Byte](st.getLen.toInt)
+          in.readFully(0, bytes)
+          new String(bytes, StandardCharsets.UTF_8)
+        } finally in.close()
+      val n = Mapper.readTree(text)
+      Some(Holder(n.get("owner").asText, n.get("epoch").asLong))
+    } catch { case _: Throwable => None }
+
+  /** Acquire the root's writer lease (see class doc for the two modes).
+    * Retries the create-exclusive race a few times so two simultaneous
+    * takeovers resolve to exactly one winner. */
+  def acquire(
+      fs: FileSystem,
+      root: String,
+      leaseTimeoutMs: Long,
+      heartbeatMs: Long,
+      log: org.slf4j.Logger): WriterLease = {
+    require(heartbeatMs >= 1, s"leaseHeartbeatMs must be >= 1: $heartbeatMs")
+    val ownerId = java.util.UUID.randomUUID().toString
+    val lock = lockPathOf(root)
+    fs.mkdirs(new HPath(root.stripSuffix("/")))
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val status =
+        try Some(fs.getFileStatus(lock))
+        catch { case _: java.io.FileNotFoundException => None }
+      status match {
+        case None =>
+          if (tryCreate(fs, lock, ownerId, epoch = 1L))
+            return new WriterLease(fs, root, ownerId, 1L, heartbeatMs, log)
+        // lost the create race — loop re-reads the fresh lock
+        case Some(st) =>
+          val ageMs = System.currentTimeMillis() - st.getModificationTime
+          val holder = readHolder(fs, lock)
+          if (leaseTimeoutMs > 0 && ageMs < leaseTimeoutMs)
+            throw new StoreLockedException(root,
+              s"store root $root is locked by writer " +
+                s"${holder.map(_.owner).getOrElse("<unreadable>")} " +
+                s"(heartbeat ${ageMs} ms ago, timeout $leaseTimeoutMs ms) — " +
+                "only one SparkStreamStore may write a log root")
+          // takeover: bump the fencing epoch past the previous holder's.
+          // delete + create-exclusive keeps the winner unique: of two
+          // simultaneous takeovers, one create fails and loops back to
+          // find a held lock.
+          val nextEpoch = holder.map(_.epoch + 1L).getOrElse(1L)
+          log.warn(s"graft: taking over writer lease for $root from " +
+            s"${holder.map(_.owner).getOrElse("<unreadable>")} " +
+            s"(heartbeat ${ageMs} ms ago) at fencing epoch $nextEpoch — " +
+            "if that writer is still alive it will be fenced")
+          try fs.delete(lock, false)
+          catch { case _: java.io.IOException => () }
+          if (tryCreate(fs, lock, ownerId, nextEpoch))
+            return new WriterLease(fs, root, ownerId, nextEpoch, heartbeatMs, log)
+      }
+    }
+    throw new StoreLockedException(root,
+      s"could not acquire the writer lease for $root after $attempt " +
+        "contended attempts — another writer is actively racing this open")
+  }
+
+  private def tryCreate(
+      fs: FileSystem, lock: HPath, ownerId: String, epoch: Long): Boolean =
+    try {
+      val out = fs.create(lock, false) // exclusive: throws if present
+      try {
+        val n = Mapper.createObjectNode()
+        n.put("owner", ownerId)
+        n.put("epoch", epoch)
+        n.put("host", try java.net.InetAddress.getLocalHost.getHostName
+                      catch { case _: Throwable => "unknown" })
+        n.put("pid", ProcessHandle.current().pid())
+        n.put("acquiredUtc", java.time.Instant.now().toString)
+        out.write(Mapper.writeValueAsString(n).getBytes(StandardCharsets.UTF_8))
+      } finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+}
