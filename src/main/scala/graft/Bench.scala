@@ -394,7 +394,7 @@ object Bench {
       incrementalPipelineScenario(spark, sfDir)
     }
     results ++= guarded(Seq("online_dedup_replay", "online_ann_replay",
-        "online_frontier_replay")) {
+        "online_frontier_replay", "online_kmv_replay")) {
       onlineSinksScenario(spark, sfDir)
     }
     results ++= guarded(Seq("layout_plain_write", "layout_zorder_write",
@@ -1346,8 +1346,17 @@ object Bench {
       (0 to 3).foreach(i =>
         online.processBatch(pages.filter(col("doc_id") % 4 === i), i.toLong))
     }
+    val tKmv = time {
+      // grouped standing sketch (one per source): per batch one
+      // delta-sized distinct + WindowGroupLimit top-K + a |groups|·k
+      // merge — the r14 KMV family's streaming maintenance cost
+      val online = new graft.streaming.OnlineKmv(
+        fresh("online-kmv"), "text", k = 256, by = Seq("source"))
+      (0 to 3).foreach(i =>
+        online.processBatch(docs.filter(col("doc_id") % 4 === i), i.toLong))
+    }
     Seq("online_dedup_replay" -> tDedup, "online_ann_replay" -> tAnn,
-      "online_frontier_replay" -> tFrontier)
+      "online_frontier_replay" -> tFrontier, "online_kmv_replay" -> tKmv)
   }
 
   /** The operational daily-growth twin of `pipeline_docs_end_to_end`

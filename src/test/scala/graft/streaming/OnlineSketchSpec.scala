@@ -55,6 +55,60 @@ class OnlineSketchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV maintenance (MemoryStream -> foreachBatch fold) equals the batch sketch exactly") {
+    // KMV's build is distinct -> top-K (not a pure keyed aggregation),
+    // so its streaming face is a foreachBatch merge fold (OnlineKmv) —
+    // and the union law makes the pin EXACT frame equality, not an
+    // estimate comparison: k smallest of a union = k smallest of the
+    // concatenation, whatever the micro-batch boundaries were
+    val dir = SparkTestSession.tempDir("graft-online-kmv")
+    val online = new OnlineKmv(dir, "v", k = 64)
+    val in = MemoryStream[Long](spark)
+    val q = in.toDF().select(col("value").as("v")).writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        online.processBatch(b, id))
+      .start()
+    try {
+      in.addData(1L to 300L: _*)
+      q.processAllAvailable()
+      in.addData(150L to 700L: _*) // overlap: the merge's distinct absorbs it
+      q.processAllAvailable()
+      in.addData(701L to 900L: _*)
+      q.processAllAvailable()
+      val streamed = online.current(spark).get
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = Sketches.kmvSketch((1L to 900L).toDF("v"), col("v"), 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming GROUPED KMV maintenance equals the per-group batch sketch table") {
+    val dir = SparkTestSession.tempDir("graft-online-kmvby")
+    val online = new OnlineKmv(dir, "v", k = 16, by = Seq("g"))
+    val all = (1 to 600).map(i => (s"g${i % 3}", (i % 170).toLong))
+    val mkDf = (rows: Seq[(String, Long)]) => rows.toDF("g", "v")
+    // replay THROUGH the idempotence convention: batch 1 processed twice
+    // (foreachBatch's at-least-once delivery) must be absorbed
+    val (b0, rest) = all.splitAt(200)
+    val (b1, b2) = rest.splitAt(250)
+    online.processBatch(mkDf(b0), 0L)
+    online.processBatch(mkDf(b1), 1L)
+    online.processBatch(mkDf(b1), 1L) // replayed batch: same predecessor, same output
+    online.processBatch(mkDf(b2), 2L)
+    val streamed = online.current(spark).get
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Sketches.kmvSketchBy(mkDf(all), Seq("g"), col("v"), 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    // each group carries 170 distinct values (> k): the maintained
+    // table must hold a FULL dense-rank 1..k sketch per group
+    val ranks = online.current(spark).get.groupBy("g")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ranks.forall { case (n, mx) => n == 16L && mx == 16L })
+  }
+
   test("streaming q-digest: leaf-histogram state + on-read compaction equals the batch build") {
     // the sketch's ONE data-sized aggregate (the leaf histogram) runs as
     // a streaming keyed aggregation — counts sum under the hood, which is
