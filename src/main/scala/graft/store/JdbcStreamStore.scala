@@ -729,13 +729,10 @@ final class JdbcStreamStore(
   private[store] def stepV0toV1(): Unit = {
     creationDdlV1(sqlDialect).foreach(ddl)
     if (!columnExists(StreamsTable, "position")) {
-      ddl(s"ALTER TABLE $StreamsTable ADD COLUMN position BIGINT DEFAULT -1 NOT NULL")
-      val upd = cachedStatement(
-        s"""UPDATE $StreamsTable SET position =
-           |  COALESCE((SELECT MAX(m.position) FROM $MessagesTable m
-           |            WHERE m.stream_id_internal = $StreamsTable.id_internal), -1)"""
-          .stripMargin)
-      upd.executeUpdate()
+      val Seq(alter, backfill) =
+        JdbcStreamStore.legacyPositionMigration(sqlDialect)
+      ddl(alter)
+      cachedStatement(backfill).executeUpdate()
     }
   }
 
@@ -912,6 +909,24 @@ object JdbcStreamStore {
         t.replace("  position BIGINT NOT NULL,\n", "")
       case t => t
     }
+
+  /** The legacy rung's add+backfill statements as a function of the
+    * dialect — exposed so SqlDialectSpec can pin the EXACT text each
+    * engine receives (r14 verdict #7: the other rungs carry per-dialect
+    * text pins; this one was acceptance-tested on Derby only). Both
+    * statements are deliberately ANSI-invariant — no limit suffix, no
+    * text type, no vendor function — and the spec asserts that
+    * invariance, so the Derby-acceptance-tested rung is textually the
+    * one a Postgres/MySql/Sqlite user runs. Mirrors the reference's
+    * `MsSql/ScriptsV2/Migration_v2.sql` (add `position` at −1, backfill
+    * per stream via `ISNULL(MAX(...), -1)` — COALESCE is its ANSI
+    * spelling). */
+  private[store] def legacyPositionMigration(d: SqlDialect): Seq[String] = Seq(
+    s"ALTER TABLE $StreamsTable ADD COLUMN position BIGINT DEFAULT -1 NOT NULL",
+    s"""UPDATE $StreamsTable SET position =
+       |  COALESCE((SELECT MAX(m.position) FROM $MessagesTable m
+       |            WHERE m.stream_id_internal = $StreamsTable.id_internal), -1)"""
+      .stripMargin)
 
   /** v2 additions: the reversed-id column + its index, which turn
     * `ListStreams(EndsWith)` from a full suffix scan into an indexed

@@ -80,6 +80,40 @@ class SqlDialectSpec extends AnyFunSuite {
     }
   }
 
+  test("legacy pre-0.8.0 rung: add+backfill text pinned per dialect (pure ANSI, no engine-variant token)") {
+    val dialects = Seq(SqlDialect.Derby, SqlDialect.Postgres,
+      SqlDialect.MySql, SqlDialect.Sqlite, SqlDialect.Ansi)
+    dialects.foreach { d =>
+      val Seq(alter, backfill) = JdbcStreamStore.legacyPositionMigration(d)
+      // the Derby-acceptance-tested text IS the text every engine gets
+      assert(alter ===
+        "ALTER TABLE graft_streams ADD COLUMN position BIGINT DEFAULT -1 NOT NULL",
+        s"alter text diverged for ${d.name}")
+      assert(backfill.startsWith("UPDATE graft_streams SET position ="))
+      assert(backfill.contains(
+        "COALESCE((SELECT MAX(m.position) FROM graft_messages m"))
+      assert(backfill.contains(
+        "WHERE m.stream_id_internal = graft_streams.id_internal), -1)"))
+      // the invariance claim, asserted: no dialect-varying construct may
+      // leak into the rung (those are the ONLY four divergence points)
+      Seq("FETCH FIRST", "LIMIT ", "CLOB", "LONGTEXT").foreach { tok =>
+        assert(!alter.contains(tok) && !backfill.contains(tok),
+          s"engine-variant token '$tok' in the ${d.name} legacy rung")
+      }
+    }
+    // v0 DETECTION shape: the legacy creation DDL differs from v1 by
+    // exactly the missing per-stream position column, in every dialect —
+    // so columnExists(position) is a sound v0 discriminator everywhere
+    dialects.foreach { d =>
+      val v1 = JdbcStreamStore.creationDdlV1(d).mkString("\n---\n")
+      val legacy = JdbcStreamStore.creationDdlLegacy(d).mkString("\n---\n")
+      assert(v1.contains("  position BIGINT NOT NULL,"))
+      assert(!legacy.contains("  position BIGINT NOT NULL,"))
+      assert(v1.replace("  position BIGINT NOT NULL,\n", "") === legacy,
+        s"legacy DDL for ${d.name} diverges from v1 beyond the position column")
+    }
+  }
+
   test("store runs end-to-end through an explicitly injected dialect") {
     val dir = SparkTestSession.tempDir("graft-dialect")
     val store = new JdbcStreamStore(SparkTestSession.spark, s"jdbc:derby:$dir/db;create=true",
