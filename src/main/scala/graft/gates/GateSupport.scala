@@ -163,6 +163,131 @@ private[graft] trait GateSupport {
         FROM j GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  // ---- unigram-LM tokenizer oracles ([[operators.UnigramLm]]) --------
+  //
+  // The trainer's EM rounds unroll into chained CTEs (the bpe_merges
+  // pattern); the Viterbi DP inside each round unrolls POSITIONALLY —
+  // one MATERIALIZED CTE per word-prefix length 0..MaxWordLen, each
+  // picking the single best (k, s DESC, seq) continuation from the ≤
+  // MaxPieceLen predecessors (MATERIALIZED is load-bearing: dp CTEs are
+  // referenced up to 4 times each, and inlining would re-expand the
+  // chain exponentially across 12 levels).
+
+  /** Shared head: word-frequency collapse + substring seed scores +
+    * the seed vocabulary (all single chars ∪ top-`seedMulti` multis). */
+  private def unigramChainSql(seedMulti: Int): String =
+    s"""uwf AS MATERIALIZED (
+          SELECT word AS w, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+            FROM documents) q
+          WHERE length(word) BETWEEN 1 AND ${UnigramLm.MaxWordLen} GROUP BY word),
+        useed AS MATERIALIZED (
+          SELECT substr(w, CAST(i AS INT), CAST(L AS INT)) AS piece,
+                 CAST(SUM(cnt) AS BIGINT) AS score
+          FROM uwf,
+               generate_series(1, ${UnigramLm.MaxPieceLen}) AS gl(L),
+               generate_series(1, ${UnigramLm.MaxWordLen}) AS gi(i)
+          WHERE i + L - 1 <= length(w)
+          GROUP BY 1),
+        uv0 AS MATERIALIZED (
+          SELECT piece, score FROM useed WHERE length(piece) = 1
+          UNION ALL
+          SELECT piece, score FROM (
+            SELECT piece, score FROM useed WHERE length(piece) > 1
+            ORDER BY score DESC, piece LIMIT $seedMulti) q)"""
+
+  /** One Viterbi pass (positional DP) against vocabulary `uv{r-1}`,
+    * emitting `useg$r` = per-word best (k, s, seq). */
+  private def unigramViterbiRound(r: Int): String = {
+    val W = UnigramLm.MaxWordLen
+    val ML = UnigramLm.MaxPieceLen
+    val v = s"uv${r - 1}"
+    val dp0 =
+      s"""udp${r}_0 AS (SELECT w, CAST(0 AS BIGINT) AS k,
+                          CAST(0 AS BIGINT) AS s, '' AS seq FROM uwf)"""
+    val positions = (1 to W).map { i =>
+      val branches = (1 to math.min(ML, i)).map { l =>
+        val start = i - l + 1
+        s"""SELECT d.w, d.k + 1 AS k, d.s + v.score AS s,
+                   CASE WHEN d.seq = '' THEN substr(d.w, $start, $l)
+                        ELSE d.seq || ' ' || substr(d.w, $start, $l) END AS seq
+            FROM udp${r}_${i - l} d
+            JOIN $v v ON v.piece = substr(d.w, $start, $l)
+            WHERE length(d.w) >= $i"""
+      }.mkString("\n            UNION ALL\n            ")
+      s"""udp${r}_$i AS MATERIALIZED (
+            SELECT w, k, s, seq FROM (
+              SELECT w, k, s, seq,
+                     row_number() OVER (PARTITION BY w
+                       ORDER BY k, s DESC, seq) AS rn
+              FROM ($branches) c) d2
+            WHERE rn = 1)"""
+    }
+    val segs = (1 to W)
+      .map(i => s"SELECT w, k, s, seq FROM udp${r}_$i WHERE length(w) = $i")
+      .mkString("\n          UNION ALL ")
+    (Seq(dp0) ++ positions :+
+      s"""useg$r AS MATERIALIZED (
+          $segs)""").mkString(",\n        ")
+  }
+
+  /** One EM round = Viterbi pass + usage re-score + prune (multis live
+    * on usage alone; single chars survive at 0 — coverage). */
+  private def unigramEmRound(r: Int): String =
+    s"""${unigramViterbiRound(r)},
+        uusage$r AS (
+          SELECT piece, CAST(SUM(cnt) AS BIGINT) AS usage FROM (
+            SELECT g.w, unnest(string_split(g.seq, ' ')) AS piece
+            FROM useg$r g) p JOIN uwf ON uwf.w = p.w
+          GROUP BY piece),
+        uv$r AS MATERIALIZED (
+          SELECT v.piece, COALESCE(u.usage, CAST(0 AS BIGINT)) AS score
+          FROM uv${r - 1} v LEFT JOIN uusage$r u ON u.piece = v.piece
+          WHERE COALESCE(u.usage, 0) > 0 OR length(v.piece) = 1)"""
+
+  /** [[operators.UnigramLm.trainPieces]]' twin at iters=2, seedMulti as
+    * given: the final piece table with ids by (score desc, piece). */
+  protected def unigramTrainOracle(seedMulti: Int): String =
+    s"""WITH ${unigramChainSql(seedMulti)},
+        ${unigramEmRound(1)},
+        ${unigramEmRound(2)}
+        SELECT piece, score,
+               CAST(row_number() OVER (ORDER BY score DESC, piece) AS BIGINT)
+                 AS piece_id
+        FROM uv2 ORDER BY piece_id"""
+
+  /** [[operators.UnigramLm.segmentWords]]' twin: a THIRD Viterbi pass
+    * under the trained (round-2) scores — the serving segmentation —
+    * per distinct corpus word. */
+  protected def unigramSegmentOracle(seedMulti: Int): String =
+    s"""WITH ${unigramChainSql(seedMulti)},
+        ${unigramEmRound(1)},
+        ${unigramEmRound(2)},
+        ${unigramViterbiRound(3)}
+        SELECT w AS word, k AS n_pieces, s AS score, seq AS pieces_text
+        FROM useg3 ORDER BY word"""
+
+  /** [[operators.UnigramLm.decode]]∘[[operators.UnigramLm.encodeIds]]'
+    * twin — the round-trip LAW, never the ids: decoded text must equal
+    * the normalized in-domain word sequence, and n_tokens the
+    * independent Viterbi replay's piece count. */
+  protected def unigramRoundtripOracle(seedMulti: Int): String =
+    s"""WITH ${unigramChainSql(seedMulti)},
+        ${unigramEmRound(1)},
+        ${unigramEmRound(2)},
+        ${unigramViterbiRound(3)},
+        udocw AS (
+          SELECT doc_id, i AS pos, w FROM (
+            SELECT doc_id, generate_subscripts(a, 1)::BIGINT AS i, unnest(a) AS w
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(lower(text), '[^a-z]+') AS a
+                  FROM documents) q) qq
+          WHERE length(w) BETWEEN 1 AND ${UnigramLm.MaxWordLen})
+        SELECT d.doc_id, CAST(SUM(g.k) AS BIGINT) AS n_tokens,
+               string_agg(d.w, ' ' ORDER BY d.pos) AS decoded_text
+        FROM udocw d JOIN useg3 g ON g.w = d.w
+        GROUP BY d.doc_id ORDER BY d.doc_id"""
+
   protected val pagerankOracle: String = {
     val base =
       """WITH e0 AS (SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,

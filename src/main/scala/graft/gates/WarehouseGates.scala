@@ -502,6 +502,52 @@ private[graft] trait WarehouseGates extends GateSupport {
       .orderBy("doc_id")
   }
 
+  /** Seed width for the unigram-LM gates — wide enough that real
+    * multi-char pieces compete, small enough that the oracle's LIMIT
+    * cut stays comfortably inside the (score desc, piece) total order. */
+  private val UnigramSeedMulti = 120
+
+  /** Unigram-LM trainer ([[graft.operators.UnigramLm.trainPieces]]):
+    * two integer-exact Viterbi-EM rounds over the word-frequency table;
+    * the final piece table (piece, score, piece_id) hash-matches the
+    * oracle's unrolled CTE chain — seed grid, two EM rounds of
+    * positional-DP Viterbi + usage re-score + prune, id assignment by
+    * (score desc, piece). */
+  protected def unigramTrainGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.UnigramLm
+      .trainPieces(t(s, dir, "documents"), "text", iters = 2, seedMulti = UnigramSeedMulti)
+      .orderBy("piece_id")
+
+  /** Serving segmentation ([[graft.operators.UnigramLm.segmentWords]]):
+    * every distinct corpus word Viterbi-segmented under the trained
+    * scores — fewest pieces, then greatest score, then lexicographic;
+    * any drift in the DP (objective order, tie-breaks, coverage)
+    * diverges (n_pieces, score, pieces_text). */
+  protected def unigramSegmentGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pieces = graft.operators.UnigramLm
+      .trainPieces(docs, "text", iters = 2, seedMulti = UnigramSeedMulti)
+    graft.operators.UnigramLm
+      .segmentWords(graft.operators.UnigramLm.wordFreq(docs).select("word"), pieces)
+      .orderBy("word")
+  }
+
+  /** The unigram round trip ([[graft.operators.UnigramLm.encodeIds]] →
+    * [[graft.operators.UnigramLm.decode]]): encode the corpus to piece
+    * ids, decode straight back. The oracle never sees the ids — it
+    * asserts the LAW (decoded text == the normalized in-domain word
+    * sequence; n_tokens == its own independent Viterbi replay), the
+    * `bpe_decode` rigor. */
+  protected def unigramRoundtripGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pieces = graft.operators.UnigramLm
+      .trainPieces(docs, "text", iters = 2, seedMulti = UnigramSeedMulti)
+    graft.operators.UnigramLm
+      .decode(graft.operators.UnigramLm.encodeIds(docs, pieces), pieces)
+      .select("doc_id", "n_tokens", "decoded_text")
+      .orderBy("doc_id")
+  }
+
   protected def warehouseGateQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_intervals" -> scd2Intervals _,
     "scd2_point_lookup" -> scd2PointLookup _,
@@ -535,6 +581,9 @@ private[graft] trait WarehouseGates extends GateSupport {
     "bpe_merges" -> bpeMerges _,
     "bpe_encode" -> bpeEncodeGate _,
     "bpe_decode" -> bpeDecodeGate _,
+    "unigram_lm_train" -> unigramTrainGate _,
+    "unigram_lm_segment" -> unigramSegmentGate _,
+    "unigram_lm_roundtrip" -> unigramRoundtripGate _,
   )
 
   protected def warehouseGateOracles: Map[String, String] = Map(
@@ -571,6 +620,9 @@ private[graft] trait WarehouseGates extends GateSupport {
     "bpe_merges" -> bpeMergesOracle,
     "bpe_encode" -> bpeEncodeOracle,
     "bpe_decode" -> bpeDecodeOracle,
+    "unigram_lm_train" -> unigramTrainOracle(UnigramSeedMulti),
+    "unigram_lm_segment" -> unigramSegmentOracle(UnigramSeedMulti),
+    "unigram_lm_roundtrip" -> unigramRoundtripOracle(UnigramSeedMulti),
     "video_content_dups" ->
       // golden CSV (codec-backed); cross-video pairs are real — the
       // synthetic frames share gradient structure, so exact frame-hash

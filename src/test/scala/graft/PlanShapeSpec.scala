@@ -1034,4 +1034,27 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(count(p, "CartesianProduct") === 0, s"$q went cartesian:\n$p")
     }
   }
+
+  test("unigram-LM: Viterbi is a pure projection over the word table — no join against a piece table, no window, no cartesian") {
+    // the piece vocabulary is bounded (26 + seedMulti) and inlined as a
+    // literal map, so segmentation/encode must never plan a join for it;
+    // the only joins allowed are the corpus word -> segmented-word
+    // equi-join in encodeIds (hash/broadcast)
+    Seq("unigram_lm_train", "unigram_lm_segment", "unigram_lm_roundtrip").foreach { q =>
+      val p = finalPlan(q)
+      assert(count(p, "CartesianProduct") === 0, s"$q went cartesian:\n$p")
+      assert(count(p, "BroadcastNestedLoopJoin") === 0, s"$q has a nested-loop join:\n$p")
+      assert(count(p, "Window") === 0, s"$q plans a window (ids must be driver-assigned):\n$p")
+    }
+    // train's RESULT is the driver-assembled piece table (LocalTableScan
+    // — the EM's corpus jobs run separately); the serving gates' final
+    // plans must keep the word collapse map-side combined
+    Seq("unigram_lm_segment", "unigram_lm_roundtrip").foreach { q =>
+      val p = finalPlan(q)
+      assert(count(p, "HashAggregate") >= 2, s"$q lost map-side partial aggregation:\n$p")
+    }
+    // segment is join-free end to end: one aggregate chain + projection
+    val seg = finalPlan("unigram_lm_segment")
+    assert(count(seg, "Join") === 0, s"segment should not join:\n$seg")
+  }
 }
