@@ -444,6 +444,17 @@ private[graft] trait PipelineGates extends GateSupport {
   protected def spanDedup(s: SparkSession, dir: String): DataFrame =
     TextCorpus.dedupSpans(docsWithDups(s, dir), n = 8, minDocs = 2).orderBy("doc_id")
 
+  /** ExactSubstr suffix dedup ([[graft.operators.SuffixDedup
+    * .duplicatedSpans]]) at L=50 over the dup corpus: variable-length
+    * duplicated character spans found by prefix-doubling suffix ranks.
+    * The oracle is an INDEPENDENT method — DuckDB groups the raw
+    * 50-grams directly and merges islands — so any drift anywhere in
+    * the doubling chain (composition offsets, sentinel ordering, the
+    * distributed dense rank) diverges the spans. */
+  protected def suffixDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SuffixDedup.duplicatedSpans(docsWithDups(s, dir), minLen = 50)
+      .orderBy("doc_id", "span_start")
+
   /** Documents with synthetic PII planted deterministically from doc_id
     * (the base corpus is digit-free word soup, so every detector match
     * is a planted one): an email on doc_id%7, an IPv4 on %5, an
@@ -969,6 +980,7 @@ private[graft] trait PipelineGates extends GateSupport {
     "quality_filter" -> qualityFilter _,
     "pii_scrub" -> piiScrub _,
     "span_dedup" -> spanDedup _,
+    "suffix_dedup" -> suffixDedup _,
     "mixture_plan" -> mixturePlanQuery _,
     "temperature_weights" -> temperatureWeightsQuery _,
     "vocab_encode" -> vocabEncode _,
@@ -1478,6 +1490,26 @@ private[graft] trait PipelineGates extends GateSupport {
                 CAST(len(regexp_extract_all(t3, '[0-9]{9,}')) AS BIGINT) AS n_idnums,
                 md5(t4) AS redacted_digest
          FROM s4 ORDER BY doc_id""",
+    "suffix_dedup" ->
+      // independent method: group the raw 50-grams, merge islands
+      s"""WITH sdbase AS (SELECT doc_id, text FROM $docsWithDupsSql dd),
+              sdg AS (SELECT doc_id,
+                        unnest(range(1, greatest(length(text) - 50 + 2, 1))) AS pos,
+                        text
+                      FROM sdbase),
+              sdg2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                         substr(text, CAST(pos AS INT), 50) AS gram
+                       FROM sdg),
+              sddup AS (SELECT gram FROM sdg2 GROUP BY gram HAVING count(*) >= 2),
+              sdmk AS (SELECT sdg2.doc_id, sdg2.pos
+                       FROM sdg2 JOIN sddup USING (gram)),
+              sdruns AS (SELECT doc_id, pos,
+                           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                         FROM sdmk)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                CAST(max(pos) + 49 AS BIGINT) AS span_end,
+                CAST(max(pos) + 49 - min(pos) + 1 AS BIGINT) AS span_len
+         FROM sdruns GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
     "span_dedup" ->
       // same algorithm over the string spans DuckDB can group directly
       // (Spark groups 8-byte xxhash64 of the span — same equivalence

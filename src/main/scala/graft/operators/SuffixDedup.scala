@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-substring deduplication via distributed suffix ranking — the
+  * Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+  * Better" ExactSubstr pass: find every VARIABLE-LENGTH substring of
+  * length ≥ L that occurs more than once anywhere in the corpus. The
+  * fixed-n `span_dedup` catches n-gram spans; this is the true
+  * suffix-array formulation, built on prefix doubling (Manber–Myers):
+  * rank every corpus position's k-prefix, then square k per round —
+  * `rank@2k(i) = rank of (rank@k(i), rank@k(i+k))` — until k reaches L
+  * (the last round composes with overlap, `rank@L(i) = rank of
+  * (rank@k(i), rank@k(i+L−k))` for L−k ≤ k, the standard trick). Two
+  * positions share a rank@L class iff their L-character prefixes are
+  * EQUAL — and the ranks are ORDER-preserving (each round assigns dense
+  * ranks in (ra, rb) sort order), so the final table is a genuine
+  * partial suffix array: the primitive longest-common-prefix and
+  * suffix-ordering queries build on, not just an equality partition.
+  *
+  * A position i is duplicated when its rank@L class has ≥ 2 members;
+  * maximal RUNS of duplicated positions within a document merge into
+  * spans (run start .. last start + L − 1) — which is how variable
+  * length falls out of fixed-L ranking: a 180-char repeat is 131
+  * consecutive duplicated 50-prefixes, one span.
+  *
+  * 100 TB shape: O(log L) rounds, each a constant number of KEYED
+  * shuffles over the n-position frame — a per-document `lead(rank,
+  * off)` window (partitions bounded by document length), one distinct
+  * of the (ra, rb) pair frame, a distributed dense rank of the
+  * distinct pairs ([[Stats.rangePrefixSum]]'s slice idiom:
+  * range-repartition, per-partition local ranks, a |partitions|-row
+  * offset frame broadcast back — no global-order window anywhere), and
+  * the join back. Total work O(n log L) shuffle bytes — the suffix-
+  * array bound — with `localCheckpoint` pinning each round (the
+  * pageRank iteration discipline: lineage would otherwise double per
+  * round AND the rank branch/offset branch must see one range-boundary
+  * draw). Driver state per round: nothing data-sized (the offsets
+  * frame is |partitions| rows). */
+object SuffixDedup {
+
+  /** Order-preserving dense rank of every position's `prefixLen`-prefix:
+    * `(doc_id, pos, len, rank)` — pos is 1-based; positions within
+    * `prefixLen−1` of the end rank by their (shorter) actual suffix,
+    * padded with a sentinel that sorts before every real rank, so equal
+    * ranks always mean equal prefixes (never the converse trap). */
+  /** Seed width of the direct substring bucket rank — the standard SA
+    * "initial radix pass": ranking the raw W-char substring in ONE
+    * dense-rank pass replaces log2(W) doubling rounds. Order-safe
+    * because Spark compares strings byte-wise and UTF-8 byte order IS
+    * code-point order, and a short end-of-document substring sorts
+    * BEFORE every extension — exactly the −1 sentinel's semantics. */
+  private val SeedWidth = 8
+
+  def suffixRanks(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      prefixLen: Int = 50): DataFrame = {
+    require(prefixLen >= 2 && prefixLen <= 4096,
+      s"prefixLen out of range: $prefixLen")
+    val w = math.min(SeedWidth, prefixLen)
+    val positions = docs
+      .select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("len"), col(textCol).as("_t"))
+      .select(col("doc_id"), col("len"),
+        explode(expr("sequence(1L, len)")).as("pos"), col("_t"))
+      .select(col("doc_id"), col("len"), col("pos"),
+        expr(s"substring(_t, cast(pos as int), $w)").as("g"))
+    val seedRanks = denseRankKeys(
+      positions.select(col("g")).distinct(), Seq("g"))
+    var ranks = positions
+      .join(seedRanks, Seq("g"))
+      .select(col("doc_id"), col("len"), col("pos"), col("new_rank").as("rank"))
+      .localCheckpoint()
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    var k = w
+    while (k < prefixLen) {
+      val off = math.min(k, prefixLen - k)
+      // rank of the suffix k+off chars ahead; -1 (below every dense
+      // rank) when the document ends first
+      val paired = ranks.withColumn("r2",
+        coalesce(lead(col("rank"), off).over(wDoc), lit(-1L)))
+      val ranked = denseRankKeys(
+        paired.select(col("rank").as("ra"), col("r2").as("rb")).distinct(),
+        Seq("ra", "rb"))
+      ranks = paired
+        .join(ranked, paired("rank") === ranked("ra") && paired("r2") === ranked("rb"))
+        .select(col("doc_id"), col("len"), col("pos"), col("new_rank").as("rank"))
+        .localCheckpoint()
+      k += off
+    }
+    ranks
+  }
+
+  /** Dense rank of a DISTINCT key frame in key order without a
+    * global-order window: range-repartition on the keys, rank locally
+    * per partition slice, broadcast back the |partitions|-row offsets
+    * (identical keys land in one range partition, and the frame is
+    * distinct, so local rank + slice offset IS the global dense rank —
+    * the [[Stats.rangePrefixSum]] idiom). */
+  private def denseRankKeys(keys: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val parts =
+      math.max(keys.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val local = keys
+      .repartitionByRange(parts, keyCols.map(col): _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val lw = Window.partitionBy("_pid").orderBy(keyCols.map(col): _*)
+    val cum = local.withColumn("_lr", row_number().over(lw).cast("long"))
+    val agg = local.groupBy("_pid").agg(count(lit(1)).as("_ptot"))
+    val offsets = agg
+      .withColumn("_off", coalesce(sum("_ptot").over(
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("_pid", "_off")
+    cum.join(broadcast(offsets), Seq("_pid"))
+      .select(keyCols.map(col) :+ (col("_off") + col("_lr")).as("new_rank"): _*)
+  }
+
+  /** The ExactSubstr pass: maximal spans of length ≥ `minLen` whose
+    * every `minLen`-prefix occurs ≥ 2 times in the corpus —
+    * `(doc_id, span_start, span_end, span_len)`, 1-based inclusive
+    * character offsets. Output is |duplicated spans|, not |corpus|. */
+  def duplicatedSpans(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      minLen: Int = 50): DataFrame = {
+    val ranks = suffixRanks(docs, idCol, textCol, minLen)
+      // only positions with a full minLen-prefix can witness a
+      // duplicate of length >= minLen (a shared shorter tail is not one)
+      .filter(col("pos") <= col("len") - lit(minLen.toLong) + 1L)
+    val dupClasses = ranks.groupBy("rank")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2L)
+      .select("rank")
+    // marked positions -> maximal runs per document (the islands trick:
+    // consecutive positions share pos - row_number; keyed window only)
+    val marked = ranks.join(dupClasses, Seq("rank"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("_grp", col("pos") - row_number().over(w).cast("long"))
+      .groupBy("doc_id", "_grp")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(minLen.toLong) - 1L).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
+  }
+}

@@ -1057,4 +1057,14 @@ class PlanShapeSpec extends AnyFunSuite {
     val seg = finalPlan("unigram_lm_segment")
     assert(count(seg, "Join") === 0, s"segment should not join:\n$seg")
   }
+
+  test("suffix dedup: keyed shuffles only — no cartesian, no nested-loop, class counts map-side combined") {
+    // the doubling rounds run behind localCheckpoints; the visible final
+    // plan is the class-count + island-merge tail, which must stay a
+    // keyed aggregate + equi-join + per-doc window
+    val p = finalPlan("suffix_dedup")
+    assert(count(p, "CartesianProduct") === 0, s"suffix_dedup went cartesian:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, s"suffix_dedup has a nested-loop join:\n$p")
+    assert(count(p, "HashAggregate") >= 2, s"suffix_dedup lost map-side partial aggregation:\n$p")
+  }
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact-substring dedup via distributed suffix ranking
+  * ([[SuffixDedup]]): prefix-doubling rank correctness (order-preserving,
+  * sentinel-safe at document ends), variable-length span merging, and
+  * the ≥-minLen domain boundary. */
+class SuffixDedupSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def spans(docs: Seq[(Long, String)], minLen: Int) =
+    SuffixDedup.duplicatedSpans(docs.toDF("doc_id", "text"), minLen = minLen)
+      .orderBy("doc_id", "span_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  test("an exact cross-document copy is one maximal full-length span in both docs") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val out = spans(Seq((1L, text), (2L, text)), minLen = 10)
+    assert(out === Array(
+      (1L, 1L, text.length.toLong, text.length.toLong),
+      (2L, 1L, text.length.toLong, text.length.toLong)))
+  }
+
+  test("variable length falls out of fixed-L ranking: a 17-char shared region, minLen 10") {
+    // share exactly 'abcdefghijklmnopq' (17 chars) embedded in noise
+    val out = spans(Seq(
+      (1L, "xxxxabcdefghijklmnopqyyyyyyy"),
+      (2L, "zzzzzzzzabcdefghijklmnopqwww")), minLen = 10)
+    assert(out === Array((1L, 5L, 21L, 17L), (2L, 9L, 25L, 17L)))
+  }
+
+  test("overlapping repeats inside ONE document merge into a single span") {
+    // 'aaaaaaaa': every 4-gram equals every other — positions 1..5 all
+    // duplicated, one island, span 1..8
+    val out = spans(Seq((1L, "aaaaaaaab")), minLen = 4)
+    assert(out === Array((1L, 1L, 8L, 8L)))
+  }
+
+  test("a shared region SHORTER than minLen never fires, nor does a shared short tail") {
+    val out = spans(Seq(
+      (1L, "qqqqsharedzzzz"),   // 'shared' (6) < minLen 10
+      (2L, "ppppsharedrrrr"),
+      (3L, "uniquetail-common"), // common 7-char tail, still < 10
+      (4L, "othertext-common")), minLen = 10)
+    assert(out.isEmpty)
+  }
+
+  test("suffix ranks are ORDER-preserving over actual prefixes (the suffix-array property)") {
+    val docs = Seq((1L, "banana"), (2L, "bandana")).toDF("doc_id", "text")
+    val L = 4
+    val got = SuffixDedup.suffixRanks(docs, prefixLen = L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val texts = Map(1L -> "banana", 2L -> "bandana")
+    val withPrefix = got.map { case (d, pos, rank) =>
+      val t = texts(d)
+      (t.substring(pos.toInt - 1, math.min(pos.toInt - 1 + L, t.length)), rank)
+    }
+    // equal prefixes <=> equal ranks; rank order == lexicographic order
+    withPrefix.combinations(2).foreach { case Array((pa, ra), (pb, rb)) =>
+      assert((pa == pb) === (ra == rb), s"equality drift: $pa/$ra vs $pb/$rb")
+      if (pa != pb)
+        assert((pa < pb) === (ra < rb), s"order drift: $pa/$ra vs $pb/$rb")
+    }
+  }
+
+  test("matches a brute-force oracle on a randomized corpus") {
+    val rnd = new scala.util.Random(1123)
+    val alphabet = "ab" // tiny alphabet forces rich accidental repeats
+    val L = 6
+    val docs = (1L to 8L).map { i =>
+      i -> (0 until (20 + rnd.nextInt(30))).map(_ => alphabet(rnd.nextInt(2))).mkString
+    }
+    val texts = docs.toMap
+    // brute force: every L-gram, global multiset, islands merge
+    val grams = docs.flatMap { case (d, t) =>
+      (1 to t.length - L + 1).map(p => (d, p, t.substring(p - 1, p - 1 + L)))
+    }
+    val dup = grams.groupBy(_._3).filter(_._2.size >= 2).keySet
+    val expected = docs.flatMap { case (d, t) =>
+      val marked = (1 to t.length - L + 1)
+        .filter(p => dup(t.substring(p - 1, p - 1 + L)))
+      // islands
+      val runs = marked.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.reverse
+      runs.map { case (s, e) => (d, s.toLong, (e + L - 1).toLong, (e + L - s).toLong) }
+    }.sortBy(x => (x._1, x._2))
+    assert(spans(docs, minLen = L).toSeq === expected)
+  }
+}
