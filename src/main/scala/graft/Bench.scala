@@ -406,6 +406,9 @@ object Bench {
         "sketch_exact_rescan")) {
       sketchRollupScenario(spark, sfDir)
     }
+    results ++= guarded(Seq("kmv_grouped_hi", "frontier_skewed")) {
+      stressProbesScenario(spark, sfDir)
+    }
     results ++= guarded(Seq("sketch_qdigest_build", "sketch_qdigest_ranks")) {
       qdigestScenario(spark, sfDir)
     }
@@ -1357,6 +1360,45 @@ object Bench {
     }
     Seq("online_dedup_replay" -> tDedup, "online_ann_replay" -> tAnn,
       "online_frontier_replay" -> tFrontier, "online_kmv_replay" -> tKmv)
+  }
+
+  /** Adversarial-shape probes (r14 verdict #8): the grouped KMV sketch
+    * table at HIGH group cardinality (one sketch per order — the
+    * WindowGroupLimit path where |groups|·k is the exchanged state),
+    * and frontier scheduling under a HOT-HOST skew (80% of the frontier
+    * on one host: the per-host queue window's worst documented case —
+    * partitions bounded by host queue length means ONE long queue, and
+    * this measures what that costs). */
+  private def stressProbesScenario(
+      spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey").localCheckpoint()
+    val tKmvHi = time {
+      val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+      graft.operators.Sketches
+        .kmvSketchBy(lineitem, Seq("l_orderkey"), col("l_partkey"), 8)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val tFrontierSkew = time {
+      val host =
+        when(col("o_orderkey") % 5 =!= 0, lit("big.example.com"))
+          .otherwise(concat(lit("h"), pmod(col("o_custkey"), lit(997)).cast("string"),
+            lit(".example.com")))
+      val frontier = orders.select(host.as("host"),
+        concat(lit("https://"), host, lit("/o/"),
+          col("o_orderkey").cast("string")).as("url_norm"))
+      val hostGraph = frontier.select(col("host").as("src_host")).distinct()
+        .withColumn("dst_host", lit("big.example.com"))
+      graft.operators.Web
+        .frontierSchedule(frontier, hostGraph, politenessSec = 1L, batchSize = 1000)
+        .write.format("noop").mode("overwrite").save()
+    }
+    Seq("kmv_grouped_hi" -> tKmvHi, "frontier_skewed" -> tFrontierSkew)
   }
 
   /** The operational daily-growth twin of `pipeline_docs_end_to_end`
