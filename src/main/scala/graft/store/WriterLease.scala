@@ -186,20 +186,35 @@ object WriterLease {
         "contended attempts — another writer is actively racing this open")
   }
 
+  private def holderJson(ownerId: String, epoch: Long): Array[Byte] = {
+    val n = Mapper.createObjectNode()
+    n.put("owner", ownerId)
+    n.put("epoch", epoch)
+    n.put("host", try java.net.InetAddress.getLocalHost.getHostName
+                  catch { case _: Throwable => "unknown" })
+    n.put("pid", ProcessHandle.current().pid())
+    n.put("acquiredUtc", java.time.Instant.now().toString)
+    Mapper.writeValueAsString(n).getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** Exclusive lock-file creation. On local filesystems Hadoop's
+    * `create(overwrite = false)` is CHECK-then-create (a TOCTOU window
+    * two racing opens can both pass — caught by the racing-opens spec);
+    * `File.createNewFile` is POSIX O_CREAT|O_EXCL, genuinely atomic.
+    * Remote schemes (HDFS-like) keep `create(overwrite = false)`, which
+    * their metadata service makes atomic. */
   private def tryCreate(
       fs: FileSystem, lock: HPath, ownerId: String, epoch: Long): Boolean =
     try {
-      val out = fs.create(lock, false) // exclusive: throws if present
-      try {
-        val n = Mapper.createObjectNode()
-        n.put("owner", ownerId)
-        n.put("epoch", epoch)
-        n.put("host", try java.net.InetAddress.getLocalHost.getHostName
-                      catch { case _: Throwable => "unknown" })
-        n.put("pid", ProcessHandle.current().pid())
-        n.put("acquiredUtc", java.time.Instant.now().toString)
-        out.write(Mapper.writeValueAsString(n).getBytes(StandardCharsets.UTF_8))
-      } finally out.close()
+      val qualified = fs.makeQualified(lock).toUri
+      if (qualified.getScheme == null || qualified.getScheme == "file") {
+        val f = new java.io.File(qualified.getPath)
+        if (!f.createNewFile()) return false // atomic O_EXCL
+        java.nio.file.Files.write(f.toPath, holderJson(ownerId, epoch))
+      } else {
+        val out = fs.create(lock, false) // exclusive: throws if present
+        try out.write(holderJson(ownerId, epoch)) finally out.close()
+      }
       true
     } catch { case _: java.io.IOException => false }
 }

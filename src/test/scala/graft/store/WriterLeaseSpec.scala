@@ -104,6 +104,37 @@ class WriterLeaseSpec extends AnyFunSuite {
     } finally b.close()
   }
 
+  test("racing opens resolve to EXACTLY ONE un-fenced writer (create-exclusive race)") {
+    val dir = SparkTestSession.tempDir("graft-lease-race")
+    // resolve the store-root FileSystem once so racers share the cache
+    val f = fs(dir)
+    val log = org.slf4j.LoggerFactory.getLogger(classOf[WriterLeaseSpec])
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, WriterLease]]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 8).map { i =>
+      val t = new Thread(() => {
+        start.await()
+        try results.add(Right(WriterLease.acquire(
+          f, dir, leaseTimeoutMs = 600000L, heartbeatMs = 60000L, log)))
+        catch { case e: Throwable => results.add(Left(e)) }
+      }, s"race-$i")
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join(30000))
+    val (losers, winners) = results.toArray(Array.empty[Either[Throwable, WriterLease]])
+      .partition(_.isLeft)
+    assert(winners.size === 1,
+      s"expected exactly one lease winner, got ${winners.size} (losers: ${losers.size})")
+    // every loser failed LOUDLY with the typed exception, not silently
+    losers.foreach {
+      case Left(e) => assert(e.isInstanceOf[graft.core.StoreLockedException],
+        s"loser threw ${e.getClass}: ${e.getMessage}")
+      case _ => ()
+    }
+    winners.head.toOption.foreach(_.release())
+  }
+
   test("a zombie WAL file from a fenced epoch loses to the winner's rows at recovery") {
     val dir = SparkTestSession.tempDir("graft-lease-zombie")
     val f = fs(dir)
