@@ -455,6 +455,15 @@ private[graft] trait PipelineGates extends GateSupport {
     graft.operators.SuffixDedup.duplicatedSpans(docsWithDups(s, dir), minLen = 50)
       .orderBy("doc_id", "span_start")
 
+  /** The cleaning half ([[graft.operators.SuffixDedup
+    * .removeDuplicatedSpans]]): cut cross-document duplicated 50-window
+    * coverage from every non-owner document. Oracle is the same
+    * independent direct-grouping method plus the dedupSpans owner/
+    * coverage/HOF-rebuild tail. */
+  protected def suffixDedupKept(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SuffixDedup.removeDuplicatedSpans(docsWithDups(s, dir), minLen = 50)
+      .orderBy("doc_id")
+
   /** Documents with synthetic PII planted deterministically from doc_id
     * (the base corpus is digit-free word soup, so every detector match
     * is a planted one): an email on doc_id%7, an IPv4 on %5, an
@@ -981,6 +990,7 @@ private[graft] trait PipelineGates extends GateSupport {
     "pii_scrub" -> piiScrub _,
     "span_dedup" -> spanDedup _,
     "suffix_dedup" -> suffixDedup _,
+    "suffix_dedup_kept" -> suffixDedupKept _,
     "mixture_plan" -> mixturePlanQuery _,
     "temperature_weights" -> temperatureWeightsQuery _,
     "vocab_encode" -> vocabEncode _,
@@ -1510,6 +1520,40 @@ private[graft] trait PipelineGates extends GateSupport {
                 CAST(max(pos) + 49 AS BIGINT) AS span_end,
                 CAST(max(pos) + 49 - min(pos) + 1 AS BIGINT) AS span_len
          FROM sdruns GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
+    "suffix_dedup_kept" ->
+      // direct 50-gram grouping + the span_dedup owner/coverage tail at
+      // the CHARACTER level (DuckDB list_filter indices are 1-based,
+      // matching the 1-based char positions directly)
+      s"""WITH skbase AS (SELECT doc_id, text FROM $docsWithDupsSql dd),
+              skg AS (SELECT doc_id,
+                        unnest(range(1, greatest(length(text) - 50 + 2, 1))) AS pos,
+                        text
+                      FROM skbase),
+              skg2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                         substr(text, CAST(pos AS INT), 50) AS gram
+                       FROM skg),
+              skstats AS (SELECT gram, min(doc_id) AS owner FROM skg2
+                          GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+              skfl AS (SELECT g.doc_id, g.pos
+                       FROM skg2 g JOIN skstats s USING (gram)
+                       WHERE g.doc_id <> s.owner),
+              skpd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS removed_spans
+                       FROM skfl GROUP BY doc_id),
+              skcov AS (SELECT DISTINCT f.doc_id, f.pos + o.o AS p
+                        FROM skfl f, (SELECT unnest(range(0, 50)) AS o) o),
+              skcps AS (SELECT doc_id, list(p) AS cps,
+                          CAST(count(*) AS BIGINT) AS n_cov
+                        FROM skcov GROUP BY doc_id)
+         SELECT b.doc_id,
+                COALESCE(CASE WHEN c.doc_id IS NULL THEN b.text
+                  ELSE array_to_string(list_filter(string_split(b.text, ''),
+                    (ch, i) -> NOT list_contains(c.cps, i)), '') END, '') AS kept_text,
+                COALESCE(c.n_cov, 0) AS removed_chars,
+                COALESCE(p.removed_spans, 0) AS removed_spans
+         FROM skbase b
+         LEFT JOIN skcps c ON b.doc_id = c.doc_id
+         LEFT JOIN skpd p ON b.doc_id = p.doc_id
+         ORDER BY b.doc_id""",
     "span_dedup" ->
       // same algorithm over the string spans DuckDB can group directly
       // (Spark groups 8-byte xxhash64 of the span — same equivalence

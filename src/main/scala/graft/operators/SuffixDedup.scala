@@ -118,6 +118,47 @@ object SuffixDedup {
       .select(keyCols.map(col) :+ (col("_off") + col("_lr")).as("new_rank"): _*)
   }
 
+  /** The cleaning half of ExactSubstr — Lee et al. actually CUT the
+    * duplicated text: remove, from every document except the owning
+    * one, the characters covered by any cross-document duplicated
+    * `minLen`-window ([[TextCorpus.dedupSpans]]' convention at the
+    * character level: a class must span ≥ 2 DISTINCT documents, the
+    * smallest doc_id owns the text and keeps it intact). Returns
+    * `(doc_id, kept_text, removed_chars, removed_spans)` where
+    * `removed_spans` counts flagged window occurrences and
+    * `removed_chars` the distinct characters cut.
+    *
+    * Same O(n log L) ranking chain; the removal tail is two keyed
+    * aggregates + a per-document covered-positions rebuild (the
+    * dedupSpans HOF-filter idiom — the covered list is bounded by
+    * document length, never corpus-sized). */
+  def removeDuplicatedSpans(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      minLen: Int = 50): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+    val ranks = suffixRanks(docs, idCol, textCol, minLen)
+      .filter(col("pos") <= col("len") - lit(minLen.toLong) + 1L)
+    val dupStats = ranks.groupBy("rank")
+      .agg(count_distinct(col("doc_id")).as("n_docs"), min("doc_id").as("owner"))
+      .filter(col("n_docs") >= 2)
+    val flagged = ranks.join(dupStats, "rank")
+      .filter(col("doc_id") =!= col("owner"))
+      .select("doc_id", "pos")
+    val perDoc = flagged.groupBy("doc_id").agg(count(lit(1)).as("removed_spans"))
+    val covered = flagged
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(minLen - 1).cast("long"))).as("p"))
+      .groupBy("doc_id").agg(collect_set("p").as("cps"))
+    val chars = expr("filter(split(_t, ''), c -> c <> '')")
+    val kept = when(col("cps").isNull, col("_t"))
+      .otherwise(array_join(
+        filter(chars, (_, i) => !array_contains(col("cps"), (i + 1).cast("long"))), ""))
+    base.join(covered, Seq("doc_id"), "left").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), kept.as("kept_text"),
+        coalesce(size(col("cps")).cast("long"), lit(0L)).as("removed_chars"),
+        coalesce(col("removed_spans"), lit(0L)).as("removed_spans"))
+  }
+
   /** The ExactSubstr pass: maximal spans of length ≥ `minLen` whose
     * every `minLen`-prefix occurs ≥ 2 times in the corpus —
     * `(doc_id, span_start, span_end, span_len)`, 1-based inclusive

@@ -68,6 +68,35 @@ class SuffixDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("removal keeps the owner's text intact and cuts the copies' covered chars") {
+    val shared = "abcdefghijklmnopqrstuvwxyz0123456789ABCD" // 40 chars
+    // boundary chars DIFFER between the docs (1/2 vs 3/4), so the match
+    // is exactly the 40 shared chars — a shared delimiter would extend it
+    val out = SuffixDedup.removeDuplicatedSpans(Seq(
+        (1L, "OWNER1" + shared + "2END"),
+        (2L, "copyA3" + shared + "4tail"),
+        (3L, "no duplication in this one at all, stays whole")
+      ).toDF("doc_id", "text"), minLen = 20)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // owner (min doc_id) keeps everything
+    assert(out(0) === (1L, "OWNER1" + shared + "2END", 0L, 0L))
+    // the copy loses the full 40-char shared region (21 flagged 20-windows
+    // covering chars 7..46), keeping its unique frame
+    assert(out(1)._2 === "copyA3" + "4tail")
+    assert(out(1)._3 === 40L && out(1)._4 === 21L)
+    // untouched doc passes through
+    assert(out(2) === (3L, "no duplication in this one at all, stays whole", 0L, 0L))
+  }
+
+  test("within-ONE-document repeats are not cut (cross-document convention, dedupSpans parity)") {
+    val rep = "zyxwvutsrqponmlkjihgfedcba" // 26 chars, repeated twice in one doc
+    val out = SuffixDedup.removeDuplicatedSpans(
+        Seq((7L, rep + "----" + rep)).toDF("doc_id", "text"), minLen = 20)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).head
+    assert(out === (rep + "----" + rep, 0L, 0L))
+  }
+
   test("matches a brute-force oracle on a randomized corpus") {
     val rnd = new scala.util.Random(1123)
     val alphabet = "ab" // tiny alphabet forces rich accidental repeats
