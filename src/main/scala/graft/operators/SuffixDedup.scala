@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * Better" ExactSubstr pass: find every VARIABLE-LENGTH substring of
   * length ≥ L that occurs more than once anywhere in the corpus. The
   * fixed-n `span_dedup` catches n-gram spans; this is the true
-  * suffix-array formulation, built on prefix doubling (Manber–Myers):
-  * rank every corpus position's k-prefix, then square k per round —
-  * `rank@2k(i) = rank of (rank@k(i), rank@k(i+k))` — until k reaches L
-  * (the last round composes with overlap, `rank@L(i) = rank of
-  * (rank@k(i), rank@k(i+L−k))` for L−k ≤ k, the standard trick). Two
+  * suffix-array formulation, built on prefix doubling (Manber–Myers),
+  * generalized to tuple fan-in: rank every corpus position's k-prefix,
+  * then per round rank TUPLES `(rank@k(i), rank@k(i+k), …,
+  * rank@k(i+target−k))` — the pairwise `rank@2k(i) = rank of
+  * (rank@k(i), rank@k(i+k))` recurrence with up to [[Fanin]] components
+  * per round (the final offset overlaps, `target−k ≤ (m−1)k + k`, the
+  * standard trick), so k multiplies by Fanin per round. Two
   * positions share a rank@L class iff their L-character prefixes are
   * EQUAL — and the ranks are ORDER-preserving (each round assigns dense
   * ranks in (ra, rb) sort order), so the final table is a genuine
@@ -76,22 +78,42 @@ object SuffixDedup {
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     var k = w
     while (k < prefixLen) {
-      val off = math.min(k, prefixLen - k)
-      // rank of the suffix k+off chars ahead; -1 (below every dense
-      // rank) when the document ends first
-      val paired = ranks.withColumn("r2",
-        coalesce(lead(col("rank"), off).over(wDoc), lit(-1L)))
+      // generalized doubling with fan-in: one round ranks TUPLES of up
+      // to [[Fanin]] current ranks at offsets (k, 2k, …, target−k), so
+      // each round multiplies k by up to Fanin instead of 2 — L=50 from
+      // an 8-char seed is ONE tuple round, not three pair rounds. Order
+      // preservation is the pair argument componentwise: adjacent
+      // offsets differ by ≤ k, so with components 0..i−1 tied, chars
+      // [0, j_{i−1}+k) are equal and component i (rank at offset j_i ≤
+      // j_{i−1}+k) decides exactly the next chunk. All lead()s evaluate
+      // in ONE per-document window sort. −1 (below every dense rank)
+      // where the document ends first — shorter sorts before extension.
+      val target = math.min(prefixLen, k * Fanin)
+      val offs = ((k until (target - k) by k) :+ (target - k))
+        .distinct.filter(_ > 0)
+      val leadCols = offs.zipWithIndex.map { case (o, i) =>
+        coalesce(lead(col("rank"), o).over(wDoc), lit(-1L)).as(s"_r${i + 1}")
+      }
+      val paired = ranks.select(
+        (Seq(col("doc_id"), col("len"), col("pos"), col("rank")) ++ leadCols): _*)
+      val keyCols = "rank" +: offs.indices.map(i => s"_r${i + 1}")
       val ranked = denseRankKeys(
-        paired.select(col("rank").as("ra"), col("r2").as("rb")).distinct(),
-        Seq("ra", "rb"))
+        paired.select(keyCols.map(c => col(c).as(s"_k$c")): _*).distinct(),
+        keyCols.map("_k" + _))
+      val joinCond = keyCols.map(c => paired(c) === ranked(s"_k$c")).reduce(_ && _)
       ranks = paired
-        .join(ranked, paired("rank") === ranked("ra") && paired("r2") === ranked("rb"))
+        .join(ranked, joinCond)
         .select(col("doc_id"), col("len"), col("pos"), col("new_rank").as("rank"))
         .localCheckpoint()
-      k += off
+      k = target
     }
     ranks
   }
+
+  /** Tuple fan-in per generalized-doubling round: each round covers up
+    * to Fanin·k characters with one rank pass (8-long keys keep the
+    * range-partition sort cheap while collapsing L=50 to one round). */
+  private val Fanin = 8
 
   /** Dense rank of a DISTINCT key frame in key order without a
     * global-order window: range-repartition on the keys, rank locally

@@ -97,6 +97,15 @@ class SuffixDedupSpec extends AnyFunSuite {
     assert(out === (rep + "----" + rep, 0L, 0L))
   }
 
+  test("multi-ROUND ranking (L beyond one fan-in round) still finds exact spans") {
+    // L=70 needs two tuple rounds from the 8-char seed (8 -> 64 -> 70)
+    val shared = (1 to 8).map(i => s"segment$i!").mkString // 72 chars
+    val out = spans(Seq(
+      (1L, "aaa" + shared + "bbb"),
+      (2L, "ccc" + shared + "ddd")), minLen = 70)
+    assert(out === Array((1L, 4L, 75L, 72L), (2L, 4L, 75L, 72L)))
+  }
+
   test("matches a brute-force oracle on a randomized corpus") {
     val rnd = new scala.util.Random(1123)
     val alphabet = "ab" // tiny alphabet forces rich accidental repeats
