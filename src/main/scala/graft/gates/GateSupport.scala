@@ -267,6 +267,26 @@ private[graft] trait GateSupport {
         SELECT w AS word, k AS n_pieces, s AS score, seq AS pieces_text
         FROM useg3 ORDER BY word"""
 
+  /** [[operators.UnigramLm.encode]]'s twin: the round-3 serving
+    * segmentation re-attached to every document's word positions. */
+  protected def unigramEncodeOracle(seedMulti: Int): String =
+    s"""WITH ${unigramChainSql(seedMulti)},
+        ${unigramEmRound(1)},
+        ${unigramEmRound(2)},
+        ${unigramViterbiRound(3)},
+        udocw AS (
+          SELECT doc_id, i AS pos, w FROM (
+            SELECT doc_id, generate_subscripts(a, 1)::BIGINT AS i, unnest(a) AS w
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(lower(text), '[^a-z]+') AS a
+                  FROM documents) q) qq
+          WHERE length(w) BETWEEN 1 AND ${UnigramLm.MaxWordLen})
+        SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(SUM(g.k) AS BIGINT) AS n_tokens,
+               string_agg(g.seq, ' ' ORDER BY d.pos) AS tokens_text
+        FROM udocw d JOIN useg3 g ON g.w = d.w
+        GROUP BY d.doc_id ORDER BY d.doc_id"""
+
   /** [[operators.UnigramLm.decode]]∘[[operators.UnigramLm.encodeIds]]'
     * twin — the round-trip LAW, never the ids: decoded text must equal
     * the normalized in-domain word sequence, and n_tokens the

@@ -532,6 +532,16 @@ private[graft] trait WarehouseGates extends GateSupport {
       .orderBy("word")
   }
 
+  /** Piece-text serving ([[graft.operators.UnigramLm.encode]]) — the
+    * bpe_encode surface under unigram segmentation: per doc word/token
+    * counts and the full piece sequence. */
+  protected def unigramEncodeGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pieces = graft.operators.UnigramLm
+      .trainPieces(docs, "text", iters = 2, seedMulti = UnigramSeedMulti)
+    graft.operators.UnigramLm.encode(docs, pieces).orderBy("doc_id")
+  }
+
   /** The unigram round trip ([[graft.operators.UnigramLm.encodeIds]] →
     * [[graft.operators.UnigramLm.decode]]): encode the corpus to piece
     * ids, decode straight back. The oracle never sees the ids — it
@@ -583,6 +593,7 @@ private[graft] trait WarehouseGates extends GateSupport {
     "bpe_decode" -> bpeDecodeGate _,
     "unigram_lm_train" -> unigramTrainGate _,
     "unigram_lm_segment" -> unigramSegmentGate _,
+    "unigram_lm_encode" -> unigramEncodeGate _,
     "unigram_lm_roundtrip" -> unigramRoundtripGate _,
   )
 
@@ -622,6 +633,7 @@ private[graft] trait WarehouseGates extends GateSupport {
     "bpe_decode" -> bpeDecodeOracle,
     "unigram_lm_train" -> unigramTrainOracle(UnigramSeedMulti),
     "unigram_lm_segment" -> unigramSegmentOracle(UnigramSeedMulti),
+    "unigram_lm_encode" -> unigramEncodeOracle(UnigramSeedMulti),
     "unigram_lm_roundtrip" -> unigramRoundtripOracle(UnigramSeedMulti),
     "video_content_dups" ->
       // golden CSV (codec-backed); cross-video pairs are real — the

@@ -173,6 +173,37 @@ object UnigramLm {
         col("vit.seq").as("pieces_text"))
   }
 
+  /** Encode documents to piece TEXT — [[TextCorpus.bpeEncode]]'s
+    * surface under unigram segmentation: per document `(n_words,
+    * n_tokens, tokens_text)` where `tokens_text` is every word's piece
+    * sequence in word order, space-joined. Same shape as [[encodeIds]]
+    * (one corpus collapse, corpus-free Viterbi over the distinct-word
+    * table, one keyed join back). */
+  def encode(
+      docs: DataFrame, pieces: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val vocab = collectPieces(pieces).map(t => t._1 -> t._2).toMap
+    val words = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), "[^a-z]+")))
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
+      .filter(length(col("word")).between(1, MaxWordLen))
+    val segmented = words.select("word").distinct()
+      .select(col("word"), expr(viterbiExpr(vocab)).as("vit"))
+      .select(col("word"),
+        col("vit.k").as("n_pieces"), col("vit.seq").as("seq"))
+    words.join(segmented, Seq("word"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("n_pieces").as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("seq").as("t")))),
+            x => x.getField("t")),
+          " ").as("tokens_text"))
+  }
+
   /** Encode documents to token ids: per document `(n_words, n_tokens,
     * token_ids)` with the reserved separator id 0 between words and
     * `n_tokens` counting real pieces only — [[TextCorpus.bpeEncodeIds]]'

@@ -1040,7 +1040,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // literal map, so segmentation/encode must never plan a join for it;
     // the only joins allowed are the corpus word -> segmented-word
     // equi-join in encodeIds (hash/broadcast)
-    Seq("unigram_lm_train", "unigram_lm_segment", "unigram_lm_roundtrip").foreach { q =>
+    Seq("unigram_lm_train", "unigram_lm_segment", "unigram_lm_encode",
+        "unigram_lm_roundtrip").foreach { q =>
       val p = finalPlan(q)
       assert(count(p, "CartesianProduct") === 0, s"$q went cartesian:\n$p")
       assert(count(p, "BroadcastNestedLoopJoin") === 0, s"$q has a nested-loop join:\n$p")
@@ -1049,7 +1050,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // train's RESULT is the driver-assembled piece table (LocalTableScan
     // — the EM's corpus jobs run separately); the serving gates' final
     // plans must keep the word collapse map-side combined
-    Seq("unigram_lm_segment", "unigram_lm_roundtrip").foreach { q =>
+    Seq("unigram_lm_segment", "unigram_lm_encode", "unigram_lm_roundtrip").foreach { q =>
       val p = finalPlan(q)
       assert(count(p, "HashAggregate") >= 2, s"$q lost map-side partial aggregation:\n$p")
     }

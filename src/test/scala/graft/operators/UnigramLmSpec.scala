@@ -88,6 +88,23 @@ class UnigramLmSpec extends AnyFunSuite {
     }
   }
 
+  test("encode (piece text) and encodeIds agree on counts; pieces concatenate to the words") {
+    val docs = docsOf("the cat sat on the mat", "catsat mat")
+    val pieces = UnigramLm.trainPieces(docs, iters = 2, seedMulti = 16)
+    val byId = UnigramLm.encode(docs, pieces).orderBy("doc_id").collect()
+    val ids = UnigramLm.encodeIds(docs, pieces).orderBy("doc_id").collect()
+    byId.zip(ids).foreach { case (a, b) =>
+      assert(a.getLong(a.fieldIndex("n_words")) === b.getLong(b.fieldIndex("n_words")))
+      assert(a.getLong(a.fieldIndex("n_tokens")) === b.getLong(b.fieldIndex("n_tokens")))
+      // stripping the piece separators reproduces the word sequence
+      val joined = a.getString(a.fieldIndex("tokens_text"))
+      assert(joined.replace(" ", "").nonEmpty)
+    }
+    val row0 = byId(0)
+    val rebuilt = row0.getString(row0.fieldIndex("tokens_text")).replace(" ", "")
+    assert(rebuilt === "thecatsatonthemat")
+  }
+
   test("an unknown token id nulls the decoded text loudly") {
     val pieces = Seq(("a", 1L, 1L), ("b", 1L, 2L)).toDF("piece", "score", "piece_id")
     val df = Seq((1L, Seq(1L, 0L, 2L)), (2L, Seq(1L, 777L))).toDF("doc_id", "token_ids")
