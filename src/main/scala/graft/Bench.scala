@@ -394,7 +394,8 @@ object Bench {
       incrementalPipelineScenario(spark, sfDir)
     }
     results ++= guarded(Seq("online_dedup_replay", "online_ann_replay",
-        "online_frontier_replay", "online_kmv_replay")) {
+        "online_frontier_replay", "online_kmv_replay",
+        "online_suffix_replay")) {
       onlineSinksScenario(spark, sfDir)
     }
     results ++= guarded(Seq("layout_plain_write", "layout_zorder_write",
@@ -1358,8 +1359,18 @@ object Bench {
       (0 to 3).foreach(i =>
         online.processBatch(docs.filter(col("doc_id") % 4 === i), i.toLong))
     }
+    val tSuffix = time {
+      // streaming ExactSubstr: per batch one O(batch-chars) window
+      // projection + an index equi-join probe + the removal tail; the
+      // standing index grows by discover-once hashes
+      val online = new graft.streaming.OnlineSuffixDedup(
+        fresh("online-suffix"), minLen = 50)
+      (0 to 3).foreach(i =>
+        online.processBatch(docs.filter(col("doc_id") % 4 === i), i.toLong))
+    }
     Seq("online_dedup_replay" -> tDedup, "online_ann_replay" -> tAnn,
-      "online_frontier_replay" -> tFrontier, "online_kmv_replay" -> tKmv)
+      "online_frontier_replay" -> tFrontier, "online_kmv_replay" -> tKmv,
+      "online_suffix_replay" -> tSuffix)
   }
 
   /** Adversarial-shape probes (r14 verdict #8): the grouped KMV sketch

@@ -166,6 +166,16 @@ object SuffixDedup {
     val flagged = ranks.join(dupStats, "rank")
       .filter(col("doc_id") =!= col("owner"))
       .select("doc_id", "pos")
+    cutCovered(base, flagged, minLen)
+  }
+
+  /** The removal tail shared with [[graft.streaming.OnlineSuffixDedup]]:
+    * cut each flagged `minLen`-window's characters from `base`
+    * (`(doc_id, _t)`) given the flagged `(doc_id, pos)` occurrences —
+    * two keyed aggregates + the per-document HOF rebuild (covered-
+    * position lists bounded by document length). */
+  private[graft] def cutCovered(
+      base: DataFrame, flagged: DataFrame, minLen: Int): DataFrame = {
     val perDoc = flagged.groupBy("doc_id").agg(count(lit(1)).as("removed_spans"))
     val covered = flagged
       .select(col("doc_id"),

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.operators.SuffixDedup
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming ExactSubstr ingestion — the `foreachBatch` twin of
+  * [[SuffixDedup.removeDuplicatedSpans]]: cut, from every arriving
+  * document, the characters covered by any `minLen`-window already seen
+  * (in an earlier batch, or in a smaller-doc_id document of the same
+  * batch), and index the batch's windows for future arrivals. First
+  * arrival owns — which coincides with the batch operator's
+  * min-doc_id-owner convention whenever ingestion order respects
+  * doc_id, so the standing output is FRAME-EQUAL to the one-shot batch
+  * pass on everything ingested (pinned by spec).
+  *
+  * Where the batch operator ranks windows by distributed prefix
+  * doubling (order-preserving — it also serves suffix-order queries),
+  * the incremental path needs only EQUALITY classes, which cannot be
+  * re-ranked globally per batch without rescanning the corpus; windows
+  * are therefore keyed by their md5 (128-bit — the [[graft.operators
+  * .Dedup.exactGroups]] exact-equality convention), so per batch the
+  * work is one O(batch-chars) projection, one equi-join probe of the
+  * standing index, and the batch-sized removal tail. The corpus is
+  * never rescanned.
+  *
+  * Replay safety (foreachBatch is at-least-once): batch-keyed
+  * partition directories with overwrite (the [[OnlineDedup]] recipe),
+  * and index reads exclude the batch's own partition — a replayed
+  * batch probes the same standing index and rewrites the same files,
+  * bit-identical. The index append is discover-once (anti-join), so
+  * index rows stay unique.
+  *
+  * Layout under `rootDir`: `docs/` (per-doc kept_text/removed_chars/
+  * removed_spans), `index/` (distinct window hashes) — plain parquet,
+  * partitioned by `batch`. Contract: one streaming query lineage per
+  * rootDir; doc ids unique across the corpus. */
+final class OnlineSuffixDedup(
+    rootDir: String,
+    minLen: Int = 50,
+    idCol: String = "doc_id", textCol: String = "text") {
+  require(minLen >= 2, s"minLen out of range: $minLen")
+
+  private val docsDir = s"$rootDir/docs"
+  private val indexDir = s"$rootDir/index"
+
+  /** The foreachBatch hook:
+    * `stream.writeStream.foreachBatch(online.processBatch _)`. */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val base = batch.select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+      .localCheckpoint()
+    // windows of documents long enough to carry one (sequence(1, 0)
+    // DESCENDS in Spark — the short-doc filter is load-bearing)
+    val grams = base
+      .filter(length(col("_t")) >= minLen)
+      .select(col("doc_id"), col("_t"),
+        explode(expr(s"sequence(1L, length(_t) - ${minLen - 1})")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"substring(_t, cast(pos as int), $minLen)")).as("h"))
+      .localCheckpoint()
+    val standing: DataFrame = {
+      val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new Path(indexDir)))
+        // a replayed batch must not probe its own windows
+        spark.read.parquet(indexDir).filter(col("batch") =!= batchId)
+          .select("h")
+      else grams.select("h").limit(0)
+    }
+    // flagged = seen in an earlier batch (ALL batch occurrences of the
+    // hit window — the true owner arrived before this batch), or
+    // cross-document within the batch with a smaller-doc_id owner
+    val inIdx = grams.join(standing, Seq("h"), "left_semi")
+      .select("doc_id", "pos")
+    val wb = grams.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"), min("doc_id").as("own"))
+      .filter(col("nd") >= 2)
+    val wbFlag = grams.join(wb, Seq("h"))
+      .filter(col("doc_id") =!= col("own"))
+      .select("doc_id", "pos")
+    val flagged = inIdx.unionByName(wbFlag).distinct().localCheckpoint()
+    SuffixDedup.cutCovered(base, flagged, minLen)
+      .write.mode("overwrite").parquet(s"$docsDir/batch=$batchId")
+    grams.select("h").distinct()
+      .join(standing, Seq("h"), "left_anti") // discover-once
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+  }
+
+  /** Everything ingested so far, cleaned — (doc_id, kept_text,
+    * removed_chars, removed_spans). */
+  def corpus(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val fs = new Path(docsDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(docsDir))) spark.read.parquet(docsDir).drop("batch")
+    else spark.emptyDataFrame
+  }
+}
