@@ -192,22 +192,32 @@ object Bench {
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
           Double.box(v))
       }.mkString("{", ",", "}")
-      def line(queries: String, breached: String, isolated: String): String =
+      def line(queries: String, breached: String, isolated: String,
+          unadjList: String): String =
         s"""{"metric":"total","value":$total,"unit":"sec",""" +
           s""""n_scenarios":${results.size},"queries":$queries,""" +
           s""""stat_note":"queries=baseline-overlap subset, min stat; full map in artifact",""" +
           s""""sliced_gates":${slicedGates.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""breached":$breached,"isolated":$isolated,""" +
-          s""""unadjudicated":$unadj,""" +
+          s""""unadjudicated":$unadjList,""" +
           s""""artifact":"target/bench.json","sf":"$sfDir",$runMeta}"""
       // hard bound: the whole line must sit inside the driver's ~2 KB
       // tail. Shed load in order: breached list first (check_bench only
       // reads `isolated`), then the isolated map, queries last (an
       // empty map fails check_bench loudly — the shape of last resort).
-      // `unadjudicated` is never shed: it is empty in a healthy run and
-      // the one field whose loss would hide a real failure (r14 #2).
-      Seq(line(qs, br, iso), line(qs, "[]", iso), line(qs, "[]", "{}"),
-          line("{}", "[]", "{}")).find(_.length <= 1900).get
+      // `unadjudicated` is semantically never shed — but it is the one
+      // now-unbounded field (r15 review finding #5: a mass-breach run
+      // could make every shape exceed the bound and the final .get
+      // throw), so the last resorts carry a single bounded SENTINEL
+      // entry instead of the full list: still non-empty, so check_bench
+      // still fails, and the names stay in the full artifact.
+      val unadjSentinel =
+        if (unadjudicatedNames.isEmpty) "[]"
+        else s"""["${unadjudicatedNames.size} breach flags unadjudicated - see artifact"]"""
+      Seq(line(qs, br, iso, unadj), line(qs, "[]", iso, unadj),
+          line(qs, "[]", "{}", unadj), line("{}", "[]", "{}", unadj),
+          line("{}", "[]", "{}", unadjSentinel))
+        .find(_.length <= 1900).get
     }
 
     // Iteration aid, NOT used by the driver: SPARK_GRAFT_BENCH_ONLY=
@@ -538,18 +548,22 @@ object Bench {
               }
           }
         }
-        // every breach flag must end adjudicated: name the leftovers
-        unadjudicatedNames ++=
-          breachedNames.filterNot(isolatedMap.contains).distinct
-        if (unadjudicatedNames.nonEmpty)
-          System.err.println(
-            s"[bench] ${unadjudicatedNames.size} breach flag(s) NOT " +
-              s"isolated (budget/failure): ${unadjudicatedNames.mkString(", ")}")
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] self-adjudication pass failed (ignored): $e")
       e.printStackTrace()
     }
+    // every breach flag must end adjudicated: name the leftovers.
+    // OUTSIDE the try (r15 review finding #4): an exception mid-pass —
+    // an interrupted settle() sleep, a re-run scaffold failure — must
+    // not ship the flags with an empty unadjudicated list, which is
+    // exactly the silent-pass hole this field exists to close.
+    unadjudicatedNames ++=
+      breachedNames.filterNot(isolatedMap.contains).distinct
+    if (unadjudicatedNames.nonEmpty)
+      System.err.println(
+        s"[bench] ${unadjudicatedNames.size} breach flag(s) NOT " +
+          s"isolated (budget/failure): ${unadjudicatedNames.mkString(", ")}")
 
     // final durable copy (the driver's bounded log tail truncated round 5's
     // JSON; flush() has also been keeping a partial artifact all along)

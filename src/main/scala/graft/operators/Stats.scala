@@ -986,27 +986,39 @@ object Stats {
     val joinKeys = "_pid" +: partitionCols
     // the rename prefix must not collide with any column of the cum
     // frame (a partition column named "ff" would make "_o"+"ff" ==
-    // "_off" — an ambiguous-column AnalysisException; r14 advice) —
-    // escalate underscores until every renamed key is fresh
+    // "_off" — an ambiguous-column AnalysisException; r14 advice).
+    // The offsets frame's VALUE columns get the same fresh prefix (r15
+    // review finding #7: bare "_off"/"_n" collide with partition
+    // columns of those names); the freshness search covers keys AND
+    // values, escalating underscores until everything is fresh.
     val prefix = Iterator.iterate("_ntile_o_")(_ + "_")
-      .find(p => joinKeys.forall(k => !cum.columns.contains(p + k)))
+      .find { p =>
+        (joinKeys.map(p + _) ++ Seq(p + "off", p + "n", p + "rank", p + "q", p + "r"))
+          .forall(!cum.columns.contains(_))
+      }
       .get
-    val offRenamed = offsets.toDF(joinKeys.map(prefix + _) ++ Seq("_off", "_n"): _*)
+    val offC = prefix + "off"
+    val nC = prefix + "n"
+    val rankC = prefix + "rank"
+    val qC = prefix + "q"
+    val rC = prefix + "r"
+    val offRenamed = offsets.toDF(joinKeys.map(prefix + _) ++ Seq(offC, nC): _*)
     val joinCond = joinKeys.map(k => col(k) <=> col(prefix + k)).reduce(_ && _)
     cum.join(broadcast(offRenamed), joinCond)
       .drop(joinKeys.map(prefix + _): _*)
-      .withColumn("_rank", col("_off") + col("_rn"))
-      .withColumn("_q", expr(s"_n div $tiles"))
-      .withColumn("_r", col("_n") % tiles)
-      // standard ntile: ranks 1.._r*(_q+1) fill the big buckets, the
-      // rest the small ones; greatest(_q, 1) keeps the untaken branch
+      .withColumn(rankC, col(offC) + col("_rn"))
+      .withColumn(qC, expr(s"`$nC` div $tiles"))
+      .withColumn(rC, col(nC) % tiles)
+      // standard ntile: ranks 1..r*(q+1) fill the big buckets, the
+      // rest the small ones; greatest(q, 1) keeps the untaken branch
       // from dividing by zero when n < tiles (every row is then a big
       // bucket of size 1)
       .withColumn(outCol,
-        when(col("_rank") <= col("_r") * (col("_q") + 1L),
-          expr("(_rank - 1) div (_q + 1) + 1"))
-          .otherwise(expr("_r + (_rank - _r * (_q + 1) - 1) div greatest(_q, 1) + 1")))
-      .drop("_pid", "_rn", "_off", "_n", "_rank", "_q", "_r")
+        when(col(rankC) <= col(rC) * (col(qC) + 1L),
+          expr(s"(`$rankC` - 1) div (`$qC` + 1) + 1"))
+          .otherwise(expr(
+            s"`$rC` + (`$rankC` - `$rC` * (`$qC` + 1) - 1) div greatest(`$qC`, 1) + 1")))
+      .drop("_pid", "_rn", offC, nC, rankC, qC, rC)
   }
 
   /** Mann–Whitney U (Wilcoxon rank-sum) between two groups — the

@@ -1210,23 +1210,13 @@ final class SparkStreamStore(
     val dir = new HPath(walDir)
     if (!fs.exists(dir)) return
     val epochRx = """wal-e(\d+)-p\d+\.jsonl""".r
-    val rows = fs.listStatus(dir).sortBy(_.getPath.getName).toSeq.flatMap { st =>
-      val epoch = st.getPath.getName match {
-        case epochRx(e) => e.toLong
-        case _ => 0L // pre-lease naming: wal-<position>.jsonl
-      }
-      val in = fs.open(st.getPath)
-      val text = try {
-        val bytes = new Array[Byte](st.getLen.toInt)
-        in.readFully(0, bytes)
-        new String(bytes, StandardCharsets.UTF_8)
-      } finally in.close()
-      val lines = text.split('\n').iterator.filter(_.nonEmpty).toSeq
-      lines.zipWithIndex.flatMap { case (line, li) =>
-        parseRecoveryLine(line, st.getPath,
-          isTail = li == lines.length - 1 && !text.endsWith("\n"))
-          .map(n => (epoch, n))
-      }
+    val rows = listJsonFiles(dir, perFileTornTail = true).flatMap {
+      case (name, nodes) =>
+        val epoch = name match {
+          case epochRx(e) => e.toLong
+          case _ => 0L // pre-lease naming: wal-<position>.jsonl
+        }
+        nodes.map(n => (epoch, n))
     }.flatMap { case (epoch, n) =>
       try Some((epoch, MessageRow(
         n.get("streamId").asText, n.get("messageId").asText,
@@ -1306,10 +1296,19 @@ final class SparkStreamStore(
     }
   }
 
-  private def listJsonLines(dir: HPath): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+  /** Per-file JSON-lines read in file-name order. Torn-final-line
+    * tolerance is scoped by `perFileTornTail`: WAL directories may hold
+    * files of several fencing epochs, EACH an append stream a crash can
+    * tear mid-write (per-file tolerance); journal/tombstone directories
+    * are written strictly in name order, so only the globally-last file
+    * can legitimately tear — a torn earlier file there is real loss and
+    * still fails loudly. One body serves both (r15 review finding #8:
+    * three near-identical read loops had drifted apart). */
+  private def listJsonFiles(dir: HPath, perFileTornTail: Boolean)
+      : Seq[(String, Seq[com.fasterxml.jackson.databind.JsonNode])] = {
     if (!fs.exists(dir)) return Nil
     val files = fs.listStatus(dir).sortBy(_.getPath.getName)
-    files.zipWithIndex.flatMap { case (st, fi) =>
+    files.zipWithIndex.map { case (st, fi) =>
       val lastFile = fi == files.length - 1
       val in = fs.open(st.getPath)
       val text = try {
@@ -1318,12 +1317,17 @@ final class SparkStreamStore(
         new String(bytes, StandardCharsets.UTF_8)
       } finally in.close()
       val lines = text.split('\n').iterator.filter(_.nonEmpty).toSeq
-      lines.zipWithIndex.flatMap { case (line, li) =>
+      val nodes = lines.zipWithIndex.flatMap { case (line, li) =>
         parseRecoveryLine(line, st.getPath,
-          isTail = lastFile && li == lines.length - 1 && !text.endsWith("\n"))
+          isTail = (perFileTornTail || lastFile) &&
+            li == lines.length - 1 && !text.endsWith("\n"))
       }
+      (st.getPath.getName, nodes)
     }.toSeq
   }
+
+  private def listJsonLines(dir: HPath): Seq[com.fasterxml.jackson.databind.JsonNode] =
+    listJsonFiles(dir, perFileTornTail = false).flatMap(_._2)
 
   private def loadTombstones(): Unit =
     listJsonLines(new HPath(tombstonesDir)).sortBy(_.get("seq").asLong).foreach { n =>
@@ -1450,16 +1454,25 @@ final class SparkStreamStore(
         log.warn("graft: background purge/compaction did not finish within 60s of close()")
     } catch { case _: InterruptedException => Thread.currentThread().interrupt() }
     synchronized {
-      if (lease.isFenced) {
+      // the isFenced check and the flush are not atomic: a takeover can
+      // land between them, making flushMemtable's synchronous lock
+      // verification throw — catch it and degrade to the fenced branch
+      // instead of leaking the WAL stream / Derby spill / filesystem
+      // handles out of a throwing close() (r15 review finding #6)
+      val fencedNow = lease.isFenced || {
+        try {
+          flushMemtable() // closes + retires the WAL
+          writeJournal(dirtyStreams.toSeq, Nil) // also flushes pending cutoffs
+          false
+        } catch { case _: graft.core.StoreFencedException => true }
+      }
+      if (fencedNow) {
         // a fenced loser must not write a farewell segment/journal into
         // the winner's log — drop the buffer (every row in it is also in
         // this writer's zombie WAL, which loses by epoch at recovery)
         log.warn(s"graft: close() on a FENCED store for $root — buffered " +
           s"rows are discarded, the lease winner owns the log")
         memtable.clear(); memtableBytes = 0L
-      } else {
-        flushMemtable() // closes + retires the WAL
-        writeJournal(dirtyStreams.toSeq, Nil) // also flushes pending cutoffs
       }
       walOut.foreach(_.close())
       walOut = None

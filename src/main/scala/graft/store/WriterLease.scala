@@ -23,8 +23,13 @@ import java.nio.charset.StandardCharsets
   *    pid). It is created exclusively on open and deleted on clean
   *    [[release]].
   *  - The holder heartbeats by refreshing the lock's mtime (a metadata
-  *    op — the content stays immutable for the tenure, so a concurrent
-  *    reader can never observe a half-written lock).
+  *    op — the content stays immutable for the TENURE; only the
+  *    create-instant can expose a momentarily empty file, which readers
+  *    treat as held-by-unreadable, never as absent).
+  *  - Fencing epochs come from `<root>/LOCK_EPOCHS/` (one atomic-create
+  *    file per epoch, kept forever) — globally unique and monotonic per
+  *    root, so a fenced zombie can never outrank the current owner and
+  *    same-epoch WAL ties cannot happen.
   *  - DEFAULT (`leaseTimeoutMs = 0`): an opener finding a LOCK takes
   *    over — it bumps the fencing epoch and rewrites the lock. Crash
   *    restarts are therefore never locked out. The previous holder, if
@@ -134,8 +139,23 @@ object WriterLease {
     } catch { case _: Throwable => None }
 
   /** Acquire the root's writer lease (see class doc for the two modes).
-    * Retries the create-exclusive race a few times so two simultaneous
-    * takeovers resolve to exactly one winner. */
+    *
+    * Epoch discipline (round-15 review findings #1–3): epochs are
+    * claimed from `<root>/LOCK_EPOCHS/` — one atomic-create file per
+    * epoch, NEVER deleted — so they are globally UNIQUE and MONOTONIC
+    * per root across takeovers, crashes, and clean-close reopens. A
+    * half-written or vanished LOCK therefore can never regress the
+    * epoch (the old `holder.epoch + 1 else 1` did), and two
+    * simultaneous takeovers hold DIFFERENT epochs, so their WAL files
+    * can never tie at recovery. After every successful create the
+    * winner re-reads the lock and only returns if it still names
+    * itself — the delete+create takeover window (racer deletes a
+    * freshly-created lock) then resolves by retry instead of a double
+    * acquire. Residual window, stated honestly: two sub-millisecond
+    * simultaneous takeovers can BOTH believe they hold the lease until
+    * the loser's next poll; publishes still verify synchronously (no
+    * segment/journal corruption possible), and the two writers' WAL
+    * lines carry distinct epochs, so recovery stays deterministic. */
   def acquire(
       fs: FileSystem,
       root: String,
@@ -154,9 +174,13 @@ object WriterLease {
         catch { case _: java.io.FileNotFoundException => None }
       status match {
         case None =>
-          if (tryCreate(fs, lock, ownerId, epoch = 1L))
-            return new WriterLease(fs, root, ownerId, 1L, heartbeatMs, log)
-        // lost the create race — loop re-reads the fresh lock
+          val epoch = claimEpoch(fs, root, ownerId)
+          if (tryCreate(fs, lock, ownerId, epoch) &&
+              readHolder(fs, lock).exists(_.owner == ownerId))
+            return new WriterLease(fs, root, ownerId, epoch, heartbeatMs, log)
+        // lost the create race (or a racing takeover deleted our fresh
+        // lock) — loop re-reads; the claimed epoch file stays as an
+        // unused number, which monotonicity tolerates
         case Some(st) =>
           val ageMs = System.currentTimeMillis() - st.getModificationTime
           val holder = readHolder(fs, lock)
@@ -166,24 +190,43 @@ object WriterLease {
                 s"${holder.map(_.owner).getOrElse("<unreadable>")} " +
                 s"(heartbeat ${ageMs} ms ago, timeout $leaseTimeoutMs ms) — " +
                 "only one SparkStreamStore may write a log root")
-          // takeover: bump the fencing epoch past the previous holder's.
-          // delete + create-exclusive keeps the winner unique: of two
-          // simultaneous takeovers, one create fails and loops back to
-          // find a held lock.
-          val nextEpoch = holder.map(_.epoch + 1L).getOrElse(1L)
+          val nextEpoch = claimEpoch(fs, root, ownerId)
           log.warn(s"graft: taking over writer lease for $root from " +
             s"${holder.map(_.owner).getOrElse("<unreadable>")} " +
             s"(heartbeat ${ageMs} ms ago) at fencing epoch $nextEpoch — " +
             "if that writer is still alive it will be fenced")
           try fs.delete(lock, false)
           catch { case _: java.io.IOException => () }
-          if (tryCreate(fs, lock, ownerId, nextEpoch))
+          if (tryCreate(fs, lock, ownerId, nextEpoch) &&
+              readHolder(fs, lock).exists(_.owner == ownerId))
             return new WriterLease(fs, root, ownerId, nextEpoch, heartbeatMs, log)
       }
     }
     throw new StoreLockedException(root,
       s"could not acquire the writer lease for $root after $attempt " +
         "contended attempts — another writer is actively racing this open")
+  }
+
+  /** Claim the next fencing epoch: atomic-create of
+    * `LOCK_EPOCHS/e<N>` for the smallest unclaimed N above the current
+    * maximum. Epoch files persist for the root's lifetime (one tiny
+    * file per open/takeover) — deleting any would allow regression. */
+  private def claimEpoch(fs: FileSystem, root: String, ownerId: String): Long = {
+    val dir = new HPath(root.stripSuffix("/") + "/LOCK_EPOCHS")
+    fs.mkdirs(dir)
+    val existing = fs.listStatus(dir).toSeq
+      .flatMap(st => st.getPath.getName.stripPrefix("e").toLongOption)
+    var next = existing.maxOption.getOrElse(0L) + 1L
+    var attempts = 0
+    while (attempts < 10000) {
+      attempts += 1
+      if (atomicCreate(fs, new HPath(dir, f"e$next%020d"),
+          ownerId.getBytes(StandardCharsets.UTF_8)))
+        return next
+      next += 1L
+    }
+    throw new StoreLockedException(root,
+      s"could not claim a fencing epoch for $root after $attempts attempts")
   }
 
   private def holderJson(ownerId: String, epoch: Long): Array[Byte] = {
@@ -197,23 +240,31 @@ object WriterLease {
     Mapper.writeValueAsString(n).getBytes(StandardCharsets.UTF_8)
   }
 
-  /** Exclusive lock-file creation. On local filesystems Hadoop's
+  private def tryCreate(
+      fs: FileSystem, lock: HPath, ownerId: String, epoch: Long): Boolean =
+    atomicCreate(fs, lock, holderJson(ownerId, epoch))
+
+  /** Exclusive file creation. On local filesystems Hadoop's
     * `create(overwrite = false)` is CHECK-then-create (a TOCTOU window
     * two racing opens can both pass — caught by the racing-opens spec);
     * `File.createNewFile` is POSIX O_CREAT|O_EXCL, genuinely atomic.
     * Remote schemes (HDFS-like) keep `create(overwrite = false)`, which
-    * their metadata service makes atomic. */
-  private def tryCreate(
-      fs: FileSystem, lock: HPath, ownerId: String, epoch: Long): Boolean =
+    * their metadata service makes atomic. The content write follows the
+    * exclusive create (a reader can observe a momentarily EMPTY file —
+    * readHolder returns None for it, which strict mode treats as
+    * held-by-unreadable and takeover mode tolerates because epochs come
+    * from the claim files, not from the possibly-half-written lock). */
+  private def atomicCreate(
+      fs: FileSystem, path: HPath, content: Array[Byte]): Boolean =
     try {
-      val qualified = fs.makeQualified(lock).toUri
+      val qualified = fs.makeQualified(path).toUri
       if (qualified.getScheme == null || qualified.getScheme == "file") {
         val f = new java.io.File(qualified.getPath)
         if (!f.createNewFile()) return false // atomic O_EXCL
-        java.nio.file.Files.write(f.toPath, holderJson(ownerId, epoch))
+        java.nio.file.Files.write(f.toPath, content)
       } else {
-        val out = fs.create(lock, false) // exclusive: throws if present
-        try out.write(holderJson(ownerId, epoch)) finally out.close()
+        val out = fs.create(path, false) // exclusive: throws if present
+        try out.write(content) finally out.close()
       }
       true
     } catch { case _: java.io.IOException => false }

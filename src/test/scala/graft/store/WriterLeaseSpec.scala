@@ -91,17 +91,25 @@ class WriterLeaseSpec extends AnyFunSuite {
     } finally { b.close(); a.lease.release() }
   }
 
-  test("clean close releases the lease: reopen acquires fresh at epoch 1") {
+  test("clean close releases the lease; epochs stay MONOTONIC across reopens (no regression)") {
     val dir = SparkTestSession.tempDir("graft-lease-clean")
     val a = new SparkStreamStore(spark, dir)
+    val epochA = a.lease.epoch
     a.appendToStream("s", ExpectedVersion.NoStream, msgs(1))
     a.close()
     assert(!fs(dir).exists(WriterLease.lockPathOf(dir)))
     val b = new SparkStreamStore(spark, dir, leaseTimeoutMs = 600000L)
+    val epochB = b.lease.epoch
     try {
-      assert(b.lease.epoch === 1L)
+      // the epoch counter NEVER restarts — a clean-close reopen claims a
+      // fresh, higher epoch, so a not-yet-fenced zombie from an earlier
+      // tenure can never tie (r15 review finding: the old scheme
+      // restarted at 1 whenever the LOCK file was absent)
+      assert(epochB > epochA)
       assert(b.readStreamForwards("s").messages.map(_.streamVersion) === Seq(0))
     } finally b.close()
+    val c = new SparkStreamStore(spark, dir)
+    try assert(c.lease.epoch > epochB) finally c.close()
   }
 
   test("racing opens resolve to EXACTLY ONE un-fenced writer (create-exclusive race)") {
@@ -133,6 +141,38 @@ class WriterLeaseSpec extends AnyFunSuite {
       case _ => ()
     }
     winners.head.toOption.foreach(_.release())
+  }
+
+  test("racing TAKEOVER-mode opens: distinct epochs always; exactly one un-fenced holder after a poll") {
+    val dir = SparkTestSession.tempDir("graft-lease-race-t")
+    val f = fs(dir)
+    val log = org.slf4j.LoggerFactory.getLogger(classOf[WriterLeaseSpec])
+    // a pre-existing holder everyone will race to take over
+    val original = WriterLease.acquire(f, dir, 0L, 60000L, log)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[WriterLease]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 6).map { i =>
+      val t = new Thread(() => {
+        start.await()
+        try results.add(WriterLease.acquire(f, dir, 0L, 60000L, log))
+        catch { case _: graft.core.StoreLockedException => () } // loud loss is fine
+      }, s"race-t-$i")
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join(30000))
+    val leases = original +: results.toArray(Array.empty[WriterLease]).toSeq
+    // epochs are claimed from the atomic counter: NEVER two alike, so
+    // concurrent writers' WAL files can never tie at recovery
+    val epochs = leases.map(_.epoch)
+    assert(epochs.distinct.size === epochs.size, s"duplicate epochs: $epochs")
+    // after one verification cycle, exactly one lease still owns the lock
+    leases.foreach(_.pollNow())
+    val unfenced = leases.filterNot(_.isFenced)
+    assert(unfenced.size === 1, s"expected one un-fenced holder, got ${unfenced.size}")
+    assert(WriterLease.readHolder(f, WriterLease.lockPathOf(dir))
+      .exists(_.owner == unfenced.head.ownerId))
+    leases.foreach(_.release())
   }
 
   test("a zombie WAL file from a fenced epoch loses to the winner's rows at recovery") {
