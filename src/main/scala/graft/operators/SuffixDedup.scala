@@ -65,6 +65,13 @@ object SuffixDedup {
     val positions = docs
       .select(col(idCol).as("doc_id"),
         length(col(textCol)).cast("long").as("len"), col(textCol).as("_t"))
+      // Spark's sequence(1, 0) DESCENDS ([1, 0]): an empty or NULL
+      // document would emit bogus pos=1/pos=0 rows at nonexistent
+      // positions from this public surface (r15 advice —
+      // OnlineSuffixDedup guards the same trap with its short-doc
+      // filter; the span/removal consumers happened to filter the
+      // rows back out, direct callers did not)
+      .filter(col("len") >= 1L)
       .select(col("doc_id"), col("len"),
         explode(expr("sequence(1L, len)")).as("pos"), col("_t"))
       .select(col("doc_id"), col("len"), col("pos"),

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -62,13 +61,14 @@ final class OnlineBoilerplate(
       .localCheckpoint() // feeds the increment write AND the audit
     val batchDf = lines.groupBy("line_hash")
       .agg(count(lit(1)).as("line_df"))
-    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a replayed batch must not count its own prior increments; a
+    // footerless index dir (crash during the very first write) reads
+    // as empty rather than wedging every replay (r15 advice)
     val standing =
-      if (fs.exists(new Path(indexDir)))
-        // a replayed batch must not count its own prior increments
-        spark.read.parquet(indexDir).filter(col("batch") =!= batchId)
-          .groupBy("line_hash").agg(sum("line_df").as("line_df"))
-      else batchDf.limit(0)
+      IndexIo.readOrElse(spark, indexDir)(
+          batchDf.withColumn("batch", lit(0L)).limit(0))
+        .filter(col("batch") =!= batchId)
+        .groupBy("line_hash").agg(sum("line_df").as("line_df"))
     val merged = batchDf.unionByName(standing)
       .groupBy("line_hash").agg(sum("line_df").as("line_df"))
     val audit = lines.join(merged, Seq("line_hash"))
@@ -82,18 +82,12 @@ final class OnlineBoilerplate(
 
   /** All per-batch audits so far (a doc audited in batch b reflects the
     * corpus up to and including b). */
-  def audits(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    val fs = new Path(auditsDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(auditsDir))) spark.read.parquet(auditsDir).drop("batch")
-    else spark.emptyDataFrame
-  }
+  def audits(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    IndexIo.readOrElse(spark, auditsDir)(spark.emptyDataFrame).drop("batch")
 
   /** The standing line-df index (digest → cumulative document count). */
-  def index(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(indexDir)))
-      spark.read.parquet(indexDir)
-        .groupBy("line_hash").agg(sum("line_df").as("line_df"))
-    else spark.emptyDataFrame
-  }
+  def index(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    IndexIo.tryRead(spark, indexDir)
+      .map(_.groupBy("line_hash").agg(sum("line_df").as("line_df")))
+      .getOrElse(spark.emptyDataFrame)
 }

@@ -1,9 +1,8 @@
 package graft.streaming
 
 import graft.operators.Dedup
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Streaming corpus ingestion with ONLINE near-dup dedup: a
   * `foreachBatch` sink that dedups every micro-batch against the corpus
@@ -51,13 +50,12 @@ final class OnlineDedup(
     val spark = batch.sparkSession
     // empty frames with the exact index schemas, for the first batch
     val (b0, s0) = Dedup.nearDupIndex(batch.limit(0), textCol, idCol, k, bands, shingleSize)
-    def readIndex(dir: String, empty: DataFrame): DataFrame = {
-      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(new Path(dir)))
-        // a replayed batch must not probe its own survivors
-        spark.read.parquet(dir).filter(col("batch") =!= batchId).drop("batch")
-      else empty
-    }
+    // a replayed batch must not probe its own survivors; a footerless
+    // index dir (crash during the very first write) reads as empty
+    // rather than wedging every replay on schema inference (r15 advice)
+    def readIndex(dir: String, empty: DataFrame): DataFrame =
+      IndexIo.readOrElse(spark, dir)(empty.withColumn("batch", lit(0L)))
+        .filter(col("batch") =!= batchId).drop("batch")
     val survivors = Dedup.incrementalSurvivors(
       batch, readIndex(bucketsDir, b0), readIndex(shinglesDir, s0),
       textCol, idCol, threshold, k, bands, shingleSize)
@@ -69,9 +67,6 @@ final class OnlineDedup(
   }
 
   /** The corpus of survivors accumulated so far. */
-  def corpus(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    val fs = new Path(docsDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(docsDir))) spark.read.parquet(docsDir).drop("batch")
-    else spark.emptyDataFrame
-  }
+  def corpus(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    IndexIo.readOrElse(spark, docsDir)(spark.emptyDataFrame).drop("batch")
 }

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import graft.operators.{Html, Web}
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -76,31 +75,27 @@ final class OnlineFrontier(
     admitted.write.mode("overwrite").parquet(s"$frontierDir/batch=$batchId")
   }
 
+  // a replayed batch must not probe its own prior write; a footerless
+  // frontier dir (crash during the very first write) reads as empty
+  // rather than wedging every replay on schema inference (r15 advice)
   private def readStanding(spark: SparkSession, batchId: Long): DataFrame = {
-    val fs = new Path(frontierDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(frontierDir)))
-      // a replayed batch must not probe its own prior write
-      spark.read.parquet(frontierDir).filter(col("batch") =!= batchId)
-        .drop("batch")
-    else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("url_norm",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("host",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("domain",
-            org.apache.spark.sql.types.StringType))))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("url_norm",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("host",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("domain",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("batch",
+          org.apache.spark.sql.types.LongType))))
+    IndexIo.readOrElse(spark, frontierDir)(empty)
+      .filter(col("batch") =!= batchId)
+      .drop("batch")
   }
 
   /** The frontier accumulated so far. */
-  def frontier(spark: SparkSession): DataFrame = {
-    val fs = new Path(frontierDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(frontierDir)))
-      spark.read.parquet(frontierDir).drop("batch")
-    else spark.emptyDataFrame
-  }
+  def frontier(spark: SparkSession): DataFrame =
+    IndexIo.readOrElse(spark, frontierDir)(spark.emptyDataFrame).drop("batch")
 }

@@ -51,8 +51,13 @@ final class OnlineKmv(
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong }
       .filter(_ < batchId)
-      .maxOption
-      .map(id => spark.read.parquet(s"$kmvDir/batch=$id"))
+      .sorted(Ordering[Long].reverse)
+      .iterator
+      // a footerless snapshot dir (crash mid-write before any replay
+      // healed it) is skipped for the next-older committed one rather
+      // than failing schema inference forever (r15 advice)
+      .flatMap(id => IndexIo.tryRead(spark, s"$kmvDir/batch=$id"))
+      .nextOption()
   }
 
   /** The foreachBatch hook:

@@ -47,7 +47,13 @@ final class OnlineRollup(
         .map(_.getPath.getName)
         .collect { case s if s.startsWith("batch=") => s.stripPrefix("batch=").toLong }
         .filter(_ < batchId)
-      ids.maxOption.map(id => id -> spark.read.parquet(s"$rollupDir/batch=$id"))
+      // a footerless snapshot dir (crash mid-write before any replay
+      // healed it) is skipped for the next-older committed one rather
+      // than failing schema inference forever (r15 advice)
+      ids.sorted(Ordering[Long].reverse).iterator
+        .flatMap(id =>
+          IndexIo.tryRead(spark, s"$rollupDir/batch=$id").map(id -> _))
+        .nextOption()
     }
   }
 

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import graft.operators.SuffixDedup
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -60,14 +59,13 @@ final class OnlineSuffixDedup(
       .select(col("doc_id"), col("pos"),
         md5(expr(s"substring(_t, cast(pos as int), $minLen)")).as("h"))
       .localCheckpoint()
-    val standing: DataFrame = {
-      val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(new Path(indexDir)))
-        // a replayed batch must not probe its own windows
-        spark.read.parquet(indexDir).filter(col("batch") =!= batchId)
-          .select("h")
-      else grams.select("h").limit(0)
-    }
+    // a replayed batch must not probe its own windows; a footerless
+    // index dir (crash during the very first write) reads as empty
+    // rather than wedging every replay on schema inference (r15 advice)
+    val standing: DataFrame = IndexIo.readOrElse(spark, indexDir)(
+        grams.select(col("h"), lit(0L).as("batch")).limit(0))
+      .filter(col("batch") =!= batchId)
+      .select("h")
     // flagged = seen in an earlier batch (ALL batch occurrences of the
     // hit window — the true owner arrived before this batch), or
     // cross-document within the batch with a smaller-doc_id owner
@@ -89,9 +87,6 @@ final class OnlineSuffixDedup(
 
   /** Everything ingested so far, cleaned — (doc_id, kept_text,
     * removed_chars, removed_spans). */
-  def corpus(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    val fs = new Path(docsDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(docsDir))) spark.read.parquet(docsDir).drop("batch")
-    else spark.emptyDataFrame
-  }
+  def corpus(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    IndexIo.readOrElse(spark, docsDir)(spark.emptyDataFrame).drop("batch")
 }

@@ -90,4 +90,15 @@ class DistributedNtileSpec extends AnyFunSuite {
       .select(col("id"), col("m").cast("decimal(30,6)").as("m"))
     check(df, 5, Nil, Seq(col("m"), col("id")))
   }
+
+  test("rename-prefix freshness: adversarial column names don't collide (r14/r15 advice)") {
+    // a partition column named "ff" made the old "_o" prefix produce
+    // "_off" (ambiguous with the offsets frame's own value column);
+    // value columns literally NAMED _off/_n/_ntile_o_off stress the
+    // escalating-underscore freshness search over keys AND values
+    val df = (1 to 24)
+      .map(i => (s"g${i % 2}", i.toLong, (i * 13 % 7).toLong, i.toLong, i.toLong))
+      .toDF("ff", "id", "v", "_off", "_ntile_o_off")
+    check(df, 4, Seq("ff"), Seq(col("v"), col("id")))
+  }
 }

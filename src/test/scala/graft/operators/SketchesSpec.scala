@@ -405,4 +405,26 @@ class SketchesSpec extends AnyFunSuite {
       Seq((5L, -3L), (5L, 2L)).toDF("v", "w"), col("v"), col("w"), 10, 4)
     assert(nodes(neg).map(_._3).sum === 2L)
   }
+
+  test("kmv: NULL values are not set members and never occupy a rank (r15 advice)") {
+    val rows = (Seq(Some("a"), None, Some("b"), None, Some("c")): Seq[Option[String]])
+      .toDF("v")
+    val sk = Sketches.kmvSketch(rows, col("v"), 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // sub-k sketch is the exact set: 3 non-null distinct values — a
+    // NULL hash must not claim rank 1 and inflate the exact count
+    assert(sk.length === 3)
+    val clean = Sketches.kmvSketch(
+      Seq("a", "b", "c").toDF("v"), col("v"), 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sk.sorted === clean.sorted)
+    // grouped variant: a group whose values are ALL NULL contributes
+    // no sketch rows at all
+    val grouped = Sketches.kmvSketchBy(
+      (Seq(("g1", Some("x")), ("g1", None), ("g2", None)): Seq[(String, Option[String])])
+        .toDF("g", "v"),
+      Seq("g"), col("v"), 8).collect()
+    assert(grouped.map(_.getString(0)).toSet === Set("g1"))
+    assert(grouped.length === 1)
+  }
 }

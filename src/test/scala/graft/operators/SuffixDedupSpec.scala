@@ -131,4 +131,16 @@ class SuffixDedupSpec extends AnyFunSuite {
     }.sortBy(x => (x._1, x._2))
     assert(spans(docs, minLen = L).toSeq === expected)
   }
+
+  test("empty and NULL documents emit no rank rows from the public suffixRanks surface") {
+    // Spark's sequence(1, 0) DESCENDS ([1, 0]) — without the length
+    // guard an empty doc emitted bogus pos=1/pos=0 rows at nonexistent
+    // positions (r15 advice)
+    val docs = (Seq((1L, Some("")), (2L, Some("abcd")), (3L, None))
+      : Seq[(Long, Option[String])]).toDF("doc_id", "text")
+    val ranks = SuffixDedup.suffixRanks(docs, prefixLen = 2).collect()
+    assert(ranks.map(_.getLong(0)).toSet === Set(2L))
+    assert(ranks.length === 4) // one row per position of "abcd", nothing else
+    assert(ranks.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 4L))
+  }
 }

@@ -259,4 +259,22 @@ class WebSpec extends AnyFunSuite {
     val ok = TextCorpus.blockedTermHits(docs, Seq("hash join")).head()
     assert(ok.getLong(1) === 1L)
   }
+
+  test("resolveCanonical: relative forms win over the '://' absolute sniff (r15 advice)") {
+    val fetch = "https://News.example.com:443/article?x=1"
+    def resolve(href: String): String =
+      Seq((href, fetch)).toDF("href", "url")
+        .select(Web.resolveCanonical(col("href"), col("url")).as("r"))
+        .head().getString(0)
+    // the trap: a root-relative href whose QUERY embeds an absolute
+    // URL contains '://' but must still resolve against the fetch
+    // origin, not stand as absolute
+    assert(resolve("/r?to=https://x.example.org/y")
+      === "https://News.example.com:443/r?to=https://x.example.org/y")
+    assert(resolve("https://canon.example.org/c") === "https://canon.example.org/c")
+    assert(resolve("//cdn.example.org/c") === "https://cdn.example.org/c")
+    assert(resolve("/plain/path") === "https://News.example.com:443/plain/path")
+    assert(resolve("") === fetch)
+    assert(resolve("page.html") === fetch) // path-relative: fall back
+  }
 }
