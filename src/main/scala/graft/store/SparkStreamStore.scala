@@ -58,9 +58,11 @@ import scala.collection.mutable
   * excludes readers, via a read-write structure lock. ACROSS processes
   * the same invariant is enforced by an exclusive [[WriterLease]]
   * (`<root>/LOCK`, heartbeat + fencing epoch): a second store opening
-  * the same root either fails loudly (strict mode) or fences this one
-  * (default takeover mode), and a fenced writer refuses every mutation
-  * instead of interleaving appends into the winner's log.
+  * the same root fails loudly (strict mode, the default — a healthy
+  * live writer is never fenced) or, under explicit takeover opt-in
+  * (`leaseTimeoutMs = 0`), fences this one; a fenced writer refuses
+  * every mutation instead of interleaving appends into the winner's
+  * log.
   *
   * Durability: every append is in the WAL before the call returns; the
   * heads journal is written on every rare mutation (delete, metadata,
@@ -88,7 +90,7 @@ final class SparkStreamStore(
     flushEveryBytes: Long = 32L << 20, // ...or this many buffered payload bytes, whichever comes first
     headCacheCapacity: Int = 0, // >0: bound driver head memory to an LRU of this many hot heads over an embedded Derby spill from the start (0 = in memory until autoSpillHeads)
     autoSpillHeads: Long = 1L << 20, // with headCacheCapacity = 0: head count at which the in-memory store migrates to the Derby spill (~100 MB of driver heap); <= 0 disables auto-spill
-    leaseTimeoutMs: Long = 0L, // cross-process writer lease mode: 0 = takeover-with-fencing (crash restarts never lock out; a live previous writer is fenced); >0 = strict (a second open fails loudly unless the holder's heartbeat is older than this)
+    leaseTimeoutMs: Long = 30000L, // cross-process writer lease mode: >0 = STRICT (default; a second open fails loudly unless the holder's heartbeat is older than this, so a live writer is never fenced and never loses acked appends — r15 advice); 0 = explicit takeover-with-fencing (crash restarts never wait, but a live previous writer is fenced and its in-flight acks lose at recovery)
     leaseHeartbeatMs: Long = 1000L) // writer-lease heartbeat/verification cadence (see WriterLease)
   extends StreamStore {
 
@@ -1225,17 +1227,28 @@ final class SparkStreamStore(
         Option(n.get("jsonData")).map(_.asText).orNull,
         Option(n.get("jsonMetadata")).map(_.asText).orNull)))
       catch { case _: Throwable => None }
-    }.groupBy(_._2.position).valuesIterator
+    }
+    // lost acks must be OBSERVABLE, not silent (r15 advice): count the
+    // lower-epoch rows the highest-epoch-wins rule is about to discard
+    val byPos = rows.groupBy(_._2.position)
+    val zombies = byPos.valuesIterator
+      .map(g => g.size - g.count(_._1 == g.map(_._1).max)).sum
+    if (zombies > 0)
+      log.warn(s"graft: WAL recovery for $root discarded $zombies zombie " +
+        "row(s) written by a fenced writer inside its last heartbeat " +
+        "window (a lower fencing epoch lost to the lease winner's row " +
+        "at the same position)")
+    val winners = byPos.valuesIterator
       .map(_.maxBy(_._1)._2).toSeq
       .sortBy(_.position)
-    if (rows.nonEmpty) {
+    if (winners.nonEmpty) {
       val maxFlushed: Long =
         if (!fs.exists(new HPath(messagesDir))) -1L
         else spark.read.schema(MessageSchema).parquet(messagesDir)
           .agg(max(col("position"))).collect().headOption
           .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
           .getOrElse(-1L)
-      val fresh = rows.filter(_.position > maxFlushed)
+      val fresh = winners.filter(_.position > maxFlushed)
       if (fresh.nonEmpty)
         DirectParquet.write(writeConf,
           new HPath(messagesDir, f"part-${fresh.head.position}%020d-recovered.parquet"), fresh)

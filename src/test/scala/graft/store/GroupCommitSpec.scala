@@ -77,8 +77,10 @@ class GroupCommitSpec extends AnyFunSuite {
     val s1 = new SparkStreamStore(spark, dir)
     s1.appendToStream("a", ExpectedVersion.NoStream, msgs(1, 2, 3))
     s1.appendToStream("b", ExpectedVersion.NoStream, msgs(4))
-    // crash: no close() — reopen the same directory cold
-    val s2 = new SparkStreamStore(spark, dir)
+    // crash: no close() — reopen the same directory cold. The lock is
+    // still held (heartbeat fresh), so the restart opts into takeover
+    // explicitly, the documented crash-restart path
+    val s2 = new SparkStreamStore(spark, dir, leaseTimeoutMs = 0L)
     try {
       assert(s2.readAllForwards(Position.Start, 100).messages.map(_.position) === Seq(0L, 1L, 2L, 3L))
       assert(s2.readStreamHeadVersion("a") === 2)
@@ -114,8 +116,9 @@ class GroupCommitSpec extends AnyFunSuite {
     s1.setStreamMetadata("capped", maxCount = Some(2))
     s1.appendToStream("capped", ExpectedVersion.Any, msgs(1, 2, 3, 4, 5))
     assert(s1.readStreamForwards("capped").messages.map(_.streamVersion) === Seq(3, 4))
-    // crash: the cutoff tombstone may not have been persisted yet
-    val s2 = new SparkStreamStore(spark, dir)
+    // crash: the cutoff tombstone may not have been persisted yet; the
+    // lock is still held, so the restart opts into takeover explicitly
+    val s2 = new SparkStreamStore(spark, dir, leaseTimeoutMs = 0L)
     try {
       assert(s2.readStreamForwards("capped").messages.map(_.streamVersion) === Seq(3, 4),
         "scavenged prefix must not resurrect after a crash")

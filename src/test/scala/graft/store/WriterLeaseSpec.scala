@@ -19,12 +19,12 @@ class WriterLeaseSpec extends AnyFunSuite {
   private def fs(dir: String): FileSystem =
     FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
 
-  test("default mode: a second open takes over and FENCES the first — the loser cannot write") {
+  test("takeover mode (explicit opt-in): a second open takes over and FENCES the first — the loser cannot write") {
     val dir = SparkTestSession.tempDir("graft-lease-fence")
     val a = new SparkStreamStore(spark, dir)
     a.appendToStream("s", ExpectedVersion.NoStream, msgs(1, 2))
     // second instance on the same root: takeover bumps the fencing epoch
-    val b = new SparkStreamStore(spark, dir)
+    val b = new SparkStreamStore(spark, dir, leaseTimeoutMs = 0L)
     try {
       assert(b.lease.epoch === a.lease.epoch + 1)
       // the loser discovers the takeover on its next (synchronous) poll
@@ -53,7 +53,7 @@ class WriterLeaseSpec extends AnyFunSuite {
     // big flush window: rows stay buffered in the loser's memtable
     val a = new SparkStreamStore(spark, dir)
     a.appendToStream("s", ExpectedVersion.NoStream, msgs(1))
-    val b = new SparkStreamStore(spark, dir)
+    val b = new SparkStreamStore(spark, dir, leaseTimeoutMs = 0L)
     try {
       // the loser has NOT polled — its volatile fenced latch is stale,
       // but flush() re-verifies the lock file before publishing
@@ -62,6 +62,38 @@ class WriterLeaseSpec extends AnyFunSuite {
       a.close() // discards the buffer instead of writing a farewell segment
       assert(b.readHeadPosition() === 0L)
     } finally b.close()
+  }
+
+  test("the DEFAULT is strict: a routine second open cannot fence a live writer (r15 advice)") {
+    val dir = SparkTestSession.tempDir("graft-lease-default")
+    val a = new SparkStreamStore(spark, dir)
+    a.appendToStream("s", ExpectedVersion.NoStream, msgs(1))
+    try {
+      // e.g. an operator opening the production root "for inspection":
+      // default parameters must fail loudly, never silently take over
+      // and drop the live writer's acked appends
+      intercept[StoreLockedException](new SparkStreamStore(spark, dir))
+      assert(!a.lease.isFenced)
+      a.appendToStream("s", 0, msgs(2)) // holder unaffected
+      assert(a.readHeadPosition() === 1L)
+    } finally a.close()
+  }
+
+  test("object-store schemes are refused: non-atomic exclusive create cannot back the lease") {
+    // a FileSystem claiming the s3a scheme (create(overwrite=false) is
+    // check-then-create there) — acquire must refuse the root loudly
+    // rather than silently weaken the exclusivity claim (r15 verdict)
+    val fake = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def getUri: java.net.URI = java.net.URI.create("s3a://bucket")
+      override def getScheme: String = "s3a"
+    }
+    fake.initialize(java.net.URI.create("s3a://bucket"),
+      spark.sparkContext.hadoopConfiguration)
+    val log = org.slf4j.LoggerFactory.getLogger(classOf[WriterLeaseSpec])
+    val e = intercept[UnsupportedOperationException](
+      WriterLease.acquire(fake, "s3a://bucket/store", 30000L, 1000L, log))
+    assert(e.getMessage.contains("s3a"))
+    assert(e.getMessage.contains("single writer"))
   }
 
   test("strict mode: a second open fails loudly while the holder's heartbeat is fresh") {
