@@ -128,6 +128,18 @@ def check_one(bench_path, stat, ref, fwd, waivers):
     breaches = []
     cleared = []
 
+    # r15 verdict #1: Bench records how many baseline gate rows its
+    # self-adjudication pass resolved; zero means the in-run gating was
+    # vacuous (wrong cwd / missing tables) and the artifact cannot be
+    # trusted to have self-cleared anything
+    rows_gated = bench.get("baseline_rows_gated",
+                           (bench.get("parsed") or {}).get(
+                               "baseline_rows_gated", -1))
+    if rows_gated == 0:
+        breaches.append("bench self-adjudication gated against ZERO "
+                        "baseline rows (wrong cwd or missing tables) — "
+                        "in-run breach/isolated lists are vacuous")
+
     # Bench names breach flags its adjudication pass could not isolate
     # (r14 verdict #2) — a non-empty list is a failure, not a footnote
     for name in unadjudicated:

@@ -117,6 +117,12 @@ object Bench {
     // check_bench silently ignored; now they are named explicitly and
     // check_bench treats a non-empty list as a failure
     val unadjudicatedNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    // how many baseline gate rows the adjudication pass actually gated
+    // against (r15 verdict #1: zero rows = vacuous pass; the artifact
+    // records the count so a wrong-cwd run is visible, and the pass
+    // marks EVERY scenario unadjudicated when it is zero). -1 = the
+    // pass did not run (SPARK_GRAFT_BENCH_ONLY iteration runs).
+    var baselineRowsGated: Int = -1
     // single source of truth for gates whose bench time measures a data
     // SLICE (not baseline-comparable) — resultJson, the compact summary,
     // and the breach predicate all read this one list (r13 advice: the
@@ -144,6 +150,7 @@ object Bench {
         s""""stat_note":"queries=min-of-5 when median<2s else median-of-3; queries_median=median always",""" +
         s""""sliced_gates":${slicedGates.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""breached":$br,"isolated":$iso,"unadjudicated":$unadj,""" +
+        s""""baseline_rows_gated":$baselineRowsGated,""" +
         s""""sf":"$sfDir",$runMeta}"""
     }
     def flush(): Unit = {
@@ -200,6 +207,7 @@ object Bench {
           s""""sliced_gates":${slicedGates.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""breached":$breached,"isolated":$isolated,""" +
           s""""unadjudicated":$unadjList,""" +
+          s""""baseline_rows_gated":$baselineRowsGated,""" +
           s""""artifact":"target/bench.json","sf":"$sfDir",$runMeta}"""
       // hard bound: the whole line must sit inside the driver's ~2 KB
       // tail. Shed load in order: breached list first (check_bench only
@@ -435,46 +443,36 @@ object Bench {
     // Skipped under SPARK_GRAFT_BENCH_ONLY (partial runs are an
     // iteration aid, not a gated artifact).
     if (only.isEmpty) try {
-      // explicit UTF-8: the baseline tables carry en-dashes/multiply
-      // signs, and Source.fromFile under a non-UTF-8 default charset
-      // threw MalformedInputException — which, uncaught, killed the run
-      // AFTER the sweep and voided the final artifact (the exact
-      // round-7 failure class this block must never reintroduce; hence
-      // the try around the whole pass)
-      def parseMdTable(path: String): Map[String, Double] = {
-        val p = java.nio.file.Paths.get(path)
-        if (!java.nio.file.Files.exists(p)) Map.empty
-        else {
-          val text = new String(java.nio.file.Files.readAllBytes(p),
-            java.nio.charset.StandardCharsets.UTF_8)
-          val row = """\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|""".r
-          text.linesIterator.flatMap { line =>
-            row.findFirstMatchIn(line).map(m => m.group(1) -> m.group(2).toDouble)
-          }.toMap
-        }
-      }
-      val histRef = parseMdTable("BASELINE.md")
-      // newest forward baseline per scenario (mirrors check_bench.py:
-      // glob the committed rebases in round order, newest wins)
-      val fwd: Map[String, Double] = {
-        import scala.jdk.CollectionConverters._
-        val rx = """BASELINE_r(\d+)\.md""".r
-        val dir = java.nio.file.Paths.get(".")
-        val files = java.nio.file.Files.list(dir).iterator().asScala
-          .flatMap { p =>
-            p.getFileName.toString match {
-              case rx(n) => Some((n.toInt, p.toString))
-              case _ => None
-            }
-          }.toSeq.sortBy(_._1).map(_._2)
-        files.foldLeft(Map.empty[String, Double])(_ ++ parseMdTable(_))
-      }
+      // baseline tables resolve from an ANCHOR, not the bare cwd (r15
+      // verdict #1: a wrong-cwd driver run parsed zero rows and gated
+      // nothing, shipping two breaching numbers with empty flag lists)
+      // — SPARK_GRAFT_BASELINE_DIR, else the first ancestor of the cwd
+      // containing BASELINE.md. The table reads stay inside this try:
+      // a MalformedInputException here previously killed the run AFTER
+      // the sweep and voided the artifact (round-7 failure class).
+      val tables = BenchGates.load(
+        java.nio.file.Paths.get(".").toAbsolutePath, k => sys.env.get(k))
+      baselineRowsGated = tables.rowsGated
+      val sliced = slicedGates.toSet
+      if (tables.rowsGated == 0) {
+        // gating against nothing is not a pass: make the artifact fail
+        // check_bench loudly by marking EVERY real scenario
+        // unadjudicated (the field is semantically never shed)
+        System.err.println(
+          "[bench] NO baseline rows resolved (dir=" +
+            tables.dir.map(_.toString).getOrElse("<unresolved>") +
+            ") — the adjudication pass cannot gate anything; marking " +
+            "every scenario unadjudicated")
+        unadjudicatedNames ++=
+          results.collect { case (n, v) if v >= 0 && !sliced(n) => n }
+      } else {
+      val histRef = tables.ref
+      val fwd = tables.fwd
       // adjudicated intentional regressions: the waiver bound REPLACES
       // both gates (r13 advice — previously this pass ignored waivers,
       // so a waived scenario sitting under its bound but over the
       // 1.5x/2x gates burned the bounded re-run budget every sweep)
-      val waivers = parseMdTable("BASELINE_WAIVERS.md")
-      val sliced = slicedGates.toSet
+      val waivers = tables.waivers
       // gate on the WORSE of the two recorded statistics: check_bench
       // defaults to the median map while the gate stat is min-of-5 for
       // sub-2s scenarios — a median-only breach (the whipsaw case this
@@ -549,6 +547,7 @@ object Bench {
           }
         }
       }
+      } // tables.rowsGated > 0
     } catch { case e: Throwable =>
       System.err.println(s"[bench] self-adjudication pass failed (ignored): $e")
       e.printStackTrace()
