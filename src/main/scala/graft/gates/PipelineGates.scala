@@ -464,6 +464,18 @@ private[graft] trait PipelineGates extends GateSupport {
     graft.operators.SuffixDedup.removeDuplicatedSpans(docsWithDups(s, dir), minLen = 50)
       .orderBy("doc_id")
 
+  /** Corpus longest-repeated-substring via rank-neighbor LCP
+    * ([[graft.operators.SuffixDedup.longestRepeatedSubstring]], L=50)
+    * — the suffix-ORDER consumer (r15 verdict #3): the adjacency
+    * answer is correct only if the doubling chain's dense ranks are
+    * genuinely the lexicographic suffix order (the Kasai property),
+    * so a hash match against the oracle's brute-force per-length
+    * grouping proves order preservation end-to-end, not just the
+    * equality classes the span gates exercise. */
+  protected def suffixLrs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SuffixDedup.longestRepeatedSubstring(
+      docsWithDups(s, dir), prefixLen = 50)
+
   /** Documents with synthetic PII planted deterministically from doc_id
     * (the base corpus is digit-free word soup, so every detector match
     * is a planted one): an email on doc_id%7, an IPv4 on %5, an
@@ -990,6 +1002,7 @@ private[graft] trait PipelineGates extends GateSupport {
     "pii_scrub" -> piiScrub _,
     "span_dedup" -> spanDedup _,
     "suffix_dedup" -> suffixDedup _,
+    "suffix_lrs" -> suffixLrs _,
     "suffix_dedup_kept" -> suffixDedupKept _,
     "mixture_plan" -> mixturePlanQuery _,
     "temperature_weights" -> temperatureWeightsQuery _,
@@ -1520,6 +1533,23 @@ private[graft] trait PipelineGates extends GateSupport {
                 CAST(max(pos) + 49 AS BIGINT) AS span_end,
                 CAST(max(pos) + 49 - min(pos) + 1 AS BIGINT) AS span_len
          FROM sdruns GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
+    "suffix_lrs" ->
+      // independent method: brute-force per-length gram grouping (no
+      // suffix order anywhere) — max length with a repeated gram,
+      // tie-broken to the smallest gram
+      s"""WITH lrb AS (SELECT doc_id, text FROM $docsWithDupsSql dd),
+              lrp AS (SELECT doc_id, text,
+                        unnest(range(1, length(text) + 1)) AS pos
+                      FROM lrb),
+              lrg AS (SELECT CAST(l AS BIGINT) AS l,
+                        substr(text, CAST(pos AS INT), CAST(l AS INT)) AS g
+                      FROM lrp, (SELECT unnest(range(1, 51)) AS l) ls
+                      WHERE pos + l - 1 <= length(text)),
+              lrrep AS (SELECT l, g FROM lrg GROUP BY l, g HAVING count(*) >= 2),
+              lrbest AS (SELECT l, min(g) AS g FROM lrrep
+                         WHERE l = (SELECT max(l) FROM lrrep) GROUP BY l)
+         SELECT COALESCE((SELECT l FROM lrbest), 0) AS lrs_len,
+                COALESCE((SELECT g FROM lrbest), '') AS lrs""",
     "suffix_dedup_kept" ->
       // direct 50-gram grouping + the span_dedup owner/coverage tail at
       // the CHARACTER level (DuckDB list_filter indices are 1-based,

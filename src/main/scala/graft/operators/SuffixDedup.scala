@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -145,6 +145,90 @@ object SuffixDedup {
       .select("_pid", "_off")
     cum.join(broadcast(offsets), Seq("_pid"))
       .select(keyCols.map(col) :+ (col("_off") + col("_lr")).as("new_rank"): _*)
+  }
+
+  /** One row per rank CLASS of [[suffixRanks]] with the (≤ prefixLen)
+    * window text every member shares: `(rank, n_occ, window)`. Members
+    * of a class have identical windows by the rank invariant (equal
+    * ranks ⇔ equal truncated suffixes, including the shorter-at-end
+    * semantics), so one representative — the min (doc_id, pos) — is
+    * joined back to its document to extract the text.
+    *
+    * 100 TB shape: one keyed aggregate over the rank frame (map-side
+    * combined min/count), one equi-join back to the documents on
+    * doc_id, one bounded substring projection. Output is |classes| ≤ n
+    * rows; nothing driver-sized. */
+  def classWindows(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      prefixLen: Int = 50): DataFrame = {
+    val reps = suffixRanks(docs, idCol, textCol, prefixLen)
+      .groupBy("rank")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("_rep"))
+      .select(col("rank"), col("n_occ"),
+        col("_rep.doc_id").as("doc_id"), col("_rep.pos").as("pos"))
+    reps.join(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("_t")), "doc_id")
+      .select(col("rank"), col("n_occ"),
+        expr(s"substring(_t, cast(pos as int), $prefixLen)").as("window"))
+  }
+
+  /** Length of the common prefix of two strings, as a codegen'd HOF
+    * projection bounded by the window length: the prefix-equality run
+    * is contiguous from position 1, so `acc` advances exactly while
+    * every earlier character matched. Guarded for the zero-length
+    * side (Spark's sequence(1, 0) DESCENDS). */
+  private[graft] def lcpCol(a: Column, b: Column): Column = {
+    val n = least(length(a), length(b))
+    when(n < 1, lit(0)).otherwise(
+      aggregate(sequence(lit(1), n), lit(0),
+        (acc, i) => when(acc === i - lit(1) &&
+          a.substr(i, lit(1)) === b.substr(i, lit(1)), i).otherwise(acc)))
+  }
+
+  /** The longest repeated substring of the corpus, bounded at
+    * `prefixLen` — the first consumer of the rank ORDER itself, not
+    * just its equality classes (r15 verdict #3): the classic
+    * suffix-array theorem says the maximum LCP over ALL suffix pairs
+    * is attained by a RANK-ADJACENT pair, so deriving the answer from
+    * neighbor LCPs alone is correct ONLY if [[suffixRanks]]' dense
+    * ranks really are the lexicographic suffix order — the Kasai
+    * adjacency, hash-checked end-to-end by the `suffix_lrs` gate
+    * against a brute-force per-length oracle.
+    *
+    * Candidates: a class with ≥ 2 occurrences repeats its whole window
+    * (two distinct positions share it, overlap allowed — standard LRS
+    * semantics); a rank-adjacent class pair (r, r+1) repeats their
+    * common prefix. The maximum over both families, tie-broken to the
+    * lexicographically smallest substring, is returned as ONE row
+    * `(lrs_len, lrs)` — `(0, '')` for a repeat-free corpus.
+    *
+    * 100 TB shape: [[classWindows]] (keyed), a self equi-join on
+    * rank+1 (dense ranks — no global-order window), the bounded-L LCP
+    * projection, and a `TakeOrderedAndProject` limit 1 — nothing
+    * data-sized on the driver. */
+  def longestRepeatedSubstring(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      prefixLen: Int = 50): DataFrame = {
+    val classes = classWindows(docs, idCol, textCol, prefixLen)
+      .localCheckpoint() // consumed twice (within-class + self-join)
+    val within = classes.filter(col("n_occ") >= 2L)
+      .select(length(col("window")).cast("long").as("len"),
+        col("window").as("sub"))
+    val left = classes.select(col("rank"), col("window").as("_wa"))
+    val right = classes.select((col("rank") - 1L).as("rank"),
+      col("window").as("_wb"))
+    val lcp = lcpCol(col("_wa"), col("_wb"))
+    val adjacent = left.join(right, "rank")
+      .select(lcp.cast("long").as("len"),
+        col("_wa").substr(lit(1), lcp).as("sub"))
+      .filter(col("len") >= 1L)
+    val empty = docs.sparkSession.range(1)
+      .select(lit(0L).as("len"), lit("").as("sub"))
+    within.unionByName(adjacent).unionByName(empty)
+      .orderBy(col("len").desc, col("sub").asc)
+      .limit(1)
+      .select(col("len").as("lrs_len"), col("sub").as("lrs"))
   }
 
   /** The cleaning half of ExactSubstr — Lee et al. actually CUT the

@@ -1068,4 +1068,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "BroadcastNestedLoopJoin") === 0, s"suffix_dedup has a nested-loop join:\n$p")
     assert(count(p, "HashAggregate") >= 2, s"suffix_dedup lost map-side partial aggregation:\n$p")
   }
+
+  test("suffix LRS: adjacency is an equi-join on rank+1, the answer a bounded top-1 — never a sort-the-world") {
+    // the classes frame sits behind a localCheckpoint; the visible tail
+    // is the within/adjacent candidate union + limit 1. A CartesianProduct
+    // (all-pairs LCP) or a global Sort surviving to the root (instead of
+    // TakeOrderedAndProject's per-partition heads) would be the
+    // 100TB-fatal shapes
+    val p = finalPlan("suffix_lrs")
+    assert(count(p, "CartesianProduct") === 0, s"suffix_lrs went cartesian:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") === 0, s"suffix_lrs has a nested-loop join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"suffix_lrs top-1 should plan TakeOrderedAndProject, not a global sort:\n$p")
+  }
 }

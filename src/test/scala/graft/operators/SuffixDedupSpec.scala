@@ -132,6 +132,51 @@ class SuffixDedupSpec extends AnyFunSuite {
     assert(spans(docs, minLen = L).toSeq === expected)
   }
 
+  private def lrs(docs: Seq[(Long, String)], prefixLen: Int = 50): (Long, String) = {
+    val r = SuffixDedup.longestRepeatedSubstring(
+      docs.toDF("doc_id", "text"), prefixLen = prefixLen).head()
+    (r.getLong(0), r.getString(1))
+  }
+
+  test("longest repeated substring via rank-neighbor LCP: the classic overlapping case") {
+    // 'banana': "ana" repeats (overlapping, positions 2 and 4) — the
+    // adjacency answer is only right if the ranks ARE the suffix order
+    assert(lrs(Seq((1L, "banana"))) === (3L, "ana"))
+  }
+
+  test("LRS across documents, and the bounded-L cap") {
+    val shared = "abcdefghijklmnop" // 16 chars shared by two docs
+    assert(lrs(Seq((1L, "xx" + shared + "yy"), (2L, "zz" + shared + "ww")))
+      === (16L, shared))
+    // with prefixLen below the true repeat length, the answer caps at L
+    assert(lrs(Seq((1L, "xx" + shared + "yy"), (2L, "zz" + shared + "ww")),
+      prefixLen = 10) === (10L, shared.take(10)))
+  }
+
+  test("LRS tie-break is the lexicographically smallest max-length repeat") {
+    // both "xy" and "ab" repeat with length 2; nothing longer repeats
+    assert(lrs(Seq((1L, "xy1ab2xy3ab"))) === (2L, "ab"))
+  }
+
+  test("a repeat-free corpus answers (0, '') and matches brute force on a random one") {
+    assert(lrs(Seq((1L, "abcdefg"), (2L, "hijklmn"))) === (0L, ""))
+    // randomized cross-check against driver-side brute force
+    val rnd = new scala.util.Random(20260817)
+    val docs = (1L to 12L).map(i =>
+      i -> (1 to 60).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    val grams = for {
+      (_, t) <- docs; l <- 1 to t.length; p <- 0 to t.length - l
+    } yield t.substring(p, p + l)
+    val repeated = grams.groupBy(identity).filter(_._2.size >= 2).keySet
+    val expected =
+      if (repeated.isEmpty) (0L, "")
+      else {
+        val maxLen = repeated.map(_.length).max
+        (maxLen.toLong, repeated.filter(_.length == maxLen).min)
+      }
+    assert(lrs(docs, prefixLen = 50) === expected)
+  }
+
   test("empty and NULL documents emit no rank rows from the public suffixRanks surface") {
     // Spark's sequence(1, 0) DESCENDS ([1, 0]) — without the length
     // guard an empty doc emitted bogus pos=1/pos=0 rows at nonexistent
