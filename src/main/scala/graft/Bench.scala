@@ -416,6 +416,10 @@ object Bench {
         "online_suffix_replay")) {
       onlineSinksScenario(spark, sfDir)
     }
+    results ++= guarded(Seq("online_index_64batch_probe",
+        "online_index_compacted_probe")) {
+      onlineCompactScenario(spark, sfDir)
+    }
     results ++= guarded(Seq("layout_plain_write", "layout_zorder_write",
         "layout_plain_box_scan", "layout_zorder_box_scan",
         "layout_plain_band_scan", "layout_zorder_band_scan")) {
@@ -1384,6 +1388,35 @@ object Bench {
     Seq("online_dedup_replay" -> tDedup, "online_ann_replay" -> tAnn,
       "online_frontier_replay" -> tFrontier, "online_kmv_replay" -> tKmv,
       "online_suffix_replay" -> tSuffix)
+  }
+
+  /** Standing-index compaction (r15 verdict #4): an OnlineSuffixDedup
+    * index accreted over 64 micro-batches — the small-files regime,
+    * where the probe's file listing starts to rival the equi-join it
+    * serves — probed by one REPLAYED batch before and after
+    * [[graft.streaming.OnlineSuffixDedup.compactIndex]]. The replay is
+    * bit-identical work against the identical standing hash set; the
+    * delta between the two numbers is pure layout (64 batch dirs vs
+    * one 8-file generation). */
+  private def onlineCompactScenario(
+      spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 512).localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bench-online-compact").toString
+    val online = new graft.streaming.OnlineSuffixDedup(root, minLen = 50)
+    (0 until 64).foreach(i =>
+      online.processBatch(docs.filter(col("doc_id") % 64 === i), i.toLong))
+    val probe = docs.filter(col("doc_id") % 64 === 63)
+    val tBefore = time { online.processBatch(probe, 63L) }
+    online.compactIndex(spark)
+    val tAfter = time { online.processBatch(probe, 63L) }
+    Seq("online_index_64batch_probe" -> tBefore,
+      "online_index_compacted_probe" -> tAfter)
   }
 
   /** Adversarial-shape probes (r14 verdict #8): the grouped KMV sketch

@@ -61,8 +61,10 @@ final class OnlineSuffixDedup(
       .localCheckpoint()
     // a replayed batch must not probe its own windows; a footerless
     // index dir (crash during the very first write) reads as empty
-    // rather than wedging every replay on schema inference (r15 advice)
-    val standing: DataFrame = IndexIo.readOrElse(spark, indexDir)(
+    // rather than wedging every replay on schema inference (r15
+    // advice). BatchIndex folds in the compacted generation, where the
+    // batch id rides as a data column (r15 verdict #4).
+    val standing: DataFrame = BatchIndex.read(spark, indexDir)(
         grams.select(col("h"), lit(0L).as("batch")).limit(0))
       .filter(col("batch") =!= batchId)
       .select("h")
@@ -89,4 +91,15 @@ final class OnlineSuffixDedup(
     * removed_chars, removed_spans). */
   def corpus(spark: org.apache.spark.sql.SparkSession): DataFrame =
     IndexIo.readOrElse(spark, docsDir)(spark.emptyDataFrame).drop("batch")
+
+  /** Rewrite the standing window index's per-batch directories into
+    * one size-targeted compacted generation ([[BatchIndex.compact]]) —
+    * at thousands of micro-batches the probe side otherwise degrades
+    * into a small-files listing scan. Safe between batches AND against
+    * replays: batch ids survive as a data column, so the own-batch
+    * exclusion contract is untouched (spec-pinned). Returns the number
+    * of live batch directories absorbed. */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession, targetFiles: Int = 8): Int =
+    BatchIndex.compact(spark, indexDir, targetFiles)
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkTestSession
 import graft.operators.SuffixDedup
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Streaming ExactSubstr ([[OnlineSuffixDedup]]): doc_id-ordered
@@ -51,6 +52,56 @@ class OnlineSuffixSpec extends AnyFunSuite {
     assert(byId(5L)._2.contains(shared.toUpperCase)) // same-batch owner keeps
     assert(byId(6L)._3 === 36L)                      // same-batch copy cut
     assert(byId(7L) === (7L, "short", 0L, 0L))
+  }
+
+  test("index compaction: one generation replaces the batch dirs, semantics bit-identical") {
+    val dirA = SparkTestSession.tempDir("graft-online-suffix-compact")
+    val dirB = SparkTestSession.tempDir("graft-online-suffix-nocompact")
+    val a = new OnlineSuffixDedup(dirA, minLen = L)
+    val b = new OnlineSuffixDedup(dirB, minLen = L)
+    val batches = Seq(corpus.slice(0, 2), corpus.slice(2, 4), corpus.slice(4, 6),
+      corpus.slice(6, 7))
+    // A compacts mid-stream (twice) and gets a replay AFTER compaction;
+    // B never compacts — every observable must match
+    a.processBatch(batches(0).toDF("doc_id", "text"), 0L)
+    a.processBatch(batches(1).toDF("doc_id", "text"), 1L)
+    assert(a.compactIndex(spark, targetFiles = 2) === 2)
+    a.processBatch(batches(2).toDF("doc_id", "text"), 2L)
+    a.processBatch(batches(2).toDF("doc_id", "text"), 2L) // replay post-compact
+    assert(a.compactIndex(spark, targetFiles = 2) === 1)  // absorbs batch 2
+    assert(a.compactIndex(spark) === 0)                   // nothing new: no-op
+    a.processBatch(batches(3).toDF("doc_id", "text"), 3L)
+    batches.zipWithIndex.foreach { case (bt, i) =>
+      b.processBatch(bt.toDF("doc_id", "text"), i.toLong) }
+    assert(collect(a.corpus(spark)) === collect(b.corpus(spark)))
+    // the compacted layout really did replace the per-batch dirs
+    val idx = new java.io.File(dirA, "index")
+    val batchDirs = Option(idx.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("batch="))
+    assert(batchDirs.map(_.getName) === Seq("batch=3"),
+      s"covered batch dirs should be reclaimed: ${batchDirs.map(_.getName)}")
+    val gen = new java.io.File(idx, "_compacted")
+    assert(gen.listFiles().map(_.getName).count(_.startsWith("COMMIT-g")) === 1,
+      "old generations' markers are reclaimed")
+  }
+
+  test("a crashed compaction (generation data without its marker) changes nothing") {
+    val dir = SparkTestSession.tempDir("graft-online-suffix-crashcompact")
+    val online = new OnlineSuffixDedup(dir, minLen = L)
+    online.processBatch(corpus.slice(0, 3).toDF("doc_id", "text"), 0L)
+    // orphan generation: data written, marker never created
+    spark.read.parquet(s"$dir/index").withColumn("junk", lit(999L))
+      .write.parquet(s"$dir/index/_compacted/g0")
+    online.processBatch(corpus.slice(3, 6).toDF("doc_id", "text"), 1L)
+    val expected = SuffixDedup.removeDuplicatedSpans(
+      (corpus.slice(0, 3) ++ corpus.slice(3, 6)).toDF("doc_id", "text"), minLen = L)
+    assert(collect(online.corpus(spark)) === collect(expected))
+    // the next compaction overwrites the orphan and commits
+    assert(online.compactIndex(spark) === 2)
+    online.processBatch(corpus.slice(6, 7).toDF("doc_id", "text"), 2L)
+    val full = SuffixDedup.removeDuplicatedSpans(
+      corpus.toDF("doc_id", "text"), minLen = L)
+    assert(collect(online.corpus(spark)) === collect(full))
   }
 
   test("the index grows discover-once: replaying a batch adds no duplicate hashes") {
