@@ -23,7 +23,7 @@ import java.sql.SQLException
   * ([[SqlDialect.forUrl]]) and accepts an explicit one for engines not
   * listed here. Only Derby ships in this zero-egress image, so the
   * acceptance matrix runs the full shared suite through the seam on
-  * Derby, while the Postgres/MySQL dialects are pinned at the SQL-text
+  * Derby, while the Postgres/MySQL/Sqlite/MsSql dialects are pinned at the SQL-text
   * level by JdbcDialectSpec (limit clause, DDL types, error
   * classification) — the store never emits any other engine-variant
   * construct, so that is the entire per-engine surface.
@@ -111,6 +111,42 @@ object SqlDialect {
       Option(e.getMessage).exists(_.toLowerCase.contains("already exists"))
   }
 
+  /** Microsoft SQL Server — the reference's FOUNDING backend (ref:
+    * `reference/src/SqlStreamStore.MsSql/ScriptsV3/CreateSchema
+    * .sql:11-80`, plus the V2 scripts the legacy rung mirrors; last of
+    * the five reference backends to get a dialect object here).
+    *
+    *  - Row limits: the reference writes `SELECT TOP(n)` (e.g.
+    *    `ScriptsV3/ListStreamIds.sql:1`), a PREFIX — but this seam is a
+    *    suffix appended after ORDER BY, so the dialect emits the ANSI
+    *    `OFFSET 0 ROWS FETCH NEXT n ROWS ONLY` form instead, valid on
+    *    the same "SQL Server 2012+" floor the reference's own schema
+    *    script declares (`CreateSchema.sql:1`) and equivalent to TOP
+    *    under the ORDER BY that always precedes it. Documented
+    *    divergence of spelling, not of result.
+    *  - Unbounded text: `NVARCHAR(max)` (`CreateSchema.sql:59-60` —
+    *    JsonData/JsonMetadata).
+    *  - Already-exists surfaces as server error NUMBERS (JDBC
+    *    `getErrorCode`; the SQLState is a generic "S0001"): 2714
+    *    "there is already an object named …" for tables, 1913 for
+    *    indexes — the reference sidesteps classification with
+    *    `IF OBJECT_ID(…) IS NULL` guards (`CreateSchema.sql:9,27`),
+    *    which our existence-tolerant creation re-derives this way.
+    *
+    * The store's materialized `id_original_reversed` column + backfill
+    * mirrors MsSql V3's `IdOriginalReversed AS REVERSE(IdOriginal)`
+    * computed column (`CreateSchema.sql:19`) engine-independently, so
+    * no computed-column syntax is needed at this seam. No SQL Server
+    * driver ships in this offline image — SQL-text-pinned only
+    * (SqlDialectSpec), like Postgres/MySQL/Sqlite. */
+  object MsSql extends SqlDialect {
+    val name = "mssql"
+    def limitClause(n: String): String = s"OFFSET 0 ROWS FETCH NEXT $n ROWS ONLY"
+    val textType = "NVARCHAR(max)"
+    def isAlreadyExists(e: SQLException): Boolean =
+      e.getErrorCode == 2714 || e.getErrorCode == 1913
+  }
+
   /** Dialect for a JDBC URL; unknown engines get Derby's ANSI forms
     * (FETCH FIRST and CLOB are the standard spellings) minus its
     * embedded-shutdown behavior. */
@@ -126,5 +162,7 @@ object SqlDialect {
     else if (jdbcUrl.startsWith("jdbc:postgresql:")) Postgres
     else if (jdbcUrl.startsWith("jdbc:mysql:") || jdbcUrl.startsWith("jdbc:mariadb:")) MySql
     else if (jdbcUrl.startsWith("jdbc:sqlite:")) Sqlite
+    else if (jdbcUrl.startsWith("jdbc:sqlserver:") ||
+      jdbcUrl.startsWith("jdbc:jtds:sqlserver:")) MsSql
     else Ansi
 }

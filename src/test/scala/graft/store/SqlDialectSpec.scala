@@ -25,6 +25,8 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(SqlDialect.forUrl("jdbc:mysql://h/db") eq SqlDialect.MySql)
     assert(SqlDialect.forUrl("jdbc:mariadb://h/db") eq SqlDialect.MySql)
     assert(SqlDialect.forUrl("jdbc:sqlite:/tmp/db.sqlite") eq SqlDialect.Sqlite)
+    assert(SqlDialect.forUrl("jdbc:sqlserver://h;databaseName=db") eq SqlDialect.MsSql)
+    assert(SqlDialect.forUrl("jdbc:jtds:sqlserver://h/db") eq SqlDialect.MsSql)
     assert(SqlDialect.forUrl("jdbc:h2:mem:x") eq SqlDialect.Ansi)
   }
 
@@ -33,6 +35,11 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(SqlDialect.Postgres.limitClause(10) === "LIMIT 10")
     assert(SqlDialect.MySql.limitClause(10) === "LIMIT 10")
     assert(SqlDialect.Sqlite.limitClause(10) === "LIMIT 10")
+    // MsSql: the seam is a suffix after ORDER BY, so the ANSI
+    // OFFSET/FETCH form stands in for the reference's prefix TOP(n) —
+    // same 2012+ floor as ScriptsV3/CreateSchema.sql:1, same rows
+    assert(SqlDialect.MsSql.limitClause(10) ===
+      "OFFSET 0 ROWS FETCH NEXT 10 ROWS ONLY")
     assert(SqlDialect.Ansi.limitClause(10) === "FETCH FIRST 10 ROWS ONLY")
   }
 
@@ -44,6 +51,8 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(SqlDialect.MySql.textType === "LONGTEXT")
     assert(SqlDialect.Sqlite.textType === "TEXT")
     assert(SqlDialect.Sqlite.nullText === "CAST(NULL AS TEXT)")
+    assert(SqlDialect.MsSql.textType === "NVARCHAR(max)")
+    assert(SqlDialect.MsSql.nullText === "CAST(NULL AS NVARCHAR(max))")
   }
 
   test("already-exists classification per engine") {
@@ -60,6 +69,16 @@ class SqlDialectSpec extends AnyFunSuite {
       new SQLException("[SQLITE_ERROR] SQL error or missing database (table graft_streams already exists)")))
     assert(!SqlDialect.Sqlite.isAlreadyExists(new SQLException("no such table: x")))
     assert(!SqlDialect.Sqlite.isAlreadyExists(new SQLException(null: String)))
+    // MsSql surfaces already-exists as server error NUMBERS under the
+    // generic S0001 SQLState: 2714 for objects, 1913 for indexes — the
+    // reference's IF OBJECT_ID guards (CreateSchema.sql:9,27) sidestep
+    // classification; existence-tolerant creation re-derives it
+    assert(SqlDialect.MsSql.isAlreadyExists(
+      new SQLException("There is already an object named 'graft_streams' in the database.", "S0001", 2714)))
+    assert(SqlDialect.MsSql.isAlreadyExists(
+      new SQLException("The operation failed because an index or statistics with name 'x' already exists", "S0001", 1913)))
+    assert(!SqlDialect.MsSql.isAlreadyExists(
+      new SQLException("Invalid object name 'y'.", "S0002", 208)))
   }
 
   test("creation DDL carries the dialect's text type") {
@@ -67,14 +86,19 @@ class SqlDialectSpec extends AnyFunSuite {
     val pg = JdbcStreamStore.schemaCreationScript(SqlDialect.Postgres)
     val my = JdbcStreamStore.schemaCreationScript(SqlDialect.MySql)
     val sqlite = JdbcStreamStore.schemaCreationScript(SqlDialect.Sqlite)
+    val ms = JdbcStreamStore.schemaCreationScript(SqlDialect.MsSql)
     assert(derby.contains("json_data CLOB"))
     assert(pg.contains("json_data TEXT"))
     assert(!pg.contains("CLOB"))
     assert(my.contains("json_data LONGTEXT"))
     assert(sqlite.contains("json_data TEXT"))
     assert(!sqlite.contains("CLOB"))
-    // v2 objects present in every dialect's creation script
-    Seq(derby, pg, my, sqlite).foreach { s =>
+    assert(ms.contains("json_data NVARCHAR(max)")) // CreateSchema.sql:59
+    assert(!ms.contains("CLOB"))
+    // v2 objects present in every dialect's creation script — for MsSql
+    // the materialized reversed column mirrors V3's computed
+    // IdOriginalReversed (CreateSchema.sql:19)
+    Seq(derby, pg, my, sqlite, ms).foreach { s =>
       assert(s.contains("id_original_reversed"))
       assert(s.contains("graft_streams_rev"))
     }
@@ -82,7 +106,7 @@ class SqlDialectSpec extends AnyFunSuite {
 
   test("legacy pre-0.8.0 rung: add+backfill text pinned per dialect (pure ANSI, no engine-variant token)") {
     val dialects = Seq(SqlDialect.Derby, SqlDialect.Postgres,
-      SqlDialect.MySql, SqlDialect.Sqlite, SqlDialect.Ansi)
+      SqlDialect.MySql, SqlDialect.Sqlite, SqlDialect.MsSql, SqlDialect.Ansi)
     dialects.foreach { d =>
       val Seq(alter, backfill) = JdbcStreamStore.legacyPositionMigration(d)
       // the Derby-acceptance-tested text IS the text every engine gets
@@ -96,7 +120,8 @@ class SqlDialectSpec extends AnyFunSuite {
         "WHERE m.stream_id_internal = graft_streams.id_internal), -1)"))
       // the invariance claim, asserted: no dialect-varying construct may
       // leak into the rung (those are the ONLY four divergence points)
-      Seq("FETCH FIRST", "LIMIT ", "CLOB", "LONGTEXT").foreach { tok =>
+      Seq("FETCH FIRST", "LIMIT ", "CLOB", "LONGTEXT", "NVARCHAR",
+          "OFFSET 0 ROWS").foreach { tok =>
         assert(!alter.contains(tok) && !backfill.contains(tok),
           s"engine-variant token '$tok' in the ${d.name} legacy rung")
       }
