@@ -173,13 +173,38 @@ private[graft] trait GateSupport {
   // referenced up to 4 times each, and inlining would re-expand the
   // chain exponentially across 12 levels).
 
+  /** The unigram gates' corpus: documents decorated with a
+    * deterministic punctuation/digit/quote tail — the base table is
+    * pure [a-z ] word soup, so without decoration the r16 widened
+    * domain (printable-ASCII words, `[!-~]`) would go unexercised.
+    * Words planted: `v<d>.<d>` (digits + dot), `#tag-<d>`, `c++`,
+    * `don't` (the piece-escaping trap — a quote character reaches the
+    * inlined Viterbi vocabulary), `[ok]`. SQL-expressible so the
+    * oracle builds the identical corpus. */
+  protected def unigramDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(col("text"),
+        lit(" v"), pmod(col("doc_id"), lit(10)),
+        lit("."), pmod(col("doc_id"), lit(7)),
+        lit(" #tag-"), pmod(col("doc_id"), lit(5)),
+        lit(" c++ don't [ok]")).as("text"))
+
+  protected val unigramDocsSql: String =
+    """(SELECT doc_id,
+         text || ' v' || CAST(doc_id % 10 AS VARCHAR)
+              || '.' || CAST(doc_id % 7 AS VARCHAR)
+              || ' #tag-' || CAST(doc_id % 5 AS VARCHAR)
+              || ' c++ don''t [ok]' AS text
+       FROM documents)"""
+
   /** Shared head: word-frequency collapse + substring seed scores +
     * the seed vocabulary (all single chars ∪ top-`seedMulti` multis). */
   private def unigramChainSql(seedMulti: Int): String =
     s"""uwf AS MATERIALIZED (
           SELECT word AS w, CAST(count(*) AS BIGINT) AS cnt FROM (
-            SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
-            FROM documents) q
+            SELECT unnest(regexp_split_to_array(lower(text), '[^!-~]+')) AS word
+            FROM $unigramDocsSql ud) q
           WHERE length(word) BETWEEN 1 AND ${UnigramLm.MaxWordLen} GROUP BY word),
         useed AS MATERIALIZED (
           SELECT substr(w, CAST(i AS INT), CAST(L AS INT)) AS piece,
@@ -190,7 +215,15 @@ private[graft] trait GateSupport {
           WHERE i + L - 1 <= length(w)
           GROUP BY 1),
         uv0 AS MATERIALIZED (
-          SELECT piece, score FROM useed WHERE length(piece) = 1
+          -- character coverage over the FULL printable base alphabet
+          -- (codes 33..126 minus uppercase): corpus-unseen symbols
+          -- enter at score 0, mirroring UnigramLm.BaseAlphabet
+          SELECT a.piece, COALESCE(s1.score, CAST(0 AS BIGINT)) AS score
+          FROM (SELECT chr(CAST(i AS INT)) AS piece
+                FROM generate_series(33, 126) ga(i)
+                WHERE i NOT BETWEEN 65 AND 90) a
+          LEFT JOIN (SELECT piece, score FROM useed
+                     WHERE length(piece) = 1) s1 USING (piece)
           UNION ALL
           SELECT piece, score FROM (
             SELECT piece, score FROM useed WHERE length(piece) > 1
@@ -278,8 +311,8 @@ private[graft] trait GateSupport {
           SELECT doc_id, i AS pos, w FROM (
             SELECT doc_id, generate_subscripts(a, 1)::BIGINT AS i, unnest(a) AS w
             FROM (SELECT doc_id,
-                         regexp_split_to_array(lower(text), '[^a-z]+') AS a
-                  FROM documents) q) qq
+                         regexp_split_to_array(lower(text), '[^!-~]+') AS a
+                  FROM $unigramDocsSql ud2) q) qq
           WHERE length(w) BETWEEN 1 AND ${UnigramLm.MaxWordLen})
         SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
                CAST(SUM(g.k) AS BIGINT) AS n_tokens,
@@ -300,8 +333,8 @@ private[graft] trait GateSupport {
           SELECT doc_id, i AS pos, w FROM (
             SELECT doc_id, generate_subscripts(a, 1)::BIGINT AS i, unnest(a) AS w
             FROM (SELECT doc_id,
-                         regexp_split_to_array(lower(text), '[^a-z]+') AS a
-                  FROM documents) q) qq
+                         regexp_split_to_array(lower(text), '[^!-~]+') AS a
+                  FROM $unigramDocsSql ud2) q) qq
           WHERE length(w) BETWEEN 1 AND ${UnigramLm.MaxWordLen})
         SELECT d.doc_id, CAST(SUM(g.k) AS BIGINT) AS n_tokens,
                string_agg(d.w, ' ' ORDER BY d.pos) AS decoded_text

@@ -515,7 +515,7 @@ private[graft] trait WarehouseGates extends GateSupport {
     * (score desc, piece). */
   protected def unigramTrainGate(s: SparkSession, dir: String): DataFrame =
     graft.operators.UnigramLm
-      .trainPieces(t(s, dir, "documents"), "text", iters = 2, seedMulti = UnigramSeedMulti)
+      .trainPieces(unigramDocs(s, dir), "text", iters = 2, seedMulti = UnigramSeedMulti)
       .orderBy("piece_id")
 
   /** Serving segmentation ([[graft.operators.UnigramLm.segmentWords]]):
@@ -524,7 +524,7 @@ private[graft] trait WarehouseGates extends GateSupport {
     * any drift in the DP (objective order, tie-breaks, coverage)
     * diverges (n_pieces, score, pieces_text). */
   protected def unigramSegmentGate(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = unigramDocs(s, dir)
     val pieces = graft.operators.UnigramLm
       .trainPieces(docs, "text", iters = 2, seedMulti = UnigramSeedMulti)
     graft.operators.UnigramLm
@@ -536,7 +536,7 @@ private[graft] trait WarehouseGates extends GateSupport {
     * bpe_encode surface under unigram segmentation: per doc word/token
     * counts and the full piece sequence. */
   protected def unigramEncodeGate(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = unigramDocs(s, dir)
     val pieces = graft.operators.UnigramLm
       .trainPieces(docs, "text", iters = 2, seedMulti = UnigramSeedMulti)
     graft.operators.UnigramLm.encode(docs, pieces).orderBy("doc_id")
@@ -549,7 +549,7 @@ private[graft] trait WarehouseGates extends GateSupport {
     * sequence; n_tokens == its own independent Viterbi replay), the
     * `bpe_decode` rigor. */
   protected def unigramRoundtripGate(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = unigramDocs(s, dir)
     val pieces = graft.operators.UnigramLm
       .trainPieces(docs, "text", iters = 2, seedMulti = UnigramSeedMulti)
     graft.operators.UnigramLm

@@ -24,12 +24,17 @@ import org.apache.spark.sql.functions._
   * function of per-piece statistics only (no merge order anywhere).
   *
   * Training (fixed EM horizon, the `bpe_merges` unrolled-chain pattern):
-  *   1. collapse the corpus ONCE to its word-frequency table
-  *      ([a-z]{1,[[MaxWordLen]]} words — the Heaps'-law plateau);
-  *   2. seed pieces = every substring of length 1..[[MaxPieceLen]]
-  *      weighted by occurrence × word frequency; keep ALL single
-  *      characters (the coverage guarantee: no word is ever OOV) plus
-  *      the top `seedMulti` multi-character pieces (freq desc, piece);
+  *   1. collapse the corpus ONCE to its word-frequency table (words =
+  *      printable-ASCII runs, `[!-~]{1,[[MaxWordLen]]}` after case
+  *      folding — the Heaps'-law plateau; widened from [a-z] per r15
+  *      verdict #6);
+  *   2. seed pieces = every substring of length 1..maxPieceLen
+  *      (configurable, default [[MaxPieceLen]]) weighted by occurrence
+  *      × word frequency; keep the FULL [[BaseAlphabet]] as single
+  *      characters — corpus-unseen symbols enter at score 0 — (the
+  *      coverage guarantee: no in-domain word is ever OOV, the
+  *      SentencePiece byte-fallback role) plus the top `seedMulti`
+  *      multi-character pieces (freq desc, piece);
   *   3. per EM round: Viterbi-segment every vocab word under current
   *      scores (E), re-score each piece by its usage — word-frequency-
   *      weighted occurrence count in the chosen segmentations (M), and
@@ -38,39 +43,61 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB shape: ONE corpus-sized shuffle (the word-frequency collapse);
   * every EM round is corpus-free — a Viterbi projection + piece-usage
-  * aggregation over the |vocab| frame, with the piece table (≤ 26 +
-  * seedMulti rows, bounded by construction) collected into a literal
+  * aggregation over the |vocab| frame, with the piece table (≤
+  * |BaseAlphabet| + seedMulti rows, bounded by construction) collected into a literal
   * map so segmentation is a pure codegen'd projection. Serving
   * ([[encodeIds]]) segments the DISTINCT-word table and joins back —
   * the [[TextCorpus.bpeEncode]] shape exactly. */
 object UnigramLm {
 
-  /** Longest candidate piece. 4 keeps the seed grid O(len·4) per word
-    * and the DuckDB oracle's per-position DP at ≤ 4 branches. */
+  /** DEFAULT longest candidate piece (overridable per call since r16).
+    * 4 keeps the seed grid O(len·4) per word and the DuckDB oracle's
+    * per-position DP at ≤ 4 branches. */
   val MaxPieceLen = 4
 
   /** Longest word the trainer/serving segments — also the unroll depth
-    * of the oracle's positional DP. Longer [a-z] runs are out of the
+    * of the oracle's positional DP. Longer symbol runs are out of the
     * tokenizer's domain (both engines filter identically). */
   val MaxWordLen = 12
 
+  /** The tokenizer's BASE alphabet (r15 verdict #6 — widened from
+    * [a-z]): every printable-ASCII symbol that can appear in a word
+    * after case folding — codes 33..126 minus the uppercase range the
+    * `lower()` normalization removes. [[trainPieces]] ALWAYS includes
+    * each as a single-character piece (score 0 when the corpus never
+    * uses it), the SentencePiece character-coverage guarantee: no
+    * in-domain word is ever unsegmentable, trained on any corpus. */
+  val BaseAlphabet: Seq[String] =
+    (33 to 126).filterNot(c => c >= 'A'.toInt && c <= 'Z'.toInt)
+      .map(_.toChar.toString)
+
+  /** Words = maximal runs of printable non-space ASCII (`[!-~]`) after
+    * lowercasing; everything else — whitespace, control, non-ASCII —
+    * separates. The Java and RE2 spellings of this class coincide, so
+    * the oracle splits identically. */
+  private[graft] val WordSplitRegex = "[^!-~]+"
+
   /** Word-frequency collapse: the ONE corpus-sized aggregation.
-    * `(word, cnt)`, words are [a-z]{1,MaxWordLen}. */
+    * `(word, cnt)`, words from the printable-ASCII domain at length
+    * 1..MaxWordLen. */
   def wordFreq(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
-      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .select(explode(split(lower(col(textCol)), WordSplitRegex)).as("word"))
       .filter(length(col("word")).between(1, MaxWordLen))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** Candidate-piece seed frequencies over a word-frequency table:
-    * every substring of length 1..MaxPieceLen, each OCCURRENCE weighted
+    * every substring of length 1..maxPieceLen, each OCCURRENCE weighted
     * by the word's frequency. Runs on the |vocab| frame. */
-  def seedPieces(wf: DataFrame): DataFrame =
+  def seedPieces(wf: DataFrame, maxPieceLen: Int = MaxPieceLen): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= MaxWordLen,
+      s"maxPieceLen out of range: $maxPieceLen")
     wf.select(col("cnt"), explode(expr(
-        s"""flatten(transform(sequence(1, least($MaxPieceLen, length(word))),
+        s"""flatten(transform(sequence(1, least($maxPieceLen, length(word))),
               L -> transform(sequence(1, length(word) - L + 1),
                 i -> substring(word, i, L))))""")).as("piece"))
       .groupBy("piece").agg(sum("cnt").as("score"))
+  }
 
   /** Train the piece table: `(piece, score, piece_id)` where `score` is
     * the final round's Viterbi usage (word-frequency-weighted) and
@@ -79,24 +106,30 @@ object UnigramLm {
     * [[TextCorpus.bpeVocabIds]] convention. */
   def trainPieces(
       docs: DataFrame, textCol: String = "text",
-      iters: Int = 2, seedMulti: Int = 120): DataFrame = {
+      iters: Int = 2, seedMulti: Int = 120,
+      maxPieceLen: Int = MaxPieceLen): DataFrame = {
     require(iters >= 1 && iters <= 4, s"iters out of range: $iters")
     require(seedMulti >= 1 && seedMulti <= 4096, s"seedMulti out of range: $seedMulti")
     val spark = docs.sparkSession
     import spark.implicits._
     val wf = wordFreq(docs, textCol).localCheckpoint()
-    val seeds = seedPieces(wf)
-    // the piece table is bounded (26 + seedMulti rows) BY CONSTRUCTION —
-    // these collects are vocab-sized, never data-sized
-    val singles = seeds.filter(length(col("piece")) === 1)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val seeds = seedPieces(wf, maxPieceLen)
+    // the piece table is bounded (|BaseAlphabet| + seedMulti rows) BY
+    // CONSTRUCTION — these collects are vocab-sized, never data-sized
+    val corpusSingles = seeds.filter(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // character coverage over the FULL base alphabet, not just the
+    // corpus-seen characters: an unseen symbol enters at score 0, so
+    // serving never meets an unsegmentable in-domain word (r15
+    // verdict #6 — the SentencePiece byte-fallback role)
+    val singles = BaseAlphabet.map(ch => ch -> corpusSingles.getOrElse(ch, 0L))
     val multi = seeds.filter(length(col("piece")) > 1)
       .orderBy(col("score").desc, col("piece")).limit(seedMulti)
       .collect().map(r => r.getString(0) -> r.getLong(1))
     var vocab: Map[String, Long] = (singles ++ multi).toMap
     (1 to iters).foreach { _ =>
       val seg = wf.select(col("cnt"),
-        expr(viterbiExpr(vocab)).getField("seq").as("seq"))
+        expr(viterbiExpr(vocab, maxPieceLen)).getField("seq").as("seq"))
       val usage = seg
         .select(col("cnt"), explode(split(col("seq"), " ")).as("piece"))
         .groupBy("piece").agg(sum("cnt").as("usage"))
@@ -125,12 +158,18 @@ object UnigramLm {
     * reachable and `element_at(array_sort(...), 1)` never sees an
     * empty array. Evaluates as one codegen'd projection — the column
     * `word` must exist on the input frame. */
-  private[graft] def viterbiExpr(vocab: Map[String, Long]): String = {
+  private[graft] def viterbiExpr(
+      vocab: Map[String, Long], maxPieceLen: Int = MaxPieceLen): String = {
     require(vocab.nonEmpty, "empty unigram vocabulary")
-    require(vocab.keysIterator.forall(_.matches("[a-z]+")),
-      "unigram pieces must be [a-z]+ (they are inlined into SQL text)")
+    // pieces are inlined into SQL text: the domain is printable ASCII
+    // minus space (words never contain the separator), with quote and
+    // backslash escaped below
+    require(vocab.keysIterator.forall(_.forall(c => c >= '!' && c <= '~')),
+      "unigram pieces must be printable non-space ASCII")
+    def esc(p: String): String =
+      p.replace("\\", "\\\\").replace("'", "\\'")
     val entries = vocab.toSeq.sorted
-      .map { case (p, s) => s"'$p', ${s}L" }.mkString(", ")
+      .map { case (p, s) => s"'${esc(p)}', ${s}L" }.mkString(", ")
     val vm = s"map($entries)"
     s"""aggregate(
           sequence(1, length(word)),
@@ -140,7 +179,7 @@ object UnigramLm {
               array_sort(
                 transform(
                   filter(
-                    transform(sequence(1, least($MaxPieceLen, i)),
+                    transform(sequence(1, least($maxPieceLen, i)),
                       L -> named_struct('L', L,
                         'cnt', element_at($vm, substring(word, i - L + 1, L)))),
                     t -> t.cnt IS NOT NULL),
@@ -164,9 +203,11 @@ object UnigramLm {
   /** Viterbi-segment a frame of distinct `word`s with a trained piece
     * table: `(word, n_pieces, score, pieces_text)` — the serving
     * primitive (and the segmentation gate's surface). */
-  def segmentWords(words: DataFrame, pieces: DataFrame): DataFrame = {
+  def segmentWords(
+      words: DataFrame, pieces: DataFrame,
+      maxPieceLen: Int = MaxPieceLen): DataFrame = {
     val vocab = collectPieces(pieces).map(t => t._1 -> t._2).toMap
-    words.select(col("word"), expr(viterbiExpr(vocab)).as("vit"))
+    words.select(col("word"), expr(viterbiExpr(vocab, maxPieceLen)).as("vit"))
       .select(col("word"),
         col("vit.k").as("n_pieces"),
         (-col("vit.negs")).as("score"),
@@ -181,15 +222,16 @@ object UnigramLm {
     * table, one keyed join back). */
   def encode(
       docs: DataFrame, pieces: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxPieceLen: Int = MaxPieceLen): DataFrame = {
     val vocab = collectPieces(pieces).map(t => t._1 -> t._2).toMap
     val words = docs
       .select(col(idCol).as("doc_id"),
-        posexplode(split(lower(col(textCol)), "[^a-z]+")))
+        posexplode(split(lower(col(textCol)), WordSplitRegex)))
       .select(col("doc_id"), col("pos"), col("col").as("word"))
       .filter(length(col("word")).between(1, MaxWordLen))
     val segmented = words.select("word").distinct()
-      .select(col("word"), expr(viterbiExpr(vocab)).as("vit"))
+      .select(col("word"), expr(viterbiExpr(vocab, maxPieceLen)).as("vit"))
       .select(col("word"),
         col("vit.k").as("n_pieces"), col("vit.seq").as("seq"))
     words.join(segmented, Seq("word"))
@@ -212,17 +254,18 @@ object UnigramLm {
     * projection over it, one keyed join back. */
   def encodeIds(
       docs: DataFrame, pieces: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxPieceLen: Int = MaxPieceLen): DataFrame = {
     val collected = collectPieces(pieces)
     val vocab = collected.map(t => t._1 -> t._2).toMap
     val idOf = typedLit(collected.map(t => t._1 -> t._3).toMap)
     val words = docs
       .select(col(idCol).as("doc_id"),
-        posexplode(split(lower(col(textCol)), "[^a-z]+")))
+        posexplode(split(lower(col(textCol)), WordSplitRegex)))
       .select(col("doc_id"), col("pos"), col("col").as("word"))
       .filter(length(col("word")).between(1, MaxWordLen))
     val segmented = words.select("word").distinct()
-      .select(col("word"), expr(viterbiExpr(vocab)).as("vit"))
+      .select(col("word"), expr(viterbiExpr(vocab, maxPieceLen)).as("vit"))
       .select(col("word"),
         col("vit.k").as("n_pieces"),
         transform(split(col("vit.seq"), " "), p => element_at(idOf, p)).as("ids"))

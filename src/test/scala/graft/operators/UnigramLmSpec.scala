@@ -65,10 +65,13 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(seg2.getString(3) === "ab cd")
   }
 
-  test("round-trip law: decode(encodeIds(x)) == normalized word sequence, randomized") {
+  test("round-trip law: decode(encodeIds(x)) == normalized word sequence, randomized, widened domain") {
     val rnd = new scala.util.Random(4217)
+    // r16 widened domain: punctuation, digits, a quote-bearing word
+    // (the piece-escaping trap), and a backslash-bearing one
     val lexicon = Seq("the", "cat", "sat", "on", "a", "mat", "catsat",
-      "zq", "xylophone", "aaaa", "b")
+      "zq", "xylophone", "aaaa", "b", "v1.2", "#tag", "c++", "don't",
+      "a\\b", "[ok]", "x_9")
     val texts = (0 until 40).map { _ =>
       (0 until (1 + rnd.nextInt(12)))
         .map(_ => lexicon(rnd.nextInt(lexicon.length)))
@@ -80,12 +83,47 @@ class UnigramLmSpec extends AnyFunSuite {
       .select("doc_id", "decoded_text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val norm = docs.select(col("doc_id"),
-        array_join(filter(split(lower(col("text")), "[^a-z]+"),
+        array_join(filter(split(lower(col("text")), "[^!-~]+"),
           w => length(w).between(1, UnigramLm.MaxWordLen)), " ").as("n"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     norm.foreach { case (id, expected) =>
       assert(out(id) === expected, s"round trip diverged for doc $id")
     }
+  }
+
+  test("full-base-alphabet coverage: corpus-unseen printable symbols still serve (r15 verdict #6)") {
+    // train on a TINY pure-letter corpus...
+    val pieces = UnigramLm.trainPieces(docsOf("cat cat dog"), iters = 1, seedMulti = 8)
+    val byPiece = pieces.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ...every printable non-space non-upper symbol is still a piece
+    UnigramLm.BaseAlphabet.foreach(ch =>
+      assert(byPiece.contains(ch), s"missing base symbol '$ch'"))
+    assert(byPiece("!") === 0L) // unseen symbols enter at score 0
+    // and a serving document FULL of unseen symbols round-trips
+    val served = docsOf("w0w! #new $5.00 100% a\\b 'q' ~x~")
+    val out = UnigramLm.decode(UnigramLm.encodeIds(served, pieces), pieces)
+      .select("decoded_text").head().getString(0)
+    assert(out === "w0w! #new $5.00 100% a\\b 'q' ~x~")
+  }
+
+  test("maxPieceLen is configurable: longer pieces survive and the round trip holds") {
+    val docs = docsOf("greeting greeting greeting farewell farewell")
+    val pieces6 = UnigramLm.trainPieces(docs, iters = 2, seedMulti = 32,
+      maxPieceLen = 6)
+    val lens = pieces6.collect().map(_.getString(0).length)
+    assert(lens.max === 6, s"no length-6 piece survived: max ${lens.max}")
+    // default training caps at 4 on the same corpus
+    val pieces4 = UnigramLm.trainPieces(docs, iters = 2, seedMulti = 32)
+    assert(pieces4.collect().map(_.getString(0).length).max <= 4)
+    // serving at the widened cap segments with the longer pieces and
+    // still closes the round trip
+    val enc = UnigramLm.encodeIds(docs, pieces6, maxPieceLen = 6)
+    val out = UnigramLm.decode(enc, pieces6).select("decoded_text").head().getString(0)
+    assert(out === "greeting greeting greeting farewell farewell")
+    // fewest-pieces objective: 'greeting' (8 chars) needs only 2 pieces
+    val seg = UnigramLm.segmentWords(
+      Seq("greeting").toDF("word"), pieces6, maxPieceLen = 6).head()
+    assert(seg.getLong(1) === 2L, s"expected 2 pieces: $seg")
   }
 
   test("encode (piece text) and encodeIds agree on counts; pieces concatenate to the words") {
