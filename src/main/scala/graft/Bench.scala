@@ -432,6 +432,9 @@ object Bench {
     results ++= guarded(Seq("kmv_grouped_hi", "frontier_skewed")) {
       stressProbesScenario(spark, sfDir)
     }
+    results ++= guarded(Seq("suffix_big_doc", "suffix_l200")) {
+      suffixStressScenario(spark, sfDir)
+    }
     results ++= guarded(Seq("sketch_qdigest_build", "sketch_qdigest_ranks")) {
       qdigestScenario(spark, sfDir)
     }
@@ -1426,6 +1429,45 @@ object Bench {
     * on one host: the per-host queue window's worst documented case —
     * partitions bounded by host queue length means ONE long queue, and
     * this measures what that costs). */
+  /** Suffix-family stress shapes (r15 verdict #8). `suffix_big_doc`:
+    * the per-document lead() window's worst case — ONE 1 MB document
+    * (a single million-position sort partition) plus a 50 KB copied
+    * slice to witness a real span, over the sf docs table.
+    * `suffix_l200`: L=200 needs TWO fan-in-8 tuple rounds (8→64→200)
+    * instead of one — the round-count term measured directly. */
+  private def suffixStressScenario(
+      spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").localCheckpoint()
+    val tBigDoc = time {
+      // 1 MB of pseudo-random text: 32768 chained md5 blocks of 32
+      // chars — incompressible, so rank classes stay honest (no
+      // degenerate all-equal windows)
+      val big = spark.range(1).select(
+        lit(-1L).as("doc_id"),
+        expr("array_join(transform(sequence(1, 32768), " +
+          "i -> md5(concat('graft-big-doc-', i))), '')").as("text"))
+      // a 50 KB slice copied into a second doc: the cross-doc span
+      val slice = big.select(lit(-2L).as("doc_id"),
+        expr("substring(text, 100001, 50000)").as("text"))
+      val corpus = docs.unionByName(big).unionByName(slice)
+      graft.operators.SuffixDedup.duplicatedSpans(corpus, minLen = 50)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val tL200 = time {
+      val withDups = docs.unionByName(
+        docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      graft.operators.SuffixDedup.duplicatedSpans(withDups, minLen = 200)
+        .write.format("noop").mode("overwrite").save()
+    }
+    Seq("suffix_big_doc" -> tBigDoc, "suffix_l200" -> tL200)
+  }
+
   private def stressProbesScenario(
       spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._

@@ -64,7 +64,14 @@ object SuffixDedup {
     val w = math.min(SeedWidth, prefixLen)
     val positions = docs
       .select(col(idCol).as("doc_id"),
-        length(col(textCol)).cast("long").as("len"), col(textCol).as("_t"))
+        length(col(textCol)).cast("long").as("len"),
+        // per-position gram extraction must NOT use substring(_t, pos):
+        // UTF8String.substring walks from the string START to find the
+        // character offset — O(pos) per call, O(n²) per document, which
+        // the 1 MB-document stress probe measured as CPU-hours in one
+        // task (scaling batch 10). Splitting to a char array once is
+        // O(n); slice() then indexes in O(1) and copies w chars.
+        expr(s"filter(split($textCol, ''), c -> c <> '')").as("_cs"))
       // Spark's sequence(1, 0) DESCENDS ([1, 0]): an empty or NULL
       // document would emit bogus pos=1/pos=0 rows at nonexistent
       // positions from this public surface (r15 advice —
@@ -73,9 +80,9 @@ object SuffixDedup {
       // rows back out, direct callers did not)
       .filter(col("len") >= 1L)
       .select(col("doc_id"), col("len"),
-        explode(expr("sequence(1L, len)")).as("pos"), col("_t"))
+        explode(expr("sequence(1L, len)")).as("pos"), col("_cs"))
       .select(col("doc_id"), col("len"), col("pos"),
-        expr(s"substring(_t, cast(pos as int), $w)").as("g"))
+        array_join(slice(col("_cs"), col("pos").cast("int"), lit(w)), "").as("g"))
     val seedRanks = denseRankKeys(
       positions.select(col("g")).distinct(), Seq("g"))
     var ranks = positions
@@ -167,10 +174,15 @@ object SuffixDedup {
         min(struct(col("doc_id"), col("pos"))).as("_rep"))
       .select(col("rank"), col("n_occ"),
         col("_rep.doc_id").as("doc_id"), col("_rep.pos").as("pos"))
+    // char-array slice, not substring(_t, pos): UTF8String.substring is
+    // O(pos) per call (see suffixRanks) and there can be ~n classes
     reps.join(
-        docs.select(col(idCol).as("doc_id"), col(textCol).as("_t")), "doc_id")
+        docs.select(col(idCol).as("doc_id"),
+          expr(s"filter(split($textCol, ''), c -> c <> '')").as("_cs")),
+        "doc_id")
       .select(col("rank"), col("n_occ"),
-        expr(s"substring(_t, cast(pos as int), $prefixLen)").as("window"))
+        array_join(slice(col("_cs"), col("pos").cast("int"), lit(prefixLen)), "")
+          .as("window"))
   }
 
   /** Length of the common prefix of two strings, as a codegen'd HOF

@@ -54,10 +54,17 @@ final class OnlineSuffixDedup(
     // DESCENDS in Spark — the short-doc filter is load-bearing)
     val grams = base
       .filter(length(col("_t")) >= minLen)
-      .select(col("doc_id"), col("_t"),
-        explode(expr(s"sequence(1L, length(_t) - ${minLen - 1})")).as("pos"))
+      // char-array slice, not substring(_t, pos): UTF8String.substring
+      // walks from the string start — O(pos) per call, quadratic per
+      // document (the batch operator's 1 MB-doc stress finding)
+      .select(col("doc_id"),
+        expr("filter(split(_t, ''), c -> c <> '')").as("_cs"),
+        length(col("_t")).as("_n"))
+      .select(col("doc_id"), col("_cs"),
+        explode(expr(s"sequence(1L, _n - ${minLen - 1})")).as("pos"))
       .select(col("doc_id"), col("pos"),
-        md5(expr(s"substring(_t, cast(pos as int), $minLen)")).as("h"))
+        md5(array_join(slice(col("_cs"), col("pos").cast("int"), lit(minLen)), ""))
+          .as("h"))
       .localCheckpoint()
     // a replayed batch must not probe its own windows; a footerless
     // index dir (crash during the very first write) reads as empty
