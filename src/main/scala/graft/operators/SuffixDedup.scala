@@ -30,17 +30,19 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB shape: O(log L) rounds, each a constant number of KEYED
   * shuffles over the n-position frame — a per-document `lead(rank,
-  * off)` window (partitions bounded by document length), one distinct
-  * of the (ra, rb) pair frame, a distributed dense rank of the
-  * distinct pairs ([[Stats.rangePrefixSum]]'s slice idiom:
-  * range-repartition, per-partition local ranks, a |partitions|-row
-  * offset frame broadcast back — no global-order window anywhere), and
-  * the join back. Total work O(n log L) shuffle bytes — the suffix-
-  * array bound — with `localCheckpoint` pinning each round (the
-  * pageRank iteration discipline: lineage would otherwise double per
-  * round AND the rank branch/offset branch must see one range-boundary
-  * draw). Driver state per round: nothing data-sized (the offsets
-  * frame is |partitions| rows). */
+  * off)` window (partitions bounded by document length), then a
+  * distributed dense rank computed DIRECTLY on the tuple frame
+  * ([[Stats.rangePrefixSum]]'s slice idiom: range-repartition on the
+  * tuple keys, per-slice `dense_rank`, a |partitions|-row distinct-
+  * count offset frame broadcast back — no global-order window
+  * anywhere, and since r16 no distinct pass and no join-back either:
+  * two data-sized exchanges per round instead of five). Total work
+  * O(n log L) shuffle bytes — the suffix-array bound — with
+  * `localCheckpoint` pinning each round (the pageRank iteration
+  * discipline: lineage would otherwise double per round AND the rank
+  * branch/offset branch must see one range-boundary draw). Driver
+  * state per round: nothing data-sized (the offsets frame is
+  * |partitions| rows). */
 object SuffixDedup {
 
   /** Order-preserving dense rank of every position's `prefixLen`-prefix:
@@ -83,12 +85,11 @@ object SuffixDedup {
         explode(expr("sequence(1L, len)")).as("pos"), col("_cs"))
       .select(col("doc_id"), col("len"), col("pos"),
         array_join(slice(col("_cs"), col("pos").cast("int"), lit(w)), "").as("g"))
-    val seedRanks = denseRankKeys(
-      positions.select(col("g")).distinct(), Seq("g"))
-    var ranks = positions
-      .join(seedRanks, Seq("g"))
-      .select(col("doc_id"), col("len"), col("pos"), col("new_rank").as("rank"))
+      // pinned: the rank pass below consumes the frame twice (the range
+      // exchange's sampling job plus the shuffle itself) and the gram
+      // explode is the most expensive projection of the whole chain
       .localCheckpoint()
+    var ranks = denseRankOver(positions, Seq("g"))
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     var k = w
     while (k < prefixLen) {
@@ -110,15 +111,13 @@ object SuffixDedup {
       }
       val paired = ranks.select(
         (Seq(col("doc_id"), col("len"), col("pos"), col("rank")) ++ leadCols): _*)
-      val keyCols = "rank" +: offs.indices.map(i => s"_r${i + 1}")
-      val ranked = denseRankKeys(
-        paired.select(keyCols.map(c => col(c).as(s"_k$c")): _*).distinct(),
-        keyCols.map("_k" + _))
-      val joinCond = keyCols.map(c => paired(c) === ranked(s"_k$c")).reduce(_ && _)
-      ranks = paired
-        .join(ranked, joinCond)
-        .select(col("doc_id"), col("len"), col("pos"), col("new_rank").as("rank"))
+        // pinned per round (the discipline the old shape applied to the
+        // rank frame): the rank pass's range sampling would otherwise
+        // re-execute the per-document lead() window — exchange + sort —
+        // a second time, and lineage must not double per round
         .localCheckpoint()
+      val keyCols = "rank" +: offs.indices.map(i => s"_r${i + 1}")
+      ranks = denseRankOver(paired, keyCols)
       k = target
     }
     ranks
@@ -129,29 +128,46 @@ object SuffixDedup {
     * range-partition sort cheap while collapsing L=50 to one round). */
   private val Fanin = 8
 
-  /** Dense rank of a DISTINCT key frame in key order without a
-    * global-order window: range-repartition on the keys, rank locally
-    * per partition slice, broadcast back the |partitions|-row offsets
-    * (identical keys land in one range partition, and the frame is
-    * distinct, so local rank + slice offset IS the global dense rank —
-    * the [[Stats.rangePrefixSum]] idiom). */
-  private def denseRankKeys(keys: DataFrame, keyCols: Seq[String]): DataFrame = {
+  /** Order-preserving global dense rank of `keyCols` computed DIRECTLY on
+    * the (non-distinct) position frame, without a global-order window:
+    * range-repartition on the keys (identical keys land in one range
+    * partition by contract), `dense_rank` locally per partition slice,
+    * broadcast back the |partitions|-row offsets frame carrying each
+    * slice's distinct-key count (the [[Stats.rangePrefixSum]] idiom) —
+    * local dense rank + earlier slices' distinct counts IS the global
+    * dense rank. Returns `(doc_id, len, pos, rank)`.
+    *
+    * r16 optimization (guide §2.4): the previous shape ranked the
+    * DISTINCT key frame and sort-merge-joined it back — per rank pass
+    * that cost a distinct exchange, a row_number window exchange, and a
+    * TWO-sided join-back exchange over data-sized frames (5 exchanges +
+    * 2 extra sorts). Ranking in place costs exactly TWO data-sized
+    * exchanges (range + the slice window's hash-by-_pid) and no join.
+    * Worst-case skew is unchanged: a giant rank class used to serialize
+    * in the join-back's merge partition; now it serializes in the range
+    * slice — both bounded by the class size, never the corpus. */
+  private def denseRankOver(frame: DataFrame, keyCols: Seq[String]): DataFrame = {
     val parts =
-      math.max(keys.sparkSession.sessionState.conf.numShufflePartitions, 1)
-    val local = keys
+      math.max(frame.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val local = frame
       .repartitionByRange(parts, keyCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint() // the window branch and the offsets branch must
+                         // see ONE range-boundary draw
     val lw = Window.partitionBy("_pid").orderBy(keyCols.map(col): _*)
-    val cum = local.withColumn("_lr", row_number().over(lw).cast("long"))
-    val agg = local.groupBy("_pid").agg(count(lit(1)).as("_ptot"))
+    val agg = local.groupBy("_pid")
+      .agg(count_distinct(col(keyCols.head), keyCols.tail.map(col): _*)
+        .as("_ptot"))
     val offsets = agg
       .withColumn("_off", coalesce(sum("_ptot").over(
         Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select("_pid", "_off")
-    cum.join(broadcast(offsets), Seq("_pid"))
-      .select(keyCols.map(col) :+ (col("_off") + col("_lr")).as("new_rank"): _*)
+    local
+      .withColumn("_ldr", dense_rank().over(lw).cast("long"))
+      .join(broadcast(offsets), Seq("_pid"))
+      .select(col("doc_id"), col("len"), col("pos"),
+        (col("_off") + col("_ldr")).as("rank"))
   }
 
   /** One row per rank CLASS of [[suffixRanks]] with the (≤ prefixLen)
@@ -263,11 +279,16 @@ object SuffixDedup {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("_t"))
     val ranks = suffixRanks(docs, idCol, textCol, minLen)
       .filter(col("pos") <= col("len") - lit(minLen.toLong) + 1L)
-    val dupStats = ranks.groupBy("rank")
-      .agg(count_distinct(col("doc_id")).as("n_docs"), min("doc_id").as("owner"))
-      .filter(col("n_docs") >= 2)
-    val flagged = ranks.join(dupStats, "rank")
-      .filter(col("doc_id") =!= col("owner"))
+    // cross-document test + owner in ONE rank-keyed window pass (r16,
+    // guide §2.4 — the old groupBy(rank)+join-back re-exchanged the
+    // whole rank frame a second time): a class spans ≥ 2 distinct
+    // documents iff its min and max doc_id differ, and the min IS the
+    // owner — same predicate, one exchange instead of three
+    val wRank = Window.partitionBy("rank")
+    val flagged = ranks
+      .withColumn("_own", min("doc_id").over(wRank))
+      .withColumn("_mxd", max("doc_id").over(wRank))
+      .filter(col("_mxd") =!= col("_own") && col("doc_id") =!= col("_own"))
       .select("doc_id", "pos")
     cutCovered(base, flagged, minLen)
   }
@@ -305,13 +326,14 @@ object SuffixDedup {
       // only positions with a full minLen-prefix can witness a
       // duplicate of length >= minLen (a shared shorter tail is not one)
       .filter(col("pos") <= col("len") - lit(minLen.toLong) + 1L)
-    val dupClasses = ranks.groupBy("rank")
-      .agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") >= 2L)
-      .select("rank")
+    // class size in ONE rank-keyed window pass (r16, guide §2.4 — the
+    // old groupBy(rank)+join-back re-exchanged the rank frame twice)
+    val marked = ranks
+      .withColumn("_n_occ", count(lit(1)).over(Window.partitionBy("rank")))
+      .filter(col("_n_occ") >= 2L)
+      .select("doc_id", "pos")
     // marked positions -> maximal runs per document (the islands trick:
     // consecutive positions share pos - row_number; keyed window only)
-    val marked = ranks.join(dupClasses, Seq("rank"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     marked
       .withColumn("_grp", col("pos") - row_number().over(w).cast("long"))

@@ -80,11 +80,15 @@ final class OnlineSuffixDedup(
     // cross-document within the batch with a smaller-doc_id owner
     val inIdx = grams.join(standing, Seq("h"), "left_semi")
       .select("doc_id", "pos")
-    val wb = grams.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("nd"), min("doc_id").as("own"))
-      .filter(col("nd") >= 2)
-    val wbFlag = grams.join(wb, Seq("h"))
-      .filter(col("doc_id") =!= col("own"))
+    // cross-document test + owner in ONE h-keyed window pass (r16,
+    // guide §2.4 — the old groupBy(h)+join-back re-exchanged the gram
+    // frame a second time): a window spans ≥ 2 distinct documents iff
+    // its min and max doc_id differ, and the min IS the owner
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val wbFlag = grams
+      .withColumn("_own", min("doc_id").over(wH))
+      .withColumn("_mxd", max("doc_id").over(wH))
+      .filter(col("_mxd") =!= col("_own") && col("doc_id") =!= col("_own"))
       .select("doc_id", "pos")
     val flagged = inIdx.unionByName(wbFlag).distinct().localCheckpoint()
     SuffixDedup.cutCovered(base, flagged, minLen)
