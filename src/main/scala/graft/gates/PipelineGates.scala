@@ -223,13 +223,17 @@ private[graft] trait PipelineGates extends GateSupport {
     * bipartite shape HITS was built for; 3 sum-normalized fixed-point
     * iterations, integer-exact ([[Graph.hits]]). */
   protected def purchaseHits(s: SparkSession, dir: String): DataFrame = {
+    // long-encoded nodes, decoded at the boundary (see purchasePagerank;
+    // HITS' sum/normalize recurrence is node-order-free, oracle
+    // re-verified)
     val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .select((col("o_custkey") * 2L).as("src"),
+        (col("l_suppkey") * 2L + 1L).as("dst"))
     Graph.hits(edges, iters = 3)
-      .select(col("node"), col("hub_fp").cast("long").as("hub_fp"),
+      .select(decodeCsNode(col("node")).as("node"),
+        col("hub_fp").cast("long").as("hub_fp"),
         col("auth_fp").cast("long").as("auth_fp"))
       .orderBy("node")
   }
@@ -239,14 +243,29 @@ private[graft] trait PipelineGates extends GateSupport {
     * orders⋈lineitem — iterative join+aggregate over the two largest
     * tables. */
   protected def purchasePagerank(s: SparkSession, dir: String): DataFrame = {
+    // r16 (guide §2.3, narrower types): the iterative join/agg keys are
+    // LONG-encoded node ids (customer 2k, supplier 2k+1 — a bijection
+    // into disjoint ranges), decoded to the declared "c<id>"/"s<id>"
+    // strings only at the output boundary. PageRank's arithmetic is
+    // node-order-free (sums/divs keyed by equality), so the encoded run
+    // is isomorphic — the oracle re-verifies the hash. 8-byte keys
+    // replace ~7-char strings in every per-iteration exchange.
     val cs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .select((col("o_custkey") * 2L).as("src"),
+        (col("l_suppkey") * 2L + 1L).as("dst"))
     val edges = cs.unionAll(cs.select(col("dst").as("src"), col("src").as("dst")))
-    Graph.pageRank(edges, iters = 5).orderBy("node")
+    Graph.pageRank(edges, iters = 5)
+      .select(decodeCsNode(col("node")).as("node"), col("rank_fp"))
+      .orderBy("node")
   }
+
+  /** Decode the long-encoded purchase-graph node id (customer 2k ↔
+    * supplier 2k+1) back to the declared "c<id>"/"s<id>" string form. */
+  private def decodeCsNode(node: Column): Column =
+    when(node % 2L === 0L, concat(lit("c"), (node / 2L).cast("long").cast("string")))
+      .otherwise(concat(lit("s"), ((node - 1L) / 2L).cast("long").cast("string")))
 
   /** Personalized PageRank ([[Graph.personalizedPageRank]]) over the
     * same purchase graph, seeded at customers 1-20 — "suppliers and
@@ -254,16 +273,19 @@ private[graft] trait PipelineGates extends GateSupport {
     * expansion a global rank can't answer. Zero-rank (unreached) nodes
     * filtered: the interesting output is the reached neighborhood. */
   protected def personalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    // long-encoded nodes, decoded at the boundary (see purchasePagerank;
+    // PPR's recurrence is node-order-free, oracle re-verified)
     val cs = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .select((col("o_custkey") * 2L).as("src"),
+        (col("l_suppkey") * 2L + 1L).as("dst"))
     val edges = cs.unionAll(cs.select(col("dst").as("src"), col("src").as("dst")))
     val seeds = t(s, dir, "customer").filter(col("c_custkey") <= 20)
-      .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+      .select((col("c_custkey") * 2L).as("node"))
     Graph.personalizedPageRank(edges, seeds, iters = 5)
       .filter(col("rank_fp") > 0)
+      .select(decodeCsNode(col("node")).as("node"), col("rank_fp"))
       .orderBy("node")
   }
 
