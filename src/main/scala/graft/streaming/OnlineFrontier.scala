@@ -40,6 +40,12 @@ final class OnlineFrontier(
 
   private val frontierDir = s"$rootDir/frontier"
 
+  // the rule table is fixed for the life of the sink but arrives as an
+  // arbitrary DataFrame lineage — pin it ONCE so every micro-batch's
+  // policy broadcast rebuilds from the materialized rows instead of
+  // re-executing the caller's upstream per batch (r16, guide §1.2/§5)
+  private val pinnedRules = rules.localCheckpoint()
+
   /** The foreachBatch hook:
     * `pages.writeStream.foreachBatch(online.processBatch _)`. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
@@ -52,8 +58,13 @@ final class OnlineFrontier(
       .distinct()
       .withColumn("domain",
         Web.registrableDomain(Web.hostOf(col("url_norm")), suffixes))
+      // pinned: policyFilter consumes its input TWICE (the winner pick
+      // and the verdict fan-back join) — unpinned, the whole regex
+      // link-extraction subtree above would execute twice per batch
+      // (r16; measured 2× the batch's dominant CPU term)
+      .localCheckpoint()
     val allowed = Web.blocklistFilter(
-      Web.policyFilter(cand, "url_norm", "url_norm", rules)
+      Web.policyFilter(cand, "url_norm", "url_norm", pinnedRules)
         .filter(col("allowed"))
         .select("url_norm", "host", "domain"),
       "domain", blockedDomains.toDF("domain"))
