@@ -592,23 +592,25 @@ object Dedup {
         .groupBy(col("src").as("id")).agg(min("component").as("neighbor_min"))
       val propagated = labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("_old"),
           least(col("component"), coalesce(col("neighbor_min"), col("component")))
             .as("component"))
       val jumped = propagated.as("x")
         .join(propagated.select(col("id").as("cid"), col("component").as("ccomp")),
           col("x.component") === col("cid"), "left")
         .select(col("x.id").as("id"),
-          coalesce(col("ccomp"), col("x.component")).as("component"))
+          coalesce(col("ccomp"), col("x.component")).as("component"),
+          col("x._old").as("_old"))
         .localCheckpoint()
       // round 0 always changes labels when edges exist (every component
       // has ≥2 vertices, so every non-minimum vertex updates) — skip the
-      // O(V) convergence join there
-      converged = round > 0 && jumped.as("u")
-        .join(labels.as("l"), "id")
-        .filter(col("u.component") =!= col("l.component"))
-        .isEmpty
-      labels = jumped
+      // O(V) convergence scan there. The previous label rides through
+      // the checkpoint as a column, so the change test is a SCAN of the
+      // just-materialized frame, not a join back to the old labels
+      // (r16, guide §2.4 — one join + its two exchanges saved per round)
+      converged = round > 0 &&
+        jumped.filter(col("component") =!= col("_old")).isEmpty
+      labels = jumped.select("id", "component")
       round += 1
     }
     require(converged,

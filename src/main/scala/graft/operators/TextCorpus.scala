@@ -63,14 +63,17 @@ object TextCorpus {
   /** Word n-grams that are EMPTY below n words (unlike
     * [[TextAnalysis.wordNgrams]], which floors at one truncated gram —
     * fine for shingling, wrong for counting). */
-  private def strictWordNgrams(text: Column, n: Int): Column = {
-    val ts = TextAnalysis.tokens(text)
+  /** n-grams of an ALREADY-MATERIALIZED token-array attribute — callers
+    * must project the token array to a column first: HOF lambdas are
+    * interpreted, so a lambda body referencing a raw split() expression
+    * re-tokenizes the document per element (the collocations O(words²)
+    * finding, r16). */
+  private def strictWordNgrams(ts: Column, n: Int): Column =
     when(size(ts) >= n,
       transform(
         sequence(lit(0), size(ts) - n),
         i => array_join(slice(ts, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Corpus-wide top-k word n-grams with occurrence counts, ties broken
     * by gram text so the result is deterministic. explode → partial-agg
@@ -79,7 +82,8 @@ object TextCorpus {
     * the final exchange). */
   def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20, textCol: String = "text"): DataFrame =
     docs
-      .select(explode(strictWordNgrams(col(textCol), n)).as("gram"))
+      .select(TextAnalysis.tokens(col(textCol)).as("_ts"))
+      .select(explode(strictWordNgrams(col("_ts"), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("gram").asc)
       .limit(k)
