@@ -266,6 +266,17 @@ object Bench {
       // of one family would re-run it twice and burn the family budget)
       val thunk = () => f
       names.foreach(n => familyThunks(n) = thunk)
+      // settle the JVM before each family's clock starts (r16,
+      // measurement hygiene — the r13/r15 adjudication finding applied
+      // AT THE SOURCE): families run off the back of the ~25-minute
+      // query sweep, and end-of-sweep GC/allocation pressure inflated
+      // their in-sweep numbers up to ~2× vs the same family isolated
+      // (r16 baseline: streaming_interval_replay 15.4 s in-sweep vs
+      // 8.9 s isolated, SAME code — the adjudication pass then spends
+      // its budget clearing flags this settle prevents). The sleep is
+      // outside every scenario's timed region; the statistic and the
+      // measured work are unchanged.
+      if (names.exists(wanted)) { System.gc(); Thread.sleep(1500) }
       try if (names.exists(wanted)) f else Seq.empty
       catch {
         case e: Throwable =>
