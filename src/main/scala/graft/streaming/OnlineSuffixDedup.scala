@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   * the incremental path needs only EQUALITY classes, which cannot be
   * re-ranked globally per batch without rescanning the corpus; windows
   * are therefore keyed by their md5 (128-bit — the [[graft.operators
-  * .Dedup.exactGroups]] exact-equality convention), so per batch the
+  * .Dedup.exactGroups]] exact-equality convention; carried as 16-byte
+  * binary, so one rootDir lineage must not straddle the r16 format
+  * change), so per batch the
   * work is one O(batch-chars) projection, one equi-join probe of the
   * standing index, and the batch-sized removal tail. The corpus is
   * never rescanned.
@@ -63,7 +65,12 @@ final class OnlineSuffixDedup(
       .select(col("doc_id"), col("_cs"),
         explode(expr(s"sequence(1L, _n - ${minLen - 1})")).as("pos"))
       .select(col("doc_id"), col("pos"),
-        md5(array_join(slice(col("_cs"), col("pos").cast("int"), lit(minLen)), ""))
+        // the 128-bit window key rides as 16-byte BINARY, not the
+        // 32-char hex string (r16, guide §2.3 — halves the key bytes in
+        // every exchange, the standing-index parquet, and the probe
+        // join; same md5 exactness)
+        unhex(md5(array_join(
+          slice(col("_cs"), col("pos").cast("int"), lit(minLen)), "")))
           .as("h"))
       .localCheckpoint()
     // a replayed batch must not probe its own windows; a footerless
