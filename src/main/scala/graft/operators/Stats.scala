@@ -440,7 +440,12 @@ object Stats {
     require(bitsPerRound >= 8 && bitsPerRound <= 20, "bitsPerRound out of range")
     val spark = df.sparkSession
     import spark.implicits._
+    // pinned: every bisection round re-scans this frame (the docstring's
+    // "cache the input when the scan itself dominates" — r16: at bench
+    // scale ~10 rounds re-read the parquet and re-derived the value
+    // projection; one materialization bounds that to a single scan)
     val vals = df.select(col(valueCol).cast("long").as("v")).where(col("v").isNotNull)
+      .localCheckpoint()
     val bins = 1L << bitsPerRound
     val bounds = vals.agg(min("v"), max("v"), count(lit(1))).head()
     val n = bounds.getLong(2)
@@ -453,15 +458,23 @@ object Stats {
       span / bins + (if (span % bins == 0L) 0L else 1L)
     }
 
+    // per-invocation memo of the collected counts per [lo, hi] range:
+    // the ps quantiles bisect independently but SHARE their first
+    // round(s) exactly (identical range ⇒ identical bin counts), so the
+    // p50/p90/p99 triple pays one first-round scan, not three (r16)
+    val rangeMemo =
+      scala.collection.mutable.HashMap.empty[(Long, Long), Array[(Long, Long)]]
+
     // one round: counts per bin over [lo, hi], narrowed bin + rank within
     @annotation.tailrec
     def select(lo: Long, hi: Long, rank: Long): Long = {
       if (lo == hi) lo
       else if (math.subtractExact(hi, lo) < bins) {
         // terminal: exact per-value counts, walk to the rank
-        val counts = vals.where(col("v") >= lo && col("v") <= hi)
-          .groupBy("v").agg(count(lit(1)).as("c"))
-          .orderBy("v").as[(Long, Long)].collect()
+        val counts = rangeMemo.getOrElseUpdate((lo, hi),
+          vals.where(col("v") >= lo && col("v") <= hi)
+            .groupBy("v").agg(count(lit(1)).as("c"))
+            .orderBy("v").as[(Long, Long)].collect())
         var remaining = rank
         var i = 0
         while (remaining > counts(i)._2) { remaining -= counts(i)._2; i += 1 }
@@ -470,10 +483,11 @@ object Stats {
         val w = widthOf(lo, hi)
         // integer `div` (v - lo ≥ 0, w > 0 ⇒ div ≡ floor): a double `/`
         // could misbucket at the extremes of the long range
-        val binned = vals.where(col("v") >= lo && col("v") <= hi)
-          .groupBy(expr(s"(v - ${lo}L) div ${w}L").as("bin"))
-          .agg(count(lit(1)).as("c"))
-          .orderBy("bin").as[(Long, Long)].collect()
+        val binned = rangeMemo.getOrElseUpdate((lo, hi),
+          vals.where(col("v") >= lo && col("v") <= hi)
+            .groupBy(expr(s"(v - ${lo}L) div ${w}L").as("bin"))
+            .agg(count(lit(1)).as("c"))
+            .orderBy("bin").as[(Long, Long)].collect())
         var remaining = rank
         var i = 0
         while (remaining > binned(i)._2) { remaining -= binned(i)._2; i += 1 }
