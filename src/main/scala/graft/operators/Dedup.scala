@@ -341,13 +341,20 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 32, bands: Int = 8, shingleSize: Int = 5): (DataFrame, DataFrame) = {
     val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("sh"))
-    val buckets = sh.select(
+    (bucketsFromHashes(sh, k, bands), sh)
+  }
+
+  /** The LSH bucket rows of an `(id, sh)` shingle-hash frame — the
+    * bucket half of [[nearDupIndex]] computed WITHOUT re-shingling, so
+    * callers holding a pinned hash frame (the incremental/online path)
+    * derive buckets from the materialized arrays. */
+  private[graft] def bucketsFromHashes(
+      sh: DataFrame, k: Int, bands: Int): DataFrame =
+    sh.select(
       col("id"),
       posexplode(lshBandHashes(graft.functions.TextHash.minHashFromHashes(col("sh"), k), bands, k))
         .as(Seq("band", "bucket")))
       .select("band", "bucket", "id")
-    (buckets, sh)
-  }
 
   /** Near-dup pairs of a NEW batch against an indexed corpus plus
     * itself — the operational shape of dedup at 100 TB: a daily crawl
@@ -370,9 +377,23 @@ object Dedup {
       newDocs: DataFrame, buckets: DataFrame, shingles: DataFrame,
       textCol: String, idCol: String,
       threshold: Double = 0.8, k: Int = 32, bands: Int = 8,
-      shingleSize: Int = 5, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val (nb, nsh0) = nearDupIndex(newDocs, textCol, idCol, k, bands, shingleSize)
-    val nsh = nsh0.localCheckpoint() // read by bucketing, both verify sides
+      shingleSize: Int = 5, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    incrementalPairsFromHashes(
+      newDocs.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleSize).as("sh"))
+        .localCheckpoint(), // ONE shingle pass; see incrementalPairsFromHashes
+      buckets, shingles, threshold, k, bands, maxBucketSize)
+
+  /** [[incrementalNearDupPairs]] over a PINNED precomputed `(id, sh)`
+    * frame — the batch is shingled exactly once: the bucket branch, the
+    * within-batch candidate pass, and both verify sides all read the
+    * materialized hashes (r16 — the old shape re-ran the native
+    * shingler for the bucket broadcast because it derived from the
+    * un-checkpointed frame). `nsh` MUST be pinned by the caller. */
+  private[graft] def incrementalPairsFromHashes(
+      nsh: DataFrame, buckets: DataFrame, shingles: DataFrame,
+      threshold: Double, k: Int, bands: Int,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val nb = bucketsFromHashes(nsh, k, bands)
     // new-vs-old: stream the index past the broadcast batch buckets
     val matched = buckets
       .join(broadcast(nb.withColumnRenamed("id", "new_id")), Seq("band", "bucket"))

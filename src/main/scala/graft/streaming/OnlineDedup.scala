@@ -56,12 +56,25 @@ final class OnlineDedup(
     def readIndex(dir: String, empty: DataFrame): DataFrame =
       IndexIo.readOrElse(spark, dir)(empty.withColumn("batch", lit(0L)))
         .filter(col("batch") =!= batchId).drop("batch")
-    val survivors = Dedup.incrementalSurvivors(
-      batch, readIndex(bucketsDir, b0), readIndex(shinglesDir, s0),
-      textCol, idCol, threshold, k, bands, shingleSize)
+    // ONE shingle pass per batch (r16): the dedup decision, the index
+    // shingle rows, and the index buckets all derive from this pinned
+    // frame — the old shape re-ran the native shingler over the batch
+    // for the bucket broadcast and a third time over the survivors
+    val nsh = batch
+      .select(col(idCol).as("id"),
+        Dedup.shingleHashes(col(textCol), shingleSize).as("sh"))
+      .localCheckpoint()
+    val dups = Dedup.incrementalPairsFromHashes(
+        nsh, readIndex(bucketsDir, b0), readIndex(shinglesDir, s0),
+        threshold, k, bands)
+      .select(col("new_id").as(idCol)).distinct()
+    val survivors = batch.join(dups, Seq(idCol), "left_anti")
       .localCheckpoint() // three writers below; decide once
-    val (nb, nsh) = Dedup.nearDupIndex(survivors, textCol, idCol, k, bands, shingleSize)
-    Seq((survivors, docsDir), (nb, bucketsDir), (nsh, shinglesDir)).foreach {
+    val ssh = nsh
+      .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .localCheckpoint() // shingle + bucket writers below
+    val sb = Dedup.bucketsFromHashes(ssh, k, bands)
+    Seq((survivors, docsDir), (sb, bucketsDir), (ssh, shinglesDir)).foreach {
       case (df, dir) => df.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
     }
   }
