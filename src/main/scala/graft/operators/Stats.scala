@@ -879,22 +879,19 @@ object Stats {
     * not linear — the screen you run before trusting Pearson. */
   def spearmanCorr(
       df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
-    // doubled midrank 2r + t − 1 as r_asc + n + 1 − r_desc (first-of-tie
-    // rank both ways; identical by the tie identity last = r + t − 1).
-    // Every window here shares partitionBy(groupCol), so the whole
-    // four-rank computation is ONE hash exchange + per-order sorts —
-    // the previous tie-count windows partitioned by (group, value) and
-    // cost three more data-sized exchanges (r16, guide §2.4).
+    // NOTE (r16): an asc/desc-rank reformulation (2r + t − 1 =
+    // r_asc + n + 1 − r_desc) was tried and REVERTED — the before-plan
+    // shows hashpartitioning(group) already satisfies the tie-count
+    // window's (group, value) clustering, so this shape was a single
+    // exchange all along, and the interleaved A/B read identical times
+    // (2.4–2.6 s both ways at sf0.1). Keeping the canonical form.
     def doubledMidrank(c: String, out: String)(in: DataFrame): DataFrame = in
-      .withColumn("_ra",
-        rank().over(Window.partitionBy(col(groupCol)).orderBy(col(c).asc)).cast("long"))
-      .withColumn("_rd",
-        rank().over(Window.partitionBy(col(groupCol)).orderBy(col(c).desc)).cast("long"))
-      .withColumn("_n",
-        count(lit(1)).over(Window.partitionBy(col(groupCol))).cast("long"))
-      .withColumn(out,
-        (col("_ra") + col("_n") + 1L - col("_rd")).cast("decimal(38,0)"))
-      .drop("_ra", "_rd", "_n")
+      .withColumn("_r",
+        rank().over(Window.partitionBy(col(groupCol)).orderBy(col(c))).cast("long"))
+      .withColumn("_t",
+        count(lit(1)).over(Window.partitionBy(col(groupCol), col(c))).cast("long"))
+      .withColumn(out, (col("_r") * 2L + col("_t") - 1L).cast("decimal(38,0)"))
+      .drop("_r", "_t")
     val ranked = doubledMidrank(yCol, "v")(doubledMidrank(xCol, "u")(
       df.select(col(groupCol), col(xCol), col(yCol))))
     val d = "decimal(38,0)"
