@@ -83,6 +83,13 @@ object Clustering {
     val a1 = seedAssignments(df, idCol, vecCol, k)
       .withColumn("c1", col("best").getField("cid"))
       .drop("best")
+      // pinned (r16, guide §1.2): consumed TWICE (the centroid-sum
+      // collect and the round-2 assignment projection) — the k-way
+      // interpreted decimal distance HOF must not run twice. The
+      // checkpoint carries (id, v, c1); v must ride through because
+      // round 2 re-reads the vectors, so this trades ~input-sized
+      // storage for halving the operator's dominant projection.
+      .localCheckpoint()
 
     // Round-2 centroids as exact (Σx as decimal, n) per (cluster, dim).
     // Partial agg makes this shuffle k×dim rows per map partition.
@@ -138,6 +145,13 @@ object Clustering {
     val withD = seedAssignments(df, idCol, vecCol, k)
       .select(col("id"), col("best").getField("cid").as("c1"),
         col("best").getField("d").as("dist2"))
+      // pinned (r16, guide §1.2): consumed TWICE (the median window and
+      // the final join) and the k-way decimal distance projection is an
+      // interpreted HOF — without the pin the most expensive projection
+      // of the operator executes twice. The checkpoint holds 3 narrow
+      // columns per vector (id, cid, dist2) — far smaller than the
+      // embedding input it replaces on the second read.
+      .localCheckpoint()
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("c1").orderBy(col("dist2"), col("id"))
     val med = withD
