@@ -295,23 +295,56 @@ object SuffixDedup {
 
   /** The removal tail shared with [[graft.streaming.OnlineSuffixDedup]]:
     * cut each flagged `minLen`-window's characters from `base`
-    * (`(doc_id, _t)`) given the flagged `(doc_id, pos)` occurrences —
-    * two keyed aggregates + the per-document HOF rebuild (covered-
-    * position lists bounded by document length). */
+    * (`(doc_id, _t)`) given the flagged `(doc_id, pos)` occurrences.
+    *
+    * r16 rewrite (guide §2.4 + asymptotics): the old shape exploded
+    * every covered position into a per-document `collect_set` and
+    * rebuilt the text by probing `array_contains` PER CHARACTER —
+    * O(doclen × covered) per document, quadratic on a heavily-covered
+    * document (the regime ExactSubstr exists for). This shape merges
+    * the flagged windows into disjoint covered INTERVALS with the
+    * running-max gaps-and-islands sweep (overlap or abutment chains an
+    * island) and rebuilds the kept text as the complement slices —
+    * O(doclen + islands) per document, and the whole tail is ONE
+    * doc-keyed exchange (window, island agg, and per-doc agg all share
+    * the hash(doc_id) clustering) instead of two. */
   private[graft] def cutCovered(
       base: DataFrame, flagged: DataFrame, minLen: Int): DataFrame = {
-    val perDoc = flagged.groupBy("doc_id").agg(count(lit(1)).as("removed_spans"))
-    val covered = flagged
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(minLen - 1).cast("long"))).as("p"))
-      .groupBy("doc_id").agg(collect_set("p").as("cps"))
+    val w1 = Window.partitionBy("doc_id").orderBy("pos")
+    val iv = flagged
+      .withColumn("_e", col("pos") + lit(minLen - 1).cast("long"))
+      .withColumn("_pmax",
+        max("_e").over(w1.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new",
+        when(col("_pmax").isNull || col("pos") > col("_pmax") + 1L, 1L)
+          .otherwise(0L))
+      .withColumn("_isl", sum("_new").over(w1))
+    val merged = iv.groupBy("doc_id", "_isl")
+      .agg(min("pos").as("s"), max("_e").as("e"),
+        count(lit(1)).as("_n_spans"))
+    val covered = merged.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"),
+        sum(col("e") - col("s") + 1L).as("removed_chars"),
+        sum(col("_n_spans")).as("removed_spans"))
+    // char-array slice, not substring(_t, ...): UTF8String.substring is
+    // O(pos) per call (see suffixRanks); interval lists are bounded by
+    // |islands| ≤ doclen/1, in practice tiny
     val chars = expr("filter(split(_t, ''), c -> c <> '')")
-    val kept = when(col("cps").isNull, col("_t"))
-      .otherwise(array_join(
-        filter(chars, (_, i) => !array_contains(col("cps"), (i + 1).cast("long"))), ""))
-    base.join(covered, Seq("doc_id"), "left").join(perDoc, Seq("doc_id"), "left")
+    val n = size(col("ivs"))
+    val kept = when(col("ivs").isNull, col("_t"))
+      .otherwise(array_join(flatten(transform(
+        sequence(lit(0), n),
+        i => {
+          val start = when(i === 0, lit(1L))
+            .otherwise(element_at(col("ivs"), i).getField("e") + 1L)
+          val end = when(i === n, length(col("_t")).cast("long"))
+            .otherwise(element_at(col("ivs"), i + 1).getField("s") - 1L)
+          slice(chars, start.cast("int"),
+            greatest(end - start + 1L, lit(0L)).cast("int"))
+        })), ""))
+    base.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), kept.as("kept_text"),
-        coalesce(size(col("cps")).cast("long"), lit(0L)).as("removed_chars"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
         coalesce(col("removed_spans"), lit(0L)).as("removed_spans"))
   }
 

@@ -82,26 +82,41 @@ final class OnlineSuffixDedup(
         grams.select(col("h"), lit(0L).as("batch")).limit(0))
       .filter(col("batch") =!= batchId)
       .select("h")
-    // flagged = seen in an earlier batch (ALL batch occurrences of the
-    // hit window — the true owner arrived before this batch), or
-    // cross-document within the batch with a smaller-doc_id owner
-    val inIdx = grams.join(standing, Seq("h"), "left_semi")
-      .select("doc_id", "pos")
-    // cross-document test + owner in ONE h-keyed window pass (r16,
-    // guide §2.4 — the old groupBy(h)+join-back re-exchanged the gram
-    // frame a second time): a window spans ≥ 2 distinct documents iff
-    // its min and max doc_id differ, and the min IS the owner
+    // BOTH probes — "h already in the standing index" and "cross-
+    // document within the batch with a smaller-doc_id owner" — and the
+    // discover-once novelty test ride ONE h-keyed window pass (r16,
+    // guide §2.4, second cut): the standing hashes union in as marker
+    // rows (_idx, null doc_id/pos), so per h-class min/max over the
+    // REAL rows give the within-batch owner test while max(_idx) says
+    // whether an earlier batch owns the window. The previous shape paid
+    // three gram-sized exchanges (semi-join probe, the window, the
+    // index append's distinct + anti-join) and scanned the standing
+    // index twice; this shape pays the window exchange once and reads
+    // the index once. `marked` is pinned because the removal tail and
+    // the index append both consume it — without the pin each would
+    // re-run the window sort.
+    val docT = grams.schema("doc_id").dataType
     val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val wbFlag = grams
-      .withColumn("_own", min("doc_id").over(wH))
-      .withColumn("_mxd", max("doc_id").over(wH))
-      .filter(col("_mxd") =!= col("_own") && col("doc_id") =!= col("_own"))
+    val marked = grams.withColumn("_idx", lit(false))
+      .unionByName(standing.select(col("h"),
+        lit(null).cast(docT).as("doc_id"), lit(null).cast("long").as("pos"),
+        lit(true).as("_idx")))
+      .withColumn("_hit", max(when(col("_idx"), 1).otherwise(0)).over(wH) === 1)
+      .withColumn("_own", min(when(!col("_idx"), col("doc_id"))).over(wH))
+      .withColumn("_mxd", max(when(!col("_idx"), col("doc_id"))).over(wH))
+      .filter(!col("_idx"))
+      .localCheckpoint()
+    // flagged = seen in an earlier batch (ALL batch occurrences — the
+    // true owner arrived before this batch), or cross-document within
+    // the batch and not the min-doc_id owner. Each gram row appears
+    // exactly once, so no distinct pass is needed.
+    val flagged = marked
+      .filter(col("_hit") || (col("_mxd") =!= col("_own") &&
+        col("doc_id") =!= col("_own")))
       .select("doc_id", "pos")
-    val flagged = inIdx.unionByName(wbFlag).distinct().localCheckpoint()
     SuffixDedup.cutCovered(base, flagged, minLen)
       .write.mode("overwrite").parquet(s"$docsDir/batch=$batchId")
-    grams.select("h").distinct()
-      .join(standing, Seq("h"), "left_anti") // discover-once
+    marked.filter(!col("_hit")).select("h").distinct() // discover-once
       .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
   }
 

@@ -89,6 +89,36 @@ class SuffixDedupSpec extends AnyFunSuite {
     assert(out(2) === (3L, "no duplication in this one at all, stays whole", 0L, 0L))
   }
 
+  test("cutCovered interval complement matches the position-set reference (r16 rewrite)") {
+    // exercises the gaps-and-islands merge directly: overlapping windows,
+    // abutting windows (gap 0 chains), a disjoint second island, a
+    // fully-covered document, and an untouched document
+    import org.apache.spark.sql.functions.col
+    val base = Seq(
+      (1L, "0123456789" * 6),      // 60 chars, islands [1,25] ∪ [40,54]
+      (2L, "a" * 20),              // fully covered
+      (3L, "untouched")
+    ).toDF("doc_id", "text").select(col("doc_id"), col("text").as("_t"))
+    val flagged = Seq(
+      (1L, 1L), (1L, 6L), (1L, 16L), // overlap + abut: [1,10]+[6,15]+[16,25] -> [1,25]
+      (1L, 40L), (2L, 1L), (2L, 11L)
+    ).toDF("doc_id", "pos")
+    val out = SuffixDedup.cutCovered(base, flagged, minLen = 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // reference: per doc, covered = union of [p, p+9]; kept = complement
+    val texts = Map(1L -> "0123456789" * 6, 2L -> "a" * 20, 3L -> "untouched")
+    val fl = Map(1L -> Seq(1L, 6L, 16L, 40L), 2L -> Seq(1L, 11L), 3L -> Seq())
+    val expected = texts.toSeq.sortBy(_._1).map { case (d, t) =>
+      val cov = fl(d).flatMap(p => p to (p + 9)).toSet
+      val kept = t.zipWithIndex.collect {
+        case (c, i) if !cov(i + 1L) => c
+      }.mkString
+      (d, kept, cov.size.toLong, fl(d).size.toLong)
+    }
+    assert(out.toSeq === expected)
+  }
+
   test("within-ONE-document repeats are not cut (cross-document convention, dedupSpans parity)") {
     val rep = "zyxwvutsrqponmlkjihgfedcba" // 26 chars, repeated twice in one doc
     val out = SuffixDedup.removeDuplicatedSpans(
