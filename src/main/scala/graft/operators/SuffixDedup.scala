@@ -90,7 +90,6 @@ object SuffixDedup {
       // explode is the most expensive projection of the whole chain
       .localCheckpoint()
     var ranks = denseRankOver(positions, Seq("g"))
-    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     var k = w
     while (k < prefixLen) {
       // generalized doubling with fan-in: one round ranks TUPLES of up
@@ -101,19 +100,50 @@ object SuffixDedup {
       // offsets differ by ≤ k, so with components 0..i−1 tied, chars
       // [0, j_{i−1}+k) are equal and component i (rank at offset j_i ≤
       // j_{i−1}+k) decides exactly the next chunk. All lead()s evaluate
-      // in ONE per-document window sort. −1 (below every dense rank)
-      // where the document ends first — shorter sorts before extension.
+      // in ONE blocked per-document window sort. −1 (below every dense
+      // rank) where the document ends first — shorter sorts before
+      // extension.
       val target = math.min(prefixLen, k * Fanin)
       val offs = ((k until (target - k) by k) :+ (target - k))
         .distinct.filter(_ > 0)
+      // r17 skew fix (guide §2.5): a Window.partitionBy("doc_id") lead
+      // pass serializes EVERY position of a document in one task — a
+      // multi-MB document is a single million-row sort partition (the
+      // suffix_big_doc stress shape; at 100 TB one multi-GB document
+      // would serialize the whole round). Instead the positions are cut
+      // into fixed [[LeadBlock]]-position blocks keyed (doc_id, _blk),
+      // with the first maxOff positions of each block COPIED to the
+      // previous block (boundary-overlap ghosts, maxOff < LeadBlock by
+      // the prefixLen ≤ 4096 bound), so every lead(rank, o ≤ maxOff)
+      // still sees its target row inside its own block partition.
+      // Window partitions are bounded by LeadBlock + maxOff rows no
+      // matter how large the document; ghost copies add maxOff/LeadBlock
+      // (< 0.5%) shuffle rows. Positions are contiguous 1..len, one row
+      // each, so lead-by-rows ≡ lead-by-position within a block exactly
+      // as it did per document.
+      val maxOff = offs.max.toLong
+      // exact integer division (never Spark's double `/`, which loses
+      // exactness past 2^53): LeadBlock is a power of two
+      val ownBlkI = shiftright(col("pos") - 1L, LeadBlockShift)
+      val blocked = ranks.withColumn("_blk", explode(
+        when(ownBlkI > 0L && pmod(col("pos") - 1L, lit(LeadBlock.toLong)) < maxOff,
+          array(ownBlkI, ownBlkI - 1L))
+          .otherwise(array(ownBlkI))))
+      val wBlk = Window.partitionBy("doc_id", "_blk").orderBy("pos")
       val leadCols = offs.zipWithIndex.map { case (o, i) =>
-        coalesce(lead(col("rank"), o).over(wDoc), lit(-1L)).as(s"_r${i + 1}")
+        coalesce(lead(col("rank"), o).over(wBlk), lit(-1L)).as(s"_r${i + 1}")
       }
-      val paired = ranks.select(
-        (Seq(col("doc_id"), col("len"), col("pos"), col("rank")) ++ leadCols): _*)
+      val paired = blocked.select(
+        (Seq(col("doc_id"), col("len"), col("pos"), col("rank"),
+          col("_blk")) ++ leadCols): _*)
+        // ghost rows exist only to FEED leads across the block boundary;
+        // their own lead values are truncated (the window ends at the
+        // ghost range) and must not survive
+        .filter(col("_blk") === ownBlkI)
+        .drop("_blk")
         // pinned per round (the discipline the old shape applied to the
         // rank frame): the rank pass's range sampling would otherwise
-        // re-execute the per-document lead() window — exchange + sort —
+        // re-execute the blocked lead() window — exchange + sort —
         // a second time, and lineage must not double per round
         .localCheckpoint()
       val keyCols = "rank" +: offs.indices.map(i => s"_r${i + 1}")
@@ -122,6 +152,15 @@ object SuffixDedup {
     }
     ranks
   }
+
+  /** Block length (in positions) of the doubling rounds' lead windows:
+    * bounds any window sort partition at LeadBlock + maxOff rows
+    * regardless of document size. Must exceed the largest lead offset
+    * (maxOff < prefixLen ≤ 4096), so one ghost block suffices. A fixed
+    * bound, not a local-core-count tune: block COUNT grows with the
+    * data, so parallelism scales while per-task state stays constant. */
+  private val LeadBlockShift = 15
+  private val LeadBlock = 1 << LeadBlockShift
 
   /** Tuple fan-in per generalized-doubling round: each round covers up
     * to Fanin·k characters with one rank pass (8-long keys keep the
@@ -149,22 +188,33 @@ object SuffixDedup {
   private def denseRankOver(frame: DataFrame, keyCols: Seq[String]): DataFrame = {
     val parts =
       math.max(frame.sparkSession.sessionState.conf.numShufflePartitions, 1)
-    val local = frame
+    val lw = Window.partitionBy("_pid").orderBy(keyCols.map(col): _*)
+    // r17 (guide §1.2): the local dense rank rides INSIDE the pinned
+    // pass. The r16 shape pinned the raw range-sliced frame and then
+    // paid a full count_distinct aggregate pass over it for the offsets
+    // — but max(local dense rank) per slice IS the slice's distinct-key
+    // count, available for free once the window has run. One window
+    // pass instead of window + count_distinct, and the pin narrows to
+    // (doc_id, len, pos, _pid, _ldr) — the slice keys (the widest
+    // columns: the seed gram / the rank tuple) are dropped before
+    // materialization. The single localCheckpoint still fixes ONE
+    // range-boundary draw for both consumers. Also null-safe where the
+    // old offsets were not: dense_rank ranks a NULL key as a real
+    // value and max(_ldr) counts it, while count_distinct skipped
+    // NULL-keyed rows (unreachable from current callers, but the
+    // helper no longer has the precondition).
+    val ranked = frame
       .repartitionByRange(parts, keyCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint() // the window branch and the offsets branch must
-                         // see ONE range-boundary draw
-    val lw = Window.partitionBy("_pid").orderBy(keyCols.map(col): _*)
-    val agg = local.groupBy("_pid")
-      .agg(count_distinct(col(keyCols.head), keyCols.tail.map(col): _*)
-        .as("_ptot"))
-    val offsets = agg
+      .withColumn("_ldr", dense_rank().over(lw).cast("long"))
+      .select("doc_id", "len", "pos", "_pid", "_ldr")
+      .localCheckpoint()
+    val offsets = ranked.groupBy("_pid").agg(max("_ldr").as("_ptot"))
       .withColumn("_off", coalesce(sum("_ptot").over(
         Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select("_pid", "_off")
-    local
-      .withColumn("_ldr", dense_rank().over(lw).cast("long"))
+    ranked
       .join(broadcast(offsets), Seq("_pid"))
       .select(col("doc_id"), col("len"), col("pos"),
         (col("_off") + col("_ldr")).as("rank"))

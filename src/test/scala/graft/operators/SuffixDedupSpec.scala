@@ -207,6 +207,21 @@ class SuffixDedupSpec extends AnyFunSuite {
     assert(lrs(docs, prefixLen = 50) === expected)
   }
 
+  test("a shared region straddling the lead-window block boundary is found exactly (r17)") {
+    // the r17 blocked lead window cuts documents into 32768-position
+    // blocks with boundary-overlap ghosts; a duplicate placed ACROSS
+    // pos 32768 exercises every lead offset through the block seam
+    val rnd = new scala.util.Random(42)
+    val shared = (1 to 100).map(_ => ('A' + rnd.nextInt(26)).toChar).mkString
+    val noise = (1 to 33000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val bigDoc = noise.substring(0, 32699) + shared + noise.substring(32799)
+    val smallDoc = "x" * 10 + shared + "y" * 10
+    val out = spans(Seq((1L, bigDoc), (2L, smallDoc)), minLen = 50)
+    assert(out === Array(
+      (1L, 32700L, 32799L, 100L),
+      (2L, 11L, 110L, 100L)))
+  }
+
   test("empty and NULL documents emit no rank rows from the public suffixRanks surface") {
     // Spark's sequence(1, 0) DESCENDS ([1, 0]) — without the length
     // guard an empty doc emitted bogus pos=1/pos=0 rows at nonexistent
