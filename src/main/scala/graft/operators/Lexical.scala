@@ -66,15 +66,24 @@ object Lexical {
       idCol: String = "doc_id", textCol: String = "text",
       queryIdCol: String = "query_id", queryTextCol: String = "query_text"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val ws = TextAnalysis.tokens(col(textCol))
-    val postings = docs
-      .select(col(idCol).as("doc_id"), size(ws).cast("long").as("len"),
-        explode(ws).as("word"))
+    // ONE tokenize pass (r17, guide §1.2): postings and the corpus
+    // stats previously each ran the full split+trim over every document
+    // — two full-text scans. The tokenized frame is pinned and feeds
+    // both; n_docs/total_len semantics are unchanged because the pin
+    // keeps one row per document (token-less and NULL-text docs
+    // included — size(NULL array) stays -1 exactly as before).
+    val tok = docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("_ws"))
+      .localCheckpoint()
+    val postings = tok
+      .select(col("doc_id"), size(col("_ws")).cast("long").as("len"),
+        explode(col("_ws")).as("word"))
       .groupBy("doc_id", "len", "word")
       .agg(count(lit(1)).as("tf"))
-    val stats = docs.agg(
+    val stats = tok.agg(
       count(lit(1)).as("n_docs"),
-      sum(size(TextAnalysis.tokens(col(textCol))).cast("long")).as("total_len"))
+      sum(size(col("_ws")).cast("long")).as("total_len"))
     val qwords = queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("word"))
     // prune the corpus-sized postings to the query vocabulary FIRST;
