@@ -52,27 +52,28 @@ final class OnlineSuffixDedup(
     val spark = batch.sparkSession
     val base = batch.select(col(idCol).as("doc_id"), col(textCol).as("_t"))
       .localCheckpoint()
-    // windows of documents long enough to carry one (sequence(1, 0)
-    // DESCENDS in Spark — the short-doc filter is load-bearing)
+    // windows of documents long enough to carry one. The 128-bit window
+    // key rides as 16-byte BINARY (r16, guide §2.3 — halves the key
+    // bytes in every exchange, the standing-index parquet, and the
+    // probe join; same md5 exactness). r17: the per-window keys come
+    // from ONE native byte-walk per document
+    // ([[graft.functions.TextHash.windowMd5s]], parity-pinned to the
+    // old split/slice/array_join/md5/unhex formulation) — the
+    // interpreted per-window slice+join+hex round trip was the
+    // dominant term of the batch (profile: ~1.5 s of a ~3 s batch).
     val grams = base
       .filter(length(col("_t")) >= minLen)
-      // char-array slice, not substring(_t, pos): UTF8String.substring
-      // walks from the string start — O(pos) per call, quadratic per
-      // document (the batch operator's 1 MB-doc stress finding)
-      .select(col("doc_id"),
-        expr("filter(split(_t, ''), c -> c <> '')").as("_cs"),
-        length(col("_t")).as("_n"))
-      .select(col("doc_id"), col("_cs"),
-        explode(expr(s"sequence(1L, _n - ${minLen - 1})")).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        // the 128-bit window key rides as 16-byte BINARY, not the
-        // 32-char hex string (r16, guide §2.3 — halves the key bytes in
-        // every exchange, the standing-index parquet, and the probe
-        // join; same md5 exactness)
-        unhex(md5(array_join(
-          slice(col("_cs"), col("pos").cast("int"), lit(minLen)), "")))
-          .as("h"))
-      .localCheckpoint()
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextHash.windowMd5s(col("_t"), minLen)))
+      .select(col("doc_id"), (col("pos").cast("long") + 1L).as("pos"),
+        col("col").as("h"))
+    // NOT pinned (r17): since the r16 single-window collapse the gram
+    // frame has exactly ONE executing consumer — the union feeding the
+    // h-keyed window below (the `standing` schema thunk is a limit(0)
+    // the optimizer folds to an empty relation) — so the r16-era pin
+    // only added a full per-batch materialization of the explode+md5
+    // output. The expensive projection still runs once, inside the
+    // window's map stage.
     // a replayed batch must not probe its own windows; a footerless
     // index dir (crash during the very first write) reads as empty
     // rather than wedging every replay on schema inference (r15
@@ -82,6 +83,15 @@ final class OnlineSuffixDedup(
         grams.select(col("h"), lit(0L).as("batch")).limit(0))
       .filter(col("batch") =!= batchId)
       .select("h")
+    // fail fast on a pre-r16 rootDir whose standing index still carries
+    // the 32-char hex STRING key: unionByName would coerce the batch's
+    // binary keys to string (raw bytes — never equal to hex), silently
+    // ignoring all history instead of erroring (r16 advice)
+    require(standing.schema("h").dataType ==
+      org.apache.spark.sql.types.BinaryType,
+      s"$indexDir holds a legacy string-keyed window index (pre-r16 " +
+        "layout); this lineage cannot straddle the binary key format " +
+        "change — rebuild the index under a fresh rootDir")
     // BOTH probes — "h already in the standing index" and "cross-
     // document within the batch with a smaller-doc_id owner" — and the
     // discover-once novelty test ride ONE h-keyed window pass (r16,
@@ -97,6 +107,15 @@ final class OnlineSuffixDedup(
     // re-run the window sort.
     val docT = grams.schema("doc_id").dataType
     val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    // the discover-once representative rides the SAME window pass as
+    // the probes (r17): row_number over (h | doc_id, pos) marks one
+    // real row per class — the index append below keeps it instead of
+    // paying a distinct()'s extra batch-sized exchange. Classes that
+    // are !_hit contain no marker rows (markers imply _hit), so the
+    // rn=1 row of an appended class is always a real gram row; the sort
+    // the ordered window adds is subsumed by the one the unordered
+    // aggregates already paid (same partitioning, ordering prefix h).
+    val wHo = wH.orderBy("doc_id", "pos")
     val marked = grams.withColumn("_idx", lit(false))
       .unionByName(standing.select(col("h"),
         lit(null).cast(docT).as("doc_id"), lit(null).cast("long").as("pos"),
@@ -104,6 +123,7 @@ final class OnlineSuffixDedup(
       .withColumn("_hit", max(when(col("_idx"), 1).otherwise(0)).over(wH) === 1)
       .withColumn("_own", min(when(!col("_idx"), col("doc_id"))).over(wH))
       .withColumn("_mxd", max(when(!col("_idx"), col("doc_id"))).over(wH))
+      .withColumn("_rn", row_number().over(wHo))
       .filter(!col("_idx"))
       .localCheckpoint()
     // flagged = seen in an earlier batch (ALL batch occurrences — the
@@ -114,10 +134,20 @@ final class OnlineSuffixDedup(
       .filter(col("_hit") || (col("_mxd") =!= col("_own") &&
         col("doc_id") =!= col("_own")))
       .select("doc_id", "pos")
+    // the two sinks are independent jobs over the pinned frames —
+    // overlap them (guide §2.6) so the batch pays the slower one, not
+    // the sum; both writes stay idempotent own-batch overwrites, and a
+    // failure in either still fails the batch (foreachBatch retries it)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val indexAppend = Future {
+      marked.filter(!col("_hit") && col("_rn") === 1) // discover-once
+        .select("h")
+        .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    }
     SuffixDedup.cutCovered(base, flagged, minLen)
       .write.mode("overwrite").parquet(s"$docsDir/batch=$batchId")
-    marked.filter(!col("_hit")).select("h").distinct() // discover-once
-      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    Await.result(indexAppend, scala.concurrent.duration.Duration.Inf)
   }
 
   /** Everything ingested so far, cleaned — (doc_id, kept_text,

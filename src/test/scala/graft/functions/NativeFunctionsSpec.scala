@@ -69,6 +69,25 @@ class NativeFunctionsSpec extends AnyFunSuite with Matchers {
     rows.foreach(r => r.getSeq[Long](0) shouldBe r.getSeq[Long](1))
   }
 
+  test("WindowMd5s matches the split/slice/array_join/md5/unhex formulation bit-for-bit") {
+    val win = 5
+    val fixtures = texts ++ Seq("exact", "one more naïve café pad 中文テスト", "emoji \ud83d\ude42 pair 𝄞 clef!",
+      "x" * 4) // one shorter-than-window text
+    val df = fixtures.toDF("text")
+    val len = org.apache.spark.sql.functions.length(col("text")) // scalatest Matchers shadows `length`
+    val cs = filter(split(col("text"), ""), c => c =!= "")
+    val hof = when(len >= win,
+      transform(sequence(lit(1), len - win + 1),
+        p => unhex(md5(array_join(slice(cs, p, lit(win)), "")))))
+      .otherwise(array().cast("array<binary>"))
+    val rows = df.select(
+      TextHash.windowMd5s(col("text"), win).as("native"),
+      hof.as("hof")).collect()
+    rows.foreach { r =>
+      r.getSeq[Array[Byte]](0).map(_.toSeq) shouldBe r.getSeq[Array[Byte]](1).map(_.toSeq)
+    }
+  }
+
   test("MinHashFromHashes over ShingleHashes equals MinHashSig") {
     val df = texts.toDF("text")
     val rows = df.select(
