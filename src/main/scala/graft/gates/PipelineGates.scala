@@ -262,10 +262,15 @@ private[graft] trait PipelineGates extends GateSupport {
   }
 
   /** Decode the long-encoded purchase-graph node id (customer 2k ↔
-    * supplier 2k+1) back to the declared "c<id>"/"s<id>" string form. */
+    * supplier 2k+1) back to the declared "c<id>"/"s<id>" string form.
+    * shiftright, not `/ 2L`: Column `/` is DOUBLE division then cast,
+    * exact only below 2^53, while the `* 2L` encode side is exact to
+    * 2^62 — integral division keeps decode exact over the same domain
+    * (r16 advice). */
   private def decodeCsNode(node: Column): Column =
-    when(node % 2L === 0L, concat(lit("c"), (node / 2L).cast("long").cast("string")))
-      .otherwise(concat(lit("s"), ((node - 1L) / 2L).cast("long").cast("string")))
+    when(node % 2L === 0L,
+      concat(lit("c"), shiftright(node, 1).cast("string")))
+      .otherwise(concat(lit("s"), shiftright(node - 1L, 1).cast("string")))
 
   /** Personalized PageRank ([[Graph.personalizedPageRank]]) over the
     * same purchase graph, seeded at customers 1-20 — "suppliers and

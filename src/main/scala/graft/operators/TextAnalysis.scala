@@ -30,20 +30,42 @@ object TextAnalysis {
         when(p.rlike("^[A-Za-z]+$"), floor((length(p) - 1) / 6.0)).otherwise(lit(0L)))
   }
 
-  /** Character n-gram shingles (sliding window, step 1). */
+  /** Character n-gram shingles (sliding window, step 1).
+    *
+    * r17 (codegen/expressions — the collocations O(len²) lesson): the
+    * old shape transformed an index sequence with a lambda CAPTURING
+    * the trimmed text, and HOF lambda bodies are interpreted per
+    * element — trim re-evaluated and substr walking from the string
+    * start for every shingle, O(len²) per document. This shape builds
+    * the shingles by (n−1) shifted zip_with concats whose lambdas touch
+    * ONLY their lambda variables; every non-lambda input (the char
+    * array, its slices) is evaluated once per row — O(n·len). The
+    * null-text ([null]), short-text (one truncated gram) and
+    * empty-text ([""]) semantics are unchanged (pinned bit-for-bit by
+    * NativeFunctionsSpec's parity fixtures). */
   def charShingles(text: Column, n: Int): Column = {
     val t = trim(text)
-    transform(
-      sequence(lit(0), greatest(length(t) - n, lit(0))),
-      i => t.substr(i + 1, lit(n)))
+    val cs = filter(split(t, ""), c => c =!= "")
+    val acc = (1 until n).foldLeft(cs) { (a, k) =>
+      zip_with(a, slice(cs, lit(k + 1), size(cs)),
+        (x, y) => concat(x, coalesce(y, lit(""))))
+    }
+    when(t.isNull, array(lit(null).cast("string")))
+      .when(length(t) <= n, array(substring(t, 1, n)))
+      .otherwise(slice(acc, lit(1), length(t) - n + 1))
   }
 
-  /** Word n-grams as joined strings. */
+  /** Word n-grams as joined strings (same zip_with shape as
+    * [[charShingles]] — no captured expression in any lambda body). */
   def wordNgrams(text: Column, n: Int): Column = {
     val ts = tokens(text)
-    transform(
-      sequence(lit(0), greatest(size(ts) - n, lit(0))),
-      i => array_join(slice(ts, i + 1, lit(n)), " "))
+    val acc = (1 until n).foldLeft(ts) { (a, k) =>
+      zip_with(a, slice(ts, lit(k + 1), size(ts)),
+        (x, y) => when(y.isNull, x).otherwise(concat(x, lit(" "), y)))
+    }
+    when(ts.isNull, array(lit(null).cast("string")))
+      .when(size(ts) <= n, array(array_join(ts, " ")))
+      .otherwise(slice(acc, lit(1), size(ts) - n + 1))
   }
 
   // --- quality scoring (length / punctuation / stopword ratios) ---

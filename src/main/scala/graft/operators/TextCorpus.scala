@@ -60,14 +60,13 @@ object TextCorpus {
         count(lit(1)).as("distinct_words"),
         max("cnt").as("top_word_count"))
 
-  /** Word n-grams that are EMPTY below n words (unlike
-    * [[TextAnalysis.wordNgrams]], which floors at one truncated gram —
-    * fine for shingling, wrong for counting). */
-  /** n-grams of an ALREADY-MATERIALIZED token-array attribute — callers
-    * must project the token array to a column first: HOF lambdas are
-    * interpreted, so a lambda body referencing a raw split() expression
-    * re-tokenizes the document per element (the collocations O(words²)
-    * finding, r16). */
+  /** Word n-grams of an ALREADY-MATERIALIZED token-array attribute,
+    * EMPTY below n words (unlike [[TextAnalysis.wordNgrams]], which
+    * floors at one truncated gram — fine for shingling, wrong for
+    * counting). Callers must project the token array to a column
+    * first: HOF lambdas are interpreted, so a lambda body referencing
+    * a raw split() expression re-tokenizes the document per element
+    * (the collocations O(words²) finding, r16). */
   private def strictWordNgrams(ts: Column, n: Int): Column =
     when(size(ts) >= n,
       transform(

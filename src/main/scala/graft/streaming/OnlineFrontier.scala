@@ -41,10 +41,20 @@ final class OnlineFrontier(
   private val frontierDir = s"$rootDir/frontier"
 
   // the rule table is fixed for the life of the sink but arrives as an
-  // arbitrary DataFrame lineage — pin it ONCE so every micro-batch's
-  // policy broadcast rebuilds from the materialized rows instead of
-  // re-executing the caller's upstream per batch (r16, guide §1.2/§5)
-  private val pinnedRules = rules.localCheckpoint()
+  // arbitrary DataFrame lineage — materialize it ONCE so every
+  // micro-batch's policy broadcast rebuilds from the rows instead of
+  // re-executing the caller's upstream per batch (r16, guide §1.2/§5).
+  // r17 (r16 advice): collected to a driver-local relation rather than
+  // localCheckpoint'd — a lifetime-of-the-sink localCheckpoint is not
+  // recomputable, so losing the executor holding its blocks mid-stream
+  // would permanently fail every later micro-batch; the table is
+  // KB-sized and broadcast anyway, so driver-local rows are the right
+  // home (they also skip the per-batch executor fetch).
+  private val pinnedRules = {
+    import scala.jdk.CollectionConverters._
+    rules.sparkSession.createDataFrame(
+      rules.collect().toSeq.asJava, rules.schema)
+  }
 
   /** The foreachBatch hook:
     * `pages.writeStream.foreachBatch(online.processBatch _)`. */

@@ -95,7 +95,7 @@ class SuffixDedupSpec extends AnyFunSuite {
     // fully-covered document, and an untouched document
     import org.apache.spark.sql.functions.col
     val base = Seq(
-      (1L, "0123456789" * 6),      // 60 chars, islands [1,25] ∪ [40,54]
+      (1L, "0123456789" * 6),      // 60 chars, islands [1,25] ∪ [40,49]
       (2L, "a" * 20),              // fully covered
       (3L, "untouched")
     ).toDF("doc_id", "text").select(col("doc_id"), col("text").as("_t"))
