@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   * re-ranked globally per batch without rescanning the corpus; windows
   * are therefore keyed by their md5 (128-bit — the [[graft.operators
   * .Dedup.exactGroups]] exact-equality convention; carried as 16-byte
-  * binary, so one rootDir lineage must not straddle the r16 format
-  * change), so per batch the
+  * binary — a rootDir lineage cannot straddle the r16 format change,
+  * and since r17 a legacy string-keyed index FAILS FAST on read
+  * instead of silently matching nothing), so per batch the
   * work is one O(batch-chars) projection, one equi-join probe of the
   * standing index, and the batch-sized removal tail. The corpus is
   * never rescanned.
@@ -30,7 +31,8 @@ import org.apache.spark.sql.functions._
   * partition directories with overwrite (the [[OnlineDedup]] recipe),
   * and index reads exclude the batch's own partition — a replayed
   * batch probes the same standing index and rewrites the same files,
-  * bit-identical. The index append is discover-once (anti-join), so
+  * bit-identical. The index append is discover-once (one representative
+  * row per NOVEL window class, picked in the probe's window pass), so
   * index rows stay unique.
   *
   * Layout under `rootDir`: `docs/` (per-doc kept_text/removed_chars/
